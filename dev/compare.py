@@ -1,0 +1,76 @@
+#!/usr/bin/env python3
+"""Local mimic of the driver's DuckDB-oracle correctness gate.
+
+Usage: python3 dev/compare.py <sfDir> <verifyOutDir>
+
+Reads each <verifyOutDir>/<name> parquet (Spark result), runs the matching
+SQL from <verifyOutDir>/oracle_sql.json in DuckDB (tables = views over the
+sfDir parquet files), and compares: columns sorted by name, values compared
+exactly after canonicalization. Dev-only tool (driver-side python env);
+the Scala library never depends on this.
+"""
+import sys, os, json, glob
+import duckdb
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+def canon(v):
+    if v is None:
+        return "NULL"
+    if isinstance(v, float):
+        return repr(v)  # shortest round-trip repr
+    if isinstance(v, bool):
+        return str(v)
+    return str(v)
+
+def table_rows(rel):
+    cols = rel.columns if hasattr(rel, "columns") else None
+    rows = rel.fetchall()
+    return cols, rows
+
+def main():
+    sf_dir, out_dir = sys.argv[1], sys.argv[2]
+    con = duckdb.connect()
+    for t in TABLES:
+        p = f"{sf_dir}/{t}.parquet"
+        if os.path.exists(p):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+    oracles = json.load(open(f"{out_dir}/oracle_sql.json"))
+    n_pass = n_fail = 0
+    for name, sql_text in sorted(oracles.items()):
+        res_dir = f"{out_dir}/{name}"
+        files = glob.glob(f"{res_dir}/*.parquet")
+        if not files:
+            print(f"FAIL {name}: no spark output"); n_fail += 1; continue
+        try:
+            scols, srows = table_rows(con.sql(
+                f"SELECT * FROM read_parquet({files!r})"))
+            ocols, orows = table_rows(con.sql(sql_text))
+        except Exception as e:
+            print(f"FAIL {name}: {e}"); n_fail += 1; continue
+        # driver sorts columns by name before hashing
+        s_idx = sorted(range(len(scols)), key=lambda i: scols[i])
+        o_idx = sorted(range(len(ocols)), key=lambda i: ocols[i])
+        s_names = [scols[i] for i in s_idx]
+        o_names = [ocols[i] for i in o_idx]
+        if s_names != o_names:
+            print(f"FAIL {name}: columns {s_names} vs {o_names}"); n_fail += 1; continue
+        s_tab = [tuple(canon(r[i]) for i in s_idx) for r in srows]
+        o_tab = [tuple(canon(r[i]) for i in o_idx) for r in orows]
+        if len(s_tab) != len(o_tab):
+            print(f"FAIL {name}: rowcount {len(s_tab)} vs {len(o_tab)}"); n_fail += 1; continue
+        ordered = s_tab == o_tab
+        unordered = sorted(s_tab) == sorted(o_tab)
+        if ordered:
+            print(f"PASS {name} ({len(s_tab)} rows)"); n_pass += 1
+        elif unordered:
+            print(f"WARN {name}: rows match only after sorting"); n_fail += 1
+        else:
+            diffs = [(a, b) for a, b in zip(s_tab, o_tab) if a != b][:3]
+            print(f"FAIL {name}: value mismatch, first diffs: {diffs}"); n_fail += 1
+    print(f"== {n_pass} pass, {n_fail} fail ==")
+    sys.exit(1 if n_fail else 0)
+
+if __name__ == "__main__":
+    main()

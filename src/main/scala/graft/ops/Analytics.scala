@@ -1,0 +1,466 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.functions.Decimals._
+import graft.sources.Tables
+
+/** Relational batch operator inventory (SURVEY.md §2.2, rows "Scans" through
+  * "Math/decimal" + JSON): one named query per operator family, each with a
+  * DuckDB oracle.
+  *
+  * Scale posture (100 TB): dimension tables are always `broadcast()` so the
+  * fact scan never shuffles for them; fact-fact joins shuffle on their join
+  * key only; every aggregate is a hash aggregate with map-side partials; all
+  * money arithmetic is DECIMAL (exact, order-independent → also
+  * oracle-deterministic, see [[graft.functions.Decimals]]). Every query ends
+  * in a deterministic ORDER BY on a unique key set.
+  */
+object Analytics {
+  import QueryDef.sql
+
+  /** TPC-H Q1-style pricing summary: hash aggregation with partial
+    * (map-side) aggregates; group key cardinality is tiny so the shuffle
+    * moves only pre-aggregated rows regardless of input scale. */
+  val q01PricingSummary: QueryDef = sql(
+    "q01_pricing_summary",
+    """SELECT l_returnflag, l_linestatus,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_base_price,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS sum_disc_price,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2))) * (CAST(1 AS DECIMAL(3,2)) + CAST(l_tax AS DECIMAL(4,2)))) AS DOUBLE) AS sum_charge,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS avg_price,
+      |  COUNT(*) AS count_order
+      |FROM lineitem
+      |GROUP BY l_returnflag, l_linestatus
+      |ORDER BY l_returnflag, l_linestatus""".stripMargin) { (s, dir) =>
+    val l = Tables.lineitem(s, dir)
+    val one = lit(1).cast(DecimalType(3, 2))
+    val discPrice = money(col("l_extendedprice")) * (one - rate(col("l_discount")))
+    l.groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        dsum(qty(col("l_quantity"))).as("sum_qty"),
+        dsum(money(col("l_extendedprice"))).as("sum_base_price"),
+        dsum(discPrice).as("sum_disc_price"),
+        dsum(discPrice * (one + rate(col("l_tax")))).as("sum_charge"),
+        davg(qty(col("l_quantity"))).as("avg_qty"),
+        davg(money(col("l_extendedprice"))).as("avg_price"),
+        count(lit(1)).as("count_order"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+  }
+
+  /** TPC-H Q6-style selective scan: the three predicates and the 2-column
+    * projection must reach the parquet reader (PushedFilters / ReadSchema)
+    * so a 100 TB scan only decodes the row groups + columns it needs. */
+  val q02SelectiveFilter: QueryDef = sql(
+    "q02_selective_filter",
+    """SELECT
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) AS revenue,
+      |  COUNT(*) AS n_rows
+      |FROM lineitem
+      |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+      |  AND l_discount >= 0.03 AND l_discount <= 0.07
+      |  AND l_quantity < 24""".stripMargin) { (s, dir) =>
+    Tables.lineitem(s, dir)
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1997-01-01").cast("timestamp") &&
+        col("l_discount") >= 0.03 && col("l_discount") <= 0.07 &&
+        col("l_quantity") < 24)
+      .agg(
+        dsum(money(col("l_extendedprice")) * rate(col("l_discount"))).as("revenue"),
+        count(lit(1)).as("n_rows"))
+  }
+
+  /** TPC-H Q3-style: broadcast dim (customer at this scale would be a
+    * shuffle join; segment filter first prunes it), fact-fact shuffle join
+    * on orderkey, agg, top-k. */
+  val q03ShippingPriority: QueryDef = sql(
+    "q03_shipping_priority",
+    """SELECT l.l_orderkey,
+      |  CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l.l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue,
+      |  o.o_orderdate
+      |FROM customer c
+      |JOIN orders o ON c.c_custkey = o.o_custkey
+      |JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      |WHERE c.c_mktsegment = 'BUILDING'
+      |  AND o.o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+      |  AND l.l_shipdate > TIMESTAMP '1998-01-01 00:00:00'
+      |GROUP BY l.l_orderkey, o.o_orderdate
+      |ORDER BY revenue DESC, l_orderkey
+      |LIMIT 10""".stripMargin) { (s, dir) =>
+    val c = Tables.customer(s, dir).filter(col("c_mktsegment") === "BUILDING")
+    val o = Tables.orders(s, dir)
+      .filter(col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+    val l = Tables.lineitem(s, dir)
+      .filter(col("l_shipdate") > lit("1998-01-01").cast("timestamp"))
+    val one = lit(1).cast(DecimalType(3, 2))
+    l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("l_orderkey"), col("o_orderdate"))
+      .agg(dsum(money(col("l_extendedprice")) * (one - rate(col("l_discount")))).as("revenue"))
+      .select(col("l_orderkey"), col("revenue"), col("o_orderdate"))
+      .orderBy(col("revenue").desc, col("l_orderkey"))
+      .limit(10)
+  }
+
+  /** TPC-H Q5-style star join: region/nation broadcast (25 + 5 rows always),
+    * customer broadcast at small SF (AQE re-plans at scale), orders⋈lineitem
+    * shuffles once on orderkey. */
+  val q05LocalRevenue: QueryDef = sql(
+    "q05_local_revenue",
+    """SELECT n.n_name,
+      |  CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l.l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue,
+      |  COUNT(*) AS n_items
+      |FROM region r
+      |JOIN nation n ON n.n_regionkey = r.r_regionkey
+      |JOIN customer c ON c.c_nationkey = n.n_nationkey
+      |JOIN orders o ON o.o_custkey = c.c_custkey
+      |JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      |WHERE r.r_name = 'ASIA'
+      |  AND o.o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+      |  AND o.o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+      |GROUP BY n.n_name
+      |ORDER BY n.n_name""".stripMargin) { (s, dir) =>
+    val r = Tables.region(s, dir).filter(col("r_name") === "ASIA")
+    val n = Tables.nation(s, dir)
+    val c = Tables.customer(s, dir)
+    val o = Tables.orders(s, dir)
+      .filter(col("o_orderdate") >= lit("1995-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+    val l = Tables.lineitem(s, dir)
+    val one = lit(1).cast(DecimalType(3, 2))
+    l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("n_name"))
+      .agg(
+        dsum(money(col("l_extendedprice")) * (one - rate(col("l_discount")))).as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy(col("n_name"))
+  }
+
+  /** Left-semi join (EXISTS): orders that contain at least one heavy line.
+    * Semi joins only ship the join key — at scale this is the cheapest way
+    * to express EXISTS; never materialize the inner side. */
+  val q06SemiJoin: QueryDef = sql(
+    "q06_semi_join",
+    """SELECT o.o_orderkey, o.o_totalprice
+      |FROM orders o
+      |WHERE EXISTS (SELECT 1 FROM lineitem l
+      |              WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity >= 48)
+      |ORDER BY o.o_orderkey""".stripMargin) { (s, dir) =>
+    val o = Tables.orders(s, dir)
+    val l = Tables.lineitem(s, dir).filter(col("l_quantity") >= 48)
+    o.join(l, o("o_orderkey") === l("l_orderkey"), "left_semi")
+      .select(col("o_orderkey"), col("o_totalprice"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  /** Left-anti join (NOT EXISTS): orders with no lineitems at all. */
+  val q07AntiJoin: QueryDef = sql(
+    "q07_anti_join",
+    """SELECT o.o_orderkey, o.o_orderstatus
+      |FROM orders o
+      |WHERE NOT EXISTS (SELECT 1 FROM lineitem l WHERE l.l_orderkey = o.o_orderkey)
+      |ORDER BY o.o_orderkey""".stripMargin) { (s, dir) =>
+    val o = Tables.orders(s, dir)
+    val l = Tables.lineitem(s, dir)
+    o.join(l, o("o_orderkey") === l("l_orderkey"), "left_anti")
+      .select(col("o_orderkey"), col("o_orderstatus"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  /** Theta/range join against a tiny literal band table — broadcast
+    * nested-loop by construction; the band side never grows with data
+    * scale so BNLJ stays O(rows × bands). */
+  val q08RangeJoin: QueryDef = sql(
+    "q08_range_join",
+    """SELECT b.band, COUNT(*) AS n_parts,
+      |  CAST(SUM(CAST(p.p_retailprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_price
+      |FROM part p
+      |JOIN (VALUES ('low', CAST(900.0 AS DOUBLE), CAST(907.0 AS DOUBLE)),
+      |             ('mid', CAST(907.0 AS DOUBLE), CAST(914.0 AS DOUBLE)),
+      |             ('high', CAST(914.0 AS DOUBLE), CAST(921.0 AS DOUBLE))) AS b(band, lo, hi)
+      |  ON p.p_retailprice >= b.lo AND p.p_retailprice < b.hi
+      |GROUP BY b.band
+      |ORDER BY b.band""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    val bands = Seq(("low", 900.0, 907.0), ("mid", 907.0, 914.0), ("high", 914.0, 921.0))
+      .toDF("band", "lo", "hi")
+    Tables.part(s, dir)
+      .join(broadcast(bands), col("p_retailprice") >= col("lo") && col("p_retailprice") < col("hi"))
+      .groupBy(col("band"))
+      .agg(count(lit(1)).as("n_parts"), dsum(money(col("p_retailprice"))).as("sum_price"))
+      .orderBy(col("band"))
+  }
+
+  /** Exact distinct aggregation. `count(distinct)` expands to a two-phase
+    * partial-distinct plan in Spark — at 100 TB prefer
+    * approx_count_distinct (HLL, one pass, mergeable) when tolerance
+    * allows; the exact form is kept here because the oracle must be exact. */
+  val q09DistinctUsers: QueryDef = sql(
+    "q09_distinct_users",
+    """SELECT event_type,
+      |  COUNT(DISTINCT user_id) AS n_users,
+      |  COUNT(*) AS n_events
+      |FROM events
+      |GROUP BY event_type
+      |ORDER BY event_type""".stripMargin) { (s, dir) =>
+    Tables.events(s, dir)
+      .groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("n_users"), count(lit(1)).as("n_events"))
+      .orderBy(col("event_type"))
+  }
+
+  /** Rollup (hierarchical grouping sets); NULL grouping markers are
+    * COALESCEd so the output keys are unique and sortable. */
+  val q10Rollup: QueryDef = sql(
+    "q10_rollup",
+    """SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
+      |  COALESCE(l_linestatus, 'ALL') AS linestatus,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_price,
+      |  COUNT(*) AS n
+      |FROM lineitem
+      |GROUP BY ROLLUP(l_returnflag, l_linestatus)
+      |ORDER BY returnflag, linestatus""".stripMargin) { (s, dir) =>
+    Tables.lineitem(s, dir)
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(dsum(money(col("l_extendedprice"))).as("sum_price"), count(lit(1)).as("n"))
+      .select(
+        coalesce(col("l_returnflag"), lit("ALL")).as("returnflag"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
+        col("sum_price"), col("n"))
+      .orderBy(col("returnflag"), col("linestatus"))
+  }
+
+  /** Cube over two independent dimensions. */
+  val q11Cube: QueryDef = sql(
+    "q11_cube",
+    """SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+      |  COALESCE(o_orderpriority, 'ALL') AS priority,
+      |  COUNT(*) AS n,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_price
+      |FROM orders
+      |GROUP BY CUBE(o_orderstatus, o_orderpriority)
+      |ORDER BY status, priority""".stripMargin) { (s, dir) =>
+    Tables.orders(s, dir)
+      .cube(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"), dsum(money(col("o_totalprice"))).as("sum_price"))
+      .select(
+        coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+        coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+        col("n"), col("sum_price"))
+      .orderBy(col("status"), col("priority"))
+  }
+
+  /** Ranking window: top-3 parts per brand. One shuffle on the partition
+    * key; rank early and filter so downstream only sees k rows/group. */
+  val q12WindowRank: QueryDef = sql(
+    "q12_window_rank",
+    """SELECT p_brand, p_partkey, p_retailprice, rn
+      |FROM (SELECT p_brand, p_partkey, p_retailprice,
+      |        ROW_NUMBER() OVER (PARTITION BY p_brand
+      |                           ORDER BY p_retailprice DESC, p_partkey) AS rn
+      |      FROM part)
+      |WHERE rn <= 3
+      |ORDER BY p_brand, rn""".stripMargin) { (s, dir) =>
+    val w = Window.partitionBy(col("p_brand"))
+      .orderBy(col("p_retailprice").desc, col("p_partkey"))
+    Tables.part(s, dir)
+      .select(col("p_brand"), col("p_partkey"), col("p_retailprice"),
+        row_number().over(w).as("rn"))
+      .filter(col("rn") <= 3)
+      .orderBy(col("p_brand"), col("rn"))
+  }
+
+  /** Analytic window with explicit ROWS frame: per-customer running
+    * revenue. Exact decimal running sum → double for output. */
+  val q13WindowRunning: QueryDef = sql(
+    "q13_window_running",
+    """SELECT o_custkey, o_orderkey, o_orderdate,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2)))
+      |    OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_spend
+      |FROM orders
+      |ORDER BY o_custkey, o_orderdate, o_orderkey""".stripMargin) { (s, dir) =>
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.orders(s, dir)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+        sum(money(col("o_totalprice"))).over(w).cast("double").as("running_spend"))
+      .orderBy(col("o_custkey"), col("o_orderdate"), col("o_orderkey"))
+  }
+
+  /** Global top-k: Spark plans orderBy+limit as TakeOrderedAndProject —
+    * each partition keeps k rows, only k×partitions reach the driver. */
+  val q14TopOrders: QueryDef = sql(
+    "q14_top_orders",
+    """SELECT o_orderkey, o_custkey, o_totalprice
+      |FROM orders
+      |ORDER BY o_totalprice DESC, o_orderkey
+      |LIMIT 10""".stripMargin) { (s, dir) =>
+    Tables.orders(s, dir)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(10)
+  }
+
+  /** Set operators: (buyers-in-1995 ∪ buyers-in-1996) minus big spenders.
+    * UNION/INTERSECT/EXCEPT all reduce to shuffles on the full row — keys
+    * only here, so the shuffle payload stays minimal. */
+  val q15SetOps: QueryDef = sql(
+    "q15_set_ops",
+    """SELECT o_custkey FROM orders
+      |WHERE o_orderdate >= TIMESTAMP '1995-01-01 00:00:00' AND o_orderdate < TIMESTAMP '1996-01-01 00:00:00'
+      |UNION
+      |SELECT o_custkey FROM orders
+      |WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00' AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+      |EXCEPT
+      |SELECT o_custkey FROM orders WHERE o_totalprice > 450000
+      |ORDER BY o_custkey""".stripMargin) { (s, dir) =>
+    val o = Tables.orders(s, dir)
+    def buyers(lo: String, hi: String): DataFrame = o
+      .filter(col("o_orderdate") >= lit(lo).cast("timestamp") &&
+        col("o_orderdate") < lit(hi).cast("timestamp"))
+      .select(col("o_custkey"))
+    val big = o.filter(col("o_totalprice") > 450000).select(col("o_custkey"))
+    buyers("1995-01-01", "1996-01-01")
+      .union(buyers("1996-01-01", "1997-01-01")).distinct()
+      .except(big)
+      .orderBy(col("o_custkey"))
+  }
+
+  /** Scalar string-function surface (all codegen'd built-ins). */
+  val q16StringFns: QueryDef = sql(
+    "q16_string_fns",
+    """SELECT p_partkey,
+      |  LOWER(p_brand) AS brand_lc,
+      |  UPPER(p_name) AS name_uc,
+      |  SUBSTR(p_type, 1, 3) AS type3,
+      |  LENGTH(p_name) AS name_len,
+      |  STRPOS(p_name, 'widget') AS widget_pos,
+      |  REPLACE(p_name, ' ', '_') AS name_us,
+      |  CONCAT(p_brand, ':', p_type) AS brand_type,
+      |  p_name LIKE '%bolt%' AS is_bolt,
+      |  REGEXP_EXTRACT(p_name, '([a-z]+) ([a-z]+)', 2) AS second_word
+      |FROM part
+      |ORDER BY p_partkey""".stripMargin) { (s, dir) =>
+    Tables.part(s, dir)
+      .select(
+        col("p_partkey"),
+        lower(col("p_brand")).as("brand_lc"),
+        upper(col("p_name")).as("name_uc"),
+        substring(col("p_type"), 1, 3).as("type3"),
+        length(col("p_name")).as("name_len"),
+        instr(col("p_name"), "widget").as("widget_pos"),
+        regexp_replace(col("p_name"), " ", "_").as("name_us"),
+        concat(col("p_brand"), lit(":"), col("p_type")).as("brand_type"),
+        col("p_name").like("%bolt%").as("is_bolt"),
+        regexp_extract(col("p_name"), "([a-z]+) ([a-z]+)", 2).as("second_word"))
+      .orderBy(col("p_partkey"))
+  }
+
+  /** Date/time function surface; month-level truncation and day diffs. */
+  val q17DateFns: QueryDef = sql(
+    "q17_date_fns",
+    """SELECT YEAR(o_orderdate) AS y, MONTH(o_orderdate) AS m,
+      |  COUNT(*) AS n,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_price,
+      |  CAST(MAX(DATE_TRUNC('month', o_orderdate)) AS TIMESTAMP) AS month_start,
+      |  DATE_DIFF('day', MAX(CAST(o_orderdate AS DATE)), DATE '2002-01-01') AS days_to_2002
+      |FROM orders
+      |GROUP BY 1, 2
+      |ORDER BY 1, 2""".stripMargin) { (s, dir) =>
+    Tables.orders(s, dir)
+      .groupBy(year(col("o_orderdate")).as("y"), month(col("o_orderdate")).as("m"))
+      .agg(
+        count(lit(1)).as("n"),
+        dsum(money(col("o_totalprice"))).as("sum_price"),
+        max(date_trunc("month", col("o_orderdate"))).as("month_start"),
+        datediff(lit("2002-01-01").cast("date"), max(col("o_orderdate").cast("date"))).as("days_to_2002"))
+      .orderBy(col("y"), col("m"))
+  }
+
+  /** Arithmetic / modulo / floor-ceil surface, grouped by a computed key. */
+  val q18MathFns: QueryDef = sql(
+    "q18_math_fns",
+    """SELECT l_orderkey % 7 AS bucket,
+      |  COUNT(*) AS n,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue,
+      |  CAST(FLOOR(CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*)) AS BIGINT) AS floor_avg_qty,
+      |  CAST(CEIL(CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*)) AS BIGINT) AS ceil_avg_qty,
+      |  SQRT(COUNT(*)) AS sqrt_n,
+      |  ABS(CAST(MIN(CAST(l_discount AS DECIMAL(4,2))) - MAX(CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE)) AS disc_spread
+      |FROM lineitem
+      |GROUP BY 1
+      |ORDER BY 1""".stripMargin) { (s, dir) =>
+    val one = lit(1).cast(DecimalType(3, 2))
+    Tables.lineitem(s, dir)
+      .groupBy((col("l_orderkey") % 7).as("bucket"))
+      .agg(
+        count(lit(1)).as("n"),
+        dsum(money(col("l_extendedprice")) * (one - rate(col("l_discount")))).as("revenue"),
+        floor(davg(qty(col("l_quantity")))).cast("long").as("floor_avg_qty"),
+        ceil(davg(qty(col("l_quantity")))).cast("long").as("ceil_avg_qty"),
+        sqrt(count(lit(1))).as("sqrt_n"),
+        abs((min(rate(col("l_discount"))) - max(rate(col("l_discount")))).cast("double")).as("disc_spread"))
+      .orderBy(col("bucket"))
+  }
+
+  /** JSON extraction from the events props payload. */
+  val q19JsonFns: QueryDef = sql(
+    "q19_json_fns",
+    """SELECT event_type,
+      |  CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+      |  COUNT(*) FILTER (WHERE CAST(json_extract_string(props, '$.k') AS BIGINT) > 50) AS n_big_k,
+      |  COUNT(*) AS n
+      |FROM events
+      |GROUP BY event_type
+      |ORDER BY event_type""".stripMargin) { (s, dir) =>
+    val k = get_json_object(col("props"), "$.k").cast("long")
+    Tables.events(s, dir)
+      .groupBy(col("event_type"))
+      .agg(
+        sum(k).as("sum_k"),
+        count(when(k > 50, 1)).as("n_big_k"),
+        count(lit(1)).as("n"))
+      .orderBy(col("event_type"))
+  }
+
+  /** CASE WHEN bucketing + conditional aggregation. */
+  val q20CaseWhen: QueryDef = sql(
+    "q20_case_when",
+    """SELECT CASE WHEN o_totalprice < 100000 THEN 'low'
+      |            WHEN o_totalprice < 300000 THEN 'mid'
+      |            ELSE 'high' END AS price_band,
+      |  COUNT(*) AS n,
+      |  COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS n_finished,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_price
+      |FROM orders
+      |GROUP BY 1
+      |ORDER BY 1""".stripMargin) { (s, dir) =>
+    Tables.orders(s, dir)
+      .groupBy(
+        when(col("o_totalprice") < 100000, "low")
+          .when(col("o_totalprice") < 300000, "mid")
+          .otherwise("high").as("price_band"))
+      .agg(
+        count(lit(1)).as("n"),
+        count(when(col("o_orderstatus") === "F", 1)).as("n_finished"),
+        dsum(money(col("o_totalprice"))).as("sum_price"))
+      .orderBy(col("price_band"))
+  }
+
+  val all: Seq[QueryDef] = Seq(
+    q01PricingSummary, q02SelectiveFilter, q03ShippingPriority, q05LocalRevenue,
+    q06SemiJoin, q07AntiJoin, q08RangeJoin, q09DistinctUsers, q10Rollup,
+    q11Cube, q12WindowRank, q13WindowRunning, q14TopOrders, q15SetOps,
+    q16StringFns, q17DateFns, q18MathFns, q19JsonFns, q20CaseWhen)
+}

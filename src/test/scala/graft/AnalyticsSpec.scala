@@ -1,0 +1,60 @@
+package graft
+
+import graft.ops.Analytics
+
+/** Smoke + semantics tests for the relational inventory at sf0.001.
+  * (Exact value parity vs DuckDB is covered by the driver's oracle gate
+  * and dev/compare.py; these tests pin structural invariants.) */
+class AnalyticsSpec extends SparkSpec {
+
+  test("entry returns rows") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("every query runs and respects its declared schema") {
+    Analytics.all.foreach { q =>
+      val df = q.run(spark, sfDir)
+      val n = df.count()
+      assert(n > 0, s"${q.name} returned no rows")
+    }
+  }
+
+  test("oracle coverage: every query has an oracle or is explicitly rows-only") {
+    val missing = Analytics.all.filter(_.oracle.isEmpty)
+    assert(missing.isEmpty, s"relational queries must be oracle-checked: ${missing.map(_.name)}")
+  }
+
+  test("q01 aggregates are exact and grouped correctly") {
+    val rows = Analytics.q01PricingSummary.run(spark, sfDir).collect()
+    assert(rows.map(r => (r.getString(0), r.getString(1))).distinct.length == rows.length)
+    val total = rows.map(_.getAs[Long]("count_order")).sum
+    assert(total == 6000L) // sf0.001 lineitem row count
+  }
+
+  test("q07 anti join is disjoint from q06 semi join universe") {
+    val semi = Analytics.q06SemiJoin.run(spark, sfDir).select("o_orderkey").collect().map(_.getLong(0)).toSet
+    val anti = Analytics.q07AntiJoin.run(spark, sfDir).select("o_orderkey").collect().map(_.getLong(0)).toSet
+    assert(semi.intersect(anti).isEmpty)
+  }
+
+  test("q12 emits at most 3 rows per brand, ranked") {
+    val rows = Analytics.q12WindowRank.run(spark, sfDir).collect()
+    rows.groupBy(_.getString(0)).foreach { case (_, rs) =>
+      assert(rs.length <= 3)
+      assert(rs.map(_.getAs[Int]("rn")).sorted.sameElements(1 to rs.length))
+    }
+  }
+
+  test("q13 running total is monotone per customer") {
+    val rows = Analytics.q13WindowRunning.run(spark, sfDir).collect()
+    rows.groupBy(_.getLong(0)).foreach { case (_, rs) =>
+      val running = rs.map(_.getAs[Double]("running_spend"))
+      assert(running.sameElements(running.sorted))
+    }
+  }
+
+  test("broadcast hint survives planning in q05") {
+    val plan = Analytics.q05LocalRevenue.run(spark, sfDir).queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastNestedLoopJoin"))
+  }
+}
