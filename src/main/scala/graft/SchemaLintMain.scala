@@ -1,0 +1,49 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+import graft.catalog.Catalog
+import graft.ops.SchemaLint
+import graft.report.Report
+import graft.rules.Rules
+
+/** The reference's `__main__` flow (`/root/reference/app.py:122-137`) as a
+  * Spark application: load catalog → detect flaws → console report →
+  * optional CSV export gated on EXPORT_TO_CSV=YES (case/whitespace-
+  * insensitive, `app.py:134`).
+  *
+  * Catalog source selection:
+  *   - `--jdbc <url> <database> [dialect]` — live RDBMS via JDBC
+  *     (`app.py:123-124`'s engine.connect, as three bulk scans);
+  *   - `--parquet <dir> <database>` — offline catalog snapshot;
+  *   - no args — the built-in ecommerce_db fixture (demo mode).
+  */
+object SchemaLintMain {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder()
+      .master(sys.env.getOrElse("SPARK_MASTER", "local[4]"))
+      .appName("graft-schema-lint")
+      .config("spark.sql.shuffle.partitions", sys.env.getOrElse("SPARK_GRAFT_CPUS", "4"))
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val (catalog, database) = args.toList match {
+      case "--jdbc" :: url :: db :: rest =>
+        (Catalog.fromJdbc(spark, url, db, rest.headOption.getOrElse("mysql")), db)
+      case "--parquet" :: dir :: db :: Nil => (Catalog.fromParquet(spark, dir), db)
+      case Nil => (SchemaLint.fixtureCatalog(spark), "ecommerce_db")
+      case other =>
+        System.err.println(s"unrecognized args: ${other.mkString(" ")}"); sys.exit(2)
+    }
+
+    val issues = Rules.all(catalog).cache()
+    print(Report.renderConsole(issues, database))
+    if (!issues.isEmpty && sys.env.getOrElse("EXPORT_TO_CSV", "NO").trim.toUpperCase == "YES") {
+      val path = Report.writeCsv(issues, sys.env.getOrElse("EXPORTS_DIR", "exports"), database)
+      println(s"Results exported to $path") // app.py:119
+    }
+    spark.stop()
+  }
+}

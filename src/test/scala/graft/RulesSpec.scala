@@ -1,0 +1,153 @@
+package graft
+
+import graft.catalog.{Catalog, ColumnMeta, FkCol, IndexCol}
+import graft.ops.SchemaLint
+import graft.report.Report
+import graft.rules.Rules
+
+/** Rule-engine semantics per /root/reference/app.py:41-105 and the golden
+  * CSV (current-code subset, FIXTURES.md §A). */
+class RulesSpec extends SparkSpec {
+
+  private def cat(cols: Seq[ColumnMeta], idx: Seq[IndexCol] = Nil, fks: Seq[FkCol] = Nil): Catalog =
+    Catalog.fromRows(spark, cols, idx, fks)
+
+  private def colMeta(
+      table: String, name: String, dt: String, len: Option[Int] = None,
+      nullable: Boolean = true, unique: Boolean = false, pk: Boolean = false,
+      seq: Int = 1, ord: Int = 1): ColumnMeta =
+    ColumnMeta(table, seq, name, ord, dt, len, nullable, unique, pk)
+
+  test("golden fixture reproduces the 18 current-code issues") {
+    val got = SchemaLint.report(spark).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2)))
+    val expected = Seq(
+      ("Users", "username", "Query performance - missing index"),
+      ("Users", "email", "Data Integrity - NULL values not allowed"),
+      ("Products", "product_name", "Query performance - missing index"),
+      ("Products", "price", "Data type - Precision error"),
+      ("Products", "price", "Data Integrity - NULL values not allowed"),
+      ("Products", "created_at", "Data type mismatch"),
+      ("Orders", "order_date", "Data Integrity - NULL values not allowed"),
+      ("Orders", "total_amount", "Data Integrity - NULL values not allowed"),
+      ("Order_Items", "price", "Data type - Precision error"),
+      ("Order_Items", "price", "Data Integrity - NULL values not allowed"),
+      ("Reviews", "rating", "Data type mismatch"),
+      ("Reviews", "rating", "Data Integrity - NULL values not allowed"),
+      ("orders_teste", "user_id", "Normalization - Data integrity"),
+      ("orders_teste", "order_date", "Data Integrity - NULL values not allowed"),
+      ("orders_teste", "total_amount", "Data Integrity - NULL values not allowed"),
+      ("users_teste", "username", "Query performance - missing index"),
+      ("users_teste", "email", "Query performance - missing index"),
+      ("users_teste", "email", "Data Integrity - NULL values not allowed"))
+    assert(got.toSet == expected.toSet)
+    assert(got.length == 18)
+  }
+
+  test("report preserves reference emission order (table seq, ordinal, rule)") {
+    val got = SchemaLint.report(spark).collect().map(r => (r.getString(0), r.getString(1)))
+    // Users block first, orders_teste before users_teste, R3 before R5 for Products.price
+    assert(got.head == ("Users", "username"))
+    assert(got.indexWhere(_._1 == "orders_teste") < got.indexWhere(_._1 == "users_teste"))
+    val productsPrice = got.zipWithIndex.filter(_._1 == ("Products", "price")).map(_._2)
+    assert(productsPrice.length == 2 && productsPrice(0) + 1 == productsPrice(1))
+  }
+
+  test("exact message strings match app.py f-strings (incl. R2 trailing space, R4 no period)") {
+    val byRule = SchemaLint.report(spark).collect()
+      .groupBy(_.getString(2)).map { case (k, v) => k -> v.head }
+    val r1 = byRule("Query performance - missing index")
+    assert(r1.getString(3) == s"Large VARCHAR column 'username' in 'Users' is not indexed.")
+    assert(r1.getString(4) == s"Add an index on 'Users(username)' to improve query performance.")
+    val r2 = byRule("Normalization - Data integrity")
+    assert(r2.getString(4).endsWith("add the correct kind of index. "), "R2 keeps app.py:62 trailing space")
+    val r4 = byRule("Data type mismatch")
+    assert(r4.getString(4).endsWith("to match the expected type defined"), "R4 has no trailing period (app.py:92)")
+    val r5 = byRule("Data Integrity - NULL values not allowed")
+    assert(r5.getString(3).matches("Critical column '.+' allows NULL values\\."))
+  }
+
+  test("R1 boundary: length 254 no, 255 yes, unique suppressed, NULL/0 length suppressed") {
+    val c = cat(Seq(
+      colMeta("t", "a", "VARCHAR", Some(254)),
+      colMeta("t", "b", "VARCHAR", Some(255), ord = 2),
+      colMeta("t", "c", "VARCHAR", Some(300), unique = true, ord = 3),
+      colMeta("t", "d", "TEXT", None, ord = 4),
+      colMeta("t", "e", "TEXT", Some(0), ord = 5)))
+    assert(Rules.rule1(c).collect().map(_.getAs[String]("column")).toSeq == Seq("b"))
+  }
+
+  test("R1 indexed column suppressed via anti-join") {
+    val c = cat(
+      Seq(colMeta("t", "big", "TEXT", Some(500))),
+      idx = Seq(IndexCol("t", "ix", "big")))
+    assert(Rules.rule1(c).count() == 0)
+  }
+
+  test("R2: matches id prefix/suffix, PK suppressed, only first FK column covered") {
+    val c = cat(
+      Seq(
+        colMeta("t", "id", "INTEGER", pk = true),                  // PK → suppressed
+        colMeta("t", "user_id", "INTEGER", ord = 2),               // FK first col → covered
+        colMeta("t", "guid", "INTEGER", ord = 3),                  // ends with id → fires
+        colMeta("t", "idempotency_key", "VARCHAR", Some(10), ord = 4), // starts with id → fires
+        colMeta("t", "other_id", "INTEGER", ord = 5),              // FK SECOND col → NOT covered → fires
+        colMeta("t", "name", "VARCHAR", Some(10), ord = 6)),       // no match
+      fks = Seq(
+        FkCol("t", "fk1", "user_id", 1, "users"),
+        FkCol("t", "fk1", "other_id", 2, "users")))
+    assert(Rules.rule2(c).collect().map(_.getAs[String]("column")).toSet ==
+      Set("guid", "idempotency_key", "other_id"))
+  }
+
+  test("R3: substring match, case-sensitive type comparison (lowercase 'decimal' fires)") {
+    val c = cat(Seq(
+      colMeta("t", "total_amount", "DECIMAL"),          // proper type → no
+      colMeta("t", "unit_cost", "FLOAT", ord = 2),      // fires
+      colMeta("t", "operated_at", "DOUBLE", ord = 3),   // 'rate' inside 'operated' → fires (substring quirk)
+      colMeta("t", "price", "decimal", ord = 4)))       // lowercase type name → fires (app.py:68)
+    assert(Rules.rule3(c).collect().map(_.getAs[String]("column")).toSet ==
+      Set("unit_cost", "operated_at", "price"))
+  }
+
+  test("R4: dictionary lookup is case-insensitive on name, exact on type") {
+    val c = cat(Seq(
+      colMeta("t", "Rating", "FLOAT"),                  // type matches → no
+      colMeta("t", "rating", "TINYINT", ord = 2),       // fires
+      colMeta("t", "created_at", "TIMESTAMP", ord = 3), // fires (expects DATETIME)
+      colMeta("t", "order_date", "DATETIME", ord = 4))) // matches → no
+    assert(Rules.rule4(c).collect().map(_.getAs[String]("column")).toSet ==
+      Set("rating", "created_at"))
+  }
+
+  test("R5: only the 5 policy names, only when nullable") {
+    val c = cat(Seq(
+      colMeta("t", "EMAIL", "VARCHAR", Some(50)),            // case-insensitive → fires
+      colMeta("t", "price", "FLOAT", nullable = false, ord = 2), // not nullable → no
+      colMeta("t", "username", "VARCHAR", Some(50), ord = 3)))   // not in current list → no
+    assert(Rules.rule5(c).collect().map(_.getAs[String]("column")).toSeq == Seq("EMAIL"))
+  }
+
+  test("empty catalog → empty report and no-issues console branch") {
+    val c = cat(Nil)
+    val issues = Rules.all(c)
+    assert(issues.isEmpty)
+    assert(Report.renderConsole(issues, "empty_db") == "No issues detected in schema \"empty_db\".")
+  }
+
+  test("csv sink writes header and all rows") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-csv").toString
+    val path = Report.writeCsv(SchemaLint.report(spark), dir, "ecommerce_db")
+    assert(path.endsWith("ecommerce_db_schema_issues.csv"))
+    val lines = spark.read.option("header", "true").csv(path)
+    assert(lines.count() == 18)
+    assert(lines.columns.toSeq == Report.header)
+  }
+
+  test("console renderer formats five labeled lines per issue") {
+    val txt = Report.renderConsole(SchemaLint.report(spark), "ecommerce_db")
+    assert(txt.startsWith("Schema \"ecommerce_db\" issues detected:"))
+    assert(txt.split("\n\n").length >= 18)
+    assert(txt.contains("Issue Type: Query performance - missing index"))
+  }
+}
