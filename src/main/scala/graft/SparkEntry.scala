@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.ops.{Analytics, QueryDef, SchemaLint}
+import graft.ops.{Analytics, Dedup, QueryDef, SchemaLint, Similarity, TextOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -12,7 +12,8 @@ import graft.ops.{Analytics, QueryDef, SchemaLint}
   * the driver hash-compares values after sorting columns by name).
   */
 object SparkEntry {
-  private def registry: Seq[QueryDef] = SchemaLint.all ++ Analytics.all
+  private def registry: Seq[QueryDef] =
+    SchemaLint.all ++ Analytics.all ++ TextOps.all ++ Dedup.all ++ Similarity.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

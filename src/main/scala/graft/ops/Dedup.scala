@@ -1,0 +1,222 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** Deduplication operators over `documents` (LLM-pipeline north star):
+  * exact (hash-groupBy), MinHash+LSH candidate generation, exact n-gram
+  * Jaccard verification, and SimHash signatures.
+  *
+  * Scale posture (100 TB):
+  *   - Exact dedup never compares texts pairwise — it hash-aggregates on
+  *     md5(text) (constant-width key, map-side partials).
+  *   - Near-dup NEVER does an all-pairs join. MinHash signatures are one
+  *     explode + one aggregate; LSH banding turns "compare everything"
+  *     into equi-joins on band buckets, so candidate generation shuffles
+  *     on bucket keys only. Exact Jaccard runs on the (tiny) candidate
+  *     set, not the corpus.
+  *   - All hashes are md5 hex strings compared lexicographically — the
+  *     same bits in Spark and DuckDB, so every stage is oracle-checkable.
+  */
+object Dedup {
+  import QueryDef.sql
+
+  private val NumHashes = 8
+  private val BandSize = 2 // 4 bands of 2 → P(candidate) = 1-(1-j²)⁴
+
+  /** Exact content dedup via hash-groupBy. */
+  val q30DedupExact: QueryDef = sql(
+    "q30_dedup_exact",
+    """SELECT COUNT(*) AS n_docs,
+      |  COUNT(DISTINCT md5(text)) AS n_unique,
+      |  COUNT(*) - COUNT(DISTINCT md5(text)) AS n_exact_dupes,
+      |  MAX(cnt) AS max_group
+      |FROM documents, (SELECT MAX(c) AS cnt FROM (SELECT COUNT(*) AS c FROM documents GROUP BY md5(text)))""".stripMargin) { (s, dir) =>
+    val docs = Tables.documents(s, dir)
+    val maxGroup = docs.groupBy(md5(col("text"))).agg(count(lit(1)).as("c"))
+      .agg(max(col("c")).as("cnt"))
+    docs.agg(
+      count(lit(1)).as("n_docs"),
+      countDistinct(md5(col("text"))).as("n_unique"),
+      (count(lit(1)) - countDistinct(md5(col("text")))).as("n_exact_dupes"))
+      .crossJoin(maxGroup.select(col("cnt").as("max_group")))
+  }
+
+  // ---- shared shingle/signature pipeline ----
+
+  /** Distinct word-3-gram shingles per doc. */
+  private def shingles(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .withColumn("toks", split(col("text"), " "))
+      .select(col("doc_id"), explode(expr(
+        // guard: docs shorter than the shingle width emit nothing (sequence() would run backwards)
+        "CASE WHEN size(toks) >= 3 THEN transform(sequence(0, size(toks) - 3), i -> concat_ws(' ', slice(toks, i + 1, 3))) ELSE array() END")).as("sh"))
+      .distinct()
+
+  private val shinglesSql =
+    """sh AS (SELECT DISTINCT doc_id,
+      |        t.toks[i] || ' ' || t.toks[i+1] || ' ' || t.toks[i+2] AS sh
+      |      FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents) t,
+      |           LATERAL (SELECT generate_subscripts(t.toks, 1) AS i)
+      |      WHERE i <= len(t.toks) - 2)""".stripMargin
+
+  /** MinHash signature: per seed k, the lexicographic min of
+    * md5("k:" || shingle) — one groupBy with NumHashes min-aggregates. */
+  private def signatures(s: SparkSession, dir: String): DataFrame =
+    shingles(s, dir).groupBy(col("doc_id"))
+      .agg(
+        min(md5(concat(lit("0:"), col("sh")))).as("s0"),
+        (1 until NumHashes).map(k =>
+          min(md5(concat(lit(s"$k:"), col("sh")))).as(s"s$k")): _*)
+
+  private val signaturesSql: String = {
+    val aggs = (0 until NumHashes)
+      .map(k => s"MIN(md5('$k:' || sh)) AS s$k").mkString(",\n         ")
+    s"""sig AS (SELECT doc_id,
+       |         $aggs
+       |       FROM sh GROUP BY doc_id)""".stripMargin
+  }
+
+  /** LSH bands: hash adjacent signature pairs into bucket ids. */
+  private def bands(sig: DataFrame): DataFrame = {
+    val bandCols = (0 until NumHashes / BandSize).map { b =>
+      struct(lit(b).as("band"),
+        md5(concat(col(s"s${b * BandSize}"), col(s"s${b * BandSize + 1}"))).as("bucket"))
+    }
+    sig.select(col("doc_id"), explode(array(bandCols: _*)).as("bb"))
+      .select(col("doc_id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+  }
+
+  private val bandsSql: String = {
+    val rows = (0 until NumHashes / BandSize).map { b =>
+      s"SELECT doc_id, $b AS band, md5(s${b * BandSize} || s${b * BandSize + 1}) AS bucket FROM sig"
+    }.mkString("\n   UNION ALL ")
+    s"bands AS ($rows)"
+  }
+
+  private val candSql =
+    """cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      |         FROM bands a JOIN bands b
+      |           ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id)""".stripMargin
+
+  private def candidates(s: SparkSession, dir: String): DataFrame = {
+    val bb = bands(signatures(s, dir))
+    val a = bb.select(col("doc_id").as("doc_a"), col("band"), col("bucket"))
+    val b = bb.select(col("doc_id").as("doc_b"), col("band"), col("bucket"))
+    a.join(b, Seq("band", "bucket")).filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b")).distinct()
+  }
+
+  /** MinHash-LSH candidate pairs (the scale path for near-dedup). */
+  val q31MinhashLsh: QueryDef = sql(
+    "q31_minhash_lsh",
+    s"""WITH $shinglesSql,
+       |$signaturesSql,
+       |$bandsSql,
+       |$candSql
+       |SELECT doc_a, doc_b FROM cand ORDER BY doc_a, doc_b""".stripMargin) { (s, dir) =>
+    candidates(s, dir).orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** Exact 3-gram Jaccard verification over the LSH candidates only —
+    * intersection via shingle equi-join, union from per-doc counts. */
+  val q32NeardupVerified: QueryDef = sql(
+    "q32_neardup_verified",
+    s"""WITH $shinglesSql,
+       |$signaturesSql,
+       |$bandsSql,
+       |$candSql,
+       |inter AS (SELECT c.doc_a, c.doc_b, COUNT(*) AS n_common
+       |          FROM cand c
+       |          JOIN sh a ON a.doc_id = c.doc_a
+       |          JOIN sh b ON b.doc_id = c.doc_b AND b.sh = a.sh
+       |          GROUP BY 1, 2),
+       |cnts AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1)
+       |SELECT i.doc_a, i.doc_b,
+       |  CAST(i.n_common AS DOUBLE) / (ca.n + cb.n - i.n_common) AS jaccard
+       |FROM inter i
+       |JOIN cnts ca ON ca.doc_id = i.doc_a
+       |JOIN cnts cb ON cb.doc_id = i.doc_b
+       |WHERE CAST(i.n_common AS DOUBLE) / (ca.n + cb.n - i.n_common) > 0.7
+       |ORDER BY doc_a, doc_b""".stripMargin) { (s, dir) =>
+    val sh = shingles(s, dir)
+    val cand = candidates(s, dir)
+    val inter = cand
+      .join(sh.select(col("doc_id").as("doc_a"), col("sh")), "doc_a")
+      .join(sh.select(col("doc_id").as("doc_b"), col("sh")), Seq("doc_b", "sh"))
+      .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("n_common"))
+    val cnts = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val jac = col("n_common").cast("double") / (col("na") + col("nb") - col("n_common"))
+    inter
+      .join(cnts.select(col("doc_id").as("doc_a"), col("n").as("na")), "doc_a")
+      .join(cnts.select(col("doc_id").as("doc_b"), col("n").as("nb")), "doc_b")
+      .filter(jac > 0.7)
+      .select(col("doc_a"), col("doc_b"), jac.as("jaccard"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** 16-bit SimHash signature per document: weighted bit votes from the
+    * first 4 hex nibbles of md5(token). Pure integer arithmetic — the
+    * identical signature in both engines. */
+  val q33Simhash: QueryDef = sql(
+    "q33_simhash",
+    """WITH toks AS (SELECT doc_id, word, COUNT(*) AS cnt
+      |           FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents)
+      |           GROUP BY 1, 2),
+      |bits AS (SELECT p FROM range(16) t(p)),
+      |contrib AS (SELECT t.doc_id, b.p,
+      |    SUM(t.cnt * (2 * (((strpos('0123456789abcdef', substr(md5(t.word), 1 + CAST(b.p // 4 AS INT), 1)) - 1)
+      |                       >> CAST(3 - (b.p % 4) AS INT)) & 1) - 1)) AS s
+      |  FROM toks t CROSS JOIN bits b GROUP BY 1, 2)
+      |SELECT doc_id,
+      |  CAST(SUM(CASE WHEN s > 0 THEN 1 ELSE 0 END * (1 << CAST(p AS INT))) AS BIGINT) AS simhash
+      |FROM contrib GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    simhashes(s, dir).orderBy(col("doc_id"))
+  }
+
+  private def simhashes(s: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(s, dir)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+      .groupBy(col("doc_id"), col("word")).agg(count(lit(1)).as("cnt"))
+    val bits = s.range(16).toDF("p")
+    toks.crossJoin(broadcast(bits))
+      .withColumn("bit", expr(
+        "shiftright(instr('0123456789abcdef', substr(md5(word), 1 + CAST(p DIV 4 AS INT), 1)) - 1, CAST(3 - p % 4 AS INT)) & 1"))
+      .groupBy(col("doc_id"), col("p"))
+      .agg(sum(col("cnt") * (lit(2) * col("bit") - 1)).as("s"))
+      .groupBy(col("doc_id"))
+      .agg(sum(when(col("s") > 0, 1L).otherwise(0L) *
+        expr("CAST(shiftleft(1, CAST(p AS INT)) AS BIGINT)")).cast("long").as("simhash"))
+  }
+
+  /** SimHash near-dup candidates: identical 16-bit signatures (bucket
+    * equi-join — the degenerate hamming-distance-0 LSH). */
+  val q34SimhashPairs: QueryDef = sql(
+    "q34_simhash_pairs",
+    """WITH toks AS (SELECT doc_id, word, COUNT(*) AS cnt
+      |           FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents)
+      |           GROUP BY 1, 2),
+      |bits AS (SELECT p FROM range(16) t(p)),
+      |contrib AS (SELECT t.doc_id, b.p,
+      |    SUM(t.cnt * (2 * (((strpos('0123456789abcdef', substr(md5(t.word), 1 + CAST(b.p // 4 AS INT), 1)) - 1)
+      |                       >> CAST(3 - (b.p % 4) AS INT)) & 1) - 1)) AS s
+      |  FROM toks t CROSS JOIN bits b GROUP BY 1, 2),
+      |sig AS (SELECT doc_id,
+      |  CAST(SUM(CASE WHEN s > 0 THEN 1 ELSE 0 END * (1 << CAST(p AS INT))) AS BIGINT) AS simhash
+      |FROM contrib GROUP BY doc_id)
+      |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.simhash
+      |FROM sig a JOIN sig b ON a.simhash = b.simhash AND a.doc_id < b.doc_id
+      |ORDER BY doc_a, doc_b""".stripMargin) { (s, dir) =>
+    val sig = simhashes(s, dir)
+    val a = sig.select(col("doc_id").as("doc_a"), col("simhash"))
+    val b = sig.select(col("doc_id").as("doc_b"), col("simhash"))
+    a.join(b, "simhash").filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"), col("simhash"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  val all: Seq[QueryDef] = Seq(
+    q30DedupExact, q31MinhashLsh, q32NeardupVerified, q33Simhash, q34SimhashPairs)
+}

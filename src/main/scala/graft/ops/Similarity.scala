@@ -1,0 +1,168 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** Vector similarity over the `embeddings` table (LLM-pipeline north
+  * star): array math, blocked near-duplicate detection, brute-force
+  * cosine top-k, and an IVF-style bucketed ANN variant.
+  *
+  * Dot products are per-row sequential folds over the array
+  * (`aggregate(zip_with(...))` in Spark, `list_reduce(list_transform(...))`
+  * in DuckDB): float×float is exact in double and both engines fold
+  * left-to-right, so every cosine is bit-identical — no shuffle-order
+  * nondeterminism, and no per-element shuffle at all (the whole dot stays
+  * inside one row's expression).
+  *
+  * Scale posture (100 TB):
+  *   - Near-dup search never goes all-pairs: pairs are generated inside a
+  *     blocking key (here `label`; in production a coarse-quantizer/LSH
+  *     bucket), so the join shuffles on the block key only.
+  *   - Brute-force top-k broadcasts the single query row and scans once;
+  *     TakeOrderedAndProject keeps k rows per partition.
+  *   - The IVF variant is the scale path: vectors are assigned to centroid
+  *     buckets once, the query probes its nearest `nprobe` buckets and
+  *     ranks only those candidates.
+  */
+object Similarity {
+  import QueryDef.sql
+
+  private val NumCentroids = 8
+  private val NumProbe = 2
+  private val QueryVec = 0L
+
+  /** Sequential left-to-right dot product of two array<float> columns. */
+  private def dot(a: String, b: String): Column = expr(
+    s"aggregate(zip_with($a, $b, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), CAST(0 AS DOUBLE), (acc, x) -> acc + x)")
+
+  private def dotSql(a: String, b: String): String =
+    s"list_reduce(list_transform(range(len($a)), i -> CAST($a[i+1] AS DOUBLE) * CAST($b[i+1] AS DOUBLE)), (x, y) -> x + y)"
+
+  /** embeddings + precomputed L2 norm (per-row fold, no shuffle). */
+  private def withNorm(s: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(s, dir)
+      .withColumn("nrm", sqrt(dot("embedding", "embedding")))
+
+  private def withNormSql(inner: String = "embeddings"): String =
+    s"""n AS (SELECT vec_id, label, embedding,
+       |        SQRT(${dotSql("embedding", "embedding")}) AS nrm
+       |      FROM $inner)""".stripMargin
+
+  /** Higher-order array functions: length, L2 norm, max element, head. */
+  val q36ArrayNorms: QueryDef = sql(
+    "q36_array_norms",
+    s"""WITH ${withNormSql()}
+       |SELECT vec_id, len(embedding) AS dim, nrm AS l2_norm,
+       |  CAST(list_aggregate(embedding, 'max') AS DOUBLE) AS max_val,
+       |  CAST(embedding[1] AS DOUBLE) AS first_val
+       |FROM n
+       |ORDER BY vec_id""".stripMargin) { (s, dir) =>
+    withNorm(s, dir)
+      .select(col("vec_id"), size(col("embedding")).as("dim"), col("nrm").as("l2_norm"),
+        array_max(col("embedding")).cast("double").as("max_val"),
+        element_at(col("embedding"), 1).cast("double").as("first_val"))
+      .orderBy(col("vec_id"))
+  }
+
+  /** Embedding near-duplicates: cosine above threshold within a blocking
+    * label (all-pairs only inside each block). */
+  val q37EmbeddingNeardup: QueryDef = sql(
+    "q37_embedding_neardup",
+    s"""WITH ${withNormSql()}
+       |SELECT vec_a, vec_b, cosine FROM (
+       |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       |    ${dotSql("a.embedding", "b.embedding")} / (a.nrm * b.nrm) AS cosine
+       |  FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id)
+       |WHERE cosine > 0.35
+       |ORDER BY vec_a, vec_b""".stripMargin) { (s, dir) =>
+    val n = withNorm(s, dir)
+    val a = n.select(col("vec_id").as("vec_a"), col("label"),
+      col("embedding").as("ea"), col("nrm").as("na"))
+    val b = n.select(col("vec_id").as("vec_b"), col("label"),
+      col("embedding").as("eb"), col("nrm").as("nb"))
+    a.join(b, "label").filter(col("vec_a") < col("vec_b"))
+      .withColumn("cosine", dot("ea", "eb") / (col("na") * col("nb")))
+      .filter(col("cosine") > 0.35)
+      .select(col("vec_a"), col("vec_b"), col("cosine"))
+      .orderBy(col("vec_a"), col("vec_b"))
+  }
+
+  /** Brute-force cosine top-k against the query vector (the exact
+    * baseline every ANN variant is graded against). */
+  val q38AnnBruteforce: QueryDef = sql(
+    "q38_ann_bruteforce",
+    s"""WITH ${withNormSql()},
+       |q AS (SELECT embedding AS qe, nrm AS qn FROM n WHERE vec_id = $QueryVec)
+       |SELECT n.vec_id, ${dotSql("n.embedding", "q.qe")} / (n.nrm * q.qn) AS cosine
+       |FROM n, q
+       |WHERE n.vec_id != $QueryVec
+       |ORDER BY cosine DESC, n.vec_id
+       |LIMIT 10""".stripMargin) { (s, dir) =>
+    val n = withNorm(s, dir)
+    val q = n.filter(col("vec_id") === QueryVec)
+      .select(col("embedding").as("qe"), col("nrm").as("qn"))
+    n.filter(col("vec_id") =!= QueryVec)
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"), (dot("embedding", "qe") / (col("nrm") * col("qn"))).as("cosine"))
+      .orderBy(col("cosine").desc, col("vec_id"))
+      .limit(10)
+  }
+
+  /** IVF-style ANN: the first [[NumCentroids]] vectors act as a trained
+    * coarse quantizer; every vector is assigned to its nearest centroid,
+    * the query probes its [[NumProbe]] nearest buckets and ranks only
+    * those — the 100 TB path where brute force is off the table.
+    * Assignment and probing tie-break on centroid id, so Spark and DuckDB
+    * agree exactly. */
+  val q39AnnIvf: QueryDef = sql(
+    "q39_ann_ivf",
+    s"""WITH ${withNormSql()},
+       |cent AS (SELECT vec_id AS cid, embedding AS ce, nrm AS cn FROM n
+       |         WHERE vec_id < $NumCentroids),
+       |ac AS (SELECT n.vec_id, c.cid,
+       |         ${dotSql("n.embedding", "c.ce")} / (n.nrm * c.cn) AS cosine
+       |       FROM n CROSS JOIN cent c),
+       |assign AS (SELECT vec_id, cid FROM (
+       |             SELECT vec_id, cid,
+       |               ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cosine DESC, cid) AS rn
+       |             FROM ac) WHERE rn = 1),
+       |probe AS (SELECT cid FROM (
+       |            SELECT cid, ROW_NUMBER() OVER (ORDER BY cosine DESC, cid) AS rn
+       |            FROM ac WHERE vec_id = $QueryVec) WHERE rn <= $NumProbe),
+       |q AS (SELECT embedding AS qe, nrm AS qn FROM n WHERE vec_id = $QueryVec)
+       |SELECT n.vec_id, ${dotSql("n.embedding", "q.qe")} / (n.nrm * q.qn) AS cosine
+       |FROM n
+       |JOIN assign a ON a.vec_id = n.vec_id
+       |JOIN probe p ON p.cid = a.cid, q
+       |WHERE n.vec_id != $QueryVec
+       |ORDER BY cosine DESC, n.vec_id
+       |LIMIT 10""".stripMargin) { (s, dir) =>
+    val n = withNorm(s, dir)
+    val cent = n.filter(col("vec_id") < NumCentroids)
+      .select(col("vec_id").as("cid"), col("embedding").as("ce"), col("nrm").as("cn"))
+    val ac = n.crossJoin(broadcast(cent))
+      .select(col("vec_id"), col("cid"),
+        (dot("embedding", "ce") / (col("nrm") * col("cn"))).as("cosine"))
+    val wAssign = Window.partitionBy(col("vec_id")).orderBy(col("cosine").desc, col("cid"))
+    val assign = ac.withColumn("rn", row_number().over(wAssign))
+      .filter(col("rn") === 1).select(col("vec_id"), col("cid"))
+    val wProbe = Window.orderBy(col("cosine").desc, col("cid"))
+    val probe = ac.filter(col("vec_id") === QueryVec)
+      .withColumn("rn", row_number().over(wProbe))
+      .filter(col("rn") <= NumProbe).select(col("cid"))
+    val q = n.filter(col("vec_id") === QueryVec)
+      .select(col("embedding").as("qe"), col("nrm").as("qn"))
+    n.join(assign, "vec_id").join(broadcast(probe), "cid")
+      .filter(col("vec_id") =!= QueryVec)
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"), (dot("embedding", "qe") / (col("nrm") * col("qn"))).as("cosine"))
+      .orderBy(col("cosine").desc, col("vec_id"))
+      .limit(10)
+  }
+
+  val all: Seq[QueryDef] = Seq(
+    q36ArrayNorms, q37EmbeddingNeardup, q38AnnBruteforce, q39AnnIvf)
+}

@@ -1,0 +1,208 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** Text-analysis operators over the `documents` table (SURVEY.md §2.2 +
+  * the LLM-pipeline north star): token statistics, word/bigram frequency,
+  * heuristic language ID, quality scoring, regex tokenization, and
+  * rolling-hash document fingerprints.
+  *
+  * Scale posture: everything is explode → hash-aggregate (map-side
+  * partials) or per-row array expressions — no driver-side collection, no
+  * cross joins; at 100 TB each query is one scan plus at most one shuffle
+  * on a bounded-cardinality key (lang, word, doc_id).
+  *
+  * Determinism: token counts and ratios are integers or int-ratio doubles
+  * (exact IEEE division both engines); fingerprints use md5 (identical hex
+  * in Spark and DuckDB) compared lexicographically.
+  */
+object TextOps {
+  import QueryDef.sql
+
+  private def docsWithTokens(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir).withColumn("toks", split(col("text"), " "))
+
+  /** Per-language corpus statistics. */
+  val q21TextStats: QueryDef = sql(
+    "q21_text_stats",
+    """SELECT lang,
+      |  COUNT(*) AS n_docs,
+      |  CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
+      |  CAST(SUM(len(string_split(text, ' '))) AS DOUBLE) / COUNT(*) AS avg_tokens,
+      |  MIN(n_chars) AS min_chars, MAX(n_chars) AS max_chars,
+      |  COUNT(DISTINCT source) AS n_sources
+      |FROM documents
+      |GROUP BY lang
+      |ORDER BY lang""".stripMargin) { (s, dir) =>
+    docsWithTokens(s, dir)
+      .groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(size(col("toks"))).cast("long").as("total_tokens"),
+        (sum(size(col("toks"))).cast("double") / count(lit(1))).as("avg_tokens"),
+        min(col("n_chars")).as("min_chars"), max(col("n_chars")).as("max_chars"),
+        countDistinct(col("source")).as("n_sources"))
+      .orderBy(col("lang"))
+  }
+
+  /** Global top-20 word frequency (explode → count → top-k). */
+  val q22WordFreq: QueryDef = sql(
+    "q22_word_freq",
+    """SELECT word, COUNT(*) AS n
+      |FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+      |GROUP BY word
+      |ORDER BY n DESC, word
+      |LIMIT 20""".stripMargin) { (s, dir) =>
+    docsWithTokens(s, dir)
+      .select(explode(col("toks")).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("word"))
+      .limit(20)
+  }
+
+  /** Word-bigram frequency via positional array access. */
+  val q23BigramFreq: QueryDef = sql(
+    "q23_bigram_freq",
+    """SELECT bigram, COUNT(*) AS n
+      |FROM (SELECT t.toks[i] || ' ' || t.toks[i + 1] AS bigram
+      |      FROM (SELECT string_split(text, ' ') AS toks FROM documents) t,
+      |           LATERAL (SELECT generate_subscripts(t.toks, 1) AS i)
+      |      WHERE i <= len(t.toks) - 1)
+      |GROUP BY bigram
+      |ORDER BY n DESC, bigram
+      |LIMIT 15""".stripMargin) { (s, dir) =>
+    docsWithTokens(s, dir)
+      .select(explode(expr(
+        // guard: a doc shorter than the n-gram emits no n-grams (sequence() would run backwards)
+        "CASE WHEN size(toks) >= 2 THEN transform(sequence(0, size(toks) - 2), i -> concat(toks[i], ' ', toks[i + 1])) ELSE array() END")).as("bigram"))
+      .groupBy(col("bigram")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("bigram"))
+      .limit(15)
+  }
+
+  /** Marker-word profiles for the language-ID heuristic: tiny literal
+    * relation, broadcast into the scoring join. */
+  private val langProfiles: Seq[(String, String)] = Seq(
+    "de" -> "data", "de" -> "value",
+    "en" -> "the", "en" -> "a",
+    "es" -> "query", "es" -> "row",
+    "fr" -> "table", "fr" -> "line",
+    "zh" -> "spark", "zh" -> "vector")
+
+  /** Heuristic language ID: score each doc against per-language marker
+    * profiles (n-gram-frequency heuristic), argmax with deterministic
+    * tie-break, report the actual×predicted confusion matrix. */
+  val q24LangId: QueryDef = sql(
+    "q24_langid",
+    s"""WITH prof(plang, word) AS (VALUES ${langProfiles.map { case (l, w) => s"('$l', '$w')" }.mkString(", ")}),
+       |toks AS (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS word FROM documents),
+       |hits AS (SELECT t.doc_id, p.plang, COUNT(*) AS score
+       |         FROM toks t JOIN prof p ON p.word = t.word GROUP BY 1, 2),
+       |grid AS (SELECT d.doc_id, d.lang, pl.plang, COALESCE(h.score, 0) AS score
+       |         FROM documents d
+       |         CROSS JOIN (SELECT DISTINCT plang FROM prof) pl
+       |         LEFT JOIN hits h ON h.doc_id = d.doc_id AND h.plang = pl.plang),
+       |best AS (SELECT doc_id, lang, plang AS predicted,
+       |           ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score DESC, plang) AS rn
+       |         FROM grid)
+       |SELECT lang, predicted, COUNT(*) AS n
+       |FROM best WHERE rn = 1
+       |GROUP BY lang, predicted
+       |ORDER BY lang, predicted""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    val prof = langProfiles.toDF("plang", "word")
+    val docs = Tables.documents(s, dir)
+    val toks = docsWithTokens(s, dir).select(col("doc_id"), explode(col("toks")).as("word"))
+    val hits = toks.join(broadcast(prof), "word")
+      .groupBy(col("doc_id"), col("plang")).agg(count(lit(1)).as("score"))
+    val grid = docs.select(col("doc_id"), col("lang"))
+      .crossJoin(broadcast(prof.select(col("plang")).distinct()))
+      .join(hits, Seq("doc_id", "plang"), "left")
+      .withColumn("score", coalesce(col("score"), lit(0L)))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("score").desc, col("plang"))
+    grid.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .groupBy(col("lang"), col("plang").as("predicted")).agg(count(lit(1)).as("n"))
+      .orderBy(col("lang"), col("predicted"))
+  }
+
+  /** Per-document quality scoring: length, stopword ratio, vocabulary
+    * diversity — all from int counts, so the ratio arithmetic is
+    * bit-identical across engines. */
+  val q25QualityScore: QueryDef = sql(
+    "q25_quality_score",
+    """SELECT doc_id, lang,
+      |  len(toks) AS n_tokens,
+      |  CAST(len(list_filter(toks, x -> x = 'the' OR x = 'a')) AS DOUBLE) / len(toks) AS stopword_ratio,
+      |  CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) AS uniq_ratio,
+      |  (CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks))
+      |    * (1.0 - CAST(len(list_filter(toks, x -> x = 'the' OR x = 'a')) AS DOUBLE) / len(toks))
+      |    * LEAST(1.0, CAST(len(toks) AS DOUBLE) / 50.0) AS quality
+      |FROM (SELECT doc_id, lang, string_split(text, ' ') AS toks FROM documents)
+      |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    docsWithTokens(s, dir)
+      .withColumn("n_tokens", size(col("toks")))
+      .withColumn("n_stop", expr("size(filter(toks, x -> x = 'the' OR x = 'a'))"))
+      .withColumn("n_uniq", size(array_distinct(col("toks"))))
+      .select(
+        col("doc_id"), col("lang"), col("n_tokens"),
+        (col("n_stop").cast("double") / col("n_tokens")).as("stopword_ratio"),
+        (col("n_uniq").cast("double") / col("n_tokens")).as("uniq_ratio"),
+        ((col("n_uniq").cast("double") / col("n_tokens")) *
+          (lit(1.0) - col("n_stop").cast("double") / col("n_tokens")) *
+          least(lit(1.0), col("n_tokens").cast("double") / 50.0)).as("quality"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Rolling word-5-gram document fingerprint: md5 each shingle, keep the
+    * lexicographic min/max + distinct count — a winnowing-style signature
+    * that is one scan + one narrow aggregate at any scale. */
+  val q26Fingerprint: QueryDef = sql(
+    "q26_fingerprint",
+    """SELECT doc_id,
+      |  MIN(md5(sh)) AS fp_min, MAX(md5(sh)) AS fp_max,
+      |  COUNT(DISTINCT sh) AS n_shingles
+      |FROM (SELECT doc_id,
+      |        t.toks[i] || ' ' || t.toks[i+1] || ' ' || t.toks[i+2] || ' ' || t.toks[i+3] || ' ' || t.toks[i+4] AS sh
+      |      FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents) t,
+      |           LATERAL (SELECT generate_subscripts(t.toks, 1) AS i)
+      |      WHERE i <= len(t.toks) - 4)
+      |GROUP BY doc_id
+      |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    docsWithTokens(s, dir)
+      .select(col("doc_id"), explode(expr(
+        "CASE WHEN size(toks) >= 5 THEN transform(sequence(0, size(toks) - 5), i -> concat_ws(' ', slice(toks, i + 1, 5))) ELSE array() END")).as("sh"))
+      .groupBy(col("doc_id"))
+      .agg(
+        min(md5(col("sh"))).as("fp_min"),
+        max(md5(col("sh"))).as("fp_max"),
+        countDistinct(col("sh")).as("n_shingles"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Regex (BPE-ish) tokenization: letter runs and digit runs counted per
+    * language. Patterns kept in the RE2 ∩ Java-regex common subset. */
+  val q27TokenRegex: QueryDef = sql(
+    "q27_token_regex",
+    """SELECT lang,
+      |  CAST(SUM(len(regexp_extract_all(text, '[a-z]+|[0-9]+'))) AS BIGINT) AS total_regex_tokens,
+      |  COUNT(*) AS n_docs
+      |FROM documents
+      |GROUP BY lang
+      |ORDER BY lang""".stripMargin) { (s, dir) =>
+    Tables.documents(s, dir)
+      .groupBy(col("lang"))
+      .agg(
+        sum(size(regexp_extract_all(col("text"), lit("[a-z]+|[0-9]+"), lit(0)))).cast("long")
+          .as("total_regex_tokens"),
+        count(lit(1)).as("n_docs"))
+      .orderBy(col("lang"))
+  }
+
+  val all: Seq[QueryDef] = Seq(
+    q21TextStats, q22WordFreq, q23BigramFreq, q24LangId, q25QualityScore,
+    q26Fingerprint, q27TokenRegex)
+}
