@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.ops.{Analytics, Dedup, QueryDef, SchemaLint, Similarity, TextOps}
+import graft.ops.{Analytics, Dedup, Multimodal, QueryDef, SchemaLint, Similarity, StreamingOps, TextOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -13,7 +13,8 @@ import graft.ops.{Analytics, Dedup, QueryDef, SchemaLint, Similarity, TextOps}
   */
 object SparkEntry {
   private def registry: Seq[QueryDef] =
-    SchemaLint.all ++ Analytics.all ++ TextOps.all ++ Dedup.all ++ Similarity.all
+    SchemaLint.all ++ Analytics.all ++ TextOps.all ++ Dedup.all ++
+      Similarity.all ++ StreamingOps.all ++ Multimodal.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

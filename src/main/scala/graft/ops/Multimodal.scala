@@ -1,0 +1,104 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** Multimodal-column plumbing (LLM-pipeline north star): media payloads as
+  * opaque `binary` columns with typed metadata, and batched feature
+  * extraction via `mapPartitions` over a typed Dataset — the Scala analog
+  * of a Pandas-UDF/`mapInPandas` stage.
+  *
+  * The decode step is a clearly-marked STUB (this container ships no image
+  * or audio codecs): [[Multimodal.decodeStub]] produces deterministic fake
+  * features from the payload bytes. Everything around it — the binary
+  * schema, the metadata projection, the batch shape, the partition-local
+  * iteration, the output schema — is the real plumbing a codec-backed
+  * implementation would keep unchanged: swap `decodeStub` for a JNI/ONNX
+  * call and nothing else moves.
+  *
+  * Scale posture: payload bytes never shuffle — metadata queries prune to
+  * scalar columns at the scan, and feature extraction is partition-local
+  * (mapPartitions) with bounded batch memory ([[BatchSize]] rows), exactly
+  * how a GPU-batched decode would want its input.
+  */
+object Multimodal {
+  import QueryDef.{rowsOnly, sql}
+
+  val BatchSize = 64
+
+  final case class MediaRow(doc_id: Long, payload: Array[Byte], format: String, width: Long, height: Long)
+  final case class MediaFeatures(doc_id: Long, n_bytes: Int, mean_byte: Float, max_byte: Float, f_len: Float)
+
+  private val formats = Seq("jpeg", "png", "webp")
+
+  /** Documents as a media table: payload = utf-8 bytes standing in for an
+    * encoded image; metadata derived deterministically from the fixture
+    * columns (so the oracle can reproduce it). */
+  def mediaTable(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir).select(
+      col("doc_id"),
+      encode(col("text"), "UTF-8").as("payload"),
+      element_at(
+        array(formats.map(lit): _*),
+        (expr("CAST(substr(source, 4, 10) AS INT)") % 3 + 1).cast("int")).as("format"),
+      (lit(64L) + col("n_chars") % 512).as("width"),
+      (lit(64L) + (col("doc_id") * 31) % 512).as("height"))
+
+  /** STUB decode — stands in for an image/audio codec. Deterministic over
+    * the payload bytes; replace with a real decoder to productionize. */
+  def decodeStub(payload: Array[Byte]): (Float, Float, Float) = {
+    var sum = 0L; var mx = 0
+    var i = 0
+    while (i < payload.length) {
+      val b = payload(i) & 0xff
+      sum += b; if (b > mx) mx = b
+      i += 1
+    }
+    val n = math.max(payload.length, 1)
+    ((sum.toDouble / n).toFloat, mx.toFloat, payload.length.toFloat / 255f)
+  }
+
+  /** Batched feature extraction: partition-local, [[BatchSize]] rows per
+    * model call — the `mapInPandas` shape with a Scala iterator. */
+  def extractFeatures(s: SparkSession, dir: String): Dataset[MediaFeatures] = {
+    import s.implicits._
+    mediaTable(s, dir).as[MediaRow].mapPartitions { rows =>
+      rows.grouped(BatchSize).flatMap { batch =>
+        // one "model invocation" per batch: a real decoder would receive
+        // the whole Array[Array[Byte]] here (GPU-friendly batch shape)
+        batch.map { r =>
+          val (mean, mx, fl) = decodeStub(r.payload)
+          MediaFeatures(r.doc_id, r.payload.length, mean, mx, fl)
+        }
+      }
+    }
+  }
+
+  /** Metadata projection — oracle-checkable (payload length + derived
+    * metadata are pure functions of the fixture columns). The payload
+    * column itself is pruned out of the scan here. */
+  val q43MultimodalMeta: QueryDef = sql(
+    "q43_multimodal_meta",
+    s"""SELECT doc_id,
+       |  octet_length(encode(text)) AS n_bytes,
+       |  (['jpeg', 'png', 'webp'])[(CAST(substr(source, 4, 10) AS INT) % 3) + 1] AS format,
+       |  64 + n_chars % 512 AS width,
+       |  64 + (doc_id * 31) % 512 AS height
+       |FROM documents
+       |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    mediaTable(s, dir)
+      .select(col("doc_id"), length(col("payload")).cast("long").as("n_bytes"),
+        col("format"), col("width"), col("height"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Batched stub-decode features — rows-only check (the decode is not
+    * SQL-expressible by design; determinism is pinned by MultimodalSpec). */
+  val q44MultimodalFeatures: QueryDef = rowsOnly("q44_multimodal_features") { (s, dir) =>
+    extractFeatures(s, dir).toDF().orderBy(col("doc_id"))
+  }
+
+  val all: Seq[QueryDef] = Seq(q43MultimodalMeta, q44MultimodalFeatures)
+}

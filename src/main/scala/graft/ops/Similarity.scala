@@ -163,6 +163,25 @@ object Similarity {
       .limit(10)
   }
 
+  /** Brute-force top-k through the native codegen'd
+    * [[graft.functions.CosineSimilarity]] expression — one fused loop per
+    * row inside WholeStageCodegen. Accumulation order matches the fold
+    * formulation exactly, so it shares q38's DuckDB oracle verbatim:
+    * the custom expression is itself oracle-verified. */
+  val q45AnnNative: QueryDef = QueryDef(
+    "q45_ann_native",
+    (s, dir) => {
+      graft.functions.CosineSimilarity.register(s)
+      val n = Tables.embeddings(s, dir)
+      val q = n.filter(col("vec_id") === QueryVec).select(col("embedding").as("qe"))
+      n.filter(col("vec_id") =!= QueryVec)
+        .crossJoin(broadcast(q))
+        .select(col("vec_id"), expr("cosine_sim_native(embedding, qe)").as("cosine"))
+        .orderBy(col("cosine").desc, col("vec_id"))
+        .limit(10)
+    },
+    q38AnnBruteforce.oracle)
+
   val all: Seq[QueryDef] = Seq(
-    q36ArrayNorms, q37EmbeddingNeardup, q38AnnBruteforce, q39AnnIvf)
+    q36ArrayNorms, q37EmbeddingNeardup, q38AnnBruteforce, q39AnnIvf, q45AnnNative)
 }

@@ -1,0 +1,150 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+import graft.functions.Decimals._
+import graft.sources.Tables
+
+/** Streaming operators over `events` (SURVEY.md §2.2 streaming rows).
+  *
+  * Two faces per operator:
+  *   - a **batch** query registered in the driver contract with a DuckDB
+  *     oracle (tumbling windows → date_trunc buckets; session windows →
+  *     gaps-and-islands; stateful dedup → keep-first-by-time), and
+  *   - a **streaming** builder on an unbounded DataFrame (`readStream`),
+  *     exercised by StreamingSpec via file-source replay + memory sink,
+  *     asserting stream == batch on the same data (self-oracle) plus
+  *     watermark late-drop behavior.
+  *
+  * Scale posture: all streaming state is keyed (window × type, user
+  * session, dedup key) so it partitions across executors; watermarks bound
+  * state size; `maxFilesPerTrigger` paces replay.
+  */
+object StreamingOps {
+  import QueryDef.sql
+
+  /** Tumbling 1-minute windows × event type (batch face). */
+  val q40EventsTumbling: QueryDef = sql(
+    "q40_events_tumbling",
+    """SELECT CAST(DATE_TRUNC('minute', ts) AS TIMESTAMP) AS minute_start, event_type,
+      |  COUNT(*) AS n,
+      |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+      |FROM events
+      |GROUP BY 1, 2
+      |ORDER BY 1, 2""".stripMargin) { (s, dir) =>
+    Tables.events(s, dir)
+      .groupBy(date_trunc("minute", col("ts")).as("minute_start"), col("event_type"))
+      .agg(count(lit(1)).as("n"), dsum(money(col("value"))).as("sum_value"))
+      .orderBy(col("minute_start"), col("event_type"))
+  }
+
+  /** Per-user session windows with a 5-minute gap (batch face of
+    * `session_window`); the oracle derives identical sessions via
+    * gaps-and-islands (new session when the gap ≥ 5 minutes). */
+  val q41SessionWindows: QueryDef = sql(
+    "q41_session_windows",
+    """WITH lagd AS (
+      |  SELECT user_id, ts,
+      |    CASE WHEN LAG(ts) OVER w IS NULL
+      |           OR ts - LAG(ts) OVER w >= INTERVAL 5 MINUTE THEN 1 ELSE 0 END AS new_s
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |sess AS (
+      |  SELECT user_id, ts,
+      |    SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, user_id ROWS UNBOUNDED PRECEDING) AS sid
+      |  FROM lagd)
+      |SELECT user_id, MIN(ts) AS session_start,
+      |  MAX(ts) + INTERVAL 5 MINUTE AS session_end,
+      |  COUNT(*) AS n_events
+      |FROM sess GROUP BY user_id, sid
+      |ORDER BY user_id, session_start""".stripMargin) { (s, dir) =>
+    Tables.events(s, dir)
+      .groupBy(session_window(col("ts"), "5 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"), col("n_events"))
+      .orderBy(col("user_id"), col("session_start"))
+  }
+
+  /** Keep-first-by-time dedup on (user_id, event_type) — the
+    * deterministic batch face of streaming dedup. */
+  val q42StreamDedup: QueryDef = sql(
+    "q42_stream_dedup",
+    """SELECT user_id, event_type, ts AS first_ts, event_id AS first_event
+      |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+      |                                   ORDER BY ts, event_id) AS rn
+      |      FROM events)
+      |WHERE rn = 1
+      |ORDER BY user_id, event_type""".stripMargin) { (s, dir) =>
+    val w = Window.partitionBy(col("user_id"), col("event_type"))
+      .orderBy(col("ts"), col("event_id"))
+    Tables.events(s, dir)
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("user_id"), col("event_type"), col("ts").as("first_ts"),
+        col("event_id").as("first_event"))
+      .orderBy(col("user_id"), col("event_type"))
+  }
+
+  val all: Seq[QueryDef] = Seq(q40EventsTumbling, q41SessionWindows, q42StreamDedup)
+
+  // ---- streaming faces (unbounded DataFrames) ----
+
+  /** File-source replay of an events parquet fixture: the file is staged
+    * into a directory and read as a stream (one file per trigger), with
+    * the same nanos→micros shim as the batch loader. */
+  def eventsStream(s: SparkSession, stagedDir: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = "event_id LONG, ts LONG, user_id LONG, event_type STRING, value DOUBLE, props STRING"
+    s.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(stagedDir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000"))) // integer div: see Tables.events
+  }
+
+  /** Tumbling-window counts with a watermark: rows later than 10 minutes
+    * behind the max event time are dropped from state. */
+  def tumblingCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 minute"), col("event_type"))
+      .agg(count(lit(1)).as("n"), dsum(money(col("value"))).as("sum_value"))
+      .select(col("window.start").as("minute_start"), col("event_type"),
+        col("n"), col("sum_value"))
+
+  /** Session windows (5-minute gap) per user over the stream. */
+  def sessionCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(session_window(col("ts"), "5 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"), col("n_events"))
+
+  /** Stateful dedup bounded by the watermark. */
+  def dedupWithinWatermark(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .dropDuplicatesWithinWatermark("user_id", "event_type")
+
+  /** Custom state: running per-user event count + max value via
+    * mapGroupsWithState (update mode). */
+  def runningUserStats(s: SparkSession, events: DataFrame): DataFrame = {
+    import s.implicits._
+    case class E(user_id: Long, value: Double)
+    val typed = events.select(col("user_id"), col("value")).as[(Long, Double)]
+    typed.groupByKey(_._1)
+      .mapGroupsWithState[(Long, Double), (Long, Long, Double)](GroupStateTimeout.NoTimeout) {
+        case (uid, rows, state: GroupState[(Long, Double)]) =>
+          val (prevN, prevMax) = state.getOption.getOrElse((0L, Double.MinValue))
+          var n = prevN
+          var mx = prevMax
+          rows.foreach { r => n += 1; if (r._2 > mx) mx = r._2 }
+          state.update((n, mx))
+          (uid, n, mx)
+      }
+      .toDF("user_id", "n_events", "max_value")
+  }
+}

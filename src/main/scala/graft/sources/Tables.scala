@@ -30,9 +30,11 @@ object Tables {
     * micros the same way, so oracle values agree. */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    import org.apache.spark.sql.functions.{col, timestamp_micros}
+    import org.apache.spark.sql.functions.{expr, timestamp_micros}
+    // integer `div`, NOT `/`: epoch nanos exceed double precision and
+    // float division would round the microsecond up on ~half the rows
     load(s, d, "events")
-      .withColumn("ts", timestamp_micros((col("ts") / 1000L).cast("long")))
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
   }
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")

@@ -1,0 +1,98 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.{CosineSimilarity, Udfs}
+import graft.ops.{Multimodal, Similarity}
+import graft.sources.Tables
+
+/** UDF / UDAF / native-Expression extension surface + multimodal plumbing. */
+class FunctionsSpec extends SparkSpec {
+
+  test("native cosine expression agrees bit-for-bit with the HOF fold") {
+    CosineSimilarity.register(spark)
+    val e = Tables.embeddings(spark, sfDir).limit(50)
+    val a = e.select(col("vec_id").as("ida"), col("embedding").as("ea"))
+    val b = e.select(col("vec_id").as("idb"), col("embedding").as("eb"))
+    val pairs = a.crossJoin(b).filter(col("ida") < col("idb")).limit(200)
+    val cmp = pairs.select(
+      expr("cosine_sim_native(ea, eb)").as("native"),
+      (expr("aggregate(zip_with(ea, eb, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), CAST(0 AS DOUBLE), (acc, x) -> acc + x)") /
+        (sqrt(expr("aggregate(zip_with(ea, ea, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), CAST(0 AS DOUBLE), (acc, x) -> acc + x)")) *
+          sqrt(expr("aggregate(zip_with(eb, eb, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), CAST(0 AS DOUBLE), (acc, x) -> acc + x)")))).as("fold"))
+      .collect()
+    cmp.foreach(r => assert(r.getDouble(0) == r.getDouble(1)))
+  }
+
+  test("native cosine expression participates in whole-stage codegen") {
+    CosineSimilarity.register(spark)
+    val e = Tables.embeddings(spark, sfDir)
+    val q = e.select(expr("cosine_sim_native(embedding, embedding)").as("c"))
+    val plan = q.queryExecution.executedPlan.toString
+    // the "*(n)" prefix marks operators fused into a WholeStageCodegen stage
+    assert(plan.contains("*(1) Project [cosinesimilarity"), s"expected codegen'd project in:\n$plan")
+    // self-similarity is exactly 1.0 in this formulation only up to fp; check close
+    q.collect().foreach(r => assert(math.abs(r.getDouble(0) - 1.0) < 1e-9))
+  }
+
+  test("cosine UDF matches the native expression") {
+    CosineSimilarity.register(spark)
+    Udfs.registerAll(spark)
+    val e = Tables.embeddings(spark, sfDir).limit(20)
+    val q = e.select(
+      Udfs.cosineSimUdf(col("embedding"), col("embedding")).as("u"),
+      expr("cosine_sim_native(embedding, embedding)").as("n")).collect()
+    q.foreach(r => assert(r.getDouble(0) == r.getDouble(1)))
+  }
+
+  test("weighted-mean Aggregator computes sum(v*w)/sum(w) with partial merge") {
+    import spark.implicits._
+    val df = Seq((2.0, 1.0), (4.0, 3.0), (10.0, 0.0)).toDF("value", "weight").repartition(3)
+    val got = df.agg(Udfs.weightedMean.as("wm")).collect().head.getDouble(0)
+    assert(got == (2.0 * 1.0 + 4.0 * 3.0 + 10.0 * 0.0) / 4.0)
+    // SQL-registered form
+    Udfs.registerAll(spark)
+    df.createOrReplaceTempView("wm_in")
+    val viaSql = spark.sql("SELECT weighted_mean(value, weight) FROM wm_in").collect().head.getDouble(0)
+    assert(viaSql == got)
+  }
+
+  test("native expression rejects wrong input types at analysis") {
+    CosineSimilarity.register(spark)
+    import spark.implicits._
+    val df = Seq((1, "x")).toDF("a", "b")
+    val err = intercept[Exception] {
+      df.select(expr("cosine_sim_native(a, b)")).collect()
+    }
+    assert(err.getMessage.toLowerCase.contains("array") || err.getMessage.contains("DATATYPE"))
+  }
+
+  test("multimodal features are deterministic and batch-shaped") {
+    val f1 = Multimodal.extractFeatures(spark, sfDir).collect().sortBy(_.doc_id)
+    val f2 = Multimodal.extractFeatures(spark, sfDir).collect().sortBy(_.doc_id)
+    assert(f1.toSeq == f2.toSeq, "stub decode must be deterministic")
+    f1.foreach { r =>
+      assert(r.n_bytes > 0)
+      assert(r.mean_byte > 0 && r.mean_byte < 255)
+      assert(r.max_byte <= 255)
+    }
+    // n_bytes matches the metadata projection
+    val meta = Multimodal.q43MultimodalMeta.run(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    f1.foreach(r => assert(meta(r.doc_id) == r.n_bytes.toLong))
+  }
+
+  test("multimodal metadata scan prunes the payload column") {
+    val q = Multimodal.q43MultimodalMeta.run(spark, sfDir)
+    val scans = q.queryExecution.executedPlan.collectLeaves().map(_.toString).mkString
+    assert(scans.contains("text") || scans.contains("ReadSchema"))
+    // payload is derived, not read: the parquet scan must not mention a binary payload field
+    assert(!scans.contains("payload"))
+  }
+
+  test("native ANN query returns identical rows to the fold-based one") {
+    val a = Similarity.q38AnnBruteforce.run(spark, sfDir).collect().map(r => (r.getLong(0), r.getDouble(1)))
+    val b = Similarity.q45AnnNative.run(spark, sfDir).collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(a.sameElements(b))
+  }
+}

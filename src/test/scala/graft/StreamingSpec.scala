@@ -1,0 +1,106 @@
+package graft
+
+import java.nio.file.{Files, Paths, StandardCopyOption}
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.ops.StreamingOps
+import graft.sources.Tables
+
+/** Streaming self-oracles: file-source replay of the events fixture into a
+  * memory sink must equal the batch computation on the same data
+  * (SURVEY.md §5.2.6), plus watermark late-drop behavior. */
+class StreamingSpec extends SparkSpec {
+
+  private def stageEvents(): String = {
+    val dir = Files.createTempDirectory("graft-stream").toString
+    Files.copy(
+      Paths.get(s"$sfDir/events.parquet"),
+      Paths.get(s"$dir/events.parquet"),
+      StandardCopyOption.REPLACE_EXISTING)
+    dir
+  }
+
+  private def runToMemory(df: DataFrame, name: String, mode: String): DataFrame = {
+    val q = df.writeStream.format("memory").queryName(name).outputMode(mode).start()
+    q.processAllAvailable()
+    q.stop()
+    spark.table(name)
+  }
+
+  test("streaming tumbling windows equal the batch query on the same data") {
+    val got = runToMemory(
+      StreamingOps.tumblingCounts(StreamingOps.eventsStream(spark, stageEvents())),
+      "t_tumbling", "complete")
+      .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSet
+    val want = StreamingOps.q40EventsTumbling.run(spark, sfDir)
+      .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(got == want)
+  }
+
+  test("streaming session windows equal the batch session query") {
+    val got = runToMemory(
+      StreamingOps.sessionCounts(StreamingOps.eventsStream(spark, stageEvents())),
+      "t_sessions", "complete")
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1), r.getTimestamp(2), r.getLong(3))).toSet
+    val want = StreamingOps.q41SessionWindows.run(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1), r.getTimestamp(2), r.getLong(3))).toSet
+    assert(got == want)
+  }
+
+  test("streaming dedup keeps exactly one row per key") {
+    val got = runToMemory(
+      StreamingOps.dedupWithinWatermark(StreamingOps.eventsStream(spark, stageEvents())),
+      "t_dedup", "append")
+    val keys = got.select(col("user_id"), col("event_type")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    assert(keys.length == keys.distinct.length, "no key emitted twice")
+    val want = Tables.events(spark, sfDir)
+      .select(col("user_id"), col("event_type")).distinct().count()
+    assert(keys.length == want)
+  }
+
+  test("watermark drops rows arriving later than the threshold") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-late").toString
+    def write(name: String, rows: Seq[(Long, Long, Long, String, Double, String)]): Unit = {
+      rows.toDF("event_id", "tss", "user_id", "event_type", "value", "props")
+        .select(col("event_id"), timestamp_seconds(col("tss")).as("ts"), col("user_id"),
+          col("event_type"), col("value"), col("props"))
+        .coalesce(1).write.parquet(s"$dir/batch_$name")
+    }
+    val base = 1700000000L // epoch seconds
+    // batch 1 only: advances the watermark to (base+3600) - 10min before the late row arrives
+    write("a", Seq((1L, base, 1L, "click", 1.0, "{}"), (2L, base + 3600, 1L, "click", 1.0, "{}")))
+
+    val stream = spark.readStream
+      .schema("event_id LONG, ts TIMESTAMP, user_id LONG, event_type STRING, value DOUBLE, props STRING")
+      .parquet(s"$dir/batch_*")
+    val q = StreamingOps.tumblingCounts(stream)
+      .writeStream.format("memory").queryName("t_late").outputMode("append").start()
+    q.processAllAvailable()
+    // 2h-late row (far beyond the 10-minute watermark) + a future row that finalizes earlier windows
+    write("b", Seq((3L, base - 7200, 1L, "click", 1.0, "{}"), (4L, base + 7200, 1L, "click", 1.0, "{}")))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("t_late")
+    val minuteStarts = got.collect().map(_.getTimestamp(0).toInstant.getEpochSecond).toSet
+    // the late row's minute (base - 7200) must NOT appear; the first two rows' windows must
+    assert(minuteStarts.contains(base - base % 60))
+    assert(minuteStarts.contains((base + 3600) - (base + 3600) % 60))
+    assert(!minuteStarts.contains((base - 7200) - (base - 7200) % 60), "late row beyond watermark was dropped")
+  }
+
+  test("mapGroupsWithState running stats converge to batch counts") {
+    val got = runToMemory(
+      StreamingOps.runningUserStats(spark, StreamingOps.eventsStream(spark, stageEvents())),
+      "t_state", "update")
+    // last update per user is the final running count
+    val finalCounts = got.groupBy(col("user_id")).agg(max(col("n_events")).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val want = Tables.events(spark, sfDir).groupBy(col("user_id")).count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(finalCounts == want)
+  }
+}
