@@ -1,0 +1,80 @@
+package graft.ops
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** Temporal/reshaping operators Spark has no single built-in for:
+  * as-of join (composed from a sorted window — preference order (a) of the
+  * build rules: compose built-ins before writing a custom SparkPlan) and
+  * pivot.
+  */
+object Temporal {
+  import QueryDef.sql
+
+  /** As-of join: for every purchase event, the same user's most recent
+    * click at-or-before the purchase time.
+    *
+    * Implementation is the *sort-merge as-of* scale path: union both event
+    * types, one shuffle on user_id, one ordered window pass carrying the
+    * last-seen click — O(n log n), no per-purchase range-join explosion
+    * (the naive `c.ts <= p.ts` join is quadratic in events-per-user; that
+    * formulation is kept only in the DuckDB oracle where it's exact).
+    * Tie-breaks (same-timestamp clicks) resolve to the highest event_id in
+    * both formulations. */
+  val q46AsofJoin: QueryDef = sql(
+    "q46_asof_join",
+    """WITH p AS (SELECT * FROM events WHERE event_type = 'purchase'),
+      |c AS (SELECT * FROM events WHERE event_type = 'click'),
+      |j AS (SELECT p.event_id AS purchase_id, p.user_id, p.ts AS purchase_ts,
+      |        c.event_id AS click_id, c.ts AS click_ts,
+      |        ROW_NUMBER() OVER (PARTITION BY p.event_id
+      |                           ORDER BY c.ts DESC, c.event_id DESC) AS rn
+      |      FROM p LEFT JOIN c ON c.user_id = p.user_id AND c.ts <= p.ts)
+      |SELECT purchase_id, user_id, purchase_ts, click_id, click_ts
+      |FROM j WHERE rn = 1
+      |ORDER BY purchase_id""".stripMargin) { (s, dir) =>
+    val ev = Tables.events(s, dir)
+      .filter(col("event_type").isin("click", "purchase"))
+    // 'click' < 'purchase' lexicographically, so a click at exactly the
+    // purchase timestamp sorts first and is visible to the purchase row.
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_type"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ev.withColumn("lc",
+        last(when(col("event_type") === "click",
+          struct(col("ts"), col("event_id"))), ignoreNulls = true).over(w))
+      .filter(col("event_type") === "purchase")
+      .select(
+        col("event_id").as("purchase_id"), col("user_id"),
+        col("ts").as("purchase_ts"),
+        col("lc.event_id").as("click_id"), col("lc.ts").as("click_ts"))
+      .orderBy(col("purchase_id"))
+  }
+
+  /** Pivot: events reshaped to one row per user × one count column per
+    * event type. Pivot values are pinned (not inferred) so the plan is a
+    * single pass and the output schema is deterministic. */
+  val q47Pivot: QueryDef = sql(
+    "q47_pivot",
+    """SELECT user_id,
+      |  COUNT(*) FILTER (WHERE event_type = 'click') AS click,
+      |  COUNT(*) FILTER (WHERE event_type = 'error') AS error,
+      |  COUNT(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+      |  COUNT(*) FILTER (WHERE event_type = 'signup') AS signup,
+      |  COUNT(*) FILTER (WHERE event_type = 'view') AS view
+      |FROM events
+      |GROUP BY user_id
+      |ORDER BY user_id""".stripMargin) { (s, dir) =>
+    val types = Seq("click", "error", "purchase", "signup", "view")
+    val pivoted = Tables.events(s, dir)
+      .groupBy(col("user_id"))
+      .pivot("event_type", types)
+      .count()
+    types.foldLeft(pivoted)((df, t) => df.withColumn(t, coalesce(col(t), lit(0L))))
+      .orderBy(col("user_id"))
+  }
+
+  val all: Seq[QueryDef] = Seq(q46AsofJoin, q47Pivot)
+}

@@ -1,0 +1,78 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.SparkPlan
+
+import graft.ops.{Analytics, Dedup, Similarity, Temporal}
+
+/** Physical-plan assertions: these pin the properties that make the
+  * queries scale — filter pushdown into the parquet scan, column pruning,
+  * broadcast joins for dimensions, map-side partial aggregation, and
+  * top-k window pushdown. A regression here is a 100 TB performance bug
+  * even when results stay correct. */
+class PlanSpec extends SparkSpec {
+
+  private def planOf(df: DataFrame): String = df.queryExecution.executedPlan.toString
+  private def scans(df: DataFrame): String =
+    df.queryExecution.executedPlan.collectLeaves().map(_.toString).mkString("\n")
+
+  test("q02: predicates are pushed into the parquet scan") {
+    val s = scans(Analytics.q02SelectiveFilter.run(spark, sfDir))
+    assert(s.contains("PushedFilters") && s.contains("GreaterThanOrEqual(l_shipda"))
+    assert(s.contains("LessThan(l_quantity") || s.contains("l_quantity"), s)
+  }
+
+  test("q02: scan is pruned to the referenced columns only") {
+    val s = scans(Analytics.q02SelectiveFilter.run(spark, sfDir))
+    assert(s.contains("ReadSchema: struct<l_quantity:double,l_extendedprice:double,l_discount:double,l_shipdate"))
+    assert(!s.contains("l_comment") && !s.contains("l_returnflag"))
+  }
+
+  test("q05: all dimension joins are broadcast (no shuffle joins)") {
+    val p = planOf(Analytics.q05LocalRevenue.run(spark, sfDir))
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("SortMergeJoin"), "dims must broadcast at this scale")
+  }
+
+  test("q05: date filter is pushed into the orders scan") {
+    val s = scans(Analytics.q05LocalRevenue.run(spark, sfDir))
+    assert(s.contains("GreaterThanOrEqual(o_orderd"))
+  }
+
+  test("aggregations are two-phase (map-side partials before the shuffle)") {
+    val p = planOf(Analytics.q01PricingSummary.run(spark, sfDir))
+    assert(p.contains("partial_sum") || p.contains("Partial"), p)
+  }
+
+  test("q12: rank-filter is pushed down as WindowGroupLimit") {
+    val p = planOf(Analytics.q12WindowRank.run(spark, sfDir))
+    assert(p.contains("WindowGroupLimit"), "top-3-per-brand must limit before the shuffle")
+  }
+
+  test("q14: global top-k plans as TakeOrderedAndProject, not full sort") {
+    val p = planOf(Analytics.q14TopOrders.run(spark, sfDir))
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("q46: as-of join is one window pass, not a range join") {
+    val p = planOf(Temporal.q46AsofJoin.run(spark, sfDir))
+    assert(p.contains("Window") || p.contains("RunningWindowFunction"))
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      "the quadratic range-join formulation must not appear")
+  }
+
+  test("q31: LSH candidate join is an equi-join on band buckets") {
+    val p = planOf(Dedup.q31MinhashLsh.run(spark, sfDir))
+    assert(!p.contains("CartesianProduct"), "near-dedup must never go all-pairs")
+  }
+
+  test("q38: query vector is broadcast, not shuffled") {
+    val p = planOf(Similarity.q38AnnBruteforce.run(spark, sfDir))
+    assert(p.contains("BroadcastExchange") || p.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("q43: multimodal metadata query never materializes the payload in the scan") {
+    val s = scans(graft.ops.Multimodal.q43MultimodalMeta.run(spark, sfDir))
+    assert(s.contains("ReadSchema: struct<doc_id:bigint,text:string"))
+  }
+}
