@@ -458,9 +458,22 @@ object Analytics {
       .orderBy(col("price_band"))
   }
 
+  /** HLL sketch distinct — the one-pass mergeable scale path for q09's
+    * exact two-phase count(distinct). Rows-only (sketch estimates are not
+    * oracle-matchable by design); AnalyticsSpec bounds the error vs exact. */
+  val q48ApproxDistinct: QueryDef = QueryDef.rowsOnly("q48_approx_distinct") { (s, dir) =>
+    Tables.events(s, dir)
+      .groupBy(col("event_type"))
+      .agg(
+        approx_count_distinct(col("user_id")).as("approx_users"),
+        countDistinct(col("user_id")).as("exact_users"))
+      .orderBy(col("event_type"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     q01PricingSummary, q02SelectiveFilter, q03ShippingPriority, q05LocalRevenue,
     q06SemiJoin, q07AntiJoin, q08RangeJoin, q09DistinctUsers, q10Rollup,
     q11Cube, q12WindowRank, q13WindowRunning, q14TopOrders, q15SetOps,
-    q16StringFns, q17DateFns, q18MathFns, q19JsonFns, q20CaseWhen)
+    q16StringFns, q17DateFns, q18MathFns, q19JsonFns, q20CaseWhen,
+    q48ApproxDistinct)
 }

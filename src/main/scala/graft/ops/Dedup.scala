@@ -62,18 +62,27 @@ object Dedup {
       |           LATERAL (SELECT generate_subscripts(t.toks, 1) AS i)
       |      WHERE i <= len(t.toks) - 2)""".stripMargin
 
-  /** MinHash signature: per seed k, the lexicographic min of
-    * md5("k:" || shingle) — one groupBy with NumHashes min-aggregates. */
-  private def signatures(s: SparkSession, dir: String): DataFrame =
-    shingles(s, dir).groupBy(col("doc_id"))
-      .agg(
-        min(md5(concat(lit("0:"), col("sh")))).as("s0"),
-        (1 until NumHashes).map(k =>
-          min(md5(concat(lit(s"$k:"), col("sh")))).as(s"s$k")): _*)
+  /** MinHash signature: [[NumHashes]] independent 32-bit (8-hex-char)
+    * hash components carved out of two md5 digests per shingle — the
+    * lexicographic min of each component per doc. Two md5 evaluations per
+    * shingle instead of eight, and 8-char strings through the aggregate
+    * instead of 32-char ones. */
+  private def signatures(s: SparkSession, dir: String): DataFrame = {
+    val withH = shingles(s, dir)
+      .withColumn("ha", md5(concat(lit("a:"), col("sh"))))
+      .withColumn("hb", md5(concat(lit("b:"), col("sh"))))
+    val aggs = (0 until NumHashes).map { k =>
+      val (src, off) = if (k < 4) ("ha", k * 8 + 1) else ("hb", (k - 4) * 8 + 1)
+      min(substring(col(src), off, 8)).as(s"s$k")
+    }
+    withH.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
+  }
 
   private val signaturesSql: String = {
-    val aggs = (0 until NumHashes)
-      .map(k => s"MIN(md5('$k:' || sh)) AS s$k").mkString(",\n         ")
+    val aggs = (0 until NumHashes).map { k =>
+      val (seed, off) = if (k < 4) ("a", k * 8 + 1) else ("b", (k - 4) * 8 + 1)
+      s"MIN(substr(md5('$seed:' || sh), $off, 8)) AS s$k"
+    }.mkString(",\n         ")
     s"""sig AS (SELECT doc_id,
        |         $aggs
        |       FROM sh GROUP BY doc_id)""".stripMargin
@@ -157,33 +166,36 @@ object Dedup {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
-  /** 16-bit SimHash signature per document: weighted bit votes from the
-    * first 4 hex nibbles of md5(token). Pure integer arithmetic — the
-    * identical signature in both engines. */
-  val q33Simhash: QueryDef = sql(
-    "q33_simhash",
-    """WITH toks AS (SELECT doc_id, word, COUNT(*) AS cnt
+  /** Shared SimHash SQL: hash each DISTINCT word once against the 16 bit
+    * positions (the vocabulary is tiny relative to the corpus — the
+    * word-bit table is a broadcast dimension), then join token counts. */
+  private val simhashSql =
+    """toks AS (SELECT doc_id, word, COUNT(*) AS cnt
       |           FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents)
       |           GROUP BY 1, 2),
       |bits AS (SELECT p FROM range(16) t(p)),
-      |contrib AS (SELECT t.doc_id, b.p,
-      |    SUM(t.cnt * (2 * (((strpos('0123456789abcdef', substr(md5(t.word), 1 + CAST(b.p // 4 AS INT), 1)) - 1)
-      |                       >> CAST(3 - (b.p % 4) AS INT)) & 1) - 1)) AS s
-      |  FROM toks t CROSS JOIN bits b GROUP BY 1, 2)
-      |SELECT doc_id,
-      |  CAST(SUM(CASE WHEN s > 0 THEN 1 ELSE 0 END * (1 << CAST(p AS INT))) AS BIGINT) AS simhash
-      |FROM contrib GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, dir) =>
-    simhashes(s, dir).orderBy(col("doc_id"))
-  }
+      |wb AS (SELECT word, p,
+      |         ((strpos('0123456789abcdef', substr(md5(word), 1 + CAST(p // 4 AS INT), 1)) - 1)
+      |          >> CAST(3 - (p % 4) AS INT)) & 1 AS bit
+      |       FROM (SELECT DISTINCT word FROM toks) CROSS JOIN bits),
+      |contrib AS (SELECT t.doc_id, w.p, SUM(t.cnt * (2 * w.bit - 1)) AS s
+      |            FROM toks t JOIN wb w USING (word) GROUP BY 1, 2),
+      |sig AS (SELECT doc_id,
+      |    CAST(SUM(CASE WHEN s > 0 THEN 1 ELSE 0 END * (1 << CAST(p AS INT))) AS BIGINT) AS simhash
+      |  FROM contrib GROUP BY doc_id)""".stripMargin
 
   private def simhashes(s: SparkSession, dir: String): DataFrame = {
     val toks = Tables.documents(s, dir)
       .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
       .groupBy(col("doc_id"), col("word")).agg(count(lit(1)).as("cnt"))
     val bits = s.range(16).toDF("p")
-    toks.crossJoin(broadcast(bits))
+    // md5 each distinct word once (vocabulary ≪ corpus), broadcast the
+    // word→bit dimension into the token-count join
+    val wordBits = toks.select(col("word")).distinct()
+      .crossJoin(bits)
       .withColumn("bit", expr(
         "shiftright(instr('0123456789abcdef', substr(md5(word), 1 + CAST(p DIV 4 AS INT), 1)) - 1, CAST(3 - p % 4 AS INT)) & 1"))
+    toks.join(broadcast(wordBits), "word")
       .groupBy(col("doc_id"), col("p"))
       .agg(sum(col("cnt") * (lit(2) * col("bit") - 1)).as("s"))
       .groupBy(col("doc_id"))
@@ -191,24 +203,24 @@ object Dedup {
         expr("CAST(shiftleft(1, CAST(p AS INT)) AS BIGINT)")).cast("long").as("simhash"))
   }
 
+  /** 16-bit SimHash signature per document: weighted bit votes from the
+    * first 4 hex nibbles of md5(token). Pure integer arithmetic — the
+    * identical signature in both engines. */
+  val q33Simhash: QueryDef = sql(
+    "q33_simhash",
+    s"""WITH $simhashSql
+       |SELECT doc_id, simhash FROM sig ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    simhashes(s, dir).orderBy(col("doc_id"))
+  }
+
   /** SimHash near-dup candidates: identical 16-bit signatures (bucket
     * equi-join — the degenerate hamming-distance-0 LSH). */
   val q34SimhashPairs: QueryDef = sql(
     "q34_simhash_pairs",
-    """WITH toks AS (SELECT doc_id, word, COUNT(*) AS cnt
-      |           FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents)
-      |           GROUP BY 1, 2),
-      |bits AS (SELECT p FROM range(16) t(p)),
-      |contrib AS (SELECT t.doc_id, b.p,
-      |    SUM(t.cnt * (2 * (((strpos('0123456789abcdef', substr(md5(t.word), 1 + CAST(b.p // 4 AS INT), 1)) - 1)
-      |                       >> CAST(3 - (b.p % 4) AS INT)) & 1) - 1)) AS s
-      |  FROM toks t CROSS JOIN bits b GROUP BY 1, 2),
-      |sig AS (SELECT doc_id,
-      |  CAST(SUM(CASE WHEN s > 0 THEN 1 ELSE 0 END * (1 << CAST(p AS INT))) AS BIGINT) AS simhash
-      |FROM contrib GROUP BY doc_id)
-      |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.simhash
-      |FROM sig a JOIN sig b ON a.simhash = b.simhash AND a.doc_id < b.doc_id
-      |ORDER BY doc_a, doc_b""".stripMargin) { (s, dir) =>
+    s"""WITH $simhashSql
+       |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.simhash
+       |FROM sig a JOIN sig b ON a.simhash = b.simhash AND a.doc_id < b.doc_id
+       |ORDER BY doc_a, doc_b""".stripMargin) { (s, dir) =>
     val sig = simhashes(s, dir)
     val a = sig.select(col("doc_id").as("doc_a"), col("simhash"))
     val b = sig.select(col("doc_id").as("doc_b"), col("simhash"))

@@ -95,38 +95,40 @@ object TextOps {
 
   /** Heuristic language ID: score each doc against per-language marker
     * profiles (n-gram-frequency heuristic), argmax with deterministic
-    * tie-break, report the actual×predicted confusion matrix. */
-  val q24LangId: QueryDef = sql(
-    "q24_langid",
-    s"""WITH prof(plang, word) AS (VALUES ${langProfiles.map { case (l, w) => s"('$l', '$w')" }.mkString(", ")}),
-       |toks AS (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS word FROM documents),
-       |hits AS (SELECT t.doc_id, p.plang, COUNT(*) AS score
-       |         FROM toks t JOIN prof p ON p.word = t.word GROUP BY 1, 2),
-       |grid AS (SELECT d.doc_id, d.lang, pl.plang, COALESCE(h.score, 0) AS score
-       |         FROM documents d
-       |         CROSS JOIN (SELECT DISTINCT plang FROM prof) pl
-       |         LEFT JOIN hits h ON h.doc_id = d.doc_id AND h.plang = pl.plang),
-       |best AS (SELECT doc_id, lang, plang AS predicted,
-       |           ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score DESC, plang) AS rn
-       |         FROM grid)
-       |SELECT lang, predicted, COUNT(*) AS n
-       |FROM best WHERE rn = 1
-       |GROUP BY lang, predicted
-       |ORDER BY lang, predicted""".stripMargin) { (s, dir) =>
-    import s.implicits._
-    val prof = langProfiles.toDF("plang", "word")
-    val docs = Tables.documents(s, dir)
-    val toks = docsWithTokens(s, dir).select(col("doc_id"), explode(col("toks")).as("word"))
-    val hits = toks.join(broadcast(prof), "word")
-      .groupBy(col("doc_id"), col("plang")).agg(count(lit(1)).as("score"))
-    val grid = docs.select(col("doc_id"), col("lang"))
-      .crossJoin(broadcast(prof.select(col("plang")).distinct()))
-      .join(hits, Seq("doc_id", "plang"), "left")
-      .withColumn("score", coalesce(col("score"), lit(0L)))
-    val w = Window.partitionBy(col("doc_id")).orderBy(col("score").desc, col("plang"))
-    grid.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
-      .groupBy(col("lang"), col("plang").as("predicted")).agg(count(lit(1)).as("n"))
-      .orderBy(col("lang"), col("predicted"))
+    * alphabetical tie-break, report the actual×predicted confusion matrix.
+    *
+    * Formulated as pure per-row array expressions — zero explodes, zero
+    * window shuffles; the only shuffle is the final tiny confusion-matrix
+    * aggregate. The CASE chain in alphabetical language order reproduces
+    * an `ORDER BY score DESC, lang` argmax exactly. */
+  val q24LangId: QueryDef = {
+    val langs = langProfiles.map(_._1).distinct.sorted
+    def wordsOf(l: String) = langProfiles.filter(_._1 == l).map(_._2)
+    def scoreSql(l: String) =
+      s"len(list_filter(string_split(text, ' '), x -> ${wordsOf(l).map(w => s"x = '$w'").mkString(" OR ")}))"
+    def scoreSpark(l: String) =
+      s"size(filter(toks, x -> ${wordsOf(l).map(w => s"x = '$w'").mkString(" OR ")}))"
+    sql(
+      "q24_langid",
+      s"""WITH scored AS (SELECT lang,
+         |    ${langs.map(l => s"${scoreSql(l)} AS s_$l").mkString(",\n    ")}
+         |  FROM documents),
+         |best AS (SELECT lang,
+         |    CASE ${langs.map(l => s"WHEN s_$l = GREATEST(${langs.map("s_" + _).mkString(", ")}) THEN '$l'").mkString(" ")}
+         |    END AS predicted
+         |  FROM scored)
+         |SELECT lang, predicted, COUNT(*) AS n
+         |FROM best GROUP BY lang, predicted
+         |ORDER BY lang, predicted""".stripMargin) { (s, dir) =>
+      val scored = langs.foldLeft(docsWithTokens(s, dir))(
+        (df, l) => df.withColumn(s"s_$l", expr(scoreSpark(l))))
+      val m = greatest(langs.map(l => col(s"s_$l")): _*)
+      val predicted = langs.foldLeft(when(lit(false), ""))(
+        (c, l) => c.when(col(s"s_$l") === m, l))
+      scored.select(col("lang"), predicted.as("predicted"))
+        .groupBy(col("lang"), col("predicted")).agg(count(lit(1)).as("n"))
+        .orderBy(col("lang"), col("predicted"))
+    }
   }
 
   /** Per-document quality scoring: length, stopword ratio, vocabulary

@@ -1,0 +1,28 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+
+/** Output-side surface beyond the reference's CSV/console (Report):
+  * partitioned and bucketed writers — the layouts a 100 TB deployment
+  * depends on for partition pruning and shuffle-free joins.
+  */
+object Sinks {
+  /** Hive-style partitioned parquet: downstream scans with a predicate on
+    * a partition column prune whole directories (PartitionFilters). */
+  def writePartitioned(df: DataFrame, path: String, partitionCols: String*): Unit =
+    df.write.mode(SaveMode.Overwrite).partitionBy(partitionCols: _*).parquet(path)
+
+  /** Bucketed + sorted table (requires a table catalog, so it writes as a
+    * managed table): two tables bucketed the same way join without a
+    * shuffle — the persistent form of co-partitioning. */
+  def writeBucketed(df: DataFrame, table: String, bucketCol: String, numBuckets: Int): Unit =
+    df.write.mode(SaveMode.Overwrite)
+      .bucketBy(numBuckets, bucketCol).sortBy(bucketCol)
+      .format("parquet").saveAsTable(table)
+
+  /** Single-file JSON lines export (small result sets only). */
+  def writeJson(df: DataFrame, path: String): Unit =
+    df.coalesce(1).write.mode(SaveMode.Overwrite).json(path)
+
+  def readJson(spark: SparkSession, path: String): DataFrame = spark.read.json(path)
+}

@@ -1,0 +1,44 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.sources.{Sinks, Tables}
+
+class SinksSpec extends SparkSpec {
+
+  test("partitioned parquet write prunes partitions on read") {
+    val dir = Files.createTempDirectory("graft-part").toString + "/orders"
+    val orders = Tables.orders(spark, sfDir).withColumn("status", col("o_orderstatus"))
+    Sinks.writePartitioned(orders, dir, "status")
+    val back = spark.read.parquet(dir).filter(col("status") === "F")
+    assert(back.count() == orders.filter(col("o_orderstatus") === "F").count())
+    val scans = back.queryExecution.executedPlan.collectLeaves().map(_.toString).mkString
+    assert(scans.contains("PartitionFilters: [isnotnull(status"), "partition pruning must kick in")
+  }
+
+  test("bucketed tables join without a shuffle exchange") {
+    // warehouse dir is a static conf; tables land in ./spark-warehouse (gitignored)
+    Sinks.writeBucketed(Tables.orders(spark, sfDir), "orders_b", "o_orderkey", 4)
+    Sinks.writeBucketed(
+      Tables.lineitem(spark, sfDir).groupBy(col("l_orderkey")).agg(count(lit(1)).as("n")),
+      "li_counts_b", "l_orderkey", 4)
+    val j = spark.table("orders_b").join(
+      spark.table("li_counts_b"),
+      col("o_orderkey") === col("l_orderkey"))
+    val plan = j.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"bucketed join must be shuffle-free:\n$plan")
+    assert(j.count() > 0)
+    spark.sql("DROP TABLE IF EXISTS orders_b")
+    spark.sql("DROP TABLE IF EXISTS li_counts_b")
+  }
+
+  test("json round-trip preserves rows") {
+    val dir = Files.createTempDirectory("graft-json").toString + "/out"
+    val df = Tables.nation(spark, sfDir)
+    Sinks.writeJson(df, dir)
+    assert(Sinks.readJson(spark, dir).count() == 25)
+  }
+}
