@@ -88,7 +88,26 @@ object StreamingOps {
       .orderBy(col("user_id"), col("event_type"))
   }
 
-  val all: Seq[QueryDef] = Seq(q40EventsTumbling, q41SessionWindows, q42StreamDedup)
+  /** Sliding 5-minute windows advancing by 1 minute (batch face): each
+    * event lands in 5 overlapping windows. The oracle replicates each row
+    * against offsets 0..4 — the same window-assignment arithmetic Spark's
+    * `window(ts, dur, slide)` performs. */
+  val q49EventsSliding: QueryDef = sql(
+    "q49_events_sliding",
+    """SELECT CAST(date_trunc('minute', ts) - (k * INTERVAL 1 MINUTE) AS TIMESTAMP) AS win_start,
+      |  event_type, COUNT(*) AS n
+      |FROM events CROSS JOIN (SELECT unnest([0, 1, 2, 3, 4]) AS k)
+      |GROUP BY 1, 2
+      |ORDER BY 1, 2""".stripMargin) { (s, dir) =>
+    Tables.events(s, dir)
+      .groupBy(window(col("ts"), "5 minutes", "1 minute"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("win_start"), col("event_type"), col("n"))
+      .orderBy(col("win_start"), col("event_type"))
+  }
+
+  val all: Seq[QueryDef] = Seq(
+    q40EventsTumbling, q41SessionWindows, q42StreamDedup, q49EventsSliding)
 
   // ---- streaming faces (unbounded DataFrames) ----
 
@@ -113,6 +132,15 @@ object StreamingOps {
       .agg(count(lit(1)).as("n"), dsum(money(col("value"))).as("sum_value"))
       .select(col("window.start").as("minute_start"), col("event_type"),
         col("n"), col("sum_value"))
+
+  /** Sliding-window counts over the stream (5-minute windows, 1-minute
+    * slide) — the streaming face of q49. */
+  def slidingCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "5 minutes", "1 minute"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("win_start"), col("event_type"), col("n"))
 
   /** Session windows (5-minute gap) per user over the stream. */
   def sessionCounts(events: DataFrame): DataFrame =

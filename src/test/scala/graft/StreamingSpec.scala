@@ -39,6 +39,16 @@ class StreamingSpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("streaming sliding windows equal the batch sliding query") {
+    val got = runToMemory(
+      StreamingOps.slidingCounts(StreamingOps.eventsStream(spark, stageEvents())),
+      "t_sliding", "complete")
+      .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2))).toSet
+    val want = StreamingOps.q49EventsSliding.run(spark, sfDir)
+      .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2))).toSet
+    assert(got == want)
+  }
+
   test("streaming session windows equal the batch session query") {
     val got = runToMemory(
       StreamingOps.sessionCounts(StreamingOps.eventsStream(spark, stageEvents())),
