@@ -70,6 +70,22 @@ object Catalog {
     * `requirements.txt:2-5`). Code-complete; not exercised in this harness
     * (no live DB) — unit coverage is via [[fromRows]].
     */
+  /** Lowest-level JDBC entry: three catalog queries (columns / index
+    * columns / FK columns, shaped per §1.3) pushed to the server whole.
+    * The dialect methods below supply the information_schema SQL;
+    * custom/embedded engines (tests use in-memory Derby) can pass their
+    * own. */
+  def fromJdbcQueries(
+      spark: SparkSession, url: String,
+      columnsSql: String, indexColsSql: String, fkColsSql: String,
+      driver: Option[String] = None): Catalog = {
+    def jdbc(query: String): DataFrame = {
+      val r = spark.read.format("jdbc").option("url", url).option("query", query)
+      driver.fold(r)(d => r.option("driver", d)).load()
+    }
+    Catalog(jdbc(columnsSql), jdbc(indexColsSql), jdbc(fkColsSql))
+  }
+
   def fromJdbc(spark: SparkSession, url: String, database: String, dialect: String = "mysql"): Catalog = {
     require(database.nonEmpty, "Could not extract database name from DB_URL.") // app.py:20
     def jdbc(query: String): DataFrame =

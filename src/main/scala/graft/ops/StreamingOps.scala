@@ -157,6 +157,26 @@ object StreamingOps {
       .withWatermark("ts", "10 minutes")
       .dropDuplicatesWithinWatermark("user_id", "event_type")
 
+  /** Custom state with selective emission: flatMapGroupsWithState emits a
+    * row only when a user's value sets a new high-watermark (append mode —
+    * zero rows for batches that don't move the max). */
+  def highWatermarkEvents(s: SparkSession, events: DataFrame): DataFrame = {
+    import s.implicits._
+    val typed = events.select(col("user_id"), col("value")).as[(Long, Double)]
+    typed.groupByKey(_._1)
+      .flatMapGroupsWithState[Double, (Long, Double)](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        case (uid, rows, state: GroupState[Double]) =>
+          var mx = state.getOption.getOrElse(Double.MinValue)
+          val out = rows.flatMap { r =>
+            if (r._2 > mx) { mx = r._2; Some((uid, r._2)) } else None
+          }.toList
+          state.update(mx)
+          out.iterator
+      }
+      .toDF("user_id", "new_max")
+  }
+
   /** Custom state: running per-user event count + max value via
     * mapGroupsWithState (update mode). */
   def runningUserStats(s: SparkSession, events: DataFrame): DataFrame = {

@@ -102,6 +102,23 @@ class StreamingSpec extends SparkSpec {
     assert(!minuteStarts.contains((base - 7200) - (base - 7200) % 60), "late row beyond watermark was dropped")
   }
 
+  test("flatMapGroupsWithState emits only high-watermark events, ending at the batch max") {
+    val got = runToMemory(
+      StreamingOps.highWatermarkEvents(spark, StreamingOps.eventsStream(spark, stageEvents())),
+      "t_hwm", "append")
+    val lastMax = got.groupBy(col("user_id")).agg(max(col("new_max")).as("m"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val want = Tables.events(spark, sfDir).groupBy(col("user_id")).agg(max(col("value")).as("m"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(lastMax == want)
+    // per user, emitted values must be strictly increasing in emission order
+    val perUser = got.collect().map(r => (r.getLong(0), r.getDouble(1))).groupBy(_._1)
+    perUser.values.foreach { vs =>
+      val seq = vs.map(_._2).toSeq
+      assert(seq == seq.distinct && seq == seq.sorted)
+    }
+  }
+
   test("mapGroupsWithState running stats converge to batch counts") {
     val got = runToMemory(
       StreamingOps.runningUserStats(spark, StreamingOps.eventsStream(spark, stageEvents())),
