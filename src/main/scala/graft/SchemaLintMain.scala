@@ -19,6 +19,23 @@ import graft.rules.Rules
   *   - no args — the built-in ecommerce_db fixture (demo mode).
   */
 object SchemaLintMain {
+  /** Database (schema) name from the connection string — urlparse path
+    * minus the leading slash (`app.py:14-22`), with the reference's exact
+    * failure message when the path is empty (`app.py:20`). */
+  def databaseNameFromUrl(dbUrl: String): String = {
+    val path = try Option(new java.net.URI(dbUrl).getPath).getOrElse("")
+    catch { case _: java.net.URISyntaxException => "" }
+    val name = path.stripPrefix("/")
+    require(name.nonEmpty, "Could not extract database name from DB_URL.")
+    name
+  }
+
+  /** `DB_URL` from the environment, failing with the reference's exact
+    * message when unset (`app.py:10-12`). */
+  def dbUrlFromEnv(env: Map[String, String] = sys.env): String =
+    env.getOrElse("DB_URL", sys.error(
+      "Connect String (DB_URL) not set. Please provide it in the .env file."))
+
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()
       .master(sys.env.getOrElse("SPARK_MASTER", "local[4]"))
@@ -33,6 +50,10 @@ object SchemaLintMain {
       case "--jdbc" :: url :: db :: rest =>
         (Catalog.fromJdbc(spark, url, db, rest.headOption.getOrElse("mysql")), db)
       case "--parquet" :: dir :: db :: Nil => (Catalog.fromParquet(spark, dir), db)
+      case "--env" :: rest => // the reference's own flow: DB_URL from env (app.py:10-22,123)
+        val url = dbUrlFromEnv()
+        val db = databaseNameFromUrl(url)
+        (Catalog.fromJdbc(spark, url, db, rest.headOption.getOrElse("mysql")), db)
       case Nil => (SchemaLint.fixtureCatalog(spark), "ecommerce_db")
       case other =>
         System.err.println(s"unrecognized args: ${other.mkString(" ")}"); sys.exit(2)

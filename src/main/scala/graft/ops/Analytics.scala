@@ -458,6 +458,60 @@ object Analytics {
       .orderBy(col("price_band"))
   }
 
+  /** Bag (multiset) set operators: INTERSECT ALL / EXCEPT ALL preserve
+    * multiplicities — one row per matched occurrence. */
+  val q50SetOpsAll: QueryDef = sql(
+    "q50_set_ops_all",
+    """SELECT 'int' AS op, o_custkey FROM (
+      |  SELECT o_custkey FROM orders
+      |  WHERE o_orderdate >= TIMESTAMP '1995-01-01 00:00:00' AND o_orderdate < TIMESTAMP '1996-01-01 00:00:00'
+      |  INTERSECT ALL
+      |  SELECT o_custkey FROM orders
+      |  WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00' AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00')
+      |UNION ALL
+      |SELECT 'exc' AS op, o_custkey FROM (
+      |  SELECT o_custkey FROM orders
+      |  WHERE o_orderdate >= TIMESTAMP '1995-01-01 00:00:00' AND o_orderdate < TIMESTAMP '1996-01-01 00:00:00'
+      |  EXCEPT ALL
+      |  SELECT o_custkey FROM orders
+      |  WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00' AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00')
+      |ORDER BY op, o_custkey""".stripMargin) { (s, dir) =>
+    val o = Tables.orders(s, dir)
+    def buyers(lo: String, hi: String): DataFrame = o
+      .filter(col("o_orderdate") >= lit(lo).cast("timestamp") &&
+        col("o_orderdate") < lit(hi).cast("timestamp"))
+      .select(col("o_custkey"))
+    val a = buyers("1995-01-01", "1996-01-01")
+    val b = buyers("1996-01-01", "1997-01-01")
+    a.intersectAll(b).select(lit("int").as("op"), col("o_custkey"))
+      .unionAll(a.exceptAll(b).select(lit("exc").as("op"), col("o_custkey")))
+      .orderBy(col("op"), col("o_custkey"))
+  }
+
+  /** The SQL entry point: temp views + `spark.sql` with an uncorrelated
+    * scalar subquery (global average spend as the threshold). The scalar
+    * is decimal-summed so both engines agree on the boundary. */
+  val q51SqlInterface: QueryDef = sql(
+    "q51_sql_interface",
+    """SELECT c.c_mktsegment, COUNT(*) AS n_big,
+      |  CAST(SUM(CAST(o.o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_big
+      |FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+      |WHERE o.o_totalprice >
+      |  (SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) FROM orders)
+      |GROUP BY c.c_mktsegment
+      |ORDER BY c.c_mktsegment""".stripMargin) { (s, dir) =>
+    Tables.orders(s, dir).createOrReplaceTempView("orders_v")
+    Tables.customer(s, dir).createOrReplaceTempView("customer_v")
+    s.sql(
+      """SELECT c.c_mktsegment, COUNT(*) AS n_big,
+        |  CAST(SUM(CAST(o.o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_big
+        |FROM orders_v o JOIN customer_v c ON c.c_custkey = o.o_custkey
+        |WHERE o.o_totalprice >
+        |  (SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) FROM orders_v)
+        |GROUP BY c.c_mktsegment
+        |ORDER BY c.c_mktsegment""".stripMargin)
+  }
+
   /** HLL sketch distinct — the one-pass mergeable scale path for q09's
     * exact two-phase count(distinct). Rows-only (sketch estimates are not
     * oracle-matchable by design); AnalyticsSpec bounds the error vs exact. */
@@ -475,5 +529,5 @@ object Analytics {
     q06SemiJoin, q07AntiJoin, q08RangeJoin, q09DistinctUsers, q10Rollup,
     q11Cube, q12WindowRank, q13WindowRunning, q14TopOrders, q15SetOps,
     q16StringFns, q17DateFns, q18MathFns, q19JsonFns, q20CaseWhen,
-    q48ApproxDistinct)
+    q48ApproxDistinct, q50SetOpsAll, q51SqlInterface)
 }

@@ -144,6 +144,20 @@ class RulesSpec extends SparkSpec {
     assert(lines.columns.toSeq == Report.header)
   }
 
+  test("database name extraction mirrors urlparse semantics (app.py:14-22)") {
+    assert(SchemaLintMain.databaseNameFromUrl("mysql+pymysql://u:p@host:3306/shopdb") == "shopdb")
+    assert(SchemaLintMain.databaseNameFromUrl("postgresql://host/warehouse") == "warehouse")
+    val err = intercept[IllegalArgumentException] {
+      SchemaLintMain.databaseNameFromUrl("mysql://host:3306")
+    }
+    assert(err.getMessage.contains("Could not extract database name from DB_URL."))
+  }
+
+  test("missing DB_URL fails with the reference's exact message (app.py:11-12)") {
+    val err = intercept[RuntimeException] { SchemaLintMain.dbUrlFromEnv(Map.empty) }
+    assert(err.getMessage == "Connect String (DB_URL) not set. Please provide it in the .env file.")
+  }
+
   test("console renderer formats five labeled lines per issue") {
     val txt = Report.renderConsole(SchemaLint.report(spark), "ecommerce_db")
     assert(txt.startsWith("Schema \"ecommerce_db\" issues detected:"))
