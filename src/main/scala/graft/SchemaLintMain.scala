@@ -21,11 +21,24 @@ import graft.rules.Rules
 object SchemaLintMain {
   /** Database (schema) name from the connection string — urlparse path
     * minus the leading slash (`app.py:14-22`), with the reference's exact
-    * failure message when the path is empty (`app.py:20`). */
+    * failure message when the path is empty (`app.py:20`).
+    *
+    * Accepts both SQLAlchemy-style URLs (`mysql+pymysql://…/db`, the
+    * reference's input) and JDBC URLs (`jdbc:mysql://…/db`, what
+    * [[graft.catalog.Catalog.fromJdbc]] connects with): the `jdbc:`
+    * prefix is stripped before parsing (URI would otherwise treat the
+    * whole URL as opaque with a null path). Uses the raw (undecoded)
+    * path like Python's urlparse, with a regex fallback for characters
+    * URI rejects outright. */
   def databaseNameFromUrl(dbUrl: String): String = {
-    val path = try Option(new java.net.URI(dbUrl).getPath).getOrElse("")
-    catch { case _: java.net.URISyntaxException => "" }
-    val name = path.stripPrefix("/")
+    val stripped = dbUrl.stripPrefix("jdbc:")
+    val fromUri =
+      try Option(new java.net.URI(stripped).getRawPath).getOrElse("").stripPrefix("/")
+      catch { case _: java.net.URISyntaxException => "" }
+    val name =
+      if (fromUri.nonEmpty) fromUri
+      else "^[^:]+://[^/]*/([^/?;#]+)".r.findFirstMatchIn(stripped)
+        .map(_.group(1)).getOrElse("")
     require(name.nonEmpty, "Could not extract database name from DB_URL.")
     name
   }

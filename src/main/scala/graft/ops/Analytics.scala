@@ -312,6 +312,12 @@ object Analytics {
       .limit(10)
   }
 
+  /** Custkeys of orders placed in [lo, hi) — shared by the set-op queries. */
+  private def buyersIn(o: DataFrame, lo: String, hi: String): DataFrame = o
+    .filter(col("o_orderdate") >= lit(lo).cast("timestamp") &&
+      col("o_orderdate") < lit(hi).cast("timestamp"))
+    .select(col("o_custkey"))
+
   /** Set operators: (buyers-in-1995 ∪ buyers-in-1996) minus big spenders.
     * UNION/INTERSECT/EXCEPT all reduce to shuffles on the full row — keys
     * only here, so the shuffle payload stays minimal. */
@@ -326,13 +332,9 @@ object Analytics {
       |SELECT o_custkey FROM orders WHERE o_totalprice > 450000
       |ORDER BY o_custkey""".stripMargin) { (s, dir) =>
     val o = Tables.orders(s, dir)
-    def buyers(lo: String, hi: String): DataFrame = o
-      .filter(col("o_orderdate") >= lit(lo).cast("timestamp") &&
-        col("o_orderdate") < lit(hi).cast("timestamp"))
-      .select(col("o_custkey"))
     val big = o.filter(col("o_totalprice") > 450000).select(col("o_custkey"))
-    buyers("1995-01-01", "1996-01-01")
-      .union(buyers("1996-01-01", "1997-01-01")).distinct()
+    buyersIn(o, "1995-01-01", "1996-01-01")
+      .union(buyersIn(o, "1996-01-01", "1997-01-01")).distinct()
       .except(big)
       .orderBy(col("o_custkey"))
   }
@@ -477,14 +479,10 @@ object Analytics {
       |  WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00' AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00')
       |ORDER BY op, o_custkey""".stripMargin) { (s, dir) =>
     val o = Tables.orders(s, dir)
-    def buyers(lo: String, hi: String): DataFrame = o
-      .filter(col("o_orderdate") >= lit(lo).cast("timestamp") &&
-        col("o_orderdate") < lit(hi).cast("timestamp"))
-      .select(col("o_custkey"))
-    val a = buyers("1995-01-01", "1996-01-01")
-    val b = buyers("1996-01-01", "1997-01-01")
+    val a = buyersIn(o, "1995-01-01", "1996-01-01")
+    val b = buyersIn(o, "1996-01-01", "1997-01-01")
     a.intersectAll(b).select(lit("int").as("op"), col("o_custkey"))
-      .unionAll(a.exceptAll(b).select(lit("exc").as("op"), col("o_custkey")))
+      .union(a.exceptAll(b).select(lit("exc").as("op"), col("o_custkey")))
       .orderBy(col("op"), col("o_custkey"))
   }
 
@@ -502,7 +500,7 @@ object Analytics {
       |ORDER BY c.c_mktsegment""".stripMargin) { (s, dir) =>
     Tables.orders(s, dir).createOrReplaceTempView("orders_v")
     Tables.customer(s, dir).createOrReplaceTempView("customer_v")
-    s.sql(
+    val df = s.sql(
       """SELECT c.c_mktsegment, COUNT(*) AS n_big,
         |  CAST(SUM(CAST(o.o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_big
         |FROM orders_v o JOIN customer_v c ON c.c_custkey = o.o_custkey
@@ -510,6 +508,11 @@ object Analytics {
         |  (SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) FROM orders_v)
         |GROUP BY c.c_mktsegment
         |ORDER BY c.c_mktsegment""".stripMargin)
+    // spark.sql analyzes eagerly, so the resolved plan survives the views;
+    // drop them to keep the query free of session-level side effects
+    s.catalog.dropTempView("orders_v")
+    s.catalog.dropTempView("customer_v")
+    df
   }
 
   /** HLL sketch distinct — the one-pass mergeable scale path for q09's
