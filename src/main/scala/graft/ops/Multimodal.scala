@@ -76,6 +76,46 @@ object Multimodal {
     }
   }
 
+  /** STUB resize — stands in for an image rescale: strided byte sampling
+    * down to a fixed 32×32 "thumbnail" payload. Deterministic; the real
+    * implementation would swap in a codec call with the same signature. */
+  def resizeStub(payload: Array[Byte], outBytes: Int = 1024): Array[Byte] = {
+    if (payload.isEmpty) Array.emptyByteArray
+    else {
+      val out = new Array[Byte](math.min(outBytes, payload.length))
+      val stride = payload.length.toDouble / out.length
+      var i = 0
+      while (i < out.length) { out(i) = payload((i * stride).toInt); i += 1 }
+      out
+    }
+  }
+
+  final case class FrameFeature(doc_id: Long, frame_idx: Int, frame_bytes: Int, frame_mean: Float)
+
+  private val FrameSize = 256
+  private val SampleEvery = 4
+
+  /** STUB frame sampling — treats the payload as a "video" of
+    * [[FrameSize]]-byte frames and keeps every [[SampleEvery]]-th one,
+    * emitting one row per sampled frame (the one-to-many batch shape a
+    * real video decoder produces). Partition-local like
+    * [[extractFeatures]]; batches of [[BatchSize]] payloads per call. */
+  def sampleFrames(s: SparkSession, dir: String): Dataset[FrameFeature] = {
+    import s.implicits._
+    mediaTable(s, dir).as[MediaRow].mapPartitions { rows =>
+      rows.grouped(BatchSize).flatMap { batch =>
+        batch.flatMap { r =>
+          r.payload.grouped(FrameSize).zipWithIndex
+            .filter { case (_, idx) => idx % SampleEvery == 0 }
+            .map { case (frame, idx) =>
+              val (mean, _, _) = decodeStub(frame)
+              FrameFeature(r.doc_id, idx, frame.length, mean)
+            }
+        }
+      }
+    }
+  }
+
   /** Metadata projection — oracle-checkable (payload length + derived
     * metadata are pure functions of the fixture columns). The payload
     * column itself is pruned out of the scan here. */
@@ -95,10 +135,28 @@ object Multimodal {
   }
 
   /** Batched stub-decode features — rows-only check (the decode is not
-    * SQL-expressible by design; determinism is pinned by MultimodalSpec). */
+    * SQL-expressible by design; determinism is pinned by FunctionsSpec). */
   val q44MultimodalFeatures: QueryDef = rowsOnly("q44_multimodal_features") { (s, dir) =>
     extractFeatures(s, dir).toDF().orderBy(col("doc_id"))
   }
 
-  val all: Seq[QueryDef] = Seq(q43MultimodalMeta, q44MultimodalFeatures)
+  /** Frame-sampled "video" features with an oracle on the structural
+    * part: frame count/size/index arithmetic is a pure function of the
+    * payload length, so DuckDB can reproduce everything except the
+    * stubbed frame_mean (checked rows-only via q44's spec instead). */
+  val q53MultimodalFrames: QueryDef = sql(
+    "q53_multimodal_frames",
+    s"""SELECT doc_id, frame_idx,
+       |  CAST(LEAST($FrameSize, octet_length(encode(text)) - frame_idx * $FrameSize) AS INT) AS frame_bytes
+       |FROM (SELECT doc_id, text,
+       |        unnest(range(0, CAST(ceil(octet_length(encode(text)) / $FrameSize.0) AS INT))) AS frame_idx
+       |      FROM documents)
+       |WHERE frame_idx % $SampleEvery = 0
+       |ORDER BY doc_id, frame_idx""".stripMargin) { (s, dir) =>
+    sampleFrames(s, dir).toDF()
+      .select(col("doc_id"), col("frame_idx"), col("frame_bytes"))
+      .orderBy(col("doc_id"), col("frame_idx"))
+  }
+
+  val all: Seq[QueryDef] = Seq(q43MultimodalMeta, q44MultimodalFeatures, q53MultimodalFrames)
 }

@@ -182,6 +182,71 @@ object Similarity {
     },
     q38AnnBruteforce.oracle)
 
+  // ---- random-hyperplane LSH (sign-of-projection) ----
+  // Hyperplane coefficients are md5-derived (nibble - 7.5 per dimension),
+  // so both engines construct the identical planes from nothing but the
+  // plane index — no stored model, fully oracle-checkable.
+
+  private val NumPlanes = 8
+
+  /** Signed projection of `embedding` onto pseudo-random hyperplane k
+    * (Spark expression form; sequential fold, dims 1..64). */
+  private def planeDot(k: Int): Column = expr(
+    s"""aggregate(transform(sequence(1, 64), j ->
+       |  CAST(element_at(embedding, j) AS DOUBLE) *
+       |  (instr('0123456789abcdef',
+       |     substr(md5(concat('plane$k:', CAST((j-1) div 32 AS STRING))),
+       |            ((j-1) % 32) + 1, 1)) - 8.5)),
+       |CAST(0 AS DOUBLE), (a, x) -> a + x)""".stripMargin)
+
+  private def planeDotSql(k: Int): String =
+    s"""list_reduce(list_transform(range(1, 65), j ->
+       |  CAST(embedding[j] AS DOUBLE) *
+       |  (strpos('0123456789abcdef',
+       |     substr(md5('plane$k:' || CAST((j-1) // 32 AS VARCHAR)),
+       |            ((j-1) % 32) + 1, 1)) - 8.5)),
+       |(a, x) -> a + x)""".stripMargin
+
+  private def bucketExpr: Column =
+    (0 until NumPlanes).map(k => when(planeDot(k) > 0, 1 << k).otherwise(0): Column)
+      .reduce(_ + _)
+
+  private def bucketSql: String =
+    (0 until NumPlanes).map(k =>
+      s"(CASE WHEN ${planeDotSql(k)} > 0 THEN ${1 << k} ELSE 0 END)").mkString(" + ")
+
+  /** LSH-bucketed ANN: vectors hash to one of 2^[[NumPlanes]] sign
+    * buckets; the query multi-probes its own bucket plus all buckets at
+    * Hamming distance 1 (bucket XOR is 0 or a power of two) and ranks
+    * those candidates exactly. The alternate scale path next to IVF
+    * (q39) — bucket assignment is embarrassingly parallel (no training
+    * pass, no centroid join), at the cost of recall vs the quantizer. */
+  val q52AnnLsh: QueryDef = {
+    val powers = (0 until NumPlanes).map(1 << _)
+    sql(
+      "q52_ann_lsh",
+      s"""WITH ${withNormSql()},
+         |sig AS (SELECT vec_id, embedding, nrm, $bucketSql AS bucket FROM n),
+         |q AS (SELECT embedding AS qe, nrm AS qn, bucket AS qb FROM sig WHERE vec_id = $QueryVec)
+         |SELECT s.vec_id, ${dotSql("s.embedding", "q.qe")} / (s.nrm * q.qn) AS cosine
+         |FROM sig s, q
+         |WHERE (s.bucket = q.qb OR xor(s.bucket, q.qb) IN (${powers.mkString(", ")}))
+         |  AND s.vec_id != $QueryVec
+         |ORDER BY cosine DESC, s.vec_id
+         |LIMIT 10""".stripMargin) { (s, dir) =>
+      val sig = withNorm(s, dir).withColumn("bucket", bucketExpr)
+      val q = sig.filter(col("vec_id") === QueryVec)
+        .select(col("embedding").as("qe"), col("nrm").as("qn"), col("bucket").as("qb"))
+      val hamming1 = expr("bucket ^ qb").isin(powers: _*)
+      sig.crossJoin(broadcast(q))
+        .filter((col("bucket") === col("qb") || hamming1) && col("vec_id") =!= QueryVec)
+        .select(col("vec_id"), (dot("embedding", "qe") / (col("nrm") * col("qn"))).as("cosine"))
+        .orderBy(col("cosine").desc, col("vec_id"))
+        .limit(10)
+    }
+  }
+
   val all: Seq[QueryDef] = Seq(
-    q36ArrayNorms, q37EmbeddingNeardup, q38AnnBruteforce, q39AnnIvf, q45AnnNative)
+    q36ArrayNorms, q37EmbeddingNeardup, q38AnnBruteforce, q39AnnIvf,
+    q45AnnNative, q52AnnLsh)
 }

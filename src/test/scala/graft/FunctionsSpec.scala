@@ -82,6 +82,34 @@ class FunctionsSpec extends SparkSpec {
     f1.foreach(r => assert(meta(r.doc_id) == r.n_bytes.toLong))
   }
 
+  test("resize stub is deterministic and bounded") {
+    val payload = Array.tabulate(5000)(i => (i % 251).toByte)
+    val r1 = Multimodal.resizeStub(payload)
+    val r2 = Multimodal.resizeStub(payload)
+    assert(r1.toSeq == r2.toSeq)
+    assert(r1.length == 1024)
+    assert(Multimodal.resizeStub(Array.emptyByteArray).isEmpty)
+    assert(Multimodal.resizeStub(Array[Byte](1, 2, 3)).length == 3, "never upsamples")
+  }
+
+  test("frame sampling keeps every 4th frame with correct byte accounting") {
+    val frames = Multimodal.sampleFrames(spark, sfDir).collect()
+    assert(frames.nonEmpty)
+    frames.foreach { f =>
+      assert(f.frame_idx % 4 == 0)
+      assert(f.frame_bytes > 0 && f.frame_bytes <= 256)
+    }
+    // per doc: sampled frame count derivable from payload size
+    val byDoc = frames.groupBy(_.doc_id)
+    val sizes = Multimodal.q43MultimodalMeta.run(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    byDoc.foreach { case (doc, fs) =>
+      val nFrames = math.ceil(sizes(doc).toDouble / 256).toInt
+      val expected = (0 until nFrames).count(_ % 4 == 0)
+      assert(fs.length == expected)
+    }
+  }
+
   test("multimodal metadata scan prunes the payload column") {
     val q = Multimodal.q43MultimodalMeta.run(spark, sfDir)
     val scans = q.queryExecution.executedPlan.collectLeaves().map(_.toString).mkString
