@@ -10,6 +10,10 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // JVM/codegen/scheduler warmup on synthetic data so the first timed
+    // query doesn't absorb session initialization (no fixture data is
+    // touched or cached here)
+    spark.range(1L << 20).selectExpr("count(distinct id % 1000)").collect()
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
