@@ -436,6 +436,29 @@ object Analytics {
       .orderBy(col("event_type"))
   }
 
+  /** Schema-based JSON parsing (`from_json` into a typed struct — the
+    * Catalyst-native path next to q19's per-path `get_json_object`). */
+  val q54FromJson: QueryDef = sql(
+    "q54_from_json",
+    """SELECT event_type,
+      |  CAST(MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS min_k,
+      |  CAST(MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k,
+      |  COUNT(*) FILTER (WHERE CAST(json_extract_string(props, '$.k') AS BIGINT) IS NOT NULL) AS n_parsed
+      |FROM events
+      |GROUP BY event_type
+      |ORDER BY event_type""".stripMargin) { (s, dir) =>
+    val parsed = from_json(col("props"), org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("k", org.apache.spark.sql.types.LongType))))
+    Tables.events(s, dir)
+      .withColumn("j", parsed)
+      .groupBy(col("event_type"))
+      .agg(
+        min(col("j.k")).as("min_k"),
+        max(col("j.k")).as("max_k"),
+        count(col("j.k")).as("n_parsed"))
+      .orderBy(col("event_type"))
+  }
+
   /** CASE WHEN bucketing + conditional aggregation. */
   val q20CaseWhen: QueryDef = sql(
     "q20_case_when",
@@ -532,5 +555,5 @@ object Analytics {
     q06SemiJoin, q07AntiJoin, q08RangeJoin, q09DistinctUsers, q10Rollup,
     q11Cube, q12WindowRank, q13WindowRunning, q14TopOrders, q15SetOps,
     q16StringFns, q17DateFns, q18MathFns, q19JsonFns, q20CaseWhen,
-    q48ApproxDistinct, q50SetOpsAll, q51SqlInterface)
+    q48ApproxDistinct, q50SetOpsAll, q51SqlInterface, q54FromJson)
 }

@@ -1,0 +1,77 @@
+package graft
+
+import graft.ops.{Analytics, Dedup, StreamingOps}
+import graft.sources.Tables
+
+/** Cross-query invariants: independent queries over the same fixtures must
+  * agree with each other (a second correctness net on top of the DuckDB
+  * oracle — this one catches errors that would corrupt BOTH engines the
+  * same way, e.g. a wrong filter constant). */
+class ConsistencySpec extends SparkSpec {
+
+  test("q10 rollup grand total equals q01's sum over groups") {
+    val q01 = Analytics.q01PricingSummary.run(spark, sfDir).collect()
+    val grand = Analytics.q10Rollup.run(spark, sfDir).collect()
+      .find(r => r.getString(0) == "ALL" && r.getString(1) == "ALL").get
+    assert(grand.getAs[Long]("n") == q01.map(_.getAs[Long]("count_order")).sum)
+    val sumPrice = q01.map(_.getAs[Double]("sum_base_price")).sum
+    assert(math.abs(grand.getAs[Double]("sum_price") - sumPrice) < 1e-6)
+  }
+
+  test("q11 cube grand total equals the orders row count") {
+    val grand = Analytics.q11Cube.run(spark, sfDir).collect()
+      .find(r => r.getString(0) == "ALL" && r.getString(1) == "ALL").get
+    assert(grand.getAs[Long]("n") == Tables.orders(spark, sfDir).count())
+  }
+
+  test("semi and anti join partition the orders universe on their predicate") {
+    val anti = Analytics.q07AntiJoin.run(spark, sfDir).count()
+    val withLines = Tables.orders(spark, sfDir)
+      .join(Tables.lineitem(spark, sfDir).select("l_orderkey").distinct(),
+        org.apache.spark.sql.functions.col("o_orderkey") ===
+          org.apache.spark.sql.functions.col("l_orderkey"), "left_semi").count()
+    assert(anti + withLines == Tables.orders(spark, sfDir).count())
+  }
+
+  test("q09 exact distinct equals q48's exact column") {
+    val a = Analytics.q09DistinctUsers.run(spark, sfDir).collect()
+      .map(r => r.getString(0) -> r.getAs[Long]("n_users")).toMap
+    val b = Analytics.q48ApproxDistinct.run(spark, sfDir).collect()
+      .map(r => r.getString(0) -> r.getAs[Long]("exact_users")).toMap
+    assert(a == b)
+  }
+
+  test("q50 bag identity: intersectAll + exceptAll partition the 1995 bag") {
+    val rows = Analytics.q50SetOpsAll.run(spark, sfDir).collect()
+    val nInt = rows.count(_.getString(0) == "int")
+    val nExc = rows.count(_.getString(0) == "exc")
+    val a = Tables.orders(spark, sfDir).filter(
+      "o_orderdate >= timestamp'1995-01-01' and o_orderdate < timestamp'1996-01-01'").count()
+    assert(nInt + nExc == a)
+  }
+
+  test("sliding windows contain tumbling windows five times over") {
+    val tumbling = StreamingOps.q40EventsTumbling.run(spark, sfDir).collect()
+      .map(_.getAs[Long]("n")).sum
+    val sliding = StreamingOps.q49EventsSliding.run(spark, sfDir).collect()
+      .map(_.getAs[Long]("n")).sum
+    assert(sliding == 5 * tumbling)
+  }
+
+  test("as-of join output is one row per purchase") {
+    val purchases = Tables.events(spark, sfDir).filter("event_type = 'purchase'").count()
+    assert(graft.ops.Temporal.q46AsofJoin.run(spark, sfDir).count() == purchases)
+  }
+
+  test("minhash signature similarity upper-bounds verified jaccard pairs") {
+    // every verified pair (jaccard > 0.7) must agree on most signature components
+    val sigs = Dedup.q33Simhash.run(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r.getAs[Long]("simhash")).toMap
+    val verified = Dedup.q32NeardupVerified.run(spark, sfDir).collect()
+    verified.foreach { r =>
+      val (a, b) = (r.getLong(0), r.getLong(1))
+      val hamming = java.lang.Long.bitCount(sigs(a) ^ sigs(b))
+      assert(hamming <= 4, s"near-dup pair ($a,$b) has simhash hamming $hamming")
+    }
+  }
+}
