@@ -57,6 +57,19 @@ class FunctionsSpec extends SparkSpec {
     assert(viaSql == got)
   }
 
+  test("optimizer rule rewrites the cosine_sim UDF into the native expression") {
+    Udfs.registerAll(spark)
+    graft.functions.GraftExtensions.install(spark)
+    val e = Tables.embeddings(spark, sfDir).limit(20)
+    e.createOrReplaceTempView("emb_rule_test")
+    val q = spark.sql("SELECT vec_id, cosine_sim(embedding, embedding) AS c FROM emb_rule_test")
+    val plan = q.queryExecution.optimizedPlan.toString
+    assert(plan.contains("cosinesimilarity"), s"UDF should be rewritten:\n$plan")
+    assert(!plan.toLowerCase.contains("scalaudf"), s"no UDF should remain:\n$plan")
+    q.collect().foreach(r => assert(math.abs(r.getDouble(1) - 1.0) < 1e-9))
+    spark.catalog.dropTempView("emb_rule_test")
+  }
+
   test("native expression rejects wrong input types at analysis") {
     CosineSimilarity.register(spark)
     import spark.implicits._
