@@ -1,0 +1,67 @@
+package graft
+
+import java.nio.file.Files
+
+import scala.util.Random
+
+import graft.ops.Similarity
+
+/** ANN quality on a *generated* clustered corpus — the driver fixture's
+  * embeddings are near-isotropic (no true neighbors), so recall there is
+  * meaningless. Here: 8 well-separated cluster centers (stored as vectors
+  * 0..7, which q39 uses as its quantizer), 30 noisy members each. The
+  * query vector (vec 0) is itself a center, so its cluster members are the
+  * true nearest neighbors. */
+class AnnQualitySpec extends SparkSpec {
+
+  private def generateClustered(): String = {
+    val rnd = new Random(7)
+    def unit(v: Array[Float]): Array[Float] = {
+      val n = math.sqrt(v.map(x => x * x.toDouble).sum).toFloat
+      v.map(_ / n)
+    }
+    val centers = Array.fill(8)(unit(Array.fill(64)(rnd.nextGaussian().toFloat)))
+    val rows = scala.collection.mutable.ArrayBuffer[(Long, Array[Float], Int)]()
+    centers.zipWithIndex.foreach { case (c, i) => rows += ((i.toLong, c, i)) }
+    var id = 8L
+    centers.zipWithIndex.foreach { case (c, label) =>
+      (0 until 30).foreach { _ =>
+        val noisy = unit(c.zip(Array.fill(64)(rnd.nextGaussian().toFloat * 0.15f)).map { case (a, b) => a + b })
+        rows += ((id, noisy, label)); id += 1
+      }
+    }
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-annq").toString
+    rows.toSeq.toDF("vec_id", "embedding", "label")
+      .write.parquet(s"$dir/embeddings.parquet")
+    dir
+  }
+
+  test("IVF recall is high when clusters are real") {
+    val dir = generateClustered()
+    val brute = Similarity.q38AnnBruteforce.run(spark, dir).collect().map(_.getLong(0)).toSet
+    val ivf = Similarity.q39AnnIvf.run(spark, dir).collect().map(_.getLong(0)).toSet
+    val recall = brute.intersect(ivf).size
+    assert(recall >= 8, s"IVF recall@10 = $recall, expected >= 8 on clustered data")
+  }
+
+  test("brute-force top-k on clustered data returns the query's own cluster") {
+    val dir = generateClustered()
+    val top = Similarity.q38AnnBruteforce.run(spark, dir).collect()
+    // members of cluster 0 are ids 8..37; all top hits should come from there
+    val fromCluster = top.count { r => val v = r.getLong(0); v >= 8 && v < 38 }
+    assert(fromCluster == 10, s"expected all top-10 from cluster 0, got $fromCluster")
+    top.foreach(r => assert(r.getAs[Double]("cosine") > 0.7))
+  }
+
+  test("LSH cosines are bit-identical to brute force on shared hits") {
+    val dir = generateClustered()
+    val brute = Similarity.q38AnnBruteforce.run(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getAs[Double]("cosine")).toMap
+    val lsh = Similarity.q52AnnLsh.run(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getAs[Double]("cosine")).toMap
+    val shared = brute.keySet.intersect(lsh.keySet)
+    assert(shared.nonEmpty, "clustered data should put true neighbors in the query's LSH bucket")
+    shared.foreach(k => assert(brute(k) == lsh(k)))
+  }
+}

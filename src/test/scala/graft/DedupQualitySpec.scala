@@ -1,0 +1,66 @@
+package graft
+
+import java.nio.file.Files
+
+import scala.util.Random
+
+import graft.ops.Dedup
+
+/** Dedup quality on a *generated* corpus with planted duplicates —
+  * validates the MinHash-LSH machinery itself (recall on known near-dups,
+  * exact-dup accounting), independent of the driver fixtures. Seeded, so
+  * deterministic. */
+class DedupQualitySpec extends SparkSpec {
+
+  private val vocab = Vector("alpha", "bravo", "charlie", "delta", "echo", "foxtrot",
+    "golf", "hotel", "india", "juliet", "kilo", "lima", "mike", "november",
+    "oscar", "papa", "quebec", "romeo", "sierra", "tango", "uniform", "victor")
+
+  /** 80 base docs; docs 0..19 get a near-dup copy (3 of ~60 tokens
+    * mutated → 3-gram jaccard ≈ 0.85); docs 20..24 get exact copies. */
+  private def generateCorpus(): (String, Seq[(Long, Long)], Int) = {
+    val rnd = new Random(42)
+    def doc(): Seq[String] = Seq.fill(60)(vocab(rnd.nextInt(vocab.length)))
+    val bases = Seq.fill(80)(doc())
+    val nearPairs = (0 until 20).map { i =>
+      val mutated = bases(i).toArray
+      (0 until 3).foreach(_ => mutated(rnd.nextInt(mutated.length)) = vocab(rnd.nextInt(vocab.length)))
+      (i.toLong, (100 + i).toLong) -> mutated.toSeq
+    }
+    val exactCopies = (20 until 25).map(i => (200 + i).toLong -> bases(i))
+    val rows = bases.zipWithIndex.map { case (toks, i) => (i.toLong, toks.mkString(" ")) } ++
+      nearPairs.map { case ((_, id), toks) => (id, toks.mkString(" ")) } ++
+      exactCopies.map { case (id, toks) => (id, toks.mkString(" ")) }
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val dir = Files.createTempDirectory("graft-dedupq").toString
+    rows.toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("gen"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .write.parquet(s"$dir/documents.parquet")
+    (dir, nearPairs.map(_._1._1).zip(nearPairs.map(_._1._2)), exactCopies.length)
+  }
+
+  test("MinHash-LSH + Jaccard verification recovers planted near-duplicates") {
+    val (dir, planted, _) = generateCorpus()
+    val verified = Dedup.q32NeardupVerified.run(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val found = planted.count { case (a, b) => verified.contains((a, b)) || verified.contains((b, a)) }
+    assert(found >= (planted.size * 0.9).toInt,
+      s"recall too low: $found of ${planted.size} planted near-dups found")
+  }
+
+  test("exact dedup counts the planted exact copies") {
+    val (dir, _, nExact) = generateCorpus()
+    val r = Dedup.q30DedupExact.run(spark, dir).collect().head
+    assert(r.getAs[Long]("n_exact_dupes") == nExact.toLong)
+    assert(r.getAs[Long]("max_group") == 2L)
+  }
+
+  test("verified pairs have exact jaccard above threshold (no false positives)") {
+    val (dir, _, _) = generateCorpus()
+    Dedup.q32NeardupVerified.run(spark, dir).collect().foreach { r =>
+      assert(r.getAs[Double]("jaccard") > 0.7)
+    }
+  }
+}
