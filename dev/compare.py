@@ -38,6 +38,16 @@ def main():
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
     oracles = json.load(open(f"{out_dir}/oracle_sql.json"))
     n_pass = n_fail = 0
+    # rows-only check for queries without an oracle (mimics the driver's weaker gate)
+    for d in sorted(os.listdir(out_dir)):
+        path = os.path.join(out_dir, d)
+        if os.path.isdir(path) and d not in oracles:
+            files = glob.glob(f"{path}/*.parquet")
+            n = con.sql(f"SELECT count(*) FROM read_parquet({files!r})").fetchone()[0] if files else 0
+            if n > 0:
+                print(f"PASS {d} (rows-only, {n} rows)"); n_pass += 1
+            else:
+                print(f"FAIL {d}: rows-only query returned no rows"); n_fail += 1
     for name, sql_text in sorted(oracles.items()):
         res_dir = f"{out_dir}/{name}"
         files = glob.glob(f"{res_dir}/*.parquet")
