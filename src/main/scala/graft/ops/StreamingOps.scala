@@ -157,6 +157,26 @@ object StreamingOps {
       .withWatermark("ts", "10 minutes")
       .dropDuplicatesWithinWatermark("user_id", "event_type")
 
+  /** Stream-stream inner join: purchases joined to the same user's clicks
+    * from the previous 10 minutes. Watermarks bound both sides' state —
+    * Spark retains clicks only as long as a matching purchase could still
+    * arrive. The batch face is Temporal.q55IntervalJoin. */
+  def purchaseClickJoin(purchases: DataFrame, clicks: DataFrame): DataFrame = {
+    val p = purchases.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id").as("p_user"),
+        col("ts").as("purchase_ts"))
+      .withWatermark("purchase_ts", "20 minutes")
+    val c = clicks.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id").as("c_user"),
+        col("ts").as("click_ts"))
+      .withWatermark("click_ts", "20 minutes")
+    p.join(c, col("c_user") === col("p_user") &&
+      col("click_ts") >= col("purchase_ts") - expr("INTERVAL 10 MINUTES") &&
+      col("click_ts") < col("purchase_ts"))
+      .select(col("purchase_id"), col("click_id"), col("p_user").as("user_id"),
+        col("purchase_ts"), col("click_ts"))
+  }
+
   /** Custom state with selective emission: flatMapGroupsWithState emits a
     * row only when a user's value sets a new high-watermark (append mode —
     * zero rows for batches that don't move the max). */

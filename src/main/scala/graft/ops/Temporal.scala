@@ -76,5 +76,34 @@ object Temporal {
       .orderBy(col("user_id"))
   }
 
-  val all: Seq[QueryDef] = Seq(q46AsofJoin, q47Pivot)
+  /** Interval self-join: every (purchase, click) pair of the same user
+    * where the click happened in the 10 minutes before the purchase — the
+    * events-on-time-window theta join. Equi on user_id (so the shuffle is
+    * keyed), range condition applied inside the join; at scale this is a
+    * sort-merge join with a bounded time band, and the streaming face
+    * (StreamingOps.purchaseClickJoin) runs the same condition with
+    * watermark-bounded state. */
+  val q55IntervalJoin: QueryDef = sql(
+    "q55_interval_join",
+    """SELECT p.event_id AS purchase_id, c.event_id AS click_id, p.user_id,
+      |  p.ts AS purchase_ts, c.ts AS click_ts
+      |FROM events p JOIN events c
+      |  ON c.user_id = p.user_id
+      |  AND p.event_type = 'purchase' AND c.event_type = 'click'
+      |  AND c.ts >= p.ts - INTERVAL 10 MINUTE AND c.ts < p.ts
+      |ORDER BY purchase_id, click_id""".stripMargin) { (s, dir) =>
+    val ev = Tables.events(s, dir)
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"), col("ts").as("purchase_ts"))
+    val c = ev.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id").as("c_user"), col("ts").as("click_ts"))
+    p.join(c, col("c_user") === col("user_id") &&
+        col("click_ts") >= col("purchase_ts") - expr("INTERVAL 10 MINUTES") &&
+        col("click_ts") < col("purchase_ts"))
+      .select(col("purchase_id"), col("click_id"), col("user_id"),
+        col("purchase_ts"), col("click_ts"))
+      .orderBy(col("purchase_id"), col("click_id"))
+  }
+
+  val all: Seq[QueryDef] = Seq(q46AsofJoin, q47Pivot, q55IntervalJoin)
 }

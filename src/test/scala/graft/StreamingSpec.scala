@@ -102,6 +102,20 @@ class StreamingSpec extends SparkSpec {
     assert(!minuteStarts.contains((base - 7200) - (base - 7200) % 60), "late row beyond watermark was dropped")
   }
 
+  test("stream-stream interval join equals the batch interval join") {
+    val dir = stageEvents()
+    val got = runToMemory(
+      StreamingOps.purchaseClickJoin(
+        StreamingOps.eventsStream(spark, dir),
+        StreamingOps.eventsStream(spark, dir)),
+      "t_ssjoin", "append")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val want = graft.ops.Temporal.q55IntervalJoin.run(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == want)
+    assert(want.nonEmpty, "fixture should contain click-before-purchase pairs")
+  }
+
   test("flatMapGroupsWithState emits only high-watermark events, ending at the batch max") {
     val got = runToMemory(
       StreamingOps.highWatermarkEvents(spark, StreamingOps.eventsStream(spark, stageEvents())),
