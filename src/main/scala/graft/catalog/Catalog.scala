@@ -59,22 +59,32 @@ object Catalog {
     spark.read.parquet(s"$dir/index_cols.parquet"),
     spark.read.parquet(s"$dir/fk_cols.parquet"))
 
-  /** Live-RDBMS catalog over JDBC, replacing the reference's N+1 access
-    * pattern (one reflect + 2 round-trips per table, `app.py:28,32-33`)
-    * with three bulk `information_schema` scans — each pushed down to the
-    * server as a single query via the JDBC `query` option.
-    *
-    * Dialects: MySQL (`information_schema.statistics`) and PostgreSQL
-    * (`information_schema.table_constraints`-based), per the reference's
-    * supported backends (`/root/reference/README.md:21-28`,
-    * `requirements.txt:2-5`). Code-complete; not exercised in this harness
-    * (no live DB) — unit coverage is via [[fromRows]].
-    */
+  /** Normalize the loosely-typed relations a JDBC catalog read produces
+    * into the shapes the rule engine expects. MySQL in particular returns
+    * boolean expressions (`c.column_key = 'PRI'`, `EXISTS(...)`) as BIGINT
+    * 0/1 over JDBC — without this cast, `!col("is_unique")` in Rules would
+    * throw AnalysisException on a live-MySQL catalog. Casting an
+    * already-boolean column is a no-op, so the generic/Derby path is
+    * unaffected. */
+  def normalize(c: Catalog): Catalog = {
+    import org.apache.spark.sql.functions.col
+    def casts(df: DataFrame, types: Map[String, String]): DataFrame =
+      types.foldLeft(df) { case (d, (name, tpe)) =>
+        if (d.columns.contains(name)) d.withColumn(name, col(name).cast(tpe)) else d
+      }
+    Catalog(
+      casts(c.columns, Map(
+        "table_seq" -> "int", "ordinal" -> "int", "char_max_length" -> "int",
+        "is_nullable" -> "boolean", "is_unique" -> "boolean", "is_primary_key" -> "boolean")),
+      c.indexCols,
+      casts(c.fkCols, Map("ordinal_position" -> "int")))
+  }
+
   /** Lowest-level JDBC entry: three catalog queries (columns / index
-    * columns / FK columns, shaped per §1.3) pushed to the server whole.
-    * The dialect methods below supply the information_schema SQL;
-    * custom/embedded engines (tests use in-memory Derby) can pass their
-    * own. */
+    * columns / FK columns, shaped per §1.3) pushed to the server whole via
+    * the JDBC `query` option. The [[Dialects]] object supplies the
+    * MySQL/PostgreSQL information_schema SQL; custom/embedded engines
+    * (tests use in-memory Derby) can pass their own. */
   def fromJdbcQueries(
       spark: SparkSession, url: String,
       columnsSql: String, indexColsSql: String, fkColsSql: String,
@@ -83,65 +93,17 @@ object Catalog {
       val r = spark.read.format("jdbc").option("url", url).option("query", query)
       driver.fold(r)(d => r.option("driver", d)).load()
     }
-    Catalog(jdbc(columnsSql), jdbc(indexColsSql), jdbc(fkColsSql))
+    normalize(Catalog(jdbc(columnsSql), jdbc(indexColsSql), jdbc(fkColsSql)))
   }
 
+  /** Live-RDBMS catalog over JDBC, replacing the reference's N+1 access
+    * pattern (one reflect + 2 round-trips per table, `app.py:28,32-33`)
+    * with three bulk `information_schema` scans — SQL per backend in
+    * [[Dialects]] (every string exercised by JdbcCatalogSpec against mock
+    * catalog tables), result types normalized by [[normalize]]. */
   def fromJdbc(spark: SparkSession, url: String, database: String, dialect: String = "mysql"): Catalog = {
     require(database.nonEmpty, "Could not extract database name from DB_URL.") // app.py:20
-    def jdbc(query: String): DataFrame =
-      spark.read.format("jdbc").option("url", url).option("query", query).load()
-    dialect match {
-      case "mysql" => Catalog(
-        jdbc(s"""SELECT c.table_name, DENSE_RANK() OVER (ORDER BY c.table_name) AS table_seq,
-                 |       c.column_name, c.ordinal_position AS ordinal,
-                 |       UPPER(c.data_type) AS data_type,
-                 |       c.character_maximum_length AS char_max_length,
-                 |       c.is_nullable = 'YES' AS is_nullable,
-                 |       EXISTS (SELECT 1 FROM information_schema.statistics s
-                 |               WHERE s.table_schema = c.table_schema AND s.table_name = c.table_name
-                 |                 AND s.column_name = c.column_name AND s.non_unique = 0
-                 |                 AND s.index_name <> 'PRIMARY') AS is_unique,
-                 |       c.column_key = 'PRI' AS is_primary_key
-                 |FROM information_schema.columns c
-                 |WHERE c.table_schema = '$database'""".stripMargin),
-        jdbc(s"""SELECT s.table_name, s.index_name, s.column_name
-                 |FROM information_schema.statistics s
-                 |WHERE s.table_schema = '$database' AND s.index_name <> 'PRIMARY'""".stripMargin),
-        jdbc(s"""SELECT k.table_name, k.constraint_name, k.column_name,
-                 |       k.ordinal_position, k.referenced_table_name AS referenced_table
-                 |FROM information_schema.key_column_usage k
-                 |WHERE k.table_schema = '$database' AND k.referenced_table_name IS NOT NULL""".stripMargin))
-      case "postgresql" => Catalog(
-        jdbc(s"""SELECT c.table_name, DENSE_RANK() OVER (ORDER BY c.table_name) AS table_seq,
-                 |       c.column_name, c.ordinal_position AS ordinal,
-                 |       UPPER(c.data_type) AS data_type,
-                 |       c.character_maximum_length AS char_max_length,
-                 |       c.is_nullable = 'YES' AS is_nullable,
-                 |       EXISTS (SELECT 1 FROM information_schema.table_constraints tc
-                 |               JOIN information_schema.constraint_column_usage cu
-                 |                 ON cu.constraint_name = tc.constraint_name
-                 |               WHERE tc.constraint_type = 'UNIQUE' AND tc.table_name = c.table_name
-                 |                 AND cu.column_name = c.column_name) AS is_unique,
-                 |       EXISTS (SELECT 1 FROM information_schema.table_constraints tc
-                 |               JOIN information_schema.constraint_column_usage cu
-                 |                 ON cu.constraint_name = tc.constraint_name
-                 |               WHERE tc.constraint_type = 'PRIMARY KEY' AND tc.table_name = c.table_name
-                 |                 AND cu.column_name = c.column_name) AS is_primary_key
-                 |FROM information_schema.columns c
-                 |WHERE c.table_catalog = '$database' AND c.table_schema = 'public'""".stripMargin),
-        jdbc("""SELECT t.relname AS table_name, i.relname AS index_name, a.attname AS column_name
-                 |FROM pg_index ix
-                 |JOIN pg_class t ON t.oid = ix.indrelid
-                 |JOIN pg_class i ON i.oid = ix.indexrelid
-                 |JOIN pg_attribute a ON a.attrelid = t.oid AND a.attnum = ANY(ix.indkey)
-                 |WHERE NOT ix.indisprimary""".stripMargin),
-        jdbc("""SELECT tc.table_name, tc.constraint_name, kcu.column_name,
-                 |       kcu.ordinal_position, ccu.table_name AS referenced_table
-                 |FROM information_schema.table_constraints tc
-                 |JOIN information_schema.key_column_usage kcu ON kcu.constraint_name = tc.constraint_name
-                 |JOIN information_schema.constraint_column_usage ccu ON ccu.constraint_name = tc.constraint_name
-                 |WHERE tc.constraint_type = 'FOREIGN KEY'""".stripMargin))
-      case other => throw new IllegalArgumentException(s"unsupported dialect: $other")
-    }
+    val d = Dialects(dialect, database)
+    fromJdbcQueries(spark, url, d.columnsSql, d.indexColsSql, d.fkColsSql)
   }
 }

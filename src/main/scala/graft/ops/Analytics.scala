@@ -550,10 +550,67 @@ object Analytics {
       .orderBy(col("event_type"))
   }
 
+  /** TPC-H Q2/Q11-flavored supplier ranking (no partsupp fixture, so the
+    * cost relation is lineitem): revenue per supplier, top 3 per nation.
+    * supplier and nation are always-small dims → broadcast into the fact
+    * scan; the agg is two-phase on (nation, supplier); the per-nation
+    * top-k runs as WindowGroupLimit (rank pushed into the shuffle), never
+    * a global sort. Covers the one fixture table (supplier) no other
+    * query scans. */
+  val q56SupplierRanking: QueryDef = sql(
+    "q56_supplier_ranking",
+    """SELECT n_name, s_suppkey, s_name, revenue, rnk FROM (
+      |  SELECT n_name, s_suppkey, s_name, revenue,
+      |    CAST(ROW_NUMBER() OVER (PARTITION BY n_name ORDER BY revenue DESC, s_suppkey) AS INT) AS rnk
+      |  FROM (
+      |    SELECT n.n_name, s.s_suppkey, s.s_name,
+      |      CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l.l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue
+      |    FROM lineitem l
+      |    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      |    JOIN nation n ON s.s_nationkey = n.n_nationkey
+      |    GROUP BY n.n_name, s.s_suppkey, s.s_name))
+      |WHERE rnk <= 3
+      |ORDER BY n_name, rnk""".stripMargin) { (s, dir) =>
+    val sup = Tables.supplier(s, dir)
+    val nat = Tables.nation(s, dir)
+    val l = Tables.lineitem(s, dir)
+    val one = lit(1).cast(DecimalType(3, 2))
+    val w = Window.partitionBy(col("n_name")).orderBy(col("revenue").desc, col("s_suppkey"))
+    l.join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"), col("s_suppkey"), col("s_name"))
+      .agg(dsum(money(col("l_extendedprice")) * (one - rate(col("l_discount")))).as("revenue"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 3)
+      .select(col("n_name"), col("s_suppkey"), col("s_name"), col("revenue"), col("rnk"))
+      .orderBy(col("n_name"), col("rnk"))
+  }
+
+  /** The UDAF extension point in the driver contract: weighted mean of
+    * discount by quantity per return flag through
+    * [[graft.functions.Udfs.WeightedMean]] (`functions.udaf`). The
+    * Aggregator's buffer is exact decimal, so the result is
+    * order-independent and hash-matches DuckDB's
+    * `CAST(SUM(v·w) AS DOUBLE) / CAST(SUM(w) AS DOUBLE)`. */
+  val q57WeightedMean: QueryDef = sql(
+    "q57_weighted_mean",
+    """SELECT l_returnflag,
+      |  CAST(SUM(CAST(l_discount AS DECIMAL(4,2)) * CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE)
+      |    / CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS wavg_discount
+      |FROM lineitem
+      |GROUP BY l_returnflag
+      |ORDER BY l_returnflag""".stripMargin) { (s, dir) =>
+    Tables.lineitem(s, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(graft.functions.Udfs.weightedMean(col("l_discount"), col("l_quantity")).as("wavg_discount"))
+      .orderBy(col("l_returnflag"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     q01PricingSummary, q02SelectiveFilter, q03ShippingPriority, q05LocalRevenue,
     q06SemiJoin, q07AntiJoin, q08RangeJoin, q09DistinctUsers, q10Rollup,
     q11Cube, q12WindowRank, q13WindowRunning, q14TopOrders, q15SetOps,
     q16StringFns, q17DateFns, q18MathFns, q19JsonFns, q20CaseWhen,
-    q48ApproxDistinct, q50SetOpsAll, q51SqlInterface, q54FromJson)
+    q48ApproxDistinct, q50SetOpsAll, q51SqlInterface, q54FromJson,
+    q56SupplierRanking, q57WeightedMean)
 }

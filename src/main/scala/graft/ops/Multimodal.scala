@@ -140,6 +140,25 @@ object Multimodal {
     extractFeatures(s, dir).toDF().orderBy(col("doc_id"))
   }
 
+  /** The structural slice of q44, hash-verified: `n_bytes` and `f_len`
+    * are pure functions of `octet_length(encode(text))`, so DuckDB can
+    * reproduce them — and because this SELECTs from the real
+    * [[extractFeatures]] mapPartitions pipeline, the batched-decode
+    * plumbing itself is oracle-checked (only the stubbed mean/max floats
+    * stay rows-only in q44). `f_len` is float÷float — IEEE single
+    * division is bit-identical in both engines. */
+  val q44aMultimodalStruct: QueryDef = sql(
+    "q44a_multimodal_struct",
+    """SELECT doc_id,
+      |  CAST(octet_length(encode(text)) AS INT) AS n_bytes,
+      |  CAST(octet_length(encode(text)) AS REAL) / CAST(255 AS REAL) AS f_len
+      |FROM documents
+      |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    extractFeatures(s, dir).toDF()
+      .select(col("doc_id"), col("n_bytes"), col("f_len"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Frame-sampled "video" features with an oracle on the structural
     * part: frame count/size/index arithmetic is a pure function of the
     * payload length, so DuckDB can reproduce everything except the
@@ -158,5 +177,6 @@ object Multimodal {
       .orderBy(col("doc_id"), col("frame_idx"))
   }
 
-  val all: Seq[QueryDef] = Seq(q43MultimodalMeta, q44MultimodalFeatures, q53MultimodalFrames)
+  val all: Seq[QueryDef] = Seq(
+    q43MultimodalMeta, q44MultimodalFeatures, q44aMultimodalStruct, q53MultimodalFrames)
 }

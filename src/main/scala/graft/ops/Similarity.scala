@@ -149,10 +149,11 @@ object Similarity {
     val wAssign = Window.partitionBy(col("vec_id")).orderBy(col("cosine").desc, col("cid"))
     val assign = ac.withColumn("rn", row_number().over(wAssign))
       .filter(col("rn") === 1).select(col("vec_id"), col("cid"))
-    val wProbe = Window.orderBy(col("cosine").desc, col("cid"))
+    // NumCentroids-row input: a plain top-k (TakeOrderedAndProject) — no
+    // unpartitioned Window, so nothing ever funnels to a single partition
     val probe = ac.filter(col("vec_id") === QueryVec)
-      .withColumn("rn", row_number().over(wProbe))
-      .filter(col("rn") <= NumProbe).select(col("cid"))
+      .orderBy(col("cosine").desc, col("cid"))
+      .limit(NumProbe).select(col("cid"))
     val q = n.filter(col("vec_id") === QueryVec)
       .select(col("embedding").as("qe"), col("nrm").as("qn"))
     n.join(assign, "vec_id").join(broadcast(probe), "cid")

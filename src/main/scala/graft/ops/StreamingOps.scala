@@ -47,14 +47,14 @@ object StreamingOps {
   val q41SessionWindows: QueryDef = sql(
     "q41_session_windows",
     """WITH lagd AS (
-      |  SELECT user_id, ts,
+      |  SELECT user_id, ts, event_id,
       |    CASE WHEN LAG(ts) OVER w IS NULL
       |           OR ts - LAG(ts) OVER w >= INTERVAL 5 MINUTE THEN 1 ELSE 0 END AS new_s
       |  FROM events
       |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
       |sess AS (
       |  SELECT user_id, ts,
-      |    SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, user_id ROWS UNBOUNDED PRECEDING) AS sid
+      |    SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS sid
       |  FROM lagd)
       |SELECT user_id, MIN(ts) AS session_start,
       |  MAX(ts) + INTERVAL 5 MINUTE AS session_end,

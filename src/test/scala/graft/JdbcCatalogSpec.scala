@@ -2,7 +2,9 @@ package graft
 
 import java.sql.DriverManager
 
-import graft.catalog.Catalog
+import org.apache.spark.sql.DataFrame
+
+import graft.catalog.{Catalog, Dialects}
 import graft.ops.SchemaLint
 import graft.rules.Rules
 
@@ -69,5 +71,165 @@ class JdbcCatalogSpec extends SparkSpec {
       .map(r => (r.getString(0), r.getString(1), r.getString(2))).toSeq
     assert(viaJdbc == inMemory)
     assert(viaJdbc.length == 18)
+  }
+
+  // ---- dialect SQL validation -------------------------------------------
+  // The MySQL/PostgreSQL information_schema SQL in Dialects cannot run
+  // against a live server here (zero egress), so every query string is
+  // executed by Spark SQL against mock catalog tables with the real
+  // backends' column names — a typo'd column or syntax slip fails these
+  // tests. One documented shim: Spark has no `x = ANY(array)` operator, so
+  // the PG idiom `a.attnum = ANY(ix.indkey)` is mechanically rewritten to
+  // `array_contains(ix.indkey, a.attnum)` before execution (same
+  // semantics; everything else runs verbatim).
+
+  private def shimAny(sql: String): String =
+    """(\w+(?:\.\w+)*)\s*=\s*ANY\((\w+(?:\.\w+)*)\)""".r
+      .replaceAllIn(sql, m => s"array_contains(${m.group(2)}, ${m.group(1)})")
+
+  private def mockInformationSchema(): Unit = {
+    val s = spark
+    import s.implicits._
+    s.sql("CREATE DATABASE IF NOT EXISTS information_schema")
+    def save(df: DataFrame, name: String): Unit = {
+      s.sql(s"DROP TABLE IF EXISTS information_schema.$name")
+      // a crashed previous run can leave the location behind without a
+      // catalog entry — clear it so saveAsTable doesn't refuse
+      val loc = new org.apache.hadoop.fs.Path(
+        s.conf.get("spark.sql.warehouse.dir") + s"/information_schema.db/$name")
+      val fs = loc.getFileSystem(s.sessionState.newHadoopConf())
+      if (fs.exists(loc)) fs.delete(loc, true)
+      df.write.saveAsTable(s"information_schema.$name")
+    }
+    // two schemas side by side: MySQL rows live in table_schema='mydb',
+    // PostgreSQL rows in table_schema='public' of table_catalog='pgdb'
+    save(Seq(
+      // (catalog, schema, table, column, ordinal, type, len, nullable, key)
+      ("def", "mydb", "users", "id", 1, "int", null.asInstanceOf[Integer], "NO", "PRI"),
+      ("def", "mydb", "users", "email", 2, "varchar", Integer.valueOf(255), "NO", ""),
+      ("def", "mydb", "users", "bio", 3, "text", Integer.valueOf(1000), "YES", ""),
+      ("def", "mydb", "orders", "id", 1, "int", null.asInstanceOf[Integer], "NO", "PRI"),
+      ("def", "mydb", "orders", "user_id", 2, "int", null.asInstanceOf[Integer], "YES", "MUL"),
+      ("def", "mydb", "orders", "total_amount", 3, "double", null.asInstanceOf[Integer], "YES", ""),
+      ("pgdb", "public", "users", "id", 1, "integer", null.asInstanceOf[Integer], "NO", ""),
+      ("pgdb", "public", "users", "email", 2, "character varying", Integer.valueOf(255), "NO", ""),
+      ("pgdb", "public", "orders", "user_id", 1, "integer", null.asInstanceOf[Integer], "YES", ""))
+      .toDF("table_catalog", "table_schema", "table_name", "column_name",
+        "ordinal_position", "data_type", "character_maximum_length", "is_nullable", "column_key"),
+      "columns")
+    save(Seq(
+      ("mydb", "users", "email", 0, "ux_email"),
+      ("mydb", "users", "id", 0, "PRIMARY"),    // PRIMARY must be excluded
+      ("mydb", "orders", "user_id", 1, "ix_user"))
+      .toDF("table_schema", "table_name", "column_name", "non_unique", "index_name"),
+      "statistics")
+    save(Seq(
+      // MySQL shape: referenced_table_name set only for FKs (constraint
+      // name distinct from the PG one — PG's fkColsSql joins on
+      // constraint_name with no schema filter, as in a real PG catalog)
+      ("mydb", "orders", "orders_ibfk_1", "user_id", 1, "users"),
+      ("mydb", "users", "PRIMARY", "id", 1, null.asInstanceOf[String]),
+      // PG shape: same table, no referenced_table_name (comes via ccu)
+      ("pgdb", "orders", "fk_orders_users", "user_id", 1, null.asInstanceOf[String]))
+      .toDF("table_schema", "table_name", "constraint_name", "column_name",
+        "ordinal_position", "referenced_table_name"),
+      "key_column_usage")
+    save(Seq(
+      ("UNIQUE", "users", "ux_email"),
+      ("PRIMARY KEY", "users", "pk_users"),
+      ("FOREIGN KEY", "orders", "fk_orders_users"))
+      .toDF("constraint_type", "table_name", "constraint_name"),
+      "table_constraints")
+    save(Seq(
+      ("ux_email", "email", "users"),
+      ("pk_users", "id", "users"),
+      ("fk_orders_users", "id", "users")) // for FKs, ccu points at the REFERENCED table
+      .toDF("constraint_name", "column_name", "table_name"),
+      "constraint_column_usage")
+    // pg_catalog relations are referenced unqualified → temp views
+    Seq((100L, 200L, Seq(2), false), (100L, 201L, Seq(1), true))
+      .toDF("indrelid", "indexrelid", "indkey", "indisprimary")
+      .createOrReplaceTempView("pg_index")
+    Seq((100L, "users"), (200L, "ux_email"), (201L, "pk_users"))
+      .toDF("oid", "relname").createOrReplaceTempView("pg_class")
+    Seq((100L, 1, "id"), (100L, 2, "email"), (100L, 3, "bio"))
+      .toDF("attrelid", "attnum", "attname").createOrReplaceTempView("pg_attribute")
+  }
+
+  test("MySQL dialect SQL executes against information_schema mocks and yields the §1.3 shape") {
+    mockInformationSchema()
+    val d = Dialects.mysql("mydb")
+    val cols = Catalog.normalize(Catalog(
+      spark.sql(d.columnsSql), spark.sql(d.indexColsSql), spark.sql(d.fkColsSql)))
+    val byCol = cols.columns.collect()
+      .map(r => (r.getAs[String]("table_name"), r.getAs[String]("column_name")) -> r).toMap
+    assert(byCol.size == 6)
+    val email = byCol(("users", "email"))
+    assert(email.getAs[String]("data_type") == "VARCHAR") // UPPER()
+    assert(email.getAs[Int]("char_max_length") == 255)
+    assert(!email.getAs[Boolean]("is_nullable") && email.getAs[Boolean]("is_unique"))
+    assert(byCol(("users", "id")).getAs[Boolean]("is_primary_key"))
+    // dense table_seq in name order: orders=1, users=2
+    assert(byCol(("orders", "id")).getAs[Int]("table_seq") == 1)
+    assert(byCol(("users", "id")).getAs[Int]("table_seq") == 2)
+    // PRIMARY excluded from the index relation; FK relation only real FKs
+    assert(cols.indexCols.collect().map(_.getAs[String]("index_name")).toSet ==
+      Set("ux_email", "ix_user"))
+    val fks = cols.fkCols.collect()
+    assert(fks.length == 1 && fks.head.getAs[String]("referenced_table") == "users")
+    // the full rule engine runs over the dialect-loaded catalog
+    val issues = Rules.all(cols).collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(issues.contains(("users", "bio")))          // R1: big text, unindexed
+    assert(issues.contains(("orders", "total_amount"))) // R3+R5
+    assert(!issues.contains(("orders", "user_id")))     // FK-covered → no R2
+  }
+
+  test("PostgreSQL dialect SQL executes against catalog mocks (ANY→array_contains shim only)") {
+    mockInformationSchema()
+    val d = Dialects.postgresql("pgdb")
+    val cols = Catalog.normalize(Catalog(
+      spark.sql(d.columnsSql), spark.sql(shimAny(d.indexColsSql)), spark.sql(d.fkColsSql)))
+    val byCol = cols.columns.collect()
+      .map(r => (r.getAs[String]("table_name"), r.getAs[String]("column_name")) -> r).toMap
+    assert(byCol.size == 3)
+    val email = byCol(("users", "email"))
+    assert(email.getAs[String]("data_type") == "CHARACTER VARYING")
+    assert(email.getAs[Boolean]("is_unique") && !email.getAs[Boolean]("is_nullable"))
+    assert(byCol(("users", "id")).getAs[Boolean]("is_primary_key"))
+    // non-primary index only, resolved through pg_index/pg_class/pg_attribute
+    assert(cols.indexCols.collect().map(r =>
+      (r.getAs[String]("table_name"), r.getAs[String]("index_name"), r.getAs[String]("column_name"))).toSeq ==
+      Seq(("users", "ux_email", "email")))
+    val fks = cols.fkCols.collect()
+    assert(fks.length == 1)
+    assert(fks.head.getAs[String]("column_name") == "user_id")
+    assert(fks.head.getAs[String]("referenced_table") == "users")
+  }
+
+  test("database name is escaped against SQL injection in dialect SQL") {
+    assert(Dialects.escaped("bad'db") == "bad''db")
+    assert(Dialects.mysql("bad'db").columnsSql.contains("'bad''db'"))
+    assert(Dialects.postgresql("bad'db").columnsSql.contains("'bad''db'"))
+  }
+
+  test("normalize casts MySQL's BIGINT 0/1 flags to boolean so Rules runs (live-MySQL shape)") {
+    val s = spark
+    import s.implicits._
+    // what spark.read.jdbc actually yields from MySQL: longs for the
+    // boolean expressions, longs for ordinals
+    val rawCols = Seq(
+      ("t", 1L, "email", 1L, "VARCHAR", Integer.valueOf(255), 1L, 0L, 0L),
+      ("t", 1L, "payload", 2L, "TEXT", Integer.valueOf(4000), 1L, 0L, 0L))
+      .toDF("table_name", "table_seq", "column_name", "ordinal", "data_type",
+        "char_max_length", "is_nullable", "is_unique", "is_primary_key")
+    val rawIdx = Seq.empty[(String, String, String)]
+      .toDF("table_name", "index_name", "column_name")
+    val rawFks = Seq.empty[(String, String, String, Long, String)]
+      .toDF("table_name", "constraint_name", "column_name", "ordinal_position", "referenced_table")
+    val cat = Catalog.normalize(Catalog(rawCols, rawIdx, rawFks))
+    val issues = Rules.all(cat).collect()
+    assert(issues.nonEmpty) // R1 fires on payload, R5 on email — no AnalysisException
+    assert(issues.exists(_.getString(1) == "payload"))
+    assert(issues.exists(_.getString(1) == "email"))
   }
 }

@@ -75,4 +75,25 @@ class PlanSpec extends SparkSpec {
     val s = scans(graft.ops.Multimodal.q43MultimodalMeta.run(spark, sfDir))
     assert(s.contains("ReadSchema: struct<doc_id:bigint,text:string"))
   }
+
+  test("q56: supplier/nation broadcast, per-nation top-k is WindowGroupLimit") {
+    val df = Analytics.q56SupplierRanking.run(spark, sfDir)
+    val p = planOf(df)
+    assert(p.contains("BroadcastHashJoin"), "supplier and nation are always-small dims")
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(p.contains("WindowGroupLimit"), "rnk<=3 must limit before ranking the full set")
+  }
+
+  test("q57: the UDAF aggregates two-phase (map-side partials before the shuffle)") {
+    val p = planOf(Analytics.q57WeightedMean.run(spark, sfDir))
+    assert(p.contains("partial_weightedmean") || p.contains("Partial"), p)
+  }
+
+  test("ref_schema_lint: the fused rule engine builds at most two broadcast exchanges") {
+    val df = graft.ops.SchemaLint.report(spark)
+    val p = planOf(df)
+    val broadcasts = "BroadcastExchange".r.findAllIn(p).length
+    assert(broadcasts <= 2, s"one pass = idx + fk markers only, got $broadcasts:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p)
+  }
 }

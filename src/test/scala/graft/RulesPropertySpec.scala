@@ -70,4 +70,55 @@ class RulesPropertySpec extends SparkSpec {
       assert(issues.length.toLong == ruleSum)
     }
   }
+
+  // ---- databaseNameFromUrl vs the real urlparse ------------------------
+
+  private val genUrlPart: Gen[String] = Gen.oneOf(
+    "host", "host:3306", "u:p@host", "u%ss:p@host:5432", "", "a b",
+    "127.0.0.1:3306", "[::1]:5432", "u:p%40ss@h")
+  private val genPath: Gen[String] = Gen.oneOf(
+    "/db", "/db/extra", "//double", "/my%20db", "/db;param", "/db?x=1",
+    "/db#frag", "/:odd", "/db;a/b;c", "", "/", "/db?x=1#f", "/db#f?x=1")
+  private val genScheme: Gen[String] = Gen.oneOf(
+    "mysql://", "mysql+pymysql://", "postgresql+psycopg2://", "postgres://",
+    "9bad://", "://", "", "mysql:", "mysql:single/path")
+
+  /** The engine must agree with `urlparse(url).path.lstrip('/')`
+    * (`app.py:14-20`) on every URL shape — verified by running CPython's
+    * own urlparse over the whole corpus in one subprocess (python3 is in
+    * the container; cancel rather than fail where it is not). */
+  test("databaseNameFromUrl matches CPython urlparse over a fuzz corpus") {
+    assume(new java.io.File("/usr/bin/python3").exists ||
+      scala.util.Try(Runtime.getRuntime.exec(Array("python3", "--version")).waitFor() == 0).getOrElse(false))
+    val urls = (for {
+      i <- 1 to 120
+      g = for { s <- genScheme; a <- genUrlPart; p <- genPath } yield
+        if (s.endsWith("://")) s + a + p else s + p.stripPrefix("/")
+      u <- g.apply(Gen.Parameters.default, Seed(i.toLong))
+    } yield u).distinct.filter(u => !u.contains('\n'))
+    val in = java.nio.file.Files.createTempFile("urls", ".txt")
+    java.nio.file.Files.writeString(in, urls.mkString("\n"))
+    val script =
+      """import sys
+        |from urllib.parse import urlparse
+        |for line in open(sys.argv[1], encoding='utf-8').read().split('\n'):
+        |    try:
+        |        name = urlparse(line).path.lstrip('/')
+        |    except ValueError:
+        |        name = ''
+        |    print(name if name else '<<ERROR>>')
+        |""".stripMargin
+    val sf = java.nio.file.Files.createTempFile("upar", ".py")
+    java.nio.file.Files.writeString(sf, script)
+    val out = new StringBuilder
+    val rc = scala.sys.process.Process(Seq("python3", sf.toString, in.toString))
+      .!(scala.sys.process.ProcessLogger(l => { out.append(l).append('\n') }, _ => ()))
+    assert(rc == 0, "python3 urlparse run failed")
+    val expected = out.result().stripLineEnd.split("\n", -1)
+    assert(expected.length == urls.length)
+    urls.zip(expected).foreach { case (u, exp) =>
+      val got = scala.util.Try(SchemaLintMain.databaseNameFromUrl(u)).getOrElse("<<ERROR>>")
+      assert(got == exp, s"url <$u>: engine=$got urlparse=$exp")
+    }
+  }
 }
