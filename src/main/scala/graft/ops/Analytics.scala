@@ -606,11 +606,104 @@ object Analytics {
       .orderBy(col("l_returnflag"))
   }
 
+  /** GROUPING SETS proper (the non-hierarchical case rollup/cube can't
+    * express): per-returnflag totals, per-linestatus totals, and the grand
+    * total — but NOT the (flag, status) pairs. One shuffle; Spark expands
+    * the sets map-side like rollup. COALESCE labels make the three set
+    * shapes disjoint in the output key space. */
+  val q58GroupingSets: QueryDef = sql(
+    "q58_grouping_sets",
+    """SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
+      |  COALESCE(l_linestatus, 'ALL') AS linestatus,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_price,
+      |  COUNT(*) AS n
+      |FROM lineitem
+      |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+      |ORDER BY returnflag, linestatus""".stripMargin) { (s, dir) =>
+    Tables.lineitem(s, dir)
+      .groupingSets(
+        Seq(Seq(col("l_returnflag")), Seq(col("l_linestatus")), Seq.empty),
+        col("l_returnflag"), col("l_linestatus"))
+      .agg(dsum(money(col("l_extendedprice"))).as("sum_price"), count(lit(1)).as("n"))
+      .select(
+        coalesce(col("l_returnflag"), lit("ALL")).as("returnflag"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
+        col("sum_price"), col("n"))
+      .orderBy(col("returnflag"), col("linestatus"))
+  }
+
+  /** Statistical aggregates with deterministic results: mean, sample
+    * stddev, and correlation derived from EXACT decimal power sums
+    * (Σx, Σx², Σy, Σy², Σxy), converted to double once and combined in an
+    * identical IEEE expression in both engines. The built-in
+    * `stddev`/`corr` stream in doubles and are partition-order-dependent —
+    * the same reason Decimals.dsum exists. At 100 TB the decimal power
+    * sums are also the *mergeable* formulation (one map-side pass). */
+  val q59ExactStats: QueryDef = sql(
+    "q59_exact_stats",
+    """SELECT l_returnflag, n,
+      |  sx / n AS mean_qty,
+      |  SQRT((n * sxx - sx * sx) / (n * (n - 1))) AS std_qty,
+      |  (n * sxy - sx * sy) / (SQRT(n * sxx - sx * sx) * SQRT(n * syy - sy * sy)) AS corr_qp
+      |FROM (
+      |  SELECT l_returnflag,
+      |    CAST(COUNT(*) AS DOUBLE) AS n,
+      |    CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sx,
+      |    CAST(SUM(CAST(l_quantity AS DECIMAL(12,2)) * CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sxx,
+      |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sy,
+      |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS syy,
+      |    CAST(SUM(CAST(l_quantity AS DECIMAL(12,2)) * CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sxy
+      |  FROM lineitem GROUP BY l_returnflag)
+      |ORDER BY l_returnflag""".stripMargin) { (s, dir) =>
+    val x = qty(col("l_quantity"))
+    val y = money(col("l_extendedprice"))
+    val sums = Tables.lineitem(s, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        count(lit(1)).cast("double").as("n"),
+        dsum(x).as("sx"), dsum(x * x).as("sxx"),
+        dsum(y).as("sy"), dsum(y * y).as("syy"),
+        dsum(x * y).as("sxy"))
+    val n = col("n"); val sx = col("sx"); val sxx = col("sxx")
+    val sy = col("sy"); val syy = col("syy"); val sxy = col("sxy")
+    sums.select(
+        col("l_returnflag"), n.as("n"),
+        (sx / n).as("mean_qty"),
+        sqrt((n * sxx - sx * sx) / (n * (n - lit(1)))).as("std_qty"),
+        ((n * sxy - sx * sy) / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy))).as("corr_qp"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  /** Exact interpolated percentiles (median / p95): Spark's `percentile`
+    * and DuckDB's `quantile_cont` share the standard definition — linear
+    * interpolation at rank (n-1)·q over the sorted values — so exact
+    * percentiles are oracle-matchable (the approx path for 100 TB is
+    * `approx_percentile`, same shape as q48's HLL vs exact distinct).
+    * Inputs are 2-dp doubles; the interpolation arithmetic is the same
+    * IEEE expression in both engines. */
+  val q60Percentiles: QueryDef = sql(
+    "q60_percentiles",
+    """SELECT l_returnflag,
+      |  quantile_cont(l_extendedprice, 0.5) AS p50_price,
+      |  quantile_cont(l_extendedprice, 0.95) AS p95_price
+      |FROM lineitem
+      |GROUP BY l_returnflag
+      |ORDER BY l_returnflag""".stripMargin) { (s, dir) =>
+    Tables.lineitem(s, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(expr("percentile(l_extendedprice, array(0.5D, 0.95D))").as("ps"))
+      .select(col("l_returnflag"),
+        element_at(col("ps"), 1).as("p50_price"),
+        element_at(col("ps"), 2).as("p95_price"))
+      .orderBy(col("l_returnflag"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     q01PricingSummary, q02SelectiveFilter, q03ShippingPriority, q05LocalRevenue,
     q06SemiJoin, q07AntiJoin, q08RangeJoin, q09DistinctUsers, q10Rollup,
     q11Cube, q12WindowRank, q13WindowRunning, q14TopOrders, q15SetOps,
     q16StringFns, q17DateFns, q18MathFns, q19JsonFns, q20CaseWhen,
     q48ApproxDistinct, q50SetOpsAll, q51SqlInterface, q54FromJson,
-    q56SupplierRanking, q57WeightedMean)
+    q56SupplierRanking, q57WeightedMean, q58GroupingSets, q59ExactStats,
+    q60Percentiles)
 }

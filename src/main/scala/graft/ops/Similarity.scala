@@ -17,6 +17,13 @@ import graft.sources.Tables
   * nondeterminism, and no per-element shuffle at all (the whole dot stays
   * inside one row's expression).
   *
+  * The baseline pair (q38 fold / q45 native) proves the codegen'd
+  * [[graft.functions.CosineSimilarity]] expression accumulates exactly
+  * like the fold (shared oracle); the hot paths (q37 block pairs, q39
+  * assignment pass, q52 candidate ranking) then use the native expression
+  * — one fused loop inside WholeStageCodegen instead of three interpreted
+  * HOF walks — while their oracles keep the fold formulation.
+  *
   * Scale posture (100 TB):
   *   - Near-dup search never goes all-pairs: pairs are generated inside a
   *     blocking key (here `label`; in production a coarse-quantizer/LSH
@@ -68,7 +75,12 @@ object Similarity {
   }
 
   /** Embedding near-duplicates: cosine above threshold within a blocking
-    * label (all-pairs only inside each block). */
+    * label (all-pairs only inside each block). The pair cosine runs
+    * through the native codegen'd [[graft.functions.CosineSimilarity]]
+    * expression — one fused loop per pair inside WholeStageCodegen, which
+    * accumulates exactly like the fold the oracle states (the block join
+    * generates O(block²) pairs, so the per-pair arithmetic is the hot
+    * loop here). */
   val q37EmbeddingNeardup: QueryDef = sql(
     "q37_embedding_neardup",
     s"""WITH ${withNormSql()}
@@ -78,13 +90,12 @@ object Similarity {
        |  FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id)
        |WHERE cosine > 0.35
        |ORDER BY vec_a, vec_b""".stripMargin) { (s, dir) =>
-    val n = withNorm(s, dir)
-    val a = n.select(col("vec_id").as("vec_a"), col("label"),
-      col("embedding").as("ea"), col("nrm").as("na"))
-    val b = n.select(col("vec_id").as("vec_b"), col("label"),
-      col("embedding").as("eb"), col("nrm").as("nb"))
+    graft.functions.CosineSimilarity.register(s)
+    val n = Tables.embeddings(s, dir)
+    val a = n.select(col("vec_id").as("vec_a"), col("label"), col("embedding").as("ea"))
+    val b = n.select(col("vec_id").as("vec_b"), col("label"), col("embedding").as("eb"))
     a.join(b, "label").filter(col("vec_a") < col("vec_b"))
-      .withColumn("cosine", dot("ea", "eb") / (col("na") * col("nb")))
+      .withColumn("cosine", expr("cosine_sim_native(ea, eb)"))
       .filter(col("cosine") > 0.35)
       .select(col("vec_a"), col("vec_b"), col("cosine"))
       .orderBy(col("vec_a"), col("vec_b"))
@@ -140,12 +151,15 @@ object Similarity {
        |WHERE n.vec_id != $QueryVec
        |ORDER BY cosine DESC, n.vec_id
        |LIMIT 10""".stripMargin) { (s, dir) =>
-    val n = withNorm(s, dir)
+    graft.functions.CosineSimilarity.register(s)
+    val n = Tables.embeddings(s, dir)
     val cent = n.filter(col("vec_id") < NumCentroids)
-      .select(col("vec_id").as("cid"), col("embedding").as("ce"), col("nrm").as("cn"))
+      .select(col("vec_id").as("cid"), col("embedding").as("ce"))
+    // assignment cosines via the native fused expression (bit-identical
+    // to the oracle's fold; see q45) — the N×centroids pass is the bulk
+    // of the work
     val ac = n.crossJoin(broadcast(cent))
-      .select(col("vec_id"), col("cid"),
-        (dot("embedding", "ce") / (col("nrm") * col("cn"))).as("cosine"))
+      .select(col("vec_id"), col("cid"), expr("cosine_sim_native(embedding, ce)").as("cosine"))
     val wAssign = Window.partitionBy(col("vec_id")).orderBy(col("cosine").desc, col("cid"))
     val assign = ac.withColumn("rn", row_number().over(wAssign))
       .filter(col("rn") === 1).select(col("vec_id"), col("cid"))
@@ -154,12 +168,11 @@ object Similarity {
     val probe = ac.filter(col("vec_id") === QueryVec)
       .orderBy(col("cosine").desc, col("cid"))
       .limit(NumProbe).select(col("cid"))
-    val q = n.filter(col("vec_id") === QueryVec)
-      .select(col("embedding").as("qe"), col("nrm").as("qn"))
+    val q = n.filter(col("vec_id") === QueryVec).select(col("embedding").as("qe"))
     n.join(assign, "vec_id").join(broadcast(probe), "cid")
       .filter(col("vec_id") =!= QueryVec)
       .crossJoin(broadcast(q))
-      .select(col("vec_id"), (dot("embedding", "qe") / (col("nrm") * col("qn"))).as("cosine"))
+      .select(col("vec_id"), expr("cosine_sim_native(embedding, qe)").as("cosine"))
       .orderBy(col("cosine").desc, col("vec_id"))
       .limit(10)
   }
@@ -190,15 +203,35 @@ object Similarity {
 
   private val NumPlanes = 8
 
-  /** Signed projection of `embedding` onto pseudo-random hyperplane k
-    * (Spark expression form; sequential fold, dims 1..64). */
-  private def planeDot(k: Int): Column = expr(
-    s"""aggregate(transform(sequence(1, 64), j ->
-       |  CAST(element_at(embedding, j) AS DOUBLE) *
-       |  (instr('0123456789abcdef',
-       |     substr(md5(concat('plane$k:', CAST((j-1) div 32 AS STRING))),
-       |            ((j-1) % 32) + 1, 1)) - 8.5)),
-       |CAST(0 AS DOUBLE), (a, x) -> a + x)""".stripMargin)
+  /** Hyperplane k's 64 coefficients, precomputed ONCE driver-side with
+    * the identical md5-nibble derivation the oracle SQL states inline
+    * (`instr(hex, nibble) - 8.5` over `md5("plane<k>:<chunk>")`) — the
+    * coefficients are row-invariant model parameters, so evaluating the
+    * md5s per row per element (64×8 digests/row) would be pure waste; the
+    * hoisted literals turn bucket assignment into plain fused float math.
+    * java.security MD5 and Spark/DuckDB `md5` agree byte-for-byte. */
+  private def planeCoeffs(k: Int): Seq[Double] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    (1 to 64).map { j =>
+      val chunk = (j - 1) / 32
+      val hex = md.digest(s"plane$k:$chunk".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      val nibble = hex.charAt((j - 1) % 32)
+      // instr('0123456789abcdef', nibble) is 1-based → digit + 1 - 8.5
+      (Character.digit(nibble, 16) + 1).toDouble - 8.5
+    }
+  }
+
+  /** Signed projection of `embedding` onto pseudo-random hyperplane k:
+    * the same left-to-right fold as the oracle, over literal
+    * coefficients. */
+  private def planeDot(k: Int): Column = {
+    val coeffs = planeCoeffs(k).mkString("array(", "D, ", "D)")
+    expr(
+      s"""aggregate(zip_with(embedding, $coeffs, (x, c) ->
+         |  CAST(x AS DOUBLE) * c),
+         |CAST(0 AS DOUBLE), (a, x) -> a + x)""".stripMargin)
+  }
 
   private def planeDotSql(k: Int): String =
     s"""list_reduce(list_transform(range(1, 65), j ->
@@ -235,13 +268,14 @@ object Similarity {
          |  AND s.vec_id != $QueryVec
          |ORDER BY cosine DESC, s.vec_id
          |LIMIT 10""".stripMargin) { (s, dir) =>
-      val sig = withNorm(s, dir).withColumn("bucket", bucketExpr)
+      graft.functions.CosineSimilarity.register(s)
+      val sig = Tables.embeddings(s, dir).withColumn("bucket", bucketExpr)
       val q = sig.filter(col("vec_id") === QueryVec)
-        .select(col("embedding").as("qe"), col("nrm").as("qn"), col("bucket").as("qb"))
+        .select(col("embedding").as("qe"), col("bucket").as("qb"))
       val hamming1 = expr("bucket ^ qb").isin(powers: _*)
       sig.crossJoin(broadcast(q))
         .filter((col("bucket") === col("qb") || hamming1) && col("vec_id") =!= QueryVec)
-        .select(col("vec_id"), (dot("embedding", "qe") / (col("nrm") * col("qn"))).as("cosine"))
+        .select(col("vec_id"), expr("cosine_sim_native(embedding, qe)").as("cosine"))
         .orderBy(col("cosine").desc, col("vec_id"))
         .limit(10)
     }

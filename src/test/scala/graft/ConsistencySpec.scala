@@ -63,6 +63,64 @@ class ConsistencySpec extends SparkSpec {
     assert(graft.ops.Temporal.q46AsofJoin.run(spark, sfDir).count() == purchases)
   }
 
+  test("q58 grouping sets agree with q10's rollup margins") {
+    val gs = Analytics.q58GroupingSets.run(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> (r.getAs[Double]("sum_price"), r.getAs[Long]("n"))).toMap
+    val rollup = Analytics.q10Rollup.run(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> (r.getAs[Double]("sum_price"), r.getAs[Long]("n"))).toMap
+    // per-returnflag rows and the grand total appear in both shapes
+    rollup.filter { case ((_, ls), _) => ls == "ALL" }.foreach { case (k, v) =>
+      assert(gs(k) == v, s"margin $k differs between GROUPING SETS and ROLLUP")
+    }
+    // per-linestatus margins sum to the grand total
+    val statusRows = gs.filter { case ((rf, ls), _) => rf == "ALL" && ls != "ALL" }
+    assert(statusRows.values.map(_._2).sum == gs(("ALL", "ALL"))._2)
+  }
+
+  test("q59 exact stats agree with Spark's streaming stddev/corr within fp tolerance") {
+    val exact = Analytics.q59ExactStats.run(spark, sfDir).collect()
+      .map(r => r.getString(0) -> (r.getAs[Double]("std_qty"), r.getAs[Double]("corr_qp"))).toMap
+    val builtin = Tables.lineitem(spark, sfDir)
+      .groupBy("l_returnflag")
+      .agg(
+        org.apache.spark.sql.functions.stddev_samp(org.apache.spark.sql.functions.col("l_quantity")).as("sd"),
+        org.apache.spark.sql.functions.corr("l_quantity", "l_extendedprice").as("cr"))
+      .collect().map(r => r.getString(0) -> (r.getAs[Double]("sd"), r.getAs[Double]("cr"))).toMap
+    exact.foreach { case (k, (sd, cr)) =>
+      assert(math.abs(sd - builtin(k)._1) < 1e-6 * math.max(1.0, sd.abs))
+      assert(math.abs(cr - builtin(k)._2) < 1e-6)
+    }
+  }
+
+  test("q60 exact percentiles bracket between min/max and are monotone") {
+    Analytics.q60Percentiles.run(spark, sfDir).collect().foreach { r =>
+      val p50 = r.getAs[Double]("p50_price"); val p95 = r.getAs[Double]("p95_price")
+      assert(p50 <= p95, s"${r.getString(0)}: p50 $p50 > p95 $p95")
+      assert(p50 > 0 && p95 > 0)
+    }
+  }
+
+  test("q57 UDAF weighted mean equals the Decimals-built ratio") {
+    import org.apache.spark.sql.functions.col
+    import graft.functions.Decimals._
+    val udafRes = Analytics.q57WeightedMean.run(spark, sfDir).collect()
+      .map(r => r.getString(0) -> r.getAs[Double]("wavg_discount")).toMap
+    val direct = Tables.lineitem(spark, sfDir)
+      .groupBy("l_returnflag")
+      .agg((dsum(rate(col("l_discount")) * qty(col("l_quantity"))) /
+        dsum(qty(col("l_quantity")))).as("wm"))
+      .collect().map(r => r.getString(0) -> r.getAs[Double]("wm")).toMap
+    udafRes.foreach { case (k, v) => assert(v == direct(k), s"$k: $v vs ${direct(k)}") }
+  }
+
+  test("q44a structural columns equal q44's full feature output") {
+    val full = graft.ops.Multimodal.q44MultimodalFeatures.run(spark, sfDir).collect()
+      .map(r => r.getAs[Long]("doc_id") -> (r.getAs[Int]("n_bytes"), r.getAs[Float]("f_len"))).toMap
+    graft.ops.Multimodal.q44aMultimodalStruct.run(spark, sfDir).collect().foreach { r =>
+      assert(full(r.getAs[Long]("doc_id")) == (r.getAs[Int]("n_bytes"), r.getAs[Float]("f_len")))
+    }
+  }
+
   test("minhash signature similarity upper-bounds verified jaccard pairs") {
     // every verified pair (jaccard > 0.7) must agree on most signature components
     val sigs = Dedup.q33Simhash.run(spark, sfDir).collect()
