@@ -153,10 +153,17 @@ object SchemaLintMain {
         System.err.println(s"unrecognized args: ${other.mkString(" ")}"); sys.exit(2)
     }
 
+    // the reference's load_dotenv (app.py:8) exports the whole .env file
+    // into the process env, so EXPORT_TO_CSV/EXPORTS_DIR from .env count
+    // too — real env vars win (python-dotenv no-override default)
+    val dotenv = parseDotenv(java.nio.file.Paths.get(".env"))
+    def envOr(key: String, default: String): String =
+      sys.env.get(key).orElse(dotenv.get(key)).getOrElse(default)
+
     val issues = Rules.all(catalog).cache()
     print(Report.renderConsole(issues, database))
-    if (!issues.isEmpty && sys.env.getOrElse("EXPORT_TO_CSV", "NO").trim.toUpperCase == "YES") {
-      val path = Report.writeCsv(issues, sys.env.getOrElse("EXPORTS_DIR", "exports"), database)
+    if (!issues.isEmpty && envOr("EXPORT_TO_CSV", "NO").trim.toUpperCase == "YES") {
+      val path = Report.writeCsv(issues, envOr("EXPORTS_DIR", "exports"), database)
       println(s"Results exported to $path") // app.py:119
     }
     spark.stop()
