@@ -62,18 +62,21 @@ object Dedup {
       |           LATERAL (SELECT generate_subscripts(t.toks, 1) AS i)
       |      WHERE i <= len(t.toks) - 2)""".stripMargin
 
-  /** MinHash signature: [[NumHashes]] independent 32-bit (8-hex-char)
-    * hash components carved out of two md5 digests per shingle — the
-    * lexicographic min of each component per doc. Two md5 evaluations per
-    * shingle instead of eight, and 8-char strings through the aggregate
-    * instead of 32-char ones. */
+  /** MinHash signature: [[NumHashes]] independent 32-bit hash components
+    * carved out of two md5 digests per shingle (8 hex chars each), parsed
+    * to BIGINT — the numeric min of each component per doc. Fixed-length
+    * lowercase hex sorts identically to its numeric value, so the same
+    * shingle wins each component as in the hex-string formulation, but
+    * the aggregation buffer is 8 longs (fixed width → HashAggregate with
+    * map-side partials) instead of 8 variable-length strings (which force
+    * a SortAggregate). Two md5 evaluations per shingle instead of eight. */
   private def signatures(s: SparkSession, dir: String): DataFrame = {
     val withH = shingles(s, dir)
       .withColumn("ha", md5(concat(lit("a:"), col("sh"))))
       .withColumn("hb", md5(concat(lit("b:"), col("sh"))))
     val aggs = (0 until NumHashes).map { k =>
       val (src, off) = if (k < 4) ("ha", k * 8 + 1) else ("hb", (k - 4) * 8 + 1)
-      min(substring(col(src), off, 8)).as(s"s$k")
+      min(expr(s"CAST(conv(substring($src, $off, 8), 16, 10) AS BIGINT)")).as(s"s$k")
     }
     withH.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
   }
@@ -81,18 +84,22 @@ object Dedup {
   private val signaturesSql: String = {
     val aggs = (0 until NumHashes).map { k =>
       val (seed, off) = if (k < 4) ("a", k * 8 + 1) else ("b", (k - 4) * 8 + 1)
-      s"MIN(substr(md5('$seed:' || sh), $off, 8)) AS s$k"
+      s"MIN(CAST('0x' || substr(md5('$seed:' || sh), $off, 8) AS BIGINT)) AS s$k"
     }.mkString(",\n         ")
     s"""sig AS (SELECT doc_id,
        |         $aggs
        |       FROM sh GROUP BY doc_id)""".stripMargin
   }
 
-  /** LSH bands: hash adjacent signature pairs into bucket ids. */
+  /** LSH bands: hash adjacent signature pairs into bucket ids. The ':'
+    * separator keeps variable-width decimal renderings unambiguous
+    * ((1,23) must not bucket with (12,3)). */
   private def bands(sig: DataFrame): DataFrame = {
     val bandCols = (0 until NumHashes / BandSize).map { b =>
       struct(lit(b).as("band"),
-        md5(concat(col(s"s${b * BandSize}"), col(s"s${b * BandSize + 1}"))).as("bucket"))
+        md5(concat_ws(":",
+          col(s"s${b * BandSize}").cast("string"),
+          col(s"s${b * BandSize + 1}").cast("string"))).as("bucket"))
     }
     sig.select(col("doc_id"), explode(array(bandCols: _*)).as("bb"))
       .select(col("doc_id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
@@ -100,7 +107,8 @@ object Dedup {
 
   private val bandsSql: String = {
     val rows = (0 until NumHashes / BandSize).map { b =>
-      s"SELECT doc_id, $b AS band, md5(s${b * BandSize} || s${b * BandSize + 1}) AS bucket FROM sig"
+      s"SELECT doc_id, $b AS band, " +
+        s"md5(CAST(s${b * BandSize} AS VARCHAR) || ':' || CAST(s${b * BandSize + 1} AS VARCHAR)) AS bucket FROM sig"
     }.mkString("\n   UNION ALL ")
     s"bands AS ($rows)"
   }

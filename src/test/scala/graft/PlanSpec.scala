@@ -89,6 +89,13 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("partial_weightedmean") || p.contains("Partial"), p)
   }
 
+  test("q31: minhash signature aggregation is hash-based (fixed-width long buffer)") {
+    val p = planOf(Dedup.q31MinhashLsh.run(spark, sfDir))
+    val sigAgg = p.linesIterator.filter(l => l.contains("Aggregate") && l.contains("min(")).mkString("\n")
+    assert(!sigAgg.contains("SortAggregate"),
+      s"numeric minhash components must hash-aggregate, not sort:\n$sigAgg")
+  }
+
   test("ref_schema_lint: the fused rule engine builds at most two broadcast exchanges") {
     val df = graft.ops.SchemaLint.report(spark)
     val p = planOf(df)
