@@ -25,4 +25,21 @@ object Sinks {
     df.coalesce(1).write.mode(SaveMode.Overwrite).json(path)
 
   def readJson(spark: SparkSession, path: String): DataFrame = spark.read.json(path)
+
+  /** ORC round-trip — the second columnar format Spark ships natively;
+    * same pushdown/pruning machinery as parquet (PushedFilters in the
+    * OrcScan), so a deployment standardized on ORC keeps every plan
+    * property this engine relies on. */
+  def writeOrc(df: DataFrame, path: String): Unit =
+    df.write.mode(SaveMode.Overwrite).orc(path)
+
+  def readOrc(spark: SparkSession, path: String): DataFrame = spark.read.orc(path)
+
+  /** Header CSV export/import (the generic-source face of Report's
+    * reference-exact CSV sink). */
+  def writeCsv(df: DataFrame, path: String): Unit =
+    df.write.mode(SaveMode.Overwrite).option("header", "true").csv(path)
+
+  def readCsv(spark: SparkSession, path: String, schema: String): DataFrame =
+    spark.read.option("header", "true").schema(schema).csv(path)
 }

@@ -41,4 +41,28 @@ class SinksSpec extends SparkSpec {
     Sinks.writeJson(df, dir)
     assert(Sinks.readJson(spark, dir).count() == 25)
   }
+
+  test("orc round-trip preserves rows and pushes filters into the ORC scan") {
+    val dir = Files.createTempDirectory("graft-orc").toString + "/lineitem"
+    val li = Tables.lineitem(spark, sfDir)
+    Sinks.writeOrc(li, dir)
+    val back = Sinks.readOrc(spark, dir)
+      .filter(col("l_quantity") < 10)
+      .select(col("l_orderkey"), col("l_quantity"))
+    assert(back.count() == li.filter(col("l_quantity") < 10).count())
+    val scans = back.queryExecution.executedPlan.collectLeaves().map(_.toString).mkString
+    assert(scans.contains("PushedFilters: [isnotnull(l_quantity), lessthan(l_quantity")
+      || scans.contains("PushedFilters: [IsNotNull(l_quantity), LessThan(l_quantity"),
+      s"ORC scan must receive the predicate:\n$scans")
+  }
+
+  test("csv round-trip with explicit schema preserves typed rows") {
+    val dir = Files.createTempDirectory("graft-csv-src").toString + "/nation"
+    val df = Tables.nation(spark, sfDir)
+    Sinks.writeCsv(df, dir)
+    val back = Sinks.readCsv(spark, dir,
+      "n_nationkey INT, n_name STRING, n_regionkey INT")
+    assert(back.count() == 25)
+    assert(back.schema("n_nationkey").dataType.typeName == "integer")
+  }
 }

@@ -133,6 +133,30 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("foreachBatch under Trigger.AvailableNow reproduces the batch tumbling counts") {
+    import org.apache.spark.sql.streaming.Trigger
+    import scala.collection.concurrent.TrieMap
+    // foreachBatch receives (batchDf, batchId); keying the buffer by
+    // batchId makes redelivery idempotent — the exactly-once sink shape
+    val batches = TrieMap.empty[Long, Array[(java.sql.Timestamp, String, Long)]]
+    val q = StreamingOps.tumblingCounts(StreamingOps.eventsStream(spark, stageEvents()))
+      .writeStream
+      .outputMode("complete")
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (df: DataFrame, id: Long) =>
+        batches(id) = df.collect().map(r =>
+          (r.getTimestamp(0), r.getString(1), r.getLong(2)))
+      }
+      .start()
+    q.awaitTermination(120000)
+    assert(batches.nonEmpty, "AvailableNow must process the staged file then stop")
+    // complete mode: the LAST batch carries the full result
+    val got = batches(batches.keys.max).map(t => (t._1, t._2, t._3)).toSet
+    val want = StreamingOps.q40EventsTumbling.run(spark, sfDir)
+      .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2))).toSet
+    assert(got == want)
+  }
+
   test("mapGroupsWithState running stats converge to batch counts") {
     val got = runToMemory(
       StreamingOps.runningUserStats(spark, StreamingOps.eventsStream(spark, stageEvents())),
