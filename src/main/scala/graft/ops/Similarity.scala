@@ -281,7 +281,81 @@ object Similarity {
     }
   }
 
+  // ---- int8 scalar quantization (vector compression) ----
+  // Per-vector min/max scale to 0..255 codes: 4× smaller vectors in
+  // memory/shuffle — the compression an in-memory ANN index at 100 TB
+  // depends on. floor(x + 0.5) instead of round() (floor is identical
+  // IEEE in both engines; round() ties differ), LEAST guards the
+  // top-of-range ulp. Codes are integral, so the double→int cast agrees
+  // across engines (Spark truncates, DuckDB rounds — both identity on
+  // integral doubles).
+
+  /** Quantize: vec_id, mn, scale, codes array<int>. */
+  private def quantized(s: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(s, dir)
+      .withColumn("mn", expr("CAST(array_min(embedding) AS DOUBLE)"))
+      .withColumn("mx", expr("CAST(array_max(embedding) AS DOUBLE)"))
+      .withColumn("scale", (col("mx") - col("mn")) / lit(255.0))
+      .withColumn("codes", expr(
+        """transform(embedding, x ->
+          |  CAST(LEAST(255L, FLOOR((CAST(x AS DOUBLE) - mn) / scale + 0.5D)) AS INT))""".stripMargin))
+      .select(col("vec_id"), col("mn"), col("scale"), col("codes"))
+
+  private val quantizedSql =
+    """quant AS (
+      |  SELECT vec_id, mn, (mx - mn) / 255 AS scale,
+      |    list_transform(embedding, x ->
+      |      CAST(LEAST(CAST(255 AS DOUBLE),
+      |                 FLOOR((CAST(x AS DOUBLE) - mn) / ((mx - mn) / 255) + 0.5)) AS INT)) AS codes
+      |  FROM (SELECT vec_id, embedding,
+      |          CAST(list_aggregate(embedding, 'min') AS DOUBLE) AS mn,
+      |          CAST(list_aggregate(embedding, 'max') AS DOUBLE) AS mx
+      |        FROM embeddings))""".stripMargin
+
+  /** ANN over the dequantized codes: cosine from reconstructed values
+    * (mn + code·scale), top-k against the query vector. The recall-vs-q38
+    * bound is pinned in AnnQualitySpec; this query hash-verifies that the
+    * quantization and reconstruction arithmetic is identical in both
+    * engines — the property that makes a compressed index trustworthy. */
+  val q61AnnQuantized: QueryDef = sql(
+    "q61_ann_quantized",
+    s"""WITH $quantizedSql,
+       |q AS (SELECT codes AS cq, mn AS mnq, scale AS scq FROM quant WHERE vec_id = $QueryVec)
+       |SELECT v.vec_id,
+       |  list_reduce(list_transform(range(len(v.codes)), i ->
+       |      (v.mn + CAST(v.codes[i+1] AS DOUBLE) * v.scale) * (q.mnq + CAST(q.cq[i+1] AS DOUBLE) * q.scq)),
+       |    (a, x) -> a + x)
+       |  / (SQRT(list_reduce(list_transform(range(len(v.codes)), i ->
+       |        (v.mn + CAST(v.codes[i+1] AS DOUBLE) * v.scale) * (v.mn + CAST(v.codes[i+1] AS DOUBLE) * v.scale)),
+       |      (a, x) -> a + x))
+       |     * SQRT(list_reduce(list_transform(range(len(q.cq)), i ->
+       |        (q.mnq + CAST(q.cq[i+1] AS DOUBLE) * q.scq) * (q.mnq + CAST(q.cq[i+1] AS DOUBLE) * q.scq)),
+       |      (a, x) -> a + x))) AS qcosine
+       |FROM quant v, q
+       |WHERE v.vec_id != $QueryVec
+       |ORDER BY qcosine DESC, v.vec_id
+       |LIMIT 10""".stripMargin) { (s, dir) =>
+    val v = quantized(s, dir)
+    val q = v.filter(col("vec_id") === QueryVec)
+      .select(col("codes").as("cq"), col("mn").as("mnq"), col("scale").as("scq"))
+    def norm2(codes: String, mn: String, sc: String) = expr(
+      s"""aggregate(transform($codes, p ->
+         |  ($mn + CAST(p AS DOUBLE) * $sc) * ($mn + CAST(p AS DOUBLE) * $sc)),
+         |CAST(0 AS DOUBLE), (a, x) -> a + x)""".stripMargin)
+    val dotq = expr(
+      """aggregate(zip_with(codes, cq, (p, q) ->
+        |  (mn + CAST(p AS DOUBLE) * scale) * (mnq + CAST(q AS DOUBLE) * scq)),
+        |CAST(0 AS DOUBLE), (a, x) -> a + x)""".stripMargin)
+    v.filter(col("vec_id") =!= QueryVec)
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"),
+        (dotq / (sqrt(norm2("codes", "mn", "scale")) * sqrt(norm2("cq", "mnq", "scq"))))
+          .as("qcosine"))
+      .orderBy(col("qcosine").desc, col("vec_id"))
+      .limit(10)
+  }
+
   val all: Seq[QueryDef] = Seq(
     q36ArrayNorms, q37EmbeddingNeardup, q38AnnBruteforce, q39AnnIvf,
-    q45AnnNative, q52AnnLsh)
+    q45AnnNative, q52AnnLsh, q61AnnQuantized)
 }

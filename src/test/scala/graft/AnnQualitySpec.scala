@@ -54,6 +54,22 @@ class AnnQualitySpec extends SparkSpec {
     top.foreach(r => assert(r.getAs[Double]("cosine") > 0.7))
   }
 
+  test("int8-quantized ANN keeps high recall vs the exact baseline") {
+    val dir = generateClustered()
+    val brute = Similarity.q38AnnBruteforce.run(spark, dir).collect().map(_.getLong(0)).toSet
+    val quant = Similarity.q61AnnQuantized.run(spark, dir).collect()
+    val recall = brute.intersect(quant.map(_.getLong(0)).toSet).size
+    assert(recall >= 8, s"quantized recall@10 = $recall, expected >= 8 (int8 error is small)")
+    // reconstructed cosines stay close to exact on clustered data
+    val exact = Similarity.q38AnnBruteforce.run(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getAs[Double]("cosine")).toMap
+    quant.foreach { r =>
+      exact.get(r.getLong(0)).foreach { e =>
+        assert(math.abs(r.getAs[Double]("qcosine") - e) < 0.02)
+      }
+    }
+  }
+
   test("LSH cosines are bit-identical to brute force on shared hits") {
     val dir = generateClustered()
     val brute = Similarity.q38AnnBruteforce.run(spark, dir).collect()
