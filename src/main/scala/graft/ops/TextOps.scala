@@ -203,7 +203,39 @@ object TextOps {
       .orderBy(col("lang"))
   }
 
+  /** Deterministic train/val/test split (80/10/10): bucket = the first 4
+    * hex chars of md5("split:"+doc_id) as an integer in [0, 65536) — a
+    * pure function of the document id, so the split is reproducible
+    * across runs, engines, and cluster sizes (no sampling seed, no
+    * partition-order dependence), and any pipeline stage can recompute
+    * membership without a join. The per-language counts verify the hash
+    * is unbiased across strata. At 100 TB this is a zero-shuffle scan
+    * predicate — the only way to split reproducibly without materializing
+    * an assignment table. */
+  val q62TrainSplit: QueryDef = sql(
+    "q62_train_split",
+    """SELECT lang, split, COUNT(*) AS n FROM (
+      |  SELECT lang,
+      |    CASE WHEN bucket < 52429 THEN 'train'
+      |         WHEN bucket < 58982 THEN 'val'
+      |         ELSE 'test' END AS split
+      |  FROM (SELECT lang,
+      |          CAST(('0x' || substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 4)) AS INT) AS bucket
+      |        FROM documents))
+      |GROUP BY lang, split
+      |ORDER BY lang, split""".stripMargin) { (s, dir) =>
+    Tables.documents(s, dir)
+      .withColumn("bucket", expr(
+        "CAST(conv(substring(md5(concat('split:', CAST(doc_id AS STRING))), 1, 4), 16, 10) AS INT)"))
+      .withColumn("split",
+        when(col("bucket") < 52429, "train")
+          .when(col("bucket") < 58982, "val")
+          .otherwise("test"))
+      .groupBy(col("lang"), col("split")).agg(count(lit(1)).as("n"))
+      .orderBy(col("lang"), col("split"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     q21TextStats, q22WordFreq, q23BigramFreq, q24LangId, q25QualityScore,
-    q26Fingerprint, q27TokenRegex)
+    q26Fingerprint, q27TokenRegex, q62TrainSplit)
 }

@@ -121,6 +121,18 @@ class ConsistencySpec extends SparkSpec {
     }
   }
 
+  test("q62 split proportions are ~80/10/10 and sum to the corpus") {
+    val rows = graft.ops.TextOps.q62TrainSplit.run(spark, sfDir).collect()
+    val bySplit = rows.groupBy(_.getString(1)).view.mapValues(_.map(_.getAs[Long]("n")).sum).toMap
+    val total = bySplit.values.sum
+    assert(total == Tables.documents(spark, sfDir).count())
+    val trainFrac = bySplit("train").toDouble / total
+    assert(math.abs(trainFrac - 0.8) < 0.05, s"train fraction $trainFrac")
+    // deterministic: a second evaluation produces the identical assignment
+    val again = graft.ops.TextOps.q62TrainSplit.run(spark, sfDir).collect()
+    assert(rows.map(_.toString).toSeq == again.map(_.toString).toSeq)
+  }
+
   test("minhash signature similarity upper-bounds verified jaccard pairs") {
     // every verified pair (jaccard > 0.7) must agree on most signature components
     val sigs = Dedup.q33Simhash.run(spark, sfDir).collect()
