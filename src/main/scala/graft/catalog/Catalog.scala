@@ -59,6 +59,15 @@ object Catalog {
     spark.read.parquet(s"$dir/index_cols.parquet"),
     spark.read.parquet(s"$dir/fk_cols.parquet"))
 
+  /** Snapshot a catalog (e.g. one freshly read over JDBC) to the
+    * [[fromParquet]] layout, so repeated lint runs don't re-hit the live
+    * database. */
+  def writeParquet(c: Catalog, dir: String): Unit = {
+    c.columns.write.mode("overwrite").parquet(s"$dir/columns.parquet")
+    c.indexCols.write.mode("overwrite").parquet(s"$dir/index_cols.parquet")
+    c.fkCols.write.mode("overwrite").parquet(s"$dir/fk_cols.parquet")
+  }
+
   /** Normalize the loosely-typed relations a JDBC catalog read produces
     * into the shapes the rule engine expects. MySQL in particular returns
     * boolean expressions (`c.column_key = 'PRI'`, `EXISTS(...)`) as BIGINT

@@ -206,6 +206,17 @@ class JdbcCatalogSpec extends SparkSpec {
     assert(fks.head.getAs[String]("referenced_table") == "users")
   }
 
+  test("parquet catalog snapshot round-trips and lints identically (--parquet path)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-cat").toString
+    Catalog.writeParquet(SchemaLint.fixtureCatalog(spark), dir)
+    val viaParquet = Rules.all(Catalog.fromParquet(spark, dir)).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2))).toSeq
+    val inMemory = SchemaLint.report(spark).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2))).toSeq
+    assert(viaParquet == inMemory)
+    assert(viaParquet.length == 18)
+  }
+
   test("database name is escaped against SQL injection in dialect SQL") {
     assert(Dialects.escaped("bad'db") == "bad''db")
     assert(Dialects.mysql("bad'db").columnsSql.contains("'bad''db'"))
