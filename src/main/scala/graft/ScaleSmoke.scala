@@ -1,0 +1,84 @@
+package graft
+
+import java.nio.file.Files
+
+import scala.util.Random
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Empirical scaling smoke (SCALE.md "Empirical scaling smoke"): generate
+  * a corpus N× the sf0.1 fixture and time the dedup/ANN pipelines on it,
+  * looking for nonlinearities the fixtures are too small to expose.
+  *
+  * `runMain graft.ScaleSmoke [mult]` — mult scales the corpus
+  * (default 10 → 50k docs / 20k vectors). Documents are generated as
+  * pure expressions over `spark.range` (fully distributed, deterministic,
+  * no driver-side text building): every ~100th doc is a near-duplicate of
+  * its predecessor with one token changed, mirroring the fixture's
+  * planted-near-dup shape. Embeddings are 8 well-separated clusters like
+  * AnnQualitySpec, sized up.
+  */
+object ScaleSmoke {
+  def main(args: Array[String]): Unit = {
+    val mult = args.headOption.map(_.toInt).getOrElse(10)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val dir = Files.createTempDirectory("graft-smoke").toString
+    val nDocs = 5000L * mult
+    val nVecs = 2000L * mult
+
+    // documents: 150 pseudo-random tokens per doc from a deterministic
+    // md5 chain; doc_id % 100 == 1 → near-dup of doc_id-1 (one token off)
+    spark.range(nDocs)
+      .withColumn("base", when(col("id") % 100 === 1, col("id") - 1).otherwise(col("id")))
+      .withColumn("toks", expr(
+        "transform(sequence(1, 150), i -> substr(md5(concat(CAST(base AS STRING), ':', CAST(i AS STRING))), 1, 6))"))
+      .withColumn("toks", expr(
+        "CASE WHEN id % 100 = 1 THEN concat(slice(toks, 1, 149), array('neardup')) ELSE toks END"))
+      .select(col("id").as("doc_id"), concat_ws(" ", col("toks")).as("text"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+
+    // embeddings: 8 unit-norm cluster centers (ids 0..7), noisy members
+    val rnd = new Random(7)
+    def unit(v: Array[Float]): Array[Float] = {
+      val n = math.sqrt(v.map(x => x * x.toDouble).sum).toFloat
+      v.map(_ / n)
+    }
+    val centers = Array.fill(8)(unit(Array.fill(64)(rnd.nextGaussian().toFloat)))
+    val rows = new scala.collection.mutable.ArrayBuffer[(Long, Array[Float], Int)]
+    centers.zipWithIndex.foreach { case (c, i) => rows += ((i.toLong, c, i)) }
+    var id = 8L
+    while (id < nVecs) {
+      val label = ((id - 8) % 8).toInt
+      val noisy = unit(centers(label).zip(
+        Array.fill(64)(rnd.nextGaussian().toFloat * 0.15f)).map { case (a, b) => a + b })
+      rows += ((id, noisy, label)); id += 1
+    }
+    import spark.implicits._
+    rows.toSeq.toDF("vec_id", "embedding", "label")
+      .repartition(cpus.toInt)
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+
+    val targets = Seq(
+      "q31_minhash_lsh", "q32_neardup_verified", "q33_simhash",
+      "q37_embedding_neardup", "q38_ann_bruteforce", "q39_ann_ivf",
+      "q52_ann_lsh", "q61_ann_quantized")
+    println(s"== smoke mult=$mult docs=$nDocs vecs=$nVecs dir=$dir ==")
+    targets.foreach { name =>
+      val t0 = System.nanoTime()
+      val rows =
+        try { SparkEntry.queries(name)(spark, dir).count() }
+        catch { case e: Throwable => System.err.println(s"$name FAILED: ${e.getMessage}"); -1L }
+      println(f"$name%-24s ${(System.nanoTime() - t0) / 1e9}%8.2f s  ($rows rows)")
+    }
+    spark.stop()
+  }
+}

@@ -197,13 +197,17 @@ object Dedup {
       .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
       .groupBy(col("doc_id"), col("word")).agg(count(lit(1)).as("cnt"))
     val bits = s.range(16).toDF("p")
-    // md5 each distinct word once (vocabulary ≪ corpus), broadcast the
-    // word→bit dimension into the token-count join
+    // md5 each distinct word once; the word→bit relation is usually tiny
+    // relative to the corpus (Zipf vocabularies), but NOT always — a
+    // dedup corpus of near-random tokens can have vocabulary ∝ corpus, so
+    // no forced broadcast hint here: AQE broadcasts when the built side
+    // is actually small and falls back to a shuffle join otherwise
+    // (ScaleSmoke at 50k synthetic docs OOM'd the forced broadcast).
     val wordBits = toks.select(col("word")).distinct()
       .crossJoin(bits)
       .withColumn("bit", expr(
         "shiftright(instr('0123456789abcdef', substr(md5(word), 1 + CAST(p DIV 4 AS INT), 1)) - 1, CAST(3 - p % 4 AS INT)) & 1"))
-    toks.join(broadcast(wordBits), "word")
+    toks.join(wordBits, "word")
       .groupBy(col("doc_id"), col("p"))
       .agg(sum(col("cnt") * (lit(2) * col("bit") - 1)).as("s"))
       .groupBy(col("doc_id"))
