@@ -12,9 +12,13 @@ import graft.sources.Tables
   * "Math/decimal" + JSON): one named query per operator family, each with a
   * DuckDB oracle.
   *
-  * Scale posture (100 TB): dimension tables are always `broadcast()` so the
-  * fact scan never shuffles for them; fact-fact joins shuffle on their join
-  * key only; every aggregate is a hash aggregate with map-side partials; all
+  * Scale posture (100 TB): constant-size dimensions (region, nation,
+  * literal band tables, single query rows) carry an explicit `broadcast()`
+  * hint; data-proportional dimensions (customer, supplier) deliberately do
+  * NOT — the planner/AQE broadcasts them while they fit and switches to a
+  * shuffle join at sizes where a forced broadcast would OOM. Fact-fact
+  * joins shuffle on their join key only; every aggregate is a hash
+  * aggregate with map-side partials; all
   * money arithmetic is DECIMAL (exact, order-independent → also
   * oracle-deterministic, see [[graft.functions.Decimals]]). Every query ends
   * in a deterministic ORDER BY on a unique key set.
@@ -100,7 +104,11 @@ object Analytics {
       .filter(col("l_shipdate") > lit("1998-01-01").cast("timestamp"))
     val one = lit(1).cast(DecimalType(3, 2))
     l.join(o, col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      // customer scales with the data (unlike nation/region): no forced
+      // hint — the planner/AQE broadcasts the filtered segment while it
+      // fits and falls back to a shuffle join at sizes where a forced
+      // broadcast would OOM
+      .join(c, col("o_custkey") === col("c_custkey"))
       .groupBy(col("l_orderkey"), col("o_orderdate"))
       .agg(dsum(money(col("l_extendedprice")) * (one - rate(col("l_discount")))).as("revenue"))
       .select(col("l_orderkey"), col("revenue"), col("o_orderdate"))
@@ -135,7 +143,7 @@ object Analytics {
     val l = Tables.lineitem(s, dir)
     val one = lit(1).cast(DecimalType(3, 2))
     l.join(o, col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .join(c, col("o_custkey") === col("c_custkey")) // data-proportional: AQE decides
       .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
       .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
       .groupBy(col("n_name"))
@@ -576,7 +584,7 @@ object Analytics {
     val l = Tables.lineitem(s, dir)
     val one = lit(1).cast(DecimalType(3, 2))
     val w = Window.partitionBy(col("n_name")).orderBy(col("revenue").desc, col("s_suppkey"))
-    l.join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+    l.join(sup, col("l_suppkey") === col("s_suppkey")) // data-proportional: AQE decides
       .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
       .groupBy(col("n_name"), col("s_suppkey"), col("s_name"))
       .agg(dsum(money(col("l_extendedprice")) * (one - rate(col("l_discount")))).as("revenue"))
