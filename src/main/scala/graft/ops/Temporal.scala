@@ -105,5 +105,28 @@ object Temporal {
       .orderBy(col("purchase_id"), col("click_id"))
   }
 
-  val all: Seq[QueryDef] = Seq(q46AsofJoin, q47Pivot, q55IntervalJoin)
+  /** The same as-of join through the CUSTOM OPERATOR path
+    * ([[graft.plans.AsofJoin]] logical node → injected strategy →
+    * [[graft.plans.AsofJoinExec]] streaming merge): one forward pass per
+    * co-partitioned sorted partition, no union/window row inflation.
+    * Shares q46's DuckDB oracle verbatim — the custom physical plan is
+    * itself hash-verified, the same proof pattern as q45 for the custom
+    * expression. */
+  val q63AsofNative: QueryDef = QueryDef(
+    "q63_asof_native",
+    (s, dir) => {
+      val ev = Tables.events(s, dir)
+      val p = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"), col("user_id"), col("ts").as("purchase_ts"))
+      val c = ev.filter(col("event_type") === "click")
+        .select(col("event_id").as("click_id"), col("user_id"), col("ts").as("click_ts"))
+      graft.plans.Asof.join(p, c, "user_id", "purchase_ts", "click_ts", Seq("click_id"))
+        .toDF("purchase_id", "user_id", "purchase_ts", "click_id", "r_user", "click_ts")
+        .select(col("purchase_id"), col("user_id"), col("purchase_ts"),
+          col("click_id"), col("click_ts"))
+        .orderBy(col("purchase_id"))
+    },
+    q46AsofJoin.oracle)
+
+  val all: Seq[QueryDef] = Seq(q46AsofJoin, q47Pivot, q55IntervalJoin, q63AsofNative)
 }

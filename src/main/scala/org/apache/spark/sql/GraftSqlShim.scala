@@ -1,0 +1,14 @@
+package org.apache.spark.sql
+
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+
+/** Bridge into the one `private[sql]` constructor a third-party operator
+  * library needs: building a DataFrame from a custom [[LogicalPlan]]
+  * node. Everything else in graft uses public APIs; this shim exists so
+  * [[graft.plans.Asof]] can hand its logical node to the planner (where
+  * the injected strategy picks it up) without forking any Spark code.
+  */
+object GraftSqlShim {
+  def ofRows(spark: SparkSession, plan: LogicalPlan): DataFrame =
+    classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
+}

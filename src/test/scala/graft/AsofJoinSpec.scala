@@ -1,0 +1,67 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.Temporal
+import graft.plans.Asof
+
+/** The custom as-of join operator (logical node → strategy → exec). */
+class AsofJoinSpec extends SparkSpec {
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  private def tiny() = {
+    import spark.implicits._
+    val quotes = Seq( // key, qtime, qid
+      (1L, ts("2024-01-01 10:00:00"), 100L),
+      (1L, ts("2024-01-01 10:00:00"), 101L), // tie on time: larger id must win
+      (1L, ts("2024-01-01 10:05:00"), 102L),
+      (2L, ts("2024-01-01 09:00:00"), 200L))
+      .toDF("key", "qtime", "qid")
+    val trades = Seq( // key, ttime, tid
+      (1L, ts("2024-01-01 10:00:00"), 1L),  // equal time: match allowed
+      (1L, ts("2024-01-01 10:03:00"), 2L),
+      (2L, ts("2024-01-01 08:59:59"), 3L),
+      (3L, ts("2024-01-01 00:00:00"), 4L))  // key with no left rows
+      .toDF("key", "ttime", "tid")
+    (trades, quotes)
+  }
+
+  test("streaming merge semantics: last match per key, ties by tie-break, outer nulls") {
+    val (trades, quotes) = tiny()
+    val out = Asof.join(trades, quotes, "key", "ttime", "qtime", Seq("qid"))
+      .toDF("key", "ttime", "tid", "qkey", "qtime", "qid")
+      .select(col("tid"), col("qid"))
+      .collect().map(r => r.getLong(0) -> (if (r.isNullAt(1)) -1L else r.getLong(1))).toMap
+    assert(out(1L) == 101L, "equal-time quote matches, larger qid wins the tie")
+    assert(out(2L) == 101L, "10:03 trade still sees the 10:00 quote (last <=)")
+    assert(out(3L) == -1L, "9:00 quote is after the 8:59:59 trade: no match")
+    assert(out(4L) == -1L, "key 3 has no quotes: outer null")
+  }
+
+  test("q63 native as-of equals the composed window formulation (q46) exactly") {
+    val native = Temporal.q63AsofNative.run(spark, sfDir).collect().map(_.toString)
+    val composed = Temporal.q46AsofJoin.run(spark, sfDir).collect().map(_.toString)
+    assert(native.toSeq == composed.toSeq)
+    assert(native.nonEmpty)
+  }
+
+  test("the plan is the custom exec with clustered+sorted children, no window, no SMJ") {
+    val df = Temporal.q63AsofNative.run(spark, sfDir)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("AsofJoin"), s"custom exec must appear:\n$plan")
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("WindowExec")
+      && !plan.contains("CartesianProduct"), s"no fallback operators:\n$plan")
+    // EnsureRequirements satisfied our distribution/ordering requirements
+    assert(plan.contains("hashpartitioning"), "children must be clustered on the key")
+    assert(plan.contains("Sort "), "children must be sorted (key, time)")
+  }
+
+  test("install is idempotent") {
+    Asof.install(spark)
+    Asof.install(spark)
+    assert(spark.experimental.extraStrategies.count(_ == graft.plans.AsofJoinStrategy) == 1)
+  }
+}
