@@ -59,6 +59,20 @@ class AsofJoinSpec extends SparkSpec {
     assert(plan.contains("Sort "), "children must be sorted (key, time)")
   }
 
+  test("bucketed inputs satisfy the operator's distribution without a shuffle") {
+    val (trades, quotes) = tiny()
+    graft.sources.Sinks.writeBucketed(trades, "asof_trades_b", "key", 4)
+    graft.sources.Sinks.writeBucketed(quotes, "asof_quotes_b", "key", 4)
+    val out = Asof.join(spark.table("asof_trades_b"), spark.table("asof_quotes_b"),
+      "key", "ttime", "qtime", Seq("qid"))
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"bucketed-by-key tables must feed the merge shuffle-free:\n$plan")
+    assert(out.count() == 4)
+    spark.sql("DROP TABLE IF EXISTS asof_trades_b")
+    spark.sql("DROP TABLE IF EXISTS asof_quotes_b")
+  }
+
   test("install is idempotent") {
     Asof.install(spark)
     Asof.install(spark)
