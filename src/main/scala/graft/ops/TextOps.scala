@@ -235,7 +235,32 @@ object TextOps {
       .orderBy(col("lang"), col("split"))
   }
 
+  /** MapType surface: per-document term-frequency MAP (map_from_entries
+    * over grouped counts), filtered with the map_filter higher-order
+    * function (keep terms appearing ≥ 3 times), then exploded back to
+    * rows. Map entry order is engine-internal, so the contract output is
+    * the exploded, sorted relation — which DuckDB reproduces relationally
+    * (GROUP BY ... HAVING); the Spark side genuinely routes through
+    * MapType + map HOFs. */
+  val q64TermFreqMap: QueryDef = sql(
+    "q64_term_freq_map",
+    """SELECT doc_id, word, COUNT(*) AS cnt
+      |FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents)
+      |GROUP BY doc_id, word
+      |HAVING COUNT(*) >= 3
+      |ORDER BY doc_id, word""".stripMargin) { (s, dir) =>
+    val counts = Tables.documents(s, dir)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+      .groupBy(col("doc_id"), col("word")).agg(count(lit(1)).as("cnt"))
+    counts
+      .groupBy(col("doc_id"))
+      .agg(map_from_entries(collect_list(struct(col("word"), col("cnt")))).as("tf"))
+      .withColumn("tf3", expr("map_filter(tf, (k, v) -> v >= 3)"))
+      .select(col("doc_id"), explode(col("tf3")).as(Seq("word", "cnt")))
+      .orderBy(col("doc_id"), col("word"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     q21TextStats, q22WordFreq, q23BigramFreq, q24LangId, q25QualityScore,
-    q26Fingerprint, q27TokenRegex, q62TrainSplit)
+    q26Fingerprint, q27TokenRegex, q62TrainSplit, q64TermFreqMap)
 }
