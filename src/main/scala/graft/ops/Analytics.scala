@@ -706,6 +706,142 @@ object Analytics {
       .orderBy(col("l_returnflag"))
   }
 
+  /** Left outer join with an ON-clause filter on the preserved side's
+    * partner: every customer survives; the big-order restriction lives in
+    * the join condition (not a WHERE, which would turn the join inner).
+    * COUNT over the nullable right key and COALESCE'd SUM exercise the
+    * null-extension path. Same shuffle shape as an inner join at scale —
+    * outer-ness costs nothing extra. */
+  val q65OuterJoin: QueryDef = sql(
+    "q65_outer_join",
+    """SELECT c.c_custkey,
+      |  COUNT(o.o_orderkey) AS n_big_orders,
+      |  CAST(COALESCE(SUM(CAST(o.o_totalprice AS DECIMAL(12,2))), 0) AS DOUBLE) AS big_total
+      |FROM customer c
+      |LEFT JOIN orders o ON o.o_custkey = c.c_custkey AND o.o_totalprice > 400000
+      |GROUP BY c.c_custkey
+      |ORDER BY c.c_custkey""".stripMargin) { (s, dir) =>
+    val c = Tables.customer(s, dir)
+    val o = Tables.orders(s, dir)
+    c.join(o, col("o_custkey") === col("c_custkey") && col("o_totalprice") > 400000, "left")
+      .groupBy(col("c_custkey"))
+      .agg(
+        count(col("o_orderkey")).as("n_big_orders"),
+        coalesce(dsum(money(col("o_totalprice"))), lit(0.0)).as("big_total"))
+      .orderBy(col("c_custkey"))
+  }
+
+  /** Full outer join between two derived relations whose key sets only
+    * partially overlap (high-balance customers vs customers holding a
+    * very large order): nulls appear on BOTH sides, COALESCE restores the
+    * key. Full-outer cannot broadcast (both sides must be preserved) —
+    * the plan is a shuffle join keyed on custkey, which is exactly what
+    * it should be at 100 TB. */
+  val q66FullOuter: QueryDef = sql(
+    "q66_full_outer",
+    """WITH hc AS (SELECT c_custkey, c_acctbal FROM customer WHERE c_acctbal > 9000),
+      |     ho AS (SELECT o_custkey, COUNT(*) AS n_big,
+      |            CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS big_total
+      |            FROM orders WHERE o_totalprice > 450000 GROUP BY o_custkey)
+      |SELECT COALESCE(hc.c_custkey, ho.o_custkey) AS custkey,
+      |       hc.c_acctbal, ho.n_big, ho.big_total
+      |FROM hc FULL OUTER JOIN ho ON hc.c_custkey = ho.o_custkey
+      |ORDER BY custkey""".stripMargin) { (s, dir) =>
+    val hc = Tables.customer(s, dir)
+      .filter(col("c_acctbal") > 9000)
+      .select(col("c_custkey"), col("c_acctbal"))
+    val ho = Tables.orders(s, dir)
+      .filter(col("o_totalprice") > 450000)
+      .groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("n_big"), dsum(money(col("o_totalprice"))).as("big_total"))
+    hc.join(ho, col("c_custkey") === col("o_custkey"), "full_outer")
+      .select(
+        coalesce(col("c_custkey"), col("o_custkey")).as("custkey"),
+        col("c_acctbal"), col("n_big"), col("big_total"))
+      .orderBy(col("custkey"))
+  }
+
+  /** UNPIVOT (wide → long): a per-returnflag aggregate with three metric
+    * columns melts into (flag, metric, value) rows via `Dataset.unpivot`
+    * (Spark's `Unpivot` logical node — expanded map-side, no shuffle
+    * beyond the aggregation's own). The oracle states the same relation
+    * as a UNION ALL, the portable relational definition of unpivot. */
+  val q67Unpivot: QueryDef = sql(
+    "q67_unpivot",
+    """WITH w AS (SELECT l_returnflag,
+      |    CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+      |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_price,
+      |    CAST(SUM(CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) AS sum_disc
+      |  FROM lineitem GROUP BY l_returnflag)
+      |SELECT l_returnflag, 'sum_qty' AS metric, sum_qty AS value FROM w
+      |UNION ALL SELECT l_returnflag, 'sum_price' AS metric, sum_price AS value FROM w
+      |UNION ALL SELECT l_returnflag, 'sum_disc' AS metric, sum_disc AS value FROM w
+      |ORDER BY l_returnflag, metric""".stripMargin) { (s, dir) =>
+    Tables.lineitem(s, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        dsum(qty(col("l_quantity"))).as("sum_qty"),
+        dsum(money(col("l_extendedprice"))).as("sum_price"),
+        dsum(rate(col("l_discount"))).as("sum_disc"))
+      .unpivot(
+        Array(col("l_returnflag")),
+        Array(col("sum_qty"), col("sum_price"), col("sum_disc")),
+        "metric", "value")
+      .orderBy(col("l_returnflag"), col("metric"))
+  }
+
+  /** Correlated scalar subqueries (last ship date + line count per order),
+    * implemented the way Spark's optimizer decorrelates them: aggregate
+    * the inner relation once, left-join it to the outer. COUNT(*) of an
+    * empty correlated set is 0, which the decorrelated form reproduces as
+    * COALESCE over the null-extended count; MAX stays NULL. One shuffle
+    * agg + one join — at 100 TB this beats per-row subquery execution by
+    * construction (a correlated rewrite is mandatory, not optional). */
+  val q69CorrelatedSubquery: QueryDef = sql(
+    "q69_correlated_subquery",
+    """SELECT o_orderkey, o_totalprice,
+      |  (SELECT MAX(l.l_shipdate) FROM lineitem l WHERE l.l_orderkey = o.o_orderkey) AS last_ship,
+      |  (SELECT COUNT(*) FROM lineitem l WHERE l.l_orderkey = o.o_orderkey) AS n_lines
+      |FROM orders o
+      |ORDER BY o_orderkey""".stripMargin) { (s, dir) =>
+    val per = Tables.lineitem(s, dir)
+      .groupBy(col("l_orderkey"))
+      .agg(max(col("l_shipdate")).as("last_ship"), count(lit(1)).as("cnt"))
+    Tables.orders(s, dir)
+      .join(per, col("o_orderkey") === col("l_orderkey"), "left")
+      .select(col("o_orderkey"), col("o_totalprice"), col("last_ship"),
+        coalesce(col("cnt"), lit(0L)).as("n_lines"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  /** The remaining analytic window functions in one pass: ntile,
+    * percent_rank, cume_dist, lead, lag share a single window spec →
+    * one shuffle on o_custkey, one sort per partition, all five computed
+    * in the same WindowExec. Definitions are ANSI-standard in both
+    * engines; ties are broken by the unique o_orderkey so every value is
+    * deterministic. */
+  val q71WindowAnalytics: QueryDef = sql(
+    "q71_window_analytics",
+    """SELECT o_custkey, o_orderkey,
+      |  CAST(NTILE(4) OVER w AS INT) AS quartile,
+      |  PERCENT_RANK() OVER w AS pct_rank,
+      |  CUME_DIST() OVER w AS cdist,
+      |  LEAD(o_totalprice, 1) OVER w AS next_price,
+      |  LAG(o_totalprice, 1) OVER w AS prev_price
+      |FROM orders
+      |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey)
+      |ORDER BY o_custkey, o_orderkey""".stripMargin) { (s, dir) =>
+    val w = Window.partitionBy(col("o_custkey")).orderBy(col("o_totalprice"), col("o_orderkey"))
+    Tables.orders(s, dir)
+      .select(col("o_custkey"), col("o_orderkey"),
+        ntile(4).over(w).as("quartile"),
+        percent_rank().over(w).as("pct_rank"),
+        cume_dist().over(w).as("cdist"),
+        lead(col("o_totalprice"), 1).over(w).as("next_price"),
+        lag(col("o_totalprice"), 1).over(w).as("prev_price"))
+      .orderBy(col("o_custkey"), col("o_orderkey"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     q01PricingSummary, q02SelectiveFilter, q03ShippingPriority, q05LocalRevenue,
     q06SemiJoin, q07AntiJoin, q08RangeJoin, q09DistinctUsers, q10Rollup,
@@ -713,5 +849,6 @@ object Analytics {
     q16StringFns, q17DateFns, q18MathFns, q19JsonFns, q20CaseWhen,
     q48ApproxDistinct, q50SetOpsAll, q51SqlInterface, q54FromJson,
     q56SupplierRanking, q57WeightedMean, q58GroupingSets, q59ExactStats,
-    q60Percentiles)
+    q60Percentiles, q65OuterJoin, q66FullOuter, q67Unpivot,
+    q69CorrelatedSubquery, q71WindowAnalytics)
 }

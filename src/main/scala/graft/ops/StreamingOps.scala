@@ -106,8 +106,29 @@ object StreamingOps {
       .orderBy(col("win_start"), col("event_type"))
   }
 
+  /** Stream-static enrichment join (batch face): events keyed by user_id
+    * pick up the customer's market segment, then aggregate per segment ×
+    * minute. In the streaming face the static side is re-read per
+    * micro-batch and broadcast — no state is kept for it, so dimension
+    * size never grows streaming state. Events whose user has no customer
+    * row are kept (left join) under segment 'UNKNOWN'. */
+  val q70StreamStatic: QueryDef = sql(
+    "q70_stream_static",
+    """SELECT COALESCE(c.c_mktsegment, 'UNKNOWN') AS segment,
+      |  CAST(DATE_TRUNC('minute', e.ts) AS TIMESTAMP) AS minute_start,
+      |  COUNT(*) AS n_events,
+      |  CAST(SUM(CAST(e.value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+      |FROM events e
+      |LEFT JOIN customer c ON e.user_id = c.c_custkey
+      |GROUP BY 1, 2
+      |ORDER BY 1, 2""".stripMargin) { (s, dir) =>
+    enrichedSegmentCounts(Tables.events(s, dir), Tables.customer(s, dir))
+      .orderBy(col("segment"), col("minute_start"))
+  }
+
   val all: Seq[QueryDef] = Seq(
-    q40EventsTumbling, q41SessionWindows, q42StreamDedup, q49EventsSliding)
+    q40EventsTumbling, q41SessionWindows, q42StreamDedup, q49EventsSliding,
+    q70StreamStatic)
 
   // ---- streaming faces (unbounded DataFrames) ----
 
@@ -176,6 +197,34 @@ object StreamingOps {
       .select(col("purchase_id"), col("click_id"), col("p_user").as("user_id"),
         col("purchase_ts"), col("click_ts"))
   }
+
+  /** Shared core of q70's batch and streaming faces: left-join the static
+    * customer dimension onto events, aggregate per (segment, minute).
+    * Works on bounded and unbounded `events` alike — on a stream, Spark
+    * re-plans the static side each micro-batch and broadcasts it. */
+  def enrichedSegmentCounts(events: DataFrame, customers: DataFrame): DataFrame =
+    events
+      .join(customers.select(col("c_custkey"), col("c_mktsegment")),
+        col("user_id") === col("c_custkey"), "left")
+      .groupBy(
+        coalesce(col("c_mktsegment"), lit("UNKNOWN")).as("segment"),
+        date_trunc("minute", col("ts")).as("minute_start"))
+      .agg(count(lit(1)).as("n_events"), dsum(money(col("value"))).as("sum_value"))
+
+  /** Streaming face of q70: watermarked stream-static join + windowed agg.
+    * The dimension is NOT streamed and holds no state; only the windowed
+    * aggregation keeps (segment × window) rows, bounded by the watermark. */
+  def streamStaticSegmentCounts(events: DataFrame, customers: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .join(customers.select(col("c_custkey"), col("c_mktsegment")),
+        col("user_id") === col("c_custkey"), "left")
+      .groupBy(
+        window(col("ts"), "1 minute"),
+        coalesce(col("c_mktsegment"), lit("UNKNOWN")).as("segment"))
+      .agg(count(lit(1)).as("n_events"), dsum(money(col("value"))).as("sum_value"))
+      .select(col("segment"), col("window.start").as("minute_start"),
+        col("n_events"), col("sum_value"))
 
   /** Custom state with selective emission: flatMapGroupsWithState emits a
     * row only when a user's value sets a new high-watermark (append mode —

@@ -260,7 +260,33 @@ object TextOps {
       .orderBy(col("doc_id"), col("word"))
   }
 
+  /** Deterministic stratified sampling: per-language keep-fractions
+    * (down-sample the dominant `en` to 30%, keep 60% of the long-tail
+    * languages) via the same md5-bucket predicate as [[q62TrainSplit]] —
+    * a pure function of doc_id, so the sample is reproducible across
+    * runs, engines, and cluster sizes, needs no seed or count pass, and
+    * at 100 TB is a zero-shuffle scan filter (unlike `TABLESAMPLE` /
+    * `df.sample`, whose partition-order-dependent RNG can't be
+    * oracle-matched or recomputed per stage). This is the
+    * language-rebalancing shape of a training-data pipeline. */
+  val q68StratifiedSample: QueryDef = sql(
+    "q68_stratified_sample",
+    """SELECT doc_id, lang FROM (
+      |  SELECT doc_id, lang,
+      |    CAST(('0x' || substr(md5('sample:' || CAST(doc_id AS VARCHAR)), 1, 4)) AS INT) AS bucket
+      |  FROM documents)
+      |WHERE bucket < CASE WHEN lang = 'en' THEN 19660 ELSE 39321 END
+      |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    Tables.documents(s, dir)
+      .withColumn("bucket", expr(
+        "CAST(conv(substring(md5(concat('sample:', CAST(doc_id AS STRING))), 1, 4), 16, 10) AS INT)"))
+      .filter(col("bucket") < when(col("lang") === "en", 19660).otherwise(39321))
+      .select(col("doc_id"), col("lang"))
+      .orderBy(col("doc_id"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     q21TextStats, q22WordFreq, q23BigramFreq, q24LangId, q25QualityScore,
-    q26Fingerprint, q27TokenRegex, q62TrainSplit, q64TermFreqMap)
+    q26Fingerprint, q27TokenRegex, q62TrainSplit, q64TermFreqMap,
+    q68StratifiedSample)
 }

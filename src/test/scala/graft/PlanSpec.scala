@@ -96,6 +96,42 @@ class PlanSpec extends SparkSpec {
       s"numeric minhash components must hash-aggregate, not sort:\n$sigAgg")
   }
 
+  test("q66: full-outer join is a shuffle join (both sides preserved, no broadcast)") {
+    val p = planOf(Analytics.q66FullOuter.run(spark, sfDir))
+    assert(p.contains("FullOuter"), p)
+    assert(!p.contains("BroadcastHashJoin FullOuter"),
+      "full-outer cannot stream a broadcast side; it must shuffle on the key")
+  }
+
+  test("q67: unpivot adds no shuffle beyond the aggregation's own") {
+    val p = planOf(Analytics.q67Unpivot.run(spark, sfDir))
+    val exchanges = "Exchange".r.findAllIn(p).length
+    // one shuffle for the groupBy, one for the final orderBy — Expand is map-side
+    assert(exchanges <= 3, s"unpivot must expand map-side, got $exchanges exchanges:\n$p")
+  }
+
+  test("q69: correlated subqueries decorrelate to ONE join over ONE aggregation") {
+    val p = planOf(Analytics.q69CorrelatedSubquery.run(spark, sfDir))
+    val joins = "Join".r.findAllIn(p).length
+    assert(joins <= 2, s"both scalar subqueries share one decorrelated join:\n$p")
+    assert(p.contains("partial_max") || p.contains("Partial"),
+      "the inner aggregate must be two-phase")
+  }
+
+  test("q71: all five analytic functions share a single WindowExec pass") {
+    val p = planOf(Analytics.q71WindowAnalytics.run(spark, sfDir))
+    val windows = "Window \\[".r.findAllIn(p).length
+    assert(windows == 1, s"one window spec must plan as one WindowExec:\n$p")
+  }
+
+  test("q68: stratified sample is a scan-level filter (no shuffle, no join)") {
+    val df = graft.ops.TextOps.q68StratifiedSample.run(spark, sfDir)
+    val p = planOf(df)
+    assert(!p.contains("Join"), "hash-bucket sampling must not join an assignment table")
+    val exchanges = "Exchange".r.findAllIn(p).length
+    assert(exchanges <= 1, s"only the final orderBy may exchange:\n$p")
+  }
+
   test("ref_schema_lint: the fused rule engine builds at most two broadcast exchanges") {
     val df = graft.ops.SchemaLint.report(spark)
     val p = planOf(df)

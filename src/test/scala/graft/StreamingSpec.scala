@@ -59,6 +59,17 @@ class StreamingSpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("stream-static join equals the batch enrichment query on the same data") {
+    val got = runToMemory(
+      StreamingOps.streamStaticSegmentCounts(
+        StreamingOps.eventsStream(spark, stageEvents()), Tables.customer(spark, sfDir)),
+      "t_stream_static", "complete")
+      .collect().map(r => (r.getString(0), r.getTimestamp(1), r.getLong(2), r.getDouble(3))).toSet
+    val want = StreamingOps.q70StreamStatic.run(spark, sfDir)
+      .collect().map(r => (r.getString(0), r.getTimestamp(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(got == want)
+  }
+
   test("streaming dedup keeps exactly one row per key") {
     val got = runToMemory(
       StreamingOps.dedupWithinWatermark(StreamingOps.eventsStream(spark, stageEvents())),
