@@ -842,6 +842,35 @@ object Analytics {
       .orderBy(col("o_custkey"), col("o_orderkey"))
   }
 
+  /** Array aggregation / sequence construction: each user's ordered
+    * event-type sequence as ONE array row (the next-event-prediction
+    * training shape). `collect_list` over a struct keyed by (ts,
+    * event_id) then `sort_array` gives a deterministic order inside the
+    * aggregation — no window, no second shuffle; DuckDB's
+    * `list(x ORDER BY ...)` states the same relation. Per-user sequences
+    * are bounded by user activity, not corpus size, so rows stay
+    * executor-sized at 100 TB. */
+  val q73EventSequences: QueryDef = sql(
+    "q73_event_sequences",
+    """SELECT user_id,
+      |  COUNT(*) AS n_events,
+      |  MIN(ts) AS first_ts,
+      |  MAX(ts) AS last_ts,
+      |  list(event_type ORDER BY ts, event_id) AS seq
+      |FROM events
+      |GROUP BY user_id
+      |ORDER BY user_id""".stripMargin) { (s, dir) =>
+    Tables.events(s, dir)
+      .groupBy(col("user_id"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        min(col("ts")).as("first_ts"),
+        max(col("ts")).as("last_ts"),
+        expr("transform(array_sort(collect_list(struct(ts, event_id, event_type))), x -> x.event_type)")
+          .as("seq"))
+      .orderBy(col("user_id"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     q01PricingSummary, q02SelectiveFilter, q03ShippingPriority, q05LocalRevenue,
     q06SemiJoin, q07AntiJoin, q08RangeJoin, q09DistinctUsers, q10Rollup,
@@ -850,5 +879,5 @@ object Analytics {
     q48ApproxDistinct, q50SetOpsAll, q51SqlInterface, q54FromJson,
     q56SupplierRanking, q57WeightedMean, q58GroupingSets, q59ExactStats,
     q60Percentiles, q65OuterJoin, q66FullOuter, q67Unpivot,
-    q69CorrelatedSubquery, q71WindowAnalytics)
+    q69CorrelatedSubquery, q71WindowAnalytics, q73EventSequences)
 }

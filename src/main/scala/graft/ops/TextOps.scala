@@ -285,8 +285,70 @@ object TextOps {
       .orderBy(col("doc_id"))
   }
 
+  /** PII redaction: regex-scrub emails and phone numbers, counting the
+    * redactions per document. The fixture corpus is synthetic word salad,
+    * so both engines first derive the same PII-bearing text from doc_id
+    * (identical string construction), then redact — the regexes are
+    * genuinely exercised and the counts are non-zero. Patterns stay in
+    * the RE2 ∩ Java-regex common subset so both engines compile them
+    * identically; DuckDB needs the 'g' flag to match Spark's replace-all.
+    * Pure per-row work: zero shuffle at any scale. */
+  val q72Redaction: QueryDef = sql(
+    "q72_redaction",
+    """SELECT doc_id,
+      |  len(regexp_extract_all(pii, '[a-z0-9._]+@[a-z.]+[a-z]')) AS n_emails,
+      |  len(regexp_extract_all(pii, '\+1-[0-9]{3}-[0-9]{4}')) AS n_phones,
+      |  substr(regexp_replace(regexp_replace(pii,
+      |    '[a-z0-9._]+@[a-z.]+[a-z]', '[EMAIL]', 'g'),
+      |    '\+1-[0-9]{3}-[0-9]{4}', '[PHONE]', 'g'), 1, 80) AS redacted_head
+      |FROM (SELECT doc_id,
+      |        'contact user' || CAST(doc_id AS VARCHAR) || '@mail.example or +1-555-'
+      |          || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || ' re: ' || text AS pii
+      |      FROM documents)
+      |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    val pii = concat(
+      lit("contact user"), col("doc_id").cast("string"), lit("@mail.example or +1-555-"),
+      lpad((col("doc_id") % 10000).cast("string"), 4, "0"), lit(" re: "), col("text"))
+    val email = "[a-z0-9._]+@[a-z.]+[a-z]"
+    val phone = "\\+1-[0-9]{3}-[0-9]{4}"
+    Tables.documents(s, dir)
+      .select(col("doc_id"), pii.as("pii"))
+      .select(col("doc_id"),
+        size(regexp_extract_all(col("pii"), lit(email), lit(0))).cast("long").as("n_emails"),
+        size(regexp_extract_all(col("pii"), lit(phone), lit(0))).cast("long").as("n_phones"),
+        substring(
+          regexp_replace(regexp_replace(col("pii"), email, "[EMAIL]"), phone, "[PHONE]"),
+          1, 80).as("redacted_head"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Context-window chunking with overlap — the canonical packing step of
+    * an LLM training pipeline: token arrays split into 64-token chunks on
+    * a 48-token stride (16 overlap). Chunk starts come from an arithmetic
+    * `sequence`, the chunk itself from `slice` — all per-row array work
+    * that explodes map-side; the only shuffle is the final ORDER BY. A
+    * 100 TB corpus chunks embarrassingly parallel. */
+  val q74Chunking: QueryDef = sql(
+    "q74_chunking",
+    """SELECT doc_id, CAST(i // 48 AS INT) AS chunk_id,
+      |  CAST(least(64, len(toks) - i) AS INT) AS n_tokens,
+      |  array_to_string(list_slice(toks, i + 1, i + 64), ' ') AS chunk
+      |FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents) t,
+      |     LATERAL (SELECT unnest(range(0, len(toks), 48)) AS i)
+      |ORDER BY doc_id, chunk_id""".stripMargin) { (s, dir) =>
+    Tables.documents(s, dir)
+      .withColumn("toks", split(col("text"), " "))
+      .select(col("doc_id"), col("toks"),
+        explode(expr("sequence(0, size(toks) - 1, 48)")).as("i"))
+      .select(col("doc_id"),
+        (col("i") / 48).cast("int").as("chunk_id"),
+        least(lit(64), size(col("toks")) - col("i")).cast("int").as("n_tokens"),
+        concat_ws(" ", expr("slice(toks, i + 1, 64)")).as("chunk"))
+      .orderBy(col("doc_id"), col("chunk_id"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     q21TextStats, q22WordFreq, q23BigramFreq, q24LangId, q25QualityScore,
     q26Fingerprint, q27TokenRegex, q62TrainSplit, q64TermFreqMap,
-    q68StratifiedSample)
+    q68StratifiedSample, q72Redaction, q74Chunking)
 }

@@ -132,6 +132,20 @@ class PlanSpec extends SparkSpec {
     assert(exchanges <= 1, s"only the final orderBy may exchange:\n$p")
   }
 
+  test("q73: sequence construction is one hash-keyed aggregation, no window pass") {
+    val p = planOf(Analytics.q73EventSequences.run(spark, sfDir))
+    assert(!p.contains("Window"), "array_sort inside the agg must replace a window+collect")
+    val exchanges = "Exchange".r.findAllIn(p).length
+    assert(exchanges <= 2, s"one shuffle for the groupBy, one for the orderBy:\n$p")
+  }
+
+  test("q74: chunking explodes map-side (no shuffle before the final orderBy)") {
+    val p = planOf(graft.ops.TextOps.q74Chunking.run(spark, sfDir))
+    assert(!p.contains("Join"), p)
+    val exchanges = "Exchange".r.findAllIn(p).length
+    assert(exchanges <= 1, s"per-row chunking must not shuffle:\n$p")
+  }
+
   test("ref_schema_lint: the fused rule engine builds at most two broadcast exchanges") {
     val df = graft.ops.SchemaLint.report(spark)
     val p = planOf(df)
