@@ -119,7 +119,14 @@ object Dedup {
       |           ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id)""".stripMargin
 
   private def candidates(s: SparkSession, dir: String): DataFrame = {
+    // The band relation feeds BOTH sides of the self-join. Without an
+    // explicit materialization Spark recomputes the whole
+    // shingle→signature→band chain per side (the shuffles differ, so
+    // ReuseExchange can't kick in). At 100 TB this intermediate is the
+    // thing you'd write to storage between pipeline stages; locally
+    // MEMORY_AND_DISK persist states the same plan property.
     val bb = bands(signatures(s, dir))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val a = bb.select(col("doc_id").as("doc_a"), col("band"), col("bucket"))
     val b = bb.select(col("doc_id").as("doc_b"), col("band"), col("bucket"))
     a.join(b, Seq("band", "bucket")).filter(col("doc_a") < col("doc_b"))
@@ -158,7 +165,11 @@ object Dedup {
        |JOIN cnts cb ON cb.doc_id = i.doc_b
        |WHERE CAST(i.n_common AS DOUBLE) / (ca.n + cb.n - i.n_common) > 0.7
        |ORDER BY doc_a, doc_b""".stripMargin) { (s, dir) =>
+    // Three consumers (both intersection sides + the per-doc counts):
+    // materialize the shingle relation once — see candidates() for the
+    // 100 TB rationale.
     val sh = shingles(s, dir)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cand = candidates(s, dir)
     val inter = cand
       .join(sh.select(col("doc_id").as("doc_a"), col("sh")), "doc_a")
@@ -233,7 +244,11 @@ object Dedup {
        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.simhash
        |FROM sig a JOIN sig b ON a.simhash = b.simhash AND a.doc_id < b.doc_id
        |ORDER BY doc_a, doc_b""".stripMargin) { (s, dir) =>
+    // Same self-join shape as candidates(): materialize the signature
+    // relation once instead of recomputing the tokenize→hash→vote chain
+    // per side.
     val sig = simhashes(s, dir)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val a = sig.select(col("doc_id").as("doc_a"), col("simhash"))
     val b = sig.select(col("doc_id").as("doc_b"), col("simhash"))
     a.join(b, "simhash").filter(col("doc_a") < col("doc_b"))
