@@ -871,6 +871,75 @@ object Analytics {
       .orderBy(col("user_id"))
   }
 
+  /** Part-catalog profile by size: closes fixture coverage of `p_size`.
+    * Plain two-phase hash agg; distinct-brand count is the expand-based
+    * two-shuffle form, bounded by (size × brand) cardinality. */
+  val q75PartProfile: QueryDef = sql(
+    "q75_part_profile",
+    """SELECT p_size,
+      |  COUNT(*) AS n_parts,
+      |  COUNT(DISTINCT p_brand) AS n_brands,
+      |  CAST(SUM(CAST(p_retailprice AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS avg_retail
+      |FROM part
+      |GROUP BY p_size
+      |ORDER BY p_size""".stripMargin) { (s, dir) =>
+    Tables.part(s, dir)
+      .groupBy(col("p_size"))
+      .agg(
+        count(lit(1)).as("n_parts"),
+        countDistinct(col("p_brand")).as("n_brands"),
+        davg(money(col("p_retailprice"))).as("avg_retail"))
+      .orderBy(col("p_size"))
+  }
+
+  /** Order line density: line count vs max line number per order (equal
+    * when numbering is gapless), named customer attached — closes
+    * coverage of `l_linenumber` and `c_name`. Fact-fact shuffle on
+    * orderkey, then top-k via TakeOrderedAndProject. */
+  val q76OrderLineDensity: QueryDef = sql(
+    "q76_order_line_density",
+    """SELECT o.o_orderkey, c.c_name, o.o_totalprice,
+      |  COUNT(*) AS n_lines,
+      |  MAX(l.l_linenumber) AS max_lineno
+      |FROM orders o
+      |JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      |JOIN customer c ON c.c_custkey = o.o_custkey
+      |GROUP BY o.o_orderkey, c.c_name, o.o_totalprice
+      |ORDER BY o.o_totalprice DESC, o.o_orderkey
+      |LIMIT 20""".stripMargin) { (s, dir) =>
+    Tables.orders(s, dir)
+      .join(Tables.lineitem(s, dir), col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.customer(s, dir), col("c_custkey") === col("o_custkey"))
+      .groupBy(col("o_orderkey"), col("c_name"), col("o_totalprice"))
+      .agg(count(lit(1)).as("n_lines"), max(col("l_linenumber")).as("max_lineno"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(20)
+  }
+
+  /** Supplier balance rollup per nation: closes coverage of `s_acctbal`.
+    * nation is a constant 25-row dim → broadcast. */
+  val q77SupplierBalance: QueryDef = sql(
+    "q77_supplier_balance",
+    """SELECT n.n_name,
+      |  COUNT(*) AS n_suppliers,
+      |  CAST(SUM(CAST(s.s_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS total_bal,
+      |  MIN(s.s_acctbal) AS min_bal,
+      |  MAX(s.s_acctbal) AS max_bal
+      |FROM supplier s
+      |JOIN nation n ON s.s_nationkey = n.n_nationkey
+      |GROUP BY n.n_name
+      |ORDER BY n.n_name""".stripMargin) { (s, dir) =>
+    Tables.supplier(s, dir)
+      .join(broadcast(Tables.nation(s, dir)), col("s_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(
+        count(lit(1)).as("n_suppliers"),
+        dsum(money(col("s_acctbal"))).as("total_bal"),
+        min(col("s_acctbal")).as("min_bal"),
+        max(col("s_acctbal")).as("max_bal"))
+      .orderBy(col("n_name"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     q01PricingSummary, q02SelectiveFilter, q03ShippingPriority, q05LocalRevenue,
     q06SemiJoin, q07AntiJoin, q08RangeJoin, q09DistinctUsers, q10Rollup,
@@ -879,5 +948,6 @@ object Analytics {
     q48ApproxDistinct, q50SetOpsAll, q51SqlInterface, q54FromJson,
     q56SupplierRanking, q57WeightedMean, q58GroupingSets, q59ExactStats,
     q60Percentiles, q65OuterJoin, q66FullOuter, q67Unpivot,
-    q69CorrelatedSubquery, q71WindowAnalytics, q73EventSequences)
+    q69CorrelatedSubquery, q71WindowAnalytics, q73EventSequences,
+    q75PartProfile, q76OrderLineDensity, q77SupplierBalance)
 }
