@@ -256,6 +256,55 @@ object Dedup {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
+  /** SimHash near-dup with Hamming tolerance — the production form (Manku
+    * et al., WWW'07): pairs within Hamming distance ≤ 2 of the 16-bit
+    * signature. Pigeonhole: split the signature into 3 parts (6/5/5
+    * bits); any pair differing in ≤ 2 bits agrees exactly on ≥ 1 part, so
+    * candidates come from equi-joins on (part index, part value) — never
+    * all-pairs — and the exact `bit_count(xor) <= 2` filter runs on
+    * candidates only. Pure integer arithmetic, identical in both
+    * engines. At 100 TB each part join shuffles on a short key; the
+    * candidate volume is governed by per-part bucket collisions exactly
+    * like MinHash banding. */
+  val q78SimhashHamming: QueryDef = sql(
+    "q78_simhash_hamming",
+    s"""WITH $simhashSql,
+       |parts AS (
+       |  SELECT doc_id, simhash, 0 AS pidx, simhash & 63 AS pval FROM sig
+       |  UNION ALL
+       |  SELECT doc_id, simhash, 1 AS pidx, (simhash >> 6) & 31 AS pval FROM sig
+       |  UNION ALL
+       |  SELECT doc_id, simhash, 2 AS pidx, (simhash >> 11) & 31 AS pval FROM sig),
+       |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |                a.simhash AS sig_a, b.simhash AS sig_b
+       |         FROM parts a JOIN parts b
+       |           ON a.pidx = b.pidx AND a.pval = b.pval AND a.doc_id < b.doc_id)
+       |SELECT doc_a, doc_b,
+       |  CAST(bit_count(xor(sig_a, sig_b)) AS INT) AS hamming
+       |FROM cand
+       |WHERE bit_count(xor(sig_a, sig_b)) <= 2
+       |ORDER BY doc_a, doc_b""".stripMargin) { (s, dir) =>
+    val sig = simhashes(s, dir)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val parts = sig.select(col("doc_id"), col("simhash"),
+        explode(array(
+          struct(lit(0).as("pidx"), (col("simhash") % 64).as("pval")),
+          struct(lit(1).as("pidx"), expr("shiftright(simhash, 6) % 32").as("pval")),
+          struct(lit(2).as("pidx"), expr("shiftright(simhash, 11) % 32").as("pval")))).as("p"))
+      .select(col("doc_id"), col("simhash"), col("p.pidx").as("pidx"), col("p.pval").as("pval"))
+    val a = parts.select(col("doc_id").as("doc_a"), col("simhash").as("sig_a"),
+      col("pidx"), col("pval"))
+    val b = parts.select(col("doc_id").as("doc_b"), col("simhash").as("sig_b"),
+      col("pidx"), col("pval"))
+    val ham = expr("bit_count(sig_a ^ sig_b)")
+    a.join(b, Seq("pidx", "pval")).filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"), col("sig_a"), col("sig_b")).distinct()
+      .filter(ham <= 2)
+      .select(col("doc_a"), col("doc_b"), ham.cast("int").as("hamming"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
   val all: Seq[QueryDef] = Seq(
-    q30DedupExact, q31MinhashLsh, q32NeardupVerified, q33Simhash, q34SimhashPairs)
+    q30DedupExact, q31MinhashLsh, q32NeardupVerified, q33Simhash, q34SimhashPairs,
+    q78SimhashHamming)
 }

@@ -133,6 +133,17 @@ class ConsistencySpec extends SparkSpec {
     assert(rows.map(_.toString).toSeq == again.map(_.toString).toSeq)
   }
 
+  test("q34 identical-signature pairs are contained in q78's hamming<=2 pairs") {
+    val exact = graft.ops.Dedup.q34SimhashPairs.run(spark, sfDir)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ham = graft.ops.Dedup.q78SimhashHamming.run(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    val hamSet = ham.map(t => (t._1, t._2)).toSet
+    assert(exact.subsetOf(hamSet), "hamming 0 is within hamming <= 2")
+    assert(ham.forall(_._3 <= 2))
+    assert(ham.filter(t => exact((t._1, t._2))).forall(_._3 == 0))
+  }
+
   test("minhash signature similarity upper-bounds verified jaccard pairs") {
     // every verified pair (jaccard > 0.7) must agree on most signature components
     val sigs = Dedup.q33Simhash.run(spark, sfDir).collect()

@@ -132,6 +132,14 @@ class PlanSpec extends SparkSpec {
     assert(exchanges <= 1, s"only the final orderBy may exchange:\n$p")
   }
 
+  test("q78: hamming candidates come from part equi-joins, never all-pairs") {
+    val p = planOf(Dedup.q78SimhashHamming.run(spark, sfDir))
+    assert(!p.contains("CartesianProduct"), p)
+    // the signature self-join must key on (pidx, pval) — the only allowed
+    // nested-loop is the constant 16-row bit-position table inside simhash
+    assert("Join \\[pidx".r.findAllIn(p).nonEmpty || p.contains("hashpartitioning(pidx"), p)
+  }
+
   test("q73: sequence construction is one hash-keyed aggregation, no window pass") {
     val p = planOf(Analytics.q73EventSequences.run(spark, sfDir))
     assert(!p.contains("Window"), "array_sort inside the agg must replace a window+collect")
