@@ -154,6 +154,37 @@ class PlanSpec extends SparkSpec {
     assert(exchanges <= 1, s"per-row chunking must not shuffle:\n$p")
   }
 
+  test("runtime bloom filter prunes the fact side of a selective fact-fact join") {
+    // The semijoin-pushdown ("bitmap filter") shape: when a shuffle join's
+    // build side is selective, Spark injects a bloom filter into the probe
+    // side's scan so non-joining fact rows die before the shuffle — the
+    // difference between shuffling 100 TB and shuffling the matching slice.
+    // Fixture-sized inputs sit under the default thresholds and AQE would
+    // broadcast the dim, so the test pins the *mechanism* with thresholds
+    // lowered and broadcast disabled.
+    import org.apache.spark.sql.functions.{col, count, lit}
+    val confs = Seq(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "100MB")
+    val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val o = graft.sources.Tables.orders(spark, sfDir)
+        .filter(col("o_totalprice") > 450000)
+      val l = graft.sources.Tables.lineitem(spark, sfDir)
+      val p = planOf(
+        l.join(o, col("l_orderkey") === col("o_orderkey"))
+          .groupBy(col("o_orderkey")).agg(count(lit(1)).as("n")))
+      assert(p.contains("might_contain") || p.contains("BloomFilter"),
+        s"expected an injected runtime bloom filter on the lineitem side:\n$p")
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("ref_schema_lint: the fused rule engine builds at most two broadcast exchanges") {
     val df = graft.ops.SchemaLint.report(spark)
     val p = planOf(df)
