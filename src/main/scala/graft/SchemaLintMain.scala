@@ -96,6 +96,28 @@ object SchemaLintMain {
     * dialect. Credentials move from the authority into query parameters
     * (the PostgreSQL JDBC driver does not accept `user:pass@`); an
     * already-`jdbc:` URL passes through untouched. */
+  /** Percent-decode like Python's `urllib.parse.unquote`: valid `%XX`
+    * escapes decode, invalid ones pass through verbatim, and `'+'` stays
+    * a plus (unlike `URLDecoder`, which throws on the former and turns
+    * the latter into a space — either would break passwords the
+    * reference accepts, e.g. `50%off`). */
+  private def pctDecode(s: String): String = {
+    val bytes = new java.io.ByteArrayOutputStream
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '%' && i + 2 < s.length &&
+        Character.digit(s.charAt(i + 1), 16) >= 0 && Character.digit(s.charAt(i + 2), 16) >= 0) {
+        bytes.write(Integer.parseInt(s.substring(i + 1, i + 3), 16))
+        i += 3
+      } else {
+        bytes.write(c.toString.getBytes("UTF-8"))
+        i += 1
+      }
+    }
+    new String(bytes.toByteArray, "UTF-8")
+  }
+
   def jdbcUrl(dbUrl: String): (String, String) = {
     def dialectOf(scheme: String): String = scheme.split('+').head match {
       case "postgres" | "postgresql" => "postgresql"
@@ -110,17 +132,19 @@ object SchemaLintMain {
       val dialect = dialectOf(dbUrl.substring(0, sep))
       var rest = dbUrl.substring(sep + 3)
       val creds = {
-        val at = rest.lastIndexOf('@')
-        val slash = rest.indexOf('/')
-        if (at >= 0 && (slash < 0 || at < slash)) {
+        // userinfo is the last '@' WITHIN the authority (before the first
+        // '/'), as urlparse splits it — an '@' later in the path or query
+        // must not defeat credential extraction
+        val authEnd = rest.indexOf('/') match { case -1 => rest.length; case i => i }
+        val at = rest.lastIndexOf('@', authEnd - 1)
+        if (at >= 0) {
           val userinfo = rest.substring(0, at)
           rest = rest.substring(at + 1)
           val (u, p) = userinfo.indexOf(':') match {
             case -1 => (userinfo, None)
             case i => (userinfo.substring(0, i), Some(userinfo.substring(i + 1)))
           }
-          def enc(s: String) = java.net.URLEncoder.encode(
-            java.net.URLDecoder.decode(s, "UTF-8"), "UTF-8")
+          def enc(s: String) = java.net.URLEncoder.encode(pctDecode(s), "UTF-8")
           Some(s"user=${enc(u)}" + p.fold("")(pw => s"&password=${enc(pw)}"))
         } else None
       }

@@ -560,11 +560,12 @@ object Analytics {
 
   /** TPC-H Q2/Q11-flavored supplier ranking (no partsupp fixture, so the
     * cost relation is lineitem): revenue per supplier, top 3 per nation.
-    * supplier and nation are always-small dims → broadcast into the fact
-    * scan; the agg is two-phase on (nation, supplier); the per-nation
-    * top-k runs as WindowGroupLimit (rank pushed into the shuffle), never
-    * a global sort. Covers the one fixture table (supplier) no other
-    * query scans. */
+    * nation is a constant 25-row dim → forced broadcast; supplier is
+    * data-proportional, so no hint — AQE broadcasts it while it fits
+    * (as at fixture scale) and shuffles at sizes where a forced
+    * broadcast would OOM. The agg is two-phase on (nation, supplier);
+    * the per-nation top-k runs as WindowGroupLimit (rank pushed into the
+    * shuffle), never a global sort. */
   val q56SupplierRanking: QueryDef = sql(
     "q56_supplier_ranking",
     """SELECT n_name, s_suppkey, s_name, revenue, rnk FROM (

@@ -30,7 +30,8 @@ import org.apache.spark.sql.functions.col
   * `rightTime <= leftTime` (ties within an equal `rightTime` resolved by
   * the trailing `rightTieBreak` ordering, matching the oracle's
   * `ORDER BY c.ts DESC, c.event_id DESC ... rn = 1`); left outer — left
-  * rows with no match emit nulls on the right. NULL times never match.
+  * rows with no match emit nulls on the right. NULL times and NULL keys
+  * never match (SQL equi-join semantics).
   */
 final case class AsofJoin(
     left: LogicalPlan,
@@ -112,10 +113,17 @@ final case class AsofJoinExec(
       lIter.map { lRow =>
         val lKey = lKeyProj(lRow)
         val lTime = lTimeBound.eval(lRow)
-        if (lTime != null) {
+        // SQL equi-join semantics: a NULL key never matches (the
+        // interpreted ordering would treat null == null as equal, so
+        // null-keyed rows must not enter the merge at all)
+        if (lTime != null && !lKey.anyNull) {
           var advance = true
           while (advance && rRow != null) {
             val rKey = rKeyProj(rRow)
+            if (rKey.anyNull) {
+              // nulls sort first under Ascending: skip them outright
+              rRow = if (rIter.hasNext) rIter.next() else null
+            } else {
             val c = keyOrd.compare(rKey, lKey)
             if (c < 0) {
               // right still on an earlier key: skip forward
@@ -130,10 +138,12 @@ final case class AsofJoinExec(
                 rRow = if (rIter.hasNext) rIter.next() else null // never matches
               } else advance = false
             } else advance = false
+            }
           }
         }
         val m =
-          if (lastMatchKey != null && keyOrd.compare(lastMatchKey, lKey) == 0) lastMatch
+          if (!lKey.anyNull && lastMatchKey != null &&
+            keyOrd.compare(lastMatchKey, lKey) == 0) lastMatch
           else null
         resultProj(joined(lRow, if (m == null) nullRight else m))
       }
@@ -167,7 +177,7 @@ object Asof {
     def attr(p: LogicalPlan, name: String) = p.output.find(_.name == name)
       .getOrElse(sys.error(s"no column $name in ${p.output.map(_.name)}"))
     val keyL = attr(lPlan, key)
-    val keyR = attr(rPlan, key match { case k => k }) // same-name key both sides
+    val keyR = attr(rPlan, key)
     GraftSqlShim.ofRows(spark, AsofJoin(
       lPlan, rPlan,
       Seq(keyL), Seq(keyR),

@@ -41,6 +41,24 @@ class AsofJoinSpec extends SparkSpec {
     assert(out(4L) == -1L, "key 3 has no quotes: outer null")
   }
 
+  test("null keys never match (SQL equi-join semantics)") {
+    import spark.implicits._
+    val left = Seq(
+      (Option.empty[Long], ts("2024-01-01 10:00:00"), 10L),
+      (Option(1L), ts("2024-01-01 10:00:00"), 11L))
+      .toDF("key", "ltime", "lid")
+    val right = Seq(
+      (Option.empty[Long], ts("2024-01-01 09:00:00"), 20L),
+      (Option(1L), ts("2024-01-01 09:00:00"), 21L))
+      .toDF("key", "rtime", "rid")
+    val out = Asof.join(left, right, "key", "ltime", "rtime", Seq("rid"))
+      .toDF("key", "ltime", "lid", "rkey", "rtime", "rid")
+      .select(col("lid"), col("rid"))
+      .collect().map(r => r.getLong(0) -> (if (r.isNullAt(1)) -1L else r.getLong(1))).toMap
+    assert(out(10L) == -1L, "null-keyed left row must NOT pick up the null-keyed right row")
+    assert(out(11L) == 21L, "non-null keys still match")
+  }
+
   test("q63 native as-of equals the composed window formulation (q46) exactly") {
     val native = Temporal.q63AsofNative.run(spark, sfDir).collect().map(_.toString)
     val composed = Temporal.q46AsofJoin.run(spark, sfDir).collect().map(_.toString)

@@ -79,7 +79,8 @@ class PlanSpec extends SparkSpec {
   test("q56: supplier/nation broadcast, per-nation top-k is WindowGroupLimit") {
     val df = Analytics.q56SupplierRanking.run(spark, sfDir)
     val p = planOf(df)
-    assert(p.contains("BroadcastHashJoin"), "supplier and nation are always-small dims")
+    assert(p.contains("BroadcastHashJoin"),
+      "nation is forced-broadcast; AQE broadcasts supplier at fixture scale")
     assert(!p.contains("SortMergeJoin"), p)
     assert(p.contains("WindowGroupLimit"), "rnk<=3 must limit before ranking the full set")
   }

@@ -159,7 +159,9 @@ class StreamingSpec extends SparkSpec {
           (r.getTimestamp(0), r.getString(1), r.getLong(2)))
       }
       .start()
-    q.awaitTermination(120000)
+    val terminated = q.awaitTermination(120000)
+    if (!terminated) q.stop() // don't leak a running stream into later tests
+    assert(terminated, "AvailableNow query did not finish within the timeout")
     assert(batches.nonEmpty, "AvailableNow must process the staged file then stop")
     // complete mode: the LAST batch carries the full result
     val got = batches(batches.keys.max).map(t => (t._1, t._2, t._3)).toSet
