@@ -136,4 +136,20 @@ class FunctionsSpec extends SparkSpec {
     val b = Similarity.q45AnnNative.run(spark, sfDir).collect().map(r => (r.getLong(0), r.getDouble(1)))
     assert(a.sameElements(b))
   }
+
+  test("observed metrics report rows/nulls/sums without a second pass") {
+    import graft.functions.Metrics
+    val orders = graft.sources.Tables.orders(spark, sfDir)
+    val (instrumented, obs) = Metrics.observed(
+      orders, "orders_ingest",
+      nullCountCols = Seq("o_custkey"), sumCols = Seq("o_totalprice"))
+    // one action drives both the "pipeline work" and the metrics
+    val n = instrumented.count()
+    val m = obs.get
+    assert(m("rows") == n)
+    assert(m("nulls_o_custkey") == 0L)
+    val expectedSum = orders.agg(org.apache.spark.sql.functions.sum("o_totalprice"))
+      .collect()(0).getDouble(0)
+    assert(math.abs(m("sum_o_totalprice").asInstanceOf[Double] - expectedSum) < 1e-6)
+  }
 }

@@ -170,6 +170,47 @@ class StreamingSpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("checkpointed restart resumes after the last committed batch (no reprocessing)") {
+    import org.apache.spark.sql.streaming.Trigger
+    import scala.collection.mutable.ArrayBuffer
+    // raw fixture rows with ts kept as nanos LONG so restaged files look
+    // exactly like the driver parquet the stream source expects
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = "event_id LONG, ts LONG, user_id LONG, event_type STRING, value DOUBLE, props STRING"
+    val raw = spark.read.schema(schema).parquet(s"$sfDir/events.parquet")
+    val srcDir = Files.createTempDirectory("graft-ckpt-src")
+    val ckpt = Files.createTempDirectory("graft-ckpt").toString
+    def stage(lo: Long, hi: Long, name: String): Unit = {
+      val tmp = Files.createTempDirectory("graft-stage").toString
+      raw.filter(col("event_id") >= lo && col("event_id") < hi)
+        .coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(_.getName.endsWith(".parquet")).get.toPath
+      Files.copy(part, srcDir.resolve(name), StandardCopyOption.REPLACE_EXISTING)
+    }
+    def runOnce(): Set[Long] = {
+      val seen = ArrayBuffer.empty[Long]
+      val q = StreamingOps.eventsStream(spark, srcDir.toString)
+        .select(col("event_id"))
+        .writeStream
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (df: DataFrame, _: Long) =>
+          seen ++= df.collect().map(_.getLong(0)); ()
+        }
+        .start()
+      assert(q.awaitTermination(120000), "AvailableNow run did not finish")
+      seen.toSet
+    }
+    stage(0, 300, "a.parquet")
+    val first = runOnce()
+    stage(300, 600, "b.parquet")
+    val second = runOnce()
+    assert(first == (0L until 300L).toSet, "first run sees exactly file A")
+    assert(second == (300L until 600L).toSet,
+      "restart from the checkpoint must process ONLY the new file — no reprocessing")
+  }
+
   test("mapGroupsWithState running stats converge to batch counts") {
     val got = runToMemory(
       StreamingOps.runningUserStats(spark, StreamingOps.eventsStream(spark, stageEvents())),
