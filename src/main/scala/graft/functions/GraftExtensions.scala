@@ -30,17 +30,23 @@ object RewriteCosineUdf extends Rule[LogicalPlan] {
   }
 }
 
-/** `--conf spark.sql.extensions=graft.functions.GraftExtensions` form. */
+/** `--conf spark.sql.extensions=graft.functions.GraftExtensions` form:
+  * the full library surface in one injection point — the UDF→native
+  * optimizer rewrite AND the as-of join planner strategy. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(e: SparkSessionExtensions): Unit =
+  override def apply(e: SparkSessionExtensions): Unit = {
     e.injectOptimizerRule(_ => RewriteCosineUdf)
+    e.injectPlannerStrategy(_ => graft.plans.AsofJoinStrategy)
+  }
 }
 
 object GraftExtensions {
   /** Runtime installation on an existing session (the extensions config
     * only applies at session construction). */
-  def install(spark: SparkSession): Unit =
+  def install(spark: SparkSession): Unit = {
     if (!spark.experimental.extraOptimizations.contains(RewriteCosineUdf))
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations :+ RewriteCosineUdf
+    graft.plans.Asof.install(spark)
+  }
 }

@@ -11,4 +11,14 @@ import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 object GraftSqlShim {
   def ofRows(spark: SparkSession, plan: LogicalPlan): DataFrame =
     classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
+
+  /** Expose what a `spark.sql.extensions` class registered, so specs can
+    * prove the config-based injection path without constructing a fresh
+    * JVM-wide session (extensions only apply at session build time). */
+  def builtPlannerStrategies(
+      e: SparkSessionExtensions, spark: SparkSession): Seq[org.apache.spark.sql.execution.SparkStrategy] =
+    e.buildPlannerStrategies(spark.asInstanceOf[classic.SparkSession])
+  def builtOptimizerRules(
+      e: SparkSessionExtensions, spark: SparkSession): Seq[org.apache.spark.sql.catalyst.rules.Rule[LogicalPlan]] =
+    e.buildOptimizerRules(spark.asInstanceOf[classic.SparkSession])
 }

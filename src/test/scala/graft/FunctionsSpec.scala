@@ -137,6 +137,17 @@ class FunctionsSpec extends SparkSpec {
     assert(a.sameElements(b))
   }
 
+  test("spark.sql.extensions entry point registers the optimizer rule AND the asof strategy") {
+    import org.apache.spark.sql.{GraftSqlShim, SparkSessionExtensions}
+    val e = new SparkSessionExtensions
+    new graft.functions.GraftExtensions().apply(e)
+    val strategies = GraftSqlShim.builtPlannerStrategies(e, spark)
+    assert(strategies.contains(graft.plans.AsofJoinStrategy),
+      "a cluster submitting with --conf spark.sql.extensions=graft.functions.GraftExtensions gets the as-of operator")
+    val rules = GraftSqlShim.builtOptimizerRules(e, spark)
+    assert(rules.contains(graft.functions.RewriteCosineUdf))
+  }
+
   test("observed metrics report rows/nulls/sums without a second pass") {
     import graft.functions.Metrics
     val orders = graft.sources.Tables.orders(spark, sfDir)
