@@ -347,8 +347,61 @@ object TextOps {
       .orderBy(col("doc_id"), col("chunk_id"))
   }
 
+  /** End-to-end curation capstone — the stages a training-data run
+    * composes, in one oracle-checked query: quality scoring (q25's
+    * formula) → threshold filter → exact dedup keeping the first doc per
+    * content hash → inner join to the embedding table → deterministic
+    * split assignment (q62's bucket). Per-stage scale properties are
+    * unchanged by composition: per-row scoring, one hash shuffle for the
+    * dedup window, one equi-join, a scan-predicate split — Catalyst
+    * pipelines them into a handful of stages with no extra passes. The
+    * float quality is computed by the identical IEEE expression in both
+    * engines, so even the threshold comparison is deterministic. */
+  val q79CurationPipeline: QueryDef = sql(
+    "q79_curation_pipeline",
+    """WITH q AS (SELECT doc_id, lang, text,
+      |  (CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks))
+      |    * (1.0 - CAST(len(list_filter(toks, x -> x = 'the' OR x = 'a')) AS DOUBLE) / len(toks))
+      |    * LEAST(1.0, CAST(len(toks) AS DOUBLE) / 50.0) AS quality
+      |  FROM (SELECT doc_id, lang, text, string_split(text, ' ') AS toks FROM documents)),
+      |f AS (SELECT * FROM q WHERE quality > 0.3),
+      |d AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn FROM f)
+      |SELECT d.doc_id, d.lang, e.label, d.quality,
+      |  CASE WHEN CAST(('0x' || substr(md5('split:' || CAST(d.doc_id AS VARCHAR)), 1, 4)) AS INT) < 52429
+      |       THEN 'train'
+      |       WHEN CAST(('0x' || substr(md5('split:' || CAST(d.doc_id AS VARCHAR)), 1, 4)) AS INT) < 58982
+      |       THEN 'val' ELSE 'test' END AS split
+      |FROM d JOIN embeddings e ON e.vec_id = d.doc_id
+      |WHERE d.rn = 1
+      |ORDER BY d.doc_id""".stripMargin) { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val scored = docsWithTokens(s, dir)
+      .withColumn("n_tokens", size(col("toks")))
+      .withColumn("n_stop", expr("size(filter(toks, x -> x = 'the' OR x = 'a'))"))
+      .withColumn("n_uniq", size(array_distinct(col("toks"))))
+      .withColumn("quality",
+        (col("n_uniq").cast("double") / col("n_tokens")) *
+          (lit(1.0) - col("n_stop").cast("double") / col("n_tokens")) *
+          least(lit(1.0), col("n_tokens").cast("double") / 50.0))
+      .filter(col("quality") > 0.3)
+    val deduped = scored
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(md5(col("text"))).orderBy(col("doc_id"))))
+      .filter(col("rn") === 1)
+    val emb = Tables.embeddings(s, dir).select(col("vec_id"), col("label"))
+    deduped.join(emb, col("vec_id") === col("doc_id"))
+      .withColumn("bucket", expr(
+        "CAST(conv(substring(md5(concat('split:', CAST(doc_id AS STRING))), 1, 4), 16, 10) AS INT)"))
+      .withColumn("split",
+        when(col("bucket") < 52429, "train")
+          .when(col("bucket") < 58982, "val")
+          .otherwise("test"))
+      .select(col("doc_id"), col("lang"), col("label"), col("quality"), col("split"))
+      .orderBy(col("doc_id"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     q21TextStats, q22WordFreq, q23BigramFreq, q24LangId, q25QualityScore,
     q26Fingerprint, q27TokenRegex, q62TrainSplit, q64TermFreqMap,
-    q68StratifiedSample, q72Redaction, q74Chunking)
+    q68StratifiedSample, q72Redaction, q74Chunking, q79CurationPipeline)
 }
