@@ -43,7 +43,11 @@ object ScaleSmoke {
         "transform(sequence(1, 150), i -> substr(md5(concat(CAST(base AS STRING), ':', CAST(i AS STRING))), 1, 6))"))
       .withColumn("toks", expr(
         "CASE WHEN id % 100 = 1 THEN concat(slice(toks, 1, 149), array('neardup')) ELSE toks END"))
-      .select(col("id").as("doc_id"), concat_ws(" ", col("toks")).as("text"))
+      .select(col("id").as("doc_id"), concat_ws(" ", col("toks")).as("text"),
+        // deterministic language mix so lang-dependent ops (q68, q79)
+        // run on the smoke corpus too
+        element_at(array(lit("en"), lit("en"), lit("de"), lit("es"), lit("fr")),
+          (col("id") % 5 + 1).cast("int")).as("lang"))
       .write.mode("overwrite").parquet(s"$dir/documents.parquet")
 
     // embeddings: 8 unit-norm cluster centers (ids 0..7), noisy members
@@ -70,7 +74,8 @@ object ScaleSmoke {
     val targets = Seq(
       "q31_minhash_lsh", "q32_neardup_verified", "q33_simhash",
       "q37_embedding_neardup", "q38_ann_bruteforce", "q39_ann_ivf",
-      "q52_ann_lsh", "q61_ann_quantized")
+      "q52_ann_lsh", "q61_ann_quantized",
+      "q74_chunking", "q78_simhash_hamming", "q79_curation_pipeline")
     println(s"== smoke mult=$mult docs=$nDocs vecs=$nVecs dir=$dir ==")
     targets.foreach { name =>
       // noop sink, same as Bench: a count() terminal would let Catalyst
