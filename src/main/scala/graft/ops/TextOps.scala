@@ -400,8 +400,32 @@ object TextOps {
       .orderBy(col("doc_id"))
   }
 
+  /** Trigram frequency through the custom [[graft.functions.NGrams]]
+    * Generator (the Scala UDTF ladder step): rows stream out of
+    * GenerateExec without materializing a per-document n-gram array, then
+    * hash-aggregate + top-k as usual. Hash-verified against the purely
+    * relational DuckDB formulation, so the custom generator's output is
+    * itself oracle-checked (the q45/q63 pattern, applied to a UDTF). */
+  val q80TrigramGenerator: QueryDef = sql(
+    "q80_trigram_generator",
+    """SELECT ngram, COUNT(*) AS cnt FROM (
+      |  SELECT t.toks[i] || ' ' || t.toks[i+1] || ' ' || t.toks[i+2] AS ngram
+      |  FROM (SELECT string_split(text, ' ') AS toks FROM documents) t,
+      |       LATERAL (SELECT unnest(range(1, len(toks) - 1)) AS i))
+      |GROUP BY ngram
+      |ORDER BY cnt DESC, ngram
+      |LIMIT 15""".stripMargin) { (s, dir) =>
+    graft.functions.NGrams.register(s)
+    Tables.documents(s, dir)
+      .selectExpr("ngrams(text, 3) AS ngram")
+      .groupBy(col("ngram")).agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("ngram"))
+      .limit(15)
+  }
+
   val all: Seq[QueryDef] = Seq(
     q21TextStats, q22WordFreq, q23BigramFreq, q24LangId, q25QualityScore,
     q26Fingerprint, q27TokenRegex, q62TrainSplit, q64TermFreqMap,
-    q68StratifiedSample, q72Redaction, q74Chunking, q79CurationPipeline)
+    q68StratifiedSample, q72Redaction, q74Chunking, q79CurationPipeline,
+    q80TrigramGenerator)
 }

@@ -141,6 +141,13 @@ class PlanSpec extends SparkSpec {
     assert("Join \\[pidx".r.findAllIn(p).nonEmpty || p.contains("hashpartitioning(pidx"), p)
   }
 
+  test("q80: the custom generator plans as GenerateExec feeding a two-phase agg") {
+    val p = planOf(graft.ops.TextOps.q80TrigramGenerator.run(spark, sfDir))
+    assert(p.contains("Generate ngrams"), s"custom Generator must appear:\n$p")
+    assert(p.contains("partial_count") || p.contains("Partial"), p)
+    assert(p.contains("TakeOrderedAndProject"), "top-15 must not global-sort")
+  }
+
   test("q73: sequence construction is one hash-keyed aggregation, no window pass") {
     val p = planOf(Analytics.q73EventSequences.run(spark, sfDir))
     assert(!p.contains("Window"), "array_sort inside the agg must replace a window+collect")
