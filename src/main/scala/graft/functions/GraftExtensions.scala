@@ -32,11 +32,23 @@ object RewriteCosineUdf extends Rule[LogicalPlan] {
 
 /** `--conf spark.sql.extensions=graft.functions.GraftExtensions` form:
   * the full library surface in one injection point — the UDF→native
-  * optimizer rewrite AND the as-of join planner strategy. */
+  * optimizer rewrite, the as-of join planner strategy, and the SQL
+  * functions (native cosine + the ngrams generator). */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  import org.apache.spark.sql.catalyst.FunctionIdentifier
+  import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
+
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectOptimizerRule(_ => RewriteCosineUdf)
     e.injectPlannerStrategy(_ => graft.plans.AsofJoinStrategy)
+    e.injectFunction((
+      FunctionIdentifier("cosine_sim_native"),
+      new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_sim_native"),
+      exprs => CosineSimilarity(exprs.head, exprs(1))))
+    e.injectFunction((
+      FunctionIdentifier("ngrams"),
+      new ExpressionInfo(classOf[NGrams].getName, "ngrams"),
+      exprs => NGrams(exprs.head, exprs(1))))
   }
 }
 

@@ -21,4 +21,9 @@ object GraftSqlShim {
   def builtOptimizerRules(
       e: SparkSessionExtensions, spark: SparkSession): Seq[org.apache.spark.sql.catalyst.rules.Rule[LogicalPlan]] =
     e.buildOptimizerRules(spark.asInstanceOf[classic.SparkSession])
+  def injectedFunctionNames(e: SparkSessionExtensions): Seq[String] = {
+    val reg = new org.apache.spark.sql.catalyst.analysis.SimpleFunctionRegistry
+    e.registerFunctions(reg)
+    reg.listFunction().map(_.funcName)
+  }
 }

@@ -146,6 +146,8 @@ class FunctionsSpec extends SparkSpec {
       "a cluster submitting with --conf spark.sql.extensions=graft.functions.GraftExtensions gets the as-of operator")
     val rules = GraftSqlShim.builtOptimizerRules(e, spark)
     assert(rules.contains(graft.functions.RewriteCosineUdf))
+    assert(GraftSqlShim.injectedFunctionNames(e).toSet ==
+      Set("cosine_sim_native", "ngrams"))
   }
 
   test("observed metrics report rows/nulls/sums without a second pass") {
