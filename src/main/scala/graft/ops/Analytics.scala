@@ -647,7 +647,15 @@ object Analytics {
     * identical IEEE expression in both engines. The built-in
     * `stddev`/`corr` stream in doubles and are partition-order-dependent —
     * the same reason Decimals.dsum exists. At 100 TB the decimal power
-    * sums are also the *mergeable* formulation (one map-side pass). */
+    * sums are also the *mergeable* formulation (one map-side pass).
+    *
+    * The decimal→double casts go THROUGH A STRING in both engines:
+    * price² sums carry ~17+ significant digits, where a direct
+    * decimal→double cast double-rounds (Java's BigDecimal.doubleValue
+    * divides two roundings; DuckDB divides int128 by 10^scale) and the
+    * two engines can land one ulp apart. decimal→string is exact and
+    * string→double is correctly rounded in both, so the detour is the
+    * deterministic conversion. */
   val q59ExactStats: QueryDef = sql(
     "q59_exact_stats",
     """SELECT l_returnflag, n,
@@ -657,22 +665,24 @@ object Analytics {
       |FROM (
       |  SELECT l_returnflag,
       |    CAST(COUNT(*) AS DOUBLE) AS n,
-      |    CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sx,
-      |    CAST(SUM(CAST(l_quantity AS DECIMAL(12,2)) * CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sxx,
-      |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sy,
-      |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS syy,
-      |    CAST(SUM(CAST(l_quantity AS DECIMAL(12,2)) * CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sxy
+      |    CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE) AS sx,
+      |    CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(12,2)) * CAST(l_quantity AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE) AS sxx,
+      |    CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE) AS sy,
+      |    CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_extendedprice AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE) AS syy,
+      |    CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(12,2)) * CAST(l_extendedprice AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE) AS sxy
       |  FROM lineitem GROUP BY l_returnflag)
       |ORDER BY l_returnflag""".stripMargin) { (s, dir) =>
     val x = qty(col("l_quantity"))
     val y = money(col("l_extendedprice"))
+    def dsumS(c: org.apache.spark.sql.Column) =
+      sum(c).cast("string").cast("double")
     val sums = Tables.lineitem(s, dir)
       .groupBy(col("l_returnflag"))
       .agg(
         count(lit(1)).cast("double").as("n"),
-        dsum(x).as("sx"), dsum(x * x).as("sxx"),
-        dsum(y).as("sy"), dsum(y * y).as("syy"),
-        dsum(x * y).as("sxy"))
+        dsumS(x).as("sx"), dsumS(x * x).as("sxx"),
+        dsumS(y).as("sy"), dsumS(y * y).as("syy"),
+        dsumS(x * y).as("sxy"))
     val n = col("n"); val sx = col("sx"); val sxx = col("sxx")
     val sy = col("sy"); val syy = col("syy"); val sxy = col("sxy")
     sums.select(
