@@ -203,28 +203,30 @@ object Dedup {
       |    CAST(SUM(CASE WHEN s > 0 THEN 1 ELSE 0 END * (1 << CAST(p AS INT))) AS BIGINT) AS simhash
       |  FROM contrib GROUP BY doc_id)""".stripMargin
 
-  private def simhashes(s: SparkSession, dir: String): DataFrame = {
-    val toks = Tables.documents(s, dir)
+  /** Every token OCCURRENCE contributes ±1 to each of the 16 bit votes,
+    * so Σ_word cnt·(2·bit−1) = Σ_occurrence (2·bit−1): the per-word count
+    * aggregation and the vocabulary join of the textbook formulation are
+    * algebraically redundant. This computes contributions inline per
+    * occurrence — explode(16 bits) straight into a map-side-partial hash
+    * aggregate — giving ONE shuffle on (doc_id, p) and NO join, where the
+    * vocabulary path needed a count shuffle + a distinct shuffle + a join
+    * whose build side is corpus-sized for near-random token sets (the
+    * forced-broadcast OOM ScaleSmoke caught in round 1). md5 runs per
+    * occurrence instead of per distinct word — pure codegen'd CPU, the
+    * right trade at every corpus shape. */
+  private def simhashes(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
       .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
-      .groupBy(col("doc_id"), col("word")).agg(count(lit(1)).as("cnt"))
-    val bits = s.range(16).toDF("p")
-    // md5 each distinct word once; the word→bit relation is usually tiny
-    // relative to the corpus (Zipf vocabularies), but NOT always — a
-    // dedup corpus of near-random tokens can have vocabulary ∝ corpus, so
-    // no forced broadcast hint here: AQE broadcasts when the built side
-    // is actually small and falls back to a shuffle join otherwise
-    // (ScaleSmoke at 50k synthetic docs OOM'd the forced broadcast).
-    val wordBits = toks.select(col("word")).distinct()
-      .crossJoin(bits)
-      .withColumn("bit", expr(
-        "shiftright(instr('0123456789abcdef', substr(md5(word), 1 + CAST(p DIV 4 AS INT), 1)) - 1, CAST(3 - p % 4 AS INT)) & 1"))
-    toks.join(wordBits, "word")
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(0, 15), p -> named_struct(" +
+          "'p', p, " +
+          "'v', 2 * (shiftright(instr('0123456789abcdef', substr(md5(word), 1 + CAST(p DIV 4 AS INT), 1)) - 1, CAST(3 - p % 4 AS INT)) & 1) - 1))")).as("c"))
+      .select(col("doc_id"), col("c.p").as("p"), col("c.v").as("v"))
       .groupBy(col("doc_id"), col("p"))
-      .agg(sum(col("cnt") * (lit(2) * col("bit") - 1)).as("s"))
+      .agg(sum(col("v")).as("s"))
       .groupBy(col("doc_id"))
       .agg(sum(when(col("s") > 0, 1L).otherwise(0L) *
         expr("CAST(shiftleft(1, CAST(p AS INT)) AS BIGINT)")).cast("long").as("simhash"))
-  }
 
   /** 16-bit SimHash signature per document: weighted bit votes from the
     * first 4 hex nibbles of md5(token). Pure integer arithmetic — the
