@@ -214,19 +214,26 @@ object Dedup {
     * forced-broadcast OOM ScaleSmoke caught in round 1). md5 runs per
     * occurrence instead of per distinct word — pure codegen'd CPU, the
     * right trade at every corpus shape. */
-  private def simhashes(s: SparkSession, dir: String): DataFrame =
-    Tables.documents(s, dir)
+  private def simhashes(s: SparkSession, dir: String): DataFrame = {
+    // One wide codegen'd pass: md5 once per occurrence (hoisted — a
+    // lambda body would re-hash per element), the 16 bit votes as 16
+    // int columns (substr positions are compile-time constants), then a
+    // single groupBy(doc_id) with 16 map-side-partial sums and a final
+    // bit-packing projection. No explode, no (doc_id, p) intermediate,
+    // ONE shuffle whose payload is 17 longs per document.
+    val votes = Tables.documents(s, dir)
       .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
-      .select(col("doc_id"), explode(expr(
-        "transform(sequence(0, 15), p -> named_struct(" +
-          "'p', p, " +
-          "'v', 2 * (shiftright(instr('0123456789abcdef', substr(md5(word), 1 + CAST(p DIV 4 AS INT), 1)) - 1, CAST(3 - p % 4 AS INT)) & 1) - 1))")).as("c"))
-      .select(col("doc_id"), col("c.p").as("p"), col("c.v").as("v"))
-      .groupBy(col("doc_id"), col("p"))
-      .agg(sum(col("v")).as("s"))
-      .groupBy(col("doc_id"))
-      .agg(sum(when(col("s") > 0, 1L).otherwise(0L) *
-        expr("CAST(shiftleft(1, CAST(p AS INT)) AS BIGINT)")).cast("long").as("simhash"))
+      .select(col("doc_id"), md5(col("word")).as("h"))
+      .select(col("doc_id") +: (0 until 16).map { p =>
+        expr(s"2 * (shiftright(instr('0123456789abcdef', substr(h, ${1 + p / 4}, 1)) - 1, ${3 - p % 4}) & 1) - 1")
+          .as(s"v$p")
+      }: _*)
+    votes.groupBy(col("doc_id"))
+      .agg(sum(col("v0")).as("s0"), (1 until 16).map(p => sum(col(s"v$p")).as(s"s$p")): _*)
+      .select(col("doc_id"), expr(
+        (0 until 16).map(p => s"IF(s$p > 0, ${1L << p}L, 0L)").mkString("CAST(", " + ", " AS BIGINT)"))
+        .as("simhash"))
+  }
 
   /** 16-bit SimHash signature per document: weighted bit votes from the
     * first 4 hex nibbles of md5(token). Pure integer arithmetic — the
