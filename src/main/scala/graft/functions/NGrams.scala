@@ -41,7 +41,9 @@ case class NGrams(text: Expression, n: Expression)
     val s = text.eval(input).asInstanceOf[UTF8String]
     if (s == null) Nil
     else {
-      val toks = s.toString.split(" ")
+      // limit -1: keep trailing empty tokens, matching Spark SQL's
+      // split() and DuckDB's string_split (Java's default drops them)
+      val toks = s.toString.split(" ", -1)
       if (toks.length < width) Nil
       else (0 to toks.length - width).iterator.map { i =>
         InternalRow(UTF8String.fromString(toks.slice(i, i + width).mkString(" ")))

@@ -59,6 +59,37 @@ class AsofJoinSpec extends SparkSpec {
     assert(out(11L) == 21L, "non-null keys still match")
   }
 
+  test("property: custom exec equals a driver-side reference over random inputs") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    import spark.implicits._
+    val genRow = for {
+      key <- Gen.frequency(9 -> Gen.choose(1L, 4L).map(Option(_)), 1 -> Gen.const(Option.empty[Long]))
+      t <- Gen.choose(0L, 50L) // small domain → many duplicate times
+    } yield (key, t)
+    val genRows = Gen.listOfN(60, genRow)
+    for (seed <- 1 to 8) {
+      val lRows = genRows(Gen.Parameters.default, Seed(seed.toLong)).get
+        .zipWithIndex.map { case ((k, t), i) => (k, t, i.toLong) }
+      val rRows = genRows(Gen.Parameters.default, Seed(seed + 100L)).get
+        .zipWithIndex.map { case ((k, t), i) => (k, t, 1000L + i) }
+      val left = lRows.toDF("key", "ltime", "lid")
+      val right = rRows.toDF("key", "rtime", "rid")
+      val got = Asof.join(left, right, "key", "ltime", "rtime", Seq("rid"))
+        .toDF("key", "ltime", "lid", "rkey", "rtime", "rid")
+        .select(col("lid"), col("rid"))
+        .collect().map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+      val want = lRows.map { case (k, lt, lid) =>
+        lid -> (k match {
+          case None => None
+          case Some(key) => rRows.filter(r => r._1.contains(key) && r._2 <= lt)
+            .sortBy(r => (r._2, r._3)).lastOption.map(_._3)
+        })
+      }.toMap
+      assert(got == want, s"seed $seed")
+    }
+  }
+
   test("q63 native as-of equals the composed window formulation (q46) exactly") {
     val native = Temporal.q63AsofNative.run(spark, sfDir).collect().map(_.toString)
     val composed = Temporal.q46AsofJoin.run(spark, sfDir).collect().map(_.toString)

@@ -150,6 +150,26 @@ class FunctionsSpec extends SparkSpec {
       Set("cosine_sim_native", "ngrams"))
   }
 
+  test("property: ngrams generator equals the transform+explode composition") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    import spark.implicits._
+    graft.functions.NGrams.register(spark)
+    // texts with empty tokens (double spaces), short docs, and empties
+    val genText = Gen.listOf(Gen.oneOf("ab", "cd", "ef", "", "g")).map(_.mkString(" "))
+    val texts = (1 to 40).flatMap(i => genText(Gen.Parameters.default, Seed(i.toLong)))
+    for (n <- Seq(1, 2, 3)) {
+      val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "text")
+      val viaGen = df.selectExpr("id", s"ngrams(text, $n) AS ngram")
+        .collect().map(r => (r.getLong(0), r.getString(1))).sorted
+      val viaCompose = df
+        .select(col("id"), explode(expr(
+          s"CASE WHEN size(split(text, ' ')) >= $n THEN transform(sequence(0, size(split(text, ' ')) - $n), i -> concat_ws(' ', slice(split(text, ' '), i + 1, $n))) ELSE array() END")).as("ngram"))
+        .collect().map(r => (r.getLong(0), r.getString(1))).sorted
+      assert(viaGen.sameElements(viaCompose), s"n=$n")
+    }
+  }
+
   test("observed metrics report rows/nulls/sums without a second pass") {
     import graft.functions.Metrics
     val orders = graft.sources.Tables.orders(spark, sfDir)
