@@ -144,6 +144,30 @@ class ConsistencySpec extends SparkSpec {
     assert(ham.filter(t => exact((t._1, t._2))).forall(_._3 == 0))
   }
 
+  test("q79 capstone agrees with its component queries") {
+    val cap = graft.ops.TextOps.q79CurationPipeline.run(spark, sfDir).collect()
+    val quality = graft.ops.TextOps.q25QualityScore.run(spark, sfDir)
+      .collect().map(r => r.getLong(0) -> r.getDouble(5)).toMap
+    val split = graft.ops.TextOps.q62TrainSplit.run(spark, sfDir) // per-(lang,split) counts
+    // every capstone row passed the quality threshold with q25's exact score
+    cap.foreach { r =>
+      val doc = r.getLong(0)
+      assert(quality(doc) == r.getDouble(3), s"doc $doc quality differs from q25")
+      assert(r.getDouble(3) > 0.3)
+    }
+    // split labels are q62's pure function of doc_id — recompute and compare
+    val buckets = cap.map { r =>
+      val md5hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"split:${r.getLong(0)}".getBytes("UTF-8"))
+        .take(2).map("%02x".format(_)).mkString
+      val b = Integer.parseInt(md5hex, 16)
+      val expected = if (b < 52429) "train" else if (b < 58982) "val" else "test"
+      expected == r.getString(4)
+    }
+    assert(buckets.forall(identity))
+    assert(split.collect().nonEmpty)
+  }
+
   test("minhash signature similarity upper-bounds verified jaccard pairs") {
     // every verified pair (jaccard > 0.7) must agree on most signature components
     val sigs = Dedup.q33Simhash.run(spark, sfDir).collect()
