@@ -170,6 +170,27 @@ class StreamingSpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("RocksDB state store backend produces the same tumbling counts") {
+    // the production state backend at 100 TB (bounded executor memory,
+    // incremental checkpoints) — prove the operators are backend-agnostic
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val saved = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val got = runToMemory(
+        StreamingOps.tumblingCounts(StreamingOps.eventsStream(spark, stageEvents())),
+        "t_rocksdb", "complete")
+        .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSet
+      val want = StreamingOps.q40EventsTumbling.run(spark, sfDir)
+        .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSet
+      assert(got == want)
+    } finally saved match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   test("checkpointed restart resumes after the last committed batch (no reprocessing)") {
     import org.apache.spark.sql.streaming.Trigger
     import scala.collection.mutable.ArrayBuffer
