@@ -41,6 +41,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectOptimizerRule(_ => RewriteCosineUdf)
     e.injectPlannerStrategy(_ => graft.plans.AsofJoinStrategy)
+    e.injectPlannerStrategy(_ => graft.plans.IntervalJoinStrategy)
     e.injectFunction((
       FunctionIdentifier("cosine_sim_native"),
       new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_sim_native"),
@@ -60,5 +61,6 @@ object GraftExtensions {
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations :+ RewriteCosineUdf
     graft.plans.Asof.install(spark)
+    graft.plans.Interval.install(spark)
   }
 }

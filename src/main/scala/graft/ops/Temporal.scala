@@ -105,6 +105,29 @@ object Temporal {
       .orderBy(col("purchase_id"), col("click_id"))
   }
 
+  /** The same interval join through the CUSTOM OPERATOR path
+    * ([[graft.plans.IntervalJoin]] → injected strategy →
+    * [[graft.plans.IntervalJoinExec]]): one sweep per co-partitioned
+    * sorted partition with a ring buffer holding only the rows inside
+    * the 10-minute window — O(n + matches) versus the sort-merge
+    * band-filter's per-key pair scan. Shares q55's oracle verbatim, so
+    * the custom physical plan is hash-verified (the q63 pattern). */
+  val q81IntervalNative: QueryDef = QueryDef(
+    "q81_interval_native",
+    (s, dir) => {
+      val ev = Tables.events(s, dir)
+      val p = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"), col("user_id"), col("ts").as("purchase_ts"))
+      val c = ev.filter(col("event_type") === "click")
+        .select(col("event_id").as("click_id"), col("user_id"), col("ts").as("click_ts"))
+      graft.plans.Interval.join(p, c, "user_id", "purchase_ts", "click_ts", 10L * 60 * 1000 * 1000)
+        .toDF("purchase_id", "user_id", "purchase_ts", "click_id", "r_user", "click_ts")
+        .select(col("purchase_id"), col("click_id"), col("user_id"),
+          col("purchase_ts"), col("click_ts"))
+        .orderBy(col("purchase_id"), col("click_id"))
+    },
+    q55IntervalJoin.oracle)
+
   /** The same as-of join through the CUSTOM OPERATOR path
     * ([[graft.plans.AsofJoin]] logical node → injected strategy →
     * [[graft.plans.AsofJoinExec]] streaming merge): one forward pass per
@@ -128,5 +151,6 @@ object Temporal {
     },
     q46AsofJoin.oracle)
 
-  val all: Seq[QueryDef] = Seq(q46AsofJoin, q47Pivot, q55IntervalJoin, q63AsofNative)
+  val all: Seq[QueryDef] = Seq(
+    q46AsofJoin, q47Pivot, q55IntervalJoin, q63AsofNative, q81IntervalNative)
 }
