@@ -306,6 +306,33 @@ object Analytics {
       .orderBy(col("o_custkey"), col("o_orderdate"), col("o_orderkey"))
   }
 
+  /** Time-RANGE window frame — the rolling feature-engineering shape:
+    * per event, count + exact sum over the same user's trailing
+    * 10 minutes. A RANGE frame is VALUE-determined, so rows with tied
+    * timestamps all enter the frame regardless of their physical order —
+    * deterministic where a ROWS frame over ties would not be. One
+    * shuffle on user_id, one sorted pass; the sliding frame state is
+    * bounded by the interval's event density. */
+  val q82TimeRangeFrame: QueryDef = sql(
+    "q82_time_range_frame",
+    """SELECT event_id, user_id, ts,
+      |  COUNT(*) OVER w AS n_10m,
+      |  CAST(SUM(CAST(value AS DECIMAL(12,2))) OVER w AS DOUBLE) AS sum_10m
+      |FROM events
+      |WINDOW w AS (PARTITION BY user_id ORDER BY ts
+      |             RANGE BETWEEN INTERVAL '10' MINUTE PRECEDING AND CURRENT ROW)
+      |ORDER BY event_id""".stripMargin) { (s, dir) =>
+    Tables.events(s, dir).createOrReplaceTempView("events_v")
+    s.sql(
+      """SELECT event_id, user_id, ts,
+        |  COUNT(*) OVER w AS n_10m,
+        |  CAST(SUM(CAST(value AS DECIMAL(12,2))) OVER w AS DOUBLE) AS sum_10m
+        |FROM events_v
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts
+        |             RANGE BETWEEN INTERVAL '10' MINUTE PRECEDING AND CURRENT ROW)
+        |ORDER BY event_id""".stripMargin)
+  }
+
   /** Global top-k: Spark plans orderBy+limit as TakeOrderedAndProject —
     * each partition keeps k rows, only k×partitions reach the driver. */
   val q14TopOrders: QueryDef = sql(
@@ -960,5 +987,6 @@ object Analytics {
     q56SupplierRanking, q57WeightedMean, q58GroupingSets, q59ExactStats,
     q60Percentiles, q65OuterJoin, q66FullOuter, q67Unpivot,
     q69CorrelatedSubquery, q71WindowAnalytics, q73EventSequences,
-    q75PartProfile, q76OrderLineDensity, q77SupplierBalance)
+    q75PartProfile, q76OrderLineDensity, q77SupplierBalance,
+    q82TimeRangeFrame)
 }
