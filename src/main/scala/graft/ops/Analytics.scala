@@ -333,6 +333,54 @@ object Analytics {
         |ORDER BY event_id""".stripMargin)
   }
 
+  /** Recursive CTE (Spark 4's WITH RECURSIVE): a 30-day date spine
+    * drives calendar densification — daily order counts INCLUDING
+    * zero-order days, the classic gap-filling shape that plain relational
+    * SQL cannot express without a generated series. The spine is 30 rows
+    * at any data scale (recursion depth, not data, bounds it); the join
+    * against the fact side broadcasts the spine. */
+  val q83RecursiveCte: QueryDef = sql(
+    "q83_recursive_cte",
+    """WITH RECURSIVE days(d) AS (
+      |  SELECT DATE '1997-01-01'
+      |  UNION ALL SELECT d + INTERVAL 1 DAY FROM days WHERE d < DATE '1997-01-30')
+      |SELECT CAST(days.d AS DATE) AS day, COUNT(o.o_orderkey) AS n_orders
+      |FROM days LEFT JOIN orders o ON CAST(o.o_orderdate AS DATE) = CAST(days.d AS DATE)
+      |GROUP BY 1
+      |ORDER BY 1""".stripMargin) { (s, dir) =>
+    Tables.orders(s, dir).createOrReplaceTempView("orders_v")
+    s.sql(
+      """WITH RECURSIVE days(d) AS (
+        |  SELECT DATE '1997-01-01'
+        |  UNION ALL SELECT date_add(d, 1) FROM days WHERE d < DATE '1997-01-30')
+        |SELECT CAST(days.d AS DATE) AS day, COUNT(o.o_orderkey) AS n_orders
+        |FROM days LEFT JOIN orders_v o ON CAST(o.o_orderdate AS DATE) = days.d
+        |GROUP BY 1
+        |ORDER BY 1""".stripMargin)
+  }
+
+  /** VARIANT (Spark 4's semi-structured type): ingest the JSON props
+    * column ONCE as a variant, then extract typed paths — the
+    * shred-on-read shape that avoids re-parsing the JSON text per
+    * extracted field (q19/q54 are the schema-full faces). The oracle
+    * states the same relation over DuckDB's JSON extraction. */
+  val q84Variant: QueryDef = sql(
+    "q84_variant",
+    """SELECT event_type,
+      |  COUNT(*) AS n,
+      |  SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS sum_k,
+      |  MAX(CAST(json_extract(props, '$.k') AS BIGINT)) AS max_k
+      |FROM events
+      |GROUP BY event_type
+      |ORDER BY event_type""".stripMargin) { (s, dir) =>
+    Tables.events(s, dir)
+      .withColumn("v", expr("parse_json(props)"))
+      .withColumn("k", expr("variant_get(v, '$.k', 'bigint')"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"), max(col("k")).as("max_k"))
+      .orderBy(col("event_type"))
+  }
+
   /** Global top-k: Spark plans orderBy+limit as TakeOrderedAndProject —
     * each partition keeps k rows, only k×partitions reach the driver. */
   val q14TopOrders: QueryDef = sql(
@@ -988,5 +1036,5 @@ object Analytics {
     q60Percentiles, q65OuterJoin, q66FullOuter, q67Unpivot,
     q69CorrelatedSubquery, q71WindowAnalytics, q73EventSequences,
     q75PartProfile, q76OrderLineDensity, q77SupplierBalance,
-    q82TimeRangeFrame)
+    q82TimeRangeFrame, q83RecursiveCte, q84Variant)
 }
