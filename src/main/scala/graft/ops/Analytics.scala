@@ -621,6 +621,33 @@ object Analytics {
     df
   }
 
+  /** NULL-aware anti join — `NOT IN (subquery)` over a NULLABLE outer
+    * key, a physically distinct operator from q07's left_anti: ANSI
+    * three-valued logic makes `k NOT IN (...)` NULL (→ filtered) when k
+    * is NULL, where a plain anti join KEEPS null-keyed rows (no match).
+    * Spark plans the single-column broadcastable form as a
+    * BroadcastHashJoin with isNullAwareAntiJoin=true — streamed side
+    * never shuffles; the build side is the (small) exclusion list. At
+    * 100 TB that is exactly the blocklist-filter shape (drop documents
+    * whose possibly-null source id sits on a denylist). */
+  val q86NullAwareAnti: QueryDef = {
+    def text(o: String, c: String) =
+      s"""SELECT o_orderstatus, COUNT(*) AS n_orders
+         |FROM (SELECT CASE WHEN o_orderpriority = '1-URGENT' THEN NULL
+         |             ELSE o_custkey END AS k, o_orderstatus FROM $o) t
+         |WHERE k NOT IN (SELECT c_custkey FROM $c WHERE c_acctbal < 0)
+         |GROUP BY o_orderstatus
+         |ORDER BY o_orderstatus""".stripMargin
+    sql("q86_null_aware_anti", text("orders", "customer")) { (s, dir) =>
+      Tables.orders(s, dir).createOrReplaceTempView("orders_naaj_v")
+      Tables.customer(s, dir).createOrReplaceTempView("customer_naaj_v")
+      val df = s.sql(text("orders_naaj_v", "customer_naaj_v"))
+      s.catalog.dropTempView("orders_naaj_v")
+      s.catalog.dropTempView("customer_naaj_v")
+      df
+    }
+  }
+
   /** HLL sketch distinct — the one-pass mergeable scale path for q09's
     * exact two-phase count(distinct). Rows-only (sketch estimates are not
     * oracle-matchable by design); AnalyticsSpec bounds the error vs exact. */
@@ -1036,5 +1063,5 @@ object Analytics {
     q60Percentiles, q65OuterJoin, q66FullOuter, q67Unpivot,
     q69CorrelatedSubquery, q71WindowAnalytics, q73EventSequences,
     q75PartProfile, q76OrderLineDensity, q77SupplierBalance,
-    q82TimeRangeFrame, q83RecursiveCte, q84Variant)
+    q82TimeRangeFrame, q83RecursiveCte, q84Variant, q86NullAwareAnti)
 }

@@ -144,11 +144,10 @@ object Dedup {
     candidates(s, dir).orderBy(col("doc_a"), col("doc_b"))
   }
 
-  /** Exact 3-gram Jaccard verification over the LSH candidates only —
-    * intersection via shingle equi-join, union from per-doc counts. */
-  val q32NeardupVerified: QueryDef = sql(
-    "q32_neardup_verified",
-    s"""WITH $shinglesSql,
+  /** SQL CTE chain ending in `vp(doc_a, doc_b, jaccard)`: the exact-
+    * Jaccard-verified near-dup pairs. Shared by q32 and q85. */
+  private val verifiedPairsSql =
+    s"""$shinglesSql,
        |$signaturesSql,
        |$bandsSql,
        |$candSql,
@@ -157,14 +156,18 @@ object Dedup {
        |          JOIN sh a ON a.doc_id = c.doc_a
        |          JOIN sh b ON b.doc_id = c.doc_b AND b.sh = a.sh
        |          GROUP BY 1, 2),
-       |cnts AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1)
-       |SELECT i.doc_a, i.doc_b,
-       |  CAST(i.n_common AS DOUBLE) / (ca.n + cb.n - i.n_common) AS jaccard
-       |FROM inter i
-       |JOIN cnts ca ON ca.doc_id = i.doc_a
-       |JOIN cnts cb ON cb.doc_id = i.doc_b
-       |WHERE CAST(i.n_common AS DOUBLE) / (ca.n + cb.n - i.n_common) > 0.7
-       |ORDER BY doc_a, doc_b""".stripMargin) { (s, dir) =>
+       |cnts AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+       |vp AS (SELECT i.doc_a, i.doc_b,
+       |         CAST(i.n_common AS DOUBLE) / (ca.n + cb.n - i.n_common) AS jaccard
+       |       FROM inter i
+       |       JOIN cnts ca ON ca.doc_id = i.doc_a
+       |       JOIN cnts cb ON cb.doc_id = i.doc_b
+       |       WHERE CAST(i.n_common AS DOUBLE) / (ca.n + cb.n - i.n_common) > 0.7)""".stripMargin
+
+  /** Exact-Jaccard-verified near-dup pairs (jaccard > 0.7) over the LSH
+    * candidates — intersection via shingle equi-join, union from per-doc
+    * counts. Shared by q32 (pair listing) and q85 (clustering). */
+  private def verifiedPairs(s: SparkSession, dir: String): DataFrame = {
     // Three consumers (both intersection sides + the per-doc counts):
     // materialize the shingle relation once — see candidates() for the
     // 100 TB rationale.
@@ -182,7 +185,97 @@ object Dedup {
       .join(cnts.select(col("doc_id").as("doc_b"), col("n").as("nb")), "doc_b")
       .filter(jac > 0.7)
       .select(col("doc_a"), col("doc_b"), jac.as("jaccard"))
-      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** Exact 3-gram Jaccard verification over the LSH candidates only. */
+  val q32NeardupVerified: QueryDef = sql(
+    "q32_neardup_verified",
+    s"""WITH $verifiedPairsSql
+       |SELECT doc_a, doc_b, jaccard FROM vp
+       |ORDER BY doc_a, doc_b""".stripMargin) { (s, dir) =>
+    verifiedPairs(s, dir).orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** Dedup clustering: connected components over the verified near-dup
+    * pair graph, assigning every document the minimum doc_id reachable
+    * through near-dup edges as its cluster id — the transitive step that
+    * turns PAIRS into a usable keep-one-per-cluster dedup decision
+    * (near-dup similarity is not transitive, so A~B, B~C must collapse
+    * into one cluster even when A,C are not directly similar).
+    *
+    * Spark side: min-label propagation to a fixpoint. Each round joins
+    * edge endpoints to current labels, takes the neighborhood min, and
+    * `localCheckpoint`s the result to truncate lineage (iterative joins
+    * otherwise stack plans; on a cluster this would be a reliable
+    * checkpoint to durable storage). Rounds are bounded by the largest
+    * component's diameter — shallow for near-dup graphs. The label frame
+    * holds only nodes with ≥1 edge (candidate pairs are a tiny fraction
+    * of a deduplicated corpus); the corpus-wide assignment materializes
+    * once at the end via a left join. At 100 TB the O(log n)-round
+    * large-star/small-star contraction (Kiveris et al., SoCC'14) is the
+    * drop-in upgrade; the per-round join shape is identical.
+    *
+    * Oracle: DuckDB recursive CTE computing min-reachable over the same
+    * edges. */
+  val q85DedupClusters: QueryDef = sql(
+    "q85_dedup_clusters",
+    s"""WITH RECURSIVE $verifiedPairsSql,
+       |edges AS (SELECT doc_a AS src, doc_b AS dst FROM vp
+       |          UNION ALL SELECT doc_b, doc_a FROM vp),
+       |reach AS (
+       |  SELECT doc_id AS node, doc_id AS r FROM documents
+       |  UNION
+       |  SELECT e.src, reach.r FROM edges e JOIN reach ON reach.node = e.dst),
+       |clusters AS (SELECT node AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY node),
+       |sizes AS (SELECT cluster_id, COUNT(*) AS cluster_size FROM clusters GROUP BY 1)
+       |SELECT c.doc_id, c.cluster_id, s.cluster_size
+       |FROM clusters c JOIN sizes s USING (cluster_id)
+       |ORDER BY c.doc_id""".stripMargin) { (s, dir) =>
+    connectedComponents(
+      Tables.documents(s, dir).select(col("doc_id")),
+      verifiedPairs(s, dir).select(col("doc_a"), col("doc_b")))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Min-label propagation to a fixpoint over `pairs(doc_a, doc_b)`;
+    * returns one row per node of `nodes(doc_id)` with its component's
+    * minimum doc_id as `cluster_id` plus the component `cluster_size`.
+    * Exposed for property testing (q85 wires in the verified near-dup
+    * pairs). */
+  def connectedComponents(nodes: DataFrame, pairs0: DataFrame): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    val pairs = pairs0.persist(StorageLevel.MEMORY_AND_DISK)
+    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var labels = edges.select(col("src").as("doc_id")).distinct()
+      .select(col("doc_id"), col("doc_id").as("cluster_id"))
+      .localCheckpoint(true)
+    var converged = false
+    var rounds = 0
+    while (!converged && rounds < 50) {
+      val nbrMin = edges
+        .join(labels.select(col("doc_id").as("dst"), col("cluster_id").as("nl")), "dst")
+        .groupBy(col("src")).agg(min(col("nl")).as("nbr_min"))
+        .withColumnRenamed("src", "doc_id")
+      // carry prev alongside next so convergence is a filter over the
+      // checkpointed frame, not another join stage per round
+      val combined = labels.join(nbrMin, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("cluster_id").as("prev"),
+          least(col("cluster_id"), coalesce(col("nbr_min"), col("cluster_id"))).as("cluster_id"))
+        .localCheckpoint(true)
+      val changed = combined.filter(col("cluster_id") < col("prev")).count()
+      labels = combined.select(col("doc_id"), col("cluster_id"))
+      converged = changed == 0
+      rounds += 1
+    }
+    val full = nodes
+      .join(labels, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val sizes = full.groupBy(col("cluster_id")).agg(count(lit(1)).as("cluster_size"))
+    full.join(sizes, "cluster_id")
+      .select(col("doc_id"), col("cluster_id"), col("cluster_size"))
   }
 
   /** Shared SimHash SQL: hash each DISTINCT word once against the 16 bit
@@ -315,5 +408,5 @@ object Dedup {
 
   val all: Seq[QueryDef] = Seq(
     q30DedupExact, q31MinhashLsh, q32NeardupVerified, q33Simhash, q34SimhashPairs,
-    q78SimhashHamming)
+    q78SimhashHamming, q85DedupClusters)
 }

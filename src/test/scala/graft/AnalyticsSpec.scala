@@ -66,4 +66,27 @@ class AnalyticsSpec extends SparkSpec {
     val plan = Analytics.q05LocalRevenue.run(spark, sfDir).queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastNestedLoopJoin"))
   }
+
+  test("q86: NOT IN plans as a broadcast null-aware anti join") {
+    val df = Analytics.q86NullAwareAnti.run(spark, sfDir)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftAnti"), plan)
+  }
+
+  test("q86: null-keyed outer rows are dropped (NOT IN vs left_anti)") {
+    import org.apache.spark.sql.functions._
+    val orders = graft.sources.Tables.orders(spark, sfDir)
+      .withColumn("k", when(col("o_orderpriority") === "1-URGENT", lit(null))
+        .otherwise(col("o_custkey")))
+    val block = graft.sources.Tables.customer(spark, sfDir)
+      .filter(col("c_acctbal") < 0).select(col("c_custkey"))
+    val notInTotal = Analytics.q86NullAwareAnti.run(spark, sfDir)
+      .collect().map(_.getAs[Long]("n_orders")).sum
+    // plain left_anti KEEPS null-keyed rows; NOT IN drops them
+    val leftAntiTotal = orders
+      .join(block, orders("k") === block("c_custkey"), "left_anti").count()
+    val nullKeyed = orders.filter(col("k").isNull).count()
+    assert(nullKeyed > 0, "fixture must contain urgent orders")
+    assert(leftAntiTotal == notInTotal + nullKeyed)
+  }
 }

@@ -81,4 +81,29 @@ class DedupSimilaritySpec extends SparkSpec {
       assert(r.getAs[String]("fp_min") <= r.getAs[String]("fp_max"))
     }
   }
+
+  test("connected components collapse a multi-hop chain (needs >1 round)") {
+    import spark.implicits._
+    val nodes = (1L to 8L).toDF("doc_id")
+    // path 1-2-3-4-5 (min-label needs ~4 rounds), pair 7-8, singleton 6
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (7L, 8L))
+      .toDF("doc_a", "doc_b")
+    val got = Dedup.connectedComponents(nodes, pairs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val want = Set(
+      (1L, 1L, 5L), (2L, 1L, 5L), (3L, 1L, 5L), (4L, 1L, 5L), (5L, 1L, 5L),
+      (6L, 6L, 1L), (7L, 7L, 2L), (8L, 7L, 2L))
+    assert(got == want)
+  }
+
+  test("q85 clusters are transitively consistent with the verified pairs") {
+    val pairs = Dedup.q32NeardupVerified.run(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val cl = Dedup.q85DedupClusters.run(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(pairs.nonEmpty)
+    pairs.foreach { case (a, b) => assert(cl(a) == cl(b), s"pair ($a,$b) split") }
+    // every cluster representative is a member of its own cluster
+    cl.values.toSet.foreach((c: Long) => assert(cl(c) == c))
+  }
 }
