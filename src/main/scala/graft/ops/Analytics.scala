@@ -630,6 +630,38 @@ object Analytics {
     * never shuffles; the build side is the (small) exclusion list. At
     * 100 TB that is exactly the blocklist-filter shape (drop documents
     * whose possibly-null source id sits on a denylist). */
+  /** Typed cogroup (Dataset API surface): per-customer reconciliation of
+    * the customer record against that customer's orders in one pass over
+    * both groups — the `KeyValueGroupedDataset.cogroup` shape for logic
+    * that needs BOTH sides' iterators at once (full-outer semantics with
+    * arbitrary per-key Scala). Each side shuffles once on the key, then
+    * groups stream pairwise — no materialized join product. Used when a
+    * relational join+agg can't express the per-key program; here the
+    * equivalent SQL exists and is the oracle. */
+  val q87CogroupStats: QueryDef = sql(
+    "q87_cogroup_stats",
+    """SELECT COALESCE(c.c_custkey, o.o_custkey) AS custkey,
+      |  COUNT(o.o_orderkey) AS n_orders,
+      |  MAX(o.o_totalprice) AS max_order,
+      |  MAX(c.c_acctbal) AS acctbal
+      |FROM customer c FULL JOIN orders o ON o.o_custkey = c.c_custkey
+      |GROUP BY 1
+      |ORDER BY 1""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    val custs = Tables.customer(s, dir)
+      .select(col("c_custkey"), col("c_acctbal")).as[(Long, Double)]
+    val ords = Tables.orders(s, dir)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"))
+      .as[(Long, Long, Double)]
+    custs.groupByKey(_._1).cogroup(ords.groupByKey(_._1)) { (k, cs, os) =>
+      var n = 0L
+      var mx = Option.empty[Double]
+      os.foreach { o => n += 1; if (mx.forall(_ < o._3)) mx = Some(o._3) }
+      Iterator.single((k, n, mx, cs.toList.headOption.map(_._2)))
+    }.toDF("custkey", "n_orders", "max_order", "acctbal")
+      .orderBy(col("custkey"))
+  }
+
   val q86NullAwareAnti: QueryDef = {
     def text(o: String, c: String) =
       s"""SELECT o_orderstatus, COUNT(*) AS n_orders
@@ -1063,5 +1095,6 @@ object Analytics {
     q60Percentiles, q65OuterJoin, q66FullOuter, q67Unpivot,
     q69CorrelatedSubquery, q71WindowAnalytics, q73EventSequences,
     q75PartProfile, q76OrderLineDensity, q77SupplierBalance,
-    q82TimeRangeFrame, q83RecursiveCte, q84Variant, q86NullAwareAnti)
+    q82TimeRangeFrame, q83RecursiveCte, q84Variant, q86NullAwareAnti,
+    q87CogroupStats)
 }

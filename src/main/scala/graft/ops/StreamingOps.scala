@@ -246,6 +246,48 @@ object StreamingOps {
       .toDF("user_id", "new_max")
   }
 
+  /** Spark 4 arbitrary-state API: per-user running count + max via
+    * `transformWithState` with typed [[org.apache.spark.sql.streaming.ValueState]]
+    * columns — the successor to mapGroupsWithState (TTL-capable state,
+    * timers, initial-state seeding) and RocksDB-backed by requirement,
+    * so per-key state lives off-heap with incremental checkpoints: the
+    * production shape for billions of keys. Semantically mirrors
+    * [[runningUserStats]]; StreamingSpec asserts both converge to the
+    * batch counts. */
+  private class RunningStatsProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, (Long, Double), (Long, Long, Double)] {
+    import org.apache.spark.sql.Encoders
+    import org.apache.spark.sql.streaming.{TTLConfig, TimeMode, TimerValues, ValueState}
+    @transient private var nState: ValueState[Long] = _
+    @transient private var mxState: ValueState[Double] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      nState = getHandle.getValueState[Long]("n", Encoders.scalaLong, TTLConfig.NONE)
+      mxState = getHandle.getValueState[Double]("mx", Encoders.scalaDouble, TTLConfig.NONE)
+    }
+
+    override def handleInputRows(key: Long, rows: Iterator[(Long, Double)],
+        timers: TimerValues): Iterator[(Long, Long, Double)] = {
+      var n = if (nState.exists()) nState.get() else 0L
+      var mx = if (mxState.exists()) mxState.get() else Double.MinValue
+      rows.foreach { r => n += 1; if (r._2 > mx) mx = r._2 }
+      nState.update(n)
+      mxState.update(mx)
+      Iterator.single((key, n, mx))
+    }
+  }
+
+  /** Streaming face using the transformWithState processor above. */
+  def runningUserStatsTws(s: SparkSession, events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.streaming.TimeMode
+    import s.implicits._
+    val typed = events.select(col("user_id"), col("value")).as[(Long, Double)]
+    typed.groupByKey(_._1)
+      .transformWithState(new RunningStatsProcessor, TimeMode.None(), OutputMode.Update())
+      .toDF("user_id", "n_events", "max_value")
+  }
+
   /** Custom state: running per-user event count + max value via
     * mapGroupsWithState (update mode). */
   def runningUserStats(s: SparkSession, events: DataFrame): DataFrame = {

@@ -232,6 +232,27 @@ class StreamingSpec extends SparkSpec {
       "restart from the checkpoint must process ONLY the new file — no reprocessing")
   }
 
+  test("transformWithState running stats converge to batch counts (RocksDB)") {
+    // transformWithState requires the RocksDB state store provider
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val saved = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val got = runToMemory(
+        StreamingOps.runningUserStatsTws(spark, StreamingOps.eventsStream(spark, stageEvents())),
+        "t_tws", "update")
+      val finalCounts = got.groupBy(col("user_id")).agg(max(col("n_events")).as("n"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val want = Tables.events(spark, sfDir).groupBy(col("user_id")).count()
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(finalCounts == want)
+    } finally saved match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   test("mapGroupsWithState running stats converge to batch counts") {
     val got = runToMemory(
       StreamingOps.runningUserStats(spark, StreamingOps.eventsStream(spark, stageEvents())),
