@@ -75,7 +75,8 @@ object ScaleSmoke {
       "q31_minhash_lsh", "q32_neardup_verified", "q33_simhash",
       "q37_embedding_neardup", "q38_ann_bruteforce", "q39_ann_ivf",
       "q52_ann_lsh", "q61_ann_quantized",
-      "q74_chunking", "q78_simhash_hamming", "q79_curation_pipeline")
+      "q74_chunking", "q78_simhash_hamming", "q79_curation_pipeline",
+      "q85_dedup_clusters")
     println(s"== smoke mult=$mult docs=$nDocs vecs=$nVecs dir=$dir ==")
     targets.foreach { name =>
       // noop sink, same as Bench: a count() terminal would let Catalyst

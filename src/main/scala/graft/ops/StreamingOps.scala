@@ -198,6 +198,29 @@ object StreamingOps {
         col("purchase_ts"), col("click_ts"))
   }
 
+  /** Stream-stream LEFT OUTER join over the same bounded window as
+    * [[purchaseClickJoin]]: matched pairs emit as soon as both sides
+    * arrive; purchases with NO qualifying click emit with null click
+    * columns only once the watermark proves no match can still arrive
+    * (state eviction is what makes outer semantics well-defined on
+    * unbounded inputs — the row is held exactly until `click_ts <
+    * purchase_ts` becomes impossible under the 20-minute watermark). */
+  def purchaseClickLeftJoin(purchases: DataFrame, clicks: DataFrame): DataFrame = {
+    val p = purchases.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id").as("p_user"),
+        col("ts").as("purchase_ts"))
+      .withWatermark("purchase_ts", "20 minutes")
+    val c = clicks.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id").as("c_user"),
+        col("ts").as("click_ts"))
+      .withWatermark("click_ts", "20 minutes")
+    p.join(c, col("c_user") === col("p_user") &&
+      col("click_ts") >= col("purchase_ts") - expr("INTERVAL 10 MINUTES") &&
+      col("click_ts") < col("purchase_ts"), "left_outer")
+      .select(col("purchase_id"), col("click_id"), col("p_user").as("user_id"),
+        col("purchase_ts"), col("click_ts"))
+  }
+
   /** Shared core of q70's batch and streaming faces: left-join the static
     * customer dimension onto events, aggregate per (segment, minute).
     * Works on bounded and unbounded `events` alike — on a stream, Spark

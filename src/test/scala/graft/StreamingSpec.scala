@@ -127,6 +127,46 @@ class StreamingSpec extends SparkSpec {
     assert(want.nonEmpty, "fixture should contain click-before-purchase pairs")
   }
 
+  test("stream-stream LEFT OUTER join: matches inner pairs; evicted purchases emit null") {
+    val dir = stageEvents()
+    val got = runToMemory(
+      StreamingOps.purchaseClickLeftJoin(
+        StreamingOps.eventsStream(spark, dir),
+        StreamingOps.eventsStream(spark, dir)),
+      "t_ssouter", "append").collect()
+    val matched = got.filter(_.getAs[Any]("click_id") != null)
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val innerWant = graft.ops.Temporal.q55IntervalJoin.run(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(matched == innerWant, "matched rows must equal the inner-join face")
+
+    // batch truth: purchases with no qualifying click at all
+    val ev = Tables.events(spark, sfDir)
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id").as("p_user"),
+        col("ts").as("purchase_ts"))
+    val c = ev.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("click_ts"))
+    val unmatchedAll = p.join(c, col("c_user") === col("p_user") &&
+        col("click_ts") >= col("purchase_ts") - expr("INTERVAL 10 MINUTES") &&
+        col("click_ts") < col("purchase_ts"), "left_anti")
+      .collect().map(r => r.getLong(0) -> r.getTimestamp(2)).toMap
+    val gotNull = got.filter(_.getAs[Any]("click_id") == null)
+      .map(_.getLong(0)).toSet
+    // no outer row may contradict the batch truth
+    assert(gotNull.subsetOf(unmatchedAll.keySet))
+    // every unmatched purchase the final watermark has definitely passed
+    // must have been evicted+emitted (watermark = min of both sides' max
+    // event time minus the 20-minute delay; 1-min safety margin)
+    val maxP = p.agg(max(col("purchase_ts"))).collect().head.getTimestamp(0).getTime
+    val maxC = c.agg(max(col("click_ts"))).collect().head.getTimestamp(0).getTime
+    val wm = math.min(maxP, maxC) - 20 * 60 * 1000
+    val mustEmit = unmatchedAll.filter { case (_, ts) => ts.getTime < wm - 60 * 1000 }.keySet
+    assert(mustEmit.nonEmpty, "fixture should contain evictable unmatched purchases")
+    assert(mustEmit.subsetOf(gotNull),
+      s"${(mustEmit -- gotNull).size} expired unmatched purchases missing from outer output")
+  }
+
   test("flatMapGroupsWithState emits only high-watermark events, ending at the batch max") {
     val got = runToMemory(
       StreamingOps.highWatermarkEvents(spark, StreamingOps.eventsStream(spark, stageEvents())),
