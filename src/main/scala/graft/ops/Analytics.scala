@@ -662,6 +662,74 @@ object Analytics {
       .orderBy(col("custkey"))
   }
 
+  /** SQL UDF (Spark 4: `CREATE FUNCTION ... RETURN <expr>`): a scalar
+    * function declared IN SQL, inlined by Catalyst into the calling plan
+    * — unlike a Scala UDF it stays codegen-friendly and optimizable
+    * (constant folding, pushdown through it). The oracle inlines the
+    * same expression; multiplication order is identical, so doubles
+    * match bit-for-bit. */
+  val q88SqlUdf: QueryDef = sql(
+    "q88_sql_udf",
+    """SELECT l_orderkey, l_linenumber,
+      |  l_extendedprice * (1 - l_discount) * (1 + l_tax) AS margin
+      |FROM lineitem
+      |ORDER BY margin DESC, l_orderkey, l_linenumber
+      |LIMIT 10""".stripMargin) { (s, dir) =>
+    Tables.lineitem(s, dir).createOrReplaceTempView("lineitem_udf_v")
+    s.sql("""CREATE OR REPLACE TEMPORARY FUNCTION graft_margin(
+            |  price DOUBLE, disc DOUBLE, tax DOUBLE) RETURNS DOUBLE
+            |RETURN price * (1 - disc) * (1 + tax)""".stripMargin)
+    val df = s.sql(
+      """SELECT l_orderkey, l_linenumber,
+        |  graft_margin(l_extendedprice, l_discount, l_tax) AS margin
+        |FROM lineitem_udf_v
+        |ORDER BY margin DESC, l_orderkey, l_linenumber
+        |LIMIT 10""".stripMargin)
+    s.catalog.dropTempView("lineitem_udf_v")
+    df
+  }
+
+  /** Z-order (Morton) interleave of two dimensions into one cluster key
+    * — the storage-layout operator behind multi-dimensional data
+    * skipping: range-partitioning + sorting by `zkey` gives parquet
+    * files tight min/max on BOTH source dimensions, so scans filtered
+    * on either prune files (what Delta's OPTIMIZE ZORDER does).
+    * SinksSpec pins the layout property; this query hash-verifies the
+    * bit arithmetic (10 bits per dimension, pure integer ops, identical
+    * in both engines). */
+  val q89ZorderKey: QueryDef = {
+    val sparkTerms = (0 until 10)
+      .map(i => s"shiftleft(shiftright(zx, $i) & 1, ${2 * i}) + shiftleft(shiftright(zy, $i) & 1, ${2 * i + 1})")
+      .mkString(" + ")
+    val duckTerms = (0 until 10)
+      .map(i => s"(((zx >> $i) & 1) << ${2 * i}) + (((zy >> $i) & 1) << ${2 * i + 1})")
+      .mkString(" + ")
+    sql(
+      "q89_zorder_key",
+      s"""WITH b AS (SELECT event_id,
+         |    user_id & 1023 AS zx,
+         |    ((CAST(floor(epoch(ts)) AS BIGINT) // 60) % 1440) & 1023 AS zy
+         |  FROM events)
+         |SELECT event_id, CAST($duckTerms AS BIGINT) AS zkey
+         |FROM b ORDER BY zkey, event_id LIMIT 100""".stripMargin) { (s, dir) =>
+      zorderKeyed(Tables.events(s, dir), sparkTerms)
+        .select(col("event_id"), col("zkey"))
+        .orderBy(col("zkey"), col("event_id")).limit(100)
+    }
+  }
+
+  /** events → (event_id, ..., zkey): shared by q89 and the SinksSpec
+    * layout test. */
+  def zorderKeyed(events: DataFrame, terms: String = null): DataFrame = {
+    val t = if (terms != null) terms else (0 until 10)
+      .map(i => s"shiftleft(shiftright(zx, $i) & 1, ${2 * i}) + shiftleft(shiftright(zy, $i) & 1, ${2 * i + 1})")
+      .mkString(" + ")
+    events
+      .withColumn("zx", expr("user_id & 1023"))
+      .withColumn("zy", expr("((CAST(ts AS LONG) div 60) % 1440) & 1023"))
+      .withColumn("zkey", expr(s"CAST($t AS BIGINT)"))
+  }
+
   val q86NullAwareAnti: QueryDef = {
     def text(o: String, c: String) =
       s"""SELECT o_orderstatus, COUNT(*) AS n_orders
@@ -1096,5 +1164,5 @@ object Analytics {
     q69CorrelatedSubquery, q71WindowAnalytics, q73EventSequences,
     q75PartProfile, q76OrderLineDensity, q77SupplierBalance,
     q82TimeRangeFrame, q83RecursiveCte, q84Variant, q86NullAwareAnti,
-    q87CogroupStats)
+    q87CogroupStats, q88SqlUdf, q89ZorderKey)
 }

@@ -65,4 +65,25 @@ class SinksSpec extends SparkSpec {
     assert(back.count() == 25)
     assert(back.schema("n_nationkey").dataType.typeName == "integer")
   }
+
+  test("z-order layout: range-partitioned files have disjoint zkey ranges") {
+    import graft.ops.Analytics
+    val dir = Files.createTempDirectory("graft-zorder").toString + "/events"
+    Analytics.zorderKeyed(Tables.events(spark, sfDir))
+      .repartitionByRange(4, col("zkey"))
+      .sortWithinPartitions(col("zkey"))
+      .write.parquet(dir)
+    // per-file zkey ranges must not overlap — the property that lets a
+    // scan filtered on EITHER interleaved dimension prune whole files
+    val ranges = spark.read.parquet(dir)
+      .groupBy(input_file_name().as("f"))
+      .agg(min(col("zkey")).as("lo"), max(col("zkey")).as("hi"))
+      .collect().map(r => (r.getAs[Long]("lo"), r.getAs[Long]("hi")))
+      .sortBy(_._1)
+    assert(ranges.length > 1, "expected multiple files")
+    ranges.sliding(2).foreach {
+      case Array((_, hi1), (lo2, _)) => assert(hi1 <= lo2, s"overlap: $hi1 > $lo2")
+      case _ =>
+    }
+  }
 }
