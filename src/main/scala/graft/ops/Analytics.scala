@@ -730,6 +730,49 @@ object Analytics {
       .withColumn("zkey", expr(s"CAST($t AS BIGINT)"))
   }
 
+  /** SCD-2 upsert: apply a change-set to a dimension with effective
+    * dating — changed members get their old version closed
+    * (`valid_to` = change date, not current) plus a new open version;
+    * unchanged members stay one current row. The change-set here is
+    * derived deterministically (first urgent order promotes a customer
+    * to the PRIORITY segment). Pure joins + union — at 100 TB each leg
+    * shuffles once on the dimension key and the union is map-side; this
+    * is the MERGE-free formulation for immutable storage (rewrite the
+    * dimension snapshot, the lakehouse pattern). */
+  val q90Scd2Upsert: QueryDef = sql(
+    "q90_scd2_upsert",
+    """WITH fu AS (SELECT o_custkey, MIN(o_orderdate) AS eff_date
+      |            FROM orders WHERE o_orderpriority = '1-URGENT' GROUP BY 1)
+      |SELECT c.c_custkey AS custkey, c.c_mktsegment AS segment,
+      |  CAST(NULL AS DATE) AS valid_from, fu.eff_date AS valid_to, 0 AS is_current
+      |FROM customer c JOIN fu ON fu.o_custkey = c.c_custkey
+      |UNION ALL
+      |SELECT c.c_custkey, 'PRIORITY', fu.eff_date, CAST(NULL AS DATE), 1
+      |FROM customer c JOIN fu ON fu.o_custkey = c.c_custkey
+      |UNION ALL
+      |SELECT c.c_custkey, c.c_mktsegment, CAST(NULL AS DATE), CAST(NULL AS DATE), 1
+      |FROM customer c ANTI JOIN fu ON fu.o_custkey = c.c_custkey
+      |ORDER BY custkey, is_current""".stripMargin) { (s, dir) =>
+    val fu = Tables.orders(s, dir)
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .groupBy(col("o_custkey")).agg(min(col("o_orderdate")).as("eff_date"))
+    val cust = Tables.customer(s, dir)
+      .select(col("c_custkey"), col("c_mktsegment"))
+    val changed = cust.join(fu, cust("c_custkey") === fu("o_custkey"))
+    val nullDate = lit(null).cast("date")
+    val closed = changed.select(col("c_custkey").as("custkey"),
+      col("c_mktsegment").as("segment"), nullDate.as("valid_from"),
+      col("eff_date").as("valid_to"), lit(0).as("is_current"))
+    val opened = changed.select(col("c_custkey").as("custkey"),
+      lit("PRIORITY").as("segment"), col("eff_date").as("valid_from"),
+      nullDate.as("valid_to"), lit(1).as("is_current"))
+    val untouched = cust.join(fu, cust("c_custkey") === fu("o_custkey"), "left_anti")
+      .select(col("c_custkey").as("custkey"), col("c_mktsegment").as("segment"),
+        nullDate.as("valid_from"), nullDate.as("valid_to"), lit(1).as("is_current"))
+    closed.unionByName(opened).unionByName(untouched)
+      .orderBy(col("custkey"), col("is_current"))
+  }
+
   val q86NullAwareAnti: QueryDef = {
     def text(o: String, c: String) =
       s"""SELECT o_orderstatus, COUNT(*) AS n_orders
@@ -913,6 +956,23 @@ object Analytics {
     Tables.lineitem(s, dir)
       .groupBy(col("l_returnflag"))
       .agg(expr("percentile(l_extendedprice, array(0.5D, 0.95D))").as("ps"))
+      .select(col("l_returnflag"),
+        element_at(col("ps"), 1).as("p50_price"),
+        element_at(col("ps"), 2).as("p95_price"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  /** Percentile sketch (q60's scale face): `approx_percentile` merges
+    * bounded-size buffers instead of holding every value — mergeable,
+    * one pass, map-side partials, the only formulation that works when a
+    * group's values don't fit an executor. Rows-only in the contract
+    * (sketch internals differ across engines); AnalyticsSpec pins the
+    * accuracy-parameter error bound against q60's exact values. */
+  val q91ApproxPercentiles: QueryDef = QueryDef.rowsOnly(
+    "q91_approx_percentiles") { (s, dir) =>
+    Tables.lineitem(s, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(expr("approx_percentile(l_extendedprice, array(0.5D, 0.95D), 10000)").as("ps"))
       .select(col("l_returnflag"),
         element_at(col("ps"), 1).as("p50_price"),
         element_at(col("ps"), 2).as("p95_price"))
@@ -1164,5 +1224,6 @@ object Analytics {
     q69CorrelatedSubquery, q71WindowAnalytics, q73EventSequences,
     q75PartProfile, q76OrderLineDensity, q77SupplierBalance,
     q82TimeRangeFrame, q83RecursiveCte, q84Variant, q86NullAwareAnti,
-    q87CogroupStats, q88SqlUdf, q89ZorderKey)
+    q87CogroupStats, q88SqlUdf, q89ZorderKey, q90Scd2Upsert,
+    q91ApproxPercentiles)
 }

@@ -21,7 +21,7 @@ class AnalyticsSpec extends SparkSpec {
 
   test("oracle coverage: every query has an oracle except the sketch-based ones") {
     val missing = Analytics.all.filter(_.oracle.isEmpty).map(_.name)
-    assert(missing == Seq("q48_approx_distinct"),
+    assert(missing == Seq("q48_approx_distinct", "q91_approx_percentiles"),
       s"relational queries must be oracle-checked: $missing")
   }
 
@@ -51,6 +51,16 @@ class AnalyticsSpec extends SparkSpec {
     rows.groupBy(_.getLong(0)).foreach { case (_, rs) =>
       val running = rs.map(_.getAs[Double]("running_spend"))
       assert(running.sameElements(running.sorted))
+    }
+  }
+
+  test("q91 approx percentiles stay within 2% of exact q60") {
+    val exact = Analytics.q60Percentiles.run(spark, sfDir).collect()
+      .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    Analytics.q91ApproxPercentiles.run(spark, sfDir).collect().foreach { r =>
+      val (p50, p95) = exact(r.getString(0))
+      assert(math.abs(r.getDouble(1) - p50) / p50 < 0.02)
+      assert(math.abs(r.getDouble(2) - p95) / p95 < 0.02)
     }
   }
 
