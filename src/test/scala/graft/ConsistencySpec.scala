@@ -179,4 +179,20 @@ class ConsistencySpec extends SparkSpec {
       assert(hamming <= 4, s"near-dup pair ($a,$b) has simhash hamming $hamming")
     }
   }
+
+  test("q90 SCD-2: one current row per customer; closed/open versions chain") {
+    val rows = Analytics.q90Scd2Upsert.run(spark, sfDir).collect()
+    val byCust = rows.groupBy(_.getLong(0))
+    assert(byCust.size.toLong == Tables.customer(spark, sfDir).count())
+    byCust.values.foreach { vs =>
+      assert(vs.count(_.getInt(4) == 1) == 1, "exactly one current version")
+      if (vs.length == 2) {
+        val closed = vs.find(_.getInt(4) == 0).get
+        val open = vs.find(_.getInt(4) == 1).get
+        assert(closed.getAs[Any](3) == open.getAs[Any](2),
+          "old version must close exactly where the new one opens")
+        assert(open.getString(1) == "PRIORITY")
+      } else assert(vs.length == 1)
+    }
+  }
 }
