@@ -193,6 +193,18 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("q85: clustering input pairs never go all-pairs; loop frames stay checkpointed") {
+    val p = planOf(Dedup.q85DedupClusters.run(spark, sfDir))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    // label propagation must run over truncated lineage, not a growing plan
+    assert(p.contains("Scan ExistingRDD") || p.contains("LocalTableScan"), p)
+  }
+
+  test("q89: z-order top-k plans as TakeOrderedAndProject") {
+    val p = planOf(Analytics.q89ZorderKey.run(spark, sfDir))
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
   test("ref_schema_lint: the fused rule engine builds at most two broadcast exchanges") {
     val df = graft.ops.SchemaLint.report(spark)
     val p = planOf(df)
