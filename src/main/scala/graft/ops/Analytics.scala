@@ -979,6 +979,28 @@ object Analytics {
       .orderBy(col("l_returnflag"))
   }
 
+  /** Numeric histogram: fixed-width binning of a value distribution
+    * (the `width_bucket` shape, written as floor arithmetic so both
+    * engines bin identically). One hash aggregate over integer bucket
+    * ids — at any scale this is a map-side-combined count, never a
+    * sort; empty buckets are absent by construction (sparse output). */
+  val q92Histogram: QueryDef = sql(
+    "q92_histogram",
+    """SELECT CAST(floor(l_extendedprice / 10000.0) AS INT) AS bucket,
+      |  COUNT(*) AS n,
+      |  MIN(l_extendedprice) AS lo,
+      |  MAX(l_extendedprice) AS hi
+      |FROM lineitem
+      |GROUP BY 1
+      |ORDER BY bucket""".stripMargin) { (s, dir) =>
+    Tables.lineitem(s, dir)
+      .groupBy(expr("CAST(floor(l_extendedprice / 10000.0) AS INT)").as("bucket"))
+      .agg(count(lit(1)).as("n"),
+        min(col("l_extendedprice")).as("lo"),
+        max(col("l_extendedprice")).as("hi"))
+      .orderBy(col("bucket"))
+  }
+
   /** Left outer join with an ON-clause filter on the preserved side's
     * partner: every customer survives; the big-order restriction lives in
     * the join condition (not a WHERE, which would turn the join inner).
@@ -1225,5 +1247,5 @@ object Analytics {
     q75PartProfile, q76OrderLineDensity, q77SupplierBalance,
     q82TimeRangeFrame, q83RecursiveCte, q84Variant, q86NullAwareAnti,
     q87CogroupStats, q88SqlUdf, q89ZorderKey, q90Scd2Upsert,
-    q91ApproxPercentiles)
+    q91ApproxPercentiles, q92Histogram)
 }

@@ -66,6 +66,32 @@ class SinksSpec extends SparkSpec {
     assert(back.schema("n_nationkey").dataType.typeName == "integer")
   }
 
+  test("malformed JSON: PERMISSIVE quarantines corrupt records, FAILFAST throws") {
+    // ingest-side data quality: a 100 TB crawl WILL contain garbage
+    // lines; the pipeline must quarantine them, not die or silently drop
+    val dir = Files.createTempDirectory("graft-badjson").toString
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$dir/part.json"),
+      """{"id": 1, "v": "ok"}
+        |{"id": 2, "v": "also ok"}
+        |{"id": oops not json
+        |{"id": 4, "v": "fine"}
+        |""".stripMargin)
+    val schema = "id LONG, v STRING, _corrupt_record STRING"
+    val permissive = spark.read.schema(schema)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .json(dir)
+    val rows = permissive.cache().collect() // cache: corrupt-record column requires it post-parse
+    assert(rows.length == 4, "every input line must surface")
+    assert(rows.count(_.getAs[String]("_corrupt_record") != null) == 1)
+    assert(rows.filter(_.getAs[String]("_corrupt_record") == null)
+      .map(_.getAs[Long]("id")).toSet == Set(1L, 2L, 4L))
+    permissive.unpersist()
+    val failfast = spark.read.schema("id LONG, v STRING")
+      .option("mode", "FAILFAST").json(dir)
+    intercept[org.apache.spark.SparkException](failfast.collect())
+  }
+
   test("z-order layout: range-partitioned files have disjoint zkey ranges") {
     import graft.ops.Analytics
     val dir = Files.createTempDirectory("graft-zorder").toString + "/events"
