@@ -1001,6 +1001,73 @@ object Analytics {
       .orderBy(col("bucket"))
   }
 
+  /** Mergeable HLL sketch pipeline (Datasketches via Spark 4's
+    * `hll_sketch_agg`/`hll_union_agg`): stage 1 builds one sketch per
+    * (event_type, day) — the pre-aggregation you'd PERSIST at 100 TB —
+    * and stage 2 answers "distinct users over any day range" by merging
+    * sketches, never rescanning raw events. Re-aggregatability is the
+    * whole point: exact distinct counts cannot be combined across
+    * partial aggregates, sketches can. Rows-only in the contract
+    * (sketch bytes are engine-specific); ConsistencySpec pins the
+    * estimate against q09's exact counts. */
+  val q93HllMerge: QueryDef = QueryDef.rowsOnly("q93_hll_merge") { (s, dir) =>
+    Tables.events(s, dir)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(expr("hll_sketch_agg(user_id, 14)").as("sk"))
+      .groupBy(col("event_type"))
+      .agg(expr("hll_sketch_estimate(hll_union_agg(sk, false))").as("approx_users"),
+        count(lit(1)).as("n_days"))
+      .orderBy(col("event_type"))
+  }
+
+  /** Winsorization: robust statistics after clamping a value column to
+    * its own [p05, p95] — the standard outlier treatment before
+    * training-data normalization. The winsorized mean decomposes into
+    * an EXACT decimal sum of in-range values plus count×bound for each
+    * clamped tail (one multiplication and two additions in a fixed
+    * order — deterministic doubles in both engines, where a naive
+    * float sum of clamped values would be order-dependent). */
+  val q94Winsorize: QueryDef = sql(
+    "q94_winsorize",
+    """WITH b AS (SELECT l_returnflag,
+      |    quantile_cont(l_extendedprice, 0.05) AS p05,
+      |    quantile_cont(l_extendedprice, 0.95) AS p95
+      |  FROM lineitem GROUP BY 1)
+      |SELECT l.l_returnflag, b.p05, b.p95,
+      |  SUM(CASE WHEN l.l_extendedprice < b.p05 THEN 1 ELSE 0 END) AS n_below,
+      |  SUM(CASE WHEN l.l_extendedprice > b.p95 THEN 1 ELSE 0 END) AS n_above,
+      |  ((CAST(SUM(CASE WHEN l.l_extendedprice >= b.p05 AND l.l_extendedprice <= b.p95
+      |              THEN CAST(l.l_extendedprice AS DECIMAL(12,2))
+      |              ELSE CAST(0 AS DECIMAL(12,2)) END) AS DOUBLE)
+      |    + (SUM(CASE WHEN l.l_extendedprice < b.p05 THEN 1 ELSE 0 END) * b.p05))
+      |    + (SUM(CASE WHEN l.l_extendedprice > b.p95 THEN 1 ELSE 0 END) * b.p95))
+      |    / COUNT(*) AS winsorized_mean
+      |FROM lineitem l JOIN b ON l.l_returnflag = b.l_returnflag
+      |GROUP BY 1, 2, 3
+      |ORDER BY 1""".stripMargin) { (s, dir) =>
+    val li = Tables.lineitem(s, dir)
+    val bounds = li.groupBy(col("l_returnflag"))
+      .agg(expr("percentile(l_extendedprice, array(0.05D, 0.95D))").as("ps"))
+      .select(col("l_returnflag"),
+        element_at(col("ps"), 1).as("p05"), element_at(col("ps"), 2).as("p95"))
+    li.join(broadcast(bounds), "l_returnflag")
+      .groupBy(col("l_returnflag"), col("p05"), col("p95"))
+      .agg(
+        sum(when(col("l_extendedprice") < col("p05"), 1).otherwise(0)).as("n_below"),
+        sum(when(col("l_extendedprice") > col("p95"), 1).otherwise(0)).as("n_above"),
+        sum(when(col("l_extendedprice") >= col("p05") && col("l_extendedprice") <= col("p95"),
+          col("l_extendedprice").cast("decimal(12,2)")).otherwise(lit(0).cast("decimal(12,2)")))
+          .as("kept_sum"),
+        count(lit(1)).as("n_total"))
+      .select(col("l_returnflag"), col("p05"), col("p95"),
+        col("n_below"), col("n_above"),
+        (((col("kept_sum").cast("double")
+          + (col("n_below") * col("p05")))
+          + (col("n_above") * col("p95")))
+          / col("n_total")).as("winsorized_mean"))
+      .orderBy(col("l_returnflag"))
+  }
+
   /** Left outer join with an ON-clause filter on the preserved side's
     * partner: every customer survives; the big-order restriction lives in
     * the join condition (not a WHERE, which would turn the join inner).
@@ -1247,5 +1314,5 @@ object Analytics {
     q75PartProfile, q76OrderLineDensity, q77SupplierBalance,
     q82TimeRangeFrame, q83RecursiveCte, q84Variant, q86NullAwareAnti,
     q87CogroupStats, q88SqlUdf, q89ZorderKey, q90Scd2Upsert,
-    q91ApproxPercentiles, q92Histogram)
+    q91ApproxPercentiles, q92Histogram, q93HllMerge, q94Winsorize)
 }

@@ -21,7 +21,7 @@ class AnalyticsSpec extends SparkSpec {
 
   test("oracle coverage: every query has an oracle except the sketch-based ones") {
     val missing = Analytics.all.filter(_.oracle.isEmpty).map(_.name)
-    assert(missing == Seq("q48_approx_distinct", "q91_approx_percentiles"),
+    assert(missing == Seq("q48_approx_distinct", "q91_approx_percentiles", "q93_hll_merge"),
       s"relational queries must be oracle-checked: $missing")
   }
 

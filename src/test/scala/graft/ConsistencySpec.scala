@@ -180,6 +180,18 @@ class ConsistencySpec extends SparkSpec {
     }
   }
 
+  test("q93 merged HLL sketches estimate exact distinct users within 5%") {
+    val approx = Analytics.q93HllMerge.run(spark, sfDir).collect()
+      .map(r => r.getString(0) -> r.getAs[Long]("approx_users")).toMap
+    val exact = Analytics.q09DistinctUsers.run(spark, sfDir).collect()
+      .map(r => r.getString(0) -> r.getAs[Long]("n_users")).toMap
+    assert(approx.keySet == exact.keySet)
+    exact.foreach { case (k, e) =>
+      assert(math.abs(approx(k).toDouble - e) / e < 0.05,
+        s"$k: approx ${approx(k)} vs exact $e")
+    }
+  }
+
   test("q90 SCD-2: one current row per customer; closed/open versions chain") {
     val rows = Analytics.q90Scd2Upsert.run(spark, sfDir).collect()
     val byCust = rows.groupBy(_.getLong(0))
