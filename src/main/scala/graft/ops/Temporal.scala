@@ -151,6 +151,69 @@ object Temporal {
     },
     q46AsofJoin.oracle)
 
+  /** Ordered conversion funnel: users who viewed, then clicked strictly
+    * AFTER their first view, then purchased strictly after that click —
+    * each step's earliest qualifying time feeds the next step's lower
+    * bound. Three keyed join+min-agg stages (shuffle on user_id each,
+    * never a time-range explosion); the three scalar counts combine via
+    * single-row cross joins. The event-analytics staple. */
+  val q95Funnel: QueryDef = sql(
+    "q95_funnel",
+    """WITH s1 AS (SELECT user_id, MIN(ts) AS t1 FROM events
+      |            WHERE event_type = 'view' GROUP BY 1),
+      |s2 AS (SELECT e.user_id, MIN(e.ts) AS t2 FROM events e
+      |       JOIN s1 ON s1.user_id = e.user_id AND e.ts > s1.t1
+      |       WHERE e.event_type = 'click' GROUP BY 1),
+      |s3 AS (SELECT e.user_id, MIN(e.ts) AS t3 FROM events e
+      |       JOIN s2 ON s2.user_id = e.user_id AND e.ts > s2.t2
+      |       WHERE e.event_type = 'purchase' GROUP BY 1)
+      |SELECT (SELECT COUNT(*) FROM s1) AS n_viewed,
+      |       (SELECT COUNT(*) FROM s2) AS n_clicked_after,
+      |       (SELECT COUNT(*) FROM s3) AS n_purchased_after""".stripMargin) { (s, dir) =>
+    val ev = Tables.events(s, dir)
+    def step(typ: String, prev: Option[org.apache.spark.sql.DataFrame],
+        tOut: String): org.apache.spark.sql.DataFrame = {
+      val base = ev.filter(col("event_type") === typ)
+      val bounded = prev match {
+        case Some(p) => base.join(p, base("user_id") === p("user_id") &&
+            base("ts") > p(p.columns.last), "inner")
+          .select(base("user_id").as("user_id"), base("ts").as("ts"))
+        case None => base.select(col("user_id"), col("ts"))
+      }
+      bounded.groupBy(col("user_id")).agg(min(col("ts")).as(tOut))
+    }
+    val s1 = step("view", None, "t1")
+    val s2 = step("click", Some(s1), "t2")
+    val s3 = step("purchase", Some(s2), "t3")
+    s1.agg(count(lit(1)).as("n_viewed"))
+      .crossJoin(s2.agg(count(lit(1)).as("n_clicked_after")))
+      .crossJoin(s3.agg(count(lit(1)).as("n_purchased_after")))
+  }
+
+  /** Retention cohorts: users grouped by first-active day; each later
+    * active day counts toward (cohort, day_offset) — the classic
+    * retention triangle. Two aggregates + one equi-join, all keyed on
+    * user_id / (cohort, offset); output is bounded by days², not rows. */
+  val q96RetentionCohorts: QueryDef = sql(
+    "q96_retention_cohorts",
+    """WITH f AS (SELECT user_id, MIN(CAST(ts AS DATE)) AS cohort
+      |           FROM events GROUP BY 1),
+      |a AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events)
+      |SELECT f.cohort, datediff('day', f.cohort, a.day) AS day_offset,
+      |  COUNT(*) AS n_users
+      |FROM a JOIN f ON f.user_id = a.user_id
+      |GROUP BY 1, 2
+      |ORDER BY 1, 2""".stripMargin) { (s, dir) =>
+    val ev = Tables.events(s, dir)
+    val f = ev.groupBy(col("user_id")).agg(min(to_date(col("ts"))).as("cohort"))
+    val a = ev.select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+    a.join(f, "user_id")
+      .groupBy(col("cohort"), datediff(col("day"), col("cohort")).as("day_offset"))
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy(col("cohort"), col("day_offset"))
+  }
+
   val all: Seq[QueryDef] = Seq(
-    q46AsofJoin, q47Pivot, q55IntervalJoin, q63AsofNative, q81IntervalNative)
+    q46AsofJoin, q47Pivot, q55IntervalJoin, q63AsofNative, q81IntervalNative,
+    q95Funnel, q96RetentionCohorts)
 }

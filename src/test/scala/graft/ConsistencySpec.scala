@@ -192,6 +192,20 @@ class ConsistencySpec extends SparkSpec {
     }
   }
 
+  test("q95 funnel steps are monotonically non-increasing") {
+    val r = graft.ops.Temporal.q95Funnel.run(spark, sfDir).collect().head
+    val (v, c, p) = (r.getLong(0), r.getLong(1), r.getLong(2))
+    assert(v >= c && c >= p, s"funnel must narrow: $v >= $c >= $p")
+    assert(v > 0, "fixture must contain view events")
+  }
+
+  test("q96 retention: offset-0 cohort sizes cover every user exactly once") {
+    val rows = graft.ops.Temporal.q96RetentionCohorts.run(spark, sfDir).collect()
+    val day0 = rows.filter(_.getAs[Int]("day_offset") == 0).map(_.getAs[Long]("n_users")).sum
+    val users = Tables.events(spark, sfDir).select("user_id").distinct().count()
+    assert(day0 == users, "every user is active on their own cohort day")
+  }
+
   test("q90 SCD-2: one current row per customer; closed/open versions chain") {
     val rows = Analytics.q90Scd2Upsert.run(spark, sfDir).collect()
     val byCust = rows.groupBy(_.getLong(0))
