@@ -1068,6 +1068,32 @@ object Analytics {
       .orderBy(col("l_returnflag"))
   }
 
+  /** Fuzzy entity matching: near-identical part names found by
+    * levenshtein distance WITHIN a blocking key (brand) — the classic
+    * entity-resolution shape. The blocking equi-join bounds the
+    * candidate set to same-brand pairs (never corpus × corpus); the
+    * O(len²) edit-distance only runs on those candidates. At 100 TB the
+    * blocking key is what makes fuzzy matching tractable — identical to
+    * the LSH-band strategy in near-dedup, with a domain key instead of
+    * a hash bucket. */
+  val q97FuzzyMatch: QueryDef = sql(
+    "q97_fuzzy_match",
+    """SELECT a.p_partkey AS key_a, b.p_partkey AS key_b,
+      |  levenshtein(a.p_name, b.p_name) AS edit_dist
+      |FROM part a JOIN part b
+      |  ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
+      |WHERE levenshtein(a.p_name, b.p_name) <= 4
+      |ORDER BY key_a, key_b""".stripMargin) { (s, dir) =>
+    val p = Tables.part(s, dir).select(col("p_partkey"), col("p_brand"), col("p_name"))
+    val a = p.select(col("p_partkey").as("key_a"), col("p_brand"), col("p_name").as("name_a"))
+    val b = p.select(col("p_partkey").as("key_b"), col("p_brand"), col("p_name").as("name_b"))
+    a.join(b, Seq("p_brand")).filter(col("key_a") < col("key_b"))
+      .withColumn("edit_dist", levenshtein(col("name_a"), col("name_b")))
+      .filter(col("edit_dist") <= 4)
+      .select(col("key_a"), col("key_b"), col("edit_dist"))
+      .orderBy(col("key_a"), col("key_b"))
+  }
+
   /** Left outer join with an ON-clause filter on the preserved side's
     * partner: every customer survives; the big-order restriction lives in
     * the join condition (not a WHERE, which would turn the join inner).
@@ -1314,5 +1340,6 @@ object Analytics {
     q75PartProfile, q76OrderLineDensity, q77SupplierBalance,
     q82TimeRangeFrame, q83RecursiveCte, q84Variant, q86NullAwareAnti,
     q87CogroupStats, q88SqlUdf, q89ZorderKey, q90Scd2Upsert,
-    q91ApproxPercentiles, q92Histogram, q93HllMerge, q94Winsorize)
+    q91ApproxPercentiles, q92Histogram, q93HllMerge, q94Winsorize,
+    q97FuzzyMatch)
 }
