@@ -1094,6 +1094,43 @@ object Analytics {
       .orderBy(col("key_a"), col("key_b"))
   }
 
+  /** Ratio-to-report: each nation's share of its region's revenue — an
+    * aggregate re-read through a window over the aggregated frame (group
+    * rows, not fact rows, flow through the window, so the window input
+    * is dimension-sized). Sums stay DECIMAL end-to-end; the only double
+    * operation is the final one division, so shares are deterministic. */
+  val q98RevenueShare: QueryDef = sql(
+    "q98_revenue_share",
+    """WITH rev AS (
+      |  SELECT r.r_name, n.n_name,
+      |    SUM(CAST(o.o_totalprice AS DECIMAL(12,2))) AS nat_rev
+      |  FROM orders o
+      |  JOIN customer c ON c.c_custkey = o.o_custkey
+      |  JOIN nation n ON n.n_nationkey = c.c_nationkey
+      |  JOIN region r ON r.r_regionkey = n.n_regionkey
+      |  GROUP BY 1, 2)
+      |SELECT r_name, n_name,
+      |  CAST(nat_rev AS DOUBLE) AS nation_revenue,
+      |  CAST(nat_rev AS DOUBLE) / CAST(SUM(nat_rev) OVER (PARTITION BY r_name) AS DOUBLE) AS share
+      |FROM rev
+      |ORDER BY r_name, n_name""".stripMargin) { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    // customer scales with the data (no forced broadcast — AQE decides);
+    // nation/region are constant-size and always broadcast
+    val rev = Tables.orders(s, dir)
+      .join(Tables.customer(s, dir).select(col("c_custkey"), col("c_nationkey")),
+        col("c_custkey") === col("o_custkey"))
+      .join(broadcast(Tables.nation(s, dir)), col("n_nationkey") === col("c_nationkey"))
+      .join(broadcast(Tables.region(s, dir)), col("r_regionkey") === col("n_regionkey"))
+      .groupBy(col("r_name"), col("n_name"))
+      .agg(sum(col("o_totalprice").cast("decimal(12,2)")).as("nat_rev"))
+    rev.select(col("r_name"), col("n_name"),
+      col("nat_rev").cast("double").as("nation_revenue"),
+      (col("nat_rev").cast("double") /
+        sum(col("nat_rev")).over(Window.partitionBy(col("r_name"))).cast("double")).as("share"))
+      .orderBy(col("r_name"), col("n_name"))
+  }
+
   /** Left outer join with an ON-clause filter on the preserved side's
     * partner: every customer survives; the big-order restriction lives in
     * the join condition (not a WHERE, which would turn the join inner).
@@ -1341,5 +1378,5 @@ object Analytics {
     q82TimeRangeFrame, q83RecursiveCte, q84Variant, q86NullAwareAnti,
     q87CogroupStats, q88SqlUdf, q89ZorderKey, q90Scd2Upsert,
     q91ApproxPercentiles, q92Histogram, q93HllMerge, q94Winsorize,
-    q97FuzzyMatch)
+    q97FuzzyMatch, q98RevenueShare)
 }

@@ -192,6 +192,14 @@ class ConsistencySpec extends SparkSpec {
     }
   }
 
+  test("q98 revenue shares sum to 1 within each region") {
+    Analytics.q98RevenueShare.run(spark, sfDir).collect()
+      .groupBy(_.getString(0)).foreach { case (r, rows) =>
+        val tot = rows.map(_.getAs[Double]("share")).sum
+        assert(math.abs(tot - 1.0) < 1e-9, s"$r shares sum to $tot")
+      }
+  }
+
   test("q95 funnel steps are monotonically non-increasing") {
     val r = graft.ops.Temporal.q95Funnel.run(spark, sfDir).collect().head
     val (v, c, p) = (r.getLong(0), r.getLong(1), r.getLong(2))
