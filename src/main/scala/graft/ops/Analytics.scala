@@ -1069,13 +1069,26 @@ object Analytics {
   }
 
   /** Fuzzy entity matching: near-identical part names found by
-    * levenshtein distance WITHIN a blocking key (brand) — the classic
-    * entity-resolution shape. The blocking equi-join bounds the
-    * candidate set to same-brand pairs (never corpus × corpus); the
-    * O(len²) edit-distance only runs on those candidates. At 100 TB the
-    * blocking key is what makes fuzzy matching tractable — identical to
-    * the LSH-band strategy in near-dedup, with a domain key instead of
-    * a hash bucket. */
+    * levenshtein distance WITHIN a blocking key — the classic
+    * entity-resolution shape, never corpus × corpus.
+    *
+    * Blocking is the brand key; the expensive O(len²) DP is guarded by
+    * two RECALL-EXACT prefilters evaluated per candidate pair in
+    * codegen'd integer ops:
+    *   1. length guard — edit distance ≤ 4 bounds |Δlen| by 4;
+    *   2. bag distance — each edit changes the character multiset by at
+    *      most 2 (substitution = remove one + add one), so ED ≤ 4 ⇒
+    *      bag-L1 ≤ 8. Letter counts (capped at 15 — capping only
+    *      shrinks the measured distance, keeping the bound safe) are
+    *      packed once per NAME into two longs of 13 nibbles; the pair
+    *      test is 26 shift/mask/abs terms, ~10× cheaper than the DP,
+    *      and on word-soup names it rejects nearly every non-duplicate.
+    * A (brand, length-bucket) explode-join was measured and REJECTED:
+    * name lengths cluster into 2-3 buckets, so tripling the shuffle
+    * bought no pair reduction (22-29 s vs 17 s at sf0.1). Blocking and
+    * prefilter refinements must never change answers, so the oracle
+    * keeps the plain brand-join formulation and the result hash is the
+    * proof. */
   val q97FuzzyMatch: QueryDef = sql(
     "q97_fuzzy_match",
     """SELECT a.p_partkey AS key_a, b.p_partkey AS key_b,
@@ -1084,10 +1097,26 @@ object Analytics {
       |  ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
       |WHERE levenshtein(a.p_name, b.p_name) <= 4
       |ORDER BY key_a, key_b""".stripMargin) { (s, dir) =>
-    val p = Tables.part(s, dir).select(col("p_partkey"), col("p_brand"), col("p_name"))
-    val a = p.select(col("p_partkey").as("key_a"), col("p_brand"), col("p_name").as("name_a"))
-    val b = p.select(col("p_partkey").as("key_b"), col("p_brand"), col("p_name").as("name_b"))
-    a.join(b, Seq("p_brand")).filter(col("key_a") < col("key_b"))
+    def packHalf(half: Int): String = (0 until 13).map { j =>
+      val ch = ('a' + half * 13 + j).toChar
+      s"shiftleft(CAST(least(length(p_name) - length(replace(p_name, '$ch', '')), 15) AS BIGINT), ${4 * j})"
+    }.mkString(" + ")
+    val p = Tables.part(s, dir)
+      .select(col("p_partkey"), col("p_brand"), col("p_name"),
+        length(col("p_name")).as("len"),
+        expr(packHalf(0)).as("h0"), expr(packHalf(1)).as("h1"))
+    val a = p.select(col("p_partkey").as("key_a"), col("p_brand"),
+      col("p_name").as("name_a"), col("len").as("len_a"),
+      col("h0").as("ha0"), col("h1").as("ha1"))
+    val b = p.select(col("p_partkey").as("key_b"), col("p_brand"),
+      col("p_name").as("name_b"), col("len").as("len_b"),
+      col("h0").as("hb0"), col("h1").as("hb1"))
+    val bagL1 = expr((for (half <- 0 until 2; j <- 0 until 13) yield
+      s"abs((shiftright(ha$half, ${4 * j}) & 15) - (shiftright(hb$half, ${4 * j}) & 15))")
+      .mkString(" + "))
+    a.join(b, Seq("p_brand"))
+      .filter(col("key_a") < col("key_b") &&
+        abs(col("len_a") - col("len_b")) <= 4 && bagL1 <= 8)
       .withColumn("edit_dist", levenshtein(col("name_a"), col("name_b")))
       .filter(col("edit_dist") <= 4)
       .select(col("key_a"), col("key_b"), col("edit_dist"))
