@@ -399,10 +399,14 @@ object Dedup {
     val b = parts.select(col("doc_id").as("doc_b"), col("simhash").as("sig_b"),
       col("pidx"), col("pval"))
     val ham = expr("bit_count(sig_a ^ sig_b)")
-    a.join(b, Seq("pidx", "pval")).filter(col("doc_a") < col("doc_b"))
-      .select(col("doc_a"), col("doc_b"), col("sig_a"), col("sig_b")).distinct()
-      .filter(ham <= 2)
-      .select(col("doc_a"), col("doc_b"), ham.cast("int").as("hamming"))
+    // Hamming test BEFORE the distinct: a pair surviving any of its ≤3
+    // bucket collisions survives all of them, so filter-then-distinct is
+    // the same set — but the dedup shuffle now carries only true near-dup
+    // pairs instead of every bucket collision (the dominant cost: 16-bit
+    // signatures collide heavily, and the filter is codegen'd integer ops
+    // evaluated map-side in the join stage).
+    a.join(b, Seq("pidx", "pval")).filter(col("doc_a") < col("doc_b") && ham <= 2)
+      .select(col("doc_a"), col("doc_b"), ham.cast("int").as("hamming")).distinct()
       .orderBy(col("doc_a"), col("doc_b"))
   }
 

@@ -423,9 +423,101 @@ object TextOps {
       .limit(15)
   }
 
+  /** TF-IDF top-5 terms per document — the classic text-relevance score
+    * (tf · ln(N/df)) as two hash aggregates plus one equi-join on `word`:
+    * tf is a (doc_id, word) count, df a distinct-doc count per word, and
+    * N a 1-row broadcast. No all-pairs anything; at 100 TB both aggregates
+    * are map-side-partial shuffles on bounded keys and the tf⋈df join
+    * shuffles on `word` (or broadcasts df when the vocabulary is small).
+    * Top-k per doc is rank-within-partition → WindowGroupLimit pushes the
+    * k=5 cut below the shuffle.
+    *
+    * Float determinism: JVM `Math.log` and libm `log` differ by 1 ulp on
+    * ~0.1% of inputs (measured), so the emitted score is rounded to 6
+    * decimals — both engines then compute double(k/10⁶) exactly — and the
+    * RANKING compares raw scores, where a 1-ulp flip would need two
+    * distinct (tf, df) pairs within 1e-16 relative of each other; exact
+    * ties (equal tf and df) break on `word`. */
+  val q99Tfidf: QueryDef = sql(
+    "q99_tfidf",
+    """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
+      |tf AS (SELECT doc_id, word, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+      |df AS (SELECT word, COUNT(DISTINCT doc_id) AS df FROM toks GROUP BY 1),
+      |n AS (SELECT COUNT(*) AS n_docs FROM documents),
+      |scored AS (SELECT t.doc_id, t.word, t.tf, d.df,
+      |             t.tf * LN(CAST(n.n_docs AS DOUBLE) / d.df) AS raw,
+      |             ROW_NUMBER() OVER (PARTITION BY t.doc_id
+      |               ORDER BY t.tf * LN(CAST(n.n_docs AS DOUBLE) / d.df) DESC, t.word) AS rn
+      |           FROM tf t JOIN df d USING (word) CROSS JOIN n)
+      |SELECT doc_id, rn, word, tf, df, ROUND(raw, 6) AS tf_idf
+      |FROM scored WHERE rn <= 5
+      |ORDER BY doc_id, rn""".stripMargin) { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val toks = Tables.documents(s, dir)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+    val tf = toks.groupBy(col("doc_id"), col("word")).agg(count(lit(1)).as("tf"))
+    val df = toks.distinct().groupBy(col("word")).agg(count(lit(1)).as("df"))
+    val n = Tables.documents(s, dir).agg(count(lit(1)).as("n_docs"))
+    val raw = col("tf") * log(col("n_docs").cast("double") / col("df"))
+    tf.join(df, "word").crossJoin(n)
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("doc_id")).orderBy(raw.desc, col("word"))))
+      .filter(col("rn") <= 5)
+      .select(col("doc_id"), col("rn"), col("word"), col("tf"), col("df"),
+        round(raw, 6).as("tf_idf"))
+      .orderBy(col("doc_id"), col("rn"))
+  }
+
+  /** Token-budget shard packing: documents in doc_id order fill training
+    * shards of [[ShardBudget]] tokens (shard = exclusive-prefix-sum ÷
+    * budget — a doc starting before a boundary stays in the earlier
+    * shard). The write-side step of every pretraining pipeline.
+    *
+    * A naive global-ORDER-BY running sum is a single-partition window —
+    * the q39 anti-pattern. This is the distributed two-phase prefix sum:
+    * docs group into coarse doc_id blocks; block token totals (a
+    * dimension-sized frame) take the only global window; per-doc running
+    * sums then window WITHIN each block, keyed by the block id, and add
+    * the block's exclusive offset. Identical integer arithmetic to the
+    * oracle's naive window, scale-safe shuffle keys throughout. */
+  val q100ShardPacking: QueryDef = {
+    val ShardBudget = 50000L
+    val BlockWidth = 512L
+    sql(
+      "q100_shard_packing",
+      s"""WITH t AS (SELECT doc_id, len(string_split(text, ' ')) AS n_tokens FROM documents),
+         |packed AS (SELECT doc_id, n_tokens,
+         |    COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS offset_tokens
+         |  FROM t)
+         |SELECT doc_id, n_tokens, offset_tokens,
+         |  CAST(offset_tokens // $ShardBudget AS BIGINT) AS shard_id
+         |FROM packed
+         |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val t = Tables.documents(s, dir)
+        .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("n_tokens"),
+          expr(s"doc_id DIV $BlockWidth").as("blk"))
+      val blockOffsets = t.groupBy(col("blk")).agg(sum(col("n_tokens")).as("blk_tokens"))
+        .withColumn("blk_offset", coalesce(sum(col("blk_tokens")).over(
+          Window.orderBy(col("blk")).rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .select(col("blk"), col("blk_offset"))
+      val within = Window.partitionBy(col("blk")).orderBy(col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      t.join(broadcast(blockOffsets), "blk")
+        .withColumn("offset_tokens",
+          col("blk_offset") + coalesce(sum(col("n_tokens")).over(within), lit(0L)))
+        .select(col("doc_id"), col("n_tokens"), col("offset_tokens"),
+          // integral DIV, not double '/': FP truncation can disagree with
+          // floor division exactly at shard boundaries
+          expr(s"offset_tokens DIV $ShardBudget").as("shard_id"))
+        .orderBy(col("doc_id"))
+    }
+  }
+
   val all: Seq[QueryDef] = Seq(
     q21TextStats, q22WordFreq, q23BigramFreq, q24LangId, q25QualityScore,
     q26Fingerprint, q27TokenRegex, q62TrainSplit, q64TermFreqMap,
     q68StratifiedSample, q72Redaction, q74Chunking, q79CurationPipeline,
-    q80TrigramGenerator)
+    q80TrigramGenerator, q99Tfidf, q100ShardPacking)
 }

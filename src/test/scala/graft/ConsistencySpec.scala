@@ -229,4 +229,45 @@ class ConsistencySpec extends SparkSpec {
       } else assert(vs.length == 1)
     }
   }
+
+  test("q100 shard packing: totals agree with q21; shards fill to budget") {
+    val rows = graft.ops.TextOps.q100ShardPacking.run(spark, sfDir).collect()
+    val totalTokens = rows.map(_.getAs[Long]("n_tokens")).sum
+    val q21Total = graft.ops.TextOps.q21TextStats.run(spark, sfDir).collect()
+      .map(_.getAs[Long]("total_tokens")).sum
+    assert(totalTokens == q21Total, "every token is packed exactly once")
+    val budget = 50000L
+    val maxDoc = rows.map(_.getAs[Long]("n_tokens")).max
+    val byShard = rows.groupBy(_.getAs[Long]("shard_id"))
+    val lastShard = byShard.keys.max
+    byShard.foreach { case (sid, docs) =>
+      val tokens = docs.map(_.getAs[Long]("n_tokens")).sum
+      // a shard closes only when a doc crosses its boundary: every shard
+      // but the last holds at least the budget minus one straddling doc
+      if (sid != lastShard)
+        assert(tokens >= budget - maxDoc && tokens <= budget + maxDoc,
+          s"shard $sid holds $tokens tokens vs budget $budget (max doc $maxDoc)")
+    }
+    // shard ids are contiguous from 0 and monotone in doc_id order
+    assert(byShard.keys.min == 0 && byShard.size == lastShard + 1)
+    val inOrder = rows.sortBy(_.getAs[Long]("doc_id")).map(_.getAs[Long]("shard_id"))
+    assert(inOrder.zip(inOrder.tail).forall { case (a, b) => a <= b })
+  }
+
+  test("q99 TF-IDF term counts agree with q64's term-frequency entries") {
+    val tfidf = graft.ops.TextOps.q99Tfidf.run(spark, sfDir).collect()
+    // q64 keeps only terms with count >= 3 (map_filter) — compare on that slice
+    val q64 = graft.ops.TextOps.q64TermFreqMap.run(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("word")) -> r.getAs[Long]("cnt"))
+      .toMap
+    assert(tfidf.nonEmpty)
+    val overlapping = tfidf.filter(_.getAs[Long]("tf") >= 3)
+    assert(overlapping.nonEmpty, "fixture should surface some tf>=3 top terms")
+    overlapping.foreach { r =>
+      val (doc, word, tf) =
+        (r.getAs[Long]("doc_id"), r.getAs[String]("word"), r.getAs[Long]("tf"))
+      assert(q64.get((doc, word)).contains(tf),
+        s"doc $doc word '$word' tf=$tf must match q64's count")
+    }
+  }
 }

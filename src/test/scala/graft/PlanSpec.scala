@@ -205,6 +205,22 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("TakeOrderedAndProject"), p)
   }
 
+  test("q99: top-5 terms limit before the shuffle; tf/df aggs are two-phase") {
+    val p = planOf(graft.ops.TextOps.q99Tfidf.run(spark, sfDir))
+    assert(p.contains("WindowGroupLimit"), "rn<=5 must cut below the shuffle:\n" + p)
+    assert(p.contains("partial_count") || p.contains("Partial"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q100: per-doc running sum windows WITHIN blocks; offsets broadcast") {
+    val p = planOf(graft.ops.TextOps.q100ShardPacking.run(spark, sfDir))
+    // the corpus-sized window must be partitioned by the block key — only
+    // the dimension-sized block-offset frame may take a global window
+    assert(p.contains("windowspecdefinition(blk"),
+      "per-doc prefix sum must be partitioned by block:\n" + p)
+    assert(p.contains("BroadcastHashJoin"), "block offsets must broadcast:\n" + p)
+  }
+
   test("ref_schema_lint: the fused rule engine builds at most two broadcast exchanges") {
     val df = graft.ops.SchemaLint.report(spark)
     val p = planOf(df)
