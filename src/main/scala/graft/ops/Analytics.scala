@@ -1083,12 +1083,17 @@ object Analytics {
     *      packed once per NAME into two longs of 13 nibbles; the pair
     *      test is 26 shift/mask/abs terms, ~10× cheaper than the DP,
     *      and on word-soup names it rejects nearly every non-duplicate.
-    * A (brand, length-bucket) explode-join was measured and REJECTED:
-    * name lengths cluster into 2-3 buckets, so tripling the shuffle
-    * bought no pair reduction (22-29 s vs 17 s at sf0.1). Blocking and
-    * prefilter refinements must never change answers, so the oracle
-    * keeps the plain brand-join formulation and the result hash is the
-    * proof. */
+    * Two alternative candidate schemes were measured at sf0.1 and
+    * REJECTED (SCALE.md "Fuzzy matching"): a (brand, length-bucket)
+    * explode-join (lengths cluster into 2-3 buckets — 3× shuffle, no
+    * pair cut) and PassJoin segment partitioning, Li et al. VLDB'11
+    * (recall held, but the small name vocabulary aligns segments so
+    * often that 4.3M of 8M pairs survived — slower than enumerating).
+    * What ships instead: the prefilters above, the banded
+    * levenshtein-with-threshold DP, and a fan-out of the under-split
+    * stream side (the 10× lever — see Tables.fanOut). Refinements must
+    * never change answers, so the oracle keeps the plain brand-join
+    * formulation and the result hash is the proof. */
   val q97FuzzyMatch: QueryDef = sql(
     "q97_fuzzy_match",
     """SELECT a.p_partkey AS key_a, b.p_partkey AS key_b,
@@ -1114,11 +1119,20 @@ object Analytics {
     val bagL1 = expr((for (half <- 0 until 2; j <- 0 until 13) yield
       s"abs((shiftright(ha$half, ${4 * j}) & 15) - (shiftright(hb$half, ${4 * j}) & 15))")
       .mkString(" + "))
-    a.join(b, Seq("p_brand"))
+    // The stream side arrives as ONE partition (part is a single small
+    // file), so the broadcast join would enumerate every within-brand
+    // pair on one core — measured 10× on this query. Fan out first: the
+    // 8M-pair enumeration + prefilter + DP then parallelizes across the
+    // cluster for the price of shuffling 20k slim rows.
+    Tables.fanOut(a)
+      .join(b, Seq("p_brand"))
       .filter(col("key_a") < col("key_b") &&
         abs(col("len_a") - col("len_b")) <= 4 && bagL1 <= 8)
-      .withColumn("edit_dist", levenshtein(col("name_a"), col("name_b")))
-      .filter(col("edit_dist") <= 4)
+      // banded DP: the threshold overload computes only the |i-j| <= 4
+      // diagonal band (O(len·9) vs O(len²)) and returns -1 past it —
+      // exact for every row the <= 4 filter keeps
+      .withColumn("edit_dist", levenshtein(col("name_a"), col("name_b"), 4))
+      .filter(col("edit_dist").between(0, 4))
       .select(col("key_a"), col("key_b"), col("edit_dist"))
       .orderBy(col("key_a"), col("key_b"))
   }

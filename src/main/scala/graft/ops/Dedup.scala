@@ -34,7 +34,7 @@ object Dedup {
       |  COUNT(*) - COUNT(DISTINCT md5(text)) AS n_exact_dupes,
       |  MAX(cnt) AS max_group
       |FROM documents, (SELECT MAX(c) AS cnt FROM (SELECT COUNT(*) AS c FROM documents GROUP BY md5(text)))""".stripMargin) { (s, dir) =>
-    val docs = Tables.documents(s, dir)
+    val docs = Tables.fanOut(Tables.documents(s, dir))
     val maxGroup = docs.groupBy(md5(col("text"))).agg(count(lit(1)).as("c"))
       .agg(max(col("c")).as("cnt"))
     docs.agg(
@@ -48,7 +48,7 @@ object Dedup {
 
   /** Distinct word-3-gram shingles per doc. */
   private def shingles(s: SparkSession, dir: String): DataFrame =
-    Tables.documents(s, dir)
+    Tables.fanOut(Tables.documents(s, dir))
       .withColumn("toks", split(col("text"), " "))
       .select(col("doc_id"), explode(expr(
         // guard: docs shorter than the shingle width emit nothing (sequence() would run backwards)
@@ -314,7 +314,7 @@ object Dedup {
     // single groupBy(doc_id) with 16 map-side-partial sums and a final
     // bit-packing projection. No explode, no (doc_id, p) intermediate,
     // ONE shuffle whose payload is 17 longs per document.
-    val votes = Tables.documents(s, dir)
+    val votes = Tables.fanOut(Tables.documents(s, dir))
       .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
       .select(col("doc_id"), md5(col("word")).as("h"))
       .select(col("doc_id") +: (0 until 16).map { p =>

@@ -37,7 +37,7 @@ object Multimodal {
     * encoded image; metadata derived deterministically from the fixture
     * columns (so the oracle can reproduce it). */
   def mediaTable(s: SparkSession, dir: String): DataFrame =
-    Tables.documents(s, dir).select(
+    Tables.fanOut(Tables.documents(s, dir)).select(
       col("doc_id"),
       encode(col("text"), "UTF-8").as("payload"),
       element_at(

@@ -23,7 +23,7 @@ object TextOps {
   import QueryDef.sql
 
   private def docsWithTokens(s: SparkSession, dir: String): DataFrame =
-    Tables.documents(s, dir).withColumn("toks", split(col("text"), " "))
+    Tables.fanOut(Tables.documents(s, dir)).withColumn("toks", split(col("text"), " "))
 
   /** Per-language corpus statistics. */
   val q21TextStats: QueryDef = sql(
@@ -194,7 +194,7 @@ object TextOps {
       |FROM documents
       |GROUP BY lang
       |ORDER BY lang""".stripMargin) { (s, dir) =>
-    Tables.documents(s, dir)
+    Tables.fanOut(Tables.documents(s, dir))
       .groupBy(col("lang"))
       .agg(
         sum(size(regexp_extract_all(col("text"), lit("[a-z]+|[0-9]+"), lit(0)))).cast("long")
@@ -249,7 +249,7 @@ object TextOps {
       |GROUP BY doc_id, word
       |HAVING COUNT(*) >= 3
       |ORDER BY doc_id, word""".stripMargin) { (s, dir) =>
-    val counts = Tables.documents(s, dir)
+    val counts = Tables.fanOut(Tables.documents(s, dir))
       .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
       .groupBy(col("doc_id"), col("word")).agg(count(lit(1)).as("cnt"))
     counts
@@ -311,7 +311,7 @@ object TextOps {
       lpad((col("doc_id") % 10000).cast("string"), 4, "0"), lit(" re: "), col("text"))
     val email = "[a-z0-9._]+@[a-z.]+[a-z]"
     val phone = "\\+1-[0-9]{3}-[0-9]{4}"
-    Tables.documents(s, dir)
+    Tables.fanOut(Tables.documents(s, dir))
       .select(col("doc_id"), pii.as("pii"))
       .select(col("doc_id"),
         size(regexp_extract_all(col("pii"), lit(email), lit(0))).cast("long").as("n_emails"),
@@ -416,7 +416,7 @@ object TextOps {
       |ORDER BY cnt DESC, ngram
       |LIMIT 15""".stripMargin) { (s, dir) =>
     graft.functions.NGrams.register(s)
-    Tables.documents(s, dir)
+    Tables.fanOut(Tables.documents(s, dir))
       .selectExpr("ngrams(text, 3) AS ngram")
       .groupBy(col("ngram")).agg(count(lit(1)).as("cnt"))
       .orderBy(col("cnt").desc, col("ngram"))
@@ -453,7 +453,7 @@ object TextOps {
       |FROM scored WHERE rn <= 5
       |ORDER BY doc_id, rn""".stripMargin) { (s, dir) =>
     import org.apache.spark.sql.expressions.Window
-    val toks = Tables.documents(s, dir)
+    val toks = Tables.fanOut(Tables.documents(s, dir))
       .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
     val tf = toks.groupBy(col("doc_id"), col("word")).agg(count(lit(1)).as("tf"))
     val df = toks.distinct().groupBy(col("word")).agg(count(lit(1)).as("df"))
