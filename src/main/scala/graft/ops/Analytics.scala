@@ -1408,6 +1408,37 @@ object Analytics {
       .orderBy(col("n_name"))
   }
 
+  /** Co-purchase affinity: part pairs appearing in the same order, by
+    * order count — market-basket co-occurrence, the input to any
+    * recommender or complementary-product analysis.
+    *
+    * The self-join is keyed on l_orderkey, so per-key fanout is bounded
+    * by basket size (≤ 7 lines in TPC-H; baskets are small by nature
+    * everywhere), never corpus × corpus — pair volume is Σ C(basket, 2),
+    * linear in orders. DISTINCT collapses a part appearing twice in one
+    * order before counting, so n_orders counts orders, not line pairs.
+    * Top-k rides TakeOrderedAndProject. At 100 TB: one shuffle on
+    * orderkey, one on the pair key; a hot SKU pair is still one
+    * aggregation key (no skewed join side). */
+  val q101Copurchase: QueryDef = sql(
+    "q101_copurchase",
+    """SELECT part_a, part_b, COUNT(*) AS n_orders
+      |FROM (SELECT DISTINCT a.l_orderkey, a.l_partkey AS part_a, b.l_partkey AS part_b
+      |      FROM lineitem a JOIN lineitem b
+      |        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey)
+      |GROUP BY 1, 2
+      |ORDER BY n_orders DESC, part_a, part_b
+      |LIMIT 20""".stripMargin) { (s, dir) =>
+    val l = Tables.lineitem(s, dir).select(col("l_orderkey"), col("l_partkey"))
+    val a = l.select(col("l_orderkey"), col("l_partkey").as("part_a"))
+    val b = l.select(col("l_orderkey"), col("l_partkey").as("part_b"))
+    a.join(b, "l_orderkey").filter(col("part_a") < col("part_b"))
+      .distinct()
+      .groupBy(col("part_a"), col("part_b")).agg(count(lit(1)).as("n_orders"))
+      .orderBy(col("n_orders").desc, col("part_a"), col("part_b"))
+      .limit(20)
+  }
+
   val all: Seq[QueryDef] = Seq(
     q01PricingSummary, q02SelectiveFilter, q03ShippingPriority, q05LocalRevenue,
     q06SemiJoin, q07AntiJoin, q08RangeJoin, q09DistinctUsers, q10Rollup,
@@ -1421,5 +1452,5 @@ object Analytics {
     q82TimeRangeFrame, q83RecursiveCte, q84Variant, q86NullAwareAnti,
     q87CogroupStats, q88SqlUdf, q89ZorderKey, q90Scd2Upsert,
     q91ApproxPercentiles, q92Histogram, q93HllMerge, q94Winsorize,
-    q97FuzzyMatch, q98RevenueShare)
+    q97FuzzyMatch, q98RevenueShare, q101Copurchase)
 }

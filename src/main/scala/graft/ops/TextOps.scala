@@ -515,9 +515,30 @@ object TextOps {
     }
   }
 
+  /** Heavy hitters via the Misra-Gries frequent-items sketch
+    * ([[graft.functions.HeavyHitters]]): q22's exact top-k needs a
+    * corpus-wide (word → count) shuffle; the sketch streams every token
+    * through 64 bounded counters per partition and merges kilobyte
+    * buffers — the sketch face of exact word frequency, like q48/q93
+    * (HLL) for distinct and q91 for percentiles. Estimates are
+    * stream-order-dependent (inherent to MG), so the contract entry is
+    * rows-only; HeavyHittersSpec pins the three MG guarantees against
+    * q22's exact counts. */
+  val q102HeavyHitters: QueryDef = QueryDef.rowsOnly(
+    "q102_heavy_hitters") { (s, dir) =>
+    val mg = udaf(graft.functions.HeavyHitters,
+      org.apache.spark.sql.Encoders.STRING)
+    Tables.fanOut(Tables.documents(s, dir))
+      .select(explode(split(col("text"), " ")).as("word"))
+      .agg(mg(col("word")).as("sketch"))
+      .select(explode(col("sketch")).as(Seq("word", "est_count")))
+      .orderBy(col("est_count").desc, col("word"))
+      .limit(10)
+  }
+
   val all: Seq[QueryDef] = Seq(
     q21TextStats, q22WordFreq, q23BigramFreq, q24LangId, q25QualityScore,
     q26Fingerprint, q27TokenRegex, q62TrainSplit, q64TermFreqMap,
     q68StratifiedSample, q72Redaction, q74Chunking, q79CurationPipeline,
-    q80TrigramGenerator, q99Tfidf, q100ShardPacking)
+    q80TrigramGenerator, q99Tfidf, q100ShardPacking, q102HeavyHitters)
 }
