@@ -221,6 +221,20 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), "block offsets must broadcast:\n" + p)
   }
 
+  test("q101: co-purchase joins on orderkey and top-k is TakeOrderedAndProject") {
+    val p = planOf(Analytics.q101Copurchase.run(spark, sfDir))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("TakeOrderedAndProject"), "top-20 must not sort the full pair set:\n" + p)
+  }
+
+  test("q97: fuzzy match stays an equi-join with the fan-out exchange") {
+    val p = planOf(Analytics.q97FuzzyMatch.run(spark, sfDir))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    // the under-split stream side must be fanned out before pair enumeration
+    assert(p.contains("ROUND_ROBIN") || p.contains("RoundRobin") || p.contains("Exchange"),
+      "stream side must repartition for parallel pair enumeration:\n" + p)
+  }
+
   test("ref_schema_lint: the fused rule engine builds at most two broadcast exchanges") {
     val df = graft.ops.SchemaLint.report(spark)
     val p = planOf(df)
