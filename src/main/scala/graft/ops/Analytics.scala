@@ -1439,6 +1439,93 @@ object Analytics {
       .limit(20)
   }
 
+  /** Per-group z-score outlier detection: events whose value sits > 3σ
+    * above their event_type's mean — the data-quality / anomaly-
+    * surfacing staple (events.value is heavy-tailed; max z ≈ 6-8, so 3σ
+    * actually selects, unlike near-uniform order totals).
+    *
+    * Same exact-stats discipline as q59: values quantize to
+    * DECIMAL(12,2) first (the StreamingOps sum_value convention — raw
+    * double sums are partition-order-dependent and unverifiable), group
+    * sums accumulate in DECIMAL, convert to double through the string
+    * detour, and mean/σ derive from (n, Σx, Σx²) in the identical IEEE
+    * expression on both engines — so even the z > 3 boundary decides
+    * identically. The 5-row stats frame broadcasts back into the fact
+    * scan (the q94 bounds pattern): at 100 TB this is one aggregate plus
+    * one broadcast-joined filter pass, no sort, no window. */
+  val q103Outliers: QueryDef = sql(
+    "q103_outliers",
+    """WITH s AS (
+      |  SELECT event_type,
+      |    CAST(COUNT(*) AS DOUBLE) AS n,
+      |    CAST(CAST(SUM(CAST(value AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE) AS sx,
+      |    CAST(CAST(SUM(CAST(value AS DECIMAL(12,2)) * CAST(value AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE) AS sxx
+      |  FROM events GROUP BY 1)
+      |SELECT e.event_type, e.event_id,
+      |  CAST(CAST(e.value AS DECIMAL(12,2)) AS DOUBLE) AS value2,
+      |  (CAST(CAST(e.value AS DECIMAL(12,2)) AS DOUBLE) - s.sx / s.n)
+      |    / SQRT((s.n * s.sxx - s.sx * s.sx) / (s.n * (s.n - 1))) AS z_score
+      |FROM events e JOIN s USING (event_type)
+      |WHERE (CAST(CAST(e.value AS DECIMAL(12,2)) AS DOUBLE) - s.sx / s.n)
+      |    / SQRT((s.n * s.sxx - s.sx * s.sx) / (s.n * (s.n - 1))) > 3
+      |ORDER BY event_type, event_id""".stripMargin) { (s, dir) =>
+    val x = money(col("value"))
+    def dsumS(c: org.apache.spark.sql.Column) = sum(c).cast("string").cast("double")
+    val stats = Tables.events(s, dir)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).cast("double").as("n"),
+        dsumS(x).as("sx"), dsumS(x * x).as("sxx"))
+    val z = (money(col("value")).cast("double") - col("sx") / col("n")) /
+      sqrt((col("n") * col("sxx") - col("sx") * col("sx")) /
+        (col("n") * (col("n") - lit(1))))
+    Tables.events(s, dir)
+      .join(broadcast(stats), "event_type")
+      .filter(z > 3)
+      .select(col("event_type"), col("event_id"),
+        money(col("value")).cast("double").as("value2"), z.as("z_score"))
+      .orderBy(col("event_type"), col("event_id"))
+  }
+
+  /** Time-series gap filling (resampling): daily event counts per type
+    * with missing (type, day) combinations zero-filled over the observed
+    * span — without the scaffold, downstream rolling averages and charts
+    * silently skip empty days.
+    *
+    * The calendar × type scaffold is built from AGGREGATES (span is one
+    * row, the day sequence and type list are dimension-sized), so the
+    * cross join is two broadcast dims — never fact-sized. The fact side
+    * arrives pre-aggregated to (type, day) rows before the left join. At
+    * 100 TB: one hash agg over events plus dimension joins. */
+  val q104GapFill: QueryDef = sql(
+    "q104_gap_fill",
+    """WITH daily AS (
+      |  SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+      |         COUNT(*) AS n_events
+      |  FROM events GROUP BY 1, 2),
+      |span AS (SELECT MIN(day) AS d0, MAX(day) AS d1 FROM daily),
+      |days AS (SELECT CAST(unnest(generate_series(CAST(d0 AS TIMESTAMP),
+      |                    CAST(d1 AS TIMESTAMP), INTERVAL 1 DAY)) AS DATE) AS day
+      |         FROM span),
+      |types AS (SELECT DISTINCT event_type FROM daily)
+      |SELECT t.event_type AS event_type, d.day AS day,
+      |       COALESCE(dl.n_events, 0) AS n_events
+      |FROM days d CROSS JOIN types t
+      |LEFT JOIN daily dl ON dl.event_type = t.event_type AND dl.day = d.day
+      |ORDER BY t.event_type, d.day""".stripMargin) { (s, dir) =>
+    val daily = Tables.events(s, dir)
+      .select(col("event_type"), to_date(date_trunc("day", col("ts"))).as("day"))
+      .groupBy(col("event_type"), col("day")).agg(count(lit(1)).as("n_events"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val days = daily.agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+      .select(explode(expr("sequence(d0, d1)")).as("day"))
+    val types = daily.select(col("event_type")).distinct()
+    days.crossJoin(types)
+      .join(daily, Seq("event_type", "day"), "left")
+      .select(col("event_type"), col("day"),
+        coalesce(col("n_events"), lit(0L)).as("n_events"))
+      .orderBy(col("event_type"), col("day"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     q01PricingSummary, q02SelectiveFilter, q03ShippingPriority, q05LocalRevenue,
     q06SemiJoin, q07AntiJoin, q08RangeJoin, q09DistinctUsers, q10Rollup,
@@ -1452,5 +1539,5 @@ object Analytics {
     q82TimeRangeFrame, q83RecursiveCte, q84Variant, q86NullAwareAnti,
     q87CogroupStats, q88SqlUdf, q89ZorderKey, q90Scd2Upsert,
     q91ApproxPercentiles, q92Histogram, q93HllMerge, q94Winsorize,
-    q97FuzzyMatch, q98RevenueShare, q101Copurchase)
+    q97FuzzyMatch, q98RevenueShare, q101Copurchase, q103Outliers, q104GapFill)
 }

@@ -254,6 +254,27 @@ class ConsistencySpec extends SparkSpec {
     assert(inOrder.zip(inOrder.tail).forall { case (a, b) => a <= b })
   }
 
+  test("q104 gap-fill covers the full span grid and preserves totals") {
+    val rows = Analytics.q104GapFill.run(spark, sfDir).collect()
+    val types = rows.map(_.getAs[String]("event_type")).distinct
+    val days = rows.map(_.getAs[java.sql.Date]("day").toString).distinct
+    assert(rows.length == types.length * days.length,
+      "every (type, day) cell of the scaffold must appear exactly once")
+    val filled = rows.map(_.getAs[Long]("n_events")).sum
+    val total = Tables.events(spark, sfDir).count()
+    assert(filled == total, "zero-filling must not change the event total")
+    // (the sf0.001 fixture is dense — every cell occupied — so zero
+    // cells are not asserted; grid completeness + total preservation
+    // are the invariants that hold at every SF)
+  }
+
+  test("q103 outliers are exactly the >3-sigma tail of their type") {
+    val rows = Analytics.q103Outliers.run(spark, sfDir).collect()
+    assert(rows.forall(_.getAs[Double]("z_score") > 3.0))
+    // every flagged event must sit above its type's mean by construction
+    rows.foreach(r => assert(r.getAs[Double]("value2") > 0.0))
+  }
+
   test("q99 TF-IDF term counts agree with q64's term-frequency entries") {
     val tfidf = graft.ops.TextOps.q99Tfidf.run(spark, sfDir).collect()
     // q64 keeps only terms with count >= 3 (map_filter) — compare on that slice
