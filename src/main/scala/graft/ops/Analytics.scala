@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -1496,9 +1496,10 @@ object Analytics {
     * cross join is two broadcast dims — never fact-sized. The fact side
     * arrives pre-aggregated to (type, day) rows before the left join. At
     * 100 TB: one hash agg over events plus dimension joins. */
-  val q104GapFill: QueryDef = sql(
-    "q104_gap_fill",
-    """WITH daily AS (
+  /** SQL CTE scaffold ending in `filled(event_type, day, n_events)` —
+    * shared by q104 (the filled series) and q106 (rolling average). */
+  private val gapFillSql =
+    """daily AS (
       |  SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
       |         COUNT(*) AS n_events
       |  FROM events GROUP BY 1, 2),
@@ -1506,12 +1507,14 @@ object Analytics {
       |days AS (SELECT CAST(unnest(generate_series(CAST(d0 AS TIMESTAMP),
       |                    CAST(d1 AS TIMESTAMP), INTERVAL 1 DAY)) AS DATE) AS day
       |         FROM span),
-      |types AS (SELECT DISTINCT event_type FROM daily)
-      |SELECT t.event_type AS event_type, d.day AS day,
-      |       COALESCE(dl.n_events, 0) AS n_events
-      |FROM days d CROSS JOIN types t
-      |LEFT JOIN daily dl ON dl.event_type = t.event_type AND dl.day = d.day
-      |ORDER BY t.event_type, d.day""".stripMargin) { (s, dir) =>
+      |types AS (SELECT DISTINCT event_type FROM daily),
+      |filled AS (
+      |  SELECT t.event_type AS event_type, d.day AS day,
+      |         COALESCE(dl.n_events, 0) AS n_events
+      |  FROM days d CROSS JOIN types t
+      |  LEFT JOIN daily dl ON dl.event_type = t.event_type AND dl.day = d.day)""".stripMargin
+
+  private def gapFilled(s: SparkSession, dir: String): DataFrame = {
     val daily = Tables.events(s, dir)
       .select(col("event_type"), to_date(date_trunc("day", col("ts"))).as("day"))
       .groupBy(col("event_type"), col("day")).agg(count(lit(1)).as("n_events"))
@@ -1523,7 +1526,77 @@ object Analytics {
       .join(daily, Seq("event_type", "day"), "left")
       .select(col("event_type"), col("day"),
         coalesce(col("n_events"), lit(0L)).as("n_events"))
+  }
+
+  val q104GapFill: QueryDef = sql(
+    "q104_gap_fill",
+    s"""WITH $gapFillSql
+       |SELECT event_type, day, n_events FROM filled
+       |ORDER BY event_type, day""".stripMargin) { (s, dir) =>
+    gapFilled(s, dir).orderBy(col("event_type"), col("day"))
+  }
+
+  /** Trailing 7-day moving average per type over the GAP-FILLED series —
+    * the composition q104 exists for: on the sparse series the same
+    * window silently averages over present days only and overstates
+    * quiet periods. AVG of a bounded-int window is Σ/n with both
+    * operands integers, so the double division is identical IEEE in both
+    * engines. The window partitions by event_type — dense per-type
+    * series shard across the cluster; no global window anywhere. */
+  val q106RollingAverage: QueryDef = sql(
+    "q106_rolling_average",
+    s"""WITH $gapFillSql
+       |SELECT event_type, day, n_events,
+       |  AVG(n_events) OVER (PARTITION BY event_type ORDER BY day
+       |    ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS ma7
+       |FROM filled
+       |ORDER BY event_type, day""".stripMargin) { (s, dir) =>
+    val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+      .rowsBetween(-6, Window.currentRow)
+    gapFilled(s, dir)
+      .withColumn("ma7", avg(col("n_events")).over(w))
       .orderBy(col("event_type"), col("day"))
+  }
+
+  /** Item-item cosine similarity from co-purchase counts — the
+    * collaborative-filtering core on top of q101: parts as binary
+    * order-occurrence vectors, cosine(a,b) = n_ab / √(n_a·n_b). Every
+    * input is an exact integer count, so the one double expression is
+    * identical IEEE in both engines; exact score ties (equal count
+    * triples) break on the part keys. Same bounded self-join as q101
+    * plus two broadcast-able per-part occurrence joins; min-support
+    * n_ab ≥ 2 prunes noise pairs before ranking. */
+  val q105CopurchaseSimilarity: QueryDef = sql(
+    "q105_copurchase_similarity",
+    """WITH pairs AS (SELECT DISTINCT a.l_orderkey AS ok, a.l_partkey AS pa, b.l_partkey AS pb
+      |               FROM lineitem a JOIN lineitem b
+      |                 ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+      |pc AS (SELECT pa, pb, COUNT(*) AS n_ab FROM pairs GROUP BY 1, 2),
+      |occ AS (SELECT l_partkey, COUNT(DISTINCT l_orderkey) AS n FROM lineitem GROUP BY 1)
+      |SELECT pc.pa AS part_a, pc.pb AS part_b, pc.n_ab,
+      |  pc.n_ab / SQRT(CAST(oa.n AS DOUBLE) * CAST(ob.n AS DOUBLE)) AS cosine
+      |FROM pc
+      |JOIN occ oa ON oa.l_partkey = pc.pa
+      |JOIN occ ob ON ob.l_partkey = pc.pb
+      |WHERE pc.n_ab >= 2
+      |ORDER BY cosine DESC, part_a, part_b
+      |LIMIT 20""".stripMargin) { (s, dir) =>
+    val l = Tables.lineitem(s, dir).select(col("l_orderkey"), col("l_partkey"))
+    val a = l.select(col("l_orderkey"), col("l_partkey").as("part_a"))
+    val b = l.select(col("l_orderkey"), col("l_partkey").as("part_b"))
+    val pc = a.join(b, "l_orderkey").filter(col("part_a") < col("part_b"))
+      .distinct()
+      .groupBy(col("part_a"), col("part_b")).agg(count(lit(1)).as("n_ab"))
+      .filter(col("n_ab") >= 2)
+    val occ = l.groupBy(col("l_partkey"))
+      .agg(countDistinct(col("l_orderkey")).as("n"))
+    val cosine = col("n_ab") /
+      sqrt(col("na").cast("double") * col("nb").cast("double"))
+    pc.join(occ.select(col("l_partkey").as("part_a"), col("n").as("na")), "part_a")
+      .join(occ.select(col("l_partkey").as("part_b"), col("n").as("nb")), "part_b")
+      .select(col("part_a"), col("part_b"), col("n_ab"), cosine.as("cosine"))
+      .orderBy(col("cosine").desc, col("part_a"), col("part_b"))
+      .limit(20)
   }
 
   val all: Seq[QueryDef] = Seq(
@@ -1539,5 +1612,6 @@ object Analytics {
     q82TimeRangeFrame, q83RecursiveCte, q84Variant, q86NullAwareAnti,
     q87CogroupStats, q88SqlUdf, q89ZorderKey, q90Scd2Upsert,
     q91ApproxPercentiles, q92Histogram, q93HllMerge, q94Winsorize,
-    q97FuzzyMatch, q98RevenueShare, q101Copurchase, q103Outliers, q104GapFill)
+    q97FuzzyMatch, q98RevenueShare, q101Copurchase, q103Outliers, q104GapFill,
+    q105CopurchaseSimilarity, q106RollingAverage)
 }
