@@ -536,9 +536,45 @@ object TextOps {
       .limit(10)
   }
 
+  /** Quality-weighted deterministic sampling: each document survives
+    * with probability equal to its own q25 quality score — the
+    * curriculum-building sampler (upweight clean text, keep a trickle of
+    * everything) — decided by md5-hash fraction, not rand(): the sample
+    * is reproducible run-to-run, engine-to-engine, and JOIN-stable (the
+    * same doc always decides the same way), which is what makes it
+    * auditable and the oracle able to hash-match the SELECTED SET, not
+    * just its size. Pure per-row arithmetic — zero shuffles before the
+    * output sort; at 100 TB it is a scan-level filter like q68. */
+  val q107QualitySample: QueryDef = sql(
+    "q107_quality_sample",
+    """SELECT doc_id, lang, quality FROM (
+      |  SELECT doc_id, lang,
+      |    (CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks))
+      |      * (1.0 - CAST(len(list_filter(toks, x -> x = 'the' OR x = 'a')) AS DOUBLE) / len(toks))
+      |      * LEAST(1.0, CAST(len(toks) AS DOUBLE) / 50.0) AS quality,
+      |    CAST(('0x' || substr(md5('sample:' || CAST(doc_id AS VARCHAR)), 1, 4)) AS INT) / 65536.0 AS frac
+      |  FROM (SELECT doc_id, lang, string_split(text, ' ') AS toks FROM documents))
+      |WHERE frac < quality
+      |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    docsWithTokens(s, dir)
+      .withColumn("n_tokens", size(col("toks")))
+      .withColumn("n_stop", expr("size(filter(toks, x -> x = 'the' OR x = 'a'))"))
+      .withColumn("n_uniq", size(array_distinct(col("toks"))))
+      .withColumn("quality",
+        (col("n_uniq").cast("double") / col("n_tokens")) *
+          (lit(1.0) - col("n_stop").cast("double") / col("n_tokens")) *
+          least(lit(1.0), col("n_tokens").cast("double") / 50.0))
+      .withColumn("frac", expr(
+        "CAST(conv(substring(md5(concat('sample:', CAST(doc_id AS STRING))), 1, 4), 16, 10) AS INT) / 65536.0"))
+      .filter(col("frac") < col("quality"))
+      .select(col("doc_id"), col("lang"), col("quality"))
+      .orderBy(col("doc_id"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     q21TextStats, q22WordFreq, q23BigramFreq, q24LangId, q25QualityScore,
     q26Fingerprint, q27TokenRegex, q62TrainSplit, q64TermFreqMap,
     q68StratifiedSample, q72Redaction, q74Chunking, q79CurationPipeline,
-    q80TrigramGenerator, q99Tfidf, q100ShardPacking, q102HeavyHitters)
+    q80TrigramGenerator, q99Tfidf, q100ShardPacking, q102HeavyHitters,
+    q107QualitySample)
 }
