@@ -410,7 +410,108 @@ object Dedup {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
+  /** Incremental dedup: a NEW BATCH (docs with doc_id % 10 = 0 stand in
+    * for today's crawl) deduplicated against the EXISTING CORPUS (the
+    * rest) — the production ingestion shape, distinct from self-dedup:
+    * every batch doc gets a decision `exact_dup` (content hash already
+    * in corpus), `near_dup` (verified Jaccard > 0.7 against a corpus
+    * doc via LSH candidates), or `unique`, plus the matched corpus doc.
+    *
+    * Scale posture: the corpus side's signatures/bands are exactly what
+    * a production pipeline PERSISTS between runs (the q93 sketch-storage
+    * principle applied to dedup state) — then each ingest computes
+    * signatures for the batch only and candidate generation is a
+    * batch-bands × corpus-bands equi-join on bucket keys: cost scales
+    * with the BATCH, not the corpus. Exact matches are one hash
+    * semi-join. Nothing rescans or re-pairs the corpus against itself. */
+  val q108IncrementalDedup: QueryDef = sql(
+    "q108_incremental_dedup",
+    s"""WITH $shinglesSql,
+       |$signaturesSql,
+       |$bandsSql,
+       |candx AS (SELECT DISTINCT nb.doc_id AS batch_id, cb.doc_id AS corpus_id
+       |          FROM (SELECT * FROM bands WHERE doc_id % 10 = 0) nb
+       |          JOIN (SELECT * FROM bands WHERE doc_id % 10 <> 0) cb
+       |            ON nb.band = cb.band AND nb.bucket = cb.bucket),
+       |interx AS (SELECT c.batch_id, c.corpus_id, COUNT(*) AS n_common
+       |           FROM candx c
+       |           JOIN sh a ON a.doc_id = c.batch_id
+       |           JOIN sh b ON b.doc_id = c.corpus_id AND b.sh = a.sh
+       |           GROUP BY 1, 2),
+       |cnts AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+       |nearx AS (SELECT i.batch_id, MIN(i.corpus_id) AS match_id
+       |          FROM interx i
+       |          JOIN cnts ca ON ca.doc_id = i.batch_id
+       |          JOIN cnts cb ON cb.doc_id = i.corpus_id
+       |          WHERE CAST(i.n_common AS DOUBLE) / (ca.n + cb.n - i.n_common) > 0.7
+       |          GROUP BY 1),
+       |exactx AS (SELECT b.doc_id AS batch_id, MIN(c.doc_id) AS match_id
+       |           FROM documents b JOIN documents c
+       |             ON md5(b.text) = md5(c.text)
+       |            AND b.doc_id % 10 = 0 AND c.doc_id % 10 <> 0
+       |           GROUP BY 1)
+       |SELECT d.doc_id,
+       |  CASE WHEN e.match_id IS NOT NULL THEN 'exact_dup'
+       |       WHEN nr.match_id IS NOT NULL THEN 'near_dup'
+       |       ELSE 'unique' END AS status,
+       |  COALESCE(e.match_id, nr.match_id) AS match_id
+       |FROM documents d
+       |LEFT JOIN exactx e ON e.batch_id = d.doc_id
+       |LEFT JOIN nearx nr ON nr.batch_id = d.doc_id
+       |WHERE d.doc_id % 10 = 0
+       |ORDER BY d.doc_id""".stripMargin) { (s, dir) =>
+    import org.apache.spark.storage.StorageLevel
+    val isBatch = col("doc_id") % 10 === 0
+    val sh = shingles(s, dir).persist(StorageLevel.MEMORY_AND_DISK)
+    val bb = bands(signatures2(sh)).persist(StorageLevel.MEMORY_AND_DISK)
+    val candx = bb.filter(isBatch)
+      .select(col("doc_id").as("batch_id"), col("band"), col("bucket"))
+      .join(bb.filter(!isBatch)
+        .select(col("doc_id").as("corpus_id"), col("band"), col("bucket")),
+        Seq("band", "bucket"))
+      .select(col("batch_id"), col("corpus_id")).distinct()
+    val interx = candx
+      .join(sh.select(col("doc_id").as("batch_id"), col("sh")), "batch_id")
+      .join(sh.select(col("doc_id").as("corpus_id"), col("sh")), Seq("corpus_id", "sh"))
+      .groupBy(col("batch_id"), col("corpus_id")).agg(count(lit(1)).as("n_common"))
+    val cnts = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val jac = col("n_common").cast("double") / (col("na") + col("nb") - col("n_common"))
+    val nearx = interx
+      .join(cnts.select(col("doc_id").as("batch_id"), col("n").as("na")), "batch_id")
+      .join(cnts.select(col("doc_id").as("corpus_id"), col("n").as("nb")), "corpus_id")
+      .filter(jac > 0.7)
+      .groupBy(col("batch_id")).agg(min(col("corpus_id")).as("near_match"))
+    val docs = Tables.fanOut(Tables.documents(s, dir))
+      .select(col("doc_id"), md5(col("text")).as("h"))
+    val exactx = docs.filter(isBatch).select(col("doc_id").as("batch_id"), col("h"))
+      .join(docs.filter(!isBatch).select(col("doc_id").as("corpus_id"), col("h")), "h")
+      .groupBy(col("batch_id")).agg(min(col("corpus_id")).as("exact_match"))
+    docs.filter(isBatch).select(col("doc_id"))
+      .join(exactx.withColumnRenamed("batch_id", "doc_id"), Seq("doc_id"), "left")
+      .join(nearx.withColumnRenamed("batch_id", "doc_id"), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(col("exact_match").isNotNull, "exact_dup")
+          .when(col("near_match").isNotNull, "near_dup")
+          .otherwise("unique").as("status"),
+        coalesce(col("exact_match"), col("near_match")).as("match_id"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** [[signatures]] over an externally-supplied (already persisted)
+    * shingle relation — lets q108 share one shingle materialization
+    * across the signature, intersection, and count consumers. */
+  private def signatures2(sh: DataFrame): DataFrame = {
+    val withH = sh
+      .withColumn("ha", md5(concat(lit("a:"), col("sh"))))
+      .withColumn("hb", md5(concat(lit("b:"), col("sh"))))
+    val aggs = (0 until NumHashes).map { k =>
+      val (src, off) = if (k < 4) ("ha", k * 8 + 1) else ("hb", (k - 4) * 8 + 1)
+      min(expr(s"CAST(conv(substring($src, $off, 8), 16, 10) AS BIGINT)")).as(s"s$k")
+    }
+    withH.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
+  }
+
   val all: Seq[QueryDef] = Seq(
     q30DedupExact, q31MinhashLsh, q32NeardupVerified, q33Simhash, q34SimhashPairs,
-    q78SimhashHamming, q85DedupClusters)
+    q78SimhashHamming, q85DedupClusters, q108IncrementalDedup)
 }

@@ -254,6 +254,20 @@ class ConsistencySpec extends SparkSpec {
     assert(inOrder.zip(inOrder.tail).forall { case (a, b) => a <= b })
   }
 
+  test("q108 near-dup decisions appear in q32's verified pair set") {
+    val inc = Dedup.q108IncrementalDedup.run(spark, sfDir).collect()
+    assert(inc.nonEmpty && inc.forall(_.getAs[Long]("doc_id") % 10 == 0))
+    val vp = Dedup.q32NeardupVerified.run(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
+    inc.filter(_.getAs[String]("status") == "near_dup").foreach { r =>
+      val (d, m) = (r.getAs[Long]("doc_id"), r.getAs[Long]("match_id"))
+      assert(vp.contains((math.min(d, m), math.max(d, m))),
+        s"batch doc $d matched $m but the pair is not q32-verified")
+    }
+    inc.filter(_.getAs[String]("status") == "unique")
+      .foreach(r => assert(r.isNullAt(r.fieldIndex("match_id"))))
+  }
+
   test("q104 gap-fill covers the full span grid and preserves totals") {
     val rows = Analytics.q104GapFill.run(spark, sfDir).collect()
     val types = rows.map(_.getAs[String]("event_type")).distinct
