@@ -76,7 +76,8 @@ object ScaleSmoke {
       "q37_embedding_neardup", "q38_ann_bruteforce", "q39_ann_ivf",
       "q52_ann_lsh", "q61_ann_quantized",
       "q74_chunking", "q78_simhash_hamming", "q79_curation_pipeline",
-      "q85_dedup_clusters", "q99_tfidf", "q100_shard_packing")
+      "q85_dedup_clusters", "q99_tfidf", "q100_shard_packing",
+      "q107_quality_sample", "q108_incremental_dedup")
     println(s"== smoke mult=$mult docs=$nDocs vecs=$nVecs dir=$dir ==")
     targets.foreach { name =>
       // noop sink, same as Bench: a count() terminal would let Catalyst
