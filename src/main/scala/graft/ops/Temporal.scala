@@ -213,7 +213,40 @@ object Temporal {
       .orderBy(col("cohort"), col("day_offset"))
   }
 
+  /** Event-transition matrix: P(next event type | current type) from
+    * per-user ordered sequences — the Markov-chain view of behavioral
+    * data (what follows a click?). One partitioned LEAD window (per-user
+    * sequences shard across the cluster; the q41/q73 ordering key
+    * (ts, event_id) keeps duplicate timestamps deterministic), one pair
+    * aggregate over a 5×5 key space, and a broadcast-sized per-source
+    * total join. Probabilities are exact-integer ratios — identical IEEE
+    * division in both engines. */
+  val q109TransitionMatrix: QueryDef = sql(
+    "q109_transition_matrix",
+    """WITH seq AS (
+      |  SELECT event_type,
+      |    LEAD(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_type
+      |  FROM events),
+      |cnt AS (SELECT event_type, next_type, COUNT(*) AS n
+      |        FROM seq WHERE next_type IS NOT NULL GROUP BY 1, 2),
+      |tot AS (SELECT event_type, SUM(n) AS t FROM cnt GROUP BY 1)
+      |SELECT c.event_type, c.next_type, c.n,
+      |  CAST(c.n AS DOUBLE) / CAST(t.t AS DOUBLE) AS p
+      |FROM cnt c JOIN tot t USING (event_type)
+      |ORDER BY event_type, next_type""".stripMargin) { (s, dir) =>
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val cnt = Tables.events(s, dir)
+      .select(col("event_type"), lead(col("event_type"), 1).over(w).as("next_type"))
+      .filter(col("next_type").isNotNull)
+      .groupBy(col("event_type"), col("next_type")).agg(count(lit(1)).as("n"))
+    val tot = cnt.groupBy(col("event_type")).agg(sum(col("n")).as("t"))
+    cnt.join(broadcast(tot), "event_type")
+      .select(col("event_type"), col("next_type"), col("n"),
+        (col("n").cast("double") / col("t").cast("double")).as("p"))
+      .orderBy(col("event_type"), col("next_type"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     q46AsofJoin, q47Pivot, q55IntervalJoin, q63AsofNative, q81IntervalNative,
-    q95Funnel, q96RetentionCohorts)
+    q95Funnel, q96RetentionCohorts, q109TransitionMatrix)
 }

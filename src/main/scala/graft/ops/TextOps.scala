@@ -571,10 +571,48 @@ object TextOps {
       .orderBy(col("doc_id"))
   }
 
+  /** Contingency analysis: lang × source observed vs expected counts
+    * with per-cell chi-square contributions — the independence test
+    * behind "does corpus composition drift by source?". Observed cells,
+    * row totals, and column totals are three hash aggregates over exact
+    * integers; expected = rowTot·colTot/N and the contribution are one
+    * double expression evaluated identically in both engines (every
+    * input < 2⁵³, so the casts are exact). Emitting per-CELL rows — not
+    * a float SUM of contributions — keeps the result order-independent
+    * and hash-verifiable; the scalar statistic is a trivial ordered fold
+    * for the consumer. */
+  val q110Contingency: QueryDef = sql(
+    "q110_contingency",
+    """WITH o AS (SELECT lang, source, COUNT(*) AS obs FROM documents GROUP BY 1, 2),
+      |r AS (SELECT lang, SUM(obs) AS rt FROM o GROUP BY 1),
+      |c AS (SELECT source, SUM(obs) AS ct FROM o GROUP BY 1),
+      |n AS (SELECT SUM(obs) AS total FROM o)
+      |SELECT o.lang, o.source, o.obs,
+      |  CAST(r.rt AS DOUBLE) * CAST(c.ct AS DOUBLE) / CAST(n.total AS DOUBLE) AS expected,
+      |  (CAST(o.obs AS DOUBLE) - CAST(r.rt AS DOUBLE) * CAST(c.ct AS DOUBLE) / CAST(n.total AS DOUBLE))
+      |    * (CAST(o.obs AS DOUBLE) - CAST(r.rt AS DOUBLE) * CAST(c.ct AS DOUBLE) / CAST(n.total AS DOUBLE))
+      |    / (CAST(r.rt AS DOUBLE) * CAST(c.ct AS DOUBLE) / CAST(n.total AS DOUBLE)) AS chi2_contrib
+      |FROM o JOIN r USING (lang) JOIN c USING (source) CROSS JOIN n
+      |ORDER BY lang, source""".stripMargin) { (s, dir) =>
+    val o = Tables.documents(s, dir)
+      .groupBy(col("lang"), col("source")).agg(count(lit(1)).as("obs"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val r = o.groupBy(col("lang")).agg(sum(col("obs")).as("rt"))
+    val c = o.groupBy(col("source")).agg(sum(col("obs")).as("ct"))
+    val n = o.agg(sum(col("obs")).as("total"))
+    val e = col("rt").cast("double") * col("ct").cast("double") /
+      col("total").cast("double")
+    val dev = col("obs").cast("double") - e
+    o.join(broadcast(r), "lang").join(broadcast(c), "source").crossJoin(n)
+      .select(col("lang"), col("source"), col("obs"),
+        e.as("expected"), (dev * dev / e).as("chi2_contrib"))
+      .orderBy(col("lang"), col("source"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     q21TextStats, q22WordFreq, q23BigramFreq, q24LangId, q25QualityScore,
     q26Fingerprint, q27TokenRegex, q62TrainSplit, q64TermFreqMap,
     q68StratifiedSample, q72Redaction, q74Chunking, q79CurationPipeline,
     q80TrigramGenerator, q99Tfidf, q100ShardPacking, q102HeavyHitters,
-    q107QualitySample)
+    q107QualitySample, q110Contingency)
 }
