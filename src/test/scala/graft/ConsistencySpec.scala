@@ -254,6 +254,39 @@ class ConsistencySpec extends SparkSpec {
     assert(inOrder.zip(inOrder.tail).forall { case (a, b) => a <= b })
   }
 
+  test("q109 transition probabilities sum to 1 within each source type") {
+    val rows = graft.ops.Temporal.q109TransitionMatrix.run(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getAs[String]("event_type")).foreach { case (t, rs) =>
+      val total = rs.map(_.getAs[Double]("p")).sum
+      assert(math.abs(total - 1.0) < 1e-9, s"'$t' rows sum to $total")
+    }
+  }
+
+  test("q110 expected counts preserve the observed margins") {
+    val rows = graft.ops.TextOps.q110Contingency.run(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    // per-row expected sums equal per-row observed sums (margin identity)
+    rows.groupBy(_.getAs[String]("lang")).foreach { case (l, rs) =>
+      val obs = rs.map(_.getAs[Long]("obs")).sum.toDouble
+      val exp = rs.map(_.getAs[Double]("expected")).sum
+      // cells absent from a row (obs=0) are not emitted, so expected can
+      // undershoot the margin; it must never exceed it
+      assert(exp <= obs + 1e-6, s"lang '$l': expected $exp > observed $obs")
+    }
+    rows.foreach(r => assert(r.getAs[Double]("chi2_contrib") >= 0.0))
+  }
+
+  test("q105 cosine similarities are in (0, 1] and consistent with counts") {
+    val rows = Analytics.q105CopurchaseSimilarity.run(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val cos = r.getAs[Double]("cosine")
+      assert(cos > 0.0 && cos <= 1.0 + 1e-12, s"cosine out of range: $cos")
+      assert(r.getAs[Long]("n_ab") >= 2, "min-support must hold")
+    }
+  }
+
   test("q108 near-dup decisions appear in q32's verified pair set") {
     val inc = Dedup.q108IncrementalDedup.run(spark, sfDir).collect()
     assert(inc.nonEmpty && inc.forall(_.getAs[Long]("doc_id") % 10 == 0))
