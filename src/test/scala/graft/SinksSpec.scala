@@ -92,6 +92,26 @@ class SinksSpec extends SparkSpec {
     intercept[org.apache.spark.SparkException](failfast.collect())
   }
 
+  test("schema evolution: mergeSchema unions old and new parquet batches") {
+    // day-1 batch: two columns; day-2 batch adds a column — the standard
+    // append-only evolution a long-lived dataset accumulates
+    val dir = Files.createTempDirectory("graft-evolve").toString + "/t"
+    import spark.implicits._
+    Seq((1L, "a"), (2L, "b")).toDF("id", "name")
+      .write.mode("append").parquet(dir)
+    Seq((3L, "c", 9.5), (4L, "d", 7.25)).toDF("id", "name", "score")
+      .write.mode("append").parquet(dir)
+    val merged = spark.read.option("mergeSchema", "true").parquet(dir)
+    assert(merged.schema.fieldNames.toSet == Set("id", "name", "score"))
+    val rows = merged.orderBy("id").collect()
+    assert(rows.length == 4)
+    // old-batch rows surface the new column as null, not a read error
+    assert(rows(0).isNullAt(rows(0).fieldIndex("score")))
+    assert(rows(2).getDouble(rows(2).fieldIndex("score")) == 9.5)
+    // without mergeSchema the read still succeeds on the footer schema
+    assert(spark.read.parquet(dir).count() == 4)
+  }
+
   test("z-order layout: range-partitioned files have disjoint zkey ranges") {
     import graft.ops.Analytics
     val dir = Files.createTempDirectory("graft-zorder").toString + "/events"
