@@ -77,7 +77,7 @@ object ScaleSmoke {
       "q52_ann_lsh", "q61_ann_quantized",
       "q74_chunking", "q78_simhash_hamming", "q79_curation_pipeline",
       "q85_dedup_clusters", "q99_tfidf", "q100_shard_packing",
-      "q107_quality_sample", "q108_incremental_dedup")
+      "q107_quality_sample", "q108_incremental_dedup", "q111_simhash_wide")
     println(s"== smoke mult=$mult docs=$nDocs vecs=$nVecs dir=$dir ==")
     targets.foreach { name =>
       // noop sink, same as Bench: a count() terminal would let Catalyst

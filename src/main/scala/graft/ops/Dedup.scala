@@ -497,6 +497,79 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
+  /** Wide-signature SimHash — the production-width answer to the 16-bit
+    * saturation documented in SCALE.md: at 50k near-random docs the
+    * 16-bit signature pairs 2.75M docs by birthday collision alone
+    * (q78); a 60-bit signature makes accidental bit-agreement
+    * vanishingly rare, restoring linear candidate volume WITH THE SAME
+    * PLAN SHAPE — per-occurrence bit votes, one wide hash aggregate,
+    * pigeonhole part equi-joins (4 parts × 15 bits covers Hamming ≤ 3),
+    * map-side Hamming filter before the distinct.
+    *
+    * 60 bits (15 md5 nibbles), not 64: bit 63 would need 1L << 63 —
+    * signed-overflow territory where the engines' shift semantics
+    * diverge; 60 stays comfortably in positive BIGINT range in both.
+    * The tight Hamming radius targets STRONG near-dups (boilerplate
+    * edits); the 1-token-in-150 planted dups are minhash/Jaccard's job
+    * (q31/q32) — the two detectors are complementary, not redundant. */
+  val q111SimhashWide: QueryDef = {
+    val Bits = 60
+    val PartBits = 15 // 4 parts; ≤3 differing bits leave ≥1 part identical
+    def voteSql(p: Int) =
+      s"2 * ((strpos('0123456789abcdef', substr(hh, ${1 + p / 4}, 1)) - 1 >> ${3 - p % 4}) & 1) - 1"
+    val sumsSql = (0 until Bits).map(p => s"SUM(${voteSql(p)}) AS s$p").mkString(",\n      ")
+    val packSql = (0 until Bits).map(p => s"CASE WHEN s$p > 0 THEN (1::BIGINT << $p) ELSE 0 END")
+      .mkString(" + ")
+    val partsSql = (0 until Bits / PartBits).map(i =>
+      s"SELECT doc_id, sim, $i AS pidx, (sim >> ${i * PartBits}) & ${(1 << PartBits) - 1} AS pval FROM sig")
+      .mkString("\n  UNION ALL ")
+    sql(
+      "q111_simhash_wide",
+      s"""WITH h AS (SELECT doc_id, md5(word) AS hh
+         |           FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents)),
+         |votes AS (SELECT doc_id,
+         |      $sumsSql
+         |    FROM h GROUP BY doc_id),
+         |sig AS (SELECT doc_id, CAST($packSql AS BIGINT) AS sim FROM votes),
+         |parts AS (
+         |  $partsSql),
+         |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |                CAST(bit_count(xor(a.sim, b.sim)) AS INT) AS hamming
+         |         FROM parts a JOIN parts b
+         |           ON a.pidx = b.pidx AND a.pval = b.pval AND a.doc_id < b.doc_id
+         |         WHERE bit_count(xor(a.sim, b.sim)) <= 3)
+         |SELECT doc_a, doc_b, hamming FROM cand
+         |ORDER BY doc_a, doc_b""".stripMargin) { (s, dir) =>
+      val votes = Tables.fanOut(Tables.documents(s, dir))
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+        .select(col("doc_id"), md5(col("word")).as("hh"))
+        .select(col("doc_id") +: (0 until Bits).map { p =>
+          expr(s"2 * (shiftright(instr('0123456789abcdef', substr(hh, ${1 + p / 4}, 1)) - 1, ${3 - p % 4}) & 1) - 1")
+            .as(s"v$p")
+        }: _*)
+      val sig = votes.groupBy(col("doc_id"))
+        .agg(sum(col("v0")).as("s0"), (1 until Bits).map(p => sum(col(s"v$p")).as(s"s$p")): _*)
+        .select(col("doc_id"), expr(
+          (0 until Bits).map(p => s"IF(s$p > 0, ${1L << p}L, 0L)").mkString("CAST(", " + ", " AS BIGINT)"))
+          .as("sim"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val parts = sig.select(col("doc_id"), col("sim"),
+          explode(array((0 until Bits / PartBits).map { i =>
+            struct(lit(i).as("pidx"),
+              expr(s"shiftright(sim, ${i * PartBits}) & ${(1 << PartBits) - 1}").as("pval"))
+          }: _*)).as("p"))
+        .select(col("doc_id"), col("sim"), col("p.pidx").as("pidx"), col("p.pval").as("pval"))
+      val a = parts.select(col("doc_id").as("doc_a"), col("sim").as("sig_a"),
+        col("pidx"), col("pval"))
+      val b = parts.select(col("doc_id").as("doc_b"), col("sim").as("sig_b"),
+        col("pidx"), col("pval"))
+      val ham = expr("bit_count(sig_a ^ sig_b)")
+      a.join(b, Seq("pidx", "pval")).filter(col("doc_a") < col("doc_b") && ham <= 3)
+        .select(col("doc_a"), col("doc_b"), ham.cast("int").as("hamming")).distinct()
+        .orderBy(col("doc_a"), col("doc_b"))
+    }
+  }
+
   /** [[signatures]] over an externally-supplied (already persisted)
     * shingle relation — lets q108 share one shingle materialization
     * across the signature, intersection, and count consumers. */
@@ -513,5 +586,5 @@ object Dedup {
 
   val all: Seq[QueryDef] = Seq(
     q30DedupExact, q31MinhashLsh, q32NeardupVerified, q33Simhash, q34SimhashPairs,
-    q78SimhashHamming, q85DedupClusters, q108IncrementalDedup)
+    q78SimhashHamming, q85DedupClusters, q108IncrementalDedup, q111SimhashWide)
 }
