@@ -287,6 +287,34 @@ class ConsistencySpec extends SparkSpec {
     }
   }
 
+  test("q111 wide simhash: reported hammings match a pure-Scala reimplementation") {
+    // independent implementation of the 60-bit signature (md5 per word
+    // occurrence, per-bit votes, sign pack) — a cross-implementation
+    // oracle for the custom SQL arithmetic
+    def sig(text: String): Long = {
+      val votes = new Array[Int](60)
+      text.split(" ", -1).foreach { w =>
+        val hex = java.security.MessageDigest.getInstance("MD5")
+          .digest(w.getBytes("UTF-8")).map("%02x".format(_)).mkString
+        for (p <- 0 until 60) {
+          val nib = Integer.parseInt(hex.charAt(p / 4).toString, 16)
+          votes(p) += 2 * ((nib >> (3 - p % 4)) & 1) - 1
+        }
+      }
+      (0 until 60).map(p => if (votes(p) > 0) 1L << p else 0L).sum
+    }
+    val texts = Tables.documents(spark, sfDir).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text")).toMap
+    val wide = Dedup.q111SimhashWide.run(spark, sfDir).collect()
+    assert(wide.nonEmpty)
+    wide.foreach { r =>
+      val (a, b, h) = (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"), r.getAs[Int]("hamming"))
+      assert(a < b && h >= 0 && h <= 3)
+      val expected = java.lang.Long.bitCount(sig(texts(a)) ^ sig(texts(b)))
+      assert(h == expected, s"pair ($a,$b): engine hamming $h != reimpl $expected")
+    }
+  }
+
   test("q108 near-dup decisions appear in q32's verified pair set") {
     val inc = Dedup.q108IncrementalDedup.run(spark, sfDir).collect()
     assert(inc.nonEmpty && inc.forall(_.getAs[Long]("doc_id") % 10 == 0))

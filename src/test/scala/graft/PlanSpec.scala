@@ -235,6 +235,11 @@ class PlanSpec extends SparkSpec {
       "stream side must repartition for parallel pair enumeration:\n" + p)
   }
 
+  test("q111: wide-simhash candidates come from part equi-joins, never all-pairs") {
+    val p = planOf(Dedup.q111SimhashWide.run(spark, sfDir))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("q108: incremental dedup candidates come from band equi-joins, never all-pairs") {
     val p = planOf(Dedup.q108IncrementalDedup.run(spark, sfDir))
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
