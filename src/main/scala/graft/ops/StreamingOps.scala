@@ -311,6 +311,39 @@ object StreamingOps {
       .toDF("user_id", "n_events", "max_value")
   }
 
+  /** Streaming face of q109 (transition matrix): per-user state holds
+    * the LAST event type; each arriving event emits one
+    * (event_type, next_type) transition — `flatMapGroupsWithState` in
+    * append mode, state is one string per user (bounded by the user
+    * population, the same key space as every other per-user state op
+    * here). Within a micro-batch, rows sort by the batch ordering key
+    * (ts, event_id) so emitted transitions match the batch LEAD window
+    * exactly; across batches the file-replay source preserves time
+    * order (same single-source caveat as the session-window face).
+    * StreamingSpec proves the emitted transition multiset equals q109's
+    * counts on the same data. */
+  def transitionStream(s: SparkSession, events: DataFrame): DataFrame = {
+    import s.implicits._
+    val typed = events
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .as[(Long, java.sql.Timestamp, Long, String)]
+    typed.groupByKey(_._1)
+      .flatMapGroupsWithState[String, (String, String)](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout) {
+        case (_, rows, state: GroupState[String]) =>
+          val sorted = rows.toSeq.sortBy(r => (r._2.getTime, r._2.getNanos, r._3))
+          var prev = state.getOption
+          val out = Seq.newBuilder[(String, String)]
+          sorted.foreach { r =>
+            prev.foreach(p => out += ((p, r._4)))
+            prev = Some(r._4)
+          }
+          prev.foreach(state.update)
+          out.result().iterator
+      }
+      .toDF("event_type", "next_type")
+  }
+
   /** Custom state: running per-user event count + max value via
     * mapGroupsWithState (update mode). */
   def runningUserStats(s: SparkSession, events: DataFrame): DataFrame = {

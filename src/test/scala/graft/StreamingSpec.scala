@@ -293,6 +293,18 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("streaming transitions equal the batch transition-matrix counts") {
+    val got = runToMemory(
+      StreamingOps.transitionStream(spark, StreamingOps.eventsStream(spark, stageEvents())),
+      "t_transitions", "append")
+      .groupBy(col("event_type"), col("next_type")).count()
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val want = graft.ops.Temporal.q109TransitionMatrix.run(spark, sfDir)
+      .collect().map(r => (r.getAs[String]("event_type"),
+        r.getAs[String]("next_type")) -> r.getAs[Long]("n")).toMap
+    assert(got == want, "per-user stateful stream must reproduce the batch LEAD pairs")
+  }
+
   test("mapGroupsWithState running stats converge to batch counts") {
     val got = runToMemory(
       StreamingOps.runningUserStats(spark, StreamingOps.eventsStream(spark, stageEvents())),
