@@ -29,6 +29,47 @@ def table_rows(rel):
     rows = rel.fetchall()
     return cols, rows
 
+def type_class(t):
+    """Collapse a DuckDB type name to the class the driver's pandas hasher
+    distinguishes. HUGEINT/UHUGEINT become pandas `object` dtype (vs int64 for
+    BIGINT) and hash differently even for identical values; list/struct/map
+    cells are unhashable and crash the driver's sort — both are hard errors."""
+    t = str(t).upper()
+    if "[]" in t or t.startswith(("STRUCT", "LIST", "MAP", "UNION")):
+        return "NESTED"
+    if t in ("HUGEINT", "UHUGEINT"):
+        return "HUGEINT"
+    if t in ("TINYINT", "SMALLINT", "INTEGER", "BIGINT",
+             "UTINYINT", "USMALLINT", "UINTEGER", "UBIGINT"):
+        return "int"
+    if t in ("FLOAT", "REAL", "DOUBLE"):
+        return "float"
+    if t.startswith("DECIMAL"):
+        return "decimal"
+    if t.startswith(("TIMESTAMP", "DATETIME")):
+        return "timestamp"
+    if t == "DATE":
+        return "date"
+    if t in ("VARCHAR", "TEXT", "STRING", "BLOB"):
+        return "string"
+    if t == "BOOLEAN":
+        return "bool"
+    return t
+
+def type_errors(name, cols, types, side):
+    """Driver-killing output types: HUGEINT (dtype-sensitive hash) and any
+    nested type (pandas sort crash). Returns a list of error strings."""
+    errs = []
+    for c, t in zip(cols, types):
+        cls = type_class(t)
+        if cls == "HUGEINT":
+            errs.append(f"{side} column {c} is {t}: driver hashes it as pandas "
+                        f"object, not int64 — CAST(... AS BIGINT) in the oracle")
+        elif cls == "NESTED":
+            errs.append(f"{side} column {c} is {t}: unhashable in the driver's "
+                        f"pandas sorter — serialize (array_to_string/array_join)")
+    return errs
+
 def main():
     sf_dir, out_dir = sys.argv[1], sys.argv[2]
     con = duckdb.connect()
@@ -54,11 +95,20 @@ def main():
         if not files:
             print(f"FAIL {name}: no spark output"); n_fail += 1; continue
         try:
-            scols, srows = table_rows(con.sql(
-                f"SELECT * FROM read_parquet({files!r})"))
-            ocols, orows = table_rows(con.sql(sql_text))
+            s_rel = con.sql(f"SELECT * FROM read_parquet({files!r})")
+            o_rel = con.sql(sql_text)
+            stypes, otypes = list(s_rel.types), list(o_rel.types)
+            scols, srows = table_rows(s_rel)
+            ocols, orows = table_rows(o_rel)
         except Exception as e:
             print(f"FAIL {name}: {e}"); n_fail += 1; continue
+        # driver-killing types on either face (oracle HUGEINT, nested columns)
+        terrs = (type_errors(name, ocols, otypes, "oracle")
+                 + type_errors(name, scols, stypes, "spark"))
+        if terrs:
+            for e in terrs:
+                print(f"FAIL {name}: {e}")
+            n_fail += 1; continue
         # driver sorts columns by name before hashing
         s_idx = sorted(range(len(scols)), key=lambda i: scols[i])
         o_idx = sorted(range(len(ocols)), key=lambda i: ocols[i])
@@ -66,6 +116,14 @@ def main():
         o_names = [ocols[i] for i in o_idx]
         if s_names != o_names:
             print(f"FAIL {name}: columns {s_names} vs {o_names}"); n_fail += 1; continue
+        # dtype-class drift between the faces (int vs float vs string …)
+        # surfaces as a silent pandas-hash mismatch driver-side
+        s_cls = [type_class(stypes[i]) for i in s_idx]
+        o_cls = [type_class(otypes[i]) for i in o_idx]
+        cls_drift = [(n_, a, b) for n_, a, b in zip(s_names, s_cls, o_cls) if a != b]
+        if cls_drift:
+            print(f"FAIL {name}: type-class drift spark-vs-oracle: {cls_drift}")
+            n_fail += 1; continue
         s_tab = [tuple(canon(r[i]) for i in s_idx) for r in srows]
         o_tab = [tuple(canon(r[i]) for i in o_idx) for r in orows]
         if len(s_tab) != len(o_tab):

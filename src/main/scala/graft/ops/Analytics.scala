@@ -368,7 +368,7 @@ object Analytics {
     "q84_variant",
     """SELECT event_type,
       |  COUNT(*) AS n,
-      |  SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS sum_k,
+      |  CAST(SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
       |  MAX(CAST(json_extract(props, '$.k') AS BIGINT)) AS max_k
       |FROM events
       |GROUP BY event_type
@@ -1034,8 +1034,8 @@ object Analytics {
       |    quantile_cont(l_extendedprice, 0.95) AS p95
       |  FROM lineitem GROUP BY 1)
       |SELECT l.l_returnflag, b.p05, b.p95,
-      |  SUM(CASE WHEN l.l_extendedprice < b.p05 THEN 1 ELSE 0 END) AS n_below,
-      |  SUM(CASE WHEN l.l_extendedprice > b.p95 THEN 1 ELSE 0 END) AS n_above,
+      |  CAST(SUM(CASE WHEN l.l_extendedprice < b.p05 THEN 1 ELSE 0 END) AS BIGINT) AS n_below,
+      |  CAST(SUM(CASE WHEN l.l_extendedprice > b.p95 THEN 1 ELSE 0 END) AS BIGINT) AS n_above,
       |  ((CAST(SUM(CASE WHEN l.l_extendedprice >= b.p05 AND l.l_extendedprice <= b.p95
       |              THEN CAST(l.l_extendedprice AS DECIMAL(12,2))
       |              ELSE CAST(0 AS DECIMAL(12,2)) END) AS DOUBLE)
@@ -1317,17 +1317,15 @@ object Analytics {
     * aggregation — no window, no second shuffle; DuckDB's
     * `list(x ORDER BY ...)` states the same relation. Per-user sequences
     * are bounded by user activity, not corpus size, so rows stay
-    * executor-sized at 100 TB. */
-  val q73EventSequences: QueryDef = sql(
-    "q73_event_sequences",
-    """SELECT user_id,
-      |  COUNT(*) AS n_events,
-      |  MIN(ts) AS first_ts,
-      |  MAX(ts) AS last_ts,
-      |  list(event_type ORDER BY ts, event_id) AS seq
-      |FROM events
-      |GROUP BY user_id
-      |ORDER BY user_id""".stripMargin) { (s, dir) =>
+    * executor-sized at 100 TB.
+    *
+    * The contract face serializes the sequence with `array_join(seq, ' ')`
+    * (DuckDB `array_to_string`): the driver's pandas hasher cannot sort or
+    * hash ndarray cells (r2's "unhashable type" crash), and the
+    * space-joined string carries identical information since event types
+    * are space-free tokens. [[typedEventSequences]] keeps the typed
+    * ARRAY<STRING> face, pinned by a spec. */
+  def typedEventSequences(s: SparkSession, dir: String): DataFrame =
     Tables.events(s, dir)
       .groupBy(col("user_id"))
       .agg(
@@ -1336,6 +1334,19 @@ object Analytics {
         max(col("ts")).as("last_ts"),
         expr("transform(array_sort(collect_list(struct(ts, event_id, event_type))), x -> x.event_type)")
           .as("seq"))
+
+  val q73EventSequences: QueryDef = sql(
+    "q73_event_sequences",
+    """SELECT user_id,
+      |  COUNT(*) AS n_events,
+      |  MIN(ts) AS first_ts,
+      |  MAX(ts) AS last_ts,
+      |  array_to_string(list(event_type ORDER BY ts, event_id), ' ') AS seq
+      |FROM events
+      |GROUP BY user_id
+      |ORDER BY user_id""".stripMargin) { (s, dir) =>
+    typedEventSequences(s, dir)
+      .withColumn("seq", array_join(col("seq"), " "))
       .orderBy(col("user_id"))
   }
 

@@ -487,8 +487,8 @@ object TextOps {
       "q100_shard_packing",
       s"""WITH t AS (SELECT doc_id, len(string_split(text, ' ')) AS n_tokens FROM documents),
          |packed AS (SELECT doc_id, n_tokens,
-         |    COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
-         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS offset_tokens
+         |    CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS offset_tokens
          |  FROM t)
          |SELECT doc_id, n_tokens, offset_tokens,
          |  CAST(offset_tokens // $ShardBudget AS BIGINT) AS shard_id

@@ -99,4 +99,21 @@ class AnalyticsSpec extends SparkSpec {
     assert(nullKeyed > 0, "fixture must contain urgent orders")
     assert(leftAntiTotal == notInTotal + nullKeyed)
   }
+
+  test("q73: typed sequence face is a real ARRAY<STRING>, and the contract " +
+    "face is its space-join") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types.{ArrayType, StringType}
+    val typed = Analytics.typedEventSequences(spark, sfDir)
+    assert(typed.schema("seq").dataType == ArrayType(StringType, containsNull = false) ||
+      typed.schema("seq").dataType == ArrayType(StringType, containsNull = true))
+    val viaTyped = typed.select(col("user_id"), array_join(col("seq"), " ").as("seq"))
+      .orderBy(col("user_id")).collect().map(r => (r.getLong(0), r.getString(1)))
+    val contract = Analytics.q73EventSequences.run(spark, sfDir)
+      .select(col("user_id"), col("seq")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    assert(viaTyped.sameElements(contract))
+    // sequences are genuinely multi-element, not degenerate singletons
+    assert(typed.filter(size(col("seq")) > 1).count() > 0)
+  }
 }
