@@ -9,14 +9,26 @@ import java.nio.file.{Files, Paths}
   * Catalyst cannot prune away expression-heavy projections the way it can
   * under a count-only terminal — the timing covers the real work.
   *
-  * The result JSON is printed to stdout AND written to a file
-  * (`SPARK_GRAFT_BENCH_OUT`, default `bench_out.json`) so the driver can
-  * parse it even when an sbt logger decorates stdout lines.
+  * Noise control: every query runs TWICE and the reported time is the min
+  * of the two runs. Single-shot numbers on a shared machine swing 5-10x
+  * (r2's q18 measured 10.5 s under load vs ~1.0 s isolated); min-of-two
+  * keeps the figure within ~1.5x of an isolated probe while still timing
+  * a cold-cache plan (caches are cleared between runs, so the second run
+  * repeats the full scan+shuffle, it only dodges scheduler/load spikes).
+  *
+  * Output contract (the driver tails decorated sbt stdout, which can
+  * truncate a long line mid-JSON — r2's BENCH had "parsed": null):
+  *   1. the full JSON line goes to stderr first, then stdout;
+  *   2. the LAST stdout line is a compact variant (total + top-10 slowest
+  *      queries, well under tail-truncation size) with the same schema;
+  *   3. the full JSON is also written to `SPARK_GRAFT_BENCH_OUT`
+  *      (default `bench_out.json`).
   */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "2").toInt.max(1)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -29,24 +41,34 @@ object Bench {
     // touched or cached here)
     spark.range(1L << 20).selectExpr("count(distinct id % 1000)").collect()
     val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch { case e: Throwable => System.err.println(s"[bench] $name failed: ${e.getMessage}") }
-      val dt = (System.nanoTime() - t0) / 1e9
-      // queries that persist multi-consumer intermediates (dedup family)
-      // must not leave them pinned for later queries — both for memory
-      // and so every timing is self-contained regardless of run order
-      spark.catalog.clearCache()
-      name -> dt
+      val times = (1 to runs).map { _ =>
+        val t0 = System.nanoTime()
+        try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        catch { case e: Throwable => System.err.println(s"[bench] $name failed: ${e.getMessage}") }
+        // queries that persist multi-consumer intermediates (dedup family)
+        // must not leave them pinned — for memory, for self-contained
+        // timings regardless of run order, and so run 2 re-does the I/O
+        spark.catalog.clearCache()
+        (System.nanoTime() - t0) / 1e9
+      }
+      name -> times.min
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
+    def queriesJson(qs: Iterable[(String, Double)]): String =
+      qs.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":${queriesJson(results)},"sf":"$sfDir"}"""
+    val top10 = results.toSeq.sortBy(-_._2).take(10)
+    val compact = s"""{"metric":"total","value":$total,"unit":"sec","queries":${queriesJson(top10)},"sf":"$sfDir","n_queries":${results.size},"runs_per_query":$runs}"""
+    System.err.println(json)
+    System.err.flush()
     println(json)
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
     try Files.writeString(Paths.get(out), json + "\n")
     catch { case e: Throwable => System.err.println(s"[bench] could not write $out: ${e.getMessage}") }
     spark.stop()
+    // last stdout line before sbt's [success] footer — short enough to
+    // survive any tail truncation the driver applies
+    println(compact)
+    System.out.flush()
   }
 }

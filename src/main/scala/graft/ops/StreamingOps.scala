@@ -344,6 +344,31 @@ object StreamingOps {
       .toDF("event_type", "next_type")
   }
 
+  /** Streaming face of q108 (incremental dedup): NEW document files
+    * arrive as a file-source stream; each micro-batch is decided against
+    * the PERSISTED corpus state via `foreachBatch` — the corpus
+    * shingles/bands/counts/hashes are built ONCE outside the stream and
+    * reused by every trigger, so per-trigger cost scales with that
+    * trigger's file, exactly the production ingest loop. Decisions are
+    * per-doc and independent (batch docs never dedupe against each
+    * other, matching q108's batch semantics), so any file split of the
+    * same docs yields the same decision multiset — StreamingSpec asserts
+    * equality with the batch face. */
+  def incrementalDedupStream(s: SparkSession, stagedDir: String,
+      corpus: Dedup.CorpusDedupState)(
+      onBatch: (Long, DataFrame) => Unit): org.apache.spark.sql.streaming.StreamingQuery = {
+    val schema = "doc_id LONG, text STRING, lang STRING, source STRING, n_chars LONG"
+    s.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(stagedDir)
+      .writeStream
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        onBatch(id, Dedup.dedupeBatchAgainstCorpus(batch, corpus))
+      }
+      .start()
+  }
+
   /** Custom state: running per-user event count + max value via
     * mapGroupsWithState (update mode). */
   def runningUserStats(s: SparkSession, events: DataFrame): DataFrame = {

@@ -272,6 +272,44 @@ class StreamingSpec extends SparkSpec {
       "restart from the checkpoint must process ONLY the new file — no reprocessing")
   }
 
+  test("streaming incremental dedup equals q108's batch decisions on the same docs") {
+    import scala.collection.concurrent.TrieMap
+    // corpus state built ONCE (what production persists between ingests)
+    val docs = Tables.documents(spark, sfDir)
+    val corpus = graft.ops.Dedup.buildCorpusState(docs.filter(col("doc_id") % 10 =!= 0))
+    // the q108 batch docs arrive as THREE separate files → three
+    // micro-batches against the same corpus state
+    val srcDir = Files.createTempDirectory("graft-dedup-src")
+    val batchDocs = docs.filter(col("doc_id") % 10 === 0)
+    def stage(k: Long, name: String): Unit = {
+      val tmp = Files.createTempDirectory("graft-dedup-stage").toString
+      batchDocs.filter(col("doc_id") % 30 === k * 10)
+        .coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(_.getName.endsWith(".parquet")).get.toPath
+      Files.copy(part, srcDir.resolve(name), StandardCopyOption.REPLACE_EXISTING)
+    }
+    stage(0, "a.parquet"); stage(1, "b.parquet"); stage(2, "c.parquet")
+    val perBatch = TrieMap.empty[Long, Array[(Long, String, Option[Long])]]
+    val q = StreamingOps.incrementalDedupStream(spark, srcDir.toString, corpus) {
+      (id, decisions) =>
+        perBatch(id) = decisions.collect().map(r =>
+          (r.getLong(0), r.getString(1),
+            if (r.isNullAt(2)) None else Some(r.getLong(2))))
+    }
+    val terminated = q.awaitTermination(180000)
+    if (!terminated) q.stop()
+    assert(terminated, "incremental dedup stream did not finish")
+    assert(perBatch.size > 1, "multiple micro-batches must have run")
+    val got = perBatch.values.flatten.toSet
+    val want = graft.ops.Dedup.q108IncrementalDedup.run(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getString(1),
+        if (r.isNullAt(2)) None else Some(r.getLong(2)))).toSet
+    assert(got == want, "stream decisions must equal the batch face")
+    // the decisions are non-trivial: all three statuses appear
+    assert(got.map(_._2).intersect(Set("exact_dup", "near_dup", "unique")).nonEmpty)
+  }
+
   test("transformWithState running stats converge to batch counts (RocksDB)") {
     // transformWithState requires the RocksDB state store provider
     val key = "spark.sql.streaming.stateStore.providerClass"
