@@ -1,0 +1,120 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.Decimals._
+import graft.sources.Tables
+
+/** Physical-layout operators — the two storage-side levers a 100 TB
+  * deployment lives on, each proved as a first-class contract entry:
+  *
+  *   - **Bucketing** (q112): both fact tables pre-hashed into the same
+  *     bucket count on the join key, so the fact-fact join reads
+  *     co-located buckets and plans with ZERO shuffle exchanges — the
+  *     repeated-join shuffle amortized to one layout write (PlanSpec pins
+  *     the exchange-free join subtree).
+  *   - **Partition pruning** (q113): data laid out as `lang=<v>/`
+  *     hive-style partitions; a predicate on the partition column prunes
+  *     directories at PLANNING time — the scan never opens non-matching
+  *     files (PlanSpec pins PartitionFilters + the pruned in-memory
+  *     partition count).
+  *
+  * Both queries' RESULTS are layout-independent, so the DuckDB oracles
+  * state the same relation over the original un-bucketed/un-partitioned
+  * parquet — the hash match proves layout changes answers not at all
+  * while the plan specs prove it changes the EXECUTION the way 100 TB
+  * needs. Layout writes happen once per (session, fixture dir) and are
+  * reused — exactly the production amortization story.
+  */
+object Layout {
+  import QueryDef.sql
+
+  private def tag(dir: String): String =
+    java.lang.Integer.toHexString(dir.hashCode & 0x7fffffff)
+
+  /** Write lineitem+orders bucketed and sorted on the join key (once per
+    * session × fixture dir) and hand back readers over the bucketed
+    * tables. 8 buckets ~ local-parallelism scale; on a cluster the count
+    * would track executor count × a small factor. */
+  def bucketedPair(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val li = s"li_bucketed_${tag(dir)}"
+    val o = s"o_bucketed_${tag(dir)}"
+    def write(name: String, df: => DataFrame, key: String): Unit =
+      if (!s.catalog.tableExists(name)) {
+        // a previous JVM's in-memory catalog is gone but its warehouse
+        // directory survives — clear the stale location or saveAsTable
+        // refuses with LOCATION_ALREADY_EXISTS
+        val loc = new org.apache.hadoop.fs.Path(
+          s.conf.get("spark.sql.warehouse.dir") + s"/$name")
+        val fs = loc.getFileSystem(s.sessionState.newHadoopConf())
+        if (fs.exists(loc)) fs.delete(loc, true)
+        df.write.mode("overwrite").bucketBy(8, key).sortBy(key).saveAsTable(name)
+      }
+    write(li, Tables.lineitem(s, dir)
+      .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount")), "l_orderkey")
+    write(o, Tables.orders(s, dir)
+      .select(col("o_orderkey"), col("o_orderpriority")), "o_orderkey")
+    (s.table(li), s.table(o))
+  }
+
+  /** The exchange-free join subtree over the bucketed pair — exposed so
+    * PlanSpec can assert `Exchange` never appears in it. */
+  def bucketedJoin(s: SparkSession, dir: String): DataFrame = {
+    val (li, o) = bucketedPair(s, dir)
+    li.join(o, col("l_orderkey") === col("o_orderkey"))
+  }
+
+  /** Fact-fact revenue rollup over the bucketed layout: the join itself
+    * shuffles nothing (both sides arrive hash-distributed on the key);
+    * the only exchange in the whole plan is the final tiny-cardinality
+    * aggregation. */
+  val q112BucketedJoin: QueryDef = sql(
+    "q112_bucketed_join",
+    """SELECT o.o_orderpriority,
+      |  COUNT(*) AS n_lines,
+      |  CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l.l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue
+      |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+      |GROUP BY 1
+      |ORDER BY 1""".stripMargin) { (s, dir) =>
+    bucketedJoin(s, dir)
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_lines"),
+        dsum(money(col("l_extendedprice")) * (lit(1).cast("decimal(3,2)") - rate(col("l_discount"))))
+          .as("revenue"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  /** Write documents hive-partitioned by `lang` (once per session × dir)
+    * and return the directory. */
+  def partitionedDocsDir(s: SparkSession, dir: String): String = {
+    val out = s"${System.getProperty("java.io.tmpdir")}/graft_docs_by_lang_${tag(dir)}"
+    if (!new java.io.File(s"$out/_SUCCESS").exists()) {
+      Tables.documents(s, dir).write.mode("overwrite").partitionBy("lang").parquet(out)
+    }
+    out
+  }
+
+  /** Per-source profile of one language, scanned off the lang-partitioned
+    * layout: the `lang = 'en'` predicate is a PartitionFilter — pruning
+    * happens against directory names during planning, and files of other
+    * languages are never opened (at 100 TB: the difference between
+    * scanning one partition and scanning the corpus). Oracle runs on the
+    * original unpartitioned parquet — identical answers. */
+  val q113PartitionPruning: QueryDef = sql(
+    "q113_partition_pruning",
+    """SELECT source, COUNT(*) AS n_docs,
+      |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+      |FROM documents
+      |WHERE lang = 'en'
+      |GROUP BY 1
+      |ORDER BY 1""".stripMargin) { (s, dir) =>
+    s.read.parquet(partitionedDocsDir(s, dir))
+      .filter(col("lang") === "en")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+      .orderBy(col("source"))
+  }
+
+  val all: Seq[QueryDef] = Seq(q112BucketedJoin, q113PartitionPruning)
+}

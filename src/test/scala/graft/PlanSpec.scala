@@ -2,6 +2,7 @@ package graft
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.functions.col
 
 import graft.ops.{Analytics, Dedup, Similarity, Temporal}
 
@@ -251,5 +252,37 @@ class PlanSpec extends SparkSpec {
     val broadcasts = "BroadcastExchange".r.findAllIn(p).length
     assert(broadcasts <= 2, s"one pass = idx + fk markers only, got $broadcasts:\n$p")
     assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p)
+  }
+
+  test("q112: the bucketed fact-fact join subtree contains ZERO exchanges") {
+    // the whole point of the layout: both sides arrive hash-distributed
+    // on the join key, so the join is shuffle-free
+    val saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force SMJ path
+    try {
+      val join = graft.ops.Layout.bucketedJoin(spark, sfDir)
+      val p = planOf(join)
+      assert(p.contains("SortMergeJoin"), p)
+      assert(!p.contains("Exchange"), s"bucketed join must not shuffle:\n$p")
+      assert(p.contains("Bucketed: true"), p)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+  }
+
+  test("q113: the lang predicate is a planning-time PartitionFilter, " +
+    "and non-matching partitions are never read") {
+    val df = spark.read.parquet(graft.ops.Layout.partitionedDocsDir(spark, sfDir))
+    val pruned = df.filter(col("lang") === "en")
+    val s = scans(pruned)
+    assert(s.contains("PartitionFilters") && s.contains("lang"), s)
+    // pruning is visible in the scanned-partition count, not just the plan
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val scanned = pruned.queryExecution.executedPlan.collectLeaves().collectFirst {
+      case f: FileSourceScanExec => f.selectedPartitions.partitionCount
+    }.get
+    val total = df.queryExecution.executedPlan.collectLeaves().collectFirst {
+      case f: FileSourceScanExec => f.selectedPartitions.partitionCount
+    }.get
+    assert(scanned == 1 && total > 1,
+      s"expected exactly the lang=en partition of $total, scanned $scanned")
   }
 }
