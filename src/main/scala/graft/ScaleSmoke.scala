@@ -92,6 +92,21 @@ object ScaleSmoke {
       println(f"$name%-24s $dt%8.2f s  ($rows rows)")
       spark.catalog.clearCache()
     }
+
+    // adversarial-diameter connected components: ONE chain of n nodes —
+    // min-label propagation's worst case (rounds = diameter = n); the
+    // large-star/small-star contraction must collapse it in O(log n)
+    // alternations. This is the graph shape (long runs of incremental
+    // near-dup edits) that motivates the star fallback at 100 TB.
+    val n = nDocs / 10
+    val chain = spark.range(n - 1).select(col("id").as("doc_a"), (col("id") + 1).as("doc_b"))
+    val nodes = spark.range(n).select(col("id").as("doc_id"))
+    val t0 = System.nanoTime()
+    val cc = graft.ops.Dedup.connectedComponentsStar(nodes, chain)
+    val nClusters = cc.select("cluster_id").distinct().count()
+    val dt = (System.nanoTime() - t0) / 1e9
+    println(f"star_cc_chain(n=$n%d) $dt%8.2f s  ($nClusters%d clusters)")
+    assert(nClusters == 1, s"chain must collapse to one cluster, got $nClusters")
     spark.stop()
   }
 }

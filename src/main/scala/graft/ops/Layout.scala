@@ -116,5 +116,30 @@ object Layout {
       .orderBy(col("source"))
   }
 
-  val all: Seq[QueryDef] = Seq(q112BucketedJoin, q113PartitionPruning)
+  /** Salted skew-join in the contract: the fact join runs through
+    * [[graft.functions.SkewJoin.saltedJoin]] — probe side salted
+    * deterministically from a secondary column, build side replicated
+    * saltFactor times, shuffle keyed on (orderkey, salt) so one hot key
+    * spreads over saltFactor reducers. The oracle is the PLAIN join:
+    * hash equality proves salting changes partitioning and nothing else
+    * (SkewJoinSpec pins the (key, salt) shuffle and the AQE runtime
+    * skew-split alternative). */
+  val q114SaltedJoin: QueryDef = sql(
+    "q114_salted_join",
+    """SELECT o.o_orderpriority, COUNT(*) AS n_lines,
+      |  CAST(SUM(CAST(l.l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty
+      |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+      |GROUP BY 1
+      |ORDER BY 1""".stripMargin) { (s, dir) =>
+    graft.functions.SkewJoin.saltedJoin(
+        Tables.lineitem(s, dir),
+        Tables.orders(s, dir).select(col("o_orderkey"), col("o_orderpriority")),
+        "l_orderkey", "o_orderkey",
+        saltSource = col("l_linenumber"), saltFactor = 8)
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_lines"), dsum(qty(col("l_quantity"))).as("sum_qty"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  val all: Seq[QueryDef] = Seq(q112BucketedJoin, q113PartitionPruning, q114SaltedJoin)
 }
