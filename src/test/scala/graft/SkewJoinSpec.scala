@@ -59,4 +59,60 @@ class SkewJoinSpec extends SparkSpec {
     } finally prev.foreach { case (k, vOpt) =>
       vOpt.fold(s.conf.unset(k))(v => s.conf.set(k, v)) }
   }
+
+  test("AQE switches a shuffle join to broadcast at runtime when the built " +
+    "side turns out small (runtime re-plan, the 100 TB safety net)") {
+    val s = spark
+    // static planner must NOT broadcast (size stats say 'big'); only the
+    // RUNTIME shuffle statistics reveal the filtered side is tiny
+    val confs = Seq(
+      "spark.sql.adaptive.enabled" -> "true",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "10m")
+    val prev = confs.map { case (k, _) =>
+      k -> scala.util.Try(s.conf.get(k)).toOption.filter(_ != null) }
+    try {
+      confs.foreach { case (k, v) => s.conf.set(k, v) }
+      val small = Tables.orders(s, sfDir)
+        .filter(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_orderkey"), col("o_custkey"))
+      val j = Tables.lineitem(s, sfDir).select(col("l_orderkey"), col("l_quantity"))
+        .join(small, col("l_orderkey") === col("o_orderkey"))
+      j.collect() // finalize the adaptive plan
+      val plan = j.queryExecution.executedPlan.toString
+      assert(plan.contains("isFinalPlan=true"), plan)
+      assert(plan.contains("BroadcastHashJoin"),
+        s"AQE should have re-planned SMJ -> BHJ from runtime sizes:\n$plan")
+    } finally prev.foreach { case (k, vOpt) =>
+      vOpt.fold(s.conf.unset(k))(v => s.conf.set(k, v)) }
+  }
+
+  test("dynamic partition pruning: a selective dim filter prunes the " +
+    "partitioned fact scan at runtime") {
+    val s = spark
+    // fact = documents partitioned by lang (the q113 layout); dim = a
+    // one-row relation selecting a single lang through a non-partition
+    // predicate, so static pruning cannot apply
+    val factDir = graft.ops.Layout.partitionedDocsDir(s, sfDir)
+    val fact = s.read.parquet(factDir)
+    import s.implicits._
+    // the dim must be FILE-backed: on a LocalRelation the filter constant-
+    // folds away before the PartitionPruning rule looks for a selective
+    // predicate, and no DPP subquery is inserted
+    val dimDir = java.nio.file.Files.createTempDirectory("graft-dpp-dim").toString
+    Seq(("en", "keep"), ("de", "drop"), ("es", "drop"), ("fr", "drop"))
+      .toDF("lang_key", "action").write.mode("overwrite").parquet(dimDir)
+    val dim = s.read.parquet(dimDir).filter(col("action") === "keep")
+    val saved = scala.util.Try(s.conf.get("spark.sql.optimizer.dynamicPartitionPruning.enabled")).toOption
+    try {
+      s.conf.set("spark.sql.optimizer.dynamicPartitionPruning.enabled", "true")
+      val j = fact.join(dim, col("lang") === col("lang_key"))
+      val plan = j.queryExecution.executedPlan.toString
+      assert(plan.toLowerCase.contains("dynamicpruning"),
+        s"fact scan should carry a dynamic pruning subquery:\n$plan")
+      // and the pruned result is exactly the en partition
+      assert(j.count() == fact.filter(col("lang") === "en").count())
+    } finally saved.fold(s.conf.unset("spark.sql.optimizer.dynamicPartitionPruning.enabled"))(
+      v => s.conf.set("spark.sql.optimizer.dynamicPartitionPruning.enabled", v))
+  }
 }
