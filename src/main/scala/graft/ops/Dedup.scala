@@ -246,18 +246,31 @@ object Dedup {
     * `cluster_id` plus the component `cluster_size`. Exposed for property
     * testing (q85 wires in the verified near-dup pairs).
     *
-    * Strategy: min-label propagation first — rounds are bounded by the
-    * largest component's DIAMETER, which for near-dup graphs is shallow,
-    * and each round is one join + one agg. If the graph defeats the round
-    * cap (a long chain of incremental edits), it does NOT silently return
-    * unconverged labels (r2 advice): it logs loudly and switches to the
-    * large-star/small-star contraction ([[connectedComponentsStar]]),
-    * whose round count is logarithmic in component SIZE regardless of
-    * diameter — the production algorithm at 100 TB. */
+    * Strategy, sized to the EDGE COUNT (measured at sf0.1: the
+    * distributed loop's ~0.4 s/round fixed cost dominated q85 while the
+    * label frame held a few hundred rows):
+    *   1. Edge sets within broadcast budget (≤ [[localEdgeThreshold]],
+    *      ~16 MB of longs — the same size class Spark collects for a
+    *      broadcast join build) are solved by one driver-side union-find
+    *      pass: exact, O(E α(E)), no per-round job overhead. Near-dup
+    *      pair graphs of a DEDUPLICATED corpus are tiny relative to the
+    *      corpus, so production mostly lands here too.
+    *   2. Above the threshold: min-label propagation — rounds bounded by
+    *      the largest component's DIAMETER (shallow for near-dup
+    *      graphs), one join + one agg per round.
+    *   3. If the graph defeats the round cap (a long chain of
+    *      incremental edits), it does NOT silently return unconverged
+    *      labels (r2 advice): it logs loudly and switches to
+    *      large-star/small-star ([[connectedComponentsStar]]), whose
+    *      round count is logarithmic in component SIZE regardless of
+    *      diameter. */
   def connectedComponents(nodes: DataFrame, pairs0: DataFrame,
-                          propagationRounds: Int = 20): DataFrame = {
+                          propagationRounds: Int = 20,
+                          localEdgeThreshold: Long = 1L << 20): DataFrame = {
     import org.apache.spark.storage.StorageLevel
     val pairs = pairs0.persist(StorageLevel.MEMORY_AND_DISK)
+    if (pairs.count() <= localEdgeThreshold)
+      return finishLabels(nodes, unionFindLabels(pairs))
     val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
       .persist(StorageLevel.MEMORY_AND_DISK)
@@ -288,13 +301,7 @@ object Dedup {
         "switching to large-star/small-star contraction")
       labels = starLabels(pairs)
     }
-    val full = nodes
-      .join(labels, Seq("doc_id"), "left")
-      .select(col("doc_id"), coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    val sizes = full.groupBy(col("cluster_id")).agg(count(lit(1)).as("cluster_size"))
-    full.join(sizes, "cluster_id")
-      .select(col("doc_id"), col("cluster_id"), col("cluster_size"))
+    finishLabels(nodes, labels)
   }
 
   /** Large-star/small-star alternating contraction (Kiveris et al.,
@@ -303,9 +310,40 @@ object Dedup {
     * unlike label propagation. Same output contract as
     * [[connectedComponents]]. */
   def connectedComponentsStar(nodes: DataFrame, pairs0: DataFrame,
-                              maxRounds: Int = 60): DataFrame = {
+                              maxRounds: Int = 60): DataFrame =
+    finishLabels(nodes, starLabels(pairs0, maxRounds))
+
+  /** Broadcast-budget path: collect the (bounded) edge list and label
+    * components with one union-find pass on the driver — the same
+    * size-gated collect a broadcast join build performs, exchanged for
+    * zero per-round distributed jobs. */
+  private def unionFindLabels(pairs: DataFrame): DataFrame = {
+    val s = pairs.sparkSession
+    import s.implicits._
+    val edges = pairs.select(col("doc_a").cast("long"), col("doc_b").cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      parent.getOrElseUpdate(x, x)
+      var r = x
+      while (parent(r) != r) r = parent(r)
+      var c = x
+      while (parent(c) != r) { val n = parent(c); parent(c) = r; c = n }
+      r
+    }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    // canonical label = component minimum (find after all unions; roots
+    // were always merged min-ward so find(x) IS the minimum)
+    parent.keys.toSeq.map(x => (x, find(x))).toDF("doc_id", "cluster_id")
+  }
+
+  /** Extend edge-touching labels to the full node set and attach
+    * component sizes — shared tail of all three strategies. */
+  private def finishLabels(nodes: DataFrame, labels: DataFrame): DataFrame = {
     import org.apache.spark.storage.StorageLevel
-    val labels = starLabels(pairs0, maxRounds)
     val full = nodes
       .join(labels, Seq("doc_id"), "left")
       .select(col("doc_id"), coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"))

@@ -41,7 +41,7 @@ class ConnectedComponentsSpec extends SparkSpec {
   private def labelsOf(df: DataFrame): Map[Long, Long] =
     df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
 
-  test("propagation, star, and union-find agree on random graphs") {
+  test("driver union-find, propagation, star, and the oracle agree on random graphs") {
     val rnd = new scala.util.Random(42)
     for (trial <- 1 to 5) {
       val n = 50 + rnd.nextInt(100)
@@ -49,10 +49,15 @@ class ConnectedComponentsSpec extends SparkSpec {
       val pairs = Seq.fill(n / 2)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
         .filter(p => p._1 != p._2)
       val expect = unionFind(nodes, pairs)
-      val prop = labelsOf(Dedup.connectedComponents(nodesDf(nodes), pairsDf(pairs))
+      // default: edge count under the broadcast budget → driver union-find
+      val local = labelsOf(Dedup.connectedComponents(nodesDf(nodes), pairsDf(pairs))
         .select("doc_id", "cluster_id"))
+      // threshold 0 forces the distributed propagation path
+      val prop = labelsOf(Dedup.connectedComponents(nodesDf(nodes), pairsDf(pairs),
+        localEdgeThreshold = 0).select("doc_id", "cluster_id"))
       val star = labelsOf(Dedup.connectedComponentsStar(nodesDf(nodes), pairsDf(pairs))
         .select("doc_id", "cluster_id"))
+      assert(local == expect, s"driver union-find disagrees with oracle (trial $trial)")
       assert(prop == expect, s"propagation disagrees with union-find (trial $trial)")
       assert(star == expect, s"star disagrees with union-find (trial $trial)")
     }
@@ -70,9 +75,10 @@ class ConnectedComponentsSpec extends SparkSpec {
     "unconverged labels when the diameter beats the propagation cap") {
     val nodes = (0L until 120L).toSeq
     val chain = nodes.sliding(2).map(s => (s(0), s(1))).toSeq
-    // cap of 3 rounds cannot propagate across a 120-node chain
+    // threshold 0 forces the distributed path; cap of 3 rounds cannot
+    // propagate across a 120-node chain
     val got = labelsOf(Dedup.connectedComponents(nodesDf(nodes), pairsDf(chain),
-      propagationRounds = 3).select("doc_id", "cluster_id"))
+      propagationRounds = 3, localEdgeThreshold = 0).select("doc_id", "cluster_id"))
     assert(got.values.toSet == Set(0L), "fallback must deliver the true fixpoint")
   }
 
