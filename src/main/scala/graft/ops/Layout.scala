@@ -117,13 +117,17 @@ object Layout {
   }
 
   /** Salted skew-join in the contract: the fact join runs through
-    * [[graft.functions.SkewJoin.saltedJoin]] — probe side salted
-    * deterministically from a secondary column, build side replicated
-    * saltFactor times, shuffle keyed on (orderkey, salt) so one hot key
-    * spreads over saltFactor reducers. The oracle is the PLAIN join:
-    * hash equality proves salting changes partitioning and nothing else
-    * (SkewJoinSpec pins the (key, salt) shuffle and the AQE runtime
-    * skew-split alternative). */
+    * [[graft.functions.SkewJoin.saltedJoin]] with the top-5 orderkeys
+    * DECLARED hot (an exact frequency probe — the production pattern for
+    * known-hot tenant/default keys). Only those keys' probe rows are
+    * salted (hash of a secondary column) and only their build rows
+    * replicated; every cold key flows through at the fixed salt 0 with
+    * no replication, so the extra shuffle volume is proportional to the
+    * skew, not to the build side. The oracle is the PLAIN join: hash
+    * equality proves salting changes partitioning and nothing else
+    * (SkewJoinSpec pins the (key, salt) shuffle, the no-cold-replication
+    * invariant, sampling-based detection, and the AQE runtime skew-split
+    * alternative). */
   val q114SaltedJoin: QueryDef = sql(
     "q114_salted_join",
     """SELECT o.o_orderpriority, COUNT(*) AS n_lines,
@@ -131,11 +135,16 @@ object Layout {
       |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
       |GROUP BY 1
       |ORDER BY 1""".stripMargin) { (s, dir) =>
+    val li = Tables.lineitem(s, dir)
+    val declaredHot = li.groupBy(col("l_orderkey")).count()
+      .orderBy(col("count").desc, col("l_orderkey"))
+      .limit(5).collect().map(_.get(0)).toSeq
     graft.functions.SkewJoin.saltedJoin(
-        Tables.lineitem(s, dir),
+        li,
         Tables.orders(s, dir).select(col("o_orderkey"), col("o_orderpriority")),
         "l_orderkey", "o_orderkey",
-        saltSource = col("l_linenumber"), saltFactor = 8)
+        saltSource = col("l_linenumber"), saltFactor = 8,
+        hotKeys = Some(declaredHot))
       .groupBy(col("o_orderpriority"))
       .agg(count(lit(1)).as("n_lines"), dsum(qty(col("l_quantity"))).as("sum_qty"))
       .orderBy(col("o_orderpriority"))

@@ -7,16 +7,61 @@ import graft.sources.Tables
 
 class SkewJoinSpec extends SparkSpec {
 
-  test("salted join returns exactly the rows of the plain join") {
+  private def someHotKeys(n: Int): Seq[Any] =
+    Tables.lineitem(spark, sfDir).groupBy(col("l_orderkey")).count()
+      .orderBy(col("count").desc, col("l_orderkey"))
+      .limit(n).collect().map(_.get(0)).toSeq
+
+  test("salted join with declared hot keys returns exactly the rows of the plain join") {
     val l = Tables.lineitem(spark, sfDir)
     val o = Tables.orders(spark, sfDir).select(col("o_orderkey"), col("o_custkey"))
     val plain = l.join(o, l("l_orderkey") === o("o_orderkey"))
       .select(col("l_orderkey"), col("l_linenumber"), col("o_custkey"))
     val salted = SkewJoin.saltedJoin(l, o, "l_orderkey", "o_orderkey",
-        saltSource = col("l_linenumber"), saltFactor = 8)
+        saltSource = col("l_linenumber"), saltFactor = 8,
+        hotKeys = Some(someHotKeys(5)))
       .select(col("l_orderkey"), col("l_linenumber"), col("o_custkey"))
     assert(salted.count() == plain.count())
     assert(salted.except(plain).isEmpty && plain.except(salted).isEmpty)
+  }
+
+  test("salted join with auto-detected hot keys equals the plain join on synthetic skew") {
+    val s = spark
+    import s.implicits._
+    // 90% of rows share key 0 → detection must flag it; the rest are uniform
+    val probe = s.range(0, 50000).select(
+      when(col("id") % 10 < 9, lit(0L)).otherwise(pmod(col("id"), lit(500))).as("k"),
+      col("id").as("v"))
+    val build = s.range(0, 500).select(col("id").as("k2"), (col("id") * 2).as("w"))
+    val detected = SkewJoin.detectHotKeys(probe, "k", sampleFraction = 0.1)
+    assert(detected.contains(0L), s"key 0 carries 90% of rows and must detect hot: $detected")
+    assert(detected.size <= 5, s"uniform keys must not detect hot: $detected")
+    val plain = probe.join(build, col("k") === col("k2"))
+    val salted = SkewJoin.saltedJoin(probe, build, "k", "k2",
+      saltSource = col("v"), saltFactor = 8)
+    assert(salted.count() == plain.count())
+    assert(salted.select("k", "v", "w").except(plain.select("k", "v", "w")).isEmpty)
+  }
+
+  test("detection finds no hot keys on uniform data and the plan degrades to the plain join") {
+    val l = Tables.lineitem(spark, sfDir)
+    val o = Tables.orders(spark, sfDir).select(col("o_orderkey"), col("o_orderpriority"))
+    // TPC-H lineitem has ≤7 lines per order — nothing dominates a reducer
+    assert(SkewJoin.detectHotKeys(l, "l_orderkey", sampleFraction = 0.1).isEmpty)
+    val plan = SkewJoin.saltedJoin(l, o, "l_orderkey", "o_orderkey",
+      saltSource = col("l_linenumber")).queryExecution.executedPlan.toString
+    assert(!plan.contains("__salt"), s"no hot keys → no salt machinery in the plan:\n$plan")
+  }
+
+  test("cold keys are NOT replicated: build-side blowup is saltFactor x hot rows only") {
+    val s = spark
+    val build = s.range(0, 1000).select(col("id").as("k2"), (col("id") * 3).as("w"))
+    val rep = SkewJoin.replicatedBuildSide(build, "k2", hot = Seq(0L, 7L), saltFactor = 8)
+    // 2 hot keys x 8 salts + 998 cold keys x 1 salt
+    assert(rep.count() == 2 * 8 + 998)
+    assert(rep.filter(col("k2") === 0L).count() == 8)
+    assert(rep.filter(col("k2") === 1L).count() == 1, "cold key must appear exactly once")
+    assert(rep.filter(col("k2") === 1L).select("__salt").head().getInt(0) == 0)
   }
 
   test("salted join shuffles on (key, salt)") {
@@ -27,7 +72,8 @@ class SkewJoinSpec extends SparkSpec {
     try {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
       val plan = SkewJoin.saltedJoin(l, o, "l_orderkey", "o_orderkey",
-        saltSource = col("l_linenumber"), saltFactor = 8)
+        saltSource = col("l_linenumber"), saltFactor = 8,
+        hotKeys = Some(someHotKeys(3)))
         .queryExecution.executedPlan.toString
       assert(plan.contains("__salt"), s"salt must be part of the join keys:\n$plan")
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
