@@ -30,5 +30,9 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 32 executor threads shuffling concurrently on an 8g heap GC-thrash
+  // (measured: sf0.1 bench 88s at 8g vs 77s at 32g, heavy queries 2-5x
+  // inflated); the box has 128 GiB — size the single-JVM "cluster" like
+  // the executors it stands in for.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "32g")}",
 )

@@ -364,7 +364,10 @@ object StreamingOps {
       .writeStream
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, id: Long) =>
-        onBatch(id, Dedup.dedupeBatchAgainstCorpus(batch, corpus))
+        // unpersist the per-trigger shingle cache once the consumer is
+        // done — a long-lived stream must not accumulate cached blocks
+        val (decisions, bsh) = Dedup.dedupeBatchWithHandle(batch, corpus)
+        try onBatch(id, decisions) finally bsh.unpersist()
       }
       .start()
   }
