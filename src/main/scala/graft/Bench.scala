@@ -54,15 +54,22 @@ object Bench {
       name -> times.min
     }
     def queriesJson(qs: Iterable[(String, Double)]): String =
-      qs.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
+      // Locale.ROOT: the default-locale interpolator writes "1,234" under
+      // comma-decimal locales, which is invalid JSON
+      qs.map { case (k, v) =>
+        "\"" + k + "\":" + String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+      }.mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":${queriesJson(results)},"sf":"$sfDir"}"""
+    val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
+    // bench_rev: timing methodology version (3 = min-of-two runs + q78
+    // corpus slice; 4 = 32g default heap) — cross-round deltas are only
+    // comparable at equal bench_rev
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":${queriesJson(results)},"sf":"$sfDir","bench_rev":4,"runs_per_query":$runs}"""
     val top10 = results.toSeq.sortBy(-_._2).take(10)
-    val compact = s"""{"metric":"total","value":$total,"unit":"sec","queries":${queriesJson(top10)},"sf":"$sfDir","n_queries":${results.size},"runs_per_query":$runs}"""
+    val compact = s"""{"metric":"total","value":$total,"unit":"sec","queries":${queriesJson(top10)},"sf":"$sfDir","n_queries":${results.size},"runs_per_query":$runs,"bench_rev":4,"full_out":"$out"}"""
     System.err.println(json)
     System.err.flush()
     println(json)
-    val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
     try Files.writeString(Paths.get(out), json + "\n")
     catch { case e: Throwable => System.err.println(s"[bench] could not write $out: ${e.getMessage}") }
     spark.stop()

@@ -321,7 +321,14 @@ object Dedup {
     val s = pairs.sparkSession
     import s.implicits._
     val edges = pairs.select(col("doc_a").cast("long"), col("doc_b").cast("long"))
-      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .collect().map { r =>
+        // getLong on a null reads 0 — a null/non-castable id would silently
+        // merge unrelated nodes into doc 0's component; fail loudly instead
+        // (the distributed paths handle such ids via plain join semantics)
+        require(!r.isNullAt(0) && !r.isNullAt(1),
+          "connectedComponents: edge with null or non-numeric doc id")
+        (r.getLong(0), r.getLong(1))
+      }
     val parent = scala.collection.mutable.Map.empty[Long, Long]
     def find(x: Long): Long = {
       parent.getOrElseUpdate(x, x)
