@@ -167,6 +167,8 @@ object SchemaLintMain {
       case "--jdbc" :: url :: db :: rest =>
         (Catalog.fromJdbc(spark, url, db, rest.headOption.getOrElse("mysql")), db)
       case "--parquet" :: dir :: db :: Nil => (Catalog.fromParquet(spark, dir), db)
+      case "--reflect" :: url :: db :: rest => // dialect-free DatabaseMetaData path
+        (Catalog.fromReflection(spark, url, schemaPattern = rest.headOption), db)
       case "--env" :: rest => // the reference's own flow: DB_URL from env/.env (app.py:8-22,123)
         val url = dbUrlFromEnv()
         val db = databaseNameFromUrl(url)

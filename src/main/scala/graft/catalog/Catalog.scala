@@ -105,6 +105,75 @@ object Catalog {
     normalize(Catalog(jdbc(columnsSql), jdbc(indexColsSql), jdbc(fkColsSql)))
   }
 
+  /** Catalog via JDBC `DatabaseMetaData` reflection — the engine-neutral
+    * twin of the reference's SQLAlchemy `MetaData.reflect`
+    * (`app.py:28`) + per-table `get_indexes`/`get_foreign_keys`
+    * (`app.py:32-33`): works against ANY JDBC backend with no dialect
+    * SQL, through the standard metadata API (getTables / getColumns /
+    * getPrimaryKeys / getIndexInfo / getImportedKeys). Reflection runs
+    * on the Spark driver: catalog relations describe schemas, not data —
+    * tiny by construction (§1.3) — and land as broadcast-able local
+    * relations. JdbcCatalogSpec drives this against a REAL schema
+    * (tables, PKs, FKs, unique indexes) in in-JVM Derby, so the rule
+    * engine is proven over an actual engine's system catalog. */
+  def fromReflection(
+      spark: SparkSession, url: String,
+      schemaPattern: Option[String] = None,
+      driver: Option[String] = None): Catalog = {
+    driver.foreach(Class.forName)
+    val conn = java.sql.DriverManager.getConnection(url)
+    try {
+      val md = conn.getMetaData
+      def drain[A](rs: java.sql.ResultSet)(f: java.sql.ResultSet => A): Seq[A] =
+        try Iterator.continually(rs).takeWhile(_.next()).map(f).toVector
+        finally rs.close()
+      val tables = drain(md.getTables(null, schemaPattern.orNull, "%", Array("TABLE"))) {
+        r => (r.getString("TABLE_SCHEM"), r.getString("TABLE_NAME"))
+      }.sortBy(_._2)
+      val cols = Vector.newBuilder[ColumnMeta]
+      val idxCols = Vector.newBuilder[IndexCol]
+      val fkCols = Vector.newBuilder[FkCol]
+      tables.zipWithIndex.foreach { case ((schem, t), i) =>
+        val tableSeq = i + 1 // dense, table-name order — matches Dialects
+        val pk = drain(md.getPrimaryKeys(null, schem, t))(_.getString("COLUMN_NAME")).toSet
+        // (indexName, unique) -> columns in ordinal order; statistics rows
+        // carry a null INDEX_NAME and are skipped
+        val indexes = drain(md.getIndexInfo(null, schem, t, false, false)) { r =>
+          (Option(r.getString("INDEX_NAME")), !r.getBoolean("NON_UNIQUE"),
+            r.getShort("ORDINAL_POSITION").toInt, r.getString("COLUMN_NAME"))
+        }.collect { case (Some(n), u, o, c) => (n, u, o, c) }
+          .groupBy { case (n, u, _, _) => (n, u) }
+          .map { case ((n, u), rows) =>
+            (n, u, rows.sortBy(_._3).map(_._4)) }.toSeq
+        // SQLAlchemy's get_indexes omits the index backing the PK; the
+        // portable equivalent of that filter is "unique index over
+        // exactly the PK columns"
+        val nonPkIndexes = indexes.filterNot { case (_, u, cs) =>
+          u && cs.toSet == pk && pk.nonEmpty }
+        val uniqueCols = nonPkIndexes.collect {
+          case (_, true, Seq(c)) => c }.toSet // single-column unique index
+        nonPkIndexes.foreach { case (n, _, cs) =>
+          cs.foreach(c => idxCols += IndexCol(t, n, c)) }
+        drain(md.getImportedKeys(null, schem, t)) { r =>
+          FkCol(t, r.getString("FK_NAME"), r.getString("FKCOLUMN_NAME"),
+            r.getShort("KEY_SEQ").toInt, r.getString("PKTABLE_NAME"))
+        }.foreach(fkCols += _)
+        drain(md.getColumns(null, schem, t, "%")) { r =>
+          val tpe = r.getString("TYPE_NAME").toUpperCase
+          val size = r.getInt("COLUMN_SIZE")
+          // `type.length` exists only for character types (app.py:43)
+          val len = if (tpe.contains("CHAR") || tpe == "CLOB" || tpe == "TEXT")
+            Some(size).filter(_ > 0) else None
+          val name = r.getString("COLUMN_NAME")
+          ColumnMeta(t, tableSeq, name, r.getInt("ORDINAL_POSITION"), tpe, len,
+            r.getString("IS_NULLABLE") == "YES", uniqueCols.contains(name),
+            pk.contains(name))
+        }.foreach(cols += _)
+      }
+      fromRows(spark, cols.result(), idxCols.result(), fkCols.result())
+    } finally conn.close()
+  }
+
   /** Live-RDBMS catalog over JDBC, replacing the reference's N+1 access
     * pattern (one reflect + 2 round-trips per table, `app.py:28,32-33`)
     * with three bulk `information_schema` scans — SQL per backend in

@@ -73,6 +73,63 @@ class JdbcCatalogSpec extends SparkSpec {
     assert(viaJdbc.length == 18)
   }
 
+  test("DatabaseMetaData reflection of a REAL Derby schema feeds the rule engine " +
+    "(the reference's MetaData.reflect, against an actual system catalog)") {
+    val url2 = "jdbc:derby:memory:graftreflect;create=true"
+    val conn = DriverManager.getConnection(url2)
+    try {
+      val st = conn.createStatement()
+      def tryDrop(t: String): Unit =
+        try st.execute(s"DROP TABLE $t") catch { case _: Exception => () }
+      tryDrop("orders"); tryDrop("users")
+      st.execute("""CREATE TABLE users (
+        id INT NOT NULL PRIMARY KEY,
+        email VARCHAR(255),
+        bio VARCHAR(1000))""")
+      st.execute("CREATE UNIQUE INDEX ux_email ON users(email)")
+      st.execute("""CREATE TABLE orders (
+        id INT NOT NULL PRIMARY KEY,
+        user_id INT NOT NULL REFERENCES users(id),
+        total_amount DOUBLE,
+        session_id VARCHAR(64))""")
+    } finally conn.close()
+    val cat = Catalog.fromReflection(spark, url2, schemaPattern = Some("APP"),
+      driver = Some("org.apache.derby.jdbc.EmbeddedDriver"))
+
+    // reflected shapes come from Derby's real catalog, not fixture data
+    val byCol = cat.columns.collect()
+      .map(r => (r.getAs[String]("table_name"), r.getAs[String]("column_name")) -> r).toMap
+    assert(byCol.size == 7)
+    assert(byCol(("USERS", "ID")).getAs[Boolean]("is_primary_key"))
+    assert(byCol(("USERS", "EMAIL")).getAs[Boolean]("is_unique")) // via ux_email
+    assert(byCol(("USERS", "EMAIL")).getAs[Boolean]("is_nullable"))
+    assert(byCol(("USERS", "BIO")).getAs[Int]("char_max_length") == 1000)
+    assert(byCol(("ORDERS", "TOTAL_AMOUNT")).getAs[String]("data_type") == "DOUBLE")
+    assert(byCol(("ORDERS", "ID")).getAs[Int]("table_seq") == 1) // name order
+    assert(byCol(("USERS", "ID")).getAs[Int]("table_seq") == 2)
+    // the PK-backing unique index is excluded, ux_email survives
+    assert(cat.indexCols.collect().map(_.getAs[String]("column_name")).toSet
+      .contains("EMAIL"))
+    // the inline FK reflects with its first constrained column
+    val fks = cat.fkCols.collect()
+    assert(fks.exists(f => f.getAs[String]("table_name") == "ORDERS" &&
+      f.getAs[String]("column_name") == "USER_ID" &&
+      f.getAs[Int]("ordinal_position") == 1 &&
+      f.getAs[String]("referenced_table") == "USERS"))
+
+    // and the rule engine fires correctly over the reflected catalog
+    val issues = Rules.all(cat).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(3))).toSeq // (table, column, issue)
+    def fired(t: String, c: String, frag: String): Boolean =
+      issues.exists(i => i._1 == t && i._2 == c && i._3.contains(frag))
+    assert(fired("USERS", "BIO", "is not indexed"))            // R1
+    assert(fired("ORDERS", "SESSION_ID", "not properly defined")) // R2
+    assert(fired("ORDERS", "TOTAL_AMOUNT", "expected DECIMAL")) // R3
+    assert(fired("ORDERS", "TOTAL_AMOUNT", "allows NULL"))      // R5
+    assert(!issues.exists(_._2 == "USER_ID"), "FK first column is exempt from R2")
+    assert(!fired("USERS", "EMAIL", "is not indexed"), "unique column is exempt from R1")
+  }
+
   // ---- dialect SQL validation -------------------------------------------
   // The MySQL/PostgreSQL information_schema SQL in Dialects cannot run
   // against a live server here (zero egress), so every query string is
