@@ -10,13 +10,17 @@ import graft.sources.Tables
   * extraction via `mapPartitions` over a typed Dataset — the Scala analog
   * of a Pandas-UDF/`mapInPandas` stage.
   *
-  * The decode step is a clearly-marked STUB (this container ships no image
-  * or audio codecs): [[Multimodal.decodeStub]] produces deterministic fake
-  * features from the payload bytes. Everything around it — the binary
-  * schema, the metadata projection, the batch shape, the partition-local
-  * iteration, the output schema — is the real plumbing a codec-backed
-  * implementation would keep unchanged: swap `decodeStub` for a JNI/ONNX
-  * call and nothing else moves.
+  * The decode step is a REAL codec: [[Multimodal.decodeImage]] /
+  * [[Multimodal.resizeImage]] run `javax.imageio` (PNG/JPEG/BMP/GIF —
+  * JVM-shipped, zero dependencies) inside the batched pipeline;
+  * FunctionsSpec drives them with in-test-generated PNGs. Payloads the
+  * codec cannot decode (opaque formats, corrupt bytes — and the
+  * fixture's synthetic payloads) fall back to deterministic byte-level
+  * features ([[Multimodal.decodeStub]]), the quarantine-not-crash
+  * behavior a production ingest wants. The surrounding plumbing — the
+  * binary schema, metadata projection, batch shape, partition-local
+  * iteration, output schema — is shared by both branches: swap in a
+  * JNI/ONNX decoder for more formats and nothing else moves.
   *
   * Scale posture: payload bytes never shuffle — metadata queries prune to
   * scalar columns at the scan, and feature extraction is partition-local
@@ -46,8 +50,54 @@ object Multimodal {
       (lit(64L) + col("n_chars") % 512).as("width"),
       (lit(64L) + (col("doc_id") * 31) % 512).as("height"))
 
-  /** STUB decode — stands in for an image/audio codec. Deterministic over
-    * the payload bytes; replace with a real decoder to productionize. */
+  final case class DecodedImage(width: Int, height: Int, meanLuma: Float)
+
+  /** REAL image decode via `javax.imageio` — the codecs the JVM ships
+    * (PNG, JPEG, BMP, GIF, WBMP), no external dependency. Returns None
+    * for payloads that are not decodable images, so callers can fall
+    * back to byte-level features; a production pipeline would route
+    * those rows to a quarantine/metrics sink instead of failing the
+    * stage. Mean luminance averages (r+g+b)/3 over all pixels. */
+  def decodeImage(payload: Array[Byte]): Option[DecodedImage] =
+    try {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+      if (img == null) None
+      else {
+        var sum = 0L
+        var y = 0
+        while (y < img.getHeight) {
+          var x = 0
+          while (x < img.getWidth) {
+            val rgb = img.getRGB(x, y)
+            sum += ((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)
+            x += 1
+          }
+          y += 1
+        }
+        val n = math.max(img.getWidth.toLong * img.getHeight * 3, 1L)
+        Some(DecodedImage(img.getWidth, img.getHeight, (sum.toDouble / n).toFloat))
+      }
+    } catch { case _: Exception => None }
+
+  /** REAL image resize: decode, rescale through Graphics2D (bilinear),
+    * re-encode as PNG. None when the payload isn't a decodable image. */
+  def resizeImage(payload: Array[Byte], w: Int, h: Int): Option[Array[Byte]] =
+    try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))).map { img =>
+      val out = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val g = out.createGraphics()
+      try {
+        g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+          java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+        g.drawImage(img, 0, 0, w, h, null)
+      } finally g.dispose()
+      val buf = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(out, "png", buf)
+      buf.toByteArray
+    } catch { case _: Exception => None }
+
+  /** Byte-level fallback features for payloads the codec cannot decode
+    * (opaque/corrupt media, or the fixture's synthetic payloads).
+    * Deterministic over the payload bytes. */
   def decodeStub(payload: Array[Byte]): (Float, Float, Float) = {
     var sum = 0L; var mx = 0
     var i = 0
@@ -61,7 +111,14 @@ object Multimodal {
   }
 
   /** Batched feature extraction: partition-local, [[BatchSize]] rows per
-    * model call — the `mapInPandas` shape with a Scala iterator. */
+    * model call — the `mapInPandas` shape with a Scala iterator. The
+    * decode itself is REAL ([[decodeImage]], javax.imageio): decodable
+    * payloads yield true pixel statistics; everything else takes the
+    * byte-level fallback — which is what the synthetic fixture payloads
+    * exercise, keeping the oracle a pure function of the fixture. The
+    * structural columns (`n_bytes`, `f_len`) are payload-length
+    * functions on BOTH branches, so q44a's hash oracle holds no matter
+    * which branch a row takes. */
   def extractFeatures(s: SparkSession, dir: String): Dataset[MediaFeatures] = {
     import s.implicits._
     mediaTable(s, dir).as[MediaRow].mapPartitions { rows =>
@@ -69,7 +126,11 @@ object Multimodal {
         // one "model invocation" per batch: a real decoder would receive
         // the whole Array[Array[Byte]] here (GPU-friendly batch shape)
         batch.map { r =>
-          val (mean, mx, fl) = decodeStub(r.payload)
+          val (mean, mx, fl) = decodeImage(r.payload) match {
+            case Some(d) => (d.meanLuma, math.max(d.width, d.height).toFloat,
+              r.payload.length / 255f)
+            case None => decodeStub(r.payload)
+          }
           MediaFeatures(r.doc_id, r.payload.length, mean, mx, fl)
         }
       }

@@ -95,6 +95,58 @@ class FunctionsSpec extends SparkSpec {
     f1.foreach(r => assert(meta(r.doc_id) == r.n_bytes.toLong))
   }
 
+  private def pngBytes(w: Int, h: Int, rgb: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, rgb)
+    val buf = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", buf)
+    buf.toByteArray
+  }
+
+  test("decodeImage reads a real PNG: true dimensions and pixel statistics") {
+    // uniform gray 0x808080 -> mean luminance exactly 128
+    val d = Multimodal.decodeImage(pngBytes(12, 7, 0x808080)).get
+    assert(d.width == 12 && d.height == 7)
+    assert(d.meanLuma == 128.0f)
+    // pure red 0xff0000 -> (255+0+0)/3 = 85
+    assert(Multimodal.decodeImage(pngBytes(3, 3, 0xff0000)).get.meanLuma == 85.0f)
+    // undecodable payloads take the fallback, not an exception
+    assert(Multimodal.decodeImage("not an image".getBytes("UTF-8")).isEmpty)
+    assert(Multimodal.decodeImage(Array.emptyByteArray).isEmpty)
+  }
+
+  test("resizeImage rescales through the real codec and re-encodes PNG") {
+    val resized = Multimodal.resizeImage(pngBytes(16, 16, 0x4080c0), 4, 4).get
+    val d = Multimodal.decodeImage(resized).get
+    assert(d.width == 4 && d.height == 4)
+    // uniform input stays uniform under bilinear: (0x40+0x80+0xc0)/3 = 128
+    assert(d.meanLuma == 128.0f)
+    assert(Multimodal.resizeImage("junk".getBytes("UTF-8"), 4, 4).isEmpty)
+  }
+
+  test("the batched pipeline routes real images through the codec and opaque " +
+    "payloads through the byte fallback") {
+    val s = spark
+    import s.implicits._
+    val png = pngBytes(8, 8, 0x808080)
+    val rows = Seq(
+      Multimodal.MediaRow(1L, png, "png", 8, 8),
+      Multimodal.MediaRow(2L, "plain text payload".getBytes("UTF-8"), "txt", 0, 0))
+    val feats = rows.toDS().mapPartitions { it =>
+      it.map { r =>
+        val (mean, mx, fl) = Multimodal.decodeImage(r.payload) match {
+          case Some(d) => (d.meanLuma, math.max(d.width, d.height).toFloat, r.payload.length / 255f)
+          case None => Multimodal.decodeStub(r.payload)
+        }
+        Multimodal.MediaFeatures(r.doc_id, r.payload.length, mean, mx, fl)
+      }
+    }.collect().sortBy(_.doc_id)
+    assert(feats(0).mean_byte == 128.0f, "PNG row must carry true pixel stats")
+    assert(feats(0).max_byte == 8.0f)
+    val (fallbackMean, _, _) = Multimodal.decodeStub(rows(1).payload)
+    assert(feats(1).mean_byte == fallbackMean, "opaque row must carry byte stats")
+  }
+
   test("resize stub is deterministic and bounded") {
     val payload = Array.tabulate(5000)(i => (i % 251).toByte)
     val r1 = Multimodal.resizeStub(payload)
