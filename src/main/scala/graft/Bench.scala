@@ -40,7 +40,17 @@ object Bench {
     // query doesn't absorb session initialization (no fixture data is
     // touched or cached here)
     spark.range(1L << 20).selectExpr("count(distinct id % 1000)").collect()
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // SPARK_GRAFT_BENCH_ONLY=q74,q78 limits the run to queries whose name
+    // contains any listed token — a local profiling aid; the driver never
+    // sets it, so round artifacts always cover the full contract.
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+      .filter(_.nonEmpty)
+    val selected = only match {
+      case Some(toks) => SparkEntry.queries.filter { case (n, _) => toks.exists(n.contains) }
+      case None => SparkEntry.queries
+    }
+    val results = selected.map { case (name, fn) =>
       val times = (1 to runs).map { _ =>
         val t0 = System.nanoTime()
         try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
@@ -51,6 +61,10 @@ object Bench {
         spark.catalog.clearCache()
         (System.nanoTime() - t0) / 1e9
       }
+      // per-run breakdown to stderr: shows warm-vs-cold effects (e.g. a
+      // first run that builds persisted state) that the min hides
+      System.err.println(s"[bench] $name runs: " +
+        times.map(t => String.format(java.util.Locale.ROOT, "%.3f", Double.box(t))).mkString(", "))
       name -> times.min
     }
     def queriesJson(qs: Iterable[(String, Double)]): String =

@@ -35,9 +35,14 @@ object Layout {
 
   /** Write lineitem+orders bucketed and sorted on the join key (once per
     * session × fixture dir) and hand back readers over the bucketed
-    * tables. 8 buckets ~ local-parallelism scale; on a cluster the count
-    * would track executor count × a small factor. */
+    * tables. The bucket count tracks the session's shuffle parallelism
+    * (so on a 1000-executor cluster the layout write fans out with the
+    * cluster instead of funnelling into a fixed-8 bottleneck); what the
+    * exchange-free join needs is only that BOTH tables share whatever
+    * count was written — PlanSpec pins the no-Exchange subtree without
+    * assuming a number. */
   def bucketedPair(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val buckets = s.sessionState.conf.numShufflePartitions
     val li = s"li_bucketed_${tag(dir)}"
     val o = s"o_bucketed_${tag(dir)}"
     def write(name: String, df: => DataFrame, key: String): Unit =
@@ -49,7 +54,7 @@ object Layout {
           s.conf.get("spark.sql.warehouse.dir") + s"/$name")
         val fs = loc.getFileSystem(s.sessionState.newHadoopConf())
         if (fs.exists(loc)) fs.delete(loc, true)
-        df.write.mode("overwrite").bucketBy(8, key).sortBy(key).saveAsTable(name)
+        df.write.mode("overwrite").bucketBy(buckets, key).sortBy(key).saveAsTable(name)
       }
     write(li, Tables.lineitem(s, dir)
       .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount")), "l_orderkey")
