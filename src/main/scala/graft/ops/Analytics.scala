@@ -1419,18 +1419,42 @@ object Analytics {
       .orderBy(col("n_name"))
   }
 
+  /** Distinct per-order part sets ("baskets") and the canonical
+    * (part_a < part_b) pairs expanded from them — shared by q101/q105.
+    *
+    * The pair relation is built by ONE hash aggregate on l_orderkey
+    * (collect_set — basket size is ≤ 7 lines in TPC-H and small by
+    * nature everywhere, so the buffer is bounded) followed by a purely
+    * map-side higher-order-function expansion of the C(basket, 2)
+    * canonical pairs. Versus the textbook self-join formulation this
+    * removes the sort-merge self-join AND the 3-column DISTINCT shuffle
+    * over the pair-expanded (largest) relation: pair volume Σ C(b, 2)
+    * only ever flows into the final pair-key aggregation. Set semantics
+    * make each basket contribute a pair at most once, so downstream
+    * counts are order counts by construction. */
+  private def baskets(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .select(col("l_orderkey"), col("l_partkey"))
+      .groupBy(col("l_orderkey"))
+      .agg(collect_set(col("l_partkey")).as("parts"))
+
+  private def pairsOf(baskets: DataFrame): DataFrame =
+    baskets.select(explode(expr(
+        "flatten(transform(parts, x -> transform(filter(parts, y -> y > x), y -> struct(x AS part_a, y AS part_b))))"))
+        .as("p"))
+      .select(col("p.part_a").as("part_a"), col("p.part_b").as("part_b"))
+
   /** Co-purchase affinity: part pairs appearing in the same order, by
     * order count — market-basket co-occurrence, the input to any
     * recommender or complementary-product analysis.
     *
-    * The self-join is keyed on l_orderkey, so per-key fanout is bounded
-    * by basket size (≤ 7 lines in TPC-H; baskets are small by nature
-    * everywhere), never corpus × corpus — pair volume is Σ C(basket, 2),
-    * linear in orders. DISTINCT collapses a part appearing twice in one
-    * order before counting, so n_orders counts orders, not line pairs.
-    * Top-k rides TakeOrderedAndProject. At 100 TB: one shuffle on
-    * orderkey, one on the pair key; a hot SKU pair is still one
-    * aggregation key (no skewed join side). */
+    * Pair generation is basket-bounded (see [[baskets]]/[[pairsOf]]):
+    * per-order
+    * fanout is C(basket, 2) with basket ≤ 7, never corpus × corpus —
+    * linear in orders. Top-k rides TakeOrderedAndProject. At 100 TB:
+    * one shuffle on orderkey to assemble baskets, one on the pair key
+    * to count; a hot SKU pair is still one aggregation key (no skewed
+    * join side). */
   val q101Copurchase: QueryDef = sql(
     "q101_copurchase",
     """SELECT part_a, part_b, COUNT(*) AS n_orders
@@ -1440,11 +1464,7 @@ object Analytics {
       |GROUP BY 1, 2
       |ORDER BY n_orders DESC, part_a, part_b
       |LIMIT 20""".stripMargin) { (s, dir) =>
-    val l = Tables.lineitem(s, dir).select(col("l_orderkey"), col("l_partkey"))
-    val a = l.select(col("l_orderkey"), col("l_partkey").as("part_a"))
-    val b = l.select(col("l_orderkey"), col("l_partkey").as("part_b"))
-    a.join(b, "l_orderkey").filter(col("part_a") < col("part_b"))
-      .distinct()
+    pairsOf(baskets(s, dir))
       .groupBy(col("part_a"), col("part_b")).agg(count(lit(1)).as("n_orders"))
       .orderBy(col("n_orders").desc, col("part_a"), col("part_b"))
       .limit(20)
@@ -1574,9 +1594,12 @@ object Analytics {
     * order-occurrence vectors, cosine(a,b) = n_ab / √(n_a·n_b). Every
     * input is an exact integer count, so the one double expression is
     * identical IEEE in both engines; exact score ties (equal count
-    * triples) break on the part keys. Same bounded self-join as q101
-    * plus two broadcast-able per-part occurrence joins; min-support
-    * n_ab ≥ 2 prunes noise pairs before ranking. */
+    * triples) break on the part keys. Pair counts and per-part
+    * occurrence counts BOTH derive from ONE materialized basket
+    * aggregate (persisted — three plan consumers, and AQE does not
+    * reliably reuse the orderkey exchange across them), plus two
+    * broadcast-able occurrence joins; min-support n_ab ≥ 2 prunes
+    * noise pairs before ranking. */
   val q105CopurchaseSimilarity: QueryDef = sql(
     "q105_copurchase_similarity",
     """WITH pairs AS (SELECT DISTINCT a.l_orderkey AS ok, a.l_partkey AS pa, b.l_partkey AS pb
@@ -1592,15 +1615,15 @@ object Analytics {
       |WHERE pc.n_ab >= 2
       |ORDER BY cosine DESC, part_a, part_b
       |LIMIT 20""".stripMargin) { (s, dir) =>
-    val l = Tables.lineitem(s, dir).select(col("l_orderkey"), col("l_partkey"))
-    val a = l.select(col("l_orderkey"), col("l_partkey").as("part_a"))
-    val b = l.select(col("l_orderkey"), col("l_partkey").as("part_b"))
-    val pc = a.join(b, "l_orderkey").filter(col("part_a") < col("part_b"))
-      .distinct()
+    val b = baskets(s, dir)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val pc = pairsOf(b)
       .groupBy(col("part_a"), col("part_b")).agg(count(lit(1)).as("n_ab"))
       .filter(col("n_ab") >= 2)
-    val occ = l.groupBy(col("l_partkey"))
-      .agg(countDistinct(col("l_orderkey")).as("n"))
+    // per-part order counts from the same basket relation: parts is a
+    // SET per order, so a plain count after explode IS count-distinct
+    val occ = b.select(explode(col("parts")).as("l_partkey"))
+      .groupBy(col("l_partkey")).agg(count(lit(1)).as("n"))
     val cosine = col("n_ab") /
       sqrt(col("na").cast("double") * col("nb").cast("double"))
     pc.join(occ.select(col("l_partkey").as("part_a"), col("n").as("na")), "part_a")
