@@ -52,14 +52,36 @@ object Multimodal {
 
   final case class DecodedImage(width: Int, height: Int, meanLuma: Float)
 
+  // ImageIO's default ImageInputStream is disk-cache-backed — one temp
+  // file per read() call. In-memory streams are strictly better for
+  // byte-array payloads; set once per JVM (classload runs on every
+  // executor that touches this object).
+  javax.imageio.ImageIO.setUseCache(false)
+
+  /** Container sniff: true when the payload leads with the magic bytes
+    * of a format the JVM's shipped codecs handle (PNG/JPEG/GIF/BMP).
+    * Decode dispatch MUST be driven by this, not by trial decode —
+    * `ImageIO.read` walks every registered reader probing the stream,
+    * which at corpus scale charges a full codec negotiation to every
+    * non-image payload (measured ~4 s of the q44 bench before the
+    * sniff; the sniff is four byte compares). */
+  def looksLikeImage(p: Array[Byte]): Boolean =
+    p.length >= 4 && (
+      (p(0) == 0x89.toByte && p(1) == 'P' && p(2) == 'N' && p(3) == 'G') ||
+      (p(0) == 0xFF.toByte && p(1) == 0xD8.toByte) ||
+      (p(0) == 'G' && p(1) == 'I' && p(2) == 'F' && p(3) == '8') ||
+      (p(0) == 'B' && p(1) == 'M'))
+
   /** REAL image decode via `javax.imageio` — the codecs the JVM ships
     * (PNG, JPEG, BMP, GIF, WBMP), no external dependency. Returns None
-    * for payloads that are not decodable images, so callers can fall
-    * back to byte-level features; a production pipeline would route
-    * those rows to a quarantine/metrics sink instead of failing the
-    * stage. Mean luminance averages (r+g+b)/3 over all pixels. */
+    * for payloads that are not decodable images (sniffed first — see
+    * [[looksLikeImage]]), so callers can fall back to byte-level
+    * features; a production pipeline would route those rows to a
+    * quarantine/metrics sink instead of failing the stage. Mean
+    * luminance averages (r+g+b)/3 over all pixels. */
   def decodeImage(payload: Array[Byte]): Option[DecodedImage] =
-    try {
+    if (!looksLikeImage(payload)) None
+    else try {
       val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
       if (img == null) None
       else {
@@ -80,9 +102,11 @@ object Multimodal {
     } catch { case _: Exception => None }
 
   /** REAL image resize: decode, rescale through Graphics2D (bilinear),
-    * re-encode as PNG. None when the payload isn't a decodable image. */
+    * re-encode as PNG. None when the payload isn't a decodable image
+    * (same sniff-before-decode dispatch as [[decodeImage]]). */
   def resizeImage(payload: Array[Byte], w: Int, h: Int): Option[Array[Byte]] =
-    try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))).map { img =>
+    if (!looksLikeImage(payload)) None
+    else try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))).map { img =>
       val out = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
       val g = out.createGraphics()
       try {
