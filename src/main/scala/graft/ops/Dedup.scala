@@ -647,12 +647,28 @@ object Dedup {
     * shingles/signatures/bands/hashes for 90% of the corpus every time. */
   def persistedCorpusState(s: SparkSession, docs: => DataFrame, stateDir: String): CorpusDedupState = {
     val parts = Seq("shingles", "bands", "counts", "hashes")
-    if (!new java.io.File(s"$stateDir/${parts.last}/_SUCCESS").exists()) {
+    val root = new java.io.File(stateDir)
+    def complete = new java.io.File(root, s"${parts.last}/_SUCCESS").exists()
+    if (!complete) {
+      // commit protocol: build the whole state under a writer-private tmp
+      // dir, then publish with one directory rename — readers only ever
+      // see absent or fully-written state, a crashed writer leaves no
+      // half-state at the published path, and of two concurrent writers
+      // one wins the rename and the other discards (same shape as a
+      // distributed-FS output-committer; local rename stands in for it)
+      val tmp = new java.io.File(root.getParentFile,
+        s"${root.getName}.tmp-${ProcessHandle.current().pid()}-${Thread.currentThread().getId}")
       val st = buildCorpusState(docs)
       val dfs = Seq(st.shingles, st.bands, st.counts, st.hashes)
       parts.zip(dfs).foreach { case (p, df) =>
-        df.write.mode("overwrite").parquet(s"$stateDir/$p") }
+        df.write.mode("overwrite").parquet(s"${tmp.getPath}/$p") }
       dfs.foreach(_.unpersist())
+      // a stale half-state at the published path (pre-protocol writer
+      // that crashed) blocks the rename — clear it, it is unreadable
+      if (root.exists() && !complete)
+        org.apache.commons.io.FileUtils.deleteDirectory(root)
+      if (!tmp.renameTo(root))
+        org.apache.commons.io.FileUtils.deleteDirectory(tmp) // lost the race
     }
     val Seq(sh, bb, cnts, hs) = parts.map(p => s.read.parquet(s"$stateDir/$p"))
     CorpusDedupState(sh, bb, cnts, hs)

@@ -222,9 +222,14 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), "block offsets must broadcast:\n" + p)
   }
 
-  test("q101: co-purchase joins on orderkey and top-k is TakeOrderedAndProject") {
+  test("q101: co-purchase pairs expand map-side from baskets — no join at all") {
     val p = planOf(Analytics.q101Copurchase.run(spark, sfDir))
-    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    // basket assembly (one orderkey aggregate) + HOF pair expansion
+    // replaced the self-join formulation: pair volume never rides a
+    // sort-merge join or a 3-column DISTINCT shuffle
+    assert(!p.contains("Join"), "pair generation must not self-join:\n" + p)
+    assert(p.contains("collect_set"), "baskets must assemble via collect_set:\n" + p)
+    assert(p.contains("Generate"), "pairs must expand map-side (explode):\n" + p)
     assert(p.contains("TakeOrderedAndProject"), "top-20 must not sort the full pair set:\n" + p)
   }
 
