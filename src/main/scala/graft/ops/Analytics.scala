@@ -921,7 +921,12 @@ object Analytics {
     val y = money(col("l_extendedprice"))
     def dsumS(c: org.apache.spark.sql.Column) =
       sum(c).cast("string").cast("double")
-    val sums = Tables.lineitem(s, dir)
+    // fanOut: five DECIMAL(24,4) products per row are map-heavy enough
+    // to dwarf the slim-row shuffle when the scan arrives single-split;
+    // decimal sums are partition-order-independent, so the fan changes
+    // nothing downstream
+    val sums = Tables.fanOut(Tables.lineitem(s, dir)
+        .select(col("l_returnflag"), col("l_quantity"), col("l_extendedprice")))
       .groupBy(col("l_returnflag"))
       .agg(
         count(lit(1)).cast("double").as("n"),
@@ -1050,7 +1055,12 @@ object Analytics {
       .agg(expr("percentile(l_extendedprice, array(0.05D, 0.95D))").as("ps"))
       .select(col("l_returnflag"),
         element_at(col("ps"), 1).as("p05"), element_at(col("ps"), 2).as("p95"))
-    li.join(broadcast(bounds), "l_returnflag")
+    // the winsorizing pass is map-heavy (per-row decimal compares+sums
+    // against broadcast bounds) — fan out the single-split scan; the
+    // bounds pass above stays unfanned (percentile's buffer is the whole
+    // column regardless of input partitioning)
+    Tables.fanOut(li.select(col("l_returnflag"), col("l_extendedprice")))
+      .join(broadcast(bounds), "l_returnflag")
       .groupBy(col("l_returnflag"), col("p05"), col("p95"))
       .agg(
         sum(when(col("l_extendedprice") < col("p05"), 1).otherwise(0)).as("n_below"),
