@@ -103,6 +103,15 @@ class FunctionsSpec extends SparkSpec {
     buf.toByteArray
   }
 
+  test("looksLikeImage sniffs container magic: codecs only run on real images") {
+    assert(Multimodal.looksLikeImage(pngBytes(2, 2, 0)))
+    assert(Multimodal.looksLikeImage(Array(0xFF, 0xD8, 0xFF, 0xE0).map(_.toByte))) // JPEG SOI
+    assert(Multimodal.looksLikeImage("GIF89a".getBytes("US-ASCII")))
+    assert(!Multimodal.looksLikeImage("plain text payload".getBytes("UTF-8")))
+    assert(!Multimodal.looksLikeImage(Array.emptyByteArray))
+    assert(!Multimodal.looksLikeImage(Array[Byte](0x89.toByte, 'P', 'N'))) // too short
+  }
+
   test("decodeImage reads a real PNG: true dimensions and pixel statistics") {
     // uniform gray 0x808080 -> mean luminance exactly 128
     val d = Multimodal.decodeImage(pngBytes(12, 7, 0x808080)).get
