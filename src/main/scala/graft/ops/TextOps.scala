@@ -609,10 +609,85 @@ object TextOps {
       .orderBy(col("lang"), col("source"))
   }
 
+  /** Benchmark decontamination — the n-gram-overlap check every serious
+    * training-data pipeline runs before evaluation (the GPT-3 paper's
+    * 13-gram dedup, The Pile's eval-overlap audit): for each EVAL doc
+    * (`doc_id % 50 = 0` stands in for the benchmark set), the fraction
+    * of its distinct word-5-grams that appear anywhere in the TRAIN
+    * corpus (the rest), plus a contamination flag at > 0.5 overlap.
+    *
+    * Plan shape, built for the 100 TB asymmetry (train corpus huge, eval
+    * set tiny): the train side is reduced to DISTINCT grams *after being
+    * pruned in its scan stage by a Bloom filter of the eval grams* — the
+    * [[graft.functions.BloomPrune]] operator composed into a pipeline.
+    * Only train grams that might be eval grams survive to the distinct's
+    * exchange (a ~1.2 MB filter per million eval grams does the work a
+    * corpus-sized shuffle would otherwise); Bloom false positives die in
+    * the exact gram equi-join, so the answer is bit-identical to the
+    * oracle's plain formulation. Per-doc totals then come from one
+    * aggregate over the eval grams with a left-semi hit marker. Cost
+    * scales with the EVAL set plus one pruned pass over train — the
+    * corpus is never pairwise-compared. */
+  val q116Contamination: QueryDef = sql(
+    "q116_contamination",
+    """WITH evalg AS (
+      |  SELECT DISTINCT doc_id, array_to_string(list_slice(toks, i, i + 4), ' ') AS g
+      |  FROM (SELECT doc_id, string_split(text, ' ') AS toks
+      |        FROM documents WHERE doc_id % 50 = 0) t,
+      |       LATERAL (SELECT unnest(range(1, len(toks) - 3)) AS i)
+      |  WHERE len(toks) >= 5),
+      |traing AS (
+      |  SELECT DISTINCT array_to_string(list_slice(toks, i, i + 4), ' ') AS g
+      |  FROM (SELECT doc_id, string_split(text, ' ') AS toks
+      |        FROM documents WHERE doc_id % 50 <> 0) t,
+      |       LATERAL (SELECT unnest(range(1, len(toks) - 3)) AS i)
+      |  WHERE len(toks) >= 5),
+      |hits AS (SELECT e.doc_id,
+      |           COUNT(*) AS n_grams,
+      |           SUM(CASE WHEN t.g IS NOT NULL THEN 1 ELSE 0 END) AS n_hit
+      |         FROM evalg e LEFT JOIN traing t ON t.g = e.g
+      |         GROUP BY 1)
+      |SELECT doc_id, CAST(n_grams AS BIGINT) AS n_grams,
+      |  CAST(n_hit AS BIGINT) AS n_hit,
+      |  CAST(n_hit AS DOUBLE) / n_grams AS overlap,
+      |  CAST(n_hit AS DOUBLE) / n_grams > 0.5 AS contaminated
+      |FROM hits
+      |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    def grams(docs: DataFrame): DataFrame = docs
+      .withColumn("toks", split(col("text"), " "))
+      .filter(size(col("toks")) >= 5)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(1, size(toks) - 4), i -> concat_ws(' ', slice(toks, i, 5)))")).as("g"))
+      .distinct()
+    val docs = Tables.fanOut(Tables.documents(s, dir))
+    val evalG = grams(docs.filter(col("doc_id") % 50 === 0))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // Bloom of the (small) eval gram set prunes the (huge) train gram
+    // stream inside its scan stage; the exact join below removes false
+    // positives, so pruning is invisible in the answer
+    val bf = graft.functions.BloomPrune.buildFilter(
+      evalG.select(col("g")).distinct(), "g",
+      expectedItems = 1L << 20, fpp = 0.01)
+    val trainPruned =
+      if (bf == null) grams(docs.filter(col("doc_id") % 50 =!= 0)).limit(0)
+      else grams(docs.filter(col("doc_id") % 50 =!= 0))
+        .filter(call_function("graft_might_contain", lit(bf), xxhash64(col("g"))))
+        .select(col("g")).distinct()
+    val hit = trainPruned.withColumn("hit", lit(1))
+    evalG.join(hit, Seq("g"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(coalesce(col("hit"), lit(0))).as("n_hit"))
+      .select(col("doc_id"), col("n_grams"), col("n_hit"),
+        (col("n_hit").cast("double") / col("n_grams")).as("overlap"),
+        (col("n_hit").cast("double") / col("n_grams") > 0.5).as("contaminated"))
+      .orderBy(col("doc_id"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     q21TextStats, q22WordFreq, q23BigramFreq, q24LangId, q25QualityScore,
     q26Fingerprint, q27TokenRegex, q62TrainSplit, q64TermFreqMap,
     q68StratifiedSample, q72Redaction, q74Chunking, q79CurationPipeline,
     q80TrigramGenerator, q99Tfidf, q100ShardPacking, q102HeavyHitters,
-    q107QualitySample, q110Contingency)
+    q107QualitySample, q110Contingency, q116Contamination)
 }
