@@ -290,4 +290,17 @@ class PlanSpec extends SparkSpec {
     assert(scanned == 1 && total > 1,
       s"expected exactly the lang=en partition of $total, scanned $scanned")
   }
+
+  test("q116: the train gram stream is bloom-pruned BEFORE its distinct exchange") {
+    val p = planOf(graft.ops.TextOps.q116Contamination.run(spark, sfDir))
+    assert(p.contains("might_contain"),
+      s"train side must carry the bloom probe:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    // the probe must sit under a (pre-aggregate of the) distinct, i.e.
+    // below at least one Exchange — pruning before the shuffle is the
+    // entire point of the composition
+    val probeAt = p.indexOf("might_contain")
+    assert(p.lastIndexOf("Exchange", probeAt) >= 0,
+      s"bloom probe must execute below an exchange (map-side, pre-shuffle):\n$p")
+  }
 }
