@@ -46,13 +46,26 @@ object Dedup {
 
   // ---- shared shingle/signature pipeline ----
 
-  /** Distinct word-3-gram shingles of an arbitrary (doc_id, text) frame. */
+  /** Distinct word-3-gram shingles of an arbitrary (doc_id, text) frame,
+    * represented as 60-bit integers (first 15 hex chars of md5 of the
+    * gram text). The hash happens map-side BEFORE the distinct, so every
+    * downstream movement of the shingle relation — the distinct's
+    * exchange, the persisted state, the intersection equi-joins — carries
+    * an 8-byte long instead of a ~30-byte string: the dominant shuffle of
+    * the whole dedup chain shrinks ~4×. The DuckDB oracle computes the
+    * IDENTICAL hash, so even the ~0 probability 60-bit collisions (expected
+    * ~n²/2⁶¹ across the corpus vocabulary) affect both engines identically
+    * — oracle parity is preserved by construction, and a collision merely
+    * overcounts one shingle intersection the way production int-hashed
+    * MinHash pipelines accept. */
   private def shinglesOf(docs: DataFrame): DataFrame =
     Tables.fanOut(docs)
       .withColumn("toks", split(col("text"), " "))
       .select(col("doc_id"), explode(expr(
         // guard: docs shorter than the shingle width emit nothing (sequence() would run backwards)
-        "CASE WHEN size(toks) >= 3 THEN transform(sequence(0, size(toks) - 3), i -> concat_ws(' ', slice(toks, i + 1, 3))) ELSE array() END")).as("sh"))
+        "CASE WHEN size(toks) >= 3 THEN transform(sequence(0, size(toks) - 3), i -> concat_ws(' ', slice(toks, i + 1, 3))) ELSE array() END")).as("g"))
+      .select(col("doc_id"),
+        expr("CAST(conv(substring(md5(g), 1, 15), 16, 10) AS BIGINT)").as("sh"))
       .distinct()
 
   /** Distinct word-3-gram shingles per doc. */
@@ -61,7 +74,7 @@ object Dedup {
 
   private val shinglesSql =
     """sh AS (SELECT DISTINCT doc_id,
-      |        t.toks[i] || ' ' || t.toks[i+1] || ' ' || t.toks[i+2] AS sh
+      |        CAST(('0x' || substr(md5(t.toks[i] || ' ' || t.toks[i+1] || ' ' || t.toks[i+2]), 1, 15)) AS BIGINT) AS sh
       |      FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents) t,
       |           LATERAL (SELECT generate_subscripts(t.toks, 1) AS i)
       |      WHERE i <= len(t.toks) - 2)""".stripMargin
@@ -76,8 +89,8 @@ object Dedup {
     * a SortAggregate). Two md5 evaluations per shingle instead of eight. */
   private def signatures(s: SparkSession, dir: String): DataFrame = {
     val withH = shingles(s, dir)
-      .withColumn("ha", md5(concat(lit("a:"), col("sh"))))
-      .withColumn("hb", md5(concat(lit("b:"), col("sh"))))
+      .withColumn("ha", md5(concat(lit("a:"), col("sh").cast("string"))))
+      .withColumn("hb", md5(concat(lit("b:"), col("sh").cast("string"))))
     val aggs = (0 until NumHashes).map { k =>
       val (src, off) = if (k < 4) ("ha", k * 8 + 1) else ("hb", (k - 4) * 8 + 1)
       min(expr(s"CAST(conv(substring($src, $off, 8), 16, 10) AS BIGINT)")).as(s"s$k")
@@ -613,7 +626,9 @@ object Dedup {
     val stateTag = java.lang.Integer.toHexString(dir.hashCode & 0x7fffffff)
     val corpus = persistedCorpusState(s,
       docs.filter(col("doc_id") % 10 =!= 0),
-      s"${System.getProperty("java.io.tmpdir")}/graft_corpus_state_$stateTag")
+      // v2: shingles persist as 60-bit hashed BIGINTs — the version tag
+      // in the path keeps old-format state from being read as current
+      s"${System.getProperty("java.io.tmpdir")}/graft_corpus_state_v2_$stateTag")
     dedupeBatchAgainstCorpus(docs.filter(col("doc_id") % 10 === 0), corpus)
       .orderBy(col("doc_id"))
   }
@@ -805,8 +820,8 @@ object Dedup {
     * across the signature, intersection, and count consumers. */
   private def signatures2(sh: DataFrame): DataFrame = {
     val withH = sh
-      .withColumn("ha", md5(concat(lit("a:"), col("sh"))))
-      .withColumn("hb", md5(concat(lit("b:"), col("sh"))))
+      .withColumn("ha", md5(concat(lit("a:"), col("sh").cast("string"))))
+      .withColumn("hb", md5(concat(lit("b:"), col("sh").cast("string"))))
     val aggs = (0 until NumHashes).map { k =>
       val (src, off) = if (k < 4) ("ha", k * 8 + 1) else ("hb", (k - 4) * 8 + 1)
       min(expr(s"CAST(conv(substring($src, $off, 8), 16, 10) AS BIGINT)")).as(s"s$k")
