@@ -110,13 +110,16 @@ object Dedup {
 
   /** LSH bands: hash adjacent signature pairs into bucket ids. The ':'
     * separator keeps variable-width decimal renderings unambiguous
-    * ((1,23) must not bucket with (12,3)). */
+    * ((1,23) must not bucket with (12,3)). Buckets are 60-bit ints (same
+    * md5-prefix representation as [[shinglesOf]], same rationale): the
+    * candidate self-join shuffles on (band, bucket), and an 8-byte key
+    * beats a 32-char hex string at every scale; both engines compute the
+    * identical value, so parity survives even hash collisions. */
   private def bands(sig: DataFrame): DataFrame = {
     val bandCols = (0 until NumHashes / BandSize).map { b =>
       struct(lit(b).as("band"),
-        md5(concat_ws(":",
-          col(s"s${b * BandSize}").cast("string"),
-          col(s"s${b * BandSize + 1}").cast("string"))).as("bucket"))
+        expr(s"CAST(conv(substring(md5(concat_ws(':', CAST(s${b * BandSize} AS STRING), CAST(s${b * BandSize + 1} AS STRING))), 1, 15), 16, 10) AS BIGINT)")
+          .as("bucket"))
     }
     sig.select(col("doc_id"), explode(array(bandCols: _*)).as("bb"))
       .select(col("doc_id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
@@ -125,7 +128,7 @@ object Dedup {
   private val bandsSql: String = {
     val rows = (0 until NumHashes / BandSize).map { b =>
       s"SELECT doc_id, $b AS band, " +
-        s"md5(CAST(s${b * BandSize} AS VARCHAR) || ':' || CAST(s${b * BandSize + 1} AS VARCHAR)) AS bucket FROM sig"
+        s"CAST(('0x' || substr(md5(CAST(s${b * BandSize} AS VARCHAR) || ':' || CAST(s${b * BandSize + 1} AS VARCHAR)), 1, 15)) AS BIGINT) AS bucket FROM sig"
     }.mkString("\n   UNION ALL ")
     s"bands AS ($rows)"
   }
@@ -626,9 +629,10 @@ object Dedup {
     val stateTag = java.lang.Integer.toHexString(dir.hashCode & 0x7fffffff)
     val corpus = persistedCorpusState(s,
       docs.filter(col("doc_id") % 10 =!= 0),
-      // v2: shingles persist as 60-bit hashed BIGINTs — the version tag
-      // in the path keeps old-format state from being read as current
-      s"${System.getProperty("java.io.tmpdir")}/graft_corpus_state_v2_$stateTag")
+      // v3: shingles AND band buckets persist as 60-bit hashed BIGINTs —
+      // the version tag in the path keeps old-format state from being
+      // read as current
+      s"${System.getProperty("java.io.tmpdir")}/graft_corpus_state_v3_$stateTag")
     dedupeBatchAgainstCorpus(docs.filter(col("doc_id") % 10 === 0), corpus)
       .orderBy(col("doc_id"))
   }
