@@ -42,7 +42,11 @@ object Analytics {
       |FROM lineitem
       |GROUP BY l_returnflag, l_linestatus
       |ORDER BY l_returnflag, l_linestatus""".stripMargin) { (s, dir) =>
-    val l = Tables.lineitem(s, dir)
+    // fanOut: four decimal products per row over a single-split scan —
+    // the q59 pattern; decimal sums are partition-order-independent
+    val l = Tables.fanOut(Tables.lineitem(s, dir).select(
+      col("l_returnflag"), col("l_linestatus"),
+      col("l_quantity"), col("l_extendedprice"), col("l_discount"), col("l_tax")))
     val one = lit(1).cast(DecimalType(3, 2))
     val discPrice = money(col("l_extendedprice")) * (one - rate(col("l_discount")))
     l.groupBy(col("l_returnflag"), col("l_linestatus"))
