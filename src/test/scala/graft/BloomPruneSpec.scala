@@ -59,6 +59,25 @@ class BloomPruneSpec extends SparkSpec {
       s"filter must serialize at ~numBits/8 bytes, got ${bytes.length}")
   }
 
+  test("one built filter serves many consumers (the cross-query reuse InjectRuntimeFilter can't see)") {
+    val dim = Tables.orders(spark, sfDir)
+      .filter(col("o_orderpriority") === "1-URGENT").select(col("o_orderkey"))
+    val bf = BloomPrune.buildFilter(dim, "o_orderkey", 1L << 20, 0.01)
+    BloomPrune.register(spark)
+    def prunedCount(fact: org.apache.spark.sql.DataFrame, key: String): Long =
+      fact.filter(call_function("graft_might_contain", lit(bf), xxhash64(col(key))))
+        .join(dim, col(key) === col("o_orderkey"), "left_semi").count()
+    // the same serialized filter probes two different fact tables
+    val li = prunedCount(Tables.lineitem(spark, sfDir).select(col("l_orderkey")), "l_orderkey")
+    val oo = prunedCount(Tables.orders(spark, sfDir).select(col("o_orderkey").as("k")), "k")
+    val liPlain = Tables.lineitem(spark, sfDir)
+      .join(dim, col("l_orderkey") === col("o_orderkey"), "left_semi").count()
+    val ooPlain = Tables.orders(spark, sfDir).select(col("o_orderkey").as("k"))
+      .join(dim, col("k") === col("o_orderkey"), "left_semi").count()
+    assert(li == liPlain && oo == ooPlain,
+      s"reused filter must stay answer-invisible: $li/$liPlain, $oo/$ooPlain")
+  }
+
   test("empty build side yields an empty result, not a crash") {
     val fact = Tables.lineitem(spark, sfDir).select(col("l_orderkey"))
     val dim = Tables.orders(spark, sfDir)
