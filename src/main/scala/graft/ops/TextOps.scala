@@ -628,6 +628,40 @@ object TextOps {
     * aggregate over the eval grams with a left-semi hit marker. Cost
     * scales with the EVAL set plus one pruned pass over train — the
     * corpus is never pairwise-compared. */
+  /** Library form of the decontamination audit: per-`evalDocs` row, the
+    * fraction of its distinct word-`n`-grams appearing anywhere in
+    * `trainDocs`, with a `contaminated` flag at > `threshold` overlap.
+    * Both inputs are (doc_id, text) frames. The train gram stream is
+    * Bloom-pruned by the eval gram set inside its scan stage; false
+    * positives die in the exact gram join, so pruning never changes the
+    * answer (q116's oracle proves it). */
+  def contamination(evalDocs: DataFrame, trainDocs: DataFrame,
+                    n: Int = 5, threshold: Double = 0.5): DataFrame = {
+    def grams(docs: DataFrame): DataFrame = docs
+      .withColumn("toks", split(col("text"), " "))
+      .filter(size(col("toks")) >= n)
+      .select(col("doc_id"), explode(expr(
+        s"transform(sequence(1, size(toks) - ${n - 1}), i -> concat_ws(' ', slice(toks, i, $n)))")).as("g"))
+      .distinct()
+    val evalG = grams(evalDocs)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val bf = graft.functions.BloomPrune.buildFilter(
+      evalG.select(col("g")).distinct(), "g",
+      expectedItems = 1L << 20, fpp = 0.01)
+    val trainPruned =
+      if (bf == null) grams(trainDocs).limit(0)
+      else grams(trainDocs)
+        .filter(call_function("graft_might_contain", lit(bf), xxhash64(col("g"))))
+        .select(col("g")).distinct()
+    evalG.join(trainPruned.withColumn("hit", lit(1)), Seq("g"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(coalesce(col("hit"), lit(0))).as("n_hit"))
+      .select(col("doc_id"), col("n_grams"), col("n_hit"),
+        (col("n_hit").cast("double") / col("n_grams")).as("overlap"),
+        (col("n_hit").cast("double") / col("n_grams") > threshold).as("contaminated"))
+  }
+
   val q116Contamination: QueryDef = sql(
     "q116_contamination",
     """WITH evalg AS (
@@ -653,34 +687,10 @@ object TextOps {
       |  CAST(n_hit AS DOUBLE) / n_grams > 0.5 AS contaminated
       |FROM hits
       |ORDER BY doc_id""".stripMargin) { (s, dir) =>
-    def grams(docs: DataFrame): DataFrame = docs
-      .withColumn("toks", split(col("text"), " "))
-      .filter(size(col("toks")) >= 5)
-      .select(col("doc_id"), explode(expr(
-        "transform(sequence(1, size(toks) - 4), i -> concat_ws(' ', slice(toks, i, 5)))")).as("g"))
-      .distinct()
     val docs = Tables.fanOut(Tables.documents(s, dir))
-    val evalG = grams(docs.filter(col("doc_id") % 50 === 0))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // Bloom of the (small) eval gram set prunes the (huge) train gram
-    // stream inside its scan stage; the exact join below removes false
-    // positives, so pruning is invisible in the answer
-    val bf = graft.functions.BloomPrune.buildFilter(
-      evalG.select(col("g")).distinct(), "g",
-      expectedItems = 1L << 20, fpp = 0.01)
-    val trainPruned =
-      if (bf == null) grams(docs.filter(col("doc_id") % 50 =!= 0)).limit(0)
-      else grams(docs.filter(col("doc_id") % 50 =!= 0))
-        .filter(call_function("graft_might_contain", lit(bf), xxhash64(col("g"))))
-        .select(col("g")).distinct()
-    val hit = trainPruned.withColumn("hit", lit(1))
-    evalG.join(hit, Seq("g"), "left")
-      .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_grams"),
-        sum(coalesce(col("hit"), lit(0))).as("n_hit"))
-      .select(col("doc_id"), col("n_grams"), col("n_hit"),
-        (col("n_hit").cast("double") / col("n_grams")).as("overlap"),
-        (col("n_hit").cast("double") / col("n_grams") > 0.5).as("contaminated"))
+    contamination(
+        docs.filter(col("doc_id") % 50 === 0),
+        docs.filter(col("doc_id") % 50 =!= 0))
       .orderBy(col("doc_id"))
   }
 
