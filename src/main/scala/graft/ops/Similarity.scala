@@ -355,7 +355,98 @@ object Similarity {
       .limit(10)
   }
 
+  // ---- distributed k-means (Lloyd) over integer-quantized embeddings ----
+
+  /** Embeddings quantized to BIGINT arrays (`floor(x·10⁶ + 0.5)` — the
+    * q61 device): every distance, centroid sum, and floored mean below is
+    * exact integer arithmetic, identical in Spark and DuckDB regardless
+    * of aggregation order — what makes an ITERATIVE float algorithm
+    * hash-verifiable across engines at all. */
+  private def quantizedLong(s: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(s, dir).select(col("vec_id"), expr(
+      "transform(embedding, x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000000.0D + 0.5D) AS BIGINT))").as("qv"))
+
+  /** Distributed Lloyd k-means over (vec_id, qv array<bigint>) frames:
+    * `iters` rounds of assign + update, then a final assignment; returns
+    * (vec_id, cid, dist). The MLlib pattern — k·d centroid values live on
+    * the driver and ship to executors as a plan literal each round (512
+    * longs here; a broadcast variable at larger k), so each round is ONE
+    * scan with a fused per-row argmin (zip_with/aggregate HOFs, no k×d
+    * explode) plus one (cid, dim)-keyed map-side-combined aggregate of
+    * k·d output rows. Nothing vector-sized ever reaches the driver.
+    * Init = the k lowest vec_ids; ties break to the lowest cid; empty
+    * clusters drop (plain Lloyd). Centroid means floor via double
+    * division — exact while |sum| < 2⁵³ (bounds here: ≤ 2³⁰). */
+  def kmeansQuantized(vectors: DataFrame, k: Int, iters: Int): DataFrame = {
+    val pinned = vectors.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    def assign(cents: Seq[(Long, Seq[Long])]): DataFrame = {
+      val cids = typedLit(cents.map(_._1))
+      val cvs = typedLit(cents.map(_._2))
+      pinned
+        .withColumn("dists", transform(cvs, c =>
+          aggregate(zip_with(col("qv"), c, (a, b) => (a - b) * (a - b)),
+            lit(0L), (acc, x) => acc + x)))
+        .withColumn("dist", array_min(col("dists")))
+        .withColumn("cid", element_at(cids, array_position(col("dists"), col("dist")).cast("int")))
+        .select(col("vec_id"), col("qv"), col("cid"), col("dist"))
+    }
+    def update(assigned: DataFrame): Seq[(Long, Seq[Long])] =
+      assigned.select(col("cid"), posexplode(col("qv")).as(Seq("pos", "v")))
+        .groupBy(col("cid"), col("pos"))
+        .agg(expr("CAST(FLOOR(CAST(SUM(v) AS DOUBLE) / COUNT(*)) AS BIGINT)").as("cv"))
+        .collect()
+        .groupBy(_.getLong(0))
+        .map { case (cid, rows) => cid -> rows.sortBy(_.getInt(1)).map(_.getLong(2)).toSeq }
+        .toSeq.sortBy(_._1)
+    var cents = pinned.filter(col("vec_id") < k).orderBy(col("vec_id"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toSeq
+    for (_ <- 1 to iters) cents = update(assign(cents))
+    val out = assign(cents)
+    pinned.unpersist()
+    out
+  }
+
+  /** Contract face: train an 8-centroid coarse quantizer (the IVF index
+    * build q39 presupposes) with 2 Lloyd rounds and emit the per-cluster
+    * audit — size and exact integer inertia. Hash-equality against the
+    * oracle's unrolled 2-round CTE chain proves every assignment and
+    * every centroid update decided identically in both engines. */
+  val q119KmeansTrain: QueryDef = sql(
+    "q119_kmeans_train",
+    """WITH q AS (
+      |  SELECT vec_id, dim,
+      |    CAST(FLOOR(CAST(embedding[dim] AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT) AS v
+      |  FROM embeddings,
+      |       LATERAL (SELECT unnest(range(1, len(embedding) + 1)) AS dim)),
+      |c0 AS (SELECT vec_id AS cid, dim, v FROM q WHERE vec_id < 8),
+      |d1 AS (SELECT q.vec_id, c.cid, SUM((q.v - c.v) * (q.v - c.v)) AS dist
+      |       FROM q JOIN c0 c ON c.dim = q.dim GROUP BY 1, 2),
+      |a1 AS (SELECT vec_id, cid FROM (
+      |         SELECT vec_id, cid, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+      |         FROM d1) WHERE rn = 1),
+      |c1 AS (SELECT a.cid, q.dim, CAST(FLOOR(CAST(SUM(q.v) AS DOUBLE) / COUNT(*)) AS BIGINT) AS v
+      |       FROM q JOIN a1 a USING (vec_id) GROUP BY 1, 2),
+      |d2 AS (SELECT q.vec_id, c.cid, SUM((q.v - c.v) * (q.v - c.v)) AS dist
+      |       FROM q JOIN c1 c ON c.dim = q.dim GROUP BY 1, 2),
+      |a2 AS (SELECT vec_id, cid FROM (
+      |         SELECT vec_id, cid, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+      |         FROM d2) WHERE rn = 1),
+      |c2 AS (SELECT a.cid, q.dim, CAST(FLOOR(CAST(SUM(q.v) AS DOUBLE) / COUNT(*)) AS BIGINT) AS v
+      |       FROM q JOIN a2 a USING (vec_id) GROUP BY 1, 2),
+      |d3 AS (SELECT q.vec_id, c.cid, SUM((q.v - c.v) * (q.v - c.v)) AS dist
+      |       FROM q JOIN c2 c ON c.dim = q.dim GROUP BY 1, 2),
+      |a3 AS (SELECT vec_id, cid, dist FROM (
+      |         SELECT vec_id, cid, dist, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+      |         FROM d3) WHERE rn = 1)
+      |SELECT CAST(cid AS INT) AS cid, COUNT(*) AS n_vecs, CAST(SUM(dist) AS BIGINT) AS inertia
+      |FROM a3 GROUP BY 1 ORDER BY cid""".stripMargin) { (s, dir) =>
+    kmeansQuantized(quantizedLong(s, dir), k = 8, iters = 2)
+      .groupBy(col("cid").cast("int").as("cid"))
+      .agg(count(lit(1)).as("n_vecs"), sum(col("dist")).as("inertia"))
+      .orderBy(col("cid"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     q36ArrayNorms, q37EmbeddingNeardup, q38AnnBruteforce, q39AnnIvf,
-    q45AnnNative, q52AnnLsh, q61AnnQuantized)
+    q45AnnNative, q52AnnLsh, q61AnnQuantized, q119KmeansTrain)
 }

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.sources.Tables
@@ -662,6 +662,121 @@ object TextOps {
         (col("n_hit").cast("double") / col("n_grams") > threshold).as("contaminated"))
   }
 
+  /** Repetition-based quality metrics (the Gopher repetition rules, Rae
+    * et al. 2021 §A1.1): per document, the share of word-bigram
+    * occurrences taken by the single most frequent bigram and the
+    * fraction of word-5-gram occurrences that are repeats of an earlier
+    * 5-gram in the same document — the two signals that catch boilerplate
+    * and degenerate repetition that per-token ratios (q25) miss. A doc is
+    * flagged `repetitive` above the paper's thresholds (0.18 / 0.30;
+    * threshold firing is spec-pinned on planted degenerate docs).
+    *
+    * Plan shape: explode grams → two hash aggregates keyed on
+    * (doc_id, gram) then doc_id — map-side combined, shuffle bounded by
+    * distinct grams per doc, never corpus-global state; the doc_id-keyed
+    * join of the two metric frames co-partitions. Every metric is a
+    * single double division of exact integers, so both engines agree
+    * bitwise. */
+  val q117Repetition: QueryDef = sql(
+    "q117_repetition",
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+      |big AS (SELECT doc_id, array_to_string(list_slice(toks, i, i + 1), ' ') AS g
+      |        FROM t, LATERAL (SELECT unnest(range(1, len(toks))) AS i)
+      |        WHERE len(toks) >= 2),
+      |bc AS (SELECT doc_id, g, COUNT(*) AS c FROM big GROUP BY 1, 2),
+      |bstat AS (SELECT doc_id, MAX(c) AS max_big, CAST(SUM(c) AS BIGINT) AS tot_big
+      |          FROM bc GROUP BY 1),
+      |five AS (SELECT doc_id, array_to_string(list_slice(toks, i, i + 4), ' ') AS g
+      |         FROM t, LATERAL (SELECT unnest(range(1, len(toks) - 3)) AS i)
+      |         WHERE len(toks) >= 5),
+      |fstat AS (SELECT doc_id, COUNT(*) AS tot5, COUNT(DISTINCT g) AS uniq5
+      |          FROM five GROUP BY 1)
+      |SELECT b.doc_id,
+      |  CAST(b.max_big AS DOUBLE) / b.tot_big AS top_bigram_share,
+      |  1.0 - CAST(f.uniq5 AS DOUBLE) / f.tot5 AS dup_5gram_frac,
+      |  (CAST(b.max_big AS DOUBLE) / b.tot_big > 0.18
+      |   OR 1.0 - CAST(f.uniq5 AS DOUBLE) / f.tot5 > 0.3) AS repetitive
+      |FROM bstat b JOIN fstat f USING (doc_id)
+      |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    repetitionMetrics(docsWithTokens(s, dir)).orderBy(col("doc_id"))
+  }
+
+  /** Library form of q117: per-doc repetition metrics over any frame with
+    * (doc_id, toks array<string>). */
+  def repetitionMetrics(docs: DataFrame): DataFrame = {
+    val t = docs.select(col("doc_id"), col("toks"))
+    val big = t.filter(size(col("toks")) >= 2).select(col("doc_id"), explode(expr(
+      "transform(sequence(1, size(toks) - 1), i -> concat_ws(' ', slice(toks, i, 2)))")).as("g"))
+    val bstat = big.groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id")).agg(max(col("c")).as("max_big"), sum(col("c")).as("tot_big"))
+    val five = t.filter(size(col("toks")) >= 5).select(col("doc_id"), explode(expr(
+      "transform(sequence(1, size(toks) - 4), i -> concat_ws(' ', slice(toks, i, 5)))")).as("g"))
+    val fstat = five.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("tot5"), countDistinct(col("g")).as("uniq5"))
+    val share = col("max_big").cast("double") / col("tot_big")
+    val dup = lit(1.0) - col("uniq5").cast("double") / col("tot5")
+    bstat.join(fstat, "doc_id")
+      .select(col("doc_id"), share.as("top_bigram_share"), dup.as("dup_5gram_frac"),
+        (share > 0.18 || dup > 0.3).as("repetitive"))
+  }
+
+  /** Per-source sampling rates for [[remixSources]]: the largest corpus
+    * achievable at the target mix keeps `weight_s · cap` docs of source s,
+    * where `cap = min_s(n_s / weight_s)` — the binding source keeps
+    * everything, every other source down-samples to match the ratio. */
+  def sourceRates(docs: DataFrame, weight: Column): DataFrame = {
+    val c = docs.groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
+      .withColumn("weight", weight)
+    val cap = c.agg(min(col("n_docs").cast("double") / col("weight")).as("cap"))
+    c.crossJoin(broadcast(cap))
+      .select(col("source"), col("weight"), col("n_docs"),
+        least(lit(1.0), col("weight") * col("cap") / col("n_docs")).as("rate"))
+  }
+
+  /** Domain-mixture rebalancing: deterministically down-sample each
+    * source to hit declared relative target weights (the data-mixing step
+    * of every pretraining corpus — "2 parts web, 1 part forums, ..."),
+    * keeping the largest corpus that satisfies the mix exactly in
+    * expectation. Per-doc keep decisions reuse q68/q107's md5-fraction
+    * device, so the sampled set is reproducible, engine-identical, and
+    * join-stable. One dimension-sized aggregate (rates) broadcast back
+    * into a scan-level filter — no corpus shuffle at any scale. */
+  def remixSources(docs: DataFrame, weight: Column): DataFrame =
+    docs.join(broadcast(sourceRates(docs, weight)), "source")
+      .filter(expr(
+        "CAST(conv(substring(md5(concat('mix:', CAST(doc_id AS STRING))), 1, 4), 16, 10) AS INT) / 65536.0")
+        < col("rate"))
+
+  /** Contract face of [[remixSources]]: target weight of `srcN` is
+    * `(N % 4) + 1`, output is the per-source audit (declared weight,
+    * original size, computed rate, achieved kept count). The kept counts
+    * hash-match only if both engines select the exact same doc set. */
+  val q118SourceMix: QueryDef = sql(
+    "q118_source_mix",
+    """WITH c AS (SELECT source, (CAST(substr(source, 4) AS INT) % 4) + 1 AS weight,
+      |                  COUNT(*) AS n_docs
+      |           FROM documents GROUP BY 1),
+      |m AS (SELECT MIN(CAST(n_docs AS DOUBLE) / weight) AS cap FROM c),
+      |r AS (SELECT source, weight, n_docs, LEAST(1.0, weight * m.cap / n_docs) AS rate
+      |      FROM c, m),
+      |k AS (SELECT d.source, COUNT(*) AS n_kept
+      |      FROM documents d JOIN r USING (source)
+      |      WHERE CAST(('0x' || substr(md5('mix:' || CAST(doc_id AS VARCHAR)), 1, 4)) AS INT) / 65536.0 < r.rate
+      |      GROUP BY 1)
+      |SELECT r.source, r.weight, CAST(r.n_docs AS BIGINT) AS n_docs, r.rate,
+      |  CAST(COALESCE(k.n_kept, 0) AS BIGINT) AS n_kept
+      |FROM r LEFT JOIN k USING (source)
+      |ORDER BY source""".stripMargin) { (s, dir) =>
+    val docs = Tables.fanOut(Tables.documents(s, dir))
+    val w = expr("(CAST(substring(source, 4) AS INT) % 4) + 1")
+    val rates = sourceRates(docs, w)
+    val kept = remixSources(docs, w).groupBy(col("source")).agg(count(lit(1)).as("kept"))
+    rates.join(kept, Seq("source"), "left")
+      .select(col("source"), col("weight"), col("n_docs"), col("rate"),
+        coalesce(col("kept"), lit(0L)).as("n_kept"))
+      .orderBy(col("source"))
+  }
+
   val q116Contamination: QueryDef = sql(
     "q116_contamination",
     """WITH evalg AS (
@@ -699,5 +814,6 @@ object TextOps {
     q26Fingerprint, q27TokenRegex, q62TrainSplit, q64TermFreqMap,
     q68StratifiedSample, q72Redaction, q74Chunking, q79CurationPipeline,
     q80TrigramGenerator, q99Tfidf, q100ShardPacking, q102HeavyHitters,
-    q107QualitySample, q110Contingency, q116Contamination)
+    q107QualitySample, q110Contingency, q116Contamination, q117Repetition,
+    q118SourceMix)
 }

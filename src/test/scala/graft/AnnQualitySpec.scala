@@ -70,6 +70,26 @@ class AnnQualitySpec extends SparkSpec {
     }
   }
 
+  test("kmeans recovers planted clusters and does not increase inertia") {
+    import org.apache.spark.sql.functions._
+    val dir = generateClustered()
+    val v = graft.sources.Tables.embeddings(spark, dir).select(col("vec_id"), expr(
+      "transform(embedding, x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000000.0D + 0.5D) AS BIGINT))").as("qv"))
+    val trained = Similarity.kmeansQuantized(v, k = 8, iters = 2).collect()
+    // planted label: centers are vecs 0..7, members laid out 30-per-cluster from id 8
+    def label(id: Long): Long = if (id < 8) id else (id - 8) / 30
+    val byLabel = trained.groupBy(r => label(r.getAs[Long]("vec_id")))
+    byLabel.foreach { case (l, rows) =>
+      assert(rows.map(_.getAs[Long]("cid")).distinct.length == 1,
+        s"planted cluster $l split across centroids")
+    }
+    assert(trained.map(_.getAs[Long]("cid")).distinct.length == 8)
+    val inertia0 = Similarity.kmeansQuantized(v, k = 8, iters = 0)
+      .agg(sum(col("dist"))).collect().head.getLong(0)
+    val inertia2 = trained.map(_.getAs[Long]("dist")).sum
+    assert(inertia2 <= inertia0, s"Lloyd increased inertia: $inertia0 -> $inertia2")
+  }
+
   test("LSH cosines are bit-identical to brute force on shared hits") {
     val dir = generateClustered()
     val brute = Similarity.q38AnnBruteforce.run(spark, dir).collect()
