@@ -377,19 +377,15 @@ object Similarity {
     * Init = the k lowest vec_ids; ties break to the lowest cid; empty
     * clusters drop (plain Lloyd). Centroid means floor via double
     * division — exact while |sum| < 2⁵³ (bounds here: ≤ 2³⁰). */
-  def kmeansQuantized(vectors: DataFrame, k: Int, iters: Int): DataFrame = {
+  def kmeansQuantized(vectors: DataFrame, k: Int, iters: Int): DataFrame =
+    assignToCentroids(vectors, kmeansCentroids(vectors, k, iters))
+      .select(col("vec_id"), col("qv"), col("cid"), col("dist"))
+
+  /** Train and return just the centroids (cid → quantized coordinates) —
+    * the persisted artifact an IVF index build keeps; [[kmeansQuantized]]
+    * and q120's serving path both consume it. */
+  def kmeansCentroids(vectors: DataFrame, k: Int, iters: Int): Seq[(Long, Seq[Long])] = {
     val pinned = vectors.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    def assign(cents: Seq[(Long, Seq[Long])]): DataFrame = {
-      val cids = typedLit(cents.map(_._1))
-      val cvs = typedLit(cents.map(_._2))
-      pinned
-        .withColumn("dists", transform(cvs, c =>
-          aggregate(zip_with(col("qv"), c, (a, b) => (a - b) * (a - b)),
-            lit(0L), (acc, x) => acc + x)))
-        .withColumn("dist", array_min(col("dists")))
-        .withColumn("cid", element_at(cids, array_position(col("dists"), col("dist")).cast("int")))
-        .select(col("vec_id"), col("qv"), col("cid"), col("dist"))
-    }
     def update(assigned: DataFrame): Seq[(Long, Seq[Long])] =
       assigned.select(col("cid"), posexplode(col("qv")).as(Seq("pos", "v")))
         .groupBy(col("cid"), col("pos"))
@@ -400,10 +396,23 @@ object Similarity {
         .toSeq.sortBy(_._1)
     var cents = pinned.filter(col("vec_id") < k).orderBy(col("vec_id"))
       .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toSeq
-    for (_ <- 1 to iters) cents = update(assign(cents))
-    val out = assign(cents)
+    for (_ <- 1 to iters) cents = update(assignToCentroids(pinned, cents))
     pinned.unpersist()
-    out
+    cents
+  }
+
+  /** Nearest-centroid assignment (exact integer L2, ties to the lowest
+    * cid): adds `dists` (per-centroid distance array in ascending-cid
+    * order), `dist` (best), and `cid`. One fused per-row HOF pass. */
+  def assignToCentroids(vectors: DataFrame, cents: Seq[(Long, Seq[Long])]): DataFrame = {
+    val cids = typedLit(cents.map(_._1))
+    val cvs = typedLit(cents.map(_._2))
+    vectors
+      .withColumn("dists", transform(cvs, c =>
+        aggregate(zip_with(col("qv"), c, (a, b) => (a - b) * (a - b)),
+          lit(0L), (acc, x) => acc + x)))
+      .withColumn("dist", array_min(col("dists")))
+      .withColumn("cid", element_at(cids, array_position(col("dists"), col("dist")).cast("int")))
   }
 
   /** Contract face: train an 8-centroid coarse quantizer (the IVF index
@@ -411,8 +420,10 @@ object Similarity {
     * audit — size and exact integer inertia. Hash-equality against the
     * oracle's unrolled 2-round CTE chain proves every assignment and
     * every centroid update decided identically in both engines. */
-  val q119KmeansTrain: QueryDef = sql(
-    "q119_kmeans_train",
+  /** q119/q120's shared oracle prefix: quantization + the unrolled
+    * 2-round Lloyd chain, ending at centroid set `c2` and the final
+    * per-(vec, centroid) distance relation `d3`. */
+  private val kmeansSqlPrefix =
     """WITH q AS (
       |  SELECT vec_id, dim,
       |    CAST(FLOOR(CAST(embedding[dim] AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT) AS v
@@ -437,16 +448,68 @@ object Similarity {
       |       FROM q JOIN c2 c ON c.dim = q.dim GROUP BY 1, 2),
       |a3 AS (SELECT vec_id, cid, dist FROM (
       |         SELECT vec_id, cid, dist, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
-      |         FROM d3) WHERE rn = 1)
-      |SELECT CAST(cid AS INT) AS cid, COUNT(*) AS n_vecs, CAST(SUM(dist) AS BIGINT) AS inertia
-      |FROM a3 GROUP BY 1 ORDER BY cid""".stripMargin) { (s, dir) =>
+      |         FROM d3) WHERE rn = 1)""".stripMargin
+
+  val q119KmeansTrain: QueryDef = sql(
+    "q119_kmeans_train",
+    s"""$kmeansSqlPrefix
+       |SELECT CAST(cid AS INT) AS cid, COUNT(*) AS n_vecs, CAST(SUM(dist) AS BIGINT) AS inertia
+       |FROM a3 GROUP BY 1 ORDER BY cid""".stripMargin) { (s, dir) =>
     kmeansQuantized(quantizedLong(s, dir), k = 8, iters = 2)
       .groupBy(col("cid").cast("int").as("cid"))
       .agg(count(lit(1)).as("n_vecs"), sum(col("dist")).as("inertia"))
       .orderBy(col("cid"))
   }
 
+  /** The full IVF lifecycle: ANN served from the TRAINED quantizer.
+    * q39 buckets by an untrained quantizer (the first k vectors); here
+    * the 2-round k-means centroids from q119 partition the corpus, the
+    * query routes to its [[NumProbe]] nearest trained centroids (same
+    * exact integer metric as assignment, so routing and bucketing can
+    * never disagree), and only those buckets are ranked by exact cosine.
+    * Train-side determinism (q119) makes the SERVED result set
+    * hash-verifiable too — the property that lets an index rebuild be
+    * validated against a previous build at 100 TB. */
+  val q120AnnIvfTrained: QueryDef = sql(
+    "q120_ann_ivf_trained",
+    s"""$kmeansSqlPrefix,
+       |probe AS (SELECT cid FROM (
+       |            SELECT cid, ROW_NUMBER() OVER (ORDER BY dist, cid) AS rn
+       |            FROM d3 WHERE vec_id = $QueryVec) WHERE rn <= $NumProbe),
+       |n AS (SELECT vec_id, embedding,
+       |        SQRT(${dotSql("embedding", "embedding")}) AS nrm
+       |      FROM embeddings),
+       |qv AS (SELECT embedding AS qe, nrm AS qn FROM n WHERE vec_id = $QueryVec)
+       |SELECT n.vec_id, ${dotSql("n.embedding", "qv.qe")} / (n.nrm * qv.qn) AS cosine
+       |FROM n
+       |JOIN a3 a ON a.vec_id = n.vec_id
+       |JOIN probe p ON p.cid = a.cid, qv
+       |WHERE n.vec_id != $QueryVec
+       |ORDER BY cosine DESC, n.vec_id
+       |LIMIT 10""".stripMargin) { (s, dir) =>
+    graft.functions.CosineSimilarity.register(s)
+    val v = quantizedLong(s, dir)
+    val cents = kmeansCentroids(v, k = 8, iters = 2)
+    val cids = typedLit(cents.map(_._1))
+    val withD = assignToCentroids(v, cents)
+    val assigned = withD.select(col("vec_id"), col("cid"))
+    // query-time routing: the same distance array, top-NumProbe centroids
+    val probe = withD.filter(col("vec_id") === QueryVec)
+      .select(posexplode(col("dists")).as(Seq("idx", "d")))
+      .select(element_at(cids, (col("idx") + 1).cast("int")).as("cid"), col("d"))
+      .orderBy(col("d"), col("cid")).limit(NumProbe).select(col("cid"))
+    val n = Tables.embeddings(s, dir)
+    val q = n.filter(col("vec_id") === QueryVec).select(col("embedding").as("qe"))
+    n.join(assigned, "vec_id").join(broadcast(probe), "cid")
+      .filter(col("vec_id") =!= QueryVec)
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"), expr("cosine_sim_native(embedding, qe)").as("cosine"))
+      .orderBy(col("cosine").desc, col("vec_id"))
+      .limit(10)
+  }
+
   val all: Seq[QueryDef] = Seq(
     q36ArrayNorms, q37EmbeddingNeardup, q38AnnBruteforce, q39AnnIvf,
-    q45AnnNative, q52AnnLsh, q61AnnQuantized, q119KmeansTrain)
+    q45AnnNative, q52AnnLsh, q61AnnQuantized, q119KmeansTrain,
+    q120AnnIvfTrained)
 }

@@ -90,6 +90,14 @@ class AnnQualitySpec extends SparkSpec {
     assert(inertia2 <= inertia0, s"Lloyd increased inertia: $inertia0 -> $inertia2")
   }
 
+  test("trained-quantizer IVF recall matches brute force on clustered data") {
+    val dir = generateClustered()
+    val brute = Similarity.q38AnnBruteforce.run(spark, dir).collect().map(_.getLong(0)).toSet
+    val ivf = Similarity.q120AnnIvfTrained.run(spark, dir).collect().map(_.getLong(0)).toSet
+    val recall = brute.intersect(ivf).size
+    assert(recall >= 8, s"trained IVF recall@10 = $recall, expected >= 8 on clustered data")
+  }
+
   test("LSH cosines are bit-identical to brute force on shared hits") {
     val dir = generateClustered()
     val brute = Similarity.q38AnnBruteforce.run(spark, dir).collect()
