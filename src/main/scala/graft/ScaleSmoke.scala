@@ -47,7 +47,9 @@ object ScaleSmoke {
         // deterministic language mix so lang-dependent ops (q68, q79)
         // run on the smoke corpus too
         element_at(array(lit("en"), lit("en"), lit("de"), lit("es"), lit("fr")),
-          (col("id") % 5 + 1).cast("int")).as("lang"))
+          (col("id") % 5 + 1).cast("int")).as("lang"),
+        // fixture-shaped source ids so the mixture ops (q118) run too
+        concat(lit("src"), (col("id") % 20).cast("string")).as("source"))
       .write.mode("overwrite").parquet(s"$dir/documents.parquet")
 
     // embeddings: 8 unit-norm cluster centers (ids 0..7), noisy members
@@ -77,7 +79,9 @@ object ScaleSmoke {
       "q52_ann_lsh", "q61_ann_quantized",
       "q74_chunking", "q78_simhash_hamming", "q79_curation_pipeline",
       "q85_dedup_clusters", "q99_tfidf", "q100_shard_packing",
-      "q107_quality_sample", "q108_incremental_dedup", "q111_simhash_wide")
+      "q107_quality_sample", "q108_incremental_dedup", "q111_simhash_wide",
+      "q116_contamination", "q117_repetition", "q118_source_mix",
+      "q119_kmeans_train", "q120_ann_ivf_trained")
     println(s"== smoke mult=$mult docs=$nDocs vecs=$nVecs dir=$dir ==")
     targets.foreach { name =>
       // noop sink, same as Bench: a count() terminal would let Catalyst

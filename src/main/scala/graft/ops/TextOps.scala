@@ -771,7 +771,7 @@ object TextOps {
     val w = expr("(CAST(substring(source, 4) AS INT) % 4) + 1")
     val rates = sourceRates(docs, w)
     val kept = remixSources(docs, w).groupBy(col("source")).agg(count(lit(1)).as("kept"))
-    rates.join(kept, Seq("source"), "left")
+    rates.join(broadcast(kept), Seq("source"), "left")
       .select(col("source"), col("weight"), col("n_docs"), col("rate"),
         coalesce(col("kept"), lit(0L)).as("n_kept"))
       .orderBy(col("source"))

@@ -291,6 +291,41 @@ class PlanSpec extends SparkSpec {
       s"expected exactly the lang=en partition of $total, scanned $scanned")
   }
 
+  test("q117: repetition metric aggs are two-phase; the metric join is doc-keyed") {
+    val p = planOf(graft.ops.TextOps.q117Repetition.run(spark, sfDir))
+    assert(p.contains("partial_count") || p.contains("Partial"),
+      "gram counts must map-side combine:\n" + p)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("q118: mixture rates broadcast into a scan-level filter — docs never shuffle") {
+    val p = planOf(graft.ops.TextOps.q118SourceMix.run(spark, sfDir))
+    assert(p.contains("BroadcastHashJoin"),
+      "the 20-row rates frame must broadcast:\n" + p)
+    assert(!p.contains("SortMergeJoin"),
+      "the corpus side must never shuffle for the rates join:\n" + p)
+  }
+
+  test("q119: k-means assignment is join-free — centroids ride as plan literals") {
+    val p = planOf(Similarity.q119KmeansTrain.run(spark, sfDir))
+    // training happened at plan-build time (driver loop); the served plan
+    // is scan → fused HOF argmin → two-phase agg. Any Join/Generate here
+    // would mean a k×d explode crept back in.
+    assert(!p.contains("Join"), "assignment must not join centroids:\n" + p)
+    assert(!p.contains("Generate"), "argmin must stay a per-row HOF, not an explode:\n" + p)
+    assert(p.contains("partial_count") || p.contains("Partial"),
+      "cluster stats must map-side combine:\n" + p)
+  }
+
+  test("q120: trained-IVF serve probes buckets via broadcast, never all-pairs") {
+    val p = planOf(Similarity.q120AnnIvfTrained.run(spark, sfDir))
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"),
+      "the 2-row probe and 1-row query sides must broadcast:\n" + p)
+    assert(p.contains("TakeOrderedAndProject"),
+      "top-10 must not globally sort the candidate set:\n" + p)
+  }
+
   test("q116: the train gram stream is bloom-pruned BEFORE its distinct exchange") {
     val p = planOf(graft.ops.TextOps.q116Contamination.run(spark, sfDir))
     assert(p.contains("might_contain"),
