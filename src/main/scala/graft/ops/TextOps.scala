@@ -609,6 +609,48 @@ object TextOps {
       .orderBy(col("lang"), col("source"))
   }
 
+  /** Deterministic negative sampling — the contrastive-pair builder (one
+    * anchor, K pseudo-random non-matching docs) every embedding/reranker
+    * training set needs. Negative picks derive from md5 of
+    * (anchor, slot), not rand(): reproducible run-to-run and
+    * engine-to-engine (the q68/q107 device), join-stable, and auditable —
+    * the oracle hash-matches the PAIRS, not just their count. Picks
+    * land in id space via `frac × N` (the fixture's ids are dense
+    * 0..N-1; production keeps a dense surrogate id for exactly this
+    * purpose — the standard trick, since rejection loops don't
+    * distribute). Self-collisions drop; slot j keeps the pair
+    * reproducible even after filters upstream. Plan shape: one scalar
+    * count broadcast, a 4-way per-row explode on the (tiny) anchor set,
+    * then one equi-join back to the corpus — shuffle bounded by
+    * anchors × K, never corpus × corpus. */
+  val q121NegativeSampling: QueryDef = sql(
+    "q121_negative_sampling",
+    """WITH n AS (SELECT COUNT(*) AS total FROM documents),
+      |qd AS (SELECT doc_id FROM documents WHERE doc_id % 10 = 0),
+      |cand AS (
+      |  SELECT q.doc_id, CAST(j AS INT) AS j,
+      |    CAST(FLOOR(CAST(('0x' || substr(md5('neg:' || CAST(q.doc_id AS VARCHAR) || ':' || CAST(j AS VARCHAR)), 1, 8)) AS BIGINT)
+      |         / 4294967296.0 * n.total) AS BIGINT) AS neg_id
+      |  FROM qd q, n, LATERAL (SELECT unnest(range(0, 4)) AS j))
+      |SELECT c.doc_id, c.j, c.neg_id, d.lang AS neg_lang, d.source AS neg_source
+      |FROM cand c JOIN documents d ON d.doc_id = c.neg_id
+      |WHERE c.neg_id != c.doc_id
+      |ORDER BY c.doc_id, c.j""".stripMargin) { (s, dir) =>
+    val docs = Tables.fanOut(Tables.documents(s, dir))
+    val total = docs.agg(count(lit(1)).as("total"))
+    val cand = docs.filter(col("doc_id") % 10 === 0).select(col("doc_id"))
+      .crossJoin(broadcast(total))
+      .select(col("doc_id"), explode(sequence(lit(0), lit(3))).as("j"), col("total"))
+      .select(col("doc_id"), col("j"),
+        expr("""CAST(FLOOR(CAST(conv(substring(md5(concat('neg:', CAST(doc_id AS STRING), ':', CAST(j AS STRING))), 1, 8), 16, 10) AS BIGINT)
+               |     / 4294967296.0D * total) AS BIGINT)""".stripMargin).as("neg_id"))
+      .filter(col("neg_id") =!= col("doc_id"))
+    cand.join(docs.select(col("doc_id").as("neg_id"), col("lang").as("neg_lang"),
+        col("source").as("neg_source")), "neg_id")
+      .select(col("doc_id"), col("j"), col("neg_id"), col("neg_lang"), col("neg_source"))
+      .orderBy(col("doc_id"), col("j"))
+  }
+
   /** Benchmark decontamination — the n-gram-overlap check every serious
     * training-data pipeline runs before evaluation (the GPT-3 paper's
     * 13-gram dedup, The Pile's eval-overlap audit): for each EVAL doc
@@ -815,5 +857,5 @@ object TextOps {
     q68StratifiedSample, q72Redaction, q74Chunking, q79CurationPipeline,
     q80TrigramGenerator, q99Tfidf, q100ShardPacking, q102HeavyHitters,
     q107QualitySample, q110Contingency, q116Contamination, q117Repetition,
-    q118SourceMix)
+    q118SourceMix, q121NegativeSampling)
 }
