@@ -1082,32 +1082,92 @@ object Analytics {
       .orderBy(col("l_returnflag"))
   }
 
-  /** Fuzzy entity matching: near-identical part names found by
-    * levenshtein distance WITHIN a blocking key — the classic
-    * entity-resolution shape, never corpus × corpus.
+  /** Fuzzy entity matching: near-identical names found by levenshtein
+    * distance WITHIN a blocking key — the classic entity-resolution
+    * shape, never corpus × corpus. `rows` is (key, block, name);
+    * returns (key_a, key_b, edit_dist) for within-block pairs with
+    * edit distance ≤ `maxDist`.
     *
-    * Blocking is the brand key; the expensive O(len²) DP is guarded by
-    * two RECALL-EXACT prefilters evaluated per candidate pair in
-    * codegen'd integer ops:
-    *   1. length guard — edit distance ≤ 4 bounds |Δlen| by 4;
+    * Adaptive on the DISTINCT-name cardinality (counted up front — one
+    * cheap aggregate):
+    *
+    * **Value-space path** (distinct names ≤ `valueSpaceLimit`): edit
+    * distance is a function of the NAME PAIR, not the row pair — so on
+    * low-cardinality attributes (the common entity-resolution case:
+    * catalog names, brands, addresses drawn from a bounded vocabulary)
+    * the DP runs once per distinct name pair (V² banded DPs, V=64 on
+    * the fixture vs 8M row pairs), the surviving (name_a, name_b,
+    * dist) relation broadcasts, and row pairs materialize by two
+    * EQUI-joins — pair enumeration is then bounded by the TRUE match
+    * count, never the block-pair count.
+    *
+    * **Pair-space path** (names are corpus-cardinality): enumerate
+    * within-block pairs with two RECALL-EXACT codegen'd prefilters
+    * ahead of the banded DP:
+    *   1. length guard — ED ≤ d bounds |Δlen| by d;
     *   2. bag distance — each edit changes the character multiset by at
-    *      most 2 (substitution = remove one + add one), so ED ≤ 4 ⇒
-    *      bag-L1 ≤ 8. Letter counts (capped at 15 — capping only
-    *      shrinks the measured distance, keeping the bound safe) are
-    *      packed once per NAME into two longs of 13 nibbles; the pair
-    *      test is 26 shift/mask/abs terms, ~10× cheaper than the DP,
-    *      and on word-soup names it rejects nearly every non-duplicate.
+    *      most 2, so ED ≤ d ⇒ bag-L1 ≤ 2d. Letter counts (capped at 15
+    *      — capping only shrinks the measured distance, keeping the
+    *      bound safe) are packed once per NAME into two longs of 13
+    *      nibbles; the pair test is 26 shift/mask/abs terms, ~10×
+    *      cheaper than the DP. (Counting letters only stays safe for
+    *      any alphabet: a sub-multiset's distance lower-bounds the full
+    *      bag distance.)
     * Two alternative candidate schemes were measured at sf0.1 and
-    * REJECTED (SCALE.md "Fuzzy matching"): a (brand, length-bucket)
+    * REJECTED (SCALE.md "Fuzzy matching"): a (block, length-bucket)
     * explode-join (lengths cluster into 2-3 buckets — 3× shuffle, no
     * pair cut) and PassJoin segment partitioning, Li et al. VLDB'11
     * (recall held, but the small name vocabulary aligns segments so
     * often that 4.3M of 8M pairs survived — slower than enumerating).
-    * What ships instead: the prefilters above, the banded
-    * levenshtein-with-threshold DP, and a fan-out of the under-split
-    * stream side (the 10× lever — see Tables.fanOut). Refinements must
-    * never change answers, so the oracle keeps the plain brand-join
-    * formulation and the result hash is the proof. */
+    * The under-split stream side fans out before enumeration (the 10×
+    * lever — see Tables.fanOut). Both paths return identical answers
+    * (the oracle's plain block-join formulation is the proof). */
+  def fuzzyPairs(rows: DataFrame, maxDist: Int = 4,
+                 valueSpaceLimit: Long = 4096L): DataFrame = {
+    val names = rows.select(col("name")).distinct()
+    if (names.count() <= valueSpaceLimit) {
+      val nd = names.select(col("name").as("name_a"))
+        .crossJoin(broadcast(names.select(col("name").as("name_b"))))
+        .withColumn("edit_dist", levenshtein(col("name_a"), col("name_b"), maxDist))
+        .filter(col("edit_dist").between(0, maxDist))
+      val a = rows.select(col("key").as("key_a"), col("block"), col("name").as("name_a"))
+      val b = rows.select(col("key").as("key_b"), col("block"), col("name").as("name_b"))
+      Tables.fanOut(a)
+        .join(broadcast(nd), "name_a")
+        .join(b, Seq("block", "name_b"))
+        .filter(col("key_a") < col("key_b"))
+        .select(col("key_a"), col("key_b"), col("edit_dist"))
+    } else {
+      def packHalf(half: Int): String = (0 until 13).map { j =>
+        val ch = ('a' + half * 13 + j).toChar
+        s"shiftleft(CAST(least(length(name) - length(replace(name, '$ch', '')), 15) AS BIGINT), ${4 * j})"
+      }.mkString(" + ")
+      val p = rows
+        .select(col("key"), col("block"), col("name"),
+          length(col("name")).as("len"),
+          expr(packHalf(0)).as("h0"), expr(packHalf(1)).as("h1"))
+      val a = p.select(col("key").as("key_a"), col("block"),
+        col("name").as("name_a"), col("len").as("len_a"),
+        col("h0").as("ha0"), col("h1").as("ha1"))
+      val b = p.select(col("key").as("key_b"), col("block"),
+        col("name").as("name_b"), col("len").as("len_b"),
+        col("h0").as("hb0"), col("h1").as("hb1"))
+      val bagL1 = expr((for (half <- 0 until 2; j <- 0 until 13) yield
+        s"abs((shiftright(ha$half, ${4 * j}) & 15) - (shiftright(hb$half, ${4 * j}) & 15))")
+        .mkString(" + "))
+      Tables.fanOut(a)
+        .join(b, Seq("block"))
+        .filter(col("key_a") < col("key_b") &&
+          abs(col("len_a") - col("len_b")) <= maxDist && bagL1 <= 2 * maxDist)
+        // banded DP: the threshold overload computes only the |i-j| <= d
+        // diagonal band (O(len·(2d+1)) vs O(len²)) and returns -1 past
+        // it — exact for every row the <= d filter keeps
+        .withColumn("edit_dist", levenshtein(col("name_a"), col("name_b"), maxDist))
+        .filter(col("edit_dist").between(0, maxDist))
+        .select(col("key_a"), col("key_b"), col("edit_dist"))
+    }
+  }
+
   val q97FuzzyMatch: QueryDef = sql(
     "q97_fuzzy_match",
     """SELECT a.p_partkey AS key_a, b.p_partkey AS key_b,
@@ -1116,38 +1176,8 @@ object Analytics {
       |  ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
       |WHERE levenshtein(a.p_name, b.p_name) <= 4
       |ORDER BY key_a, key_b""".stripMargin) { (s, dir) =>
-    def packHalf(half: Int): String = (0 until 13).map { j =>
-      val ch = ('a' + half * 13 + j).toChar
-      s"shiftleft(CAST(least(length(p_name) - length(replace(p_name, '$ch', '')), 15) AS BIGINT), ${4 * j})"
-    }.mkString(" + ")
-    val p = Tables.part(s, dir)
-      .select(col("p_partkey"), col("p_brand"), col("p_name"),
-        length(col("p_name")).as("len"),
-        expr(packHalf(0)).as("h0"), expr(packHalf(1)).as("h1"))
-    val a = p.select(col("p_partkey").as("key_a"), col("p_brand"),
-      col("p_name").as("name_a"), col("len").as("len_a"),
-      col("h0").as("ha0"), col("h1").as("ha1"))
-    val b = p.select(col("p_partkey").as("key_b"), col("p_brand"),
-      col("p_name").as("name_b"), col("len").as("len_b"),
-      col("h0").as("hb0"), col("h1").as("hb1"))
-    val bagL1 = expr((for (half <- 0 until 2; j <- 0 until 13) yield
-      s"abs((shiftright(ha$half, ${4 * j}) & 15) - (shiftright(hb$half, ${4 * j}) & 15))")
-      .mkString(" + "))
-    // The stream side arrives as ONE partition (part is a single small
-    // file), so the broadcast join would enumerate every within-brand
-    // pair on one core — measured 10× on this query. Fan out first: the
-    // 8M-pair enumeration + prefilter + DP then parallelizes across the
-    // cluster for the price of shuffling 20k slim rows.
-    Tables.fanOut(a)
-      .join(b, Seq("p_brand"))
-      .filter(col("key_a") < col("key_b") &&
-        abs(col("len_a") - col("len_b")) <= 4 && bagL1 <= 8)
-      // banded DP: the threshold overload computes only the |i-j| <= 4
-      // diagonal band (O(len·9) vs O(len²)) and returns -1 past it —
-      // exact for every row the <= 4 filter keeps
-      .withColumn("edit_dist", levenshtein(col("name_a"), col("name_b"), 4))
-      .filter(col("edit_dist").between(0, 4))
-      .select(col("key_a"), col("key_b"), col("edit_dist"))
+    fuzzyPairs(Tables.part(s, dir).select(
+        col("p_partkey").as("key"), col("p_brand").as("block"), col("p_name").as("name")))
       .orderBy(col("key_a"), col("key_b"))
   }
 

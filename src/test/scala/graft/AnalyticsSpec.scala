@@ -116,4 +116,16 @@ class AnalyticsSpec extends SparkSpec {
     // sequences are genuinely multi-element, not degenerate singletons
     assert(typed.filter(size(col("seq")) > 1).count() > 0)
   }
+
+  test("fuzzyPairs: value-space and pair-space paths return identical pairs") {
+    import org.apache.spark.sql.functions._
+    val rows = graft.sources.Tables.part(spark, sfDir).select(
+      col("p_partkey").as("key"), col("p_brand").as("block"), col("p_name").as("name"))
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val valueSpace = pairs(Analytics.fuzzyPairs(rows))
+    val pairSpace = pairs(Analytics.fuzzyPairs(rows, valueSpaceLimit = 0L))
+    assert(valueSpace == pairSpace)
+    assert(valueSpace.nonEmpty)
+  }
 }

@@ -233,12 +233,15 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("TakeOrderedAndProject"), "top-20 must not sort the full pair set:\n" + p)
   }
 
-  test("q97: fuzzy match stays an equi-join with the fan-out exchange") {
+  test("q97: fuzzy match materializes pairs by equi-joins in the value space") {
     val p = planOf(Analytics.q97FuzzyMatch.run(spark, sfDir))
-    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
-    // the under-split stream side must be fanned out before pair enumeration
+    assert(!p.contains("CartesianProduct"), p)
+    // the V×V distinct-name DP relation is dimension-sized and must
+    // broadcast; row pairs then come from equi-joins bounded by the true
+    // match count — never the within-block pair count
+    assert(p.contains("BroadcastHashJoin"), "name-pair relation must broadcast:\n" + p)
     assert(p.contains("ROUND_ROBIN") || p.contains("RoundRobin") || p.contains("Exchange"),
-      "stream side must repartition for parallel pair enumeration:\n" + p)
+      "stream side must repartition for parallel pair materialization:\n" + p)
   }
 
   test("q111: wide-simhash candidates come from part equi-joins, never all-pairs") {
