@@ -508,8 +508,49 @@ object Similarity {
       .limit(10)
   }
 
+  /** Semantic deduplication (SemDeDup, Abbas et al. 2023,
+    * arXiv:2303.09540): drop documents whose embeddings near-duplicate a
+    * lower-id document in the SAME k-means cluster. The trained clusters
+    * (q119) are what make the quadratic tractable — pairwise cosine runs
+    * only within a cluster, so pair volume is Σ|cluster|², bounded at
+    * scale by growing k with the corpus (the paper's recipe), never
+    * corpus². Keep-lowest-id makes the decision deterministic; cosines
+    * ride the codegen'd native expression, bit-identical to the oracle's
+    * fold (q45's property), so the KEPT SET itself hash-verifies.
+    * Composition: q119 training → assignment → within-cluster blocked
+    * pairs (q37's shape with LEARNED blocks) → anti-membership decision. */
+  val q122SemanticDedup: QueryDef = sql(
+    "q122_semantic_dedup",
+    s"""$kmeansSqlPrefix,
+       |${withNormSql()},
+       |m AS (SELECT n.vec_id, a.cid, n.embedding, n.nrm
+       |      FROM n JOIN a3 a USING (vec_id)),
+       |pr AS (SELECT a.vec_id AS va, b.vec_id AS vb,
+       |         ${dotSql("a.embedding", "b.embedding")} / (a.nrm * b.nrm) AS cosine
+       |       FROM m a JOIN m b ON a.cid = b.cid AND a.vec_id < b.vec_id),
+       |dup AS (SELECT DISTINCT vb FROM pr WHERE cosine > 0.35)
+       |SELECT m.vec_id, CAST(m.cid AS INT) AS cid, (d.vb IS NULL) AS kept
+       |FROM m LEFT JOIN dup d ON d.vb = m.vec_id
+       |ORDER BY m.vec_id""".stripMargin) { (s, dir) =>
+    graft.functions.CosineSimilarity.register(s)
+    val v = quantizedLong(s, dir)
+    val assigned = assignToCentroids(v, kmeansCentroids(v, k = 8, iters = 2))
+      .select(col("vec_id"), col("cid"))
+    val m = Tables.embeddings(s, dir).join(assigned, "vec_id")
+      .select(col("vec_id"), col("cid"), col("embedding"))
+    val a = m.select(col("vec_id").as("va"), col("cid"), col("embedding").as("ea"))
+    val b = m.select(col("vec_id").as("vb"), col("cid"), col("embedding").as("eb"))
+    val dup = a.join(b, "cid").filter(col("va") < col("vb"))
+      .filter(expr("cosine_sim_native(ea, eb)") > 0.35)
+      .select(col("vb").as("vec_id")).distinct()
+    m.join(dup.withColumn("hit", lit(1)), Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cid").cast("int").as("cid"),
+        col("hit").isNull.as("kept"))
+      .orderBy(col("vec_id"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     q36ArrayNorms, q37EmbeddingNeardup, q38AnnBruteforce, q39AnnIvf,
     q45AnnNative, q52AnnLsh, q61AnnQuantized, q119KmeansTrain,
-    q120AnnIvfTrained)
+    q120AnnIvfTrained, q122SemanticDedup)
 }
