@@ -81,7 +81,8 @@ object ScaleSmoke {
       "q85_dedup_clusters", "q99_tfidf", "q100_shard_packing",
       "q107_quality_sample", "q108_incremental_dedup", "q111_simhash_wide",
       "q116_contamination", "q117_repetition", "q118_source_mix",
-      "q119_kmeans_train", "q120_ann_ivf_trained")
+      "q119_kmeans_train", "q120_ann_ivf_trained", "q121_negative_sampling",
+      "q122_semantic_dedup")
     println(s"== smoke mult=$mult docs=$nDocs vecs=$nVecs dir=$dir ==")
     targets.foreach { name =>
       // noop sink, same as Bench: a count() terminal would let Catalyst

@@ -329,6 +329,26 @@ class PlanSpec extends SparkSpec {
       "top-10 must not globally sort the candidate set:\n" + p)
   }
 
+  test("q121: negative picks ride ONE corpus equi-join — never a cross product") {
+    val p = planOf(graft.ops.TextOps.q121NegativeSampling.run(spark, sfDir))
+    // the only nested-loop is the single-row corpus-count broadcast
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("Generate"), "K slots must expand map-side (explode):\n" + p)
+    val joins = "SortMergeJoin|BroadcastHashJoin|ShuffledHashJoin".r
+      .findAllIn(p).length
+    assert(joins <= 2, s"anchor fan-out must stay one corpus equi-join, found $joins:\n$p")
+  }
+
+  test("q122: semantic-dedup pairs are blocked by the learned cluster id") {
+    val p = planOf(Similarity.q122SemanticDedup.run(spark, sfDir))
+    assert(!p.contains("CartesianProduct"), p)
+    // the pairwise stage must key on cid — a join with no cid key would
+    // be the corpus×corpus SemDeDup explicitly avoids
+    assert(p.contains("cid"), p)
+    assert(p.contains("cosinesimilarity"),
+      "pair cosines must ride the codegen'd native expression:\n" + p)
+  }
+
   test("q116: the train gram stream is bloom-pruned BEFORE its distinct exchange") {
     val p = planOf(graft.ops.TextOps.q116Contamination.run(spark, sfDir))
     assert(p.contains("might_contain"),
