@@ -98,6 +98,20 @@ object ScaleSmoke {
       spark.catalog.clearCache()
     }
 
+    // SemDeDup at the paper's k ∝ N recipe: q122's contract face pins
+    // k=8 (oracle), under which within-cluster pair volume is N²/8 —
+    // quadratic. Growing k with the corpus holds cluster size at the
+    // 10× reference (~2.5k vectors), making pair volume linear in N.
+    if (nVecs > 20000) {
+      val kScaled = math.max(8, (8L * nVecs / 20000L).toInt)
+      val t0k = System.nanoTime()
+      graft.ops.Similarity.semanticDedup(spark, dir, kScaled, 2)
+        .write.format("noop").mode("overwrite").save()
+      val dtk = (System.nanoTime() - t0k) / 1e9
+      println(f"semdedup_k_scaled(k=$kScaled%d) $dtk%8.2f s")
+      spark.catalog.clearCache()
+    }
+
     // adversarial-diameter connected components: ONE chain of n nodes —
     // min-label propagation's worst case (rounds = diameter = n); the
     // large-star/small-star contraction must collapse it in O(log n)

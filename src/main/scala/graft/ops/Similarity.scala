@@ -401,6 +401,26 @@ object Similarity {
     cents
   }
 
+  /** Persist trained centroids as the index artifact (parquet,
+    * (cid, vec) rows) — the piece an IVF build keeps between the
+    * training job and every serving job. Integer coordinates survive
+    * the round-trip exactly, so load-then-assign is bit-identical to
+    * train-then-assign (spec-pinned in AnnQualitySpec). */
+  def saveCentroids(s: SparkSession, cents: Seq[(Long, Seq[Long])], path: String): Unit = {
+    import scala.jdk.CollectionConverters._
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("cid", org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("vec", org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.LongType, containsNull = false), nullable = false)))
+    val rows = cents.map { case (cid, v) => org.apache.spark.sql.Row(cid, v) }
+    s.createDataFrame(rows.asJava, schema).repartition(1).write.mode("overwrite").parquet(path)
+  }
+
+  def loadCentroids(s: SparkSession, path: String): Seq[(Long, Seq[Long])] =
+    s.read.parquet(path).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1).toSeq)
+      .sortBy(_._1).toSeq
+
   /** Nearest-centroid assignment (exact integer L2, ties to the lowest
     * cid): adds `dists` (per-centroid distance array in ascending-cid
     * order), `dist` (best), and `cid`. One fused per-row HOF pass. */
@@ -532,21 +552,30 @@ object Similarity {
        |SELECT m.vec_id, CAST(m.cid AS INT) AS cid, (d.vb IS NULL) AS kept
        |FROM m LEFT JOIN dup d ON d.vb = m.vec_id
        |ORDER BY m.vec_id""".stripMargin) { (s, dir) =>
+    semanticDedup(s, dir, k = 8, iters = 2).orderBy(col("vec_id"))
+  }
+
+  /** q122's pipeline at arbitrary k — the contract face pins k=8/iters=2
+    * for the unrolled oracle; SCALE runs grow k with the corpus (the
+    * paper's recipe) so cluster size, and with it pair volume per
+    * vector, stays constant: N²/k is linear in N when k ∝ N
+    * (measured in SCALE.md). */
+  def semanticDedup(s: SparkSession, dir: String, k: Int, iters: Int,
+                    threshold: Double = 0.35): DataFrame = {
     graft.functions.CosineSimilarity.register(s)
     val v = quantizedLong(s, dir)
-    val assigned = assignToCentroids(v, kmeansCentroids(v, k = 8, iters = 2))
+    val assigned = assignToCentroids(v, kmeansCentroids(v, k, iters))
       .select(col("vec_id"), col("cid"))
     val m = Tables.embeddings(s, dir).join(assigned, "vec_id")
       .select(col("vec_id"), col("cid"), col("embedding"))
     val a = m.select(col("vec_id").as("va"), col("cid"), col("embedding").as("ea"))
     val b = m.select(col("vec_id").as("vb"), col("cid"), col("embedding").as("eb"))
     val dup = a.join(b, "cid").filter(col("va") < col("vb"))
-      .filter(expr("cosine_sim_native(ea, eb)") > 0.35)
+      .filter(expr("cosine_sim_native(ea, eb)") > threshold)
       .select(col("vb").as("vec_id")).distinct()
     m.join(dup.withColumn("hit", lit(1)), Seq("vec_id"), "left")
       .select(col("vec_id"), col("cid").cast("int").as("cid"),
         col("hit").isNull.as("kept"))
-      .orderBy(col("vec_id"))
   }
 
   val all: Seq[QueryDef] = Seq(

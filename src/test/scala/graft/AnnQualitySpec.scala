@@ -90,6 +90,17 @@ class AnnQualitySpec extends SparkSpec {
     assert(inertia2 <= inertia0, s"Lloyd increased inertia: $inertia0 -> $inertia2")
   }
 
+  test("centroids survive the parquet round-trip bit-exactly") {
+    import org.apache.spark.sql.functions._
+    val dir = generateClustered()
+    val v = graft.sources.Tables.embeddings(spark, dir).select(col("vec_id"), expr(
+      "transform(embedding, x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000000.0D + 0.5D) AS BIGINT))").as("qv"))
+    val cents = Similarity.kmeansCentroids(v, k = 8, iters = 2)
+    val path = java.nio.file.Files.createTempDirectory("graft-cent").toString + "/centroids.parquet"
+    Similarity.saveCentroids(spark, cents, path)
+    assert(Similarity.loadCentroids(spark, path) == cents)
+  }
+
   test("trained-quantizer IVF recall matches brute force on clustered data") {
     val dir = generateClustered()
     val brute = Similarity.q38AnnBruteforce.run(spark, dir).collect().map(_.getLong(0)).toSet
