@@ -362,9 +362,14 @@ object Similarity {
     * exact integer arithmetic, identical in Spark and DuckDB regardless
     * of aggregation order — what makes an ITERATIVE float algorithm
     * hash-verifiable across engines at all. */
-  private def quantizedLong(s: SparkSession, dir: String): DataFrame =
-    Tables.embeddings(s, dir).select(col("vec_id"), expr(
+  /** Quantize an (vec_id, embedding array<float>) frame to (vec_id, qv
+    * array<bigint>) — the integer domain every k-means face works in. */
+  def quantizeVectors(df: DataFrame): DataFrame =
+    df.select(col("vec_id"), expr(
       "transform(embedding, x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000000.0D + 0.5D) AS BIGINT))").as("qv"))
+
+  private def quantizedLong(s: SparkSession, dir: String): DataFrame =
+    quantizeVectors(Tables.embeddings(s, dir))
 
   /** Distributed Lloyd k-means over (vec_id, qv array<bigint>) frames:
     * `iters` rounds of assign + update, then a final assignment; returns

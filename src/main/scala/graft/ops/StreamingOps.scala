@@ -372,6 +372,55 @@ object StreamingOps {
       .start()
   }
 
+  /** Streaming mini-batch k-means (Sculley, WWW'10 §3): vector files
+    * arrive as a file-source stream; each micro-batch assigns to the
+    * CURRENT centroids (one distributed scan through
+    * [[Similarity.assignToCentroids]] — the same fused HOF argmin as the
+    * batch trainer) and centroids then move by exact integer running
+    * sums: state is (cid, n, Σvec) longs, centroid = floor(Σ/n). The
+    * online counterpart of q119 — how a served IVF index (q120) absorbs
+    * corpus growth without retraining from scratch. Integer state makes
+    * the stream bit-deterministic: StreamingSpec replays the same batch
+    * sequence with a driver-side reference and requires EXACT state
+    * equality after every trigger. Production persists `state` between
+    * runs via [[Similarity.saveCentroids]]-style parquet behind the
+    * rename commit protocol (Dedup.persistedCorpusState's shape);
+    * per-trigger cost is one scan of the trigger's file plus a k·d-row
+    * aggregate. */
+  def kmeansStream(s: SparkSession, stagedDir: String,
+      init: Seq[(Long, Seq[Long])])(
+      onBatch: (Long, DataFrame, Seq[(Long, Long, Seq[Long])]) => Unit): org.apache.spark.sql.streaming.StreamingQuery = {
+    // (cid, n, sums): each init centroid is a 1-vector cluster
+    @volatile var state: Seq[(Long, Long, Seq[Long])] =
+      init.map { case (cid, v) => (cid, 1L, v) }
+    s.readStream.schema("vec_id LONG, embedding ARRAY<FLOAT>")
+      .option("maxFilesPerTrigger", "1")
+      .parquet(stagedDir)
+      .writeStream
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        val cents = state.map { case (cid, n, sums) =>
+          cid -> sums.map(x => math.floor(x.toDouble / n).toLong) }
+        val upd = Similarity.assignToCentroids(Similarity.quantizeVectors(batch), cents)
+          .select(col("cid"), posexplode(col("qv")).as(Seq("pos", "v")))
+          .groupBy(col("cid"), col("pos"))
+          .agg(sum(col("v")).as("sv"), count(lit(1)).as("c"))
+          .collect()
+          .groupBy(_.getLong(0))
+        state = state.map { case (cid, n, sums) =>
+          upd.get(cid) match {
+            case Some(rows) =>
+              val dn = rows.head.getLong(3)
+              val svByPos = rows.map(r => r.getInt(1) -> r.getLong(2)).toMap
+              (cid, n + dn, sums.indices.map(i => sums(i) + svByPos(i)))
+            case None => (cid, n, sums)
+          }
+        }
+        onBatch(id, batch, state)
+      }
+      .start()
+  }
+
   /** Custom state: running per-user event count + max value via
     * mapGroupsWithState (update mode). */
   def runningUserStats(s: SparkSession, events: DataFrame): DataFrame = {

@@ -310,6 +310,64 @@ class StreamingSpec extends SparkSpec {
     assert(got.map(_._2).intersect(Set("exact_dup", "near_dup", "unique")).nonEmpty)
   }
 
+  test("streaming mini-batch k-means state equals a driver-side replay") {
+    import scala.collection.concurrent.TrieMap
+    def quant(a: Seq[Float]): Seq[Long] =
+      a.map(x => math.floor(x.toDouble * 1000000.0 + 0.5).toLong)
+    val emb = Tables.embeddings(spark, sfDir).select(col("vec_id"), col("embedding"))
+    // same init as the batch trainer: the k lowest vec_ids
+    val init = emb.filter(col("vec_id") < 8).orderBy(col("vec_id")).collect()
+      .map(r => r.getLong(0) -> quant(r.getSeq[Float](1))).toSeq
+    // remaining vectors arrive as three micro-batch files
+    val srcDir = Files.createTempDirectory("graft-km-src")
+    def stage(k: Long, name: String): Unit = {
+      val tmp = Files.createTempDirectory("graft-km-stage").toString
+      emb.filter(col("vec_id") >= 8 && col("vec_id") % 3 === k)
+        .coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(_.getName.endsWith(".parquet")).get.toPath
+      Files.copy(part, srcDir.resolve(name), StandardCopyOption.REPLACE_EXISTING)
+    }
+    stage(0, "a.parquet"); stage(1, "b.parquet"); stage(2, "c.parquet")
+    val rec = TrieMap.empty[Long, (Array[(Long, Seq[Long])], Seq[(Long, Long, Seq[Long])])]
+    val q = StreamingOps.kmeansStream(spark, srcDir.toString, init) { (id, batch, st) =>
+      val rows = batch.select(col("vec_id"), col("embedding")).collect()
+        .map(r => r.getLong(0) -> quant(r.getSeq[Float](1)))
+      rec(id) = (rows, st)
+    }
+    val terminated = q.awaitTermination(180000)
+    if (!terminated) q.stop()
+    assert(terminated, "k-means stream did not finish")
+    assert(rec.size > 1, "multiple micro-batches must have run")
+    // driver-side replay of the identical batch sequence — exact integer
+    // arithmetic means the distributed state must match BIT-FOR-BIT
+    var state: Seq[(Long, Long, Seq[Long])] = init.map { case (cid, v) => (cid, 1L, v) }
+    rec.keys.toSeq.sorted.foreach { id =>
+      val (rows, streamed) = rec(id)
+      val cents = state.map { case (cid, n, s) =>
+        (cid, s.map(x => math.floor(x.toDouble / n).toLong)) }
+      val sums = scala.collection.mutable.Map.empty[Long, (Long, Array[Long])]
+      rows.foreach { case (_, qv) =>
+        val best = cents.map { case (cid, c) =>
+          cid -> qv.indices.map { i => val d = qv(i) - c(i); d * d }.sum
+        }.minBy { case (cid, d) => (d, cid) }._1
+        val (n0, acc) = sums.getOrElseUpdate(best, (0L, Array.fill(qv.length)(0L)))
+        qv.indices.foreach(i => acc(i) += qv(i))
+        sums(best) = (n0 + 1, acc)
+      }
+      state = state.map { case (cid, n, s) =>
+        sums.get(cid) match {
+          case Some((dn, acc)) => (cid, n + dn, s.indices.map(i => s(i) + acc(i)).toSeq)
+          case None => (cid, n, s)
+        }
+      }
+      assert(streamed == state, s"state diverged at trigger $id")
+    }
+    // the stream genuinely moved centroids off their init positions
+    val moved = rec(rec.keys.max)._2.count { case (_, n, _) => n > 1 }
+    assert(moved > 0, "no cluster absorbed any streamed vector")
+  }
+
   test("transformWithState running stats converge to batch counts (RocksDB)") {
     // transformWithState requires the RocksDB state store provider
     val key = "spark.sql.streaming.stateStore.providerClass"
