@@ -769,10 +769,15 @@ object TextOps {
   def sourceRates(docs: DataFrame, weight: Column): DataFrame = {
     val c = docs.groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
       .withColumn("weight", weight)
-    val cap = c.agg(min(col("n_docs").cast("double") / col("weight")).as("cap"))
+      // divide in DOUBLE (ANSI integral division throws on zero) and
+      // keep zero/negative weights out of the cap: such a source gets
+      // rate 0 — excluded from the mix, not an error
+      .withColumn("wd", col("weight").cast("double"))
+    val cap = c.filter(col("wd") > 0)
+      .agg(min(col("n_docs").cast("double") / col("wd")).as("cap"))
     c.crossJoin(broadcast(cap))
       .select(col("source"), col("weight"), col("n_docs"),
-        least(lit(1.0), col("weight") * col("cap") / col("n_docs")).as("rate"))
+        least(lit(1.0), col("wd") * col("cap") / col("n_docs").cast("double")).as("rate"))
   }
 
   /** Domain-mixture rebalancing: deterministically down-sample each

@@ -49,4 +49,25 @@ class TextQualitySpec extends SparkSpec {
       .select(col("doc_id")).collect().map(_.getLong(0)).toSet
     assert(ids1 == ids2)
   }
+
+  test("source remix: a zero-weight source is excluded, not an error") {
+    import spark.implicits._
+    val docs = ((0 until 10).map(i => (i.toLong, "keep")) ++
+      (10 until 20).map(i => (i.toLong, "drop"))).toDF("doc_id", "source")
+    val w = when(col("source") === "drop", 0).otherwise(1)
+    val kept = TextOps.remixSources(docs, w).select(col("source")).distinct()
+      .collect().map(_.getString(0)).toSet
+    assert(kept == Set("keep"), s"zero-weight source must drop, got $kept")
+  }
+
+  test("fuzzyPairs at maxDist=0 reduces to exact within-block name equality") {
+    import spark.implicits._
+    val rows = Seq(
+      (1L, "b1", "same"), (2L, "b1", "same"), (3L, "b1", "close"),
+      (4L, "b2", "same")) // same name, different block: must NOT pair
+      .toDF("key", "block", "name")
+    val got = graft.ops.Analytics.fuzzyPairs(rows, maxDist = 0).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(got == Set((1L, 2L, 0)))
+  }
 }
