@@ -609,6 +609,103 @@ object TextOps {
       .orderBy(col("lang"), col("source"))
   }
 
+  /** The round-4 capstone: a full pretraining-corpus build as ONE query —
+    * repetition gate (q117's Gopher thresholds) ∧ quality gate (q107's
+    * score ≥ 0.3) → eval-set exclusion → exact dedup (keep-lowest-id per
+    * text hash) → decontamination (drop train docs with > 0.5 5-gram
+    * overlap against the eval set — q116's machinery with the roles
+    * swapped) → domain-mixture rebalance (q118's rates over the
+    * SURVIVING per-source counts). Emits the final corpus rows, so the
+    * hash proves every stage decided identically in both engines — the
+    * composability claim (each stage is the already-verified library
+    * operator) made checkable end-to-end. Plan shape: per-doc gates are
+    * scan-level; dedup is one keyed window; decontamination is the
+    * Bloom-prunable gram join; the mixture is a dim-sized broadcast —
+    * the whole build is linear scans + bounded-key shuffles at any
+    * corpus size. */
+  val q123CorpusBuild: QueryDef = sql(
+    "q123_corpus_build",
+    """WITH base AS (
+      |  SELECT doc_id, lang, source, text, string_split(text, ' ') AS toks
+      |  FROM documents WHERE len(string_split(text, ' ')) >= 5),
+      |big AS (SELECT doc_id, array_to_string(list_slice(toks, i, i + 1), ' ') AS g
+      |        FROM base, LATERAL (SELECT unnest(range(1, len(toks))) AS i)),
+      |bc AS (SELECT doc_id, g, COUNT(*) AS c FROM big GROUP BY 1, 2),
+      |bstat AS (SELECT doc_id, MAX(c) AS max_big, CAST(SUM(c) AS BIGINT) AS tot_big
+      |          FROM bc GROUP BY 1),
+      |five AS (SELECT doc_id, array_to_string(list_slice(toks, i, i + 4), ' ') AS g
+      |         FROM base, LATERAL (SELECT unnest(range(1, len(toks) - 3)) AS i)),
+      |fstat AS (SELECT doc_id, COUNT(*) AS tot5, COUNT(DISTINCT g) AS uniq5
+      |          FROM five GROUP BY 1),
+      |rep_ok AS (SELECT b.doc_id FROM bstat b JOIN fstat f USING (doc_id)
+      |           WHERE CAST(b.max_big AS DOUBLE) / b.tot_big <= 0.18
+      |             AND 1.0 - CAST(f.uniq5 AS DOUBLE) / f.tot5 <= 0.3),
+      |qual_ok AS (SELECT doc_id FROM base
+      |            WHERE (CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks))
+      |              * (1.0 - CAST(len(list_filter(toks, x -> x = 'the' OR x = 'a')) AS DOUBLE) / len(toks))
+      |              * LEAST(1.0, CAST(len(toks) AS DOUBLE) / 50.0) >= 0.3),
+      |gated AS (SELECT base.* FROM base
+      |          JOIN rep_ok USING (doc_id) JOIN qual_ok USING (doc_id)
+      |          WHERE doc_id % 50 <> 0),
+      |ded AS (SELECT * FROM (
+      |          SELECT *, ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+      |          FROM gated) WHERE rn = 1),
+      |evalg AS (SELECT DISTINCT array_to_string(list_slice(toks, i, i + 4), ' ') AS g
+      |          FROM (SELECT string_split(text, ' ') AS toks FROM documents
+      |                WHERE doc_id % 50 = 0 AND len(string_split(text, ' ')) >= 5) t,
+      |               LATERAL (SELECT unnest(range(1, len(toks) - 3)) AS i)),
+      |dg AS (SELECT DISTINCT d.doc_id, array_to_string(list_slice(d.toks, i, i + 4), ' ') AS g
+      |       FROM ded d, LATERAL (SELECT unnest(range(1, len(d.toks) - 3)) AS i)),
+      |ov AS (SELECT dg.doc_id, COUNT(*) AS n_g,
+      |         SUM(CASE WHEN e.g IS NOT NULL THEN 1 ELSE 0 END) AS n_hit
+      |       FROM dg LEFT JOIN evalg e USING (g) GROUP BY 1),
+      |clean AS (SELECT d.* FROM ded d JOIN ov USING (doc_id)
+      |          WHERE CAST(ov.n_hit AS DOUBLE) / ov.n_g <= 0.5),
+      |c AS (SELECT source, (CAST(substr(source, 4) AS INT) % 4) + 1 AS weight,
+      |             COUNT(*) AS n_docs
+      |      FROM clean GROUP BY 1),
+      |m AS (SELECT MIN(CAST(n_docs AS DOUBLE) / weight) AS cap FROM c),
+      |r AS (SELECT source, LEAST(1.0, weight * m.cap / n_docs) AS rate FROM c, m)
+      |SELECT cl.doc_id, cl.lang, cl.source,
+      |  CAST(len(cl.toks) AS BIGINT) AS n_tokens
+      |FROM clean cl JOIN r USING (source)
+      |WHERE CAST(('0x' || substr(md5('mix:' || CAST(doc_id AS VARCHAR)), 1, 4)) AS INT) / 65536.0 < r.rate
+      |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    val base = Tables.fanOut(Tables.documents(s, dir))
+      .withColumn("toks", split(col("text"), " "))
+      .filter(size(col("toks")) >= 5)
+    val repOk = repetitionMetrics(base)
+      .filter(!col("repetitive")).select(col("doc_id"))
+    val qualOk = base
+      .withColumn("n_tokens", size(col("toks")))
+      .withColumn("n_stop", expr("size(filter(toks, x -> x = 'the' OR x = 'a'))"))
+      .withColumn("n_uniq", size(array_distinct(col("toks"))))
+      .filter((col("n_uniq").cast("double") / col("n_tokens")) *
+        (lit(1.0) - col("n_stop").cast("double") / col("n_tokens")) *
+        least(lit(1.0), col("n_tokens").cast("double") / 50.0) >= 0.3)
+      .select(col("doc_id"))
+    val gated = base.filter(col("doc_id") % 50 =!= 0)
+      .join(repOk, "doc_id").join(qualOk, "doc_id")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(md5(col("text"))).orderBy(col("doc_id"))
+    // ded feeds the contamination gram chain AND the final join; clean
+    // feeds the mixture rates AND the remix filter — persist both so the
+    // gate/dedup prefix runs once, not once per consumer
+    val ded = gated.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1).drop("rn")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val evalDocs = Tables.documents(s, dir).filter(col("doc_id") % 50 === 0)
+      .select(col("doc_id"), col("text"))
+    val clean = ded.join(
+      contamination(ded.select(col("doc_id"), col("text")), evalDocs)
+        .filter(!col("contaminated")).select(col("doc_id")), "doc_id")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    remixSources(clean, expr("(CAST(substring(source, 4) AS INT) % 4) + 1"))
+      .select(col("doc_id"), col("lang"), col("source"),
+        size(col("toks")).cast("long").as("n_tokens"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Deterministic negative sampling — the contrastive-pair builder (one
     * anchor, K pseudo-random non-matching docs) every embedding/reranker
     * training set needs. Negative picks derive from md5 of
@@ -862,5 +959,5 @@ object TextOps {
     q68StratifiedSample, q72Redaction, q74Chunking, q79CurationPipeline,
     q80TrigramGenerator, q99Tfidf, q100ShardPacking, q102HeavyHitters,
     q107QualitySample, q110Contingency, q116Contamination, q117Repetition,
-    q118SourceMix, q121NegativeSampling)
+    q118SourceMix, q121NegativeSampling, q123CorpusBuild)
 }

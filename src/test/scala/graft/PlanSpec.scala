@@ -349,6 +349,23 @@ class PlanSpec extends SparkSpec {
       "pair cosines must ride the codegen'd native expression:\n" + p)
   }
 
+  test("q123: the corpus build caches shared prefixes and never goes all-pairs") {
+    val p = planOf(graft.ops.TextOps.q123CorpusBuild.run(spark, sfDir))
+    assert(!p.contains("CartesianProduct"), p)
+    // the only nested-loop join allowed is the mixture's single-row `cap`
+    // scalar broadcast (q118's pattern) — never a data-sized side
+    assert("BroadcastNestedLoopJoin(?! BuildRight, Cross)".r
+      .findFirstIn(p).isEmpty,
+      s"non-scalar nested-loop join in the build plan:\n${p.take(4000)}")
+    // ded/clean each feed two consumers; the gate+dedup prefix must be
+    // served from the persisted cache, not recomputed per consumer
+    assert(p.contains("InMemoryTableScan"),
+      s"shared prefixes must come from the cache:\n$p")
+    // decontamination rides the bloom-pruned gram join (q116's machinery)
+    assert(p.contains("might_contain"),
+      s"gram join must carry the bloom probe:\n$p")
+  }
+
   test("q116: the train gram stream is bloom-pruned BEFORE its distinct exchange") {
     val p = planOf(graft.ops.TextOps.q116Contamination.run(spark, sfDir))
     assert(p.contains("might_contain"),

@@ -60,6 +60,43 @@ class TextQualitySpec extends SparkSpec {
     assert(kept == Set("keep"), s"zero-weight source must drop, got $kept")
   }
 
+  test("q123: every corpus-build survivor passes each stage's gate") {
+    val out = TextOps.q123CorpusBuild.run(spark, sfDir).collect()
+    assert(out.nonEmpty, "the build must keep a non-empty corpus")
+    val ids = out.map(_.getAs[Long]("doc_id"))
+    assert(ids.distinct.length == ids.length)
+    // eval partition (doc_id % 50 == 0) is excluded before dedup
+    assert(ids.forall(_ % 50 != 0))
+    val idSet = ids.toSet
+    val survivors = graft.sources.Tables.documents(spark, sfDir)
+      .filter(col("doc_id").isin(idSet.toSeq.map(Long.box): _*))
+      .withColumn("toks", split(col("text"), " "))
+    // exact dedup held: no two survivors share a text hash
+    val nHashes = survivors.select(md5(col("text"))).distinct().count()
+    assert(nHashes == idSet.size, s"$nHashes hashes for ${idSet.size} docs")
+    // repetition gate held: recomputing q117's metrics flags none of them
+    val rep = TextOps.repetitionMetrics(survivors)
+      .filter(col("repetitive")).count()
+    assert(rep == 0L, s"$rep repetitive docs survived the build")
+    // quality gate held: recomputing q107's score clears the 0.3 floor
+    val lowQ = survivors
+      .withColumn("n", size(col("toks")))
+      .withColumn("score",
+        (size(array_distinct(col("toks"))).cast("double") / col("n")) *
+          (lit(1.0) - expr("size(filter(toks, x -> x = 'the' OR x = 'a'))")
+            .cast("double") / col("n")) *
+          least(lit(1.0), col("n").cast("double") / 50.0))
+      .filter(col("score") < 0.3).count()
+    assert(lowQ == 0L, s"$lowQ below-threshold docs survived the build")
+    // decontamination held: no survivor overlaps the eval grams above 0.5
+    val evalDocs = graft.sources.Tables.documents(spark, sfDir)
+      .filter(col("doc_id") % 50 === 0).select(col("doc_id"), col("text"))
+    val contaminated = TextOps.contamination(
+      survivors.select(col("doc_id"), col("text")), evalDocs)
+      .filter(col("contaminated")).count()
+    assert(contaminated == 0L, s"$contaminated contaminated docs survived")
+  }
+
   test("fuzzyPairs at maxDist=0 reduces to exact within-block name equality") {
     import spark.implicits._
     val rows = Seq(
