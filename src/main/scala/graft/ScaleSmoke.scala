@@ -82,7 +82,7 @@ object ScaleSmoke {
       "q107_quality_sample", "q108_incremental_dedup", "q111_simhash_wide",
       "q116_contamination", "q117_repetition", "q118_source_mix",
       "q119_kmeans_train", "q120_ann_ivf_trained", "q121_negative_sampling",
-      "q122_semantic_dedup")
+      "q122_semantic_dedup", "q123_corpus_build")
     println(s"== smoke mult=$mult docs=$nDocs vecs=$nVecs dir=$dir ==")
     targets.foreach { name =>
       // noop sink, same as Bench: a count() terminal would let Catalyst
