@@ -372,6 +372,74 @@ object StreamingOps {
       .start()
   }
 
+  /** Streaming face of the corpus-build capstone (q123) — the actual
+    * 100 TB ingest loop: document files arrive staged IN doc_id ORDER;
+    * each trigger runs the SAME per-doc gate prefix as the batch build
+    * ([[TextOps.curationGates]], shared code so the faces can't drift),
+    * exact-dedups against the accumulated text-hash state (first-seen
+    * under ordered arrival ≡ the batch's keep-lowest-id), and
+    * decontaminates against the FIXED eval set via the verified
+    * [[TextOps.contamination]] operator (per-trigger bloom of the
+    * trigger's grams prunes the eval-gram pass). Accepted rows flow to
+    * `onBatch`; their hashes append to `stateDir` (parquet — the state a
+    * pipeline persists between runs, same posture as
+    * `Dedup.persistedCorpusState`). The mixture rebalance (q118) is
+    * inherently corpus-global — rates depend on FINAL per-source
+    * survivor counts — so it stays a batch post-pass over the
+    * accumulated survivors; StreamingSpec proves stream survivors +
+    * post-pass ≡ q123's batch output row-for-row.
+    *
+    * Per-trigger cost: one scan of the trigger's file (gates are
+    * scan-level), one anti-join against the hash state, one pruned pass
+    * over the (small, fixed) eval set — never a pass over the
+    * accumulated corpus text. The hash state is the only thing that
+    * grows, at 32 bytes/doc. */
+  def corpusBuildStream(s: SparkSession, stagedDir: String,
+      evalDocs: DataFrame, stateDir: String)(
+      onBatch: (Long, DataFrame) => Unit): org.apache.spark.sql.streaming.StreamingQuery = {
+    import org.apache.spark.sql.types.{StructField, StructType, StringType}
+    val schema = "doc_id LONG, text STRING, lang STRING, source STRING, n_chars LONG"
+    // initialize an empty hash state so the first trigger's read succeeds
+    s.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),
+      StructType(Seq(StructField("h", StringType))))
+      .write.mode("overwrite").parquet(stateDir)
+    s.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(stagedDir)
+      .writeStream
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        // re-base the micro-batch: the sink-provided frame carries fixed
+        // attribute ids that the analyzer can't deduplicate through the
+        // gate prefix's self-joins (aggregates of the batch joined back
+        // to the batch)
+        val b = s.createDataFrame(batch.rdd, batch.schema)
+        val gated = TextOps.curationGates(b)
+        val w = Window.partitionBy(col("h")).orderBy(col("doc_id"))
+        val ded = gated.withColumn("h", md5(col("text")))
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1).drop("rn")
+          .join(s.read.parquet(stateDir), Seq("h"), "left_anti")
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try {
+          val (ov, gramsHandle) = TextOps.contaminationWithHandle(
+            ded.select(col("doc_id"), col("text")), evalDocs, 5, 0.5)
+          try {
+            val accepted = ded.join(
+              ov.filter(!col("contaminated")).select(col("doc_id")), "doc_id")
+              .select(col("doc_id"), col("lang"), col("source"),
+                size(col("toks")).cast("long").as("n_tokens"))
+            onBatch(id, accepted)
+          } finally gramsHandle.unpersist()
+          // append LAST: ded's lineage anti-joins the state it reads, so
+          // every in-trigger action must see the pre-append snapshot —
+          // even if the persisted handle is dropped and ded recomputes
+          ded.select(col("h")).write.mode("append").parquet(stateDir)
+        } finally ded.unpersist()
+      }
+      .start()
+  }
+
   /** Streaming mini-batch k-means (Sculley, WWW'10 §3): vector files
     * arrive as a file-source stream; each micro-batch assigns to the
     * CURRENT centroids (one distributed scan through

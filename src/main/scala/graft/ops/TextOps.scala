@@ -609,6 +609,33 @@ object TextOps {
       .orderBy(col("lang"), col("source"))
   }
 
+  /** The per-doc gate prefix of the corpus build, shared verbatim by the
+    * batch capstone (q123) and its streaming face
+    * ([[graft.ops.StreamingOps.corpusBuildStream]]) so the two can't
+    * drift: tokenize + length ≥ 5, repetition gate (q117's Gopher
+    * thresholds), quality gate (q107's score ≥ 0.3), eval-set exclusion
+    * (doc_id % 50). Input needs (doc_id, text); output keeps the input
+    * columns plus `toks`. Purely per-doc — scan-level at any scale, and
+    * order-independent, which is what makes the streaming face's
+    * per-trigger application equal to the batch's corpus-wide one. */
+  private[graft] def curationGates(docs: DataFrame): DataFrame = {
+    val base = docs
+      .withColumn("toks", split(col("text"), " "))
+      .filter(size(col("toks")) >= 5)
+    val repOk = repetitionMetrics(base)
+      .filter(!col("repetitive")).select(col("doc_id"))
+    val qualOk = base
+      .withColumn("n_tokens", size(col("toks")))
+      .withColumn("n_stop", expr("size(filter(toks, x -> x = 'the' OR x = 'a'))"))
+      .withColumn("n_uniq", size(array_distinct(col("toks"))))
+      .filter((col("n_uniq").cast("double") / col("n_tokens")) *
+        (lit(1.0) - col("n_stop").cast("double") / col("n_tokens")) *
+        least(lit(1.0), col("n_tokens").cast("double") / 50.0) >= 0.3)
+      .select(col("doc_id"))
+    base.filter(col("doc_id") % 50 =!= 0)
+      .join(repOk, "doc_id").join(qualOk, "doc_id")
+  }
+
   /** The round-4 capstone: a full pretraining-corpus build as ONE query —
     * repetition gate (q117's Gopher thresholds) ∧ quality gate (q107's
     * score ≥ 0.3) → eval-set exclusion → exact dedup (keep-lowest-id per
@@ -671,21 +698,7 @@ object TextOps {
       |FROM clean cl JOIN r USING (source)
       |WHERE CAST(('0x' || substr(md5('mix:' || CAST(doc_id AS VARCHAR)), 1, 4)) AS INT) / 65536.0 < r.rate
       |ORDER BY doc_id""".stripMargin) { (s, dir) =>
-    val base = Tables.fanOut(Tables.documents(s, dir))
-      .withColumn("toks", split(col("text"), " "))
-      .filter(size(col("toks")) >= 5)
-    val repOk = repetitionMetrics(base)
-      .filter(!col("repetitive")).select(col("doc_id"))
-    val qualOk = base
-      .withColumn("n_tokens", size(col("toks")))
-      .withColumn("n_stop", expr("size(filter(toks, x -> x = 'the' OR x = 'a'))"))
-      .withColumn("n_uniq", size(array_distinct(col("toks"))))
-      .filter((col("n_uniq").cast("double") / col("n_tokens")) *
-        (lit(1.0) - col("n_stop").cast("double") / col("n_tokens")) *
-        least(lit(1.0), col("n_tokens").cast("double") / 50.0) >= 0.3)
-      .select(col("doc_id"))
-    val gated = base.filter(col("doc_id") % 50 =!= 0)
-      .join(repOk, "doc_id").join(qualOk, "doc_id")
+    val gated = curationGates(Tables.fanOut(Tables.documents(s, dir)))
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(md5(col("text"))).orderBy(col("doc_id"))
     // ded feeds the contamination gram chain AND the final join; clean
@@ -775,7 +788,16 @@ object TextOps {
     * positives die in the exact gram join, so pruning never changes the
     * answer (q116's oracle proves it). */
   def contamination(evalDocs: DataFrame, trainDocs: DataFrame,
-                    n: Int = 5, threshold: Double = 0.5): DataFrame = {
+                    n: Int = 5, threshold: Double = 0.5): DataFrame =
+    contaminationWithHandle(evalDocs, trainDocs, n, threshold)._1
+
+  /** [[contamination]] plus the persisted eval-gram handle, for callers
+    * that invoke it repeatedly (the streaming corpus build) and must
+    * unpersist per trigger — same leak-avoidance contract as
+    * `Dedup.dedupeBatchWithHandle`. */
+  private[graft] def contaminationWithHandle(
+      evalDocs: DataFrame, trainDocs: DataFrame,
+      n: Int, threshold: Double): (DataFrame, DataFrame) = {
     def grams(docs: DataFrame): DataFrame = docs
       .withColumn("toks", split(col("text"), " "))
       .filter(size(col("toks")) >= n)
@@ -788,17 +810,21 @@ object TextOps {
       evalG.select(col("g")).distinct(), "g",
       expectedItems = 1L << 20, fpp = 0.01)
     val trainPruned =
-      if (bf == null) grams(trainDocs).limit(0)
+      // empty scored side → empty filter → nothing can hit; keep the
+      // same (g)-only shape as the pruned path or the downstream
+      // groupBy(doc_id) turns ambiguous
+      if (bf == null) grams(trainDocs).select(col("g")).limit(0)
       else grams(trainDocs)
         .filter(call_function("graft_might_contain", lit(bf), xxhash64(col("g"))))
         .select(col("g")).distinct()
-    evalG.join(trainPruned.withColumn("hit", lit(1)), Seq("g"), "left")
+    val res = evalG.join(trainPruned.withColumn("hit", lit(1)), Seq("g"), "left")
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_grams"),
         sum(coalesce(col("hit"), lit(0))).as("n_hit"))
       .select(col("doc_id"), col("n_grams"), col("n_hit"),
         (col("n_hit").cast("double") / col("n_grams")).as("overlap"),
         (col("n_hit").cast("double") / col("n_grams") > threshold).as("contaminated"))
+    (res, evalG)
   }
 
   /** Repetition-based quality metrics (the Gopher repetition rules, Rae

@@ -5,7 +5,7 @@ import java.nio.file.{Files, Paths, StandardCopyOption}
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
-import graft.ops.StreamingOps
+import graft.ops.{StreamingOps, TextOps}
 import graft.sources.Tables
 
 /** Streaming self-oracles: file-source replay of the events fixture into a
@@ -308,6 +308,55 @@ class StreamingSpec extends SparkSpec {
     assert(got == want, "stream decisions must equal the batch face")
     // the decisions are non-trivial: all three statuses appear
     assert(got.map(_._2).intersect(Set("exact_dup", "near_dup", "unique")).nonEmpty)
+  }
+
+  test("streaming corpus build + mixture post-pass equals q123's batch output") {
+    import scala.collection.concurrent.TrieMap
+    val docs = Tables.documents(spark, sfDir)
+    val evalDocs = docs.filter(col("doc_id") % 50 === 0)
+      .select(col("doc_id"), col("text"))
+    // docs arrive as three files in doc_id order — the arrival order
+    // under which first-seen dedup equals the batch's keep-lowest-id
+    val srcDir = Files.createTempDirectory("graft-build-src")
+    def stage(lo: Long, hi: Long, name: String): Unit = {
+      val tmp = Files.createTempDirectory("graft-build-stage").toString
+      docs.filter(col("doc_id") >= lo && col("doc_id") < hi)
+        .coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(_.getName.endsWith(".parquet")).get.toPath
+      Files.copy(part, srcDir.resolve(name), StandardCopyOption.REPLACE_EXISTING)
+    }
+    stage(0, 170, "a.parquet"); stage(170, 340, "b.parquet")
+    stage(340, Long.MaxValue, "c.parquet")
+    val stateDir = Files.createTempDirectory("graft-build-state")
+      .resolve("hashes").toString
+    val perBatch = TrieMap.empty[Long, Array[(Long, String, String, Long)]]
+    val q = StreamingOps.corpusBuildStream(
+      spark, srcDir.toString, evalDocs, stateDir) { (id, accepted) =>
+      perBatch(id) = accepted.collect().map(r =>
+        (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+    }
+    val terminated = q.awaitTermination(180000)
+    if (!terminated) q.stop()
+    assert(terminated, "corpus build stream did not finish")
+    assert(perBatch.size > 1, "multiple micro-batches must have run")
+    // mixture is corpus-global (rates over FINAL survivor counts): a
+    // batch post-pass over the accumulated survivors, same operator and
+    // weights as q123
+    import spark.implicits._
+    val survivors = perBatch.values.flatten.toSeq
+      .toDF("doc_id", "lang", "source", "n_tokens")
+    val got = TextOps.remixSources(survivors,
+      expr("(CAST(substring(source, 4) AS INT) % 4) + 1"))
+      .select(col("doc_id"), col("lang"), col("source"), col("n_tokens"))
+      .orderBy(col("doc_id")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+    val want = TextOps.q123CorpusBuild.run(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+    assert(got.length == want.length,
+      s"stream+post-pass kept ${got.length} docs, batch kept ${want.length}")
+    assert(got.sameElements(want),
+      "stream survivors + mixture post-pass must equal the batch build")
   }
 
   test("streaming mini-batch k-means state equals a driver-side replay") {
