@@ -201,6 +201,141 @@ object Multimodal {
     }
   }
 
+  // ---------------------------------------------------------------- audio
+
+  final case class AudioWindow(doc_id: Long, window_idx: Long,
+                               n_samples: Long, sum_sq: Long, zero_crossings: Long)
+
+  /** Samples per analysis window for [[audioWindows]]. */
+  val WindowSamples = 256
+
+  /** Container sniff for RIFF/WAVE — same dispatch rule as
+    * [[looksLikeImage]]: four byte compares before any parsing. */
+  def looksLikeWav(p: Array[Byte]): Boolean =
+    p.length >= 12 &&
+      p(0) == 'R' && p(1) == 'I' && p(2) == 'F' && p(3) == 'F' &&
+      p(8) == 'W' && p(9) == 'A' && p(10) == 'V' && p(11) == 'E'
+
+  private def le16(p: Array[Byte], o: Int): Int = (p(o) & 0xff) | ((p(o + 1) & 0xff) << 8)
+  private def le32(p: Array[Byte], o: Int): Long =
+    (p(o) & 0xffL) | ((p(o + 1) & 0xffL) << 8) | ((p(o + 2) & 0xffL) << 16) | ((p(o + 3) & 0xffL) << 24)
+
+  /** REAL WAV decode — RIFF chunk walk, `fmt ` validation (PCM,
+    * 16-bit), `data` chunk extraction as little-endian signed 16-bit
+    * samples. No dependency: the container format is 44 bytes of public
+    * spec. None for anything that isn't a well-formed 16-bit PCM WAV
+    * (wrong magic, compressed encodings, truncated chunks) — callers
+    * fall back to the raw-byte interpretation, the quarantine-not-crash
+    * dispatch shared with [[decodeImage]]. */
+  def decodeWav(p: Array[Byte]): Option[Array[Short]] = {
+    if (!looksLikeWav(p)) return None
+    var off = 12
+    var pcm16 = false
+    var samples: Option[Array[Short]] = None
+    while (off + 8 <= p.length && samples.isEmpty) {
+      val id = new String(p, off, 4, "US-ASCII")
+      val size = le32(p, off + 4).toInt
+      if (size < 0 || off + 8 + size > p.length) return None
+      id match {
+        case "fmt " =>
+          if (size < 16) return None
+          pcm16 = le16(p, off + 8) == 1 && le16(p, off + 22) == 16
+        case "data" =>
+          if (!pcm16) return None
+          val n = size / 2
+          val out = new Array[Short](n)
+          var i = 0
+          while (i < n) {
+            out(i) = ((p(off + 8 + 2 * i) & 0xff) | (p(off + 9 + 2 * i) << 8)).toShort
+            i += 1
+          }
+          samples = Some(out)
+        case _ => ()
+      }
+      off += 8 + size + (size & 1) // RIFF chunks are 2-byte aligned
+    }
+    samples
+  }
+
+  /** Raw-payload fallback: every byte pair as a little-endian signed
+    * 16-bit sample (s16le — the headerless layout audio pipelines ship
+    * between stages). A trailing odd byte is dropped. Deterministic and
+    * byte-arithmetic only, so the q124 oracle can reproduce it. */
+  def rawS16le(p: Array[Byte]): Array[Short] = {
+    val n = p.length / 2
+    val out = new Array[Short](n)
+    var i = 0
+    while (i < n) {
+      out(i) = ((p(2 * i) & 0xff) | (p(2 * i + 1) << 8)).toShort
+      i += 1
+    }
+    out
+  }
+
+  /** Windowed audio features over decoded samples: per
+    * [[WindowSamples]]-sample window, the exact integer energy
+    * (Σ sample², the RMS numerator) and the zero-crossing count —
+    * integer DSP, so both engines agree bitwise (no float RMS/sqrt in
+    * the contract face; callers derive RMS when they need it). */
+  def audioWindows(docId: Long, samples: Array[Short]): Iterator[AudioWindow] =
+    samples.grouped(WindowSamples).zipWithIndex.map { case (win, w) =>
+      var sumSq = 0L; var zc = 0L
+      var i = 0
+      while (i < win.length) {
+        val s = win(i)
+        sumSq += s.toLong * s
+        if (i > 0 && ((s >= 0) != (win(i - 1) >= 0))) zc += 1
+        i += 1
+      }
+      AudioWindow(docId, w.toLong, win.length.toLong, sumSq, zc)
+    }
+
+  /** The audio face of the media pipeline: payloads decode as WAV when
+    * they are one ([[decodeWav]] — real PCM parse, spec-driven with
+    * in-test-generated WAVs), otherwise as raw s16le ([[rawS16le]] —
+    * what the synthetic fixture exercises, and what the oracle
+    * reproduces byte-for-byte via hex-pair extraction). A syntactically
+    * RIFF-looking payload that fails the PCM parse falls back too, so
+    * the dispatch can never diverge from the oracle on non-WAV data.
+    * Same batched partition-local shape as [[extractFeatures]]. */
+  def extractAudioWindows(s: SparkSession, dir: String): Dataset[AudioWindow] = {
+    import s.implicits._
+    mediaTable(s, dir).as[MediaRow].mapPartitions { rows =>
+      rows.grouped(BatchSize).flatMap { batch =>
+        batch.iterator.flatMap { r =>
+          audioWindows(r.doc_id, decodeWav(r.payload).getOrElse(rawS16le(r.payload)))
+        }
+      }
+    }
+  }
+
+  /** Windowed audio energy/zero-crossings, hash-verified end-to-end:
+    * the oracle re-derives every s16le sample from the payload's hex
+    * expansion (byte pair → '0x'-cast → sign fold) and aggregates the
+    * same exact integers — the mapPartitions decode pipeline checked
+    * against SQL arithmetic, not just structurally. */
+  val q124AudioWindows: QueryDef = sql(
+    "q124_audio_windows",
+    s"""WITH p AS (SELECT doc_id, hex(encode(text)) AS hx,
+       |            CAST(octet_length(encode(text)) // 2 AS INT) AS ns
+       |          FROM documents),
+       |s AS (SELECT doc_id, i,
+       |        CAST(('0x' || substr(hx, 4 * i + 3, 2) || substr(hx, 4 * i + 1, 2)) AS INT) AS u
+       |      FROM p, LATERAL (SELECT unnest(range(0, ns)) AS i)),
+       |v AS (SELECT doc_id, i, CASE WHEN u >= 32768 THEN u - 65536 ELSE u END AS s16 FROM s),
+       |w AS (SELECT doc_id, i // $WindowSamples AS window_idx, s16,
+       |        LAG(s16) OVER (PARTITION BY doc_id, i // $WindowSamples ORDER BY i) AS prev
+       |      FROM v)
+       |SELECT doc_id, CAST(window_idx AS BIGINT) AS window_idx,
+       |  CAST(COUNT(*) AS BIGINT) AS n_samples,
+       |  CAST(SUM(CAST(s16 AS BIGINT) * s16) AS BIGINT) AS sum_sq,
+       |  CAST(SUM(CASE WHEN prev IS NOT NULL AND ((s16 >= 0) <> (prev >= 0))
+       |           THEN 1 ELSE 0 END) AS BIGINT) AS zero_crossings
+       |FROM w GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, dir) =>
+    extractAudioWindows(s, dir).toDF()
+      .orderBy(col("doc_id"), col("window_idx"))
+  }
+
   /** Metadata projection — oracle-checkable (payload length + derived
     * metadata are pure functions of the fixture columns). The payload
     * column itself is pruned out of the scan here. */
@@ -263,5 +398,6 @@ object Multimodal {
   }
 
   val all: Seq[QueryDef] = Seq(
-    q43MultimodalMeta, q44MultimodalFeatures, q44aMultimodalStruct, q53MultimodalFrames)
+    q43MultimodalMeta, q44MultimodalFeatures, q44aMultimodalStruct, q53MultimodalFrames,
+    q124AudioWindows)
 }

@@ -231,6 +231,65 @@ class FunctionsSpec extends SparkSpec {
     }
   }
 
+  /** A minimal valid 16-bit PCM mono WAV around `samples` — 44-byte
+    * canonical header, hand-rolled so the test owns every byte. */
+  private def wavBytes(samples: Array[Short]): Array[Byte] = {
+    val dataLen = samples.length * 2
+    val buf = java.nio.ByteBuffer.allocate(44 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+      .put("WAVE".getBytes("US-ASCII"))
+      .put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1).putShort(1) // PCM, mono
+      .putInt(16000).putInt(32000).putShort(2).putShort(16)
+      .put("data".getBytes("US-ASCII")).putInt(dataLen)
+    samples.foreach(buf.putShort)
+    buf.array()
+  }
+
+  test("decodeWav round-trips a real PCM WAV and rejects non-WAV payloads") {
+    val samples = Array[Short](0, 1000, -1000, 32767, -32768, 5, -5)
+    assert(Multimodal.decodeWav(wavBytes(samples)).get.toSeq == samples.toSeq)
+    assert(Multimodal.decodeWav("not audio at all, just text".getBytes("UTF-8")).isEmpty)
+    assert(Multimodal.decodeWav(Array.emptyByteArray).isEmpty)
+    // RIFF-looking but not PCM-parseable → None, so dispatch falls back
+    // to raw instead of diverging from the oracle
+    assert(Multimodal.decodeWav("RIFFxxxxWAVEgarbage-no-chunks".getBytes("US-ASCII")).isEmpty)
+    // a compressed (non-PCM) fmt tag is rejected even with a data chunk
+    val nonPcm = wavBytes(samples)
+    nonPcm(20) = 2 // wFormatTag = ADPCM
+    assert(Multimodal.decodeWav(nonPcm).isEmpty)
+  }
+
+  test("audio windows compute exact integer energy and zero-crossings") {
+    // one window: alternating +/-100 → every step crosses zero
+    val alt = Array.fill[Short](8)(100).zipWithIndex
+      .map { case (s, i) => if (i % 2 == 1) (-s).toShort else s }
+    val w = Multimodal.audioWindows(7L, alt).toSeq
+    assert(w == Seq(Multimodal.AudioWindow(7L, 0L, 8L, 8L * 100L * 100L, 7L)))
+    // windowing splits at WindowSamples and restarts crossing counts
+    val two = Array.fill[Short](Multimodal.WindowSamples + 3)(1)
+    two(Multimodal.WindowSamples) = -1 // first sample of window 1: no prev
+    val ws = Multimodal.audioWindows(1L, two).toSeq
+    assert(ws.map(_.n_samples) == Seq(Multimodal.WindowSamples.toLong, 3L))
+    assert(ws(0).zero_crossings == 0L)
+    assert(ws(1).zero_crossings == 1L) // -1 → 1 inside window 1 only
+  }
+
+  test("raw s16le fallback equals the WAV decode of the same samples") {
+    val samples = Array[Short](12, -34, 5678, -9012, 345)
+    val raw = java.nio.ByteBuffer.allocate(samples.length * 2)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    samples.foreach(raw.putShort)
+    assert(Multimodal.rawS16le(raw.array()).toSeq == samples.toSeq)
+    // odd trailing byte is dropped
+    assert(Multimodal.rawS16le(raw.array() :+ 0x7f.toByte).toSeq == samples.toSeq)
+    // the two decode paths agree on the same logical signal, so the
+    // dispatch in extractAudioWindows cannot change the features
+    assert(Multimodal.decodeWav(wavBytes(samples)).get.toSeq ==
+      Multimodal.rawS16le(raw.array()).toSeq)
+  }
+
   test("observed metrics report rows/nulls/sums without a second pass") {
     import graft.functions.Metrics
     val orders = graft.sources.Tables.orders(spark, sfDir)
