@@ -10,14 +10,17 @@ import graft.sources.Tables
   * extraction via `mapPartitions` over a typed Dataset — the Scala analog
   * of a Pandas-UDF/`mapInPandas` stage.
   *
-  * The decode step is a REAL codec: [[Multimodal.decodeImage]] /
-  * [[Multimodal.resizeImage]] run `javax.imageio` (PNG/JPEG/BMP/GIF —
-  * JVM-shipped, zero dependencies) inside the batched pipeline;
-  * FunctionsSpec drives them with in-test-generated PNGs. Payloads the
-  * codec cannot decode (opaque formats, corrupt bytes — and the
-  * fixture's synthetic payloads) fall back to deterministic byte-level
-  * features ([[Multimodal.decodeStub]]), the quarantine-not-crash
-  * behavior a production ingest wants. The surrounding plumbing — the
+  * The decode steps are REAL codecs, all JVM-shipped with zero
+  * dependencies: [[Multimodal.decodeImage]] / [[Multimodal.resizeImage]]
+  * run `javax.imageio` (PNG/JPEG/BMP/GIF), [[Multimodal.decodeWav]]
+  * parses RIFF/PCM audio, and [[Multimodal.splitMjpeg]] splits
+  * motion-JPEG video into frames that decode through the still-image
+  * codec — FunctionsSpec drives each with in-test-generated media.
+  * Payloads a codec cannot decode (opaque formats, corrupt bytes — and
+  * the fixture's synthetic payloads) fall back to deterministic
+  * byte-level features ([[Multimodal.decodeStub]] / raw s16le /
+  * byte-chunk frames), the quarantine-not-crash behavior a production
+  * ingest wants. The surrounding plumbing — the
   * binary schema, metadata projection, batch shape, partition-local
   * iteration, output schema — is shared by both branches: swap in a
   * JNI/ONNX decoder for more formats and nothing else moves.
@@ -180,23 +183,69 @@ object Multimodal {
   private val FrameSize = 256
   private val SampleEvery = 4
 
-  /** STUB frame sampling — treats the payload as a "video" of
-    * [[FrameSize]]-byte frames and keeps every [[SampleEvery]]-th one,
-    * emitting one row per sampled frame (the one-to-many batch shape a
-    * real video decoder produces). Partition-local like
-    * [[extractFeatures]]; batches of [[BatchSize]] payloads per call. */
+  /** MJPEG sniff: a JPEG SOI marker opens the payload. UTF-8 text can
+    * never lead with 0xFF, so the synthetic fixture always takes the
+    * chunking fallback and q53's structural oracle holds. */
+  def looksLikeMjpeg(p: Array[Byte]): Boolean =
+    p.length >= 2 && p(0) == 0xFF.toByte && p(1) == 0xD8.toByte
+
+  /** REAL MJPEG frame split: motion-JPEG is concatenated baseline
+    * JPEGs, so frames are delimited by SOI (FFD8) / EOI (FFD9) marker
+    * pairs — each recovered frame decodes through the same
+    * `javax.imageio` codec as still images ([[decodeImage]]). Entropy-
+    * coded data byte-stuffs 0xFF as FF00, so markers can't appear
+    * inside a scan; frames carrying embedded-thumbnail SOIs (never
+    * produced by ImageIO) would split early — the quarantine rule then
+    * yields an undecodable fragment, not a crash. */
+  def splitMjpeg(p: Array[Byte]): Seq[Array[Byte]] = {
+    val out = Seq.newBuilder[Array[Byte]]
+    var i = 0
+    var start = -1
+    while (i + 1 < p.length) {
+      if (p(i) == 0xFF.toByte) {
+        val m = p(i + 1) & 0xff
+        if (m == 0xD8 && start < 0) start = i
+        else if (m == 0xD9 && start >= 0) {
+          out += java.util.Arrays.copyOfRange(p, start, i + 2)
+          start = -1
+        }
+      }
+      i += 1
+    }
+    out.result()
+  }
+
+  /** Per-payload frame features, sniff-dispatched like every decode in
+    * this module: an MJPEG payload splits into REAL frames, each pushed
+    * through the JPEG codec for true per-frame luminance; anything else
+    * chunks into [[FrameSize]]-byte pseudo-frames with byte-level
+    * features (the fixture path, which keeps q53's oracle a pure
+    * function of the payload length). Both paths keep every
+    * [[SampleEvery]]-th frame — the sampling is the operator, the codec
+    * is a branch. */
+  def frameFeaturesOf(docId: Long, payload: Array[Byte]): Iterator[FrameFeature] = {
+    val frames: Iterator[(Array[Byte], Int)] =
+      if (looksLikeMjpeg(payload)) splitMjpeg(payload).iterator.zipWithIndex
+      else payload.grouped(FrameSize).zipWithIndex
+    frames
+      .filter { case (_, idx) => idx % SampleEvery == 0 }
+      .map { case (frame, idx) =>
+        val mean = decodeImage(frame).map(_.meanLuma)
+          .getOrElse(decodeStub(frame)._1)
+        FrameFeature(docId, idx, frame.length, mean)
+      }
+  }
+
+  /** Frame sampling over the media table — one row per sampled frame
+    * (the one-to-many batch shape a video decoder produces), partition-
+    * local like [[extractFeatures]]; batches of [[BatchSize]] payloads
+    * per call. Real MJPEG payloads decode for real; see
+    * [[frameFeaturesOf]]. */
   def sampleFrames(s: SparkSession, dir: String): Dataset[FrameFeature] = {
     import s.implicits._
     mediaTable(s, dir).as[MediaRow].mapPartitions { rows =>
       rows.grouped(BatchSize).flatMap { batch =>
-        batch.flatMap { r =>
-          r.payload.grouped(FrameSize).zipWithIndex
-            .filter { case (_, idx) => idx % SampleEvery == 0 }
-            .map { case (frame, idx) =>
-              val (mean, _, _) = decodeStub(frame)
-              FrameFeature(r.doc_id, idx, frame.length, mean)
-            }
-        }
+        batch.flatMap(r => frameFeaturesOf(r.doc_id, r.payload))
       }
     }
   }
@@ -379,10 +428,12 @@ object Multimodal {
       .orderBy(col("doc_id"))
   }
 
-  /** Frame-sampled "video" features with an oracle on the structural
-    * part: frame count/size/index arithmetic is a pure function of the
-    * payload length, so DuckDB can reproduce everything except the
-    * stubbed frame_mean (checked rows-only via q44's spec instead). */
+  /** Frame-sampled video features with an oracle on the structural
+    * part: on the synthetic fixture every payload takes the byte-chunk
+    * branch, whose count/size/index arithmetic is a pure function of
+    * the payload length — DuckDB reproduces everything except
+    * frame_mean (pinned by FunctionsSpec, which also drives the REAL
+    * MJPEG branch with in-test-encoded frames). */
   val q53MultimodalFrames: QueryDef = sql(
     "q53_multimodal_frames",
     s"""SELECT doc_id, frame_idx,

@@ -290,6 +290,50 @@ class FunctionsSpec extends SparkSpec {
       Multimodal.rawS16le(raw.array()).toSeq)
   }
 
+  private def jpegBytes(w: Int, h: Int, rgb: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, rgb)
+    val buf = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "jpg", buf)
+    buf.toByteArray
+  }
+
+  test("MJPEG splits into frames that decode through the real JPEG codec") {
+    val black = jpegBytes(8, 8, 0x000000)
+    val white = jpegBytes(8, 8, 0xFFFFFF)
+    val gray = jpegBytes(8, 8, 0x808080)
+    val mjpeg = black ++ white ++ gray
+    assert(Multimodal.looksLikeMjpeg(mjpeg))
+    assert(!Multimodal.looksLikeMjpeg("plain text".getBytes("UTF-8")))
+    val frames = Multimodal.splitMjpeg(mjpeg)
+    assert(frames.length == 3)
+    assert(frames.map(_.length) == Seq(black.length, white.length, gray.length))
+    // each recovered frame is a decodable JPEG with the planted luma
+    // (lossy codec → tolerance)
+    val lumas = frames.map(f => Multimodal.decodeImage(f).get.meanLuma)
+    assert(math.abs(lumas(0) - 0f) < 8f, lumas)
+    assert(math.abs(lumas(1) - 255f) < 8f, lumas)
+    assert(math.abs(lumas(2) - 128f) < 8f, lumas)
+    assert(Multimodal.splitMjpeg("no markers here".getBytes("UTF-8")).isEmpty)
+  }
+
+  test("frame features dispatch: real frames for MJPEG, byte chunks otherwise") {
+    // 5 frames → sampling keeps indices 0 and 4
+    val mjpeg = (0 until 5).flatMap(i => jpegBytes(8, 8, i * 0x3F3F3F).toSeq).toArray
+    val real = Multimodal.frameFeaturesOf(3L, mjpeg).toSeq
+    assert(real.map(_.frame_idx) == Seq(0, 4))
+    assert(real.forall(_.doc_id == 3L))
+    // real branch: frame_bytes is the encoded frame size, not FrameSize
+    assert(real.forall(f => f.frame_bytes != 256 || f.frame_mean >= 0))
+    val text = ("x" * 1500).getBytes("UTF-8")
+    val stub = Multimodal.frameFeaturesOf(4L, text).toSeq
+    // 1500 bytes → chunks of 256 → 6 chunks → keep idx 0 and 4
+    assert(stub.map(_.frame_idx) == Seq(0, 4))
+    assert(stub.map(_.frame_bytes) == Seq(256, 256))
+    // byte-chunk branch: mean of 'x' bytes is exactly 120
+    assert(stub.forall(f => math.abs(f.frame_mean - 120f) < 1e-6))
+  }
+
   test("observed metrics report rows/nulls/sums without a second pass") {
     import graft.functions.Metrics
     val orders = graft.sources.Tables.orders(spark, sfDir)
