@@ -50,6 +50,8 @@ object ScaleSmoke {
           (col("id") % 5 + 1).cast("int")).as("lang"),
         // fixture-shaped source ids so the mixture ops (q118) run too
         concat(lit("src"), (col("id") % 20).cast("string")).as("source"))
+      // fixture-shaped n_chars so the media ops (q124) run too
+      .withColumn("n_chars", length(col("text")).cast("long"))
       .write.mode("overwrite").parquet(s"$dir/documents.parquet")
 
     // embeddings: 8 unit-norm cluster centers (ids 0..7), noisy members
@@ -82,9 +84,17 @@ object ScaleSmoke {
       "q107_quality_sample", "q108_incremental_dedup", "q111_simhash_wide",
       "q116_contamination", "q117_repetition", "q118_source_mix",
       "q119_kmeans_train", "q120_ann_ivf_trained", "q121_negative_sampling",
-      "q122_semantic_dedup", "q123_corpus_build")
+      "q122_semantic_dedup", "q123_corpus_build", "q124_audio_windows")
+    // SPARK_GRAFT_SMOKE_ONLY=q123,q124 limits a run to matching targets —
+    // the same local profiling aid as Bench's SPARK_GRAFT_BENCH_ONLY
+    val selected = sys.env.get("SPARK_GRAFT_SMOKE_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+      .filter(_.nonEmpty) match {
+      case Some(toks) => targets.filter(n => toks.exists(n.contains))
+      case None => targets
+    }
     println(s"== smoke mult=$mult docs=$nDocs vecs=$nVecs dir=$dir ==")
-    targets.foreach { name =>
+    selected.foreach { name =>
       // noop sink, same as Bench: a count() terminal would let Catalyst
       // prune the expression-heavy final projections out of the timing;
       // the row count for the report is taken outside the timed window
