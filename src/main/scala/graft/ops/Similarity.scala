@@ -373,37 +373,65 @@ object Similarity {
 
   /** Distributed Lloyd k-means over (vec_id, qv array<bigint>) frames:
     * `iters` rounds of assign + update, then a final assignment; returns
-    * (vec_id, cid, dist). The MLlib pattern — k·d centroid values live on
-    * the driver and ship to executors as a plan literal each round (512
-    * longs here; a broadcast variable at larger k), so each round is ONE
+    * (vec_id, qv, cid, dist). Centroids live as a (cid, vec) RELATION
+    * for the whole loop: assignment packs it into a single-row
+    * array<struct<cid,vec>> (built distributedly, never collected) and
+    * broadcast-joins that row onto the vector scan, so each round is ONE
     * scan with a fused per-row argmin (zip_with/aggregate HOFs, no k×d
-    * explode) plus one (cid, dim)-keyed map-side-combined aggregate of
-    * k·d output rows. Nothing vector-sized ever reaches the driver.
+    * explode, no shuffle of the vectors) plus one (cid, dim)-keyed
+    * map-side-combined aggregate of k·d output rows. k is bounded by
+    * executor broadcast memory (~k·d longs), not plan size or driver
+    * heap — the k ∝ N IVF/SemDeDup recipe stays plannable.
     * Init = the k lowest vec_ids; ties break to the lowest cid; empty
     * clusters drop (plain Lloyd). Centroid means floor via double
     * division — exact while |sum| < 2⁵³ (bounds here: ≤ 2³⁰). */
   def kmeansQuantized(vectors: DataFrame, k: Int, iters: Int): DataFrame =
-    assignToCentroids(vectors, kmeansCentroids(vectors, k, iters))
+    assignToCentroids(vectors, kmeansCentroidFrame(vectors, k, iters))
       .select(col("vec_id"), col("qv"), col("cid"), col("dist"))
 
-  /** Train and return just the centroids (cid → quantized coordinates) —
-    * the persisted artifact an IVF index build keeps; [[kmeansQuantized]]
-    * and q120's serving path both consume it. */
-  def kmeansCentroids(vectors: DataFrame, k: Int, iters: Int): Seq[(Long, Seq[Long])] = {
+  /** Train and return the centroids as a (cid, vec array<bigint>) frame —
+    * the scale face: nothing centroid-sized ever touches the driver.
+    * Each round's k·d-value result is eagerly localCheckpoint'ed (k rows;
+    * at cluster scale use a reliable checkpoint dir) so round r's plan
+    * does not replay rounds 1..r-1. */
+  def kmeansCentroidFrame(vectors: DataFrame, k: Int, iters: Int): DataFrame = {
     val pinned = vectors.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    def update(assigned: DataFrame): Seq[(Long, Seq[Long])] =
+    def update(assigned: DataFrame): DataFrame =
       assigned.select(col("cid"), posexplode(col("qv")).as(Seq("pos", "v")))
         .groupBy(col("cid"), col("pos"))
         .agg(expr("CAST(FLOOR(CAST(SUM(v) AS DOUBLE) / COUNT(*)) AS BIGINT)").as("cv"))
-        .collect()
-        .groupBy(_.getLong(0))
-        .map { case (cid, rows) => cid -> rows.sortBy(_.getInt(1)).map(_.getLong(2)).toSeq }
-        .toSeq.sortBy(_._1)
-    var cents = pinned.filter(col("vec_id") < k).orderBy(col("vec_id"))
-      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toSeq
-    for (_ <- 1 to iters) cents = update(assignToCentroids(pinned, cents))
+        .groupBy(col("cid"))
+        .agg(expr("transform(array_sort(collect_list(struct(pos, cv))), s -> s.cv)").as("vec"))
+    var cents = pinned.filter(col("vec_id") < k)
+      .select(col("vec_id").as("cid"), col("qv").as("vec"))
+      .localCheckpoint(true)
+    for (_ <- 1 to iters)
+      cents = update(assignToCentroids(pinned, cents)).localCheckpoint(true)
     pinned.unpersist()
     cents
+  }
+
+  /** Driver-side convenience face over [[kmeansCentroidFrame]] (collects
+    * k·d values — fine at coarse-quantizer k, use the frame at large k). */
+  def kmeansCentroids(vectors: DataFrame, k: Int, iters: Int): Seq[(Long, Seq[Long])] =
+    collectCentroids(kmeansCentroidFrame(vectors, k, iters))
+
+  def collectCentroids(frame: DataFrame): Seq[(Long, Seq[Long])] =
+    frame.select(col("cid"), col("vec")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1).toSeq)
+      .sortBy(_._1).toSeq
+
+  /** Lift a driver-held centroid seq into the (cid, vec) relation the
+    * assignment path consumes (compat face for small trained artifacts
+    * and streaming mini-batch state). */
+  def centroidRelation(s: SparkSession, cents: Seq[(Long, Seq[Long])]): DataFrame = {
+    import scala.jdk.CollectionConverters._
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("cid", org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("vec", org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.LongType, containsNull = false), nullable = false)))
+    val rows = cents.map { case (cid, v) => org.apache.spark.sql.Row(cid, v) }
+    s.createDataFrame(rows.asJava, schema)
   }
 
   /** Persist trained centroids as the index artifact (parquet,
@@ -411,34 +439,55 @@ object Similarity {
     * training job and every serving job. Integer coordinates survive
     * the round-trip exactly, so load-then-assign is bit-identical to
     * train-then-assign (spec-pinned in AnnQualitySpec). */
-  def saveCentroids(s: SparkSession, cents: Seq[(Long, Seq[Long])], path: String): Unit = {
-    import scala.jdk.CollectionConverters._
-    val schema = org.apache.spark.sql.types.StructType(Seq(
-      org.apache.spark.sql.types.StructField("cid", org.apache.spark.sql.types.LongType, nullable = false),
-      org.apache.spark.sql.types.StructField("vec", org.apache.spark.sql.types.ArrayType(
-        org.apache.spark.sql.types.LongType, containsNull = false), nullable = false)))
-    val rows = cents.map { case (cid, v) => org.apache.spark.sql.Row(cid, v) }
-    s.createDataFrame(rows.asJava, schema).repartition(1).write.mode("overwrite").parquet(path)
-  }
+  def saveCentroids(s: SparkSession, cents: Seq[(Long, Seq[Long])], path: String): Unit =
+    centroidRelation(s, cents).repartition(1).write.mode("overwrite").parquet(path)
+
+  /** Frame-to-frame persist: the large-k path (no driver round-trip). */
+  def saveCentroidFrame(frame: DataFrame, path: String): Unit =
+    frame.select(col("cid"), col("vec")).write.mode("overwrite").parquet(path)
+
+  def loadCentroidFrame(s: SparkSession, path: String): DataFrame =
+    s.read.parquet(path)
 
   def loadCentroids(s: SparkSession, path: String): Seq[(Long, Seq[Long])] =
-    s.read.parquet(path).collect()
-      .map(r => r.getLong(0) -> r.getSeq[Long](1).toSeq)
-      .sortBy(_._1).toSeq
+    collectCentroids(loadCentroidFrame(s, path))
+
+  /** Pack a (cid, vec) centroid relation into the single-row broadcast
+    * form the argmin consumes: `cs: array<struct<cid,vec>>`, ascending
+    * cid (array_sort on the struct — cid is unique, so order is total
+    * and deterministic). Built with a distributed aggregate; the packed
+    * row is ~k·d longs and moves executor-to-executor via broadcast. */
+  private def packCentroids(cents: DataFrame): DataFrame =
+    cents.agg(array_sort(collect_list(struct(col("cid"), col("vec")))).as("cs"))
 
   /** Nearest-centroid assignment (exact integer L2, ties to the lowest
-    * cid): adds `dists` (per-centroid distance array in ascending-cid
-    * order), `dist` (best), and `cid`. One fused per-row HOF pass. */
-  def assignToCentroids(vectors: DataFrame, cents: Seq[(Long, Seq[Long])]): DataFrame = {
-    val cids = typedLit(cents.map(_._1))
-    val cvs = typedLit(cents.map(_._2))
-    vectors
-      .withColumn("dists", transform(cvs, c =>
-        aggregate(zip_with(col("qv"), c, (a, b) => (a - b) * (a - b)),
-          lit(0L), (acc, x) => acc + x)))
-      .withColumn("dist", array_min(col("dists")))
-      .withColumn("cid", element_at(cids, array_position(col("dists"), col("dist")).cast("int")))
-  }
+    * cid) against a (cid, vec) centroid relation: broadcast-joins the
+    * packed single-row form and runs one fused per-row HOF argmin —
+    * no plan literal, no driver collect, no shuffle of the vectors.
+    * Adds `cid` and `dist`. */
+  def assignToCentroids(vectors: DataFrame, cents: DataFrame): DataFrame =
+    vectors.join(broadcast(packCentroids(cents)))
+      .withColumn("best", array_min(transform(col("cs"), c =>
+        struct(
+          aggregate(zip_with(col("qv"), c.getField("vec"), (a, b) => (a - b) * (a - b)),
+            lit(0L), (acc, x) => acc + x).as("cdist"),
+          c.getField("cid").as("cid")))))
+      .withColumn("dist", col("best").getField("cdist"))
+      .withColumn("cid", col("best").getField("cid"))
+      .drop("cs", "best")
+
+  /** Seq-compat assignment face (streaming mini-batch state, tests). */
+  def assignToCentroids(vectors: DataFrame, cents: Seq[(Long, Seq[Long])]): DataFrame =
+    assignToCentroids(vectors, centroidRelation(vectors.sparkSession, cents))
+
+  /** Per-(vector, centroid) exact integer squared L2 — the flat form
+    * query-time probe routing reads (k rows per vector; callers pass a
+    * single-vector frame). */
+  def centroidDistances(vectors: DataFrame, cents: DataFrame): DataFrame =
+    vectors.join(broadcast(cents.select(col("cid"), col("vec"))))
+      .withColumn("cdist", aggregate(zip_with(col("qv"), col("vec"), (a, b) => (a - b) * (a - b)),
+        lit(0L), (acc, x) => acc + x))
+      .drop("vec")
 
   /** Contract face: train an 8-centroid coarse quantizer (the IVF index
     * build q39 presupposes) with 2 Lloyd rounds and emit the per-cluster
@@ -514,15 +563,12 @@ object Similarity {
        |LIMIT 10""".stripMargin) { (s, dir) =>
     graft.functions.CosineSimilarity.register(s)
     val v = quantizedLong(s, dir)
-    val cents = kmeansCentroids(v, k = 8, iters = 2)
-    val cids = typedLit(cents.map(_._1))
-    val withD = assignToCentroids(v, cents)
-    val assigned = withD.select(col("vec_id"), col("cid"))
-    // query-time routing: the same distance array, top-NumProbe centroids
-    val probe = withD.filter(col("vec_id") === QueryVec)
-      .select(posexplode(col("dists")).as(Seq("idx", "d")))
-      .select(element_at(cids, (col("idx") + 1).cast("int")).as("cid"), col("d"))
-      .orderBy(col("d"), col("cid")).limit(NumProbe).select(col("cid"))
+    val centsF = kmeansCentroidFrame(v, k = 8, iters = 2)
+    val assigned = assignToCentroids(v, centsF).select(col("vec_id"), col("cid"))
+    // query-time routing: the same exact metric over the same relation,
+    // top-NumProbe centroids for the single query vector
+    val probe = centroidDistances(v.filter(col("vec_id") === QueryVec), centsF)
+      .orderBy(col("cdist"), col("cid")).limit(NumProbe).select(col("cid"))
     val n = Tables.embeddings(s, dir)
     val q = n.filter(col("vec_id") === QueryVec).select(col("embedding").as("qe"))
     n.join(assigned, "vec_id").join(broadcast(probe), "cid")
@@ -569,7 +615,7 @@ object Similarity {
                     threshold: Double = 0.35): DataFrame = {
     graft.functions.CosineSimilarity.register(s)
     val v = quantizedLong(s, dir)
-    val assigned = assignToCentroids(v, kmeansCentroids(v, k, iters))
+    val assigned = assignToCentroids(v, kmeansCentroidFrame(v, k, iters))
       .select(col("vec_id"), col("cid"))
     val m = Tables.embeddings(s, dir).join(assigned, "vec_id")
       .select(col("vec_id"), col("cid"), col("embedding"))

@@ -109,6 +109,49 @@ class AnnQualitySpec extends SparkSpec {
     assert(recall >= 8, s"trained IVF recall@10 = $recall, expected >= 8 on clustered data")
   }
 
+  test("k=1024: centroids ride a broadcast relation (no plan literal) and argmin is exact") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.catalyst.expressions.{Literal => CatLit}
+    import org.apache.spark.sql.types.ArrayType
+    val d = 8
+    val n = 4096
+    // deterministic synthetic vectors — k is 128x the contract's coarse
+    // quantizer, far past where a typedLit plan would be reasonable
+    val v = spark.range(n).select(col("id").as("vec_id"),
+      expr(s"transform(sequence(0, ${d - 1}), i -> CAST((id * 31 + i * 7919) % 997 AS BIGINT))").as("qv"))
+    def qv(id: Long): Array[Long] = Array.tabulate(d)(i => (id * 31 + i * 7919L) % 997)
+
+    val assigned0 = Similarity.assignToCentroids(v, Similarity.kmeansCentroidFrame(v, k = 1024, iters = 0))
+    val phys = assigned0.queryExecution.executedPlan.toString
+    assert(phys.contains("BroadcastNestedLoopJoin"), "centroid relation should broadcast-join the scan")
+    // the test input's own sequence(0,7) constant-folds to an 8-element
+    // literal; anything larger than one vector would be centroid leakage
+    val bigArrayLits = assigned0.queryExecution.optimizedPlan
+      .collect { case p => p.expressions }.flatten
+      .flatMap(_.collect { case l: CatLit if l.dataType.isInstanceOf[ArrayType] => l })
+      .filter(_.value.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData].numElements() > d)
+    assert(bigArrayLits.isEmpty, "no centroid array may appear as a plan literal")
+
+    val got = assigned0.select("vec_id", "cid", "dist").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got.size == n)
+    (0L until n).foreach { id =>
+      val x = qv(id)
+      val best = (0L until 1024L).map { c =>
+        val cv = qv(c)
+        val dd = (0 until d).map { i => val t = x(i) - cv(i); t * t }.sum
+        (dd, c)
+      }.min
+      assert(got(id) == ((best._2, best._1)), s"vec $id: got ${got(id)}, want $best")
+    }
+
+    // one Lloyd round still runs at this k, and never increases inertia
+    val inertia0 = got.values.map(_._2).sum
+    val inertia1 = Similarity.kmeansQuantized(v, k = 1024, iters = 1)
+      .agg(sum(col("dist"))).collect().head.getLong(0)
+    assert(inertia1 <= inertia0, s"Lloyd increased inertia: $inertia0 -> $inertia1")
+  }
+
   test("LSH cosines are bit-identical to brute force on shared hits") {
     val dir = generateClustered()
     val brute = Similarity.q38AnnBruteforce.run(spark, dir).collect()

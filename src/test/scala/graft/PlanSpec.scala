@@ -309,12 +309,15 @@ class PlanSpec extends SparkSpec {
       "the corpus side must never shuffle for the rates join:\n" + p)
   }
 
-  test("q119: k-means assignment is join-free — centroids ride as plan literals") {
+  test("q119: k-means assignment broadcast-joins the centroid relation, no explode") {
     val p = planOf(Similarity.q119KmeansTrain.run(spark, sfDir))
-    // training happened at plan-build time (driver loop); the served plan
-    // is scan → fused HOF argmin → two-phase agg. Any Join/Generate here
-    // would mean a k×d explode crept back in.
-    assert(!p.contains("Join"), "assignment must not join centroids:\n" + p)
+    // centroids ride as a packed single-row BROADCAST relation (never a
+    // plan literal, never a driver collect); the argmin stays one fused
+    // per-row HOF pass. A Generate here would mean a k×d explode crept
+    // back in; a SortMergeJoin would mean the vectors shuffled.
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      "centroids must arrive via a broadcast relation:\n" + p)
+    assert(!p.contains("SortMergeJoin"), "assignment must not shuffle the vectors:\n" + p)
     assert(!p.contains("Generate"), "argmin must stay a per-row HOF, not an explode:\n" + p)
     assert(p.contains("partial_count") || p.contains("Partial"),
       "cluster stats must map-side combine:\n" + p)
