@@ -64,14 +64,18 @@ object BloomPrune {
                     expectedItems: Long = 1000000L,
                     fpp: Double = 0.01): DataFrame = {
     val bytes = buildFilter(dim, dimKey, expectedItems, fpp)
+    // side-qualify BOTH join columns: an unqualified col(dimKey) would be
+    // ambiguous (or silently resolve against the fact side) whenever the
+    // fact frame also has a column named dimKey — e.g. a doc_id-to-doc_id
+    // self-keyed semi-join
+    val d = dim.select(col(dimKey))
     if (bytes == null) {
       // empty dim → empty semi-join; keep the exact-join plan shape
-      fact.join(dim.select(col(dimKey)), fact(factKey) === col(dimKey), "left_semi")
+      fact.join(d, fact(factKey) === d(dimKey), "left_semi")
     } else {
       val pruned = fact.filter(call_function("graft_might_contain",
         lit(bytes), xxhash64(col(factKey))))
-      pruned.join(dim.select(col(dimKey)),
-        pruned(factKey) === col(dimKey), "left_semi")
+      pruned.join(d, pruned(factKey) === d(dimKey), "left_semi")
     }
   }
 }

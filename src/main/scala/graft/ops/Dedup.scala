@@ -683,9 +683,17 @@ object Dedup {
         df.write.mode("overwrite").parquet(s"${tmp.getPath}/$p") }
       dfs.foreach(_.unpersist())
       // a stale half-state at the published path (pre-protocol writer
-      // that crashed) blocks the rename — clear it, it is unreadable
-      if (root.exists() && !complete)
-        org.apache.commons.io.FileUtils.deleteDirectory(root)
+      // that crashed) blocks the rename — move it aside via an atomic
+      // rename-to-tombstone, NOT an in-place recursive delete: a delete
+      // racing a concurrent writer's publish could tear down freshly-
+      // published complete state file by file (readers would see partial
+      // state mid-delete); a rename only ever moves whole directories
+      if (root.exists() && !complete) {
+        val stale = new java.io.File(root.getParentFile,
+          s"${root.getName}.stale-${ProcessHandle.current().pid()}-${Thread.currentThread().getId}")
+        if (root.renameTo(stale))
+          org.apache.commons.io.FileUtils.deleteDirectory(stale)
+      }
       if (!tmp.renameTo(root))
         org.apache.commons.io.FileUtils.deleteDirectory(tmp) // lost the race
     }

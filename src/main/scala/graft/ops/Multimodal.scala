@@ -55,11 +55,17 @@ object Multimodal {
 
   final case class DecodedImage(width: Int, height: Int, meanLuma: Float)
 
-  // ImageIO's default ImageInputStream is disk-cache-backed — one temp
-  // file per read() call. In-memory streams are strictly better for
-  // byte-array payloads; set once per JVM (classload runs on every
-  // executor that touches this object).
-  javax.imageio.ImageIO.setUseCache(false)
+  /** Decode through an explicit in-memory ImageInputStream: ImageIO's
+    * default stream is disk-cache-backed (one temp file per read() of a
+    * raw InputStream). Constructing the MemoryCacheImageInputStream per
+    * read scopes that choice to THIS pipeline — the alternative,
+    * `ImageIO.setUseCache(false)`, mutates process-global JVM state as
+    * a classload side effect for any co-resident ImageIO user. */
+  private def readImage(payload: Array[Byte]): java.awt.image.BufferedImage = {
+    val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
+      new java.io.ByteArrayInputStream(payload))
+    try javax.imageio.ImageIO.read(iis) finally iis.close()
+  }
 
   /** Container sniff: true when the payload leads with the magic bytes
     * of a format the JVM's shipped codecs handle (PNG/JPEG/GIF/BMP).
@@ -76,7 +82,9 @@ object Multimodal {
       (p(0) == 'B' && p(1) == 'M'))
 
   /** REAL image decode via `javax.imageio` — the codecs the JVM ships
-    * (PNG, JPEG, BMP, GIF, WBMP), no external dependency. Returns None
+    * (PNG, JPEG, BMP, GIF — WBMP is registered too but has no reliable
+    * magic bytes, so the sniff doesn't route to it), no external
+    * dependency. Returns None
     * for payloads that are not decodable images (sniffed first — see
     * [[looksLikeImage]]), so callers can fall back to byte-level
     * features; a production pipeline would route those rows to a
@@ -85,7 +93,7 @@ object Multimodal {
   def decodeImage(payload: Array[Byte]): Option[DecodedImage] =
     if (!looksLikeImage(payload)) None
     else try {
-      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+      val img = readImage(payload)
       if (img == null) None
       else {
         var sum = 0L
@@ -109,7 +117,7 @@ object Multimodal {
     * (same sniff-before-decode dispatch as [[decodeImage]]). */
   def resizeImage(payload: Array[Byte], w: Int, h: Int): Option[Array[Byte]] =
     if (!looksLikeImage(payload)) None
-    else try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))).map { img =>
+    else try Option(readImage(payload)).map { img =>
       val out = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
       val g = out.createGraphics()
       try {

@@ -373,7 +373,11 @@ object StreamingOps {
   }
 
   /** Streaming face of the corpus-build capstone (q123) — the actual
-    * 100 TB ingest loop: document files arrive staged IN doc_id ORDER;
+    * 100 TB ingest loop: document files arrive staged IN doc_id ORDER
+    * with strictly increasing MODIFICATION TIMES (Spark's file source
+    * orders triggers by mtime with unspecified tie order, so equal
+    * mtimes would make which duplicate survives nondeterministic —
+    * stagers on coarse-mtime filesystems must set times explicitly);
     * each trigger runs the SAME per-doc gate prefix as the batch build
     * ([[TextOps.curationGates]], shared code so the faces can't drift),
     * exact-dedups against the accumulated text-hash state (first-seen
@@ -399,10 +403,13 @@ object StreamingOps {
       onBatch: (Long, DataFrame) => Unit): org.apache.spark.sql.streaming.StreamingQuery = {
     import org.apache.spark.sql.types.{StructField, StructType, StringType}
     val schema = "doc_id LONG, text STRING, lang STRING, source STRING, n_chars LONG"
-    // initialize an empty hash state so the first trigger's read succeeds
-    s.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),
-      StructType(Seq(StructField("h", StringType))))
-      .write.mode("overwrite").parquet(stateDir)
+    // initialize an empty hash state ONLY when none exists — a restart
+    // against accumulated state must EXTEND it (that is the persisted-
+    // state contract), not silently re-admit previously-seen duplicates
+    if (!new java.io.File(stateDir, "_SUCCESS").exists())
+      s.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),
+        StructType(Seq(StructField("h", StringType))))
+        .write.mode("overwrite").parquet(stateDir)
     s.readStream.schema(schema)
       .option("maxFilesPerTrigger", "1")
       .parquet(stagedDir)

@@ -624,16 +624,18 @@ object TextOps {
       .filter(size(col("toks")) >= 5)
     val repOk = repetitionMetrics(base)
       .filter(!col("repetitive")).select(col("doc_id"))
-    val qualOk = base
-      .withColumn("n_tokens", size(col("toks")))
-      .withColumn("n_stop", expr("size(filter(toks, x -> x = 'the' OR x = 'a'))"))
-      .withColumn("n_uniq", size(array_distinct(col("toks"))))
-      .filter((col("n_uniq").cast("double") / col("n_tokens")) *
-        (lit(1.0) - col("n_stop").cast("double") / col("n_tokens")) *
-        least(lit(1.0), col("n_tokens").cast("double") / 50.0) >= 0.3)
-      .select(col("doc_id"))
+    // the quality gate (q107's score) is a pure per-row predicate, so it
+    // rides the scan as a filter — only repOk needs a join (its gram
+    // aggregates are per-doc but not per-row)
+    val nTok = col("n_tokens_gate")
+    val qual = (size(array_distinct(col("toks"))).cast("double") / nTok) *
+      (lit(1.0) - expr("size(filter(toks, x -> x = 'the' OR x = 'a'))").cast("double") / nTok) *
+      least(lit(1.0), nTok.cast("double") / 50.0)
     base.filter(col("doc_id") % 50 =!= 0)
-      .join(repOk, "doc_id").join(qualOk, "doc_id")
+      .withColumn("n_tokens_gate", size(col("toks")))
+      .filter(qual >= 0.3)
+      .drop("n_tokens_gate")
+      .join(repOk, "doc_id")
   }
 
   /** The round-4 capstone: a full pretraining-corpus build as ONE query —

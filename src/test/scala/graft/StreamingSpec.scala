@@ -13,6 +13,18 @@ import graft.sources.Tables
   * (SURVEY.md §5.2.6), plus watermark late-drop behavior. */
 class StreamingSpec extends SparkSpec {
 
+  private val stageClock =
+    new java.util.concurrent.atomic.AtomicLong(System.currentTimeMillis())
+
+  /** Give each staged file a strictly later mtime: Spark's file source
+    * orders micro-batches by modification time with unspecified tie
+    * order, so files copied within one mtime granule (coarse-granularity
+    * filesystems) would otherwise arrive in undefined order — exactly
+    * the precondition [[StreamingOps.corpusBuildStream]] documents. */
+  private def stampStaged(p: java.nio.file.Path): Unit =
+    Files.setLastModifiedTime(p,
+      java.nio.file.attribute.FileTime.fromMillis(stageClock.addAndGet(2000)))
+
   private def stageEvents(): String = {
     val dir = Files.createTempDirectory("graft-stream").toString
     Files.copy(
@@ -248,6 +260,7 @@ class StreamingSpec extends SparkSpec {
       val part = new java.io.File(tmp).listFiles()
         .find(_.getName.endsWith(".parquet")).get.toPath
       Files.copy(part, srcDir.resolve(name), StandardCopyOption.REPLACE_EXISTING)
+      stampStaged(srcDir.resolve(name))
     }
     def runOnce(): Set[Long] = {
       val seen = ArrayBuffer.empty[Long]
@@ -288,6 +301,7 @@ class StreamingSpec extends SparkSpec {
       val part = new java.io.File(tmp).listFiles()
         .find(_.getName.endsWith(".parquet")).get.toPath
       Files.copy(part, srcDir.resolve(name), StandardCopyOption.REPLACE_EXISTING)
+      stampStaged(srcDir.resolve(name))
     }
     stage(0, "a.parquet"); stage(1, "b.parquet"); stage(2, "c.parquet")
     val perBatch = TrieMap.empty[Long, Array[(Long, String, Option[Long])]]
@@ -325,6 +339,7 @@ class StreamingSpec extends SparkSpec {
       val part = new java.io.File(tmp).listFiles()
         .find(_.getName.endsWith(".parquet")).get.toPath
       Files.copy(part, srcDir.resolve(name), StandardCopyOption.REPLACE_EXISTING)
+      stampStaged(srcDir.resolve(name))
     }
     stage(0, 170, "a.parquet"); stage(170, 340, "b.parquet")
     stage(340, Long.MaxValue, "c.parquet")
@@ -359,6 +374,47 @@ class StreamingSpec extends SparkSpec {
       "stream survivors + mixture post-pass must equal the batch build")
   }
 
+  test("corpus build restart EXTENDS persisted state — seen texts stay deduped") {
+    import scala.collection.concurrent.TrieMap
+    val cols = Seq("doc_id", "text", "lang", "source", "n_chars").map(col)
+    val docs = Tables.documents(spark, sfDir).filter(col("doc_id") < 170).select(cols: _*)
+    val evalDocs = Tables.documents(spark, sfDir).filter(col("doc_id") % 50 === 0)
+      .select(col("doc_id"), col("text"))
+    val stateDir = Files.createTempDirectory("graft-restart-state")
+      .resolve("hashes").toString
+
+    def stageTo(df: DataFrame, name: String): java.nio.file.Path = {
+      val srcDir = Files.createTempDirectory("graft-restart-src")
+      val tmp = Files.createTempDirectory("graft-restart-stage").toString
+      df.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(_.getName.endsWith(".parquet")).get.toPath
+      Files.copy(part, srcDir.resolve(name), StandardCopyOption.REPLACE_EXISTING)
+      stampStaged(srcDir.resolve(name))
+      srcDir
+    }
+    def runStream(src: java.nio.file.Path): Set[Long] = {
+      val acc = TrieMap.empty[Long, Array[Long]]
+      val q = StreamingOps.corpusBuildStream(spark, src.toString, evalDocs, stateDir) {
+        (id, accepted) => acc(id) = accepted.collect().map(_.getLong(0))
+      }
+      val terminated = q.awaitTermination(180000)
+      if (!terminated) q.stop()
+      assert(terminated, "corpus build stream did not finish")
+      acc.values.flatten.toSet
+    }
+
+    val first = runStream(stageTo(docs, "a.parquet"))
+    assert(first.nonEmpty, "first run must accept some docs")
+    // run 2 = a pipeline RESTART ingesting the same texts under fresh
+    // doc_ids (+1000000 preserves the mod-50 eval exclusion); the
+    // persisted hash state must carry over, so nothing is re-admitted
+    val second = runStream(stageTo(
+      docs.withColumn("doc_id", col("doc_id") + 1000000L), "b.parquet"))
+    assert(second.isEmpty,
+      s"restart re-admitted ${second.size} previously-seen texts")
+  }
+
   test("streaming mini-batch k-means state equals a driver-side replay") {
     import scala.collection.concurrent.TrieMap
     def quant(a: Seq[Float]): Seq[Long] =
@@ -376,6 +432,7 @@ class StreamingSpec extends SparkSpec {
       val part = new java.io.File(tmp).listFiles()
         .find(_.getName.endsWith(".parquet")).get.toPath
       Files.copy(part, srcDir.resolve(name), StandardCopyOption.REPLACE_EXISTING)
+      stampStaged(srcDir.resolve(name))
     }
     stage(0, "a.parquet"); stage(1, "b.parquet"); stage(2, "c.parquet")
     val rec = TrieMap.empty[Long, (Array[(Long, Seq[Long])], Seq[(Long, Long, Seq[Long])])]
