@@ -9,12 +9,20 @@ import java.nio.file.{Files, Paths}
   * Catalyst cannot prune away expression-heavy projections the way it can
   * under a count-only terminal — the timing covers the real work.
   *
-  * Noise control: every query runs TWICE and the reported time is the min
-  * of the two runs. Single-shot numbers on a shared machine swing 5-10x
-  * (r2's q18 measured 10.5 s under load vs ~1.0 s isolated); min-of-two
-  * keeps the figure within ~1.5x of an isolated probe while still timing
-  * a cold-cache plan (caches are cleared between runs, so the second run
-  * repeats the full scan+shuffle, it only dodges scheduler/load spikes).
+  * Noise control (r4 verdict item: the driver's BENCH_r04 ran ~40% hot
+  * vs the same code on idle hardware):
+  *   1. every query runs at least twice and the reported time is the
+  *      min; a query whose two FASTEST times still disagree by >30%
+  *      re-runs (up to SPARK_GRAFT_BENCH_MAX_RUNS, default 4) until the
+  *      min is corroborated — bursty load costs extra runs only where
+  *      it actually hit, idle runs pay nothing;
+  *   2. a fixed full-width CPU probe is timed before and after the
+  *      sweep and recorded as probe_sec/probe_post_sec — sustained
+  *      external load shows up there, so an inflated round artifact is
+  *      distinguishable from a real regression without local
+  *      re-measurement (BASELINE.md pins the idle probe value).
+  * Caches are cleared between runs, so every run repeats the full
+  * scan+shuffle; the min only dodges scheduler/load spikes.
   *
   * Output contract (the driver tails decorated sbt stdout, which can
   * truncate a long line mid-JSON — r2's BENCH had "parsed": null):
@@ -40,6 +48,15 @@ object Bench {
     // query doesn't absorb session initialization (no fixture data is
     // touched or cached here)
     spark.range(1L << 20).selectExpr("count(distinct id % 1000)").collect()
+    // load sentinel: a fixed CPU-bound probe at full executor width.
+    // Its idle time is pinned in BASELINE.md; a loaded machine inflates
+    // it proportionally, which makes a hot round artifact self-evident.
+    def loadProbe(): Double = (1 to 3).map { _ =>
+      val t0 = System.nanoTime()
+      spark.range(0, (1L << 21) * cpus.toLong, 1, cpus.toInt)
+        .selectExpr("sum(pmod(xxhash64(id), 1024))").collect()
+      (System.nanoTime() - t0) / 1e9
+    }.min
     // SPARK_GRAFT_BENCH_ONLY=q74,q78 limits the run to queries whose name
     // contains any listed token — a local profiling aid; the driver never
     // sets it, so round artifacts always cover the full contract.
@@ -50,8 +67,10 @@ object Bench {
       case Some(toks) => SparkEntry.queries.filter { case (n, _) => toks.exists(n.contains) }
       case None => SparkEntry.queries
     }
+    val maxRuns = sys.env.getOrElse("SPARK_GRAFT_BENCH_MAX_RUNS", "4").toInt.max(runs)
+    val probePre = loadProbe()
     val results = selected.map { case (name, fn) =>
-      val times = (1 to runs).map { _ =>
+      def once(): Double = {
         val t0 = System.nanoTime()
         try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
         catch { case e: Throwable => System.err.println(s"[bench] $name failed: ${e.getMessage}") }
@@ -61,12 +80,22 @@ object Bench {
         spark.catalog.clearCache()
         (System.nanoTime() - t0) / 1e9
       }
+      val times = scala.collection.mutable.ArrayBuffer.fill(runs)(once())
+      // the min is only trusted once a second run lands within 30% of it
+      // (or the run budget is spent): a load burst that hit one run costs
+      // one more run, an idle sweep pays nothing extra
+      def corroborated = {
+        val s = times.sorted
+        s.length >= 2 && s(1) <= s(0) * 1.3
+      }
+      while (!corroborated && times.length < maxRuns) times += once()
       // per-run breakdown to stderr: shows warm-vs-cold effects (e.g. a
       // first run that builds persisted state) that the min hides
       System.err.println(s"[bench] $name runs: " +
         times.map(t => String.format(java.util.Locale.ROOT, "%.3f", Double.box(t))).mkString(", "))
       name -> times.min
     }
+    val probePost = loadProbe()
     def queriesJson(qs: Iterable[(String, Double)]): String =
       // Locale.ROOT: the default-locale interpolator writes "1,234" under
       // comma-decimal locales, which is invalid JSON
@@ -76,11 +105,14 @@ object Bench {
     val total = if (results.nonEmpty) results.values.sum else 0.0
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
     // bench_rev: timing methodology version (3 = min-of-two runs + q78
-    // corpus slice; 4 = 32g default heap) — cross-round deltas are only
-    // comparable at equal bench_rev
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":${queriesJson(results)},"sf":"$sfDir","bench_rev":4,"runs_per_query":$runs}"""
+    // corpus slice; 4 = 32g default heap; 5 = corroborated-min re-runs +
+    // load probe) — cross-round deltas are only comparable at equal
+    // bench_rev
+    def f3(v: Double) = String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+    val probes = s""""probe_sec":${f3(probePre)},"probe_post_sec":${f3(probePost)}"""
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":${queriesJson(results)},"sf":"$sfDir","bench_rev":5,"runs_per_query":$runs,$probes}"""
     val top10 = results.toSeq.sortBy(-_._2).take(10)
-    val compact = s"""{"metric":"total","value":$total,"unit":"sec","queries":${queriesJson(top10)},"sf":"$sfDir","n_queries":${results.size},"runs_per_query":$runs,"bench_rev":4,"full_out":"$out"}"""
+    val compact = s"""{"metric":"total","value":$total,"unit":"sec","queries":${queriesJson(top10)},"sf":"$sfDir","n_queries":${results.size},"runs_per_query":$runs,"bench_rev":5,$probes,"full_out":"$out"}"""
     System.err.println(json)
     System.err.flush()
     println(json)
