@@ -606,22 +606,42 @@ object Similarity {
     semanticDedup(s, dir, k = 8, iters = 2).orderBy(col("vec_id"))
   }
 
+  /** Which twin of a near-duplicate pair survives SemDeDup. */
+  sealed trait SemDedupKeep
+  /** Deterministic but arbitrary: the lower vec_id wins (q122's face). */
+  case object KeepLowestId extends SemDedupKeep
+  /** The paper's rule (Abbas 2023 §2): keep the example CLOSEST to its
+    * cluster centroid; exact integer distances make the rule total and
+    * hash-able (ties fall to the lower vec_id). */
+  case object KeepNearestCentroid extends SemDedupKeep
+
   /** q122's pipeline at arbitrary k — the contract face pins k=8/iters=2
     * for the unrolled oracle; SCALE runs grow k with the corpus (the
     * paper's recipe) so cluster size, and with it pair volume per
     * vector, stays constant: N²/k is linear in N when k ∝ N
-    * (measured in SCALE.md). */
+    * (measured in SCALE.md). `keepBy` picks the survivor of each
+    * near-dup pair: a vector is dropped iff a PRECEDING near-dup exists
+    * in its cluster, so the cluster's first vector in precedence order
+    * is always kept. */
   def semanticDedup(s: SparkSession, dir: String, k: Int, iters: Int,
-                    threshold: Double = 0.35): DataFrame = {
+                    threshold: Double = 0.35,
+                    keepBy: SemDedupKeep = KeepLowestId): DataFrame = {
     graft.functions.CosineSimilarity.register(s)
     val v = quantizedLong(s, dir)
     val assigned = assignToCentroids(v, kmeansCentroidFrame(v, k, iters))
-      .select(col("vec_id"), col("cid"))
+      .select(col("vec_id"), col("cid"), col("dist"))
     val m = Tables.embeddings(s, dir).join(assigned, "vec_id")
-      .select(col("vec_id"), col("cid"), col("embedding"))
-    val a = m.select(col("vec_id").as("va"), col("cid"), col("embedding").as("ea"))
-    val b = m.select(col("vec_id").as("vb"), col("cid"), col("embedding").as("eb"))
-    val dup = a.join(b, "cid").filter(col("va") < col("vb"))
+      .select(col("vec_id"), col("cid"), col("dist"), col("embedding"))
+    val a = m.select(col("vec_id").as("va"), col("cid"),
+      col("dist").as("da"), col("embedding").as("ea"))
+    val b = m.select(col("vec_id").as("vb"), col("cid"),
+      col("dist").as("db"), col("embedding").as("eb"))
+    val precedes = keepBy match {
+      case KeepLowestId => col("va") < col("vb")
+      case KeepNearestCentroid =>
+        col("da") < col("db") || (col("da") === col("db") && col("va") < col("vb"))
+    }
+    val dup = a.join(b, "cid").filter(precedes)
       .filter(expr("cosine_sim_native(ea, eb)") > threshold)
       .select(col("vb").as("vec_id")).distinct()
     m.join(dup.withColumn("hit", lit(1)), Seq("vec_id"), "left")
@@ -629,8 +649,31 @@ object Similarity {
         col("hit").isNull.as("kept"))
   }
 
+  /** SemDeDup with the PAPER's keep rule (closest-to-centroid survives,
+    * Abbas 2023 §2) — q122's machinery with the precedence order swapped
+    * to the exact integer centroid distance. The same unrolled-CTE
+    * oracle proves assignment, distance, and the keep decision all
+    * resolved identically in both engines. */
+  val q125SemdedupCentroid: QueryDef = sql(
+    "q125_semdedup_centroid",
+    s"""$kmeansSqlPrefix,
+       |${withNormSql()},
+       |m AS (SELECT n.vec_id, a.cid, a.dist, n.embedding, n.nrm
+       |      FROM n JOIN a3 a USING (vec_id)),
+       |pr AS (SELECT b.vec_id AS vb,
+       |         ${dotSql("a.embedding", "b.embedding")} / (a.nrm * b.nrm) AS cosine
+       |       FROM m a JOIN m b ON a.cid = b.cid
+       |         AND (a.dist < b.dist OR (a.dist = b.dist AND a.vec_id < b.vec_id))),
+       |dup AS (SELECT DISTINCT vb FROM pr WHERE cosine > 0.35)
+       |SELECT m.vec_id, CAST(m.cid AS INT) AS cid, (d.vb IS NULL) AS kept
+       |FROM m LEFT JOIN dup d ON d.vb = m.vec_id
+       |ORDER BY m.vec_id""".stripMargin) { (s, dir) =>
+    semanticDedup(s, dir, k = 8, iters = 2, keepBy = KeepNearestCentroid)
+      .orderBy(col("vec_id"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     q36ArrayNorms, q37EmbeddingNeardup, q38AnnBruteforce, q39AnnIvf,
     q45AnnNative, q52AnnLsh, q61AnnQuantized, q119KmeansTrain,
-    q120AnnIvfTrained, q122SemanticDedup)
+    q120AnnIvfTrained, q122SemanticDedup, q125SemdedupCentroid)
 }

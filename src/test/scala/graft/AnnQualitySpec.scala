@@ -152,6 +152,31 @@ class AnnQualitySpec extends SparkSpec {
     assert(inertia1 <= inertia0, s"Lloyd increased inertia: $inertia0 -> $inertia1")
   }
 
+  test("SemDeDup keep rules: nearest-centroid keeps the paper's survivor, lowest-id the smallest") {
+    import org.apache.spark.sql.functions._
+    val dir = generateClustered()
+    // on this fixture every intra-cluster pair is a near-dup (members sit
+    // within 0.15 noise of their center), so each cluster collapses to
+    // exactly one survivor — the keep rule alone decides which
+    val v = graft.sources.Tables.embeddings(spark, dir).select(col("vec_id"), expr(
+      "transform(embedding, x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000000.0D + 0.5D) AS BIGINT))").as("qv"))
+    val trained = Similarity.kmeansQuantized(v, k = 8, iters = 2)
+      .select("vec_id", "cid", "dist").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val byC = trained.groupBy(_._2)
+    val wantNearest = byC.map { case (_, rows) => rows.minBy(r => (r._3, r._1))._1 }.toSet
+    val wantLowest = byC.map { case (_, rows) => rows.map(_._1).min }.toSet
+
+    val keptN = Similarity.semanticDedup(spark, dir, 8, 2, keepBy = Similarity.KeepNearestCentroid)
+      .filter(col("kept")).collect().map(_.getLong(0)).toSet
+    assert(keptN == wantNearest,
+      s"nearest-centroid rule must keep argmin(dist, vec_id) per cluster; got $keptN want $wantNearest")
+    val keptL = Similarity.semanticDedup(spark, dir, 8, 2)
+      .filter(col("kept")).collect().map(_.getLong(0)).toSet
+    assert(keptL == wantLowest,
+      s"lowest-id rule must keep min vec_id per cluster; got $keptL want $wantLowest")
+  }
+
   test("LSH cosines are bit-identical to brute force on shared hits") {
     val dir = generateClustered()
     val brute = Similarity.q38AnnBruteforce.run(spark, dir).collect()
