@@ -467,14 +467,17 @@ object Similarity {
     * Adds `cid` and `dist`. */
   def assignToCentroids(vectors: DataFrame, cents: DataFrame): DataFrame =
     vectors.join(broadcast(packCentroids(cents)))
-      .withColumn("best", array_min(transform(col("cs"), c =>
-        struct(
-          aggregate(zip_with(col("qv"), c.getField("vec"), (a, b) => (a - b) * (a - b)),
-            lit(0L), (acc, x) => acc + x).as("cdist"),
-          c.getField("cid").as("cid")))))
-      .withColumn("dist", col("best").getField("cdist"))
-      .withColumn("cid", col("best").getField("cid"))
-      .drop("cs", "best")
+      // the argmin walks a LONG array, not an array of structs: struct
+      // ordering goes through the interpreted comparator per element,
+      // measured ~80% slower end-to-end on the k-means smoke. cs is
+      // ascending-cid, so first-minimum position = lowest tied cid.
+      .withColumn("dists", transform(col("cs"), c =>
+        aggregate(zip_with(col("qv"), c.getField("vec"), (a, b) => (a - b) * (a - b)),
+          lit(0L), (acc, x) => acc + x)))
+      .withColumn("dist", array_min(col("dists")))
+      .withColumn("cid", element_at(
+        col("cs"), array_position(col("dists"), col("dist")).cast("int")).getField("cid"))
+      .drop("cs", "dists")
 
   /** Seq-compat assignment face (streaming mini-batch state, tests). */
   def assignToCentroids(vectors: DataFrame, cents: Seq[(Long, Seq[Long])]): DataFrame =
