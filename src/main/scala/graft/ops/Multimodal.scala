@@ -64,7 +64,12 @@ object Multimodal {
   private def readImage(payload: Array[Byte]): java.awt.image.BufferedImage = {
     val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
       new java.io.ByteArrayInputStream(payload))
-    try javax.imageio.ImageIO.read(iis) finally iis.close()
+    // ImageIO.read(ImageInputStream) closes the stream itself once a
+    // reader claims it (its finally block) — a second close throws
+    // IOException("closed"). The tolerant close below covers only the
+    // no-reader path, where read() returns null with the stream open.
+    try javax.imageio.ImageIO.read(iis)
+    finally try iis.close() catch { case _: java.io.IOException => () }
   }
 
   /** Container sniff: true when the payload leads with the magic bytes
