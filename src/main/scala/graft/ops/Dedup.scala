@@ -841,7 +841,98 @@ object Dedup {
     withH.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
   }
 
+  /** Exact substring-span deduplication (the ExactSubstr variant of Lee
+    * et al. 2021, arXiv:2107.06499 "Deduplicating Training Data Makes
+    * Language Models Better"), at word-`n`-gram granularity: every
+    * occurrence of an `n`-token span whose text also occurs at a
+    * lexicographically earlier (doc_id, pos) loses its tokens; the
+    * globally FIRST occurrence of each span keeps them. Unlike document
+    * dedup (q30) this removes duplicated CONTENT from otherwise-distinct
+    * documents — boilerplate headers, license blocks, templated
+    * paragraphs — which doc- and near-dup passes cannot touch. Covered
+    * token positions are the union over a doc's non-first span
+    * occurrences, so overlapping duplicated spans merge naturally, and a
+    * within-doc repeat keeps exactly its first copy.
+    *
+    * Input: (doc_id, toks array<string>). Output: one row per doc —
+    * (doc_id, n_tokens, n_dropped, clean_text) with the surviving tokens
+    * rejoined in order (empty string when nothing survives).
+    *
+    * Plan shape, 100 TB posture: spans hash to md5 map-side in the scan
+    * (the q26/q31 shingle device — constant-width shuffle keys), the
+    * first-occurrence reduction is ONE map-side-combined aggregate
+    * `min(struct(doc_id, pos))` keyed on the span hash (an agg, not a
+    * window — partial combine absorbs hyper-frequent boilerplate spans
+    * that would pile onto a single window task), and only spans seen
+    * more than once survive into the occurrence join, so the join's
+    * build side carries duplicated spans only — at web-corpus dup rates
+    * a few percent of the gram stream. Token rebuild is a doc-keyed
+    * sort-free aggregate (array_sort over collected (pos, word) structs,
+    * bounded by document length). Nothing is ever pairwise. */
+  def spanDedup(docs: DataFrame, n: Int = 10): DataFrame = {
+    val t = docs.select(col("doc_id"), col("toks"))
+    val occ = t.filter(size(col("toks")) >= n)
+      .select(col("doc_id"), explode(expr(
+        s"transform(sequence(1, size(toks) - ${n - 1}), i -> struct(i AS pos, md5(concat_ws(' ', slice(toks, i, $n))) AS g))")).as("o"))
+      .select(col("doc_id"), col("o.pos").as("pos"), col("o.g").as("g"))
+    val dupFirsts = occ.groupBy(col("g"))
+      .agg(min(struct(col("doc_id"), col("pos"))).as("first"), count(lit(1)).as("c"))
+      .filter(col("c") > 1)
+      .select(col("g"), col("first.doc_id").as("fdoc"), col("first.pos").as("fpos"))
+    val covered = occ.join(dupFirsts, "g")
+      .filter(col("doc_id") =!= col("fdoc") || col("pos") =!= col("fpos"))
+      .select(col("doc_id"), explode(sequence(col("pos"), col("pos") + (n - 1))).as("tpos"))
+      .distinct()
+    val toks = t.select(col("doc_id"), posexplode(col("toks")).as(Seq("i", "word")))
+      .select(col("doc_id"), (col("i") + 1).as("tpos"), col("word"))
+    val rebuilt = toks.join(covered, Seq("doc_id", "tpos"), "left_anti")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_kept"),
+        concat_ws(" ", expr("transform(array_sort(collect_list(struct(tpos, word))), x -> x.word)")).as("clean_text"))
+    t.select(col("doc_id"), size(col("toks")).cast("long").as("n_tokens"))
+      .join(rebuilt, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        (col("n_tokens") - coalesce(col("n_kept"), lit(0L))).as("n_dropped"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"))
+  }
+
+  val q126SpanDedup: QueryDef = sql(
+    "q126_span_dedup",
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+      |occ AS (
+      |  SELECT doc_id, i AS pos, md5(array_to_string(list_slice(toks, i, i + 9), ' ')) AS g
+      |  FROM t, LATERAL (SELECT unnest(range(1, len(toks) - 8)) AS i)
+      |  WHERE len(toks) >= 10),
+      |ranked AS (
+      |  SELECT doc_id, pos,
+      |    row_number() OVER (PARTITION BY g ORDER BY doc_id, pos) AS rn
+      |  FROM occ),
+      |covered AS (
+      |  SELECT DISTINCT doc_id, pos + j.o AS tpos
+      |  FROM ranked, LATERAL (SELECT unnest(range(0, 10)) AS o) j
+      |  WHERE rn > 1),
+      |tok AS (
+      |  SELECT doc_id, i + 1 AS tpos, toks[i + 1] AS word
+      |  FROM t, LATERAL (SELECT unnest(range(0, len(toks))) AS i)),
+      |reb AS (
+      |  SELECT k.doc_id, COUNT(*) AS n_kept,
+      |    string_agg(k.word, ' ' ORDER BY k.tpos) AS clean_text
+      |  FROM (SELECT tok.* FROM tok LEFT JOIN covered c
+      |          ON c.doc_id = tok.doc_id AND c.tpos = tok.tpos
+      |        WHERE c.doc_id IS NULL) k
+      |  GROUP BY 1)
+      |SELECT t.doc_id, CAST(len(t.toks) AS BIGINT) AS n_tokens,
+      |  CAST(len(t.toks) - COALESCE(r.n_kept, 0) AS BIGINT) AS n_dropped,
+      |  COALESCE(r.clean_text, '') AS clean_text
+      |FROM t LEFT JOIN reb r USING (doc_id)
+      |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    spanDedup(Tables.fanOut(Tables.documents(s, dir))
+        .withColumn("toks", split(col("text"), " ")))
+      .orderBy(col("doc_id"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     q30DedupExact, q31MinhashLsh, q32NeardupVerified, q33Simhash, q34SimhashPairs,
-    q78SimhashHamming, q85DedupClusters, q108IncrementalDedup, q111SimhashWide)
+    q78SimhashHamming, q85DedupClusters, q108IncrementalDedup, q111SimhashWide,
+    q126SpanDedup)
 }
