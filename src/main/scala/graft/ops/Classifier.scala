@@ -1,0 +1,138 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** Model-based quality/domain classification — the trainable filter of a
+  * pretraining curation pipeline (the GPT-3 / LLaMA "quality classifier"
+  * step: score every document against a small labeled set, keep the
+  * high-scoring tail). The model is a linear classifier over hashed
+  * bag-of-words features (the fastText recipe) trained with the BATCH
+  * perceptron rule, which keeps every quantity an exact integer:
+  * weights, margins, and updates are sums of ±token-counts, so the whole
+  * training trajectory — not just the served scores — hash-verifies
+  * against an unrolled cross-engine oracle (the q119 k-means device
+  * applied to supervised learning).
+  *
+  * Scale posture (100 TB): features are one explode + one
+  * (doc_id, dim)-keyed map-side-combined count; each training round is
+  * one broadcast join (weights are DIMS+1 rows — fixed, tiny) + one
+  * doc-keyed agg + one dim-keyed agg over the persisted feature
+  * relation; the per-round driver collect is DIMS+1 rows by
+  * construction (bounded like the q114 hot-key probe, unlike the
+  * corpus-growing k-means k that moved to a pure-relation path).
+  * Serving is embarrassingly parallel: broadcast weights, one agg. */
+object Classifier {
+  import QueryDef.sql
+
+  /** Hashed feature dimensionality; dim [[Dims]] itself is the bias. */
+  val Dims = 32
+
+  /** Hashed bag-of-words features of a (doc_id, text) frame:
+    * (doc_id, dim, cnt) token counts per md5-hash bucket, plus a
+    * constant bias feature at dim = `dims` so the learned separator
+    * need not pass through the origin. The md5-prefix bucket is the
+    * q62/q118 cross-engine device — both engines hash identically. */
+  def hashedFeatures(docs: DataFrame, dims: Int = Dims): DataFrame = {
+    val toks = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+    toks.select(col("doc_id"),
+        expr(s"CAST(conv(substring(md5(word), 1, 8), 16, 10) AS BIGINT) % $dims").as("dim"))
+      .groupBy(col("doc_id"), col("dim")).agg(count(lit(1)).as("cnt"))
+      .unionByName(docs.select(col("doc_id"), lit(dims.toLong).as("dim"), lit(1L).as("cnt")))
+  }
+
+  /** Margins w·x for every doc in `feats` under a (dim, w) weight
+    * relation: one broadcast join + one doc-keyed aggregate. */
+  def perceptronScore(feats: DataFrame, weights: DataFrame): DataFrame =
+    feats.join(broadcast(weights), Seq("dim"), "left")
+      .groupBy(col("doc_id"))
+      .agg(sum(coalesce(col("w"), lit(0L)) * col("cnt")).as("margin"))
+
+  /** Batch-perceptron training: starting from w = 0, each round adds
+    * Σ y·x over the docs the current weights misclassify
+    * (y·(w·x) <= 0 — so round one updates on every doc). Deterministic
+    * and exactly reproducible: no learning rate, no shuffling, no
+    * floats. `labels` is (doc_id, y) with y ∈ {+1, -1}. Returns the
+    * (dim, w) weight relation, every dim present. */
+  def perceptronTrain(feats: DataFrame, labels: DataFrame, rounds: Int,
+                      dims: Int = Dims): DataFrame = {
+    val s = feats.sparkSession
+    var w = Map.empty[Long, Long]
+    for (_ <- 1 to rounds) {
+      val mis = perceptronScore(feats, weightsDf(s, w, dims))
+        .join(labels, "doc_id")
+        .filter(col("y") * col("margin") <= 0)
+        .select(col("doc_id"), col("y"))
+      val upd = feats.join(mis, "doc_id")
+        .groupBy(col("dim")).agg(sum(col("y") * col("cnt")).as("dw"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      w = (w.keySet ++ upd.keySet)
+        .map(d => d -> (w.getOrElse(d, 0L) + upd.getOrElse(d, 0L))).toMap
+    }
+    weightsDf(s, w, dims)
+  }
+
+  private def weightsDf(s: SparkSession, w: Map[Long, Long], dims: Int): DataFrame = {
+    import s.implicits._
+    (0L to dims.toLong).map(d => (d, w.getOrElse(d, 0L))).toDF("dim", "w")
+  }
+
+  /** Contract face: train 3 rounds on the whole fixture with y = +1 ⇔
+    * lang = 'en' (the fastText language-ID task over hashed
+    * bag-of-words), then serve the trained weights back over the
+    * training set — (doc_id, y, margin, pred). Margins are exact
+    * integers, so the hash pins every weight of every round: one
+    * misclassification decided differently anywhere in the trajectory
+    * shifts some final margin. */
+  val q127Perceptron: QueryDef = sql(
+    "q127_perceptron",
+    """WITH toks AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
+      |hf AS (
+      |  SELECT doc_id, CAST(('0x' || substr(md5(word), 1, 8)) AS BIGINT) % 32 AS dim,
+      |         CAST(COUNT(*) AS BIGINT) AS cnt
+      |  FROM toks GROUP BY 1, 2
+      |  UNION ALL
+      |  SELECT doc_id, 32 AS dim, 1 AS cnt FROM documents),
+      |lab AS (SELECT doc_id, CASE WHEN lang = 'en' THEN 1 ELSE -1 END AS y
+      |        FROM documents),
+      |w1 AS (SELECT f.dim, CAST(SUM(l.y * f.cnt) AS BIGINT) AS w
+      |       FROM hf f JOIN lab l USING (doc_id) GROUP BY 1),
+      |m2 AS (SELECT f.doc_id, CAST(SUM(COALESCE(w1.w, 0) * f.cnt) AS BIGINT) AS margin
+      |       FROM hf f LEFT JOIN w1 USING (dim) GROUP BY 1),
+      |u2 AS (SELECT f.dim, CAST(SUM(l.y * f.cnt) AS BIGINT) AS dw
+      |       FROM hf f JOIN lab l USING (doc_id) JOIN m2 USING (doc_id)
+      |       WHERE l.y * m2.margin <= 0 GROUP BY 1),
+      |w2 AS (SELECT COALESCE(w1.dim, u2.dim) AS dim,
+      |              COALESCE(w1.w, 0) + COALESCE(u2.dw, 0) AS w
+      |       FROM w1 FULL JOIN u2 ON w1.dim = u2.dim),
+      |m3 AS (SELECT f.doc_id, CAST(SUM(COALESCE(w2.w, 0) * f.cnt) AS BIGINT) AS margin
+      |       FROM hf f LEFT JOIN w2 USING (dim) GROUP BY 1),
+      |u3 AS (SELECT f.dim, CAST(SUM(l.y * f.cnt) AS BIGINT) AS dw
+      |       FROM hf f JOIN lab l USING (doc_id) JOIN m3 USING (doc_id)
+      |       WHERE l.y * m3.margin <= 0 GROUP BY 1),
+      |w3 AS (SELECT COALESCE(w2.dim, u3.dim) AS dim,
+      |              COALESCE(w2.w, 0) + COALESCE(u3.dw, 0) AS w
+      |       FROM w2 FULL JOIN u3 ON w2.dim = u3.dim),
+      |mf AS (SELECT f.doc_id, CAST(SUM(COALESCE(w3.w, 0) * f.cnt) AS BIGINT) AS margin
+      |       FROM hf f LEFT JOIN w3 USING (dim) GROUP BY 1)
+      |SELECT l.doc_id, CAST(l.y AS BIGINT) AS y, mf.margin,
+      |  CAST(CASE WHEN mf.margin > 0 THEN 1 ELSE -1 END AS BIGINT) AS pred
+      |FROM lab l JOIN mf USING (doc_id)
+      |ORDER BY l.doc_id""".stripMargin) { (s, dir) =>
+    val docs = Tables.fanOut(Tables.documents(s, dir))
+    val feats = hashedFeatures(docs)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val labels = docs.select(col("doc_id"),
+      when(col("lang") === "en", 1L).otherwise(-1L).as("y"))
+    val trained = perceptronTrain(feats, labels, rounds = 3)
+    perceptronScore(feats, trained).join(labels, "doc_id")
+      .select(col("doc_id"), col("y"), col("margin"),
+        when(col("margin") > 0, 1L).otherwise(-1L).as("pred"))
+      .orderBy(col("doc_id"))
+  }
+
+  val all: Seq[QueryDef] = Seq(q127Perceptron)
+}
