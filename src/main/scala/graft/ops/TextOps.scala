@@ -949,6 +949,161 @@ object TextOps {
       .orderBy(col("source"))
   }
 
+  /** Reference-LM perplexity gate (the CCNet filter, Wenzek et al. 2020
+    * arXiv:1911.00359): train an add-one-smoothed bigram language model
+    * on a TRUSTED reference subset, then score every corpus document by
+    * its average per-bigram negative log-likelihood — documents far from
+    * the reference distribution (boilerplate, wrong domain, wrong
+    * language) land in the high-perplexity tail and are flagged. The
+    * model is three count relations: bigram counts c(w1,w2), context
+    * counts c(w1) (bigram-position-1 counts, so probabilities normalize:
+    * Σ_w2 (c(w1,w2)+1)/(c(w1)+V) = 1), and the reference vocabulary size
+    * V; P(w2|w1) = (c(w1,w2)+1)/(c(w1)+V), uniform 1/V for unseen
+    * contexts — no backoff special-cases, one formula for every bigram.
+    *
+    * Scale posture: the LM is reference-sized, not corpus-sized — both
+    * count relations and V broadcast; scoring is one scan of the corpus
+    * bigram stream with two broadcast joins and a doc-keyed average, no
+    * corpus shuffle. ln sums are emitted rounded to 6 dp with the flag
+    * computed ON the rounded value (the q99 discipline: double addition
+    * order and 1-ulp libm divergence live below the rounding). */
+  def lmPerplexity(docs: DataFrame, ref: DataFrame,
+                   threshold: Double = 3.45): DataFrame = {
+    def bi(d: DataFrame): DataFrame = d
+      .withColumn("toks", split(col("text"), " "))
+      .filter(size(col("toks")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(1, size(toks) - 1), i -> struct(toks[i-1] AS w1, toks[i] AS w2))")).as("b"))
+      .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+    val refBi = bi(ref)
+    val c2 = refBi.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c2"))
+    val c1 = refBi.groupBy(col("w1")).agg(count(lit(1)).as("c1"))
+    val v = ref.select(explode(split(col("text"), " ")).as("word"))
+      .agg(countDistinct(col("word")).as("v"))
+    val nll = -log((coalesce(col("c2"), lit(0L)) + lit(1.0)) /
+      (coalesce(col("c1"), lit(0L)).cast("double") + col("v")))
+    bi(docs)
+      .join(broadcast(c2), Seq("w1", "w2"), "left")
+      .join(broadcast(c1), Seq("w1"), "left")
+      .crossJoin(broadcast(v))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"), avg(nll).as("raw"))
+      .select(col("doc_id"), col("n_bigrams"),
+        round(col("raw"), 6).as("avg_nll"),
+        (round(col("raw"), 6) > threshold).as("high_perplexity"))
+  }
+
+  /** Contract face of [[lmPerplexity]]: the trusted reference is the
+    * `lang = 'en'` subset (CCNet's Wikipedia stand-in), scored over the
+    * whole corpus at threshold 3.45. */
+  val q128LmPerplexity: QueryDef = sql(
+    "q128_lm_perplexity",
+    """WITH t AS (SELECT doc_id, lang, string_split(text, ' ') AS toks FROM documents),
+      |refbi AS (
+      |  SELECT toks[i] AS w1, toks[i + 1] AS w2
+      |  FROM t, LATERAL (SELECT unnest(range(1, len(toks))) AS i)
+      |  WHERE lang = 'en' AND len(toks) >= 2),
+      |c2 AS (SELECT w1, w2, COUNT(*) AS c2 FROM refbi GROUP BY 1, 2),
+      |c1 AS (SELECT w1, COUNT(*) AS c1 FROM refbi GROUP BY 1),
+      |v AS (SELECT COUNT(DISTINCT word) AS v FROM (
+      |  SELECT unnest(toks) AS word FROM t WHERE lang = 'en')),
+      |docbi AS (
+      |  SELECT doc_id, toks[i] AS w1, toks[i + 1] AS w2
+      |  FROM t, LATERAL (SELECT unnest(range(1, len(toks))) AS i)
+      |  WHERE len(toks) >= 2),
+      |sc AS (
+      |  SELECT d.doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+      |    AVG(-ln((COALESCE(c2.c2, 0) + 1.0) / (COALESCE(c1.c1, 0) + v.v))) AS raw
+      |  FROM docbi d LEFT JOIN c2 ON d.w1 = c2.w1 AND d.w2 = c2.w2
+      |    LEFT JOIN c1 ON d.w1 = c1.w1, v
+      |  GROUP BY d.doc_id)
+      |SELECT doc_id, n_bigrams, round(raw, 6) AS avg_nll,
+      |  round(raw, 6) > 3.45 AS high_perplexity
+      |FROM sc
+      |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    val docs = Tables.fanOut(Tables.documents(s, dir))
+    lmPerplexity(docs, docs.filter(col("lang") === "en"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Data selection via importance resampling (DSIR, Xie et al. 2023
+    * arXiv:2302.03169): pick the corpus subset whose hashed-n-gram
+    * distribution matches a TARGET domain. Per doc, the log importance
+    * weight is Σ_tokens [ln p_target(b) − ln p_raw(b)] over add-one-
+    * smoothed hashed-bucket probabilities p(b) = (c_b+1)/(N+B); sampling
+    * without replacement proportional to the weights is the Gumbel-top-k
+    * trick, with the Gumbel noise g = −ln(−ln(u)) derived from the
+    * q68/q107 md5-fraction device — so the "random" resample is
+    * reproducible, engine-identical, and join-stable. `selected` marks
+    * the top-`k` docs by (logw + g).
+    *
+    * Scale posture: both distributions are B-bucket count relations —
+    * broadcast; scoring is one corpus token scan + two broadcast joins +
+    * a doc-keyed sum; the selection threshold is min-of-top-k
+    * (TakeOrdered k rows, never a global sort), broadcast back as a
+    * scalar — no corpus-wide window. Doubles are emitted rounded to
+    * 6 dp; ranking happens on raw values (the q99 discipline — adjacent
+    * order statistics sit ~range/n apart, far above ulp noise). */
+  def dsirSelect(docs: DataFrame, target: DataFrame,
+                 buckets: Int = 64, k: Int = 100): DataFrame = {
+    def tokB(d: DataFrame): DataFrame =
+      d.select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+        .select(col("doc_id"),
+          expr(s"CAST(conv(substring(md5(word), 1, 8), 16, 10) AS BIGINT) % $buckets").as("b"))
+    val tok = tokB(docs)
+    val raw = tok.groupBy(col("b")).agg(count(lit(1)).as("cr"))
+    val nr = tok.agg(count(lit(1)).as("nr"))
+    val ttok = tokB(target)
+    val tgt = ttok.groupBy(col("b")).agg(count(lit(1)).as("ct"))
+    val nt = ttok.agg(count(lit(1)).as("nt"))
+    val term = log((coalesce(col("ct"), lit(0L)) + lit(1.0)) / (col("nt") + lit(buckets))) -
+      log((coalesce(col("cr"), lit(0L)) + lit(1.0)) / (col("nr") + lit(buckets)))
+    val lw = tok
+      .join(broadcast(tgt), Seq("b"), "left")
+      .join(broadcast(raw), Seq("b"), "left")
+      .crossJoin(broadcast(nt)).crossJoin(broadcast(nr))
+      .groupBy(col("doc_id")).agg(sum(term).as("logw"))
+    val keyed = lw.withColumn("gk", col("logw") - log(-log(
+      (expr("CAST(conv(substring(md5(concat('dsir:', CAST(doc_id AS STRING))), 1, 8), 16, 10) AS BIGINT)") + lit(0.5)) /
+        lit(4294967296.0))))
+    val kth = keyed.orderBy(col("gk").desc, col("doc_id")).limit(k)
+      .agg(min(col("gk")).as("kth"))
+    keyed.crossJoin(broadcast(kth))
+      .select(col("doc_id"), round(col("logw"), 6).as("log_weight"),
+        round(col("gk"), 6).as("gumbel_key"), (col("gk") >= col("kth")).as("selected"))
+  }
+
+  /** Contract face of [[dsirSelect]]: target domain is the `lang = 'fr'`
+    * subset, k = 100 of the 500-doc corpus, 64 hash buckets. */
+  val q129DsirSelect: QueryDef = sql(
+    "q129_dsir_select",
+    """WITH t AS (SELECT doc_id, lang, string_split(text, ' ') AS toks FROM documents),
+      |tok AS (SELECT doc_id, CAST(('0x' || substr(md5(word), 1, 8)) AS BIGINT) % 64 AS b
+      |        FROM (SELECT doc_id, unnest(toks) AS word FROM t)),
+      |raw AS (SELECT b, COUNT(*) AS cr FROM tok GROUP BY 1),
+      |nr AS (SELECT COUNT(*) AS nr FROM tok),
+      |ttok AS (SELECT tok.* FROM tok JOIN t USING (doc_id) WHERE t.lang = 'fr'),
+      |tgt AS (SELECT b, COUNT(*) AS ct FROM ttok GROUP BY 1),
+      |nt AS (SELECT COUNT(*) AS nt FROM ttok),
+      |lw AS (SELECT tok.doc_id,
+      |         SUM(ln((COALESCE(tgt.ct, 0) + 1.0) / (nt.nt + 64)) -
+      |             ln((COALESCE(raw.cr, 0) + 1.0) / (nr.nr + 64))) AS logw
+      |       FROM tok LEFT JOIN tgt USING (b) LEFT JOIN raw USING (b), nt, nr
+      |       GROUP BY 1),
+      |kb AS (SELECT doc_id, logw,
+      |         logw - ln(-ln((CAST(('0x' || substr(md5('dsir:' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) + 0.5) / 4294967296.0)) AS gk
+      |       FROM lw),
+      |thr AS (SELECT MIN(gk) AS kth FROM (
+      |  SELECT gk FROM kb ORDER BY gk DESC, doc_id LIMIT 100))
+      |SELECT doc_id, round(logw, 6) AS log_weight, round(gk, 6) AS gumbel_key,
+      |  gk >= thr.kth AS selected
+      |FROM kb, thr
+      |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    val docs = Tables.fanOut(Tables.documents(s, dir))
+    dsirSelect(docs, docs.filter(col("lang") === "fr"))
+      .orderBy(col("doc_id"))
+  }
+
   val q116Contamination: QueryDef = sql(
     "q116_contamination",
     """WITH evalg AS (
@@ -987,5 +1142,6 @@ object TextOps {
     q68StratifiedSample, q72Redaction, q74Chunking, q79CurationPipeline,
     q80TrigramGenerator, q99Tfidf, q100ShardPacking, q102HeavyHitters,
     q107QualitySample, q110Contingency, q116Contamination, q117Repetition,
-    q118SourceMix, q121NegativeSampling, q123CorpusBuild)
+    q118SourceMix, q121NegativeSampling, q123CorpusBuild, q128LmPerplexity,
+    q129DsirSelect)
 }

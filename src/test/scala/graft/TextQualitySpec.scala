@@ -97,6 +97,55 @@ class TextQualitySpec extends SparkSpec {
     assert(contaminated == 0L, s"$contaminated contaminated docs survived")
   }
 
+  test("lm perplexity: out-of-reference docs score above reference-like docs") {
+    val s = spark
+    import s.implicits._
+    val ref = Seq(
+      (1L, "the cat sat on the mat"), (2L, "the dog sat on the rug"),
+      (3L, "the cat ran to the dog")).toDF("doc_id", "text")
+    val docs = ref.unionByName(Seq(
+      (10L, "the cat sat on the rug"),       // in-distribution
+      (11L, "zz qq vv kk ww yy")).toDF("doc_id", "text")) // unseen vocab
+    val out = TextOps.lmPerplexity(docs, ref).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("avg_nll")).toMap
+    assert(out(11L) > out(10L) + 0.5, "unseen-vocab doc must score far higher")
+    assert(out(10L) < out(11L) && out(1L) < out(11L))
+  }
+
+  test("lm perplexity: flag fires exactly on the rounded threshold comparison") {
+    val rows = TextOps.q128LmPerplexity.run(spark, sfDir).collect()
+    assert(rows.length == 500)
+    rows.foreach { r =>
+      assert(r.getAs[Boolean]("high_perplexity") == (r.getAs[Double]("avg_nll") > 3.45))
+      assert(r.getAs[Long]("n_bigrams") > 0)
+    }
+    assert(rows.exists(_.getAs[Boolean]("high_perplexity")), "fixture has a high-ppl tail")
+    assert(rows.count(_.getAs[Boolean]("high_perplexity")) < 250, "flag is a tail, not a majority")
+  }
+
+  test("dsir: docs matching the target vocabulary carry higher importance weights") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq(
+      (1L, "wine cheese paris wine cheese"), (2L, "wine paris cheese baguette wine"),
+      (3L, "rocket engine thrust nozzle fuel"), (4L, "engine fuel rocket thrust pump"))
+      .toDF("doc_id", "text")
+    val target = Seq((100L, "wine cheese paris baguette wine cheese paris")).toDF("doc_id", "text")
+    val out = TextOps.dsirSelect(docs, target, buckets = 64, k = 2).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("log_weight")).toMap
+    assert(out(1L) > out(3L) && out(2L) > out(4L),
+      "target-domain docs must outweigh off-domain docs")
+  }
+
+  test("dsir contract face: exactly k selected, and they dominate by gumbel key") {
+    val rows = TextOps.q129DsirSelect.run(spark, sfDir).collect()
+    assert(rows.length == 500)
+    val (sel, unsel) = rows.partition(_.getAs[Boolean]("selected"))
+    assert(sel.length == 100)
+    val minSel = sel.map(_.getAs[Double]("gumbel_key")).min
+    assert(unsel.forall(_.getAs[Double]("gumbel_key") <= minSel))
+  }
+
   test("fuzzyPairs at maxDist=0 reduces to exact within-block name equality") {
     import spark.implicits._
     val rows = Seq(
