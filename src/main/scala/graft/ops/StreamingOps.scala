@@ -133,15 +133,18 @@ object StreamingOps {
   // ---- streaming faces (unbounded DataFrames) ----
 
   /** File-source replay of an events parquet fixture: the file is staged
-    * into a directory and read as a stream (one file per trigger), with
-    * the same nanos→micros shim as the batch loader. */
+    * into a directory and read as a stream (one file per trigger). The
+    * stream schema is inferred from the already-staged files (one footer
+    * read — a stream source needs an explicit schema), so the source
+    * tracks whichever `ts` layout the fixture generation shipped; the
+    * column is then normalized exactly like the batch loader. */
   def eventsStream(s: SparkSession, stagedDir: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val schema = "event_id LONG, ts LONG, user_id LONG, event_type STRING, value DOUBLE, props STRING"
-    s.readStream.schema(schema)
-      .option("maxFilesPerTrigger", "1")
-      .parquet(stagedDir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000"))) // integer div: see Tables.events
+    val schema = s.read.parquet(stagedDir).schema
+    Tables.normalizeEventsTs(
+      s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(stagedDir))
   }
 
   /** Tumbling-window counts with a watermark: rows later than 10 minutes

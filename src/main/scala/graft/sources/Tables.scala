@@ -23,18 +23,32 @@ object Tables {
   def orders(s: SparkSession, d: String): DataFrame    = load(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame  = load(s, d, "lineitem")
 
-  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark 4 rejects by
-    * default (PARQUET_TYPE_ILLEGAL). Read nanos as long via the legacy
-    * conf, then convert to a regular (microsecond) timestamp — the fixture
-    * has no sub-microsecond components, and DuckDB's reader truncates to
-    * micros the same way, so oracle values agree. */
+  /** `events.ts` has shipped as parquet TIMESTAMP(NANOS) in some fixture
+    * generations and TIMESTAMP(MICROS, isAdjustedToUTC=false) in others,
+    * so the loader adapts to what the footer declares rather than pinning
+    * one generation's layout. Nanos would be rejected by Spark 4 outright
+    * (PARQUET_TYPE_ILLEGAL), so the legacy conf reads them as LONG first.
+    * Either way the column lands as a session-tz TIMESTAMP at microsecond
+    * precision — DuckDB reads both layouts as the same naive micros, and
+    * Verify/Bench pin the session zone to UTC, so oracle values agree. */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    import org.apache.spark.sql.functions.{expr, timestamp_micros}
-    // integer `div`, NOT `/`: epoch nanos exceed double precision and
-    // float division would round the microsecond up on ~half the rows
-    load(s, d, "events")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    normalizeEventsTs(load(s, d, "events"))
+  }
+
+  /** Normalizes an events frame's `ts` to TimestampType: nanos-as-LONG
+    * gets the integer-div shim (`div`, NOT `/` — epoch nanos exceed double
+    * precision and float division would round the microsecond up on ~half
+    * the rows); native timestamp columns (NTZ or not) just cast, which is
+    * the identity under the UTC session zone both harness mains set. */
+  def normalizeEventsTs(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
+    import org.apache.spark.sql.types.{LongType, TimestampType}
+    df.schema("ts").dataType match {
+      case LongType => df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampType => df
+      case _ => df.withColumn("ts", col("ts").cast(TimestampType))
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")

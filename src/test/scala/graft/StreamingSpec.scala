@@ -246,11 +246,11 @@ class StreamingSpec extends SparkSpec {
   test("checkpointed restart resumes after the last committed batch (no reprocessing)") {
     import org.apache.spark.sql.streaming.Trigger
     import scala.collection.mutable.ArrayBuffer
-    // raw fixture rows with ts kept as nanos LONG so restaged files look
-    // exactly like the driver parquet the stream source expects
+    // raw fixture rows with ts kept in its on-disk layout (inferred — the
+    // fixture has shipped both nanos and micros generations) so restaged
+    // files look exactly like the driver parquet the stream source expects
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val schema = "event_id LONG, ts LONG, user_id LONG, event_type STRING, value DOUBLE, props STRING"
-    val raw = spark.read.schema(schema).parquet(s"$sfDir/events.parquet")
+    val raw = spark.read.parquet(s"$sfDir/events.parquet")
     val srcDir = Files.createTempDirectory("graft-ckpt-src")
     val ckpt = Files.createTempDirectory("graft-ckpt").toString
     def stage(lo: Long, hi: Long, name: String): Unit = {
