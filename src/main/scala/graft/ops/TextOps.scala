@@ -347,6 +347,81 @@ object TextOps {
       .orderBy(col("doc_id"), col("chunk_id"))
   }
 
+  /** Cross-document sequence packing — the concat-and-chunk step that
+    * turns a curated corpus into fixed-length training sequences: all
+    * documents are laid out contiguously in doc_id order (each followed
+    * by one EOS token), and the resulting token stream is cut into
+    * `contextLen`-token windows. Unlike q74 (which chunks WITHIN one
+    * document), the layout is global: a document can straddle a window
+    * boundary and short documents share windows — zero padding waste,
+    * which is why GPT-style pretraining packs this way. Output is one
+    * row per (doc, window) overlap: the window id, the doc's global
+    * token offset, and how many of the doc's tokens land in that window.
+    *
+    * The global offset is a distributed TWO-PASS prefix sum, not a
+    * corpus-wide window function — an un-partitioned window collapses
+    * the whole corpus into a single task. Pass 1: range-partition by
+    * doc_id, per-partition running sums (a window PARTITIONED by the
+    * range bucket — distributed), plus one total per partition. Pass 2:
+    * the per-partition totals (one row per partition — the bounded
+    * collect class of the q114 hot-key probe) turn into exclusive
+    * prefix offsets on the driver and broadcast-join back. The range
+    * partitioner samples its split points, but ranges are contiguous
+    * and in-partition order is total, so the computed offsets are exact
+    * wherever the boundaries land — the output is bit-deterministic at
+    * any partition count (PackingSpec pins 1/3/8-partition equality).
+    * Window emission is then one map-side sequence/explode per doc. */
+  def packSequences(docs: DataFrame, contextLen: Int = 128,
+                    partitions: Int = 0): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val s = docs.sparkSession
+    val nParts = if (partitions > 0) partitions
+      else math.max(1, s.sparkContext.defaultParallelism)
+    val need = docs.select(col("doc_id"),
+      (size(split(col("text"), " ")) + 1).cast("long").as("need"))
+    val parted = need.repartitionByRange(nParts, col("doc_id"))
+      .withColumn("pid", spark_partition_id())
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val local = parted.withColumn("run",
+      sum(col("need")).over(Window.partitionBy(col("pid")).orderBy(col("doc_id"))))
+    val totals = parted.groupBy(col("pid")).agg(sum(col("need")).as("tot"))
+      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+    var acc = 0L
+    val offsets = totals.map { case (pid, tot) => val o = (pid, acc); acc += tot; o }
+    import s.implicits._
+    val offDf = offsets.toSeq.toDF("pid", "poff")
+    local.join(broadcast(offDf), "pid")
+      .select(col("doc_id"), col("need"),
+        (col("poff") + col("run") - col("need")).as("start"))
+      .withColumn("c0", expr(s"start div $contextLen"))
+      .withColumn("c1", expr(s"(start + need - 1) div $contextLen"))
+      .withColumn("chunk_id", explode(expr("sequence(c0, c1)")))
+      .select(col("doc_id"), col("chunk_id"), col("start"),
+        (least((col("chunk_id") + 1) * contextLen, col("start") + col("need")) -
+          greatest(col("chunk_id") * contextLen, col("start"))).as("n_tok"))
+  }
+
+  /** Contract face of [[packSequences]]: 128-token windows over the
+    * documents table in doc_id order. The oracle states the same layout
+    * as ONE window cumsum — fine at fixture scale, single-task at 100 TB;
+    * the Spark side is the two-pass form and must produce identical
+    * offsets. */
+  val q130SequencePacking: QueryDef = sql(
+    "q130_sequence_packing",
+    """WITH d AS (SELECT doc_id, len(string_split(text, ' ')) + 1 AS need FROM documents),
+      |p AS (SELECT doc_id, need,
+      |        CAST(SUM(need) OVER (ORDER BY doc_id) - need AS BIGINT) AS start FROM d),
+      |x AS (SELECT doc_id, need, start, start // 128 AS c0,
+      |        (start + need - 1) // 128 AS c1 FROM p)
+      |SELECT doc_id, chunk_id, start,
+      |  CAST(least((chunk_id + 1) * 128, start + need)
+      |       - greatest(chunk_id * 128, start) AS BIGINT) AS n_tok
+      |FROM x, LATERAL (SELECT unnest(range(c0, c1 + 1)) AS chunk_id)
+      |ORDER BY doc_id, chunk_id""".stripMargin) { (s, dir) =>
+    packSequences(Tables.documents(s, dir))
+      .orderBy(col("doc_id"), col("chunk_id"))
+  }
+
   /** End-to-end curation capstone — the stages a training-data run
     * composes, in one oracle-checked query: quality scoring (q25's
     * formula) → threshold filter → exact dedup keeping the first doc per
@@ -1143,5 +1218,5 @@ object TextOps {
     q80TrigramGenerator, q99Tfidf, q100ShardPacking, q102HeavyHitters,
     q107QualitySample, q110Contingency, q116Contamination, q117Repetition,
     q118SourceMix, q121NegativeSampling, q123CorpusBuild, q128LmPerplexity,
-    q129DsirSelect)
+    q129DsirSelect, q130SequencePacking)
 }
