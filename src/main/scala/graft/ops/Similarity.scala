@@ -675,8 +675,64 @@ object Similarity {
       .orderBy(col("vec_id"))
   }
 
+  /** Hard-negative mining for contrastive training: for every anchor,
+    * the `k` most-similar vectors carrying a DIFFERENT label — the
+    * near-misses a contrastive loss learns the most from (random
+    * negatives, q121's job, are mostly too easy). Exact cosine, ranked
+    * per anchor with ties to the lower vec_id.
+    *
+    * Scale posture: the anchor set is the bounded side (a training batch
+    * or a probe sample — here `vec_id % 50 = 0`) and BROADCASTS; the
+    * corpus is scanned once, each row scored against all anchors
+    * map-side through the codegen'd native cosine. Per-anchor top-k is
+    * a window partitioned by anchor — Spark's WindowGroupLimit pushes
+    * the rank filter below the shuffle, so only ~k·|anchors| rows
+    * survive the exchange, never the scored corpus. At 100 TB the same
+    * shape runs behind the trained IVF router (q120): probe the
+    * anchor's nearest buckets instead of the full scan — the mining
+    * semantics and this oracle stay identical. */
+  def hardNegatives(emb: DataFrame, anchorPred: Column, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    graft.functions.CosineSimilarity.register(emb.sparkSession)
+    val anchors = emb.filter(anchorPred)
+      .select(col("vec_id").as("anchor_id"), col("label").as("alabel"),
+        col("embedding").as("ae"))
+    val scored = emb.select(col("vec_id"), col("label"), col("embedding"))
+      .crossJoin(broadcast(anchors))
+      .filter(col("label") =!= col("alabel"))
+      .withColumn("cosine", expr("cosine_sim_native(embedding, ae)"))
+    scored
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy(col("anchor_id"))
+          .orderBy(col("cosine").desc, col("vec_id"))))
+      .filter(col("rnk") <= k)
+      .select(col("anchor_id"), col("vec_id"), col("rnk"), col("cosine"))
+  }
+
+  /** Contract face of [[hardNegatives]]: every 50th vector anchors, top-5
+    * different-label neighbors each. */
+  val q131HardNegatives: QueryDef = sql(
+    "q131_hard_negatives",
+    s"""WITH ${withNormSql()},
+       |anch AS (SELECT vec_id AS anchor_id, label AS alabel, embedding AS ae, nrm AS an
+       |         FROM n WHERE vec_id % 50 = 0),
+       |scored AS (SELECT a.anchor_id, n.vec_id,
+       |             ${dotSql("n.embedding", "a.ae")} / (n.nrm * a.an) AS cosine
+       |           FROM n JOIN anch a ON n.label <> a.alabel),
+       |ranked AS (SELECT anchor_id, vec_id, cosine,
+       |             CAST(ROW_NUMBER() OVER (PARTITION BY anchor_id
+       |               ORDER BY cosine DESC, vec_id) AS INT) AS rnk
+       |           FROM scored)
+       |SELECT anchor_id, vec_id, rnk, cosine
+       |FROM ranked WHERE rnk <= 5
+       |ORDER BY anchor_id, rnk""".stripMargin) { (s, dir) =>
+    hardNegatives(Tables.embeddings(s, dir), col("vec_id") % 50 === 0, 5)
+      .orderBy(col("anchor_id"), col("rnk"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     q36ArrayNorms, q37EmbeddingNeardup, q38AnnBruteforce, q39AnnIvf,
     q45AnnNative, q52AnnLsh, q61AnnQuantized, q119KmeansTrain,
-    q120AnnIvfTrained, q122SemanticDedup, q125SemdedupCentroid)
+    q120AnnIvfTrained, q122SemanticDedup, q125SemdedupCentroid,
+    q131HardNegatives)
 }

@@ -177,6 +177,38 @@ class AnnQualitySpec extends SparkSpec {
       s"lowest-id rule must keep min vec_id per cluster; got $keptL want $wantLowest")
   }
 
+  test("hard negatives: cross-label only, dense ranks, and the driver-side argmax agrees") {
+    import org.apache.spark.sql.functions._
+    val emb = graft.sources.Tables.embeddings(spark, sfDir)
+    val got = Similarity.hardNegatives(emb, col("vec_id") % 50 === 0, 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3)))
+    assert(got.nonEmpty)
+    val labels = emb.select("vec_id", "label").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    got.foreach { case (a, v, _, _) =>
+      assert(labels(v) != labels(a), s"negative $v shares anchor $a's label") }
+    got.groupBy(_._1).foreach { case (a, rows) =>
+      assert(rows.map(_._3).sorted.toSeq == (1 to rows.length),
+        s"anchor $a ranks not dense: ${rows.map(_._3).sorted.toSeq}")
+      // within an anchor, rank order is cosine-descending
+      val byRank = rows.sortBy(_._3).map(_._4)
+      assert(byRank.zip(byRank.tail).forall { case (x, y) => x >= y })
+    }
+    // driver-side exact reference for one anchor
+    val vecs = emb.select("vec_id", "label", "embedding").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getSeq[Float](2).map(_.toDouble).toArray))
+    val anchor = vecs.find(_._1 == got.map(_._1).min).get
+    def cos(a: Array[Double], b: Array[Double]) = {
+      val d = a.zip(b).map { case (x, y) => x * y }.sum
+      d / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    val want = vecs.filter(_._2 != anchor._2)
+      .map(v => (v._1, cos(anchor._3, v._3)))
+      .sortBy { case (id, c) => (-c, id) }.take(5).map(_._1).toSeq
+    val gotTop = got.filter(_._1 == anchor._1).sortBy(_._3).map(_._2).toSeq
+    assert(gotTop == want, s"anchor ${anchor._1}: got $gotTop want $want")
+  }
+
   test("LSH cosines are bit-identical to brute force on shared hits") {
     val dir = generateClustered()
     val brute = Similarity.q38AnnBruteforce.run(spark, dir).collect()
