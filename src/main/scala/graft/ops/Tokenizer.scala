@@ -1,0 +1,153 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** BPE tokenizer training (Sennrich et al. 2016, arXiv:1508.07909) — the
+  * pipeline stage that LEARNS the vocabulary a pretraining run tokenizes
+  * with. Each round counts adjacent symbol pairs over the word inventory
+  * (occurrence counts include overlaps — the subword-nmt convention),
+  * merges the most frequent pair everywhere it occurs (leftmost
+  * non-overlapping within a word), and repeats. Every quantity is an
+  * exact integer or an exact string, so the whole training TRAJECTORY —
+  * which pair won each round, how every word re-symbolized — hash-
+  * verifies against an unrolled cross-engine oracle: the q119/q127
+  * device applied to tokenization.
+  *
+  * Scale posture (100 TB): the ONLY corpus-scale step is the initial
+  * word count (one map-side-combined hash agg — the classic BPE trainer
+  * trains on the word-count dictionary, not the corpus). Every round
+  * after that is vocab-sized: pair counting is one explode + agg over
+  * the inventory, the winning pair is a TakeOrdered of ONE row to the
+  * driver (the bounded per-round collect class of q119/q127), and the
+  * merge is per-word window work partitioned by word. Vocabulary grows
+  * sublinearly with corpus size (Heaps' law), so the round loop is
+  * effectively constant-cost next to the corpus pass.
+  *
+  * Merge mechanics, shared by both engines: a pair position i matches
+  * when (sym_i, sym_{i+1}) equals the winner; greedy leftmost
+  * non-overlapping merging equals "within each maximal run of
+  * consecutive match positions, merge the even offsets" — runs are
+  * grouped by the classic i − row_number() device, so the whole merge
+  * decision is window algebra, no sequential fold (`TokenizerSpec` pins
+  * the overlap case "aaaa" → "aa aa"). */
+object Tokenizer {
+  import QueryDef.sql
+
+  /** Adjacent-pair counts over the inventory; the winner and its count,
+    * ties to the lexicographically smallest (s1, s2). None iff no word
+    * has two symbols left. */
+  private def bestPair(w: DataFrame): Option[(String, String, Long)] =
+    w.withColumn("i", explode(expr(
+        "CASE WHEN size(syms) >= 2 THEN sequence(1, size(syms) - 1) ELSE array() END")))
+      .select(expr("element_at(syms, i)").as("s1"),
+        expr("element_at(syms, i + 1)").as("s2"), col("cnt"))
+      .groupBy(col("s1"), col("s2")).agg(sum(col("cnt")).as("c"))
+      .orderBy(col("c").desc, col("s1"), col("s2")).limit(1)
+      .collect().headOption.map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+
+  /** One merge round: replace leftmost non-overlapping (s1, s2) with
+    * s1+s2 in every word's symbol sequence. */
+  private def mergeRound(w: DataFrame, s1: String, s2: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = w.withColumn("i", explode(expr(
+        "CASE WHEN size(syms) >= 1 THEN sequence(1, size(syms)) ELSE array() END")))
+      .select(col("word"), col("cnt"), col("i"),
+        expr("element_at(syms, i)").as("sym"),
+        expr("CASE WHEN i < size(syms) THEN element_at(syms, i + 1) END").as("nxt"))
+    val mt = base.filter(col("sym") === s1 && col("nxt") === s2)
+      .select(col("word"), col("i"))
+    val sel = mt
+      .withColumn("grp", col("i") - row_number().over(
+        Window.partitionBy(col("word")).orderBy(col("i"))))
+      .withColumn("rs", min(col("i")).over(
+        Window.partitionBy(col("word"), col("grp"))))
+      .filter((col("i") - col("rs")) % 2 === 0)
+      .select(col("word"), col("i"))
+    val e = base
+      .join(sel.withColumn("is_sel", lit(true)), Seq("word", "i"), "left")
+      .join(sel.select(col("word"), (col("i") + 1).as("i"))
+        .withColumn("is_con", lit(true)), Seq("word", "i"), "left")
+      .filter(col("is_con").isNull)
+      .withColumn("tok", when(col("is_sel").isNotNull, lit(s1 + s2)).otherwise(col("sym")))
+    e.groupBy(col("word"), col("cnt"))
+      .agg(expr("transform(array_sort(collect_list(struct(i, tok))), x -> x.tok)").as("syms"))
+  }
+
+  /** Train `rounds` BPE merges over the corpus word counts; returns the
+    * final per-word symbolization (word, cnt, bpe, n_syms). */
+  def bpeTrain(docs: DataFrame, rounds: Int): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    val words = docs.select(explode(split(col("text"), " ")).as("word"))
+      .filter(col("word") =!= "")
+      .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
+    var w = words.withColumn("syms",
+        expr("transform(sequence(1, length(word)), i -> substring(word, i, 1))"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    for (_ <- 1 to rounds)
+      bestPair(w).foreach { case (s1, s2, _) =>
+        val next = mergeRound(w, s1, s2).persist(StorageLevel.MEMORY_AND_DISK)
+        next.count() // materialize before dropping the parent
+        w.unpersist()
+        w = next
+      }
+    w.select(col("word"), col("cnt"),
+      concat_ws(" ", col("syms")).as("bpe"),
+      size(col("syms")).cast("long").as("n_syms"))
+  }
+
+  /** One unrolled oracle round k: pair counts → winner → positional merge
+    * via the same run-grouping window algebra. */
+  private def roundSql(k: Int): String = {
+    val prev = s"w${k - 1}"
+    s"""p$k AS (SELECT s1, s2, SUM(cnt) AS c FROM (
+       |    SELECT syms[i] AS s1, syms[i + 1] AS s2, cnt
+       |    FROM $prev, LATERAL (SELECT unnest(range(1, len(syms))) AS i))
+       |  GROUP BY 1, 2),
+       |b$k AS (SELECT s1, s2 FROM p$k ORDER BY c DESC, s1, s2 LIMIT 1),
+       |base$k AS (SELECT word, cnt, i, syms[i] AS sym,
+       |    CASE WHEN i < len(syms) THEN syms[i + 1] END AS nxt
+       |  FROM $prev, LATERAL (SELECT unnest(range(1, len(syms) + 1)) AS i)),
+       |mt$k AS (SELECT base$k.word, i FROM base$k, b$k
+       |  WHERE sym = b$k.s1 AND nxt = b$k.s2),
+       |sel$k AS (SELECT word, i FROM (
+       |    SELECT word, i, MIN(i) OVER (PARTITION BY word, grp) AS rs FROM (
+       |      SELECT word, i, i - ROW_NUMBER() OVER (PARTITION BY word ORDER BY i) AS grp
+       |      FROM mt$k))
+       |  WHERE (i - rs) % 2 = 0),
+       |e$k AS (SELECT b.word, b.cnt, b.i,
+       |    CASE WHEN s.i IS NOT NULL THEN bb.s1 || bb.s2 ELSE b.sym END AS tok
+       |  FROM base$k b CROSS JOIN b$k bb
+       |  LEFT JOIN sel$k s ON s.word = b.word AND s.i = b.i
+       |  LEFT JOIN sel$k c ON c.word = b.word AND c.i = b.i - 1
+       |  WHERE c.i IS NULL),
+       |w$k AS (SELECT word, cnt, list(tok ORDER BY i) AS syms FROM e$k GROUP BY 1, 2)""".stripMargin
+  }
+
+  /** Contract face: 3 BPE merge rounds over the corpus word counts. The
+    * final symbolization of every word hashes the whole trajectory —
+    * a different winner in ANY round re-symbolizes words and breaks the
+    * hash. */
+  val q132BpeTrain: QueryDef = sql(
+    "q132_bpe_train",
+    s"""WITH wc AS (SELECT word, COUNT(*) AS cnt FROM (
+       |    SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+       |  WHERE word <> '' GROUP BY 1),
+       |w0 AS (SELECT word, cnt,
+       |    list_transform(range(1, len(word) + 1), i -> substr(word, i, 1)) AS syms
+       |  FROM wc),
+       |${roundSql(1)},
+       |${roundSql(2)},
+       |${roundSql(3)}
+       |SELECT word, cnt, array_to_string(syms, ' ') AS bpe,
+       |  CAST(len(syms) AS BIGINT) AS n_syms
+       |FROM w3
+       |ORDER BY word""".stripMargin) { (s, dir) =>
+    bpeTrain(Tables.fanOut(Tables.documents(s, dir)), rounds = 3)
+      .orderBy(col("word"))
+  }
+
+  val all: Seq[QueryDef] = Seq(q132BpeTrain)
+}

@@ -1,0 +1,57 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.Tokenizer
+
+/** Pins the BPE training trajectory on a hand-computed fixture — which
+  * pair wins each round (counts, ties) and how every word re-symbolizes,
+  * including the overlap case the run-parity merge rule exists for. */
+class TokenizerSpec extends SparkSpec {
+  import spark.implicits._
+
+  // words: aaaa×2, b×1, low×2, lower×1
+  // r1 pairs: (a,a)=3·2=6 wins → aaaa = [aa, aa] (overlap: merge i=1 and i=3)
+  // r2 pairs: (aa,aa)=2, (l,o)=3, (o,w)=3, (w,e)=1, (e,r)=1
+  //   → tie 3/3 broken to the smaller s1: (l,o) wins → low=[lo,w], lower=[lo,w,e,r]
+  // r3 pairs: (aa,aa)=2, (lo,w)=3 wins → low=[low], lower=[low,e,r]
+  private val docs = Seq(
+    (1L, "aaaa aaaa b"),
+    (2L, "low low lower")).toDF("doc_id", "text")
+
+  test("3-round trajectory matches the hand computation (overlaps, ties, re-merges)") {
+    val got = Tokenizer.bpeTrain(docs, 3)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getString(2), r.getLong(3)))).toMap
+    assert(got == Map(
+      "aaaa" -> ((2L, "aa aa", 2L)),
+      "b" -> ((1L, "b", 1L)),
+      "low" -> ((2L, "low", 1L)),
+      "lower" -> ((1L, "low e r", 3L))))
+  }
+
+  test("zero rounds returns the character symbolization") {
+    val got = Tokenizer.bpeTrain(docs, 0)
+      .collect().map(r => r.getString(0) -> r.getString(2)).toMap
+    assert(got("lower") == "l o w e r" && got("b") == "b")
+  }
+
+  test("training is deterministic across repeated runs") {
+    val a = Tokenizer.bpeTrain(docs, 3).orderBy("word").collect().toSeq
+    val b = Tokenizer.bpeTrain(docs, 3).orderBy("word").collect().toSeq
+    assert(a == b)
+  }
+
+  test("fixture corpus trains without degenerate output") {
+    val out = Tokenizer.bpeTrain(
+      graft.sources.Tables.documents(spark, sfDir), 3)
+      .collect()
+    assert(out.nonEmpty)
+    // every word's symbolization concatenates back to the word
+    out.foreach { r =>
+      assert(r.getString(2).replace(" ", "") == r.getString(0),
+        s"symbolization of '${r.getString(0)}' lost characters: '${r.getString(2)}'")
+    }
+    // three rounds must have merged something: some word has fewer
+    // symbols than characters
+    assert(out.exists(r => r.getLong(3) < r.getString(0).length))
+  }
+}
