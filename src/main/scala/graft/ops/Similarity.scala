@@ -730,9 +730,145 @@ object Similarity {
       .orderBy(col("anchor_id"), col("rnk"))
   }
 
+  // ---- Product quantization (Jégou et al. 2011, "Product Quantization
+  // for Nearest Neighbor Search", IEEE TPAMI 33(1)) ----
+
+  private val PqM = 4        // subspaces
+  private val PqSubDim = 16  // dims per subspace (fixture dim 64 / PqM)
+  private val PqK = 4        // codes per subspace codebook
+  private val PqIters = 2
+
+  /** Split quantized vectors into per-subspace slices:
+    * (vec_id, m, sv array<bigint>) — per-row array work, no shuffle. */
+  private def pqSub(v: DataFrame): DataFrame =
+    v.select(col("vec_id"), explode(expr(
+        s"transform(sequence(0, ${PqM - 1}), m -> struct(m AS m, slice(qv, m * $PqSubDim + 1, $PqSubDim) AS sv))")).as("x"))
+      .select(col("vec_id"), col("x.m").as("m"), col("x.sv").as("sv"))
+
+  /** Nearest-code assignment per (vector, subspace) against an
+    * (m, cid, vec) codebook relation — [[assignToCentroids]]'s broadcast
+    * long-array argmin, GROUPED by subspace: the packed per-m codebooks
+    * are M rows, broadcast-joined on m, so all M subspaces encode in one
+    * scan of the sub-vector frame. */
+  private def pqAssign(sub: DataFrame, books: DataFrame): DataFrame =
+    sub.join(broadcast(books.groupBy(col("m"))
+        .agg(array_sort(collect_list(struct(col("cid"), col("vec")))).as("cs"))), Seq("m"))
+      .withColumn("dists", transform(col("cs"), c =>
+        aggregate(zip_with(col("sv"), c.getField("vec"), (a, b) => (a - b) * (a - b)),
+          lit(0L), (acc, x) => acc + x)))
+      .withColumn("dist", array_min(col("dists")))
+      .withColumn("cid", element_at(
+        col("cs"), array_position(col("dists"), col("dist")).cast("int")).getField("cid"))
+      .drop("cs", "dists")
+
+  /** Train all M sub-codebooks SIMULTANEOUSLY — one Lloyd loop whose
+    * assignment scan and (m, cid, pos)-keyed update aggregate carry the
+    * subspace as a key, instead of M sequential trainings: M× fewer
+    * jobs per round, identical per-subspace math (same init — the k
+    * lowest vec_ids' slices — same floor-mean, same tie-breaks as
+    * [[kmeansCentroidFrame]]). Returns (m, cid, vec). */
+  def pqTrainCodebooks(v: DataFrame, k: Int = PqK, iters: Int = PqIters): DataFrame = {
+    val sub = pqSub(v).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    def update(assigned: DataFrame): DataFrame =
+      assigned.select(col("m"), col("cid"), posexplode(col("sv")).as(Seq("pos", "sv_v")))
+        .groupBy(col("m"), col("cid"), col("pos"))
+        .agg(expr("CAST(FLOOR(CAST(SUM(sv_v) AS DOUBLE) / COUNT(*)) AS BIGINT)").as("cv"))
+        .groupBy(col("m"), col("cid"))
+        .agg(expr("transform(array_sort(collect_list(struct(pos, cv))), s -> s.cv)").as("vec"))
+    var books = sub.filter(col("vec_id") < k)
+      .select(col("m"), col("vec_id").as("cid"), col("sv").as("vec"))
+      .localCheckpoint(true)
+    for (_ <- 1 to iters)
+      books = update(pqAssign(sub, books)).localCheckpoint(true)
+    sub.unpersist()
+    books
+  }
+
+  /** PQ-compressed ANN, the memory face of a 100 TB vector index: every
+    * vector compresses to M sub-codebook codes (64 ints → 4 codes here;
+    * the 16-byte-per-vector regime of the paper), and query search is
+    * ASYMMETRIC DISTANCE (ADC) — the query precomputes a k×M lookup
+    * table of exact sub-distances to every code, and scoring a vector is
+    * M table lookups + adds, never a d-dim loop. Exact integer
+    * arithmetic end-to-end, so codebooks, code assignments, the LUT,
+    * and the final ranking all hash-verify against the unrolled oracle.
+    *
+    * Scale posture: codebooks are M·k rows (broadcast); encoding is one
+    * scan (the encoded corpus is what a production index STORES — 4
+    * bytes versus 512 here); the LUT is M·k rows (broadcast); scoring
+    * is a broadcast join + doc-keyed sum, and top-k is TakeOrdered.
+    * Recall-vs-exact is the documented PQ trade; what this query pins
+    * is that compression and search are deterministic and
+    * cross-engine-exact. */
+  val q133PqAdc: QueryDef = {
+    def roundSql(r: Int): String = {
+      val prev = if (r == 1) "sc0" else s"sc${r - 1}"
+      s"""sd$r AS (SELECT s.vec_id, s.m, c.cid, SUM((s.v - c.v) * (s.v - c.v)) AS dist
+         |       FROM sub s JOIN $prev c ON c.m = s.m AND c.sdim = s.sdim
+         |       GROUP BY 1, 2, 3),
+         |sa$r AS (SELECT vec_id, m, cid FROM (
+         |         SELECT vec_id, m, cid, ROW_NUMBER() OVER (PARTITION BY vec_id, m ORDER BY dist, cid) AS rn
+         |         FROM sd$r) WHERE rn = 1),
+         |sc$r AS (SELECT s.m, a.cid, s.sdim,
+         |         CAST(FLOOR(CAST(SUM(s.v) AS DOUBLE) / COUNT(*)) AS BIGINT) AS v
+         |       FROM sub s JOIN sa$r a ON a.vec_id = s.vec_id AND a.m = s.m
+         |       GROUP BY 1, 2, 3)""".stripMargin
+    }
+    sql(
+      "q133_pq_adc",
+      s"""WITH q AS (
+         |  SELECT vec_id, dim,
+         |    CAST(FLOOR(CAST(embedding[dim] AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT) AS v
+         |  FROM embeddings,
+         |       LATERAL (SELECT unnest(range(1, len(embedding) + 1)) AS dim)),
+         |sub AS (SELECT vec_id, CAST((dim - 1) // $PqSubDim AS BIGINT) AS m,
+         |          (dim - 1) % $PqSubDim + 1 AS sdim, v FROM q),
+         |sc0 AS (SELECT m, vec_id AS cid, sdim, v FROM sub WHERE vec_id < $PqK),
+         |${roundSql(1)},
+         |${roundSql(2)},
+         |enc AS (SELECT vec_id, m, cid FROM (
+         |         SELECT s.vec_id, s.m, c.cid,
+         |           ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.m ORDER BY SUM((s.v - c.v) * (s.v - c.v)), c.cid) AS rn
+         |         FROM sub s JOIN sc2 c ON c.m = s.m AND c.sdim = s.sdim
+         |         GROUP BY s.vec_id, s.m, c.cid) WHERE rn = 1),
+         |lut AS (SELECT c.m, c.cid, SUM((s.v - c.v) * (s.v - c.v)) AS ldist
+         |       FROM (SELECT m, sdim, v FROM sub WHERE vec_id = $QueryVec) s
+         |       JOIN sc2 c ON c.m = s.m AND c.sdim = s.sdim
+         |       GROUP BY 1, 2),
+         |adc AS (SELECT e.vec_id,
+         |         CAST(SUM(l.ldist) AS BIGINT) AS adc_dist,
+         |         array_to_string(list(e.cid ORDER BY e.m), ' ') AS codes
+         |       FROM enc e JOIN lut l ON l.m = e.m AND l.cid = e.cid
+         |       GROUP BY 1)
+         |SELECT vec_id, codes, adc_dist
+         |FROM adc WHERE vec_id != $QueryVec
+         |ORDER BY adc_dist, vec_id
+         |LIMIT 10""".stripMargin) { (s, dir) =>
+      val v = quantizedLong(s, dir)
+      val books = pqTrainCodebooks(v)
+      val sub = pqSub(v).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val enc = pqAssign(sub, books).select(col("vec_id"), col("m"), col("cid"))
+      val lut = sub.filter(col("vec_id") === QueryVec)
+        .select(col("m"), col("sv"))
+        .join(broadcast(books), Seq("m"))
+        .withColumn("ldist", aggregate(
+          zip_with(col("sv"), col("vec"), (a, b) => (a - b) * (a - b)),
+          lit(0L), (acc, x) => acc + x))
+        .select(col("m"), col("cid"), col("ldist"))
+      enc.join(broadcast(lut), Seq("m", "cid"))
+        .groupBy(col("vec_id"))
+        .agg(sum(col("ldist")).as("adc_dist"),
+          expr("array_join(transform(array_sort(collect_list(struct(m, cid))), x -> CAST(x.cid AS STRING)), ' ')").as("codes"))
+        .filter(col("vec_id") =!= QueryVec)
+        .select(col("vec_id"), col("codes"), col("adc_dist"))
+        .orderBy(col("adc_dist"), col("vec_id"))
+        .limit(10)
+    }
+  }
+
   val all: Seq[QueryDef] = Seq(
     q36ArrayNorms, q37EmbeddingNeardup, q38AnnBruteforce, q39AnnIvf,
     q45AnnNative, q52AnnLsh, q61AnnQuantized, q119KmeansTrain,
     q120AnnIvfTrained, q122SemanticDedup, q125SemdedupCentroid,
-    q131HardNegatives)
+    q131HardNegatives, q133PqAdc)
 }

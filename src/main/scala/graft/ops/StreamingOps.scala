@@ -413,6 +413,10 @@ object StreamingOps {
       s.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),
         StructType(Seq(StructField("h", StringType))))
         .write.mode("overwrite").parquet(stateDir)
+    // the eval set is fixed for the stream's lifetime: fingerprint once,
+    // reuse the persisted reference-gram Bloom across every trigger
+    val bloomDir = s"${System.getProperty("java.io.tmpdir")}/graft_evalbloom_v1_" +
+      TextOps.evalSetFingerprint(evalDocs)
     s.readStream.schema(schema)
       .option("maxFilesPerTrigger", "1")
       .parquet(stagedDir)
@@ -432,8 +436,9 @@ object StreamingOps {
           .join(s.read.parquet(stateDir), Seq("h"), "left_anti")
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         try {
-          val (ov, gramsHandle) = TextOps.contaminationWithHandle(
-            ded.select(col("doc_id"), col("text")), evalDocs, 5, 0.5)
+          val (ov, gramsHandle) = TextOps.decontaminateWithHandle(
+            ded.select(col("doc_id"), col("text")), evalDocs, 5, 0.5,
+            bloomState = Some(bloomDir))
           try {
             val accepted = ded.join(
               ov.filter(!col("contaminated")).select(col("doc_id")), "doc_id")

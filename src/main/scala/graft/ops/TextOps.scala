@@ -786,8 +786,13 @@ object TextOps {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val evalDocs = Tables.documents(s, dir).filter(col("doc_id") % 50 === 0)
       .select(col("doc_id"), col("text"))
+    // capstone direction: huge scored corpus, small eval reference — the
+    // reference-gram Bloom persists across runs, keyed by eval content
+    val bloomDir = s"${System.getProperty("java.io.tmpdir")}/graft_evalbloom_v1_" +
+      evalSetFingerprint(evalDocs)
     val clean = ded.join(
-      contamination(ded.select(col("doc_id"), col("text")), evalDocs)
+      decontaminate(ded.select(col("doc_id"), col("text")), evalDocs,
+          bloomState = Some(bloomDir))
         .filter(!col("contaminated")).select(col("doc_id")), "doc_id")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     remixSources(clean, expr("(CAST(substring(source, 4) AS INT) % 4) + 1"))
@@ -871,10 +876,16 @@ object TextOps {
   /** [[contamination]] plus the persisted eval-gram handle, for callers
     * that invoke it repeatedly (the streaming corpus build) and must
     * unpersist per trigger — same leak-avoidance contract as
-    * `Dedup.dedupeBatchWithHandle`. */
+    * `Dedup.dedupeBatchWithHandle`. `bloomState` (a directory path)
+    * reuses the eval-gram Bloom filter across runs via
+    * [[graft.functions.BloomPrune.persistedFilter]]; the caller must key
+    * the path by an eval-set content fingerprint (see
+    * [[evalSetFingerprint]]) — pruning with a filter built from a
+    * DIFFERENT eval set would be silently wrong. */
   private[graft] def contaminationWithHandle(
       evalDocs: DataFrame, trainDocs: DataFrame,
-      n: Int, threshold: Double): (DataFrame, DataFrame) = {
+      n: Int, threshold: Double,
+      bloomState: Option[String] = None): (DataFrame, DataFrame) = {
     def grams(docs: DataFrame): DataFrame = docs
       .withColumn("toks", split(col("text"), " "))
       .filter(size(col("toks")) >= n)
@@ -883,9 +894,14 @@ object TextOps {
       .distinct()
     val evalG = grams(evalDocs)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val bf = graft.functions.BloomPrune.buildFilter(
+    graft.functions.BloomPrune.register(evalDocs.sparkSession)
+    def build = graft.functions.BloomPrune.buildFilter(
       evalG.select(col("g")).distinct(), "g",
       expectedItems = 1L << 20, fpp = 0.01)
+    val bf = bloomState match {
+      case Some(dir) => graft.functions.BloomPrune.persistedFilter(dir)(build)
+      case None => build
+    }
     val trainPruned =
       // empty scored side → empty filter → nothing can hit; keep the
       // same (g)-only shape as the pruned path or the downstream
@@ -902,6 +918,89 @@ object TextOps {
         (col("n_hit").cast("double") / col("n_grams")).as("overlap"),
         (col("n_hit").cast("double") / col("n_grams") > threshold).as("contaminated"))
     (res, evalG)
+  }
+
+  /** Order-independent content fingerprint of a (doc_id, text) frame —
+    * the key that binds persisted Bloom state to an eval-set VERSION:
+    * XOR of 60-bit md5 prefixes of "id:text" over all rows (XOR, not
+    * SUM — a sum's PARTIAL aggregates can overflow under ANSI mode
+    * depending on row-to-partition layout; XOR is order-independent and
+    * cannot overflow). One cheap scan of the (small) eval set; changing,
+    * adding, or removing any doc changes the value, so stale state is
+    * simply never looked up (it ages out under a different path). */
+  private[graft] def evalSetFingerprint(docs: DataFrame): String = {
+    val r = docs.agg(expr(
+      "bit_xor(CAST(conv(substring(md5(concat(CAST(doc_id AS STRING), ':', text)), 1, 15), 16, 10) AS BIGINT))").as("fp"))
+      .head()
+    if (r.isNullAt(0)) "empty" else java.lang.Long.toHexString(r.getLong(0))
+  }
+
+  /** Decontamination oriented for the CAPSTONE's asymmetry — a huge
+    * scored corpus against a SMALL reference (eval/benchmark) set; the
+    * mirror of [[contamination]], which scores a small eval set against
+    * a huge train reference. Same output contract
+    * (doc_id, n_grams, n_hit, overlap, contaminated), hash-identical
+    * values; only the plan changes:
+    *
+    *   - per-doc distinct-gram totals come from `array_distinct` ON THE
+    *     SCAN (all grams of a doc live in its own row) — the corpus
+    *     gram stream never shuffles for a distinct;
+    *   - candidate grams are pruned IN the scan stage by a Bloom filter
+    *     of the reference grams — reusable across runs via `bloomState`
+    *     ([[graft.functions.BloomPrune.persistedFilter]], keyed by
+    *     [[evalSetFingerprint]]) so the build cost is paid once per
+    *     eval-set version, the GPT-3-style persisted decontamination
+    *     filter;
+    *   - survivors exact-join the reference gram relation (false
+    *     positives die there — pruning never changes the answer), and
+    *     the only corpus-keyed shuffle is the map-side-combined hit
+    *     count per doc.
+    */
+  private[graft] def decontaminate(scored: DataFrame, refDocs: DataFrame,
+      n: Int = 5, threshold: Double = 0.5,
+      bloomState: Option[String] = None): DataFrame =
+    decontaminateWithHandle(scored, refDocs, n, threshold, bloomState)._1
+
+  /** [[decontaminate]] plus the persisted reference-gram handle (same
+    * per-trigger unpersist contract as [[contaminationWithHandle]]). */
+  private[graft] def decontaminateWithHandle(
+      scored: DataFrame, refDocs: DataFrame,
+      n: Int, threshold: Double,
+      bloomState: Option[String]): (DataFrame, DataFrame) = {
+    val s = scored.sparkSession
+    val refG = refDocs
+      .withColumn("toks", split(col("text"), " "))
+      .filter(size(col("toks")) >= n)
+      .select(explode(expr(
+        s"transform(sequence(1, size(toks) - ${n - 1}), i -> concat_ws(' ', slice(toks, i, $n)))")).as("g"))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    graft.functions.BloomPrune.register(s)
+    def build = graft.functions.BloomPrune.buildFilter(
+      refG, "g", expectedItems = 1L << 20, fpp = 0.01)
+    val bf = bloomState match {
+      case Some(dir) => graft.functions.BloomPrune.persistedFilter(dir)(build)
+      case None => build
+    }
+    val base = scored.withColumn("toks", split(col("text"), " "))
+      .filter(size(col("toks")) >= n)
+      .withColumn("garr", expr(
+        s"array_distinct(transform(sequence(1, size(toks) - ${n - 1}), i -> concat_ws(' ', slice(toks, i, $n))))"))
+    val totals = base.select(col("doc_id"), size(col("garr")).cast("long").as("n_grams"))
+    val hits =
+      if (bf == null) // empty reference: nothing can hit
+        totals.select(col("doc_id"), lit(0L).as("n_hit")).limit(0)
+      else base.select(col("doc_id"), explode(col("garr")).as("g"))
+        .filter(call_function("graft_might_contain", lit(bf), xxhash64(col("g"))))
+        .join(refG, "g")
+        .groupBy(col("doc_id")).agg(count(lit(1)).as("n_hit"))
+    val res = totals.join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_grams"),
+        coalesce(col("n_hit"), lit(0L)).as("n_hit"))
+      .select(col("doc_id"), col("n_grams"), col("n_hit"),
+        (col("n_hit").cast("double") / col("n_grams")).as("overlap"),
+        (col("n_hit").cast("double") / col("n_grams") > threshold).as("contaminated"))
+    (res, refG)
   }
 
   /** Repetition-based quality metrics (the Gopher repetition rules, Rae

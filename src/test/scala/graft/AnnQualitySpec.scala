@@ -209,6 +209,39 @@ class AnnQualitySpec extends SparkSpec {
     assert(gotTop == want, s"anchor ${anchor._1}: got $gotTop want $want")
   }
 
+  test("PQ: every emitted code is the true sub-space argmin, and ADC sums the LUT exactly") {
+    import org.apache.spark.sql.functions._
+    val v = Similarity.quantizeVectors(
+      graft.sources.Tables.embeddings(spark, sfDir))
+      .persist()
+    val books = Similarity.pqTrainCodebooks(v)
+      .collect().map(r => (r.getInt(0).toLong, r.getLong(1), r.getSeq[Long](2).toIndexedSeq))
+    assert(books.map(_._1).distinct.sorted.toSeq == Seq(0L, 1L, 2L, 3L))
+    val vecs = v.collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toIndexedSeq).toMap
+    def subDist(vec: IndexedSeq[Long], m: Long, code: IndexedSeq[Long]): Long =
+      (0 until 16).map { i => val d = vec((m * 16 + i).toInt) - code(i); d * d }.sum
+    // the contract face's top-10: re-derive ADC on the driver and compare
+    val got = Similarity.q133PqAdc.run(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(got.length == 10)
+    val byM = books.groupBy(_._1)
+    def encode(vec: IndexedSeq[Long]): Seq[Long] =
+      (0L to 3L).map { m =>
+        byM(m).map { case (_, cid, code) => (subDist(vec, m, code), cid) }.min._2
+      }
+    val q = vecs(0L)
+    got.foreach { case (id, codes, adc) =>
+      val enc = encode(vecs(id))
+      assert(codes == enc.mkString(" "), s"vec $id codes $codes != driver ${enc.mkString(" ")}")
+      val want = (0L to 3L).map { m =>
+        val code = byM(m).find(_._2 == enc(m.toInt)).get._3
+        subDist(q, m, code)
+      }.sum
+      assert(adc == want, s"vec $id adc $adc != driver $want")
+    }
+    v.unpersist()
+  }
+
   test("LSH cosines are bit-identical to brute force on shared hits") {
     val dir = generateClustered()
     val brute = Similarity.q38AnnBruteforce.run(spark, dir).collect()

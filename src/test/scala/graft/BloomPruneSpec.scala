@@ -84,4 +84,29 @@ class BloomPruneSpec extends SparkSpec {
       .filter(col("o_orderkey") < 0).select(col("o_orderkey"))
     assert(BloomPrune.bloomSemiJoin(fact, dim, "l_orderkey", "o_orderkey").isEmpty)
   }
+
+  test("persistedFilter builds once, then serves every later call from disk") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-bloom-state")
+      .resolve("state").toString
+    val dim = Tables.orders(spark, sfDir)
+      .filter(col("o_orderpriority") === "1-URGENT").select(col("o_orderkey"))
+    var builds = 0
+    def build: Array[Byte] = { builds += 1; BloomPrune.buildFilter(dim, "o_orderkey", 1L << 20, 0.01) }
+    val first = BloomPrune.persistedFilter(dir)(build)
+    val second = BloomPrune.persistedFilter(dir)(build)
+    assert(builds == 1, s"second call must read the published state, built $builds times")
+    assert(java.util.Arrays.equals(first, second))
+  }
+
+  test("persistedFilter never publishes an empty-dim (null) build") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-bloom-null")
+      .resolve("state").toString
+    val empty = Tables.orders(spark, sfDir)
+      .filter(col("o_orderkey") < 0).select(col("o_orderkey"))
+    var builds = 0
+    def build: Array[Byte] = { builds += 1; BloomPrune.buildFilter(empty, "o_orderkey", 1L << 20, 0.01) }
+    assert(BloomPrune.persistedFilter(dir)(build) == null)
+    assert(BloomPrune.persistedFilter(dir)(build) == null)
+    assert(builds == 2, "a null build must not be published as reusable state")
+  }
 }

@@ -9,6 +9,17 @@ import graft.ops.TextOps
   * fixture corpus) and q118's mixture rebalancing arithmetic. */
 class TextQualitySpec extends SparkSpec {
 
+  test("decontaminate (small-reference orientation) equals the generic contamination operator row-for-row") {
+    import graft.sources.Tables
+    val docs = Tables.documents(spark, sfDir)
+    val scored = docs.filter(col("doc_id") % 50 =!= 0).select(col("doc_id"), col("text"))
+    val ref = docs.filter(col("doc_id") % 50 === 0).select(col("doc_id"), col("text"))
+    val a = TextOps.contamination(scored, ref).orderBy("doc_id").collect().toSeq
+    val b = TextOps.decontaminate(scored, ref).orderBy("doc_id").collect().toSeq
+    assert(a.nonEmpty && a == b,
+      "the scan-side-totals + Bloom-pruned plan must be answer-identical to the generic join plan")
+  }
+
   test("repetition metrics flag degenerate docs and clear natural ones") {
     import spark.implicits._
     val docs = Seq(
