@@ -381,4 +381,38 @@ class PlanSpec extends SparkSpec {
     assert(p.lastIndexOf("Exchange", probeAt) >= 0,
       s"bloom probe must execute below an exchange (map-side, pre-shuffle):\n$p")
   }
+
+  test("q130: packing's running sums are partitioned windows — never a single-task global window") {
+    val p = planOf(graft.ops.TextOps.q130SequencePacking.run(spark, sfDir))
+    // an un-partitioned Window collapses the corpus into one task; the
+    // two-pass design must keep every Window keyed (by the range bucket)
+    assert(!"Window\\b[^\\n]*\\[partitionBy=\\[\\]".r.findFirstIn(p).isDefined &&
+      !p.contains("SinglePartition, ENSURE_REQUIREMENTS"),
+      s"global window in the packing plan:\n$p")
+    assert(p.contains("RangePartitioning") || p.contains("rangepartitioning"),
+      s"offsets must come from range-partitioned data:\n$p")
+    // the per-partition offsets ride a broadcast join, not a shuffle
+    assert(p.contains("BroadcastHashJoin"),
+      s"partition offsets must broadcast:\n$p")
+  }
+
+  test("q131: anchors broadcast and the per-anchor rank filter pushes down") {
+    val p = planOf(graft.ops.Similarity.q131HardNegatives.run(spark, sfDir))
+    assert(p.contains("WindowGroupLimit"),
+      s"rnk<=k must cut below the shuffle:\n$p")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      s"the anchor side must broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("SortMergeJoin"),
+      s"corpus must never shuffle against anchors:\n$p")
+  }
+
+  test("q133: PQ codebooks and the ADC LUT ride broadcasts; scoring never shuffles the corpus against them") {
+    val p = planOf(graft.ops.Similarity.q133PqAdc.run(spark, sfDir))
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("BroadcastHashJoin"),
+      s"LUT join must broadcast:\n$p")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-10 must be TakeOrdered, not a global sort:\n$p")
+  }
 }
