@@ -920,6 +920,80 @@ object TextOps {
     (res, evalG)
   }
 
+  /** UniMax source allocation (Chung et al. 2023, arXiv:2304.09151) —
+    * the fairness-driven complement of q118's proportional rebalance:
+    * given a total token budget and a per-source EPOCH CAP, small
+    * sources are never repeated past the cap and the freed budget
+    * spreads equally over the rest (the paper's "fairer sampling for
+    * multilingual pretraining"). Greedy water-filling has a closed
+    * window-algebra form: sort sources ascending by cap; a source is
+    * capped iff its cap fits inside an equal split of the budget
+    * remaining at its turn (`cap_j · (k−j+1) ≤ B − prefix_j` — with
+    * ascending caps the capped set is a prefix), everyone else splits
+    * the remainder via exact integer floor division.
+    *
+    * Scale posture: the ONLY corpus-scale step is the per-source token
+    * count (one map-side-combined agg). Everything after — the sort,
+    * the running prefix, the cap decision, the allocation — is window
+    * algebra over the SOURCE DIMENSION (tens of rows; the
+    * un-partitioned window is dimension-sized by construction, q118's
+    * broadcast-rates class, never corpus-keyed). Budget arithmetic is
+    * all-integer ((19·t) div 10, not 1.9·t) so both engines agree
+    * exactly; the only double is the emitted epochs ratio, an identical
+    * IEEE division rounded at 6 dp. */
+  def unimaxAllocation(docs: DataFrame, epochCap: Int = 2): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val c = docs
+      .select(col("source"), size(split(col("text"), " ")).cast("long").as("ntok"))
+      .groupBy(col("source")).agg(sum(col("ntok")).as("n"))
+    val tot = c.agg(sum(col("n")).as("t"), count(lit(1)).as("k"))
+    val w = Window.orderBy(col("cap"), col("source"))
+    val rk = c.crossJoin(broadcast(tot))
+      .withColumn("cap", col("n") * epochCap)
+      .withColumn("budget", expr("(19 * t) div 10"))
+      .withColumn("j", row_number().over(w))
+      .withColumn("prefix", coalesce(
+        sum(col("cap")).over(w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("is_capped",
+        col("cap") * (col("k") - col("j") + 1) <= col("budget") - col("prefix"))
+    val spent = rk.agg(
+      coalesce(sum(when(col("is_capped"), col("cap"))), lit(0L)).as("spent"),
+      coalesce(sum(when(col("is_capped"), lit(1L))), lit(0L)).as("kk"))
+    rk.crossJoin(broadcast(spent))
+      .withColumn("allocated", when(col("is_capped"), col("cap"))
+        .otherwise(expr("(budget - spent) div (k - kk)")))
+      .select(col("source"), col("n").as("n_tokens"), col("cap"),
+        col("allocated"),
+        round(col("allocated").cast("double") / col("n"), 6).as("epochs"),
+        col("is_capped"))
+  }
+
+  /** Contract face of [[unimaxAllocation]]: 2-epoch cap, budget = 1.9×
+    * the corpus token count. */
+  val q134UnimaxMix: QueryDef = sql(
+    "q134_unimax_mix",
+    """WITH pd AS (SELECT source, len(string_split(text, ' ')) AS ntok FROM documents),
+      |c AS (SELECT source, CAST(SUM(ntok) AS BIGINT) AS n FROM pd GROUP BY 1),
+      |tot AS (SELECT CAST(SUM(n) AS BIGINT) AS t, COUNT(*) AS k FROM c),
+      |base AS (SELECT source, n, 2 * n AS cap, (19 * t) // 10 AS budget, k FROM c, tot),
+      |rk AS (SELECT *, ROW_NUMBER() OVER (ORDER BY cap, source) AS j,
+      |         COALESCE(CAST(SUM(cap) OVER (ORDER BY cap, source
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0) AS prefix
+      |       FROM base),
+      |flg AS (SELECT *, cap * (k - j + 1) <= budget - prefix AS is_capped FROM rk),
+      |sp AS (SELECT CAST(COALESCE(SUM(CASE WHEN is_capped THEN cap END), 0) AS BIGINT) AS spent,
+      |              CAST(COALESCE(SUM(CASE WHEN is_capped THEN 1 END), 0) AS BIGINT) AS kk
+      |       FROM flg)
+      |SELECT source, n AS n_tokens, cap,
+      |  CASE WHEN is_capped THEN cap ELSE (budget - spent) // (k - kk) END AS allocated,
+      |  round(CAST(CASE WHEN is_capped THEN cap
+      |             ELSE (budget - spent) // (k - kk) END AS DOUBLE) / n, 6) AS epochs,
+      |  is_capped
+      |FROM flg, sp
+      |ORDER BY source""".stripMargin) { (s, dir) =>
+    unimaxAllocation(Tables.documents(s, dir)).orderBy(col("source"))
+  }
+
   /** Order-independent content fingerprint of a (doc_id, text) frame —
     * the key that binds persisted Bloom state to an eval-set VERSION:
     * XOR of 60-bit md5 prefixes of "id:text" over all rows (XOR, not
@@ -1317,5 +1391,5 @@ object TextOps {
     q80TrigramGenerator, q99Tfidf, q100ShardPacking, q102HeavyHitters,
     q107QualitySample, q110Contingency, q116Contamination, q117Repetition,
     q118SourceMix, q121NegativeSampling, q123CorpusBuild, q128LmPerplexity,
-    q129DsirSelect, q130SequencePacking)
+    q129DsirSelect, q130SequencePacking, q134UnimaxMix)
 }

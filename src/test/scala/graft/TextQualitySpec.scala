@@ -20,6 +20,23 @@ class TextQualitySpec extends SparkSpec {
       "the scan-side-totals + Bloom-pruned plan must be answer-identical to the generic join plan")
   }
 
+  test("UniMax water-filling: small sources cap, the rest split the remainder — hand-computed") {
+    import spark.implicits._
+    // one doc per source with a known token count: A=100, B=1000, C=10000
+    def words(k: Int) = ("w " * k).trim
+    val docs = Seq((1L, words(100), "A"), (2L, words(1000), "B"), (3L, words(10000), "C"))
+      .toDF("doc_id", "text", "source")
+    // t=11100, B=(19*11100)//10=21090, caps asc: A 200, B 2000, C 20000
+    //  A: 200*3=600   <= 21090          -> capped
+    //  B: 2000*2=4000 <= 21090-200      -> capped
+    //  C: 20000*1     <= 21090-2200? no -> fair share (21090-2200)//1 = 18890
+    val got = TextOps.unimaxAllocation(docs).collect()
+      .map(r => r.getString(0) -> ((r.getLong(3), r.getBoolean(5)))).toMap
+    assert(got == Map("A" -> ((200L, true)), "B" -> ((2000L, true)), "C" -> ((18890L, false))))
+    // allocation never exceeds the budget
+    assert(got.values.map(_._1).sum <= 21090L)
+  }
+
   test("repetition metrics flag degenerate docs and clear natural ones") {
     import spark.implicits._
     val docs = Seq(
