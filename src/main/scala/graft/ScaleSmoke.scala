@@ -84,7 +84,13 @@ object ScaleSmoke {
       "q107_quality_sample", "q108_incremental_dedup", "q111_simhash_wide",
       "q116_contamination", "q117_repetition", "q118_source_mix",
       "q119_kmeans_train", "q120_ann_ivf_trained", "q121_negative_sampling",
-      "q122_semantic_dedup", "q123_corpus_build", "q124_audio_windows")
+      "q122_semantic_dedup", "q123_corpus_build", "q124_audio_windows",
+      "q126_span_dedup", "q130_sequence_packing", "q131_hard_negatives",
+      // NOTE q132: the smoke corpus is a worst case for BPE — every token
+      // is a distinct md5 prefix, so the "vocab-sized" round relation is
+      // corpus-sized here (real corpora follow Heaps' law); it measures
+      // the upper bound of the round cost, not the typical one
+      "q132_bpe_train", "q133_pq_adc", "q134_unimax_mix")
     // SPARK_GRAFT_SMOKE_ONLY=q123,q124 limits a run to matching targets —
     // the same local profiling aid as Bench's SPARK_GRAFT_BENCH_ONLY
     val selected = sys.env.get("SPARK_GRAFT_SMOKE_ONLY")
