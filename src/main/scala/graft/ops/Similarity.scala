@@ -730,6 +730,76 @@ object Similarity {
       .orderBy(col("anchor_id"), col("rnk"))
   }
 
+  /** Hard-negative mining routed through the TRAINED IVF index — the
+    * 100 TB face of q131, answering the smoke's finding that the
+    * brute-force contract face is quadratic when anchors grow with the
+    * corpus: each anchor probes its [[NumProbe]] nearest trained
+    * centroids (q120's routing, same exact integer metric as bucket
+    * assignment) and ranks ONLY those buckets' different-label members.
+    * Scored pairs per anchor drop from N to N·(probe/k) with the recall
+    * trade every IVF serve makes; train-side determinism (q119) keeps
+    * the SERVED negative set hash-verifiable end-to-end.
+    *
+    * Plan shape: the probe relation is anchors×NumProbe rows
+    * (broadcast); candidate generation is one equi-join of the bucketed
+    * corpus against it on cid; per-anchor top-k is the same
+    * WindowGroupLimit-pushed window as q131. */
+  val q135HardNegativesIvf: QueryDef = sql(
+    "q135_hard_negatives_ivf",
+    s"""$kmeansSqlPrefix,
+       |${withNormSql()},
+       |anch AS (SELECT vec_id AS anchor_id, label AS alabel, embedding AS ae, nrm AS an
+       |         FROM n WHERE vec_id % 50 = 0),
+       |probe AS (SELECT anchor_id, cid FROM (
+       |         SELECT a.anchor_id, d.cid,
+       |           ROW_NUMBER() OVER (PARTITION BY a.anchor_id ORDER BY d.dist, d.cid) AS rn
+       |         FROM anch a JOIN d3 d ON d.vec_id = a.anchor_id) WHERE rn <= $NumProbe),
+       |cand AS (SELECT p.anchor_id, m.vec_id FROM probe p JOIN a3 m ON m.cid = p.cid),
+       |scored AS (SELECT c.anchor_id, c.vec_id,
+       |         ${dotSql("n.embedding", "a.ae")} / (n.nrm * a.an) AS cosine
+       |       FROM cand c
+       |       JOIN n ON n.vec_id = c.vec_id
+       |       JOIN anch a ON a.anchor_id = c.anchor_id
+       |       WHERE n.label <> a.alabel AND c.vec_id <> c.anchor_id),
+       |ranked AS (SELECT anchor_id, vec_id, cosine,
+       |         CAST(ROW_NUMBER() OVER (PARTITION BY anchor_id
+       |           ORDER BY cosine DESC, vec_id) AS INT) AS rnk
+       |       FROM scored)
+       |SELECT anchor_id, vec_id, rnk, cosine
+       |FROM ranked WHERE rnk <= 5
+       |ORDER BY anchor_id, rnk""".stripMargin) { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    graft.functions.CosineSimilarity.register(s)
+    val v = quantizedLong(s, dir)
+    val centsF = kmeansCentroidFrame(v, k = 8, iters = 2)
+    val assigned = assignToCentroids(v, centsF).select(col("vec_id"), col("cid"))
+    val emb = Tables.embeddings(s, dir)
+    val anchors = emb.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("anchor_id"), col("label").as("alabel"),
+        col("embedding").as("ae"))
+    // per-anchor probe: exact distances to the trained centroids, top
+    // NumProbe — anchors are the bounded side, so this whole relation
+    // (anchors × NumProbe rows) broadcasts
+    val probe = centroidDistances(
+        v.join(anchors.select(col("anchor_id").as("vec_id")), "vec_id"), centsF)
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("vec_id")).orderBy(col("cdist"), col("cid"))))
+      .filter(col("rn") <= NumProbe)
+      .select(col("vec_id").as("anchor_id"), col("cid"))
+    emb.select(col("vec_id"), col("label"), col("embedding"))
+      .join(assigned, "vec_id")
+      .join(broadcast(probe), "cid")
+      .join(broadcast(anchors), Seq("anchor_id"))
+      .filter(col("label") =!= col("alabel") && col("vec_id") =!= col("anchor_id"))
+      .withColumn("cosine", expr("cosine_sim_native(embedding, ae)"))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy(col("anchor_id"))
+          .orderBy(col("cosine").desc, col("vec_id"))))
+      .filter(col("rnk") <= 5)
+      .select(col("anchor_id"), col("vec_id"), col("rnk"), col("cosine"))
+      .orderBy(col("anchor_id"), col("rnk"))
+  }
+
   // ---- Product quantization (Jégou et al. 2011, "Product Quantization
   // for Nearest Neighbor Search", IEEE TPAMI 33(1)) ----
 
@@ -870,5 +940,5 @@ object Similarity {
     q36ArrayNorms, q37EmbeddingNeardup, q38AnnBruteforce, q39AnnIvf,
     q45AnnNative, q52AnnLsh, q61AnnQuantized, q119KmeansTrain,
     q120AnnIvfTrained, q122SemanticDedup, q125SemdedupCentroid,
-    q131HardNegatives, q133PqAdc)
+    q131HardNegatives, q133PqAdc, q135HardNegativesIvf)
 }

@@ -386,8 +386,9 @@ object StreamingOps {
     * exact-dedups against the accumulated text-hash state (first-seen
     * under ordered arrival ≡ the batch's keep-lowest-id), and
     * decontaminates against the FIXED eval set via the verified
-    * [[TextOps.contamination]] operator (per-trigger bloom of the
-    * trigger's grams prunes the eval-gram pass). Accepted rows flow to
+    * [[TextOps.decontaminate]] operator (the trigger's grams are pruned
+    * by the PERSISTED eval-gram bloom — built once per eval-set version,
+    * read from disk every trigger). Accepted rows flow to
     * `onBatch`; their hashes append to `stateDir` (parquet — the state a
     * pipeline persists between runs, same posture as
     * `Dedup.persistedCorpusState`). The mixture rebalance (q118) is
@@ -451,6 +452,62 @@ object StreamingOps {
           // even if the persisted handle is dropped and ded recomputes
           ded.select(col("h")).write.mode("append").parquet(stateDir)
         } finally ded.unpersist()
+      }
+      .start()
+  }
+
+  /** Streaming face of q130's sequence packing — the ingest loop that
+    * packs ARRIVING documents into the SAME global token layout the
+    * batch operator computes: the corpus-wide token offset persists
+    * between triggers (one long, published with the write-tmp + atomic
+    * rename protocol), so each trigger lays its docs out continuing
+    * exactly where the previous one stopped, windows straddle trigger
+    * boundaries the way they straddle doc boundaries, and a restart
+    * resumes from the last COMMITTED offset (state publishes only after
+    * `onBatch` returns — the q108 append-last discipline).
+    *
+    * StreamingSpec proves the concatenation of all trigger outputs
+    * equals [[TextOps.packSequences]] over the same docs in one batch,
+    * row-for-row — the stream ≡ batch contract, which holds because the
+    * layout is a pure function of (arrival order ≡ doc_id order, token
+    * counts) and the persisted offset carries the only cross-trigger
+    * dependency. */
+  def packingStream(s: SparkSession, stagedDir: String, stateDir: String,
+      contextLen: Int = 128)(
+      onBatch: (Long, DataFrame) => Unit): org.apache.spark.sql.streaming.StreamingQuery = {
+    val schema = "doc_id LONG, text STRING, lang STRING, source STRING, n_chars LONG"
+    val root = new java.io.File(stateDir)
+    root.mkdirs()
+    def offsetFile = new java.io.File(root, "offset.txt")
+    def readOffset(): Long =
+      if (offsetFile.exists())
+        new String(java.nio.file.Files.readAllBytes(offsetFile.toPath)).trim.toLong
+      else 0L
+    def publishOffset(v: Long): Unit = {
+      val tmp = new java.io.File(root,
+        s"offset.tmp-${ProcessHandle.current().pid()}-${Thread.currentThread().getId}")
+      java.nio.file.Files.write(tmp.toPath, v.toString.getBytes)
+      java.nio.file.Files.move(tmp.toPath, offsetFile.toPath,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    }
+    s.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(stagedDir)
+      .writeStream
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        val b = s.createDataFrame(batch.rdd, batch.schema)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try {
+          val base = readOffset()
+          onBatch(id, TextOps.packSequences(
+            b.select(col("doc_id"), col("text")), contextLen, baseOffset = base))
+          val consumed = b.agg(coalesce(
+              sum(size(split(col("text"), " ")) + 1), lit(0)).cast("long"))
+            .head().getLong(0)
+          publishOffset(base + consumed)
+        } finally b.unpersist()
       }
       .start()
   }

@@ -372,7 +372,7 @@ object TextOps {
     * any partition count (PackingSpec pins 1/3/8-partition equality).
     * Window emission is then one map-side sequence/explode per doc. */
   def packSequences(docs: DataFrame, contextLen: Int = 128,
-                    partitions: Int = 0): DataFrame = {
+                    partitions: Int = 0, baseOffset: Long = 0L): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val s = docs.sparkSession
     val nParts = if (partitions > 0) partitions
@@ -392,7 +392,7 @@ object TextOps {
     val offDf = offsets.toSeq.toDF("pid", "poff")
     local.join(broadcast(offDf), "pid")
       .select(col("doc_id"), col("need"),
-        (col("poff") + col("run") - col("need")).as("start"))
+        (lit(baseOffset) + col("poff") + col("run") - col("need")).as("start"))
       .withColumn("c0", expr(s"start div $contextLen"))
       .withColumn("c1", expr(s"(start + need - 1) div $contextLen"))
       .withColumn("chunk_id", explode(expr("sequence(c0, c1)")))

@@ -242,6 +242,20 @@ class AnnQualitySpec extends SparkSpec {
     v.unpersist()
   }
 
+  test("IVF-routed hard negatives recall the exact miner's picks on clustered data") {
+    val dir = generateClustered()
+    def pairs(q: graft.ops.QueryDef) = q.run(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = pairs(Similarity.q131HardNegatives)
+    val routed = pairs(Similarity.q135HardNegativesIvf)
+    assert(routed.nonEmpty)
+    // routing is a strict subset of the search space, so every routed
+    // pick must also be scoreable by the exact miner's universe; on
+    // well-clustered data the probed buckets hold the true neighbors
+    val recall = exact.intersect(routed).size.toDouble / exact.size
+    assert(recall >= 0.6, s"IVF-routed recall $recall too low on clustered data")
+  }
+
   test("LSH cosines are bit-identical to brute force on shared hits") {
     val dir = generateClustered()
     val brute = Similarity.q38AnnBruteforce.run(spark, dir).collect()

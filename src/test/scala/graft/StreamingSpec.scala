@@ -324,6 +324,45 @@ class StreamingSpec extends SparkSpec {
     assert(got.map(_._2).intersect(Set("exact_dup", "near_dup", "unique")).nonEmpty)
   }
 
+  test("streaming packing continues the global offset across triggers and equals the batch layout") {
+    import scala.collection.concurrent.TrieMap
+    val docs = Tables.documents(spark, sfDir)
+    val srcDir = Files.createTempDirectory("graft-pack-src")
+    def stage(lo: Long, hi: Long, name: String): Unit = {
+      val tmp = Files.createTempDirectory("graft-pack-stage").toString
+      docs.filter(col("doc_id") >= lo && col("doc_id") < hi)
+        .coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(_.getName.endsWith(".parquet")).get.toPath
+      Files.copy(part, srcDir.resolve(name), StandardCopyOption.REPLACE_EXISTING)
+      stampStaged(srcDir.resolve(name))
+    }
+    stage(0, 170, "a.parquet"); stage(170, 340, "b.parquet")
+    stage(340, Long.MaxValue, "c.parquet")
+    val stateDir = Files.createTempDirectory("graft-pack-state")
+      .resolve("offsets").toString
+    val perBatch = TrieMap.empty[Long, Array[(Long, Long, Long, Long)]]
+    val q = StreamingOps.packingStream(spark, srcDir.toString, stateDir) { (id, packed) =>
+      perBatch(id) = packed.collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    }
+    val terminated = q.awaitTermination(180000)
+    if (!terminated) q.stop()
+    assert(terminated, "packing stream did not finish")
+    assert(perBatch.size > 1, "multiple micro-batches must have run")
+    val got = perBatch.values.flatten.toSeq.sorted
+    val want = TextOps.packSequences(docs)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSeq.sorted
+    assert(got == want,
+      s"stream layout != batch layout (got ${got.size} rows, want ${want.size})")
+    // windows genuinely straddle trigger boundaries: the first chunk of a
+    // later batch continues a chunk id the earlier batch already used
+    val lastOfFirst = perBatch(0L).map(_._2).max
+    assert(perBatch(1L).map(_._2).min <= lastOfFirst,
+      "second trigger must continue the first trigger's open window")
+  }
+
   test("streaming corpus build + mixture post-pass equals q123's batch output") {
     import scala.collection.concurrent.TrieMap
     val docs = Tables.documents(spark, sfDir)
