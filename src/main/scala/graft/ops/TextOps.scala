@@ -543,6 +543,77 @@ object TextOps {
       .orderBy(col("doc_id"), col("rn"))
   }
 
+  /** BM25 retrieval (Robertson & Zaragoza 2009, the Okapi/Lucene scoring
+    * with k1 = 1.2, b = 0.75 and the smooth idf ln(1 + (N−df+0.5)/(df+0.5)))
+    * — the lexical retriever a RAG pipeline pairs with the ANN family
+    * (q38/q120): every query doc (`doc_id % 100 = 0`) retrieves its
+    * top-10 corpus docs by summed term scores. q99's float discipline:
+    * scores are doubles built from exact integers (tf, df, dl) by the
+    * IDENTICAL expression in both engines, emitted rounded to 6 dp,
+    * RANKED on raw (adjacent order statistics sit far above ulp noise;
+    * exact ties break on doc_id).
+    *
+    * Scale posture: the postings build (doc, word, tf) is the one
+    * corpus pass — map-side-combined hash agg, the inverted-index shape
+    * a 100 TB retriever materializes once and reuses; df rides the same
+    * pass; query terms are the bounded side and BROADCAST into the
+    * postings join, so shuffle volume is matching postings only; per-
+    * query top-k is the WindowGroupLimit-pushed window. avgdl and N are
+    * scalar broadcasts. */
+  val q136Bm25: QueryDef = sql(
+    "q136_bm25",
+    """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
+      |tf AS (SELECT doc_id, word, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+      |dl AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dl FROM toks GROUP BY 1),
+      |df AS (SELECT word, COUNT(DISTINCT doc_id) AS df FROM toks GROUP BY 1),
+      |stats AS (SELECT COUNT(*) AS n_docs, AVG(dl) AS avgdl FROM dl),
+      |qt AS (SELECT DISTINCT doc_id AS query_id, word FROM toks WHERE doc_id % 100 = 0),
+      |scored AS (
+      |  SELECT q.query_id, t.doc_id,
+      |    SUM(LN(1.0 + (s.n_docs - d.df + 0.5) / (d.df + 0.5))
+      |        * (t.tf * 2.2) / (t.tf + 1.2 * (0.25 + 0.75 * l.dl / s.avgdl))) AS raw
+      |  FROM qt q
+      |  JOIN tf t ON t.word = q.word AND t.doc_id <> q.query_id
+      |  JOIN df d ON d.word = q.word
+      |  JOIN dl l ON l.doc_id = t.doc_id, stats s
+      |  GROUP BY 1, 2),
+      |ranked AS (SELECT query_id, doc_id, raw,
+      |             CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+      |               ORDER BY raw DESC, doc_id) AS INT) AS rnk
+      |           FROM scored)
+      |SELECT query_id, doc_id, rnk, ROUND(raw, 6) AS bm25
+      |FROM ranked WHERE rnk <= 10
+      |ORDER BY query_id, rnk""".stripMargin) { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val toks = Tables.fanOut(Tables.documents(s, dir))
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val tf = toks.groupBy(col("doc_id"), col("word")).agg(count(lit(1)).as("tf"))
+    val dl = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+    val df = toks.distinct().groupBy(col("word")).agg(count(lit(1)).as("df"))
+    val stats = dl.agg(count(lit(1)).as("n_docs"), avg(col("dl")).as("avgdl"))
+    val qt = toks.filter(col("doc_id") % 100 === 0)
+      .select(col("doc_id").as("query_id"), col("word")).distinct()
+    val term = log(lit(1.0) + (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5))) *
+      (col("tf") * lit(2.2)) /
+      (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / col("avgdl")))
+    val scored = broadcast(qt)
+      .join(tf, Seq("word"))
+      .filter(col("doc_id") =!= col("query_id"))
+      .join(broadcast(df), Seq("word"))
+      .join(dl, Seq("doc_id"))
+      .crossJoin(broadcast(stats))
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(sum(term).as("raw"))
+    scored
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy(col("query_id")).orderBy(col("raw").desc, col("doc_id"))))
+      .filter(col("rnk") <= 10)
+      .select(col("query_id"), col("doc_id"), col("rnk"),
+        round(col("raw"), 6).as("bm25"))
+      .orderBy(col("query_id"), col("rnk"))
+  }
+
   /** Token-budget shard packing: documents in doc_id order fill training
     * shards of [[ShardBudget]] tokens (shard = exclusive-prefix-sum ÷
     * budget — a doc starting before a boundary stays in the earlier
@@ -1388,7 +1459,7 @@ object TextOps {
     q21TextStats, q22WordFreq, q23BigramFreq, q24LangId, q25QualityScore,
     q26Fingerprint, q27TokenRegex, q62TrainSplit, q64TermFreqMap,
     q68StratifiedSample, q72Redaction, q74Chunking, q79CurationPipeline,
-    q80TrigramGenerator, q99Tfidf, q100ShardPacking, q102HeavyHitters,
+    q80TrigramGenerator, q99Tfidf, q100ShardPacking, q102HeavyHitters, q136Bm25,
     q107QualitySample, q110Contingency, q116Contamination, q117Repetition,
     q118SourceMix, q121NegativeSampling, q123CorpusBuild, q128LmPerplexity,
     q129DsirSelect, q130SequencePacking, q134UnimaxMix)

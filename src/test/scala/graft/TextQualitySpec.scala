@@ -20,6 +20,35 @@ class TextQualitySpec extends SparkSpec {
       "the scan-side-totals + Bloom-pruned plan must be answer-identical to the generic join plan")
   }
 
+  test("BM25: no self-retrieval, dense ranks, and one score re-derives exactly on the driver") {
+    import graft.sources.Tables
+    val got = TextOps.q136Bm25.run(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3)))
+    assert(got.nonEmpty)
+    got.foreach { case (q, d, _, s) =>
+      assert(q != d, s"query $q retrieved itself"); assert(s > 0.0) }
+    got.groupBy(_._1).foreach { case (q, rows) =>
+      assert(rows.map(_._3).sorted.toSeq == (1 to rows.length), s"query $q ranks not dense") }
+    // re-derive the top hit of the lowest query id from raw token data
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ").toSeq).toMap
+    val n = docs.size
+    val avgdl = docs.values.map(_.size).sum.toDouble / n
+    val dfm = docs.toSeq.flatMap { case (id, ws) => ws.distinct.map(_ -> id) }
+      .groupBy(_._1).map { case (w, xs) => w -> xs.size }
+    def bm25(q: Long, d: Long): Double = {
+      val tfm = docs(d).groupBy(identity).map { case (w, xs) => w -> xs.size }
+      docs(q).distinct.flatMap { w => tfm.get(w).map { tf =>
+        math.log(1.0 + (n - dfm(w) + 0.5) / (dfm(w) + 0.5)) *
+          (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * docs(d).size / avgdl))
+      }}.sum
+    }
+    val (q0, d0, _, s0) = got.minBy(r => (r._1, r._3))
+    assert(math.abs(bm25(q0, d0) - s0) < 1e-6,
+      s"driver bm25 ${bm25(q0, d0)} != emitted $s0 for ($q0, $d0)")
+  }
+
   test("UniMax water-filling: small sources cap, the rest split the remainder — hand-computed") {
     import spark.implicits._
     // one doc per source with a known token count: A=100, B=1000, C=10000
