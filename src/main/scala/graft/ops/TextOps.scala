@@ -614,6 +614,113 @@ object TextOps {
       .orderBy(col("query_id"), col("rnk"))
   }
 
+  /** Hybrid retrieval via Reciprocal Rank Fusion (Cormack et al.,
+    * SIGIR'09): fuse the LEXICAL ranking (q136's BM25) with the
+    * SEMANTIC ranking (exact cosine over the embedding table, q38's
+    * metric) as Σ 1/(60 + rank) — the standard RAG-stack combiner,
+    * robust to the two scorers' incomparable scales precisely because
+    * it only consumes RANKS. Ranks are exact integers (each leg's
+    * float discipline already proven by q136/q38), so the fused score
+    * is a sum of exact rationals evaluated by the identical IEEE
+    * expression in both engines; ties break (fused desc, doc_id).
+    *
+    * Scale posture = the union of its legs (postings join broadcast
+    * query terms; cosine leg broadcasts the query embeddings); fusion
+    * itself is a (query, doc)-keyed outer merge of two k-row-per-query
+    * relations — dimension-sized after the legs' own top-k cuts. */
+  val q137RrfFusion: QueryDef = sql(
+    "q137_rrf_fusion",
+    s"""WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
+      |tf AS (SELECT doc_id, word, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+      |dl AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dl FROM toks GROUP BY 1),
+      |df AS (SELECT word, COUNT(DISTINCT doc_id) AS df FROM toks GROUP BY 1),
+      |stats AS (SELECT COUNT(*) AS n_docs, AVG(dl) AS avgdl FROM dl),
+      |qt AS (SELECT DISTINCT doc_id AS query_id, word FROM toks WHERE doc_id % 100 = 0),
+      |bscore AS (
+      |  SELECT q.query_id, t.doc_id,
+      |    SUM(LN(1.0 + (s.n_docs - d.df + 0.5) / (d.df + 0.5))
+      |        * (t.tf * 2.2) / (t.tf + 1.2 * (0.25 + 0.75 * l.dl / s.avgdl))) AS raw
+      |  FROM qt q
+      |  JOIN tf t ON t.word = q.word AND t.doc_id <> q.query_id
+      |  JOIN df d ON d.word = q.word
+      |  JOIN dl l ON l.doc_id = t.doc_id, stats s
+      |  GROUP BY 1, 2),
+      |brank AS (SELECT query_id, doc_id,
+      |            ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY raw DESC, doc_id) AS lex_rank
+      |          FROM bscore),
+      |n AS (SELECT vec_id, embedding,
+      |        SQRT(list_reduce(list_transform(range(len(embedding)), i -> CAST(embedding[i+1] AS DOUBLE) * CAST(embedding[i+1] AS DOUBLE)), (x, y) -> x + y)) AS nrm
+      |      FROM embeddings),
+      |qe AS (SELECT vec_id AS query_id, embedding AS qv, nrm AS qn FROM n WHERE vec_id % 100 = 0),
+      |sscore AS (SELECT q.query_id, n.vec_id AS doc_id,
+      |             list_reduce(list_transform(range(len(n.embedding)), i -> CAST(n.embedding[i+1] AS DOUBLE) * CAST(q.qv[i+1] AS DOUBLE)), (x, y) -> x + y) / (n.nrm * q.qn) AS cosine
+      |           FROM n JOIN qe q ON n.vec_id <> q.query_id),
+      |srank AS (SELECT query_id, doc_id,
+      |            ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, doc_id) AS sem_rank
+      |          FROM sscore),
+      |legs AS (SELECT COALESCE(b.query_id, s.query_id) AS query_id,
+      |           COALESCE(b.doc_id, s.doc_id) AS doc_id, b.lex_rank, s.sem_rank
+      |         FROM (SELECT * FROM brank WHERE lex_rank <= 20) b
+      |         FULL OUTER JOIN (SELECT * FROM srank WHERE sem_rank <= 20) s
+      |           ON s.query_id = b.query_id AND s.doc_id = b.doc_id),
+      |fused AS (SELECT query_id, doc_id,
+      |            CAST(COALESCE(lex_rank, 0) AS INT) AS lex_rank,
+      |            CAST(COALESCE(sem_rank, 0) AS INT) AS sem_rank,
+      |            COALESCE(1.0 / (60 + lex_rank), 0.0) + COALESCE(1.0 / (60 + sem_rank), 0.0) AS raw
+      |          FROM legs),
+      |out AS (SELECT query_id, doc_id, lex_rank, sem_rank, raw,
+      |          CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY raw DESC, doc_id) AS INT) AS rnk
+      |        FROM fused)
+      |SELECT query_id, doc_id, rnk, lex_rank, sem_rank, ROUND(raw, 6) AS rrf
+      |FROM out WHERE rnk <= 10
+      |ORDER BY query_id, rnk""".stripMargin) { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    graft.functions.CosineSimilarity.register(s)
+    val toks = Tables.fanOut(Tables.documents(s, dir))
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val tf = toks.groupBy(col("doc_id"), col("word")).agg(count(lit(1)).as("tf"))
+    val dl = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+    val df = toks.distinct().groupBy(col("word")).agg(count(lit(1)).as("df"))
+    val stats = dl.agg(count(lit(1)).as("n_docs"), avg(col("dl")).as("avgdl"))
+    val qt = toks.filter(col("doc_id") % 100 === 0)
+      .select(col("doc_id").as("query_id"), col("word")).distinct()
+    val term = log(lit(1.0) + (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5))) *
+      (col("tf") * lit(2.2)) /
+      (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / col("avgdl")))
+    val brank = broadcast(qt).join(tf, Seq("word"))
+      .filter(col("doc_id") =!= col("query_id"))
+      .join(broadcast(df), Seq("word"))
+      .join(dl, Seq("doc_id"))
+      .crossJoin(broadcast(stats))
+      .groupBy(col("query_id"), col("doc_id")).agg(sum(term).as("raw"))
+      .withColumn("lex_rank", row_number().over(
+        Window.partitionBy(col("query_id")).orderBy(col("raw").desc, col("doc_id"))))
+      .filter(col("lex_rank") <= 20).select(col("query_id"), col("doc_id"), col("lex_rank"))
+    val emb = Tables.embeddings(s, dir)
+    val qe = emb.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    val srank = emb.select(col("vec_id").as("doc_id"), col("embedding"))
+      .crossJoin(broadcast(qe))
+      .filter(col("doc_id") =!= col("query_id"))
+      .withColumn("cosine", expr("cosine_sim_native(embedding, qv)"))
+      .withColumn("sem_rank", row_number().over(
+        Window.partitionBy(col("query_id")).orderBy(col("cosine").desc, col("doc_id"))))
+      .filter(col("sem_rank") <= 20).select(col("query_id"), col("doc_id"), col("sem_rank"))
+    val fusedRaw = coalesce(lit(1.0) / (lit(60) + col("lex_rank")), lit(0.0)) +
+      coalesce(lit(1.0) / (lit(60) + col("sem_rank")), lit(0.0))
+    brank.join(srank, Seq("query_id", "doc_id"), "full_outer")
+      .withColumn("raw", fusedRaw)
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy(col("query_id")).orderBy(col("raw").desc, col("doc_id"))))
+      .filter(col("rnk") <= 10)
+      .select(col("query_id"), col("doc_id"), col("rnk"),
+        coalesce(col("lex_rank"), lit(0)).as("lex_rank"),
+        coalesce(col("sem_rank"), lit(0)).as("sem_rank"),
+        round(col("raw"), 6).as("rrf"))
+      .orderBy(col("query_id"), col("rnk"))
+  }
+
   /** Token-budget shard packing: documents in doc_id order fill training
     * shards of [[ShardBudget]] tokens (shard = exclusive-prefix-sum ÷
     * budget — a doc starting before a boundary stays in the earlier
@@ -1459,7 +1566,7 @@ object TextOps {
     q21TextStats, q22WordFreq, q23BigramFreq, q24LangId, q25QualityScore,
     q26Fingerprint, q27TokenRegex, q62TrainSplit, q64TermFreqMap,
     q68StratifiedSample, q72Redaction, q74Chunking, q79CurationPipeline,
-    q80TrigramGenerator, q99Tfidf, q100ShardPacking, q102HeavyHitters, q136Bm25,
+    q80TrigramGenerator, q99Tfidf, q100ShardPacking, q102HeavyHitters, q136Bm25, q137RrfFusion,
     q107QualitySample, q110Contingency, q116Contamination, q117Repetition,
     q118SourceMix, q121NegativeSampling, q123CorpusBuild, q128LmPerplexity,
     q129DsirSelect, q130SequencePacking, q134UnimaxMix)

@@ -49,6 +49,26 @@ class TextQualitySpec extends SparkSpec {
       s"driver bm25 ${bm25(q0, d0)} != emitted $s0 for ($q0, $d0)")
   }
 
+  test("RRF fusion: the fused score re-derives from the emitted leg ranks, ranks dense, no self-hits") {
+    val got = TextOps.q137RrfFusion.run(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getInt(3), r.getInt(4), r.getDouble(5)))
+    assert(got.nonEmpty)
+    got.foreach { case (q, d, _, lex, sem, rrf) =>
+      assert(q != d)
+      assert(lex > 0 || sem > 0, "a fused row must come from at least one leg")
+      val want = (if (lex > 0) 1.0 / (60 + lex) else 0.0) +
+        (if (sem > 0) 1.0 / (60 + sem) else 0.0)
+      assert(math.abs(rrf - want) < 1e-6, s"($q,$d): rrf $rrf != $want from ranks ($lex,$sem)")
+    }
+    got.groupBy(_._1).foreach { case (q, rows) =>
+      assert(rows.map(_._3).sorted.toSeq == (1 to rows.length), s"query $q ranks not dense")
+      // rows hit by BOTH legs must outrank rows hit by one leg at worse
+      // positions: the top fused row always has at least one leg rank
+      val top = rows.minBy(_._3)
+      assert(top._4 > 0 || top._5 > 0)
+    }
+  }
+
   test("UniMax water-filling: small sources cap, the rest split the remainder — hand-computed") {
     import spark.implicits._
     // one doc per source with a known token count: A=100, B=1000, C=10000
