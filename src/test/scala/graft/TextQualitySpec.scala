@@ -20,6 +20,25 @@ class TextQualitySpec extends SparkSpec {
       "the scan-side-totals + Bloom-pruned plan must be answer-identical to the generic join plan")
   }
 
+  test("postings index: second read serves from published state and equals the first build") {
+    import graft.sources.Tables
+    val docs = Tables.documents(spark, sfDir)
+    val (tf1, _, df1) = TextOps.postingsIndex(spark, docs)
+    val a = tf1.orderBy("doc_id", "word").collect().toSeq
+    val dirs = new java.io.File(System.getProperty("java.io.tmpdir"))
+      .listFiles().filter(_.getName.startsWith("graft_postings_v1_"))
+    assert(dirs.nonEmpty, "first call must publish the index state")
+    def successMtimes = dirs.flatMap(d =>
+      Seq("tf", "dl", "df").map(p => new java.io.File(d, s"$p/_SUCCESS").lastModified()))
+    val before = successMtimes.toSeq
+    val (tf2, _, df2) = TextOps.postingsIndex(spark, docs)
+    val b = tf2.orderBy("doc_id", "word").collect().toSeq
+    assert(a.nonEmpty && a == b, "re-read index must equal the built index")
+    assert(df1.count() == df2.count())
+    assert(successMtimes.toSeq == before,
+      "second call must read the published state, not rebuild it")
+  }
+
   test("BM25: no self-retrieval, dense ranks, and one score re-derives exactly on the driver") {
     import graft.sources.Tables
     val got = TextOps.q136Bm25.run(spark, sfDir).collect()
