@@ -415,4 +415,19 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("TakeOrderedAndProject"),
       s"top-10 must be TakeOrdered, not a global sort:\n$p")
   }
+
+  test("q136/q137: retrieval reads the persisted postings index and pushes per-query top-k down") {
+    Seq(graft.ops.TextOps.q136Bm25, graft.ops.TextOps.q137RrfFusion).foreach { q =>
+      val p = planOf(q.run(spark, sfDir))
+      assert(!p.contains("CartesianProduct"), s"${q.name}:\n$p")
+      // the index relations come off parquet state, not a re-tokenization
+      // of the documents table (no explode of split(text) in the plan)
+      assert(p.contains("graft_postings_v1"),
+        s"${q.name} must scan the published postings state:\n$p")
+      assert(p.contains("WindowGroupLimit"),
+        s"${q.name}'s per-query rank filter must cut below the shuffle:\n$p")
+      assert(p.contains("BroadcastHashJoin"),
+        s"${q.name}'s bounded sides must broadcast:\n$p")
+    }
+  }
 }
