@@ -936,9 +936,44 @@ object Similarity {
     }
   }
 
+  /** Distributed Gram matrix Σ x·xᵀ over the quantized embeddings — the
+    * second-moment primitive every embedding-index preprocessing step
+    * starts from (PCA whitening, OPQ's learned rotation — Ge et al.,
+    * CVPR'13): d(d+1)/2 exact integer sums computed in ONE corpus scan.
+    *
+    * Scale posture: the d² products explode MAP-SIDE and the
+    * (i, j)-keyed hash aggregate partial-combines, so each partition
+    * contributes at most d(d+1)/2 rows to the shuffle no matter how
+    * many vectors it held — the accumulator shape, not the corpus
+    * shape (the oracle states the same relation as a dim self-join;
+    * the Spark plan never joins). Exact integers hash; at 10⁹+ vectors
+    * the BIGINT accumulators approach overflow and the production
+    * variant blocks the sum (per-shard Gram + decimal merge) — the
+    * fixture bound is ~2⁵⁷. */
+  val q138GramMatrix: QueryDef = sql(
+    "q138_gram_matrix",
+    """WITH q AS (
+      |  SELECT vec_id, dim,
+      |    CAST(FLOOR(CAST(embedding[dim] AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT) AS v
+      |  FROM embeddings,
+      |       LATERAL (SELECT unnest(range(1, len(embedding) + 1)) AS dim))
+      |SELECT CAST(a.dim - 1 AS INT) AS i, CAST(b.dim - 1 AS INT) AS j,
+      |  CAST(SUM(a.v * b.v) AS BIGINT) AS gram, COUNT(*) AS n_vecs
+      |FROM q a JOIN q b ON a.vec_id = b.vec_id AND a.dim <= b.dim
+      |GROUP BY 1, 2
+      |ORDER BY i, j""".stripMargin) { (s, dir) =>
+    quantizedLong(s, dir)
+      .select(col("qv"), posexplode(col("qv")).as(Seq("i", "vi")))
+      .select(col("i"), col("vi"), posexplode(col("qv")).as(Seq("j", "vj")))
+      .filter(col("i") <= col("j"))
+      .groupBy(col("i"), col("j"))
+      .agg(sum(col("vi") * col("vj")).as("gram"), count(lit(1)).as("n_vecs"))
+      .orderBy(col("i"), col("j"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     q36ArrayNorms, q37EmbeddingNeardup, q38AnnBruteforce, q39AnnIvf,
     q45AnnNative, q52AnnLsh, q61AnnQuantized, q119KmeansTrain,
     q120AnnIvfTrained, q122SemanticDedup, q125SemdedupCentroid,
-    q131HardNegatives, q133PqAdc, q135HardNegativesIvf)
+    q131HardNegatives, q133PqAdc, q135HardNegativesIvf, q138GramMatrix)
 }

@@ -256,6 +256,23 @@ class AnnQualitySpec extends SparkSpec {
     assert(recall >= 0.6, s"IVF-routed recall $recall too low on clustered data")
   }
 
+  test("Gram matrix: diagonal equals driver-summed squares; upper triangle complete") {
+    val v = Similarity.quantizeVectors(
+      graft.sources.Tables.embeddings(spark, sfDir))
+      .collect().map(r => r.getSeq[Long](1).toIndexedSeq)
+    val d = v.head.length
+    val got = Similarity.q138GramMatrix.run(spark, sfDir).collect()
+      .map(r => ((r.getInt(0), r.getInt(1)), (r.getLong(2), r.getLong(3)))).toMap
+    assert(got.size == d * (d + 1) / 2, s"expected full upper triangle, got ${got.size}")
+    assert(got.values.forall(_._2 == v.length))
+    (0 until d by 7).foreach { i =>
+      val want = v.map(x => x(i) * x(i)).sum
+      assert(got((i, i))._1 == want, s"diagonal $i: ${got((i, i))._1} != $want")
+    }
+    val (i0, j0) = (1, 5)
+    assert(got((i0, j0))._1 == v.map(x => x(i0) * x(j0)).sum)
+  }
+
   test("LSH cosines are bit-identical to brute force on shared hits") {
     val dir = generateClustered()
     val brute = Similarity.q38AnnBruteforce.run(spark, dir).collect()
