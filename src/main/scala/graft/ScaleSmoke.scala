@@ -91,7 +91,8 @@ object ScaleSmoke {
       // corpus-sized here (real corpora follow Heaps' law); it measures
       // the upper bound of the round cost, not the typical one
       "q132_bpe_train", "q133_pq_adc", "q134_unimax_mix",
-      "q135_hard_negatives_ivf", "q136_bm25", "q137_rrf_fusion")
+      "q135_hard_negatives_ivf", "q136_bm25", "q137_rrf_fusion",
+      "q138_gram_matrix")
     // SPARK_GRAFT_SMOKE_ONLY=q123,q124 limits a run to matching targets —
     // the same local profiling aid as Bench's SPARK_GRAFT_BENCH_ONLY
     val selected = sys.env.get("SPARK_GRAFT_SMOKE_ONLY")
