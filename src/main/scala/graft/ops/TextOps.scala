@@ -1191,6 +1191,66 @@ object TextOps {
     unimaxAllocation(Tables.documents(s, dir)).orderBy(col("source"))
   }
 
+  /** Deterministic source-interleaved training order — the schedule a
+    * data loader materializes from a mixture decision (q134's
+    * allocations made concrete): classic STRIDE SCHEDULING (Waldspurger
+    * & Weihl, OSDI'94, the deterministic counterpart of temperature
+    * sampling) — source s with epoch rate ρ_s emits its k-th doc at
+    * virtual time (k + φ_s)/ρ_s, so sources interleave proportionally
+    * to their allocated rates, a low-rate source spreads sparsely
+    * instead of clumping, and the md5-derived phase φ_s de-synchronizes
+    * equal-rate sources reproducibly (the q68/q107 device — no rand()).
+    * Ordering by virtual time IS the training order; both engines
+    * compute the identical IEEE double from exact integers, emission is
+    * rounded at 6 dp, ranking on raw with doc_id ties (q99 discipline).
+    *
+    * Scale posture: rates ride the q134 water-filling (corpus agg +
+    * dim-sized windows, broadcast back); the per-source rank is a
+    * window PARTITIONED by source — distributed; no corpus-global
+    * window anywhere, the global order exists only as the sort key. */
+  val q139MixSchedule: QueryDef = sql(
+    "q139_mix_schedule",
+    """WITH pd AS (SELECT source, len(string_split(text, ' ')) AS ntok FROM documents),
+      |c AS (SELECT source, CAST(SUM(ntok) AS BIGINT) AS n FROM pd GROUP BY 1),
+      |tot AS (SELECT CAST(SUM(n) AS BIGINT) AS t, COUNT(*) AS k FROM c),
+      |base AS (SELECT source, n, 2 * n AS cap, (19 * t) // 10 AS budget, k FROM c, tot),
+      |rk AS (SELECT *, ROW_NUMBER() OVER (ORDER BY cap, source) AS j,
+      |         COALESCE(CAST(SUM(cap) OVER (ORDER BY cap, source
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0) AS prefix
+      |       FROM base),
+      |flg AS (SELECT *, cap * (k - j + 1) <= budget - prefix AS is_capped FROM rk),
+      |sp AS (SELECT CAST(COALESCE(SUM(CASE WHEN is_capped THEN cap END), 0) AS BIGINT) AS spent,
+      |              CAST(COALESCE(SUM(CASE WHEN is_capped THEN 1 END), 0) AS BIGINT) AS kk
+      |       FROM flg),
+      |rates AS (SELECT source, n,
+      |            CAST(CASE WHEN is_capped THEN cap
+      |                 ELSE (budget - spent) // (k - kk) END AS DOUBLE) / n AS rho,
+      |            CAST(('0x' || substr(md5('phase:' || source), 1, 8)) AS BIGINT) / 4294967296.0 AS phi
+      |          FROM flg, sp),
+      |sched AS (SELECT d.doc_id, d.source,
+      |            CAST(ROW_NUMBER() OVER (PARTITION BY d.source ORDER BY d.doc_id) - 1 AS BIGINT) AS kth,
+      |            r.rho, r.phi
+      |          FROM documents d JOIN rates r USING (source))
+      |SELECT doc_id, source, kth, ROUND((kth + phi) / rho, 6) AS vtime
+      |FROM sched
+      |ORDER BY (kth + phi) / rho, doc_id""".stripMargin) { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(s, dir)
+    val rates = unimaxAllocation(docs)
+      .select(col("source"),
+        (col("allocated").cast("double") / col("n_tokens")).as("rho"),
+        (expr("CAST(conv(substring(md5(concat('phase:', source)), 1, 8), 16, 10) AS BIGINT)") /
+          lit(4294967296.0)).as("phi"))
+    docs.select(col("doc_id"), col("source"))
+      .join(broadcast(rates), Seq("source"))
+      .withColumn("kth", (row_number().over(
+        Window.partitionBy(col("source")).orderBy(col("doc_id"))) - 1).cast("long"))
+      .withColumn("vtraw", (col("kth") + col("phi")) / col("rho"))
+      .orderBy(col("vtraw"), col("doc_id"))
+      .select(col("doc_id"), col("source"), col("kth"),
+        round(col("vtraw"), 6).as("vtime"))
+  }
+
   /** Order-independent content fingerprint of a (doc_id, text) frame —
     * the key that binds persisted Bloom state to an eval-set VERSION:
     * XOR of 60-bit md5 prefixes of "id:text" over all rows (XOR, not
@@ -1588,5 +1648,5 @@ object TextOps {
     q80TrigramGenerator, q99Tfidf, q100ShardPacking, q102HeavyHitters, q136Bm25, q137RrfFusion,
     q107QualitySample, q110Contingency, q116Contamination, q117Repetition,
     q118SourceMix, q121NegativeSampling, q123CorpusBuild, q128LmPerplexity,
-    q129DsirSelect, q130SequencePacking, q134UnimaxMix)
+    q129DsirSelect, q130SequencePacking, q134UnimaxMix, q139MixSchedule)
 }

@@ -88,6 +88,41 @@ class TextQualitySpec extends SparkSpec {
     }
   }
 
+  test("mix schedule: per-source spacing is exactly 1/rate and any prefix tracks each source's rate within 1") {
+    val got = TextOps.q139MixSchedule.run(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+    assert(got.nonEmpty)
+    // (a) within a source, kth-order equals vtime-order and spacing is constant
+    got.groupBy(_._2).foreach { case (src, rows) =>
+      val byK = rows.sortBy(_._3)
+      byK.zip(byK.tail).foreach { case (a, b) =>
+        assert(b._4 > a._4, s"$src: vtime not increasing with kth") }
+      if (byK.length > 2) {
+        val gaps = byK.zip(byK.tail).map { case (a, b) => b._4 - a._4 }
+        gaps.foreach(g => assert(math.abs(g - gaps.head) < 2e-6,
+          s"$src: stride not constant ($g vs ${gaps.head})"))
+      }
+    }
+    // (b) the stride-scheduling guarantee: at any virtual time T, each
+    // source has emitted within ±1 of rho*T picks
+    val rates = TextOps.unimaxAllocation(
+      graft.sources.Tables.documents(spark, sfDir)).collect()
+      .map(r => r.getString(0) -> r.getLong(3).toDouble / r.getLong(1)).toMap
+    val sorted = got.sortBy(r => (r._4, r._1))
+    val sizes = got.groupBy(_._2).map { case (s, rs) => s -> rs.length }
+    Seq(sorted.length / 4, sorted.length / 2, sorted.length - 1).foreach { i =>
+      val t = sorted(i)._4
+      val counts = sorted.take(i + 1).groupBy(_._2).map { case (s, rs) => s -> rs.length }
+      rates.foreach { case (s, rho) =>
+        // the stride bound holds until the source EXHAUSTS its docs
+        val expected = math.min(rho * t, sizes(s).toDouble)
+        val n = counts.getOrElse(s, 0)
+        assert(math.abs(n - expected) <= 1.0 + 1e-6,
+          s"source $s at T=$t: $n picks vs expected $expected")
+      }
+    }
+  }
+
   test("UniMax water-filling: small sources cap, the rest split the remainder — hand-computed") {
     import spark.implicits._
     // one doc per source with a known token count: A=100, B=1000, C=10000
