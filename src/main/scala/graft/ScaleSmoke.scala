@@ -54,6 +54,20 @@ object ScaleSmoke {
       .withColumn("n_chars", length(col("text")).cast("long"))
       .write.mode("overwrite").parquet(s"$dir/documents.parquet")
 
+    // lineitem, projected to the columns the graph ops read
+    // (l_orderkey, l_partkey): (mult/10)× the sf0.1 table — 4 lines per
+    // order over a hashed part space. The graph smoke deliberately scales
+    // one decade below the text smoke: the edge build's ~3·nLines pair
+    // expansion would otherwise dominate the whole smoke run, and the
+    // 10×→30× STEP (what the table reports) measures the same shape
+    val nLines = 600000L * mult / 10
+    val nParts = 20000L * mult / 10
+    spark.range(nLines)
+      .select((col("id") / 4).cast("long").as("l_orderkey"),
+        expr(s"CAST(conv(substring(md5(CAST(id AS STRING)), 1, 8), 16, 10) AS BIGINT) % $nParts")
+          .as("l_partkey"))
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+
     // embeddings: 8 unit-norm cluster centers (ids 0..7), noisy members
     val rnd = new Random(7)
     def unit(v: Array[Float]): Array[Float] = {
@@ -92,7 +106,12 @@ object ScaleSmoke {
       // the upper bound of the round cost, not the typical one
       "q132_bpe_train", "q133_pq_adc", "q134_unimax_mix",
       "q135_hard_negatives_ivf", "q136_bm25", "q137_rrf_fusion",
-      "q138_gram_matrix")
+      "q138_gram_matrix",
+      "q140_knn_classify", "q141_domain_cap", "q142_preference_pairs",
+      "q143_pagerank",
+      // q144 re-trains q132's merges before encoding — it inherits the
+      // same worst-case note (every smoke token a distinct md5 prefix)
+      "q144_bpe_encode", "q145_corpus_diff", "q146_pca_power")
     // SPARK_GRAFT_SMOKE_ONLY=q123,q124 limits a run to matching targets —
     // the same local profiling aid as Bench's SPARK_GRAFT_BENCH_ONLY
     val selected = sys.env.get("SPARK_GRAFT_SMOKE_ONLY")

@@ -971,9 +971,162 @@ object Similarity {
       .orderBy(col("i"), col("j"))
   }
 
+  /** Top-principal-component projection via fixed-point power iteration
+    * on the q138 Gram matrix — the PCA step of embedding-index
+    * preprocessing (whitening / dimensionality reduction before IVF-PQ;
+    * Jégou et al. TPAMI'11 precede quantization with exactly this
+    * second-moment eigenanalysis). The iteration runs entirely in
+    * integer micro-units: the Gram is rescaled by a fixed 10⁹ floor,
+    * each round is one integer matrix-vector product followed by an
+    * integer renormalization floor(u·10⁶/max|u|), and the corpus
+    * projection is an integer dot — so the whole eigen-TRAJECTORY
+    * hash-verifies cross-engine (the q119/q143 device; float power
+    * iteration would diverge under reordered sums). Sign and rounds
+    * are pinned by the deterministic all-ones start.
+    *
+    * Scale posture (100 TB): the ONLY corpus-scale work is the Gram
+    * build (q138's accumulator-shaped shuffle — ≤ d(d+1)/2 rows per
+    * partition) and the final projection scan (broadcast d-vector, one
+    * map-side fold). The iteration itself is d²-sized — executor-local
+    * no matter the corpus. Rounds are a fixed constant (geometric
+    * convergence; production runs ~30 with deflation for more
+    * components). */
+  def pcaPowerProjection(emb: DataFrame, rounds: Int): DataFrame = {
+    val qv = emb.select(col("vec_id"), expr(
+      "transform(embedding, x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000000.0D + 0.5D) AS BIGINT))").as("qv"))
+    val q = qv.select(col("vec_id"), posexplode(col("qv")).as(Seq("dim", "v")))
+    val upper = qv.select(col("qv"), posexplode(col("qv")).as(Seq("i", "vi")))
+      .select(col("i"), col("vi"), posexplode(col("qv")).as(Seq("j", "vj")))
+      .filter(col("i") <= col("j"))
+      .groupBy(col("i"), col("j")).agg(sum(col("vi") * col("vj")).as("gram"))
+    val full = upper.unionByName(upper.filter(col("i") =!= col("j"))
+      .select(col("j").as("i"), col("i").as("j"), col("gram")))
+    val g = full.select(col("i"), col("j"),
+        expr("CAST(FLOOR(CAST(gram AS DOUBLE) / 1000000000.0D) AS BIGINT)").as("g"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var vec = g.select(col("i").as("dim")).distinct()
+      .withColumn("w", lit(1000000L))
+    for (_ <- 1 to rounds) {
+      val u = g.join(vec, vec("dim") === g("j"))
+        .groupBy(col("i")).agg(sum(col("g") * col("w")).as("u"))
+      val s = u.agg(max(abs(col("u"))).as("s"))
+      vec = u.crossJoin(broadcast(s)).select(col("i").as("dim"),
+        expr("CAST(FLOOR(CAST(u AS DOUBLE) * 1000000.0D / s) AS BIGINT)").as("w"))
+    }
+    q.join(broadcast(vec), vec("dim") === q("dim"))
+      .groupBy(col("vec_id")).agg(sum(col("v") * col("w")).as("proj"))
+  }
+
+  /** One unrolled power-iteration oracle round k over CTEs g/v{k-1}. */
+  private def powerRoundSql(k: Int): String = {
+    val prev = s"v${k - 1}"
+    s"""u$k AS (SELECT g.i AS dim, CAST(SUM(g.g * v.w) AS BIGINT) AS u
+       |  FROM g JOIN $prev v ON v.dim = g.j GROUP BY 1),
+       |s$k AS (SELECT MAX(ABS(u)) AS s FROM u$k),
+       |v$k AS (SELECT dim, CAST(FLOOR(CAST(u AS DOUBLE) * 1000000.0 / s) AS BIGINT) AS w
+       |  FROM u$k, s$k)""".stripMargin
+  }
+
+  /** Contract face of [[pcaPowerProjection]]: 2 power rounds, every
+    * vector's projection onto the dominant component. */
+  val q146PcaPower: QueryDef = sql(
+    "q146_pca_power",
+    s"""WITH q AS (
+       |  SELECT vec_id, dim,
+       |    CAST(FLOOR(CAST(embedding[dim] AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT) AS v
+       |  FROM embeddings,
+       |       LATERAL (SELECT unnest(range(1, len(embedding) + 1)) AS dim)),
+       |gu AS (SELECT a.dim - 1 AS i, b.dim - 1 AS j, CAST(SUM(a.v * b.v) AS BIGINT) AS gram
+       |       FROM q a JOIN q b ON a.vec_id = b.vec_id AND a.dim <= b.dim
+       |       GROUP BY 1, 2),
+       |gf AS (SELECT i, j, gram FROM gu
+       |       UNION ALL SELECT j AS i, i AS j, gram FROM gu WHERE i <> j),
+       |g AS (SELECT i, j, CAST(FLOOR(CAST(gram AS DOUBLE) / 1000000000.0) AS BIGINT) AS g
+       |      FROM gf),
+       |v0 AS (SELECT DISTINCT i AS dim, CAST(1000000 AS BIGINT) AS w FROM g),
+       |${powerRoundSql(1)},
+       |${powerRoundSql(2)}
+       |SELECT q.vec_id, CAST(SUM(q.v * v.w) AS BIGINT) AS proj
+       |FROM q JOIN v2 v ON v.dim = q.dim - 1
+       |GROUP BY 1
+       |ORDER BY vec_id""".stripMargin) { (s, dir) =>
+    pcaPowerProjection(Tables.embeddings(s, dir), rounds = 2)
+      .orderBy(col("vec_id"))
+  }
+
+  /** k-NN label prediction over the quantized embeddings — the
+    * classifier face of the similarity stack (weak labeling /
+    * label-propagation-by-neighbors for curation: predict a held-out
+    * vector's label from its k nearest training vectors). Distances are
+    * the exact integer squared L2 of the q119 quantized domain, so
+    * neighbor sets, vote counts, and the majority verdict all
+    * hash-verify cross-engine; ties break (votes desc, label asc) and
+    * neighbor ties (dist asc, vec_id asc) — fully deterministic.
+    *
+    * Scale posture: the contract face broadcasts the query batch and
+    * brute-force-scores it (exact — the recall baseline, like q38);
+    * at corpus-scale query sets the serve path routes through the
+    * trained IVF exactly as q135 does for mining (same metric, same
+    * bucketed candidate generation), so scored pairs drop from N to
+    * N·probe/k per query. Per-query top-k is a WindowGroupLimit-pushed
+    * window, never a global sort. */
+  def knnClassify(emb: DataFrame, testPred: Column, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val q = emb.select(col("vec_id"), col("label"), expr(
+      "transform(embedding, x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000000.0D + 0.5D) AS BIGINT))").as("qv"))
+    val test = q.filter(testPred).select(
+      col("vec_id").as("test_id"), col("label").as("true_label"), col("qv").as("tq"))
+    val nn = q.filter(!testPred)
+      .crossJoin(broadcast(test))
+      .withColumn("dist", aggregate(
+        zip_with(col("qv"), col("tq"), (a, b) => (a - b) * (a - b)),
+        lit(0L), (acc, x) => acc + x))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy(col("test_id")).orderBy(col("dist"), col("vec_id"))))
+      .filter(col("rnk") <= k)
+    nn.groupBy(col("test_id"), col("true_label"), col("label"))
+      .agg(count(lit(1)).as("votes"))
+      .withColumn("vr", row_number().over(
+        Window.partitionBy(col("test_id")).orderBy(col("votes").desc, col("label"))))
+      .filter(col("vr") === 1)
+      .select(col("test_id"), col("true_label"), col("label").as("pred_label"),
+        col("votes"), (col("label") === col("true_label")).as("correct"))
+  }
+
+  /** Contract face of [[knnClassify]]: every 10th vector held out, k=5
+    * majority vote over the rest. */
+  val q140KnnClassify: QueryDef = sql(
+    "q140_knn_classify",
+    """WITH q AS (
+      |  SELECT vec_id, label, dim,
+      |    CAST(FLOOR(CAST(embedding[dim] AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT) AS v
+      |  FROM embeddings,
+      |       LATERAL (SELECT unnest(range(1, len(embedding) + 1)) AS dim)),
+      |d AS (SELECT t.vec_id AS test_id, t.label AS true_label,
+      |        r.vec_id, r.label, SUM((r.v - t.v) * (r.v - t.v)) AS dist
+      |      FROM q t JOIN q r ON r.dim = t.dim
+      |      WHERE t.vec_id % 10 = 0 AND r.vec_id % 10 <> 0
+      |      GROUP BY 1, 2, 3, 4),
+      |nn AS (SELECT test_id, true_label, label,
+      |         ROW_NUMBER() OVER (PARTITION BY test_id ORDER BY dist, vec_id) AS rnk
+      |       FROM d),
+      |v AS (SELECT test_id, true_label, label, COUNT(*) AS votes
+      |      FROM nn WHERE rnk <= 5 GROUP BY 1, 2, 3),
+      |w AS (SELECT test_id, true_label, label, votes,
+      |        ROW_NUMBER() OVER (PARTITION BY test_id ORDER BY votes DESC, label) AS vr
+      |      FROM v)
+      |SELECT test_id, true_label, label AS pred_label, votes,
+      |  label = true_label AS correct
+      |FROM w WHERE vr = 1
+      |ORDER BY test_id""".stripMargin) { (s, dir) =>
+    knnClassify(Tables.embeddings(s, dir), col("vec_id") % 10 === 0, 5)
+      .orderBy(col("test_id"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     q36ArrayNorms, q37EmbeddingNeardup, q38AnnBruteforce, q39AnnIvf,
     q45AnnNative, q52AnnLsh, q61AnnQuantized, q119KmeansTrain,
     q120AnnIvfTrained, q122SemanticDedup, q125SemdedupCentroid,
-    q131HardNegatives, q133PqAdc, q135HardNegativesIvf, q138GramMatrix)
+    q131HardNegatives, q133PqAdc, q135HardNegativesIvf, q138GramMatrix,
+    q140KnnClassify, q146PcaPower)
 }

@@ -1641,6 +1641,161 @@ object TextOps {
       .orderBy(col("doc_id"))
   }
 
+  /** Per-domain document caps — the CommonCrawl-curation step that
+    * bounds any one host's contribution to the corpus (a handful of
+    * template-heavy domains otherwise dominate a web crawl; LLaMA /
+    * RefinedWeb both cap per-registered-domain). Documents rank within
+    * their domain by a deterministic keep-preference (longest first,
+    * doc_id tiebreak) and only the top `cap` survive.
+    *
+    * Scale posture: one hash-partitioned window per domain key — the
+    * corpus shuffles ONCE on the domain key and WindowGroupLimit keeps
+    * only cap rows per domain on BOTH sides of that exchange (the rank
+    * is the window's only function precisely so the pushdown fires; a
+    * whole-frame count in the same window would force every row through
+    * the sort). The domain totals come from a separate map-side-combined
+    * aggregate instead, broadcast back onto the dimension-sized survivor
+    * set. A skewed mega-domain is exactly the q114 hot-key case: salt
+    * the rank by pre-aggregating per-salt counts if one domain exceeds a
+    * partition. Emits survivors only, with rank and the domain total. */
+  def domainCap(docs: DataFrame, domainCol: Column, cap: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d = docs.withColumn("domain", domainCol)
+    val counts = d.groupBy(col("domain")).agg(count(lit(1)).as("n_domain"))
+    d.withColumn("rk", row_number().over(
+        Window.partitionBy(col("domain"))
+          .orderBy(col("n_chars").desc, col("doc_id"))))
+      .filter(col("rk") <= cap)
+      .join(broadcast(counts), Seq("domain"))
+      .select(col("domain"), col("doc_id"), col("rk"), col("n_domain"))
+  }
+
+  /** Contract face of [[domainCap]]: `source` is the domain, cap 15. */
+  val q141DomainCap: QueryDef = sql(
+    "q141_domain_cap",
+    """WITH r AS (
+      |  SELECT source AS domain, doc_id,
+      |    ROW_NUMBER() OVER (PARTITION BY source ORDER BY n_chars DESC, doc_id) AS rk,
+      |    COUNT(*) OVER (PARTITION BY source) AS n_domain
+      |  FROM documents)
+      |SELECT domain, doc_id, CAST(rk AS BIGINT) AS rk, n_domain
+      |FROM r WHERE rk <= 15
+      |ORDER BY domain, rk""".stripMargin) { (s, dir) =>
+    domainCap(Tables.fanOut(Tables.documents(s, dir)), col("source"), 15)
+      .withColumn("rk", col("rk").cast("long"))
+      .orderBy(col("domain"), col("rk"))
+  }
+
+  /** Preference-pair construction — the post-training data face:
+    * within each (lang, source) group, pair the highest-scoring
+    * document (chosen) with the lowest-scoring one (rejected), the
+    * shape DPO/RLHF reward-model training consumes. The score is the
+    * exact-integer lexical-diversity rate floor(distinct·10⁶/total)
+    * so chosen/rejected selection and the margin hash cross-engine;
+    * ties break deterministically (score, then doc_id) and groups
+    * need ≥ 2 documents to emit a pair.
+    *
+    * Scale posture: two window ranks over one (lang, source)-keyed
+    * shuffle (both directions computed in the SAME window partition —
+    * one exchange, two WindowGroupLimit-capped sorts), then a
+    * group-keyed self-join of two 1-row-per-group relations. Nothing
+    * is corpus-sized after the rank. */
+  def preferencePairs(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val scored = docs
+      .withColumn("toks", split(col("text"), " "))
+      .withColumn("score", expr(
+        "CAST(FLOOR(CAST(size(array_distinct(toks)) AS DOUBLE) * 1000000.0D / size(toks)) AS BIGINT)"))
+    val w = Window.partitionBy(col("lang"), col("source"))
+    val ranked = scored
+      .withColumn("top", row_number().over(
+        w.orderBy(col("score").desc, col("doc_id"))))
+      .withColumn("bot", row_number().over(
+        w.orderBy(col("score"), col("doc_id").desc)))
+      .withColumn("n_group", count(lit(1)).over(w))
+      .filter(col("n_group") >= 2)
+    val chosen = ranked.filter(col("top") === 1)
+      .select(col("lang"), col("source"),
+        col("doc_id").as("chosen_id"), col("score").as("chosen_score"))
+    val rejected = ranked.filter(col("bot") === 1)
+      .select(col("lang"), col("source"),
+        col("doc_id").as("rejected_id"), col("score").as("rejected_score"))
+    chosen.join(rejected, Seq("lang", "source"))
+      .select(col("lang"), col("source"), col("chosen_id"), col("rejected_id"),
+        (col("chosen_score") - col("rejected_score")).as("margin"))
+  }
+
+  /** Contract face of [[preferencePairs]]: one pair per (lang, source)
+    * cell of the fixture corpus. */
+  val q142PreferencePairs: QueryDef = sql(
+    "q142_preference_pairs",
+    """WITH s AS (
+      |  SELECT lang, source, doc_id,
+      |    CAST(FLOOR(CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+      |      * 1000000.0 / len(string_split(text, ' '))) AS BIGINT) AS score
+      |  FROM documents),
+      |r AS (SELECT *,
+      |    ROW_NUMBER() OVER (PARTITION BY lang, source ORDER BY score DESC, doc_id) AS top,
+      |    ROW_NUMBER() OVER (PARTITION BY lang, source ORDER BY score, doc_id DESC) AS bot,
+      |    COUNT(*) OVER (PARTITION BY lang, source) AS n_group
+      |  FROM s)
+      |SELECT c.lang, c.source, c.doc_id AS chosen_id, j.doc_id AS rejected_id,
+      |  c.score - j.score AS margin
+      |FROM (SELECT * FROM r WHERE top = 1 AND n_group >= 2) c
+      |JOIN (SELECT * FROM r WHERE bot = 1 AND n_group >= 2) j
+      |  USING (lang, source)
+      |ORDER BY lang, source""".stripMargin) { (s, dir) =>
+    preferencePairs(Tables.fanOut(Tables.documents(s, dir)))
+      .orderBy(col("lang"), col("source"))
+  }
+
+  /** Corpus snapshot diff — dataset versioning's core query: given two
+    * corpus versions keyed by doc_id, classify every document as
+    * added / removed / changed / unchanged by content hash. The
+    * pipeline face of "what moved between crawl v1 and crawl v2"
+    * (incremental training-data refreshes re-process only
+    * added+changed; removed feeds unlearning audits).
+    *
+    * Scale posture: one full outer join on the id key with md5
+    * content fingerprints computed AT THE SCAN (only ids + 32-byte
+    * hashes shuffle, never text); the summary is a dimension-sized
+    * agg of the statuses. */
+  def corpusDiff(old: DataFrame, nw: DataFrame): DataFrame = {
+    val o = old.select(col("doc_id"), md5(col("text")).as("oh"))
+    val n = nw.select(col("doc_id"), md5(col("text")).as("nh"))
+    o.join(n, Seq("doc_id"), "full_outer")
+      .withColumn("status",
+        when(col("oh").isNull, lit("added"))
+          .when(col("nh").isNull, lit("removed"))
+          .when(col("oh") === col("nh"), lit("unchanged"))
+          .otherwise(lit("changed")))
+      .select(col("doc_id"), col("status"))
+  }
+
+  /** Contract face of [[corpusDiff]]: v1 drops doc_id % 13 = 0, v2
+    * drops doc_id % 17 = 0 and upper-cases every doc_id % 9 = 0 text
+    * (a deterministic "edit"). */
+  val q145CorpusDiff: QueryDef = sql(
+    "q145_corpus_diff",
+    """WITH o AS (SELECT doc_id, md5(text) AS oh FROM documents WHERE doc_id % 13 <> 0),
+      |n AS (SELECT doc_id,
+      |        md5(CASE WHEN doc_id % 9 = 0 THEN upper(text) ELSE text END) AS nh
+      |      FROM documents WHERE doc_id % 17 <> 0)
+      |SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
+      |  CASE WHEN o.oh IS NULL THEN 'added'
+      |       WHEN n.nh IS NULL THEN 'removed'
+      |       WHEN o.oh = n.nh THEN 'unchanged'
+      |       ELSE 'changed' END AS status
+      |FROM o FULL OUTER JOIN n ON n.doc_id = o.doc_id
+      |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    val docs = Tables.fanOut(Tables.documents(s, dir))
+    val v1 = docs.filter(col("doc_id") % 13 =!= 0)
+    val v2 = docs.filter(col("doc_id") % 17 =!= 0)
+      .withColumn("text",
+        when(col("doc_id") % 9 === 0, upper(col("text"))).otherwise(col("text")))
+    corpusDiff(v1, v2).orderBy(col("doc_id"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     q21TextStats, q22WordFreq, q23BigramFreq, q24LangId, q25QualityScore,
     q26Fingerprint, q27TokenRegex, q62TrainSplit, q64TermFreqMap,
@@ -1648,5 +1803,6 @@ object TextOps {
     q80TrigramGenerator, q99Tfidf, q100ShardPacking, q102HeavyHitters, q136Bm25, q137RrfFusion,
     q107QualitySample, q110Contingency, q116Contamination, q117Repetition,
     q118SourceMix, q121NegativeSampling, q123CorpusBuild, q128LmPerplexity,
-    q129DsirSelect, q130SequencePacking, q134UnimaxMix, q139MixSchedule)
+    q129DsirSelect, q130SequencePacking, q134UnimaxMix, q139MixSchedule,
+    q141DomainCap, q142PreferencePairs, q145CorpusDiff)
 }

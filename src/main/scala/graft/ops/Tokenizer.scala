@@ -126,6 +126,66 @@ object Tokenizer {
        |w$k AS (SELECT word, cnt, list(tok ORDER BY i) AS syms FROM e$k GROUP BY 1, 2)""".stripMargin
   }
 
+  /** Encode a corpus with a TRAINED symbolization — the apply half of
+    * the tokenizer lifecycle (train on a sample, tokenize the full
+    * corpus). Because classic BPE encoding of a known word IS a lookup
+    * into the trained word→symbols table, encoding is one broadcast
+    * join of the corpus word stream against the vocabulary-sized
+    * trained relation + one doc-keyed map-side-combined aggregate — no
+    * per-word sequential fold ever runs at corpus scale. Emits per-doc
+    * token counts and fertility (tokens/word — the tokenizer-quality
+    * metric reported per language in multilingual training runs).
+    *
+    * Scale posture (100 TB): the trained relation is Heaps-law
+    * sublinear in corpus size (broadcastable); the corpus pass is one
+    * explode + broadcast join + agg. OOV words (absent from the
+    * trained inventory) fall back to character count — exact, since
+    * an untrained word tokenizes to its characters under the learned
+    * merges only if no merge applies; the fixture face trains on the
+    * same corpus it encodes, so the fallback is never hit there. */
+  def bpeEncode(docs: DataFrame, trained: DataFrame): DataFrame = {
+    val words = docs
+      .select(col("doc_id"), col("lang"), explode(split(col("text"), " ")).as("word"))
+      .filter(col("word") =!= "")
+    words
+      .join(broadcast(trained.select(col("word"), col("n_syms"))), Seq("word"), "left")
+      .withColumn("toks", coalesce(col("n_syms"), length(col("word")).cast("long")))
+      .groupBy(col("doc_id"), col("lang"))
+      .agg(count(lit(1)).as("n_words"), sum(col("toks")).as("n_tokens"))
+      .withColumn("fertility",
+        round(col("n_tokens").cast("double") / col("n_words"), 6))
+  }
+
+  /** Contract face of [[bpeEncode]]: tokenize every document with the
+    * q132-trained merges (3 rounds, same corpus). The per-doc token
+    * count hashes the training trajectory THROUGH the encoding — a
+    * different winner in any training round changes fertilities
+    * corpus-wide. */
+  val q144BpeEncode: QueryDef = sql(
+    "q144_bpe_encode",
+    s"""WITH wc AS (SELECT word, COUNT(*) AS cnt FROM (
+       |    SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+       |  WHERE word <> '' GROUP BY 1),
+       |w0 AS (SELECT word, cnt,
+       |    list_transform(range(1, len(word) + 1), i -> substr(word, i, 1)) AS syms
+       |  FROM wc),
+       |${roundSql(1)},
+       |${roundSql(2)},
+       |${roundSql(3)},
+       |docw AS (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS word
+       |         FROM documents),
+       |enc AS (SELECT d.doc_id, d.lang, len(w3.syms) AS toks
+       |        FROM docw d JOIN w3 ON w3.word = d.word
+       |        WHERE d.word <> '')
+       |SELECT doc_id, lang, COUNT(*) AS n_words,
+       |  CAST(SUM(toks) AS BIGINT) AS n_tokens,
+       |  round(CAST(SUM(toks) AS DOUBLE) / COUNT(*), 6) AS fertility
+       |FROM enc GROUP BY 1, 2
+       |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    val docs = Tables.fanOut(Tables.documents(s, dir))
+    bpeEncode(docs, bpeTrain(docs, rounds = 3)).orderBy(col("doc_id"))
+  }
+
   /** Contract face: 3 BPE merge rounds over the corpus word counts. The
     * final symbolization of every word hashes the whole trajectory —
     * a different winner in ANY round re-symbolizes words and breaks the
@@ -149,5 +209,5 @@ object Tokenizer {
       .orderBy(col("word"))
   }
 
-  val all: Seq[QueryDef] = Seq(q132BpeTrain)
+  val all: Seq[QueryDef] = Seq(q132BpeTrain, q144BpeEncode)
 }

@@ -1,0 +1,54 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.Similarity
+
+/** Pins the embedding-classifier and eigen-projection operators on
+  * planted geometry: kNN majority votes with deterministic ties, and
+  * the power-iteration projection recovering a planted dominant axis. */
+class KnnPcaSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def emb(rows: (Long, Seq[Float], Int)*) =
+    rows.toDF("vec_id", "embedding", "label")
+
+  test("knnClassify: planted clusters classify correctly with k=3") {
+    val df = emb(
+      (1L, Seq(0.0f, 0.0f), 0), (2L, Seq(0.1f, 0.0f), 0), (3L, Seq(0.0f, 0.1f), 0),
+      (4L, Seq(1.0f, 1.0f), 1), (5L, Seq(0.9f, 1.0f), 1), (6L, Seq(1.0f, 0.9f), 1),
+      (10L, Seq(0.05f, 0.05f), 0), (11L, Seq(0.95f, 0.95f), 1))
+    val got = Similarity.knnClassify(df, col("vec_id") >= 10, k = 3)
+      .collect().map(r => (r.getLong(0), r.getInt(2), r.getLong(3), r.getBoolean(4)))
+    assert(got.toSet == Set((10L, 0, 3L, true), (11L, 1, 3L, true)))
+  }
+
+  test("knnClassify: vote ties break to the smaller label") {
+    // k=2: one neighbor from each cluster at identical distance
+    val df = emb(
+      (1L, Seq(1.0f, 0.0f), 5), (2L, Seq(-1.0f, 0.0f), 3),
+      (10L, Seq(0.0f, 0.0f), 5))
+    val got = Similarity.knnClassify(df, col("vec_id") >= 10, k = 2).collect()
+    assert(got.length == 1)
+    assert(got.head.getInt(2) == 3, "1-1 vote must go to the smaller label")
+  }
+
+  test("pcaPowerProjection orders vectors along the planted dominant axis") {
+    val df = Seq(
+      (1L, Seq(1.0f, 0.0f)), (2L, Seq(2.0f, 0.0f)),
+      (3L, Seq(-1.0f, 0.05f)), (4L, Seq(3.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val got = Similarity.pcaPowerProjection(df, rounds = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // x is the dominant component: projections must order as x does
+    assert(got(3L) < got(1L) && got(1L) < got(2L) && got(2L) < got(4L))
+    // and the x-aligned vectors project proportionally (1 : 2 : 3)
+    assert(got(2L) == 2L * got(1L) && got(4L) == 3L * got(1L))
+  }
+
+  test("pcaPowerProjection is deterministic across runs") {
+    val df = graft.sources.Tables.embeddings(spark, sfDir)
+    val a = Similarity.pcaPowerProjection(df, 2).orderBy("vec_id").collect().toSeq
+    val b = Similarity.pcaPowerProjection(df, 2).orderBy("vec_id").collect().toSeq
+    assert(a == b && a.nonEmpty)
+  }
+}

@@ -430,4 +430,48 @@ class PlanSpec extends SparkSpec {
         s"${q.name}'s bounded sides must broadcast:\n$p")
     }
   }
+
+  test("q140: the query batch broadcasts and the per-query top-k pushes down") {
+    val p = planOf(graft.ops.Similarity.q140KnnClassify.run(spark, sfDir))
+    assert(p.contains("WindowGroupLimit"),
+      s"rnk<=k must cut below the shuffle:\n$p")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      s"the test batch must broadcast:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"),
+      s"the corpus must never shuffle against the query batch:\n$p")
+  }
+
+  test("q141: the domain cap is one keyed window with the cap pushed below the sort") {
+    val p = planOf(graft.ops.TextOps.q141DomainCap.run(spark, sfDir))
+    assert(p.contains("WindowGroupLimit"),
+      s"rk<=cap must cut below the full sort:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the domain totals must broadcast onto the survivors:\n$p")
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("q143: pagerank shuffles the rank relation, never re-derives the edge set") {
+    val df = graft.ops.Graph.q143Pagerank.run(spark, sfDir)
+    val p = planOf(df)
+    // the persisted edge/degree relations appear as InMemoryTableScan —
+    // round N must reuse them, not replay the lineitem self-join
+    assert(p.contains("InMemoryTableScan"),
+      s"edges must be pinned across rounds:\n$p")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"the leaderboard must be TakeOrdered, not a global sort:\n$p")
+    // uncached file scans in the top-level plan = cache misses: every
+    // per-round reference must resolve to the pinned relations
+    val fileScans = df.queryExecution.executedPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }.size
+    assert(fileScans == 0,
+      s"lineitem must be read through the pinned edge relation only, got $fileScans live scans")
+  }
+
+  test("q146: the eigenvector broadcasts into the projection scan") {
+    val p = planOf(graft.ops.Similarity.q146PcaPower.run(spark, sfDir))
+    assert(p.contains("BroadcastHashJoin"),
+      s"the d-sized component must broadcast into the corpus scan:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
 }

@@ -54,4 +54,39 @@ class TokenizerSpec extends SparkSpec {
     // symbols than characters
     assert(out.exists(r => r.getLong(3) < r.getString(0).length))
   }
+
+  test("bpeEncode tokenizes docs with the trained merges (hand fixture)") {
+    val d = Seq((1L, "en", "aaaa aaaa b"), (2L, "en", "low low lower"))
+      .toDF("doc_id", "lang", "text")
+    val got = Tokenizer.bpeEncode(d, Tokenizer.bpeTrain(d, 3))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    // doc1: aaaa=[aa,aa]×2 + b=[b] → 5 tokens / 3 words
+    // doc2: low=[low]×2 + lower=[low,e,r] → 5 tokens / 3 words
+    assert(got == Map(
+      1L -> ((3L, 5L, 1.666667)),
+      2L -> ((3L, 5L, 1.666667))))
+  }
+
+  test("bpeEncode OOV words fall back to character count") {
+    val train = Seq((1L, "en", "aa aa")).toDF("doc_id", "lang", "text")
+    val serve = Seq((2L, "en", "aa zzz")).toDF("doc_id", "lang", "text")
+    val got = Tokenizer.bpeEncode(serve, Tokenizer.bpeTrain(train, 1)).collect()
+    // "aa" merged to one symbol; "zzz" untrained → 3 characters
+    assert(got.length == 1 && got.head.getLong(3) == 4L)
+  }
+
+  test("bpeEncode totals agree with a manual word-level join") {
+    val docs = graft.sources.Tables.documents(spark, sfDir)
+    val trained = Tokenizer.bpeTrain(docs, 3)
+    val enc = Tokenizer.bpeEncode(docs, trained)
+    val nTokens = enc.agg(org.apache.spark.sql.functions.sum("n_tokens")).collect()(0).getLong(0)
+    val expected = docs
+      .select(org.apache.spark.sql.functions.explode(
+        org.apache.spark.sql.functions.split(
+          org.apache.spark.sql.functions.col("text"), " ")).as("word"))
+      .filter(org.apache.spark.sql.functions.col("word") =!= "")
+      .join(trained, "word")
+      .agg(org.apache.spark.sql.functions.sum("n_syms")).collect()(0).getLong(0)
+    assert(nTokens == expected)
+  }
 }
