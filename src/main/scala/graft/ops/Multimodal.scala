@@ -461,7 +461,124 @@ object Multimodal {
       .orderBy(col("doc_id"), col("frame_idx"))
   }
 
+  /** 60-bit perceptual average-hash of a media payload — the image-side
+    * entry into the dedup stack (near-duplicate IMAGES survive
+    * re-encoding and small edits that break exact byte hashes; every
+    * large-scale multimodal curation pipeline dedups on a perceptual
+    * hash, not md5). Sniffed images decode for REAL and hash a 6×10
+    * mean-luminance grid; any other payload hashes 60 byte-stream
+    * chunks by the same rule (the fixture face, byte-for-byte
+    * reproducible by the oracle). Both paths share one bit rule in
+    * exact integers — bit c set iff cell/chunk mean exceeds the global
+    * mean: sum_c · N > total · n_c (strict, no division). */
+  def phash60(payload: Array[Byte]): Long = {
+    val img =
+      if (looksLikeImage(payload))
+        try Option(readImage(payload)) catch { case _: Exception => None }
+      else None
+    img match {
+      case Some(im) =>
+        val w = im.getWidth; val h = im.getHeight
+        val cellSum = new Array[Long](60); val cellPix = new Array[Long](60)
+        var total = 0L
+        var y = 0
+        while (y < h) {
+          val row = (y * 10 / h) * 6
+          var x = 0
+          while (x < w) {
+            val rgb = im.getRGB(x, y)
+            val luma = ((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)
+            val c = row + x * 6 / w
+            cellSum(c) += luma; cellPix(c) += 1; total += luma
+            x += 1
+          }
+          y += 1
+        }
+        val n = w.toLong * h
+        var hash = 0L; var c = 0
+        while (c < 60) {
+          if (cellSum(c) * n > total * cellPix(c)) hash |= 1L << c
+          c += 1
+        }
+        hash
+      case _ =>
+        val n = payload.length
+        if (n == 0) 0L
+        else {
+          val chunkSum = new Array[Long](60); val chunkLen = new Array[Long](60)
+          var total = 0L; var i = 0
+          while (i < n) {
+            val v = payload(i) & 0xff
+            val c = (i.toLong * 60 / n).toInt
+            chunkSum(c) += v; chunkLen(c) += 1; total += v
+            i += 1
+          }
+          var hash = 0L; var c = 0
+          while (c < 60) {
+            if (chunkSum(c) * n > total * chunkLen(c)) hash |= 1L << c
+            c += 1
+          }
+          hash
+        }
+    }
+  }
+
+  /** (doc_id, phash) of the media table: the codec dispatch runs in
+    * batched mapPartitions like every decode in this module. */
+  def phashTable(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    mediaTable(s, dir).select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, p) => (id, phash60(p)) })
+      .toDF("doc_id", "phash")
+  }
+
+  /** Near-duplicate media pairs by perceptual hash: 6 bands × 10 bits
+    * block the candidate space (the q78 banded-LSH device — a true
+    * near-dup at hamming ≤ 12 of 60 bits must agree exactly on at
+    * least one band), then the exact `bit_count(xor)` filter runs on
+    * candidates map-side before the distinct. Payloads never shuffle:
+    * only (doc_id, phash) leaves the decode stage. */
+  val q148PhashDedup: QueryDef = sql(
+    "q148_phash_dedup",
+    """WITH b AS (SELECT doc_id, i - 1 AS pos, ascii(substr(text, i, 1)) AS v, len(text) AS n
+      |           FROM documents, LATERAL (SELECT unnest(range(1, len(text) + 1)) AS i)),
+      |c AS (SELECT doc_id, CAST((pos * 60) // n AS INT) AS chunk, v, n FROM b),
+      |cs AS (SELECT doc_id, chunk, SUM(v) AS s, COUNT(*) AS l, MAX(n) AS n
+      |       FROM c GROUP BY 1, 2),
+      |t AS (SELECT doc_id, SUM(s) AS total FROM cs GROUP BY 1),
+      |h AS (SELECT cs.doc_id,
+      |        CAST(SUM(CASE WHEN cs.s * cs.n > t.total * cs.l
+      |                      THEN (CAST(1 AS BIGINT) << chunk) ELSE 0 END) AS BIGINT) AS phash
+      |      FROM cs JOIN t USING (doc_id) GROUP BY 1),
+      |parts AS (SELECT doc_id, phash, p AS pidx, (phash >> (10 * p)) & 1023 AS pval
+      |          FROM h, LATERAL (SELECT unnest(range(0, 6)) AS p)),
+      |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |                a.phash AS ph_a, b.phash AS ph_b
+      |         FROM parts a JOIN parts b
+      |           ON a.pidx = b.pidx AND a.pval = b.pval AND a.doc_id < b.doc_id)
+      |SELECT doc_a, doc_b, CAST(bit_count(xor(ph_a, ph_b)) AS INT) AS hamming
+      |FROM cand
+      |WHERE bit_count(xor(ph_a, ph_b)) <= 12
+      |ORDER BY doc_a, doc_b""".stripMargin) { (s, dir) =>
+    val sig = phashTable(s, dir)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val parts = sig.select(col("doc_id"), col("phash"),
+        explode(expr("transform(sequence(0, 5), " +
+          "p -> struct(p AS pidx, shiftright(phash, 10 * p) & 1023 AS pval))")).as("p"))
+      .select(col("doc_id"), col("phash"), col("p.pidx").as("pidx"), col("p.pval").as("pval"))
+    val a = parts.select(col("doc_id").as("doc_a"), col("phash").as("ph_a"),
+      col("pidx"), col("pval"))
+    val b = parts.select(col("doc_id").as("doc_b"), col("phash").as("ph_b"),
+      col("pidx"), col("pval"))
+    val ham = expr("bit_count(ph_a ^ ph_b)")
+    a.join(b, Seq("pidx", "pval"))
+      .filter(col("doc_a") < col("doc_b") && ham <= 12)
+      .select(col("doc_a"), col("doc_b"), ham.cast("int").as("hamming")).distinct()
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     q43MultimodalMeta, q44MultimodalFeatures, q44aMultimodalStruct, q53MultimodalFrames,
-    q124AudioWindows)
+    q124AudioWindows, q148PhashDedup)
 }

@@ -1054,6 +1054,101 @@ object Similarity {
       .orderBy(col("vec_id"))
   }
 
+  /** MMR diversity re-ranking (Carbonell & Goldstein, SIGIR'98) — the
+    * serving-side redundancy control of a retrieval stack: from a
+    * relevance-ranked candidate pool, greedily select items maximizing
+    * λ·relevance − (1−λ)·max-similarity-to-already-selected, so the
+    * returned k are relevant AND mutually diverse (near-duplicate
+    * passages collapse to one slot). λ = 2/3 in integer form:
+    * score = 2·rel − maxsim, with rel and sim both exact integer dot
+    * products over the quantized domain — every greedy pick, and
+    * therefore the whole selection TRAJECTORY, hash-verifies
+    * cross-engine (ties: score desc, vec_id asc).
+    *
+    * Scale posture: the pool is top-`poolSize` by relevance (a
+    * TakeOrdered over one broadcast-query scan — the only corpus-scale
+    * work); everything after is pool²-sized. The greedy loop's
+    * per-round argmax is the bounded ONE-row driver collect of the
+    * q132 bestPair class — k rounds, k rows total. */
+  def mmrRerank(emb: DataFrame, queryId: Long, poolSize: Int, k: Int): DataFrame = {
+    val s = emb.sparkSession
+    import s.implicits._
+    val qv = emb.select(col("vec_id"), expr(
+      "transform(embedding, x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000000.0D + 0.5D) AS BIGINT))").as("qv"))
+    val qrow = qv.filter(col("vec_id") === queryId).select(col("qv").as("tq"))
+    def idot(a: String, b: String) = aggregate(
+      zip_with(col(a), col(b), (x, y) => x * y), lit(0L), (acc, x) => acc + x)
+    val rel = qv.filter(col("vec_id") =!= queryId)
+      .crossJoin(broadcast(qrow))
+      .withColumn("rel", idot("qv", "tq"))
+      .select(col("vec_id"), col("rel"))
+    val cand = rel.orderBy(col("rel").desc, col("vec_id")).limit(poolSize)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val candV = cand.join(qv, "vec_id")
+    val sim = candV.select(col("vec_id").as("i"), col("qv").as("vi"))
+      .crossJoin(broadcast(candV.select(col("vec_id").as("j"), col("qv").as("vj"))))
+      .filter(col("i") =!= col("j"))
+      .withColumn("s", idot("vi", "vj"))
+      .select(col("i"), col("j"), col("s"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val first = cand.orderBy(col("rel").desc, col("vec_id")).limit(1).collect()(0)
+    var picks = Vector((1, first.getLong(0), first.getLong(1), 2L * first.getLong(1)))
+    for (r <- 2 to k) {
+      val selIds = picks.map(_._2)
+      val pick = cand
+        .filter(!col("vec_id").isin(selIds: _*))
+        .join(sim.filter(col("j").isin(selIds: _*)), col("vec_id") === col("i"))
+        .groupBy(col("vec_id"), col("rel")).agg(max(col("s")).as("ms"))
+        .withColumn("score", lit(2L) * col("rel") - col("ms"))
+        .orderBy(col("score").desc, col("vec_id")).limit(1)
+        .collect()(0)
+      picks :+= ((r, pick.getLong(0), pick.getLong(1), pick.getLong(3)))
+    }
+    cand.unpersist(); sim.unpersist()
+    picks.toDF("rank", "vec_id", "rel", "score")
+  }
+
+  /** One unrolled greedy-MMR oracle round r over CTEs cand/sim/sel{r-1}. */
+  private def mmrRoundSql(r: Int): String = {
+    val prev = s"sel${r - 1}"
+    s"""m$r AS (SELECT c.vec_id, c.rel, MAX(s.s) AS ms
+       |  FROM cand c JOIN sim s ON s.i = c.vec_id JOIN $prev t ON s.j = t.vec_id
+       |  WHERE c.vec_id NOT IN (SELECT vec_id FROM $prev)
+       |  GROUP BY 1, 2),
+       |p$r AS (SELECT $r AS rank, vec_id, rel, 2 * rel - ms AS score
+       |  FROM m$r ORDER BY score DESC, vec_id LIMIT 1),
+       |sel$r AS (SELECT * FROM $prev UNION ALL SELECT * FROM p$r)""".stripMargin
+  }
+
+  /** Contract face of [[mmrRerank]]: query vec 0, pool 20, k = 5. */
+  val q147MmrRerank: QueryDef = sql(
+    "q147_mmr_rerank",
+    s"""WITH q AS (
+       |  SELECT vec_id, dim,
+       |    CAST(FLOOR(CAST(embedding[dim] AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT) AS v
+       |  FROM embeddings,
+       |       LATERAL (SELECT unnest(range(1, len(embedding) + 1)) AS dim)),
+       |rel AS (SELECT r.vec_id, CAST(SUM(r.v * s.v) AS BIGINT) AS rel
+       |        FROM q r JOIN q s ON s.dim = r.dim AND s.vec_id = $QueryVec
+       |        WHERE r.vec_id <> $QueryVec GROUP BY 1),
+       |cand AS (SELECT vec_id, rel FROM rel ORDER BY rel DESC, vec_id LIMIT 20),
+       |sim AS (SELECT qa.vec_id AS i, qb.vec_id AS j, CAST(SUM(qa.v * qb.v) AS BIGINT) AS s
+       |        FROM q qa JOIN q qb ON qb.dim = qa.dim AND qb.vec_id <> qa.vec_id
+       |        JOIN cand ca ON ca.vec_id = qa.vec_id
+       |        JOIN cand cb ON cb.vec_id = qb.vec_id
+       |        GROUP BY 1, 2),
+       |sel1 AS (SELECT 1 AS rank, vec_id, rel, 2 * rel AS score
+       |         FROM cand ORDER BY rel DESC, vec_id LIMIT 1),
+       |${mmrRoundSql(2)},
+       |${mmrRoundSql(3)},
+       |${mmrRoundSql(4)},
+       |${mmrRoundSql(5)}
+       |SELECT rank, vec_id, rel, score FROM sel5
+       |ORDER BY rank""".stripMargin) { (s, dir) =>
+    mmrRerank(Tables.embeddings(s, dir), QueryVec, poolSize = 20, k = 5)
+      .orderBy(col("rank"))
+  }
+
   /** k-NN label prediction over the quantized embeddings — the
     * classifier face of the similarity stack (weak labeling /
     * label-propagation-by-neighbors for curation: predict a held-out
@@ -1128,5 +1223,5 @@ object Similarity {
     q45AnnNative, q52AnnLsh, q61AnnQuantized, q119KmeansTrain,
     q120AnnIvfTrained, q122SemanticDedup, q125SemdedupCentroid,
     q131HardNegatives, q133PqAdc, q135HardNegativesIvf, q138GramMatrix,
-    q140KnnClassify, q146PcaPower)
+    q140KnnClassify, q146PcaPower, q147MmrRerank)
 }

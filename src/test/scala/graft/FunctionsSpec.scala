@@ -349,4 +349,31 @@ class FunctionsSpec extends SparkSpec {
       .collect()(0).getDouble(0)
     assert(math.abs(m("sum_o_totalprice").asInstanceOf[Double] - expectedSum) < 1e-6)
   }
+
+  private def gradientPng(w: Int, h: Int, tweak: Boolean): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) {
+      val v = (x * 255) / (w - 1) // horizontal gradient
+      img.setRGB(x, y, (v << 16) | (v << 8) | v)
+    }
+    if (tweak) img.setRGB(0, 0, 0x0a0a0a) // one-pixel edit
+    val buf = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", buf)
+    buf.toByteArray
+  }
+
+  test("phash60 drives the REAL codec: near-identical images collide, different don't") {
+    val a = Multimodal.phash60(gradientPng(60, 40, tweak = false))
+    val b = Multimodal.phash60(gradientPng(60, 40, tweak = true))
+    val c = Multimodal.phash60(pngBytes(60, 40, 0xffffff)) // flat white
+    def ham(x: Long, y: Long) = java.lang.Long.bitCount(x ^ y)
+    // the one-pixel edit survives re-encode with a tiny hamming distance
+    assert(ham(a, b) <= 2, s"near-identical images must collide: ${ham(a, b)}")
+    // a gradient has ~half its cells above the mean; a flat image has none
+    assert(ham(a, c) >= 20, s"unrelated images must differ: ${ham(a, c)}")
+    // byte-path and image-path hash DIFFERENT streams: text payloads
+    // still hash deterministically through the fallback
+    val t = "some plain text payload".getBytes("UTF-8")
+    assert(Multimodal.phash60(t) == Multimodal.phash60(t.clone()))
+  }
 }

@@ -45,6 +45,22 @@ class KnnPcaSpec extends SparkSpec {
     assert(got(2L) == 2L * got(1L) && got(4L) == 3L * got(1L))
   }
 
+  test("mmrRerank: diversity overrides pure relevance (hand trajectory)") {
+    // query (1,0); a=(.95,.30) most relevant; a'=(.94,.34) near-dup of a;
+    // b=(.80,-.60) diverse. Pure relevance top-2 = {a, a'}; MMR rank-2
+    // must be b: score(a')=2·940e9-995e9=885e9 < score(b)=2·800e9-580e9=1020e9
+    val df = Seq(
+      (0L, Seq(1.0f, 0.0f), 0), (1L, Seq(0.95f, 0.30f), 0),
+      (2L, Seq(0.94f, 0.34f), 0), (3L, Seq(0.80f, -0.60f), 0))
+      .toDF("vec_id", "embedding", "label")
+    val got = Similarity.mmrRerank(df, queryId = 0L, poolSize = 10, k = 3)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(3)))
+    assert(got.toSeq == Seq(
+      (1, 1L, 1900000000000L),
+      (2, 3L, 1020000000000L),
+      (3, 2L, 885000000000L)))
+  }
+
   test("pcaPowerProjection is deterministic across runs") {
     val df = graft.sources.Tables.embeddings(spark, sfDir)
     val a = Similarity.pcaPowerProjection(df, 2).orderBy("vec_id").collect().toSeq
