@@ -931,8 +931,70 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
+  /** Dedup-quality audit — measure the LSH detector AGAINST exact
+    * ground truth, as data: every pair that is a true near-dup
+    * (exact 3-shingle Jaccard ≥ 0.5) or that MinHash-LSH predicted,
+    * with its exact Jaccard and both verdicts. Precision/recall of the
+    * production detector fall straight out; the per-pair emission makes
+    * every false positive and missed pair individually auditable (the
+    * quality dashboard a dedup rollout gates on).
+    *
+    * Ground truth is COMPLETE over the shared-shingle universe: a pair
+    * with J ≥ τ > 0 shares at least one shingle, so blocking on shingle
+    * equality loses nothing (the q97 value-space device). At 100 TB a
+    * hot common-phrase shingle makes that universe quadratic in its
+    * doc-frequency — production runs this audit on a document SAMPLE
+    * (q68's deterministic md5 sampler composes directly) and/or drops
+    * stop-shingles above a df cap; the fixture universe is ~1M pairs,
+    * measured flat in the smoke. */
+  val q150DedupEval: QueryDef = sql(
+    "q150_dedup_eval",
+    s"""WITH $shinglesSql,
+       |$signaturesSql,
+       |$bandsSql,
+       |$candSql,
+       |gi AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+       |       FROM sh a JOIN sh b ON b.sh = a.sh AND a.doc_id < b.doc_id
+       |       GROUP BY 1, 2),
+       |cnts AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+       |jx AS (SELECT g.doc_a, g.doc_b,
+       |         CAST(g.n_common AS DOUBLE) / (ca.n + cb.n - g.n_common) AS j
+       |       FROM gi g JOIN cnts ca ON ca.doc_id = g.doc_a
+       |       JOIN cnts cb ON cb.doc_id = g.doc_b)
+       |SELECT COALESCE(j.doc_a, c.doc_a) AS doc_a,
+       |  COALESCE(j.doc_b, c.doc_b) AS doc_b,
+       |  round(COALESCE(j.j, 0), 6) AS jaccard,
+       |  c.doc_a IS NOT NULL AS predicted,
+       |  COALESCE(j.j, 0) >= 0.5 AS truth
+       |FROM jx j FULL OUTER JOIN cand c
+       |  ON c.doc_a = j.doc_a AND c.doc_b = j.doc_b
+       |WHERE c.doc_a IS NOT NULL OR COALESCE(j.j, 0) >= 0.5
+       |ORDER BY doc_a, doc_b""".stripMargin) { (s, dir) =>
+    val sh = shingles(s, dir)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cand = candidates(s, dir).withColumn("predicted", lit(true))
+    val gi = sh.select(col("doc_id").as("doc_a"), col("sh"))
+      .join(sh.select(col("doc_id").as("doc_b"), col("sh")), "sh")
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("n_common"))
+    val cnts = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val jx = gi
+      .join(cnts.select(col("doc_id").as("doc_a"), col("n").as("na")), "doc_a")
+      .join(cnts.select(col("doc_id").as("doc_b"), col("n").as("nb")), "doc_b")
+      .withColumn("j",
+        col("n_common").cast("double") / (col("na") + col("nb") - col("n_common")))
+      .select(col("doc_a"), col("doc_b"), col("j"))
+    jx.join(cand, Seq("doc_a", "doc_b"), "full_outer")
+      .select(col("doc_a"), col("doc_b"),
+        round(coalesce(col("j"), lit(0.0)), 6).as("jaccard"),
+        coalesce(col("predicted"), lit(false)).as("predicted"),
+        (coalesce(col("j"), lit(0.0)) >= 0.5).as("truth"))
+      .filter(col("predicted") || col("truth"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     q30DedupExact, q31MinhashLsh, q32NeardupVerified, q33Simhash, q34SimhashPairs,
     q78SimhashHamming, q85DedupClusters, q108IncrementalDedup, q111SimhashWide,
-    q126SpanDedup)
+    q126SpanDedup, q150DedupEval)
 }

@@ -527,6 +527,67 @@ object StreamingOps {
     * rename commit protocol (Dedup.persistedCorpusState's shape);
     * per-trigger cost is one scan of the trigger's file plus a k·d-row
     * aggregate. */
+  /** Streaming face of the per-domain cap (q141) — ingest-time
+    * admission control: a domain's quota is consumed in ARRIVAL order.
+    * The batch face ranks by keep-preference (longest-first) across the
+    * whole corpus; at ingest time future documents are unknown, so the
+    * streaming semantics is first-come-first-admitted — the production
+    * crawl-frontier shape (cap a host the moment its quota fills, drop
+    * the rest of its crawl on arrival instead of storing it). Files
+    * must arrive staged in doc_id order with distinct mtimes (the
+    * [[corpusBuildStream]] precondition); under that ordering stream
+    * admission ≡ the batch rank-by-arrival cap, which StreamingSpec
+    * proves row-for-row, including across a restart.
+    *
+    * State is the appended (domain, doc_id) admission log behind the
+    * q108 append-LAST discipline (state publishes only after `onBatch`
+    * returns, so a crashed trigger re-admits rather than leaks quota);
+    * the per-trigger cost is one dimension-sized count of the log plus
+    * one scan of the trigger's file — never a pass over the corpus. */
+  def admissionCapStream(s: SparkSession, stagedDir: String, stateDir: String,
+      cap: Int)(
+      onBatch: (Long, DataFrame) => Unit): org.apache.spark.sql.streaming.StreamingQuery = {
+    import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+    val schema = "doc_id LONG, text STRING, lang STRING, source STRING, n_chars LONG"
+    // initialize an empty admission log ONLY when none exists — a
+    // restart against accumulated state must EXTEND the consumed quota
+    if (!new java.io.File(stateDir, "_SUCCESS").exists())
+      s.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),
+        StructType(Seq(StructField("domain", StringType),
+          StructField("doc_id", LongType))))
+        .write.mode("overwrite").parquet(stateDir)
+    s.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(stagedDir)
+      .writeStream
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        val b = s.createDataFrame(batch.rdd, batch.schema)
+        val log = s.read.parquet(stateDir)
+        val used = log.groupBy(col("domain")).agg(count(lit(1)).as("used"))
+        // anti-join the log first: an uncheckpointed RESTART replays
+        // already-processed files, and replayed admitted docs must
+        // neither re-emit nor re-consume quota (idempotence under
+        // replay — the same content-keyed discipline that makes the
+        // dedup stream's restart self-healing)
+        val admitted = b.join(log.select(col("doc_id")), Seq("doc_id"), "left_anti")
+          .withColumn("domain", col("source"))
+          .withColumn("rk", row_number().over(
+            Window.partitionBy(col("domain")).orderBy(col("doc_id"))))
+          .join(broadcast(used), Seq("domain"), "left")
+          .filter(coalesce(col("used"), lit(0L)) + col("rk") <= cap)
+          .select(col("domain"), col("doc_id"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try {
+          onBatch(id, admitted)
+          // append LAST: the admission decision anti-depends on the
+          // pre-append state snapshot (same discipline as q108)
+          admitted.write.mode("append").parquet(stateDir)
+        } finally admitted.unpersist()
+      }
+      .start()
+  }
+
   def kmeansStream(s: SparkSession, stagedDir: String,
       init: Seq[(Long, Seq[Long])])(
       onBatch: (Long, DataFrame, Seq[(Long, Long, Seq[Long])]) => Unit): org.apache.spark.sql.streaming.StreamingQuery = {

@@ -1796,6 +1796,62 @@ object TextOps {
     corpusDiff(v1, v2).orderBy(col("doc_id"))
   }
 
+  /** Corpus datasheet — the per-(source, lang) statistics block of a
+    * dataset card (Gebru et al., "Datasheets for Datasets"): document
+    * and token counts, vocabulary size, type-token ratio, and the share
+    * of documents passing the q25 quality gate. The audit a corpus
+    * release ships alongside the data, and the drift monitor an ingest
+    * pipeline diffs release-over-release (q145 tells you WHICH docs
+    * moved; this tells you whether the statistics moved).
+    *
+    * Scale posture: two map-side-combined aggregates over one corpus
+    * scan each — the per-cell COUNT(DISTINCT word) is Spark's two-phase
+    * partial-distinct (dimension × vocab keys, never a corpus-sized
+    * state), and the quality share is a scan-level per-row predicate
+    * aggregated with the counts. Output is dimension-sized. */
+  val q149CorpusCard: QueryDef = sql(
+    "q149_corpus_card",
+    """WITH t AS (SELECT doc_id, source, lang, string_split(text, ' ') AS toks
+      |           FROM documents),
+      |w AS (SELECT source, lang, unnest(toks) AS word FROM t),
+      |g AS (SELECT source, lang, COUNT(*) AS n_tokens, COUNT(DISTINCT word) AS vocab
+      |      FROM w GROUP BY 1, 2),
+      |q AS (SELECT source, lang, COUNT(*) AS n_docs,
+      |        SUM(CASE WHEN (CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks))
+      |              * (1.0 - CAST(len(list_filter(toks, x -> x = 'the' OR x = 'a')) AS DOUBLE) / len(toks))
+      |              * LEAST(1.0, CAST(len(toks) AS DOUBLE) / 50.0) >= 0.3
+      |            THEN 1 ELSE 0 END) AS n_quality
+      |      FROM t GROUP BY 1, 2)
+      |SELECT q.source, q.lang, q.n_docs,
+      |  CAST(g.n_tokens AS BIGINT) AS n_tokens,
+      |  CAST(g.vocab AS BIGINT) AS vocab,
+      |  round(CAST(g.n_tokens AS DOUBLE) / q.n_docs, 6) AS avg_tokens,
+      |  round(CAST(g.vocab AS DOUBLE) / g.n_tokens, 6) AS ttr,
+      |  round(CAST(q.n_quality AS DOUBLE) / q.n_docs, 6) AS quality_rate
+      |FROM q JOIN g USING (source, lang)
+      |ORDER BY source, lang""".stripMargin) { (s, dir) =>
+    val t = docsWithTokens(s, dir)
+    val w = t.select(col("source"), col("lang"), explode(col("toks")).as("word"))
+    val g = w.groupBy(col("source"), col("lang"))
+      .agg(count(lit(1)).as("n_tokens"), countDistinct(col("word")).as("vocab"))
+    val quality = (col("n_uniq").cast("double") / col("n_tok")) *
+      (lit(1.0) - col("n_stop").cast("double") / col("n_tok")) *
+      least(lit(1.0), col("n_tok").cast("double") / 50.0)
+    val q = t
+      .withColumn("n_tok", size(col("toks")))
+      .withColumn("n_stop", expr("size(filter(toks, x -> x = 'the' OR x = 'a'))"))
+      .withColumn("n_uniq", size(array_distinct(col("toks"))))
+      .groupBy(col("source"), col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(quality >= 0.3, 1L).otherwise(0L)).as("n_quality"))
+    q.join(g, Seq("source", "lang"))
+      .select(col("source"), col("lang"), col("n_docs"), col("n_tokens"), col("vocab"),
+        round(col("n_tokens").cast("double") / col("n_docs"), 6).as("avg_tokens"),
+        round(col("vocab").cast("double") / col("n_tokens"), 6).as("ttr"),
+        round(col("n_quality").cast("double") / col("n_docs"), 6).as("quality_rate"))
+      .orderBy(col("source"), col("lang"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     q21TextStats, q22WordFreq, q23BigramFreq, q24LangId, q25QualityScore,
     q26Fingerprint, q27TokenRegex, q62TrainSplit, q64TermFreqMap,
@@ -1804,5 +1860,5 @@ object TextOps {
     q107QualitySample, q110Contingency, q116Contamination, q117Repetition,
     q118SourceMix, q121NegativeSampling, q123CorpusBuild, q128LmPerplexity,
     q129DsirSelect, q130SequencePacking, q134UnimaxMix, q139MixSchedule,
-    q141DomainCap, q142PreferencePairs, q145CorpusDiff)
+    q141DomainCap, q142PreferencePairs, q145CorpusDiff, q149CorpusCard)
 }

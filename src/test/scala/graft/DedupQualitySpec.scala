@@ -63,4 +63,20 @@ class DedupQualitySpec extends SparkSpec {
       assert(r.getAs[Double]("jaccard") > 0.7)
     }
   }
+
+  test("dedup eval audits the detector: truth pairs are J>=0.5, recall is high on planted dups") {
+    val (dir, planted, nExact) = generateCorpus()
+    val rows = Dedup.q150DedupEval.run(spark, dir).collect().map(r =>
+      (r.getAs[Double]("jaccard"), r.getAs[Boolean]("predicted"), r.getAs[Boolean]("truth")))
+    // flags are consistent with the emitted jaccard
+    rows.foreach { case (j, _, t) => assert(t == (j >= 0.5)) }
+    val truth = rows.count(_._3)
+    val hit = rows.count(r => r._2 && r._3)
+    // the planted exact+near dups all exceed J=0.5 — they must be in truth
+    assert(truth >= planted.size + nExact,
+      s"truth=$truth < planted ${planted.size + nExact}")
+    // MinHash-LSH with 4 bands of 2 catches nearly all J>=0.5 pairs
+    // (expected recall ≈ 1-(1-J²)⁴ ≈ 0.95 at J=0.73)
+    assert(hit.toDouble / truth > 0.8, s"recall ${hit.toDouble / truth} too low")
+  }
 }

@@ -546,6 +546,52 @@ class StreamingSpec extends SparkSpec {
     assert(got == want, "per-user stateful stream must reproduce the batch LEAD pairs")
   }
 
+  test("streaming admission cap consumes quota in arrival order, across a restart") {
+    import scala.collection.concurrent.TrieMap
+    val docs = Tables.documents(spark, sfDir)
+    val srcDir = Files.createTempDirectory("graft-adm-src")
+    def stage(lo: Long, hi: Long, name: String): Unit = {
+      val tmp = Files.createTempDirectory("graft-adm-stage").toString
+      docs.filter(col("doc_id") >= lo && col("doc_id") < hi)
+        .coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(_.getName.endsWith(".parquet")).get.toPath
+      Files.copy(part, srcDir.resolve(name), StandardCopyOption.REPLACE_EXISTING)
+      stampStaged(srcDir.resolve(name))
+    }
+    stage(0, 150, "a.parquet"); stage(150, 300, "b.parquet")
+    val stateDir = Files.createTempDirectory("graft-adm-state")
+      .resolve("log").toString
+    val cap = 10
+    val perBatch = TrieMap.empty[Long, Array[(String, Long)]]
+    def drain(): Unit = {
+      val q = StreamingOps.admissionCapStream(spark, srcDir.toString, stateDir, cap) {
+        (id, adm) => perBatch(id) = adm.collect().map(r => (r.getString(0), r.getLong(1)))
+      }
+      val done = q.awaitTermination(180000)
+      if (!done) q.stop()
+      assert(done, "admission stream did not finish")
+    }
+    drain()
+    // a RESTART with more files must extend the consumed quota, not reset it
+    stage(300, Long.MaxValue, "c.parquet")
+    val before = perBatch.values.flatten.toSet
+    perBatch.clear()
+    drain()
+    val got = before ++ perBatch.values.flatten.toSet
+    // batch reference: arrival order is doc_id order, so admission ≡
+    // rank-by-doc_id within domain, first cap survive
+    val want = docs
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("source")).orderBy(col("doc_id"))))
+      .filter(col("rk") <= cap)
+      .select(col("source"), col("doc_id"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(got == want, "stream admissions must equal the batch arrival-rank cap")
+    assert(got.nonEmpty && got.groupBy(_._1).values.forall(_.size <= cap))
+  }
+
   test("mapGroupsWithState running stats converge to batch counts") {
     val got = runToMemory(
       StreamingOps.runningUserStats(spark, StreamingOps.eventsStream(spark, stageEvents())),

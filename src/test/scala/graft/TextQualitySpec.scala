@@ -287,4 +287,21 @@ class TextQualitySpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
     assert(got == Set((1L, 2L, 0)))
   }
+
+  test("corpus card totals reconcile with the corpus") {
+    val card = graft.ops.TextOps.q149CorpusCard.run(spark, sfDir).collect()
+    val docs = graft.sources.Tables.documents(spark, sfDir)
+    assert(card.map(_.getAs[Long]("n_docs")).sum == docs.count())
+    val totalTokens = docs
+      .select(org.apache.spark.sql.functions.size(
+        org.apache.spark.sql.functions.split(
+          org.apache.spark.sql.functions.col("text"), " ")).cast("long").as("n"))
+      .agg(org.apache.spark.sql.functions.sum("n")).collect()(0).getLong(0)
+    assert(card.map(_.getAs[Long]("n_tokens")).sum == totalTokens)
+    card.foreach { r =>
+      assert(r.getAs[Double]("ttr") > 0 && r.getAs[Double]("ttr") <= 1.0)
+      assert(r.getAs[Double]("quality_rate") >= 0 && r.getAs[Double]("quality_rate") <= 1.0)
+      assert(r.getAs[Long]("vocab") <= r.getAs[Long]("n_tokens"))
+    }
+  }
 }
