@@ -1796,6 +1796,107 @@ object TextOps {
     corpusDiff(v1, v2).orderBy(col("doc_id"))
   }
 
+  /** The round-5 capstone: the q123 corpus build EXTENDED through the
+    * two stages that turn a curated corpus into trainable batches —
+    * per-domain caps (q141's operator, composed verbatim: longest-first,
+    * cap 8 per source AFTER the mixture rebalance) and cross-document
+    * sequence packing (q130's two-pass prefix-sum layout over the capped
+    * survivors). One query, one hash: gates → eval exclusion → exact
+    * dedup → decontamination → mixture rebalance → domain cap → packed
+    * token layout. A divergence in ANY stage re-lays-out every chunk
+    * after it, so the emitted (doc, chunk, offset) triples prove the
+    * entire nine-operator composition decided identically cross-engine.
+    *
+    * Plan shape inherits each stage's posture: scan-level gates, one
+    * keyed dedup window, Bloom-pruned gram join, broadcast rates, one
+    * capped window (WindowGroupLimit), and packing's partitioned
+    * running sums with a partition-count-sized offset pass — linear
+    * scans + bounded-key shuffles end-to-end. */
+  val q151CorpusBuildPack: QueryDef = sql(
+    "q151_corpus_build_pack",
+    """WITH base AS (
+      |  SELECT doc_id, lang, source, text, string_split(text, ' ') AS toks
+      |  FROM documents WHERE len(string_split(text, ' ')) >= 5),
+      |big AS (SELECT doc_id, array_to_string(list_slice(toks, i, i + 1), ' ') AS g
+      |        FROM base, LATERAL (SELECT unnest(range(1, len(toks))) AS i)),
+      |bc AS (SELECT doc_id, g, COUNT(*) AS c FROM big GROUP BY 1, 2),
+      |bstat AS (SELECT doc_id, MAX(c) AS max_big, CAST(SUM(c) AS BIGINT) AS tot_big
+      |          FROM bc GROUP BY 1),
+      |five AS (SELECT doc_id, array_to_string(list_slice(toks, i, i + 4), ' ') AS g
+      |         FROM base, LATERAL (SELECT unnest(range(1, len(toks) - 3)) AS i)),
+      |fstat AS (SELECT doc_id, COUNT(*) AS tot5, COUNT(DISTINCT g) AS uniq5
+      |          FROM five GROUP BY 1),
+      |rep_ok AS (SELECT b.doc_id FROM bstat b JOIN fstat f USING (doc_id)
+      |           WHERE CAST(b.max_big AS DOUBLE) / b.tot_big <= 0.18
+      |             AND 1.0 - CAST(f.uniq5 AS DOUBLE) / f.tot5 <= 0.3),
+      |qual_ok AS (SELECT doc_id FROM base
+      |            WHERE (CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks))
+      |              * (1.0 - CAST(len(list_filter(toks, x -> x = 'the' OR x = 'a')) AS DOUBLE) / len(toks))
+      |              * LEAST(1.0, CAST(len(toks) AS DOUBLE) / 50.0) >= 0.3),
+      |gated AS (SELECT base.* FROM base
+      |          JOIN rep_ok USING (doc_id) JOIN qual_ok USING (doc_id)
+      |          WHERE doc_id % 50 <> 0),
+      |ded AS (SELECT * FROM (
+      |          SELECT *, ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+      |          FROM gated) WHERE rn = 1),
+      |evalg AS (SELECT DISTINCT array_to_string(list_slice(toks, i, i + 4), ' ') AS g
+      |          FROM (SELECT string_split(text, ' ') AS toks FROM documents
+      |                WHERE doc_id % 50 = 0 AND len(string_split(text, ' ')) >= 5) t,
+      |               LATERAL (SELECT unnest(range(1, len(toks) - 3)) AS i)),
+      |dg AS (SELECT DISTINCT d.doc_id, array_to_string(list_slice(d.toks, i, i + 4), ' ') AS g
+      |       FROM ded d, LATERAL (SELECT unnest(range(1, len(d.toks) - 3)) AS i)),
+      |ov AS (SELECT dg.doc_id, COUNT(*) AS n_g,
+      |         SUM(CASE WHEN e.g IS NOT NULL THEN 1 ELSE 0 END) AS n_hit
+      |       FROM dg LEFT JOIN evalg e USING (g) GROUP BY 1),
+      |clean AS (SELECT d.* FROM ded d JOIN ov USING (doc_id)
+      |          WHERE CAST(ov.n_hit AS DOUBLE) / ov.n_g <= 0.5),
+      |c AS (SELECT source, (CAST(substr(source, 4) AS INT) % 4) + 1 AS weight,
+      |             COUNT(*) AS n_docs
+      |      FROM clean GROUP BY 1),
+      |m AS (SELECT MIN(CAST(n_docs AS DOUBLE) / weight) AS cap FROM c),
+      |r AS (SELECT source, LEAST(1.0, weight * m.cap / n_docs) AS rate FROM c, m),
+      |mix AS (SELECT cl.doc_id, cl.source, cl.text
+      |        FROM clean cl JOIN r USING (source)
+      |        WHERE CAST(('0x' || substr(md5('mix:' || CAST(doc_id AS VARCHAR)), 1, 4)) AS INT) / 65536.0 < r.rate),
+      |capd AS (SELECT doc_id, text FROM (
+      |          SELECT mix.*, ROW_NUMBER() OVER (
+      |            PARTITION BY source ORDER BY len(text) DESC, doc_id) AS rk
+      |          FROM mix) WHERE rk <= 8),
+      |d AS (SELECT doc_id, len(string_split(text, ' ')) + 1 AS need FROM capd),
+      |p AS (SELECT doc_id, need,
+      |        CAST(SUM(need) OVER (ORDER BY doc_id) - need AS BIGINT) AS start FROM d),
+      |x AS (SELECT doc_id, need, start, start // 128 AS c0,
+      |        (start + need - 1) // 128 AS c1 FROM p)
+      |SELECT doc_id, chunk_id, start,
+      |  CAST(least((chunk_id + 1) * 128, start + need)
+      |       - greatest(chunk_id * 128, start) AS BIGINT) AS n_tok
+      |FROM x, LATERAL (SELECT unnest(range(c0, c1 + 1)) AS chunk_id)
+      |ORDER BY doc_id, chunk_id""".stripMargin) { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val gated = curationGates(Tables.fanOut(Tables.documents(s, dir)))
+    val w = Window.partitionBy(md5(col("text"))).orderBy(col("doc_id"))
+    val ded = gated.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1).drop("rn")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val evalDocs = Tables.documents(s, dir).filter(col("doc_id") % 50 === 0)
+      .select(col("doc_id"), col("text"))
+    val bloomDir = s"${System.getProperty("java.io.tmpdir")}/graft_evalbloom_v1_" +
+      evalSetFingerprint(evalDocs)
+    val clean = ded.join(
+      decontaminate(ded.select(col("doc_id"), col("text")), evalDocs,
+          bloomState = Some(bloomDir))
+        .filter(!col("contaminated")).select(col("doc_id")), "doc_id")
+    val mixed = remixSources(clean, expr("(CAST(substring(source, 4) AS INT) % 4) + 1"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // q141's cap operator composed verbatim: the cap key is len(text)
+    // (fixture-column-independent, like the oracle's len(text))
+    val kept = domainCap(
+      mixed.withColumn("n_chars", length(col("text"))), col("source"), 8)
+    val docsToPack = mixed.join(kept.select(col("doc_id")), "doc_id")
+      .select(col("doc_id"), col("text"))
+    packSequences(docsToPack).orderBy(col("doc_id"), col("chunk_id"))
+  }
+
   /** Corpus datasheet — the per-(source, lang) statistics block of a
     * dataset card (Gebru et al., "Datasheets for Datasets"): document
     * and token counts, vocabulary size, type-token ratio, and the share
@@ -1860,5 +1961,6 @@ object TextOps {
     q107QualitySample, q110Contingency, q116Contamination, q117Repetition,
     q118SourceMix, q121NegativeSampling, q123CorpusBuild, q128LmPerplexity,
     q129DsirSelect, q130SequencePacking, q134UnimaxMix, q139MixSchedule,
-    q141DomainCap, q142PreferencePairs, q145CorpusDiff, q149CorpusCard)
+    q141DomainCap, q142PreferencePairs, q145CorpusDiff, q149CorpusCard,
+    q151CorpusBuildPack)
 }

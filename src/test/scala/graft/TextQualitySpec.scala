@@ -288,6 +288,32 @@ class TextQualitySpec extends SparkSpec {
     assert(got == Set((1L, 2L, 0)))
   }
 
+  test("capstone-with-packing lays out a dense, capped token stream") {
+    val rows = graft.ops.TextOps.q151CorpusBuildPack.run(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.nonEmpty)
+    // every chunk holds at most the context length, every slice is positive
+    rows.foreach { case (_, _, _, n) => assert(n > 0 && n <= 128) }
+    val perChunk = rows.groupBy(_._2).view.mapValues(_.map(_._4).sum)
+    // all chunks except the last are exactly full (cross-doc packing)
+    val lastChunk = perChunk.keys.max
+    perChunk.foreach { case (c, tot) =>
+      if (c != lastChunk) assert(tot == 128L, s"chunk $c holds $tot")
+      else assert(tot <= 128L)
+    }
+    // the layout is gap-free: chunk ids tile 0..last
+    assert(perChunk.keySet == (0L to lastChunk).toSet)
+    // the domain cap held: at most 8 surviving docs per source
+    val docs = graft.sources.Tables.documents(spark, sfDir)
+      .select(org.apache.spark.sql.functions.col("doc_id"),
+        org.apache.spark.sql.functions.col("source"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val perSource = rows.map(_._1).distinct.groupBy(docs)
+    perSource.foreach { case (src, ds) =>
+      assert(ds.length <= 8, s"source $src kept ${ds.length} docs")
+    }
+  }
+
   test("corpus card totals reconcile with the corpus") {
     val card = graft.ops.TextOps.q149CorpusCard.run(spark, sfDir).collect()
     val docs = graft.sources.Tables.documents(spark, sfDir)
