@@ -1218,10 +1218,81 @@ object Similarity {
       .orderBy(col("test_id"))
   }
 
+  /** The 100 TB face of q140, mirroring how q135 answers q131: classify
+    * each held-out vector by voting ONLY among training vectors in its
+    * [[NumProbe]] nearest trained-IVF buckets (q120's routing, identical
+    * exact integer metric), so scored pairs per query drop from N to
+    * N·(probe/k) with the standard IVF recall trade. q119's train
+    * determinism keeps the SERVED verdicts hash-verifiable end-to-end —
+    * routing, candidate sets, distances, votes, and ties all integer. */
+  val q152KnnClassifyIvf: QueryDef = sql(
+    "q152_knn_classify_ivf",
+    s"""$kmeansSqlPrefix,
+       |t AS (SELECT vec_id AS test_id, label AS true_label FROM embeddings
+       |      WHERE vec_id % 10 = 0),
+       |probe AS (SELECT test_id, cid FROM (
+       |    SELECT t.test_id, d.cid,
+       |      ROW_NUMBER() OVER (PARTITION BY t.test_id ORDER BY d.dist, d.cid) AS rn
+       |    FROM t JOIN d3 d ON d.vec_id = t.test_id) WHERE rn <= $NumProbe),
+       |cand AS (SELECT p.test_id, m.vec_id FROM probe p JOIN a3 m ON m.cid = p.cid
+       |         WHERE m.vec_id % 10 <> 0),
+       |dst AS (SELECT c.test_id, c.vec_id, SUM((r.v - s.v) * (r.v - s.v)) AS dist
+       |        FROM cand c JOIN q r ON r.vec_id = c.vec_id
+       |        JOIN q s ON s.vec_id = c.test_id AND s.dim = r.dim
+       |        GROUP BY 1, 2),
+       |nn AS (SELECT d.test_id, t.true_label, e.label,
+       |         ROW_NUMBER() OVER (PARTITION BY d.test_id ORDER BY d.dist, d.vec_id) AS rnk
+       |       FROM dst d JOIN embeddings e ON e.vec_id = d.vec_id
+       |       JOIN t ON t.test_id = d.test_id),
+       |v AS (SELECT test_id, true_label, label, COUNT(*) AS votes
+       |      FROM nn WHERE rnk <= 5 GROUP BY 1, 2, 3),
+       |w AS (SELECT test_id, true_label, label, votes,
+       |        ROW_NUMBER() OVER (PARTITION BY test_id ORDER BY votes DESC, label) AS vr
+       |      FROM v)
+       |SELECT test_id, true_label, label AS pred_label, votes,
+       |  label = true_label AS correct
+       |FROM w WHERE vr = 1
+       |ORDER BY test_id""".stripMargin) { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val v = quantizedLong(s, dir)
+    val centsF = kmeansCentroidFrame(v, k = 8, iters = 2)
+    val assigned = assignToCentroids(v, centsF).select(col("vec_id"), col("cid"))
+    val emb = Tables.embeddings(s, dir)
+    val test = emb.filter(col("vec_id") % 10 === 0)
+      .select(col("vec_id").as("test_id"), col("label").as("true_label"))
+    val probe = centroidDistances(
+        v.join(test.select(col("test_id").as("vec_id")), "vec_id"), centsF)
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("vec_id")).orderBy(col("cdist"), col("cid"))))
+      .filter(col("rn") <= NumProbe)
+      .select(col("vec_id").as("test_id"), col("cid"))
+    val tq = v.join(test, v("vec_id") === test("test_id"))
+      .select(col("test_id"), col("true_label"), col("qv").as("tq"))
+    v.join(assigned, "vec_id")
+      .filter(col("vec_id") % 10 =!= 0)
+      .join(emb.select(col("vec_id"), col("label")), "vec_id")
+      .join(broadcast(probe), "cid")
+      .join(broadcast(tq), "test_id")
+      .withColumn("dist", aggregate(
+        zip_with(col("qv"), col("tq"), (a, b) => (a - b) * (a - b)),
+        lit(0L), (acc, x) => acc + x))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy(col("test_id")).orderBy(col("dist"), col("vec_id"))))
+      .filter(col("rnk") <= 5)
+      .groupBy(col("test_id"), col("true_label"), col("label"))
+      .agg(count(lit(1)).as("votes"))
+      .withColumn("vr", row_number().over(
+        Window.partitionBy(col("test_id")).orderBy(col("votes").desc, col("label"))))
+      .filter(col("vr") === 1)
+      .select(col("test_id"), col("true_label"), col("label").as("pred_label"),
+        col("votes"), (col("label") === col("true_label")).as("correct"))
+      .orderBy(col("test_id"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     q36ArrayNorms, q37EmbeddingNeardup, q38AnnBruteforce, q39AnnIvf,
     q45AnnNative, q52AnnLsh, q61AnnQuantized, q119KmeansTrain,
     q120AnnIvfTrained, q122SemanticDedup, q125SemdedupCentroid,
     q131HardNegatives, q133PqAdc, q135HardNegativesIvf, q138GramMatrix,
-    q140KnnClassify, q146PcaPower, q147MmrRerank)
+    q140KnnClassify, q146PcaPower, q147MmrRerank, q152KnnClassifyIvf)
 }

@@ -1882,10 +1882,15 @@ object TextOps {
       .select(col("doc_id"), col("text"))
     val bloomDir = s"${System.getProperty("java.io.tmpdir")}/graft_evalbloom_v1_" +
       evalSetFingerprint(evalDocs)
+    // clean feeds the mixture rates AND the remix filter (two consumers
+    // inside remixSources) — persist, or the gate/dedup/decontamination
+    // prefix runs twice (q123's discipline; measured 94 → ~60 s at the
+    // 10× smoke when this persist was missing)
     val clean = ded.join(
       decontaminate(ded.select(col("doc_id"), col("text")), evalDocs,
           bloomState = Some(bloomDir))
         .filter(!col("contaminated")).select(col("doc_id")), "doc_id")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val mixed = remixSources(clean, expr("(CAST(substring(source, 4) AS INT) % 4) + 1"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // q141's cap operator composed verbatim: the cap key is len(text)

@@ -283,4 +283,24 @@ class AnnQualitySpec extends SparkSpec {
     assert(shared.nonEmpty, "clustered data should put true neighbors in the query's LSH bucket")
     shared.foreach(k => assert(brute(k) == lsh(k)))
   }
+
+  test("routed kNN classifier agrees with brute force on clustered data") {
+    // on the near-isotropic driver fixture routing disagrees often (the
+    // expected IVF recall trade with probe=2 of k=8); on REAL clusters
+    // the trained buckets coincide with the label clusters and the
+    // routed verdicts match brute force almost everywhere
+    val dir = generateClustered()
+    val brute = Similarity.q140KnnClassify.run(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getInt(2)).toMap
+    val routed = Similarity.q152KnnClassifyIvf.run(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getInt(2), r.getBoolean(4)))
+    assert(routed.map(_._1).toSet == brute.keySet,
+      "both faces must classify the same held-out set")
+    val agree = routed.count { case (id, p, _) => brute(id) == p }
+    assert(agree.toDouble / brute.size >= 0.9,
+      s"routed/brute agreement $agree/${brute.size}")
+    val correct = routed.count(_._3)
+    assert(correct.toDouble / routed.size >= 0.9,
+      s"routed accuracy $correct/${routed.size} on separable clusters")
+  }
 }
