@@ -993,8 +993,87 @@ object Dedup {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
+  /** ROUGE-style overlap audit of SimHash-identical candidate pairs
+    * (Lin 2004's ROUGE-N made symmetric): per q34 pair, the CLIPPED
+    * unigram and bigram overlap counts Σ min(cntₐ, cnt_b) plus the
+    * unigram F1 = 2·ov1/(lenₐ+len_b) — what a dedup pipeline reports to
+    * a human reviewing whether a near-dup detector's candidates are
+    * genuine rewrites or hash accidents (the audit that separates "these
+    * 16 bits collided" from "these documents share 94% of their words").
+    * Counts are exact integers; F1 is one exactly-rounded IEEE division
+    * of < 2⁵³ integers — hash-identical across engines.
+    *
+    * Shape: candidates come ONLY from signature-bucket equi-joins (never
+    * all-pairs); each overlap is the pair relation joined twice against
+    * the (doc_id, gram, cnt) count relation on (doc, gram) keys, then one
+    * map-side-combined sum per pair. Zero-overlap collisions survive via
+    * left joins (they are the finding). At 100 TB the gram-count relation
+    * shuffles on doc_id — the same key the pair join needs. */
+  val q156RougeAudit: QueryDef = sql(
+    "q156_rouge_audit",
+    s"""WITH $simhashSql,
+       |pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |          FROM sig a JOIN sig b ON a.simhash = b.simhash AND a.doc_id < b.doc_id),
+       |lens AS (SELECT doc_id, CAST(SUM(cnt) AS BIGINT) AS len FROM toks GROUP BY 1),
+       |o1 AS (SELECT p.doc_a, p.doc_b, CAST(SUM(LEAST(ta.cnt, tb.cnt)) AS BIGINT) AS ov1
+       |       FROM pairs p JOIN toks ta ON ta.doc_id = p.doc_a
+       |                    JOIN toks tb ON tb.doc_id = p.doc_b AND tb.word = ta.word
+       |       GROUP BY 1, 2),
+       |big AS (SELECT doc_id, t[i] || ' ' || t[i + 1] AS bg, COUNT(*) AS cnt
+       |        FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+       |             LATERAL (SELECT generate_subscripts(t, 1) AS i)
+       |        WHERE i <= len(t) - 1
+       |        GROUP BY 1, 2),
+       |o2 AS (SELECT p.doc_a, p.doc_b, CAST(SUM(LEAST(ba.cnt, bb.cnt)) AS BIGINT) AS ov2
+       |       FROM pairs p JOIN big ba ON ba.doc_id = p.doc_a
+       |                    JOIN big bb ON bb.doc_id = p.doc_b AND bb.bg = ba.bg
+       |       GROUP BY 1, 2)
+       |SELECT p.doc_a, p.doc_b, la.len AS len_a, lb.len AS len_b,
+       |  COALESCE(o1.ov1, 0) AS ov1, COALESCE(o2.ov2, 0) AS ov2,
+       |  CAST(2 * COALESCE(o1.ov1, 0) AS DOUBLE) / CAST(la.len + lb.len AS DOUBLE) AS rouge1_f
+       |FROM pairs p
+       |JOIN lens la ON la.doc_id = p.doc_a
+       |JOIN lens lb ON lb.doc_id = p.doc_b
+       |LEFT JOIN o1 ON o1.doc_a = p.doc_a AND o1.doc_b = p.doc_b
+       |LEFT JOIN o2 ON o2.doc_a = p.doc_a AND o2.doc_b = p.doc_b
+       |ORDER BY p.doc_a, p.doc_b""".stripMargin) { (s, dir) =>
+    import org.apache.spark.storage.StorageLevel
+    val sig = simhashes(s, dir).persist(StorageLevel.MEMORY_AND_DISK)
+    val pairs = sig.select(col("doc_id").as("doc_a"), col("simhash"))
+      .join(sig.select(col("doc_id").as("doc_b"), col("simhash")), "simhash")
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val docs = Tables.fanOut(Tables.documents(s, dir))
+      .withColumn("t", split(col("text"), " "))
+    val toks = docs.select(col("doc_id"), explode(col("t")).as("word"))
+      .groupBy(col("doc_id"), col("word")).agg(count(lit(1)).as("cnt"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val lens = toks.groupBy(col("doc_id")).agg(sum(col("cnt")).as("len"))
+    val bigrams = docs.select(col("doc_id"), explode(expr(
+        "CASE WHEN size(t) >= 2 THEN transform(sequence(0, size(t) - 2), i -> concat(t[i], ' ', t[i + 1])) ELSE array() END")).as("bg"))
+      .groupBy(col("doc_id"), col("bg")).agg(count(lit(1)).as("cnt"))
+    def clippedOverlap(grams: DataFrame, gram: String, out: String): DataFrame =
+      pairs
+        .join(grams.select(col("doc_id").as("doc_a"), col(gram), col("cnt").as("ca")), "doc_a")
+        .join(grams.select(col("doc_id").as("doc_b"), col(gram), col("cnt").as("cb")), Seq("doc_b", gram))
+        .groupBy(col("doc_a"), col("doc_b"))
+        .agg(sum(least(col("ca"), col("cb"))).as(out))
+    pairs
+      .join(lens.select(col("doc_id").as("doc_a"), col("len").as("len_a")), "doc_a")
+      .join(lens.select(col("doc_id").as("doc_b"), col("len").as("len_b")), "doc_b")
+      .join(clippedOverlap(toks, "word", "raw1"), Seq("doc_a", "doc_b"), "left")
+      .join(clippedOverlap(bigrams, "bg", "raw2"), Seq("doc_a", "doc_b"), "left")
+      .select(col("doc_a"), col("doc_b"), col("len_a"), col("len_b"),
+        coalesce(col("raw1"), lit(0L)).as("ov1"),
+        coalesce(col("raw2"), lit(0L)).as("ov2"),
+        ((lit(2L) * coalesce(col("raw1"), lit(0L))).cast("double") /
+          (col("len_a") + col("len_b")).cast("double")).as("rouge1_f"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     q30DedupExact, q31MinhashLsh, q32NeardupVerified, q33Simhash, q34SimhashPairs,
     q78SimhashHamming, q85DedupClusters, q108IncrementalDedup, q111SimhashWide,
-    q126SpanDedup, q150DedupEval)
+    q126SpanDedup, q150DedupEval, q156RougeAudit)
 }

@@ -73,6 +73,77 @@ object Graph {
       .select(col("part"), col("rank"), col("d").as("degree"))
   }
 
+  /** `rounds` synchronous label-propagation iterations (Raghavan et al.
+    * 2007, Phys. Rev. E 76) over a symmetric (src, dst) edge relation:
+    * every node starts labeled with its own id; each round it adopts the
+    * label MOST FREQUENT among its neighbors, ties to the LOWEST label —
+    * a fully deterministic variant of the usually-randomized sweep (the
+    * same determinism device as the fixed-point PageRank above: at 100 TB
+    * a rebuilt community assignment must be comparable to the previous
+    * build, which random tie-breaks and asynchronous sweeps forbid).
+    * Returns (node, label).
+    *
+    * Per round: one src-keyed join of the node-sized label relation
+    * against the pinned edges, one (node, label)-keyed map-side-combined
+    * count, and one node-keyed deterministic argmax folded into the SAME
+    * aggregate via max(struct(cnt, -label)) — no window, no second
+    * shuffle over the count relation. Only the node-sized label relation
+    * moves between rounds. */
+  def labelPropagation(edges: DataFrame, rounds: Int): DataFrame = {
+    val e = edges.persist(StorageLevel.MEMORY_AND_DISK)
+    var lab = e.select(col("src").as("node")).distinct()
+      .withColumn("label", col("node"))
+    for (_ <- 1 to rounds) {
+      lab = e.join(lab, e("dst") === lab("node"))
+        .groupBy(col("src"), col("label")).agg(count(lit(1)).as("cnt"))
+        // argmax(cnt) with lowest-label ties: max over (cnt, -label)
+        .groupBy(col("src"))
+        .agg(max(struct(col("cnt"), (-col("label")).as("nl"))).as("m"))
+        .select(col("src").as("node"), (-col("m.nl")).as("label"))
+    }
+    lab
+  }
+
+  /** One unrolled oracle LPA round k over CTEs e/l{k-1}. */
+  private def lpaRoundSql(k: Int): String = {
+    val prev = s"l${k - 1}"
+    s"""n$k AS (SELECT e.src, l.label, COUNT(*) AS cnt
+       |  FROM e JOIN $prev l ON l.node = e.dst GROUP BY 1, 2),
+       |l$k AS (SELECT src AS node, label FROM (
+       |    SELECT src, label, ROW_NUMBER() OVER (PARTITION BY src ORDER BY cnt DESC, label) AS rn
+       |    FROM n$k) WHERE rn = 1)""".stripMargin
+  }
+
+  /** Contract face of [[labelPropagation]]: 3 deterministic rounds over
+    * the co-purchase part graph, communities summarized as (community,
+    * n_members) — the domain-clustering signal a curation pipeline feeds
+    * into mixture design (communities of co-bought parts ≈ topical
+    * clusters of co-linked documents). The summary hashes the full
+    * trajectory: one node adopting a different label in any round moves
+    * a membership count. Top 100 by size, community id tie-break. */
+  val q153LabelProp: QueryDef = sql(
+    "q153_label_prop",
+    s"""WITH e AS (
+       |  SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+       |  FROM lineitem a JOIN lineitem b
+       |    ON b.l_orderkey = a.l_orderkey AND b.l_partkey <> a.l_partkey),
+       |l0 AS (SELECT DISTINCT src AS node, src AS label FROM e),
+       |${lpaRoundSql(1)},
+       |${lpaRoundSql(2)},
+       |${lpaRoundSql(3)}
+       |SELECT label AS community, COUNT(*) AS n_members, MIN(node) AS min_node
+       |FROM l3
+       |GROUP BY 1
+       |ORDER BY n_members DESC, community
+       |LIMIT 100""".stripMargin) { (s, dir) =>
+    val li = Tables.lineitem(s, dir)
+    labelPropagation(coOccurrenceEdges(li, "l_orderkey", "l_partkey"), rounds = 3)
+      .groupBy(col("label").as("community"))
+      .agg(count(lit(1)).as("n_members"), min(col("node")).as("min_node"))
+      .orderBy(col("n_members").desc, col("community"))
+      .limit(100)
+  }
+
   /** One unrolled oracle round k over CTEs e/deg/r{k-1}. */
   private def roundSql(k: Int): String = {
     val prev = s"r${k - 1}"
@@ -109,5 +180,5 @@ object Graph {
       .limit(100)
   }
 
-  val all: Seq[QueryDef] = Seq(q143Pagerank)
+  val all: Seq[QueryDef] = Seq(q143Pagerank, q153LabelProp)
 }

@@ -1289,10 +1289,87 @@ object Similarity {
       .orderBy(col("test_id"))
   }
 
+  /** Johnson–Lindenstrauss projection dims: 64 → 16 (fixture embedding
+    * width; q154's sign lambda is width-pinned by design — a mismatched
+    * input surfaces as nulls, not silent truncation). */
+  private val JlSrcDim = 64
+  private val JlOutDim = 16
+
+  /** Hex digits whose low bit is 0 — the shared ±1 coin both engines
+    * read off `md5('jl-<i>-<j>')[0]`. */
+  private val JlEvenHex = "('0', '2', '4', '6', '8', 'a', 'c', 'e')"
+
+  /** The ±1 random-projection matrix as a (j, signs array<bigint>)
+    * relation, entries derived from md5 parity — Achlioptas 2003
+    * (database-friendly JL: ±1 entries preserve pairwise distances in
+    * expectation like Gaussians do), made DETERMINISTIC so a projection
+    * built on one cluster equals one built on another. Generated
+    * distributedly from `range(outDim)`; never collected. */
+  def jlSignMatrix(s: SparkSession, srcDim: Int, outDim: Int): DataFrame =
+    s.range(outDim).select(col("id").as("j"), expr(
+      s"""transform(sequence(0, ${srcDim - 1}), i ->
+         |  CASE WHEN substring(md5(concat('jl-', CAST(i AS STRING), '-', CAST(id AS STRING))), 1, 1)
+         |       IN $JlEvenHex THEN 1L ELSE -1L END)""".stripMargin).as("signs"))
+
+  /** Project (vec_id, qv array<bigint>) onto the sign matrix: adds
+    * `pv array<bigint>` of length outDim, each entry the exact integer
+    * dot Σᵢ qv[i]·s(i,j). The packed matrix (outDim·srcDim small ints)
+    * broadcasts once; projection is one scan with a fused per-row HOF —
+    * the same shape as centroid assignment, no shuffle of the vectors. */
+  def jlProject(vectors: DataFrame, signs: DataFrame): DataFrame =
+    vectors.join(broadcast(
+        signs.agg(array_sort(collect_list(struct(col("j"), col("signs")))).as("sm"))))
+      .withColumn("pv", expr(
+        "transform(sm, c -> aggregate(zip_with(qv, c.signs, (a, b) -> a * b), 0L, (acc, x) -> acc + x))"))
+      .drop("sm")
+
+  /** ANN in Johnson–Lindenstrauss space: quantized embeddings (q61's
+    * exact-integer device) project 64 → 16 dims through the md5-derived
+    * ±1 matrix, and the query's top-10 ranks by PROJECTED squared L2 —
+    * every projection coordinate and every distance an exact integer, so
+    * the reduced-space result set hash-verifies across engines. The scale
+    * story: at 100 TB the 4× narrower vectors cut index memory and
+    * per-candidate distance cost 4× (JL guarantees bounded distortion at
+    * m = O(log N / ε²)); recall against full-space top-k is measured in
+    * `AnnQualitySpec`, the distortion trade explicit rather than implied. */
+  val q154JlAnn: QueryDef = sql(
+    "q154_jl_ann",
+    s"""WITH q AS (
+       |  SELECT vec_id, dim - 1 AS i,
+       |    CAST(FLOOR(CAST(embedding[dim] AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT) AS v
+       |  FROM embeddings,
+       |       LATERAL (SELECT unnest(range(1, len(embedding) + 1)) AS dim)),
+       |s AS (
+       |  SELECT ii.i, jj.j,
+       |    CASE WHEN substring(md5('jl-' || CAST(ii.i AS VARCHAR) || '-' || CAST(jj.j AS VARCHAR)), 1, 1)
+       |         IN $JlEvenHex THEN 1 ELSE -1 END AS sgn
+       |  FROM (SELECT unnest(range(0, $JlSrcDim)) AS i) ii,
+       |       (SELECT unnest(range(0, $JlOutDim)) AS j) jj),
+       |p AS (SELECT q.vec_id, s.j, CAST(SUM(q.v * s.sgn) AS BIGINT) AS pv
+       |      FROM q JOIN s ON s.i = q.i GROUP BY 1, 2),
+       |qp AS (SELECT j, pv AS qv FROM p WHERE vec_id = $QueryVec)
+       |SELECT p.vec_id, CAST(SUM((p.pv - qp.qv) * (p.pv - qp.qv)) AS BIGINT) AS pdist
+       |FROM p JOIN qp ON qp.j = p.j
+       |WHERE p.vec_id != $QueryVec
+       |GROUP BY 1
+       |ORDER BY pdist, vec_id
+       |LIMIT 10""".stripMargin) { (s, dir) =>
+    val p = jlProject(quantizedLong(s, dir), jlSignMatrix(s, JlSrcDim, JlOutDim))
+      .select(col("vec_id"), col("pv"))
+    val qp = p.filter(col("vec_id") === QueryVec).select(col("pv").as("qp"))
+    p.filter(col("vec_id") =!= QueryVec)
+      .crossJoin(broadcast(qp))
+      .select(col("vec_id"), expr(
+        "aggregate(zip_with(pv, qp, (a, b) -> (a - b) * (a - b)), 0L, (acc, x) -> acc + x)").as("pdist"))
+      .orderBy(col("pdist"), col("vec_id"))
+      .limit(10)
+  }
+
   val all: Seq[QueryDef] = Seq(
     q36ArrayNorms, q37EmbeddingNeardup, q38AnnBruteforce, q39AnnIvf,
     q45AnnNative, q52AnnLsh, q61AnnQuantized, q119KmeansTrain,
     q120AnnIvfTrained, q122SemanticDedup, q125SemdedupCentroid,
     q131HardNegatives, q133PqAdc, q135HardNegativesIvf, q138GramMatrix,
-    q140KnnClassify, q146PcaPower, q147MmrRerank, q152KnnClassifyIvf)
+    q140KnnClassify, q146PcaPower, q147MmrRerank, q152KnnClassifyIvf,
+    q154JlAnn)
 }

@@ -1958,6 +1958,56 @@ object TextOps {
       .orderBy(col("source"), col("lang"))
   }
 
+  /** Collocation mining by pointwise mutual information: for every word
+    * bigram seen ≥ 5 times, `lift` = P(a,b)/(P(a)·P(b)) = N·c_ab/(c_a·c_b)
+    * — the PMI exponent (Church & Hanks 1990's association ratio without
+    * the log, which is monotone and adds nothing to the ranking). The
+    * numerator N·c_ab and denominator c_a·c_b are exact BIGINTs < 2⁵³
+    * (both ≤ N², N = corpus bigram count), so the emitted double is ONE
+    * exactly-rounded IEEE division — bit-identical across engines, the
+    * repo's int-ratio-double device. Collocations are what a tokenizer-
+    * or phrase-vocabulary build mines from a corpus before training.
+    *
+    * Shape: the q22/q23 hash aggregates (map-side combined) + two joins
+    * of the bigram relation against the unigram count relation on a
+    * bounded vocabulary key, + one broadcast scalar N. Top-100 rides
+    * TakeOrderedAndProject. No windows, no all-pairs anything. */
+  val q155Collocations: QueryDef = sql(
+    "q155_collocations",
+    """WITH toks AS (SELECT string_split(text, ' ') AS t FROM documents),
+      |uni AS (SELECT unnest(t) AS w FROM toks),
+      |c1 AS (SELECT w, COUNT(*) AS c FROM uni GROUP BY 1),
+      |bi AS (SELECT t[i] AS w1, t[i + 1] AS w2
+      |       FROM toks, LATERAL (SELECT generate_subscripts(t, 1) AS i)
+      |       WHERE i <= len(t) - 1),
+      |c2 AS (SELECT w1, w2, COUNT(*) AS n_ab FROM bi GROUP BY 1, 2),
+      |tot AS (SELECT COUNT(*) AS n FROM bi)
+      |SELECT c2.w1 || ' ' || c2.w2 AS bigram, c2.n_ab, a.c AS n_a, b.c AS n_b,
+      |  CAST(tot.n * c2.n_ab AS DOUBLE) / CAST(a.c * b.c AS DOUBLE) AS lift
+      |FROM c2 JOIN c1 a ON a.w = c2.w1 JOIN c1 b ON b.w = c2.w2, tot
+      |WHERE c2.n_ab >= 5
+      |ORDER BY lift DESC, bigram
+      |LIMIT 100""".stripMargin) { (s, dir) =>
+    val toks = docsWithTokens(s, dir)
+    val c1 = toks.select(explode(col("toks")).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("c"))
+    val bi = toks.select(explode(expr(
+        "CASE WHEN size(toks) >= 2 THEN transform(sequence(0, size(toks) - 2), i -> struct(toks[i] AS w1, toks[i + 1] AS w2)) ELSE array() END")).as("b"))
+      .select(col("b.w1").as("w1"), col("b.w2").as("w2"))
+    val c2 = bi.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("n_ab"))
+    val tot = bi.agg(count(lit(1)).as("n"))
+    c2.filter(col("n_ab") >= 5)
+      .join(c1.withColumnRenamed("w", "w1").withColumnRenamed("c", "n_a"), "w1")
+      .join(c1.withColumnRenamed("w", "w2").withColumnRenamed("c", "n_b"), "w2")
+      .crossJoin(broadcast(tot))
+      .select(
+        concat(col("w1"), lit(" "), col("w2")).as("bigram"),
+        col("n_ab"), col("n_a"), col("n_b"),
+        ((col("n") * col("n_ab")).cast("double") / (col("n_a") * col("n_b")).cast("double")).as("lift"))
+      .orderBy(col("lift").desc, col("bigram"))
+      .limit(100)
+  }
+
   val all: Seq[QueryDef] = Seq(
     q21TextStats, q22WordFreq, q23BigramFreq, q24LangId, q25QualityScore,
     q26Fingerprint, q27TokenRegex, q62TrainSplit, q64TermFreqMap,
@@ -1967,5 +2017,5 @@ object TextOps {
     q118SourceMix, q121NegativeSampling, q123CorpusBuild, q128LmPerplexity,
     q129DsirSelect, q130SequencePacking, q134UnimaxMix, q139MixSchedule,
     q141DomainCap, q142PreferencePairs, q145CorpusDiff, q149CorpusCard,
-    q151CorpusBuildPack)
+    q151CorpusBuildPack, q155Collocations)
 }

@@ -303,4 +303,47 @@ class AnnQualitySpec extends SparkSpec {
     assert(correct.toDouble / routed.size >= 0.9,
       s"routed accuracy $correct/${routed.size} on separable clusters")
   }
+
+  test("JL sign matrix is deterministic, ±1-valued, and near-balanced") {
+    val a = Similarity.jlSignMatrix(spark, 64, 16).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1).toSeq).toMap
+    val b = Similarity.jlSignMatrix(spark, 64, 16).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1).toSeq).toMap
+    assert(a == b, "two builds of the md5-derived matrix must be identical")
+    assert(a.size == 16 && a.values.forall(_.size == 64))
+    val flat = a.values.flatten.toSeq
+    assert(flat.forall(v => v == 1L || v == -1L))
+    // md5 parity is a fair coin: the 1024-entry sum stays well inside ±3σ = ±96
+    assert(math.abs(flat.sum) <= 96, s"sign imbalance ${flat.sum}")
+  }
+
+  test("JL-space top-10 keeps most true neighbors on clustered data") {
+    val dir = generateClustered()
+    // exact full-space quantized-L2 top-10 for the query, driver-computed
+    val vecs = Similarity.quantizeVectors(
+        spark.read.parquet(s"$dir/embeddings.parquet")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1).toArray).toMap
+    val q = vecs(0L)
+    val exact = vecs.toSeq.filter(_._1 != 0L)
+      .map { case (id, v) =>
+        id -> v.zip(q).map { case (x, y) => (x - y) * (x - y) }.sum }
+      .sortBy { case (id, d) => (d, id) }.take(10).map(_._1).toSet
+    val jl = Similarity.q154JlAnn.run(spark, dir).collect().map(_.getLong(0)).toSet
+    val recall = exact.intersect(jl).size
+    assert(recall >= 7, s"JL recall@10 = $recall on separated clusters")
+  }
+
+  test("JL projection coordinates re-derive exactly on the driver") {
+    val dir = generateClustered()
+    val signs = Similarity.jlSignMatrix(spark, 64, 16).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1).toArray).toMap
+    val v = Similarity.quantizeVectors(spark.read.parquet(s"$dir/embeddings.parquet"))
+    val projected = Similarity.jlProject(v, Similarity.jlSignMatrix(spark, 64, 16))
+      .filter(org.apache.spark.sql.functions.col("vec_id") === 5L).collect().head
+    val qv = v.filter(org.apache.spark.sql.functions.col("vec_id") === 5L)
+      .collect().head.getSeq[Long](1).toArray
+    val got = projected.getSeq[Long](projected.fieldIndex("pv")).toSeq
+    val want = (0 until 16).map(j => qv.zip(signs(j.toLong)).map { case (x, s) => x * s }.sum)
+    assert(got == want)
+  }
 }

@@ -79,4 +79,25 @@ class DedupQualitySpec extends SparkSpec {
     // (expected recall ≈ 1-(1-J²)⁴ ≈ 0.95 at J=0.73)
     assert(hit.toDouble / truth > 0.8, s"recall ${hit.toDouble / truth} too low")
   }
+
+  test("rouge audit: exact copies score F1=1.0, clipping bounds hold, F1 re-derives") {
+    val (dir, _, nExact) = generateCorpus()
+    val rows = Dedup.q156RougeAudit.run(spark, dir).collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getDouble(6)))
+    assert(rows.nonEmpty, "exact copies share a simhash, so pairs must exist")
+    rows.foreach { case (a, b, la, lb, ov1, ov2, f1) =>
+      assert(a < b)
+      assert(ov1 <= math.min(la, lb), s"unigram clip violated on ($a,$b)")
+      assert(ov2 <= math.max(0L, math.min(la, lb) - 1), s"bigram clip violated on ($a,$b)")
+      assert(f1 == 2.0 * ov1 / (la + lb).toDouble, s"F1 does not re-derive on ($a,$b)")
+    }
+    // every planted exact copy (id 220+i of base i) simhash-collides with
+    // its base and overlaps completely: F1 = 1.0, ov2 = len-1
+    val perfect = rows.filter { case (a, b, _, _, _, _, _) => b == a + 200 }
+    assert(perfect.size >= nExact, s"expected >= $nExact exact-copy pairs, got ${perfect.size}")
+    perfect.foreach { case (_, _, la, lb, ov1, ov2, f1) =>
+      assert(la == lb && ov1 == la && ov2 == la - 1 && f1 == 1.0)
+    }
+  }
 }

@@ -37,6 +37,39 @@ class GraphSpec extends SparkSpec {
       (1L, 4L), (4L, 1L)))
   }
 
+  test("label propagation: bridged triangles converge to two communities, hand-traced") {
+    // Triangles {1,2,3} and {10,11,12} plus bridge 3-10. The sync
+    // mode/lowest-label trajectory lands {1,2,3}→1 and {10,11,12}→3
+    // after 3 rounds — the bridge does NOT merge the communities.
+    val e = edges((1L, 2L), (2L, 3L), (1L, 3L),
+      (10L, 11L), (11L, 12L), (10L, 12L), (3L, 10L))
+    val got = Graph.labelPropagation(e, rounds = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 3L, 11L -> 3L, 12L -> 3L))
+  }
+
+  test("label propagation: star graph oscillates synchronously — pinned trajectory") {
+    // Bipartite sync-LPA oscillation is a documented property of the
+    // synchronous sweep (Raghavan 2007 §III): center and leaves swap
+    // label generations each round. Pinning the round-3 state proves the
+    // implementation is the deterministic synchronous variant.
+    val e = edges((0L, 1L), (0L, 2L), (0L, 3L), (0L, 4L))
+    val r3 = Graph.labelPropagation(e, rounds = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(r3 == Map(0L -> 1L, 1L -> 0L, 2L -> 0L, 3L -> 0L, 4L -> 0L))
+  }
+
+  test("q153 contract face is deterministic and members sum to the node count") {
+    val a = graft.ops.Graph.q153LabelProp.run(spark, sfDir).collect().toSeq
+    val b = graft.ops.Graph.q153LabelProp.run(spark, sfDir).collect().toSeq
+    assert(a.nonEmpty && a.map(_.toSeq) == b.map(_.toSeq))
+    val li = graft.sources.Tables.lineitem(spark, sfDir)
+    val nodes = Graph.coOccurrenceEdges(li, "l_orderkey", "l_partkey")
+      .select("src").distinct().count()
+    // ≤ 100 communities on the fixture, so the summary covers every node
+    assert(a.map(_.getLong(1)).sum == nodes)
+  }
+
   test("fixture co-purchase graph: every node keeps degree and a positive rank") {
     val li = graft.sources.Tables.lineitem(spark, sfDir)
     val out = Graph.pagerank(

@@ -330,4 +330,37 @@ class TextQualitySpec extends SparkSpec {
       assert(r.getAs[Long]("vocab") <= r.getAs[Long]("n_tokens"))
     }
   }
+
+  test("collocations: a planted always-adjacent pair tops the lift ranking, lift re-derives") {
+    import org.apache.spark.sql.functions.{col, length, lit}
+    import spark.implicits._
+    // 40 filler docs of near-random common words push every filler-word
+    // marginal to ~100, while 'zeta omega' appears 8 times and its words
+    // NEVER apart — its lift N·8/(8·8) dwarfs the filler's ≈1.
+    val vocab = Vector("alpha", "bravo", "charlie", "delta", "echo", "foxtrot",
+      "golf", "hotel", "india", "juliet", "kilo")
+    val rnd = new scala.util.Random(11)
+    val filler = (0 until 40).map(i =>
+      (i.toLong, Seq.fill(60)(vocab(rnd.nextInt(vocab.length))).mkString(" ")))
+    val planted = (100 until 108).map(i => (i.toLong, "zeta omega"))
+    val dir = java.nio.file.Files.createTempDirectory("graft-colloc").toString
+    (filler ++ planted).toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("gen"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .write.parquet(s"$dir/documents.parquet")
+    val rows = TextOps.q155Collocations.run(spark, dir).collect()
+    assert(rows.nonEmpty)
+    val top = rows.head
+    assert(top.getString(0) == "zeta omega", s"top collocation was ${top.getString(0)}")
+    val n = 40L * 59 + 8 // total corpus bigrams
+    assert(top.getLong(1) == 8L && top.getLong(2) == 8L && top.getLong(3) == 8L)
+    assert(top.getDouble(4) == (n * 8L).toDouble / 64.0)
+    // ranking is by lift descending with the emitted values re-deriving
+    rows.foreach { r =>
+      assert(r.getLong(1) >= 5L)
+      assert(r.getDouble(4) ==
+        (n * r.getLong(1)).toDouble / (r.getLong(2) * r.getLong(3)).toDouble)
+    }
+    assert(rows.map(_.getDouble(4)).toSeq == rows.map(_.getDouble(4)).sortBy(-_).toSeq)
+  }
 }
