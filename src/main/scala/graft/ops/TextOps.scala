@@ -2008,6 +2008,140 @@ object TextOps {
       .limit(100)
   }
 
+  /** Domain fingerprint similarity: each source's term-frequency vector,
+    * compared pairwise by cosine — the signal mixture design reads to
+    * find near-identical domains worth merging (two mirrors of the same
+    * site) or suspicious overlap between supposedly-distinct sources.
+    * Dots are exact integer Σ tfₐ·tf_b; norms are one correctly-rounded
+    * SQRT of an exact integer (< 2⁵³); the cosine is one division of
+    * deterministically-rounded doubles — hash-identical across engines.
+    *
+    * Shape: one (source, word) hash aggregate, then a self-join on the
+    * WORD key (never source²·vocab): each word contributes its source
+    * pairs, summed map-side into k·(k−1)/2 output rows. At 100 TB vocab
+    * is large but the join key is the word — the shuffle is vocabulary-
+    * sized, and k (number of domains) stays in the hundreds, so the
+    * result is always tiny. */
+  val q157DomainCosine: QueryDef = sql(
+    "q157_domain_cosine",
+    """WITH tf AS (SELECT source, w, COUNT(*) AS tf
+      |           FROM (SELECT source, unnest(string_split(text, ' ')) AS w FROM documents)
+      |           GROUP BY 1, 2),
+      |nrm AS (SELECT source, SQRT(CAST(SUM(tf * tf) AS DOUBLE)) AS nrm FROM tf GROUP BY 1),
+      |dots AS (SELECT a.source AS src_a, b.source AS src_b, CAST(SUM(a.tf * b.tf) AS BIGINT) AS dot
+      |         FROM tf a JOIN tf b ON b.w = a.w AND a.source < b.source
+      |         GROUP BY 1, 2)
+      |SELECT d.src_a, d.src_b, d.dot, CAST(d.dot AS DOUBLE) / (na.nrm * nb.nrm) AS cosine
+      |FROM dots d JOIN nrm na ON na.source = d.src_a JOIN nrm nb ON nb.source = d.src_b
+      |ORDER BY src_a, src_b""".stripMargin) { (s, dir) =>
+    val tf = docsWithTokens(s, dir)
+      .select(col("source"), explode(col("toks")).as("w"))
+      .groupBy(col("source"), col("w")).agg(count(lit(1)).as("tf"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nrm = tf.groupBy(col("source"))
+      .agg(sqrt(sum(col("tf") * col("tf")).cast("double")).as("nrm"))
+    val dots = tf.select(col("source").as("src_a"), col("w"), col("tf").as("tfa"))
+      .join(tf.select(col("source").as("src_b"), col("w"), col("tf").as("tfb")), "w")
+      .filter(col("src_a") < col("src_b"))
+      .groupBy(col("src_a"), col("src_b"))
+      .agg(sum(col("tfa") * col("tfb")).as("dot"))
+    dots
+      .join(nrm.select(col("source").as("src_a"), col("nrm").as("na")), "src_a")
+      .join(nrm.select(col("source").as("src_b"), col("nrm").as("nb")), "src_b")
+      .select(col("src_a"), col("src_b"), col("dot"),
+        (col("dot").cast("double") / (col("na") * col("nb"))).as("cosine"))
+      .orderBy(col("src_a"), col("src_b"))
+  }
+
+  /** Boilerplate span mining (the C4/CCNet device: drop spans repeated
+    * across documents — navigation chrome, license headers, templated
+    * text): word-3-grams occurring in ≥ 2 DISTINCT documents are
+    * boilerplate; each affected document reports how much of it is
+    * boilerplate. Counts are exact integers; the fraction is one exact
+    * IEEE division. Distinct from q116 (overlap vs a fixed eval set) and
+    * q126 (pairwise span dedup): this mines corpus-wide frequent spans
+    * with no pair enumeration at all.
+    *
+    * Shape: one (gram → distinct-doc count) aggregate and one join of
+    * the gram occurrences back against the frequent-gram relation on the
+    * gram key, then a per-doc sum. At 100 TB both shuffles key on the
+    * gram hash — the relation a Bloom filter prunes the same way
+    * q115/q116 do; the df threshold makes the frequent side small. */
+  val q158Boilerplate: QueryDef = sql(
+    "q158_boilerplate",
+    """WITH sh AS (SELECT doc_id, t.toks[i] || ' ' || t.toks[i + 1] || ' ' || t.toks[i + 2] AS sh
+      |            FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents) t,
+      |                 LATERAL (SELECT generate_subscripts(t.toks, 1) AS i)
+      |            WHERE i <= len(t.toks) - 2),
+      |df AS (SELECT sh, COUNT(DISTINCT doc_id) AS df FROM sh GROUP BY 1),
+      |per AS (SELECT s.doc_id, COUNT(*) AS n_grams,
+      |               CAST(SUM(CASE WHEN d.df >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_boiler
+      |        FROM sh s JOIN df d ON d.sh = s.sh
+      |        GROUP BY 1)
+      |SELECT doc_id, n_grams, n_boiler,
+      |  CAST(n_boiler AS DOUBLE) / n_grams AS boiler_frac
+      |FROM per
+      |WHERE n_boiler > 0
+      |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    val sh = docsWithTokens(s, dir)
+      .select(col("doc_id"), explode(expr(
+        "CASE WHEN size(toks) >= 3 THEN transform(sequence(0, size(toks) - 3), i -> concat_ws(' ', slice(toks, i + 1, 3))) ELSE array() END")).as("sh"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val df = sh.groupBy(col("sh")).agg(countDistinct(col("doc_id")).as("df"))
+    sh.join(df, "sh")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("df") >= 2, 1L).otherwise(0L)).as("n_boiler"))
+      .filter(col("n_boiler") > 0)
+      .select(col("doc_id"), col("n_grams"), col("n_boiler"),
+        (col("n_boiler").cast("double") / col("n_grams")).as("boiler_frac"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Per-source quality quantile gate: q25's quality score thresholded
+    * RELATIVE to each source's own distribution (keep a source's top
+    * quartile) instead of one global cutoff — the curation practice that
+    * stops a high-quality domain from drowning out a noisier one whose
+    * best documents are still wanted (source-relative gating, as in
+    * Gopher/MassiveText's per-subset filters). percent_rank is
+    * (rank−1)/(n−1) over the exactly-computed quality double, identical
+    * tie handling in both engines, so the kept set hash-verifies.
+    *
+    * Shape: one per-row quality projection and ONE window shuffle keyed
+    * on source (bounded cardinality); no joins. At 100 TB each source
+    * partition sorts independently — skew in source sizes is the q114
+    * salting story if a single domain dominates. */
+  val q159QualityQuantileGate: QueryDef = sql(
+    "q159_quality_quantile_gate",
+    """WITH q AS (
+      |  SELECT doc_id, source,
+      |    (CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks))
+      |      * (1.0 - CAST(len(list_filter(toks, x -> x = 'the' OR x = 'a')) AS DOUBLE) / len(toks))
+      |      * LEAST(1.0, CAST(len(toks) AS DOUBLE) / 50.0) AS quality
+      |  FROM (SELECT doc_id, source, string_split(text, ' ') AS toks FROM documents)),
+      |r AS (SELECT doc_id, source, quality,
+      |        PERCENT_RANK() OVER (PARTITION BY source ORDER BY quality) AS pr
+      |      FROM q)
+      |SELECT doc_id, source, quality, pr
+      |FROM r
+      |WHERE pr >= 0.75
+      |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val q = docsWithTokens(s, dir)
+      .withColumn("n_tokens", size(col("toks")))
+      .withColumn("n_stop", expr("size(filter(toks, x -> x = 'the' OR x = 'a'))"))
+      .withColumn("n_uniq", size(array_distinct(col("toks"))))
+      .select(col("doc_id"), col("source"),
+        ((col("n_uniq").cast("double") / col("n_tokens")) *
+          (lit(1.0) - col("n_stop").cast("double") / col("n_tokens")) *
+          least(lit(1.0), col("n_tokens").cast("double") / 50.0)).as("quality"))
+    q.withColumn("pr",
+        percent_rank().over(Window.partitionBy(col("source")).orderBy(col("quality"))))
+      .filter(col("pr") >= 0.75)
+      .select(col("doc_id"), col("source"), col("quality"), col("pr"))
+      .orderBy(col("doc_id"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     q21TextStats, q22WordFreq, q23BigramFreq, q24LangId, q25QualityScore,
     q26Fingerprint, q27TokenRegex, q62TrainSplit, q64TermFreqMap,
@@ -2017,5 +2151,6 @@ object TextOps {
     q118SourceMix, q121NegativeSampling, q123CorpusBuild, q128LmPerplexity,
     q129DsirSelect, q130SequencePacking, q134UnimaxMix, q139MixSchedule,
     q141DomainCap, q142PreferencePairs, q145CorpusDiff, q149CorpusCard,
-    q151CorpusBuildPack, q155Collocations)
+    q151CorpusBuildPack, q155Collocations, q157DomainCosine,
+    q158Boilerplate, q159QualityQuantileGate)
 }

@@ -363,4 +363,71 @@ class TextQualitySpec extends SparkSpec {
     }
     assert(rows.map(_.getDouble(4)).toSeq == rows.map(_.getDouble(4)).sortBy(-_).toSeq)
   }
+
+  private def writeDocs(rows: Seq[(Long, String, String)], prefix: String): String = {
+    import org.apache.spark.sql.functions.{col, length, lit}
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory(prefix).toString
+    rows.toDF("doc_id", "text", "source")
+      .withColumn("lang", lit("en"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .write.parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  test("domain cosine: identical sources score 1.0, disjoint-vocabulary sources drop out") {
+    val dir = writeDocs(Seq(
+      (1L, "alpha bravo charlie alpha", "s1"),
+      (2L, "alpha bravo charlie alpha", "s2"),   // exact mirror of s1
+      (3L, "xray yankee zulu", "s3")),           // vocabulary disjoint from both
+      "graft-domcos")
+    val rows = TextOps.q157DomainCosine.run(spark, dir).collect()
+      .map(r => ((r.getString(0), r.getString(1)), (r.getLong(2), r.getDouble(3)))).toMap
+    // mirrors: dot = 2·2+1+1 = 6, |v|² = 6 → cosine = 6/(√6·√6), which is
+    // 1.0000000000000002 in IEEE doubles — re-derive bit-exactly rather
+    // than asserting the idealized 1.0
+    assert(rows.keySet == Set(("s1", "s2")), s"unexpected pairs ${rows.keySet}")
+    assert(rows(("s1", "s2")) == ((6L, 6.0 / (math.sqrt(6.0) * math.sqrt(6.0)))))
+  }
+
+  test("boilerplate: a planted shared header is flagged, unique docs are not") {
+    // 3 docs open with the same 5-token header (3 shared 3-grams each);
+    // doc 4 is entirely unique text
+    val header = "terms of service apply here"
+    val dir = writeDocs(Seq(
+      (1L, s"$header alpha bravo", "s"),
+      (2L, s"$header charlie delta", "s"),
+      (3L, s"$header echo foxtrot", "s"),
+      (4L, "golf hotel india juliet kilo lima", "s")),
+      "graft-boiler")
+    val got = TextOps.q158Boilerplate.run(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(got.keySet == Set(1L, 2L, 3L), s"flagged ${got.keySet}")
+    // 7 tokens → 5 grams; the 3 header grams are shared across all docs
+    got.values.foreach { case (n, b, f) =>
+      assert(n == 5L && b == 3L && f == 3.0 / 5.0)
+    }
+  }
+
+  test("quality quantile gate: kept docs dominate dropped docs within every source") {
+    val kept = TextOps.q159QualityQuantileGate.run(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2), r.getDouble(3)))
+    assert(kept.nonEmpty)
+    kept.foreach { case (_, _, _, pr) => assert(pr >= 0.75 && pr <= 1.0) }
+    // within each source: min kept quality >= max dropped quality
+    val all = TextOps.q25QualityScore.run(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getAs[Double]("quality")))
+    val docSource = graft.sources.Tables.documents(spark, sfDir)
+      .select("doc_id", "source").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val keptIds = kept.map(_._1).toSet
+    all.groupBy { case (id, _) => docSource(id) }.foreach { case (src, docs) =>
+      val (k, d) = docs.partition { case (id, _) => keptIds.contains(id) }
+      if (k.nonEmpty && d.nonEmpty)
+        assert(k.map(_._2).min >= d.map(_._2).max,
+          s"source $src: kept quality below a dropped one")
+      // the quartile gate keeps roughly the top 25% (ties can widen it)
+      assert(k.size <= docs.size / 2, s"source $src kept ${k.size} of ${docs.size}")
+    }
+  }
 }
