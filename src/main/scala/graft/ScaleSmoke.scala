@@ -113,7 +113,10 @@ object ScaleSmoke {
       // same worst-case note (every smoke token a distinct md5 prefix)
       "q144_bpe_encode", "q145_corpus_diff", "q146_pca_power",
       "q147_mmr_rerank", "q148_phash_dedup", "q149_corpus_card",
-      "q150_dedup_eval", "q151_corpus_build_pack")
+      "q150_dedup_eval", "q151_corpus_build_pack",
+      "q153_label_prop", "q154_jl_ann", "q155_collocations",
+      "q156_rouge_audit", "q157_domain_cosine", "q158_boilerplate",
+      "q159_quality_quantile_gate")
     // SPARK_GRAFT_SMOKE_ONLY=q123,q124 limits a run to matching targets —
     // the same local profiling aid as Bench's SPARK_GRAFT_BENCH_ONLY
     val selected = sys.env.get("SPARK_GRAFT_SMOKE_ONLY")

@@ -474,4 +474,42 @@ class PlanSpec extends SparkSpec {
       s"the d-sized component must broadcast into the corpus scan:\n$p")
     assert(!p.contains("CartesianProduct"), p)
   }
+
+  test("q153: label propagation reuses pinned edges and TakeOrders the summary") {
+    val df = graft.ops.Graph.q153LabelProp.run(spark, sfDir)
+    val p = planOf(df)
+    assert(p.contains("InMemoryTableScan"),
+      s"edges must be pinned across rounds:\n$p")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"the community leaderboard must be TakeOrdered, not a global sort:\n$p")
+    val fileScans = df.queryExecution.executedPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }.size
+    assert(fileScans == 0,
+      s"every round must read the pinned edge relation, got $fileScans live scans")
+  }
+
+  test("q154: the JL matrix and query projection broadcast; nothing shuffles the vectors") {
+    val p = planOf(Similarity.q154JlAnn.run(spark, sfDir))
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      s"the packed sign matrix must broadcast into the vector scan:\n$p")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-10 must be TakeOrdered:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      s"no vector-side shuffle join is acceptable here:\n$p")
+  }
+
+  test("q155: collocation top-k is TakeOrdered over map-side-combined counts") {
+    val p = planOf(graft.ops.TextOps.q155Collocations.run(spark, sfDir))
+    assert(p.contains("TakeOrderedAndProject"), s"top-100 must be TakeOrdered:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("partial_count") || p.contains("HashAggregate"),
+      s"counts must combine map-side:\n$p")
+  }
+
+  test("q159: the quantile gate is one keyed window — no joins at all") {
+    val p = planOf(graft.ops.TextOps.q159QualityQuantileGate.run(spark, sfDir))
+    assert(p.contains("Window"), s"percent_rank must be a window:\n$p")
+    assert(!p.contains("Join"), s"the gate must not join anything:\n$p")
+  }
 }
