@@ -1072,8 +1072,53 @@ object Dedup {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
+  /** Train/test split-leakage audit (the contamination channel exact
+    * decontamination misses — Lee et al. 2022, arXiv:2107.06499 §6.2:
+    * near-duplicates STRADDLING a held-out split leak training signal
+    * into evaluation even when no document crosses it verbatim): every
+    * verified near-dup pair (q32's exact-Jaccard > 0.7 over LSH
+    * candidates) whose members land in DIFFERENT q62 splits, with both
+    * split labels — the audit a data release runs before trusting its
+    * eval numbers. The split is the same md5 hash-bucket assignment q62
+    * ships, so the audit covers the split actually used.
+    *
+    * Shape: the q32 pair relation (blocked, never all-pairs) plus two
+    * broadcast-sized joins against the per-doc split projection (one
+    * scan, no shuffle of text). At 100 TB leaked pairs are what get
+    * MOVED (reassign the lower-id doc's split) or dropped. */
+  val q161SplitLeakage: QueryDef = sql(
+    "q161_split_leakage",
+    s"""WITH $verifiedPairsSql,
+       |sp AS (SELECT doc_id,
+       |         CASE WHEN bucket < 52429 THEN 'train'
+       |              WHEN bucket < 58982 THEN 'val'
+       |              ELSE 'test' END AS split
+       |       FROM (SELECT doc_id,
+       |               CAST(('0x' || substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 4)) AS INT) AS bucket
+       |             FROM documents))
+       |SELECT v.doc_a, v.doc_b, v.jaccard, sa.split AS split_a, sb.split AS split_b
+       |FROM vp v
+       |JOIN sp sa ON sa.doc_id = v.doc_a
+       |JOIN sp sb ON sb.doc_id = v.doc_b
+       |WHERE sa.split <> sb.split
+       |ORDER BY v.doc_a, v.doc_b""".stripMargin) { (s, dir) =>
+    val split = Tables.documents(s, dir)
+      .withColumn("bucket", expr(
+        "CAST(conv(substring(md5(concat('split:', CAST(doc_id AS STRING))), 1, 4), 16, 10) AS INT)"))
+      .select(col("doc_id"),
+        when(col("bucket") < 52429, "train")
+          .when(col("bucket") < 58982, "val")
+          .otherwise("test").as("split"))
+    verifiedPairs(s, dir)
+      .join(split.select(col("doc_id").as("doc_a"), col("split").as("split_a")), "doc_a")
+      .join(split.select(col("doc_id").as("doc_b"), col("split").as("split_b")), "doc_b")
+      .filter(col("split_a") =!= col("split_b"))
+      .select(col("doc_a"), col("doc_b"), col("jaccard"), col("split_a"), col("split_b"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     q30DedupExact, q31MinhashLsh, q32NeardupVerified, q33Simhash, q34SimhashPairs,
     q78SimhashHamming, q85DedupClusters, q108IncrementalDedup, q111SimhashWide,
-    q126SpanDedup, q150DedupEval, q156RougeAudit)
+    q126SpanDedup, q150DedupEval, q156RougeAudit, q161SplitLeakage)
 }

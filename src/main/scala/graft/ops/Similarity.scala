@@ -500,32 +500,40 @@ object Similarity {
   /** q119/q120's shared oracle prefix: quantization + the unrolled
     * 2-round Lloyd chain, ending at centroid set `c2` and the final
     * per-(vec, centroid) distance relation `d3`. */
+  /** Unrolled 2-round Lloyd CTE chain over a long-form (vec_id, dim, v)
+    * source CTE named `src`: init c0 = the k=8 lowest vec_ids, ending at
+    * centroid set c2 and the final assignment a3(vec_id, cid, dist).
+    * Shared by the full-space trainings (q119/q120/q122/q125/q152) and
+    * the JL-projected training (q160) — one device, two vector spaces. */
+  private def lloydRoundsSql(src: String): String =
+    s"""c0 AS (SELECT vec_id AS cid, dim, v FROM $src WHERE vec_id < 8),
+       |d1 AS (SELECT s.vec_id, c.cid, SUM((s.v - c.v) * (s.v - c.v)) AS dist
+       |       FROM $src s JOIN c0 c ON c.dim = s.dim GROUP BY 1, 2),
+       |a1 AS (SELECT vec_id, cid FROM (
+       |         SELECT vec_id, cid, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+       |         FROM d1) WHERE rn = 1),
+       |c1 AS (SELECT a.cid, s.dim, CAST(FLOOR(CAST(SUM(s.v) AS DOUBLE) / COUNT(*)) AS BIGINT) AS v
+       |       FROM $src s JOIN a1 a USING (vec_id) GROUP BY 1, 2),
+       |d2 AS (SELECT s.vec_id, c.cid, SUM((s.v - c.v) * (s.v - c.v)) AS dist
+       |       FROM $src s JOIN c1 c ON c.dim = s.dim GROUP BY 1, 2),
+       |a2 AS (SELECT vec_id, cid FROM (
+       |         SELECT vec_id, cid, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+       |         FROM d2) WHERE rn = 1),
+       |c2 AS (SELECT a.cid, s.dim, CAST(FLOOR(CAST(SUM(s.v) AS DOUBLE) / COUNT(*)) AS BIGINT) AS v
+       |       FROM $src s JOIN a2 a USING (vec_id) GROUP BY 1, 2),
+       |d3 AS (SELECT s.vec_id, c.cid, SUM((s.v - c.v) * (s.v - c.v)) AS dist
+       |       FROM $src s JOIN c2 c ON c.dim = s.dim GROUP BY 1, 2),
+       |a3 AS (SELECT vec_id, cid, dist FROM (
+       |         SELECT vec_id, cid, dist, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+       |         FROM d3) WHERE rn = 1)""".stripMargin
+
   private val kmeansSqlPrefix =
-    """WITH q AS (
-      |  SELECT vec_id, dim,
-      |    CAST(FLOOR(CAST(embedding[dim] AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT) AS v
-      |  FROM embeddings,
-      |       LATERAL (SELECT unnest(range(1, len(embedding) + 1)) AS dim)),
-      |c0 AS (SELECT vec_id AS cid, dim, v FROM q WHERE vec_id < 8),
-      |d1 AS (SELECT q.vec_id, c.cid, SUM((q.v - c.v) * (q.v - c.v)) AS dist
-      |       FROM q JOIN c0 c ON c.dim = q.dim GROUP BY 1, 2),
-      |a1 AS (SELECT vec_id, cid FROM (
-      |         SELECT vec_id, cid, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
-      |         FROM d1) WHERE rn = 1),
-      |c1 AS (SELECT a.cid, q.dim, CAST(FLOOR(CAST(SUM(q.v) AS DOUBLE) / COUNT(*)) AS BIGINT) AS v
-      |       FROM q JOIN a1 a USING (vec_id) GROUP BY 1, 2),
-      |d2 AS (SELECT q.vec_id, c.cid, SUM((q.v - c.v) * (q.v - c.v)) AS dist
-      |       FROM q JOIN c1 c ON c.dim = q.dim GROUP BY 1, 2),
-      |a2 AS (SELECT vec_id, cid FROM (
-      |         SELECT vec_id, cid, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
-      |         FROM d2) WHERE rn = 1),
-      |c2 AS (SELECT a.cid, q.dim, CAST(FLOOR(CAST(SUM(q.v) AS DOUBLE) / COUNT(*)) AS BIGINT) AS v
-      |       FROM q JOIN a2 a USING (vec_id) GROUP BY 1, 2),
-      |d3 AS (SELECT q.vec_id, c.cid, SUM((q.v - c.v) * (q.v - c.v)) AS dist
-      |       FROM q JOIN c2 c ON c.dim = q.dim GROUP BY 1, 2),
-      |a3 AS (SELECT vec_id, cid, dist FROM (
-      |         SELECT vec_id, cid, dist, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
-      |         FROM d3) WHERE rn = 1)""".stripMargin
+    s"""WITH q AS (
+       |  SELECT vec_id, dim,
+       |    CAST(FLOOR(CAST(embedding[dim] AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT) AS v
+       |  FROM embeddings,
+       |       LATERAL (SELECT unnest(range(1, len(embedding) + 1)) AS dim)),
+       |${lloydRoundsSql("q")}""".stripMargin
 
   val q119KmeansTrain: QueryDef = sql(
     "q119_kmeans_train",
@@ -1365,11 +1373,68 @@ object Similarity {
       .limit(10)
   }
 
+  /** IVF trained IN Johnson–Lindenstrauss space — the production
+    * "reduce, then index" composition (Jégou's IVF preceded by a
+    * projection): the coarse quantizer trains on the 16-dim PROJECTED
+    * vectors (4× cheaper per Lloyd round and per routing probe than
+    * q120's full-space training), the query routes through the projected
+    * centroids, and only the probed buckets rank — by EXACT full-space
+    * cosine, so reduced dimensions decide the candidate set but never
+    * the final scores. Projection, training, routing, and bucketing are
+    * all exact integers (q154 × q119); the served set hash-verifies
+    * end-to-end. At 100 TB this is the index-build shape that makes
+    * k ∝ N training affordable: every assignment scan walks 16-long
+    * arrays instead of 64. */
+  val q160JlIvf: QueryDef = sql(
+    "q160_jl_ivf",
+    s"""WITH jq AS (
+       |  SELECT vec_id, dim - 1 AS i,
+       |    CAST(FLOOR(CAST(embedding[dim] AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT) AS fv
+       |  FROM embeddings,
+       |       LATERAL (SELECT unnest(range(1, len(embedding) + 1)) AS dim)),
+       |sgn AS (
+       |  SELECT ii.i, jj.j,
+       |    CASE WHEN substring(md5('jl-' || CAST(ii.i AS VARCHAR) || '-' || CAST(jj.j AS VARCHAR)), 1, 1)
+       |         IN $JlEvenHex THEN 1 ELSE -1 END AS sgn
+       |  FROM (SELECT unnest(range(0, $JlSrcDim)) AS i) ii,
+       |       (SELECT unnest(range(0, $JlOutDim)) AS j) jj),
+       |p AS (SELECT jq.vec_id, sgn.j AS dim, CAST(SUM(jq.fv * sgn.sgn) AS BIGINT) AS v
+       |      FROM jq JOIN sgn ON sgn.i = jq.i GROUP BY 1, 2),
+       |${lloydRoundsSql("p")},
+       |probe AS (SELECT cid FROM (
+       |            SELECT cid, ROW_NUMBER() OVER (ORDER BY dist, cid) AS rn
+       |            FROM d3 WHERE vec_id = $QueryVec) WHERE rn <= $NumProbe),
+       |${withNormSql()},
+       |qv AS (SELECT embedding AS qe, nrm AS qn FROM n WHERE vec_id = $QueryVec)
+       |SELECT n.vec_id, ${dotSql("n.embedding", "qv.qe")} / (n.nrm * qv.qn) AS cosine
+       |FROM n
+       |JOIN a3 a ON a.vec_id = n.vec_id
+       |JOIN probe pr ON pr.cid = a.cid, qv
+       |WHERE n.vec_id != $QueryVec
+       |ORDER BY cosine DESC, n.vec_id
+       |LIMIT 10""".stripMargin) { (s, dir) =>
+    graft.functions.CosineSimilarity.register(s)
+    val p = jlProject(quantizedLong(s, dir), jlSignMatrix(s, JlSrcDim, JlOutDim))
+      .select(col("vec_id"), col("pv").as("qv"))
+    val centsF = kmeansCentroidFrame(p, k = NumCentroids, iters = 2)
+    val assigned = assignToCentroids(p, centsF).select(col("vec_id"), col("cid"))
+    val probe = centroidDistances(p.filter(col("vec_id") === QueryVec), centsF)
+      .orderBy(col("cdist"), col("cid")).limit(NumProbe).select(col("cid"))
+    val n = Tables.embeddings(s, dir)
+    val q = n.filter(col("vec_id") === QueryVec).select(col("embedding").as("qe"))
+    n.join(assigned, "vec_id").join(broadcast(probe), "cid")
+      .filter(col("vec_id") =!= QueryVec)
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"), expr("cosine_sim_native(embedding, qe)").as("cosine"))
+      .orderBy(col("cosine").desc, col("vec_id"))
+      .limit(10)
+  }
+
   val all: Seq[QueryDef] = Seq(
     q36ArrayNorms, q37EmbeddingNeardup, q38AnnBruteforce, q39AnnIvf,
     q45AnnNative, q52AnnLsh, q61AnnQuantized, q119KmeansTrain,
     q120AnnIvfTrained, q122SemanticDedup, q125SemdedupCentroid,
     q131HardNegatives, q133PqAdc, q135HardNegativesIvf, q138GramMatrix,
     q140KnnClassify, q146PcaPower, q147MmrRerank, q152KnnClassifyIvf,
-    q154JlAnn)
+    q154JlAnn, q160JlIvf)
 }

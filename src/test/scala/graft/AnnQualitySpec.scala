@@ -333,6 +333,17 @@ class AnnQualitySpec extends SparkSpec {
     assert(recall >= 7, s"JL recall@10 = $recall on separated clusters")
   }
 
+  test("JL-space IVF keeps high recall vs brute force on clustered data") {
+    // the quantizer trains and routes in 16 projected dims, but final
+    // ranking is exact full-space cosine — so recall loss can only come
+    // from routing to the wrong bucket, which separated clusters resist
+    val dir = generateClustered()
+    val brute = Similarity.q38AnnBruteforce.run(spark, dir).collect().map(_.getLong(0)).toSet
+    val jlIvf = Similarity.q160JlIvf.run(spark, dir).collect().map(_.getLong(0)).toSet
+    val recall = brute.intersect(jlIvf).size
+    assert(recall >= 7, s"JL-IVF recall@10 = $recall on separated clusters")
+  }
+
   test("JL projection coordinates re-derive exactly on the driver") {
     val dir = generateClustered()
     val signs = Similarity.jlSignMatrix(spark, 64, 16).collect()

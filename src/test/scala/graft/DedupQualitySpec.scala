@@ -80,6 +80,27 @@ class DedupQualitySpec extends SparkSpec {
     assert(hit.toDouble / truth > 0.8, s"recall ${hit.toDouble / truth} too low")
   }
 
+  test("split leakage: emitted pairs are exactly the cross-split verified near-dups") {
+    val (dir, _, _) = generateCorpus()
+    def splitOf(id: Long): String = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s"split:$id".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.substring(0, 4)
+      val bucket = Integer.parseInt(hex, 16)
+      if (bucket < 52429) "train" else if (bucket < 58982) "val" else "test"
+    }
+    val verified = Dedup.q32NeardupVerified.run(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getAs[Double]("jaccard")))
+    val expected = verified.filter { case (a, b, _) => splitOf(a) != splitOf(b) }
+      .map { case (a, b, j) => (a, b, j, splitOf(a), splitOf(b)) }.toSet
+    assert(expected.nonEmpty,
+      "the planted corpus should land some near-dup pair across splits")
+    val got = Dedup.q161SplitLeakage.run(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getAs[Double]("jaccard"),
+        r.getString(3), r.getString(4))).toSet
+    assert(got == expected)
+  }
+
   test("rouge audit: exact copies score F1=1.0, clipping bounds hold, F1 re-derives") {
     val (dir, _, nExact) = generateCorpus()
     val rows = Dedup.q156RougeAudit.run(spark, dir).collect().map(r =>
