@@ -65,9 +65,15 @@ object Graph {
       .head()
     val fp = if (r.isNullAt(0)) "empty" else java.lang.Long.toHexString(r.getLong(0))
     val stateDir = s"${System.getProperty("java.io.tmpdir")}/graft_copurchase_v1_$fp"
-    graft.sources.ParquetState.getOrBuild(s, stateDir, Seq("edges")) {
+    // fan the state read out to engine parallelism: a compact edge file
+    // scans as 1-2 partitions, and the planner's size estimate for it
+    // (compressed bytes) once made a round join BROADCAST the edge side
+    // — 3 rounds × a multi-million-entry hash build (measured 2× on
+    // q153). The explicit node-side broadcasts below make the join
+    // direction structural, and the fan-out restores map parallelism.
+    Tables.fanOut(graft.sources.ParquetState.getOrBuild(s, stateDir, Seq("edges")) {
       Seq(coOccurrenceEdges(li, "l_orderkey", "l_partkey"))
-    }.head
+    }.head)
   }
 
   /** `rounds` fixed-point PageRank iterations over a (src, dst) edge
@@ -79,10 +85,13 @@ object Graph {
       .persist(StorageLevel.MEMORY_AND_DISK)
     var rank = deg.select(col("src").as("part"), lit(RankScale).as("rank"))
     for (_ <- 1 to rounds) {
-      val contrib = rank
-        .join(deg, rank("part") === deg("src"))
-        .withColumn("c", expr("CAST(FLOOR(CAST(rank AS DOUBLE) / d) AS BIGINT)"))
-        .join(e, Seq("src"))
+      // rank/degree relations are node-sized — broadcast them into the
+      // edge scan (same rationale and caveat as labelPropagation)
+      val contrib = e
+        .join(broadcast(rank
+          .join(deg, rank("part") === deg("src"))
+          .withColumn("c", expr("CAST(FLOOR(CAST(rank AS DOUBLE) / d) AS BIGINT)"))
+          .select(col("src"), col("c"))), Seq("src"))
         .groupBy(col("dst")).agg(sum(col("c")).as("inc"))
       rank = deg.select(col("src").as("part"))
         .join(contrib, col("part") === contrib("dst"), "left")
@@ -115,7 +124,11 @@ object Graph {
     var lab = e.select(col("src").as("node")).distinct()
       .withColumn("label", col("node"))
     for (_ <- 1 to rounds) {
-      lab = e.join(lab, e("dst") === lab("node"))
+      // the label relation is node-sized — the broadcast side by
+      // construction (edges ≫ nodes in any co-occurrence graph). At
+      // billion-node scale, drop the hint and co-partition both
+      // relations by the join key instead.
+      lab = e.join(broadcast(lab), e("dst") === lab("node"))
         .groupBy(col("src"), col("label")).agg(count(lit(1)).as("cnt"))
         // argmax(cnt) with lowest-label ties: max over (cnt, -label)
         .groupBy(col("src"))
