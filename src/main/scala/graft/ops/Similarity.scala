@@ -1430,11 +1430,70 @@ object Similarity {
       .limit(10)
   }
 
+  /** IVF index-drift monitor — the staleness signal that triggers a
+    * retrain: the quantizer trains on the BASE snapshot (vec_id % 10 ≠ 9),
+    * new ARRIVALS (vec_id % 10 = 9) are assigned to the FROZEN trained
+    * centroids (no retrain — exactly what a serving index does between
+    * rebuilds), and each bucket reports its build-time vs arrival
+    * population share plus the absolute drift. A drifted distribution
+    * means the coarse quantizer no longer fits the data (new modality,
+    * new domain) and probe-recall degrades — the operational rule is
+    * "retrain when max drift exceeds a threshold". Counts are exact
+    * integers; shares and drift are exactly-rounded IEEE arithmetic on
+    * < 2⁵³ integers — the whole monitor hash-verifies. Arrivals landing
+    * in no bucket can't happen (assignment is total); buckets with no
+    * arrivals survive via a left join (their drift IS the finding). */
+  val q162IndexDrift: QueryDef = sql(
+    "q162_index_drift",
+    s"""WITH qa AS (
+       |  SELECT vec_id, dim,
+       |    CAST(FLOOR(CAST(embedding[dim] AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT) AS v
+       |  FROM embeddings,
+       |       LATERAL (SELECT unnest(range(1, len(embedding) + 1)) AS dim)),
+       |qb AS (SELECT * FROM qa WHERE vec_id % 10 <> 9),
+       |${lloydRoundsSql("qb")},
+       |qn AS (SELECT * FROM qa WHERE vec_id % 10 = 9),
+       |dn AS (SELECT s.vec_id, c.cid, SUM((s.v - c.v) * (s.v - c.v)) AS dist
+       |       FROM qn s JOIN c2 c ON c.dim = s.dim GROUP BY 1, 2),
+       |an AS (SELECT vec_id, cid FROM (
+       |         SELECT vec_id, cid, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+       |         FROM dn) WHERE rn = 1),
+       |cb AS (SELECT cid, COUNT(*) AS n_base FROM a3 GROUP BY 1),
+       |cn AS (SELECT cid, COUNT(*) AS n_new FROM an GROUP BY 1),
+       |tb AS (SELECT COUNT(*) AS t FROM a3),
+       |tn AS (SELECT COUNT(*) AS t FROM an)
+       |SELECT CAST(cb.cid AS INT) AS cid, cb.n_base, COALESCE(cn.n_new, 0) AS n_new,
+       |  CAST(cb.n_base AS DOUBLE) / tb.t AS share_base,
+       |  CAST(COALESCE(cn.n_new, 0) AS DOUBLE) / tn.t AS share_new,
+       |  ABS(CAST(COALESCE(cn.n_new, 0) AS DOUBLE) / tn.t - CAST(cb.n_base AS DOUBLE) / tb.t) AS drift
+       |FROM cb LEFT JOIN cn ON cn.cid = cb.cid, tb, tn
+       |ORDER BY cid""".stripMargin) { (s, dir) =>
+    val v = quantizedLong(s, dir)
+    val base = v.filter(col("vec_id") % 10 =!= 9)
+    val arrivals = v.filter(col("vec_id") % 10 === 9)
+    val cents = kmeansCentroidFrame(base, k = NumCentroids, iters = 2)
+    val cb = assignToCentroids(base, cents)
+      .groupBy(col("cid")).agg(count(lit(1)).as("n_base"))
+    val cn = assignToCentroids(arrivals, cents)
+      .groupBy(col("cid")).agg(count(lit(1)).as("n_new"))
+    val tb = cb.agg(sum(col("n_base")).as("tb"))
+    val tn = cn.agg(sum(col("n_new")).as("tn"))
+    cb.join(cn, Seq("cid"), "left")
+      .crossJoin(broadcast(tb)).crossJoin(broadcast(tn))
+      .select(col("cid").cast("int").as("cid"), col("n_base"),
+        coalesce(col("n_new"), lit(0L)).as("n_new"),
+        (col("n_base").cast("double") / col("tb")).as("share_base"),
+        (coalesce(col("n_new"), lit(0L)).cast("double") / col("tn")).as("share_new"),
+        abs(coalesce(col("n_new"), lit(0L)).cast("double") / col("tn") -
+          col("n_base").cast("double") / col("tb")).as("drift"))
+      .orderBy(col("cid"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     q36ArrayNorms, q37EmbeddingNeardup, q38AnnBruteforce, q39AnnIvf,
     q45AnnNative, q52AnnLsh, q61AnnQuantized, q119KmeansTrain,
     q120AnnIvfTrained, q122SemanticDedup, q125SemdedupCentroid,
     q131HardNegatives, q133PqAdc, q135HardNegativesIvf, q138GramMatrix,
     q140KnnClassify, q146PcaPower, q147MmrRerank, q152KnnClassifyIvf,
-    q154JlAnn, q160JlIvf)
+    q154JlAnn, q160JlIvf, q162IndexDrift)
 }

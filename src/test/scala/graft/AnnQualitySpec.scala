@@ -344,6 +344,58 @@ class AnnQualitySpec extends SparkSpec {
     assert(recall >= 7, s"JL-IVF recall@10 = $recall on separated clusters")
   }
 
+  test("index drift: proportional arrivals yield EXACTLY zero drift, shares re-derive") {
+    // generateClustered puts 30 members per cluster in contiguous id
+    // blocks, so the vec_id ≡ 9 (mod 10) arrival rule samples exactly 3
+    // per cluster — shares are both 27/216 = 3/24 = 0.125 and the drift
+    // is not just small but bit-exactly 0.0 (the integer-exact monitor
+    // at work)
+    val dir = generateClustered()
+    val rows = Similarity.q162IndexDrift.run(spark, dir).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4), r.getDouble(5)))
+    assert(rows.nonEmpty)
+    val tb = rows.map(_._2).sum
+    val tn = rows.map(_._3).sum
+    assert(tn > 0, "some arrivals must exist")
+    rows.foreach { case (_, nb, nn, sb, sn, drift) =>
+      assert(sb == nb.toDouble / tb)
+      assert(sn == nn.toDouble / tn)
+      assert(drift == math.abs(nn.toDouble / tn - nb.toDouble / tb))
+    }
+    assert(rows.map(_._6).max == 0.0,
+      s"proportional arrivals must show exactly zero drift, got ${rows.map(_._6).max}")
+  }
+
+  test("index drift monitor flags arrivals drawn from only one cluster") {
+    // two well-separated clusters; every arrival-id (≡ 9 mod 10) carries
+    // a cluster-B vector while the base splits evenly — the monitor must
+    // register large drift on the B-heavy buckets
+    val rnd = new Random(13)
+    def unit(v: Array[Float]): Array[Float] = {
+      val n = math.sqrt(v.map(x => x * x.toDouble).sum).toFloat
+      v.map(_ / n)
+    }
+    val a = unit(Array.fill(64)(rnd.nextGaussian().toFloat))
+    val b = unit(Array.fill(64)(rnd.nextGaussian().toFloat))
+    def member(c: Array[Float]) = unit(c.zip(
+      Array.fill(64)(rnd.nextGaussian().toFloat * 0.1f)).map { case (x, y) => x + y })
+    val rows = scala.collection.mutable.ArrayBuffer[(Long, Array[Float], Int)]()
+    (0L until 120L).foreach { id =>
+      val v = if (id % 10 == 9) member(b)                 // arrivals: all B
+        else if (id % 2 == 0) member(a) else member(b)    // base: even split
+      rows += ((id, v, if (id % 10 == 9 || id % 2 != 0) 1 else 0))
+    }
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-drift").toString
+    rows.toSeq.toDF("vec_id", "embedding", "label")
+      .write.parquet(s"$dir/embeddings.parquet")
+    val drifts = Similarity.q162IndexDrift.run(spark, dir).collect()
+      .map(_.getDouble(5))
+    assert(drifts.max > 0.2,
+      s"single-cluster arrivals must register drift, got max ${drifts.max}")
+  }
+
   test("JL projection coordinates re-derive exactly on the driver") {
     val dir = generateClustered()
     val signs = Similarity.jlSignMatrix(spark, 64, 16).collect()
