@@ -1117,8 +1117,57 @@ object Dedup {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
+  /** Dedup-savings accounting — the impact report a dedup rollout
+    * publishes (and capacity planning consumes): per q85 near-dup
+    * cluster larger than one, the documents, tokens, and bytes that
+    * keep-lowest-id canonicalization removes. "We deleted 3.1% of docs
+    * but 9% of bytes" is the sentence this query produces; at 100 TB it
+    * is the difference between a dedup run that pays for itself in
+    * storage and one that doesn't. All counts exact integers.
+    *
+    * Shape: the q85 component relation (edge-bounded, see
+    * [[connectedComponents]]) joined once against a text-free per-doc
+    * stats projection, then one cluster-keyed map-side-combined
+    * aggregate — output is cluster-count-sized. */
+  val q163DedupSavings: QueryDef = sql(
+    "q163_dedup_savings",
+    s"""WITH RECURSIVE $verifiedPairsSql,
+       |edges AS (SELECT doc_a AS src, doc_b AS dst FROM vp
+       |          UNION ALL SELECT doc_b, doc_a FROM vp),
+       |reach AS (
+       |  SELECT doc_id AS node, doc_id AS r FROM documents
+       |  UNION
+       |  SELECT e.src, reach.r FROM edges e JOIN reach ON reach.node = e.dst),
+       |clusters AS (SELECT node AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY node),
+       |stats AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks, n_chars
+       |          FROM documents)
+       |SELECT c.cluster_id, COUNT(*) AS cluster_size,
+       |  CAST(COUNT(*) - 1 AS BIGINT) AS n_removed,
+       |  CAST(SUM(CASE WHEN c.doc_id <> c.cluster_id THEN st.n_toks ELSE 0 END) AS BIGINT) AS tokens_removed,
+       |  CAST(SUM(CASE WHEN c.doc_id <> c.cluster_id THEN st.n_chars ELSE 0 END) AS BIGINT) AS bytes_removed
+       |FROM clusters c JOIN stats st ON st.doc_id = c.doc_id
+       |GROUP BY c.cluster_id
+       |HAVING COUNT(*) > 1
+       |ORDER BY cluster_id""".stripMargin) { (s, dir) =>
+    val clusters = connectedComponents(
+      Tables.documents(s, dir).select(col("doc_id")),
+      verifiedPairs(s, dir).select(col("doc_a"), col("doc_b")))
+    val stats = Tables.documents(s, dir)
+      .select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_toks"), col("n_chars"))
+    clusters.join(stats, "doc_id")
+      .groupBy(col("cluster_id"))
+      .agg(count(lit(1)).as("cluster_size"),
+        (count(lit(1)) - 1).cast("long").as("n_removed"),
+        sum(when(col("doc_id") =!= col("cluster_id"), col("n_toks")).otherwise(0L)).as("tokens_removed"),
+        sum(when(col("doc_id") =!= col("cluster_id"), col("n_chars")).otherwise(0L)).as("bytes_removed"))
+      .filter(col("cluster_size") > 1)
+      .orderBy(col("cluster_id"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     q30DedupExact, q31MinhashLsh, q32NeardupVerified, q33Simhash, q34SimhashPairs,
     q78SimhashHamming, q85DedupClusters, q108IncrementalDedup, q111SimhashWide,
-    q126SpanDedup, q150DedupEval, q156RougeAudit, q161SplitLeakage)
+    q126SpanDedup, q150DedupEval, q156RougeAudit, q161SplitLeakage,
+    q163DedupSavings)
 }

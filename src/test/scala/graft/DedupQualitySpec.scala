@@ -101,6 +101,30 @@ class DedupQualitySpec extends SparkSpec {
     assert(got == expected)
   }
 
+  test("dedup savings reconcile with cluster membership and per-doc stats") {
+    val (dir, _, nExact) = generateCorpus()
+    val members = Dedup.q85DedupClusters.run(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))          // (doc_id, cluster_id)
+      .groupBy(_._2).view.mapValues(_.map(_._1).toSet).toMap
+    val stats = graft.sources.Tables.documents(spark, dir)
+      .selectExpr("doc_id", "CAST(size(split(text, ' ')) AS LONG) AS n_toks", "n_chars")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val rows = Dedup.q163DedupSavings.run(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(rows.size >= nExact, "every planted exact copy forms a savings cluster")
+    val multi = members.filter(_._2.size > 1)
+    assert(rows.map(_._1).toSet == multi.keySet,
+      "savings rows must be exactly the size>1 clusters")
+    rows.foreach { case (cid, size, removed, toks, bytes) =>
+      val m = members(cid)
+      assert(cid == m.min, "the keeper is the minimum member id")
+      assert(size == m.size && removed == size - 1)
+      val losers = m - cid
+      assert(toks == losers.toSeq.map(stats(_)._1).sum)
+      assert(bytes == losers.toSeq.map(stats(_)._2).sum)
+    }
+  }
+
   test("rouge audit: exact copies score F1=1.0, clipping bounds hold, F1 re-derives") {
     val (dir, _, nExact) = generateCorpus()
     val rows = Dedup.q156RougeAudit.run(spark, dir).collect().map(r =>
