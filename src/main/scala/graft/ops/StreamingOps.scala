@@ -588,6 +588,53 @@ object StreamingOps {
       .start()
   }
 
+  /** q162's ingest-time face: an IVF serving index watching its arrival
+    * distribution BETWEEN rebuilds. Arrivals stream in; each trigger
+    * assigns the micro-batch to the FROZEN centroid relation (no
+    * retrain — the q120 serving posture), appends (vec_id, cid) to a
+    * persisted assignment log (append LAST, the q108 discipline: the
+    * emit anti-depends on the pre-append snapshot), and reports the
+    * accumulated per-bucket arrival counts — the numbers q162's drift
+    * compares against build-time shares. Replay idempotence: an
+    * uncheckpointed restart re-processes staged files, and already-
+    * logged vec_ids anti-join out, so counts never double. The log IS
+    * the incremental index extension (the rows a bucket-probing ANN
+    * serves from), so the monitor rides the maintenance write for free. */
+  def driftStream(s: SparkSession, stagedDir: String, stateDir: String,
+      cents: Seq[(Long, Seq[Long])])(
+      onBatch: (Long, Seq[(Long, Long)]) => Unit): org.apache.spark.sql.streaming.StreamingQuery = {
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    // initialize an empty assignment log ONLY when none exists — a
+    // restart against accumulated state must extend it, not reset it
+    if (!new java.io.File(stateDir, "_SUCCESS").exists())
+      s.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),
+        StructType(Seq(StructField("vec_id", LongType),
+          StructField("cid", LongType))))
+        .write.mode("overwrite").parquet(stateDir)
+    s.readStream.schema("vec_id LONG, embedding ARRAY<FLOAT>")
+      .option("maxFilesPerTrigger", "1")
+      .parquet(stagedDir)
+      .writeStream
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        val b = s.createDataFrame(batch.rdd, batch.schema)
+        val log = s.read.parquet(stateDir)
+        val fresh = b.join(log.select(col("vec_id")), Seq("vec_id"), "left_anti")
+        val assigned = Similarity.assignToCentroids(
+            Similarity.quantizeVectors(fresh), cents)
+          .select(col("vec_id"), col("cid"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try {
+          val counts = log.select(col("cid")).union(assigned.select(col("cid")))
+            .groupBy(col("cid")).agg(count(lit(1)).as("n"))
+            .collect().map(r => r.getLong(0) -> r.getLong(1)).sortBy(_._1).toSeq
+          onBatch(id, counts)
+          assigned.write.mode("append").parquet(stateDir)
+        } finally assigned.unpersist()
+      }
+      .start()
+  }
+
   def kmeansStream(s: SparkSession, stagedDir: String,
       init: Seq[(Long, Seq[Long])])(
       onBatch: (Long, DataFrame, Seq[(Long, Long, Seq[Long])]) => Unit): org.apache.spark.sql.streaming.StreamingQuery = {

@@ -2142,6 +2142,40 @@ object TextOps {
       .orderBy(col("doc_id"))
   }
 
+  /** Temperature-scaled mixture rates (mT5 — Xue et al. 2021,
+    * arXiv:2010.11934 §3.2, the τ-sampling every multilingual/multi-
+    * domain pretraining mix uses; τ = 2 here): sampling weight ∝ n^(1/τ)
+    * = √n, which UP-samples small sources relative to proportional
+    * mixing without the hard caps of UniMax (q134) — the third point on
+    * the proportional (q118) / capped (q134) / tempered spectrum. τ = 2
+    * is the one temperature whose power is an IEEE-exact primitive
+    * (SQRT is correctly rounded; pow(x, 1/τ) for general τ is not), so
+    * the emitted rates are deterministic cross-engine: w_rel =
+    * √n_i/√n_max (one division of two correctly-rounded roots) and the
+    * micro-rate floor(10⁶·w_rel) an exact floor of a deterministic
+    * double. The only corpus-scale step is the per-source token count;
+    * everything after is dimension-sized. */
+  val q164TemperatureMix: QueryDef = sql(
+    "q164_temperature_mix",
+    """WITH t AS (SELECT source, CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+      |           FROM documents GROUP BY source),
+      |mx AS (SELECT MAX(n_tokens) AS m FROM t)
+      |SELECT t.source, t.n_tokens,
+      |  SQRT(CAST(t.n_tokens AS DOUBLE)) / SQRT(CAST(mx.m AS DOUBLE)) AS w_rel,
+      |  CAST(FLOOR(1000000.0 * (SQRT(CAST(t.n_tokens AS DOUBLE)) / SQRT(CAST(mx.m AS DOUBLE)))) AS BIGINT) AS rate_micro
+      |FROM t, mx
+      |ORDER BY source""".stripMargin) { (s, dir) =>
+    val t = docsWithTokens(s, dir)
+      .groupBy(col("source")).agg(sum(size(col("toks"))).cast("long").as("n_tokens"))
+    val mx = t.agg(max(col("n_tokens")).as("m"))
+    t.crossJoin(broadcast(mx))
+      .select(col("source"), col("n_tokens"),
+        (sqrt(col("n_tokens").cast("double")) / sqrt(col("m").cast("double"))).as("w_rel"),
+        floor(lit(1000000.0) * (sqrt(col("n_tokens").cast("double")) /
+          sqrt(col("m").cast("double")))).cast("long").as("rate_micro"))
+      .orderBy(col("source"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     q21TextStats, q22WordFreq, q23BigramFreq, q24LangId, q25QualityScore,
     q26Fingerprint, q27TokenRegex, q62TrainSplit, q64TermFreqMap,
@@ -2152,5 +2186,5 @@ object TextOps {
     q129DsirSelect, q130SequencePacking, q134UnimaxMix, q139MixSchedule,
     q141DomainCap, q142PreferencePairs, q145CorpusDiff, q149CorpusCard,
     q151CorpusBuildPack, q155Collocations, q157DomainCosine,
-    q158Boilerplate, q159QualityQuantileGate)
+    q158Boilerplate, q159QualityQuantileGate, q164TemperatureMix)
 }

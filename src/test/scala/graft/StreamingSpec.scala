@@ -5,7 +5,7 @@ import java.nio.file.{Files, Paths, StandardCopyOption}
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
-import graft.ops.{StreamingOps, TextOps}
+import graft.ops.{Similarity, StreamingOps, TextOps}
 import graft.sources.Tables
 
 /** Streaming self-oracles: file-source replay of the events fixture into a
@@ -452,6 +452,52 @@ class StreamingSpec extends SparkSpec {
       docs.withColumn("doc_id", col("doc_id") + 1000000L), "b.parquet"))
     assert(second.isEmpty,
       s"restart re-admitted ${second.size} previously-seen texts")
+  }
+
+  test("drift stream: accumulated bucket counts equal the batch assignment; restart never double-counts") {
+    import scala.collection.concurrent.TrieMap
+    val emb = Tables.embeddings(spark, sfDir).select(col("vec_id"), col("embedding"))
+    // frozen quantizer: trained on the base slice exactly as q162 does
+    val base = Similarity.quantizeVectors(emb.filter(col("vec_id") % 10 =!= 9))
+    val cents = Similarity.kmeansCentroids(base, k = 8, iters = 2)
+    // arrivals staged as three micro-batch files
+    val srcDir = Files.createTempDirectory("graft-drift-src")
+    def stage(k: Long, name: String): Unit = {
+      val tmp = Files.createTempDirectory("graft-drift-stage").toString
+      emb.filter(col("vec_id") % 10 === 9 && col("vec_id") % 3 === k)
+        .coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(_.getName.endsWith(".parquet")).get.toPath
+      Files.copy(part, srcDir.resolve(name), StandardCopyOption.REPLACE_EXISTING)
+      stampStaged(srcDir.resolve(name))
+    }
+    stage(0, "a.parquet"); stage(1, "b.parquet"); stage(2, "c.parquet")
+    val stateDir = Files.createTempDirectory("graft-drift-state").toString + "/log"
+    val rec = TrieMap.empty[Long, Seq[(Long, Long)]]
+    val q = StreamingOps.driftStream(spark, srcDir.toString, stateDir, cents) {
+      (id, counts) => rec(id) = counts
+    }
+    assert(q.awaitTermination(180000), "drift stream did not finish")
+    assert(rec.size > 1, "multiple micro-batches must have run")
+    // final accumulated counts == one batch assignment over ALL arrivals
+    val expected = Similarity.assignToCentroids(
+        Similarity.quantizeVectors(emb.filter(col("vec_id") % 10 === 9)), cents)
+      .groupBy(col("cid")).count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).sortBy(_._1).toSeq
+    val last = rec(rec.keys.max)
+    assert(last == expected, s"stream $last != batch $expected")
+    // counts only grow across triggers
+    val totals = rec.toSeq.sortBy(_._1).map(_._2.map(_._2).sum)
+    assert(totals == totals.sorted)
+    // restart over the same staged files: every vec_id is already logged,
+    // so the final report must be unchanged (no double counting)
+    val rec2 = TrieMap.empty[Long, Seq[(Long, Long)]]
+    val q2 = StreamingOps.driftStream(spark, srcDir.toString, stateDir, cents) {
+      (id, counts) => rec2(id) = counts
+    }
+    assert(q2.awaitTermination(180000), "restarted drift stream did not finish")
+    assert(rec2.nonEmpty && rec2(rec2.keys.max) == expected,
+      "replayed arrivals must not change the accumulated counts")
   }
 
   test("streaming mini-batch k-means state equals a driver-side replay") {

@@ -364,6 +364,27 @@ class TextQualitySpec extends SparkSpec {
     assert(rows.map(_.getDouble(4)).toSeq == rows.map(_.getDouble(4)).sortBy(-_).toSeq)
   }
 
+  test("temperature mix: rates re-derive, the max source pins 1.0, small sources up-sample") {
+    val rows = TextOps.q164TemperatureMix.run(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+    assert(rows.nonEmpty)
+    val m = rows.map(_._2).max
+    rows.foreach { case (_, n, w, rm) =>
+      assert(w == math.sqrt(n.toDouble) / math.sqrt(m.toDouble))
+      assert(rm == math.floor(1000000.0 * w).toLong)
+      assert(w > 0.0 && w <= 1.0)
+      // τ=2 up-samples every non-max source relative to proportional
+      if (n < m) assert(w > n.toDouble / m, s"tempered rate must exceed proportional for n=$n")
+    }
+    assert(rows.filter(_._2 == m).forall(_._3 == 1.0))
+    // monotone: more tokens, no smaller rate
+    val byTokens = rows.sortBy(_._2)
+    byTokens.sliding(2).foreach {
+      case Array((_, _, w1, _), (_, _, w2, _)) => assert(w2 >= w1)
+      case _ =>
+    }
+  }
+
   private def writeDocs(rows: Seq[(Long, String, String)], prefix: String): String = {
     import org.apache.spark.sql.functions.{col, length, lit}
     import spark.implicits._
