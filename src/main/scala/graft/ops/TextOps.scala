@@ -752,39 +752,85 @@ object TextOps {
     * sums then window WITHIN each block, keyed by the block id, and add
     * the block's exclusive offset. Identical integer arithmetic to the
     * oracle's naive window, scale-safe shuffle keys throughout. */
-  val q100ShardPacking: QueryDef = {
-    val ShardBudget = 50000L
-    val BlockWidth = 512L
-    sql(
-      "q100_shard_packing",
-      s"""WITH t AS (SELECT doc_id, len(string_split(text, ' ')) AS n_tokens FROM documents),
-         |packed AS (SELECT doc_id, n_tokens,
-         |    CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
-         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS offset_tokens
-         |  FROM t)
-         |SELECT doc_id, n_tokens, offset_tokens,
-         |  CAST(offset_tokens // $ShardBudget AS BIGINT) AS shard_id
-         |FROM packed
-         |ORDER BY doc_id""".stripMargin) { (s, dir) =>
-      import org.apache.spark.sql.expressions.Window
-      val t = Tables.documents(s, dir)
-        .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("n_tokens"),
-          expr(s"doc_id DIV $BlockWidth").as("blk"))
-      val blockOffsets = t.groupBy(col("blk")).agg(sum(col("n_tokens")).as("blk_tokens"))
-        .withColumn("blk_offset", coalesce(sum(col("blk_tokens")).over(
-          Window.orderBy(col("blk")).rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-        .select(col("blk"), col("blk_offset"))
-      val within = Window.partitionBy(col("blk")).orderBy(col("doc_id"))
-        .rowsBetween(Window.unboundedPreceding, -1)
-      t.join(broadcast(blockOffsets), "blk")
-        .withColumn("offset_tokens",
-          col("blk_offset") + coalesce(sum(col("n_tokens")).over(within), lit(0L)))
-        .select(col("doc_id"), col("n_tokens"), col("offset_tokens"),
-          // integral DIV, not double '/': FP truncation can disagree with
-          // floor division exactly at shard boundaries
-          expr(s"offset_tokens DIV $ShardBudget").as("shard_id"))
-        .orderBy(col("doc_id"))
-    }
+  private val ShardBudget = 50000L
+  private val ShardBlockWidth = 512L
+
+  /** The shard-packing relation q100 and q165 share: (doc_id, n_tokens,
+    * offset_tokens, shard_id, h) with the block-offset two-pass prefix
+    * sum (no corpus-global single-task window) and a 60-bit md5 content
+    * hash per doc. Consumers that don't read `h` get it pruned from the
+    * scan projection, so q100 pays nothing for it. */
+  private def shardPacked(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val t = Tables.documents(s, dir)
+      .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("n_tokens"),
+        expr(s"doc_id DIV $ShardBlockWidth").as("blk"),
+        expr("CAST(conv(substring(md5(concat(CAST(doc_id AS STRING), ':', text)), 1, 15), 16, 10) AS BIGINT)").as("h"))
+    val blockOffsets = t.groupBy(col("blk")).agg(sum(col("n_tokens")).as("blk_tokens"))
+      .withColumn("blk_offset", coalesce(sum(col("blk_tokens")).over(
+        Window.orderBy(col("blk")).rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("blk"), col("blk_offset"))
+    val within = Window.partitionBy(col("blk")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    t.join(broadcast(blockOffsets), "blk")
+      .withColumn("offset_tokens",
+        col("blk_offset") + coalesce(sum(col("n_tokens")).over(within), lit(0L)))
+      .select(col("doc_id"), col("n_tokens"), col("offset_tokens"),
+        // integral DIV, not double '/': FP truncation can disagree with
+        // floor division exactly at shard boundaries
+        expr(s"offset_tokens DIV $ShardBudget").as("shard_id"), col("h"))
+  }
+
+  val q100ShardPacking: QueryDef = sql(
+    "q100_shard_packing",
+    s"""WITH t AS (SELECT doc_id, len(string_split(text, ' ')) AS n_tokens FROM documents),
+       |packed AS (SELECT doc_id, n_tokens,
+       |    CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS offset_tokens
+       |  FROM t)
+       |SELECT doc_id, n_tokens, offset_tokens,
+       |  CAST(offset_tokens // $ShardBudget AS BIGINT) AS shard_id
+       |FROM packed
+       |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    shardPacked(s, dir)
+      .select(col("doc_id"), col("n_tokens"), col("offset_tokens"), col("shard_id"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Release shard manifest — the integrity artifact a dataset release
+    * ships beside its shards (the checksums consumers verify before
+    * training): per q100 shard, document count, id range, token total,
+    * and an ORDER-INDEPENDENT content hash (bit_xor of 60-bit md5
+    * prefixes — XOR so any partition layout writes the identical
+    * manifest, and overflow-proof under ANSI partial aggregation, the
+    * `evalSetFingerprint` rationale). A consumer re-derives a shard's
+    * hash from its rows and rejects tampered or truncated shards; a
+    * publisher diffs manifests release-over-release (q145 says which
+    * DOCS moved; this says which SHARDS need re-download). All exact
+    * integers — the manifest itself hash-verifies. One aggregate over
+    * the shared shard-packing relation; output is shard-count-sized. */
+  val q165ShardManifest: QueryDef = sql(
+    "q165_shard_manifest",
+    s"""WITH t AS (SELECT doc_id, len(string_split(text, ' ')) AS n_tokens,
+       |      CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':' || text), 1, 15)) AS BIGINT) AS h
+       |    FROM documents),
+       |packed AS (SELECT doc_id, n_tokens, h,
+       |    CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS offset_tokens
+       |  FROM t)
+       |SELECT CAST(offset_tokens // $ShardBudget AS BIGINT) AS shard_id,
+       |  COUNT(*) AS n_docs, MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc,
+       |  CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+       |  CAST(bit_xor(h) AS BIGINT) AS content_hash
+       |FROM packed
+       |GROUP BY 1
+       |ORDER BY shard_id""".stripMargin) { (s, dir) =>
+    shardPacked(s, dir)
+      .groupBy(col("shard_id"))
+      .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("min_doc"),
+        max(col("doc_id")).as("max_doc"), sum(col("n_tokens")).as("total_tokens"),
+        expr("bit_xor(h)").as("content_hash"))
+      .orderBy(col("shard_id"))
   }
 
   /** Heavy hitters via the Misra-Gries frequent-items sketch
@@ -2186,5 +2232,6 @@ object TextOps {
     q129DsirSelect, q130SequencePacking, q134UnimaxMix, q139MixSchedule,
     q141DomainCap, q142PreferencePairs, q145CorpusDiff, q149CorpusCard,
     q151CorpusBuildPack, q155Collocations, q157DomainCosine,
-    q158Boilerplate, q159QualityQuantileGate, q164TemperatureMix)
+    q158Boilerplate, q159QualityQuantileGate, q164TemperatureMix,
+    q165ShardManifest)
 }

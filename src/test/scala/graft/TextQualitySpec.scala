@@ -385,6 +385,29 @@ class TextQualitySpec extends SparkSpec {
     }
   }
 
+  test("shard manifest reconciles with shard packing and the hash re-derives order-independently") {
+    import org.apache.spark.sql.functions.{col, expr}
+    val packing = TextOps.q100ShardPacking.run(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(3)))   // (doc_id, n_tokens, shard_id)
+    val perDocHash = graft.sources.Tables.documents(spark, sfDir)
+      .select(col("doc_id"), expr(
+        "CAST(conv(substring(md5(concat(CAST(doc_id AS STRING), ':', text)), 1, 15), 16, 10) AS BIGINT)").as("h"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val manifest = TextOps.q165ShardManifest.run(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+    assert(manifest.nonEmpty)
+    val byShard = packing.groupBy(_._3)
+    assert(manifest.map(_._1).toSet == byShard.keySet)
+    manifest.foreach { case (sid, nDocs, minDoc, maxDoc, totTokens, hash) =>
+      val docs = byShard(sid)
+      assert(nDocs == docs.size)
+      assert(minDoc == docs.map(_._1).min && maxDoc == docs.map(_._1).max)
+      assert(totTokens == docs.map(_._2).sum)
+      // XOR in arbitrary driver order — order independence is the point
+      assert(hash == docs.map(d => perDocHash(d._1)).reduce(_ ^ _))
+    }
+  }
+
   private def writeDocs(rows: Seq[(Long, String, String)], prefix: String): String = {
     import org.apache.spark.sql.functions.{col, length, lit}
     import spark.implicits._
