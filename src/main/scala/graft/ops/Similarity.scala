@@ -1079,18 +1079,30 @@ object Similarity {
     * per-round argmax is the bounded ONE-row driver collect of the
     * q132 bestPair class — k rounds, k rows total. */
   def mmrRerank(emb: DataFrame, queryId: Long, poolSize: Int, k: Int): DataFrame = {
-    val s = emb.sparkSession
-    import s.implicits._
     val qv = emb.select(col("vec_id"), expr(
       "transform(embedding, x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000000.0D + 0.5D) AS BIGINT))").as("qv"))
     val qrow = qv.filter(col("vec_id") === queryId).select(col("qv").as("tq"))
-    def idot(a: String, b: String) = aggregate(
-      zip_with(col(a), col(b), (x, y) => x * y), lit(0L), (acc, x) => acc + x)
     val rel = qv.filter(col("vec_id") =!= queryId)
       .crossJoin(broadcast(qrow))
-      .withColumn("rel", idot("qv", "tq"))
+      .withColumn("rel", relDot("qv", "tq"))
       .select(col("vec_id"), col("rel"))
-    val cand = rel.orderBy(col("rel").desc, col("vec_id")).limit(poolSize)
+    mmrGreedy(qv, rel.orderBy(col("rel").desc, col("vec_id")).limit(poolSize), k)
+  }
+
+  /** Exact integer dot of two quantized array columns. */
+  private def relDot(a: String, b: String): Column = aggregate(
+    zip_with(col(a), col(b), (x, y) => x * y), lit(0L), (acc, x) => acc + x)
+
+  /** The greedy MMR selection loop over a SUPPLIED candidate pool
+    * (vec_id, rel): each round picks argmax(2·rel − max-sim-to-selected),
+    * ties to the lower vec_id — pool²-sized after the pool is fixed, so
+    * any recall stage (rel-top-k in q147, RRF fusion in q166) can front
+    * it. Returns (rank, vec_id, rel, score). */
+  def mmrGreedy(qv: DataFrame, cand0: DataFrame, k: Int): DataFrame = {
+    val s = qv.sparkSession
+    import s.implicits._
+    def idot(a: String, b: String) = relDot(a, b)
+    val cand = cand0
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val candV = cand.join(qv, "vec_id")
     val sim = candV.select(col("vec_id").as("i"), col("qv").as("vi"))
@@ -1489,11 +1501,145 @@ object Similarity {
       .orderBy(col("cid"))
   }
 
+  /** The SERVING capstone — the retrieval mirror of q123/q151's training
+    * capstone: one query composing the whole serving stack end-to-end.
+    * For query 0, the lexical leg (q136's BM25 over the EMBEDDED
+    * sub-corpus — the indexed corpus IS the embedded corpus) and the
+    * semantic leg (q38's exact cosine) each keep their top-20; RRF
+    * (q137, k=60) fuses the rankings into a top-10 recall pool; greedy
+    * MMR (q147's integer trajectory) re-ranks that pool for diversity
+    * and serves the final 5. Fusion decides WHAT is in the pool from
+    * ranks alone; MMR decides the ORDER from exact integer dots — so a
+    * divergence in any composed stage (postings, idf, cosine fold, rank
+    * tie, fused rational, greedy argmax) moves the served list and
+    * breaks the single hash. Every stage reuses the library operator
+    * (postings index read from persisted state, native cosine, shared
+    * greedy loop), not a re-implementation. */
+  val q166RagServe: QueryDef = sql(
+    "q166_rag_serve",
+    s"""WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
+       |tf AS (SELECT doc_id, word, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+       |dl AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dl FROM toks GROUP BY 1),
+       |df AS (SELECT word, COUNT(DISTINCT doc_id) AS df FROM toks GROUP BY 1),
+       |stats AS (SELECT COUNT(*) AS n_docs, AVG(dl) AS avgdl FROM dl),
+       |qt AS (SELECT DISTINCT word FROM toks WHERE doc_id = $QueryVec),
+       |bscore AS (
+       |  SELECT t.doc_id,
+       |    SUM(LN(1.0 + (s.n_docs - d.df + 0.5) / (d.df + 0.5))
+       |        * (t.tf * 2.2) / (t.tf + 1.2 * (0.25 + 0.75 * l.dl / s.avgdl))) AS raw
+       |  FROM qt q
+       |  JOIN tf t ON t.word = q.word AND t.doc_id <> $QueryVec
+       |  JOIN embeddings e ON e.vec_id = t.doc_id
+       |  JOIN df d ON d.word = q.word
+       |  JOIN dl l ON l.doc_id = t.doc_id, stats s
+       |  GROUP BY 1),
+       |brank AS (SELECT doc_id,
+       |            ROW_NUMBER() OVER (ORDER BY raw DESC, doc_id) AS lex_rank
+       |          FROM bscore),
+       |${withNormSql()},
+       |qe AS (SELECT embedding AS qvec, nrm AS qn FROM n WHERE vec_id = $QueryVec),
+       |sscore AS (SELECT n.vec_id AS doc_id,
+       |             ${dotSql("n.embedding", "qe.qvec")} / (n.nrm * qe.qn) AS cosine
+       |           FROM n, qe WHERE n.vec_id <> $QueryVec),
+       |srank AS (SELECT doc_id,
+       |            ROW_NUMBER() OVER (ORDER BY cosine DESC, doc_id) AS sem_rank
+       |          FROM sscore),
+       |legs AS (SELECT COALESCE(b.doc_id, s.doc_id) AS doc_id, b.lex_rank, s.sem_rank
+       |         FROM (SELECT * FROM brank WHERE lex_rank <= 20) b
+       |         FULL OUTER JOIN (SELECT * FROM srank WHERE sem_rank <= 20) s
+       |           ON s.doc_id = b.doc_id),
+       |fused AS (SELECT doc_id,
+       |            CAST(COALESCE(lex_rank, 0) AS INT) AS lex_rank,
+       |            CAST(COALESCE(sem_rank, 0) AS INT) AS sem_rank,
+       |            COALESCE(1.0 / (60 + lex_rank), 0.0) + COALESCE(1.0 / (60 + sem_rank), 0.0) AS raw
+       |          FROM legs),
+       |pool AS (SELECT doc_id, lex_rank, sem_rank, raw,
+       |           CAST(ROW_NUMBER() OVER (ORDER BY raw DESC, doc_id) AS INT) AS rnk
+       |         FROM fused QUALIFY rnk <= 10),
+       |q AS (
+       |  SELECT vec_id, dim,
+       |    CAST(FLOOR(CAST(embedding[dim] AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT) AS v
+       |  FROM embeddings,
+       |       LATERAL (SELECT unnest(range(1, len(embedding) + 1)) AS dim)),
+       |rel AS (SELECT r.vec_id, CAST(SUM(r.v * s.v) AS BIGINT) AS rel
+       |        FROM q r JOIN q s ON s.dim = r.dim AND s.vec_id = $QueryVec
+       |        JOIN pool p ON p.doc_id = r.vec_id
+       |        GROUP BY 1),
+       |cand AS (SELECT vec_id, rel FROM rel),
+       |sim AS (SELECT qa.vec_id AS i, qb.vec_id AS j, CAST(SUM(qa.v * qb.v) AS BIGINT) AS s
+       |        FROM q qa JOIN q qb ON qb.dim = qa.dim AND qb.vec_id <> qa.vec_id
+       |        JOIN cand ca ON ca.vec_id = qa.vec_id
+       |        JOIN cand cb ON cb.vec_id = qb.vec_id
+       |        GROUP BY 1, 2),
+       |sel1 AS (SELECT 1 AS rank, vec_id, rel, 2 * rel AS score
+       |         FROM cand ORDER BY rel DESC, vec_id LIMIT 1),
+       |${mmrRoundSql(2)},
+       |${mmrRoundSql(3)},
+       |${mmrRoundSql(4)},
+       |${mmrRoundSql(5)}
+       |SELECT s.rank, s.vec_id AS doc_id, p.lex_rank, p.sem_rank,
+       |  ROUND(p.raw, 6) AS rrf, s.rel, s.score
+       |FROM sel5 s JOIN pool p ON p.doc_id = s.vec_id
+       |ORDER BY s.rank""".stripMargin) { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    graft.functions.CosineSimilarity.register(s)
+    val emb = Tables.embeddings(s, dir)
+    val embIds = emb.select(col("vec_id").as("doc_id"))
+    val (tf, dl, df) = TextOps.postingsIndex(s, Tables.documents(s, dir))
+    val stats = dl.agg(count(lit(1)).as("n_docs"), avg(col("dl")).as("avgdl"))
+    val qt = tf.filter(col("doc_id") === QueryVec).select(col("word"))
+    val term = log(lit(1.0) + (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5))) *
+      (col("tf") * lit(2.2)) /
+      (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / col("avgdl")))
+    val brank = broadcast(qt).join(tf, Seq("word"))
+      .filter(col("doc_id") =!= QueryVec)
+      .join(embIds, Seq("doc_id"))
+      .join(broadcast(df), Seq("word"))
+      .join(dl, Seq("doc_id"))
+      .crossJoin(broadcast(stats))
+      .groupBy(col("doc_id")).agg(sum(term).as("raw"))
+      .withColumn("lex_rank", row_number().over(
+        Window.orderBy(col("raw").desc, col("doc_id"))))
+      .filter(col("lex_rank") <= 20).select(col("doc_id"), col("lex_rank"))
+    val qe = emb.filter(col("vec_id") === QueryVec).select(col("embedding").as("qvec"))
+    val srank = emb.select(col("vec_id").as("doc_id"), col("embedding"))
+      .filter(col("doc_id") =!= QueryVec)
+      .crossJoin(broadcast(qe))
+      .withColumn("cosine", expr("cosine_sim_native(embedding, qvec)"))
+      .withColumn("sem_rank", row_number().over(
+        Window.orderBy(col("cosine").desc, col("doc_id"))))
+      .filter(col("sem_rank") <= 20).select(col("doc_id"), col("sem_rank"))
+    val pool = brank.join(srank, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"),
+        coalesce(col("lex_rank"), lit(0)).cast("int").as("lex_rank"),
+        coalesce(col("sem_rank"), lit(0)).cast("int").as("sem_rank"),
+        (coalesce(lit(1.0) / (lit(60) + col("lex_rank")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(60) + col("sem_rank")), lit(0.0))).as("raw"))
+      .withColumn("rnk", row_number().over(Window.orderBy(col("raw").desc, col("doc_id"))))
+      .filter(col("rnk") <= 10)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val qv = quantizeVectors(emb)
+    val qrow = qv.filter(col("vec_id") === QueryVec).select(col("qv").as("tq"))
+    val rel = qv.join(pool.select(col("doc_id").as("vec_id")), "vec_id")
+      .crossJoin(broadcast(qrow))
+      .withColumn("rel", relDot("qv", "tq"))
+      .select(col("vec_id"), col("rel"))
+    val served = mmrGreedy(qv, rel, k = 5)
+    val out = served.join(pool.select(col("doc_id").as("vec_id"),
+        col("lex_rank"), col("sem_rank"), round(col("raw"), 6).as("rrf")), "vec_id")
+      .select(col("rank"), col("vec_id").as("doc_id"), col("lex_rank"),
+        col("sem_rank"), col("rrf"), col("rel"), col("score"))
+      .orderBy(col("rank"))
+    // pool stays pinned: the greedy loop's actions already ran, and the
+    // final join re-reads it (pool-sized — 10 rows)
+    out
+  }
+
   val all: Seq[QueryDef] = Seq(
     q36ArrayNorms, q37EmbeddingNeardup, q38AnnBruteforce, q39AnnIvf,
     q45AnnNative, q52AnnLsh, q61AnnQuantized, q119KmeansTrain,
     q120AnnIvfTrained, q122SemanticDedup, q125SemdedupCentroid,
     q131HardNegatives, q133PqAdc, q135HardNegativesIvf, q138GramMatrix,
     q140KnnClassify, q146PcaPower, q147MmrRerank, q152KnnClassifyIvf,
-    q154JlAnn, q160JlIvf, q162IndexDrift)
+    q154JlAnn, q160JlIvf, q162IndexDrift, q166RagServe)
 }

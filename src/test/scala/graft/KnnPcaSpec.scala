@@ -67,4 +67,27 @@ class KnnPcaSpec extends SparkSpec {
     val b = Similarity.pcaPowerProjection(df, 2).orderBy("vec_id").collect().toSeq
     assert(a == b && a.nonEmpty)
   }
+
+  test("rag serve capstone: dense ranks, pool provenance, RRF re-derives, top pick maximizes rel") {
+    val rows = Similarity.q166RagServe.run(spark, sfDir).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getInt(2), r.getInt(3),
+        r.getDouble(4), r.getLong(5), r.getLong(6)))
+    assert(rows.map(_._1).toSeq == (1 to 5), "served ranks must be dense 1..5")
+    assert(rows.map(_._2).distinct.length == 5, "no doc served twice")
+    rows.foreach { case (rank, _, lex, sem, rrf, rel, score) =>
+      // pool provenance: at least one leg ranked the doc in its top-20
+      assert((lex >= 1 && lex <= 20) || (sem >= 1 && sem <= 20),
+        s"rank-$rank doc came from neither leg")
+      // the emitted fused score re-derives from the emitted leg ranks
+      val expect = (if (lex > 0) 1.0 / (60 + lex) else 0.0) +
+        (if (sem > 0) 1.0 / (60 + sem) else 0.0)
+      assert(rrf == math.round(expect * 1e6) / 1e6.toDouble, s"rrf $rrf != $expect")
+      // MMR invariant: score = 2*rel - maxsim <= 2*rel
+      if (rank > 1) assert(score <= 2 * rel)
+    }
+    // the first pick is pure relevance: max rel in the pool, and its
+    // score is exactly 2*rel
+    assert(rows.head._7 == 2 * rows.head._6)
+    assert(rows.head._6 == rows.map(_._6).max)
+  }
 }
