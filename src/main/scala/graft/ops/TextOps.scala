@@ -760,9 +760,12 @@ object TextOps {
     * sum (no corpus-global single-task window) and a 60-bit md5 content
     * hash per doc. Consumers that don't read `h` get it pruned from the
     * scan projection, so q100 pays nothing for it. */
-  private def shardPacked(s: SparkSession, dir: String): DataFrame = {
+  private def shardPacked(s: SparkSession, dir: String): DataFrame =
+    shardPackedOf(Tables.documents(s, dir))
+
+  private def shardPackedOf(docs: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val t = Tables.documents(s, dir)
+    val t = docs
       .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("n_tokens"),
         expr(s"doc_id DIV $ShardBlockWidth").as("blk"),
         expr("CAST(conv(substring(md5(concat(CAST(doc_id AS STRING), ':', text)), 1, 15), 16, 10) AS BIGINT)").as("h"))
@@ -830,6 +833,77 @@ object TextOps {
       .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("min_doc"),
         max(col("doc_id")).as("max_doc"), sum(col("n_tokens")).as("total_tokens"),
         expr("bit_xor(h)").as("content_hash"))
+      .orderBy(col("shard_id"))
+  }
+
+  /** Per-shard manifest of an arbitrary (doc_id, text) version frame —
+    * the piece q167 diffs across releases. */
+  private[graft] def manifestOf(docs: DataFrame): DataFrame =
+    shardPackedOf(docs)
+      .groupBy(col("shard_id"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("total_tokens"),
+        expr("bit_xor(h)").as("content_hash"))
+
+  /** One version's manifest CTE chain for the q167 oracle: `src` is a
+    * (doc_id, text) subquery, `x` suffixes the CTE names. */
+  private def manifestCteSql(src: String, x: String): String =
+    s"""t$x AS (SELECT doc_id, len(string_split(text, ' ')) AS n_tokens,
+       |      CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':' || text), 1, 15)) AS BIGINT) AS h
+       |    FROM $src),
+       |packed$x AS (SELECT doc_id, n_tokens, h,
+       |    CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS offset_tokens
+       |  FROM t$x),
+       |m$x AS (SELECT CAST(offset_tokens // $ShardBudget AS BIGINT) AS shard_id,
+       |    COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+       |    CAST(bit_xor(h) AS BIGINT) AS content_hash
+       |  FROM packed$x GROUP BY 1)""".stripMargin
+
+  /** Manifest diff across releases — the "which shards need re-download"
+    * answer q165's docstring promises, and the reason shard-level
+    * integrity beats doc-level diffing for distribution: q145 names the
+    * DOCS that moved; this names the SHARDS, which is what a consumer's
+    * download cache is keyed by. Versions are q145's device (v1 drops
+    * doc_id % 13 = 0; v2 drops % 17 = 0 and uppercases % 9 = 0), each
+    * packed over ITS OWN doc stream — so one upstream removal shifts
+    * every later shard boundary and the diff honestly shows the blast
+    * radius of an early edit (the known trade of offset-packed shards;
+    * content-defined chunking would localize it, at the cost of the
+    * exact token-budget guarantee). Statuses: added / removed /
+    * changed / unchanged by (content_hash, n_docs, total_tokens). */
+  val q167ManifestDiff: QueryDef = sql(
+    "q167_manifest_diff",
+    s"""WITH ${manifestCteSql("(SELECT doc_id, text FROM documents WHERE doc_id % 13 <> 0)", "1")},
+       |${manifestCteSql(
+      "(SELECT doc_id, CASE WHEN doc_id % 9 = 0 THEN upper(text) ELSE text END AS text FROM documents WHERE doc_id % 17 <> 0)",
+      "2")}
+       |SELECT COALESCE(a.shard_id, b.shard_id) AS shard_id,
+       |  CASE WHEN a.shard_id IS NULL THEN 'added'
+       |       WHEN b.shard_id IS NULL THEN 'removed'
+       |       WHEN a.content_hash = b.content_hash AND a.n_docs = b.n_docs
+       |            AND a.total_tokens = b.total_tokens THEN 'unchanged'
+       |       ELSE 'changed' END AS status,
+       |  COALESCE(a.n_docs, 0) AS n_docs_old, COALESCE(b.n_docs, 0) AS n_docs_new
+       |FROM m1 a FULL OUTER JOIN m2 b ON b.shard_id = a.shard_id
+       |ORDER BY shard_id""".stripMargin) { (s, dir) =>
+    val docs = Tables.documents(s, dir)
+    val v1 = docs.filter(col("doc_id") % 13 =!= 0).select(col("doc_id"), col("text"))
+    val v2 = docs.filter(col("doc_id") % 17 =!= 0)
+      .select(col("doc_id"),
+        when(col("doc_id") % 9 === 0, upper(col("text"))).otherwise(col("text")).as("text"))
+    val a = manifestOf(v1).select(col("shard_id"), col("n_docs").as("nd_a"),
+      col("total_tokens").as("tt_a"), col("content_hash").as("ch_a"))
+    val b = manifestOf(v2).select(col("shard_id"), col("n_docs").as("nd_b"),
+      col("total_tokens").as("tt_b"), col("content_hash").as("ch_b"))
+    a.join(b, Seq("shard_id"), "full_outer")
+      .select(col("shard_id"),
+        when(col("nd_a").isNull, "added")
+          .when(col("nd_b").isNull, "removed")
+          .when(col("ch_a") === col("ch_b") && col("nd_a") === col("nd_b") &&
+            col("tt_a") === col("tt_b"), "unchanged")
+          .otherwise("changed").as("status"),
+        coalesce(col("nd_a"), lit(0L)).as("n_docs_old"),
+        coalesce(col("nd_b"), lit(0L)).as("n_docs_new"))
       .orderBy(col("shard_id"))
   }
 
@@ -2233,5 +2307,5 @@ object TextOps {
     q141DomainCap, q142PreferencePairs, q145CorpusDiff, q149CorpusCard,
     q151CorpusBuildPack, q155Collocations, q157DomainCosine,
     q158Boilerplate, q159QualityQuantileGate, q164TemperatureMix,
-    q165ShardManifest)
+    q165ShardManifest, q167ManifestDiff)
 }

@@ -408,6 +408,32 @@ class TextQualitySpec extends SparkSpec {
     }
   }
 
+  test("manifest diff: counts reconcile with both versions, and a tail-only edit stays in the tail shard") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    // fixture reconciliation: old/new doc totals equal each version's size
+    val docs = graft.sources.Tables.documents(spark, sfDir)
+    val rows = TextOps.q167ManifestDiff.run(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(rows.nonEmpty)
+    assert(rows.map(_._3).sum == docs.filter(col("doc_id") % 13 =!= 0).count())
+    assert(rows.map(_._4).sum == docs.filter(col("doc_id") % 17 =!= 0).count())
+    assert(rows.forall(r => Set("added", "removed", "changed", "unchanged")(r._2)))
+    // localization: 10 docs × 6000 tokens → shards {0: docs 0–8, 1: doc 9};
+    // editing only doc 9 must leave shard 0's manifest row identical
+    def ver(editTail: Boolean) = (0L until 10L).map { i =>
+      val tok = if (editTail && i == 9) "EDITED" else s"w$i"
+      (i, Seq.fill(6000)(tok).mkString(" "))
+    }.toDF("doc_id", "text")
+    val a = TextOps.manifestOf(ver(editTail = false)).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    val b = TextOps.manifestOf(ver(editTail = true)).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(a.keySet == Set(0L, 1L) && b.keySet == Set(0L, 1L))
+    assert(a(0L) == b(0L), "untouched prefix shard must be byte-identical")
+    assert(a(1L) != b(1L), "the edited tail shard must change")
+  }
+
   private def writeDocs(rows: Seq[(Long, String, String)], prefix: String): String = {
     import org.apache.spark.sql.functions.{col, length, lit}
     import spark.implicits._
