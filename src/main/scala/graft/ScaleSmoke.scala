@@ -118,7 +118,8 @@ object ScaleSmoke {
       "q156_rouge_audit", "q157_domain_cosine", "q158_boilerplate",
       "q159_quality_quantile_gate", "q160_jl_ivf", "q161_split_leakage",
       "q162_index_drift", "q163_dedup_savings", "q164_temperature_mix",
-      "q165_shard_manifest", "q166_rag_serve", "q167_manifest_diff")
+      "q165_shard_manifest", "q166_rag_serve", "q167_manifest_diff",
+      "q168_cdc_shards")
     // SPARK_GRAFT_SMOKE_ONLY=q123,q124 limits a run to matching targets —
     // the same local profiling aid as Bench's SPARK_GRAFT_BENCH_ONLY
     val selected = sys.env.get("SPARK_GRAFT_SMOKE_ONLY")

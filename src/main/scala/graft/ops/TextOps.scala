@@ -859,6 +859,74 @@ object TextOps {
        |    CAST(bit_xor(h) AS BIGINT) AS content_hash
        |  FROM packed$x GROUP BY 1)""".stripMargin
 
+  /** Content-defined shard assignment over a (doc_id, text) frame:
+    * doc d opens a new shard when the PREVIOUS doc's content hash hit
+    * the boundary pattern (h % [[CdcDivisor]] = 0), so boundaries are
+    * properties of CONTENT, not offsets. Shard id = count of boundary
+    * docs strictly before d (the same block-offset two-pass prefix sum
+    * as [[shardPackedOf]] — no corpus-global single-task window). */
+  private[graft] def cdcSharded(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val t = docs
+      .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("n_tokens"),
+        expr(s"doc_id DIV $ShardBlockWidth").as("blk"),
+        expr("CAST(conv(substring(md5(concat(CAST(doc_id AS STRING), ':', text)), 1, 15), 16, 10) AS BIGINT)").as("h"))
+      .withColumn("b", (col("h") % CdcDivisor === 0).cast("long"))
+    val blockOffsets = t.groupBy(col("blk")).agg(sum(col("b")).as("blk_b"))
+      .withColumn("blk_off", coalesce(sum(col("blk_b")).over(
+        Window.orderBy(col("blk")).rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("blk"), col("blk_off"))
+    val within = Window.partitionBy(col("blk")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    t.join(broadcast(blockOffsets), "blk")
+      .withColumn("shard_id", col("blk_off") + coalesce(sum(col("b")).over(within), lit(0L)))
+      .select(col("doc_id"), col("n_tokens"), col("h"), col("shard_id"))
+  }
+
+  private val CdcDivisor = 32L
+
+  /** Content-defined chunking of the shard stream (the Rabin/LBFS device
+    * every dedup-aware store uses — restic/borg/rsync descend from it),
+    * resolving the trade q167 documents: offset-packed shards give an
+    * exact token budget but one early edit shifts EVERY later boundary;
+    * CDC shards key their boundaries on content hashes (a doc whose
+    * 60-bit hash ≡ 0 mod 32 closes its shard), so an edit or insertion
+    * rewrites ONLY the shard containing it — every other shard's
+    * manifest row is byte-identical and needs no re-download. The cost
+    * is variable shard size (geometric, mean 32 docs) instead of a
+    * token budget. Emits the q165-shaped manifest per CDC shard; all
+    * exact integers, order-independent XOR hash. */
+  val q168CdcShards: QueryDef = sql(
+    "q168_cdc_shards",
+    s"""WITH t AS (SELECT doc_id, len(string_split(text, ' ')) AS n_tokens,
+       |      CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':' || text), 1, 15)) AS BIGINT) AS h
+       |    FROM documents),
+       |marked AS (SELECT doc_id, n_tokens, h,
+       |    CASE WHEN h % $CdcDivisor = 0 THEN 1 ELSE 0 END AS b
+       |  FROM t),
+       |sharded AS (SELECT doc_id, n_tokens, h,
+       |    CAST(COALESCE(SUM(b) OVER (ORDER BY doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS shard_id
+       |  FROM marked)
+       |SELECT shard_id, COUNT(*) AS n_docs, MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc,
+       |  CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+       |  CAST(bit_xor(h) AS BIGINT) AS content_hash
+       |FROM sharded
+       |GROUP BY 1
+       |ORDER BY shard_id""".stripMargin) { (s, dir) =>
+    cdcManifestOf(Tables.documents(s, dir).select(col("doc_id"), col("text")))
+      .orderBy(col("shard_id"))
+  }
+
+  /** The q168 manifest over an arbitrary (doc_id, text) frame — exposed
+    * so the CDC localization property is testable against edits. */
+  private[graft] def cdcManifestOf(docs: DataFrame): DataFrame =
+    cdcSharded(docs)
+      .groupBy(col("shard_id"))
+      .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("min_doc"),
+        max(col("doc_id")).as("max_doc"), sum(col("n_tokens")).as("total_tokens"),
+        expr("bit_xor(h)").as("content_hash"))
+
   /** Manifest diff across releases — the "which shards need re-download"
     * answer q165's docstring promises, and the reason shard-level
     * integrity beats doc-level diffing for distribution: q145 names the
@@ -2307,5 +2375,5 @@ object TextOps {
     q141DomainCap, q142PreferencePairs, q145CorpusDiff, q149CorpusCard,
     q151CorpusBuildPack, q155Collocations, q157DomainCosine,
     q158Boilerplate, q159QualityQuantileGate, q164TemperatureMix,
-    q165ShardManifest, q167ManifestDiff)
+    q165ShardManifest, q167ManifestDiff, q168CdcShards)
 }

@@ -434,6 +434,33 @@ class TextQualitySpec extends SparkSpec {
     assert(a(1L) != b(1L), "the edited tail shard must change")
   }
 
+  test("cdc shards: an inserted non-boundary doc rewrites exactly one shard's manifest row") {
+    import spark.implicits._
+    def h60(id: Long, text: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s"$id:$text".getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.substring(0, 15), 16)
+    }
+    // even doc_ids leave gaps; the insertion goes at odd id 101
+    val base = (0L until 200L).map(i => (i * 2, s"doc number $i content alpha beta"))
+    val insId = 101L
+    val insText = Iterator.from(0).map(k => s"inserted version $k")
+      .find(t => h60(insId, t) % 32L != 0L).get
+    def manifest(rows: Seq[(Long, String)]) =
+      TextOps.cdcManifestOf(rows.toDF("doc_id", "text")).collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(4), r.getLong(5))))
+        .sortBy(_._1).map(_._2).toSeq // (n_docs, tokens, hash) in shard order
+    val before = manifest(base)
+    val after = manifest(base :+ ((insId, insText)))
+    assert(before.size > 2, s"expected several CDC shards, got ${before.size}")
+    assert(after.size == before.size, "a non-boundary insertion must not split shards")
+    // exactly one manifest row differs — the shard containing the insertion
+    val diffs = before.zip(after).filter { case (a, b) => a != b }
+    assert(diffs.size == 1, s"expected exactly one rewritten shard, got ${diffs.size}")
+    val (oldRow, newRow) = diffs.head
+    assert(newRow._1 == oldRow._1 + 1 && newRow._2 > oldRow._2)
+  }
+
   private def writeDocs(rows: Seq[(Long, String, String)], prefix: String): String = {
     import org.apache.spark.sql.functions.{col, length, lit}
     import spark.implicits._
