@@ -927,6 +927,52 @@ object TextOps {
         max(col("doc_id")).as("max_doc"), sum(col("n_tokens")).as("total_tokens"),
         expr("bit_xor(h)").as("content_hash"))
 
+  private val PassageWidth = 64L
+  private val PassageStride = 48L
+
+  /** Overlapping passage windows — the RAG ingestion chunker (what a
+    * retrieval corpus indexes instead of whole documents; the 16-token
+    * overlap keeps answers that straddle a boundary findable from both
+    * sides — the standard sliding-window chunking every retrieval
+    * framework ships). Window k of a doc starts at k·stride and holds
+    * min(width, len − k·stride) tokens; window count is the exact
+    * integer ceil((len − width)/stride) + 1 (1 for short docs), so every
+    * token is covered and adjacent full windows overlap by width −
+    * stride. q74 chunks disjointly for training; this overlaps for
+    * serving. Emits per-passage md5 so the passage table is itself
+    * integrity-checkable. One scan, one explode, no shuffle at all
+    * before the ordered emission. */
+  val q169PassageWindows: QueryDef = sql(
+    "q169_passage_windows",
+    s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks,
+       |             CAST(len(string_split(text, ' ')) AS BIGINT) AS len
+       |           FROM documents),
+       |w AS (SELECT doc_id, len,
+       |        CASE WHEN len <= $PassageWidth THEN 1
+       |             ELSE (len - $PassageWidth + $PassageStride - 1) // $PassageStride + 1 END AS nwin,
+       |        toks
+       |      FROM t),
+       |p AS (SELECT doc_id, len, toks, unnest(range(0, nwin)) AS k FROM w)
+       |SELECT doc_id, CAST(k AS BIGINT) AS passage_id,
+       |  CAST(k * $PassageStride AS BIGINT) AS start_tok,
+       |  CAST(LEAST($PassageWidth, len - k * $PassageStride) AS BIGINT) AS n_tokens,
+       |  md5(array_to_string(toks[CAST(k * $PassageStride + 1 AS BIGINT):CAST(k * $PassageStride + LEAST($PassageWidth, len - k * $PassageStride) AS BIGINT)], ' ')) AS passage_hash
+       |FROM p
+       |ORDER BY doc_id, passage_id""".stripMargin) { (s, dir) =>
+    docsWithTokens(s, dir)
+      .withColumn("len", size(col("toks")).cast("long"))
+      .withColumn("nwin", expr(
+        s"CASE WHEN len <= $PassageWidth THEN 1L ELSE (len - $PassageWidth + $PassageStride - 1) DIV $PassageStride + 1 END"))
+      .select(col("doc_id"), col("len"), col("toks"),
+        explode(expr("sequence(0L, nwin - 1)")).as("k"))
+      .select(col("doc_id"), col("k").as("passage_id"),
+        (col("k") * PassageStride).as("start_tok"),
+        least(lit(PassageWidth), col("len") - col("k") * PassageStride).as("n_tokens"),
+        md5(expr(
+          s"concat_ws(' ', slice(toks, CAST(k * $PassageStride + 1 AS INT), CAST(LEAST($PassageWidth, len - k * $PassageStride) AS INT)))")).as("passage_hash"))
+      .orderBy(col("doc_id"), col("passage_id"))
+  }
+
   /** Manifest diff across releases — the "which shards need re-download"
     * answer q165's docstring promises, and the reason shard-level
     * integrity beats doc-level diffing for distribution: q145 names the
@@ -2375,5 +2421,5 @@ object TextOps {
     q141DomainCap, q142PreferencePairs, q145CorpusDiff, q149CorpusCard,
     q151CorpusBuildPack, q155Collocations, q157DomainCosine,
     q158Boilerplate, q159QualityQuantileGate, q164TemperatureMix,
-    q165ShardManifest, q167ManifestDiff, q168CdcShards)
+    q165ShardManifest, q167ManifestDiff, q168CdcShards, q169PassageWindows)
 }

@@ -461,6 +461,45 @@ class TextQualitySpec extends SparkSpec {
     assert(newRow._1 == oldRow._1 + 1 && newRow._2 > oldRow._2)
   }
 
+  test("manifest and CDC shard assignment are partition-count independent") {
+    import spark.implicits._
+    val rows = (0L until 300L).map(i => (i, s"some document $i with content ${i % 7}"))
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).sortBy(_.head.asInstanceOf[Long].toString).toSeq
+    val ref = canon(TextOps.manifestOf(rows.toDF("doc_id", "text")))
+    val refCdc = canon(TextOps.cdcManifestOf(rows.toDF("doc_id", "text")))
+    for (p <- Seq(1, 3, 8)) {
+      val df = rows.toDF("doc_id", "text").repartition(p)
+      assert(canon(TextOps.manifestOf(df)) == ref, s"manifest differs at $p partitions")
+      assert(canon(TextOps.cdcManifestOf(df)) == refCdc, s"cdc shards differ at $p partitions")
+    }
+  }
+
+  test("passage windows: full coverage, stride-aligned starts, tail reaches the last token") {
+    val rows = TextOps.q169PassageWindows.run(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.nonEmpty)
+    val lens = graft.sources.Tables.documents(spark, sfDir)
+      .selectExpr("doc_id", "CAST(size(split(text, ' ')) AS LONG) AS len")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    rows.groupBy(_._1).foreach { case (doc, ws) =>
+      val sorted = ws.sortBy(_._2)
+      // dense passage ids, stride-aligned starts
+      assert(sorted.map(_._2).toSeq == sorted.indices.map(_.toLong))
+      sorted.foreach { case (_, k, start, n) =>
+        assert(start == k * 48 && n >= 1 && n <= 64)
+      }
+      // the last window ends exactly at the document's last token
+      val (_, _, lastStart, lastN) = sorted.last
+      assert(lastStart + lastN == lens(doc), s"doc $doc tail uncovered")
+      // coverage: consecutive windows leave no gap (stride < width)
+      sorted.sliding(2).foreach {
+        case Array((_, _, s1, n1), (_, _, s2, _)) => assert(s2 <= s1 + n1)
+        case _ =>
+      }
+    }
+  }
+
   private def writeDocs(rows: Seq[(Long, String, String)], prefix: String): String = {
     import org.apache.spark.sql.functions.{col, length, lit}
     import spark.implicits._
