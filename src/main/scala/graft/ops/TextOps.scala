@@ -973,6 +973,70 @@ object TextOps {
       .orderBy(col("doc_id"), col("passage_id"))
   }
 
+  private val CompactionBudget = 5000L
+
+  /** Compaction planning — the table-maintenance face (the OPTIMIZE /
+    * small-files problem every long-lived lakehouse table accumulates;
+    * CDC shards make it acute because their sizes are geometric):
+    * walk the q168 shards in order and greedily merge neighbors until
+    * each group holds ≥ [[CompactionBudget]] tokens — greedy-with-reset,
+    * which guarantees every group (except possibly the last) meets the
+    * floor, unlike fixed-bucket assignment which can undershoot. The
+    * recurrence is inherently sequential, but its INPUT is the
+    * shard-level manifest — already reduced from the corpus by a
+    * distributed aggregate — so the walk is shard-count-sized (the
+    * bounded-collect class of q132's merge rounds and q147's greedy
+    * argmax; ~400k rows at 100 TB/256 MB shards, kilobytes per row).
+    * The oracle walks the same recurrence as a linear RECURSIVE CTE.
+    * Output: one row per planned merge group. */
+  val q170CompactionPlan: QueryDef = sql(
+    "q170_compaction_plan",
+    s"""WITH RECURSIVE t AS (SELECT doc_id, len(string_split(text, ' ')) AS n_tokens,
+       |      CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':' || text), 1, 15)) AS BIGINT) AS h
+       |    FROM documents),
+       |marked AS (SELECT doc_id, n_tokens,
+       |    CASE WHEN h % $CdcDivisor = 0 THEN 1 ELSE 0 END AS b
+       |  FROM t),
+       |sharded AS (SELECT doc_id, n_tokens,
+       |    CAST(COALESCE(SUM(b) OVER (ORDER BY doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS shard_id
+       |  FROM marked),
+       |shards AS (SELECT shard_id, CAST(SUM(n_tokens) AS BIGINT) AS tok
+       |  FROM sharded GROUP BY 1),
+       |walk(shard_id, grp, acc) AS (
+       |  SELECT shard_id, CAST(0 AS BIGINT), tok FROM shards WHERE shard_id = 0
+       |  UNION ALL
+       |  SELECT s.shard_id,
+       |    CASE WHEN w.acc >= $CompactionBudget THEN w.grp + 1 ELSE w.grp END,
+       |    CASE WHEN w.acc >= $CompactionBudget THEN s.tok ELSE w.acc + s.tok END
+       |  FROM shards s JOIN walk w ON s.shard_id = w.shard_id + 1)
+       |SELECT grp AS group_id, COUNT(*) AS n_shards,
+       |  MIN(shard_id) AS first_shard, MAX(shard_id) AS last_shard,
+       |  CAST(MAX(acc) AS BIGINT) AS group_tokens
+       |FROM walk
+       |GROUP BY 1
+       |ORDER BY group_id""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    // shard-count-sized bounded collect (see scaladoc) — the walk input
+    // is the distributed manifest aggregate, not the corpus
+    val shards = cdcSharded(Tables.documents(s, dir).select(col("doc_id"), col("text")))
+      .groupBy(col("shard_id")).agg(sum(col("n_tokens")).as("tok"))
+      .orderBy(col("shard_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val out = scala.collection.mutable.ArrayBuffer[(Long, Long, Long, Long, Long)]()
+    var grp = 0L; var acc = 0L; var first = 0L; var n = 0L
+    shards.foreach { case (sid, tok) =>
+      if (n > 0 && acc >= CompactionBudget) {
+        out += ((grp, n, first, sid - 1, acc))
+        grp += 1; acc = 0L; n = 0L; first = sid
+      }
+      acc += tok; n += 1
+    }
+    if (n > 0) out += ((grp, n, first, shards.last._1, acc))
+    out.toSeq.toDF("group_id", "n_shards", "first_shard", "last_shard", "group_tokens")
+      .orderBy(col("group_id"))
+  }
+
   /** Manifest diff across releases — the "which shards need re-download"
     * answer q165's docstring promises, and the reason shard-level
     * integrity beats doc-level diffing for distribution: q145 names the
@@ -2421,5 +2485,6 @@ object TextOps {
     q141DomainCap, q142PreferencePairs, q145CorpusDiff, q149CorpusCard,
     q151CorpusBuildPack, q155Collocations, q157DomainCosine,
     q158Boilerplate, q159QualityQuantileGate, q164TemperatureMix,
-    q165ShardManifest, q167ManifestDiff, q168CdcShards, q169PassageWindows)
+    q165ShardManifest, q167ManifestDiff, q168CdcShards, q169PassageWindows,
+    q170CompactionPlan)
 }

@@ -500,6 +500,29 @@ class TextQualitySpec extends SparkSpec {
     }
   }
 
+  test("compaction plan: groups are contiguous, meet the floor, and conserve tokens") {
+    val groups = TextOps.q170CompactionPlan.run(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(groups.nonEmpty)
+    val shardTokens = TextOps.q168CdcShards.run(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r.getLong(4)).toMap
+    // contiguity over the whole shard range
+    assert(groups.head._3 == 0L)
+    groups.sliding(2).foreach {
+      case Array((_, _, _, last, _), (_, _, first, _, _)) => assert(first == last + 1)
+      case _ =>
+    }
+    assert(groups.last._4 == shardTokens.keys.max)
+    groups.foreach { case (_, nShards, first, last, tokens) =>
+      assert(nShards == last - first + 1)
+      assert(tokens == (first to last).map(shardTokens).sum, "group tokens must conserve")
+    }
+    // greedy floor: every group except possibly the last meets the budget
+    groups.dropRight(1).foreach { case (g, _, _, _, tokens) =>
+      assert(tokens >= 5000L, s"group $g below the compaction floor")
+    }
+  }
+
   private def writeDocs(rows: Seq[(Long, String, String)], prefix: String): String = {
     import org.apache.spark.sql.functions.{col, length, lit}
     import spark.implicits._
