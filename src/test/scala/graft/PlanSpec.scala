@@ -512,4 +512,18 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("Window"), s"percent_rank must be a window:\n$p")
     assert(!p.contains("Join"), s"the gate must not join anything:\n$p")
   }
+
+  test("q169: passage windows shuffle only for the ordered emission") {
+    val df = graft.ops.TextOps.q169PassageWindows.run(spark, sfDir)
+    val p = planOf(df)
+    assert(!p.contains("Join"), s"chunking must not join anything:\n$p")
+    val exchanges = df.queryExecution.executedPlan.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }
+    assert(exchanges.size <= 1,
+      s"only the final sort may shuffle, found ${exchanges.size}:\n$p")
+    exchanges.foreach(e => assert(e.outputPartitioning.toString.toLowerCase.contains("range")
+      || p.contains("rangepartitioning"),
+      s"the single exchange must be the ordered emission:\n$p"))
+  }
 }
