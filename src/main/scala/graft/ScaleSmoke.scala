@@ -119,7 +119,8 @@ object ScaleSmoke {
       "q159_quality_quantile_gate", "q160_jl_ivf", "q161_split_leakage",
       "q162_index_drift", "q163_dedup_savings", "q164_temperature_mix",
       "q165_shard_manifest", "q166_rag_serve", "q167_manifest_diff",
-      "q168_cdc_shards", "q169_passage_windows", "q170_compaction_plan")
+      "q168_cdc_shards", "q169_passage_windows", "q170_compaction_plan",
+      "q171_pq_rerank")
     // SPARK_GRAFT_SMOKE_ONLY=q123,q124 limits a run to matching targets —
     // the same local profiling aid as Bench's SPARK_GRAFT_BENCH_ONLY
     val selected = sys.env.get("SPARK_GRAFT_SMOKE_ONLY")

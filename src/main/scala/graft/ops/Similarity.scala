@@ -940,6 +940,91 @@ object Similarity {
     }
   }
 
+  /** Two-stage PQ search — the universal compressed-index serving shape
+    * (Jégou TPAMI'11 §VII: ADC is a RECALL stage, not a ranking): the
+    * q133 asymmetric-distance pass over the compressed codes keeps a
+    * 50-candidate pool (M lookups + adds per corpus vector, never a
+    * d-dim loop), then ONLY those candidates re-rank by exact full-
+    * precision cosine — so compression decides what gets scored, never
+    * the final order, and the quantization error the spec measures on
+    * ADC alone is corrected where it matters. Codebooks, codes, LUT and
+    * the pool are exact integers; the rerank rides the codegen'd float
+    * cosine — the whole two-stage result hash-verifies. At 100 TB the
+    * rescore touches 50 full vectors per query instead of N. */
+  val q171PqRerank: QueryDef = {
+    def roundSql(r: Int): String = {
+      val prev = if (r == 1) "sc0" else s"sc${r - 1}"
+      s"""sd$r AS (SELECT s.vec_id, s.m, c.cid, SUM((s.v - c.v) * (s.v - c.v)) AS dist
+         |       FROM sub s JOIN $prev c ON c.m = s.m AND c.sdim = s.sdim
+         |       GROUP BY 1, 2, 3),
+         |sa$r AS (SELECT vec_id, m, cid FROM (
+         |         SELECT vec_id, m, cid, ROW_NUMBER() OVER (PARTITION BY vec_id, m ORDER BY dist, cid) AS rn
+         |         FROM sd$r) WHERE rn = 1),
+         |sc$r AS (SELECT s.m, a.cid, s.sdim,
+         |         CAST(FLOOR(CAST(SUM(s.v) AS DOUBLE) / COUNT(*)) AS BIGINT) AS v
+         |       FROM sub s JOIN sa$r a ON a.vec_id = s.vec_id AND a.m = s.m
+         |       GROUP BY 1, 2, 3)""".stripMargin
+    }
+    sql(
+      "q171_pq_rerank",
+      s"""WITH q AS (
+         |  SELECT vec_id, dim,
+         |    CAST(FLOOR(CAST(embedding[dim] AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT) AS v
+         |  FROM embeddings,
+         |       LATERAL (SELECT unnest(range(1, len(embedding) + 1)) AS dim)),
+         |sub AS (SELECT vec_id, CAST((dim - 1) // $PqSubDim AS BIGINT) AS m,
+         |          (dim - 1) % $PqSubDim + 1 AS sdim, v FROM q),
+         |sc0 AS (SELECT m, vec_id AS cid, sdim, v FROM sub WHERE vec_id < $PqK),
+         |${roundSql(1)},
+         |${roundSql(2)},
+         |enc AS (SELECT vec_id, m, cid FROM (
+         |         SELECT s.vec_id, s.m, c.cid,
+         |           ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.m ORDER BY SUM((s.v - c.v) * (s.v - c.v)), c.cid) AS rn
+         |         FROM sub s JOIN sc2 c ON c.m = s.m AND c.sdim = s.sdim
+         |         GROUP BY s.vec_id, s.m, c.cid) WHERE rn = 1),
+         |lut AS (SELECT c.m, c.cid, SUM((s.v - c.v) * (s.v - c.v)) AS ldist
+         |       FROM (SELECT m, sdim, v FROM sub WHERE vec_id = $QueryVec) s
+         |       JOIN sc2 c ON c.m = s.m AND c.sdim = s.sdim
+         |       GROUP BY 1, 2),
+         |adc AS (SELECT e.vec_id, CAST(SUM(l.ldist) AS BIGINT) AS adc_dist
+         |       FROM enc e JOIN lut l ON l.m = e.m AND l.cid = e.cid
+         |       GROUP BY 1),
+         |cand AS (SELECT vec_id, adc_dist FROM adc WHERE vec_id != $QueryVec
+         |         ORDER BY adc_dist, vec_id LIMIT 50),
+         |${withNormSql()},
+         |qv2 AS (SELECT embedding AS qe, nrm AS qn FROM n WHERE vec_id = $QueryVec)
+         |SELECT n.vec_id, c.adc_dist,
+         |  ${dotSql("n.embedding", "qv2.qe")} / (n.nrm * qv2.qn) AS cosine
+         |FROM n JOIN cand c ON c.vec_id = n.vec_id, qv2
+         |ORDER BY cosine DESC, n.vec_id
+         |LIMIT 10""".stripMargin) { (s, dir) =>
+      graft.functions.CosineSimilarity.register(s)
+      val v = quantizedLong(s, dir)
+      val books = pqTrainCodebooks(v)
+      val sub = pqSub(v).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val enc = pqAssign(sub, books).select(col("vec_id"), col("m"), col("cid"))
+      val lut = sub.filter(col("vec_id") === QueryVec)
+        .select(col("m"), col("sv"))
+        .join(broadcast(books), Seq("m"))
+        .withColumn("ldist", graft.functions.L2Distance.l2(col("sv"), col("vec")))
+        .select(col("m"), col("cid"), col("ldist"))
+      val cand = enc.join(broadcast(lut), Seq("m", "cid"))
+        .groupBy(col("vec_id"))
+        .agg(sum(col("ldist")).as("adc_dist"))
+        .filter(col("vec_id") =!= QueryVec)
+        .orderBy(col("adc_dist"), col("vec_id"))
+        .limit(50)
+      val n = Tables.embeddings(s, dir)
+      val qe = n.filter(col("vec_id") === QueryVec).select(col("embedding").as("qe"))
+      n.join(broadcast(cand), "vec_id")
+        .crossJoin(broadcast(qe))
+        .select(col("vec_id"), col("adc_dist"),
+          expr("cosine_sim_native(embedding, qe)").as("cosine"))
+        .orderBy(col("cosine").desc, col("vec_id"))
+        .limit(10)
+    }
+  }
+
   /** Distributed Gram matrix Σ x·xᵀ over the quantized embeddings — the
     * second-moment primitive every embedding-index preprocessing step
     * starts from (PCA whitening, OPQ's learned rotation — Ge et al.,
@@ -1633,5 +1718,5 @@ object Similarity {
     q120AnnIvfTrained, q122SemanticDedup, q125SemdedupCentroid,
     q131HardNegatives, q133PqAdc, q135HardNegativesIvf, q138GramMatrix,
     q140KnnClassify, q146PcaPower, q147MmrRerank, q152KnnClassifyIvf,
-    q154JlAnn, q160JlIvf, q162IndexDrift, q166RagServe)
+    q154JlAnn, q160JlIvf, q162IndexDrift, q166RagServe, q171PqRerank)
 }

@@ -304,6 +304,23 @@ class AnnQualitySpec extends SparkSpec {
       s"routed accuracy $correct/${routed.size} on separable clusters")
   }
 
+  test("two-stage PQ rerank recovers recall the raw ADC ranking loses") {
+    val dir = generateClustered()
+    val brute = Similarity.q38AnnBruteforce.run(spark, dir).collect().map(_.getLong(0)).toSet
+    val adcOnly = Similarity.q133PqAdc.run(spark, dir).collect().map(_.getLong(0)).toSet
+    val reranked = Similarity.q171PqRerank.run(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val rerankedIds = reranked.map(_._1).toSet
+    val rAdc = brute.intersect(adcOnly).size
+    val rTwo = brute.intersect(rerankedIds).size
+    assert(rTwo >= rAdc,
+      s"exact rescoring must not lose recall: two-stage $rTwo < adc-only $rAdc")
+    assert(rTwo >= 8, s"two-stage recall@10 = $rTwo on separated clusters")
+    // the rerank emits descending exact cosines
+    val cosines = reranked.map(_._3).toSeq
+    assert(cosines == cosines.sorted.reverse)
+  }
+
   test("JL sign matrix is deterministic, ±1-valued, and near-balanced") {
     val a = Similarity.jlSignMatrix(spark, 64, 16).collect()
       .map(r => r.getLong(0) -> r.getSeq[Long](1).toSeq).toMap
