@@ -257,6 +257,50 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
+  /** Leakage-proof train/test split: assign every near-dup CONNECTED
+    * COMPONENT atomically to one side, so no verified near-duplicate
+    * pair can straddle the split — the constructive fix for exactly
+    * the contamination q161's audit measures on the per-document md5
+    * split (a doc and its near-copy drawing different md5 buckets).
+    * Component id → md5 fraction → 80/20, so membership is a pure
+    * function of corpus content: re-runs, re-partitions and
+    * incremental rebuilds that don't touch a component keep its side.
+    *
+    * Scale posture: q85's component machinery (LSH-blocked pairs,
+    * never all-pairs; union-find under broadcast budget, star
+    * contraction above) plus ONE scan-level hash expression — the
+    * split adds nothing corpus-scale to the clustering cost. */
+  val q174ComponentSplit: QueryDef = sql(
+    "q174_component_split",
+    s"""WITH RECURSIVE $verifiedPairsSql,
+       |edges AS (SELECT doc_a AS src, doc_b AS dst FROM vp
+       |          UNION ALL SELECT doc_b, doc_a FROM vp),
+       |reach AS (
+       |  SELECT doc_id AS node, doc_id AS r FROM documents
+       |  UNION
+       |  SELECT e.src, reach.r FROM edges e JOIN reach ON reach.node = e.dst),
+       |clusters AS (SELECT node AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY node)
+       |SELECT doc_id, cluster_id,
+       |  CASE WHEN CAST(('0x' || substr(md5('csplit:' || CAST(cluster_id AS VARCHAR)), 1, 4)) AS INT) < 52429
+       |       THEN 'train' ELSE 'test' END AS split
+       |FROM clusters
+       |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    componentSplit(
+      Tables.documents(s, dir).select(col("doc_id")),
+      verifiedPairs(s, dir).select(col("doc_a"), col("doc_b")))
+      .orderBy(col("doc_id"))
+  }
+
+  /** [[connectedComponents]] + the component-atomic 80/20 assignment;
+    * exposed for the leakage property test (q174 wires in the verified
+    * near-dup pairs). */
+  def componentSplit(nodes: DataFrame, pairs: DataFrame): DataFrame =
+    connectedComponents(nodes, pairs)
+      .withColumn("bucket", expr(
+        "CAST(conv(substring(md5(concat('csplit:', CAST(cluster_id AS STRING))), 1, 4), 16, 10) AS INT)"))
+      .withColumn("split", when(col("bucket") < 52429, "train").otherwise("test"))
+      .select(col("doc_id"), col("cluster_id"), col("split"))
+
   /** Connected components over `pairs(doc_a, doc_b)`; returns one row per
     * node of `nodes(doc_id)` with its component's minimum doc_id as
     * `cluster_id` plus the component `cluster_size`. Exposed for property
@@ -1169,5 +1213,5 @@ object Dedup {
     q30DedupExact, q31MinhashLsh, q32NeardupVerified, q33Simhash, q34SimhashPairs,
     q78SimhashHamming, q85DedupClusters, q108IncrementalDedup, q111SimhashWide,
     q126SpanDedup, q150DedupEval, q156RougeAudit, q161SplitLeakage,
-    q163DedupSavings)
+    q163DedupSavings, q174ComponentSplit)
 }

@@ -212,5 +212,142 @@ object Graph {
       .limit(100)
   }
 
-  val all: Seq[QueryDef] = Seq(q143Pagerank, q153LabelProp)
+  /** Bradley–Terry strength fitting (Bradley & Terry 1952; the MM
+    * iteration of Hunter 2004, Ann. Statist. 32 §1) over head-to-head
+    * match outcomes — the model behind Elo-style data-source ranking
+    * and RLHF preference aggregation (pairwise human judgments →
+    * per-policy strengths). `matches` is one row per decided match
+    * (w_src beat l_src); the fit runs `rounds` MM updates
+    *   p_i ← W_i / Σ_j n_ij/(p_i + p_j)
+    * in FIXED-POINT INTEGERS (strengths in micro-units, every division
+    * a floor — the q143 trajectory device, so the whole iteration is
+    * an exact integer sequence either engine reproduces regardless of
+    * aggregation order). One virtual win per direction of every
+    * observed pairing keeps W_i > 0 and the comparison graph's
+    * denominators positive (the standard connectivity regularizer).
+    *
+    * Scale posture: everything here is dimension-sized — sources², not
+    * corpus. The caller pays the corpus pass that produces `matches`;
+    * the fit itself is `rounds` broadcast joins of the source-sized
+    * strength relation against the pair relation. Returns
+    * (src, strength, wins, games). */
+  def bradleyTerry(matches: DataFrame, rounds: Int): DataFrame = {
+    val m = matches.select(col("w_src"), col("l_src"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val pairsU = m.select(least(col("w_src"), col("l_src")).as("a"),
+        greatest(col("w_src"), col("l_src")).as("b")).distinct()
+    val dirs = pairsU.union(pairsU.select(col("b"), col("a")))
+      .toDF("a", "b")
+    val wObs = m.groupBy(col("w_src").as("a"), col("l_src").as("b"))
+      .agg(count(lit(1)).as("wo"))
+    val w = dirs.join(wObs, Seq("a", "b"), "left")
+      .select(col("a"), col("b"), (coalesce(col("wo"), lit(0L)) + lit(1L)).as("w"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val n = w.as("w1").join(w.as("w2"),
+        col("w1.a") === col("w2.b") && col("w1.b") === col("w2.a"))
+      .select(col("w1.a").as("a"), col("w1.b").as("b"),
+        (col("w1.w") + col("w2.w")).as("n"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val wi = w.groupBy(col("a").as("src")).agg(sum(col("w")).as("wins"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val gi = n.groupBy(col("a").as("src")).agg(sum(col("n")).as("games"))
+    var p = wi.select(col("src"), lit(RankScale).as("p"))
+    for (_ <- 1 to rounds) {
+      // the strength relation is source-sized — broadcast it into both
+      // ends of the pair relation (same rationale as the PageRank
+      // rank-side broadcast above)
+      val d = n
+        .join(broadcast(p.select(col("src").as("a"), col("p").as("pa"))), Seq("a"))
+        .join(broadcast(p.select(col("src").as("b"), col("p").as("pb"))), Seq("b"))
+        .withColumn("term", expr("(n * 1000000000000L) DIV (pa + pb)"))
+        .groupBy(col("a").as("src")).agg(sum(col("term")).as("d"))
+      p = wi.join(d, Seq("src"))
+        .select(col("src"), expr("(wins * 1000000000000L) DIV d").as("p"))
+    }
+    p.join(wi, Seq("src")).join(gi, Seq("src"))
+      .select(col("src"), col("p").as("strength"), col("wins"), col("games"))
+  }
+
+  /** The head-to-head match relation behind q173: within every
+    * (lang, doc_id%16 bucket) cell, each source fields its champion
+    * document (highest q142 lexical-diversity score, doc_id
+    * tie-break), and every champion pair with distinct scores decides
+    * one match. The champion window is the single corpus-scale stage
+    * (one (lang,bucket,source)-keyed shuffle, WindowGroupLimit-pushed
+    * rank-1 cut); match rows are |cells|·sources² — dimension-sized. */
+  private def sourceMatches(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val champ = Tables.fanOut(Tables.documents(s, dir))
+      .withColumn("toks", split(col("text"), " "))
+      .withColumn("score", expr(
+        "CAST(FLOOR(CAST(size(array_distinct(toks)) AS DOUBLE) * 1000000.0D / size(toks)) AS BIGINT)"))
+      .withColumn("bucket", col("doc_id") % 16)
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("lang"), col("bucket"), col("source"))
+          .orderBy(col("score").desc, col("doc_id"))))
+      .filter(col("rn") === 1)
+      .select(col("lang"), col("bucket"), col("source"), col("score"))
+    champ.as("c1").join(champ.as("c2"),
+        col("c1.lang") === col("c2.lang") && col("c1.bucket") === col("c2.bucket") &&
+          col("c1.source") < col("c2.source") && col("c1.score") =!= col("c2.score"))
+      .select(
+        when(col("c1.score") > col("c2.score"), col("c1.source"))
+          .otherwise(col("c2.source")).as("w_src"),
+        when(col("c1.score") > col("c2.score"), col("c2.source"))
+          .otherwise(col("c1.source")).as("l_src"))
+  }
+
+  /** One unrolled oracle Bradley–Terry MM round k over CTEs n/wi/p{k-1}. */
+  private def btRoundSql(k: Int): String = {
+    val prev = s"p${k - 1}"
+    s"""d$k AS (SELECT n.a AS src, SUM((n.n * 1000000000000) // (pa.p + pb.p)) AS d
+       |  FROM n JOIN $prev pa ON pa.src = n.a JOIN $prev pb ON pb.src = n.b
+       |  GROUP BY 1),
+       |p$k AS (SELECT w.src, (w.wins * 1000000000000) // d.d AS p
+       |  FROM wi w JOIN d$k d ON d.src = w.src)""".stripMargin
+  }
+
+  /** Contract face of [[bradleyTerry]]: 3 MM rounds over the per-cell
+    * champion matches between fixture sources — "which SOURCE produces
+    * the best documents", fitted from pairwise outcomes instead of
+    * pooled means (the aggregation RLHF uses for preference data). The
+    * strengths hash the whole trajectory. */
+  val q173BradleyTerry: QueryDef = sql(
+    "q173_bradley_terry",
+    s"""WITH sc AS (
+       |  SELECT lang, doc_id % 16 AS bucket, source, doc_id,
+       |    CAST(FLOOR(CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+       |      * 1000000.0 / len(string_split(text, ' '))) AS BIGINT) AS score
+       |  FROM documents),
+       |champ AS (SELECT lang, bucket, source, score FROM (
+       |    SELECT *, ROW_NUMBER() OVER (PARTITION BY lang, bucket, source
+       |      ORDER BY score DESC, doc_id) AS rn FROM sc) WHERE rn = 1),
+       |m AS (SELECT
+       |    CASE WHEN c1.score > c2.score THEN c1.source ELSE c2.source END AS w_src,
+       |    CASE WHEN c1.score > c2.score THEN c2.source ELSE c1.source END AS l_src
+       |  FROM champ c1 JOIN champ c2
+       |    ON c2.lang = c1.lang AND c2.bucket = c1.bucket
+       |   AND c1.source < c2.source AND c1.score <> c2.score),
+       |pu AS (SELECT DISTINCT LEAST(w_src, l_src) AS a, GREATEST(w_src, l_src) AS b FROM m),
+       |dirs AS (SELECT a, b FROM pu UNION ALL SELECT b, a FROM pu),
+       |wob AS (SELECT w_src AS a, l_src AS b, COUNT(*) AS wo FROM m GROUP BY 1, 2),
+       |w AS (SELECT d.a, d.b, CAST(COALESCE(wob.wo, 0) + 1 AS BIGINT) AS w
+       |      FROM dirs d LEFT JOIN wob ON wob.a = d.a AND wob.b = d.b),
+       |n AS (SELECT w1.a, w1.b, w1.w + w2.w AS n
+       |      FROM w w1 JOIN w w2 ON w2.a = w1.b AND w2.b = w1.a),
+       |wi AS (SELECT a AS src, CAST(SUM(w) AS BIGINT) AS wins FROM w GROUP BY 1),
+       |gi AS (SELECT a AS src, CAST(SUM(n) AS BIGINT) AS games FROM n GROUP BY 1),
+       |p0 AS (SELECT src, CAST($RankScale AS BIGINT) AS p FROM wi),
+       |${btRoundSql(1)},
+       |${btRoundSql(2)},
+       |${btRoundSql(3)}
+       |SELECT p3.src AS source, CAST(p3.p AS BIGINT) AS strength, wi.wins, gi.games
+       |FROM p3 JOIN wi ON wi.src = p3.src JOIN gi ON gi.src = p3.src
+       |ORDER BY strength DESC, source""".stripMargin) { (s, dir) =>
+    bradleyTerry(sourceMatches(s, dir), rounds = 3)
+      .withColumnRenamed("src", "source")
+      .orderBy(col("strength").desc, col("source"))
+  }
+
+  val all: Seq[QueryDef] = Seq(q143Pagerank, q153LabelProp, q173BradleyTerry)
 }

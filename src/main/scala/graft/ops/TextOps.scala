@@ -740,6 +740,174 @@ object TextOps {
       .orderBy(col("query_id"), col("rnk"))
   }
 
+  /** Retrieval-quality evaluation — recall@10 and MRR of the LEXICAL
+    * retriever (q136's BM25 run) judged against the SEMANTIC ground
+    * truth (exact-cosine top-10, q38's metric): the offline eval loop
+    * every RAG stack runs before swapping retrievers. Both metrics are
+    * EXACT INTEGERS over ranks that are themselves exact in both
+    * engines (each leg's float discipline proven by q136/q137):
+    * recall_micro = hits·10⁶/10 and rr_micro = floor(10⁶/first_rel) —
+    * no transcendental DCG logs to diverge cross-engine; nDCG's
+    * *ordering* information is already carried by MRR here because
+    * ground-truth relevance is binary.
+    *
+    * Scale posture: each leg keeps its own shape (broadcast query
+    * terms into the postings join; broadcast query vectors into the
+    * embedding scan, WindowGroupLimit-pushed top-k); the judgment
+    * itself is an equi-join of two 10-row-per-query relations —
+    * dimension-sized after the legs' cuts, trivially shuffled on
+    * query_id. At 100 TB the eval cost IS the legs' cost. */
+  val q172RetrievalMetrics: QueryDef = sql(
+    "q172_retrieval_metrics",
+    """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
+      |tf AS (SELECT doc_id, word, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+      |dl AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dl FROM toks GROUP BY 1),
+      |df AS (SELECT word, COUNT(DISTINCT doc_id) AS df FROM toks GROUP BY 1),
+      |stats AS (SELECT COUNT(*) AS n_docs, AVG(dl) AS avgdl FROM dl),
+      |qt AS (SELECT DISTINCT doc_id AS query_id, word FROM toks WHERE doc_id % 100 = 0),
+      |bscore AS (
+      |  SELECT q.query_id, t.doc_id,
+      |    SUM(LN(1.0 + (s.n_docs - d.df + 0.5) / (d.df + 0.5))
+      |        * (t.tf * 2.2) / (t.tf + 1.2 * (0.25 + 0.75 * l.dl / s.avgdl))) AS raw
+      |  FROM qt q
+      |  JOIN tf t ON t.word = q.word AND t.doc_id <> q.query_id
+      |  JOIN df d ON d.word = q.word
+      |  JOIN dl l ON l.doc_id = t.doc_id, stats s
+      |  GROUP BY 1, 2),
+      |run AS (SELECT query_id, doc_id, lex_rank FROM (
+      |          SELECT query_id, doc_id,
+      |            ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY raw DESC, doc_id) AS lex_rank
+      |          FROM bscore) WHERE lex_rank <= 10),
+      |n AS (SELECT vec_id, embedding,
+      |        SQRT(list_reduce(list_transform(range(len(embedding)), i -> CAST(embedding[i+1] AS DOUBLE) * CAST(embedding[i+1] AS DOUBLE)), (x, y) -> x + y)) AS nrm
+      |      FROM embeddings),
+      |qe AS (SELECT vec_id AS query_id, embedding AS qv, nrm AS qn FROM n WHERE vec_id % 100 = 0),
+      |sscore AS (SELECT q.query_id, n.vec_id AS doc_id,
+      |             list_reduce(list_transform(range(len(n.embedding)), i -> CAST(n.embedding[i+1] AS DOUBLE) * CAST(q.qv[i+1] AS DOUBLE)), (x, y) -> x + y) / (n.nrm * q.qn) AS cosine
+      |           FROM n JOIN qe q ON n.vec_id <> q.query_id),
+      |truth AS (SELECT query_id, doc_id FROM (
+      |            SELECT query_id, doc_id,
+      |              ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, doc_id) AS sem_rank
+      |            FROM sscore) WHERE sem_rank <= 10),
+      |hit AS (SELECT r.query_id, COUNT(*) AS hits, MIN(r.lex_rank) AS first_rel
+      |        FROM run r JOIN truth t ON t.query_id = r.query_id AND t.doc_id = r.doc_id
+      |        GROUP BY 1),
+      |base AS (SELECT DISTINCT query_id FROM run)
+      |SELECT b.query_id,
+      |  CAST(COALESCE(h.hits, 0) AS BIGINT) AS hits,
+      |  CAST(COALESCE(h.hits, 0) * 100000 AS BIGINT) AS recall_micro,
+      |  CAST(COALESCE(1000000 // h.first_rel, 0) AS BIGINT) AS rr_micro
+      |FROM base b LEFT JOIN hit h USING (query_id)
+      |ORDER BY b.query_id""".stripMargin) { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    graft.functions.CosineSimilarity.register(s)
+    val (tf, dl, df) = postingsIndex(s, Tables.documents(s, dir))
+    val stats = dl.agg(count(lit(1)).as("n_docs"), avg(col("dl")).as("avgdl"))
+    val qt = tf.filter(col("doc_id") % 100 === 0)
+      .select(col("doc_id").as("query_id"), col("word"))
+    val term = log(lit(1.0) + (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5))) *
+      (col("tf") * lit(2.2)) /
+      (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / col("avgdl")))
+    val run = broadcast(qt).join(tf, Seq("word"))
+      .filter(col("doc_id") =!= col("query_id"))
+      .join(broadcast(df), Seq("word"))
+      .join(dl, Seq("doc_id"))
+      .crossJoin(broadcast(stats))
+      .groupBy(col("query_id"), col("doc_id")).agg(sum(term).as("raw"))
+      .withColumn("lex_rank", row_number().over(
+        Window.partitionBy(col("query_id")).orderBy(col("raw").desc, col("doc_id"))))
+      .filter(col("lex_rank") <= 10)
+      .select(col("query_id"), col("doc_id"), col("lex_rank"))
+    val emb = Tables.embeddings(s, dir)
+    val qe = emb.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    val truth = emb.select(col("vec_id").as("doc_id"), col("embedding"))
+      .crossJoin(broadcast(qe))
+      .filter(col("doc_id") =!= col("query_id"))
+      .withColumn("cosine", expr("cosine_sim_native(embedding, qv)"))
+      .withColumn("sem_rank", row_number().over(
+        Window.partitionBy(col("query_id")).orderBy(col("cosine").desc, col("doc_id"))))
+      .filter(col("sem_rank") <= 10)
+      .select(col("query_id"), col("doc_id"))
+    val hit = run.join(truth, Seq("query_id", "doc_id"))
+      .groupBy(col("query_id"))
+      .agg(count(lit(1)).as("h"), min(col("lex_rank")).as("first_rel"))
+    run.select(col("query_id")).distinct()
+      .join(hit, Seq("query_id"), "left")
+      .select(col("query_id"),
+        coalesce(col("h"), lit(0L)).cast("long").as("hits"),
+        (coalesce(col("h"), lit(0L)) * 100000L).cast("long").as("recall_micro"),
+        coalesce(expr("1000000L DIV first_rel"), lit(0L)).cast("long").as("rr_micro"))
+      .orderBy(col("query_id"))
+  }
+
+  /** Phrase search over POSITIONAL postings — the retrieval capability
+    * the bag-of-words BM25 leg (q136) cannot express: "these words,
+    * adjacent, in this order". The index adds a position column to the
+    * q136 postings shape ((doc, word, pos) via posexplode — what
+    * Lucene stores as position-augmented postings lists); a phrase
+    * matches where the w1 and w2 posting rows of one document sit at
+    * consecutive positions. Queries are the corpus's own top-5 bigrams
+    * (deterministic count/lexical cut), so the whole query set is
+    * data-derived and tiny.
+    *
+    * Scale posture: the phrase relation BROADCASTS into the postings
+    * scan, so only postings of the ≤10 phrase words survive to the
+    * adjacency self-join — the join never sees the full postings
+    * relation, and its key (doc_id, pos) is maximally selective. At
+    * 100 TB this is the standard two-term intersection cost of an
+    * inverted index, proportional to the matched terms' posting lists,
+    * never the corpus. */
+  val q175PhraseSearch: QueryDef = sql(
+    "q175_phrase_search",
+    """WITH tk AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+      |pos AS (SELECT doc_id, i AS pos, toks[i] AS word
+      |        FROM tk, LATERAL (SELECT generate_subscripts(toks, 1) AS i)),
+      |big AS (SELECT t.toks[i] || ' ' || t.toks[i + 1] AS phrase, COUNT(*) AS n
+      |        FROM tk t, LATERAL (SELECT generate_subscripts(t.toks, 1) AS i)
+      |        WHERE i <= len(t.toks) - 1
+      |        GROUP BY 1 ORDER BY n DESC, phrase LIMIT 5),
+      |ph AS (SELECT phrase, string_split(phrase, ' ')[1] AS w1,
+      |              string_split(phrase, ' ')[2] AS w2 FROM big),
+      |occ AS (SELECT ph.phrase, p1.doc_id, COUNT(*) AS n_occ
+      |        FROM ph
+      |        JOIN pos p1 ON p1.word = ph.w1
+      |        JOIN pos p2 ON p2.doc_id = p1.doc_id AND p2.pos = p1.pos + 1
+      |                   AND p2.word = ph.w2
+      |        GROUP BY 1, 2),
+      |out AS (SELECT phrase, doc_id, n_occ,
+      |          CAST(ROW_NUMBER() OVER (PARTITION BY phrase
+      |            ORDER BY n_occ DESC, doc_id) AS INT) AS rnk
+      |        FROM occ)
+      |SELECT phrase, doc_id, rnk, n_occ
+      |FROM out WHERE rnk <= 10
+      |ORDER BY phrase, rnk""".stripMargin) { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.fanOut(Tables.documents(s, dir))
+    val pos = docs.select(col("doc_id"),
+      posexplode(split(col("text"), " ")).as(Seq("pos", "word")))
+    val phrases = docs
+      .select(explode(expr(
+        "CASE WHEN size(split(text, ' ')) >= 2 THEN transform(sequence(0, size(split(text, ' ')) - 2), i -> concat(split(text, ' ')[i], ' ', split(text, ' ')[i + 1])) ELSE array() END")).as("phrase"))
+      .groupBy(col("phrase")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("phrase")).limit(5)
+      .select(col("phrase"),
+        split(col("phrase"), " ").getItem(0).as("w1"),
+        split(col("phrase"), " ").getItem(1).as("w2"))
+    val p1 = pos.join(broadcast(phrases.select(col("w1").as("word"), col("phrase"))), "word")
+      .select(col("phrase"), col("doc_id"), col("pos"))
+    val p2 = pos.join(broadcast(phrases.select(col("w2").as("word"), col("phrase"))), "word")
+      .select(col("phrase"), col("doc_id"), col("pos").as("pos2"))
+    p1.join(p2, Seq("phrase", "doc_id"))
+      .filter(col("pos2") === col("pos") + 1)
+      .groupBy(col("phrase"), col("doc_id")).agg(count(lit(1)).as("n_occ"))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy(col("phrase")).orderBy(col("n_occ").desc, col("doc_id"))))
+      .filter(col("rnk") <= 10)
+      .select(col("phrase"), col("doc_id"), col("rnk"), col("n_occ"))
+      .orderBy(col("phrase"), col("rnk"))
+  }
+
   /** Token-budget shard packing: documents in doc_id order fill training
     * shards of [[ShardBudget]] tokens (shard = exclusive-prefix-sum ÷
     * budget — a doc starting before a boundary stays in the earlier
@@ -1035,6 +1203,96 @@ object TextOps {
     if (n > 0) out += ((grp, n, first, shards.last._1, acc))
     out.toSeq.toDF("group_id", "n_shards", "first_shard", "last_shard", "group_tokens")
       .orderBy(col("group_id"))
+  }
+
+  /** Commit-log time travel — the Delta/Iceberg metadata-replay query
+    * (Armbrust et al., VLDB'20 §3: a table IS the replay of its action
+    * log): reconstruct the live file set as of any version by taking,
+    * per file, the LATEST logged action ≤ that version and keeping it
+    * iff the action is a `put`. The log here is synthesized
+    * deterministically over the q168 CDC shards (version 0 puts every
+    * shard; versions 1–5 rewrite ~20% and delete ~10% of those, chosen
+    * by md5 fraction of (version, shard)), so both engines derive the
+    * identical history from corpus content alone. Two snapshots
+    * (as-of 2 and as-of 5) read from ONE log relation.
+    *
+    * Scale posture: this is the metadata plane — the log is
+    * shard-count-sized (~400k rows at 100 TB/256 MB shards), never
+    * corpus-sized; the only corpus pass is the CDC manifest build the
+    * shards already paid for. Replay is one (as_of, file)-keyed
+    * window over the log; a production reader checkpoints the replay
+    * (Delta's _last_checkpoint) so steady-state cost is the log TAIL
+    * since the last checkpoint — the same persisted-state shape as
+    * q108/q136. */
+  val q176TimeTravel: QueryDef = sql(
+    "q176_time_travel",
+    s"""WITH t AS (SELECT doc_id, len(string_split(text, ' ')) AS n_tokens,
+       |      CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':' || text), 1, 15)) AS BIGINT) AS h
+       |    FROM documents),
+       |marked AS (SELECT doc_id, n_tokens, h,
+       |    CASE WHEN h % $CdcDivisor = 0 THEN 1 ELSE 0 END AS b
+       |  FROM t),
+       |sharded AS (SELECT doc_id, n_tokens, h,
+       |    CAST(COALESCE(SUM(b) OVER (ORDER BY doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS shard_id
+       |  FROM marked),
+       |files AS (SELECT shard_id, CAST(bit_xor(h) AS BIGINT) AS h0 FROM sharded GROUP BY 1),
+       |acts AS (
+       |  SELECT CAST(0 AS BIGINT) AS version, shard_id, 'put' AS action, h0 AS file_hash
+       |  FROM files
+       |  UNION ALL
+       |  SELECT CAST(v.v AS BIGINT), f.shard_id,
+       |    CASE WHEN u.b < 6554 THEN 'delete' ELSE 'put' END,
+       |    CASE WHEN u.b < 6554 THEN NULL ELSE f.h0 + v.v END
+       |  FROM files f
+       |  CROSS JOIN (SELECT unnest(range(1, 6)) AS v) v
+       |  CROSS JOIN LATERAL (SELECT CAST(('0x' || substr(md5('rw:' || CAST(v.v AS VARCHAR) || ':' || CAST(f.shard_id AS VARCHAR)), 1, 4)) AS INT) AS b) u
+       |  WHERE u.b < 19661),
+       |snap AS (
+       |  SELECT a.as_of, l.shard_id, l.action, l.file_hash,
+       |    ROW_NUMBER() OVER (PARTITION BY a.as_of, l.shard_id ORDER BY l.version DESC) AS rn
+       |  FROM (SELECT CAST(2 AS BIGINT) AS as_of UNION ALL SELECT CAST(5 AS BIGINT)) a
+       |  JOIN acts l ON l.version <= a.as_of)
+       |SELECT as_of, shard_id, file_hash
+       |FROM snap WHERE rn = 1 AND action = 'put'
+       |ORDER BY as_of, shard_id""".stripMargin) { (s, dir) =>
+    timeTravel(commitLog(Tables.documents(s, dir).select(col("doc_id"), col("text"))),
+        Seq(2L, 5L))(s)
+      .orderBy(col("as_of"), col("shard_id"))
+  }
+
+  /** The synthesized shard-level action log behind q176: (version,
+    * shard_id, action, file_hash). Exposed so replay is testable
+    * against hand-built histories. */
+  private[graft] def commitLog(docs: DataFrame): DataFrame = {
+    val files = cdcManifestOf(docs).select(col("shard_id"), col("content_hash").as("h0"))
+    val base = files.select(lit(0L).as("version"), col("shard_id"),
+      lit("put").as("action"), col("h0").as("file_hash"))
+    val edits = files
+      .select(col("shard_id"), col("h0"), explode(expr("sequence(1L, 5L)")).as("version"))
+      .withColumn("b", expr(
+        "CAST(conv(substring(md5(concat('rw:', CAST(version AS STRING), ':', CAST(shard_id AS STRING))), 1, 4), 16, 10) AS INT)"))
+      .filter(col("b") < 19661)
+      .select(col("version"), col("shard_id"),
+        when(col("b") < 6554, lit("delete")).otherwise(lit("put")).as("action"),
+        when(col("b") < 6554, lit(null).cast("long"))
+          .otherwise(col("h0") + col("version")).as("file_hash"))
+    base.union(edits)
+  }
+
+  /** Last-action-wins replay of a (version, shard_id, action, file_hash)
+    * log at each requested version: the live file set as of that
+    * version. */
+  private[graft] def timeTravel(log: DataFrame, asOf: Seq[Long])(s: SparkSession): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import s.implicits._
+    val versions = asOf.toDF("as_of")
+    log.crossJoin(broadcast(versions))
+      .filter(col("version") <= col("as_of"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("as_of"), col("shard_id")).orderBy(col("version").desc)))
+      .filter(col("rn") === 1 && col("action") === "put")
+      .select(col("as_of"), col("shard_id"), col("file_hash"))
   }
 
   /** Manifest diff across releases — the "which shards need re-download"
@@ -2480,11 +2738,12 @@ object TextOps {
     q68StratifiedSample, q72Redaction, q74Chunking, q79CurationPipeline,
     q80TrigramGenerator, q99Tfidf, q100ShardPacking, q102HeavyHitters, q136Bm25, q137RrfFusion,
     q107QualitySample, q110Contingency, q116Contamination, q117Repetition,
+    q172RetrievalMetrics, q175PhraseSearch,
     q118SourceMix, q121NegativeSampling, q123CorpusBuild, q128LmPerplexity,
     q129DsirSelect, q130SequencePacking, q134UnimaxMix, q139MixSchedule,
     q141DomainCap, q142PreferencePairs, q145CorpusDiff, q149CorpusCard,
     q151CorpusBuildPack, q155Collocations, q157DomainCosine,
     q158Boilerplate, q159QualityQuantileGate, q164TemperatureMix,
     q165ShardManifest, q167ManifestDiff, q168CdcShards, q169PassageWindows,
-    q170CompactionPlan)
+    q170CompactionPlan, q176TimeTravel)
 }

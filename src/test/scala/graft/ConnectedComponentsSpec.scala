@@ -101,4 +101,32 @@ class ConnectedComponentsSpec extends SparkSpec {
       pairsDf(Seq.empty)).select("doc_id", "cluster_id"))
     assert(out == nodes.map(n => n -> n).toMap)
   }
+
+  test("component split: members of a component share one side and the split is a pure hash of the component id") {
+    val nodes = (0L until 200L).toSeq
+    // 50 chains of 4: {0..3}, {4..7}, ... — each must land whole
+    val pairs = nodes.grouped(4).flatMap(g => g.sliding(2).map(p => (p(0), p(1)))).toSeq
+    val out = Dedup.componentSplit(nodesDf(nodes), pairsDf(pairs))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    assert(out.length == nodes.length)
+    out.groupBy(_._2).foreach { case (cid, members) =>
+      assert(members.map(_._3).toSet.size == 1, s"component $cid straddles the split")
+      assert(members.map(_._1).min == cid)
+    }
+    assert(out.map(_._3).toSet == Set("train", "test"),
+      "200 components must populate both sides")
+  }
+
+  test("q174 face: no verified near-dup pair straddles the split (the q161 leak, fixed)") {
+    val split = Dedup.q174ComponentSplit.run(spark, sfDir)
+      .select("doc_id", "split").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val pairs = Dedup.q32NeardupVerified.run(spark, sfDir)
+      .select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.nonEmpty, "fixture must contain verified near-dup pairs")
+    pairs.foreach { case (a, b) =>
+      assert(split(a) == split(b), s"near-dup pair ($a,$b) straddles the split")
+    }
+  }
 }

@@ -81,4 +81,39 @@ class GraphSpec extends SparkSpec {
       assert(r.getLong(2) >= 1L)
     }
   }
+
+  private def matches(ms: (String, String)*) = ms.toDF("w_src", "l_src")
+
+  test("Bradley-Terry: single dominated pair reaches its hand-computed fixed point") {
+    // A beats B twice; with the virtual win each way: w(A,B)=3, w(B,A)=1,
+    // n=4, W_A=3, W_B=1. Round 1: D = floor(4e12/2e6) = 2e6 for both,
+    // p_A = floor(3e12/2e6) = 1_500_000, p_B = 500_000 — and p_A+p_B is
+    // unchanged, so rounds 2/3 are a fixed point.
+    val got = Graph.bradleyTerry(matches(("A", "B"), ("A", "B")), rounds = 3)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got == Map("A" -> ((1500000L, 3L, 4L)), "B" -> ((500000L, 1L, 4L))))
+  }
+
+  test("Bradley-Terry: a dominance chain orders strictly and an even split ties") {
+    val chain = Graph.bradleyTerry(matches(
+      Seq.fill(5)(("A", "B")) ++ Seq.fill(5)(("B", "C")) ++ Seq.fill(5)(("A", "C")): _*),
+      rounds = 3).collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(chain("A") > chain("B") && chain("B") > chain("C"), s"chain not ordered: $chain")
+    val even = Graph.bradleyTerry(matches(
+      Seq.fill(3)(("X", "Y")) ++ Seq.fill(3)(("Y", "X")): _*),
+      rounds = 3).collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(even("X") == even("Y"), s"even split must tie: $even")
+  }
+
+  test("q173 face: strengths positive, wins <= games, ordered by strength") {
+    val rows = Graph.q173BradleyTerry.run(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(1) > 0L)
+      assert(r.getLong(2) <= r.getLong(3))
+    }
+    val s = rows.map(_.getLong(1)).toSeq
+    assert(s == s.sorted.reverse)
+  }
 }

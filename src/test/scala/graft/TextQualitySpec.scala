@@ -589,4 +589,57 @@ class TextQualitySpec extends SparkSpec {
       assert(k.size <= docs.size / 2, s"source $src kept ${k.size} of ${docs.size}")
     }
   }
+
+  test("retrieval metrics: recall@10 and MRR re-derive from independently collected legs") {
+    import graft.sources.Tables
+    val got = TextOps.q172RetrievalMetrics.run(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.nonEmpty)
+    // re-derive ground truth and run on the driver from the raw tables
+    val run = TextOps.q136Bm25.run(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    graft.functions.CosineSimilarity.register(spark)
+    val emb = Tables.embeddings(spark, sfDir)
+    val qe = emb.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    val truth = emb.select(col("vec_id").as("doc_id"), col("embedding"))
+      .crossJoin(broadcast(qe)).filter(col("doc_id") =!= col("query_id"))
+      .withColumn("cosine", expr("cosine_sim_native(embedding, qv)"))
+      .withColumn("rn", row_number().over(org.apache.spark.sql.expressions.Window
+        .partitionBy(col("query_id")).orderBy(col("cosine").desc, col("doc_id"))))
+      .filter(col("rn") <= 10).select("query_id", "doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    got.foreach { case (q, hits, recallMicro, rrMicro) =>
+      val mine = run.filter(_._1 == q).filter { case (_, d, _) => truth((q, d)) }
+      assert(hits == mine.length, s"query $q: hits $hits != ${mine.length}")
+      assert(recallMicro == hits * 100000L)
+      val wantRr = if (mine.isEmpty) 0L else 1000000L / mine.map(_._3).min
+      assert(rrMicro == wantRr, s"query $q: rr $rrMicro != $wantRr")
+      assert(hits >= 0 && hits <= 10)
+    }
+    // every BM25 query is judged exactly once
+    assert(got.map(_._1).toSeq.sorted == run.map(_._1).distinct.toSeq.sorted)
+  }
+
+  test("phrase search: occurrence counts re-derive from a driver sliding window; queries are the top-5 bigrams") {
+    import graft.sources.Tables
+    val got = TextOps.q175PhraseSearch.run(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getInt(2), r.getLong(3)))
+    assert(got.nonEmpty)
+    val texts = Tables.documents(spark, sfDir).select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ").toSeq).toMap
+    val bigramCounts = texts.values.toSeq
+      .flatMap(ws => ws.sliding(2).filter(_.size == 2).map(_.mkString(" ")))
+      .groupBy(identity).map { case (b, xs) => b -> xs.size }
+    val top5 = bigramCounts.toSeq.sortBy { case (b, n) => (-n, b) }.take(5).map(_._1).toSet
+    assert(got.map(_._1).toSet == top5, "emitted phrases must be the corpus top-5 bigrams")
+    got.foreach { case (phrase, doc, _, nOcc) =>
+      val Seq(w1, w2) = phrase.split(" ").toSeq
+      val want = texts(doc).sliding(2).count(w => w.size == 2 && w(0) == w1 && w(1) == w2)
+      assert(nOcc == want, s"'$phrase' in doc $doc: $nOcc != $want")
+    }
+    got.groupBy(_._1).foreach { case (p, rows) =>
+      assert(rows.map(_._3).sorted.toSeq == (1 to rows.length), s"'$p' ranks not dense")
+    }
+  }
 }

@@ -63,4 +63,45 @@ class VersioningSpec extends SparkSpec {
     assert(got.head.getLong(2) == 1L && got.head.getLong(3) == 2L)
     assert(got.head.getLong(4) == 0L)
   }
+
+  test("timeTravel replays a hand-built log: last action wins, deletes drop, later versions resurrect") {
+    // shard 1: put@0, delete@2, put@4 (resurrected)
+    // shard 2: put@0, put@3 (rewritten)
+    // shard 3: put@1, delete@5
+    val log = Seq(
+      (0L, 1L, "put", Some(11L)), (2L, 1L, "delete", None), (4L, 1L, "put", Some(14L)),
+      (0L, 2L, "put", Some(20L)), (3L, 2L, "put", Some(23L)),
+      (1L, 3L, "put", Some(31L)), (5L, 3L, "delete", None))
+      .toDF("version", "shard_id", "action", "file_hash")
+    val got = TextOps.timeTravel(log, Seq(0L, 2L, 3L, 5L))(spark)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got == Map(
+      (0L, 1L) -> 11L, (0L, 2L) -> 20L,
+      (2L, 2L) -> 20L, (2L, 3L) -> 31L,
+      (3L, 2L) -> 23L, (3L, 3L) -> 31L,
+      (5L, 1L) -> 14L, (5L, 2L) -> 23L))
+  }
+
+  test("q176 face: as-of-5 state differs from as-of-2 only through logged actions; version 0 is the full manifest") {
+    import graft.sources.Tables
+    val docs = Tables.documents(spark, sfDir).select(col("doc_id"), col("text"))
+    val log = TextOps.commitLog(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        if (r.isNullAt(3)) None else Some(r.getLong(3))))
+    val snaps = TextOps.timeTravel(TextOps.commitLog(docs), Seq(0L, 2L, 5L))(spark)
+      .collect().groupBy(_.getLong(0))
+      .map { case (v, rs) => v -> rs.map(r => r.getLong(1) -> r.getLong(2)).toMap }
+    // as-of 0 = every shard at its base hash
+    val base = log.filter(_._1 == 0L).map(t => t._2 -> t._4.get).toMap
+    assert(snaps(0L) == base)
+    // driver replay oracle for any version
+    def replay(v: Long): Map[Long, Long] =
+      log.filter(_._1 <= v).groupBy(_._2).flatMap { case (sid, acts) =>
+        val last = acts.maxBy(_._1)
+        if (last._3 == "put") Some(sid -> last._4.get) else None
+      }
+    assert(snaps(2L) == replay(2L))
+    assert(snaps(5L) == replay(5L))
+    assert(snaps(5L) != snaps(2L), "versions 3-5 must change something at this SF")
+  }
 }
