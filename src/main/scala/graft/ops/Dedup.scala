@@ -291,6 +291,70 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
+  /** Containment detection (Broder 1997's *containment* coefficient,
+    * distinct from the resemblance/Jaccard the q31/q32 stack ranks by):
+    * c = |A∩B| / min(|A|,|B|) — catches a short document QUOTED inside
+    * a long one, where Jaccard stays low because the union is dominated
+    * by the long side (the duplication mode plain near-dedup
+    * structurally misses; containment ≥ Jaccard always). Exact integer
+    * micro-units: cont_micro = floor(|A∩B|·10⁶ / min) — hash-stable.
+    *
+    * Blocking: candidate pairs must share a RARE shingle (document
+    * frequency 2–20), which bounds per-key join fanout at C(20,2)=190
+    * pairs regardless of corpus size — the scale-safe alternative to
+    * MinHash banding here, because banding is tuned for resemblance and
+    * under-samples asymmetric pairs. The documented miss: pairs sharing
+    * ONLY df>20 shingles — at threshold 0.8 such a pair needs ~80% of
+    * the smaller doc to be corpus-common boilerplate, which the
+    * boilerplate miner (q158) already flags for removal. */
+  val q177Containment: QueryDef = sql(
+    "q177_containment",
+    s"""WITH $shinglesSql,
+       |dfreq AS (SELECT sh.sh, COUNT(*) AS df FROM sh GROUP BY 1),
+       |rare AS (SELECT s.doc_id, s.sh FROM sh s JOIN dfreq d ON d.sh = s.sh
+       |         WHERE d.df BETWEEN 2 AND 20),
+       |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |         FROM rare a JOIN rare b ON b.sh = a.sh AND a.doc_id < b.doc_id),
+       |inter AS (SELECT c.doc_a, c.doc_b, COUNT(*) AS n_common
+       |          FROM cand c
+       |          JOIN sh a ON a.doc_id = c.doc_a
+       |          JOIN sh b ON b.doc_id = c.doc_b AND b.sh = a.sh
+       |          GROUP BY 1, 2),
+       |cnts AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1)
+       |SELECT i.doc_a, i.doc_b, i.n_common, ca.n AS na, cb.n AS nb,
+       |  CAST(i.n_common * 1000000 // LEAST(ca.n, cb.n) AS BIGINT) AS cont_micro
+       |FROM inter i
+       |JOIN cnts ca ON ca.doc_id = i.doc_a
+       |JOIN cnts cb ON cb.doc_id = i.doc_b
+       |WHERE i.n_common * 1000000 // LEAST(ca.n, cb.n) >= 800000
+       |ORDER BY doc_a, doc_b""".stripMargin) { (s, dir) =>
+    containmentPairs(shingles(s, dir)).orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** q177 over an arbitrary (doc_id, sh) shingle relation — exposed so
+    * the asymmetric-quote property is testable on planted docs. */
+  private[graft] def containmentPairs(sh0: DataFrame): DataFrame = {
+    val sh = sh0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val dfreq = sh.groupBy(col("sh")).agg(count(lit(1)).as("df"))
+    val rare = sh.join(dfreq.filter(col("df").between(2, 20)).select(col("sh")), "sh")
+    val cand = rare.select(col("doc_id").as("doc_a"), col("sh"))
+      .join(rare.select(col("doc_id").as("doc_b"), col("sh")), "sh")
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b")).distinct()
+    val inter = cand
+      .join(sh.select(col("doc_id").as("doc_a"), col("sh")), "doc_a")
+      .join(sh.select(col("doc_id").as("doc_b"), col("sh")), Seq("doc_b", "sh"))
+      .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("n_common"))
+    val cnts = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    inter
+      .join(cnts.select(col("doc_id").as("doc_a"), col("n").as("na")), "doc_a")
+      .join(cnts.select(col("doc_id").as("doc_b"), col("n").as("nb")), "doc_b")
+      .withColumn("cont_micro", expr("n_common * 1000000L DIV LEAST(na, nb)"))
+      .filter(col("cont_micro") >= 800000L)
+      .select(col("doc_a"), col("doc_b"), col("n_common"), col("na"), col("nb"),
+        col("cont_micro"))
+  }
+
   /** [[connectedComponents]] + the component-atomic 80/20 assignment;
     * exposed for the leakage property test (q174 wires in the verified
     * near-dup pairs). */
@@ -1213,5 +1277,5 @@ object Dedup {
     q30DedupExact, q31MinhashLsh, q32NeardupVerified, q33Simhash, q34SimhashPairs,
     q78SimhashHamming, q85DedupClusters, q108IncrementalDedup, q111SimhashWide,
     q126SpanDedup, q150DedupEval, q156RougeAudit, q161SplitLeakage,
-    q163DedupSavings, q174ComponentSplit)
+    q163DedupSavings, q174ComponentSplit, q177Containment)
 }

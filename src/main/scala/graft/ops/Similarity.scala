@@ -1712,11 +1712,123 @@ object Similarity {
     out
   }
 
+  /** Hubness audit — the high-dimensional ANN pathology diagnostic
+    * (Radovanović et al., JMLR 2010: in high dimensions the
+    * k-occurrence distribution skews, a few "hub" points appearing in a
+    * disproportionate share of everyone's neighbor lists, degrading
+    * both retrieval diversity and dedup decisions): for every vector,
+    * its top-3 within-cluster neighbors by exact integer L2, then count
+    * how often each vector is CITED as a neighbor; emit the top-20
+    * hubs. Rides the trained coarse quantizer (q119), so neighbor lists
+    * are the INDEX's lists — the audit measures the structure the
+    * serving path actually probes, and the within-cluster blocking
+    * keeps it N²/k, never all-pairs (the q122 scale argument; k ∝ N
+    * holds it linear).
+    *
+    * The whole trajectory (training → assignment → pairwise L2 →
+    * neighbor ranks → citation counts) is exact integers, so the hub
+    * list hash-verifies against the unrolled Lloyd CTE chain. */
+  val q178Hubness: QueryDef = sql(
+    "q178_hubness",
+    s"""$kmeansSqlPrefix,
+       |m AS (SELECT q.vec_id, q.dim, q.v, a.cid FROM q JOIN a3 a USING (vec_id)),
+       |pd AS (SELECT a.vec_id AS va, b.vec_id AS vb,
+       |         SUM((a.v - b.v) * (a.v - b.v)) AS dist
+       |       FROM m a JOIN m b ON b.cid = a.cid AND b.dim = a.dim
+       |                        AND b.vec_id <> a.vec_id
+       |       GROUP BY 1, 2),
+       |nn AS (SELECT va, vb FROM (
+       |         SELECT va, vb, ROW_NUMBER() OVER (PARTITION BY va ORDER BY dist, vb) AS rn
+       |         FROM pd) WHERE rn <= 3)
+       |SELECT vb AS vec_id, COUNT(*) AS n_hits
+       |FROM nn GROUP BY 1
+       |ORDER BY n_hits DESC, vec_id
+       |LIMIT 20""".stripMargin) { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val v = quantizedLong(s, dir)
+    val assigned = assignToCentroids(v, kmeansCentroidFrame(v, k = 8, iters = 2))
+      .select(col("vec_id"), col("qv"), col("cid"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val a = assigned.select(col("vec_id").as("va"), col("qv").as("qa"), col("cid"))
+    val b = assigned.select(col("vec_id").as("vb"), col("qv").as("qb"), col("cid"))
+    a.join(b, "cid").filter(col("va") =!= col("vb"))
+      .withColumn("dist", graft.functions.L2Distance.l2(col("qa"), col("qb")))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("va")).orderBy(col("dist"), col("vb"))))
+      .filter(col("rn") <= 3)
+      .groupBy(col("vb").as("vec_id")).agg(count(lit(1)).as("n_hits"))
+      .orderBy(col("n_hits").desc, col("vec_id"))
+      .limit(20)
+  }
+
+  /** Per-dimension embedding statistics — the whitening/normalization
+    * pass an embedding pipeline runs before indexing (mean-centering
+    * and variance scaling change neighbor structure; skewed or dead
+    * dimensions are ingest bugs): over the micro-quantized space
+    * (v = floor(x·10⁶ + ½) — the exact-integer representation the
+    * whole ANN family trains in), per dimension: count, floor-mean,
+    * floor-variance, and the count of |v − μ| > 3σ outlier values.
+    * Integer sums are exact; μ, σ and the variance derive from them by
+    * IDENTICAL IEEE expressions in both engines, and every emitted
+    * column is a floor/count — so the stats hash-verify.
+    *
+    * Scale posture: two corpus scans (stats, then outlier counts
+    * against the broadcast dimension-sized stats relation), each a
+    * dim-keyed map-side-combined aggregate over ≤ d keys — the
+    * cheapest shuffle shape there is. At 100 TB the exact integer sums
+    * would move to DECIMAL(38) partials (|Σv²| approaches 2⁶³ near
+    * ~10¹⁰ vectors); the expression shape is unchanged. */
+  val q179EmbeddingStats: QueryDef = sql(
+    "q179_embedding_stats",
+    """WITH q AS (
+      |  SELECT vec_id, dim,
+      |    CAST(FLOOR(CAST(embedding[dim] AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT) AS v
+      |  FROM embeddings,
+      |       LATERAL (SELECT unnest(range(1, len(embedding) + 1)) AS dim)),
+      |st AS (SELECT dim, COUNT(*) AS n, CAST(SUM(v) AS BIGINT) AS s,
+      |         CAST(SUM(v * v) AS BIGINT) AS ss
+      |       FROM q GROUP BY 1),
+      |mv AS (SELECT dim, n, s, ss,
+      |         CAST(s AS DOUBLE) / n AS mu,
+      |         CAST(ss AS DOUBLE) / n - (CAST(s AS DOUBLE) / n) * (CAST(s AS DOUBLE) / n) AS var
+      |       FROM st),
+      |outl AS (SELECT q.dim, COUNT(*) AS n_outliers
+      |         FROM q JOIN mv ON mv.dim = q.dim
+      |         WHERE ABS(CAST(q.v AS DOUBLE) - mv.mu) > 3.0 * SQRT(mv.var)
+      |         GROUP BY 1)
+      |SELECT mv.dim, mv.n,
+      |  CAST(FLOOR(mv.mu) AS BIGINT) AS mean_micro,
+      |  CAST(FLOOR(mv.var) AS BIGINT) AS var_micro2,
+      |  CAST(COALESCE(o.n_outliers, 0) AS BIGINT) AS n_outliers
+      |FROM mv LEFT JOIN outl o ON o.dim = mv.dim
+      |ORDER BY mv.dim""".stripMargin) { (s, dir) =>
+    val q = Tables.fanOut(Tables.embeddings(s, dir))
+      .select(col("vec_id"), posexplode(expr(
+        "transform(embedding, x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000000.0D + 0.5D) AS BIGINT))"))
+        .as(Seq("dim0", "v")))
+      .select((col("dim0") + 1).cast("long").as("dim"), col("v"))
+    val st = q.groupBy(col("dim"))
+      .agg(count(lit(1)).as("n"), sum(col("v")).as("s"), sum(col("v") * col("v")).as("ss"))
+    val mu = col("s").cast("double") / col("n")
+    val mv = st.select(col("dim"), col("n"), mu.as("mu"),
+      (col("ss").cast("double") / col("n") - mu * mu).as("var"))
+    val outl = q.join(broadcast(mv), "dim")
+      .filter(abs(col("v").cast("double") - col("mu")) > lit(3.0) * sqrt(col("var")))
+      .groupBy(col("dim")).agg(count(lit(1)).as("n_outliers"))
+    mv.join(outl, Seq("dim"), "left")
+      .select(col("dim"), col("n"),
+        floor(col("mu")).cast("long").as("mean_micro"),
+        floor(col("var")).cast("long").as("var_micro2"),
+        coalesce(col("n_outliers"), lit(0L)).cast("long").as("n_outliers"))
+      .orderBy(col("dim"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     q36ArrayNorms, q37EmbeddingNeardup, q38AnnBruteforce, q39AnnIvf,
     q45AnnNative, q52AnnLsh, q61AnnQuantized, q119KmeansTrain,
     q120AnnIvfTrained, q122SemanticDedup, q125SemdedupCentroid,
     q131HardNegatives, q133PqAdc, q135HardNegativesIvf, q138GramMatrix,
     q140KnnClassify, q146PcaPower, q147MmrRerank, q152KnnClassifyIvf,
-    q154JlAnn, q160JlIvf, q162IndexDrift, q166RagServe, q171PqRerank)
+    q154JlAnn, q160JlIvf, q162IndexDrift, q166RagServe, q171PqRerank,
+    q178Hubness, q179EmbeddingStats)
 }

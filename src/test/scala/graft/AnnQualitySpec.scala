@@ -426,4 +426,49 @@ class AnnQualitySpec extends SparkSpec {
     val want = (0 until 16).map(j => qv.zip(signs(j.toLong)).map { case (x, s) => x * s }.sum)
     assert(got == want)
   }
+
+  test("hubness: the hub list re-derives from a driver brute-force over the trained clusters") {
+    import org.apache.spark.sql.functions._
+    val v = Similarity.quantizeVectors(
+      graft.sources.Tables.embeddings(spark, sfDir))
+    val assigned = Similarity.assignToCentroids(
+        v, Similarity.kmeansCentroidFrame(v, k = 8, iters = 2))
+      .select(col("vec_id"), col("qv"), col("cid")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1).toArray, r.getLong(2)))
+    def l2(a: Array[Long], b: Array[Long]): Long =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    val cites: Seq[Long] = assigned.groupBy(_._3).toSeq.flatMap { case (_, members) =>
+      members.toSeq.flatMap { case (va, qa, _) =>
+        members.toSeq.filter(_._1 != va)
+          .map { case (vb, qb, _) => (vb, l2(qa, qb)) }
+          .sortBy { case (vb, d) => (d, vb) }.take(3).map(_._1)
+      }
+    }
+    val want = cites.groupBy(identity).map { case (v0, xs) => v0 -> xs.size.toLong }
+    val top20 = want.toSeq.sortBy { case (id, n) => (-n, id) }.take(20)
+    val got = Similarity.q178Hubness.run(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toSeq
+    assert(got == top20, s"hub list mismatch:\n got  $got\n want $top20")
+  }
+
+  test("embedding stats: one dimension's stats and outlier count re-derive on the driver") {
+    import org.apache.spark.sql.functions._
+    val got = Similarity.q179EmbeddingStats.run(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(got.nonEmpty)
+    val emb = graft.sources.Tables.embeddings(spark, sfDir)
+      .select("embedding").collect().map(_.getSeq[Float](0).toArray)
+    got.foreach { case (_, n, _, varM, _) =>
+      assert(n == emb.length); assert(varM >= 0L)
+    }
+    val dim = got.head._1.toInt
+    val vs = emb.map(e => math.floor(e(dim - 1).toDouble * 1000000.0 + 0.5).toLong)
+    val n = vs.length.toLong
+    val mu = vs.sum.toDouble / n
+    val vr = vs.map(v => v.toDouble * v).sum / n - mu * mu
+    val outliers = vs.count(v => math.abs(v - mu) > 3.0 * math.sqrt(vr)).toLong
+    val row = got.head
+    assert(row._3 == math.floor(mu).toLong, s"mean: ${row._3} != ${math.floor(mu)}")
+    assert(row._5 == outliers, s"outliers: ${row._5} != $outliers")
+  }
 }

@@ -145,4 +145,18 @@ class DedupQualitySpec extends SparkSpec {
       assert(la == lb && ov1 == la && ov2 == la - 1 && f1 == 1.0)
     }
   }
+
+  test("containment: a full quote is caught at low Jaccard; df>20 shingles never block pairs") {
+    import spark.implicits._
+    import graft.ops.Dedup
+    // doc 1 (10 shingles) fully contained in doc 2 (100 shingles):
+    // containment 1.0 but Jaccard 0.1 — invisible to the q32 threshold
+    val quote = (1L to 10L).map(sh => (1L, sh)) ++ (1L to 100L).map(sh => (2L, sh))
+    // 21 docs sharing ONLY shingle 999 (df = 21 > 20): blocked out
+    val common = (0 until 21).flatMap(i => Seq((5000L + i, 999L), (5000L + i, 10000L + i)))
+    val got = Dedup.containmentPairs((quote ++ common).toDF("doc_id", "sh"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(5)))
+    assert(got.toSeq == Seq((1L, 2L, 1000000L)),
+      s"expected exactly the quote pair at containment 1.0, got ${got.toSeq}")
+  }
 }
