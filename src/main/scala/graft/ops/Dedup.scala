@@ -299,28 +299,29 @@ object Dedup {
     * structurally misses; containment ≥ Jaccard always). Exact integer
     * micro-units: cont_micro = floor(|A∩B|·10⁶ / min) — hash-stable.
     *
-    * Blocking: candidate pairs must share a RARE shingle (document
-    * frequency 2–20), which bounds per-key join fanout at C(20,2)=190
-    * pairs regardless of corpus size — the scale-safe alternative to
-    * MinHash banding here, because banding is tuned for resemblance and
-    * under-samples asymmetric pairs. The documented miss: pairs sharing
-    * ONLY df>20 shingles — at threshold 0.8 such a pair needs ~80% of
-    * the smaller doc to be corpus-common boilerplate, which the
-    * boilerplate miner (q158) already flags for removal. */
+    * The shingle space is the NON-BOILERPLATE profile (document
+    * frequency ≤ 20): df>20 shingles are corpus-common boilerplate
+    * (q158's material) that inflates containment without evidencing
+    * copying, and df=1 shingles can never be shared — so the exact
+    * intersection count over this space falls straight out of the
+    * df∈[2,20] blocking self-join, with NO second intersection join
+    * (the first cut paid one: candidate-pair × shingle-list re-join,
+    * 20.0 s at sf0.1 vs 1.7 s for this shape — the fanout was ~all
+    * loosely-similar pairs times their full shingle lists). Per-key
+    * join fanout is bounded at C(20,2) = 190 pairs regardless of
+    * corpus size; per-doc profile sizes join in afterwards,
+    * pair-relation-sized. */
   val q177Containment: QueryDef = sql(
     "q177_containment",
     s"""WITH $shinglesSql,
        |dfreq AS (SELECT sh.sh, COUNT(*) AS df FROM sh GROUP BY 1),
-       |rare AS (SELECT s.doc_id, s.sh FROM sh s JOIN dfreq d ON d.sh = s.sh
-       |         WHERE d.df BETWEEN 2 AND 20),
-       |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-       |         FROM rare a JOIN rare b ON b.sh = a.sh AND a.doc_id < b.doc_id),
-       |inter AS (SELECT c.doc_a, c.doc_b, COUNT(*) AS n_common
-       |          FROM cand c
-       |          JOIN sh a ON a.doc_id = c.doc_a
-       |          JOIN sh b ON b.doc_id = c.doc_b AND b.sh = a.sh
-       |          GROUP BY 1, 2),
-       |cnts AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1)
+       |keep AS (SELECT s.doc_id, s.sh, d.df FROM sh s JOIN dfreq d ON d.sh = s.sh
+       |         WHERE d.df <= 20),
+       |cnts AS (SELECT doc_id, COUNT(*) AS n FROM keep GROUP BY 1),
+       |inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+       |          FROM keep a JOIN keep b ON b.sh = a.sh AND a.doc_id < b.doc_id
+       |          WHERE a.df >= 2
+       |          GROUP BY 1, 2)
        |SELECT i.doc_a, i.doc_b, i.n_common, ca.n AS na, cb.n AS nb,
        |  CAST(i.n_common * 1000000 // LEAST(ca.n, cb.n) AS BIGINT) AS cont_micro
        |FROM inter i
@@ -334,18 +335,15 @@ object Dedup {
   /** q177 over an arbitrary (doc_id, sh) shingle relation — exposed so
     * the asymmetric-quote property is testable on planted docs. */
   private[graft] def containmentPairs(sh0: DataFrame): DataFrame = {
-    val sh = sh0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val dfreq = sh.groupBy(col("sh")).agg(count(lit(1)).as("df"))
-    val rare = sh.join(dfreq.filter(col("df").between(2, 20)).select(col("sh")), "sh")
-    val cand = rare.select(col("doc_id").as("doc_a"), col("sh"))
-      .join(rare.select(col("doc_id").as("doc_b"), col("sh")), "sh")
+    val dfreq = sh0.groupBy(col("sh")).agg(count(lit(1)).as("df"))
+    val keep = sh0.join(dfreq.filter(col("df") <= 20), "sh")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cnts = keep.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val inter = keep.filter(col("df") >= 2)
+      .select(col("doc_id").as("doc_a"), col("sh"))
+      .join(keep.select(col("doc_id").as("doc_b"), col("sh")), "sh")
       .filter(col("doc_a") < col("doc_b"))
-      .select(col("doc_a"), col("doc_b")).distinct()
-    val inter = cand
-      .join(sh.select(col("doc_id").as("doc_a"), col("sh")), "doc_a")
-      .join(sh.select(col("doc_id").as("doc_b"), col("sh")), Seq("doc_b", "sh"))
       .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("n_common"))
-    val cnts = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     inter
       .join(cnts.select(col("doc_id").as("doc_a"), col("n").as("na")), "doc_a")
       .join(cnts.select(col("doc_id").as("doc_b"), col("n").as("nb")), "doc_b")

@@ -232,8 +232,13 @@ object Graph {
     * strength relation against the pair relation. Returns
     * (src, strength, wins, games). */
   def bradleyTerry(matches: DataFrame, rounds: Int): DataFrame = {
-    val m = matches.select(col("w_src"), col("l_src"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    // the match relation and everything derived from it are
+    // dimension-sized (|cells|·sources² at most) — eager localCheckpoints
+    // cut the corpus-scale producer (the caller's champion window) out of
+    // every round's plan AND out of the per-round broadcast builds, which
+    // otherwise each replay it (measured 6.7 s → ~1.5 s on the q173 face;
+    // at cluster scale these become reliable checkpoints)
+    val m = matches.select(col("w_src"), col("l_src")).localCheckpoint(true)
     val pairsU = m.select(least(col("w_src"), col("l_src")).as("a"),
         greatest(col("w_src"), col("l_src")).as("b")).distinct()
     val dirs = pairsU.union(pairsU.select(col("b"), col("a")))
@@ -242,14 +247,14 @@ object Graph {
       .agg(count(lit(1)).as("wo"))
     val w = dirs.join(wObs, Seq("a", "b"), "left")
       .select(col("a"), col("b"), (coalesce(col("wo"), lit(0L)) + lit(1L)).as("w"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(true)
     val n = w.as("w1").join(w.as("w2"),
         col("w1.a") === col("w2.b") && col("w1.b") === col("w2.a"))
       .select(col("w1.a").as("a"), col("w1.b").as("b"),
         (col("w1.w") + col("w2.w")).as("n"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(true)
     val wi = w.groupBy(col("a").as("src")).agg(sum(col("w")).as("wins"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(true)
     val gi = n.groupBy(col("a").as("src")).agg(sum(col("n")).as("games"))
     var p = wi.select(col("src"), lit(RankScale).as("p"))
     for (_ <- 1 to rounds) {
