@@ -526,4 +526,40 @@ class PlanSpec extends SparkSpec {
       || p.contains("rangepartitioning"),
       s"the single exchange must be the ordered emission:\n$p"))
   }
+
+  test("q172: both retrieval legs broadcast their query side and push top-k down") {
+    val p = planOf(graft.ops.TextOps.q172RetrievalMetrics.run(spark, sfDir))
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"),
+      s"query terms/vectors must broadcast:\n$p")
+    assert(p.contains("WindowGroupLimit"),
+      s"per-query top-10 must cut below the shuffle:\n$p")
+  }
+
+  test("q175: the phrase relation broadcasts into the postings scan; the corpus never self-joins unfiltered") {
+    val df = graft.ops.TextOps.q175PhraseSearch.run(spark, sfDir)
+    val p = planOf(df)
+    assert(p.contains("BroadcastHashJoin"), s"phrases must broadcast:\n$p")
+    assert(p.contains("WindowGroupLimit"), s"per-phrase top-10 must push down:\n$p")
+  }
+
+  test("q177: containment is one blocked self-join — no candidate-times-shingle re-join") {
+    val df = Dedup.q177Containment.run(spark, sfDir)
+    val joins = df.queryExecution.executedPlan.collect {
+      case j if j.nodeName.contains("Join") => j
+    }
+    // sh⋈dfreq (keep), keep⋈keep (blocking), + two pair-sized cnts joins
+    assert(joins.size <= 5, s"expected <= 5 joins, found ${joins.size}:\n${planOf(df)}")
+  }
+
+  test("q178: hub citation count aggregates with map-side partials") {
+    val p = planOf(Similarity.q178Hubness.run(spark, sfDir))
+    assert(p.contains("TakeOrderedAndProject"), s"top-20 hubs must TakeOrdered:\n$p")
+    assert(p.contains("WindowGroupLimit"), s"per-vector top-3 must push down:\n$p")
+  }
+
+  test("q179: stats broadcast back into the outlier scan; aggregates are two-phase") {
+    val p = planOf(Similarity.q179EmbeddingStats.run(spark, sfDir))
+    assert(p.contains("BroadcastHashJoin"), s"dim stats must broadcast:\n$p")
+    assert(p.contains("partial_sum") || p.contains("Partial"), p)
+  }
 }
