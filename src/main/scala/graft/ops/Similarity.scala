@@ -1823,6 +1823,63 @@ object Similarity {
       .orderBy(col("dim"))
   }
 
+  /** Simplified-silhouette clustering audit — the "is k right / are the
+    * clusters real" check a quantizer build runs before serving from it
+    * (Rousseeuw 1987's silhouette with the O(N²) neighbor means replaced
+    * by centroid distances — the standard large-N variant, O(N·k)): per
+    * vector, a = squared L2 to its own centroid, b = squared L2 to the
+    * nearest OTHER centroid, s = (b−a)/max(a,b) ∈ [0,1] here (b ≥ a by
+    * construction of the argmin assignment). Using SQUARED distances is
+    * a declared variant: the sign and ordering of scores are preserved,
+    * every quantity stays an exact integer, and s_micro =
+    * floor((b−a)·10⁶/max) hash-verifies through the unrolled Lloyd
+    * chain. Emits the per-cluster audit (size, mean/min/max silhouette)
+    * — near-zero mean silhouette marks clusters that should merge
+    * (retrain with smaller k), per-cluster minima near zero mark
+    * boundary vectors.
+    *
+    * Scale posture: rides the trained quantizer; the only added work
+    * over assignment is keeping the second-smallest centroid distance —
+    * same broadcast-argmin scan shape, then a k-row aggregate. */
+  val q180Silhouette: QueryDef = sql(
+    "q180_silhouette",
+    s"""$kmeansSqlPrefix,
+       |r AS (SELECT vec_id, cid, dist,
+       |        ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+       |      FROM d3),
+       |ab AS (SELECT vec_id,
+       |         MIN(CASE WHEN rn = 1 THEN dist END) AS a,
+       |         MIN(CASE WHEN rn = 1 THEN cid END) AS cid,
+       |         MIN(CASE WHEN rn = 2 THEN dist END) AS b
+       |       FROM r WHERE rn <= 2 GROUP BY 1),
+       |sil AS (SELECT vec_id, cid,
+       |          CASE WHEN GREATEST(a, b) = 0 THEN CAST(0 AS BIGINT)
+       |               ELSE CAST((b - a) * 1000000 // GREATEST(a, b) AS BIGINT) END AS s_micro
+       |        FROM ab)
+       |SELECT CAST(cid AS INT) AS cid, COUNT(*) AS n_vecs,
+       |  CAST(FLOOR(CAST(SUM(s_micro) AS DOUBLE) / COUNT(*)) AS BIGINT) AS mean_s_micro,
+       |  MIN(s_micro) AS min_s_micro, MAX(s_micro) AS max_s_micro
+       |FROM sil GROUP BY 1
+       |ORDER BY cid""".stripMargin) { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val v = quantizedLong(s, dir)
+    val d = centroidDistances(v, kmeansCentroidFrame(v, k = 8, iters = 2))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("vec_id")).orderBy(col("cdist"), col("cid"))))
+      .filter(col("rn") <= 2)
+    d.groupBy(col("vec_id"))
+      .agg(min(when(col("rn") === 1, col("cdist"))).as("a"),
+        min(when(col("rn") === 1, col("cid"))).as("cid"),
+        min(when(col("rn") === 2, col("cdist"))).as("b"))
+      .withColumn("s_micro", expr(
+        "CASE WHEN GREATEST(a, b) = 0 THEN 0L ELSE (b - a) * 1000000L DIV GREATEST(a, b) END"))
+      .groupBy(col("cid").cast("int").as("cid"))
+      .agg(count(lit(1)).as("n_vecs"),
+        expr("CAST(FLOOR(CAST(SUM(s_micro) AS DOUBLE) / COUNT(*)) AS BIGINT)").as("mean_s_micro"),
+        min(col("s_micro")).as("min_s_micro"), max(col("s_micro")).as("max_s_micro"))
+      .orderBy(col("cid"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     q36ArrayNorms, q37EmbeddingNeardup, q38AnnBruteforce, q39AnnIvf,
     q45AnnNative, q52AnnLsh, q61AnnQuantized, q119KmeansTrain,
@@ -1830,5 +1887,5 @@ object Similarity {
     q131HardNegatives, q133PqAdc, q135HardNegativesIvf, q138GramMatrix,
     q140KnnClassify, q146PcaPower, q147MmrRerank, q152KnnClassifyIvf,
     q154JlAnn, q160JlIvf, q162IndexDrift, q166RagServe, q171PqRerank,
-    q178Hubness, q179EmbeddingStats)
+    q178Hubness, q179EmbeddingStats, q180Silhouette)
 }

@@ -932,6 +932,92 @@ object TextOps {
       .orderBy(col("phrase"), col("rnk"))
   }
 
+  /** Quality-signal agreement — Spearman rank correlation between two
+    * independent curation signals, per language: the cheap heuristic
+    * quality score (q25's ratio product) and the n-gram LM negative
+    * log-likelihood (q128's CCNet-style model signal). The question
+    * every filter-stack owner asks before spending model inference on
+    * the whole corpus: does the cheap signal ORDER documents the same
+    * way the expensive one does? Ranks are total orders (deterministic
+    * doc_id tie-break; NLL ranked ascending = best-first, so positive
+    * ρ means agreement), which keeps Spearman's ρ = 1 − 6Σd²/(n(n²−1))
+    * an EXACT RATIONAL of integers: rho_micro = floor((n(n²−1) −
+    * 6Σd²)·10⁶ / (n(n²−1))) hash-verifies. (n(n²−1)·10⁶ < 2⁶³ up to
+    * n ≈ 2·10⁴ per group; beyond that the numerator moves to
+    * DECIMAL(38) partials, shape unchanged.)
+    *
+    * Scale posture: the two signal scans are the operator's cost (the
+    * LM scoring already broadcasts its count relations); the ranks are
+    * one lang-keyed window pass each, and the correlation is a
+    * lang-keyed aggregate of integer differences. */
+  val q181SignalAgreement: QueryDef = sql(
+    "q181_signal_agreement",
+    """WITH t AS (SELECT doc_id, lang, string_split(text, ' ') AS toks FROM documents),
+      |qual AS (SELECT doc_id, lang,
+      |    (CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks))
+      |      * (1.0 - CAST(len(list_filter(toks, x -> x = 'the' OR x = 'a')) AS DOUBLE) / len(toks))
+      |      * LEAST(1.0, CAST(len(toks) AS DOUBLE) / 50.0) AS quality
+      |  FROM t),
+      |refbi AS (
+      |  SELECT toks[i] AS w1, toks[i + 1] AS w2
+      |  FROM t, LATERAL (SELECT unnest(range(1, len(toks))) AS i)
+      |  WHERE lang = 'en' AND len(toks) >= 2),
+      |c2 AS (SELECT w1, w2, COUNT(*) AS c2 FROM refbi GROUP BY 1, 2),
+      |c1 AS (SELECT w1, COUNT(*) AS c1 FROM refbi GROUP BY 1),
+      |v AS (SELECT COUNT(DISTINCT word) AS v FROM (
+      |  SELECT unnest(toks) AS word FROM t WHERE lang = 'en')),
+      |docbi AS (
+      |  SELECT doc_id, toks[i] AS w1, toks[i + 1] AS w2
+      |  FROM t, LATERAL (SELECT unnest(range(1, len(toks))) AS i)
+      |  WHERE len(toks) >= 2),
+      |nll AS (
+      |  SELECT d.doc_id,
+      |    round(AVG(-ln((COALESCE(c2.c2, 0) + 1.0) / (COALESCE(c1.c1, 0) + v.v))), 6) AS avg_nll
+      |  FROM docbi d LEFT JOIN c2 ON d.w1 = c2.w1 AND d.w2 = c2.w2
+      |    LEFT JOIN c1 ON d.w1 = c1.w1, v
+      |  GROUP BY d.doc_id),
+      |ranked AS (
+      |  SELECT q.lang,
+      |    CAST(ROW_NUMBER() OVER (PARTITION BY q.lang ORDER BY q.quality DESC, q.doc_id) AS BIGINT) AS r1,
+      |    CAST(ROW_NUMBER() OVER (PARTITION BY q.lang ORDER BY n.avg_nll, q.doc_id) AS BIGINT) AS r2
+      |  FROM qual q JOIN nll n ON n.doc_id = q.doc_id),
+      |agg AS (SELECT lang, COUNT(*) AS n,
+      |          CAST(SUM((r1 - r2) * (r1 - r2)) AS BIGINT) AS sum_d2
+      |        FROM ranked GROUP BY 1)
+      |SELECT lang, n, sum_d2,
+      |  CASE WHEN n < 2 THEN CAST(0 AS BIGINT)
+      |       ELSE CAST(FLOOR(CAST((n * (n * n - 1) - 6 * sum_d2) * 1000000 AS DOUBLE)
+      |                       / (n * (n * n - 1))) AS BIGINT)
+      |  END AS rho_micro
+      |FROM agg
+      |ORDER BY lang""".stripMargin) { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.fanOut(Tables.documents(s, dir))
+    val qual = docs.withColumn("toks", split(col("text"), " "))
+      .select(col("doc_id"), col("lang"),
+        ((size(array_distinct(col("toks"))).cast("double") / size(col("toks"))) *
+          (lit(1.0) - expr("size(filter(toks, x -> x = 'the' OR x = 'a'))").cast("double") /
+            size(col("toks"))) *
+          least(lit(1.0), size(col("toks")).cast("double") / 50.0)).as("quality"))
+    val nll = lmPerplexity(docs, docs.filter(col("lang") === "en"))
+      .select(col("doc_id"), col("avg_nll"))
+    val ranked = qual.join(nll, "doc_id")
+      .withColumn("r1", row_number().over(
+        Window.partitionBy(col("lang")).orderBy(col("quality").desc, col("doc_id"))).cast("long"))
+      .withColumn("r2", row_number().over(
+        Window.partitionBy(col("lang")).orderBy(col("avg_nll"), col("doc_id"))).cast("long"))
+    ranked.groupBy(col("lang"))
+      .agg(count(lit(1)).as("n"),
+        sum((col("r1") - col("r2")) * (col("r1") - col("r2"))).as("sum_d2"))
+      // negative ρ: floor via an identical double expression in both
+      // engines (integer // floors in DuckDB but DIV truncates in Spark,
+      // so they'd disagree below zero)
+      .withColumn("rho_micro", expr(
+        "CASE WHEN n < 2 THEN 0L ELSE CAST(FLOOR(CAST((n * (n * n - 1) - 6 * sum_d2) * 1000000L AS DOUBLE) / (n * (n * n - 1))) AS BIGINT) END"))
+      .select(col("lang"), col("n"), col("sum_d2"), col("rho_micro"))
+      .orderBy(col("lang"))
+  }
+
   /** Token-budget shard packing: documents in doc_id order fill training
     * shards of [[ShardBudget]] tokens (shard = exclusive-prefix-sum ÷
     * budget — a doc starting before a boundary stays in the earlier
@@ -2762,7 +2848,7 @@ object TextOps {
     q68StratifiedSample, q72Redaction, q74Chunking, q79CurationPipeline,
     q80TrigramGenerator, q99Tfidf, q100ShardPacking, q102HeavyHitters, q136Bm25, q137RrfFusion,
     q107QualitySample, q110Contingency, q116Contamination, q117Repetition,
-    q172RetrievalMetrics, q175PhraseSearch,
+    q172RetrievalMetrics, q175PhraseSearch, q181SignalAgreement,
     q118SourceMix, q121NegativeSampling, q123CorpusBuild, q128LmPerplexity,
     q129DsirSelect, q130SequencePacking, q134UnimaxMix, q139MixSchedule,
     q141DomainCap, q142PreferencePairs, q145CorpusDiff, q149CorpusCard,

@@ -471,4 +471,33 @@ class AnnQualitySpec extends SparkSpec {
     assert(row._3 == math.floor(mu).toLong, s"mean: ${row._3} != ${math.floor(mu)}")
     assert(row._5 == outliers, s"outliers: ${row._5} != $outliers")
   }
+
+  test("silhouette: planted well-separated clusters score near 1.0; fixture scores stay in range") {
+    import org.apache.spark.sql.functions._
+    val planted = Similarity.q180Silhouette.run(spark, generateClustered()).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(planted.length == 8)
+    planted.foreach { case (cid, n, mean, mn, mx) =>
+      assert(n >= 1L)
+      // the planted noise is sizeable (0.15·√64 ≈ 1.2 vs unit centers),
+      // so ~0.5 is the honest squared-silhouette level — the separation
+      // claim is the planted-vs-random gap asserted below
+      assert(mean >= 400000L, s"cluster $cid mean silhouette $mean too low for planted data")
+      assert(mn >= 0L && mx <= 1000000L && mn <= mean && mean <= mx)
+    }
+    val fixture = Similarity.q180Silhouette.run(spark, sfDir).collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    fixture.foreach { case (_, _, mn, mx) =>
+      assert(mn >= 0L && mx <= 1000000L)
+    }
+    assert(fixture.map(_._1).sum ==
+      graft.sources.Tables.embeddings(spark, sfDir).count())
+    // planted structure must clearly beat the near-random fixture corpus
+    def weightedMean(rows: Seq[(Long, Long)]): Double =
+      rows.map { case (n, m) => n.toDouble * m }.sum / rows.map(_._1).sum
+    val plantedMean = weightedMean(planted.map(p => (p._2, p._3)).toSeq)
+    val fixtureMean = weightedMean(fixture.map(f => (f._1, f._2)).toSeq)
+    assert(plantedMean > fixtureMean + 200000.0,
+      s"planted $plantedMean must dominate random $fixtureMean")
+  }
 }

@@ -642,4 +642,39 @@ class TextQualitySpec extends SparkSpec {
       assert(rows.map(_._3).sorted.toSeq == (1 to rows.length), s"'$p' ranks not dense")
     }
   }
+
+  test("signal agreement: Spearman rho re-derives on the driver from the two collected signals") {
+    import graft.sources.Tables
+    val got = TextOps.q181SignalAgreement.run(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.nonEmpty)
+    got.foreach { case (_, n, _, rho) =>
+      assert(rho >= -1000000L && rho <= 1000000L); assert(n >= 1L)
+    }
+    val docs = Tables.documents(spark, sfDir)
+    val qual = docs.withColumn("toks", split(col("text"), " "))
+      .select(col("doc_id"), col("lang"),
+        ((size(array_distinct(col("toks"))).cast("double") / size(col("toks"))) *
+          (lit(1.0) - expr("size(filter(toks, x -> x = 'the' OR x = 'a'))").cast("double") /
+            size(col("toks"))) *
+          least(lit(1.0), size(col("toks")).cast("double") / 50.0)).as("quality"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+    val nll = TextOps.lmPerplexity(docs, docs.filter(col("lang") === "en"))
+      .select("doc_id", "avg_nll").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    got.foreach { case (lang, n, sumD2, rho) =>
+      val grp = qual.filter(_._2 == lang).filter(t => nll.contains(t._1))
+      assert(n == grp.length.toLong, s"$lang: n $n != ${grp.length}")
+      val r1 = grp.sortBy { case (id, _, q) => (-q, id) }.map(_._1).zipWithIndex
+        .map { case (id, i) => id -> (i + 1L) }.toMap
+      val r2 = grp.sortBy { case (id, _, _) => (nll(id), id) }.map(_._1).zipWithIndex
+        .map { case (id, i) => id -> (i + 1L) }.toMap
+      val d2 = grp.map(t => { val d = r1(t._1) - r2(t._1); d * d }).sum
+      assert(sumD2 == d2, s"$lang: sum_d2 $sumD2 != $d2")
+      val den = n * (n * n - 1)
+      val want = if (n < 2) 0L
+        else math.floor(((den - 6 * d2) * 1000000L).toDouble / den).toLong
+      assert(rho == want, s"$lang: rho $rho != $want")
+    }
+  }
 }
