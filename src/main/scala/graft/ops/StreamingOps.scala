@@ -635,6 +635,68 @@ object StreamingOps {
       .start()
   }
 
+  /** Streaming face of q176's commit-log replay: tail the action log
+    * (files of (version, shard_id, action, file_hash) rows landing in
+    * `stagedDir`) and maintain the LIVE SNAPSHOT incrementally — per
+    * trigger, merge arriving actions into the latest-action-per-shard
+    * state by last-version-wins and republish it atomically (the q108
+    * tmp+rename commit protocol; the state is the metadata-plane
+    * checkpoint a Delta-style reader keeps so steady-state cost is the
+    * log TAIL, exactly what q176's docstring promises). The merge is
+    * IDEMPOTENT — max version wins, so re-delivered or replayed action
+    * files are absorbed without an anti-join dedup log, and a restart
+    * over the full staged history converges to the identical snapshot
+    * (spec-proved equal to the batch [[TextOps.timeTravel]] replay).
+    * `onBatch` receives the live (shard_id, file_hash) set after each
+    * publish. */
+  def logTailStream(s: SparkSession, stagedDir: String, stateDir: String)(
+      onBatch: (Long, Seq[(Long, Long)]) => Unit): org.apache.spark.sql.streaming.StreamingQuery = {
+    import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+    val root = new java.io.File(stateDir)
+    def publish(df: DataFrame): Unit = {
+      val tmp = new java.io.File(root.getParentFile,
+        s"${root.getName}.tmp-${ProcessHandle.current().pid()}-${Thread.currentThread().getId}")
+      df.write.mode("overwrite").parquet(tmp.getPath)
+      if (root.exists()) {
+        val stale = new java.io.File(root.getParentFile,
+          s"${root.getName}.stale-${ProcessHandle.current().pid()}-${Thread.currentThread().getId}")
+        if (root.renameTo(stale))
+          org.apache.commons.io.FileUtils.deleteDirectory(stale)
+      }
+      if (!tmp.renameTo(root))
+        org.apache.commons.io.FileUtils.deleteDirectory(tmp)
+    }
+    // initialize an empty snapshot ONLY when none exists — a restart
+    // against accumulated state must extend it, not reset it
+    if (!new java.io.File(root, "_SUCCESS").exists())
+      publish(s.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),
+        StructType(Seq(StructField("shard_id", LongType), StructField("version", LongType),
+          StructField("action", StringType), StructField("file_hash", LongType)))))
+    s.readStream.schema("version LONG, shard_id LONG, action STRING, file_hash LONG")
+      .option("maxFilesPerTrigger", "1")
+      .parquet(stagedDir)
+      .writeStream
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        val b = s.createDataFrame(batch.rdd, batch.schema)
+        val state = s.read.parquet(stateDir)
+        val merged = state
+          .unionByName(b.select(col("shard_id"), col("version"), col("action"), col("file_hash")))
+          .withColumn("rn", row_number().over(
+            Window.partitionBy(col("shard_id"))
+              .orderBy(col("version").desc, col("action"), col("file_hash"))))
+          .filter(col("rn") === 1).drop("rn")
+        // the snapshot is shard-count-sized (metadata plane): collect the
+        // report before republishing over the state we just read
+        val live = merged.filter(col("action") === "put")
+          .select(col("shard_id"), col("file_hash")).collect()
+          .map(r => r.getLong(0) -> r.getLong(1)).sortBy(_._1).toSeq
+        publish(merged)
+        onBatch(id, live)
+      }
+      .start()
+  }
+
   def kmeansStream(s: SparkSession, stagedDir: String,
       init: Seq[(Long, Seq[Long])])(
       onBatch: (Long, DataFrame, Seq[(Long, Long, Seq[Long])]) => Unit): org.apache.spark.sql.streaming.StreamingQuery = {

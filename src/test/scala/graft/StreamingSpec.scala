@@ -649,4 +649,46 @@ class StreamingSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(finalCounts == want)
   }
+
+  test("log tail stream: incremental snapshot equals batch time travel; replay and restart are idempotent") {
+    import scala.collection.concurrent.TrieMap
+    val docs = Tables.documents(spark, sfDir).select(col("doc_id"), col("text"))
+    val log = TextOps.commitLog(docs)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // stage one file per log version, in version order
+    val srcDir = Files.createTempDirectory("graft-logtail-src")
+    (0L to 5L).foreach { v =>
+      val tmp = Files.createTempDirectory("graft-logtail-stage").toString
+      log.filter(col("version") === v).coalesce(1)
+        .write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(_.getName.endsWith(".parquet")).get.toPath
+      Files.copy(part, srcDir.resolve(s"v$v.parquet"), StandardCopyOption.REPLACE_EXISTING)
+      stampStaged(srcDir.resolve(s"v$v.parquet"))
+    }
+    val stateDir = Files.createTempDirectory("graft-logtail-state").toString + "/snap"
+    val rec = TrieMap.empty[Long, Seq[(Long, Long)]]
+    val q = StreamingOps.logTailStream(spark, srcDir.toString, stateDir) {
+      (id, live) => rec(id) = live
+    }
+    assert(q.awaitTermination(180000), "log tail stream did not finish")
+    assert(rec.size > 1, "multiple micro-batches must have run")
+    def batchAsOf(v: Long): Seq[(Long, Long)] =
+      TextOps.timeTravel(log, Seq(v))(spark).collect()
+        .map(r => r.getLong(1) -> r.getLong(2)).sortBy(_._1).toSeq
+    // the final snapshot is the as-of-5 batch replay
+    assert(rec(rec.keys.max) == batchAsOf(5L), "stream snapshot != batch as-of-5")
+    // version files arrive in order, so the FIRST trigger is as-of-0
+    assert(rec(rec.keys.min) == batchAsOf(0L), "first trigger != batch as-of-0")
+    // restart over the same staged history: max-version-wins absorbs
+    // every replayed action — the snapshot must not move
+    val rec2 = TrieMap.empty[Long, Seq[(Long, Long)]]
+    val q2 = StreamingOps.logTailStream(spark, srcDir.toString, stateDir) {
+      (id, live) => rec2(id) = live
+    }
+    assert(q2.awaitTermination(180000), "restarted log tail stream did not finish")
+    assert(rec2.nonEmpty && rec2(rec2.keys.max) == batchAsOf(5L),
+      "replayed log must converge to the same snapshot")
+    log.unpersist()
+  }
 }
