@@ -134,5 +134,88 @@ object Classifier {
       .orderBy(col("doc_id"))
   }
 
-  val all: Seq[QueryDef] = Seq(q127Perceptron)
+  /** Shared oracle prefix: q127's unrolled 3-round training chain ending
+    * at final margins `mf` and labels `lab`. */
+  private[ops] val trainedMarginsSql =
+    """toks AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
+      |hf AS (
+      |  SELECT doc_id, CAST(('0x' || substr(md5(word), 1, 8)) AS BIGINT) % 32 AS dim,
+      |         CAST(COUNT(*) AS BIGINT) AS cnt
+      |  FROM toks GROUP BY 1, 2
+      |  UNION ALL
+      |  SELECT doc_id, 32 AS dim, 1 AS cnt FROM documents),
+      |lab AS (SELECT doc_id, CASE WHEN lang = 'en' THEN 1 ELSE -1 END AS y
+      |        FROM documents),
+      |w1 AS (SELECT f.dim, CAST(SUM(l.y * f.cnt) AS BIGINT) AS w
+      |       FROM hf f JOIN lab l USING (doc_id) GROUP BY 1),
+      |m2 AS (SELECT f.doc_id, CAST(SUM(COALESCE(w1.w, 0) * f.cnt) AS BIGINT) AS margin
+      |       FROM hf f LEFT JOIN w1 USING (dim) GROUP BY 1),
+      |u2 AS (SELECT f.dim, CAST(SUM(l.y * f.cnt) AS BIGINT) AS dw
+      |       FROM hf f JOIN lab l USING (doc_id) JOIN m2 USING (doc_id)
+      |       WHERE l.y * m2.margin <= 0 GROUP BY 1),
+      |w2 AS (SELECT COALESCE(w1.dim, u2.dim) AS dim,
+      |              COALESCE(w1.w, 0) + COALESCE(u2.dw, 0) AS w
+      |       FROM w1 FULL JOIN u2 ON w1.dim = u2.dim),
+      |m3 AS (SELECT f.doc_id, CAST(SUM(COALESCE(w2.w, 0) * f.cnt) AS BIGINT) AS margin
+      |       FROM hf f LEFT JOIN w2 USING (dim) GROUP BY 1),
+      |u3 AS (SELECT f.dim, CAST(SUM(l.y * f.cnt) AS BIGINT) AS dw
+      |       FROM hf f JOIN lab l USING (doc_id) JOIN m3 USING (doc_id)
+      |       WHERE l.y * m3.margin <= 0 GROUP BY 1),
+      |w3 AS (SELECT COALESCE(w2.dim, u3.dim) AS dim,
+      |              COALESCE(w2.w, 0) + COALESCE(u3.dw, 0) AS w
+      |       FROM w2 FULL JOIN u3 ON w2.dim = u3.dim),
+      |mf AS (SELECT f.doc_id, CAST(SUM(COALESCE(w3.w, 0) * f.cnt) AS BIGINT) AS margin
+      |       FROM hf f LEFT JOIN w3 USING (dim) GROUP BY 1)""".stripMargin
+
+  /** Classifier calibration audit — the reliability diagram a quality
+    * filter owner reads before picking a keep threshold (Niculescu-Mizil
+    * & Caruana, ICML'05: raw margins are NOT probabilities; what matters
+    * for thresholding is whether the positive rate rises monotonically
+    * with the score): bucket the served corpus into margin DECILES
+    * (NTILE over the exact integer margin, doc_id tie-break — a total
+    * order, so bucket membership hash-verifies) and report each decile's
+    * size, exact positive rate, accuracy, and floor-mean margin.
+    * Completes the classifier lifecycle: q127 trains and serves, this
+    * audits the served scores against truth.
+    *
+    * Scale posture: everything after q127's own serving pass is one
+    * corpus-wide NTILE window (rank on a 64-bit key; at 100 TB this is
+    * the one global sort — the same class as q100's packing window,
+    * replaceable by the block two-pass device if it ever dominates) plus
+    * a 10-row aggregate. */
+  val q182Calibration: QueryDef = sql(
+    "q182_calibration",
+    s"""WITH $trainedMarginsSql,
+       |served AS (SELECT l.doc_id, l.y, mf.margin,
+       |             NTILE(10) OVER (ORDER BY mf.margin, l.doc_id) AS decile
+       |           FROM lab l JOIN mf USING (doc_id))
+       |SELECT CAST(decile AS BIGINT) AS decile, COUNT(*) AS n,
+       |  CAST(SUM(CASE WHEN y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+       |  CAST(SUM(CASE WHEN y = 1 THEN 1 ELSE 0 END) * 1000000 // COUNT(*) AS BIGINT) AS pos_rate_micro,
+       |  CAST(SUM(CASE WHEN (margin > 0) = (y = 1) THEN 1 ELSE 0 END) * 1000000 // COUNT(*) AS BIGINT) AS acc_micro,
+       |  CAST(FLOOR(CAST(SUM(margin) AS DOUBLE) / COUNT(*)) AS BIGINT) AS mean_margin
+       |FROM served
+       |GROUP BY 1
+       |ORDER BY decile""".stripMargin) { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.fanOut(Tables.documents(s, dir))
+    val feats = hashedFeatures(docs)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val labels = docs.select(col("doc_id"),
+      when(col("lang") === "en", 1L).otherwise(-1L).as("y"))
+    val served = perceptronScore(feats, perceptronTrain(feats, labels, rounds = 3))
+      .join(labels, "doc_id")
+      .withColumn("decile", ntile(10).over(
+        Window.orderBy(col("margin"), col("doc_id"))).cast("long"))
+    served.groupBy(col("decile"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("y") === 1L, 1L).otherwise(0L)).as("n_pos"),
+        expr("SUM(CASE WHEN y = 1 THEN 1 ELSE 0 END) * 1000000L DIV COUNT(*)").as("pos_rate_micro"),
+        expr("SUM(CASE WHEN (margin > 0) = (y = 1) THEN 1 ELSE 0 END) * 1000000L DIV COUNT(*)").as("acc_micro"),
+        expr("CAST(FLOOR(CAST(SUM(margin) AS DOUBLE) / COUNT(*)) AS BIGINT)").as("mean_margin"))
+      .orderBy(col("decile"))
+  }
+
+  val all: Seq[QueryDef] = Seq(q127Perceptron, q182Calibration)
 }

@@ -353,6 +353,50 @@ object Dedup {
         col("cont_micro"))
   }
 
+  /** Cross-source duplication matrix — "which SOURCES copy from each
+    * other": the verified near-dup pairs (q32) aggregated to the
+    * (source_a, source_b) level with pair counts and the exact mean
+    * Jaccard (floored micro-units of per-pair integer ratios? no —
+    * jaccard is a per-pair double built from exact integers by the same
+    * expression both engines, so the emitted mean uses the q59
+    * device: round each pair's jaccard to 6 dp, cast to DECIMAL, and
+    * SUM decimals — exact and aggregation-order-independent). The
+    * mixture designer's view of duplication: a hot (srcX, srcY) cell
+    * says one feed mirrors another — fix the INGEST, not just the
+    * pairs. Diagonal cells are within-source duplication (template
+    * reuse). Source pair is unordered (lexicographic normalization).
+    *
+    * Scale posture: rides q32's LSH-blocked pair relation (never
+    * all-pairs); the rollup adds two broadcast-able doc→source joins
+    * and a sources²-bounded aggregate. */
+  val q183SourceOverlap: QueryDef = sql(
+    "q183_source_overlap",
+    s"""WITH $verifiedPairsSql,
+       |src AS (SELECT doc_id, source FROM documents),
+       |lab AS (SELECT LEAST(sa.source, sb.source) AS source_a,
+       |               GREATEST(sa.source, sb.source) AS source_b,
+       |               CAST(ROUND(vp.jaccard, 6) AS DECIMAL(18, 6)) AS j
+       |        FROM vp
+       |        JOIN src sa ON sa.doc_id = vp.doc_a
+       |        JOIN src sb ON sb.doc_id = vp.doc_b)
+       |SELECT source_a, source_b, COUNT(*) AS n_pairs,
+       |  CAST(FLOOR(SUM(j) * 1000000 / COUNT(*)) AS BIGINT) AS mean_jaccard_micro
+       |FROM lab
+       |GROUP BY 1, 2
+       |ORDER BY n_pairs DESC, source_a, source_b""".stripMargin) { (s, dir) =>
+    val src = Tables.documents(s, dir).select(col("doc_id"), col("source"))
+    verifiedPairs(s, dir)
+      .join(src.select(col("doc_id").as("doc_a"), col("source").as("sa")), "doc_a")
+      .join(src.select(col("doc_id").as("doc_b"), col("source").as("sb")), "doc_b")
+      .select(least(col("sa"), col("sb")).as("source_a"),
+        greatest(col("sa"), col("sb")).as("source_b"),
+        round(col("jaccard"), 6).cast("decimal(18,6)").as("j"))
+      .groupBy(col("source_a"), col("source_b"))
+      .agg(count(lit(1)).as("n_pairs"),
+        floor(sum(col("j")) * 1000000 / count(lit(1))).cast("long").as("mean_jaccard_micro"))
+      .orderBy(col("n_pairs").desc, col("source_a"), col("source_b"))
+  }
+
   /** [[connectedComponents]] + the component-atomic 80/20 assignment;
     * exposed for the leakage property test (q174 wires in the verified
     * near-dup pairs). */
@@ -1275,5 +1319,5 @@ object Dedup {
     q30DedupExact, q31MinhashLsh, q32NeardupVerified, q33Simhash, q34SimhashPairs,
     q78SimhashHamming, q85DedupClusters, q108IncrementalDedup, q111SimhashWide,
     q126SpanDedup, q150DedupEval, q156RougeAudit, q161SplitLeakage,
-    q163DedupSavings, q174ComponentSplit, q177Containment)
+    q163DedupSavings, q174ComponentSplit, q177Containment, q183SourceOverlap)
 }

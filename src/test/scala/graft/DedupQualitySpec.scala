@@ -159,4 +159,30 @@ class DedupQualitySpec extends SparkSpec {
     assert(got.toSeq == Seq((1L, 2L, 1000000L)),
       s"expected exactly the quote pair at containment 1.0, got ${got.toSeq}")
   }
+
+  test("source-overlap matrix re-derives from the verified pairs and the doc->source map") {
+    val got = Dedup.q183SourceOverlap.run(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(got.nonEmpty)
+    val srcOf = graft.sources.Tables.documents(spark, sfDir)
+      .select("doc_id", "source").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val pairs = Dedup.q32NeardupVerified.run(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val want = pairs.groupBy { case (a, b, _) =>
+      val (sa, sb) = (srcOf(a), srcOf(b))
+      if (sa <= sb) (sa, sb) else (sb, sa)
+    }.map { case (k, xs) =>
+      val sumJ = xs.map { case (_, _, j) =>
+        BigDecimal(j).setScale(6, BigDecimal.RoundingMode.HALF_UP) }.sum
+      k -> ((xs.length.toLong,
+        (sumJ * 1000000 / xs.length).setScale(0, BigDecimal.RoundingMode.FLOOR).toLong))
+    }
+    assert(got.length == want.size)
+    got.foreach { case (sa, sb, n, mj) =>
+      val (wn, wj) = want((sa, sb))
+      assert(n == wn, s"($sa,$sb): n_pairs $n != $wn")
+      assert(mj == wj, s"($sa,$sb): mean_jaccard $mj != $wj")
+    }
+  }
 }

@@ -63,4 +63,35 @@ class PerceptronSpec extends SparkSpec {
     }
     assert(rows.exists(_.getAs[Long]("margin") != 0L), "training must move weights")
   }
+
+  test("calibration deciles re-derive from the served margins; top decile dominates the bottom") {
+    import graft.ops.Classifier
+    val served = Classifier.q127Perceptron.run(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val got = Classifier.q182Calibration.run(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+    assert(got.map(_._1).toSeq == (1L to 10L))
+    assert(got.map(_._2).sum == served.length.toLong)
+    // driver NTILE: sort by (margin, doc_id), split into 10 near-equal runs
+    val sorted = served.sortBy { case (id, _, m) => (m, id) }
+    val n = sorted.length
+    val deciles = (0 until 10).map { d =>
+      val lo = d * n / 10 + math.min(d, n % 10)
+      val hi = (d + 1) * n / 10 + math.min(d + 1, n % 10)
+      sorted.slice(lo, hi)
+    }
+    got.foreach { case (d, cnt, nPos, rate, acc, meanM) =>
+      val grp = deciles(d.toInt - 1)
+      assert(cnt == grp.length.toLong, s"decile $d: n $cnt != ${grp.length}")
+      val wantPos = grp.count(_._2 == 1L).toLong
+      assert(nPos == wantPos, s"decile $d: n_pos $nPos != $wantPos")
+      assert(rate == wantPos * 1000000L / grp.length)
+      val wantAcc = grp.count { case (_, y, m) => (m > 0) == (y == 1L) }.toLong
+      assert(acc == wantAcc * 1000000L / grp.length)
+      assert(meanM == math.floor(grp.map(_._3).sum.toDouble / grp.length).toLong)
+    }
+    // an informative classifier concentrates positives in high-margin deciles
+    assert(got.last._4 > got.head._4,
+      s"top-decile pos rate ${got.last._4} must beat bottom ${got.head._4}")
+  }
 }
