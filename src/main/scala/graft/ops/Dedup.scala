@@ -397,6 +397,43 @@ object Dedup {
       .orderBy(col("n_pairs").desc, col("source_a"), col("source_b"))
   }
 
+  /** Novelty / memorization-share audit (the corpus-level face of
+    * Lee et al. 2022's "Deduplicating Training Data" §4 measurement —
+    * how much of each document's content exists ELSEWHERE in the
+    * corpus): per document, the share of its distinct 3-gram shingles
+    * whose document frequency exceeds 1, as exact micro-units. Distinct
+    * from pairwise dedup: a doc can be 80% non-novel without having ANY
+    * single near-duplicate (mosaic plagiarism / template assembly — the
+    * memorization risk q31/q32 structurally miss). dup_share 0 = fully
+    * novel; 10⁶ = every shingle appears in another doc.
+    *
+    * Scale posture: one df aggregate over the shingle relation, one
+    * shingle-keyed join back, one doc-keyed count — all
+    * map-side-combined hash aggs on keys the dedup stack already
+    * shuffles on. */
+  val q184Novelty: QueryDef = sql(
+    "q184_novelty",
+    s"""WITH $shinglesSql,
+       |dfreq AS (SELECT sh.sh, COUNT(*) AS df FROM sh GROUP BY 1),
+       |per AS (SELECT s.doc_id, COUNT(*) AS n_shingles,
+       |          CAST(SUM(CASE WHEN d.df >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup
+       |        FROM sh s JOIN dfreq d ON d.sh = s.sh
+       |        GROUP BY 1)
+       |SELECT doc_id, n_shingles, n_dup,
+       |  CAST(n_dup * 1000000 // n_shingles AS BIGINT) AS dup_share_micro
+       |FROM per
+       |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    val sh = shingles(s, dir)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val dfreq = sh.groupBy(col("sh")).agg(count(lit(1)).as("df"))
+    sh.join(dfreq, "sh")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("df") >= 2, 1L).otherwise(0L)).as("n_dup"))
+      .withColumn("dup_share_micro", expr("n_dup * 1000000L DIV n_shingles"))
+      .orderBy(col("doc_id"))
+  }
+
   /** [[connectedComponents]] + the component-atomic 80/20 assignment;
     * exposed for the leakage property test (q174 wires in the verified
     * near-dup pairs). */
@@ -1319,5 +1356,6 @@ object Dedup {
     q30DedupExact, q31MinhashLsh, q32NeardupVerified, q33Simhash, q34SimhashPairs,
     q78SimhashHamming, q85DedupClusters, q108IncrementalDedup, q111SimhashWide,
     q126SpanDedup, q150DedupEval, q156RougeAudit, q161SplitLeakage,
-    q163DedupSavings, q174ComponentSplit, q177Containment, q183SourceOverlap)
+    q163DedupSavings, q174ComponentSplit, q177Containment, q183SourceOverlap,
+    q184Novelty)
 }

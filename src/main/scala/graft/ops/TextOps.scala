@@ -1018,6 +1018,87 @@ object TextOps {
       .orderBy(col("lang"))
   }
 
+  /** Distributional word similarity — count-based word vectors (the
+    * PPMI/word-space family: Turney & Pantel 2010, JAIR 37): each of the
+    * top-100 corpus words gets a vector of association LIFTS against the
+    * same vocabulary (doc-level co-occurrence), and the top-20 most
+    * similar word pairs by cosine are emitted. Lift stays an EXACT
+    * INTEGER (milli-units: floor(10³·n(w,c)·n_docs / (n(w)·n(c))), the
+    * q155 PMI-without-ln device), so the cosine NUMERATOR Σ lift_w,c ·
+    * lift_v,c is an exact integer sum — aggregation-order-independent —
+    * and only the final norm division is floating point, computed by the
+    * identical expression both engines (emitted rounded, ranked on raw,
+    * the q99 discipline).
+    *
+    * Scale posture: vocabulary and its count relations are top-k
+    * bounded (100 rows) and BROADCAST; per-doc co-occurrence pairs are
+    * (doc's vocab hits)², aggregated map-side onto ≤ vocab² keys; the
+    * pair cosine is a vocab²-bounded join-agg on the context key. The
+    * corpus contributes exactly two token scans. */
+  val q185WordSimilarity: QueryDef = sql(
+    "q185_word_similarity",
+    """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
+      |vocab AS (SELECT word, COUNT(*) AS wc FROM toks GROUP BY 1
+      |          ORDER BY wc DESC, word LIMIT 100),
+      |hits AS (SELECT DISTINCT t.doc_id, t.word FROM toks t JOIN vocab v ON v.word = t.word),
+      |nw AS (SELECT word, COUNT(*) AS n FROM hits GROUP BY 1),
+      |nd AS (SELECT COUNT(*) AS n_docs FROM documents),
+      |co AS (SELECT a.word AS w, b.word AS c, COUNT(*) AS nwc
+      |       FROM hits a JOIN hits b ON b.doc_id = a.doc_id AND b.word <> a.word
+      |       GROUP BY 1, 2),
+      |lift AS (SELECT co.w, co.c,
+      |           CAST(co.nwc * 1000 * nd.n_docs // (na.n * nc.n) AS BIGINT) AS l
+      |         FROM co
+      |         JOIN nw na ON na.word = co.w
+      |         JOIN nw nc ON nc.word = co.c, nd),
+      |nrm AS (SELECT w, CAST(SUM(l * l) AS BIGINT) AS n2 FROM lift GROUP BY 1),
+      |num AS (SELECT a.w AS wa, b.w AS wb, CAST(SUM(a.l * b.l) AS BIGINT) AS dot
+      |        FROM lift a JOIN lift b ON b.c = a.c AND a.w < b.w
+      |        GROUP BY 1, 2),
+      |cosd AS (SELECT n.wa, n.wb, n.dot,
+      |           CAST(n.dot AS DOUBLE) / (SQRT(CAST(x.n2 AS DOUBLE)) * SQRT(CAST(y.n2 AS DOUBLE))) AS raw
+      |         FROM num n JOIN nrm x ON x.w = n.wa JOIN nrm y ON y.w = n.wb
+      |         WHERE x.n2 > 0 AND y.n2 > 0)
+      |SELECT wa, wb, dot, ROUND(raw, 6) AS cosine
+      |FROM cosd
+      |ORDER BY raw DESC, wa, wb
+      |LIMIT 20""".stripMargin) { (s, dir) =>
+    val toks = Tables.fanOut(Tables.documents(s, dir))
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+    val vocab = toks.groupBy(col("word")).agg(count(lit(1)).as("wc"))
+      .orderBy(col("wc").desc, col("word")).limit(100)
+    val hits = toks.join(broadcast(vocab.select(col("word"))), "word").distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nw = hits.groupBy(col("word")).agg(count(lit(1)).as("n"))
+    val nd = Tables.documents(s, dir).agg(count(lit(1)).as("n_docs"))
+    val co = hits.select(col("doc_id"), col("word").as("w"))
+      .join(hits.select(col("doc_id"), col("word").as("c")), "doc_id")
+      .filter(col("w") =!= col("c"))
+      .groupBy(col("w"), col("c")).agg(count(lit(1)).as("nwc"))
+    val lift = co
+      .join(broadcast(nw.select(col("word").as("w"), col("n").as("na"))), "w")
+      .join(broadcast(nw.select(col("word").as("c"), col("n").as("nc"))), "c")
+      .crossJoin(broadcast(nd))
+      .select(col("w"), col("c"), expr("nwc * 1000L * n_docs DIV (na * nc)").as("l"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nrm = lift.groupBy(col("w")).agg(sum(col("l") * col("l")).as("n2"))
+    val num = lift.select(col("w").as("wa"), col("c"), col("l").as("la"))
+      .join(lift.select(col("w").as("wb"), col("c"), col("l").as("lb")), "c")
+      .filter(col("wa") < col("wb"))
+      .groupBy(col("wa"), col("wb")).agg(sum(col("la") * col("lb")).as("dot"))
+    val raw = col("dot").cast("double") /
+      (sqrt(col("na2").cast("double")) * sqrt(col("nb2").cast("double")))
+    num
+      .join(nrm.select(col("w").as("wa"), col("n2").as("na2")), "wa")
+      .join(nrm.select(col("w").as("wb"), col("n2").as("nb2")), "wb")
+      .filter(col("na2") > 0 && col("nb2") > 0)
+      .select(col("wa"), col("wb"), col("dot"), col("na2"), col("nb2"))
+      .withColumn("raw", raw)
+      .orderBy(col("raw").desc, col("wa"), col("wb"))
+      .limit(20)
+      .select(col("wa"), col("wb"), col("dot"), round(col("raw"), 6).as("cosine"))
+  }
+
   /** Token-budget shard packing: documents in doc_id order fill training
     * shards of [[ShardBudget]] tokens (shard = exclusive-prefix-sum ÷
     * budget — a doc starting before a boundary stays in the earlier
@@ -2848,7 +2929,7 @@ object TextOps {
     q68StratifiedSample, q72Redaction, q74Chunking, q79CurationPipeline,
     q80TrigramGenerator, q99Tfidf, q100ShardPacking, q102HeavyHitters, q136Bm25, q137RrfFusion,
     q107QualitySample, q110Contingency, q116Contamination, q117Repetition,
-    q172RetrievalMetrics, q175PhraseSearch, q181SignalAgreement,
+    q172RetrievalMetrics, q175PhraseSearch, q181SignalAgreement, q185WordSimilarity,
     q118SourceMix, q121NegativeSampling, q123CorpusBuild, q128LmPerplexity,
     q129DsirSelect, q130SequencePacking, q134UnimaxMix, q139MixSchedule,
     q141DomainCap, q142PreferencePairs, q145CorpusDiff, q149CorpusCard,

@@ -185,4 +185,26 @@ class DedupQualitySpec extends SparkSpec {
       assert(mj == wj, s"($sa,$sb): mean_jaccard $mj != $wj")
     }
   }
+
+  test("novelty: per-doc dup share re-derives from driver-built shingle document frequencies") {
+    val got = Dedup.q184Novelty.run(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.nonEmpty)
+    val docs = graft.sources.Tables.documents(spark, sfDir)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ").toSeq
+        .sliding(3).filter(_.size == 3).map(_.mkString(" ")).toSet)
+      .toMap
+    val df = docs.values.toSeq.flatMap(_.toSeq)
+      .groupBy(identity).map { case (g, xs) => g -> xs.size }
+    got.foreach { case (id, nSh, nDup, share) =>
+      val mine = docs(id)
+      assert(nSh == mine.size.toLong, s"doc $id: n_shingles $nSh != ${mine.size}")
+      val wantDup = mine.count(df(_) >= 2).toLong
+      assert(nDup == wantDup, s"doc $id: n_dup $nDup != $wantDup")
+      assert(share == wantDup * 1000000L / mine.size)
+    }
+    // the score must actually discriminate on the fixture
+    assert(got.map(_._4).distinct.length > 1, "dup share must vary across docs")
+  }
 }

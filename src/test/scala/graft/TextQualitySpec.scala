@@ -677,4 +677,44 @@ class TextQualitySpec extends SparkSpec {
       assert(rho == want, s"$lang: rho $rho != $want")
     }
   }
+
+  test("word similarity: the top-20 pair list re-derives from a driver count-vector build") {
+    import graft.sources.Tables
+    val got = TextOps.q185WordSimilarity.run(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+    assert(got.length == 20)
+    val docs = Tables.documents(spark, sfDir).select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ").toSeq)
+    val freq = docs.flatMap(_._2).groupBy(identity).map { case (w, xs) => w -> xs.size }
+    val vocab = freq.toSeq.sortBy { case (w, c) => (-c, w) }.take(100).map(_._1).toSet
+    val hits = docs.map { case (id, ws) => id -> ws.filter(vocab).toSet }
+    val nw = hits.flatMap(_._2).groupBy(identity).map { case (w, xs) => w -> xs.size.toLong }
+    val nDocs = docs.length.toLong
+    val co = hits.flatMap { case (_, s) =>
+      for (a <- s.toSeq; b <- s.toSeq if a != b) yield (a, b)
+    }.groupBy(identity).map { case (k, xs) => k -> xs.size.toLong }
+    val lift = co.map { case ((w, c), nwc) =>
+      (w, c) -> nwc * 1000L * nDocs / (nw(w) * nw(c)) }
+    val byW = lift.groupBy(_._1._1).map { case (w, m) =>
+      w -> m.map { case ((_, c), l) => c -> l } }
+    val n2 = byW.map { case (w, v) => w -> v.values.map(l => l * l).sum }
+    val words = byW.keys.toSeq.sorted
+    val pairs = for {
+      i <- words.indices; j <- (i + 1) until words.length
+      wa = words(i); wb = words(j)
+      dot = byW(wa).keySet.intersect(byW(wb).keySet).toSeq
+        .map(c => byW(wa)(c) * byW(wb)(c)).sum
+      if n2(wa) > 0 && n2(wb) > 0
+    } yield (wa, wb, dot,
+      dot.toDouble / (math.sqrt(n2(wa).toDouble) * math.sqrt(n2(wb).toDouble)))
+    val want = pairs.sortBy { case (wa, wb, _, raw) => (-raw, wa, wb) }.take(20)
+      .map { case (wa, wb, dot, raw) =>
+        (wa, wb, dot, math.rint(raw * 1e6) / 1e6) }
+    val gotCmp = got.map { case (wa, wb, dot, c) => (wa, wb, dot, c) }.toSeq
+    assert(gotCmp.map(t => (t._1, t._2, t._3)) == want.map(t => (t._1, t._2, t._3)),
+      s"top-20 mismatch:\n got  ${gotCmp.take(5)}\n want ${want.take(5)}")
+    gotCmp.zip(want).foreach { case (g, w) =>
+      assert(math.abs(g._4 - w._4) < 1e-6, s"cosine ${g._4} != ${w._4} for ${g._1}/${g._2}")
+    }
+  }
 }
