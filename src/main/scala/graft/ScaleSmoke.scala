@@ -124,7 +124,8 @@ object ScaleSmoke {
       "q174_component_split", "q175_phrase_search", "q176_time_travel",
       "q177_containment", "q178_hubness", "q179_embedding_stats",
       "q180_silhouette", "q181_signal_agreement", "q182_calibration",
-      "q183_source_overlap", "q184_novelty", "q185_word_similarity")
+      "q183_source_overlap", "q184_novelty", "q185_word_similarity",
+      "q186_bootstrap_ci", "q187_rm3_expansion")
     // SPARK_GRAFT_SMOKE_ONLY=q123,q124 limits a run to matching targets —
     // the same local profiling aid as Bench's SPARK_GRAFT_BENCH_ONLY
     val selected = sys.env.get("SPARK_GRAFT_SMOKE_ONLY")

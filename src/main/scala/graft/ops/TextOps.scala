@@ -1099,6 +1099,189 @@ object TextOps {
       .select(col("wa"), col("wb"), col("dot"), round(col("raw"), 6).as("cosine"))
   }
 
+  /** Bootstrap confidence intervals (Efron 1979) for per-source mean
+    * quality — the error bars a corpus datasheet (q149) should carry
+    * before anyone compares sources on a point estimate: B = 50
+    * resamples-with-replacement of each source's m-doc sample, the
+    * 2.5%/97.5% resample-mean order statistics as the interval. Every
+    * "random" draw is the md5-fraction device (pick k of resample r =
+    * md5('boot:r:k') mod m), so the whole Monte-Carlo procedure is a
+    * pure function of the data — reproducible, engine-identical,
+    * hash-verified. The metric is the exact-integer lexical-diversity
+    * micro score (q142's), so resample means are floor-divided integer
+    * sums, and the order statistics are exact.
+    *
+    * Scale posture: the classic m-out-of-n bootstrap (Bickel & Sakov
+    * 2008) — each source contributes a deterministic m ≤ 200 doc
+    * sample (first m by doc_id), so the resample grid is
+    * sources·B·m rows of METADATA regardless of corpus size; the
+    * corpus pays one scoring scan + one rank window. */
+  val q186BootstrapCi: QueryDef = sql(
+    "q186_bootstrap_ci",
+    """WITH sc AS (
+      |  SELECT doc_id, source,
+      |    CAST(FLOOR(CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+      |      * 1000000.0 / len(string_split(text, ' '))) AS BIGINT) AS score,
+      |    ROW_NUMBER() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+      |  FROM documents),
+      |samp AS (SELECT source, rn, score FROM sc WHERE rn <= 200),
+      |m AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS m FROM samp GROUP BY source),
+      |grid AS (
+      |  SELECT m.source, r.r, k.k,
+      |    1 + CAST(('0x' || substr(md5('boot:' || CAST(r.r AS VARCHAR) || ':'
+      |          || CAST(k.k AS VARCHAR) || ':' || m.source), 1, 8)) AS BIGINT) % m.m AS pick
+      |  FROM m
+      |  CROSS JOIN (SELECT unnest(range(1, 51)) AS r) r
+      |  CROSS JOIN LATERAL (SELECT unnest(range(1, m.m + 1)) AS k) k),
+      |means AS (
+      |  SELECT g.source, g.r,
+      |    CAST(SUM(s.score) AS BIGINT) // COUNT(*) AS rmean
+      |  FROM grid g JOIN samp s ON s.source = g.source AND s.rn = g.pick
+      |  GROUP BY 1, 2),
+      |ranked AS (SELECT source, rmean,
+      |             ROW_NUMBER() OVER (PARTITION BY source ORDER BY rmean, r) AS q
+      |           FROM means),
+      |pt AS (SELECT source, CAST(SUM(score) AS BIGINT) // COUNT(*) AS mean_micro,
+      |         CAST(COUNT(*) AS BIGINT) AS m
+      |       FROM samp GROUP BY 1)
+      |SELECT p.source, p.m, p.mean_micro,
+      |  CAST(MIN(CASE WHEN q = 2 THEN rmean END) AS BIGINT) AS ci_lo_micro,
+      |  CAST(MIN(CASE WHEN q = 49 THEN rmean END) AS BIGINT) AS ci_hi_micro
+      |FROM pt p JOIN ranked USING (source)
+      |GROUP BY 1, 2, 3
+      |ORDER BY source""".stripMargin) { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val sc = Tables.fanOut(Tables.documents(s, dir))
+      .withColumn("toks", split(col("text"), " "))
+      .select(col("doc_id"), col("source"), expr(
+        "CAST(FLOOR(CAST(size(array_distinct(toks)) AS DOUBLE) * 1000000.0D / size(toks)) AS BIGINT)").as("score"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("source")).orderBy(col("doc_id"))).cast("long"))
+    val samp = sc.filter(col("rn") <= 200)
+      .select(col("source"), col("rn"), col("score"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val m = samp.groupBy(col("source")).agg(count(lit(1)).as("m"))
+    val grid = m
+      .select(col("source"), col("m"), explode(expr("sequence(1L, 50L)")).as("r"))
+      .select(col("source"), col("m"), col("r"), explode(expr("sequence(1L, m)")).as("k"))
+      .withColumn("pick", lit(1L) + expr(
+        "CAST(conv(substring(md5(concat('boot:', CAST(r AS STRING), ':', CAST(k AS STRING), ':', source)), 1, 8), 16, 10) AS BIGINT)") % col("m"))
+    val means = grid.join(samp.withColumnRenamed("rn", "pick"), Seq("source", "pick"))
+      .groupBy(col("source"), col("r"))
+      .agg(expr("CAST(SUM(score) AS BIGINT) DIV COUNT(*)").as("rmean"))
+    val ranked = means.withColumn("q", row_number().over(
+      Window.partitionBy(col("source")).orderBy(col("rmean"), col("r"))))
+    val pt = samp.groupBy(col("source"))
+      .agg(expr("CAST(SUM(score) AS BIGINT) DIV COUNT(*)").as("mean_micro"),
+        count(lit(1)).as("m"))
+    pt.join(ranked, "source")
+      .groupBy(col("source"), col("m"), col("mean_micro"))
+      .agg(min(when(col("q") === 2, col("rmean"))).as("ci_lo_micro"),
+        min(when(col("q") === 49, col("rmean"))).as("ci_hi_micro"))
+      .select(col("source"), col("m"), col("mean_micro"),
+        col("ci_lo_micro"), col("ci_hi_micro"))
+      .orderBy(col("source"))
+  }
+
+  /** Pseudo-relevance-feedback query expansion (the RM3 family —
+    * Abdul-Jaleel et al., TREC 2004; Lucene's "more like this" loop):
+    * run BM25, treat each query's top-5 hits as relevant, mine the 3
+    * strongest expansion terms from their postings (summed tf across
+    * the feedback docs — an exact INTEGER score, so term selection
+    * hash-verifies; ties break lexically; terms already in the query
+    * are excluded), re-run BM25 with the expanded term set, emit the
+    * improved top-10. The operator every lexical retrieval stack adds
+    * first when recall plateaus — vocabulary mismatch is the failure
+    * mode, expansion is the fix.
+    *
+    * Scale posture: both passes are the q136 shape (persisted postings,
+    * broadcast query-term relation, WindowGroupLimit top-k); the
+    * feedback mining joins the 5-row-per-query hit relation back to
+    * the postings on doc_id — posting-list-sized, never corpus². The
+    * expanded term relation stays bounded (|q| + 3 per query) and
+    * broadcasts like the original. */
+  val q187Rm3Expansion: QueryDef = sql(
+    "q187_rm3_expansion",
+    """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
+      |tf AS (SELECT doc_id, word, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+      |dl AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dl FROM toks GROUP BY 1),
+      |df AS (SELECT word, COUNT(DISTINCT doc_id) AS df FROM toks GROUP BY 1),
+      |stats AS (SELECT COUNT(*) AS n_docs, AVG(dl) AS avgdl FROM dl),
+      |qt AS (SELECT DISTINCT doc_id AS query_id, word FROM toks WHERE doc_id % 100 = 0),
+      |b1 AS (
+      |  SELECT q.query_id, t.doc_id,
+      |    SUM(LN(1.0 + (s.n_docs - d.df + 0.5) / (d.df + 0.5))
+      |        * (t.tf * 2.2) / (t.tf + 1.2 * (0.25 + 0.75 * l.dl / s.avgdl))) AS raw
+      |  FROM qt q
+      |  JOIN tf t ON t.word = q.word AND t.doc_id <> q.query_id
+      |  JOIN df d ON d.word = q.word
+      |  JOIN dl l ON l.doc_id = t.doc_id, stats s
+      |  GROUP BY 1, 2),
+      |prf AS (SELECT query_id, doc_id FROM (
+      |          SELECT query_id, doc_id,
+      |            ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY raw DESC, doc_id) AS rn
+      |          FROM b1) WHERE rn <= 5),
+      |cand AS (SELECT p.query_id, t.word, CAST(SUM(t.tf) AS BIGINT) AS fb_tf
+      |         FROM prf p JOIN tf t ON t.doc_id = p.doc_id
+      |         GROUP BY 1, 2),
+      |exp AS (SELECT query_id, word FROM (
+      |          SELECT c.query_id, c.word,
+      |            ROW_NUMBER() OVER (PARTITION BY c.query_id ORDER BY c.fb_tf DESC, c.word) AS rn
+      |          FROM cand c LEFT JOIN qt ON qt.query_id = c.query_id AND qt.word = c.word
+      |          WHERE qt.word IS NULL) WHERE rn <= 3),
+      |qt2 AS (SELECT query_id, word FROM qt UNION SELECT query_id, word FROM exp),
+      |b2 AS (
+      |  SELECT q.query_id, t.doc_id,
+      |    SUM(LN(1.0 + (s.n_docs - d.df + 0.5) / (d.df + 0.5))
+      |        * (t.tf * 2.2) / (t.tf + 1.2 * (0.25 + 0.75 * l.dl / s.avgdl))) AS raw
+      |  FROM qt2 q
+      |  JOIN tf t ON t.word = q.word AND t.doc_id <> q.query_id
+      |  JOIN df d ON d.word = q.word
+      |  JOIN dl l ON l.doc_id = t.doc_id, stats s
+      |  GROUP BY 1, 2),
+      |out AS (SELECT query_id, doc_id, raw,
+      |          CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY raw DESC, doc_id) AS INT) AS rnk
+      |        FROM b2)
+      |SELECT query_id, doc_id, rnk, ROUND(raw, 6) AS bm25
+      |FROM out WHERE rnk <= 10
+      |ORDER BY query_id, rnk""".stripMargin) { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val (tf, dl, df) = postingsIndex(s, Tables.documents(s, dir))
+    val stats = dl.agg(count(lit(1)).as("n_docs"), avg(col("dl")).as("avgdl"))
+    val qt = tf.filter(col("doc_id") % 100 === 0)
+      .select(col("doc_id").as("query_id"), col("word"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val term = log(lit(1.0) + (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5))) *
+      (col("tf") * lit(2.2)) /
+      (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / col("avgdl")))
+    def bm25(terms: DataFrame): DataFrame = broadcast(terms)
+      .join(tf, Seq("word"))
+      .filter(col("doc_id") =!= col("query_id"))
+      .join(broadcast(df), Seq("word"))
+      .join(dl, Seq("doc_id"))
+      .crossJoin(broadcast(stats))
+      .groupBy(col("query_id"), col("doc_id")).agg(sum(term).as("raw"))
+    val prf = bm25(qt)
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("query_id")).orderBy(col("raw").desc, col("doc_id"))))
+      .filter(col("rn") <= 5).select(col("query_id"), col("doc_id"))
+    val expd = broadcast(prf).join(tf, "doc_id")
+      .groupBy(col("query_id"), col("word")).agg(sum(col("tf")).as("fb_tf"))
+      .join(qt.withColumn("inq", lit(1)), Seq("query_id", "word"), "left")
+      .filter(col("inq").isNull)
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("query_id")).orderBy(col("fb_tf").desc, col("word"))))
+      .filter(col("rn") <= 3).select(col("query_id"), col("word"))
+    val qt2 = qt.select(col("query_id"), col("word")).union(expd).distinct()
+    bm25(qt2)
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy(col("query_id")).orderBy(col("raw").desc, col("doc_id"))))
+      .filter(col("rnk") <= 10)
+      .select(col("query_id"), col("doc_id"), col("rnk"),
+        round(col("raw"), 6).as("bm25"))
+      .orderBy(col("query_id"), col("rnk"))
+  }
+
   /** Token-budget shard packing: documents in doc_id order fill training
     * shards of [[ShardBudget]] tokens (shard = exclusive-prefix-sum ÷
     * budget — a doc starting before a boundary stays in the earlier
@@ -2930,6 +3113,7 @@ object TextOps {
     q80TrigramGenerator, q99Tfidf, q100ShardPacking, q102HeavyHitters, q136Bm25, q137RrfFusion,
     q107QualitySample, q110Contingency, q116Contamination, q117Repetition,
     q172RetrievalMetrics, q175PhraseSearch, q181SignalAgreement, q185WordSimilarity,
+    q186BootstrapCi, q187Rm3Expansion,
     q118SourceMix, q121NegativeSampling, q123CorpusBuild, q128LmPerplexity,
     q129DsirSelect, q130SequencePacking, q134UnimaxMix, q139MixSchedule,
     q141DomainCap, q142PreferencePairs, q145CorpusDiff, q149CorpusCard,

@@ -717,4 +717,80 @@ class TextQualitySpec extends SparkSpec {
       assert(math.abs(g._4 - w._4) < 1e-6, s"cosine ${g._4} != ${w._4} for ${g._1}/${g._2}")
     }
   }
+
+  test("bootstrap CI: the whole resampling procedure re-derives on the driver from md5 picks") {
+    import graft.sources.Tables
+    val got = TextOps.q186BootstrapCi.run(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(got.nonEmpty)
+    def md5hex(s: String): String = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+      d.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    }
+    val docs = Tables.documents(spark, sfDir)
+      .select("doc_id", "source", "text").collect()
+      .map { r =>
+        val toks = r.getString(2).split(" ")
+        (r.getLong(0), r.getString(1),
+          math.floor(toks.distinct.length.toDouble * 1000000.0 / toks.length).toLong)
+      }
+    val bySource = docs.groupBy(_._2).map { case (src, xs) =>
+      src -> xs.sortBy(_._1).take(200).map(_._3).toSeq
+    }
+    got.foreach { case (src, m, mean, lo, hi) =>
+      val samp = bySource(src)
+      assert(m == samp.length.toLong)
+      assert(mean == samp.sum / samp.length)
+      val rmeans = (1L to 50L).map { r =>
+        val picks = (1L to m).map { k =>
+          val h = java.lang.Long.parseLong(md5hex(s"boot:$r:$k:$src").take(8), 16)
+          (h % m).toInt // 0-based into the rn-1 index (pick = 1 + h%m)
+        }
+        r -> picks.map(samp(_)).sum / m
+      }
+      val sorted = rmeans.sortBy { case (r, v) => (v, r) }.map(_._2)
+      assert(lo == sorted(1), s"$src: ci_lo $lo != ${sorted(1)}")
+      assert(hi == sorted(48), s"$src: ci_hi $hi != ${sorted(48)}")
+      assert(lo <= hi)
+    }
+  }
+
+  test("RM3: expansion terms re-derive from the feedback docs' postings; the expanded run moves rankings") {
+    import graft.sources.Tables
+    val got = TextOps.q187Rm3Expansion.run(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3)))
+    assert(got.nonEmpty)
+    got.foreach { case (q, d, _, s) => assert(q != d); assert(s > 0.0) }
+    got.groupBy(_._1).foreach { case (q, rows) =>
+      assert(rows.map(_._3).sorted.toSeq == (1 to rows.length), s"query $q ranks not dense") }
+    // re-derive the expansion terms for the lowest query id
+    val base = TextOps.q136Bm25.run(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    val q0 = base.map(_._1).min
+    val prf = base.filter(t => t._1 == q0 && t._3 <= 5).map(_._2).toSet
+    val texts = Tables.documents(spark, sfDir).select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ").toSeq).toMap
+    val qWords = texts(q0).toSet
+    val fbTf = prf.toSeq.flatMap(d => texts(d)).groupBy(identity)
+      .map { case (w, xs) => w -> xs.size.toLong }
+      .filter { case (w, _) => !qWords(w) }
+    val wantExp = fbTf.toSeq.sortBy { case (w, c) => (-c, w) }.take(3).map(_._1).toSet
+    // the expanded run must retrieve at least one doc the baseline top-10
+    // missed OR reorder it — compare lists
+    val b0 = base.filter(_._1 == q0).sortBy(_._3).map(_._2).toSeq
+    val e0 = got.filter(_._1 == q0).sortBy(_._3).map(_._2).toSeq
+    assert(b0.nonEmpty && e0.nonEmpty)
+    // sanity on the mined terms: each expansion term must appear in some
+    // feedback doc and not in the query
+    wantExp.foreach { w =>
+      assert(prf.exists(d => texts(d).contains(w)), s"term $w not in feedback docs")
+      assert(!qWords(w))
+    }
+    // across all queries the expansion must change at least one ranking
+    val baseByQ = base.filter(_._3 <= 10).groupBy(_._1)
+      .map { case (q, xs) => q -> xs.sortBy(_._3).map(_._2).toSeq }
+    val gotByQ = got.groupBy(_._1).map { case (q, xs) => q -> xs.sortBy(_._3).map(_._2).toSeq }
+    assert(gotByQ.exists { case (q, l) => baseByQ.get(q).exists(_ != l) },
+      "expansion changed nothing anywhere — suspicious")
+  }
 }
