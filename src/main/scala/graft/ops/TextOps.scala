@@ -1251,14 +1251,18 @@ object TextOps {
     val qt = tf.filter(col("doc_id") % 100 === 0)
       .select(col("doc_id").as("query_id"), col("word"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // both passes score against the same length-joined posting relation
+    // — materialize it once so the doc_id-keyed tf⋈dl shuffle is paid
+    // once, not per pass
+    val posting = tf.join(dl, Seq("doc_id"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val term = log(lit(1.0) + (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5))) *
       (col("tf") * lit(2.2)) /
       (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / col("avgdl")))
     def bm25(terms: DataFrame): DataFrame = broadcast(terms)
-      .join(tf, Seq("word"))
+      .join(posting, Seq("word"))
       .filter(col("doc_id") =!= col("query_id"))
       .join(broadcast(df), Seq("word"))
-      .join(dl, Seq("doc_id"))
       .crossJoin(broadcast(stats))
       .groupBy(col("query_id"), col("doc_id")).agg(sum(term).as("raw"))
     val prf = bm25(qt)
