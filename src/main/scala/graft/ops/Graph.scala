@@ -302,6 +302,93 @@ object Graph {
           .otherwise(col("c1.source")).as("l_src"))
   }
 
+  /** `rounds` fixed-point PERSONALIZED PageRank iterations (Haveliwala
+    * 2002, topic-sensitive PageRank; the crawl-frontier / related-item
+    * scorer): identical to [[pagerank]] except the teleport mass lands
+    * on the SEED SET only — rank' = teleport(v) + floor(0.85·Σ
+    * floor(rank/deg)), teleport(v) = floor(0.15·10⁶·|V|/|S|) for seeds
+    * and 0 otherwise (total teleport mass preserved vs the uniform
+    * variant, so scores stay comparable across seed choices). Same
+    * exact-integer trajectory device; same per-round join shape; seeds
+    * are a broadcast-sized relation. */
+  def personalizedPagerank(edges: DataFrame, seeds: DataFrame, rounds: Int): DataFrame = {
+    val e = edges.persist(StorageLevel.MEMORY_AND_DISK)
+    val deg = e.groupBy(col("src")).agg(count(lit(1)).as("d"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val nodes = deg.select(col("src").as("part"))
+    val nS = seeds.distinct().count()
+    val nV = deg.count()
+    val tele = (150000L * nV) / nS
+    val seeded = nodes.join(broadcast(seeds.distinct().select(col("seed").as("part"))
+        .withColumn("t", lit(tele))), Seq("part"), "left")
+      .select(col("part"), coalesce(col("t"), lit(0L)).as("tele"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var rank = seeded.select(col("part"), col("tele").as("rank"))
+    for (_ <- 1 to rounds) {
+      val contrib = e
+        .join(broadcast(rank
+          .join(deg, rank("part") === deg("src"))
+          .withColumn("c", expr("CAST(FLOOR(CAST(rank AS DOUBLE) / d) AS BIGINT)"))
+          .select(col("src"), col("c"))), Seq("src"))
+        .groupBy(col("dst")).agg(sum(col("c")).as("inc"))
+      rank = seeded
+        .join(contrib, col("part") === contrib("dst"), "left")
+        .select(col("part"),
+          (col("tele") + expr(
+            "CAST(FLOOR(0.85D * CAST(COALESCE(inc, CAST(0 AS BIGINT)) AS DOUBLE)) AS BIGINT)")).as("rank"))
+    }
+    rank.join(deg, rank("part") === deg("src"))
+      .select(col("part"), col("rank"), col("d").as("degree"))
+  }
+
+  /** One unrolled oracle PPR round k over CTEs e/deg/sd/r{k-1}. */
+  private def pprRoundSql(k: Int): String = {
+    val prev = s"r${k - 1}"
+    s"""c$k AS (SELECT e.dst, CAST(FLOOR(CAST(r.rank AS DOUBLE) / deg.d) AS BIGINT) AS c
+       |  FROM $prev r JOIN deg ON deg.src = r.part JOIN e ON e.src = r.part),
+       |s$k AS (SELECT dst, CAST(SUM(c) AS BIGINT) AS inc FROM c$k GROUP BY 1),
+       |r$k AS (SELECT n.part,
+       |    n.tele + CAST(FLOOR(0.85 * CAST(COALESCE(s.inc, 0) AS DOUBLE)) AS BIGINT) AS rank
+       |  FROM sd n LEFT JOIN s$k s ON s.dst = n.part)""".stripMargin
+  }
+
+  /** Contract face of [[personalizedPagerank]]: seeds = the 10 lowest
+    * part keys of the co-purchase graph, 3 rounds, top 100 by
+    * seed-relative authority — "parts related to this catalog slice by
+    * co-purchase structure", the related-items query a recommender
+    * derives from the same link graph a crawler ranks. */
+  val q188PersonalizedPagerank: QueryDef = sql(
+    "q188_personalized_pagerank",
+    s"""WITH e AS (
+       |  SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+       |  FROM lineitem a JOIN lineitem b
+       |    ON b.l_orderkey = a.l_orderkey AND b.l_partkey <> a.l_partkey),
+       |deg AS (SELECT src, COUNT(*) AS d FROM e GROUP BY 1),
+       |seeds AS (SELECT src AS seed FROM deg ORDER BY src LIMIT 10),
+       |stat AS (SELECT (SELECT COUNT(*) FROM deg) AS nv, (SELECT COUNT(*) FROM seeds) AS ns),
+       |sd AS (SELECT deg.src AS part,
+       |         CASE WHEN s.seed IS NOT NULL
+       |              THEN CAST((150000 * stat.nv) // stat.ns AS BIGINT)
+       |              ELSE CAST(0 AS BIGINT) END AS tele
+       |       FROM deg LEFT JOIN seeds s ON s.seed = deg.src, stat),
+       |r0 AS (SELECT part, tele AS rank FROM sd),
+       |${pprRoundSql(1)},
+       |${pprRoundSql(2)},
+       |${pprRoundSql(3)}
+       |SELECT r.part, r.rank, deg.d AS degree
+       |FROM r3 r JOIN deg ON deg.src = r.part
+       |WHERE r.rank > 0
+       |ORDER BY r.rank DESC, r.part
+       |LIMIT 100""".stripMargin) { (s, dir) =>
+    val edges = copurchaseEdges(s, dir)
+    val seeds = edges.groupBy(col("src")).agg(count(lit(1)).as("d"))
+      .orderBy(col("src")).limit(10).select(col("src").as("seed"))
+    personalizedPagerank(edges, seeds, rounds = 3)
+      .filter(col("rank") > 0)
+      .orderBy(col("rank").desc, col("part"))
+      .limit(100)
+  }
+
   /** One unrolled oracle Bradley–Terry MM round k over CTEs n/wi/p{k-1}. */
   private def btRoundSql(k: Int): String = {
     val prev = s"p${k - 1}"
@@ -354,5 +441,6 @@ object Graph {
       .orderBy(col("strength").desc, col("source"))
   }
 
-  val all: Seq[QueryDef] = Seq(q143Pagerank, q153LabelProp, q173BradleyTerry)
+  val all: Seq[QueryDef] = Seq(q143Pagerank, q153LabelProp, q173BradleyTerry,
+    q188PersonalizedPagerank)
 }

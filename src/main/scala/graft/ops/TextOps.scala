@@ -1286,6 +1286,109 @@ object TextOps {
       .orderBy(col("query_id"), col("rnk"))
   }
 
+  /** Weak-supervision label model (the data-programming recipe —
+    * Ratner et al., NeurIPS 2016 / Snorkel VLDB'18, §3's
+    * agreement-weighted vote as the closed-form stand-in for the
+    * generative model): three noisy labeling functions vote on every
+    * document ("is this high-value training text"), abstentions
+    * allowed; round 1 takes the unweighted majority; round 2 weights
+    * each LF by its exact agreement rate with that majority (micro
+    * integers) and emits the weighted-vote label. The standard path to
+    * labels at corpus scale when hand-annotation covers 0.1% of it.
+    * LFs here: the q25 quality heuristic (≥ 0.3 → keep), the q128 LM
+    * perplexity gate (≤ 3.45 → keep), and a marker-word heuristic
+    * (contains 'the' → keep, else abstain). Votes are {+1,−1,0}
+    * integers, weights exact micro ratios, the weighted sum an
+    * integer — the whole two-round model hash-verifies.
+    *
+    * Scale posture: each LF is one scan-level expression (the LM one
+    * rides q128's broadcast count relations); the weight table is 3
+    * rows, broadcast back; nothing shuffles except the doc-keyed
+    * signal join. */
+  val q189WeakLabels: QueryDef = sql(
+    "q189_weak_labels",
+    """WITH t AS (SELECT doc_id, lang, string_split(text, ' ') AS toks FROM documents),
+      |qual AS (SELECT doc_id,
+      |    CASE WHEN (CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks))
+      |      * (1.0 - CAST(len(list_filter(toks, x -> x = 'the' OR x = 'a')) AS DOUBLE) / len(toks))
+      |      * LEAST(1.0, CAST(len(toks) AS DOUBLE) / 50.0) >= 0.3
+      |    THEN 1 ELSE -1 END AS v1
+      |  FROM t),
+      |refbi AS (
+      |  SELECT toks[i] AS w1, toks[i + 1] AS w2
+      |  FROM t, LATERAL (SELECT unnest(range(1, len(toks))) AS i)
+      |  WHERE lang = 'en' AND len(toks) >= 2),
+      |c2 AS (SELECT w1, w2, COUNT(*) AS c2 FROM refbi GROUP BY 1, 2),
+      |c1 AS (SELECT w1, COUNT(*) AS c1 FROM refbi GROUP BY 1),
+      |v AS (SELECT COUNT(DISTINCT word) AS v FROM (
+      |  SELECT unnest(toks) AS word FROM t WHERE lang = 'en')),
+      |docbi AS (
+      |  SELECT doc_id, toks[i] AS w1, toks[i + 1] AS w2
+      |  FROM t, LATERAL (SELECT unnest(range(1, len(toks))) AS i)
+      |  WHERE len(toks) >= 2),
+      |nll AS (
+      |  SELECT d.doc_id,
+      |    CASE WHEN round(AVG(-ln((COALESCE(c2.c2, 0) + 1.0) / (COALESCE(c1.c1, 0) + v.v))), 6) <= 3.45
+      |    THEN 1 ELSE -1 END AS v2
+      |  FROM docbi d LEFT JOIN c2 ON d.w1 = c2.w1 AND d.w2 = c2.w2
+      |    LEFT JOIN c1 ON d.w1 = c1.w1, v
+      |  GROUP BY d.doc_id),
+      |mark AS (SELECT doc_id,
+      |    CASE WHEN list_contains(toks, 'the') THEN 1 ELSE 0 END AS v3
+      |  FROM t),
+      |votes AS (SELECT q.doc_id, q.v1, COALESCE(n.v2, -1) AS v2, m.v3
+      |          FROM qual q LEFT JOIN nll n USING (doc_id) JOIN mark m USING (doc_id)),
+      |maj AS (SELECT doc_id, v1, v2, v3,
+      |          CASE WHEN v1 + v2 + v3 > 0 THEN 1
+      |               WHEN v1 + v2 + v3 < 0 THEN -1 ELSE 0 END AS m
+      |        FROM votes),
+      |w AS (SELECT
+      |    CAST(SUM(CASE WHEN v1 = m AND m <> 0 THEN 1 ELSE 0 END) * 1000000
+      |      // SUM(CASE WHEN m <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS w1,
+      |    CAST(SUM(CASE WHEN v2 = m AND m <> 0 THEN 1 ELSE 0 END) * 1000000
+      |      // SUM(CASE WHEN m <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS w2,
+      |    CAST(SUM(CASE WHEN v3 = m AND v3 <> 0 AND m <> 0 THEN 1 ELSE 0 END) * 1000000
+      |      // SUM(CASE WHEN v3 <> 0 AND m <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS w3
+      |  FROM maj)
+      |SELECT maj.doc_id,
+      |  CAST(maj.v1 AS BIGINT) AS v_quality, CAST(maj.v2 AS BIGINT) AS v_lm,
+      |  CAST(maj.v3 AS BIGINT) AS v_marker, CAST(maj.m AS BIGINT) AS majority,
+      |  CAST(CASE WHEN maj.v1 * w.w1 + maj.v2 * w.w2 + maj.v3 * w.w3 > 0 THEN 1
+      |            WHEN maj.v1 * w.w1 + maj.v2 * w.w2 + maj.v3 * w.w3 < 0 THEN -1
+      |            ELSE 0 END AS BIGINT) AS label
+      |FROM maj, w
+      |ORDER BY maj.doc_id""".stripMargin) { (s, dir) =>
+    val docs = Tables.fanOut(Tables.documents(s, dir))
+      .withColumn("toks", split(col("text"), " "))
+    val qual = docs.select(col("doc_id"),
+      when(((size(array_distinct(col("toks"))).cast("double") / size(col("toks"))) *
+        (lit(1.0) - expr("size(filter(toks, x -> x = 'the' OR x = 'a'))").cast("double") /
+          size(col("toks"))) *
+        least(lit(1.0), size(col("toks")).cast("double") / 50.0)) >= 0.3, 1L)
+        .otherwise(-1L).as("v1"))
+    val nll = lmPerplexity(docs, docs.filter(col("lang") === "en"))
+      .select(col("doc_id"),
+        when(col("avg_nll") <= 3.45, 1L).otherwise(-1L).as("v2"))
+    val mark = docs.select(col("doc_id"),
+      when(array_contains(col("toks"), "the"), 1L).otherwise(0L).as("v3"))
+    val maj = qual.join(nll, Seq("doc_id"), "left")
+      .withColumn("v2", coalesce(col("v2"), lit(-1L)))
+      .join(mark, "doc_id")
+      .withColumn("m", when(col("v1") + col("v2") + col("v3") > 0, 1L)
+        .when(col("v1") + col("v2") + col("v3") < 0, -1L).otherwise(0L))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val w = maj.agg(
+      expr("SUM(CASE WHEN v1 = m AND m <> 0 THEN 1 ELSE 0 END) * 1000000L DIV SUM(CASE WHEN m <> 0 THEN 1 ELSE 0 END)").as("w1"),
+      expr("SUM(CASE WHEN v2 = m AND m <> 0 THEN 1 ELSE 0 END) * 1000000L DIV SUM(CASE WHEN m <> 0 THEN 1 ELSE 0 END)").as("w2"),
+      expr("SUM(CASE WHEN v3 = m AND v3 <> 0 AND m <> 0 THEN 1 ELSE 0 END) * 1000000L DIV SUM(CASE WHEN v3 <> 0 AND m <> 0 THEN 1 ELSE 0 END)").as("w3"))
+    maj.crossJoin(broadcast(w))
+      .withColumn("score", col("v1") * col("w1") + col("v2") * col("w2") + col("v3") * col("w3"))
+      .select(col("doc_id"), col("v1").as("v_quality"), col("v2").as("v_lm"),
+        col("v3").as("v_marker"), col("m").as("majority"),
+        when(col("score") > 0, 1L).when(col("score") < 0, -1L).otherwise(0L).as("label"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Token-budget shard packing: documents in doc_id order fill training
     * shards of [[ShardBudget]] tokens (shard = exclusive-prefix-sum ÷
     * budget — a doc starting before a boundary stays in the earlier
@@ -3117,7 +3220,7 @@ object TextOps {
     q80TrigramGenerator, q99Tfidf, q100ShardPacking, q102HeavyHitters, q136Bm25, q137RrfFusion,
     q107QualitySample, q110Contingency, q116Contamination, q117Repetition,
     q172RetrievalMetrics, q175PhraseSearch, q181SignalAgreement, q185WordSimilarity,
-    q186BootstrapCi, q187Rm3Expansion,
+    q186BootstrapCi, q187Rm3Expansion, q189WeakLabels,
     q118SourceMix, q121NegativeSampling, q123CorpusBuild, q128LmPerplexity,
     q129DsirSelect, q130SequencePacking, q134UnimaxMix, q139MixSchedule,
     q141DomainCap, q142PreferencePairs, q145CorpusDiff, q149CorpusCard,

@@ -84,6 +84,29 @@ class GraphSpec extends SparkSpec {
 
   private def matches(ms: (String, String)*) = ms.toDF("w_src", "l_src")
 
+  test("personalized PageRank: path graph with seed 1, hand-computed two rounds") {
+    // n=3, |S|=1 -> tele(1) = 150000*3 = 450000, tele(2)=tele(3)=0
+    // r0: (450000, 0, 0)
+    // r1: 1 -> 450000; 2 -> floor(.85*450000) = 382500; 3 -> 0
+    // r2: c1=450000, c2=floor(382500/2)=191250
+    //     1 -> 450000+floor(.85*191250)=612562; 2 -> 382500; 3 -> floor(.85*191250)=162562
+    val seeds = Seq(1L).toDF("seed")
+    val got = Graph.personalizedPagerank(edges((1L, 2L), (2L, 3L)), seeds, rounds = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 612562L, 2L -> 382500L, 3L -> 162562L), got.toString)
+  }
+
+  test("personalized PageRank: mass stays in the seed component") {
+    // two disconnected triangles; seeds only in the first
+    val e = edges((1L, 2L), (2L, 3L), (1L, 3L), (10L, 11L), (11L, 12L), (10L, 12L))
+    val got = Graph.personalizedPagerank(e, Seq(1L).toDF("seed"), rounds = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.filterKeys(_ >= 10L).values.forall(_ == 0L),
+      s"unreachable component must hold zero mass: $got")
+    assert(got(1L) > got(2L) && got(2L) == got(3L),
+      s"seed must dominate, symmetric neighbors tie: $got")
+  }
+
   test("Bradley-Terry: single dominated pair reaches its hand-computed fixed point") {
     // A beats B twice; with the virtual win each way: w(A,B)=3, w(B,A)=1,
     // n=4, W_A=3, W_B=1. Round 1: D = floor(4e12/2e6) = 2e6 for both,

@@ -793,4 +793,31 @@ class TextQualitySpec extends SparkSpec {
     assert(gotByQ.exists { case (q, l) => baseByQ.get(q).exists(_ != l) },
       "expansion changed nothing anywhere — suspicious")
   }
+
+  test("weak labels: agreement weights and the final vote re-derive from the emitted LF columns") {
+    val got = TextOps.q189WeakLabels.run(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    assert(got.nonEmpty)
+    // majority re-derives from the votes
+    got.foreach { case (id, v1, v2, v3, m, _) =>
+      val s = v1 + v2 + v3
+      val want = if (s > 0) 1L else if (s < 0) -1L else 0L
+      assert(m == want, s"doc $id: majority $m != $want")
+      assert(math.abs(v1) == 1 && math.abs(v2) == 1 && (v3 == 0L || v3 == 1L))
+    }
+    // weights from agreement with the majority (non-abstaining, decided docs)
+    val decided = got.filter(_._5 != 0L)
+    val w1 = decided.count(t => t._2 == t._5).toLong * 1000000L / decided.length
+    val w2 = decided.count(t => t._3 == t._5).toLong * 1000000L / decided.length
+    val d3 = decided.filter(_._4 != 0L)
+    val w3 = d3.count(t => t._4 == t._5).toLong * 1000000L / d3.length
+    got.foreach { case (id, v1, v2, v3, _, label) =>
+      val score = v1 * w1 + v2 * w2 + v3 * w3
+      val want = if (score > 0) 1L else if (score < 0) -1L else 0L
+      assert(label == want, s"doc $id: label $label != $want (score $score)")
+    }
+    // the model must separate: both classes present
+    assert(got.exists(_._6 == 1L) && got.exists(_._6 == -1L))
+  }
 }
