@@ -1880,6 +1880,88 @@ object Similarity {
       .orderBy(col("cid"))
   }
 
+  /** k-center greedy coreset selection (Gonzalez 1985's 2-approximation
+    * to the k-center problem; Sener & Savarese ICLR'18 use exactly this
+    * loop for data selection): start from the lowest vec_id, then k−1
+    * times pick the vector FARTHEST from its nearest already-selected
+    * center (exact integer squared L2, ties to the lowest vec_id). The
+    * selected set maximizes coverage — the complement of q122's
+    * redundancy removal: SemDeDup drops what is too close, k-center
+    * KEEPS what is maximally spread (labeling budgets, eval-set
+    * seeding, diverse few-shot pools). `dist_at_pick` is the coverage
+    * radius before each pick — its final value bounds every vector's
+    * distance to the coreset (the 2-approximation certificate), and
+    * the whole descent trajectory hash-verifies against the unrolled
+    * oracle rounds.
+    *
+    * Scale posture: the q132/q147 bounded-greedy class — one
+    * corpus-scan round per pick (update running min-distance against
+    * the 1-row broadcast newest center, then a TakeOrdered argmax);
+    * the only driver traffic is one (vec_id, dist) row per round.
+    * k is the labeling/eval budget — tens to hundreds, not corpus. */
+  def kcenterGreedy(vectors: DataFrame, k: Int): DataFrame = {
+    val s = vectors.sparkSession
+    import s.implicits._
+    val v = vectors.select(col("vec_id"), col("qv"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val seed = v.orderBy(col("vec_id")).limit(1)
+    var picks = Vector((0, seed.collect()(0).getLong(0), 0L))
+    // running min-distance to the selected set, updated per round
+    var mind = v.crossJoin(broadcast(seed.select(col("qv").as("cv"))))
+      .withColumn("mind", graft.functions.L2Distance.l2(col("qv"), col("cv")))
+      .select(col("vec_id"), col("qv"), col("mind"))
+      .localCheckpoint(true)
+    for (r <- 1 until k) {
+      val far = mind.orderBy(col("mind").desc, col("vec_id")).limit(1).collect()(0)
+      picks :+= ((r, far.getLong(0), far.getLong(2)))
+      if (r < k - 1) {
+        val c = v.filter(col("vec_id") === far.getLong(0)).select(col("qv").as("cv"))
+        mind = mind.crossJoin(broadcast(c))
+          .withColumn("mind", least(col("mind"),
+            graft.functions.L2Distance.l2(col("qv"), col("cv"))))
+          .select(col("vec_id"), col("qv"), col("mind"))
+          .localCheckpoint(true)
+      }
+    }
+    v.unpersist()
+    picks.toDF("pick_rank", "vec_id", "dist_at_pick")
+  }
+
+  /** One unrolled k-center oracle round r: pick p{r} from m{r}, then
+    * m{r+1} = min(m{r}, dist to p{r}). */
+  private def kcenterRoundSql(r: Int): String =
+    s"""p$r AS (SELECT vec_id, mind FROM m$r ORDER BY mind DESC, vec_id LIMIT 1),
+       |m${r + 1} AS (SELECT m.vec_id, LEAST(m.mind, d.dist) AS mind
+       |  FROM m$r m JOIN (
+       |    SELECT s.vec_id, SUM((s.v - c.v) * (s.v - c.v)) AS dist
+       |    FROM q s JOIN q c ON c.dim = s.dim AND c.vec_id = (SELECT vec_id FROM p$r)
+       |    GROUP BY 1) d ON d.vec_id = m.vec_id)""".stripMargin
+
+  /** Contract face of [[kcenterGreedy]]: an 8-point coreset of the
+    * embedding table; the emitted (pick order, vector, coverage radius
+    * at pick) trajectory is strictly non-increasing in radius. */
+  val q190KcenterCoreset: QueryDef = sql(
+    "q190_kcenter_coreset",
+    s"""WITH q AS (
+       |  SELECT vec_id, dim,
+       |    CAST(FLOOR(CAST(embedding[dim] AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT) AS v
+       |  FROM embeddings,
+       |       LATERAL (SELECT unnest(range(1, len(embedding) + 1)) AS dim)),
+       |seed AS (SELECT MIN(vec_id) AS vid FROM q),
+       |m1 AS (SELECT s.vec_id, SUM((s.v - c.v) * (s.v - c.v)) AS mind
+       |       FROM q s JOIN q c ON c.dim = s.dim AND c.vec_id = (SELECT vid FROM seed)
+       |       GROUP BY 1),
+       |${(1 to 7).map(kcenterRoundSql).mkString(",\n")}
+       |SELECT CAST(0 AS BIGINT) AS pick_rank, (SELECT vid FROM seed) AS vec_id,
+       |       CAST(0 AS BIGINT) AS dist_at_pick
+       |${(1 to 7).map(r => s"UNION ALL SELECT $r, vec_id, CAST(mind AS BIGINT) FROM p$r").mkString("\n")}
+       |ORDER BY pick_rank""".stripMargin) { (s, dir) =>
+    kcenterGreedy(quantizedLong(s, dir), k = 8)
+      .select(col("pick_rank").cast("long").as("pick_rank"), col("vec_id"),
+        col("dist_at_pick"))
+      .orderBy(col("pick_rank"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     q36ArrayNorms, q37EmbeddingNeardup, q38AnnBruteforce, q39AnnIvf,
     q45AnnNative, q52AnnLsh, q61AnnQuantized, q119KmeansTrain,
@@ -1887,5 +1969,5 @@ object Similarity {
     q131HardNegatives, q133PqAdc, q135HardNegativesIvf, q138GramMatrix,
     q140KnnClassify, q146PcaPower, q147MmrRerank, q152KnnClassifyIvf,
     q154JlAnn, q160JlIvf, q162IndexDrift, q166RagServe, q171PqRerank,
-    q178Hubness, q179EmbeddingStats, q180Silhouette)
+    q178Hubness, q179EmbeddingStats, q180Silhouette, q190KcenterCoreset)
 }

@@ -500,4 +500,25 @@ class AnnQualitySpec extends SparkSpec {
     assert(plantedMean > fixtureMean + 200000.0,
       s"planted $plantedMean must dominate random $fixtureMean")
   }
+
+  test("k-center greedy: picks cover every planted cluster and the coverage radius never increases") {
+    import org.apache.spark.sql.functions._
+    val dir = generateClustered()
+    val labelOf = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select("vec_id", "label").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val picks = Similarity.kcenterGreedy(
+        Similarity.quantizeVectors(spark.read.parquet(s"$dir/embeddings.parquet")), k = 8)
+      .orderBy(col("pick_rank")).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+    assert(picks.length == 8)
+    // each new pick is the farthest point from the selected set, so with 8
+    // well-separated planted clusters the 8 picks land one per cluster
+    assert(picks.map(p => labelOf(p._2)).toSet.size == 8,
+      s"picks must cover all 8 planted clusters: ${picks.map(p => labelOf(p._2)).toSeq}")
+    // the radius-at-pick sequence is non-increasing after the seed
+    val radii = picks.drop(1).map(_._3)
+    assert(radii.zip(radii.tail).forall { case (a, b) => a >= b },
+      s"coverage radius must not increase: ${radii.toSeq}")
+  }
 }
