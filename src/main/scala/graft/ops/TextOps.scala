@@ -1343,12 +1343,15 @@ object TextOps {
       |               WHEN v1 + v2 + v3 < 0 THEN -1 ELSE 0 END AS m
       |        FROM votes),
       |w AS (SELECT
-      |    CAST(SUM(CASE WHEN v1 = m AND m <> 0 THEN 1 ELSE 0 END) * 1000000
-      |      // SUM(CASE WHEN m <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS w1,
-      |    CAST(SUM(CASE WHEN v2 = m AND m <> 0 THEN 1 ELSE 0 END) * 1000000
-      |      // SUM(CASE WHEN m <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS w2,
-      |    CAST(SUM(CASE WHEN v3 = m AND v3 <> 0 AND m <> 0 THEN 1 ELSE 0 END) * 1000000
-      |      // SUM(CASE WHEN v3 <> 0 AND m <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS w3
+      |    CASE WHEN SUM(CASE WHEN m <> 0 THEN 1 ELSE 0 END) = 0 THEN CAST(0 AS BIGINT)
+      |         ELSE CAST(SUM(CASE WHEN v1 = m AND m <> 0 THEN 1 ELSE 0 END) * 1000000
+      |           // SUM(CASE WHEN m <> 0 THEN 1 ELSE 0 END) AS BIGINT) END AS w1,
+      |    CASE WHEN SUM(CASE WHEN m <> 0 THEN 1 ELSE 0 END) = 0 THEN CAST(0 AS BIGINT)
+      |         ELSE CAST(SUM(CASE WHEN v2 = m AND m <> 0 THEN 1 ELSE 0 END) * 1000000
+      |           // SUM(CASE WHEN m <> 0 THEN 1 ELSE 0 END) AS BIGINT) END AS w2,
+      |    CASE WHEN SUM(CASE WHEN v3 <> 0 AND m <> 0 THEN 1 ELSE 0 END) = 0 THEN CAST(0 AS BIGINT)
+      |         ELSE CAST(SUM(CASE WHEN v3 = m AND v3 <> 0 AND m <> 0 THEN 1 ELSE 0 END) * 1000000
+      |           // SUM(CASE WHEN v3 <> 0 AND m <> 0 THEN 1 ELSE 0 END) AS BIGINT) END AS w3
       |  FROM maj)
       |SELECT maj.doc_id,
       |  CAST(maj.v1 AS BIGINT) AS v_quality, CAST(maj.v2 AS BIGINT) AS v_lm,
@@ -1377,10 +1380,12 @@ object TextOps {
       .withColumn("m", when(col("v1") + col("v2") + col("v3") > 0, 1L)
         .when(col("v1") + col("v2") + col("v3") < 0, -1L).otherwise(0L))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // a never-firing LF (or an all-abstain majority) gets weight 0, not a
+    // division error — the smoke corpus has no marker word at all
     val w = maj.agg(
-      expr("SUM(CASE WHEN v1 = m AND m <> 0 THEN 1 ELSE 0 END) * 1000000L DIV SUM(CASE WHEN m <> 0 THEN 1 ELSE 0 END)").as("w1"),
-      expr("SUM(CASE WHEN v2 = m AND m <> 0 THEN 1 ELSE 0 END) * 1000000L DIV SUM(CASE WHEN m <> 0 THEN 1 ELSE 0 END)").as("w2"),
-      expr("SUM(CASE WHEN v3 = m AND v3 <> 0 AND m <> 0 THEN 1 ELSE 0 END) * 1000000L DIV SUM(CASE WHEN v3 <> 0 AND m <> 0 THEN 1 ELSE 0 END)").as("w3"))
+      expr("CASE WHEN SUM(CASE WHEN m <> 0 THEN 1 ELSE 0 END) = 0 THEN 0L ELSE SUM(CASE WHEN v1 = m AND m <> 0 THEN 1 ELSE 0 END) * 1000000L DIV SUM(CASE WHEN m <> 0 THEN 1 ELSE 0 END) END").as("w1"),
+      expr("CASE WHEN SUM(CASE WHEN m <> 0 THEN 1 ELSE 0 END) = 0 THEN 0L ELSE SUM(CASE WHEN v2 = m AND m <> 0 THEN 1 ELSE 0 END) * 1000000L DIV SUM(CASE WHEN m <> 0 THEN 1 ELSE 0 END) END").as("w2"),
+      expr("CASE WHEN SUM(CASE WHEN v3 <> 0 AND m <> 0 THEN 1 ELSE 0 END) = 0 THEN 0L ELSE SUM(CASE WHEN v3 = m AND v3 <> 0 AND m <> 0 THEN 1 ELSE 0 END) * 1000000L DIV SUM(CASE WHEN v3 <> 0 AND m <> 0 THEN 1 ELSE 0 END) END").as("w3"))
     maj.crossJoin(broadcast(w))
       .withColumn("score", col("v1") * col("w1") + col("v2") * col("w2") + col("v3") * col("w3"))
       .select(col("doc_id"), col("v1").as("v_quality"), col("v2").as("v_lm"),
