@@ -1880,6 +1880,71 @@ object Similarity {
       .orderBy(col("cid"))
   }
 
+  /** Multi-probe LSH (Lv et al., VLDB 2007): instead of probing the
+    * whole Hamming-1 ring like q52 (9 buckets), probe a SHORT sequence
+    * of buckets chosen by the query's own hyperplane margins — the
+    * planes the query sits CLOSEST to are the ones most likely to have
+    * flipped for its true neighbors, so flipping those bits first buys
+    * the most recall per probed bucket. Probes here: the home bucket,
+    * the three single-bit flips of the smallest |margin| planes, and
+    * the two-bit flip of the two smallest — 5 buckets for ~the
+    * Hamming-1 ring's recall (spec-pinned against brute force on
+    * clustered data). Margins are the same deterministic fold both
+    * engines compute; ties break on plane index, so the probe SET
+    * hash-verifies through the result.
+    *
+    * Scale posture: identical to q52 (bucket equality against a
+    * broadcast probe relation — candidates are the probed buckets'
+    * postings, never the corpus) plus one 8-row margin ranking for the
+    * query. Fewer probes = proportionally less candidate I/O; the
+    * probe count, not the ring size, becomes the recall/latency dial. */
+  val q191MultiprobeLsh: QueryDef = {
+    sql(
+      "q191_multiprobe_lsh",
+      s"""WITH ${withNormSql()},
+         |sig AS (SELECT vec_id, embedding, nrm, $bucketSql AS bucket FROM n),
+         |q AS (SELECT embedding AS qe, nrm AS qn, bucket AS qb FROM sig
+         |      WHERE vec_id = $QueryVec),
+         |marg AS (${(0 until NumPlanes).map(k =>
+             s"SELECT $k AS k, ABS(${planeDotSql(k).replace("embedding", "q.qe")}) AS am FROM q")
+             .mkString("\n   UNION ALL ")}),
+         |flips AS (SELECT k, ROW_NUMBER() OVER (ORDER BY am, k) AS rn FROM marg),
+         |probes AS (
+         |  SELECT qb AS b FROM q
+         |  UNION
+         |  SELECT xor(q.qb, CAST(pow(2, f.k) AS BIGINT)) FROM q, flips f WHERE f.rn <= 3
+         |  UNION
+         |  SELECT xor(q.qb, CAST(pow(2, f1.k) AS BIGINT) + CAST(pow(2, f2.k) AS BIGINT))
+         |  FROM q, flips f1, flips f2 WHERE f1.rn = 1 AND f2.rn = 2)
+         |SELECT s.vec_id, ${dotSql("s.embedding", "q.qe")} / (s.nrm * q.qn) AS cosine
+         |FROM sig s JOIN probes p ON p.b = s.bucket, q
+         |WHERE s.vec_id != $QueryVec
+         |ORDER BY cosine DESC, s.vec_id
+         |LIMIT 10""".stripMargin) { (s, dir) =>
+      graft.functions.CosineSimilarity.register(s)
+      val sig = Tables.embeddings(s, dir).withColumn("bucket", bucketExpr)
+      // the query's 8 margins are one bounded driver row (the q147
+      // class); the probe set derives from them deterministically
+      val qRow = sig.filter(col("vec_id") === QueryVec)
+        .select(Seq(col("embedding").as("qe"), col("bucket").as("qb")) ++
+          (0 until NumPlanes).map(k => abs(planeDot(k)).as(s"m$k")): _*)
+        .collect()(0)
+      val qb = qRow.getInt(qRow.fieldIndex("qb"))
+      val order = (0 until NumPlanes)
+        .map(k => k -> qRow.getDouble(qRow.fieldIndex(s"m$k")))
+        .sortBy { case (k, m) => (m, k) }.map(_._1)
+      val probes = (Seq(qb) ++
+        order.take(3).map(k => qb ^ (1 << k)) :+
+        (qb ^ (1 << order(0)) ^ (1 << order(1)))).distinct
+      val q = sig.filter(col("vec_id") === QueryVec).select(col("embedding").as("qe"))
+      sig.filter(col("bucket").isin(probes: _*) && col("vec_id") =!= QueryVec)
+        .crossJoin(broadcast(q))
+        .select(col("vec_id"), expr("cosine_sim_native(embedding, qe)").as("cosine"))
+        .orderBy(col("cosine").desc, col("vec_id"))
+        .limit(10)
+    }
+  }
+
   /** k-center greedy coreset selection (Gonzalez 1985's 2-approximation
     * to the k-center problem; Sener & Savarese ICLR'18 use exactly this
     * loop for data selection): start from the lowest vec_id, then k−1
@@ -1969,5 +2034,6 @@ object Similarity {
     q131HardNegatives, q133PqAdc, q135HardNegativesIvf, q138GramMatrix,
     q140KnnClassify, q146PcaPower, q147MmrRerank, q152KnnClassifyIvf,
     q154JlAnn, q160JlIvf, q162IndexDrift, q166RagServe, q171PqRerank,
-    q178Hubness, q179EmbeddingStats, q180Silhouette, q190KcenterCoreset)
+    q178Hubness, q179EmbeddingStats, q180Silhouette, q190KcenterCoreset,
+    q191MultiprobeLsh)
 }

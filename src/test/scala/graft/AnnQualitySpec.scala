@@ -501,6 +501,20 @@ class AnnQualitySpec extends SparkSpec {
       s"planted $plantedMean must dominate random $fixtureMean")
   }
 
+  test("multi-probe LSH: high recall on clustered data and cosines bit-match brute force on shared hits") {
+    val dir = generateClustered()
+    val got = Similarity.q191MultiprobeLsh.run(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got.nonEmpty)
+    val brute = Similarity.q38AnnBruteforce.run(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val recall = got.keySet.intersect(brute.keySet).size
+    assert(recall >= 5, s"multi-probe recall@10 = $recall on clustered data, expected >= 5")
+    got.keySet.intersect(brute.keySet).foreach { id =>
+      assert(got(id) == brute(id), s"cosine for $id differs from brute force")
+    }
+  }
+
   test("k-center greedy: picks cover every planted cluster and the coverage radius never increases") {
     import org.apache.spark.sql.functions._
     val dir = generateClustered()
