@@ -697,6 +697,72 @@ object StreamingOps {
       .start()
   }
 
+  /** Streaming postings-index maintenance — the ingest loop a lexical
+    * retriever runs continuously: document files land in `stagedDir`;
+    * per trigger, [[TextOps.extendPostings]] merges the fresh docs into
+    * the persisted (tf, dl, df) index under `stateDir`, republished
+    * behind the atomic tmp+rename protocol. Replayed files anti-join
+    * out against the indexed doc_ids, so restarts never double-count a
+    * term (spec-proved: streamed index ≡ one batch build over all
+    * arrivals, bit-exact, including after a full restart replay).
+    * `onBatch` receives (n_docs_indexed, vocab_size) per trigger. */
+  def postingsStream(s: SparkSession, stagedDir: String, stateDir: String)(
+      onBatch: (Long, Long, Long) => Unit): org.apache.spark.sql.streaming.StreamingQuery = {
+    import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+    val root = new java.io.File(stateDir)
+    def part(p: String) = s"$stateDir/$p"
+    def publish(tf: DataFrame, dl: DataFrame, df: DataFrame): Unit = {
+      val tmp = new java.io.File(root.getParentFile,
+        s"${root.getName}.tmp-${ProcessHandle.current().pid()}-${Thread.currentThread().getId}")
+      tf.write.mode("overwrite").parquet(s"${tmp.getPath}/tf")
+      dl.write.mode("overwrite").parquet(s"${tmp.getPath}/dl")
+      df.write.mode("overwrite").parquet(s"${tmp.getPath}/df")
+      if (root.exists()) {
+        val stale = new java.io.File(root.getParentFile,
+          s"${root.getName}.stale-${ProcessHandle.current().pid()}-${Thread.currentThread().getId}")
+        if (root.renameTo(stale))
+          org.apache.commons.io.FileUtils.deleteDirectory(stale)
+      }
+      if (!tmp.renameTo(root))
+        org.apache.commons.io.FileUtils.deleteDirectory(tmp)
+    }
+    if (!new java.io.File(part("df"), "_SUCCESS").exists()) {
+      def empty(fields: (String, org.apache.spark.sql.types.DataType)*) =
+        s.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),
+          StructType(fields.map { case (n, t) => StructField(n, t) }))
+      publish(
+        empty("doc_id" -> LongType, "word" -> StringType, "tf" -> LongType),
+        empty("doc_id" -> LongType, "dl" -> LongType),
+        empty("word" -> StringType, "df" -> LongType))
+    }
+    s.readStream.schema("doc_id LONG, text STRING")
+      .option("maxFilesPerTrigger", "1")
+      .parquet(stagedDir)
+      .writeStream
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        val b = s.createDataFrame(batch.rdd, batch.schema)
+        val tf = s.read.parquet(part("tf"))
+        val dl = s.read.parquet(part("dl"))
+        val df = s.read.parquet(part("df"))
+        val (tf2, dl2, df2) = TextOps.extendPostings(tf, dl, df, b)
+        // materialize the report before republishing over the inputs
+        val nDocs = dl2.count()
+        val vocab = df2.count()
+        // cache the merged frames so the publish doesn't re-read the
+        // state dirs mid-rename
+        val tfC = tf2.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val dlC = dl2.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val dfC = df2.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try {
+          tfC.count(); dlC.count(); dfC.count()
+          publish(tfC, dlC, dfC)
+          onBatch(id, nDocs, vocab)
+        } finally { tfC.unpersist(); dlC.unpersist(); dfC.unpersist() }
+      }
+      .start()
+  }
+
   def kmeansStream(s: SparkSession, stagedDir: String,
       init: Seq[(Long, Seq[Long])])(
       onBatch: (Long, DataFrame, Seq[(Long, Long, Seq[Long])]) => Unit): org.apache.spark.sql.streaming.StreamingQuery = {

@@ -570,6 +570,30 @@ object TextOps {
     (tf, dl, df)
   }
 
+  /** Incremental maintenance of the q136 postings shape: merge a batch
+    * of NEWLY ARRIVED documents into existing (tf, dl, df) relations.
+    * Already-indexed doc_ids are anti-joined out first, so re-delivered
+    * batches are absorbed idempotently (the q108/q162 replay
+    * discipline). tf and dl rows of fresh docs are disjoint from the
+    * existing relations — pure appends; df merges by word (the
+    * vocabulary relation is orders of magnitude smaller than the
+    * postings, so the per-batch rewrite is the cheap part — Lucene's
+    * segment-merge does the same consolidation). Spec-proved equal to
+    * a from-scratch build over the union corpus, including under
+    * replay. */
+  def extendPostings(tf: DataFrame, dl: DataFrame, df: DataFrame,
+                     batch: DataFrame): (DataFrame, DataFrame, DataFrame) = {
+    val fresh = batch.join(dl.select(col("doc_id")), Seq("doc_id"), "left_anti")
+    val toks = fresh.select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val btf = toks.groupBy(col("doc_id"), col("word")).agg(count(lit(1)).as("tf"))
+    val bdl = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+    val bdf = toks.distinct().groupBy(col("word")).agg(count(lit(1)).as("df"))
+    val mergedDf = df.unionByName(bdf)
+      .groupBy(col("word")).agg(sum(col("df")).as("df"))
+    (tf.unionByName(btf), dl.unionByName(bdl), mergedDf)
+  }
+
   /** BM25 retrieval (Robertson & Zaragoza 2009, the Okapi/Lucene scoring
     * with k1 = 1.2, b = 0.75 and the smooth idf ln(1 + (N−df+0.5)/(df+0.5)))
     * — the lexical retriever a RAG pipeline pairs with the ANN family

@@ -691,4 +691,48 @@ class StreamingSpec extends SparkSpec {
       "replayed log must converge to the same snapshot")
     log.unpersist()
   }
+
+  test("postings stream: the streamed index equals one batch build, and a restart replay changes nothing") {
+    import scala.collection.concurrent.TrieMap
+    val docs = Tables.documents(spark, sfDir).select(col("doc_id"), col("text"))
+    val srcDir = Files.createTempDirectory("graft-postings-src")
+    (0 until 3).foreach { k =>
+      val tmp = Files.createTempDirectory("graft-postings-stage").toString
+      docs.filter(col("doc_id") % 3 === k).coalesce(1)
+        .write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(_.getName.endsWith(".parquet")).get.toPath
+      Files.copy(part, srcDir.resolve(s"b$k.parquet"), StandardCopyOption.REPLACE_EXISTING)
+      stampStaged(srcDir.resolve(s"b$k.parquet"))
+    }
+    val stateDir = Files.createTempDirectory("graft-postings-state").toString + "/idx"
+    val rec = TrieMap.empty[Long, (Long, Long)]
+    val q = StreamingOps.postingsStream(spark, srcDir.toString, stateDir) {
+      (id, n, v) => rec(id) = (n, v)
+    }
+    assert(q.awaitTermination(180000), "postings stream did not finish")
+    assert(rec.size > 1, "multiple micro-batches must have run")
+    // final streamed state == a from-scratch batch build over ALL docs
+    def norm(df: org.apache.spark.sql.DataFrame, keys: String*) =
+      df.orderBy(keys.map(col): _*).collect().toSeq
+    val (btf, bdl, bdf) = TextOps.postingsIndex(spark, docs)
+    assert(norm(spark.read.parquet(s"$stateDir/tf"), "doc_id", "word") ==
+      norm(btf, "doc_id", "word"), "tf mismatch vs batch build")
+    assert(norm(spark.read.parquet(s"$stateDir/dl"), "doc_id") ==
+      norm(bdl, "doc_id"), "dl mismatch vs batch build")
+    assert(norm(spark.read.parquet(s"$stateDir/df"), "word") ==
+      norm(bdf, "word"), "df mismatch vs batch build")
+    // the doc count only grows across triggers
+    val ns = rec.toSeq.sortBy(_._1).map(_._2._1)
+    assert(ns == ns.sorted)
+    // restart over the same staged files: every doc is indexed, so the
+    // anti-join must absorb the full replay
+    val rec2 = TrieMap.empty[Long, (Long, Long)]
+    val q2 = StreamingOps.postingsStream(spark, srcDir.toString, stateDir) {
+      (id, n, v) => rec2(id) = (n, v)
+    }
+    assert(q2.awaitTermination(180000), "restarted postings stream did not finish")
+    assert(norm(spark.read.parquet(s"$stateDir/df"), "word") == norm(bdf, "word"),
+      "replay must not change the index")
+  }
 }

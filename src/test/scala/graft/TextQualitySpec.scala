@@ -820,4 +820,30 @@ class TextQualitySpec extends SparkSpec {
     // the model must separate: both classes present
     assert(got.exists(_._6 == 1L) && got.exists(_._6 == -1L))
   }
+
+  test("extendPostings: incremental merge equals a from-scratch build, and replayed docs are absorbed") {
+    import graft.sources.Tables
+    val docs = Tables.documents(spark, sfDir).select(col("doc_id"), col("text"))
+    val a = docs.filter(col("doc_id") % 2 === 0)
+    val b = docs.filter(col("doc_id") % 2 === 1)
+    def build(d: org.apache.spark.sql.DataFrame) = {
+      val toks = d.select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+      (toks.groupBy(col("doc_id"), col("word")).agg(count(lit(1)).as("tf")),
+        toks.groupBy(col("doc_id")).agg(count(lit(1)).as("dl")),
+        toks.distinct().groupBy(col("word")).agg(count(lit(1)).as("df")))
+    }
+    val (tfA, dlA, dfA) = build(a)
+    val (tf1, dl1, df1) = TextOps.extendPostings(tfA, dlA, dfA, b)
+    val (tfU, dlU, dfU) = build(docs)
+    def norm(df: org.apache.spark.sql.DataFrame, keys: String*) =
+      df.orderBy(keys.map(col): _*).collect().toSeq
+    assert(norm(tf1, "doc_id", "word") == norm(tfU, "doc_id", "word"))
+    assert(norm(dl1, "doc_id") == norm(dlU, "doc_id"))
+    assert(norm(df1, "word") == norm(dfU, "word"))
+    // replay: extending with an already-indexed batch is a no-op
+    val (tf2, dl2, df2) = TextOps.extendPostings(tf1, dl1, df1, b)
+    assert(norm(df2, "word") == norm(dfU, "word"), "replayed batch must be absorbed")
+    assert(norm(dl2, "doc_id") == norm(dlU, "doc_id"))
+    assert(norm(tf2, "doc_id", "word") == norm(tfU, "doc_id", "word"))
+  }
 }
