@@ -217,5 +217,68 @@ object Classifier {
       .orderBy(col("decile"))
   }
 
-  val all: Seq[QueryDef] = Seq(q127Perceptron, q182Calibration)
+  /** Split-conformal prediction sets (Vovk et al. 2005; Papadopoulos
+    * 2002's inductive variant — the distribution-free coverage
+    * guarantee that turned model scores into calibrated SETS): hold
+    * out a calibration split (doc_id even), compute each calibration
+    * doc's nonconformity −y·margin, take τ = the ⌈0.9·(n+1)⌉-th
+    * smallest (an EXACT integer order statistic of exact integer
+    * margins — rank and threshold hash-verify), and for every test doc
+    * emit which labels the set {y : −y·margin ≤ τ} contains. By the
+    * exchangeability argument the true label lands in the set with
+    * probability ≥ 90% — the audit a filter owner runs to know how
+    * often "uncertain, keep both" happens (set_size 2) versus
+    * confident singletons. Completes the classifier lifecycle's
+    * uncertainty face beside q182's calibration deciles.
+    *
+    * Scale posture: q127's serving pass + one calibration-split rank
+    * (a window over the calibration margins only) + a scan-level set
+    * decision against the broadcast scalar τ. */
+  val q193Conformal: QueryDef = sql(
+    "q193_conformal",
+    s"""WITH $trainedMarginsSql,
+       |served AS (SELECT l.doc_id, l.y, mf.margin FROM lab l JOIN mf USING (doc_id)),
+       |cal AS (SELECT doc_id, -y * margin AS score FROM served WHERE doc_id % 2 = 0),
+       |n AS (SELECT COUNT(*) AS n FROM cal),
+       |kth AS (SELECT score AS tau FROM (
+       |          SELECT score, ROW_NUMBER() OVER (ORDER BY score, doc_id) AS rn FROM cal),
+       |          n
+       |        WHERE rn = (9 * (n.n + 1) + 9) // 10)
+       |SELECT s.doc_id, CAST(s.y AS BIGINT) AS y, s.margin,
+       |  (-s.margin <= k.tau) AS in_set_pos,
+       |  (s.margin <= k.tau) AS in_set_neg,
+       |  (CASE WHEN s.y = 1 THEN -s.margin ELSE s.margin END <= k.tau) AS covered,
+       |  CAST((CASE WHEN -s.margin <= k.tau THEN 1 ELSE 0 END)
+       |     + (CASE WHEN s.margin <= k.tau THEN 1 ELSE 0 END) AS BIGINT) AS set_size
+       |FROM served s, kth k
+       |WHERE s.doc_id % 2 = 1
+       |ORDER BY s.doc_id""".stripMargin) { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.fanOut(Tables.documents(s, dir))
+    val feats = hashedFeatures(docs)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val labels = docs.select(col("doc_id"),
+      when(col("lang") === "en", 1L).otherwise(-1L).as("y"))
+    val served = perceptronScore(feats, perceptronTrain(feats, labels, rounds = 3))
+      .join(labels, "doc_id")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cal = served.filter(col("doc_id") % 2 === 0)
+      .select(col("doc_id"), (-col("y") * col("margin")).as("score"))
+    val n = cal.count()
+    val k = (9 * (n + 1) + 9) / 10
+    val tau = cal.withColumn("rn", row_number().over(
+        Window.orderBy(col("score"), col("doc_id"))))
+      .filter(col("rn") === k).select(col("score").as("tau"))
+    served.filter(col("doc_id") % 2 === 1)
+      .crossJoin(broadcast(tau))
+      .select(col("doc_id"), col("y"), col("margin"),
+        (-col("margin") <= col("tau")).as("in_set_pos"),
+        (col("margin") <= col("tau")).as("in_set_neg"),
+        (when(col("y") === 1L, -col("margin")).otherwise(col("margin")) <= col("tau")).as("covered"),
+        (when(-col("margin") <= col("tau"), 1L).otherwise(0L) +
+          when(col("margin") <= col("tau"), 1L).otherwise(0L)).as("set_size"))
+      .orderBy(col("doc_id"))
+  }
+
+  val all: Seq[QueryDef] = Seq(q127Perceptron, q182Calibration, q193Conformal)
 }

@@ -246,7 +246,43 @@ object Temporal {
       .orderBy(col("event_type"), col("next_type"))
   }
 
+  /** Half-life-decayed engagement scores — the recency weighting a
+    * freshness-aware sampler or trending ranker applies (the
+    * exponential-decay counter of Cormode et al. 2009, made EXACT by
+    * quantizing the decay to weekly halvings): each event contributes
+    * weight floor(10⁶ / 2^(age_days DIV 7)) relative to the corpus's
+    * own most recent day, so the whole score is integer arithmetic — no
+    * e^{-λt} floats to diverge — and a re-run over the same data is
+    * bit-identical. Emits the top-20 users by decayed engagement with
+    * their raw counts alongside: the two rankings DISAGREE exactly
+    * where recency matters, which is the point.
+    *
+    * Scale posture: one scan, one user-keyed map-side-combined agg,
+    * TakeOrdered top-k; the reference day is a 1-row broadcast. */
+  val q192DecayScores: QueryDef = QueryDef.sql(
+    "q192_decay_scores",
+    """WITH ref AS (SELECT MAX(CAST(ts AS DATE)) AS rd FROM events),
+      |w AS (SELECT user_id,
+      |        CAST(1000000 // CAST(pow(2, date_diff('day', CAST(ts AS DATE), ref.rd) // 7) AS BIGINT) AS BIGINT) AS wt
+      |      FROM events, ref)
+      |SELECT user_id, COUNT(*) AS n_events,
+      |  CAST(SUM(wt) AS BIGINT) AS decayed_micro
+      |FROM w
+      |GROUP BY 1
+      |ORDER BY decayed_micro DESC, user_id
+      |LIMIT 20""".stripMargin) { (s, dir) =>
+    val ev = Tables.events(s, dir)
+    val ref = ev.agg(max(col("ts").cast("date")).as("rd"))
+    ev.crossJoin(broadcast(ref))
+      .withColumn("wt", expr(
+        "CAST(1000000L DIV CAST(pow(2, datediff(rd, CAST(ts AS DATE)) DIV 7) AS BIGINT) AS BIGINT)"))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"), sum(col("wt")).as("decayed_micro"))
+      .orderBy(col("decayed_micro").desc, col("user_id"))
+      .limit(20)
+  }
+
   val all: Seq[QueryDef] = Seq(
     q46AsofJoin, q47Pivot, q55IntervalJoin, q63AsofNative, q81IntervalNative,
-    q95Funnel, q96RetentionCohorts, q109TransitionMatrix)
+    q95Funnel, q96RetentionCohorts, q109TransitionMatrix, q192DecayScores)
 }

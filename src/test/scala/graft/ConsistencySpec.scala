@@ -369,4 +369,28 @@ class ConsistencySpec extends SparkSpec {
         s"doc $doc word '$word' tf=$tf must match q64's count")
     }
   }
+
+  test("q192 decay scores re-derive from raw events with weekly halvings") {
+    import graft.ops.Temporal
+    import graft.sources.Tables
+    val got = Temporal.q192DecayScores.run(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.nonEmpty)
+    val ev = Tables.events(spark, sfDir)
+      .select(org.apache.spark.sql.functions.col("user_id"),
+        org.apache.spark.sql.functions.col("ts").cast("date").as("d"))
+      .collect().map(r => r.getLong(0) -> r.getDate(1).toLocalDate)
+    val ref = ev.map(_._2).max
+    val byUser = ev.groupBy(_._1)
+    got.foreach { case (uid, n, decayed) =>
+      val days = byUser(uid).map(_._2)
+      assert(n == days.length.toLong)
+      val want = days.map { d =>
+        val age = java.time.temporal.ChronoUnit.DAYS.between(d, ref)
+        1000000L / (1L << (age / 7))
+      }.sum
+      assert(decayed == want, s"user $uid: decayed $decayed != $want")
+      assert(decayed <= n * 1000000L)
+    }
+  }
 }

@@ -94,4 +94,32 @@ class PerceptronSpec extends SparkSpec {
     assert(got.last._4 > got.head._4,
       s"top-decile pos rate ${got.last._4} must beat bottom ${got.head._4}")
   }
+
+  test("conformal: tau re-derives as the exact order statistic and test coverage honors the guarantee") {
+    import graft.ops.Classifier
+    val served = Classifier.q127Perceptron.run(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val got = Classifier.q193Conformal.run(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getBoolean(3), r.getBoolean(4), r.getBoolean(5), r.getLong(6)))
+    assert(got.nonEmpty)
+    // tau from the calibration split, driver-side
+    val cal = served.filter(_._1 % 2 == 0)
+      .map { case (id, y, m) => (id, -y * m) }
+      .sortBy { case (id, s) => (s, id) }
+    val k = (9 * (cal.length + 1) + 9) / 10
+    val tau = cal(k - 1)._2
+    got.foreach { case (id, y, m, inPos, inNeg, covered, setSize) =>
+      assert(id % 2 == 1, "only test-split docs are emitted")
+      assert(inPos == (-m <= tau), s"doc $id in_set_pos")
+      assert(inNeg == (m <= tau), s"doc $id in_set_neg")
+      assert(covered == (if (y == 1L) inPos else inNeg))
+      assert(setSize == (if (inPos) 1 else 0) + (if (inNeg) 1 else 0))
+    }
+    // the distribution-free guarantee: >= ~90% coverage (finite-sample slack)
+    val coverage = got.count(_._6).toDouble / got.length
+    assert(coverage >= 0.85, s"conformal coverage $coverage below the guarantee band")
+    // the sets are informative: not everything is a 2-label set
+    assert(got.exists(_._7 == 1L), "some prediction set must be a singleton")
+  }
 }
