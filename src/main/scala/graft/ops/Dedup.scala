@@ -434,6 +434,62 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
+  /** Canonicalization-aware exact dedup — the normalize-then-hash
+    * prepass every web-corpus pipeline runs before byte-exact dedup
+    * (C4/CCNet lowercase-and-collapse before comparing): canonical
+    * form = lowercase, strip non-alphanumerics, collapse whitespace,
+    * trim; hashing THAT catches the case/punctuation/spacing variants
+    * that raw md5(text) treats as distinct documents. The fixture
+    * corpus is already canonical, so the face synthesizes the
+    * real-world mess deterministically (an UPPER-cased copy of every
+    * doc_id % 11 = 0 doc and a double-spaced copy of every % 13 = 0
+    * doc, at offset ids — the q145 versioning device) and emits every
+    * member of every canonical group ≥ 2: each mangled copy lands in
+    * its original's group while byte-exact dedup (q30's hash) sees
+    * nothing. The regexes are deliberately class-simple
+    * (`[^a-z0-9 ]`, ` +`) — the subset Java regex and RE2 agree on.
+    *
+    * Scale posture: identical to exact dedup — one scan-level
+    * canonical-hash expression, one hash-keyed count, one group join;
+    * no new shuffle shape. */
+  val q194CanonicalDedup: QueryDef = sql(
+    "q194_canonical_dedup",
+    """WITH corpus AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 1000000, upper(text) FROM documents WHERE doc_id % 11 = 0
+      |  UNION ALL
+      |  SELECT doc_id + 2000000, replace(text, ' ', '  ') FROM documents WHERE doc_id % 13 = 0),
+      |canon AS (SELECT doc_id,
+      |    md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))) AS ch,
+      |    md5(text) AS rh
+      |  FROM corpus),
+      |grp AS (SELECT ch, COUNT(*) AS n_docs, COUNT(DISTINCT rh) AS n_raw,
+      |          MIN(doc_id) AS canon_id
+      |        FROM canon GROUP BY 1 HAVING COUNT(*) >= 2)
+      |SELECT c.doc_id, g.canon_id, g.n_docs, g.n_raw
+      |FROM canon c JOIN grp g ON g.ch = c.ch
+      |ORDER BY g.canon_id, c.doc_id""".stripMargin) { (s, dir) =>
+    val docs = Tables.fanOut(Tables.documents(s, dir))
+    val corpus = docs.select(col("doc_id"), col("text"))
+      .unionByName(docs.filter(col("doc_id") % 11 === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"), upper(col("text")).as("text")))
+      .unionByName(docs.filter(col("doc_id") % 13 === 0)
+        .select((col("doc_id") + 2000000L).as("doc_id"),
+          regexp_replace(col("text"), " ", "  ").as("text")))
+    val canon = corpus.select(col("doc_id"),
+      md5(trim(regexp_replace(regexp_replace(lower(col("text")), "[^a-z0-9 ]", ""), " +", " "))).as("ch"),
+      md5(col("text")).as("rh"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val grp = canon.groupBy(col("ch"))
+      .agg(count(lit(1)).as("n_docs"), countDistinct(col("rh")).as("n_raw"),
+        min(col("doc_id")).as("canon_id"))
+      .filter(col("n_docs") >= 2)
+    canon.join(grp, "ch")
+      .select(col("doc_id"), col("canon_id"), col("n_docs"), col("n_raw"))
+      .orderBy(col("canon_id"), col("doc_id"))
+  }
+
   /** [[connectedComponents]] + the component-atomic 80/20 assignment;
     * exposed for the leakage property test (q174 wires in the verified
     * near-dup pairs). */
@@ -1357,5 +1413,5 @@ object Dedup {
     q78SimhashHamming, q85DedupClusters, q108IncrementalDedup, q111SimhashWide,
     q126SpanDedup, q150DedupEval, q156RougeAudit, q161SplitLeakage,
     q163DedupSavings, q174ComponentSplit, q177Containment, q183SourceOverlap,
-    q184Novelty)
+    q184Novelty, q194CanonicalDedup)
 }

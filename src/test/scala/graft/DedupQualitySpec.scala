@@ -207,4 +207,28 @@ class DedupQualitySpec extends SparkSpec {
     // the score must actually discriminate on the fixture
     assert(got.map(_._4).distinct.length > 1, "dup share must vary across docs")
   }
+
+  test("canonical dedup pairs every mangled copy with its original; byte-exact hashing sees none of them") {
+    val got = Dedup.q194CanonicalDedup.run(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.nonEmpty)
+    val byGroup = got.groupBy(_._2)
+    // every synthesized upper-case copy (id + 1_000_000) must share a
+    // group with exactly its original
+    val uppers = got.filter(t => t._1 >= 1000000L && t._1 < 2000000L)
+    assert(uppers.nonEmpty)
+    uppers.foreach { case (id, canonId, _, nRaw) =>
+      val members = byGroup(canonId).map(_._1).toSet
+      assert(members.contains(id - 1000000L),
+        s"upper copy $id must group with its original")
+      // the group holds >= 2 distinct RAW hashes — invisible to q30
+      assert(nRaw >= 2L, s"group of $id must differ byte-wise")
+    }
+    val spaced = got.filter(_._1 >= 2000000L)
+    assert(spaced.nonEmpty)
+    spaced.foreach { case (id, canonId, _, _) =>
+      assert(byGroup(canonId).map(_._1).toSet.contains(id - 2000000L),
+        s"double-spaced copy $id must group with its original")
+    }
+  }
 }
