@@ -965,10 +965,14 @@ object TextOps {
     * way the expensive one does? Ranks are total orders (deterministic
     * doc_id tie-break; NLL ranked ascending = best-first, so positive
     * ρ means agreement), which keeps Spearman's ρ = 1 − 6Σd²/(n(n²−1))
-    * an EXACT RATIONAL of integers: rho_micro = floor((n(n²−1) −
-    * 6Σd²)·10⁶ / (n(n²−1))) hash-verifies. (n(n²−1)·10⁶ < 2⁶³ up to
-    * n ≈ 2·10⁴ per group; beyond that the numerator moves to
-    * DECIMAL(38) partials, shape unchanged.)
+    * an EXACT RATIONAL of integers. rho_micro evaluates as
+    * floor((1 − 6Σd²/(n(n²−1)))·10⁶) with the ratio and the n(n²−1)
+    * product in DOUBLE — overflow-free at any n (the integer product
+    * formulation hit 2⁶³ at the 30× smoke's 30k docs/lang, exactly
+    * the boundary the first draft documented), and deterministic
+    * cross-engine because both evaluate the identical IEEE expression
+    * over the exact integer inputs (Σd² itself stays an exact BIGINT
+    * to ~2M rows/group).
     *
     * Scale posture: the two signal scans are the operator's cost (the
     * LM scoring already broadcasts its count relations); the ranks are
@@ -1010,8 +1014,9 @@ object TextOps {
       |        FROM ranked GROUP BY 1)
       |SELECT lang, n, sum_d2,
       |  CASE WHEN n < 2 THEN CAST(0 AS BIGINT)
-      |       ELSE CAST(FLOOR(CAST((n * (n * n - 1) - 6 * sum_d2) * 1000000 AS DOUBLE)
-      |                       / (n * (n * n - 1))) AS BIGINT)
+      |       ELSE CAST(FLOOR((1.0 - 6.0 * CAST(sum_d2 AS DOUBLE)
+      |           / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) - 1.0)))
+      |         * 1000000.0) AS BIGINT)
       |  END AS rho_micro
       |FROM agg
       |ORDER BY lang""".stripMargin) { (s, dir) =>
@@ -1035,9 +1040,10 @@ object TextOps {
         sum((col("r1") - col("r2")) * (col("r1") - col("r2"))).as("sum_d2"))
       // negative ρ: floor via an identical double expression in both
       // engines (integer // floors in DuckDB but DIV truncates in Spark,
-      // so they'd disagree below zero)
+      // so they'd disagree below zero); the n(n²−1) product stays in
+      // DOUBLE so large groups can't overflow 2⁶³
       .withColumn("rho_micro", expr(
-        "CASE WHEN n < 2 THEN 0L ELSE CAST(FLOOR(CAST((n * (n * n - 1) - 6 * sum_d2) * 1000000L AS DOUBLE) / (n * (n * n - 1))) AS BIGINT) END"))
+        "CASE WHEN n < 2 THEN 0L ELSE CAST(FLOOR((1.0D - 6.0D * CAST(sum_d2 AS DOUBLE) / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) - 1.0D))) * 1000000.0D) AS BIGINT) END"))
       .select(col("lang"), col("n"), col("sum_d2"), col("rho_micro"))
       .orderBy(col("lang"))
   }

@@ -671,9 +671,9 @@ class TextQualitySpec extends SparkSpec {
         .map { case (id, i) => id -> (i + 1L) }.toMap
       val d2 = grp.map(t => { val d = r1(t._1) - r2(t._1); d * d }).sum
       assert(sumD2 == d2, s"$lang: sum_d2 $sumD2 != $d2")
-      val den = n * (n * n - 1)
+      val den = n.toDouble * (n.toDouble * n.toDouble - 1.0)
       val want = if (n < 2) 0L
-        else math.floor(((den - 6 * d2) * 1000000L).toDouble / den).toLong
+        else math.floor((1.0 - 6.0 * d2.toDouble / den) * 1000000.0).toLong
       assert(rho == want, s"$lang: rho $rho != $want")
     }
   }
