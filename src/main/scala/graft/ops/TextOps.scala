@@ -1424,6 +1424,36 @@ object TextOps {
       .orderBy(col("doc_id"))
   }
 
+  /** k-anonymity audit (Sweeney 2002) over the corpus's
+    * quasi-identifiers — the data-governance check a training-corpus
+    * release runs beside PII redaction (q72 removes direct
+    * identifiers; this measures whether METADATA combinations still
+    * single documents out): group by the quasi-identifier tuple
+    * (lang, source, length bucket) and flag every equivalence class
+    * smaller than k = 5 — a document in such a class is
+    * re-identifiable by its metadata alone. Emits the risky classes
+    * with their sizes; the release decision is "generalize the bucket
+    * or drop the rows" until no class is flagged.
+    *
+    * Scale posture: one scan-level bucket expression + one
+    * QI-keyed map-side-combined count — exact integers throughout. */
+  val q195KAnonymity: QueryDef = sql(
+    "q195_k_anonymity",
+    """WITH qi AS (SELECT lang, source, CAST(n_chars // 100 AS BIGINT) AS len_bucket
+      |            FROM documents),
+      |cls AS (SELECT lang, source, len_bucket, COUNT(*) AS n_docs
+      |        FROM qi GROUP BY 1, 2, 3)
+      |SELECT lang, source, len_bucket, n_docs, (n_docs < 5) AS risky
+      |FROM cls
+      |ORDER BY lang, source, len_bucket""".stripMargin) { (s, dir) =>
+    Tables.fanOut(Tables.documents(s, dir))
+      .select(col("lang"), col("source"), expr("n_chars DIV 100").as("len_bucket"))
+      .groupBy(col("lang"), col("source"), col("len_bucket"))
+      .agg(count(lit(1)).as("n_docs"))
+      .withColumn("risky", col("n_docs") < 5)
+      .orderBy(col("lang"), col("source"), col("len_bucket"))
+  }
+
   /** Token-budget shard packing: documents in doc_id order fill training
     * shards of [[ShardBudget]] tokens (shard = exclusive-prefix-sum ÷
     * budget — a doc starting before a boundary stays in the earlier
@@ -3255,7 +3285,7 @@ object TextOps {
     q80TrigramGenerator, q99Tfidf, q100ShardPacking, q102HeavyHitters, q136Bm25, q137RrfFusion,
     q107QualitySample, q110Contingency, q116Contamination, q117Repetition,
     q172RetrievalMetrics, q175PhraseSearch, q181SignalAgreement, q185WordSimilarity,
-    q186BootstrapCi, q187Rm3Expansion, q189WeakLabels,
+    q186BootstrapCi, q187Rm3Expansion, q189WeakLabels, q195KAnonymity,
     q118SourceMix, q121NegativeSampling, q123CorpusBuild, q128LmPerplexity,
     q129DsirSelect, q130SequencePacking, q134UnimaxMix, q139MixSchedule,
     q141DomainCap, q142PreferencePairs, q145CorpusDiff, q149CorpusCard,

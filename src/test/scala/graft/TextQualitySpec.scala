@@ -821,6 +821,23 @@ class TextQualitySpec extends SparkSpec {
     assert(got.exists(_._6 == 1L) && got.exists(_._6 == -1L))
   }
 
+  test("k-anonymity: equivalence classes reconcile with a driver group-by and cover the corpus") {
+    import graft.sources.Tables
+    val got = TextOps.q195KAnonymity.run(spark, sfDir).collect()
+      .map(r => ((r.getString(0), r.getString(1), r.getLong(2)), (r.getLong(3), r.getBoolean(4))))
+    assert(got.nonEmpty)
+    val want = Tables.documents(spark, sfDir)
+      .select("lang", "source", "n_chars").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2) / 100))
+      .groupBy(identity).map { case (k, xs) => k -> xs.size.toLong }
+    assert(got.length == want.size)
+    got.foreach { case (k, (n, risky)) =>
+      assert(want(k) == n, s"class $k: $n != ${want(k)}")
+      assert(risky == (n < 5))
+    }
+    assert(got.map(_._2._1).sum == want.values.sum)
+  }
+
   test("extendPostings: incremental merge equals a from-scratch build, and replayed docs are absorbed") {
     import graft.sources.Tables
     val docs = Tables.documents(spark, sfDir).select(col("doc_id"), col("text"))
