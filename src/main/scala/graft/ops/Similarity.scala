@@ -1880,6 +1880,55 @@ object Similarity {
       .orderBy(col("cid"))
   }
 
+  /** Semantic decontamination — the embedding-space counterpart of
+    * q116's n-gram overlap audit (the pairing modern eval hygiene
+    * runs BOTH of: lexical decontamination misses paraphrases, and
+    * this catches them — the reasoning behind SemDeDup-style
+    * similarity screens applied to eval sets): hold out the eval
+    * vectors (vec_id % 50 = 0), and flag every TRAIN vector whose
+    * cosine to any eval vector within its trained cluster exceeds
+    * 0.35. Rides q122's exact machinery — the trained coarse
+    * quantizer blocks the pair space to N²/k (k ∝ N keeps it linear),
+    * and the codegen'd native cosine makes the flag hash-verifiable
+    * through the unrolled Lloyd chain.
+    *
+    * Scale posture: identical to q122's within-cluster pairing with
+    * one side restricted to the (small) eval set — so the pair volume
+    * is |eval|·cluster-size, not cluster-size². */
+  val q196SemanticDecontam: QueryDef = sql(
+    "q196_semantic_decontam",
+    s"""$kmeansSqlPrefix,
+       |${withNormSql()},
+       |m AS (SELECT n.vec_id, a.cid, n.embedding, n.nrm
+       |      FROM n JOIN a3 a USING (vec_id)),
+       |ev AS (SELECT * FROM m WHERE vec_id % 50 = 0),
+       |tr AS (SELECT * FROM m WHERE vec_id % 50 <> 0),
+       |hit AS (SELECT DISTINCT t.vec_id
+       |        FROM tr t JOIN ev e ON e.cid = t.cid
+       |        WHERE ${dotSql("t.embedding", "e.embedding")} / (t.nrm * e.nrm) > 0.35)
+       |SELECT t.vec_id, CAST(t.cid AS INT) AS cid,
+       |  (h.vec_id IS NOT NULL) AS contaminated
+       |FROM tr t LEFT JOIN hit h ON h.vec_id = t.vec_id
+       |ORDER BY t.vec_id""".stripMargin) { (s, dir) =>
+    graft.functions.CosineSimilarity.register(s)
+    val v = quantizedLong(s, dir)
+    val assigned = assignToCentroids(v, kmeansCentroidFrame(v, k = 8, iters = 2))
+      .select(col("vec_id"), col("cid"))
+    val m = Tables.embeddings(s, dir).join(assigned, "vec_id")
+      .select(col("vec_id"), col("cid"), col("embedding"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val ev = m.filter(col("vec_id") % 50 === 0)
+      .select(col("cid"), col("embedding").as("ee"))
+    val tr = m.filter(col("vec_id") % 50 =!= 0)
+    val hit = tr.join(broadcast(ev), "cid")
+      .filter(expr("cosine_sim_native(embedding, ee)") > 0.35)
+      .select(col("vec_id")).distinct()
+    tr.join(hit.withColumn("h", lit(1)), Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cid").cast("int").as("cid"),
+        col("h").isNotNull.as("contaminated"))
+      .orderBy(col("vec_id"))
+  }
+
   /** Multi-probe LSH (Lv et al., VLDB 2007): instead of probing the
     * whole Hamming-1 ring like q52 (9 buckets), probe a SHORT sequence
     * of buckets chosen by the query's own hyperplane margins — the
@@ -2035,5 +2084,5 @@ object Similarity {
     q140KnnClassify, q146PcaPower, q147MmrRerank, q152KnnClassifyIvf,
     q154JlAnn, q160JlIvf, q162IndexDrift, q166RagServe, q171PqRerank,
     q178Hubness, q179EmbeddingStats, q180Silhouette, q190KcenterCoreset,
-    q191MultiprobeLsh)
+    q191MultiprobeLsh, q196SemanticDecontam)
 }

@@ -515,6 +515,37 @@ class AnnQualitySpec extends SparkSpec {
     }
   }
 
+  test("semantic decontamination: the flag re-derives from a driver within-cluster cosine sweep") {
+    import org.apache.spark.sql.functions._
+    val got = Similarity.q196SemanticDecontam.run(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getBoolean(2)))
+    assert(got.nonEmpty)
+    assert(got.forall(_._1 % 50 != 0), "eval vectors must not be emitted")
+    val v = Similarity.quantizeVectors(graft.sources.Tables.embeddings(spark, sfDir))
+    val cidOf = Similarity.assignToCentroids(
+        v, Similarity.kmeansCentroidFrame(v, k = 8, iters = 2))
+      .select("vec_id", "cid").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val emb = graft.sources.Tables.embeddings(spark, sfDir)
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray)
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      a.indices.foreach { i =>
+        d += a(i).toDouble * b(i); na += a(i).toDouble * a(i); nb += b(i).toDouble * b(i) }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val evals = emb.filter(_._1 % 50 == 0)
+    got.foreach { case (id, cid, flagged) =>
+      assert(cidOf(id) == cid.toLong)
+      val want = evals.exists { case (eid, ee) =>
+        cidOf(eid) == cid.toLong && cos(emb.find(_._1 == id).get._2, ee) > 0.35 }
+      assert(flagged == want, s"vec $id: flag $flagged != $want")
+    }
+    assert(got.exists(_._3) && got.exists(!_._3),
+      "both contaminated and clean train vectors must exist")
+  }
+
   test("k-center greedy: picks cover every planted cluster and the coverage radius never increases") {
     import org.apache.spark.sql.functions._
     val dir = generateClustered()
