@@ -562,4 +562,29 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), s"dim stats must broadcast:\n$p")
     assert(p.contains("partial_sum") || p.contains("Partial"), p)
   }
+
+  test("q187: both RM3 passes broadcast their query terms and push per-query top-k down") {
+    val p = planOf(graft.ops.TextOps.q187Rm3Expansion.run(spark, sfDir))
+    assert(p.contains("BroadcastHashJoin"), s"query terms must broadcast:\n$p")
+    assert(p.contains("WindowGroupLimit"), s"per-query cuts must push down:\n$p")
+    assert(!p.contains("CartesianProduct"), s"no unbounded cross products:\n$p")
+  }
+
+  test("q192: decay top-k plans as TakeOrderedAndProject with two-phase aggregation") {
+    val p = planOf(graft.ops.Temporal.q192DecayScores.run(spark, sfDir))
+    assert(p.contains("TakeOrderedAndProject"), s"top-20 must TakeOrdered:\n$p")
+    assert(p.contains("partial_sum") || p.contains("Partial"), p)
+  }
+
+  test("q195: the k-anonymity audit is join-free — one scan, one keyed count") {
+    val p = planOf(graft.ops.TextOps.q195KAnonymity.run(spark, sfDir))
+    assert(!p.contains("Join"), s"the audit must not join anything:\n$p")
+    assert(p.contains("partial_count") || p.contains("Partial"), p)
+  }
+
+  test("q196: the eval side broadcasts into the within-cluster contamination join") {
+    val p = planOf(Similarity.q196SemanticDecontam.run(spark, sfDir))
+    assert(p.contains("BroadcastHashJoin"), s"the eval relation must broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"), s"pairing must stay cluster-blocked:\n$p")
+  }
 }
