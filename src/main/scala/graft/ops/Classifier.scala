@@ -88,40 +88,11 @@ object Classifier {
     * shifts some final margin. */
   val q127Perceptron: QueryDef = sql(
     "q127_perceptron",
-    """WITH toks AS (
-      |  SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
-      |hf AS (
-      |  SELECT doc_id, CAST(('0x' || substr(md5(word), 1, 8)) AS BIGINT) % 32 AS dim,
-      |         CAST(COUNT(*) AS BIGINT) AS cnt
-      |  FROM toks GROUP BY 1, 2
-      |  UNION ALL
-      |  SELECT doc_id, 32 AS dim, 1 AS cnt FROM documents),
-      |lab AS (SELECT doc_id, CASE WHEN lang = 'en' THEN 1 ELSE -1 END AS y
-      |        FROM documents),
-      |w1 AS (SELECT f.dim, CAST(SUM(l.y * f.cnt) AS BIGINT) AS w
-      |       FROM hf f JOIN lab l USING (doc_id) GROUP BY 1),
-      |m2 AS (SELECT f.doc_id, CAST(SUM(COALESCE(w1.w, 0) * f.cnt) AS BIGINT) AS margin
-      |       FROM hf f LEFT JOIN w1 USING (dim) GROUP BY 1),
-      |u2 AS (SELECT f.dim, CAST(SUM(l.y * f.cnt) AS BIGINT) AS dw
-      |       FROM hf f JOIN lab l USING (doc_id) JOIN m2 USING (doc_id)
-      |       WHERE l.y * m2.margin <= 0 GROUP BY 1),
-      |w2 AS (SELECT COALESCE(w1.dim, u2.dim) AS dim,
-      |              COALESCE(w1.w, 0) + COALESCE(u2.dw, 0) AS w
-      |       FROM w1 FULL JOIN u2 ON w1.dim = u2.dim),
-      |m3 AS (SELECT f.doc_id, CAST(SUM(COALESCE(w2.w, 0) * f.cnt) AS BIGINT) AS margin
-      |       FROM hf f LEFT JOIN w2 USING (dim) GROUP BY 1),
-      |u3 AS (SELECT f.dim, CAST(SUM(l.y * f.cnt) AS BIGINT) AS dw
-      |       FROM hf f JOIN lab l USING (doc_id) JOIN m3 USING (doc_id)
-      |       WHERE l.y * m3.margin <= 0 GROUP BY 1),
-      |w3 AS (SELECT COALESCE(w2.dim, u3.dim) AS dim,
-      |              COALESCE(w2.w, 0) + COALESCE(u3.dw, 0) AS w
-      |       FROM w2 FULL JOIN u3 ON w2.dim = u3.dim),
-      |mf AS (SELECT f.doc_id, CAST(SUM(COALESCE(w3.w, 0) * f.cnt) AS BIGINT) AS margin
-      |       FROM hf f LEFT JOIN w3 USING (dim) GROUP BY 1)
-      |SELECT l.doc_id, CAST(l.y AS BIGINT) AS y, mf.margin,
-      |  CAST(CASE WHEN mf.margin > 0 THEN 1 ELSE -1 END AS BIGINT) AS pred
-      |FROM lab l JOIN mf USING (doc_id)
-      |ORDER BY l.doc_id""".stripMargin) { (s, dir) =>
+    s"""WITH $trainedMarginsSql
+       |SELECT l.doc_id, CAST(l.y AS BIGINT) AS y, mf.margin,
+       |  CAST(CASE WHEN mf.margin > 0 THEN 1 ELSE -1 END AS BIGINT) AS pred
+       |FROM lab l JOIN mf USING (doc_id)
+       |ORDER BY l.doc_id""".stripMargin) { (s, dir) =>
     val docs = Tables.fanOut(Tables.documents(s, dir))
     val feats = hashedFeatures(docs)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -135,8 +106,9 @@ object Classifier {
   }
 
   /** Shared oracle prefix: q127's unrolled 3-round training chain ending
-    * at final margins `mf` and labels `lab`. */
-  private[ops] val trainedMarginsSql =
+    * at final margins `mf` and labels `lab` (lazy: q127's val
+    * initializes before this declaration in source order). */
+  private[ops] lazy val trainedMarginsSql =
     """toks AS (
       |  SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
       |hf AS (

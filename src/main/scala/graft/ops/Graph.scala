@@ -316,11 +316,18 @@ object Graph {
     val deg = e.groupBy(col("src")).agg(count(lit(1)).as("d"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     val nodes = deg.select(col("src").as("part"))
-    val nS = seeds.distinct().count()
+    // count only IN-GRAPH seeds, so the mass-preservation claim holds
+    // even when a caller passes ids with no edges (off-graph seeds are
+    // ignored, not silently deducted from the teleport budget)
+    val inGraph = seeds.distinct().select(col("seed").as("part"))
+      .join(nodes, Seq("part"), "left_semi")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val nS = inGraph.count()
+    require(nS > 0, "personalizedPagerank needs at least one seed present in the graph")
     val nV = deg.count()
     val tele = (150000L * nV) / nS
-    val seeded = nodes.join(broadcast(seeds.distinct().select(col("seed").as("part"))
-        .withColumn("t", lit(tele))), Seq("part"), "left")
+    val seeded = nodes.join(broadcast(inGraph.withColumn("t", lit(tele))),
+        Seq("part"), "left")
       .select(col("part"), coalesce(col("t"), lit(0L)).as("tele"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     var rank = seeded.select(col("part"), col("tele").as("rank"))

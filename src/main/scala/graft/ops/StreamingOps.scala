@@ -745,7 +745,7 @@ object StreamingOps {
         val tf = s.read.parquet(part("tf"))
         val dl = s.read.parquet(part("dl"))
         val df = s.read.parquet(part("df"))
-        val (tf2, dl2, df2) = TextOps.extendPostings(tf, dl, df, b)
+        val (tf2, dl2, df2, toks) = TextOps.extendPostingsWithHandle(tf, dl, df, b)
         // materialize the report before republishing over the inputs
         val nDocs = dl2.count()
         val vocab = df2.count()
@@ -758,7 +758,9 @@ object StreamingOps {
           tfC.count(); dlC.count(); dfC.count()
           publish(tfC, dlC, dfC)
           onBatch(id, nDocs, vocab)
-        } finally { tfC.unpersist(); dlC.unpersist(); dfC.unpersist() }
+        } finally {
+          tfC.unpersist(); dlC.unpersist(); dfC.unpersist(); toks.unpersist()
+        }
       }
       .start()
   }

@@ -263,7 +263,7 @@ object Temporal {
     "q192_decay_scores",
     """WITH ref AS (SELECT MAX(CAST(ts AS DATE)) AS rd FROM events),
       |w AS (SELECT user_id,
-      |        CAST(1000000 // CAST(pow(2, date_diff('day', CAST(ts AS DATE), ref.rd) // 7) AS BIGINT) AS BIGINT) AS wt
+      |        CAST(1000000 // CAST(pow(2, LEAST(date_diff('day', CAST(ts AS DATE), ref.rd) // 7, 20)) AS BIGINT) AS BIGINT) AS wt
       |      FROM events, ref)
       |SELECT user_id, COUNT(*) AS n_events,
       |  CAST(SUM(wt) AS BIGINT) AS decayed_micro
@@ -274,8 +274,11 @@ object Temporal {
     val ev = Tables.events(s, dir)
     val ref = ev.agg(max(col("ts").cast("date")).as("rd"))
     ev.crossJoin(broadcast(ref))
+      // the exponent clamps at 20 (weight already 0 there): past ~63
+      // weeks an unclamped pow(2, ...) exceeds 2⁶³, where DuckDB's cast
+      // errors and Spark's saturates — the engines would diverge
       .withColumn("wt", expr(
-        "CAST(1000000L DIV CAST(pow(2, datediff(rd, CAST(ts AS DATE)) DIV 7) AS BIGINT) AS BIGINT)"))
+        "CAST(1000000L DIV CAST(pow(2, LEAST(datediff(rd, CAST(ts AS DATE)) DIV 7, 20)) AS BIGINT) AS BIGINT)"))
       .groupBy(col("user_id"))
       .agg(count(lit(1)).as("n_events"), sum(col("wt")).as("decayed_micro"))
       .orderBy(col("decayed_micro").desc, col("user_id"))

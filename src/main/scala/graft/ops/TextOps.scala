@@ -583,6 +583,17 @@ object TextOps {
     * replay. */
   def extendPostings(tf: DataFrame, dl: DataFrame, df: DataFrame,
                      batch: DataFrame): (DataFrame, DataFrame, DataFrame) = {
+    val (t, d, f, _) = extendPostingsWithHandle(tf, dl, df, batch)
+    (t, d, f)
+  }
+
+  /** [[extendPostings]] plus the persisted batch-token handle, so
+    * long-running callers (the streaming ingest loop) can unpersist it
+    * after materializing the merged relations — the [[postingsIndex]]
+    * handle discipline; without it each trigger would pin one more
+    * cached RDD forever. */
+  private[graft] def extendPostingsWithHandle(tf: DataFrame, dl: DataFrame, df: DataFrame,
+      batch: DataFrame): (DataFrame, DataFrame, DataFrame, DataFrame) = {
     val fresh = batch.join(dl.select(col("doc_id")), Seq("doc_id"), "left_anti")
     val toks = fresh.select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -591,7 +602,7 @@ object TextOps {
     val bdf = toks.distinct().groupBy(col("word")).agg(count(lit(1)).as("df"))
     val mergedDf = df.unionByName(bdf)
       .groupBy(col("word")).agg(sum(col("df")).as("df"))
-    (tf.unionByName(btf), dl.unionByName(bdl), mergedDf)
+    (tf.unionByName(btf), dl.unionByName(bdl), mergedDf, toks)
   }
 
   /** BM25 retrieval (Robertson & Zaragoza 2009, the Okapi/Lucene scoring
