@@ -76,14 +76,16 @@ object Graph {
     }.head)
   }
 
-  /** `rounds` fixed-point PageRank iterations over a (src, dst) edge
-    * relation; returns (part, rank, degree) for every node. Damping
-    * 0.85 in micro-units: rank' = 150000 + floor(0.85 · Σ floor(rank/deg)). */
-  def pagerank(edges: DataFrame, rounds: Int): DataFrame = {
-    val e = edges.persist(StorageLevel.MEMORY_AND_DISK)
-    val deg = e.groupBy(col("src")).agg(count(lit(1)).as("d"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    var rank = deg.select(col("src").as("part"), lit(RankScale).as("rank"))
+  /** The shared fixed-point random-walk round body (q143 uniform and
+    * q188 personalized are the SAME walker with different teleport
+    * vectors): per round, one broadcast of the node-sized rank relation
+    * into the pinned edges, one dst-keyed map-side-combined sum, and
+    * the damping blend rank' = tele(part) + floor(0.85·Σfloor(rank/deg))
+    * against the (part, tele) relation. A damping or flooring fix lands
+    * in exactly one place for both walkers. */
+  private def walkRounds(e: DataFrame, deg: DataFrame, seeded: DataFrame,
+                         init: DataFrame, rounds: Int): DataFrame = {
+    var rank = init
     for (_ <- 1 to rounds) {
       // rank/degree relations are node-sized — broadcast them into the
       // edge scan (same rationale and caveat as labelPropagation)
@@ -93,14 +95,27 @@ object Graph {
           .withColumn("c", expr("CAST(FLOOR(CAST(rank AS DOUBLE) / d) AS BIGINT)"))
           .select(col("src"), col("c"))), Seq("src"))
         .groupBy(col("dst")).agg(sum(col("c")).as("inc"))
-      rank = deg.select(col("src").as("part"))
+      rank = seeded
         .join(contrib, col("part") === contrib("dst"), "left")
         .select(col("part"),
-          (lit(150000L) + expr(
+          (col("tele") + expr(
             "CAST(FLOOR(0.85D * CAST(COALESCE(inc, CAST(0 AS BIGINT)) AS DOUBLE)) AS BIGINT)")).as("rank"))
     }
     rank.join(deg, rank("part") === deg("src"))
       .select(col("part"), col("rank"), col("d").as("degree"))
+  }
+
+  /** `rounds` fixed-point PageRank iterations over a (src, dst) edge
+    * relation; returns (part, rank, degree) for every node. Damping
+    * 0.85 in micro-units: rank' = 150000 + floor(0.85 · Σ floor(rank/deg)).
+    * This IS [[walkRounds]] with the uniform teleport vector. */
+  def pagerank(edges: DataFrame, rounds: Int): DataFrame = {
+    val e = edges.persist(StorageLevel.MEMORY_AND_DISK)
+    val deg = e.groupBy(col("src")).agg(count(lit(1)).as("d"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val seeded = deg.select(col("src").as("part"), lit(150000L).as("tele"))
+    val init = deg.select(col("src").as("part"), lit(RankScale).as("rank"))
+    walkRounds(e, deg, seeded, init, rounds)
   }
 
   /** `rounds` synchronous label-propagation iterations (Raghavan et al.
@@ -178,15 +193,7 @@ object Graph {
   }
 
   /** One unrolled oracle round k over CTEs e/deg/r{k-1}. */
-  private def roundSql(k: Int): String = {
-    val prev = s"r${k - 1}"
-    s"""c$k AS (SELECT e.dst, CAST(FLOOR(CAST(r.rank AS DOUBLE) / deg.d) AS BIGINT) AS c
-       |  FROM $prev r JOIN deg ON deg.src = r.part JOIN e ON e.src = r.part),
-       |s$k AS (SELECT dst, CAST(SUM(c) AS BIGINT) AS inc FROM c$k GROUP BY 1),
-       |r$k AS (SELECT n.part,
-       |    150000 + CAST(FLOOR(0.85 * CAST(COALESCE(s.inc, 0) AS DOUBLE)) AS BIGINT) AS rank
-       |  FROM r0 n LEFT JOIN s$k s ON s.dst = n.part)""".stripMargin
-  }
+  private def roundSql(k: Int): String = walkRoundSql(k, "r0", "150000")
 
   /** Contract face of [[pagerank]]: 3 rounds over the co-purchase part
     * graph (parts sharing an order), top 100 by authority. The final
@@ -330,34 +337,24 @@ object Graph {
         Seq("part"), "left")
       .select(col("part"), coalesce(col("t"), lit(0L)).as("tele"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    var rank = seeded.select(col("part"), col("tele").as("rank"))
-    for (_ <- 1 to rounds) {
-      val contrib = e
-        .join(broadcast(rank
-          .join(deg, rank("part") === deg("src"))
-          .withColumn("c", expr("CAST(FLOOR(CAST(rank AS DOUBLE) / d) AS BIGINT)"))
-          .select(col("src"), col("c"))), Seq("src"))
-        .groupBy(col("dst")).agg(sum(col("c")).as("inc"))
-      rank = seeded
-        .join(contrib, col("part") === contrib("dst"), "left")
-        .select(col("part"),
-          (col("tele") + expr(
-            "CAST(FLOOR(0.85D * CAST(COALESCE(inc, CAST(0 AS BIGINT)) AS DOUBLE)) AS BIGINT)")).as("rank"))
-    }
-    rank.join(deg, rank("part") === deg("src"))
-      .select(col("part"), col("rank"), col("d").as("degree"))
+    walkRounds(e, deg, seeded, seeded.select(col("part"), col("tele").as("rank")), rounds)
   }
 
-  /** One unrolled oracle PPR round k over CTEs e/deg/sd/r{k-1}. */
-  private def pprRoundSql(k: Int): String = {
+  /** One unrolled oracle walk round k, parameterized on the node CTE
+    * and the teleport expression — the SQL twin of [[walkRounds]],
+    * shared by the uniform (q143) and personalized (q188) oracles. */
+  private def walkRoundSql(k: Int, nodesCte: String, teleExpr: String): String = {
     val prev = s"r${k - 1}"
     s"""c$k AS (SELECT e.dst, CAST(FLOOR(CAST(r.rank AS DOUBLE) / deg.d) AS BIGINT) AS c
        |  FROM $prev r JOIN deg ON deg.src = r.part JOIN e ON e.src = r.part),
        |s$k AS (SELECT dst, CAST(SUM(c) AS BIGINT) AS inc FROM c$k GROUP BY 1),
        |r$k AS (SELECT n.part,
-       |    n.tele + CAST(FLOOR(0.85 * CAST(COALESCE(s.inc, 0) AS DOUBLE)) AS BIGINT) AS rank
-       |  FROM sd n LEFT JOIN s$k s ON s.dst = n.part)""".stripMargin
+       |    $teleExpr + CAST(FLOOR(0.85 * CAST(COALESCE(s.inc, 0) AS DOUBLE)) AS BIGINT) AS rank
+       |  FROM $nodesCte n LEFT JOIN s$k s ON s.dst = n.part)""".stripMargin
   }
+
+  /** One unrolled oracle PPR round k over CTEs e/deg/sd/r{k-1}. */
+  private def pprRoundSql(k: Int): String = walkRoundSql(k, "sd", "n.tele")
 
   /** Contract face of [[personalizedPagerank]]: seeds = the 10 lowest
     * part keys of the co-purchase graph, 3 rounds, top 100 by

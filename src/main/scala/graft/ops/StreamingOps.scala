@@ -653,19 +653,10 @@ object StreamingOps {
       onBatch: (Long, Seq[(Long, Long)]) => Unit): org.apache.spark.sql.streaming.StreamingQuery = {
     import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
     val root = new java.io.File(stateDir)
-    def publish(df: DataFrame): Unit = {
-      val tmp = new java.io.File(root.getParentFile,
-        s"${root.getName}.tmp-${ProcessHandle.current().pid()}-${Thread.currentThread().getId}")
-      df.write.mode("overwrite").parquet(tmp.getPath)
-      if (root.exists()) {
-        val stale = new java.io.File(root.getParentFile,
-          s"${root.getName}.stale-${ProcessHandle.current().pid()}-${Thread.currentThread().getId}")
-        if (root.renameTo(stale))
-          org.apache.commons.io.FileUtils.deleteDirectory(stale)
+    def publish(df: DataFrame): Unit =
+      graft.sources.ParquetState.publishAtomically(root) { tmp =>
+        df.write.mode("overwrite").parquet(tmp.getPath)
       }
-      if (!tmp.renameTo(root))
-        org.apache.commons.io.FileUtils.deleteDirectory(tmp)
-    }
     // initialize an empty snapshot ONLY when none exists — a restart
     // against accumulated state must extend it, not reset it
     if (!new java.io.File(root, "_SUCCESS").exists())
@@ -711,21 +702,12 @@ object StreamingOps {
     import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
     val root = new java.io.File(stateDir)
     def part(p: String) = s"$stateDir/$p"
-    def publish(tf: DataFrame, dl: DataFrame, df: DataFrame): Unit = {
-      val tmp = new java.io.File(root.getParentFile,
-        s"${root.getName}.tmp-${ProcessHandle.current().pid()}-${Thread.currentThread().getId}")
-      tf.write.mode("overwrite").parquet(s"${tmp.getPath}/tf")
-      dl.write.mode("overwrite").parquet(s"${tmp.getPath}/dl")
-      df.write.mode("overwrite").parquet(s"${tmp.getPath}/df")
-      if (root.exists()) {
-        val stale = new java.io.File(root.getParentFile,
-          s"${root.getName}.stale-${ProcessHandle.current().pid()}-${Thread.currentThread().getId}")
-        if (root.renameTo(stale))
-          org.apache.commons.io.FileUtils.deleteDirectory(stale)
+    def publish(tf: DataFrame, dl: DataFrame, df: DataFrame): Unit =
+      graft.sources.ParquetState.publishAtomically(root) { tmp =>
+        tf.write.mode("overwrite").parquet(s"${tmp.getPath}/tf")
+        dl.write.mode("overwrite").parquet(s"${tmp.getPath}/dl")
+        df.write.mode("overwrite").parquet(s"${tmp.getPath}/df")
       }
-      if (!tmp.renameTo(root))
-        org.apache.commons.io.FileUtils.deleteDirectory(tmp)
-    }
     if (!new java.io.File(part("df"), "_SUCCESS").exists()) {
       def empty(fields: (String, org.apache.spark.sql.types.DataType)*) =
         s.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),

@@ -605,6 +605,30 @@ object TextOps {
     (tf.unionByName(btf), dl.unionByName(bdl), mergedDf, toks)
   }
 
+  /** Shared BM25 oracle prefix — postings (tf/dl/df), corpus stats, and
+    * the query-term relation (`qt`, doc_id % 100 = 0). One definition
+    * for the whole retrieval family (q136/q137/q172/q187), so a k1/b or
+    * idf tweak cannot silently desynchronize their oracles. */
+  private lazy val bm25PrefixSql =
+    """toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
+      |tf AS (SELECT doc_id, word, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+      |dl AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dl FROM toks GROUP BY 1),
+      |df AS (SELECT word, COUNT(DISTINCT doc_id) AS df FROM toks GROUP BY 1),
+      |stats AS (SELECT COUNT(*) AS n_docs, AVG(dl) AS avgdl FROM dl),
+      |qt AS (SELECT DISTINCT doc_id AS query_id, word FROM toks WHERE doc_id % 100 = 0)""".stripMargin
+
+  /** One BM25 scoring pass over query-term CTE `qtCte` →
+    * (query_id, doc_id, raw). */
+  private def bm25ScoreSql(qtCte: String): String =
+    s"""SELECT q.query_id, t.doc_id,
+       |    SUM(LN(1.0 + (s.n_docs - d.df + 0.5) / (d.df + 0.5))
+       |        * (t.tf * 2.2) / (t.tf + 1.2 * (0.25 + 0.75 * l.dl / s.avgdl))) AS raw
+       |  FROM $qtCte q
+       |  JOIN tf t ON t.word = q.word AND t.doc_id <> q.query_id
+       |  JOIN df d ON d.word = q.word
+       |  JOIN dl l ON l.doc_id = t.doc_id, stats s
+       |  GROUP BY 1, 2""".stripMargin
+
   /** BM25 retrieval (Robertson & Zaragoza 2009, the Okapi/Lucene scoring
     * with k1 = 1.2, b = 0.75 and the smooth idf ln(1 + (N−df+0.5)/(df+0.5)))
     * — the lexical retriever a RAG pipeline pairs with the ANN family
@@ -624,21 +648,9 @@ object TextOps {
     * scalar broadcasts. */
   val q136Bm25: QueryDef = sql(
     "q136_bm25",
-    """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
-      |tf AS (SELECT doc_id, word, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
-      |dl AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dl FROM toks GROUP BY 1),
-      |df AS (SELECT word, COUNT(DISTINCT doc_id) AS df FROM toks GROUP BY 1),
-      |stats AS (SELECT COUNT(*) AS n_docs, AVG(dl) AS avgdl FROM dl),
-      |qt AS (SELECT DISTINCT doc_id AS query_id, word FROM toks WHERE doc_id % 100 = 0),
+    s"""WITH $bm25PrefixSql,
       |scored AS (
-      |  SELECT q.query_id, t.doc_id,
-      |    SUM(LN(1.0 + (s.n_docs - d.df + 0.5) / (d.df + 0.5))
-      |        * (t.tf * 2.2) / (t.tf + 1.2 * (0.25 + 0.75 * l.dl / s.avgdl))) AS raw
-      |  FROM qt q
-      |  JOIN tf t ON t.word = q.word AND t.doc_id <> q.query_id
-      |  JOIN df d ON d.word = q.word
-      |  JOIN dl l ON l.doc_id = t.doc_id, stats s
-      |  GROUP BY 1, 2),
+      |${bm25ScoreSql("qt")}),
       |ranked AS (SELECT query_id, doc_id, raw,
       |             CAST(ROW_NUMBER() OVER (PARTITION BY query_id
       |               ORDER BY raw DESC, doc_id) AS INT) AS rnk
@@ -689,21 +701,9 @@ object TextOps {
     * relations — dimension-sized after the legs' own top-k cuts. */
   val q137RrfFusion: QueryDef = sql(
     "q137_rrf_fusion",
-    s"""WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
-      |tf AS (SELECT doc_id, word, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
-      |dl AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dl FROM toks GROUP BY 1),
-      |df AS (SELECT word, COUNT(DISTINCT doc_id) AS df FROM toks GROUP BY 1),
-      |stats AS (SELECT COUNT(*) AS n_docs, AVG(dl) AS avgdl FROM dl),
-      |qt AS (SELECT DISTINCT doc_id AS query_id, word FROM toks WHERE doc_id % 100 = 0),
+    s"""WITH $bm25PrefixSql,
       |bscore AS (
-      |  SELECT q.query_id, t.doc_id,
-      |    SUM(LN(1.0 + (s.n_docs - d.df + 0.5) / (d.df + 0.5))
-      |        * (t.tf * 2.2) / (t.tf + 1.2 * (0.25 + 0.75 * l.dl / s.avgdl))) AS raw
-      |  FROM qt q
-      |  JOIN tf t ON t.word = q.word AND t.doc_id <> q.query_id
-      |  JOIN df d ON d.word = q.word
-      |  JOIN dl l ON l.doc_id = t.doc_id, stats s
-      |  GROUP BY 1, 2),
+      |${bm25ScoreSql("qt")}),
       |brank AS (SELECT query_id, doc_id,
       |            ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY raw DESC, doc_id) AS lex_rank
       |          FROM bscore),
@@ -794,21 +794,9 @@ object TextOps {
     * query_id. At 100 TB the eval cost IS the legs' cost. */
   val q172RetrievalMetrics: QueryDef = sql(
     "q172_retrieval_metrics",
-    """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
-      |tf AS (SELECT doc_id, word, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
-      |dl AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dl FROM toks GROUP BY 1),
-      |df AS (SELECT word, COUNT(DISTINCT doc_id) AS df FROM toks GROUP BY 1),
-      |stats AS (SELECT COUNT(*) AS n_docs, AVG(dl) AS avgdl FROM dl),
-      |qt AS (SELECT DISTINCT doc_id AS query_id, word FROM toks WHERE doc_id % 100 = 0),
+    s"""WITH $bm25PrefixSql,
       |bscore AS (
-      |  SELECT q.query_id, t.doc_id,
-      |    SUM(LN(1.0 + (s.n_docs - d.df + 0.5) / (d.df + 0.5))
-      |        * (t.tf * 2.2) / (t.tf + 1.2 * (0.25 + 0.75 * l.dl / s.avgdl))) AS raw
-      |  FROM qt q
-      |  JOIN tf t ON t.word = q.word AND t.doc_id <> q.query_id
-      |  JOIN df d ON d.word = q.word
-      |  JOIN dl l ON l.doc_id = t.doc_id, stats s
-      |  GROUP BY 1, 2),
+      |${bm25ScoreSql("qt")}),
       |run AS (SELECT query_id, doc_id, lex_rank FROM (
       |          SELECT query_id, doc_id,
       |            ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY raw DESC, doc_id) AS lex_rank
@@ -991,30 +979,14 @@ object TextOps {
     * lang-keyed aggregate of integer differences. */
   val q181SignalAgreement: QueryDef = sql(
     "q181_signal_agreement",
-    """WITH t AS (SELECT doc_id, lang, string_split(text, ' ') AS toks FROM documents),
+    s"""WITH t AS (SELECT doc_id, lang, string_split(text, ' ') AS toks FROM documents),
       |qual AS (SELECT doc_id, lang,
       |    (CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks))
       |      * (1.0 - CAST(len(list_filter(toks, x -> x = 'the' OR x = 'a')) AS DOUBLE) / len(toks))
       |      * LEAST(1.0, CAST(len(toks) AS DOUBLE) / 50.0) AS quality
       |  FROM t),
-      |refbi AS (
-      |  SELECT toks[i] AS w1, toks[i + 1] AS w2
-      |  FROM t, LATERAL (SELECT unnest(range(1, len(toks))) AS i)
-      |  WHERE lang = 'en' AND len(toks) >= 2),
-      |c2 AS (SELECT w1, w2, COUNT(*) AS c2 FROM refbi GROUP BY 1, 2),
-      |c1 AS (SELECT w1, COUNT(*) AS c1 FROM refbi GROUP BY 1),
-      |v AS (SELECT COUNT(DISTINCT word) AS v FROM (
-      |  SELECT unnest(toks) AS word FROM t WHERE lang = 'en')),
-      |docbi AS (
-      |  SELECT doc_id, toks[i] AS w1, toks[i + 1] AS w2
-      |  FROM t, LATERAL (SELECT unnest(range(1, len(toks))) AS i)
-      |  WHERE len(toks) >= 2),
-      |nll AS (
-      |  SELECT d.doc_id,
-      |    round(AVG(-ln((COALESCE(c2.c2, 0) + 1.0) / (COALESCE(c1.c1, 0) + v.v))), 6) AS avg_nll
-      |  FROM docbi d LEFT JOIN c2 ON d.w1 = c2.w1 AND d.w2 = c2.w2
-      |    LEFT JOIN c1 ON d.w1 = c1.w1, v
-      |  GROUP BY d.doc_id),
+      |$lmNllSql,
+      |nll AS (SELECT doc_id, round(rawnll, 6) AS avg_nll FROM nllagg),
       |ranked AS (
       |  SELECT q.lang,
       |    CAST(ROW_NUMBER() OVER (PARTITION BY q.lang ORDER BY q.quality DESC, q.doc_id) AS BIGINT) AS r1,
@@ -1243,21 +1215,9 @@ object TextOps {
     * broadcasts like the original. */
   val q187Rm3Expansion: QueryDef = sql(
     "q187_rm3_expansion",
-    """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
-      |tf AS (SELECT doc_id, word, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
-      |dl AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dl FROM toks GROUP BY 1),
-      |df AS (SELECT word, COUNT(DISTINCT doc_id) AS df FROM toks GROUP BY 1),
-      |stats AS (SELECT COUNT(*) AS n_docs, AVG(dl) AS avgdl FROM dl),
-      |qt AS (SELECT DISTINCT doc_id AS query_id, word FROM toks WHERE doc_id % 100 = 0),
+    s"""WITH $bm25PrefixSql,
       |b1 AS (
-      |  SELECT q.query_id, t.doc_id,
-      |    SUM(LN(1.0 + (s.n_docs - d.df + 0.5) / (d.df + 0.5))
-      |        * (t.tf * 2.2) / (t.tf + 1.2 * (0.25 + 0.75 * l.dl / s.avgdl))) AS raw
-      |  FROM qt q
-      |  JOIN tf t ON t.word = q.word AND t.doc_id <> q.query_id
-      |  JOIN df d ON d.word = q.word
-      |  JOIN dl l ON l.doc_id = t.doc_id, stats s
-      |  GROUP BY 1, 2),
+      |${bm25ScoreSql("qt")}),
       |prf AS (SELECT query_id, doc_id FROM (
       |          SELECT query_id, doc_id,
       |            ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY raw DESC, doc_id) AS rn
@@ -1272,14 +1232,7 @@ object TextOps {
       |          WHERE qt.word IS NULL) WHERE rn <= 3),
       |qt2 AS (SELECT query_id, word FROM qt UNION SELECT query_id, word FROM exp),
       |b2 AS (
-      |  SELECT q.query_id, t.doc_id,
-      |    SUM(LN(1.0 + (s.n_docs - d.df + 0.5) / (d.df + 0.5))
-      |        * (t.tf * 2.2) / (t.tf + 1.2 * (0.25 + 0.75 * l.dl / s.avgdl))) AS raw
-      |  FROM qt2 q
-      |  JOIN tf t ON t.word = q.word AND t.doc_id <> q.query_id
-      |  JOIN df d ON d.word = q.word
-      |  JOIN dl l ON l.doc_id = t.doc_id, stats s
-      |  GROUP BY 1, 2),
+      |${bm25ScoreSql("qt2")}),
       |out AS (SELECT query_id, doc_id, raw,
       |          CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY raw DESC, doc_id) AS INT) AS rnk
       |        FROM b2)
@@ -1348,32 +1301,17 @@ object TextOps {
     * signal join. */
   val q189WeakLabels: QueryDef = sql(
     "q189_weak_labels",
-    """WITH t AS (SELECT doc_id, lang, string_split(text, ' ') AS toks FROM documents),
+    s"""WITH t AS (SELECT doc_id, lang, string_split(text, ' ') AS toks FROM documents),
       |qual AS (SELECT doc_id,
       |    CASE WHEN (CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks))
       |      * (1.0 - CAST(len(list_filter(toks, x -> x = 'the' OR x = 'a')) AS DOUBLE) / len(toks))
       |      * LEAST(1.0, CAST(len(toks) AS DOUBLE) / 50.0) >= 0.3
       |    THEN 1 ELSE -1 END AS v1
       |  FROM t),
-      |refbi AS (
-      |  SELECT toks[i] AS w1, toks[i + 1] AS w2
-      |  FROM t, LATERAL (SELECT unnest(range(1, len(toks))) AS i)
-      |  WHERE lang = 'en' AND len(toks) >= 2),
-      |c2 AS (SELECT w1, w2, COUNT(*) AS c2 FROM refbi GROUP BY 1, 2),
-      |c1 AS (SELECT w1, COUNT(*) AS c1 FROM refbi GROUP BY 1),
-      |v AS (SELECT COUNT(DISTINCT word) AS v FROM (
-      |  SELECT unnest(toks) AS word FROM t WHERE lang = 'en')),
-      |docbi AS (
-      |  SELECT doc_id, toks[i] AS w1, toks[i + 1] AS w2
-      |  FROM t, LATERAL (SELECT unnest(range(1, len(toks))) AS i)
-      |  WHERE len(toks) >= 2),
-      |nll AS (
-      |  SELECT d.doc_id,
-      |    CASE WHEN round(AVG(-ln((COALESCE(c2.c2, 0) + 1.0) / (COALESCE(c1.c1, 0) + v.v))), 6) <= 3.45
-      |    THEN 1 ELSE -1 END AS v2
-      |  FROM docbi d LEFT JOIN c2 ON d.w1 = c2.w1 AND d.w2 = c2.w2
-      |    LEFT JOIN c1 ON d.w1 = c1.w1, v
-      |  GROUP BY d.doc_id),
+      |$lmNllSql,
+      |nll AS (SELECT doc_id,
+      |    CASE WHEN round(rawnll, 6) <= 3.45 THEN 1 ELSE -1 END AS v2
+      |  FROM nllagg),
       |mark AS (SELECT doc_id,
       |    CASE WHEN list_contains(toks, 'the') THEN 1 ELSE 0 END AS v3
       |  FROM t),
@@ -2614,10 +2552,13 @@ object TextOps {
   /** Contract face of [[lmPerplexity]]: the trusted reference is the
     * `lang = 'en'` subset (CCNet's Wikipedia stand-in), scored over the
     * whole corpus at threshold 3.45. */
-  val q128LmPerplexity: QueryDef = sql(
-    "q128_lm_perplexity",
-    """WITH t AS (SELECT doc_id, lang, string_split(text, ' ') AS toks FROM documents),
-      |refbi AS (
+  /** Shared LM oracle chain (q128/q181/q189): reference bigram counts
+    * over the 'en' slice plus the per-doc raw average NLL, ending at
+    * CTE `nllagg(doc_id, n_bigrams, rawnll)`. Callers must define CTE
+    * `t(doc_id, lang, toks)` first. One definition so a smoothing or
+    * reference-slice change cannot desynchronize the three oracles. */
+  private lazy val lmNllSql =
+    """refbi AS (
       |  SELECT toks[i] AS w1, toks[i + 1] AS w2
       |  FROM t, LATERAL (SELECT unnest(range(1, len(toks))) AS i)
       |  WHERE lang = 'en' AND len(toks) >= 2),
@@ -2629,15 +2570,20 @@ object TextOps {
       |  SELECT doc_id, toks[i] AS w1, toks[i + 1] AS w2
       |  FROM t, LATERAL (SELECT unnest(range(1, len(toks))) AS i)
       |  WHERE len(toks) >= 2),
-      |sc AS (
+      |nllagg AS (
       |  SELECT d.doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
-      |    AVG(-ln((COALESCE(c2.c2, 0) + 1.0) / (COALESCE(c1.c1, 0) + v.v))) AS raw
+      |    AVG(-ln((COALESCE(c2.c2, 0) + 1.0) / (COALESCE(c1.c1, 0) + v.v))) AS rawnll
       |  FROM docbi d LEFT JOIN c2 ON d.w1 = c2.w1 AND d.w2 = c2.w2
       |    LEFT JOIN c1 ON d.w1 = c1.w1, v
-      |  GROUP BY d.doc_id)
-      |SELECT doc_id, n_bigrams, round(raw, 6) AS avg_nll,
-      |  round(raw, 6) > 3.45 AS high_perplexity
-      |FROM sc
+      |  GROUP BY d.doc_id)""".stripMargin
+
+  val q128LmPerplexity: QueryDef = sql(
+    "q128_lm_perplexity",
+    s"""WITH t AS (SELECT doc_id, lang, string_split(text, ' ') AS toks FROM documents),
+      |$lmNllSql
+      |SELECT doc_id, n_bigrams, round(rawnll, 6) AS avg_nll,
+      |  round(rawnll, 6) > 3.45 AS high_perplexity
+      |FROM nllagg
       |ORDER BY doc_id""".stripMargin) { (s, dir) =>
     val docs = Tables.fanOut(Tables.documents(s, dir))
     lmPerplexity(docs, docs.filter(col("lang") === "en"))

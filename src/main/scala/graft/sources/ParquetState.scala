@@ -44,4 +44,24 @@ object ParquetState {
     }
     parts.map(p => s.read.parquet(s"$stateDir/$p"))
   }
+
+  /** The bare commit protocol for callers that REPUBLISH state every
+    * cycle (the streaming maintenance loops) rather than build-once:
+    * `write` receives the private tmp dir; on return the tmp renames
+    * over `root` atomically, moving any previous version aside first
+    * (rename-to-tombstone, never in-place delete — a racing reader
+    * could otherwise see partial state mid-delete). */
+  def publishAtomically(root: java.io.File)(write: java.io.File => Unit): Unit = {
+    val tmp = new java.io.File(root.getParentFile,
+      s"${root.getName}.tmp-${ProcessHandle.current().pid()}-${Thread.currentThread().getId}")
+    write(tmp)
+    if (root.exists()) {
+      val stale = new java.io.File(root.getParentFile,
+        s"${root.getName}.stale-${ProcessHandle.current().pid()}-${Thread.currentThread().getId}")
+      if (root.renameTo(stale))
+        org.apache.commons.io.FileUtils.deleteDirectory(stale)
+    }
+    if (!tmp.renameTo(root))
+      org.apache.commons.io.FileUtils.deleteDirectory(tmp)
+  }
 }
