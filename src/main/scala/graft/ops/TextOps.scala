@@ -1636,6 +1636,106 @@ object TextOps {
       .orderBy(col("doc_id"), col("passage_id"))
   }
 
+  /** Passage-level retrieval — BM25 at the granularity a RAG stack
+    * actually serves (q169's overlapping windows are what gets indexed;
+    * whole-document scores dilute the hit when the answer lives in one
+    * window): score every passage against each query doc's terms, then
+    * rank DOCUMENTS by their best passage (max-passage aggregation —
+    * the standard long-document trick, Dai & Callan SIGIR'19's
+    * MaxP applied to lexical scoring) and emit the winning passage
+    * alongside, so the caller can serve the window, not the document.
+    * Passage ids pack as doc_id·1000 + window (fixture docs hold < 1000
+    * windows by construction). All ranks exact; scores follow the q136
+    * float discipline (identical expression, emit rounded, rank raw).
+    *
+    * Scale posture: the q136 shape over the passage corpus (the
+    * 64/48 overlap costs a fixed ~1.33× token duplication — the price
+    * of boundary-straddling recall); query terms broadcast; the
+    * max-passage cut is one (query, doc)-keyed agg below the final
+    * WindowGroupLimit top-10. */
+  val q197PassageRetrieval: QueryDef = sql(
+    "q197_passage_retrieval",
+    s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks,
+       |             CAST(len(string_split(text, ' ')) AS BIGINT) AS len
+       |           FROM documents),
+       |w AS (SELECT doc_id, len, toks,
+       |        CASE WHEN len <= $PassageWidth THEN 1
+       |             ELSE (len - $PassageWidth + $PassageStride - 1) // $PassageStride + 1 END AS nwin
+       |      FROM t),
+       |pass AS (SELECT doc_id, doc_id * 1000 + k AS pid,
+       |           toks[CAST(k * $PassageStride + 1 AS BIGINT):CAST(k * $PassageStride + LEAST($PassageWidth, len - k * $PassageStride) AS BIGINT)] AS ptoks
+       |         FROM w, LATERAL (SELECT unnest(range(0, nwin)) AS k)),
+       |ptok AS (SELECT doc_id, pid, unnest(ptoks) AS word FROM pass),
+       |ptf AS (SELECT doc_id, pid, word, COUNT(*) AS tf FROM ptok GROUP BY 1, 2, 3),
+       |pdl AS (SELECT pid, CAST(COUNT(*) AS BIGINT) AS dl FROM ptok GROUP BY 1),
+       |pdf AS (SELECT word, COUNT(DISTINCT pid) AS df FROM ptok GROUP BY 1),
+       |pstats AS (SELECT COUNT(*) AS n_docs, AVG(dl) AS avgdl FROM pdl),
+       |qt AS (SELECT DISTINCT doc_id AS query_id, unnest(string_split(text, ' ')) AS word
+       |       FROM documents WHERE doc_id % 100 = 0),
+       |scored AS (
+       |  SELECT q.query_id, p.doc_id, p.pid,
+       |    SUM(LN(1.0 + (s.n_docs - d.df + 0.5) / (d.df + 0.5))
+       |        * (p.tf * 2.2) / (p.tf + 1.2 * (0.25 + 0.75 * l.dl / s.avgdl))) AS raw
+       |  FROM qt q
+       |  JOIN ptf p ON p.word = q.word AND p.doc_id <> q.query_id
+       |  JOIN pdf d ON d.word = q.word
+       |  JOIN pdl l ON l.pid = p.pid, pstats s
+       |  GROUP BY 1, 2, 3),
+       |best AS (SELECT query_id, doc_id, pid, ROUND(raw, 6) AS r6,
+       |           ROW_NUMBER() OVER (PARTITION BY query_id, doc_id ORDER BY ROUND(raw, 6) DESC, pid) AS pr
+       |         FROM scored),
+       |docs AS (SELECT query_id, doc_id, pid, r6,
+       |           CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY r6 DESC, doc_id) AS INT) AS rnk
+       |         FROM best WHERE pr = 1)
+       |SELECT query_id, doc_id, pid AS passage_id, rnk, r6 AS bm25
+       |FROM docs WHERE rnk <= 10
+       |ORDER BY query_id, rnk""".stripMargin) { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.fanOut(Tables.documents(s, dir))
+    val pass = docsWithTokens(s, dir)
+      .withColumn("len", size(col("toks")).cast("long"))
+      .withColumn("nwin", expr(
+        s"CASE WHEN len <= $PassageWidth THEN 1L ELSE (len - $PassageWidth + $PassageStride - 1) DIV $PassageStride + 1 END"))
+      .select(col("doc_id"), col("len"), col("toks"),
+        explode(expr("sequence(0L, nwin - 1)")).as("k"))
+      .select(col("doc_id"), (col("doc_id") * 1000 + col("k")).as("pid"),
+        expr(s"slice(toks, CAST(k * $PassageStride + 1 AS INT), CAST(LEAST($PassageWidth, len - k * $PassageStride) AS INT))").as("ptoks"))
+    val ptok = pass.select(col("doc_id"), col("pid"), explode(col("ptoks")).as("word"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val ptf = ptok.groupBy(col("doc_id"), col("pid"), col("word")).agg(count(lit(1)).as("tf"))
+    val pdl = ptok.groupBy(col("pid")).agg(count(lit(1)).as("dl"))
+    val pdf = ptok.select(col("pid"), col("word")).distinct()
+      .groupBy(col("word")).agg(count(lit(1)).as("df"))
+    val pstats = pdl.agg(count(lit(1)).as("n_docs"), avg(col("dl")).as("avgdl"))
+    val qt = docs.filter(col("doc_id") % 100 === 0)
+      .select(col("doc_id").as("query_id"), explode(split(col("text"), " ")).as("word"))
+      .distinct()
+    val term = log(lit(1.0) + (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5))) *
+      (col("tf") * lit(2.2)) /
+      (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / col("avgdl")))
+    broadcast(qt).join(ptf, Seq("word"))
+      .filter(col("doc_id") =!= col("query_id"))
+      .join(broadcast(pdf), Seq("word"))
+      .join(pdl, Seq("pid"))
+      .crossJoin(broadcast(pstats))
+      .groupBy(col("query_id"), col("doc_id"), col("pid")).agg(sum(term).as("raw"))
+      // rank on the ROUNDED score (not raw, the q136 discipline): the
+      // passage corpus contains byte-identical windows (near-dup docs),
+      // whose sums differ by summation-order ulps WITHIN and BETWEEN
+      // engines — rounding collapses the noise, pid/doc_id break the
+      // now-real ties identically everywhere
+      .withColumn("r6", round(col("raw"), 6))
+      .withColumn("pr", row_number().over(
+        Window.partitionBy(col("query_id"), col("doc_id")).orderBy(col("r6").desc, col("pid"))))
+      .filter(col("pr") === 1)
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy(col("query_id")).orderBy(col("r6").desc, col("doc_id"))))
+      .filter(col("rnk") <= 10)
+      .select(col("query_id"), col("doc_id"), col("pid").as("passage_id"),
+        col("rnk"), col("r6").as("bm25"))
+      .orderBy(col("query_id"), col("rnk"))
+  }
+
   private val CompactionBudget = 5000L
 
   /** Compaction planning — the table-maintenance face (the OPTIMIZE /
@@ -3249,5 +3349,5 @@ object TextOps {
     q151CorpusBuildPack, q155Collocations, q157DomainCosine,
     q158Boilerplate, q159QualityQuantileGate, q164TemperatureMix,
     q165ShardManifest, q167ManifestDiff, q168CdcShards, q169PassageWindows,
-    q170CompactionPlan, q176TimeTravel)
+    q170CompactionPlan, q176TimeTravel, q197PassageRetrieval)
 }

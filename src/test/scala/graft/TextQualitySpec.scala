@@ -821,6 +821,31 @@ class TextQualitySpec extends SparkSpec {
     assert(got.exists(_._6 == 1L) && got.exists(_._6 == -1L))
   }
 
+  test("passage retrieval: passages belong to their docs, ranks dense, winning windows contain query terms") {
+    import graft.sources.Tables
+    val got = TextOps.q197PassageRetrieval.run(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3), r.getDouble(4)))
+    assert(got.nonEmpty)
+    got.foreach { case (q, d, pid, _, s) =>
+      assert(q != d, s"query $q retrieved itself")
+      assert(pid / 1000 == d, s"passage $pid does not belong to doc $d")
+      assert(s > 0.0)
+    }
+    got.groupBy(_._1).foreach { case (q, rows) =>
+      assert(rows.map(_._4).sorted.toSeq == (1 to rows.length), s"query $q ranks not dense")
+    }
+    // the winning window of every top hit shares >= 1 term with its query
+    val texts = Tables.documents(spark, sfDir).select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ").toSeq).toMap
+    got.filter(_._4 == 1).foreach { case (q, d, pid, _, _) =>
+      val k = (pid % 1000).toInt
+      val toks = texts(d)
+      val win = toks.slice(k * 48, math.min(k * 48 + 64, toks.length))
+      assert(win.toSet.intersect(texts(q).toSet).nonEmpty,
+        s"winning passage $pid shares no term with query $q")
+    }
+  }
+
   test("k-anonymity: equivalence classes reconcile with a driver group-by and cover the corpus") {
     import graft.sources.Tables
     val got = TextOps.q195KAnonymity.run(spark, sfDir).collect()
