@@ -1736,6 +1736,120 @@ object TextOps {
       .orderBy(col("query_id"), col("rnk"))
   }
 
+  /** RRF hyperparameter sweep — the fusion constant k as DATA, not a
+    * config rerun: fuse the two q137 legs under k ∈ {10, 60, 100}
+    * simultaneously (one plan, the parameter grid cross-joined into the
+    * rank-only fusion expression) and judge each k against the
+    * exact-cosine ground truth with q172's integer recall. The
+    * relational form of a tuning sweep: at 100 TB you cannot afford one
+    * retrieval pass per candidate value, but the legs' ranks are
+    * computed ONCE and every fusion variant is a scalar expression over
+    * them — sweep cost is |grid| × a dimension-sized fusion, not
+    * |grid| × retrieval. Cormack SIGIR'09 fixed k = 60 by exactly this
+    * kind of sweep; this operator reproduces the experiment as one
+    * query. All judgments exact integers; the fused score is two exact
+    * rationals summed by one expression (no aggregation-order noise).
+    */
+  val q198RrfSweep: QueryDef = sql(
+    "q198_rrf_sweep",
+    s"""WITH $bm25PrefixSql,
+      |bscore AS (
+      |${bm25ScoreSql("qt")}),
+      |brank AS (SELECT query_id, doc_id,
+      |            ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY raw DESC, doc_id) AS lex_rank
+      |          FROM bscore),
+      |n AS (SELECT vec_id, embedding,
+      |        SQRT(list_reduce(list_transform(range(len(embedding)), i -> CAST(embedding[i+1] AS DOUBLE) * CAST(embedding[i+1] AS DOUBLE)), (x, y) -> x + y)) AS nrm
+      |      FROM embeddings),
+      |qe AS (SELECT vec_id AS query_id, embedding AS qv, nrm AS qn FROM n WHERE vec_id % 100 = 0),
+      |sscore AS (SELECT q.query_id, n.vec_id AS doc_id,
+      |             list_reduce(list_transform(range(len(n.embedding)), i -> CAST(n.embedding[i+1] AS DOUBLE) * CAST(q.qv[i+1] AS DOUBLE)), (x, y) -> x + y) / (n.nrm * q.qn) AS cosine
+      |           FROM n JOIN qe q ON n.vec_id <> q.query_id),
+      |srank AS (SELECT query_id, doc_id,
+      |            ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, doc_id) AS sem_rank
+      |          FROM sscore),
+      |truth AS (SELECT query_id, doc_id FROM srank WHERE sem_rank <= 10),
+      |legs AS (SELECT COALESCE(b.query_id, s.query_id) AS query_id,
+      |           COALESCE(b.doc_id, s.doc_id) AS doc_id, b.lex_rank, s.sem_rank
+      |         FROM (SELECT * FROM brank WHERE lex_rank <= 20) b
+      |         FULL OUTER JOIN (SELECT * FROM srank WHERE sem_rank <= 20) s
+      |           ON s.query_id = b.query_id AND s.doc_id = b.doc_id),
+      |ks AS (SELECT unnest([10, 60, 100]) AS k_param),
+      |fused AS (SELECT ks.k_param, l.query_id, l.doc_id,
+      |            COALESCE(1.0 / (ks.k_param + l.lex_rank), 0.0)
+      |              + COALESCE(1.0 / (ks.k_param + l.sem_rank), 0.0) AS raw
+      |          FROM legs l CROSS JOIN ks),
+      |run AS (SELECT k_param, query_id, doc_id FROM (
+      |          SELECT k_param, query_id, doc_id,
+      |            ROW_NUMBER() OVER (PARTITION BY k_param, query_id ORDER BY raw DESC, doc_id) AS rnk
+      |          FROM fused) WHERE rnk <= 10),
+      |hits AS (SELECT r.k_param, r.query_id, COUNT(t.doc_id) AS h
+      |         FROM run r LEFT JOIN truth t
+      |           ON t.query_id = r.query_id AND t.doc_id = r.doc_id
+      |         GROUP BY 1, 2),
+      |nq AS (SELECT COUNT(DISTINCT query_id) AS n_queries FROM qt)
+      |SELECT CAST(h.k_param AS BIGINT) AS k_param, nq.n_queries,
+      |  CAST(SUM(h.h) AS BIGINT) AS sum_hits,
+      |  CAST(SUM(h.h) * 100000 // nq.n_queries AS BIGINT) AS mean_recall_micro
+      |FROM hits h, nq
+      |GROUP BY 1, 2
+      |ORDER BY k_param""".stripMargin) { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    import s.implicits._
+    graft.functions.CosineSimilarity.register(s)
+    val (tf, dl, df) = postingsIndex(s, Tables.documents(s, dir))
+    val stats = dl.agg(count(lit(1)).as("n_docs"), avg(col("dl")).as("avgdl"))
+    val qt = tf.filter(col("doc_id") % 100 === 0)
+      .select(col("doc_id").as("query_id"), col("word"))
+    val term = log(lit(1.0) + (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5))) *
+      (col("tf") * lit(2.2)) /
+      (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / col("avgdl")))
+    val brank = broadcast(qt).join(tf, Seq("word"))
+      .filter(col("doc_id") =!= col("query_id"))
+      .join(broadcast(df), Seq("word"))
+      .join(dl, Seq("doc_id"))
+      .crossJoin(broadcast(stats))
+      .groupBy(col("query_id"), col("doc_id")).agg(sum(term).as("raw"))
+      .withColumn("lex_rank", row_number().over(
+        Window.partitionBy(col("query_id")).orderBy(col("raw").desc, col("doc_id"))))
+      .filter(col("lex_rank") <= 20).select(col("query_id"), col("doc_id"), col("lex_rank"))
+    val emb = Tables.embeddings(s, dir)
+    val qe = emb.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    val srankAll = emb.select(col("vec_id").as("doc_id"), col("embedding"))
+      .crossJoin(broadcast(qe))
+      .filter(col("doc_id") =!= col("query_id"))
+      .withColumn("cosine", expr("cosine_sim_native(embedding, qv)"))
+      .withColumn("sem_rank", row_number().over(
+        Window.partitionBy(col("query_id")).orderBy(col("cosine").desc, col("doc_id"))))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val truth = srankAll.filter(col("sem_rank") <= 10)
+      .select(col("query_id"), col("doc_id"))
+    val legs = brank
+      .join(srankAll.filter(col("sem_rank") <= 20)
+        .select(col("query_id"), col("doc_id"), col("sem_rank")),
+        Seq("query_id", "doc_id"), "full_outer")
+    val ks = Seq(10, 60, 100).toDF("k_param")
+    val run = legs.crossJoin(broadcast(ks))
+      .withColumn("raw",
+        coalesce(lit(1.0) / (col("k_param") + col("lex_rank")), lit(0.0)) +
+          coalesce(lit(1.0) / (col("k_param") + col("sem_rank")), lit(0.0)))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy(col("k_param"), col("query_id"))
+          .orderBy(col("raw").desc, col("doc_id"))))
+      .filter(col("rnk") <= 10)
+      .select(col("k_param"), col("query_id"), col("doc_id"))
+    val hits = run.join(truth.withColumn("hit", lit(1)), Seq("query_id", "doc_id"), "left")
+      .groupBy(col("k_param"), col("query_id"))
+      .agg(sum(coalesce(col("hit"), lit(0))).as("h"))
+    val nq = qt.select(col("query_id")).distinct().count()
+    hits.groupBy(col("k_param").cast("long").as("k_param"))
+      .agg(sum(col("h")).as("sum_hits"))
+      .select(col("k_param"), lit(nq).as("n_queries"), col("sum_hits"),
+        expr(s"sum_hits * 100000L DIV ${nq}L").as("mean_recall_micro"))
+      .orderBy(col("k_param"))
+  }
+
   private val CompactionBudget = 5000L
 
   /** Compaction planning — the table-maintenance face (the OPTIMIZE /
@@ -3349,5 +3463,5 @@ object TextOps {
     q151CorpusBuildPack, q155Collocations, q157DomainCosine,
     q158Boilerplate, q159QualityQuantileGate, q164TemperatureMix,
     q165ShardManifest, q167ManifestDiff, q168CdcShards, q169PassageWindows,
-    q170CompactionPlan, q176TimeTravel, q197PassageRetrieval)
+    q170CompactionPlan, q176TimeTravel, q197PassageRetrieval, q198RrfSweep)
 }

@@ -846,6 +846,38 @@ class TextQualitySpec extends SparkSpec {
     }
   }
 
+  test("RRF sweep: k=60's metrics match q172's MRR companion run and hits stay within bounds") {
+    val got = TextOps.q198RrfSweep.run(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.map(_._1).toSeq == Seq(10L, 60L, 100L))
+    val nq = got.head._2
+    got.foreach { case (k, n, sumHits, meanMicro) =>
+      assert(n == nq)
+      assert(sumHits >= 0 && sumHits <= 10 * nq, s"k=$k: hits $sumHits out of range")
+      assert(meanMicro == sumHits * 100000L / nq)
+    }
+    // the k=60 fused run IS q137's: its hit count must equal judging
+    // q137's emitted top-10 against the cosine truth
+    val fused = TextOps.q137RrfFusion.run(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    graft.functions.CosineSimilarity.register(spark)
+    import org.apache.spark.sql.expressions.Window
+    import graft.sources.Tables
+    val emb = Tables.embeddings(spark, sfDir)
+    val qe = emb.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    val truth = emb.select(col("vec_id").as("doc_id"), col("embedding"))
+      .crossJoin(broadcast(qe)).filter(col("doc_id") =!= col("query_id"))
+      .withColumn("cosine", expr("cosine_sim_native(embedding, qv)"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("query_id")).orderBy(col("cosine").desc, col("doc_id"))))
+      .filter(col("rn") <= 10).select("query_id", "doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val wantK60 = fused.count(truth).toLong
+    assert(got.find(_._1 == 60L).get._3 == wantK60,
+      s"k=60 hits ${got.find(_._1 == 60L).get._3} != q137-derived $wantK60")
+  }
+
   test("k-anonymity: equivalence classes reconcile with a driver group-by and cover the corpus") {
     import graft.sources.Tables
     val got = TextOps.q195KAnonymity.run(spark, sfDir).collect()
