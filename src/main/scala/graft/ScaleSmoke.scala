@@ -128,7 +128,8 @@ object ScaleSmoke {
       "q186_bootstrap_ci", "q187_rm3_expansion", "q188_personalized_pagerank",
       "q189_weak_labels", "q190_kcenter_coreset", "q191_multiprobe_lsh",
       "q193_conformal", "q194_canonical_dedup", "q195_k_anonymity",
-      "q196_semantic_decontam", "q197_passage_retrieval", "q198_rrf_sweep")
+      "q196_semantic_decontam", "q197_passage_retrieval", "q198_rrf_sweep",
+      "q199_truncation_audit", "q200_corpus_scorecard")
     // SPARK_GRAFT_SMOKE_ONLY=q123,q124 limits a run to matching targets —
     // the same local profiling aid as Bench's SPARK_GRAFT_BENCH_ONLY
     val selected = sys.env.get("SPARK_GRAFT_SMOKE_ONLY")

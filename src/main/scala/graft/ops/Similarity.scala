@@ -1929,6 +1929,79 @@ object Similarity {
       .orderBy(col("vec_id"))
   }
 
+  /** Dimension-truncation audit — "can we serve at d/4?" (the question
+    * Matryoshka-style representations formalize — Kusupati et al.,
+    * NeurIPS 2022: if prefix dimensions carry the ranking, a truncated
+    * index is 4× cheaper at small recall cost): rank every query's
+    * top-10 by exact integer inner product over the FULL 64 dims and
+    * again over the FIRST 16, and report per query the overlap and
+    * whether the top-1 survives. Both rankings are exact integer dot
+    * products in the micro-quantized space (ties to doc_id), so the
+    * whole audit hash-verifies — the decision "truncate or don't" rests
+    * on reproducible numbers. (q154/q160 answer the adjacent question
+    * for LEARNED projections; this audits plain prefix truncation,
+    * which costs nothing to deploy.)
+    *
+    * Scale posture: one query-broadcast scan computing BOTH dots in the
+    * same pass (the truncated sum is a conditional inside the same
+    * aggregate — no second scan), two WindowGroupLimit top-10 cuts,
+    * one 10-row-per-query judgment join. */
+  val q199TruncationAudit: QueryDef = sql(
+    "q199_truncation_audit",
+    """WITH q AS (
+      |  SELECT vec_id, dim,
+      |    CAST(FLOOR(CAST(embedding[dim] AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT) AS v
+      |  FROM embeddings,
+      |       LATERAL (SELECT unnest(range(1, len(embedding) + 1)) AS dim)),
+      |qq AS (SELECT vec_id, dim, v FROM q WHERE vec_id % 100 = 0),
+      |dots AS (SELECT a.vec_id AS query_id, b.vec_id AS doc_id,
+      |           CAST(SUM(a.v * b.v) AS BIGINT) AS dot_full,
+      |           CAST(SUM(CASE WHEN a.dim <= 16 THEN a.v * b.v ELSE 0 END) AS BIGINT) AS dot_t
+      |         FROM qq a JOIN q b ON b.dim = a.dim AND b.vec_id <> a.vec_id
+      |         GROUP BY 1, 2),
+      |rf AS (SELECT query_id, doc_id, rn FROM (
+      |         SELECT query_id, doc_id,
+      |           ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY dot_full DESC, doc_id) AS rn
+      |         FROM dots) WHERE rn <= 10),
+      |rt AS (SELECT query_id, doc_id, rn FROM (
+      |         SELECT query_id, doc_id,
+      |           ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY dot_t DESC, doc_id) AS rn
+      |         FROM dots) WHERE rn <= 10),
+      |ov AS (SELECT f.query_id, COUNT(t.doc_id) AS overlap
+      |       FROM rf f LEFT JOIN rt t ON t.query_id = f.query_id AND t.doc_id = f.doc_id
+      |       GROUP BY 1)
+      |SELECT o.query_id, o.overlap,
+      |  (f1.doc_id = t1.doc_id) AS top1_match
+      |FROM ov o
+      |JOIN rf f1 ON f1.query_id = o.query_id AND f1.rn = 1
+      |JOIN rt t1 ON t1.query_id = o.query_id AND t1.rn = 1
+      |ORDER BY o.query_id""".stripMargin) { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val v = quantizedLong(s, dir)
+    val qv = v.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("query_id"), col("qv").as("query_v"))
+    val dots = v.select(col("vec_id").as("doc_id"), col("qv"))
+      .crossJoin(broadcast(qv))
+      .filter(col("doc_id") =!= col("query_id"))
+      .select(col("query_id"), col("doc_id"),
+        expr("aggregate(zip_with(qv, query_v, (x, y) -> x * y), 0L, (a, x) -> a + x)").as("dot_full"),
+        expr("aggregate(zip_with(slice(qv, 1, 16), slice(query_v, 1, 16), (x, y) -> x * y), 0L, (a, x) -> a + x)").as("dot_t"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    def top(dcol: String) = dots
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("query_id")).orderBy(col(dcol).desc, col("doc_id"))))
+      .filter(col("rn") <= 10).select(col("query_id"), col("doc_id"), col("rn"))
+    val rf = top("dot_full")
+    val rt = top("dot_t")
+    val ov = rf.join(rt.withColumn("hit", lit(1)).drop("rn"),
+        Seq("query_id", "doc_id"), "left")
+      .groupBy(col("query_id")).agg(sum(coalesce(col("hit"), lit(0))).cast("long").as("overlap"))
+    ov.join(rf.filter(col("rn") === 1).select(col("query_id"), col("doc_id").as("f1")), "query_id")
+      .join(rt.filter(col("rn") === 1).select(col("query_id"), col("doc_id").as("t1")), "query_id")
+      .select(col("query_id"), col("overlap"), (col("f1") === col("t1")).as("top1_match"))
+      .orderBy(col("query_id"))
+  }
+
   /** Multi-probe LSH (Lv et al., VLDB 2007): instead of probing the
     * whole Hamming-1 ring like q52 (9 buckets), probe a SHORT sequence
     * of buckets chosen by the query's own hyperplane margins — the
@@ -2084,5 +2157,5 @@ object Similarity {
     q140KnnClassify, q146PcaPower, q147MmrRerank, q152KnnClassifyIvf,
     q154JlAnn, q160JlIvf, q162IndexDrift, q166RagServe, q171PqRerank,
     q178Hubness, q179EmbeddingStats, q180Silhouette, q190KcenterCoreset,
-    q191MultiprobeLsh, q196SemanticDecontam)
+    q191MultiprobeLsh, q196SemanticDecontam, q199TruncationAudit)
 }

@@ -1850,6 +1850,83 @@ object TextOps {
       .orderBy(col("k_param"))
   }
 
+  /** The corpus scorecard — every headline health number a data-quality
+    * review asks for, as ONE query emitting a (metric, value) relation:
+    * volume (docs, tokens, languages, sources), duplication (exact-dup
+    * groups and the docs they'd remove), quality (floor-mean of the q25
+    * score in micro units — per-doc floors summed as exact integers, so
+    * the mean is aggregation-order-proof), the LM gate's flag count
+    * (q128's threshold over the shared NLL chain), and governance
+    * (q195's risky quasi-identifier classes). The single-relation shape
+    * is the point: a release pipeline diffs two scorecards the way q145
+    * diffs two corpora, and ONE hash pins all nine numbers.
+    *
+    * Scale posture: a union of independent aggregates, each already
+    * proven scan-shaped by its donor operator; nothing here adds a
+    * shuffle the donors don't have. */
+  val q200CorpusScorecard: QueryDef = sql(
+    "q200_corpus_scorecard",
+    s"""WITH t AS (SELECT doc_id, lang, string_split(text, ' ') AS toks FROM documents),
+      |$lmNllSql,
+      |per AS (SELECT doc_id,
+      |    CAST(FLOOR((CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks))
+      |      * (1.0 - CAST(len(list_filter(toks, x -> x = 'the' OR x = 'a')) AS DOUBLE) / len(toks))
+      |      * LEAST(1.0, CAST(len(toks) AS DOUBLE) / 50.0) * 1000000.0) AS BIGINT) AS q_micro,
+      |    CAST(len(toks) AS BIGINT) AS n_toks
+      |  FROM t),
+      |dup AS (SELECT md5(text) AS h, COUNT(*) AS c FROM documents GROUP BY 1),
+      |qi AS (SELECT lang, source, n_chars // 100 AS b, COUNT(*) AS n
+      |       FROM documents GROUP BY 1, 2, 3)
+      |SELECT metric, value FROM (
+      |  SELECT 'n_docs' AS metric, CAST(COUNT(*) AS BIGINT) AS value FROM documents
+      |  UNION ALL SELECT 'total_tokens', CAST(SUM(n_toks) AS BIGINT) FROM per
+      |  UNION ALL SELECT 'n_langs', CAST(COUNT(DISTINCT lang) AS BIGINT) FROM documents
+      |  UNION ALL SELECT 'n_sources', CAST(COUNT(DISTINCT source) AS BIGINT) FROM documents
+      |  UNION ALL SELECT 'n_exact_dup_groups', CAST(COUNT(*) AS BIGINT) FROM dup WHERE c >= 2
+      |  UNION ALL SELECT 'n_exact_dup_docs', CAST(COALESCE(SUM(c - 1), 0) AS BIGINT) FROM dup WHERE c >= 2
+      |  UNION ALL SELECT 'mean_quality_micro',
+      |    CAST(FLOOR(CAST(SUM(q_micro) AS DOUBLE) / COUNT(*)) AS BIGINT) FROM per
+      |  UNION ALL SELECT 'n_lm_flagged',
+      |    CAST(SUM(CASE WHEN round(rawnll, 6) > 3.45 THEN 1 ELSE 0 END) AS BIGINT) FROM nllagg
+      |  UNION ALL SELECT 'n_risky_qi_classes', CAST(SUM(CASE WHEN n < 5 THEN 1 ELSE 0 END) AS BIGINT) FROM qi)
+      |ORDER BY metric""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    val docs = Tables.fanOut(Tables.documents(s, dir))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val per = docs.withColumn("toks", split(col("text"), " "))
+      .select(
+        expr("CAST(FLOOR((CAST(size(array_distinct(toks)) AS DOUBLE) / size(toks)) * (1.0D - CAST(size(filter(toks, x -> x = 'the' OR x = 'a')) AS DOUBLE) / size(toks)) * LEAST(1.0D, CAST(size(toks) AS DOUBLE) / 50.0D) * 1000000.0D) AS BIGINT)").as("q_micro"),
+        size(col("toks")).cast("long").as("n_toks"))
+    val dup = docs.groupBy(md5(col("text")).as("h")).agg(count(lit(1)).as("c"))
+      .filter(col("c") >= 2)
+      .agg(coalesce(count(lit(1)), lit(0L)).as("groups"),
+        coalesce(sum(col("c") - 1), lit(0L)).as("extra"))
+      .collect()(0)
+    val nllFlagged = lmPerplexity(docs, docs.filter(col("lang") === "en"))
+      .filter(col("high_perplexity")).count()
+    val qiRisky = docs.select(col("lang"), col("source"), expr("n_chars DIV 100").as("b"))
+      .groupBy(col("lang"), col("source"), col("b")).agg(count(lit(1)).as("n"))
+      .filter(col("n") < 5).count()
+    val counts = docs.agg(count(lit(1)).as("n"),
+      countDistinct(col("lang")).as("nl"), countDistinct(col("source")).as("ns"))
+      .collect()(0)
+    val perAgg = per.agg(sum(col("n_toks")).as("tt"),
+      expr("CAST(FLOOR(CAST(SUM(q_micro) AS DOUBLE) / COUNT(*)) AS BIGINT)").as("mq"))
+      .collect()(0)
+    Seq(
+      ("n_docs", counts.getLong(0)),
+      ("total_tokens", perAgg.getLong(0)),
+      ("n_langs", counts.getLong(1)),
+      ("n_sources", counts.getLong(2)),
+      ("n_exact_dup_groups", dup.getLong(0)),
+      ("n_exact_dup_docs", dup.getLong(1)),
+      ("mean_quality_micro", perAgg.getLong(1)),
+      ("n_lm_flagged", nllFlagged),
+      ("n_risky_qi_classes", qiRisky))
+      .toDF("metric", "value")
+      .orderBy(col("metric"))
+  }
+
   private val CompactionBudget = 5000L
 
   /** Compaction planning — the table-maintenance face (the OPTIMIZE /
@@ -3463,5 +3540,6 @@ object TextOps {
     q151CorpusBuildPack, q155Collocations, q157DomainCosine,
     q158Boilerplate, q159QualityQuantileGate, q164TemperatureMix,
     q165ShardManifest, q167ManifestDiff, q168CdcShards, q169PassageWindows,
-    q170CompactionPlan, q176TimeTravel, q197PassageRetrieval, q198RrfSweep)
+    q170CompactionPlan, q176TimeTravel, q197PassageRetrieval, q198RrfSweep,
+    q200CorpusScorecard)
 }

@@ -546,6 +546,26 @@ class AnnQualitySpec extends SparkSpec {
       "both contaminated and clean train vectors must exist")
   }
 
+  test("truncation audit: overlap and top-1 agreement re-derive from driver integer dots") {
+    import org.apache.spark.sql.functions._
+    val got = Similarity.q199TruncationAudit.run(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    assert(got.nonEmpty)
+    val vecs = Similarity.quantizeVectors(graft.sources.Tables.embeddings(spark, sfDir))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toArray).toMap
+    got.foreach { case (q, overlap, top1) =>
+      assert(overlap >= 0 && overlap <= 10)
+      val qv = vecs(q)
+      def rank(dims: Int) = vecs.toSeq.filter(_._1 != q)
+        .map { case (id, v) => (id, (0 until dims).map(i => qv(i) * v(i)).sum) }
+        .sortBy { case (id, d) => (-d, id) }.take(10).map(_._1)
+      val full = rank(64); val trunc = rank(16)
+      assert(overlap == full.toSet.intersect(trunc.toSet).size.toLong,
+        s"query $q overlap $overlap")
+      assert(top1 == (full.head == trunc.head), s"query $q top1")
+    }
+  }
+
   test("k-center greedy: picks cover every planted cluster and the coverage radius never increases") {
     import org.apache.spark.sql.functions._
     val dir = generateClustered()

@@ -878,6 +878,29 @@ class TextQualitySpec extends SparkSpec {
       s"k=60 hits ${got.find(_._1 == 60L).get._3} != q137-derived $wantK60")
   }
 
+  test("scorecard: every metric reconciles with its donor operator") {
+    import graft.sources.Tables
+    val got = TextOps.q200CorpusScorecard.run(spark, sfDir).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got.size == 9)
+    val docs = Tables.documents(spark, sfDir)
+    assert(got("n_docs") == docs.count())
+    assert(got("n_langs") == docs.select("lang").distinct().count())
+    assert(got("n_sources") == docs.select("source").distinct().count())
+    val exact = docs.groupBy(md5(col("text"))).count().filter(col("count") >= 2)
+      .collect().map(_.getLong(1))
+    assert(got("n_exact_dup_groups") == exact.length.toLong)
+    assert(got("n_exact_dup_docs") == exact.map(_ - 1).sum)
+    val lm = TextOps.q128LmPerplexity.run(spark, sfDir)
+      .filter(col("high_perplexity")).count()
+    assert(got("n_lm_flagged") == lm)
+    val risky = TextOps.q195KAnonymity.run(spark, sfDir)
+      .filter(col("risky")).count()
+    assert(got("n_risky_qi_classes") == risky)
+    assert(got("mean_quality_micro") > 0 && got("mean_quality_micro") <= 1000000L)
+    assert(got("total_tokens") > got("n_docs"))
+  }
+
   test("k-anonymity: equivalence classes reconcile with a driver group-by and cover the corpus") {
     import graft.sources.Tables
     val got = TextOps.q195KAnonymity.run(spark, sfDir).collect()
