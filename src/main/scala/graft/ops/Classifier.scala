@@ -252,5 +252,136 @@ object Classifier {
       .orderBy(col("doc_id"))
   }
 
-  val all: Seq[QueryDef] = Seq(q127Perceptron, q182Calibration, q193Conformal)
+  /** Inter-annotator agreement by Cohen's kappa (Cohen 1960, Educ.
+    * Psychol. Meas. — the chance-corrected agreement statistic every
+    * labeling campaign reports before its labels are trusted as
+    * training data; Artstein & Poesio CL'08 survey the practice). Two
+    * deterministic synthetic annotators label each doc into 3 classes:
+    * A is an md5-derived class, B copies A 70 % of the time and
+    * otherwise draws its own md5 class — the same device the repo's
+    * samplers use, so both engines derive identical label tables.
+    * κ = (p_o − p_e)/(1 − p_e) reduces over the contingency marginals
+    * to (N·A − Σ_k n_aᵏ·n_bᵏ)/(N² − Σ_k n_aᵏ·n_bᵏ): numerator and
+    * denominator are exact BIGINTs (N ≤ 3·10⁹ before N² needs the
+    * double-of-exact-ints form), so κ is ONE exactly-rounded IEEE
+    * division. Emitted per class with the shared κ so each class's
+    * marginals are individually auditable.
+    *
+    * Scale posture: labels are scan-level expressions; the contingency
+    * table is a 3-class hash aggregate; everything after is
+    * 3-row arithmetic. One corpus scan, one tiny shuffle. */
+  val q203AnnotatorKappa: QueryDef = sql(
+    "q203_annotator_kappa",
+    """WITH ann AS (
+      |  SELECT doc_id,
+      |    CAST(('0x' || substr(md5('ann_a:' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 3 AS a,
+      |    CASE WHEN CAST(('0x' || substr(md5('ann_b:' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 10 < 7
+      |         THEN CAST(('0x' || substr(md5('ann_a:' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 3
+      |         ELSE CAST(('0x' || substr(md5('ann_b:' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 3
+      |    END AS b
+      |  FROM documents),
+      |ca AS (SELECT a AS label, COUNT(*) AS n_a FROM ann GROUP BY 1),
+      |cb AS (SELECT b AS label, COUNT(*) AS n_b FROM ann GROUP BY 1),
+      |cg AS (SELECT a AS label, COUNT(*) AS n_agree FROM ann WHERE a = b GROUP BY 1),
+      |cls AS (SELECT COALESCE(ca.label, cb.label) AS label,
+      |          COALESCE(ca.n_a, 0) AS n_a, COALESCE(cb.n_b, 0) AS n_b,
+      |          COALESCE(cg.n_agree, 0) AS n_agree
+      |        FROM ca FULL JOIN cb ON cb.label = ca.label
+      |          LEFT JOIN cg ON cg.label = COALESCE(ca.label, cb.label)),
+      |tot AS (SELECT CAST(SUM(n_a) AS BIGINT) AS n,
+      |          CAST(SUM(n_agree) AS BIGINT) AS agree,
+      |          CAST(SUM(n_a * n_b) AS BIGINT) AS pe_num
+      |        FROM cls)
+      |SELECT CAST(cls.label AS BIGINT) AS label,
+      |  CAST(cls.n_a AS BIGINT) AS n_a, CAST(cls.n_b AS BIGINT) AS n_b,
+      |  CAST(cls.n_agree AS BIGINT) AS n_agree,
+      |  tot.n AS n_total,
+      |  CAST(tot.n * tot.agree - tot.pe_num AS DOUBLE)
+      |    / CAST(tot.n * tot.n - tot.pe_num AS DOUBLE) AS kappa
+      |FROM cls, tot
+      |ORDER BY label""".stripMargin) { (s, dir) =>
+    val ha = expr("CAST(conv(substring(md5(concat('ann_a:', CAST(doc_id AS STRING))), 1, 8), 16, 10) AS BIGINT)")
+    val hb = expr("CAST(conv(substring(md5(concat('ann_b:', CAST(doc_id AS STRING))), 1, 8), 16, 10) AS BIGINT)")
+    val ann = Tables.documents(s, dir).select(col("doc_id"))
+      .select((ha % 3).as("a"),
+        when(hb % 10 < 7, ha % 3).otherwise(hb % 3).as("b"))
+    val ca = ann.groupBy(col("a").as("label")).agg(count(lit(1)).as("n_a"))
+    val cb = ann.groupBy(col("b").as("label")).agg(count(lit(1)).as("n_b"))
+    val cg = ann.filter(col("a") === col("b"))
+      .groupBy(col("a").as("label")).agg(count(lit(1)).as("n_agree"))
+    val cls = ca.join(cb, Seq("label"), "full_outer")
+      .join(cg, Seq("label"), "left")
+      .select(col("label"),
+        coalesce(col("n_a"), lit(0L)).as("n_a"),
+        coalesce(col("n_b"), lit(0L)).as("n_b"),
+        coalesce(col("n_agree"), lit(0L)).as("n_agree"))
+    val tot = cls.agg(
+      sum(col("n_a")).cast("long").as("n"),
+      sum(col("n_agree")).cast("long").as("agree"),
+      sum(col("n_a") * col("n_b")).cast("long").as("pe_num"))
+    cls.crossJoin(broadcast(tot))
+      .select(col("label").cast("long"), col("n_a"), col("n_b"), col("n_agree"),
+        col("n").as("n_total"),
+        ((col("n") * col("agree") - col("pe_num")).cast("double") /
+          (col("n") * col("n") - col("pe_num")).cast("double")).as("kappa"))
+      .orderBy(col("label"))
+  }
+
+  /** Label-noise audit (the confident-learning idea — Northcutt, Jiang
+    * & Chuang, JAIR'21: examples the model contradicts WITH HIGH
+    * confidence are the mislabel candidates; low-confidence
+    * disagreements are just hard examples): serve q127's trained
+    * margins, take the confidence bar τ = the 75th-percentile |margin|
+    * over the served corpus (an EXACT integer order statistic, q193's
+    * rank device), and emit every doc whose label disagrees with its
+    * prediction at |margin| ≥ τ, ranked most-confident-first. This is
+    * the review queue a labeling owner actually triages — bounded,
+    * ordered, and reproducible — rather than a score dump.
+    *
+    * Scale posture: q127's serving pass + one rank window for the
+    * order statistic (global, but over margins only — replaceable by
+    * the block two-pass device if it ever dominates) + a scan-level
+    * filter against the broadcast scalar τ and one rank window over
+    * the SUSPECTS (a vanishing fraction of the corpus). */
+  val q208LabelNoise: QueryDef = sql(
+    "q208_label_noise",
+    s"""WITH $trainedMarginsSql,
+       |served AS (SELECT l.doc_id, l.y, mf.margin,
+       |             ABS(mf.margin) AS abs_margin
+       |           FROM lab l JOIN mf USING (doc_id)),
+       |n AS (SELECT COUNT(*) AS n FROM served),
+       |kth AS (SELECT abs_margin AS tau FROM (
+       |          SELECT abs_margin, ROW_NUMBER() OVER (ORDER BY abs_margin, doc_id) AS rn
+       |          FROM served), n
+       |        WHERE rn = (3 * (n.n + 1)) // 4)
+       |SELECT s.doc_id, CAST(s.y AS BIGINT) AS y, s.margin, s.abs_margin,
+       |  CAST(ROW_NUMBER() OVER (ORDER BY s.abs_margin DESC, s.doc_id) AS BIGINT) AS noise_rank
+       |FROM served s, kth k
+       |WHERE s.y * s.margin < 0 AND s.abs_margin >= k.tau
+       |ORDER BY noise_rank""".stripMargin) { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.fanOut(Tables.documents(s, dir))
+    val feats = hashedFeatures(docs)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val labels = docs.select(col("doc_id"),
+      when(col("lang") === "en", 1L).otherwise(-1L).as("y"))
+    val served = perceptronScore(feats, perceptronTrain(feats, labels, rounds = 3))
+      .join(labels, "doc_id")
+      .withColumn("abs_margin", abs(col("margin")))
+    val n = served.agg(count(lit(1)).as("n"))
+    val kth = served
+      .withColumn("rn", row_number().over(Window.orderBy(col("abs_margin"), col("doc_id"))))
+      .crossJoin(broadcast(n))
+      .filter(col("rn") === expr("(3 * (n + 1)) div 4"))
+      .select(col("abs_margin").as("tau"))
+    served.crossJoin(broadcast(kth))
+      .filter(col("y") * col("margin") < 0 && col("abs_margin") >= col("tau"))
+      .withColumn("noise_rank", row_number().over(
+        Window.orderBy(col("abs_margin").desc, col("doc_id"))).cast("long"))
+      .select(col("doc_id"), col("y"), col("margin"), col("abs_margin"), col("noise_rank"))
+      .orderBy(col("noise_rank"))
+  }
+
+  val all: Seq[QueryDef] = Seq(q127Perceptron, q182Calibration, q193Conformal,
+    q203AnnotatorKappa, q208LabelNoise)
 }

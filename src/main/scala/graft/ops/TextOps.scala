@@ -3526,6 +3526,218 @@ object TextOps {
       .orderBy(col("source"))
   }
 
+  /** Zipf rank–frequency audit (Zipf 1949; Piantadosi 2014's review of
+    * why the law holds across corpora): the top-50 words by frequency
+    * with their rank, the Zipf invariant rank·freq (≈ constant when the
+    * corpus is natural text; FLAT when it is synthetic/templated — the
+    * shape check a corpus intake runs before believing any downstream
+    * token statistics), and the top-to-rank frequency ratio c₁/c_r
+    * (≈ r under the law). All columns are exact BIGINTs except the
+    * ratio, which is ONE exactly-rounded IEEE division of two < 2⁵³
+    * integers — bit-identical across engines; no log-log fit, because
+    * the slope estimate would put a transcendental on the hash path
+    * while the raw invariant carries the same diagnostic.
+    *
+    * Shape: one map-side-combined word count, a TakeOrderedAndProject
+    * top-50 cut, a 50-row window for ranks, and a broadcast scalar c₁.
+    * At 100 TB the only corpus-scale step is the count; the window
+    * never sees more than 50 rows. */
+  val q201ZipfAudit: QueryDef = sql(
+    "q201_zipf_audit",
+    """WITH c AS (SELECT word, COUNT(*) AS freq
+      |           FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+      |           GROUP BY 1),
+      |r AS (SELECT word, freq,
+      |        row_number() OVER (ORDER BY freq DESC, word) AS rank FROM c),
+      |t AS (SELECT MAX(freq) AS c1 FROM c)
+      |SELECT CAST(r.rank AS BIGINT) AS rank, r.word, r.freq,
+      |  CAST(r.rank * r.freq AS BIGINT) AS rank_freq,
+      |  CAST(t.c1 AS DOUBLE) / r.freq AS ratio_to_top
+      |FROM r, t
+      |WHERE r.rank <= 50
+      |ORDER BY rank""".stripMargin) { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val c = docsWithTokens(s, dir)
+      .select(explode(col("toks")).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("freq"))
+    val top = c.orderBy(col("freq").desc, col("word")).limit(50)
+      .withColumn("rank",
+        row_number().over(Window.orderBy(col("freq").desc, col("word"))).cast("long"))
+    val t = c.agg(max(col("freq")).as("c1"))
+    top.crossJoin(broadcast(t))
+      .select(col("rank"), col("word"), col("freq"),
+        (col("rank") * col("freq")).cast("long").as("rank_freq"),
+        (col("c1").cast("double") / col("freq")).as("ratio_to_top"))
+      .orderBy(col("rank"))
+  }
+
+  /** Heaps vocabulary-growth audit (Heaps 1978; the V(n) ∝ n^β curve):
+    * distinct-word count after ingesting the first 10/25/50/100 % of
+    * the corpus in doc_id order, with the token volume and type-token
+    * ratio at each checkpoint. A corpus whose vocabulary STOPS growing
+    * is templated/duplicated (dedup will collapse it); one whose TTR
+    * does not fall is synthetic noise — the two failure modes this
+    * audit separates before a tokenizer or LM train run is budgeted.
+    * The raw curve is emitted rather than a fitted β: every column is
+    * an exact BIGINT except TTR, one exactly-rounded IEEE division.
+    *
+    * Shape: one (word → min doc_id) first-occurrence aggregate and one
+    * per-doc token count, each joined against a BROADCAST 4-row
+    * checkpoint relation derived from the max-doc_id scalar, then
+    *4-group conditional aggregates. The checkpoint comparison doubles
+    * rows by 4, never materializes per-checkpoint corpora. At 100 TB
+    * both corpus-scale steps are single map-side-combined aggregates. */
+  val q202HeapsGrowth: QueryDef = sql(
+    "q202_heaps_growth",
+    """WITH d AS (SELECT doc_id, len(string_split(text, ' ')) AS n FROM documents),
+      |f AS (SELECT word, MIN(doc_id) AS first_doc
+      |      FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents)
+      |      GROUP BY 1),
+      |mx AS (SELECT MAX(doc_id) AS maxid FROM d),
+      |ck AS (SELECT pct, (mx.maxid * pct) // 100 AS cut
+      |       FROM (SELECT unnest([10, 25, 50, 100]) AS pct), mx),
+      |dk AS (SELECT ck.pct, ck.cut, CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |         CAST(SUM(d.n) AS BIGINT) AS n_tokens
+      |       FROM d JOIN ck ON d.doc_id <= ck.cut GROUP BY 1, 2),
+      |vk AS (SELECT ck.pct, CAST(COUNT(*) AS BIGINT) AS vocab
+      |       FROM f JOIN ck ON f.first_doc <= ck.cut GROUP BY 1)
+      |SELECT CAST(dk.pct AS BIGINT) AS pct, CAST(dk.cut AS BIGINT) AS cut_doc,
+      |  dk.n_docs, dk.n_tokens, vk.vocab,
+      |  CAST(vk.vocab AS DOUBLE) / dk.n_tokens AS ttr
+      |FROM dk JOIN vk USING (pct)
+      |ORDER BY pct""".stripMargin) { (s, dir) =>
+    val toks = docsWithTokens(s, dir)
+    val d = toks.select(col("doc_id"), size(col("toks")).cast("long").as("n"))
+    val f = toks.select(col("doc_id"), explode(col("toks")).as("word"))
+      .groupBy(col("word")).agg(min(col("doc_id")).as("first_doc"))
+    val ck = d.agg(max(col("doc_id")).as("maxid"))
+      .select(explode(expr("array(10L, 25L, 50L, 100L)")).as("pct"), col("maxid"))
+      .select(col("pct"), expr("(maxid * pct) div 100").as("cut"))
+    val dk = d.join(broadcast(ck), col("doc_id") <= col("cut"))
+      .groupBy(col("pct"), col("cut"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n")).cast("long").as("n_tokens"))
+    val vk = f.join(broadcast(ck), col("first_doc") <= col("cut"))
+      .groupBy(col("pct")).agg(count(lit(1)).as("vocab"))
+    dk.join(vk, Seq("pct"))
+      .select(col("pct"), col("cut").as("cut_doc"), col("n_docs"), col("n_tokens"),
+        col("vocab"), (col("vocab").cast("double") / col("n_tokens")).as("ttr"))
+      .orderBy(col("pct"))
+  }
+
+  /** Token-budget corpus selection — the constrained-selection shape of
+    * every "train on the best N tokens" decision (Gunasekar et al. 2023's
+    * textbook-quality selection; Marion et al. 2023 arXiv:2309.04564 on
+    * pruning to a budget): rank docs by the q25 quality score, admit in
+    * rank order until the cumulative token count exceeds 25 % of the
+    * corpus, and emit the admitted docs with their running total. The
+    * greedy-by-quality order IS the knapsack solution here because cost
+    * (tokens) and value (quality·presence) are separable per doc.
+    *
+    * The running total is computed with a BLOCK-PARTITIONED cumulative
+    * sum, not one global window: docs partition into quality blocks
+    * (quality rounded to 2 decimals — rounding is monotone, so block
+    * order extends the rank order), each block cumsums in parallel
+    * partitioned on its own key, and a ≤ 101-row block-offset relation
+    * (cumulative block totals, exclusive) broadcasts back in. The sums
+    * are integers, so block-partitioned and global results are
+    * bit-equal — the device that keeps an inherently sequential prefix
+    * sum off a single 100 TB partition (finer rounding bounds any hot
+    * block). The oracle computes the same prefix sum as one global
+    * window, proving the decomposition exact.
+    *
+    * Determinism: quality is q25's exact int-ratio double; cum_tokens
+    * and the budget are exact BIGINTs; ORDER BY cum_tokens is a total
+    * order (every doc has ≥ 1 token, so the prefix sum is strictly
+    * increasing). */
+  val q204BudgetSelect: QueryDef = sql(
+    "q204_budget_select",
+    """WITH q AS (
+      |  SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+      |    (CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks))
+      |      * (1.0 - CAST(len(list_filter(toks, x -> x = 'the' OR x = 'a')) AS DOUBLE) / len(toks))
+      |      * LEAST(1.0, CAST(len(toks) AS DOUBLE) / 50.0) AS quality
+      |  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)),
+      |b AS (SELECT (CAST(SUM(n_tokens) AS BIGINT) * 25) // 100 AS budget FROM q),
+      |c AS (SELECT doc_id, n_tokens, quality,
+      |        CAST(SUM(n_tokens) OVER (ORDER BY quality DESC, doc_id
+      |          ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+      |      FROM q)
+      |SELECT c.doc_id, c.n_tokens, round(c.quality, 6) AS quality_r, c.cum_tokens
+      |FROM c, b
+      |WHERE c.cum_tokens <= b.budget
+      |ORDER BY cum_tokens""".stripMargin) { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val q = docsWithTokens(s, dir)
+      .withColumn("n_tokens", size(col("toks")).cast("long"))
+      .withColumn("n_stop", expr("size(filter(toks, x -> x = 'the' OR x = 'a'))"))
+      .withColumn("n_uniq", size(array_distinct(col("toks"))))
+      .select(col("doc_id"), col("n_tokens"),
+        ((col("n_uniq").cast("double") / col("n_tokens")) *
+          (lit(1.0) - col("n_stop").cast("double") / col("n_tokens")) *
+          least(lit(1.0), col("n_tokens").cast("double") / 50.0)).as("quality"))
+      .withColumn("blk", round(col("quality"), 2))
+    val budget = q.agg(expr("(CAST(SUM(n_tokens) AS BIGINT) * 25) div 100").as("budget"))
+    val offsets = q.groupBy(col("blk")).agg(sum(col("n_tokens")).as("blk_tokens"))
+      .withColumn("blk_offset", coalesce(sum(col("blk_tokens")).over(
+        Window.orderBy(col("blk").desc).rowsBetween(Window.unboundedPreceding, -1)),
+        lit(0L)))
+      .select(col("blk"), col("blk_offset"))
+    q.join(broadcast(offsets), Seq("blk"))
+      .withColumn("cum_tokens",
+        (col("blk_offset") + sum(col("n_tokens")).over(
+          Window.partitionBy(col("blk")).orderBy(col("quality").desc, col("doc_id"))
+            .rowsBetween(Window.unboundedPreceding, 0))).cast("long"))
+      .crossJoin(broadcast(budget))
+      .filter(col("cum_tokens") <= col("budget"))
+      .select(col("doc_id"), col("n_tokens"),
+        round(col("quality"), 6).as("quality_r"), col("cum_tokens"))
+      .orderBy(col("cum_tokens"))
+  }
+
+  /** Collision-entropy degeneracy gate (Rényi 1961's α = 2 entropy; its
+    * exponential is Simpson 1949's diversity index — the repetition
+    * signal with an EXACT rational form, unlike Shannon entropy whose
+    * logs would put transcendentals on the hash path): per doc, the
+    * complement of the token collision probability, 1 − Σc_w²/n², i.e.
+    * the chance two random token draws differ. A looping generation or
+    * boilerplate page collapses toward 0 while natural text sits near
+    * 1 — the same failure q117's Gopher thresholds catch, measured on
+    * a smooth scale a curation pipeline can threshold or regress on.
+    * Numerator n² − Σc² and denominator n² are exact BIGINTs (< 2⁵³ up
+    * to 90M-token docs), so the score is ONE exactly-rounded division.
+    *
+    * Shape: explode → (doc, word) count → per-doc aggregate; both hash
+    * aggregates are map-side combined and shuffle on doc_id only. */
+  val q206CollisionEntropy: QueryDef = sql(
+    "q206_collision_entropy",
+    """WITH c AS (SELECT doc_id, word, COUNT(*) AS c
+      |           FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents)
+      |           GROUP BY 1, 2),
+      |d AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tokens,
+      |        CAST(COUNT(*) AS BIGINT) AS n_distinct,
+      |        CAST(SUM(c * c) AS BIGINT) AS sumsq
+      |      FROM c GROUP BY 1)
+      |SELECT doc_id, n_tokens, n_distinct,
+      |  CAST(n_tokens * n_tokens - sumsq AS DOUBLE)
+      |    / CAST(n_tokens * n_tokens AS DOUBLE) AS simpson,
+      |  (2 * (n_tokens * n_tokens - sumsq) < n_tokens * n_tokens) AS repetitive
+      |FROM d
+      |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    docsWithTokens(s, dir)
+      .select(col("doc_id"), explode(col("toks")).as("word"))
+      .groupBy(col("doc_id"), col("word")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).cast("long").as("n_tokens"),
+        count(lit(1)).cast("long").as("n_distinct"),
+        sum(col("c") * col("c")).cast("long").as("sumsq"))
+      .select(col("doc_id"), col("n_tokens"), col("n_distinct"),
+        ((col("n_tokens") * col("n_tokens") - col("sumsq")).cast("double") /
+          (col("n_tokens") * col("n_tokens")).cast("double")).as("simpson"),
+        (lit(2) * (col("n_tokens") * col("n_tokens") - col("sumsq")) <
+          col("n_tokens") * col("n_tokens")).as("repetitive"))
+      .orderBy(col("doc_id"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     q21TextStats, q22WordFreq, q23BigramFreq, q24LangId, q25QualityScore,
     q26Fingerprint, q27TokenRegex, q62TrainSplit, q64TermFreqMap,
@@ -3541,5 +3753,6 @@ object TextOps {
     q158Boilerplate, q159QualityQuantileGate, q164TemperatureMix,
     q165ShardManifest, q167ManifestDiff, q168CdcShards, q169PassageWindows,
     q170CompactionPlan, q176TimeTravel, q197PassageRetrieval, q198RrfSweep,
-    q200CorpusScorecard)
+    q200CorpusScorecard, q201ZipfAudit, q202HeapsGrowth, q204BudgetSelect,
+    q206CollisionEntropy)
 }
