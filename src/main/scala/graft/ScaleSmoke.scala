@@ -129,7 +129,10 @@ object ScaleSmoke {
       "q189_weak_labels", "q190_kcenter_coreset", "q191_multiprobe_lsh",
       "q193_conformal", "q194_canonical_dedup", "q195_k_anonymity",
       "q196_semantic_decontam", "q197_passage_retrieval", "q198_rrf_sweep",
-      "q199_truncation_audit", "q200_corpus_scorecard")
+      "q199_truncation_audit", "q200_corpus_scorecard", "q201_zipf_audit",
+      "q202_heaps_growth", "q203_annotator_kappa", "q204_budget_select",
+      "q205_ndcg_eval", "q206_collision_entropy", "q207_kneser_ney",
+      "q208_label_noise", "q209_threshold_sweep", "q210_code_switch")
     // SPARK_GRAFT_SMOKE_ONLY=q123,q124 limits a run to matching targets —
     // the same local profiling aid as Bench's SPARK_GRAFT_BENCH_ONLY
     val selected = sys.env.get("SPARK_GRAFT_SMOKE_ONLY")

@@ -1408,10 +1408,100 @@ object Dedup {
       .orderBy(col("cluster_id"))
   }
 
+  /** Dedup-threshold sweep — q150's single-τ precision/recall audit run
+    * over a GRID of Jaccard thresholds in one pass (the q198 shape: the
+    * tuning constant as data; Leskovec, Rajaraman & Ullman's MMDS §3.4
+    * S-curve says where LSH recall should fall, this measures it). For
+    * each τ ∈ {30…80}% the LSH detector's verdict on every evaluated
+    * pair becomes TP (predicted, J ≥ τ), FP (predicted, J < τ) or FN
+    * (missed, J ≥ τ), with precision/recall/F1 per τ. The J ≥ τ test is
+    * the EXACT integer comparison 100·n_common ≥ τ%·(n_a+n_b−n_common)
+    * — no float Jaccard crosses an engine boundary — and F1 collapses
+    * to the single division 2TP/(2TP+FP+FN). Ground truth is complete
+    * over the shared-shingle universe (any pair with J > 0 shares a
+    * shingle — q150's completeness argument), which covers every τ > 0
+    * in the grid at once.
+    *
+    * Scale posture: identical to q150 (shingle-blocked truth join, LSH
+    * candidates from banded equi-joins, df-capped/sampled in
+    * production); the sweep adds a 6-row broadcast grid and one
+    * 6-group aggregate on top — measuring six thresholds costs the
+    * same corpus work as measuring one. */
+  val q209ThresholdSweep: QueryDef = sql(
+    "q209_threshold_sweep",
+    s"""WITH $shinglesSql,
+       |$signaturesSql,
+       |$bandsSql,
+       |$candSql,
+       |gi AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+       |       FROM sh a JOIN sh b ON b.sh = a.sh AND a.doc_id < b.doc_id
+       |       GROUP BY 1, 2),
+       |cnts AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+       |jx AS (SELECT g.doc_a, g.doc_b, g.n_common, ca.n AS na, cb.n AS nb
+       |       FROM gi g JOIN cnts ca ON ca.doc_id = g.doc_a
+       |       JOIN cnts cb ON cb.doc_id = g.doc_b),
+       |pairs AS (SELECT COALESCE(j.doc_a, c.doc_a) AS doc_a,
+       |            COALESCE(j.doc_b, c.doc_b) AS doc_b,
+       |            COALESCE(j.n_common, 0) AS n_common,
+       |            COALESCE(j.na, 0) AS na, COALESCE(j.nb, 0) AS nb,
+       |            c.doc_a IS NOT NULL AS predicted
+       |          FROM jx j FULL OUTER JOIN cand c
+       |            ON c.doc_a = j.doc_a AND c.doc_b = j.doc_b),
+       |grid AS (SELECT unnest([30, 40, 50, 60, 70, 80]) AS tau_pct),
+       |sw AS (SELECT g.tau_pct,
+       |         CAST(SUM(CASE WHEN p.predicted AND 100 * p.n_common >= g.tau_pct * (p.na + p.nb - p.n_common) THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+       |         CAST(SUM(CASE WHEN p.predicted AND 100 * p.n_common < g.tau_pct * (p.na + p.nb - p.n_common) THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+       |         CAST(SUM(CASE WHEN NOT p.predicted AND 100 * p.n_common >= g.tau_pct * (p.na + p.nb - p.n_common) THEN 1 ELSE 0 END) AS BIGINT) AS fn
+       |       FROM pairs p, grid g
+       |       GROUP BY 1)
+       |SELECT CAST(tau_pct AS BIGINT) AS tau_pct, tp, fp, fn,
+       |  CASE WHEN tp + fp > 0 THEN CAST(tp AS DOUBLE) / (tp + fp) ELSE 0.0 END AS precision,
+       |  CASE WHEN tp + fn > 0 THEN CAST(tp AS DOUBLE) / (tp + fn) ELSE 0.0 END AS recall,
+       |  CASE WHEN 2 * tp + fp + fn > 0 THEN CAST(2 * tp AS DOUBLE) / (2 * tp + fp + fn) ELSE 0.0 END AS f1
+       |FROM sw
+       |ORDER BY tau_pct""".stripMargin) { (s, dir) =>
+    val sh = shingles(s, dir)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cand = candidates(s, dir).withColumn("predicted", lit(true))
+    val gi = sh.select(col("doc_id").as("doc_a"), col("sh"))
+      .join(sh.select(col("doc_id").as("doc_b"), col("sh")), "sh")
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("n_common"))
+    val cnts = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val jx = gi
+      .join(cnts.select(col("doc_id").as("doc_a"), col("n").as("na")), "doc_a")
+      .join(cnts.select(col("doc_id").as("doc_b"), col("n").as("nb")), "doc_b")
+    val pairs = jx.join(cand, Seq("doc_a", "doc_b"), "full_outer")
+      .select(
+        coalesce(col("n_common"), lit(0L)).as("n_common"),
+        coalesce(col("na"), lit(0L)).as("na"),
+        coalesce(col("nb"), lit(0L)).as("nb"),
+        coalesce(col("predicted"), lit(false)).as("predicted"))
+    val grid = s.range(1).select(explode(
+      expr("array(30L, 40L, 50L, 60L, 70L, 80L)")).as("tau_pct"))
+    val isDup = lit(100) * col("n_common") >=
+      col("tau_pct") * (col("na") + col("nb") - col("n_common"))
+    pairs.crossJoin(broadcast(grid))
+      .groupBy(col("tau_pct"))
+      .agg(
+        sum(when(col("predicted") && isDup, 1L).otherwise(0L)).as("tp"),
+        sum(when(col("predicted") && !isDup, 1L).otherwise(0L)).as("fp"),
+        sum(when(!col("predicted") && isDup, 1L).otherwise(0L)).as("fn"))
+      .select(col("tau_pct"), col("tp"), col("fp"), col("fn"),
+        when(col("tp") + col("fp") > 0,
+          col("tp").cast("double") / (col("tp") + col("fp"))).otherwise(0.0).as("precision"),
+        when(col("tp") + col("fn") > 0,
+          col("tp").cast("double") / (col("tp") + col("fn"))).otherwise(0.0).as("recall"),
+        when(lit(2) * col("tp") + col("fp") + col("fn") > 0,
+          (lit(2) * col("tp")).cast("double") /
+            (lit(2) * col("tp") + col("fp") + col("fn"))).otherwise(0.0).as("f1"))
+      .orderBy(col("tau_pct"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     q30DedupExact, q31MinhashLsh, q32NeardupVerified, q33Simhash, q34SimhashPairs,
     q78SimhashHamming, q85DedupClusters, q108IncrementalDedup, q111SimhashWide,
     q126SpanDedup, q150DedupEval, q156RougeAudit, q161SplitLeakage,
     q163DedupSavings, q174ComponentSplit, q177Containment, q183SourceOverlap,
-    q184Novelty, q194CanonicalDedup)
+    q184Novelty, q194CanonicalDedup, q209ThresholdSweep)
 }

@@ -3738,6 +3738,295 @@ object TextOps {
       .orderBy(col("doc_id"))
   }
 
+  /** Discount weights for graded nDCG@10 (Järvelin & Kekäläinen,
+    * TOIS'02): w(r) = round(10⁹/log₂(r+1)) as exact integer micros, a
+    * 10-entry literal lookup shared verbatim by BOTH engine faces — the
+    * device that keeps the only transcendental in nDCG out of the data
+    * path entirely (same discipline as q147's integer trajectory). */
+  private val ndcgW: Seq[(Int, Long)] = Seq(
+    1 -> 1000000000L, 2 -> 630929754L, 3 -> 500000000L, 4 -> 430676558L,
+    5 -> 386852807L, 6 -> 356207187L, 7 -> 333333333L, 8 -> 315464877L,
+    9 -> 301029996L, 10 -> 289064826L)
+  private def ndcgWCase(rankCol: String): String =
+    "CASE " + ndcgW.map { case (r, w) => s"WHEN $rankCol = $r THEN CAST($w AS BIGINT)" }
+      .mkString(" ") + " ELSE CAST(0 AS BIGINT) END"
+
+  /** Graded nDCG@10 of the lexical retriever — q172's eval loop upgraded
+    * from binary relevance to GRADED gains (the judgment shape TREC and
+    * every production search eval actually uses): the semantic truth
+    * list contributes gain 3 (cosine rank ≤ 3), 2 (≤ 10) or 1 (≤ 20),
+    * and the BM25 run's DCG@10 is judged against the ideal ordering of
+    * those same gains. MRR (q172) only sees the first hit; nDCG grades
+    * the whole ranked page. DCG and IDCG are exact BIGINT micro sums
+    * (integer gains × the [[ndcgW]] integer weight table — no
+    * transcendentals cross an engine boundary); nDCG is ONE division.
+    *
+    * Scale posture: both legs keep their q172 shapes (broadcast query
+    * terms into the postings join, broadcast query vectors into the
+    * embedding scan, WindowGroupLimit top-k); the judgment is an
+    * equi-join of two ≤ 20-row-per-query relations. */
+  val q205NdcgEval: QueryDef = sql(
+    "q205_ndcg_eval",
+    s"""WITH $bm25PrefixSql,
+      |bscore AS (
+      |${bm25ScoreSql("qt")}),
+      |run AS (SELECT query_id, doc_id, lex_rank FROM (
+      |          SELECT query_id, doc_id,
+      |            ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY raw DESC, doc_id) AS lex_rank
+      |          FROM bscore) WHERE lex_rank <= 10),
+      |n AS (SELECT vec_id, embedding,
+      |        SQRT(list_reduce(list_transform(range(len(embedding)), i -> CAST(embedding[i+1] AS DOUBLE) * CAST(embedding[i+1] AS DOUBLE)), (x, y) -> x + y)) AS nrm
+      |      FROM embeddings),
+      |qe AS (SELECT vec_id AS query_id, embedding AS qv, nrm AS qn FROM n WHERE vec_id % 100 = 0),
+      |sscore AS (SELECT q.query_id, n.vec_id AS doc_id,
+      |             list_reduce(list_transform(range(len(n.embedding)), i -> CAST(n.embedding[i+1] AS DOUBLE) * CAST(q.qv[i+1] AS DOUBLE)), (x, y) -> x + y) / (n.nrm * q.qn) AS cosine
+      |           FROM n JOIN qe q ON n.vec_id <> q.query_id),
+      |truth AS (SELECT query_id, doc_id,
+      |            CASE WHEN sem_rank <= 3 THEN 3 WHEN sem_rank <= 10 THEN 2 ELSE 1 END AS gain
+      |          FROM (SELECT query_id, doc_id,
+      |                  ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, doc_id) AS sem_rank
+      |                FROM sscore) WHERE sem_rank <= 20),
+      |dcg AS (SELECT r.query_id,
+      |          CAST(SUM(COALESCE(t.gain, 0) * ${ndcgWCase("r.lex_rank")}) AS BIGINT) AS dcg_micro
+      |        FROM run r LEFT JOIN truth t ON t.query_id = r.query_id AND t.doc_id = r.doc_id
+      |        GROUP BY 1),
+      |ideal AS (SELECT query_id, gain,
+      |            ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY gain DESC, doc_id) AS pos
+      |          FROM truth),
+      |idcg AS (SELECT query_id, CAST(SUM(gain * ${ndcgWCase("pos")}) AS BIGINT) AS idcg_micro
+      |         FROM ideal WHERE pos <= 10 GROUP BY 1)
+      |SELECT d.query_id, d.dcg_micro,
+      |  CAST(COALESCE(i.idcg_micro, 0) AS BIGINT) AS idcg_micro,
+      |  CASE WHEN COALESCE(i.idcg_micro, 0) > 0
+      |       THEN CAST(d.dcg_micro AS DOUBLE) / i.idcg_micro ELSE 0.0 END AS ndcg
+      |FROM dcg d LEFT JOIN idcg i USING (query_id)
+      |ORDER BY d.query_id""".stripMargin) { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    graft.functions.CosineSimilarity.register(s)
+    val (tf, dl, df) = postingsIndex(s, Tables.documents(s, dir))
+    val stats = dl.agg(count(lit(1)).as("n_docs"), avg(col("dl")).as("avgdl"))
+    val qt = tf.filter(col("doc_id") % 100 === 0)
+      .select(col("doc_id").as("query_id"), col("word"))
+    val term = log(lit(1.0) + (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5))) *
+      (col("tf") * lit(2.2)) /
+      (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / col("avgdl")))
+    val run = broadcast(qt).join(tf, Seq("word"))
+      .filter(col("doc_id") =!= col("query_id"))
+      .join(broadcast(df), Seq("word"))
+      .join(dl, Seq("doc_id"))
+      .crossJoin(broadcast(stats))
+      .groupBy(col("query_id"), col("doc_id")).agg(sum(term).as("raw"))
+      .withColumn("lex_rank", row_number().over(
+        Window.partitionBy(col("query_id")).orderBy(col("raw").desc, col("doc_id"))))
+      .filter(col("lex_rank") <= 10)
+      .select(col("query_id"), col("doc_id"), col("lex_rank"))
+    val emb = Tables.embeddings(s, dir)
+    val qe = emb.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    val truth = emb.select(col("vec_id").as("doc_id"), col("embedding"))
+      .crossJoin(broadcast(qe))
+      .filter(col("doc_id") =!= col("query_id"))
+      .withColumn("cosine", expr("cosine_sim_native(embedding, qv)"))
+      .withColumn("sem_rank", row_number().over(
+        Window.partitionBy(col("query_id")).orderBy(col("cosine").desc, col("doc_id"))))
+      .filter(col("sem_rank") <= 20)
+      .select(col("query_id"), col("doc_id"),
+        when(col("sem_rank") <= 3, 3L).when(col("sem_rank") <= 10, 2L).otherwise(1L).as("gain"))
+    val dcg = run.join(truth, Seq("query_id", "doc_id"), "left")
+      .withColumn("w", expr(ndcgWCase("lex_rank")))
+      .groupBy(col("query_id"))
+      .agg(sum(coalesce(col("gain"), lit(0L)) * col("w")).cast("long").as("dcg_micro"))
+    val idcg = truth
+      .withColumn("pos", row_number().over(
+        Window.partitionBy(col("query_id")).orderBy(col("gain").desc, col("doc_id"))))
+      .filter(col("pos") <= 10)
+      .withColumn("w", expr(ndcgWCase("pos")))
+      .groupBy(col("query_id"))
+      .agg(sum(col("gain") * col("w")).cast("long").as("idcg_micro"))
+    dcg.join(idcg, Seq("query_id"), "left")
+      .select(col("query_id"), col("dcg_micro"),
+        coalesce(col("idcg_micro"), lit(0L)).cast("long").as("idcg_micro"),
+        when(coalesce(col("idcg_micro"), lit(0L)) > 0,
+          col("dcg_micro").cast("double") / col("idcg_micro")).otherwise(0.0).as("ndcg"))
+      .orderBy(col("query_id"))
+  }
+
+  /** Kneser–Ney-scored corpus filtering (Kneser & Ney, ICASSP'95; Chen
+    * & Goodman 1999's study made interpolated KN the standard n-gram
+    * smoothing — it is what KenLM computes and therefore what CCNet's
+    * perplexity filter (Wenzek et al. 2020) actually runs; q128's add-1
+    * model is the classroom baseline, this is the production one): an
+    * interpolated bigram KN model with discount D = ¾ is trained on the
+    * `lang = 'en'` reference slice, and every corpus doc is scored by
+    * its mean bigram probability. D = ¾ makes every term RATIONAL:
+    * max(c₂−D,0)/c₁ = (4c₂−3)/4c₁, the backoff weight D·N₁₊(w₁·)/c₁ =
+    * 3n₁₊/4c₁, and the (add-1-smoothed) continuation probability
+    * (N₁₋(·w₂)+1)/(T+V) — so each bigram's probability is one exact
+    * integer fraction, materialized as p_micro = (num·10⁶) div den
+    * (integer floor-division of nonnegative BIGINTs, identical in both
+    * engines; products stay ≤ 10¹⁶ up to 10⁴× this corpus). Per-doc
+    * sums of p_micro are exact BIGINTs — no float aggregation order
+    * anywhere. A doc is flagged when its mean probability falls below
+    * the uniform-model bar 1/V (Σp·V < n·10⁶, an exact integer
+    * comparison): text the trained model finds LESS likely than knowing
+    * nothing is the out-of-distribution/junk signal the filter drops.
+    *
+    * Scale posture: q128's exact shape — reference counts are hash
+    * aggregates on the (vocabulary-bounded) bigram key, broadcast into
+    * one corpus bigram pass; the per-doc aggregate shuffles on doc_id
+    * only. */
+  val q207KneserNey: QueryDef = sql(
+    "q207_kneser_ney",
+    """WITH t AS (SELECT doc_id, lang, string_split(text, ' ') AS toks FROM documents),
+      |refbi AS (
+      |  SELECT toks[i] AS w1, toks[i + 1] AS w2
+      |  FROM t, LATERAL (SELECT unnest(range(1, len(toks))) AS i)
+      |  WHERE lang = 'en' AND len(toks) >= 2),
+      |c2 AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c2 FROM refbi GROUP BY 1, 2),
+      |c1 AS (SELECT w1, CAST(COUNT(*) AS BIGINT) AS c1,
+      |         CAST(COUNT(DISTINCT w2) AS BIGINT) AS n1plus
+      |       FROM refbi GROUP BY 1),
+      |pc AS (SELECT w2, CAST(COUNT(DISTINCT w1) AS BIGINT) AS nprec FROM refbi GROUP BY 1),
+      |tv AS (SELECT (SELECT COUNT(*) FROM c2)
+      |         + (SELECT COUNT(DISTINCT word) FROM (
+      |              SELECT unnest(toks) AS word FROM t WHERE lang = 'en')) AS tpv,
+      |         (SELECT COUNT(DISTINCT word) FROM (
+      |              SELECT unnest(toks) AS word FROM t WHERE lang = 'en')) AS v),
+      |docbi AS (
+      |  SELECT doc_id, toks[i] AS w1, toks[i + 1] AS w2
+      |  FROM t, LATERAL (SELECT unnest(range(1, len(toks))) AS i)
+      |  WHERE len(toks) >= 2),
+      |p AS (SELECT d.doc_id,
+      |        CASE
+      |          WHEN c1.c1 IS NULL THEN
+      |            ((COALESCE(pc.nprec, 0) + 1) * 1000000) // tv.tpv
+      |          WHEN c2.c2 IS NULL THEN
+      |            (3 * c1.n1plus * (COALESCE(pc.nprec, 0) + 1) * 1000000)
+      |              // (4 * c1.c1 * tv.tpv)
+      |          ELSE
+      |            (((4 * c2.c2 - 3) * tv.tpv
+      |                + 3 * c1.n1plus * (COALESCE(pc.nprec, 0) + 1)) * 1000000)
+      |              // (4 * c1.c1 * tv.tpv)
+      |        END AS p_micro
+      |      FROM docbi d
+      |      LEFT JOIN c2 ON c2.w1 = d.w1 AND c2.w2 = d.w2
+      |      LEFT JOIN c1 ON c1.w1 = d.w1
+      |      LEFT JOIN pc ON pc.w2 = d.w2, tv)
+      |SELECT p.doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+      |  CAST(SUM(p.p_micro) AS BIGINT) AS sum_p_micro,
+      |  CAST(SUM(p.p_micro) // COUNT(*) AS BIGINT) AS avg_p_micro,
+      |  (CAST(SUM(p.p_micro) AS BIGINT) * MAX(tv.v) < COUNT(*) * 1000000) AS below_uniform
+      |FROM p, tv
+      |GROUP BY p.doc_id
+      |ORDER BY p.doc_id""".stripMargin) { (s, dir) =>
+    val t = docsWithTokens(s, dir)
+    def bi(d: DataFrame): DataFrame = d
+      .filter(size(col("toks")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(1, size(toks) - 1), i -> struct(toks[i-1] AS w1, toks[i] AS w2))")).as("b"))
+      .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+    val ref = t.filter(col("lang") === "en")
+    val refBi = bi(ref)
+    val c2 = refBi.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c2"))
+    val c1 = refBi.groupBy(col("w1"))
+      .agg(count(lit(1)).as("c1"), countDistinct(col("w2")).as("n1plus"))
+    val pc = refBi.groupBy(col("w2")).agg(countDistinct(col("w1")).as("nprec"))
+    val types = c2.agg(count(lit(1)).as("ntypes"))
+    val vocab = ref.select(explode(col("toks")).as("word"))
+      .agg(countDistinct(col("word")).as("v"))
+    val tv = types.crossJoin(vocab)
+      .select((col("ntypes") + col("v")).as("tpv"), col("v"))
+    val pMicro = expr(
+      """CASE
+        |  WHEN c1 IS NULL THEN
+        |    ((coalesce(nprec, 0L) + 1L) * 1000000L) div tpv
+        |  WHEN c2 IS NULL THEN
+        |    (3L * n1plus * (coalesce(nprec, 0L) + 1L) * 1000000L) div (4L * c1 * tpv)
+        |  ELSE
+        |    (((4L * c2 - 3L) * tpv + 3L * n1plus * (coalesce(nprec, 0L) + 1L)) * 1000000L)
+        |      div (4L * c1 * tpv)
+        |END""".stripMargin)
+    bi(t)
+      .join(broadcast(c2), Seq("w1", "w2"), "left")
+      .join(broadcast(c1), Seq("w1"), "left")
+      .join(broadcast(pc), Seq("w2"), "left")
+      .crossJoin(broadcast(tv))
+      .select(col("doc_id"), pMicro.as("p_micro"), col("v"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(col("p_micro")).cast("long").as("sum_p_micro"),
+        expr("CAST(SUM(p_micro) div COUNT(*) AS BIGINT)").as("avg_p_micro"),
+        (sum(col("p_micro")) * max(col("v")) <
+          count(lit(1)) * lit(1000000L)).as("below_uniform"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Code-switching audit — the per-doc refinement of q24's corpus-level
+    * language ID (Doğruöz et al., ACL'21 survey: mixed-language docs are
+    * the segment multilingual curation pipelines must route specially,
+    * because a doc-level language label is WRONG for them by
+    * construction): score every doc against each language's marker
+    * profile, take the best and second-best marker counts (argmax with
+    * q24's alphabetical tie-break; the runner-up by a sentinel-guarded
+    * GREATEST over the non-primary scores), and flag docs whose
+    * second-place evidence is at least half the first-place evidence on
+    * ≥ 4 total marker hits. All columns are exact integer counts and
+    * integer comparisons — nothing floats.
+    *
+    * Shape: q24's zero-explode discipline — per-row array expressions
+    * compute all five scores in one scan; no joins, no windows, and the
+    * output is scan-shaped (one row per doc). At 100 TB this is a pure
+    * map stage. */
+  val q210CodeSwitch: QueryDef = {
+    val langs = langProfiles.map(_._1).distinct.sorted
+    def wordsOf(l: String) = langProfiles.filter(_._1 == l).map(_._2)
+    def scoreSql(l: String) =
+      s"len(list_filter(string_split(text, ' '), x -> ${wordsOf(l).map(w => s"x = '$w'").mkString(" OR ")}))"
+    def scoreSpark(l: String) =
+      s"size(filter(toks, x -> ${wordsOf(l).map(w => s"x = '$w'").mkString(" OR ")}))"
+    val bestSql = s"GREATEST(${langs.map("s_" + _).mkString(", ")})"
+    val primarySql =
+      s"CASE ${langs.map(l => s"WHEN s_$l = $bestSql THEN '$l'").mkString(" ")} END"
+    def secondSql(primaryCol: String) =
+      s"GREATEST(${langs.map(l => s"CASE WHEN $primaryCol = '$l' THEN -1 ELSE s_$l END").mkString(", ")})"
+    sql(
+      "q210_code_switch",
+      s"""WITH scored AS (SELECT doc_id, lang,
+         |    ${langs.map(l => s"${scoreSql(l)} AS s_$l").mkString(",\n    ")}
+         |  FROM documents),
+         |best AS (SELECT doc_id, lang,
+         |    ${langs.map(l => s"s_$l").mkString(", ")},
+         |    CAST($bestSql AS BIGINT) AS best,
+         |    $primarySql AS primary_lang
+         |  FROM scored)
+         |SELECT doc_id, lang, primary_lang, best,
+         |  CAST(${secondSql("primary_lang")} AS BIGINT) AS second,
+         |  CAST(${langs.map(l => s"s_$l").mkString(" + ")} AS BIGINT) AS n_markers,
+         |  (${secondSql("primary_lang")} >= 1
+         |    AND 2 * ${secondSql("primary_lang")} >= best
+         |    AND ${langs.map(l => s"s_$l").mkString(" + ")} >= 4) AS mixed
+         |FROM best
+         |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val scored = langs.foldLeft(docsWithTokens(s, dir))(
+        (df, l) => df.withColumn(s"s_$l", expr(scoreSpark(l)).cast("long")))
+      val best = greatest(langs.map(l => col(s"s_$l")): _*)
+      val primary = langs.foldLeft(when(lit(false), ""))(
+        (c, l) => c.when(col(s"s_$l") === best, l))
+      val withBest = scored
+        .withColumn("best", best.cast("long"))
+        .withColumn("primary_lang", primary)
+      val second = greatest(langs.map(l =>
+        when(col("primary_lang") === l, lit(-1L)).otherwise(col(s"s_$l"))): _*)
+      val total = langs.map(l => col(s"s_$l")).reduce(_ + _)
+      withBest
+        .select(col("doc_id"), col("lang"), col("primary_lang"), col("best"),
+          second.cast("long").as("second"),
+          total.cast("long").as("n_markers"),
+          (second >= 1L && lit(2L) * second >= col("best") && total >= 4L).as("mixed"))
+        .orderBy(col("doc_id"))
+    }
+  }
+
   val all: Seq[QueryDef] = Seq(
     q21TextStats, q22WordFreq, q23BigramFreq, q24LangId, q25QualityScore,
     q26Fingerprint, q27TokenRegex, q62TrainSplit, q64TermFreqMap,
@@ -3754,5 +4043,5 @@ object TextOps {
     q165ShardManifest, q167ManifestDiff, q168CdcShards, q169PassageWindows,
     q170CompactionPlan, q176TimeTravel, q197PassageRetrieval, q198RrfSweep,
     q200CorpusScorecard, q201ZipfAudit, q202HeapsGrowth, q204BudgetSelect,
-    q206CollisionEntropy)
+    q205NdcgEval, q206CollisionEntropy, q207KneserNey, q210CodeSwitch)
 }

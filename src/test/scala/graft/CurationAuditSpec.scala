@@ -1,0 +1,164 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.{Classifier, Dedup, TextOps}
+
+/** Behavior of the round-5 fifth-session audit operators (q201–q210) on
+  * the fixture and on planted inputs: corpus-law audits, agreement and
+  * label-noise statistics, budget selection, degeneracy gates, the KN
+  * language model, the dedup threshold sweep, and the code-switching
+  * audit. */
+class CurationAuditSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def plantedDir(rows: Seq[(Long, String, String)]): String = {
+    val dir = java.nio.file.Files.createTempDirectory("graft-audit").toString
+    rows.toDF("doc_id", "text", "lang")
+      .withColumn("source", lit("gen"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .write.parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  test("q201: rank 1 carries the corpus max frequency and the invariants re-derive") {
+    val rows = TextOps.q201ZipfAudit.run(spark, sfDir).collect()
+    assert(rows.nonEmpty && rows.head.getLong(0) == 1L)
+    assert(rows.head.getDouble(4) == 1.0, "rank 1's ratio_to_top must be exactly 1")
+    val freqs = rows.map(_.getLong(2))
+    assert(freqs.sameElements(freqs.sorted.reverse), "frequency must fall with rank")
+    rows.foreach { r =>
+      assert(r.getLong(3) == r.getLong(0) * r.getLong(2), "rank_freq = rank * freq")
+      assert(r.getDouble(4) == freqs.head.toDouble / r.getLong(2))
+    }
+  }
+
+  test("q202: vocabulary and token volume grow monotonically along the checkpoints") {
+    val rows = TextOps.q202HeapsGrowth.run(spark, sfDir).collect()
+    assert(rows.map(_.getLong(0)).toSeq == Seq(10L, 25L, 50L, 100L))
+    val toks = rows.map(_.getLong(3))
+    val vocab = rows.map(_.getLong(4))
+    assert(toks.zip(toks.tail).forall { case (a, b) => a <= b })
+    assert(vocab.zip(vocab.tail).forall { case (a, b) => a <= b })
+    rows.foreach(r => assert(r.getDouble(5) == r.getLong(4).toDouble / r.getLong(3)))
+  }
+
+  test("q203: marginals are consistent and the 70%-copy annotator lands in the expected kappa band") {
+    val rows = Classifier.q203AnnotatorKappa.run(spark, sfDir).collect()
+    assert(rows.length == 3)
+    val n = rows.head.getLong(4)
+    assert(rows.map(_.getLong(1)).sum == n && rows.map(_.getLong(2)).sum == n)
+    rows.foreach(r => assert(r.getLong(3) <= math.min(r.getLong(1), r.getLong(2))))
+    val kappa = rows.head.getDouble(5)
+    assert(rows.forall(_.getDouble(5) == kappa), "kappa is a corpus constant")
+    // agreement ~ 0.7 + 0.3/3 = 0.8, chance ~ 1/3 → kappa ~ 0.7
+    assert(kappa > 0.5 && kappa < 0.9, s"kappa $kappa outside the design band")
+  }
+
+  test("q204: block-partitioned prefix sum equals one global window and respects the budget") {
+    val rows = TextOps.q204BudgetSelect.run(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val cums = rows.map(_.getLong(3))
+    assert(cums.zip(cums.tail).forall { case (a, b) => a < b }, "prefix sum strictly increases")
+    // re-derive with ONE global window over the same quality ordering
+    val docs = graft.sources.Tables.documents(spark, sfDir)
+      .withColumn("toks", split(col("text"), " "))
+      .withColumn("n_tokens", size(col("toks")).cast("long"))
+      .withColumn("n_stop", expr("size(filter(toks, x -> x = 'the' OR x = 'a'))"))
+      .withColumn("n_uniq", size(array_distinct(col("toks"))))
+      .select(col("doc_id"), col("n_tokens"),
+        ((col("n_uniq").cast("double") / col("n_tokens")) *
+          (lit(1.0) - col("n_stop").cast("double") / col("n_tokens")) *
+          least(lit(1.0), col("n_tokens").cast("double") / 50.0)).as("quality"))
+    val total = docs.agg(sum("n_tokens")).head.getLong(0)
+    val budget = total * 25 / 100
+    val global = docs.orderBy(col("quality").desc, col("doc_id")).collect()
+      .scanLeft(0L)((acc, r) => acc + r.getLong(1)).drop(1)
+      .takeWhile(_ <= budget)
+    assert(cums.toSeq == global.toSeq,
+      "block-partitioned cumsum must be bit-equal to the global prefix sum")
+  }
+
+  test("q205: ndcg bounded by [0,1] with dcg never above idcg") {
+    val rows = TextOps.q205NdcgEval.run(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(1) <= r.getLong(2), "DCG cannot exceed the ideal DCG")
+      val ndcg = r.getDouble(3)
+      assert(ndcg >= 0.0 && ndcg <= 1.0)
+      if (r.getLong(2) > 0)
+        assert(ndcg == r.getLong(1).toDouble / r.getLong(2))
+    }
+  }
+
+  test("q206: a looping doc collapses toward 0 and a diverse doc stays near 1") {
+    val dir = plantedDir(Seq(
+      (1L, Seq.fill(50)("spam").mkString(" "), "en"),
+      (2L, (1 to 50).map(i => s"w$i").mkString(" "), "en")))
+    val rows = TextOps.q206CollisionEntropy.run(spark, dir).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(rows(1L).getDouble(3) == 0.0 && rows(1L).getBoolean(4),
+      "a single repeated token has zero collision diversity")
+    assert(rows(2L).getDouble(3) == 49.0 / 50.0 && !rows(2L).getBoolean(4),
+      "all-distinct tokens give 1 - 1/n")
+  }
+
+  test("q207: in-distribution text outscores out-of-vocabulary text under the trained KN model") {
+    val dir = plantedDir(Seq(
+      (1L, Seq.fill(30)("alpha beta").mkString(" "), "en"),
+      (2L, Seq.fill(30)("alpha beta").mkString(" "), "en"),
+      (3L, "alpha beta alpha beta alpha beta", "de"),      // in-distribution
+      (4L, "qq zz qq zz qq zz", "de")))                    // fully OOV
+    val rows = TextOps.q207KneserNey.run(spark, dir).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(rows(3L).getLong(3) > rows(4L).getLong(3),
+      "the model must prefer text made of its own training bigrams")
+    rows.values.foreach { r =>
+      val below = r.getBoolean(4)
+      assert(below == (r.getLong(2) * 2 < r.getLong(1) * 1000000L),
+        "below_uniform re-derives from sum, n and V=2")
+    }
+  }
+
+  test("q208: every flagged doc disagrees confidently and ranks are dense by |margin|") {
+    val rows = Classifier.q208LabelNoise.run(spark, sfDir).collect()
+    assert(rows.nonEmpty, "the fixture's noisy lang labels must produce suspects")
+    rows.foreach { r =>
+      assert(r.getLong(1) * r.getLong(2) < 0, "label and margin must disagree")
+      assert(r.getLong(3) == math.abs(r.getLong(2)))
+    }
+    assert(rows.map(_.getLong(4)).toSeq == (1L to rows.length).toSeq)
+    val absm = rows.map(_.getLong(3))
+    assert(absm.sameElements(absm.sorted.reverse), "review queue is most-confident-first")
+  }
+
+  test("q209: the detector's predicted-pair count is constant across the sweep and TP falls with tau") {
+    val rows = Dedup.q209ThresholdSweep.run(spark, sfDir).collect()
+    assert(rows.map(_.getLong(0)).toSeq == Seq(30L, 40L, 50L, 60L, 70L, 80L))
+    val predicted = rows.map(r => r.getLong(1) + r.getLong(2)).distinct
+    assert(predicted.length == 1, "tp+fp must equal the fixed predicted-pair count")
+    val tps = rows.map(_.getLong(1))
+    assert(tps.zip(tps.tail).forall { case (a, b) => a >= b },
+      "raising tau can only shrink the true-positive set")
+    rows.foreach { r =>
+      val (tp, fp, fn) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      if (2 * tp + fp + fn > 0)
+        assert(r.getDouble(6) == 2.0 * tp / (2 * tp + fp + fn))
+    }
+  }
+
+  test("q210: a half-and-half marker doc flags mixed; a pure doc does not") {
+    val dir = plantedDir(Seq(
+      (1L, "the a the a data value data value", "en"),  // en+de markers, 4+4
+      (2L, "the a the a the a the a", "en"),            // pure en markers
+      (3L, "table query spark", "fr")))                 // 1-1-1 scatter, too thin
+    val rows = TextOps.q210CodeSwitch.run(spark, dir).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(rows(1L).getString(2) == "de" || rows(1L).getString(2) == "en")
+    assert(rows(1L).getBoolean(6), "balanced two-language evidence must flag")
+    assert(!rows(2L).getBoolean(6), "single-language markers must not flag")
+    assert(rows(2L).getLong(4) == 0L, "runner-up evidence is zero on a pure doc")
+    assert(!rows(3L).getBoolean(6), "three scattered markers stay under the evidence bar")
+    assert(rows(3L).getLong(5) == 3L)
+  }
+}
