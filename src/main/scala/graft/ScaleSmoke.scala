@@ -132,7 +132,9 @@ object ScaleSmoke {
       "q199_truncation_audit", "q200_corpus_scorecard", "q201_zipf_audit",
       "q202_heaps_growth", "q203_annotator_kappa", "q204_budget_select",
       "q205_ndcg_eval", "q206_collision_entropy", "q207_kneser_ney",
-      "q208_label_noise", "q209_threshold_sweep", "q210_code_switch")
+      "q208_label_noise", "q209_threshold_sweep", "q210_code_switch",
+      "q211_quality_anova", "q212_bitext_mining", "q213_source_jackknife",
+      "q214_nprobe_sweep", "q215_good_turing")
     // SPARK_GRAFT_SMOKE_ONLY=q123,q124 limits a run to matching targets —
     // the same local profiling aid as Bench's SPARK_GRAFT_BENCH_ONLY
     val selected = sys.env.get("SPARK_GRAFT_SMOKE_ONLY")

@@ -2149,6 +2149,117 @@ object Similarity {
       .orderBy(col("pick_rank"))
   }
 
+  /** IVF nprobe recall sweep — the q198/q209 tuning-constant-as-data
+    * shape applied to the trained index's ONE serving knob (Jégou et al.
+    * TPAMI'11 §5: recall vs. probed-list count is THE operating curve an
+    * IVF deployment picks its latency/recall point from): for every
+    * query (vec_id % 100 = 0) and every nprobe ∈ {1, 2, 4}, serve
+    * top-10 from the q119-trained index probing that many buckets, and
+    * judge against the exact-cosine truth — per (nprobe, query) the
+    * candidate volume (the COST axis) and recall@10 (the QUALITY axis)
+    * land in one relation. Routing and bucketing use the same exact
+    * integer metric (q120's property), the sweep grid rides one
+    * candidate relation (rank once per (query, nprobe) — measuring
+    * three operating points costs one union of probe sets, not three
+    * serves), and recall is exact integers.
+    *
+    * Scale posture: q120's serving shape × a 3-row broadcast grid; the
+    * exact-truth leg is the eval-time full scan q172 already budgets.
+    * Empty-candidate cells survive via the grid × query base relation
+    * (they are findings: an nprobe too small to reach any neighbor). */
+  val q214NprobeSweep: QueryDef = sql(
+    "q214_nprobe_sweep",
+    s"""$kmeansSqlPrefix,
+       |route AS (SELECT vec_id AS query_id, cid,
+       |            ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS crank
+       |          FROM d3 WHERE vec_id % 100 = 0),
+       |grid AS (SELECT unnest([1, 2, 4]) AS nprobe),
+       |routes AS (SELECT r.query_id, r.cid, g.nprobe FROM route r, grid g
+       |           WHERE r.crank <= g.nprobe),
+       |n AS (SELECT vec_id, embedding,
+       |        SQRT(${dotSql("embedding", "embedding")}) AS nrm
+       |      FROM embeddings),
+       |qe AS (SELECT vec_id AS query_id, embedding AS qv2, nrm AS qn FROM n
+       |       WHERE vec_id % 100 = 0),
+       |cand AS (SELECT ro.nprobe, ro.query_id, n.vec_id,
+       |           ${dotSql("n.embedding", "q.qv2")} / (n.nrm * q.qn) AS cosine
+       |         FROM n JOIN a3 a ON a.vec_id = n.vec_id
+       |         JOIN routes ro ON ro.cid = a.cid AND n.vec_id <> ro.query_id
+       |         JOIN qe q ON q.query_id = ro.query_id),
+       |ncand AS (SELECT nprobe, query_id, CAST(COUNT(*) AS BIGINT) AS n_cand
+       |          FROM cand GROUP BY 1, 2),
+       |served AS (SELECT nprobe, query_id, vec_id FROM (
+       |             SELECT nprobe, query_id, vec_id,
+       |               ROW_NUMBER() OVER (PARTITION BY nprobe, query_id
+       |                 ORDER BY cosine DESC, vec_id) AS rk
+       |             FROM cand) WHERE rk <= 10),
+       |sc AS (SELECT q.query_id, n.vec_id,
+       |         ${dotSql("n.embedding", "q.qv2")} / (n.nrm * q.qn) AS cosine
+       |       FROM n JOIN qe q ON n.vec_id <> q.query_id),
+       |truth AS (SELECT query_id, vec_id FROM (
+       |            SELECT query_id, vec_id,
+       |              ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rk
+       |            FROM sc) WHERE rk <= 10),
+       |hits AS (SELECT s.nprobe, s.query_id, CAST(COUNT(*) AS BIGINT) AS hits
+       |         FROM served s JOIN truth t
+       |           ON t.query_id = s.query_id AND t.vec_id = s.vec_id
+       |         GROUP BY 1, 2),
+       |base AS (SELECT g.nprobe, q.query_id FROM grid g, qe q)
+       |SELECT CAST(b.nprobe AS BIGINT) AS nprobe, b.query_id,
+       |  CAST(COALESCE(nc.n_cand, 0) AS BIGINT) AS n_cand,
+       |  CAST(COALESCE(h.hits, 0) AS BIGINT) AS hits,
+       |  CAST(COALESCE(h.hits, 0) * 100000 AS BIGINT) AS recall_micro
+       |FROM base b
+       |LEFT JOIN ncand nc ON nc.nprobe = b.nprobe AND nc.query_id = b.query_id
+       |LEFT JOIN hits h ON h.nprobe = b.nprobe AND h.query_id = b.query_id
+       |ORDER BY nprobe, b.query_id""".stripMargin) { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    graft.functions.CosineSimilarity.register(s)
+    val v = quantizedLong(s, dir)
+    val centsF = kmeansCentroidFrame(v, k = 8, iters = 2)
+    val assigned = assignToCentroids(v, centsF).select(col("vec_id"), col("cid"))
+    val route = centroidDistances(v.filter(col("vec_id") % 100 === 0), centsF)
+      .withColumn("crank", row_number().over(
+        Window.partitionBy(col("vec_id")).orderBy(col("cdist"), col("cid"))))
+      .select(col("vec_id").as("query_id"), col("cid"), col("crank"))
+    val grid = s.range(1).select(explode(expr("array(1, 2, 4)")).as("nprobe"))
+    val routes = route.crossJoin(grid).filter(col("crank") <= col("nprobe"))
+      .select(col("query_id"), col("cid"), col("nprobe"))
+    val emb = Tables.embeddings(s, dir)
+    val qe = emb.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv2"))
+    val cand = emb.join(assigned, "vec_id")
+      .join(broadcast(routes), "cid")
+      .filter(col("vec_id") =!= col("query_id"))
+      .join(broadcast(qe), "query_id")
+      .withColumn("cosine", expr("cosine_sim_native(embedding, qv2)"))
+    val nCand = cand.groupBy(col("nprobe"), col("query_id"))
+      .agg(count(lit(1)).as("n_cand"))
+    val served = cand.withColumn("rk", row_number().over(
+        Window.partitionBy(col("nprobe"), col("query_id"))
+          .orderBy(col("cosine").desc, col("vec_id"))))
+      .filter(col("rk") <= 10)
+      .select(col("nprobe"), col("query_id"), col("vec_id"))
+    val truth = emb.select(col("vec_id"), col("embedding"))
+      .crossJoin(broadcast(qe))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("cosine", expr("cosine_sim_native(embedding, qv2)"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("query_id")).orderBy(col("cosine").desc, col("vec_id"))))
+      .filter(col("rk") <= 10)
+      .select(col("query_id"), col("vec_id"))
+    val hits = served.join(truth, Seq("query_id", "vec_id"))
+      .groupBy(col("nprobe"), col("query_id")).agg(count(lit(1)).as("hits"))
+    val base = grid.crossJoin(broadcast(qe.select(col("query_id"))))
+    base.join(nCand, Seq("nprobe", "query_id"), "left")
+      .join(hits, Seq("nprobe", "query_id"), "left")
+      .select(col("nprobe").cast("long"), col("query_id"),
+        coalesce(col("n_cand"), lit(0L)).cast("long").as("n_cand"),
+        coalesce(col("hits"), lit(0L)).cast("long").as("hits"),
+        (coalesce(col("hits"), lit(0L)) * 100000L).cast("long").as("recall_micro"))
+      .orderBy(col("nprobe"), col("query_id"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     q36ArrayNorms, q37EmbeddingNeardup, q38AnnBruteforce, q39AnnIvf,
     q45AnnNative, q52AnnLsh, q61AnnQuantized, q119KmeansTrain,
@@ -2157,5 +2268,6 @@ object Similarity {
     q140KnnClassify, q146PcaPower, q147MmrRerank, q152KnnClassifyIvf,
     q154JlAnn, q160JlIvf, q162IndexDrift, q166RagServe, q171PqRerank,
     q178Hubness, q179EmbeddingStats, q180Silhouette, q190KcenterCoreset,
-    q191MultiprobeLsh, q196SemanticDecontam, q199TruncationAudit)
+    q191MultiprobeLsh, q196SemanticDecontam, q199TruncationAudit,
+    q214NprobeSweep)
 }

@@ -4027,6 +4027,270 @@ object TextOps {
     }
   }
 
+  /** One-way ANOVA screen over per-source quality (Fisher 1925's
+    * variance decomposition — the "is any source systematically
+    * different?" screen run before q118/q139 mixture decisions; q110's
+    * chi-square covers categorical contingency, this covers the NUMERIC
+    * quality score): per-doc quality (q25's exact double) is floored to
+    * an integer kilo-score, and the between/within sums of squares use
+    * the computational identities SSB = Σ_s t_s²/n_s − T²/N and
+    * SSW = Σx² − Σ_s t_s²/n_s, evaluated in EXACT milli-integers via
+    * floor division ((t_s²·1000) div n_s — nonnegative, identical in
+    * both engines; the kilo scale keeps T² < 2⁵³ up to ~10⁸ docs, past
+    * which the ratio moves to identical-IEEE doubles, the q181 device).
+    * F = (SSB·(N−k))/(SSW·(k−1)) is ONE division of exact BIGINTs.
+    * Each source row carries its own marginals so the screen doubles as
+    * a per-source quality league table.
+    *
+    * Shape: one scan → per-source aggregate (k = |sources| rows) + one
+    * broadcast totals scalar. Nothing after the first aggregate touches
+    * corpus-scale data. */
+  val q211QualityAnova: QueryDef = sql(
+    "q211_quality_anova",
+    """WITH q AS (
+      |  SELECT source, CAST(FLOOR(1000.0 *
+      |    ((CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks))
+      |      * (1.0 - CAST(len(list_filter(toks, x -> x = 'the' OR x = 'a')) AS DOUBLE) / len(toks))
+      |      * LEAST(1.0, CAST(len(toks) AS DOUBLE) / 50.0))) AS BIGINT) AS x
+      |  FROM (SELECT source, string_split(text, ' ') AS toks FROM documents)),
+      |g AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |        CAST(SUM(x) AS BIGINT) AS t,
+      |        CAST(SUM(x * x) AS BIGINT) AS sq
+      |      FROM q GROUP BY 1),
+      |tot AS (SELECT CAST(SUM(n_docs) AS BIGINT) AS n,
+      |          CAST(SUM(t) AS BIGINT) AS tt,
+      |          CAST(SUM(sq) AS BIGINT) AS sqt,
+      |          CAST(COUNT(*) AS BIGINT) AS k,
+      |          CAST(SUM((t * t * 1000) // n_docs) AS BIGINT) AS sb_raw
+      |        FROM g),
+      |f AS (SELECT n, k,
+      |        sb_raw - (tt * tt * 1000) // n AS ssb_milli,
+      |        sqt * 1000 - sb_raw AS ssw_milli
+      |      FROM tot)
+      |SELECT g.source, g.n_docs, g.t AS sum_kilo,
+      |  CAST((g.t * 1000) // g.n_docs AS BIGINT) AS mean_milli,
+      |  CAST(f.ssb_milli AS BIGINT) AS ssb_milli,
+      |  CAST(f.ssw_milli AS BIGINT) AS ssw_milli,
+      |  CASE WHEN f.ssw_milli > 0 AND f.k > 1
+      |       THEN CAST(f.ssb_milli * (f.n - f.k) AS DOUBLE)
+      |            / CAST(f.ssw_milli * (f.k - 1) AS DOUBLE)
+      |       ELSE 0.0 END AS f_stat
+      |FROM g, f
+      |ORDER BY g.source""".stripMargin) { (s, dir) =>
+    val q = docsWithTokens(s, dir)
+      .withColumn("n_tokens", size(col("toks")))
+      .withColumn("n_stop", expr("size(filter(toks, x -> x = 'the' OR x = 'a'))"))
+      .withColumn("n_uniq", size(array_distinct(col("toks"))))
+      .select(col("source"),
+        floor(lit(1000.0) *
+          ((col("n_uniq").cast("double") / col("n_tokens")) *
+            (lit(1.0) - col("n_stop").cast("double") / col("n_tokens")) *
+            least(lit(1.0), col("n_tokens").cast("double") / 50.0))).cast("long").as("x"))
+    val g = q.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("x")).as("t"),
+        sum(col("x") * col("x")).as("sq"))
+    val tot = g.agg(
+      sum(col("n_docs")).as("n"), sum(col("t")).as("tt"), sum(col("sq")).as("sqt"),
+      count(lit(1)).as("k"),
+      sum(expr("(t * t * 1000) div n_docs")).as("sb_raw"))
+    val f = tot.select(col("n"), col("k"),
+      (col("sb_raw") - expr("(tt * tt * 1000) div n")).as("ssb_milli"),
+      (col("sqt") * 1000 - col("sb_raw")).as("ssw_milli"))
+    g.crossJoin(broadcast(f))
+      .select(col("source"), col("n_docs"), col("t").as("sum_kilo"),
+        expr("CAST((t * 1000) div n_docs AS BIGINT)").as("mean_milli"),
+        col("ssb_milli").cast("long"), col("ssw_milli").cast("long"),
+        when(col("ssw_milli") > 0 && col("k") > 1,
+          (col("ssb_milli") * (col("n") - col("k"))).cast("double") /
+            (col("ssw_milli") * (col("k") - 1)).cast("double")).otherwise(0.0).as("f_stat"))
+      .orderBy(col("source"))
+  }
+
+  /** Jackknife source influence (Efron 1982's leave-one-out device
+    * applied at the SOURCE level — the cheap end of the data-valuation
+    * spectrum that Shapley methods anchor: "what happens to corpus
+    * quality if this source is dropped?" answered for every source in
+    * ONE pass from sufficient statistics, no re-scan per source): with
+    * per-source totals (n_s, t_s) and corpus totals (N, T), the
+    * leave-one-source-out mean is (T−t_s)·1000 div (N−n_s) — exact
+    * milli-integers; influence = loo_mean − corpus_mean, positive when
+    * removing the source would RAISE corpus quality (the source drags).
+    * The ranking this emits is the drop-list a mixture owner reads
+    * before q118/q141 caps.
+    *
+    * Shape: one scan → per-source aggregate + broadcast totals; the
+    * jackknife arithmetic is k-row. Guard: a single-source corpus
+    * leaves no held-out mass (N = n_s) → influence 0 by CASE. */
+  val q213SourceJackknife: QueryDef = sql(
+    "q213_source_jackknife",
+    """WITH q AS (
+      |  SELECT source, CAST(FLOOR(1000.0 *
+      |    ((CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks))
+      |      * (1.0 - CAST(len(list_filter(toks, x -> x = 'the' OR x = 'a')) AS DOUBLE) / len(toks))
+      |      * LEAST(1.0, CAST(len(toks) AS DOUBLE) / 50.0))) AS BIGINT) AS x
+      |  FROM (SELECT source, string_split(text, ' ') AS toks FROM documents)),
+      |g AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |        CAST(SUM(x) AS BIGINT) AS t
+      |      FROM q GROUP BY 1),
+      |tot AS (SELECT CAST(SUM(n_docs) AS BIGINT) AS n, CAST(SUM(t) AS BIGINT) AS tt FROM g)
+      |SELECT g.source, g.n_docs,
+      |  CAST((g.t * 1000) // g.n_docs AS BIGINT) AS mean_milli,
+      |  CAST((tot.tt * 1000) // tot.n AS BIGINT) AS corpus_mean_milli,
+      |  CAST(CASE WHEN tot.n > g.n_docs
+      |       THEN ((tot.tt - g.t) * 1000) // (tot.n - g.n_docs)
+      |       ELSE (tot.tt * 1000) // tot.n END AS BIGINT) AS loo_mean_milli,
+      |  CAST(CASE WHEN tot.n > g.n_docs
+      |       THEN ((tot.tt - g.t) * 1000) // (tot.n - g.n_docs) - (tot.tt * 1000) // tot.n
+      |       ELSE 0 END AS BIGINT) AS influence_milli
+      |FROM g, tot
+      |ORDER BY influence_milli DESC, g.source""".stripMargin) { (s, dir) =>
+    val q = docsWithTokens(s, dir)
+      .withColumn("n_tokens", size(col("toks")))
+      .withColumn("n_stop", expr("size(filter(toks, x -> x = 'the' OR x = 'a'))"))
+      .withColumn("n_uniq", size(array_distinct(col("toks"))))
+      .select(col("source"),
+        floor(lit(1000.0) *
+          ((col("n_uniq").cast("double") / col("n_tokens")) *
+            (lit(1.0) - col("n_stop").cast("double") / col("n_tokens")) *
+            least(lit(1.0), col("n_tokens").cast("double") / 50.0))).cast("long").as("x"))
+    val g = q.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("x")).as("t"))
+    val tot = g.agg(sum(col("n_docs")).as("n"), sum(col("t")).as("tt"))
+    g.crossJoin(broadcast(tot))
+      .select(col("source"), col("n_docs"),
+        expr("CAST((t * 1000) div n_docs AS BIGINT)").as("mean_milli"),
+        expr("CAST((tt * 1000) div n AS BIGINT)").as("corpus_mean_milli"),
+        expr("""CAST(CASE WHEN n > n_docs
+               THEN ((tt - t) * 1000) div (n - n_docs)
+               ELSE (tt * 1000) div n END AS BIGINT)""").as("loo_mean_milli"),
+        expr("""CAST(CASE WHEN n > n_docs
+               THEN ((tt - t) * 1000) div (n - n_docs) - (tt * 1000) div n
+               ELSE 0 END AS BIGINT)""").as("influence_milli"))
+      .orderBy(col("influence_milli").desc, col("source"))
+  }
+
+  /** Good–Turing frequency-of-frequencies audit (Good 1953; Gale &
+    * Sampson 1995's "simple Good–Turing" takes exactly this table as
+    * input): N_c = how many word types occur exactly c times, for
+    * c ≤ 20, with the Turing-discounted count c* = (c+1)·N_{c+1}/N_c
+    * and the unseen-probability mass p₀ = N₁/N — the two numbers any
+    * smoothing beyond q128/q207 starts from, and the table a corpus
+    * intake reads to see whether the hapax tail is natural (Zipf-ish
+    * N₁ ≫ N₂ ≫ …) or truncated/templated. The table keeps the 20
+    * SMALLEST occupied counts (on natural text that is c = 1, 2, 3, …;
+    * the synthetic fixture's 31-word vocabulary starts much higher —
+    * the audit still reads the head of the distribution either way).
+    * All counts exact BIGINTs; c* and p₀ are single divisions of exact
+    * integers.
+    *
+    * Shape: word count → count-of-counts (a ≤ max-c-row aggregate) →
+    * self-join on c+1 + one window over the count-of-count relation,
+    * which is bounded by the number of DISTINCT frequencies (≪ vocab)
+    * — everything after the first aggregate is tiny. */
+  val q215GoodTuring: QueryDef = sql(
+    "q215_good_turing",
+    """WITH c AS (SELECT word, COUNT(*) AS c
+      |           FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+      |           GROUP BY 1),
+      |cc AS (SELECT c, CAST(COUNT(*) AS BIGINT) AS n_c FROM c GROUP BY 1),
+      |tot AS (SELECT CAST(SUM(c * n_c) AS BIGINT) AS n_tokens,
+      |          CAST(COALESCE(SUM(CASE WHEN c = 1 THEN n_c END), 0) AS BIGINT) AS n1
+      |        FROM cc),
+      |r AS (SELECT c, n_c, row_number() OVER (ORDER BY c) AS rk FROM cc)
+      |SELECT CAST(a.c AS BIGINT) AS c, a.n_c,
+      |  CASE WHEN b.n_c IS NOT NULL
+      |       THEN CAST((a.c + 1) * b.n_c AS DOUBLE) / a.n_c ELSE 0.0 END AS c_star,
+      |  CAST(tot.n1 AS DOUBLE) / tot.n_tokens AS p0
+      |FROM r a LEFT JOIN cc b ON b.c = a.c + 1, tot
+      |WHERE a.rk <= 20
+      |ORDER BY c""".stripMargin) { (s, dir) =>
+    val c = docsWithTokens(s, dir)
+      .select(explode(col("toks")).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("c"))
+    val cc = c.groupBy(col("c")).agg(count(lit(1)).as("n_c"))
+    val tot = cc.agg(
+      sum(col("c") * col("n_c")).cast("long").as("n_tokens"),
+      coalesce(sum(when(col("c") === 1, col("n_c"))), lit(0L)).cast("long").as("n1"))
+    val nxt = cc.select((col("c") - 1).as("c"), col("n_c").as("n_next"))
+    val r = cc.withColumn("rk", row_number().over(
+      org.apache.spark.sql.expressions.Window.orderBy(col("c"))))
+    r.join(nxt, Seq("c"), "left")
+      .crossJoin(broadcast(tot))
+      .filter(col("rk") <= 20)
+      .select(col("c").cast("long"), col("n_c"),
+        when(col("n_next").isNotNull,
+          ((col("c") + 1) * col("n_next")).cast("double") / col("n_c"))
+          .otherwise(0.0).as("c_star"),
+        (col("n1").cast("double") / col("n_tokens")).as("p0"))
+      .orderBy(col("c"))
+  }
+
+  /** Bitext / translation-pair mining (Resnik & Smith CL'03's
+    * comparable-corpora mining; the shape behind CCMatrix/WikiMatrix-
+    * style parallel-corpus construction, Schwenk 2021): find cross-
+    * language doc pairs that are the SAME content modulo language
+    * markers. The miner fingerprints each doc with every language's
+    * marker words masked to '_' (md5 over the masked token sequence —
+    * language-invariant by construction) and joins fingerprint groups
+    * across DIFFERENT languages. The fixture corpus has no real
+    * translations, so the face synthesizes them deterministically (the
+    * q194/q145 device): every %17 non-de doc gets a 'de' rendition at
+    * doc_id + 1000000 with the en markers swapped to the de markers —
+    * invisible to raw-text equality, found by the masked fingerprint;
+    * organic cross-language exact-content dup pairs surface too (they
+    * are findings: mislabeled-language duplicates).
+    *
+    * Shape: scan + synthesized union + one fingerprint-keyed
+    * aggregate-free self-join — pair volume is Σ group², bounded by
+    * dup-group size (the q30 exact-dup class), never corpus². At
+    * 100 TB this is exact dedup's cost with a language predicate. */
+  val q212BitextMining: QueryDef = {
+    val allMarkers = langProfiles.map(_._2).distinct
+    val maskSqlList = allMarkers.map(w => s"'$w'").mkString(", ")
+    sql(
+      "q212_bitext_mining",
+      s"""WITH base AS (
+         |  SELECT doc_id, text, lang FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 1000000 AS doc_id,
+         |    array_to_string(list_transform(string_split(text, ' '),
+         |      x -> CASE WHEN x = 'the' THEN 'data' WHEN x = 'a' THEN 'value' ELSE x END), ' ') AS text,
+         |    'de' AS lang
+         |  FROM documents WHERE doc_id % 17 = 0 AND lang <> 'de'),
+         |fp AS (
+         |  SELECT doc_id, lang,
+         |    len(string_split(text, ' ')) AS n_tokens,
+         |    md5(array_to_string(list_transform(string_split(text, ' '),
+         |      x -> CASE WHEN x IN ($maskSqlList) THEN '_' ELSE x END), ' ')) AS f
+         |  FROM base)
+         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |  a.lang AS lang_a, b.lang AS lang_b,
+         |  CAST(a.n_tokens AS BIGINT) AS n_tokens,
+         |  (b.doc_id >= 1000000) AS synthetic
+         |FROM fp a JOIN fp b
+         |  ON b.f = a.f AND a.doc_id < b.doc_id AND a.lang <> b.lang
+         |ORDER BY doc_a, doc_b""".stripMargin) { (s, dir) =>
+      val docs = Tables.fanOut(Tables.documents(s, dir))
+      val maskCase = allMarkers.map(w => s"x = '$w'").mkString(" OR ")
+      val synth = docs.filter(col("doc_id") % 17 === 0 && col("lang") =!= "de")
+        .select((col("doc_id") + 1000000L).as("doc_id"),
+          expr("array_join(transform(split(text, ' '), x -> CASE WHEN x = 'the' THEN 'data' WHEN x = 'a' THEN 'value' ELSE x END), ' ')").as("text"),
+          lit("de").as("lang"))
+      val base = docs.select(col("doc_id"), col("text"), col("lang")).unionAll(synth)
+      val fp = base.select(col("doc_id"), col("lang"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"),
+        md5(expr(s"array_join(transform(split(text, ' '), x -> CASE WHEN $maskCase THEN '_' ELSE x END), ' ')")).as("f"))
+      val a = fp.select(col("doc_id").as("doc_a"), col("lang").as("lang_a"),
+        col("n_tokens"), col("f"))
+      val b = fp.select(col("doc_id").as("doc_b"), col("lang").as("lang_b"), col("f"))
+      a.join(b, Seq("f"))
+        .filter(col("doc_a") < col("doc_b") && col("lang_a") =!= col("lang_b"))
+        .select(col("doc_a"), col("doc_b"), col("lang_a"), col("lang_b"),
+          col("n_tokens"), (col("doc_b") >= 1000000L).as("synthetic"))
+        .orderBy(col("doc_a"), col("doc_b"))
+    }
+  }
+
   val all: Seq[QueryDef] = Seq(
     q21TextStats, q22WordFreq, q23BigramFreq, q24LangId, q25QualityScore,
     q26Fingerprint, q27TokenRegex, q62TrainSplit, q64TermFreqMap,
@@ -4043,5 +4307,6 @@ object TextOps {
     q165ShardManifest, q167ManifestDiff, q168CdcShards, q169PassageWindows,
     q170CompactionPlan, q176TimeTravel, q197PassageRetrieval, q198RrfSweep,
     q200CorpusScorecard, q201ZipfAudit, q202HeapsGrowth, q204BudgetSelect,
-    q205NdcgEval, q206CollisionEntropy, q207KneserNey, q210CodeSwitch)
+    q205NdcgEval, q206CollisionEntropy, q207KneserNey, q210CodeSwitch,
+    q211QualityAnova, q212BitextMining, q213SourceJackknife, q215GoodTuring)
 }

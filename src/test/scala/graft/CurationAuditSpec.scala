@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.ops.{Classifier, Dedup, TextOps}
+import graft.ops.{Classifier, Dedup, Similarity, TextOps}
 
 /** Behavior of the round-5 fifth-session audit operators (q201–q210) on
   * the fixture and on planted inputs: corpus-law audits, agreement and
@@ -144,6 +144,86 @@ class CurationAuditSpec extends SparkSpec {
       val (tp, fp, fn) = (r.getLong(1), r.getLong(2), r.getLong(3))
       if (2 * tp + fp + fn > 0)
         assert(r.getDouble(6) == 2.0 * tp / (2 * tp + fp + fn))
+    }
+  }
+
+  test("q211: variance decomposition reconciles and a planted strong source inflates F") {
+    val rows = TextOps.q211QualityAnova.run(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val (ssb, ssw, f) = (rows.head.getLong(4), rows.head.getLong(5), rows.head.getDouble(6))
+    assert(rows.forall(r => r.getLong(4) == ssb && r.getLong(5) == ssw && r.getDouble(6) == f),
+      "SSB/SSW/F are corpus constants")
+    assert(ssb >= 0 && ssw > 0)
+    rows.foreach(r => assert(r.getLong(3) == r.getLong(2) * 1000 / r.getLong(1)))
+    // planted: one source of high-quality docs vs one of degenerate docs
+    // → SSB ≫ SSW (doc lengths vary a little so SSW stays nonzero)
+    val dir = plantedDir(
+      (1L to 20L).map(i => (i, (1 to (55 + (i % 5)).toInt).map(j => s"w${i}_$j").mkString(" "), "en")) ++
+        (21L to 40L).map(i => (i, Seq.fill(55 + (i % 5).toInt)("spam").mkString(" "), "en")))
+    val sep = spark.read.parquet(s"$dir/documents.parquet")
+      .withColumn("source", when(col("doc_id") <= 20, "good").otherwise("bad"))
+    val dir2 = java.nio.file.Files.createTempDirectory("graft-anova").toString
+    sep.write.parquet(s"$dir2/documents.parquet")
+    val f2 = TextOps.q211QualityAnova.run(spark, dir2).collect().head.getDouble(6)
+    assert(f2 > 100.0, s"a perfectly separated pair of sources must give a huge F, got $f2")
+  }
+
+  test("q212: every synthesized rendition is mined and pairs are cross-language") {
+    val rows = TextOps.q212BitextMining.run(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(r.getString(2) != r.getString(3), "pairs must cross languages"))
+    val docs = graft.sources.Tables.documents(spark, sfDir)
+    val expected = docs.filter(col("doc_id") % 17 === 0 && col("lang") =!= "de").count()
+    val synthPairs = rows.filter(_.getBoolean(5))
+      .map(r => r.getLong(1)).filter(_ >= 1000000L).distinct
+    assert(synthPairs.length == expected,
+      s"each of the $expected synthesized renditions must be recovered, got ${synthPairs.length}")
+  }
+
+  test("q213: jackknife identity (N-n_s)·loo + t_s·1000 ≈ T·1000 and influences balance") {
+    val rows = TextOps.q213SourceJackknife.run(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val corpusMean = rows.head.getLong(3)
+    assert(rows.forall(_.getLong(3) == corpusMean))
+    rows.foreach { r =>
+      assert(r.getLong(5) == r.getLong(4) - corpusMean, "influence re-derives")
+      // a source whose own mean is below the corpus mean must have
+      // nonnegative influence (dropping it cannot lower the LOO mean)
+      if (r.getLong(2) < corpusMean) assert(r.getLong(5) >= 0)
+      if (r.getLong(2) > corpusMean) assert(r.getLong(5) <= 0)
+    }
+    val infl = rows.map(_.getLong(5))
+    assert(infl.sameElements(infl.sorted.reverse), "emitted as a drop-list, worst first")
+  }
+
+  test("q214: recall and candidate volume grow with nprobe, reaching the q120 operating point") {
+    val rows = Similarity.q214NprobeSweep.run(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val byQuery = rows.groupBy(_.getLong(1))
+    byQuery.values.foreach { qs =>
+      val ordered = qs.sortBy(_.getLong(0))
+      val cands = ordered.map(_.getLong(2))
+      val hits = ordered.map(_.getLong(3))
+      assert(cands.zip(cands.tail).forall { case (a, b) => a <= b },
+        "probing more buckets can only add candidates")
+      assert(hits.zip(hits.tail).forall { case (a, b) => a <= b },
+        "recall@10 is monotone in nprobe (candidate sets are nested)")
+      ordered.foreach(r => assert(r.getLong(4) == r.getLong(3) * 100000L))
+    }
+  }
+
+  test("q215: count-of-counts masses reconcile with the corpus and c* re-derives") {
+    val rows = TextOps.q215GoodTuring.run(spark, sfDir).collect()
+    assert(rows.nonEmpty && rows.length <= 20)
+    val cs = rows.map(_.getLong(0))
+    assert(cs.sameElements(cs.sorted), "rows ascend by count")
+    val p0 = rows.head.getDouble(3)
+    assert(rows.forall(_.getDouble(3) == p0) && p0 >= 0.0 && p0 < 1.0)
+    val byC = rows.map(r => r.getLong(0) -> r.getLong(1)).toMap
+    rows.foreach { r =>
+      byC.get(r.getLong(0) + 1).foreach { nNext =>
+        assert(r.getDouble(2) == (r.getLong(0) + 1) * nNext.toDouble / r.getLong(1))
+      }
     }
   }
 
