@@ -134,7 +134,8 @@ object ScaleSmoke {
       "q205_ndcg_eval", "q206_collision_entropy", "q207_kneser_ney",
       "q208_label_noise", "q209_threshold_sweep", "q210_code_switch",
       "q211_quality_anova", "q212_bitext_mining", "q213_source_jackknife",
-      "q214_nprobe_sweep", "q215_good_turing")
+      "q214_nprobe_sweep", "q215_good_turing", "q216_l_diversity",
+      "q217_packing_sweep", "q218_domain_reweight", "q219_length_bias")
     // SPARK_GRAFT_SMOKE_ONLY=q123,q124 limits a run to matching targets —
     // the same local profiling aid as Bench's SPARK_GRAFT_BENCH_ONLY
     val selected = sys.env.get("SPARK_GRAFT_SMOKE_ONLY")

@@ -372,7 +372,23 @@ object TextOps {
     * any partition count (PackingSpec pins 1/3/8-partition equality).
     * Window emission is then one map-side sequence/explode per doc. */
   def packSequences(docs: DataFrame, contextLen: Int = 128,
-                    partitions: Int = 0, baseOffset: Long = 0L): DataFrame = {
+                    partitions: Int = 0, baseOffset: Long = 0L): DataFrame =
+    packedStarts(docs, partitions, baseOffset)
+      .withColumn("c0", expr(s"start div $contextLen"))
+      .withColumn("c1", expr(s"(start + need - 1) div $contextLen"))
+      .withColumn("chunk_id", explode(expr("sequence(c0, c1)")))
+      .select(col("doc_id"), col("chunk_id"), col("start"),
+        (least((col("chunk_id") + 1) * contextLen, col("start") + col("need")) -
+          greatest(col("chunk_id") * contextLen, col("start"))).as("n_tok"))
+
+  /** The (doc_id, need, start) global-offset relation [[packSequences]]
+    * and [[q217PackingSweep]] share: need = tokens + 1 (EOS), start =
+    * the exclusive prefix sum in doc_id order, computed with the
+    * distributed two-pass device documented above (range partitions →
+    * per-partition windows → bounded per-partition offsets broadcast
+    * back; bit-deterministic at any partition count, PackingSpec). */
+  def packedStarts(docs: DataFrame, partitions: Int = 0,
+                   baseOffset: Long = 0L): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val s = docs.sparkSession
     val nParts = if (partitions > 0) partitions
@@ -393,12 +409,6 @@ object TextOps {
     local.join(broadcast(offDf), "pid")
       .select(col("doc_id"), col("need"),
         (lit(baseOffset) + col("poff") + col("run") - col("need")).as("start"))
-      .withColumn("c0", expr(s"start div $contextLen"))
-      .withColumn("c1", expr(s"(start + need - 1) div $contextLen"))
-      .withColumn("chunk_id", explode(expr("sequence(c0, c1)")))
-      .select(col("doc_id"), col("chunk_id"), col("start"),
-        (least((col("chunk_id") + 1) * contextLen, col("start") + col("need")) -
-          greatest(col("chunk_id") * contextLen, col("start"))).as("n_tok"))
   }
 
   /** Contract face of [[packSequences]]: 128-token windows over the
@@ -4291,6 +4301,245 @@ object TextOps {
     }
   }
 
+  /** Context-length packing sweep — the q198/q209/q214 tuning shape
+    * applied to the TRAINING-LAYOUT knob (Raffel et al. JMLR'20 §2.2
+    * pack contiguously and accept boundary-crossing docs; Dubey et al.
+    * 2024 §3.2 mask cross-document attention — either way, how many
+    * docs a context length splits is the number that prices the
+    * choice): for each L ∈ {64, 128, 256, 512}, the chunk count, the
+    * docs split across a boundary, total boundary crossings, and the
+    * fill ratio of the packed stream. Every doc's span under every L
+    * derives from ONE start relation ([[packedStarts]] — the q130
+    * two-pass prefix sum; starts do not depend on L), so sweeping four
+    * lengths costs one prefix sum plus four scan aggregates — never
+    * four packings. All exact integers: c₀ = start div L, c₁ =
+    * (start+need−1) div L, fill = T·10⁶ div (chunks·L).
+    *
+    * Scale posture: the prefix sum is the documented two-pass device;
+    * the sweep is a 4-row broadcast grid × one aggregate. */
+  val q217PackingSweep: QueryDef = sql(
+    "q217_packing_sweep",
+    """WITH d AS (SELECT doc_id, len(string_split(text, ' ')) + 1 AS need FROM documents),
+      |p AS (SELECT doc_id, need,
+      |        CAST(SUM(need) OVER (ORDER BY doc_id) - need AS BIGINT) AS start FROM d),
+      |grid AS (SELECT unnest([64, 128, 256, 512]) AS context_len),
+      |sw AS (SELECT g.context_len,
+      |         CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |         CAST(SUM(p.need) AS BIGINT) AS n_tokens,
+      |         CAST(SUM(CASE WHEN (p.start + p.need - 1) // g.context_len
+      |                        > p.start // g.context_len THEN 1 ELSE 0 END) AS BIGINT) AS n_docs_split,
+      |         CAST(SUM((p.start + p.need - 1) // g.context_len
+      |                  - p.start // g.context_len) AS BIGINT) AS n_crossings
+      |       FROM p, grid g
+      |       GROUP BY 1)
+      |SELECT CAST(context_len AS BIGINT) AS context_len, n_docs, n_tokens,
+      |  CAST((n_tokens + context_len - 1) // context_len AS BIGINT) AS n_chunks,
+      |  n_docs_split, n_crossings,
+      |  CAST((n_tokens * 1000000) // (((n_tokens + context_len - 1) // context_len) * context_len) AS BIGINT) AS fill_micro
+      |FROM sw
+      |ORDER BY context_len""".stripMargin) { (s, dir) =>
+    val starts = packedStarts(Tables.documents(s, dir))
+    val grid = s.range(1).select(explode(
+      expr("array(64L, 128L, 256L, 512L)")).as("context_len"))
+    starts.crossJoin(broadcast(grid))
+      .groupBy(col("context_len"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("need")).cast("long").as("n_tokens"),
+        sum(when(expr("(start + need - 1) div context_len > start div context_len"), 1L)
+          .otherwise(0L)).as("n_docs_split"),
+        sum(expr("(start + need - 1) div context_len - start div context_len"))
+          .cast("long").as("n_crossings"))
+      .select(col("context_len"), col("n_docs"), col("n_tokens"),
+        expr("CAST((n_tokens + context_len - 1) div context_len AS BIGINT)").as("n_chunks"),
+        col("n_docs_split"), col("n_crossings"),
+        expr("CAST((n_tokens * 1000000) div (((n_tokens + context_len - 1) div context_len) * context_len) AS BIGINT)").as("fill_micro"))
+      .orderBy(col("context_len"))
+  }
+
+  /** l-diversity audit (Machanavajjhala et al., TKDD'07 — the attack
+    * k-anonymity misses: a class can hold k ≥ 5 docs and STILL disclose
+    * an attribute if every member shares it): over q195's release
+    * posture with (source, length bucket) as the quasi-identifiers and
+    * `lang` as the sensitive attribute, report each equivalence class's
+    * size k AND its sensitive-value diversity l = distinct langs;
+    * k_risky (k < 5) is q195's re-identification finding, l_risky
+    * (l < 2) is the homogeneity finding — a class that passes k but
+    * fails l tells every observer its members' language from metadata
+    * alone. Exact integer counts throughout.
+    *
+    * Shape: one scan-level bucket expression + one QI-keyed aggregate
+    * carrying COUNT and COUNT(DISTINCT lang) — q195's cost exactly. */
+  val q216LDiversity: QueryDef = sql(
+    "q216_l_diversity",
+    """WITH qi AS (SELECT source, CAST(n_chars // 100 AS BIGINT) AS len_bucket, lang
+      |            FROM documents),
+      |cls AS (SELECT source, len_bucket, CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |          CAST(COUNT(DISTINCT lang) AS BIGINT) AS l_distinct
+      |        FROM qi GROUP BY 1, 2)
+      |SELECT source, len_bucket, n_docs, l_distinct,
+      |  (n_docs < 5) AS k_risky, (l_distinct < 2) AS l_risky
+      |FROM cls
+      |ORDER BY source, len_bucket""".stripMargin) { (s, dir) =>
+    Tables.fanOut(Tables.documents(s, dir))
+      .select(col("source"), expr("n_chars DIV 100").as("len_bucket"), col("lang"))
+      .groupBy(col("source"), col("len_bucket"))
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("lang")).as("l_distinct"))
+      .select(col("source"), col("len_bucket"), col("n_docs"), col("l_distinct"),
+        (col("n_docs") < 5).as("k_risky"), (col("l_distinct") < 2).as("l_risky"))
+      .orderBy(col("source"), col("len_bucket"))
+  }
+
+  /** Domain excess-loss reweighting — DoReMi's signal (Xie et al. 2023,
+    * arXiv:2305.10429: upweight domains where the proxy model's loss
+    * exceeds the reference; here the proxy is the repo's n-gram LM, the
+    * honest stand-in this engine can train exactly): per-source mean
+    * NLL under the `lang = 'en'`-trained bigram model, the excess over
+    * the corpus mean, and a suggested mixture weight ∝ 1 + max(excess,
+    * 0), floor-normalized to 10⁶. Determinism: each BIGRAM's NLL is
+    * floored to exact milli-integers BEFORE any aggregation (the double
+    * is one identical expression of exact counts in both engines;
+    * floor of it is deterministic), so per-source sums are exact
+    * BIGINTs — no float aggregation order anywhere, unlike an AVG of
+    * doubles. The whole weight vector derives from sufficient
+    * statistics in one corpus pass.
+    *
+    * Shape: q128's broadcast-reference-counts shape with a source-keyed
+    * (k-row) aggregate instead of a doc-keyed one, plus two tiny
+    * broadcast scalars (corpus mean, weight normalizer). */
+  val q218DomainReweight: QueryDef = sql(
+    "q218_domain_reweight",
+    """WITH t AS (SELECT doc_id, source, lang, string_split(text, ' ') AS toks FROM documents),
+      |refbi AS (
+      |  SELECT toks[i] AS w1, toks[i + 1] AS w2
+      |  FROM t, LATERAL (SELECT unnest(range(1, len(toks))) AS i)
+      |  WHERE lang = 'en' AND len(toks) >= 2),
+      |c2 AS (SELECT w1, w2, COUNT(*) AS c2 FROM refbi GROUP BY 1, 2),
+      |c1 AS (SELECT w1, COUNT(*) AS c1 FROM refbi GROUP BY 1),
+      |v AS (SELECT COUNT(DISTINCT word) AS v FROM (
+      |  SELECT unnest(toks) AS word FROM t WHERE lang = 'en')),
+      |docbi AS (
+      |  SELECT source, toks[i] AS w1, toks[i + 1] AS w2
+      |  FROM t, LATERAL (SELECT unnest(range(1, len(toks))) AS i)
+      |  WHERE len(toks) >= 2),
+      |nb AS (SELECT d.source,
+      |         CAST(FLOOR(-ln((COALESCE(c2.c2, 0) + 1.0)
+      |                        / (COALESCE(c1.c1, 0) + v.v)) * 1000) AS BIGINT) AS nll_milli
+      |       FROM docbi d LEFT JOIN c2 ON c2.w1 = d.w1 AND c2.w2 = d.w2
+      |         LEFT JOIN c1 ON c1.w1 = d.w1, v),
+      |src AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+      |          CAST(SUM(nll_milli) AS BIGINT) AS sum_milli
+      |        FROM nb GROUP BY 1),
+      |tot AS (SELECT CAST(SUM(sum_milli) AS BIGINT) AS ts,
+      |          CAST(SUM(n_bigrams) AS BIGINT) AS tn FROM src),
+      |ex AS (SELECT s.source, s.n_bigrams,
+      |         s.sum_milli // s.n_bigrams AS mean_nll_milli,
+      |         tot.ts // tot.tn AS corpus_mean_milli,
+      |         s.sum_milli // s.n_bigrams - tot.ts // tot.tn AS excess_milli
+      |       FROM src s, tot),
+      |wn AS (SELECT CAST(SUM(1 + GREATEST(excess_milli, 0)) AS BIGINT) AS wsum FROM ex)
+      |SELECT ex.source, ex.n_bigrams,
+      |  CAST(ex.mean_nll_milli AS BIGINT) AS mean_nll_milli,
+      |  CAST(ex.corpus_mean_milli AS BIGINT) AS corpus_mean_milli,
+      |  CAST(ex.excess_milli AS BIGINT) AS excess_milli,
+      |  CAST(((1 + GREATEST(ex.excess_milli, 0)) * 1000000) // wn.wsum AS BIGINT) AS weight_micro
+      |FROM ex, wn
+      |ORDER BY ex.source""".stripMargin) { (s, dir) =>
+    val t = docsWithTokens(s, dir)
+    def bi(d: DataFrame, keep: Column*): DataFrame = d
+      .filter(size(col("toks")) >= 2)
+      .select(keep :+ explode(expr(
+        "transform(sequence(1, size(toks) - 1), i -> struct(toks[i-1] AS w1, toks[i] AS w2))")).as("b"): _*)
+      .select(keep :+ col("b.w1").as("w1") :+ col("b.w2").as("w2"): _*)
+    val ref = t.filter(col("lang") === "en")
+    val refBi = bi(ref)
+    val c2 = refBi.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c2"))
+    val c1 = refBi.groupBy(col("w1")).agg(count(lit(1)).as("c1"))
+    val v = ref.select(explode(col("toks")).as("word"))
+      .agg(countDistinct(col("word")).as("v"))
+    val nllMilli = floor(-log(
+      (coalesce(col("c2"), lit(0L)) + lit(1.0)) /
+        (coalesce(col("c1"), lit(0L)).cast("double") + col("v"))) * 1000).cast("long")
+    val src = bi(t, col("source"))
+      .join(broadcast(c2), Seq("w1", "w2"), "left")
+      .join(broadcast(c1), Seq("w1"), "left")
+      .crossJoin(broadcast(v))
+      .select(col("source"), nllMilli.as("nll_milli"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("nll_milli")).as("sum_milli"))
+    val tot = src.agg(sum(col("sum_milli")).as("ts"), sum(col("n_bigrams")).as("tn"))
+    val ex = src.crossJoin(broadcast(tot))
+      .select(col("source"), col("n_bigrams"),
+        expr("sum_milli div n_bigrams").as("mean_nll_milli"),
+        expr("ts div tn").as("corpus_mean_milli"),
+        expr("sum_milli div n_bigrams - ts div tn").as("excess_milli"))
+    val wn = ex.agg(sum(lit(1L) + greatest(col("excess_milli"), lit(0L))).as("wsum"))
+    ex.crossJoin(broadcast(wn))
+      .select(col("source"), col("n_bigrams"),
+        col("mean_nll_milli").cast("long"), col("corpus_mean_milli").cast("long"),
+        col("excess_milli").cast("long"),
+        expr("CAST(((1 + GREATEST(excess_milli, 0)) * 1000000) div wsum AS BIGINT)").as("weight_micro"))
+      .orderBy(col("source"))
+  }
+
+  /** Retrieval length-bias audit (Robertson & Zaragoza 2009 §4.4: BM25's
+    * b exists to cancel the long-document prior; this measures whether
+    * it DID): per query, the mean length of the top-10 retrieved docs
+    * against the corpus mean, as the exact ratio bias = (Σdl_ret·N)/
+    * (n_ret·T) in floor micros — bias ≫ 1 means the ranker still
+    * prefers long docs (b too low), ≪ 1 short ones (b too high). All
+    * integers: dl, N, T are exact; one floor division per query.
+    *
+    * Shape: the q136 run (its own documented cost) joined to the
+    * (doc_id, dl) relation it already built, + a broadcast corpus
+    * scalar — the audit itself is 10-rows-per-query cheap. */
+  val q219LengthBias: QueryDef = sql(
+    "q219_length_bias",
+    s"""WITH $bm25PrefixSql,
+      |bscore AS (
+      |${bm25ScoreSql("qt")}),
+      |run AS (SELECT query_id, doc_id FROM (
+      |          SELECT query_id, doc_id,
+      |            ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY raw DESC, doc_id) AS lex_rank
+      |          FROM bscore) WHERE lex_rank <= 10),
+      |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(dl) AS BIGINT) AS t FROM dl)
+      |SELECT r.query_id,
+      |  CAST(COUNT(*) AS BIGINT) AS n_ret,
+      |  CAST((SUM(l.dl) * 1000) // COUNT(*) AS BIGINT) AS mean_dl_milli,
+      |  CAST((MAX(tot.t) * 1000) // MAX(tot.n) AS BIGINT) AS corpus_mean_dl_milli,
+      |  CAST((SUM(l.dl) * MAX(tot.n) * 1000000) // (COUNT(*) * MAX(tot.t)) AS BIGINT) AS bias_micro
+      |FROM run r JOIN dl l ON l.doc_id = r.doc_id, tot
+      |GROUP BY r.query_id
+      |ORDER BY r.query_id""".stripMargin) { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val (tf, dl, df) = postingsIndex(s, Tables.documents(s, dir))
+    val stats = dl.agg(count(lit(1)).as("n_docs"), avg(col("dl")).as("avgdl"))
+    val qt = tf.filter(col("doc_id") % 100 === 0)
+      .select(col("doc_id").as("query_id"), col("word"))
+    val term = log(lit(1.0) + (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5))) *
+      (col("tf") * lit(2.2)) /
+      (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / col("avgdl")))
+    val run = broadcast(qt).join(tf, Seq("word"))
+      .filter(col("doc_id") =!= col("query_id"))
+      .join(broadcast(df), Seq("word"))
+      .join(dl, Seq("doc_id"))
+      .crossJoin(broadcast(stats))
+      .groupBy(col("query_id"), col("doc_id")).agg(sum(term).as("raw"))
+      .withColumn("lex_rank", row_number().over(
+        Window.partitionBy(col("query_id")).orderBy(col("raw").desc, col("doc_id"))))
+      .filter(col("lex_rank") <= 10)
+      .select(col("query_id"), col("doc_id"))
+    val tot = dl.agg(count(lit(1)).cast("long").as("n"), sum(col("dl")).cast("long").as("t"))
+    run.join(dl, Seq("doc_id"))
+      .crossJoin(broadcast(tot))
+      .groupBy(col("query_id"))
+      .agg(count(lit(1)).as("n_ret"),
+        expr("CAST((SUM(dl) * 1000) div COUNT(*) AS BIGINT)").as("mean_dl_milli"),
+        expr("CAST((MAX(t) * 1000) div MAX(n) AS BIGINT)").as("corpus_mean_dl_milli"),
+        expr("CAST((SUM(dl) * MAX(n) * 1000000) div (COUNT(*) * MAX(t)) AS BIGINT)").as("bias_micro"))
+      .orderBy(col("query_id"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     q21TextStats, q22WordFreq, q23BigramFreq, q24LangId, q25QualityScore,
     q26Fingerprint, q27TokenRegex, q62TrainSplit, q64TermFreqMap,
@@ -4308,5 +4557,6 @@ object TextOps {
     q170CompactionPlan, q176TimeTravel, q197PassageRetrieval, q198RrfSweep,
     q200CorpusScorecard, q201ZipfAudit, q202HeapsGrowth, q204BudgetSelect,
     q205NdcgEval, q206CollisionEntropy, q207KneserNey, q210CodeSwitch,
-    q211QualityAnova, q212BitextMining, q213SourceJackknife, q215GoodTuring)
+    q211QualityAnova, q212BitextMining, q213SourceJackknife, q215GoodTuring,
+    q216LDiversity, q217PackingSweep, q218DomainReweight, q219LengthBias)
 }

@@ -227,6 +227,73 @@ class CurationAuditSpec extends SparkSpec {
     }
   }
 
+  test("q216: classes reconcile with q195's k view and homogeneous classes flag l_risky") {
+    val rows = TextOps.q216LDiversity.run(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(3) >= 1 && r.getLong(3) <= r.getLong(2),
+        "1 <= l <= k in every class")
+      assert(r.getBoolean(4) == (r.getLong(2) < 5))
+      assert(r.getBoolean(5) == (r.getLong(3) < 2))
+    }
+    // the attack k-anonymity misses: at least one class that passes k
+    // but fails l, or vice versa, must exist on a natural corpus — and
+    // totals reconcile with the corpus
+    val total = rows.map(_.getLong(2)).sum
+    assert(total == graft.sources.Tables.documents(spark, sfDir).count())
+  }
+
+  test("q217: sweep invariants — crossings fall as L grows, chunks re-derive, fill <= 1") {
+    val rows = TextOps.q217PackingSweep.run(spark, sfDir).collect()
+    assert(rows.map(_.getLong(0)).toSeq == Seq(64L, 128L, 256L, 512L))
+    val t = rows.head.getLong(2)
+    assert(rows.forall(_.getLong(2) == t), "token volume is L-independent")
+    val crossings = rows.map(_.getLong(5))
+    assert(crossings.zip(crossings.tail).forall { case (a, b) => a >= b },
+      "a longer context can only reduce boundary crossings")
+    rows.foreach { r =>
+      val l = r.getLong(0)
+      assert(r.getLong(3) == (t + l - 1) / l, "chunk count re-derives")
+      assert(r.getLong(6) <= 1000000L && r.getLong(6) > 0)
+      assert(r.getLong(4) <= r.getLong(5), "split docs <= crossings")
+    }
+    // cross-check the 128 row against the materialized q130 layout
+    val chunks130 = TextOps.q130SequencePacking.run(spark, sfDir)
+    val nChunks = chunks130.select(col("chunk_id")).distinct().count()
+    assert(rows(1).getLong(3) == nChunks, "sweep at L=128 must match q130's chunk count")
+  }
+
+  test("q218: weights normalize to ~1e6 and only above-average-loss sources get excess") {
+    val rows = TextOps.q218DomainReweight.run(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val corpusMean = rows.head.getLong(3)
+    assert(rows.forall(_.getLong(3) == corpusMean))
+    rows.foreach { r =>
+      assert(r.getLong(4) == r.getLong(2) - corpusMean, "excess re-derives")
+    }
+    val wsum = rows.map(_.getLong(5)).sum
+    assert(wsum <= 1000000L && wsum > 1000000L - rows.length,
+      s"floor-normalized weights must sum to 1e6 minus at most k-1 remainder, got $wsum")
+    // the en slice trains the model, so en-heavy sources should sit at
+    // or below the corpus mean more often than not — weak sanity only:
+    assert(rows.exists(_.getLong(4) > 0) || rows.forall(_.getLong(4) == 0))
+  }
+
+  test("q219: bias ratio re-derives and retrieved sets are 10 docs") {
+    val rows = TextOps.q219LengthBias.run(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val corpusMean = rows.head.getLong(3)
+    rows.foreach { r =>
+      assert(r.getLong(1) == 10L, "BM25 run serves exactly top-10 per query")
+      assert(r.getLong(3) == corpusMean)
+      // bias_micro = mean_ret/corpus_mean in micros (floor arithmetic
+      // introduces at most 1 milli of slack in the re-derivation)
+      val approx = r.getLong(2) * 1000000L / corpusMean
+      assert(math.abs(r.getLong(4) - approx) <= 1000,
+        s"bias ${r.getLong(4)} vs re-derived $approx")
+    }
+  }
+
   test("q210: a half-and-half marker doc flags mixed; a pure doc does not") {
     val dir = plantedDir(Seq(
       (1L, "the a the a data value data value", "en"),  // en+de markers, 4+4
