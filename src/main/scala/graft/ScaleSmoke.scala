@@ -135,7 +135,9 @@ object ScaleSmoke {
       "q208_label_noise", "q209_threshold_sweep", "q210_code_switch",
       "q211_quality_anova", "q212_bitext_mining", "q213_source_jackknife",
       "q214_nprobe_sweep", "q215_good_turing", "q216_l_diversity",
-      "q217_packing_sweep", "q218_domain_reweight", "q219_length_bias")
+      "q217_packing_sweep", "q218_domain_reweight", "q219_length_bias",
+      // q220 inherits the q132/q144 md5-vocab worst-case note
+      "q220_merge_sweep", "q221_brier_decomp")
     // SPARK_GRAFT_SMOKE_ONLY=q123,q124 limits a run to matching targets —
     // the same local profiling aid as Bench's SPARK_GRAFT_BENCH_ONLY
     val selected = sys.env.get("SPARK_GRAFT_SMOKE_ONLY")

@@ -382,6 +382,78 @@ object Classifier {
       .orderBy(col("noise_rank"))
   }
 
+  /** Calibration error and Brier decomposition over the margin deciles
+    * (Murphy JAM'73's REL − RES + UNC partition; Naeini et al. AAAI'15's
+    * ECE; the decile forecast f_k = (2k−1)/20 asks "does the score's
+    * RANK track the positive rate?" — the quantile-calibration question
+    * q182's raw table leaves to the reader): per decile the forecast,
+    * the exact positive rate, and their gap; plus the corpus constants
+    * ECE = Σn_k·|f_k−p_k|/N, REL = Σn_k(f_k−p_k)²/N, RES =
+    * Σn_k(p_k−p̄)²/N, UNC = p̄(1−p̄) and Brier = REL − RES + UNC. All
+    * arithmetic is exact milli/micro floor-integers from exact counts —
+    * squares of millis are micros, no floats anywhere.
+    *
+    * Shape: q182's serving pass + NTILE window + a 10-row aggregate and
+    * broadcast constants — nothing new at corpus scale. */
+  val q221BrierDecomp: QueryDef = sql(
+    "q221_brier_decomp",
+    s"""WITH $trainedMarginsSql,
+       |served AS (SELECT l.doc_id, l.y,
+       |             NTILE(10) OVER (ORDER BY mf.margin, l.doc_id) AS decile
+       |           FROM lab l JOIN mf USING (doc_id)),
+       |d AS (SELECT decile, CAST(COUNT(*) AS BIGINT) AS n,
+       |        CAST(SUM(CASE WHEN y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+       |        CAST((2 * decile - 1) * 50 AS BIGINT) AS f_milli,
+       |        CAST(SUM(CASE WHEN y = 1 THEN 1 ELSE 0 END) * 1000 // COUNT(*) AS BIGINT) AS p_milli
+       |      FROM served GROUP BY 1),
+       |tot AS (SELECT CAST(SUM(n) AS BIGINT) AS nn,
+       |          CAST((SUM(n_pos) * 1000) // SUM(n) AS BIGINT) AS pbar_milli
+       |        FROM d),
+       |c AS (SELECT
+       |        CAST(SUM(d.n * ABS(d.f_milli - d.p_milli)) // tot.nn AS BIGINT) AS ece_milli,
+       |        CAST(SUM(d.n * (d.f_milli - d.p_milli) * (d.f_milli - d.p_milli)) // tot.nn AS BIGINT) AS rel_micro,
+       |        CAST(SUM(d.n * (d.p_milli - tot.pbar_milli) * (d.p_milli - tot.pbar_milli)) // tot.nn AS BIGINT) AS res_micro,
+       |        CAST(tot.pbar_milli * (1000 - tot.pbar_milli) // 1000 AS BIGINT) AS unc_micro
+       |      FROM d, tot GROUP BY tot.nn, tot.pbar_milli)
+       |SELECT CAST(d.decile AS BIGINT) AS decile, d.n, d.n_pos,
+       |  d.f_milli, d.p_milli,
+       |  CAST(ABS(d.f_milli - d.p_milli) AS BIGINT) AS gap_milli,
+       |  c.ece_milli, c.rel_micro, c.res_micro, c.unc_micro,
+       |  CAST(c.rel_micro - c.res_micro + c.unc_micro AS BIGINT) AS brier_micro
+       |FROM d, c
+       |ORDER BY decile""".stripMargin) { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.fanOut(Tables.documents(s, dir))
+    val feats = hashedFeatures(docs)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val labels = docs.select(col("doc_id"),
+      when(col("lang") === "en", 1L).otherwise(-1L).as("y"))
+    val served = perceptronScore(feats, perceptronTrain(feats, labels, rounds = 3))
+      .join(labels, "doc_id")
+      .withColumn("decile", ntile(10).over(
+        Window.orderBy(col("margin"), col("doc_id"))).cast("long"))
+    val d = served.groupBy(col("decile"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("y") === 1L, 1L).otherwise(0L)).as("n_pos"))
+      .select(col("decile"), col("n"), col("n_pos"),
+        ((lit(2) * col("decile") - 1) * 50).cast("long").as("f_milli"),
+        expr("CAST(n_pos * 1000 div n AS BIGINT)").as("p_milli"))
+    val tot = d.agg(sum(col("n")).as("nn"),
+      expr("CAST((SUM(n_pos) * 1000) div SUM(n) AS BIGINT)").as("pbar_milli"))
+    val c = d.crossJoin(broadcast(tot))
+      .agg(
+        expr("CAST(SUM(n * ABS(f_milli - p_milli)) div MAX(nn) AS BIGINT)").as("ece_milli"),
+        expr("CAST(SUM(n * (f_milli - p_milli) * (f_milli - p_milli)) div MAX(nn) AS BIGINT)").as("rel_micro"),
+        expr("CAST(SUM(n * (p_milli - pbar_milli) * (p_milli - pbar_milli)) div MAX(nn) AS BIGINT)").as("res_micro"),
+        expr("CAST(MAX(pbar_milli) * (1000 - MAX(pbar_milli)) div 1000 AS BIGINT)").as("unc_micro"))
+    d.crossJoin(broadcast(c))
+      .select(col("decile"), col("n"), col("n_pos"), col("f_milli"), col("p_milli"),
+        abs(col("f_milli") - col("p_milli")).cast("long").as("gap_milli"),
+        col("ece_milli"), col("rel_micro"), col("res_micro"), col("unc_micro"),
+        (col("rel_micro") - col("res_micro") + col("unc_micro")).cast("long").as("brier_micro"))
+      .orderBy(col("decile"))
+  }
+
   val all: Seq[QueryDef] = Seq(q127Perceptron, q182Calibration, q193Conformal,
-    q203AnnotatorKappa, q208LabelNoise)
+    q203AnnotatorKappa, q208LabelNoise, q221BrierDecomp)
 }

@@ -76,27 +76,38 @@ object Tokenizer {
       .agg(expr("transform(array_sort(collect_list(struct(i, tok))), x -> x.tok)").as("syms"))
   }
 
-  /** Train `rounds` BPE merges over the corpus word counts; returns the
-    * final per-word symbolization (word, cnt, bpe, n_syms). */
-  def bpeTrain(docs: DataFrame, rounds: Int): DataFrame = {
+  /** The training TRAJECTORY: the (word, cnt, syms) inventory after each
+    * of 0..rounds merges (index m = inventory under the first m merges).
+    * Intermediate inventories stay persisted — [[q220MergeSweep]] reads
+    * all of them; [[bpeTrain]] reads only the last. */
+  def bpeTrajectory(docs: DataFrame, rounds: Int): Seq[DataFrame] = {
     import org.apache.spark.storage.StorageLevel
     val words = docs.select(explode(split(col("text"), " ")).as("word"))
       .filter(col("word") =!= "")
       .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
-    var w = words.withColumn("syms",
+    val w0 = words.withColumn("syms",
         expr("transform(sequence(1, length(word)), i -> substring(word, i, 1))"))
       .persist(StorageLevel.MEMORY_AND_DISK)
+    val traj = Seq.newBuilder[DataFrame]
+    traj += w0
+    var w = w0
     for (_ <- 1 to rounds)
       bestPair(w).foreach { case (s1, s2, _) =>
         val next = mergeRound(w, s1, s2).persist(StorageLevel.MEMORY_AND_DISK)
-        next.count() // materialize before dropping the parent
-        w.unpersist()
+        next.count() // materialize before the parent's plan goes cold
         w = next
+        traj += next
       }
-    w.select(col("word"), col("cnt"),
-      concat_ws(" ", col("syms")).as("bpe"),
-      size(col("syms")).cast("long").as("n_syms"))
+    traj.result()
   }
+
+  /** Train `rounds` BPE merges over the corpus word counts; returns the
+    * final per-word symbolization (word, cnt, bpe, n_syms). */
+  def bpeTrain(docs: DataFrame, rounds: Int): DataFrame =
+    bpeTrajectory(docs, rounds).last
+      .select(col("word"), col("cnt"),
+        concat_ws(" ", col("syms")).as("bpe"),
+        size(col("syms")).cast("long").as("n_syms"))
 
   /** One unrolled oracle round k: pair counts → winner → positional merge
     * via the same run-grouping window algebra. */
@@ -209,5 +220,59 @@ object Tokenizer {
       .orderBy(col("word"))
   }
 
-  val all: Seq[QueryDef] = Seq(q132BpeTrain, q144BpeEncode)
+  /** Merge-budget sweep — tokenizer economics from ONE training run
+    * (Sennrich 2016 leaves vocab size to the engineer; Rust et al.
+    * ACL'21 measure exactly this compression/fertility trade per
+    * budget): because a BPE vocabulary is a PREFIX of the merge list,
+    * evaluating budgets m = 0..3 means reading the q132 trajectory's
+    * per-round inventories — never retraining. Per budget: the symbol
+    * inventory size, corpus token count Σ cnt·|syms|, and compression
+    * (chars per token) in exact floor-micros. Each added merge can only
+    * shrink corpus tokens and grow the inventory — the monotone curve a
+    * tokenizer owner picks a budget from.
+    *
+    * Shape: the q132 round loop (vocab-sized after the one corpus word
+    * count) + four inventory-sized aggregates, unioned. The oracle
+    * reuses the unrolled round CTEs verbatim, so the sweep hashes the
+    * whole trajectory. */
+  val q220MergeSweep: QueryDef = sql(
+    "q220_merge_sweep",
+    s"""WITH wc AS (SELECT word, COUNT(*) AS cnt FROM (
+       |    SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+       |  WHERE word <> '' GROUP BY 1),
+       |w0 AS (SELECT word, cnt,
+       |    list_transform(range(1, len(word) + 1), i -> substr(word, i, 1)) AS syms
+       |  FROM wc),
+       |${roundSql(1)},
+       |${roundSql(2)},
+       |${roundSql(3)},
+       |${(0 to 3).map(m =>
+         s"""s$m AS (SELECT $m AS n_merges,
+            |  (SELECT COUNT(DISTINCT sym) FROM (SELECT unnest(syms) AS sym FROM w$m)) AS vocab_syms,
+            |  CAST(SUM(cnt * len(syms)) AS BIGINT) AS corpus_tokens,
+            |  CAST(SUM(cnt * len(word)) AS BIGINT) AS corpus_chars
+            |  FROM w$m)""".stripMargin).mkString(",\n")}
+       |SELECT CAST(n_merges AS BIGINT) AS n_merges,
+       |  CAST(vocab_syms AS BIGINT) AS vocab_syms, corpus_tokens,
+       |  CAST((corpus_chars * 1000000) // corpus_tokens AS BIGINT) AS chars_per_token_micro
+       |FROM (SELECT * FROM s0 UNION ALL SELECT * FROM s1
+       |      UNION ALL SELECT * FROM s2 UNION ALL SELECT * FROM s3)
+       |ORDER BY n_merges""".stripMargin) { (s, dir) =>
+    val traj = bpeTrajectory(Tables.fanOut(Tables.documents(s, dir)), rounds = 3)
+    val stages = traj.zipWithIndex.map { case (w, m) =>
+      val vocab = w.select(explode(col("syms")).as("sym"))
+        .agg(countDistinct(col("sym")).as("vocab_syms"))
+      w.agg(
+          sum(col("cnt") * size(col("syms"))).cast("long").as("corpus_tokens"),
+          sum(col("cnt") * length(col("word"))).cast("long").as("corpus_chars"))
+        .crossJoin(broadcast(vocab))
+        .select(lit(m.toLong).as("n_merges"), col("vocab_syms").cast("long"),
+          col("corpus_tokens"),
+          expr("CAST((corpus_chars * 1000000) div corpus_tokens AS BIGINT)")
+            .as("chars_per_token_micro"))
+    }
+    stages.reduce(_ unionAll _).orderBy(col("n_merges"))
+  }
+
+  val all: Seq[QueryDef] = Seq(q132BpeTrain, q144BpeEncode, q220MergeSweep)
 }

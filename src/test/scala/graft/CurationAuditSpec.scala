@@ -294,6 +294,38 @@ class CurationAuditSpec extends SparkSpec {
     }
   }
 
+  test("q220: each merge shrinks corpus tokens, grows the inventory, and m=0 is exactly char-level") {
+    val rows = graft.ops.Tokenizer.q220MergeSweep.run(spark, sfDir).collect()
+    assert(rows.map(_.getLong(0)).toSeq == Seq(0L, 1L, 2L, 3L))
+    assert(rows.head.getLong(3) == 1000000L,
+      "zero merges tokenize to characters: chars per token is exactly 1")
+    val toks = rows.map(_.getLong(2))
+    assert(toks.zip(toks.tail).forall { case (a, b) => a > b },
+      "every applied merge must strictly shrink the corpus token count")
+    val vocab = rows.map(_.getLong(1))
+    assert(vocab.zip(vocab.tail).forall { case (a, b) => a <= b + 2 && b >= a },
+      "each merge adds (at most) one new symbol and retires none by construction")
+    val cpt = rows.map(_.getLong(3))
+    assert(cpt.zip(cpt.tail).forall { case (a, b) => a <= b },
+      "compression improves monotonically with the merge budget")
+  }
+
+  test("q221: decomposition identities hold and masses reconcile") {
+    val rows = Classifier.q221BrierDecomp.run(spark, sfDir).collect()
+    assert(rows.length == 10)
+    val n = graft.sources.Tables.documents(spark, sfDir).count()
+    assert(rows.map(_.getLong(1)).sum == n, "deciles partition the corpus")
+    val (ece, rel, res, unc, brier) = (rows.head.getLong(6), rows.head.getLong(7),
+      rows.head.getLong(8), rows.head.getLong(9), rows.head.getLong(10))
+    assert(rows.forall(r => r.getLong(6) == ece && r.getLong(10) == brier))
+    assert(brier == rel - res + unc, "Murphy's partition must re-derive")
+    assert(ece >= 0 && ece <= 1000 && unc >= 0 && unc <= 250000)
+    rows.foreach { r =>
+      assert(r.getLong(5) == math.abs(r.getLong(3) - r.getLong(4)))
+      assert(r.getLong(4) >= 0 && r.getLong(4) <= 1000)
+    }
+  }
+
   test("q210: a half-and-half marker doc flags mixed; a pure doc does not") {
     val dir = plantedDir(Seq(
       (1L, "the a the a data value data value", "en"),  // en+de markers, 4+4

@@ -587,4 +587,56 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), s"the eval relation must broadcast:\n$p")
     assert(!p.contains("CartesianProduct"), s"pairing must stay cluster-blocked:\n$p")
   }
+
+  test("q204: every window in the budget-selection plan is partitioned (no global sort task on the corpus)") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Window => LWindow}
+    val plan = graft.ops.TextOps.q204BudgetSelect.run(spark, sfDir)
+      .queryExecution.optimizedPlan
+    val windows = plan.collect { case w: LWindow => w }
+    assert(windows.nonEmpty)
+    val (global, parted) = windows.partition(_.partitionSpec.isEmpty)
+    assert(parted.nonEmpty, "the per-block cumsum must be a partitioned window")
+    // the only permissible un-partitioned window is the ≤101-row block
+    // offset relation, which is fed by an aggregate, never the doc scan
+    global.foreach { w =>
+      val feeds = w.collect { case a: Aggregate => a }
+      assert(feeds.nonEmpty,
+        s"a global window may only range over the block aggregate:\n$w")
+    }
+  }
+
+  test("q211/q213: the quality screens are one aggregate + broadcast scalars — no shuffle joins") {
+    for (q <- Seq(graft.ops.TextOps.q211QualityAnova, graft.ops.TextOps.q213SourceJackknife)) {
+      val df = q.run(spark, sfDir)
+      df.collect() // finalize the adaptive plan before inspecting it
+      val p = planOf(df)
+      assert(!p.contains("SortMergeJoin"), s"${q.name} must not shuffle-join:\n$p")
+      assert(p.contains("Partial") || p.contains("partial_"), p)
+    }
+  }
+
+  test("q214: the probe grid and query routes broadcast into the serving join") {
+    val p = planOf(Similarity.q214NprobeSweep.run(spark, sfDir))
+    assert(p.contains("BroadcastHashJoin"), s"routes must broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"candidates must come from bucket equi-joins:\n$p")
+  }
+
+  test("q217: the packing sweep reuses one start relation — no per-length prefix sums") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    val plan = graft.ops.TextOps.q217PackingSweep.run(spark, sfDir)
+      .queryExecution.optimizedPlan
+    val windows = plan.collect { case w: LWindow => w }
+    assert(windows.size == 1,
+      s"exactly one per-partition cumsum must serve all four lengths:\n${windows.mkString("\n")}")
+    assert(windows.forall(_.partitionSpec.nonEmpty),
+      "the corpus-global window belongs to the oracle only")
+  }
+
+  test("q219: query terms broadcast into the postings join and the audit adds no extra corpus pass") {
+    val p = planOf(graft.ops.TextOps.q219LengthBias.run(spark, sfDir))
+    assert(p.contains("BroadcastHashJoin"), s"qt must broadcast:\n$p")
+    assert(p.contains("TakeOrdered") || p.contains("WindowGroupLimit") || p.contains("RunningWindowFunction") || p.contains("Window"),
+      s"per-query top-k must be cut before the audit join:\n$p")
+  }
 }
