@@ -137,7 +137,8 @@ object ScaleSmoke {
       "q214_nprobe_sweep", "q215_good_turing", "q216_l_diversity",
       "q217_packing_sweep", "q218_domain_reweight", "q219_length_bias",
       // q220 inherits the q132/q144 md5-vocab worst-case note
-      "q220_merge_sweep", "q221_brier_decomp", "q222_audio_fingerprint")
+      "q220_merge_sweep", "q221_brier_decomp", "q222_audio_fingerprint",
+      "q223_robust_scale", "q224_burstiness", "q225_ks_drift")
     // SPARK_GRAFT_SMOKE_ONLY=q123,q124 limits a run to matching targets —
     // the same local profiling aid as Bench's SPARK_GRAFT_BENCH_ONLY
     val selected = sys.env.get("SPARK_GRAFT_SMOKE_ONLY")

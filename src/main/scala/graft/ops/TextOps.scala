@@ -4540,6 +4540,175 @@ object TextOps {
       .orderBy(col("query_id"))
   }
 
+  /** Robust per-source score normalization (median/IQR scaling — Huber
+    * 1981's robust statistics applied to the practical problem Rousseeuw
+    * & Croux 1993 state plainly: means and standard deviations are
+    * themselves corrupted by the outliers a quality pipeline is hunting,
+    * and a score comparable ACROSS sources needs per-source location/
+    * scale): each doc's quality (q211's exact kilo-integer) is centered
+    * on its SOURCE's median and scaled by its source's IQR, both exact
+    * order statistics (q193's rank device, lower-median/quartile
+    * convention), emitting the robust z in floor-millis and the |z| > 3
+    * outlier flag. This is how one keep-threshold can govern sources
+    * with different score distributions.
+    *
+    * Shape: one scan + per-source rank windows (partitioned by source —
+    * distributed) + a k-row quartile relation broadcast back into the
+    * scan. No global windows. */
+  val q223RobustScale: QueryDef = sql(
+    "q223_robust_scale",
+    """WITH q AS (
+      |  SELECT doc_id, source, CAST(FLOOR(1000.0 *
+      |    ((CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks))
+      |      * (1.0 - CAST(len(list_filter(toks, x -> x = 'the' OR x = 'a')) AS DOUBLE) / len(toks))
+      |      * LEAST(1.0, CAST(len(toks) AS DOUBLE) / 50.0))) AS BIGINT) AS x
+      |  FROM (SELECT doc_id, source, string_split(text, ' ') AS toks FROM documents)),
+      |r AS (SELECT doc_id, source, x,
+      |        ROW_NUMBER() OVER (PARTITION BY source ORDER BY x, doc_id) AS rn,
+      |        COUNT(*) OVER (PARTITION BY source) AS n
+      |      FROM q),
+      |st AS (SELECT source,
+      |         MAX(CASE WHEN rn = (n + 1) // 2 THEN x END) AS med,
+      |         MAX(CASE WHEN rn = (n + 1) // 4 THEN x END) AS q1,
+      |         MAX(CASE WHEN rn = (3 * (n + 1)) // 4 THEN x END) AS q3
+      |       FROM r GROUP BY 1)
+      |SELECT r.doc_id, r.source, r.x AS quality_kilo,
+      |  CAST(st.med AS BIGINT) AS med_kilo,
+      |  CAST(GREATEST(st.q3 - st.q1, 1) AS BIGINT) AS iqr_kilo,
+      |  CAST(((r.x - st.med) * 1000) // GREATEST(st.q3 - st.q1, 1) AS BIGINT) AS rz_milli,
+      |  (ABS(((r.x - st.med) * 1000) // GREATEST(st.q3 - st.q1, 1)) > 3000) AS outlier
+      |FROM r JOIN st USING (source)
+      |ORDER BY r.doc_id""".stripMargin) { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val q = docsWithTokens(s, dir)
+      .withColumn("n_tokens", size(col("toks")))
+      .withColumn("n_stop", expr("size(filter(toks, x -> x = 'the' OR x = 'a'))"))
+      .withColumn("n_uniq", size(array_distinct(col("toks"))))
+      .select(col("doc_id"), col("source"),
+        floor(lit(1000.0) *
+          ((col("n_uniq").cast("double") / col("n_tokens")) *
+            (lit(1.0) - col("n_stop").cast("double") / col("n_tokens")) *
+            least(lit(1.0), col("n_tokens").cast("double") / 50.0))).cast("long").as("x"))
+    val w = Window.partitionBy(col("source"))
+    val r = q
+      .withColumn("rn", row_number().over(w.orderBy(col("x"), col("doc_id"))))
+      .withColumn("n", count(lit(1)).over(w))
+    val st = r.groupBy(col("source")).agg(
+      max(when(col("rn") === expr("(n + 1) div 2"), col("x"))).as("med"),
+      max(when(col("rn") === expr("(n + 1) div 4"), col("x"))).as("q1"),
+      max(when(col("rn") === expr("(3 * (n + 1)) div 4"), col("x"))).as("q3"))
+    r.join(broadcast(st), Seq("source"))
+      .select(col("doc_id"), col("source"), col("x").as("quality_kilo"),
+        col("med").cast("long").as("med_kilo"),
+        greatest(col("q3") - col("q1"), lit(1L)).cast("long").as("iqr_kilo"),
+        expr("CAST(((x - med) * 1000) div GREATEST(q3 - q1, 1) AS BIGINT)").as("rz_milli"),
+        (abs(expr("((x - med) * 1000) div GREATEST(q3 - q1, 1)")) > 3000).as("outlier"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Word burstiness audit (Church & Gale 1995; Katz 1996: content
+    * words CLUMP — their total count concentrates in few documents —
+    * while function words spread evenly; burstiness cf/df separates
+    * them, which is why idf works and which words deserve stop-listing
+    * or phrase treatment): for every word with cf ≥ 20, the collection
+    * frequency, document frequency, and burstiness = cf·1000 div df in
+    * exact floor-millis (mean occurrences per CONTAINING doc), top-50
+    * burstiest. All exact integers.
+    *
+    * Shape: one (word, doc) count → word-level aggregate (both
+    * map-side-combined) + a TakeOrderedAndProject top-k. */
+  val q224Burstiness: QueryDef = sql(
+    "q224_burstiness",
+    """WITH wd AS (SELECT word, doc_id, COUNT(*) AS c
+      |            FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents)
+      |            GROUP BY 1, 2),
+      |w AS (SELECT word, CAST(SUM(c) AS BIGINT) AS cf,
+      |        CAST(COUNT(*) AS BIGINT) AS df
+      |      FROM wd GROUP BY 1)
+      |SELECT word, cf, df, CAST((cf * 1000) // df AS BIGINT) AS burst_milli
+      |FROM w
+      |WHERE cf >= 20
+      |ORDER BY burst_milli DESC, word
+      |LIMIT 50""".stripMargin) { (s, dir) =>
+    docsWithTokens(s, dir)
+      .select(col("doc_id"), explode(col("toks")).as("word"))
+      .groupBy(col("word"), col("doc_id")).agg(count(lit(1)).as("c"))
+      .groupBy(col("word"))
+      .agg(sum(col("c")).cast("long").as("cf"), count(lit(1)).cast("long").as("df"))
+      .filter(col("cf") >= 20)
+      .select(col("word"), col("cf"), col("df"),
+        expr("CAST((cf * 1000) div df AS BIGINT)").as("burst_milli"))
+      .orderBy(col("burst_milli").desc, col("word"))
+      .limit(50)
+  }
+
+  /** Per-source length-distribution drift by the Kolmogorov–Smirnov
+    * statistic (Kolmogorov 1933; Massey JASA'51 — the distribution-free
+    * two-sample gap every data-monitoring stack reaches for): for each
+    * source, D = max over observed lengths of |F_source(v) − F_corpus(v)|,
+    * computed EXACTLY by cross-multiplication — the cell gap is
+    * |c_s(v)·N − c(v)·n_s| over n_s·N, and the max then one floor-micro
+    * division — so the supremum never touches a float. A drifted source
+    * (scrape truncation, boilerplate injection, template change) shows
+    * up as a D step long before a mean shifts.
+    *
+    * Shape: per-(source, length) counts, cumulated by a window
+    * PARTITIONED BY SOURCE over the (bounded) distinct-length axis on a
+    * broadcast value grid; corpus cumulative counts ride the same grid.
+    * Nothing global, nothing corpus-scale after the first aggregate. */
+  val q225KsDrift: QueryDef = sql(
+    "q225_ks_drift",
+    """WITH l AS (SELECT source, n_chars AS v FROM documents),
+      |vals AS (SELECT DISTINCT v FROM l),
+      |src AS (SELECT source, COUNT(*) AS n_s FROM l GROUP BY 1),
+      |sc AS (SELECT source, v, COUNT(*) AS c FROM l GROUP BY 1, 2),
+      |grid AS (SELECT s.source, s.n_s, vals.v, COALESCE(sc.c, 0) AS c
+      |         FROM src s CROSS JOIN vals
+      |         LEFT JOIN sc ON sc.source = s.source AND sc.v = vals.v),
+      |cum AS (SELECT source, n_s, v,
+      |          SUM(c) OVER (PARTITION BY source ORDER BY v) AS cs
+      |        FROM grid),
+      |corpus AS (SELECT v, SUM(c) AS cv FROM grid GROUP BY 1),
+      |ccum AS (SELECT v, CAST(SUM(cv) OVER (ORDER BY v) AS BIGINT) AS cc FROM corpus),
+      |n AS (SELECT CAST(COUNT(*) AS BIGINT) AS nn FROM l),
+      |gap AS (SELECT c.source, c.n_s, c.v,
+      |          ABS(c.cs * n.nn - x.cc * c.n_s) AS num
+      |        FROM cum c JOIN ccum x USING (v), n),
+      |best AS (SELECT source, n_s, v, num,
+      |           ROW_NUMBER() OVER (PARTITION BY source ORDER BY num DESC, v) AS rk
+      |         FROM gap)
+      |SELECT b.source, CAST(b.n_s AS BIGINT) AS n_docs,
+      |  CAST(b.v AS BIGINT) AS at_len,
+      |  CAST((b.num * 1000000) // (b.n_s * n.nn) AS BIGINT) AS d_micro,
+      |  ((b.num * 10) >= (b.n_s * n.nn)) AS drifted
+      |FROM best b, n
+      |WHERE b.rk = 1
+      |ORDER BY b.source""".stripMargin) { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val l = Tables.documents(s, dir).select(col("source"), col("n_chars").as("v"))
+    val vals = l.select(col("v")).distinct()
+    val src = l.groupBy(col("source")).agg(count(lit(1)).as("n_s"))
+    val sc = l.groupBy(col("source"), col("v")).agg(count(lit(1)).as("c"))
+    val grid = src.crossJoin(broadcast(vals))
+      .join(sc, Seq("source", "v"), "left")
+      .select(col("source"), col("n_s"), col("v"), coalesce(col("c"), lit(0L)).as("c"))
+    val cum = grid.withColumn("cs",
+      sum(col("c")).over(Window.partitionBy(col("source")).orderBy(col("v"))))
+    val ccum = grid.groupBy(col("v")).agg(sum(col("c")).as("cv"))
+      .withColumn("cc", sum(col("cv")).over(Window.orderBy(col("v")))).select(col("v"), col("cc"))
+    val n = l.agg(count(lit(1)).cast("long").as("nn"))
+    val gap = cum.join(broadcast(ccum), Seq("v")).crossJoin(broadcast(n))
+      .withColumn("num", abs(col("cs") * col("nn") - col("cc") * col("n_s")))
+    gap.withColumn("rk", row_number().over(
+        Window.partitionBy(col("source")).orderBy(col("num").desc, col("v"))))
+      .filter(col("rk") === 1)
+      .select(col("source"), col("n_s").cast("long").as("n_docs"),
+        col("v").cast("long").as("at_len"),
+        expr("CAST((num * 1000000) div (n_s * nn) AS BIGINT)").as("d_micro"),
+        ((col("num") * 10) >= (col("n_s") * col("nn"))).as("drifted"))
+      .orderBy(col("source"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     q21TextStats, q22WordFreq, q23BigramFreq, q24LangId, q25QualityScore,
     q26Fingerprint, q27TokenRegex, q62TrainSplit, q64TermFreqMap,
@@ -4558,5 +4727,6 @@ object TextOps {
     q200CorpusScorecard, q201ZipfAudit, q202HeapsGrowth, q204BudgetSelect,
     q205NdcgEval, q206CollisionEntropy, q207KneserNey, q210CodeSwitch,
     q211QualityAnova, q212BitextMining, q213SourceJackknife, q215GoodTuring,
-    q216LDiversity, q217PackingSweep, q218DomainReweight, q219LengthBias)
+    q216LDiversity, q217PackingSweep, q218DomainReweight, q219LengthBias,
+    q223RobustScale, q224Burstiness, q225KsDrift)
 }

@@ -343,6 +343,55 @@ class CurationAuditSpec extends SparkSpec {
     rows.foreach(r => assert(r.getLong(0) < r.getLong(1)))
   }
 
+  test("q223: robust z re-derives from the quartiles and medians sit inside their source") {
+    val rows = TextOps.q223RobustScale.run(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (x, med, iqr, rz) = (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))
+      assert(iqr >= 1)
+      // both engines' integer division truncates toward zero (Spark
+      // `div` and DuckDB integer `//` agree on negatives) — so does /
+      assert(rz == (x - med) * 1000 / iqr, "rz_milli re-derives")
+      assert(r.getBoolean(6) == (math.abs(rz) > 3000))
+    }
+    // per source, about half the docs sit at or below the median score
+    rows.groupBy(_.getString(1)).foreach { case (_, docs) =>
+      val med = docs.head.getLong(3)
+      val below = docs.count(_.getLong(2) <= med)
+      assert(below * 2 >= docs.length, "the lower median bounds at least half the mass")
+    }
+  }
+
+  test("q224: burstiness is exactly cf/df in floor-millis and never below 1000") {
+    val rows = TextOps.q224Burstiness.run(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (cf, df, b) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(cf >= df, "a word occurs at least once per containing doc")
+      assert(b == cf * 1000 / df && b >= 1000)
+    }
+    val bs = rows.map(_.getLong(3))
+    assert(bs.sameElements(bs.sorted.reverse))
+  }
+
+  test("q225: a planted truncated source dominates the KS table") {
+    val dir = plantedDir(
+      (1L to 40L).map(i => (i, (1 to 50).map(j => s"w$j").mkString(" "), "en")) ++
+        (41L to 60L).map(i => (i, "short doc", "en")))
+    val sep = spark.read.parquet(s"$dir/documents.parquet").drop("source")
+      .withColumn("source", when(col("doc_id") <= 40, "web").otherwise("truncated"))
+    val dir2 = java.nio.file.Files.createTempDirectory("graft-ks").toString
+    sep.write.parquet(s"$dir2/documents.parquet")
+    val rows = TextOps.q225KsDrift.run(spark, dir2).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(rows("truncated").getLong(3) == 666666L,
+      "two disjoint length distributions: D = |1 - 1/3| exactly (in floor micros)")
+    assert(rows("truncated").getBoolean(4) && rows("web").getBoolean(4),
+      "both sources sit far from the pooled corpus CDF here")
+    val fixture = TextOps.q225KsDrift.run(spark, sfDir).collect()
+    fixture.foreach(r => assert(r.getLong(3) >= 0 && r.getLong(3) <= 1000000L))
+  }
+
   test("q210: a half-and-half marker doc flags mixed; a pure doc does not") {
     val dir = plantedDir(Seq(
       (1L, "the a the a data value data value", "en"),  // en+de markers, 4+4
