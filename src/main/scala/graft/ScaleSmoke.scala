@@ -139,6 +139,10 @@ object ScaleSmoke {
       // q220 inherits the q132/q144 md5-vocab worst-case note
       "q220_merge_sweep", "q221_brier_decomp", "q222_audio_fingerprint",
       "q223_robust_scale", "q224_burstiness", "q225_ks_drift")
+    // q226/q227 are not smoked: the smoke corpus has no events/TPC-H
+    // tables, and their shapes are already-covered classes (q226 = one
+    // daily aggregate + calendar-axis windows, the q96 posture; q227 =
+    // count aggregates + dim anti-joins, the q05/q07 class)
     // SPARK_GRAFT_SMOKE_ONLY=q123,q124 limits a run to matching targets —
     // the same local profiling aid as Bench's SPARK_GRAFT_BENCH_ONLY
     val selected = sys.env.get("SPARK_GRAFT_SMOKE_ONLY")

@@ -1677,7 +1677,96 @@ object Analytics {
       .limit(20)
   }
 
+  /** Data-plane referential-integrity scorecard — the DATA half of what
+    * the reference's schema lint checks at the METADATA level
+    * (`/root/reference/app.py`'s rules flag missing PK/FK DEFINITIONS;
+    * this measures whether the rows actually honor them — the two
+    * audits a warehouse needs together, since a declared FK can be
+    * violated and an undeclared one can hold): every PK uniqueness
+    * constraint (count − distinct) and every FK edge (orphan children
+    * via null-safe anti-join semantics) across the TPC-H schema plus
+    * the documents/embeddings ids, one row per constraint with its
+    * violation count. Exact integers; the whole scorecard is one
+    * unioned plan. On the driver fixtures it produces a REAL finding:
+    * every FK edge holds but lineitem's composite (l_orderkey,
+    * l_linenumber) PK is violated (the generator reuses line numbers)
+    * — the data-plane/metadata-plane split this op exists to expose.
+    *
+    * Shape: per-PK one map-side count/distinct aggregate; per-FK one
+    * equi-join against the parent's distinct key (broadcast where the
+    * parent is dimension-sized, AQE otherwise) reduced to a count. No
+    * window, no corpus-scale residue after the aggregates. */
+  val q227IntegrityScorecard: QueryDef = {
+    val pks: Seq[(String, String, Seq[String])] = Seq(
+      ("pk_customer", "customer", Seq("c_custkey")),
+      ("pk_orders", "orders", Seq("o_orderkey")),
+      ("pk_part", "part", Seq("p_partkey")),
+      ("pk_supplier", "supplier", Seq("s_suppkey")),
+      ("pk_nation", "nation", Seq("n_nationkey")),
+      ("pk_region", "region", Seq("r_regionkey")),
+      ("pk_lineitem", "lineitem", Seq("l_orderkey", "l_linenumber")),
+      ("pk_documents", "documents", Seq("doc_id")),
+      ("pk_embeddings", "embeddings", Seq("vec_id")))
+    val fks: Seq[(String, String, String, String, String)] = Seq(
+      ("fk_orders_customer", "orders", "o_custkey", "customer", "c_custkey"),
+      ("fk_lineitem_orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+      ("fk_lineitem_part", "lineitem", "l_partkey", "part", "p_partkey"),
+      ("fk_lineitem_supplier", "lineitem", "l_suppkey", "supplier", "s_suppkey"),
+      ("fk_customer_nation", "customer", "c_nationkey", "nation", "n_nationkey"),
+      ("fk_supplier_nation", "supplier", "s_nationkey", "nation", "n_nationkey"),
+      ("fk_nation_region", "nation", "n_regionkey", "region", "r_regionkey"))
+    val pkSql = pks.map { case (name, t, cols) =>
+      val key = if (cols.length == 1) cols.head else s"(${cols.mkString(", ")})"
+      s"""SELECT '$name' AS constraint_name, 'pk' AS kind,
+         |  CAST((SELECT COUNT(*) FROM $t) AS BIGINT) AS n_rows,
+         |  CAST((SELECT COUNT(*) - COUNT(DISTINCT $key) FROM $t) AS BIGINT) AS n_violations""".stripMargin
+    }
+    val fkSql = fks.map { case (name, c, ck, p, pk) =>
+      s"""SELECT '$name' AS constraint_name, 'fk' AS kind,
+         |  CAST((SELECT COUNT(*) FROM $c) AS BIGINT) AS n_rows,
+         |  CAST((SELECT COUNT(*) FROM $c LEFT JOIN (SELECT DISTINCT $pk FROM $p) pp
+         |        ON $c.$ck = pp.$pk
+         |        WHERE pp.$pk IS NULL AND $c.$ck IS NOT NULL) AS BIGINT) AS n_violations""".stripMargin
+    }
+    QueryDef.sql(
+      "q227_integrity_scorecard",
+      s"""SELECT constraint_name, kind, n_rows, n_violations,
+         |  (n_violations = 0) AS ok
+         |FROM (${(pkSql ++ fkSql).mkString("\nUNION ALL\n")})
+         |ORDER BY constraint_name""".stripMargin) { (s, dir) =>
+      def tbl(t: String): DataFrame = t match {
+        case "region" => Tables.region(s, dir);   case "nation" => Tables.nation(s, dir)
+        case "customer" => Tables.customer(s, dir); case "supplier" => Tables.supplier(s, dir)
+        case "part" => Tables.part(s, dir);       case "orders" => Tables.orders(s, dir)
+        case "lineitem" => Tables.lineitem(s, dir)
+        case "documents" => Tables.documents(s, dir)
+        case "embeddings" => Tables.embeddings(s, dir)
+      }
+      val pkRows = pks.map { case (name, t, cols) =>
+        tbl(t).agg(count(lit(1)).as("n_rows"),
+            (count(lit(1)) - countDistinct(cols.head, cols.tail: _*)).as("n_violations"))
+          .select(lit(name).as("constraint_name"), lit("pk").as("kind"),
+            col("n_rows").cast("long"), col("n_violations").cast("long"))
+      }
+      val fkRows = fks.map { case (name, c, ck, p, pk) =>
+        val child = tbl(c)
+        val parent = tbl(p).select(col(pk)).distinct()
+        val orphans = child.filter(col(ck).isNotNull)
+          .join(parent, child(ck) === parent(pk), "left_anti")
+          .agg(count(lit(1)).as("n_violations"))
+        child.agg(count(lit(1)).as("n_rows"))
+          .crossJoin(orphans)
+          .select(lit(name).as("constraint_name"), lit("fk").as("kind"),
+            col("n_rows").cast("long"), col("n_violations").cast("long"))
+      }
+      (pkRows ++ fkRows).reduce(_ unionAll _)
+        .withColumn("ok", col("n_violations") === 0L)
+        .orderBy(col("constraint_name"))
+    }
+  }
+
   val all: Seq[QueryDef] = Seq(
+    q227IntegrityScorecard,
     q01PricingSummary, q02SelectiveFilter, q03ShippingPriority, q05LocalRevenue,
     q06SemiJoin, q07AntiJoin, q08RangeJoin, q09DistinctUsers, q10Rollup,
     q11Cube, q12WindowRank, q13WindowRunning, q14TopOrders, q15SetOps,

@@ -285,7 +285,56 @@ object Temporal {
       .limit(20)
   }
 
+  /** Change-point scan over daily event volume (the single-split scan
+    * statistic behind binary segmentation — Scott & Knott 1974; Page
+    * 1954's CUSUM is its sequential cousin, whose recursive max does
+    * not window-decompose, while this scan form does): for each day d,
+    * G(d) = |cum(d)·D − T·d| — the cross-multiplied gap between the
+    * prefix mean rate and the overall rate, EXACT integers, no
+    * division until nothing depends on it. The argmax day is where a
+    * pipeline's event volume most likely shifted (deploy, outage,
+    * ingestion change) — the first question a monitoring dashboard
+    * answers. Peak days are flagged in-row (ties flag together,
+    * deterministically).
+    *
+    * Shape: one corpus-scale daily aggregate; every window after it
+    * rides the CALENDAR axis (bounded — days, not rows), the q96
+    * posture. */
+  val q226ChangePoint: QueryDef = QueryDef.sql(
+    "q226_change_point",
+    """WITH d AS (SELECT CAST(ts AS DATE) AS day, CAST(COUNT(*) AS BIGINT) AS n
+      |           FROM events GROUP BY 1),
+      |x AS (SELECT day, n, ROW_NUMBER() OVER (ORDER BY day) AS idx,
+      |        CAST(SUM(n) OVER (ORDER BY day) AS BIGINT) AS cum FROM d),
+      |t AS (SELECT CAST(SUM(n) AS BIGINT) AS total, CAST(COUNT(*) AS BIGINT) AS days FROM d),
+      |g AS (SELECT x.day, x.n, x.idx, x.cum,
+      |        ABS(x.cum * t.days - t.total * x.idx) AS g_num FROM x, t),
+      |mx AS (SELECT MAX(g_num) AS gm FROM g)
+      |SELECT g.day, CAST(g.idx AS BIGINT) AS idx, g.n AS n_events,
+      |  g.cum AS cum_events, CAST(g.g_num AS BIGINT) AS g_num,
+      |  (g.g_num = mx.gm) AS is_peak
+      |FROM g, mx
+      |ORDER BY g.day""".stripMargin) { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val d = Tables.events(s, dir)
+      .groupBy(to_date(col("ts")).as("day")).agg(count(lit(1)).as("n"))
+    val x = d
+      .withColumn("idx", row_number().over(Window.orderBy(col("day"))))
+      .withColumn("cum", sum(col("n")).over(Window.orderBy(col("day"))).cast("long"))
+    val t = d.agg(sum(col("n")).cast("long").as("total"),
+      count(lit(1)).cast("long").as("days"))
+    val g = x.crossJoin(broadcast(t))
+      .withColumn("g_num", abs(col("cum") * col("days") - col("total") * col("idx")))
+    val mx = g.agg(max(col("g_num")).as("gm"))
+    g.crossJoin(broadcast(mx))
+      .select(col("day"), col("idx").cast("long"), col("n").as("n_events"),
+        col("cum").as("cum_events"), col("g_num").cast("long"),
+        (col("g_num") === col("gm")).as("is_peak"))
+      .orderBy(col("day"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     q46AsofJoin, q47Pivot, q55IntervalJoin, q63AsofNative, q81IntervalNative,
-    q95Funnel, q96RetentionCohorts, q109TransitionMatrix, q192DecayScores)
+    q95Funnel, q96RetentionCohorts, q109TransitionMatrix, q192DecayScores,
+    q226ChangePoint)
 }

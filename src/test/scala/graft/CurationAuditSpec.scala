@@ -392,6 +392,53 @@ class CurationAuditSpec extends SparkSpec {
     fixture.foreach(r => assert(r.getLong(3) >= 0 && r.getLong(3) <= 1000000L))
   }
 
+  test("q226: the scan statistic re-derives from the cumulative counts and flags at least one peak") {
+    val rows = graft.ops.Temporal.q226ChangePoint.run(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val total = rows.map(_.getLong(2)).sum
+    val days = rows.length.toLong
+    assert(rows.last.getLong(3) == total, "the last cumulative equals the total")
+    var cum = 0L
+    rows.foreach { r =>
+      cum += r.getLong(2)
+      assert(r.getLong(3) == cum)
+      assert(r.getLong(4) == math.abs(cum * days - total * r.getLong(1)))
+    }
+    val gmax = rows.map(_.getLong(4)).max
+    rows.foreach(r => assert(r.getBoolean(5) == (r.getLong(4) == gmax)))
+    assert(rows.exists(_.getBoolean(5)))
+  }
+
+  test("q227: the fixture schema is referentially clean, and planted orphans are counted") {
+    val rows = graft.ops.Analytics.q227IntegrityScorecard.run(spark, sfDir).collect()
+    assert(rows.length == 16)
+    rows.foreach { r =>
+      assert(r.getBoolean(4) == (r.getLong(3) == 0L))
+      assert(r.getLong(3) >= 0 && r.getLong(3) <= r.getLong(2))
+    }
+    // a REAL finding: the synthetic generator reuses line numbers, so
+    // lineitem's composite PK is violated while every FK edge holds —
+    // exactly the data-plane/metadata-plane split the op exists to show
+    val byName = rows.map(r => r.getString(0) -> r).toMap
+    assert(rows.filter(_.getString(1) == "fk").forall(_.getBoolean(4)),
+      "every FK edge of the generated fixture holds")
+    assert(!byName("pk_lineitem").getBoolean(4) &&
+      byName("pk_lineitem").getLong(3) > 0,
+      "the generator's reused line numbers must surface as PK violations")
+    assert(rows.filter(r => r.getString(1) == "pk" && r.getString(0) != "pk_lineitem")
+      .forall(_.getBoolean(4)), "all single-column PKs are unique")
+    // planted: a corpus with duplicate doc ids must show pk violations —
+    // overlay a mangled documents table on a copy of the tiny fixture
+    val dir = plantedDir(Seq((1L, "a b", "en"), (1L, "c d", "en"), (2L, "e f", "en")))
+    for (t <- Seq("region", "nation", "customer", "supplier", "part",
+        "orders", "lineitem", "events", "embeddings"))
+      spark.read.parquet(s"$sfDir/$t.parquet").write.parquet(s"$dir/$t.parquet")
+    val planted = graft.ops.Analytics.q227IntegrityScorecard.run(spark, dir).collect()
+      .filter(_.getString(0) == "pk_documents")
+    assert(planted.head.getLong(3) == 1L && !planted.head.getBoolean(4),
+      "one duplicated doc_id = one uniqueness violation")
+  }
+
   test("q210: a half-and-half marker doc flags mixed; a pure doc does not") {
     val dir = plantedDir(Seq(
       (1L, "the a the a data value data value", "en"),  // en+de markers, 4+4
