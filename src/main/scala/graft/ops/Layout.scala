@@ -195,6 +195,150 @@ object Layout {
       .orderBy(col("l_linestatus"))
   }
 
+  /** Shared profile chain (q229/q230): the fact table unpivoted to
+    * (col_name, val-as-string) in ONE scan, then per-column NDV, null
+    * count and mode frequency. Values are grouping keys only — they
+    * never reach the output, so cross-engine string rendering cannot
+    * matter as long as the cast is injective on observed values (it is:
+    * both engines render round-trip-faithful shortest forms). Ends at
+    * CTE `p(col_name, n_rows, ndv, n_nulls, top1, top1_share_micro)`. */
+  private val profiledCols = Seq(
+    "l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+    "l_quantity", "l_returnflag", "l_linestatus", "l_shipdate")
+  private val profileSql: String = {
+    val longRel = profiledCols.map(c =>
+      s"SELECT '$c' AS col_name, CAST($c AS VARCHAR) AS val FROM lineitem")
+      .mkString("\n      UNION ALL ")
+    s"""lng AS ($longRel),
+       |nr AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_rows FROM lineitem),
+       |vc AS (SELECT col_name, val, COUNT(*) AS cnt FROM lng
+       |       WHERE val IS NOT NULL GROUP BY 1, 2),
+       |agg AS (SELECT col_name, CAST(COUNT(*) AS BIGINT) AS ndv,
+       |          CAST(MAX(cnt) AS BIGINT) AS top1
+       |        FROM vc GROUP BY 1),
+       |nl AS (SELECT col_name, CAST(SUM(CASE WHEN val IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls
+       |       FROM lng GROUP BY 1),
+       |p AS (SELECT a.col_name, nr.n_rows, a.ndv, nl.n_nulls, a.top1,
+       |        CAST((a.top1 * 1000000) // nr.n_rows AS BIGINT) AS top1_share_micro
+       |      FROM agg a JOIN nl USING (col_name), nr)""".stripMargin
+  }
+
+  /** The Spark face of [[profileSql]]: one column-pruned value aggregate
+    * per column, unioned — on columnar storage this reads exactly the
+    * same bytes as a single unpivoted scan (each pass prunes to its one
+    * column) without materializing an 8× row blowup of cast strings;
+    * the oracle keeps the unpivot formulation, proving the two
+    * decompositions equal. Native values group; nothing engine-rendered
+    * exists anywhere. */
+  private def columnProfile(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+    val nr = li.agg(count(lit(1)).cast("long").as("n_rows"))
+    val per = profiledCols.map { c =>
+      li.groupBy(col(c).as("v")).agg(count(lit(1)).as("cnt"))
+        .agg(
+          sum(when(col("v").isNotNull, 1L).otherwise(0L)).cast("long").as("ndv"),
+          coalesce(sum(when(col("v").isNull, col("cnt"))), lit(0L)).cast("long").as("n_nulls"),
+          max(when(col("v").isNotNull, col("cnt"))).cast("long").as("top1"))
+        .select(lit(c).as("col_name"), col("ndv"), col("n_nulls"), col("top1"))
+    }
+    per.reduce(_ unionAll _).crossJoin(broadcast(nr))
+      .select(col("col_name"), col("n_rows"), col("ndv"), col("n_nulls"), col("top1"),
+        expr("CAST((top1 * 1000000) div n_rows AS BIGINT)").as("top1_share_micro"))
+  }
+
+  /** Column-statistics profiler — what `ANALYZE TABLE` collects, as a
+    * query (Selinger et al. SIGMOD'79 made these the optimizer's diet;
+    * a lakehouse reruns exactly this to refresh CBO stats): per fact
+    * column the exact NDV, null count, mode frequency and mode share.
+    * The engine runs one COLUMN-PRUNED value aggregate per column —
+    * on columnar storage that reads the same bytes as one unpivoted
+    * scan, without an 8× cast-string row blowup — while the oracle
+    * states the unpivot form, proving the decompositions equal. All
+    * exact integers; native values group, nothing engine-rendered
+    * reaches the output.
+    *
+    * Shape: per column one pruned scan → value hash aggregate
+    * (map-side combined) → 1-row fold; unioned. */
+  val q229ColumnProfile: QueryDef = sql(
+    "q229_column_profile",
+    s"""WITH $profileSql
+       |SELECT col_name, n_rows, ndv, n_nulls, top1, top1_share_micro
+       |FROM p
+       |ORDER BY col_name""".stripMargin) { (s, dir) =>
+    columnProfile(s, dir).orderBy(col("col_name"))
+  }
+
+  /** Physical-design advisor — the q112/q113 layout decisions made FROM
+    * the q229 statistics instead of by hand (the rule set every
+    * warehouse design guide states: partition on a moderate-cardinality
+    * low-skew column so directories prune without exploding; bucket on
+    * the lowest-skew high-cardinality key so co-located joins balance,
+    * never the column already chosen for partitioning — one column
+    * cannot serve both layout roles;
+    * size bucket count to a row target, rounded to a power of two):
+    * per column its profile plus partition/bucket candidacy flags and
+    * the single deterministic pick of each (ties break alphabetically),
+    * with the power-of-two bucket count for a 10⁶-row target as data.
+    * Every rule is an exact integer comparison over q229's relation —
+    * the advisor is auditable because its entire input is in the
+    * output.
+    *
+    * Shape: q229's chain + k-row rule arithmetic. */
+  val q230LayoutAdvisor: QueryDef = sql(
+    "q230_layout_advisor",
+    s"""WITH $profileSql,
+       |flags AS (SELECT p.*,
+       |            (ndv >= 2 AND ndv <= 10000 AND top1_share_micro <= 500000) AS part_cand,
+       |            (ndv * 10 >= n_rows AND top1_share_micro <= 10000) AS buck_cand
+       |          FROM p),
+       |pp AS (SELECT (SELECT col_name FROM flags WHERE part_cand
+       |               ORDER BY ndv DESC, col_name LIMIT 1) AS part_pick),
+       |pick AS (SELECT pp.part_pick,
+       |           (SELECT col_name FROM flags, pp x
+       |            WHERE buck_cand AND col_name IS DISTINCT FROM x.part_pick
+       |            ORDER BY top1_share_micro, ndv DESC, col_name LIMIT 1) AS buck_pick
+       |         FROM pp),
+       |nb AS (SELECT CAST(POWER(2, CEIL(LN(GREATEST(CAST(n_rows AS DOUBLE) / 1000000.0, 1.0)) / LN(2.0))) AS BIGINT) AS n_buckets
+       |       FROM nr)
+       |SELECT f.col_name, f.n_rows, f.ndv, f.n_nulls, f.top1_share_micro,
+       |  f.part_cand, f.buck_cand,
+       |  COALESCE(f.col_name = pick.part_pick, FALSE) AS partition_pick,
+       |  COALESCE(f.col_name = pick.buck_pick, FALSE) AS bucket_pick,
+       |  nb.n_buckets
+       |FROM flags f, pick, nb
+       |ORDER BY f.col_name""".stripMargin) { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val p = columnProfile(s, dir)
+    val flags = p
+      .withColumn("part_cand",
+        col("ndv") >= 2 && col("ndv") <= 10000 && col("top1_share_micro") <= 500000)
+      .withColumn("buck_cand",
+        col("ndv") * 10 >= col("n_rows") && col("top1_share_micro") <= 10000)
+    // picks as struct-min aggregates: ALWAYS one row (null pick when no
+    // candidate), so the final cross-joins can never wipe the output
+    val partPick = flags.agg(min(when(col("part_cand"),
+        struct((-col("ndv")).as("o1"), col("col_name").as("c")))).as("ps"))
+      .select(col("ps.c").as("part_pick"))
+    // the partition pick is excluded from bucket candidacy — one column
+    // cannot serve both layout roles
+    val buckPick = flags.crossJoin(broadcast(partPick))
+      .agg(min(when(col("buck_cand") && !(col("col_name") <=> col("part_pick")),
+        struct(col("top1_share_micro").as("o1"), (-col("ndv")).as("o2"),
+          col("col_name").as("c")))).as("bs"))
+      .select(col("bs.c").as("buck_pick"))
+    val nb = p.select(col("n_rows")).limit(1)
+      .select(expr("CAST(POWER(2, CEIL(LN(GREATEST(CAST(n_rows AS DOUBLE) / 1000000.0, 1.0)) / LN(2.0))) AS BIGINT)").as("n_buckets"))
+    flags.crossJoin(broadcast(partPick)).crossJoin(broadcast(buckPick))
+      .crossJoin(broadcast(nb))
+      .select(col("col_name"), col("n_rows"), col("ndv"), col("n_nulls"),
+        col("top1_share_micro"), col("part_cand"), col("buck_cand"),
+        coalesce(col("col_name") === col("part_pick"), lit(false)).as("partition_pick"),
+        coalesce(col("col_name") === col("buck_pick"), lit(false)).as("bucket_pick"),
+        col("n_buckets"))
+      .orderBy(col("col_name"))
+  }
+
   val all: Seq[QueryDef] = Seq(
-    q112BucketedJoin, q113PartitionPruning, q114SaltedJoin, q115BloomSemiJoin)
+    q112BucketedJoin, q113PartitionPruning, q114SaltedJoin, q115BloomSemiJoin,
+    q229ColumnProfile, q230LayoutAdvisor)
 }

@@ -439,6 +439,39 @@ class CurationAuditSpec extends SparkSpec {
       "one duplicated doc_id = one uniqueness violation")
   }
 
+  test("q229: profile masses reconcile against direct per-column statistics") {
+    val rows = graft.ops.Layout.q229ColumnProfile.run(spark, sfDir).collect()
+    assert(rows.length == 8)
+    val li = graft.sources.Tables.lineitem(spark, sfDir)
+    val n = li.count()
+    rows.foreach { r =>
+      assert(r.getLong(1) == n)
+      assert(r.getLong(2) >= 1 && r.getLong(2) <= n, "1 <= ndv <= rows")
+      assert(r.getLong(4) >= 1 && r.getLong(4) <= n)
+      assert(r.getLong(5) == r.getLong(4) * 1000000L / n)
+    }
+    val byName = rows.map(r => r.getString(0) -> r).toMap
+    assert(byName("l_returnflag").getLong(2) ==
+      li.select("l_returnflag").distinct().count(), "NDV must be exact, not approximate")
+    assert(byName("l_orderkey").getLong(3) == 0L)
+  }
+
+  test("q230: the advisor picks the date for partitioning and the join key for bucketing") {
+    val rows = graft.ops.Layout.q230LayoutAdvisor.run(spark, sfDir).collect()
+    val part = rows.filter(_.getBoolean(7)).map(_.getString(0))
+    val buck = rows.filter(_.getBoolean(8)).map(_.getString(0))
+    assert(part.length <= 1 && buck.length <= 1, "at most one pick per role")
+    assert(part.headOption.contains("l_shipdate"),
+      s"the moderate-cardinality low-skew date is the partition column, got ${part.toSeq}")
+    assert(buck.headOption.contains("l_orderkey"),
+      s"the high-cardinality low-skew join key is the bucket column, got ${buck.toSeq}")
+    rows.foreach { r =>
+      if (r.getBoolean(7)) assert(r.getBoolean(5), "picks must be candidates")
+      if (r.getBoolean(8)) assert(r.getBoolean(6))
+      assert(r.getLong(9) >= 1, "bucket count is a positive power of two")
+    }
+  }
+
   test("q210: a half-and-half marker doc flags mixed; a pure doc does not") {
     val dir = plantedDir(Seq(
       (1L, "the a the a data value data value", "en"),  // en+de markers, 4+4
