@@ -138,7 +138,8 @@ object ScaleSmoke {
       "q217_packing_sweep", "q218_domain_reweight", "q219_length_bias",
       // q220 inherits the q132/q144 md5-vocab worst-case note
       "q220_merge_sweep", "q221_brier_decomp", "q222_audio_fingerprint",
-      "q223_robust_scale", "q224_burstiness", "q225_ks_drift")
+      "q223_robust_scale", "q224_burstiness", "q225_ks_drift",
+      "q228_vacuum_plan")
     // q226/q227/q229/q230 are not smoked: the smoke corpus has no
     // events table and only a 2-column lineitem projection, and their
     // shapes are already-covered classes (q226 = one daily aggregate +

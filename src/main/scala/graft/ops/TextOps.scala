@@ -2020,9 +2020,12 @@ object TextOps {
     * (Delta's _last_checkpoint) so steady-state cost is the log TAIL
     * since the last checkpoint — the same persisted-state shape as
     * q108/q136. */
-  val q176TimeTravel: QueryDef = sql(
-    "q176_time_travel",
-    s"""WITH t AS (SELECT doc_id, len(string_split(text, ' ')) AS n_tokens,
+  /** Shared oracle chain (q176/q228): the synthesized shard-level
+    * commit log, ending at CTE `acts(version, shard_id, action,
+    * file_hash)` — one definition so the vacuum planner can never
+    * reason over a different history than the time-travel reader. */
+  private lazy val commitLogSql =
+    s"""t AS (SELECT doc_id, len(string_split(text, ' ')) AS n_tokens,
        |      CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':' || text), 1, 15)) AS BIGINT) AS h
        |    FROM documents),
        |marked AS (SELECT doc_id, n_tokens, h,
@@ -2043,7 +2046,11 @@ object TextOps {
        |  FROM files f
        |  CROSS JOIN (SELECT unnest(range(1, 6)) AS v) v
        |  CROSS JOIN LATERAL (SELECT CAST(('0x' || substr(md5('rw:' || CAST(v.v AS VARCHAR) || ':' || CAST(f.shard_id AS VARCHAR)), 1, 4)) AS INT) AS b) u
-       |  WHERE u.b < 19661),
+       |  WHERE u.b < 19661)""".stripMargin
+
+  val q176TimeTravel: QueryDef = sql(
+    "q176_time_travel",
+    s"""WITH $commitLogSql,
        |snap AS (
        |  SELECT a.as_of, l.shard_id, l.action, l.file_hash,
        |    ROW_NUMBER() OVER (PARTITION BY a.as_of, l.shard_id ORDER BY l.version DESC) AS rn
@@ -4709,6 +4716,54 @@ object TextOps {
       .orderBy(col("source"))
   }
 
+  /** Retention/VACUUM planner — the third leg of the lakehouse
+    * metadata triad beside q176's time travel and q170's compaction
+    * (Armbrust VLDB'20 §4.3: VACUUM deletes file versions no retained
+    * snapshot can reach; Iceberg calls it expire-snapshots): with
+    * retention "keep snapshots as-of 4 and 5", every put-action file
+    * instance in the commit log is classified retained (it IS the live
+    * file of some retained snapshot) or expired (safe to delete), with
+    * the reclaimable instance count derivable by the consumer. Replay
+    * semantics are shared with q176 via one log chain ([[commitLogSql]]
+    * / [[commitLog]]), so the planner can never disagree with the
+    * reader about liveness — the property that makes VACUUM safe.
+    *
+    * Scale posture: metadata plane — the log is shard-count-sized; the
+    * replay is one (as_of, shard)-keyed window over it. */
+  val q228VacuumPlan: QueryDef = sql(
+    "q228_vacuum_plan",
+    s"""WITH $commitLogSql,
+       |puts AS (SELECT version, shard_id, file_hash FROM acts WHERE action = 'put'),
+       |live AS (SELECT shard_id, version FROM (
+       |    SELECT a.as_of, l.shard_id, l.version, l.action,
+       |      ROW_NUMBER() OVER (PARTITION BY a.as_of, l.shard_id ORDER BY l.version DESC) AS rn
+       |    FROM (SELECT CAST(4 AS BIGINT) AS as_of UNION ALL SELECT CAST(5 AS BIGINT)) a
+       |    JOIN acts l ON l.version <= a.as_of)
+       |  WHERE rn = 1 AND action = 'put'),
+       |ret AS (SELECT DISTINCT shard_id, version FROM live)
+       |SELECT p.shard_id, p.version, p.file_hash,
+       |  (r.version IS NOT NULL) AS retained
+       |FROM puts p LEFT JOIN ret r
+       |  ON r.shard_id = p.shard_id AND r.version = p.version
+       |ORDER BY p.shard_id, p.version""".stripMargin) { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val log = commitLog(Tables.documents(s, dir).select(col("doc_id"), col("text")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val puts = log.filter(col("action") === "put")
+      .select(col("version"), col("shard_id"), col("file_hash"))
+    val asOf = s.range(4, 6).select(col("id").as("as_of"))
+    val live = log.crossJoin(broadcast(asOf))
+      .filter(col("version") <= col("as_of"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("as_of"), col("shard_id")).orderBy(col("version").desc)))
+      .filter(col("rn") === 1 && col("action") === "put")
+      .select(col("shard_id"), col("version")).distinct()
+    puts.join(live.withColumn("hit", lit(true)), Seq("shard_id", "version"), "left")
+      .select(col("shard_id"), col("version"), col("file_hash"),
+        coalesce(col("hit"), lit(false)).as("retained"))
+      .orderBy(col("shard_id"), col("version"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     q21TextStats, q22WordFreq, q23BigramFreq, q24LangId, q25QualityScore,
     q26Fingerprint, q27TokenRegex, q62TrainSplit, q64TermFreqMap,
@@ -4728,5 +4783,5 @@ object TextOps {
     q205NdcgEval, q206CollisionEntropy, q207KneserNey, q210CodeSwitch,
     q211QualityAnova, q212BitextMining, q213SourceJackknife, q215GoodTuring,
     q216LDiversity, q217PackingSweep, q218DomainReweight, q219LengthBias,
-    q223RobustScale, q224Burstiness, q225KsDrift)
+    q223RobustScale, q224Burstiness, q225KsDrift, q228VacuumPlan)
 }

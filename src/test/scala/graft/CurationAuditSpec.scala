@@ -472,6 +472,26 @@ class CurationAuditSpec extends SparkSpec {
     }
   }
 
+  test("q228: vacuum retains exactly the files q176's retained snapshots can reach") {
+    val rows = graft.ops.TextOps.q228VacuumPlan.run(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    // re-derive liveness from the time-travel reader at the retained
+    // as-ofs: every retained instance must be some snapshot's live file
+    val docs = graft.sources.Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text"))
+    val liveHashes = graft.ops.TextOps.timeTravel(
+        graft.ops.TextOps.commitLog(docs), Seq(4L, 5L))(spark)
+      .select(col("shard_id"), col("file_hash")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    rows.foreach { r =>
+      val reachable = liveHashes.contains((r.getLong(0), r.getLong(2)))
+      assert(r.getBoolean(3) == reachable,
+        s"shard ${r.getLong(0)} v${r.getLong(1)}: planner and reader must agree on liveness")
+    }
+    assert(rows.exists(!_.getBoolean(3)), "the 6-version history must expire something")
+    assert(rows.exists(_.getBoolean(3)))
+  }
+
   test("q210: a half-and-half marker doc flags mixed; a pure doc does not") {
     val dir = plantedDir(Seq(
       (1L, "the a the a data value data value", "en"),  // en+de markers, 4+4
