@@ -1765,8 +1765,77 @@ object Analytics {
     }
   }
 
+  /** Market-share rollup — the TPC-H Q8 shape adapted to the fixture
+    * schema: one fact table joined through SEVEN dimension hops (part,
+    * supplier, orders, customer, customer-nation, region, and a SECOND
+    * visit to nation for the supplier side) with selective predicates
+    * on three of them, per-year share of one supplier nation inside one
+    * region's STANDARD-part market. This is the join-ORDER stress
+    * query: the planner must push the p_type/r_name/date predicates
+    * into their scans, broadcast every dimension (nation twice, under
+    * different aliases), and leave at most the fact-orders edge as a
+    * shuffle — PlanSpec pins exactly that. Money math rides the repo's
+    * DECIMAL discipline end-to-end; the share is ONE division of two
+    * decimal-exact sums.
+    *
+    * Scale posture: q05's broadcast-star posture at twice the depth —
+    * at 100 TB the only corpus-scale exchanges are the lineitem-orders
+    * edge and the final small year aggregate. */
+  val q231MarketShare: QueryDef = sql(
+    "q231_market_share",
+    """SELECT CAST(EXTRACT(YEAR FROM o.o_orderdate) AS BIGINT) AS o_year,
+      |  COUNT(*) AS n_lines,
+      |  CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l.l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS total_volume,
+      |  CAST(COALESCE(SUM(CASE WHEN n2.n_name = 'NATION_3'
+      |        THEN CAST(l.l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l.l_discount AS DECIMAL(4,2))) END), 0) AS DOUBLE) AS nation_volume,
+      |  CAST(COALESCE(SUM(CASE WHEN n2.n_name = 'NATION_3'
+      |        THEN CAST(l.l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l.l_discount AS DECIMAL(4,2))) END), 0) AS DOUBLE)
+      |    / CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l.l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS share
+      |FROM lineitem l
+      |JOIN part p ON p.p_partkey = l.l_partkey AND p.p_type = 'STANDARD'
+      |JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      |JOIN nation n2 ON n2.n_nationkey = s.s_nationkey
+      |JOIN orders o ON o.o_orderkey = l.l_orderkey AND o.o_orderdate < TIMESTAMP '1999-01-01'
+      |JOIN customer c ON c.c_custkey = o.o_custkey
+      |JOIN nation n1 ON n1.n_nationkey = c.c_nationkey
+      |JOIN region r ON r.r_regionkey = n1.n_regionkey AND r.r_name = 'ASIA'
+      |GROUP BY 1
+      |ORDER BY o_year""".stripMargin) { (s, dir) =>
+    import graft.functions.Decimals._
+    val li = Tables.lineitem(s, dir)
+    val p = Tables.part(s, dir).filter(col("p_type") === "STANDARD")
+    val sup = Tables.supplier(s, dir)
+    val n2 = Tables.nation(s, dir)
+      .select(col("n_nationkey").as("s_nkey"), col("n_name").as("s_nation"))
+    val o = Tables.orders(s, dir).filter(col("o_orderdate") < lit("1999-01-01").cast("timestamp"))
+    val c = Tables.customer(s, dir)
+    val n1 = Tables.nation(s, dir)
+      .select(col("n_nationkey").as("c_nkey"), col("n_regionkey"))
+    val r = Tables.region(s, dir).filter(col("r_name") === "ASIA")
+    val vol = money(col("l_extendedprice")) *
+      (lit(1).cast("decimal(3,2)") - rate(col("l_discount")))
+    li
+      .join(broadcast(p), col("p_partkey") === col("l_partkey"))
+      .join(broadcast(sup), col("s_suppkey") === col("l_suppkey"))
+      .join(broadcast(n2), col("s_nkey") === col("s_nationkey"))
+      .join(o, col("o_orderkey") === col("l_orderkey"))
+      .join(broadcast(c), col("c_custkey") === col("o_custkey"))
+      .join(broadcast(n1), col("c_nkey") === col("c_nationkey"))
+      .join(broadcast(r), col("r_regionkey") === col("n_regionkey"))
+      .groupBy(year(col("o_orderdate")).cast("long").as("o_year"))
+      .agg(count(lit(1)).as("n_lines"),
+        dsum(vol).as("tv"),
+        dsum(when(col("s_nation") === "NATION_3", vol)).as("nv"))
+      .select(col("o_year"), col("n_lines"),
+        col("tv").cast("double").as("total_volume"),
+        coalesce(col("nv"), lit(0)).cast("double").as("nation_volume"),
+        (coalesce(col("nv"), lit(0)).cast("double") /
+          col("tv").cast("double")).as("share"))
+      .orderBy(col("o_year"))
+  }
+
   val all: Seq[QueryDef] = Seq(
-    q227IntegrityScorecard,
+    q227IntegrityScorecard, q231MarketShare,
     q01PricingSummary, q02SelectiveFilter, q03ShippingPriority, q05LocalRevenue,
     q06SemiJoin, q07AntiJoin, q08RangeJoin, q09DistinctUsers, q10Rollup,
     q11Cube, q12WindowRank, q13WindowRunning, q14TopOrders, q15SetOps,

@@ -4764,6 +4764,63 @@ object TextOps {
       .orderBy(col("shard_id"), col("version"))
   }
 
+  /** Manifest min/max pruning planner — file skipping as data (what
+    * Iceberg evaluates against manifest entry bounds and parquet
+    * against row-group statistics; Zone Maps, Graefe 2009): for a
+    * doc_id band predicate covering the middle third of the id space
+    * (data-derived, so the plan is reproducible), each q165 shard's
+    * [min_doc, max_doc] either overlaps the band (must be read) or
+    * proves itself skippable without being opened. The emitted table
+    * IS the scan plan: per shard its bounds, the verdict, and the
+    * token volume the verdict saves or costs — the numbers a
+    * table-format reader's planning phase produces. Exact integers
+    * end-to-end (band bounds by integer division).
+    *
+    * Shape: the q165 manifest aggregate + a broadcast 1-row band
+    * relation + scan-level interval tests. Metadata plane: everything
+    * after the manifest is shard-count-sized. */
+  /** q232 packs at a finer budget than q100/q165 so the planner has a
+    * multi-shard manifest to prune at every fixture SF. */
+  private val PruneShardBudget = 5000L
+
+  val q232ManifestPruning: QueryDef = sql(
+    "q232_manifest_pruning",
+    s"""WITH t AS (SELECT doc_id, len(string_split(text, ' ')) AS n_tokens,
+       |      CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':' || text), 1, 15)) AS BIGINT) AS h
+       |    FROM documents),
+       |packed AS (SELECT doc_id, n_tokens, h,
+       |    CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS offset_tokens
+       |  FROM t),
+       |man AS (SELECT CAST(offset_tokens // $PruneShardBudget AS BIGINT) AS shard_id,
+       |    CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |    CAST(MIN(doc_id) AS BIGINT) AS min_doc,
+       |    CAST(MAX(doc_id) AS BIGINT) AS max_doc,
+       |    CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
+       |  FROM packed GROUP BY 1),
+       |band AS (SELECT (MAX(doc_id) * 1) // 3 AS lo, (MAX(doc_id) * 2) // 3 AS hi
+       |         FROM t)
+       |SELECT m.shard_id, m.n_docs, m.min_doc, m.max_doc, m.total_tokens,
+       |  CAST(band.lo AS BIGINT) AS band_lo, CAST(band.hi AS BIGINT) AS band_hi,
+       |  NOT (m.max_doc < band.lo OR m.min_doc > band.hi) AS must_read
+       |FROM man m, band
+       |ORDER BY m.shard_id""".stripMargin) { (s, dir) =>
+    val packed = shardPacked(s, dir)
+      .withColumn("p_shard", expr(s"offset_tokens div $PruneShardBudget"))
+    val man = packed.groupBy(col("p_shard").as("shard_id"))
+      .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).cast("long").as("min_doc"),
+        max(col("doc_id")).cast("long").as("max_doc"),
+        sum(col("n_tokens")).cast("long").as("total_tokens"))
+    val band = packed.agg(
+      expr("(MAX(doc_id) * 1) div 3").as("lo"), expr("(MAX(doc_id) * 2) div 3").as("hi"))
+    man.crossJoin(broadcast(band))
+      .select(col("shard_id"), col("n_docs"), col("min_doc"), col("max_doc"),
+        col("total_tokens"), col("lo").cast("long").as("band_lo"),
+        col("hi").cast("long").as("band_hi"),
+        (!(col("max_doc") < col("lo") || col("min_doc") > col("hi"))).as("must_read"))
+      .orderBy(col("shard_id"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     q21TextStats, q22WordFreq, q23BigramFreq, q24LangId, q25QualityScore,
     q26Fingerprint, q27TokenRegex, q62TrainSplit, q64TermFreqMap,
@@ -4783,5 +4840,6 @@ object TextOps {
     q205NdcgEval, q206CollisionEntropy, q207KneserNey, q210CodeSwitch,
     q211QualityAnova, q212BitextMining, q213SourceJackknife, q215GoodTuring,
     q216LDiversity, q217PackingSweep, q218DomainReweight, q219LengthBias,
-    q223RobustScale, q224Burstiness, q225KsDrift, q228VacuumPlan)
+    q223RobustScale, q224Burstiness, q225KsDrift, q228VacuumPlan,
+    q232ManifestPruning)
 }

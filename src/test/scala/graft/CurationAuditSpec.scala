@@ -492,6 +492,47 @@ class CurationAuditSpec extends SparkSpec {
     assert(rows.exists(_.getBoolean(3)))
   }
 
+  test("q231: share re-derives and every year's nation volume is bounded by its total") {
+    val rows = graft.ops.Analytics.q231MarketShare.run(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (tv, nv, share) = (r.getDouble(2), r.getDouble(3), r.getDouble(4))
+      assert(nv >= 0.0 && nv <= tv)
+      assert(share == nv / tv && share >= 0.0 && share <= 1.0)
+    }
+    val years = rows.map(_.getLong(0))
+    assert(years.forall(y => y >= 1995 && y <= 1998), "the date pushdown bounds the years")
+  }
+
+  test("q231: all seven dimension hops broadcast; at most the fact-orders edge shuffles") {
+    val df = graft.ops.Analytics.q231MarketShare.run(spark, sfDir)
+    df.collect() // finalize the adaptive plan
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct"))
+    val smj = "SortMergeJoin".r.findAllIn(p).length
+    assert(smj <= 1, s"only the fact-orders edge may shuffle, saw $smj SMJs:\n$p")
+    assert(p.contains("BroadcastHashJoin"), "dimensions must broadcast")
+  }
+
+  test("q232: the verdicts partition the manifest and skipping loses no band doc") {
+    val rows = graft.ops.TextOps.q232ManifestPruning.run(spark, sfDir).collect()
+    assert(rows.length >= 3, "the fine budget must produce a multi-shard manifest")
+    val (lo, hi) = (rows.head.getLong(5), rows.head.getLong(6))
+    rows.foreach { r =>
+      val overlap = !(r.getLong(3) < lo || r.getLong(2) > hi)
+      assert(r.getBoolean(7) == overlap, "the verdict is exactly the interval test")
+      assert(r.getLong(2) <= r.getLong(3))
+    }
+    assert(rows.exists(!_.getBoolean(7)), "a middle-third band must skip some shard")
+    assert(rows.exists(_.getBoolean(7)))
+    // completeness: every doc in the band lives in a must-read shard
+    val docs = graft.sources.Tables.documents(spark, sfDir)
+      .filter(col("doc_id") >= lo && col("doc_id") <= hi).count()
+    assert(docs > 0)
+    val mustReadDocs = rows.filter(_.getBoolean(7)).map(_.getLong(1)).sum
+    assert(mustReadDocs >= docs, "skipped shards cannot contain band docs")
+  }
+
   test("q210: a half-and-half marker doc flags mixed; a pure doc does not") {
     val dir = plantedDir(Seq(
       (1L, "the a the a data value data value", "en"),  // en+de markers, 4+4
