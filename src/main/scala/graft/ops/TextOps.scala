@@ -4821,6 +4821,70 @@ object TextOps {
       .orderBy(col("shard_id"))
   }
 
+  /** Pareto-front (skyline) document selection — Börzsönyi et al.
+    * ICDE'01's operator on the curation trade-off every budgeted
+    * pipeline faces: maximize quality, minimize token cost; a doc is
+    * selected iff NO other doc is at least as good on both axes and
+    * strictly better on one. For 2-D the skyline is a sorted prefix-min
+    * walk: order by (quality desc, tokens asc, doc_id) and keep docs
+    * whose token count undercuts every predecessor's (duplicate
+    * (quality, tokens) points keep the lowest doc_id — the documented
+    * point-dedup convention that makes the walk total). The prefix min
+    * is BLOCK-PARTITIONED like q204's prefix sum (per-quality-block
+    * running mins + a ≤101-row exclusive block-min relation — min
+    * decomposes over the same split), so the inherently sequential walk
+    * never sits on one global partition; the oracle states one global
+    * window, proving the decomposition.
+    *
+    * Shape: scan-level scoring + q204's block-window device + a
+    * broadcast block-offset relation. Output is front-sized. */
+  val q233SkylineSelect: QueryDef = sql(
+    "q233_skyline_select",
+    """WITH q AS (
+      |  SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+      |    CAST(FLOOR(1000.0 *
+      |      ((CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks))
+      |        * (1.0 - CAST(len(list_filter(toks, x -> x = 'the' OR x = 'a')) AS DOUBLE) / len(toks))
+      |        * LEAST(1.0, CAST(len(toks) AS DOUBLE) / 50.0))) AS BIGINT) AS quality_kilo
+      |  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)),
+      |w AS (SELECT doc_id, n_tokens, quality_kilo,
+      |        MIN(n_tokens) OVER (ORDER BY quality_kilo DESC, n_tokens, doc_id
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prefix_min
+      |      FROM q)
+      |SELECT doc_id, quality_kilo, n_tokens
+      |FROM w
+      |WHERE prefix_min IS NULL OR n_tokens < prefix_min
+      |ORDER BY quality_kilo DESC, n_tokens, doc_id""".stripMargin) { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val q = docsWithTokens(s, dir)
+      .withColumn("n_tokens", size(col("toks")).cast("long"))
+      .withColumn("n_stop", expr("size(filter(toks, x -> x = 'the' OR x = 'a'))"))
+      .withColumn("n_uniq", size(array_distinct(col("toks"))))
+      .select(col("doc_id"), col("n_tokens"),
+        floor(lit(1000.0) *
+          ((col("n_uniq").cast("double") / col("n_tokens")) *
+            (lit(1.0) - col("n_stop").cast("double") / col("n_tokens")) *
+            least(lit(1.0), col("n_tokens").cast("double") / 50.0))).cast("long")
+          .as("quality_kilo"))
+      .withColumn("blk", col("quality_kilo"))
+    // exclusive min over strictly-better quality blocks (quality is
+    // already integer-kilo, so the block IS the quality value)
+    val offsets = q.groupBy(col("blk")).agg(min(col("n_tokens")).as("blk_min"))
+      .withColumn("blk_offset_min", min(col("blk_min")).over(
+        Window.orderBy(col("blk").desc).rowsBetween(Window.unboundedPreceding, -1)))
+      .select(col("blk"), col("blk_offset_min"))
+    val within = Window.partitionBy(col("blk"))
+      .orderBy(col("quality_kilo").desc, col("n_tokens"), col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    q.join(broadcast(offsets), Seq("blk"))
+      .withColumn("prefix_min",
+        least(coalesce(min(col("n_tokens")).over(within), lit(Long.MaxValue)),
+          coalesce(col("blk_offset_min"), lit(Long.MaxValue))))
+      .filter(col("prefix_min") === Long.MaxValue || col("n_tokens") < col("prefix_min"))
+      .select(col("doc_id"), col("quality_kilo"), col("n_tokens"))
+      .orderBy(col("quality_kilo").desc, col("n_tokens"), col("doc_id"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     q21TextStats, q22WordFreq, q23BigramFreq, q24LangId, q25QualityScore,
     q26Fingerprint, q27TokenRegex, q62TrainSplit, q64TermFreqMap,
@@ -4841,5 +4905,5 @@ object TextOps {
     q211QualityAnova, q212BitextMining, q213SourceJackknife, q215GoodTuring,
     q216LDiversity, q217PackingSweep, q218DomainReweight, q219LengthBias,
     q223RobustScale, q224Burstiness, q225KsDrift, q228VacuumPlan,
-    q232ManifestPruning)
+    q232ManifestPruning, q233SkylineSelect)
 }

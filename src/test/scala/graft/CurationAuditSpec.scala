@@ -533,6 +533,38 @@ class CurationAuditSpec extends SparkSpec {
     assert(mustReadDocs >= docs, "skipped shards cannot contain band docs")
   }
 
+  test("q233: the emitted front is mutually non-dominated and dominates every other doc") {
+    val rows = TextOps.q233SkylineSelect.run(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows.nonEmpty)
+    // along the emission order quality falls and tokens strictly fall
+    val toks = rows.map(_._3)
+    assert(toks.zip(toks.tail).forall { case (a, b) => a > b },
+      "token counts must strictly decrease along the front")
+    def dominates(a: (Long, Long, Long), b: (Long, Long, Long)): Boolean =
+      a._2 >= b._2 && a._3 <= b._3 && (a._2 > b._2 || a._3 < b._3)
+    for (a <- rows; b <- rows if a != b)
+      assert(!dominates(a, b), s"$a dominates $b inside the front")
+    // every non-front doc is dominated by (or duplicates) a front point
+    val docs = graft.sources.Tables.documents(spark, sfDir)
+      .withColumn("toks", split(col("text"), " "))
+      .withColumn("n_tokens", size(col("toks")).cast("long"))
+      .withColumn("n_stop", expr("size(filter(toks, x -> x = 'the' OR x = 'a'))"))
+      .withColumn("n_uniq", size(array_distinct(col("toks"))))
+      .select(col("doc_id"),
+        floor(lit(1000.0) *
+          ((col("n_uniq").cast("double") / col("n_tokens")) *
+            (lit(1.0) - col("n_stop").cast("double") / col("n_tokens")) *
+            least(lit(1.0), col("n_tokens").cast("double") / 50.0))).cast("long").as("q"),
+        col("n_tokens").as("t"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val frontIds = rows.map(_._1).toSet
+    docs.filterNot(d => frontIds.contains(d._1)).foreach { d =>
+      assert(rows.exists(f => dominates(f, d) || (f._2 == d._2 && f._3 == d._3)),
+        s"non-front doc $d must be dominated by or duplicate a front point")
+    }
+  }
+
   test("q210: a half-and-half marker doc flags mixed; a pure doc does not") {
     val dir = plantedDir(Seq(
       (1L, "the a the a data value data value", "en"),  // en+de markers, 4+4
