@@ -1498,10 +1498,93 @@ object Dedup {
       .orderBy(col("tau_pct"))
   }
 
+  /** EXACT similarity join via prefix filtering — the PPJoin family
+    * (Chaudhuri et al. ICDE'06's SSJoin primitive; Bayardo et al.
+    * WWW'07 all-pairs; Xiao et al. WWW'08): every pair with shingle-set
+    * Jaccard ≥ ½, with NO approximation and NO any-shared-element
+    * blocking. Order the shingle universe rarest-first (df asc); a doc
+    * of set size n keeps only its first ⌊n/2⌋+1 shingles as its PREFIX;
+    * the theorem: two sets with J ≥ t MUST collide inside their
+    * prefixes (fewer than (1−t)·n misses can't avoid them), so the
+    * candidate join runs on prefix shingles only — the rare end of the
+    * df spectrum, where blocking is cheapest — and exact verification
+    * (3·inter ≥ nₐ+n_b, pure integers) filters survivors. Complements
+    * the family: q31/q111 are approximate-recall LSH, q150's truth
+    * blocks on ANY shared shingle (complete but hot-shingle-quadratic);
+    * this is complete at ≤ the LSH price on the candidate side.
+    *
+    * Scale posture: df ranking is a vocabulary-bounded window (q215's
+    * class); the prefix cut is a per-doc partitioned window; the
+    * candidate join keys on rare shingles by construction (a shingle of
+    * df d contributes ≤ d² candidate pairs and prefixes drop exactly
+    * the high-df tail of each doc). Verification joins are candidate×
+    * set-size bounded. Completeness vs the brute-force shared-shingle
+    * universe is spec-proved (`CurationAuditSpec`). */
+  val q234PrefixJoin: QueryDef = sql(
+    "q234_prefix_join",
+    s"""WITH $shinglesSql,
+       |df AS (SELECT sh, COUNT(*) AS df FROM sh GROUP BY 1),
+       |rk AS (SELECT sh, ROW_NUMBER() OVER (ORDER BY df, sh) AS rnk FROM df),
+       |sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+       |pos AS (SELECT s.doc_id, s.sh,
+       |          ROW_NUMBER() OVER (PARTITION BY s.doc_id ORDER BY r.rnk) AS p,
+       |          z.n
+       |        FROM sh s JOIN rk r ON r.sh = s.sh JOIN sz z ON z.doc_id = s.doc_id),
+       |pre AS (SELECT doc_id, sh FROM pos WHERE p <= n // 2 + 1),
+       |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |         FROM pre a JOIN pre b ON b.sh = a.sh AND a.doc_id < b.doc_id),
+       |inter AS (SELECT c.doc_a, c.doc_b, COUNT(*) AS i
+       |          FROM cand c JOIN sh x ON x.doc_id = c.doc_a
+       |            JOIN sh y ON y.doc_id = c.doc_b AND y.sh = x.sh
+       |          GROUP BY 1, 2)
+       |SELECT i.doc_a, i.doc_b, CAST(i.i AS BIGINT) AS n_common,
+       |  CAST(za.n + zb.n - i.i AS BIGINT) AS n_union,
+       |  CAST(i.i AS DOUBLE) / (za.n + zb.n - i.i) AS jaccard
+       |FROM inter i JOIN sz za ON za.doc_id = i.doc_a
+       |  JOIN sz zb ON zb.doc_id = i.doc_b
+       |WHERE 3 * i.i >= za.n + zb.n
+       |ORDER BY doc_a, doc_b""".stripMargin) { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val sh = shingles(s, dir)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val df = sh.groupBy(col("sh")).agg(count(lit(1)).as("df"))
+    val rk = df.withColumn("rnk", row_number().over(Window.orderBy(col("df"), col("sh"))))
+      .select(col("sh"), col("rnk"))
+    val sz = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    // rk and sz are vocabulary-/doc-count-sized — broadcast them so the
+    // prefix cut is one map stage over the persisted shingle relation
+    val pre = sh.join(broadcast(rk), "sh").join(broadcast(sz), "doc_id")
+      .withColumn("p", row_number().over(
+        Window.partitionBy(col("doc_id")).orderBy(col("rnk"))))
+      .filter(col("p") <= expr("n div 2 + 1"))
+      .select(col("doc_id"), col("sh"), col("n"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // the PPJoin length filter rides the candidate join: J >= 1/2
+    // already implies n_b <= 2 n_a, so pruning it here costs nothing
+    // and kills the cross-size candidate tail before verification
+    val cand = pre.select(col("doc_id").as("doc_a"), col("sh"), col("n").as("na"))
+      .join(pre.select(col("doc_id").as("doc_b"), col("sh"), col("n").as("nb")), "sh")
+      .filter(col("doc_a") < col("doc_b") &&
+        col("na") <= lit(2) * col("nb") && col("nb") <= lit(2) * col("na"))
+      .select(col("doc_a"), col("doc_b")).distinct()
+    val inter = cand
+      .join(sh.select(col("doc_id").as("doc_a"), col("sh")), Seq("doc_a"))
+      .join(sh.select(col("doc_id").as("doc_b"), col("sh")), Seq("doc_b", "sh"))
+      .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("i"))
+    inter
+      .join(sz.select(col("doc_id").as("doc_a"), col("n").as("na")), "doc_a")
+      .join(sz.select(col("doc_id").as("doc_b"), col("n").as("nb")), "doc_b")
+      .filter(lit(3) * col("i") >= col("na") + col("nb"))
+      .select(col("doc_a"), col("doc_b"), col("i").cast("long").as("n_common"),
+        (col("na") + col("nb") - col("i")).cast("long").as("n_union"),
+        (col("i").cast("double") / (col("na") + col("nb") - col("i"))).as("jaccard"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     q30DedupExact, q31MinhashLsh, q32NeardupVerified, q33Simhash, q34SimhashPairs,
     q78SimhashHamming, q85DedupClusters, q108IncrementalDedup, q111SimhashWide,
     q126SpanDedup, q150DedupEval, q156RougeAudit, q161SplitLeakage,
     q163DedupSavings, q174ComponentSplit, q177Containment, q183SourceOverlap,
-    q184Novelty, q194CanonicalDedup, q209ThresholdSweep)
+    q184Novelty, q194CanonicalDedup, q209ThresholdSweep, q234PrefixJoin)
 }

@@ -565,6 +565,26 @@ class CurationAuditSpec extends SparkSpec {
     }
   }
 
+  test("q234: prefix filtering is COMPLETE — it finds exactly the brute-force J>=1/2 pairs") {
+    val got = Dedup.q234PrefixJoin.run(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // brute force over the shared-shingle universe (complete for J > 0)
+    val docs = graft.sources.Tables.documents(spark, sfDir)
+      .withColumn("toks", split(col("text"), " ")).collect()
+      .map { r =>
+        val t = r.getAs[scala.collection.Seq[String]]("toks")
+        r.getLong(0) -> t.sliding(3).filter(_.length == 3).map(_.mkString(" ")).toSet
+      }
+    val truth = (for {
+      (a, sa) <- docs; (b, sb) <- docs if a < b
+      inter = (sa & sb).size
+      if 3 * inter >= sa.size + sb.size && inter > 0
+    } yield (a, b)).toSet
+    assert(got == truth,
+      s"prefix join must equal brute force: missing ${truth -- got}, extra ${got -- truth}")
+    assert(truth.nonEmpty, "the fixture's planted near-dups must appear")
+  }
+
   test("q210: a half-and-half marker doc flags mixed; a pure doc does not") {
     val dir = plantedDir(Seq(
       (1L, "the a the a data value data value", "en"),  // en+de markers, 4+4
