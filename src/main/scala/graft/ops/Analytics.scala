@@ -1834,8 +1834,68 @@ object Analytics {
       .orderBy(col("o_year"))
   }
 
+  /** Incremental materialized-view maintenance (the view-maintenance
+    * algebra of Blakeley SIGMOD'86 / Gupta SIGMOD'93, in its
+    * insert-only partial-aggregate form — the same state merge Spark
+    * itself runs between map-side and final aggregation): the monthly
+    * revenue MV is REFRESHED by merging the persisted state with a
+    * partial aggregate over only the newly-arrived batch, never
+    * re-scanning history. The fixture splits orders deterministically
+    * (o_orderkey % 10 = 0 is "the new batch"), aggregates the two
+    * slices separately, and full-outer-merges them key-by-key:
+    * counts/sums add, min/max fold with null-safe least/greatest, and
+    * avg is DERIVED at emission from the merged sum and count (avg is
+    * not mergeable; sum+count are — the classic MV decomposition).
+    * The DuckDB oracle is the DIRECT recompute over the whole table,
+    * so the driver hash proves merge ≡ recompute exactly — the
+    * correctness condition incremental refresh rests on. Money rides
+    * the exact-cents device (per-row floor(x·100+0.5), integer from
+    * then on).
+    *
+    * Scale posture: at 100 TB the base slice is the PERSISTED MV
+    * (state-sized, q108's atomic-publish protocol — metadata plane,
+    * not a fact scan) and the only corpus-touching pass is the delta
+    * batch; the merge shuffles two state-sized relations on the MV
+    * key. Here both slices derive from one fixture scan so the whole
+    * claim stays inside one oracle-checkable query. */
+  val q235MvMaintenance: QueryDef = sql(
+    "q235_mv_maintenance",
+    """SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS mv_month,
+      |  o_orderpriority,
+      |  CAST(COUNT(*) AS BIGINT) AS n_orders,
+      |  CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS rev_cents,
+      |  CAST(MIN(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS min_cents,
+      |  CAST(MAX(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS max_cents,
+      |  CAST(CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+      |       // COUNT(*) AS BIGINT) AS avg_cents
+      |FROM orders
+      |GROUP BY 1, 2
+      |ORDER BY mv_month, o_orderpriority""".stripMargin) { (s, dir) =>
+    val o = Tables.orders(s, dir)
+      .withColumn("mv_month", date_trunc("month", col("o_orderdate")).cast("date"))
+      .withColumn("cents", expr("CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)"))
+    def state(slice: DataFrame): DataFrame = slice
+      .groupBy(col("mv_month"), col("o_orderpriority"))
+      .agg(count(lit(1)).cast("long").as("n"), sum(col("cents")).as("rev"),
+        min(col("cents")).as("mn"), max(col("cents")).as("mx"))
+    val base = state(o.filter(pmod(col("o_orderkey"), lit(10)) =!= 0))
+      .withColumnsRenamed(Map("n" -> "bn", "rev" -> "brev", "mn" -> "bmn", "mx" -> "bmx"))
+    val delta = state(o.filter(pmod(col("o_orderkey"), lit(10)) === 0))
+      .withColumnsRenamed(Map("n" -> "dn", "rev" -> "drev", "mn" -> "dmn", "mx" -> "dmx"))
+    // null-safe min/max fold: Spark's least/greatest skip nulls only
+    // when at least one side is non-null, which the outer join supplies
+    base.join(delta, Seq("mv_month", "o_orderpriority"), "full_outer")
+      .select(col("mv_month"), col("o_orderpriority"),
+        (coalesce(col("bn"), lit(0L)) + coalesce(col("dn"), lit(0L))).as("n_orders"),
+        (coalesce(col("brev"), lit(0L)) + coalesce(col("drev"), lit(0L))).as("rev_cents"),
+        least(col("bmn"), col("dmn")).as("min_cents"),
+        greatest(col("bmx"), col("dmx")).as("max_cents"))
+      .withColumn("avg_cents", expr("rev_cents DIV n_orders"))
+      .orderBy(col("mv_month"), col("o_orderpriority"))
+  }
+
   val all: Seq[QueryDef] = Seq(
-    q227IntegrityScorecard, q231MarketShare,
+    q227IntegrityScorecard, q231MarketShare, q235MvMaintenance,
     q01PricingSummary, q02SelectiveFilter, q03ShippingPriority, q05LocalRevenue,
     q06SemiJoin, q07AntiJoin, q08RangeJoin, q09DistinctUsers, q10Rollup,
     q11Cube, q12WindowRank, q13WindowRunning, q14TopOrders, q15SetOps,

@@ -117,6 +117,41 @@ class AnalyticsSpec extends SparkSpec {
     assert(typed.filter(size(col("seq")) > 1).count() > 0)
   }
 
+  test("q235: the incremental merge equals a direct recompute, including one-sided keys") {
+    import org.apache.spark.sql.functions._
+    val merged = Analytics.q235MvMaintenance.run(spark, sfDir).collect().toSeq
+    val direct = graft.sources.Tables.orders(spark, sfDir)
+      .withColumn("mv_month", date_trunc("month", col("o_orderdate")).cast("date"))
+      .withColumn("cents", expr("CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)"))
+      .groupBy(col("mv_month"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"), sum(col("cents")).as("rev_cents"),
+        min(col("cents")).as("min_cents"), max(col("cents")).as("max_cents"))
+      .withColumn("avg_cents", expr("rev_cents DIV n_orders"))
+      .orderBy(col("mv_month"), col("o_orderpriority"))
+      .collect().toSeq
+    assert(merged == direct, "merge(state(base), state(delta)) must equal the full recompute")
+    // planted: a key only in the base slice (no orderkey % 10 == 0), a key
+    // only in the delta slice, and a key spanning both — the three outer-join
+    // branches the merge must fold correctly
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-mv").toString
+    Seq(
+      (1L, "P_BASE", "2024-01-05 00:00:00", 10.00),
+      (10L, "P_DELTA", "2024-02-05 00:00:00", 20.00),
+      (2L, "P_BOTH", "2024-03-05 00:00:00", 5.00),
+      (20L, "P_BOTH", "2024-03-09 00:00:00", 7.00))
+      .toDF("o_orderkey", "o_orderpriority", "d", "o_totalprice")
+      .withColumn("o_orderdate", to_timestamp(col("d"))).drop("d")
+      .withColumn("o_custkey", lit(1L)).withColumn("o_orderstatus", lit("O"))
+      .write.parquet(s"$dir/orders.parquet")
+    val planted = Analytics.q235MvMaintenance.run(spark, dir).collect()
+      .map(r => r.getString(1) -> (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6))).toMap
+    assert(planted("P_BASE") == ((1L, 1000L, 1000L, 1000L, 1000L)))
+    assert(planted("P_DELTA") == ((1L, 2000L, 2000L, 2000L, 2000L)))
+    assert(planted("P_BOTH") == ((2L, 1200L, 500L, 700L, 600L)),
+      "the spanning key must add counts/sums and fold min/max across slices")
+  }
+
   test("fuzzyPairs: value-space and pair-space paths return identical pairs") {
     import org.apache.spark.sql.functions._
     val rows = graft.sources.Tables.part(spark, sfDir).select(
