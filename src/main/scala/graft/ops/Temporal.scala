@@ -333,8 +333,82 @@ object Temporal {
       .orderBy(col("day"))
   }
 
+  /** Multi-touch attribution — the marketing-analytics closure of the
+    * q95 funnel: every purchase's value is credited back to the touch
+    * events (view/click/signup) that preceded it within a 7-day
+    * lookback, under the three standard models AT ONCE — first-touch
+    * (min by (ts, event_id)), last-touch (max), and linear (equal
+    * split). Money is exact cents; the linear share is per-touch
+    * integer division v DIV n (truncating, identical in both engines),
+    * so linear_cents ≤ first/last totals by the declared remainder
+    * convention. Purchases with no in-window touch land in an
+    * 'unattributed' channel carrying full value under every model —
+    * first/last column totals therefore conserve the corpus purchase
+    * volume exactly (spec-pinned).
+    *
+    * Shape: the attribution join is USER-keyed with a time-band
+    * predicate — the q55 interval-join class: both sides shuffle on
+    * user_id once, per-purchase fanout is bounded by one user's 7-day
+    * touch activity, and every window after it partitions by purchase.
+    * The final channel aggregate is k-row. At 100 TB: salt hot users
+    * (q114's device) if one user's stream is pathological; everything
+    * else is map-side-combined. */
+  val q236Attribution: QueryDef = QueryDef.sql(
+    "q236_attribution",
+    """WITH p AS (SELECT event_id AS p_id, user_id, ts AS p_ts,
+      |             CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS v_cents
+      |           FROM events WHERE event_type = 'purchase'),
+      |t AS (SELECT event_id AS t_id, user_id, ts AS t_ts, event_type AS channel
+      |      FROM events WHERE event_type IN ('view', 'click', 'signup')),
+      |j AS (SELECT p.p_id, p.v_cents, t.t_id, t.t_ts, t.channel
+      |      FROM p LEFT JOIN t ON p.user_id = t.user_id
+      |        AND t.t_ts < p.p_ts AND t.t_ts >= p.p_ts - INTERVAL 7 DAY),
+      |w AS (SELECT p_id, v_cents, channel,
+      |        COUNT(t_id) OVER (PARTITION BY p_id) AS n,
+      |        ROW_NUMBER() OVER (PARTITION BY p_id ORDER BY t_ts, t_id) AS rn_a,
+      |        ROW_NUMBER() OVER (PARTITION BY p_id ORDER BY t_ts DESC, t_id DESC) AS rn_d
+      |      FROM j)
+      |SELECT COALESCE(channel, 'unattributed') AS channel,
+      |  CAST(COUNT(*) AS BIGINT) AS n_rows,
+      |  CAST(SUM(CASE WHEN rn_a = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_first,
+      |  CAST(SUM(CASE WHEN rn_d = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_last,
+      |  CAST(SUM(CASE WHEN rn_a = 1 THEN v_cents ELSE 0 END) AS BIGINT) AS first_cents,
+      |  CAST(SUM(CASE WHEN rn_d = 1 THEN v_cents ELSE 0 END) AS BIGINT) AS last_cents,
+      |  CAST(SUM(v_cents // GREATEST(n, 1)) AS BIGINT) AS linear_cents
+      |FROM w
+      |GROUP BY 1
+      |ORDER BY channel""".stripMargin) { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val ev = Tables.events(s, dir)
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("p_id"), col("user_id").as("p_user"),
+        col("ts").as("p_ts"),
+        expr("CAST(FLOOR(value * 100 + 0.5) AS BIGINT)").as("v_cents"))
+    val t = ev.filter(col("event_type").isin("view", "click", "signup"))
+      .select(col("event_id").as("t_id"), col("user_id").as("t_user"),
+        col("ts").as("t_ts"), col("event_type").as("channel"))
+    val j = p.join(t,
+      col("p_user") === col("t_user") &&
+        col("t_ts") < col("p_ts") &&
+        col("t_ts") >= col("p_ts") - expr("INTERVAL 7 DAYS"),
+      "left")
+    val byP = Window.partitionBy(col("p_id"))
+    val w = j.select(col("p_id"), col("v_cents"), col("channel"),
+        count(col("t_id")).over(byP).as("n"),
+        row_number().over(byP.orderBy(col("t_ts").asc, col("t_id").asc)).as("rn_a"),
+        row_number().over(byP.orderBy(col("t_ts").desc, col("t_id").desc)).as("rn_d"))
+    w.groupBy(coalesce(col("channel"), lit("unattributed")).as("channel"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(when(col("rn_a") === 1, 1L).otherwise(0L)).as("n_first"),
+        sum(when(col("rn_d") === 1, 1L).otherwise(0L)).as("n_last"),
+        sum(when(col("rn_a") === 1, col("v_cents")).otherwise(0L)).as("first_cents"),
+        sum(when(col("rn_d") === 1, col("v_cents")).otherwise(0L)).as("last_cents"),
+        sum(expr("v_cents DIV GREATEST(n, 1L)")).as("linear_cents"))
+      .orderBy(col("channel"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     q46AsofJoin, q47Pivot, q55IntervalJoin, q63AsofNative, q81IntervalNative,
     q95Funnel, q96RetentionCohorts, q109TransitionMatrix, q192DecayScores,
-    q226ChangePoint)
+    q226ChangePoint, q236Attribution)
 }

@@ -599,4 +599,47 @@ class CurationAuditSpec extends SparkSpec {
     assert(!rows(3L).getBoolean(6), "three scattered markers stay under the evidence bar")
     assert(rows(3L).getLong(5) == 3L)
   }
+
+  test("q236: first/last conserve purchase volume and a planted journey credits correctly") {
+    // fixture-wide conservation: every purchase lands exactly once under
+    // first-touch and once under last-touch (attributed or not), so both
+    // column totals equal the corpus purchase volume; linear loses only
+    // the declared per-touch integer-division remainder
+    val rows = graft.ops.Temporal.q236Attribution.run(spark, sfDir).collect()
+    val totalCents = graft.sources.Tables.events(spark, sfDir)
+      .filter(col("event_type") === "purchase")
+      .agg(sum(expr("CAST(FLOOR(value * 100 + 0.5) AS BIGINT)")))
+      .head.getLong(0)
+    assert(rows.map(_.getLong(4)).sum == totalCents, "first-touch totals conserve volume")
+    assert(rows.map(_.getLong(5)).sum == totalCents, "last-touch totals conserve volume")
+    val linearTotal = rows.map(_.getLong(6)).sum
+    assert(linearTotal <= totalCents && linearTotal > 0)
+    // planted journeys: click->view->signup->purchase(1000c) attributes
+    // first=click/last=signup/linear=333 each; a purchase 8 days after its
+    // only touches is unattributed at full value; a one-touch journey gives
+    // that touch both first and last credit
+    import spark.implicits._
+    val day = "2024-01-0"
+    val dir = java.nio.file.Files.createTempDirectory("graft-attr").toString
+    Seq(
+      (1L, s"${day}1 10:00:00", 1L, "click", 0.0),
+      (2L, s"${day}1 11:00:00", 1L, "view", 0.0),
+      (3L, s"${day}1 12:00:00", 1L, "signup", 0.0),
+      (4L, s"${day}1 13:00:00", 1L, "purchase", 10.00),
+      (5L, s"${day}9 13:00:00", 1L, "purchase", 5.00),
+      (6L, s"${day}1 09:00:00", 2L, "view", 0.0),
+      (7L, s"${day}1 09:30:00", 2L, "purchase", 7.77))
+      .toDF("event_id", "d", "user_id", "event_type", "value")
+      .withColumn("ts", to_timestamp(col("d"))).drop("d")
+      .withColumn("props", lit("{}"))
+      .write.parquet(s"$dir/events.parquet")
+    val planted = graft.ops.Temporal.q236Attribution.run(spark, dir).collect()
+      .map(r => r.getString(0) -> (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6))).toMap
+    assert(planted("click") == ((1L, 0L, 1000L, 0L, 333L)), "first touch credits the opener")
+    assert(planted("signup") == ((0L, 1L, 0L, 1000L, 333L)), "last touch credits the closer")
+    assert(planted("view") == ((1L, 1L, 777L, 777L, 333L + 777L)),
+      "a lone touch takes first AND last; linear shares add across journeys")
+    assert(planted("unattributed") == ((1L, 1L, 500L, 500L, 500L)),
+      "an out-of-window purchase keeps full value in every model")
+  }
 }
