@@ -4716,6 +4716,72 @@ object TextOps {
       .orderBy(col("source"))
   }
 
+  /** Per-source Mann–Whitney U rank test (Mann & Whitney 1947;
+    * Wilcoxon 1945) — the RANK-based companion to q225's KS gap on the
+    * same length axis: for each source, U compares that source's
+    * n_chars against the REST of the corpus, and U/(n·m) is exactly
+    * the AUC — the probability a random doc from the source is longer
+    * than a random doc from everywhere else (ties counting ½). KS
+    * fires on any distribution-shape step; U/AUC reads the DIRECTION
+    * and magnitude of a location shift, which is the triage question
+    * once KS flags a source. Everything is exact integers by the
+    * DOUBLED-rank device: with ties at value v averaging ranks,
+    * 2·avg_rank(v) = 2·cum_below(v) + count(v) + 1 is an integer, so
+    * u_x2 = 2R − n(n+1) is exact, the tie convention is pinned
+    * (an all-tied corpus gives u_x2 = n·m exactly, AUC ½), and the
+    * only division is the final floor-micro AUC emission.
+    *
+    * Shape: q225's posture — per-value corpus counts cumulated on the
+    * bounded distinct-length axis, per-(source, value) counts joined
+    * back on the broadcast value relation, then a source-keyed
+    * map-side-combined sum; nothing corpus-scale after the first
+    * aggregate. (At ≥10¹⁰-doc sources the n·m AUC denominator
+    * approaches 2⁶³ — emit the exact u_x2/n/m and divide in DECIMAL
+    * downstream; the flag's cross-multiplication stays in range far
+    * longer than the micro-scaled quotient.) */
+  val q237MannWhitney: QueryDef = sql(
+    "q237_mann_whitney",
+    """WITH l AS (SELECT source, CAST(n_chars AS BIGINT) AS v FROM documents),
+      |cv AS (SELECT v, CAST(COUNT(*) AS BIGINT) AS c FROM l GROUP BY 1),
+      |rk AS (SELECT v, c,
+      |         CAST(2 * (CAST(SUM(c) OVER (ORDER BY v) AS BIGINT) - c) + c + 1 AS BIGINT) AS t2avg
+      |       FROM cv),
+      |sc AS (SELECT source, v, CAST(COUNT(*) AS BIGINT) AS cs FROM l GROUP BY 1, 2),
+      |n AS (SELECT CAST(COUNT(*) AS BIGINT) AS nn FROM l),
+      |r2 AS (SELECT sc.source, CAST(SUM(sc.cs * rk.t2avg) AS BIGINT) AS rsum2,
+      |         CAST(SUM(sc.cs) AS BIGINT) AS n_s
+      |       FROM sc JOIN rk USING (v) GROUP BY 1)
+      |SELECT r2.source, r2.n_s, (n.nn - r2.n_s) AS n_rest,
+      |  CAST(r2.rsum2 - r2.n_s * (r2.n_s + 1) AS BIGINT) AS u_x2,
+      |  CAST(((r2.rsum2 - r2.n_s * (r2.n_s + 1)) * 500000)
+      |       // (r2.n_s * (n.nn - r2.n_s)) AS BIGINT) AS auc_micro,
+      |  (5 * ABS(r2.rsum2 - r2.n_s * (r2.n_s + 1) - r2.n_s * (n.nn - r2.n_s))
+      |     >= r2.n_s * (n.nn - r2.n_s)) AS shifted
+      |FROM r2, n
+      |ORDER BY r2.source""".stripMargin) { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val l = Tables.documents(s, dir)
+      .select(col("source"), col("n_chars").cast("long").as("v"))
+    val cv = l.groupBy(col("v")).agg(count(lit(1)).cast("long").as("c"))
+    val rk = cv.withColumn("t2avg",
+      (lit(2L) * (sum(col("c")).over(Window.orderBy(col("v"))) - col("c")) +
+        col("c") + 1L).cast("long"))
+    val sc = l.groupBy(col("source"), col("v")).agg(count(lit(1)).cast("long").as("cs"))
+    val n = l.agg(count(lit(1)).cast("long").as("nn"))
+    sc.join(broadcast(rk), Seq("v"))
+      .groupBy(col("source"))
+      .agg(sum(col("cs") * col("t2avg")).cast("long").as("rsum2"),
+        sum(col("cs")).cast("long").as("n_s"))
+      .crossJoin(broadcast(n))
+      .withColumn("u_x2", (col("rsum2") - col("n_s") * (col("n_s") + 1L)).cast("long"))
+      .select(col("source"), col("n_s"), (col("nn") - col("n_s")).as("n_rest"),
+        col("u_x2"),
+        expr("CAST((u_x2 * 500000) div (n_s * (nn - n_s)) AS BIGINT)").as("auc_micro"),
+        (lit(5L) * abs(col("u_x2") - col("n_s") * (col("nn") - col("n_s"))) >=
+          col("n_s") * (col("nn") - col("n_s"))).as("shifted"))
+      .orderBy(col("source"))
+  }
+
   /** Retention/VACUUM planner — the third leg of the lakehouse
     * metadata triad beside q176's time travel and q170's compaction
     * (Armbrust VLDB'20 §4.3: VACUUM deletes file versions no retained
@@ -4904,6 +4970,6 @@ object TextOps {
     q205NdcgEval, q206CollisionEntropy, q207KneserNey, q210CodeSwitch,
     q211QualityAnova, q212BitextMining, q213SourceJackknife, q215GoodTuring,
     q216LDiversity, q217PackingSweep, q218DomainReweight, q219LengthBias,
-    q223RobustScale, q224Burstiness, q225KsDrift, q228VacuumPlan,
+    q223RobustScale, q224Burstiness, q225KsDrift, q237MannWhitney, q228VacuumPlan,
     q232ManifestPruning, q233SkylineSelect)
 }

@@ -600,6 +600,52 @@ class CurationAuditSpec extends SparkSpec {
     assert(rows(3L).getLong(5) == 3L)
   }
 
+  test("q237: u_x2 equals the brute-force doubled pair count; planted shift and tie cases pin") {
+    // fixture-wide: for every source, U×2 must equal the literal pair
+    // count 2·|{(a,b): v_a > v_b}| + |ties| against the rest — the
+    // definition the rank formula is supposed to compute
+    val rows = graft.ops.TextOps.q237MannWhitney.run(spark, sfDir).collect()
+    val lens = graft.sources.Tables.documents(spark, sfDir)
+      .select(col("source"), col("n_chars").cast("long")).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    rows.foreach { r =>
+      val (src, nS, nRest, u2) = (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))
+      val mine = lens.filter(_._1 == src).map(_._2)
+      val rest = lens.filter(_._1 != src).map(_._2)
+      assert(mine.length.toLong == nS && rest.length.toLong == nRest)
+      val brute = mine.iterator.map(a =>
+        2L * rest.count(_ < a) + rest.count(_ == a)).sum
+      assert(u2 == brute, s"$src: rank-formula U×2 $u2 != brute pair count $brute")
+      assert(u2 >= 0 && u2 <= 2 * nS * nRest)
+      assert(r.getLong(4) >= 0 && r.getLong(4) <= 1000000L)
+    }
+    // planted: a strictly-longer source maxes U (AUC = 1, shifted), and
+    // an all-tied corpus lands exactly on u_x2 = n·m (AUC = ½) — the
+    // average-rank tie convention, pinned
+    import spark.implicits._
+    def write(rows: Seq[(Long, String, String)], tag: String): String = {
+      val dir = java.nio.file.Files.createTempDirectory(s"graft-mw-$tag").toString
+      rows.toDF("doc_id", "text", "source")
+        .withColumn("lang", lit("en"))
+        .withColumn("n_chars", length(col("text")).cast("long"))
+        .write.parquet(s"$dir/documents.parquet")
+      dir
+    }
+    val shifted = graft.ops.TextOps.q237MannWhitney.run(spark,
+      write(Seq((1L, "aaaaaaaaaa", "long"), (2L, "bbbbbbbbbb", "long"),
+        (3L, "cc", "short"), (4L, "dd", "short"), (5L, "ee", "short")), "shift"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(shifted("long").getLong(3) == 2L * 2 * 3 && shifted("long").getLong(4) == 1000000L
+      && shifted("long").getBoolean(5), "a strictly-longer source reads AUC exactly 1")
+    assert(shifted("short").getLong(3) == 0L && shifted("short").getBoolean(5),
+      "the complement reads AUC exactly 0")
+    val tied = graft.ops.TextOps.q237MannWhitney.run(spark,
+      write(Seq((1L, "aaa", "x"), (2L, "bbb", "x"), (3L, "ccc", "y"), (4L, "ddd", "y")), "tie"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(tied("x").getLong(3) == 2L * 2 && tied("x").getLong(4) == 500000L
+      && !tied("x").getBoolean(5), "an all-tied corpus sits exactly at u_x2 = n*m, AUC 1/2")
+  }
+
   test("q236: first/last conserve purchase volume and a planted journey credits correctly") {
     // fixture-wide conservation: every purchase lands exactly once under
     // first-touch and once under last-touch (attributed or not), so both
