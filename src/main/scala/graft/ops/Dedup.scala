@@ -490,6 +490,107 @@ object Dedup {
       .orderBy(col("canon_id"), col("doc_id"))
   }
 
+  /** Probabilistic record linkage (Fellegi & Sunter JASA'69; Newcombe
+    * Science'59) — entity resolution ACROSS tables, where q194's
+    * canonical dedup works within one: customer re-registrations are
+    * synthesized deterministically at offset ids (the q194/q145
+    * device: case-mangled names for id%3=0, last-char typos for %5=0,
+    * lost segment for %4=0, a $250 balance shift for %6=0), and each
+    * original–variant candidate pair is classified by the FS weight
+    * sum over its field-agreement vector: pinned integer milli
+    * log-odds (name ±4000/−2000, segment +800/−900, balance
+    * +1500/−1200 — the log(m/u) shape: a name agreement is strong
+    * evidence because u≈0 across distinct people; segment agreement
+    * is weak because u≈1/5), with match ≥ 4500 > possible ≥ 1000 >
+    * non-match. Candidates come from TWO blocking passes union'd —
+    * (nation, lower(name)) and (nation, balance-decabucket) — the
+    * multi-pass blocking FS deployments use because any single key
+    * misses true pairs mangled on that key; a pair mangled on BOTH
+    * keys (id % 30 = 0: typo'd name AND shifted balance) escapes the
+    * candidate set entirely — the documented blocking-recall miss,
+    * spec-counted exactly. Output is the 8-row agreement-pattern
+    * table with TRUE-pair counts alongside (the synthetic ground
+    * truth makes the m/u calibration auditable from the output).
+    *
+    * Scale posture: blocking keys carry data-proportional cardinality
+    * (names, balance buckets) — never the 25-value nation key alone,
+    * which would be a fixed-fanout quadratic at 100 TB; each pass is
+    * one equi-join, the union dedups on the pair key, and the pattern
+    * aggregate is 8-row map-side-combined. */
+  val q238RecordLinkage: QueryDef = sql(
+    "q238_record_linkage",
+    """WITH a AS (SELECT c_custkey AS a_id, c_nationkey AS a_nat, c_name AS a_name,
+      |             c_mktsegment AS a_seg,
+      |             CAST(FLOOR(c_acctbal * 100 + 0.5) AS BIGINT) AS a_cents
+      |           FROM customer),
+      |b AS (SELECT c_custkey + 1000000 AS b_id, c_nationkey AS b_nat,
+      |        CASE WHEN c_custkey % 5 = 0 THEN concat(substr(c_name, 1, length(c_name) - 1), 'X')
+      |             WHEN c_custkey % 3 = 0 THEN lower(c_name)
+      |             ELSE c_name END AS b_name,
+      |        CASE WHEN c_custkey % 4 = 0 THEN 'UNKNOWN' ELSE c_mktsegment END AS b_seg,
+      |        CAST(FLOOR(c_acctbal * 100 + 0.5) AS BIGINT)
+      |          + CASE WHEN c_custkey % 6 = 0 THEN 25000 ELSE 0 END AS b_cents
+      |      FROM customer),
+      |p AS (SELECT a_id, b_id, (lower(a_name) = lower(b_name)) AS name_ag,
+      |        (a_seg = b_seg) AS seg_ag, (ABS(a_cents - b_cents) <= 100) AS bal_ag,
+      |        (b_id = a_id + 1000000) AS is_true
+      |      FROM a JOIN b ON b_nat = a_nat AND lower(b_name) = lower(a_name)
+      |      UNION
+      |      SELECT a_id, b_id, (lower(a_name) = lower(b_name)) AS name_ag,
+      |        (a_seg = b_seg) AS seg_ag, (ABS(a_cents - b_cents) <= 100) AS bal_ag,
+      |        (b_id = a_id + 1000000) AS is_true
+      |      FROM a JOIN b ON b_nat = a_nat AND a_cents // 1000 = b_cents // 1000),
+      |agg AS (SELECT name_ag, seg_ag, bal_ag,
+      |          CAST(COUNT(*) AS BIGINT) AS n_pairs,
+      |          CAST(SUM(CASE WHEN is_true THEN 1 ELSE 0 END) AS BIGINT) AS n_true,
+      |          CAST(CASE WHEN name_ag THEN 4000 ELSE -2000 END
+      |             + CASE WHEN seg_ag THEN 800 ELSE -900 END
+      |             + CASE WHEN bal_ag THEN 1500 ELSE -1200 END AS BIGINT) AS weight_milli
+      |        FROM p GROUP BY 1, 2, 3)
+      |SELECT name_ag, seg_ag, bal_ag, n_pairs, n_true, weight_milli,
+      |  CASE WHEN weight_milli >= 4500 THEN 'match'
+      |       WHEN weight_milli >= 1000 THEN 'possible'
+      |       ELSE 'non_match' END AS decision
+      |FROM agg
+      |ORDER BY weight_milli DESC""".stripMargin) { (s, dir) =>
+    val cust = Tables.customer(s, dir)
+    val a = cust.select(col("c_custkey").as("a_id"), col("c_nationkey").as("a_nat"),
+      col("c_name").as("a_name"), col("c_mktsegment").as("a_seg"),
+      expr("CAST(FLOOR(c_acctbal * 100 + 0.5) AS BIGINT)").as("a_cents"))
+    val b = cust.select((col("c_custkey") + 1000000L).as("b_id"),
+      col("c_nationkey").as("b_nat"),
+      when(col("c_custkey") % 5 === 0,
+          concat(expr("substr(c_name, 1, length(c_name) - 1)"), lit("X")))
+        .when(col("c_custkey") % 3 === 0, lower(col("c_name")))
+        .otherwise(col("c_name")).as("b_name"),
+      when(col("c_custkey") % 4 === 0, lit("UNKNOWN"))
+        .otherwise(col("c_mktsegment")).as("b_seg"),
+      (expr("CAST(FLOOR(c_acctbal * 100 + 0.5) AS BIGINT)") +
+        when(col("c_custkey") % 6 === 0, 25000L).otherwise(0L)).as("b_cents"))
+    def pass(cond: org.apache.spark.sql.Column) = a.join(b, cond)
+      .select(col("a_id"), col("b_id"),
+        (lower(col("a_name")) === lower(col("b_name"))).as("name_ag"),
+        (col("a_seg") === col("b_seg")).as("seg_ag"),
+        (abs(col("a_cents") - col("b_cents")) <= 100L).as("bal_ag"),
+        (col("b_id") === col("a_id") + 1000000L).as("is_true"))
+    val p = pass(col("b_nat") === col("a_nat") && lower(col("b_name")) === lower(col("a_name")))
+      .union(pass(col("b_nat") === col("a_nat") &&
+        expr("a_cents DIV 1000") === expr("b_cents DIV 1000")))
+      .distinct()
+    p.groupBy(col("name_ag"), col("seg_ag"), col("bal_ag"))
+      .agg(count(lit(1)).cast("long").as("n_pairs"),
+        sum(when(col("is_true"), 1L).otherwise(0L)).as("n_true"))
+      .withColumn("weight_milli",
+        (when(col("name_ag"), 4000L).otherwise(-2000L) +
+          when(col("seg_ag"), 800L).otherwise(-900L) +
+          when(col("bal_ag"), 1500L).otherwise(-1200L)).cast("long"))
+      .withColumn("decision",
+        when(col("weight_milli") >= 4500L, "match")
+          .when(col("weight_milli") >= 1000L, "possible")
+          .otherwise("non_match"))
+      .orderBy(col("weight_milli").desc)
+  }
+
   /** [[connectedComponents]] + the component-atomic 80/20 assignment;
     * exposed for the leakage property test (q174 wires in the verified
     * near-dup pairs). */
@@ -1586,5 +1687,6 @@ object Dedup {
     q78SimhashHamming, q85DedupClusters, q108IncrementalDedup, q111SimhashWide,
     q126SpanDedup, q150DedupEval, q156RougeAudit, q161SplitLeakage,
     q163DedupSavings, q174ComponentSplit, q177Containment, q183SourceOverlap,
-    q184Novelty, q194CanonicalDedup, q209ThresholdSweep, q234PrefixJoin)
+    q184Novelty, q194CanonicalDedup, q209ThresholdSweep, q234PrefixJoin,
+    q238RecordLinkage)
 }

@@ -646,6 +646,50 @@ class CurationAuditSpec extends SparkSpec {
       && !tied("x").getBoolean(5), "an all-tied corpus sits exactly at u_x2 = n*m, AUC 1/2")
   }
 
+  test("q238: pattern counts equal a literal driver simulation; the double-mangled pairs are the blocking misses") {
+    val rows = graft.ops.Dedup.q238RecordLinkage.run(spark, sfDir).collect()
+      .map(r => (r.getBoolean(0), r.getBoolean(1), r.getBoolean(2)) ->
+        (r.getLong(3), r.getLong(4), r.getLong(5), r.getString(6))).toMap
+    // literal re-simulation of synthesis + both blocking passes + FS
+    // weights on the collected table — the query must agree cell for cell
+    case class Rec(id: Long, nat: Int, name: String, seg: String, cents: Long)
+    val cust = graft.sources.Tables.customer(spark, sfDir).collect().map(r =>
+      Rec(r.getLong(0), r.getInt(2), r.getString(1), r.getString(4),
+        math.floor(r.getDouble(3) * 100 + 0.5).toLong))
+    val bs = cust.map { c =>
+      val name = if (c.id % 5 == 0) c.name.dropRight(1) + "X"
+        else if (c.id % 3 == 0) c.name.toLowerCase else c.name
+      Rec(c.id + 1000000L, c.nat, name,
+        if (c.id % 4 == 0) "UNKNOWN" else c.seg,
+        c.cents + (if (c.id % 6 == 0) 25000L else 0L))
+    }
+    val sim = (for {
+      a <- cust; b <- bs
+      if a.nat == b.nat
+      if a.name.toLowerCase == b.name.toLowerCase || a.cents / 1000 == b.cents / 1000
+    } yield ((a.name.toLowerCase == b.name.toLowerCase, a.seg == b.seg,
+      math.abs(a.cents - b.cents) <= 100), b.id == a.id + 1000000L))
+      .groupBy(_._1).map { case (k, v) => k -> (v.length.toLong, v.count(_._2).toLong) }
+    assert(rows.keySet == sim.keySet)
+    sim.foreach { case (k, (nPairs, nTrue)) =>
+      assert((rows(k)._1, rows(k)._2) == ((nPairs, nTrue)), s"pattern $k diverges")
+      val w = (if (k._1) 4000L else -2000L) + (if (k._2) 800L else -900L) +
+        (if (k._3) 1500L else -1200L)
+      assert(rows(k)._3 == w)
+      assert(rows(k)._4 == (if (w >= 4500) "match" else if (w >= 1000) "possible" else "non_match"))
+    }
+    // blocking recall: every true pair mangled on BOTH keys (% 30 = 0:
+    // typo'd name and shifted balance) must be missing from the candidate
+    // set, and nothing else is
+    val missed = cust.count(c => c.id % 30 == 0)
+    assert(rows.values.map(_._2).sum == cust.length - missed,
+      "candidate recall loses exactly the double-mangled pairs")
+    assert(missed > 0, "the fixture must exercise the blocking miss")
+    // integer division on negative balances must truncate identically —
+    // guard the device the bucket key rests on
+    assert(-7L / 2L == -3L)
+  }
+
   test("q236: first/last conserve purchase volume and a planted journey credits correctly") {
     // fixture-wide conservation: every purchase lands exactly once under
     // first-touch and once under last-touch (attributed or not), so both
