@@ -4782,6 +4782,64 @@ object TextOps {
       .orderBy(col("source"))
   }
 
+  /** Cross-source quantile normalization (Bolstad Bioinformatics'03 —
+    * the microarray device, standard wherever per-source distribution
+    * shape is a nuisance variable): each doc's length is REPLACED by
+    * the pooled corpus quantile at its within-source rank fraction
+    * (r−½)/n_s, so every source's normalized distribution becomes the
+    * pooled one while each source's internal ORDER is exactly
+    * preserved — the alignment step before cross-source thresholds
+    * (q159's gates, q225/q237's drift flags) can be compared on one
+    * scale. Exact integers end-to-end: target position
+    * pos = ⌊(2r−1)·N / (2·n_s)⌋ + 1 ∈ [1, N] (provably, no clamp),
+    * and the pooled quantile lookup rides the BOUNDED distinct-value
+    * axis — pos lands in the one value whose cumulative interval
+    * covers it (cum−c < pos ≤ cum), a broadcast range join, never a
+    * global sort of the corpus. Equal-size sources receive the
+    * IDENTICAL normalized multiset (the defining property,
+    * spec-pinned across all 20 fixture sources).
+    *
+    * Shape: q225's posture — per-source windows (distributed on the
+    * source axis), one bounded value-axis cumulation, one broadcast
+    * interval join. (Beyond ~10⁹ docs per source the (2r−1)·N
+    * product wants DECIMAL or the q204 block split; the axis device
+    * itself is scale-free.) */
+  val q239QuantileNorm: QueryDef = sql(
+    "q239_quantile_norm",
+    """WITH l AS (SELECT doc_id, source, CAST(n_chars AS BIGINT) AS v FROM documents),
+      |n AS (SELECT CAST(COUNT(*) AS BIGINT) AS nn FROM l),
+      |cv AS (SELECT v, CAST(COUNT(*) AS BIGINT) AS c FROM l GROUP BY 1),
+      |cum AS (SELECT v, c, CAST(SUM(c) OVER (ORDER BY v) AS BIGINT) AS cc FROM cv),
+      |r AS (SELECT doc_id, source, v,
+      |        CAST(ROW_NUMBER() OVER (PARTITION BY source ORDER BY v, doc_id) AS BIGINT) AS rk,
+      |        CAST(COUNT(*) OVER (PARTITION BY source) AS BIGINT) AS n_s
+      |      FROM l)
+      |SELECT r.doc_id, r.source, r.v, r.rk,
+      |  CAST(((2 * r.rk - 1) * n.nn) // (2 * r.n_s) + 1 AS BIGINT) AS pos,
+      |  c.v AS v_norm
+      |FROM r CROSS JOIN n
+      |JOIN cum c ON ((2 * r.rk - 1) * n.nn) // (2 * r.n_s) + 1 > c.cc - c.c
+      |          AND ((2 * r.rk - 1) * n.nn) // (2 * r.n_s) + 1 <= c.cc
+      |ORDER BY r.doc_id""".stripMargin) { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val l = Tables.documents(s, dir)
+      .select(col("doc_id"), col("source"), col("n_chars").cast("long").as("v"))
+    val n = l.agg(count(lit(1)).cast("long").as("nn"))
+    val cum = l.groupBy(col("v")).agg(count(lit(1)).cast("long").as("c"))
+      .withColumn("cc", sum(col("c")).over(Window.orderBy(col("v"))).cast("long"))
+      .select(col("v").as("nv"), col("c"), col("cc"))
+    val bySrc = Window.partitionBy(col("source"))
+    val r = l
+      .withColumn("rk", row_number().over(bySrc.orderBy(col("v"), col("doc_id"))).cast("long"))
+      .withColumn("n_s", count(lit(1)).over(bySrc).cast("long"))
+      .crossJoin(broadcast(n))
+      .withColumn("pos", expr("((2 * rk - 1) * nn) DIV (2 * n_s) + 1"))
+    r.join(broadcast(cum), col("pos") > col("cc") - col("c") && col("pos") <= col("cc"))
+      .select(col("doc_id"), col("source"), col("v"), col("rk"), col("pos"),
+        col("nv").as("v_norm"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Retention/VACUUM planner — the third leg of the lakehouse
     * metadata triad beside q176's time travel and q170's compaction
     * (Armbrust VLDB'20 §4.3: VACUUM deletes file versions no retained
@@ -4970,6 +5028,7 @@ object TextOps {
     q205NdcgEval, q206CollisionEntropy, q207KneserNey, q210CodeSwitch,
     q211QualityAnova, q212BitextMining, q213SourceJackknife, q215GoodTuring,
     q216LDiversity, q217PackingSweep, q218DomainReweight, q219LengthBias,
-    q223RobustScale, q224Burstiness, q225KsDrift, q237MannWhitney, q228VacuumPlan,
+    q223RobustScale, q224Burstiness, q225KsDrift, q237MannWhitney,
+    q239QuantileNorm, q228VacuumPlan,
     q232ManifestPruning, q233SkylineSelect)
 }

@@ -646,6 +646,29 @@ class CurationAuditSpec extends SparkSpec {
       && !tied("x").getBoolean(5), "an all-tied corpus sits exactly at u_x2 = n*m, AUC 1/2")
   }
 
+  test("q239: equal-size sources share one normalized multiset and source order is preserved") {
+    val rows = graft.ops.TextOps.q239QuantileNorm.run(spark, sfDir).collect()
+      .map(r => (r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+    val bySrc = rows.groupBy(_._1)
+    // the defining property: every equal-size source maps onto the SAME
+    // pooled quantile vector
+    val vectors = bySrc.values.map(_.sortBy(_._3).map(_._5).toSeq).toSet
+    assert(bySrc.size == 20 && vectors.size == 1,
+      "all 20 equal-size fixture sources must normalize to one identical multiset")
+    // within a source, normalization preserves rank order
+    bySrc.values.foreach { docs =>
+      val byRank = docs.sortBy(_._3)
+      assert(byRank.map(_._2).sameElements(byRank.map(_._2).sorted), "rank follows raw value")
+      assert(byRank.map(_._5).sameElements(byRank.map(_._5).sorted), "v_norm is monotone in rank")
+    }
+    // every normalized value is an actually-observed pooled value at the
+    // right cumulative position
+    val pooled = rows.map(_._2).sorted
+    rows.foreach { case (_, _, _, pos, vn) =>
+      assert(pooled(pos.toInt - 1) == vn, "pos indexes the pooled sorted vector exactly")
+    }
+  }
+
   test("q238: pattern counts equal a literal driver simulation; the double-mangled pairs are the blocking misses") {
     val rows = graft.ops.Dedup.q238RecordLinkage.run(spark, sfDir).collect()
       .map(r => (r.getBoolean(0), r.getBoolean(1), r.getBoolean(2)) ->
