@@ -4840,6 +4840,95 @@ object TextOps {
       .orderBy(col("doc_id"))
   }
 
+  /** Merkle-tree corpus diff — the anti-entropy device (Merkle
+    * CRYPTO'87; Cassandra/Dynamo repair, DeCandia SOSP'07 §4.7) that
+    * LOCALIZES where two corpus versions diverge without comparing
+    * doc-by-doc, where q145's flat diff pays one full-corpus join:
+    * doc hashes roll up through fanout-16 id-range buckets
+    * (level 0 = doc_id DIV 16, each parent = md5 of its children's
+    * "key=hash" entries in key order), and a sync walks DOWN only
+    * through nodes whose hashes differ — identical subtrees are
+    * certified identical by ONE hash compare, so transfer cost is
+    * O(changed · depth), not O(corpus). v2 is synthesized by the
+    * q145/q194 device (edit %17, delete %23, add clones of %19 at
+    * +3,000,000 — the adds land in fresh id ranges, exercising the
+    * one-sided outer branch). Emits every node of levels 0–2 for both
+    * versions with its differs flag; parent-differs ⟺ some-child-
+    * differs and touched-bucket exactness are spec-pinned
+    * (`VersioningSpec`).
+    *
+    * Scale posture: each level is one map-side-combined aggregate
+    * whose output is 1/16 its input; the version join is node-keyed.
+    * Production keeps the tree PERSISTED per snapshot (q108's
+    * protocol) so a sync reads two metadata-plane trees and touches
+    * the corpus only under differing leaves. Entry strings are
+    * bounded (16 children × ~40 chars). */
+  val q240MerkleDiff: QueryDef = {
+    def treeSql(src: String, t: String): String =
+      s"""${t}_leaf AS (SELECT doc_id, md5(concat(CAST(doc_id AS VARCHAR), ':', text)) AS dh FROM $src),
+         |${t}_l0 AS (SELECT doc_id // 16 AS b,
+         |    md5(string_agg(concat(CAST(doc_id AS VARCHAR), '=', dh), ',' ORDER BY doc_id)) AS h
+         |  FROM ${t}_leaf GROUP BY 1),
+         |${t}_l1 AS (SELECT b // 16 AS pb,
+         |    md5(string_agg(concat(CAST(b AS VARCHAR), '=', h), ',' ORDER BY b)) AS h
+         |  FROM ${t}_l0 GROUP BY 1),
+         |${t}_l2 AS (SELECT pb // 16 AS pb2,
+         |    md5(string_agg(concat(CAST(pb AS VARCHAR), '=', h), ',' ORDER BY pb)) AS h
+         |  FROM ${t}_l1 GROUP BY 1),
+         |${t}_t AS (SELECT CAST(0 AS BIGINT) AS level, b, h FROM ${t}_l0
+         |  UNION ALL SELECT 1, pb, h FROM ${t}_l1
+         |  UNION ALL SELECT 2, pb2, h FROM ${t}_l2)""".stripMargin
+    sql(
+      "q240_merkle_diff",
+      s"""WITH v1 AS (SELECT doc_id, text FROM documents),
+         |v2 AS (SELECT doc_id,
+         |         CASE WHEN doc_id % 17 = 0 THEN concat(text, ' [edited v2]') ELSE text END AS text
+         |       FROM documents WHERE doc_id % 23 <> 0
+         |       UNION ALL
+         |       SELECT doc_id + 3000000, concat('v2new:', text)
+         |       FROM documents WHERE doc_id % 19 = 0),
+         |${treeSql("v1", "a")},
+         |${treeSql("v2", "b")}
+         |SELECT COALESCE(a_t.level, b_t.level) AS level,
+         |  CAST(COALESCE(a_t.b, b_t.b) AS BIGINT) AS bucket,
+         |  a_t.h AS v1_hash, b_t.h AS v2_hash,
+         |  (a_t.h IS NULL OR b_t.h IS NULL OR a_t.h <> b_t.h) AS differs
+         |FROM a_t FULL OUTER JOIN b_t
+         |  ON a_t.level = b_t.level AND a_t.b = b_t.b
+         |ORDER BY level DESC, bucket""".stripMargin) { (s, dir) =>
+      val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      val v2 = docs.filter(col("doc_id") % 23 =!= 0)
+        .select(col("doc_id"),
+          when(col("doc_id") % 17 === 0, concat(col("text"), lit(" [edited v2]")))
+            .otherwise(col("text")).as("text"))
+        .unionByName(docs.filter(col("doc_id") % 19 === 0)
+          .select((col("doc_id") + 3000000L).as("doc_id"),
+            concat(lit("v2new:"), col("text")).as("text")))
+      def up(df: DataFrame, key: String): DataFrame = df
+        .groupBy(expr(s"$key DIV 16").as("b"))
+        .agg(expr(s"md5(array_join(transform(array_sort(collect_list(struct($key, h))), " +
+          s"x -> concat(CAST(x.$key AS STRING), '=', x.h)), ',')) AS h"))
+      def tree(v: DataFrame): DataFrame = {
+        val leaf = v.select(col("doc_id"),
+          md5(concat(col("doc_id").cast("string"), lit(":"), col("text"))).as("h"))
+        val l0 = up(leaf, "doc_id")
+        val l1 = up(l0, "b")
+        val l2 = up(l1, "b")
+        l0.select(lit(0L).as("level"), col("b"), col("h"))
+          .unionByName(l1.select(lit(1L).as("level"), col("b"), col("h")))
+          .unionByName(l2.select(lit(2L).as("level"), col("b"), col("h")))
+      }
+      val a = tree(docs).withColumnsRenamed(Map("h" -> "v1_hash"))
+      val bt = tree(v2).withColumnsRenamed(Map("h" -> "v2_hash"))
+      a.join(bt, Seq("level", "b"), "full_outer")
+        .select(col("level"), col("b").cast("long").as("bucket"),
+          col("v1_hash"), col("v2_hash"),
+          (col("v1_hash").isNull || col("v2_hash").isNull ||
+            col("v1_hash") =!= col("v2_hash")).as("differs"))
+        .orderBy(col("level").desc, col("bucket"))
+    }
+  }
+
   /** Retention/VACUUM planner — the third leg of the lakehouse
     * metadata triad beside q176's time travel and q170's compaction
     * (Armbrust VLDB'20 §4.3: VACUUM deletes file versions no retained
@@ -5029,6 +5118,6 @@ object TextOps {
     q211QualityAnova, q212BitextMining, q213SourceJackknife, q215GoodTuring,
     q216LDiversity, q217PackingSweep, q218DomainReweight, q219LengthBias,
     q223RobustScale, q224Burstiness, q225KsDrift, q237MannWhitney,
-    q239QuantileNorm, q228VacuumPlan,
+    q239QuantileNorm, q240MerkleDiff, q228VacuumPlan,
     q232ManifestPruning, q233SkylineSelect)
 }

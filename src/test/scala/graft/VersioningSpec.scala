@@ -104,4 +104,31 @@ class VersioningSpec extends SparkSpec {
     assert(snaps(5L) == replay(5L))
     assert(snaps(5L) != snaps(2L), "versions 3-5 must change something at this SF")
   }
+
+  test("q240: parent differs iff some child differs, and level-0 diffs are exactly the touched buckets") {
+    val rows = TextOps.q240MerkleDiff.run(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (Option(r.getString(2)), Option(r.getString(3)), r.getBoolean(4))).toMap
+    // the anti-entropy invariant: a sync descending only through
+    // differing nodes reaches every changed leaf and skips every
+    // certified-identical subtree
+    for (level <- Seq(1L, 2L); (k, v) <- rows if k._1 == level) {
+      val kids = rows.filter { case ((l, b), _) => l == level - 1 && b / 16 == k._2 }
+      assert(kids.nonEmpty)
+      assert(v._3 == kids.values.exists(_._3),
+        s"level-$level bucket ${k._2}: differs must equal OR over children")
+    }
+    // level-0 differing buckets = exactly the id ranges touched by the
+    // synthesized edit/delete/add pattern
+    val ids = graft.sources.Tables.documents(spark, sfDir)
+      .select(col("doc_id")).collect().map(_.getLong(0))
+    val touched = (ids.filter(id => id % 23 == 0 || (id % 17 == 0)).map(_ / 16) ++
+      ids.filter(_ % 19 == 0).map(id => (id + 3000000L) / 16)).toSet
+    val diff0 = rows.collect { case ((0L, b), (_, _, true)) => b }.toSet
+    assert(diff0 == touched, "level-0 differs set must equal the touched bucket set")
+    assert(rows.exists { case ((l, _), v) => l == 2L && v._3 },
+      "the synthesized changes must surface at the top level")
+    // the one-sided outer branch: added docs create v2-only buckets
+    assert(rows.exists { case ((0L, _), (v1h, _, d)) => v1h.isEmpty && d })
+  }
 }
