@@ -407,8 +407,91 @@ object Temporal {
       .orderBy(col("channel"))
   }
 
+  /** Peak session concurrency by sweep line — the capacity-planning
+    * gauge (max simultaneous sessions = the number the autoscaler and
+    * the license both care about), computed as the classic
+    * boundary-count device: sessionize each user's events by the
+    * 30-minute-gap islands rule (new session ⟺ gap > 30 min — the
+    * LAG/cumulative-flag formulation), emit +1 at each session start
+    * and −1 at each end, and the running sum of deltas in (t, start-
+    * before-end) order IS the live-session count at every instant
+    * (closed intervals: a session touching t counts at t; same-user
+    * sessions can never touch by the gap rule). Per day: the peak
+    * count and the first instant achieving it. The global running sum
+    * is BLOCK-PARTITIONED by calendar day exactly like q204/q226 —
+    * within-day window + day-offset prefix on the bounded calendar
+    * axis — and the DuckDB oracle computes the same sum with one
+    * GLOBAL window, so the driver hash proves the decomposition
+    * (sessions spanning midnight carry through the day offset).
+    * Exact integers: epoch-microsecond boundaries, ±1 deltas.
+    *
+    * Shape: sessionization = user-partitioned windows; the sweep =
+    * one day-partitioned window + a day-count-sized offset relation;
+    * emission is calendar-sized. */
+  val q241PeakConcurrency: QueryDef = QueryDef.sql(
+    "q241_peak_concurrency",
+    """WITH e AS (SELECT user_id, event_id, ts, epoch_us(ts) AS t FROM events),
+      |f AS (SELECT user_id, event_id, t,
+      |        CASE WHEN LAG(t) OVER (PARTITION BY user_id ORDER BY t, event_id) IS NULL
+      |               OR t - LAG(t) OVER (PARTITION BY user_id ORDER BY t, event_id) > 1800000000
+      |             THEN 1 ELSE 0 END AS is_new
+      |      FROM e),
+      |s AS (SELECT user_id, t,
+      |        CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY t, event_id
+      |          ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sid
+      |      FROM f),
+      |sess AS (SELECT user_id, sid, MIN(t) AS st, MAX(t) AS en
+      |         FROM s GROUP BY 1, 2),
+      |bnd AS (SELECT user_id, sid, st AS t, CAST(1 AS BIGINT) AS delta FROM sess
+      |        UNION ALL
+      |        SELECT user_id, sid, en, CAST(-1 AS BIGINT) FROM sess),
+      |conc AS (SELECT CAST(make_timestamp(t) AS DATE) AS day, t,
+      |           CAST(SUM(delta) OVER (ORDER BY t, delta DESC, user_id, sid) AS BIGINT) AS c
+      |         FROM bnd),
+      |pk AS (SELECT day, t, c, MAX(c) OVER (PARTITION BY day) AS mx FROM conc)
+      |SELECT day, CAST(COUNT(*) AS BIGINT) AS n_boundaries,
+      |  CAST(MAX(c) AS BIGINT) AS peak_conc,
+      |  CAST(MIN(CASE WHEN c = mx THEN t END) AS BIGINT) AS peak_at_micro
+      |FROM pk
+      |GROUP BY 1
+      |ORDER BY day""".stripMargin) { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val e = Tables.events(s, dir)
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("t"))
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("t"), col("event_id"))
+    val f = e.withColumn("prev", lag(col("t"), 1).over(byUser))
+      .withColumn("is_new",
+        when(col("prev").isNull || col("t") - col("prev") > 1800000000L, 1L).otherwise(0L))
+    val sids = f.withColumn("sid",
+      sum(col("is_new")).over(Window.partitionBy(col("user_id")).orderBy(col("t"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)).cast("long"))
+    val sess = sids.groupBy(col("user_id"), col("sid"))
+      .agg(min(col("t")).as("st"), max(col("t")).as("en"))
+    val bnd = sess.select(col("user_id"), col("sid"), col("st").as("t"), lit(1L).as("delta"))
+      .unionByName(sess.select(col("user_id"), col("sid"), col("en").as("t"), lit(-1L).as("delta")))
+      .withColumn("day", to_date(timestamp_micros(col("t"))))
+    // block-partitioned sweep: within-day running sum + day offsets on
+    // the bounded calendar axis (the q204/q226 device; the oracle's
+    // single global window proves the decomposition)
+    val within = bnd.withColumn("wc",
+      sum(col("delta")).over(Window.partitionBy(col("day"))
+        .orderBy(col("t"), col("delta").desc, col("user_id"), col("sid"))).cast("long"))
+    val offs = bnd.groupBy(col("day")).agg(sum(col("delta")).as("dt"))
+      .withColumn("off",
+        (sum(col("dt")).over(Window.orderBy(col("day"))) - col("dt")).cast("long"))
+      .select(col("day"), col("off"))
+    val conc = within.join(broadcast(offs), Seq("day"))
+      .withColumn("c", col("wc") + col("off"))
+    conc.withColumn("mx", max(col("c")).over(Window.partitionBy(col("day"))))
+      .groupBy(col("day"))
+      .agg(count(lit(1)).as("n_boundaries"),
+        max(col("c")).cast("long").as("peak_conc"),
+        min(when(col("c") === col("mx"), col("t"))).cast("long").as("peak_at_micro"))
+      .orderBy(col("day"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     q46AsofJoin, q47Pivot, q55IntervalJoin, q63AsofNative, q81IntervalNative,
     q95Funnel, q96RetentionCohorts, q109TransitionMatrix, q192DecayScores,
-    q226ChangePoint, q236Attribution)
+    q226ChangePoint, q236Attribution, q241PeakConcurrency)
 }

@@ -669,6 +669,40 @@ class CurationAuditSpec extends SparkSpec {
     }
   }
 
+  test("q241: planted sessions peak correctly and the midnight carry rides the day offset") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-sweep").toString
+    // user 1: a two-event session then a separate one 70 min later;
+    // user 2: a single-event session overlapping user 1's first;
+    // user 3: a session SPANNING midnight (15-min gap across days)
+    Seq(
+      (1L, "2024-01-01 00:10:00", 1L), (2L, "2024-01-01 00:20:00", 1L),
+      (3L, "2024-01-01 01:30:00", 1L),
+      (4L, "2024-01-01 00:15:00", 2L),
+      (5L, "2024-01-01 23:50:00", 3L), (6L, "2024-01-02 00:05:00", 3L))
+      .toDF("event_id", "d", "user_id")
+      .withColumn("ts", to_timestamp(col("d"))).drop("d")
+      .withColumn("event_type", lit("view")).withColumn("value", lit(1.0))
+      .withColumn("props", lit("{}"))
+      .write.parquet(s"$dir/events.parquet")
+    val rows = graft.ops.Temporal.q241PeakConcurrency.run(spark, dir).collect()
+      .map(r => r.getDate(0).toString -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    def micros(t: String): Long = spark.sql(
+      s"SELECT unix_micros(to_timestamp('$t'))").head.getLong(0)
+    assert(rows("2024-01-01") == ((7L, 2L, micros("2024-01-01 00:15:00"))),
+      "two overlapping sessions peak at 2 when the second opens")
+    // day 2 holds only user 3's session CLOSE: a per-day-only sum would
+    // read -1; the cross-day offset makes the true live count 0
+    assert(rows("2024-01-02") == ((1L, 0L, micros("2024-01-02 00:05:00"))),
+      "the midnight-spanning session must carry through the day offset")
+    // fixture-wide: boundary count is twice the session count and every
+    // day's peak is non-negative (closes can never outnumber opens seen)
+    val fix = graft.ops.Temporal.q241PeakConcurrency.run(spark, sfDir).collect()
+    assert(fix.map(_.getLong(1)).sum % 2 == 0)
+    assert(fix.forall(_.getLong(2) >= 0))
+    assert(fix.exists(_.getLong(2) > 0))
+  }
+
   test("q238: pattern counts equal a literal driver simulation; the double-mangled pairs are the blocking misses") {
     val rows = graft.ops.Dedup.q238RecordLinkage.run(spark, sfDir).collect()
       .map(r => (r.getBoolean(0), r.getBoolean(1), r.getBoolean(2)) ->
