@@ -1872,27 +1872,48 @@ object Analytics {
       |GROUP BY 1, 2
       |ORDER BY mv_month, o_orderpriority""".stripMargin) { (s, dir) =>
     val o = Tables.orders(s, dir)
-      .withColumn("mv_month", date_trunc("month", col("o_orderdate")).cast("date"))
-      .withColumn("cents", expr("CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)"))
-    def state(slice: DataFrame): DataFrame = slice
-      .groupBy(col("mv_month"), col("o_orderpriority"))
-      .agg(count(lit(1)).cast("long").as("n"), sum(col("cents")).as("rev"),
-        min(col("cents")).as("mn"), max(col("cents")).as("mx"))
-    val base = state(o.filter(pmod(col("o_orderkey"), lit(10)) =!= 0))
-      .withColumnsRenamed(Map("n" -> "bn", "rev" -> "brev", "mn" -> "bmn", "mx" -> "bmx"))
-    val delta = state(o.filter(pmod(col("o_orderkey"), lit(10)) === 0))
-      .withColumnsRenamed(Map("n" -> "dn", "rev" -> "drev", "mn" -> "dmn", "mx" -> "dmx"))
+    val base = mvState(o.filter(pmod(col("o_orderkey"), lit(10)) =!= 0))
+    val delta = mvState(o.filter(pmod(col("o_orderkey"), lit(10)) === 0))
+    mvEmit(mvMerge(base, delta))
+  }
+
+  /** The q235 MV's partial-aggregate state over an orders slice:
+    * (mv_month, o_orderpriority) → (n, rev, mn, mx) in exact cents.
+    * Shared verbatim by the batch refresh and the streaming face
+    * ([[StreamingOps.mvMaintainStream]]) so the two can never drift. */
+  def mvState(orders: DataFrame): DataFrame = orders
+    .withColumn("mv_month", date_trunc("month", col("o_orderdate")).cast("date"))
+    .withColumn("cents", expr("CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)"))
+    .groupBy(col("mv_month"), col("o_orderpriority"))
+    .agg(count(lit(1)).cast("long").as("n"), sum(col("cents")).as("rev"),
+      min(col("cents")).as("mn"), max(col("cents")).as("mx"))
+
+  /** Key-wise merge of two [[mvState]] frames — counts/sums add, min/max
+    * fold null-safe across the full-outer branches. Associative and
+    * commutative, so any batch/trigger split of the input reaches the
+    * same state. */
+  def mvMerge(base: DataFrame, delta: DataFrame): DataFrame = {
+    val b = base.withColumnsRenamed(Map("n" -> "bn", "rev" -> "brev", "mn" -> "bmn", "mx" -> "bmx"))
+    val d = delta.withColumnsRenamed(Map("n" -> "dn", "rev" -> "drev", "mn" -> "dmn", "mx" -> "dmx"))
     // null-safe min/max fold: Spark's least/greatest skip nulls only
     // when at least one side is non-null, which the outer join supplies
-    base.join(delta, Seq("mv_month", "o_orderpriority"), "full_outer")
+    b.join(d, Seq("mv_month", "o_orderpriority"), "full_outer")
       .select(col("mv_month"), col("o_orderpriority"),
-        (coalesce(col("bn"), lit(0L)) + coalesce(col("dn"), lit(0L))).as("n_orders"),
-        (coalesce(col("brev"), lit(0L)) + coalesce(col("drev"), lit(0L))).as("rev_cents"),
-        least(col("bmn"), col("dmn")).as("min_cents"),
-        greatest(col("bmx"), col("dmx")).as("max_cents"))
-      .withColumn("avg_cents", expr("rev_cents DIV n_orders"))
-      .orderBy(col("mv_month"), col("o_orderpriority"))
+        (coalesce(col("bn"), lit(0L)) + coalesce(col("dn"), lit(0L))).as("n"),
+        (coalesce(col("brev"), lit(0L)) + coalesce(col("drev"), lit(0L))).as("rev"),
+        least(col("bmn"), col("dmn")).as("mn"),
+        greatest(col("bmx"), col("dmx")).as("mx"))
   }
+
+  /** Emission face of the q235 MV: derived avg (sum ÷ count — the
+    * non-mergeable aggregate, computed only at read time) + the
+    * deterministic order. */
+  def mvEmit(state: DataFrame): DataFrame = state
+    .select(col("mv_month"), col("o_orderpriority"),
+      col("n").as("n_orders"), col("rev").as("rev_cents"),
+      col("mn").as("min_cents"), col("mx").as("max_cents"))
+    .withColumn("avg_cents", expr("rev_cents DIV n_orders"))
+    .orderBy(col("mv_month"), col("o_orderpriority"))
 
   val all: Seq[QueryDef] = Seq(
     q227IntegrityScorecard, q231MarketShare, q235MvMaintenance,

@@ -456,6 +456,83 @@ object StreamingOps {
       .start()
   }
 
+  /** Streaming face of q235's incremental MV maintenance — the refresh
+    * loop a warehouse runs: each trigger partial-aggregates ONLY the
+    * newly-arrived order files ([[Analytics.mvState]]) and merges into
+    * the persisted MV ([[Analytics.mvMerge]] — literally the batch
+    * operator's code, so stream and batch can never drift), then
+    * publishes state + ingested-file log together as ONE versioned
+    * snapshot directory (v_N, atomic rename): a merge is NOT
+    * idempotent per row, so the file log must commit in the same
+    * atomic unit as the state it is folded into — the two can never
+    * tear apart across a crash, and a restarted (uncheckpointed)
+    * stream that replays staged files anti-joins them out of the
+    * fresh set and re-emits the same MV without double-counting.
+    * Triggers that bring nothing new publish nothing (no version
+    * churn). `onBatch` sees [[Analytics.mvEmit]] of the post-merge
+    * state, read back from the written snapshot.
+    *
+    * Per-trigger cost: one scan of the trigger's files + a merge of
+    * two STATE-sized relations — history is never re-scanned, which
+    * is the entire point of the MV algebra at 100 TB. */
+  def mvMaintainStream(s: SparkSession, stagedDir: String, stateDir: String)(
+      onBatch: (Long, DataFrame) => Unit): org.apache.spark.sql.streaming.StreamingQuery = {
+    val schema = "o_orderkey LONG, o_custkey LONG, o_orderstatus STRING, " +
+      "o_totalprice DOUBLE, o_orderdate TIMESTAMP, o_orderpriority STRING"
+    val root = new java.io.File(stateDir)
+    root.mkdirs()
+    def versions: Seq[Long] = Option(root.listFiles()).getOrElse(Array.empty[java.io.File])
+      .filter(f => f.getName.startsWith("v_") && !f.getName.contains(".tmp-") &&
+        new java.io.File(f, "files/_SUCCESS").exists())
+      .map(_.getName.stripPrefix("v_").toLong).sorted.toSeq
+    def emptyState = s.sql(
+      """SELECT CAST(NULL AS DATE) AS mv_month, '' AS o_orderpriority,
+        |  0L AS n, 0L AS rev, 0L AS mn, 0L AS mx WHERE false""".stripMargin)
+    def emptyFiles = s.sql("SELECT '' AS src_file WHERE false")
+    s.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(stagedDir)
+      .writeStream
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        // capture provenance BEFORE re-basing: input_file_name() resolves
+        // against the file scan, not against a re-created frame
+        val withFile = batch.withColumn("src_file", input_file_name())
+        val arrived = s.createDataFrame(withFile.rdd, withFile.schema)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try {
+          val vs = versions
+          val (state, seen) = vs.lastOption match {
+            case Some(v) => (s.read.parquet(s"$stateDir/v_$v/mv"),
+              s.read.parquet(s"$stateDir/v_$v/files"))
+            case None => (emptyState, emptyFiles)
+          }
+          val fresh = arrived.join(seen, Seq("src_file"), "left_anti")
+          if (fresh.isEmpty) {
+            onBatch(id, vs.lastOption match {
+              case Some(v) => Analytics.mvEmit(s.read.parquet(s"$stateDir/v_$v/mv"))
+              case None => Analytics.mvEmit(emptyState)
+            })
+          } else {
+            val next = vs.lastOption.getOrElse(-1L) + 1L
+            val tmp = new java.io.File(root,
+              s"v_$next.tmp-${ProcessHandle.current().pid()}-${Thread.currentThread().getId}")
+            Analytics.mvMerge(state, Analytics.mvState(fresh.drop("src_file")))
+              .write.parquet(s"${tmp.getPath}/mv")
+            seen.select(col("src_file"))
+              .union(fresh.select(col("src_file")).distinct())
+              .distinct()
+              .write.parquet(s"${tmp.getPath}/files")
+            val published = new java.io.File(root, s"v_$next")
+            if (!tmp.renameTo(published))
+              org.apache.commons.io.FileUtils.deleteDirectory(tmp) // lost the race
+            onBatch(id, Analytics.mvEmit(s.read.parquet(s"${published.getPath}/mv")))
+          }
+        } finally arrived.unpersist()
+      }
+      .start()
+  }
+
   /** Streaming face of q130's sequence packing — the ingest loop that
     * packs ARRIVING documents into the SAME global token layout the
     * batch operator computes: the corpus-wide token offset persists

@@ -2,7 +2,7 @@ package graft
 
 import java.nio.file.{Files, Paths, StandardCopyOption}
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Row}
 import org.apache.spark.sql.functions._
 
 import graft.ops.{Similarity, StreamingOps, TextOps}
@@ -452,6 +452,51 @@ class StreamingSpec extends SparkSpec {
       docs.withColumn("doc_id", col("doc_id") + 1000000L), "b.parquet"))
     assert(second.isEmpty,
       s"restart re-admitted ${second.size} previously-seen texts")
+  }
+
+  test("MV stream: trigger-merged state equals the batch recompute; a replaying restart never double-counts") {
+    import scala.collection.concurrent.TrieMap
+    import graft.ops.Analytics
+    val orders = Tables.orders(spark, sfDir)
+    val stateDir = Files.createTempDirectory("graft-mv-state").resolve("mv").toString
+    val srcDir = Files.createTempDirectory("graft-mv-src")
+    def stage(df: DataFrame, name: String): Unit = {
+      val tmp = Files.createTempDirectory("graft-mv-stage").toString
+      df.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(_.getName.endsWith(".parquet")).get.toPath
+      Files.copy(part, srcDir.resolve(name), StandardCopyOption.REPLACE_EXISTING)
+      stampStaged(srcDir.resolve(name))
+    }
+    def runStream(): Map[Long, Seq[Row]] = {
+      val acc = TrieMap.empty[Long, Seq[Row]]
+      val q = StreamingOps.mvMaintainStream(spark, srcDir.toString, stateDir) {
+        (id, mv) => acc(id) = mv.collect().toSeq
+      }
+      val terminated = q.awaitTermination(180000)
+      if (!terminated) q.stop()
+      assert(terminated, "MV stream did not finish")
+      acc.toMap
+    }
+    // three arrival batches covering the table
+    stage(orders.filter(col("o_orderkey") % 3 === 0), "a.parquet")
+    stage(orders.filter(col("o_orderkey") % 3 === 1), "b.parquet")
+    val run1 = runStream()
+    // a restart that REPLAYS file b (no checkpoint) and brings one new file
+    stage(orders.filter(col("o_orderkey") % 3 === 1), "b.parquet")
+    stage(orders.filter(col("o_orderkey") % 3 === 2), "c.parquet")
+    val run2 = runStream()
+    val want = Analytics.mvEmit(Analytics.mvState(orders)).collect().toSeq
+    val lastMv = run2(run2.keys.max)
+    assert(lastMv == want,
+      "after all files (including a replayed one) the streamed MV must equal the batch recompute")
+    // the replayed file's trigger must leave state at the run-1 endpoint
+    val afterRun1 = run1(run1.keys.max)
+    assert(run2.values.exists(_ == afterRun1),
+      "the replay trigger re-emits the pre-restart MV unchanged")
+    // run 2 re-lists a and b (no checkpoint): two replay triggers + one
+    // genuinely new file
+    assert(run1.keys.size == 2 && run2.keys.size == 3)
   }
 
   test("drift stream: accumulated bucket counts equal the batch assignment; restart never double-counts") {
