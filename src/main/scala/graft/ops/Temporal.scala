@@ -1,5 +1,6 @@
 package graft.ops
 
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -428,6 +429,23 @@ object Temporal {
     * Shape: sessionization = user-partitioned windows; the sweep =
     * one day-partitioned window + a day-count-sized offset relation;
     * emission is calendar-sized. */
+  /** Gap-rule sessionization shared by q241/q242: events become
+    * per-user sessions under the 30-minute-island rule (new session ⟺
+    * gap > 30 min), emitted as (user_id, sid, st, en) with epoch-micro
+    * bounds. One user-keyed shuffle + two ordered window passes. */
+  private[ops] def gapSessions(e: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("t"), col("event_id"))
+    val f = e.withColumn("prev", lag(col("t"), 1).over(byUser))
+      .withColumn("is_new",
+        when(col("prev").isNull || col("t") - col("prev") > 1800000000L, 1L).otherwise(0L))
+    f.withColumn("sid",
+        sum(col("is_new")).over(byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          .cast("long"))
+      .groupBy(col("user_id"), col("sid"))
+      .agg(min(col("t")).as("st"), max(col("t")).as("en"))
+  }
+
   val q241PeakConcurrency: QueryDef = QueryDef.sql(
     "q241_peak_concurrency",
     """WITH e AS (SELECT user_id, event_id, ts, epoch_us(ts) AS t FROM events),
@@ -458,15 +476,7 @@ object Temporal {
     import org.apache.spark.sql.expressions.Window
     val e = Tables.events(s, dir)
       .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("t"))
-    val byUser = Window.partitionBy(col("user_id")).orderBy(col("t"), col("event_id"))
-    val f = e.withColumn("prev", lag(col("t"), 1).over(byUser))
-      .withColumn("is_new",
-        when(col("prev").isNull || col("t") - col("prev") > 1800000000L, 1L).otherwise(0L))
-    val sids = f.withColumn("sid",
-      sum(col("is_new")).over(Window.partitionBy(col("user_id")).orderBy(col("t"), col("event_id"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)).cast("long"))
-    val sess = sids.groupBy(col("user_id"), col("sid"))
-      .agg(min(col("t")).as("st"), max(col("t")).as("en"))
+    val sess = gapSessions(e)
     val bnd = sess.select(col("user_id"), col("sid"), col("st").as("t"), lit(1L).as("delta"))
       .unionByName(sess.select(col("user_id"), col("sid"), col("en").as("t"), lit(-1L).as("delta")))
       .withColumn("day", to_date(timestamp_micros(col("t"))))
@@ -490,8 +500,108 @@ object Temporal {
       .orderBy(col("day"))
   }
 
+  /** Kaplan–Meier survival over session durations (Kaplan & Meier,
+    * JASA'58) — the duration analytics every engagement dashboard
+    * eventually needs done RIGHT, i.e. with censoring: a session still
+    * cut off by the end of the observation window (its last event lands
+    * within one gap length, 30 min, of the corpus max — it may still be
+    * open) must not count as "ended at that length" or short-biased
+    * estimates follow; KM keeps it in the risk sets it survived through
+    * and drops it from death counts. Sessions come from the q241
+    * gap-rule sessionizer ([[gapSessions]] — shared code, the two
+    * operators can never disagree on what a session is); durations land
+    * on the bounded whole-minute axis.
+    *
+    * Exactness device: the survival curve is a cumulative PRODUCT,
+    * which floats would make order- and engine-dependent. Instead S is
+    * carried in integer micro-units through the deterministic
+    * recurrence s_i = (s_{i−1} · (n_i − d_i)) DIV n_i with s_0 = 10^6 —
+    * truncating integer division agrees between Spark `DIV` and
+    * DuckDB `//` (both truncate toward zero), so the driver hash is
+    * exact. The recurrence is inherently sequential, but its input is
+    * the DEATH-STEP table on the bounded minute axis (≤ max session
+    * length in minutes, 58 rows at sf0.1) — the bounded-collect class
+    * of q170's compaction walk; the oracle walks the same recurrence
+    * as a linear RECURSIVE CTE. Everything corpus-sized (sessionize,
+    * duration histogram, cumulative risk sets) is distributed.
+    *
+    * Output: one row per death time — at-risk count, deaths, sessions
+    * censored at exactly that duration (informational; they stay in
+    * n_risk per the KM convention), survival in micro. */
+  val q242KaplanMeier: QueryDef = QueryDef.sql(
+    "q242_kaplan_meier",
+    """WITH RECURSIVE e AS (SELECT user_id, event_id, epoch_us(ts) AS t FROM events),
+      |mx AS (SELECT MAX(t) AS m FROM e),
+      |f AS (SELECT user_id, event_id, t,
+      |        CASE WHEN LAG(t) OVER (PARTITION BY user_id ORDER BY t, event_id) IS NULL
+      |               OR t - LAG(t) OVER (PARTITION BY user_id ORDER BY t, event_id) > 1800000000
+      |             THEN 1 ELSE 0 END AS is_new
+      |      FROM e),
+      |s AS (SELECT user_id, t,
+      |        CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY t, event_id
+      |          ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sid
+      |      FROM f),
+      |sess AS (SELECT user_id, sid, MIN(t) AS st, MAX(t) AS en
+      |         FROM s GROUP BY 1, 2),
+      |lab AS (SELECT (en - st) // 60000000 AS dur_min,
+      |          CASE WHEN en > (SELECT m FROM mx) - 1800000000 THEN 0 ELSE 1 END AS ev
+      |        FROM sess),
+      |hist AS (SELECT dur_min AS t, CAST(SUM(ev) AS BIGINT) AS d,
+      |           CAST(COUNT(*) - SUM(ev) AS BIGINT) AS c_at
+      |         FROM lab GROUP BY 1),
+      |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM lab),
+      |cum AS (SELECT t, d, c_at,
+      |          CAST((SELECT n FROM tot) - COALESCE(SUM(d + c_at) OVER (ORDER BY t
+      |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS n_risk
+      |        FROM hist),
+      |steps AS (SELECT ROW_NUMBER() OVER (ORDER BY t) AS rn, t, d, c_at, n_risk
+      |          FROM cum WHERE d > 0),
+      |walk(rn, t, n_risk, d, c_at, sv) AS (
+      |  SELECT rn, t, n_risk, d, c_at,
+      |    (CAST(1000000 AS BIGINT) * (n_risk - d)) // n_risk
+      |  FROM steps WHERE rn = 1
+      |  UNION ALL
+      |  SELECT st.rn, st.t, st.n_risk, st.d, st.c_at,
+      |    (w.sv * (st.n_risk - st.d)) // st.n_risk
+      |  FROM steps st JOIN walk w ON st.rn = w.rn + 1)
+      |SELECT CAST(t AS BIGINT) AS dur_min, n_risk, d AS n_churn,
+      |  c_at AS n_censored_at, CAST(sv AS BIGINT) AS surv_micro
+      |FROM walk
+      |ORDER BY dur_min""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val e = Tables.events(s, dir)
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("t"))
+    val sess = gapSessions(e)
+    val mx = e.agg(max(col("t"))).head.getLong(0)
+    val lab = sess.select(
+      expr("(en - st) div 60000000").as("dur_min"),
+      when(col("en") > lit(mx - 1800000000L), 0L).otherwise(1L).as("ev"))
+    val hist = lab.groupBy(col("dur_min").as("t"))
+      .agg(sum(col("ev")).as("d"), (count(lit(1)) - sum(col("ev"))).as("c_at"))
+    val total = lab.count()
+    // risk set via one window over the BOUNDED minute axis (≤ max
+    // session minutes rows), then the death-step table — tiny by
+    // construction — walks the integer recurrence driver-side
+    // (bounded-collect class, see scaladoc)
+    val cum = hist.withColumn("n_risk",
+      (lit(total) - coalesce(sum(col("d") + col("c_at"))
+        .over(Window.orderBy(col("t")).rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .cast("long"))
+    val steps = cum.filter(col("d") > 0).orderBy(col("t"))
+      .select(col("t"), col("n_risk"), col("d"), col("c_at"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    var sv = 1000000L
+    val out = steps.map { case (t, n, d, c) =>
+      sv = sv * (n - d) / n
+      (t, n, d, c, sv)
+    }
+    out.toSeq.toDF("dur_min", "n_risk", "n_churn", "n_censored_at", "surv_micro")
+      .orderBy(col("dur_min"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     q46AsofJoin, q47Pivot, q55IntervalJoin, q63AsofNative, q81IntervalNative,
     q95Funnel, q96RetentionCohorts, q109TransitionMatrix, q192DecayScores,
-    q226ChangePoint, q236Attribution, q241PeakConcurrency)
+    q226ChangePoint, q236Attribution, q241PeakConcurrency, q242KaplanMeier)
 }

@@ -703,6 +703,42 @@ class CurationAuditSpec extends SparkSpec {
     assert(fix.exists(_.getLong(2) > 0))
   }
 
+  test("q242: planted sessions walk the exact KM recurrence; censored sessions stay in risk sets only") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-km").toString
+    // five sessions: deaths at durations 0/5/10 min; one session censored
+    // at 10 (ends within 30 min of corpus max) and one censored at 0 (IS
+    // the corpus max)
+    Seq(
+      (1L, "2024-01-01 00:00:00", 1L), (2L, "2024-01-01 00:10:00", 1L),
+      (3L, "2024-01-01 00:00:00", 2L), (4L, "2024-01-01 00:05:00", 2L),
+      (5L, "2024-01-01 00:00:00", 3L),
+      (6L, "2024-01-01 02:00:00", 4L), (7L, "2024-01-01 02:10:00", 4L),
+      (8L, "2024-01-01 02:30:00", 5L))
+      .toDF("event_id", "d", "user_id")
+      .withColumn("ts", to_timestamp(col("d"))).drop("d")
+      .withColumn("event_type", lit("view")).withColumn("value", lit(1.0))
+      .withColumn("props", lit("{}"))
+      .write.parquet(s"$dir/events.parquet")
+    val rows = graft.ops.Temporal.q242KaplanMeier.run(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    // hand-walked recurrence: s = 1e6·4/5 = 800000, ·2/3 = 533333
+    // (truncated), ·1/2 = 266666 (truncated) — censored-at-10 session is
+    // in n_risk=2 at t=10 but not in its death count
+    assert(rows.toSeq == Seq(
+      (0L, 5L, 1L, 1L, 800000L),
+      (5L, 3L, 1L, 0L, 533333L),
+      (10L, 2L, 1L, 1L, 266666L)))
+    // fixture-wide structure: survival strictly decreases, risk sets
+    // shrink, every step has at least one death, censored counts are
+    // the session complement of deaths
+    val fix = graft.ops.Temporal.q242KaplanMeier.run(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(fix.nonEmpty)
+    assert(fix.sliding(2).filter(_.size == 2).forall(p => p(0)._5 > p(1)._5 && p(0)._2 > p(1)._2))
+    assert(fix.forall(r => r._3 >= 1 && r._2 >= r._3 + r._4))
+  }
+
   test("q238: pattern counts equal a literal driver simulation; the double-mangled pairs are the blocking misses") {
     val rows = graft.ops.Dedup.q238RecordLinkage.run(spark, sfDir).collect()
       .map(r => (r.getBoolean(0), r.getBoolean(1), r.getBoolean(2)) ->
