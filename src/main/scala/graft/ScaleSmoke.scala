@@ -140,7 +140,8 @@ object ScaleSmoke {
       "q220_merge_sweep", "q221_brier_decomp", "q222_audio_fingerprint",
       "q223_robust_scale", "q224_burstiness", "q225_ks_drift",
       "q228_vacuum_plan", "q232_manifest_pruning", "q233_skyline_select", "q234_prefix_join",
-      "q237_mann_whitney", "q239_quantile_norm", "q240_merkle_diff")
+      "q237_mann_whitney", "q239_quantile_norm", "q240_merkle_diff",
+      "q243_triangles")
     // q226/q227/q229/q230/q231/q235/q236/q238/q241/q242 are not smoked: the
     // smoke corpus has
     // no events/orders tables and only a 2-column lineitem projection,

@@ -1476,13 +1476,13 @@ object Analytics {
     * only ever flows into the final pair-key aggregation. Set semantics
     * make each basket contribute a pair at most once, so downstream
     * counts are order counts by construction. */
-  private def baskets(s: SparkSession, dir: String): DataFrame =
+  private[ops] def baskets(s: SparkSession, dir: String): DataFrame =
     Tables.lineitem(s, dir)
       .select(col("l_orderkey"), col("l_partkey"))
       .groupBy(col("l_orderkey"))
       .agg(collect_set(col("l_partkey")).as("parts"))
 
-  private def pairsOf(baskets: DataFrame): DataFrame =
+  private[ops] def pairsOf(baskets: DataFrame): DataFrame =
     baskets.select(explode(expr(
         "flatten(transform(parts, x -> transform(filter(parts, y -> y > x), y -> struct(x AS part_a, y AS part_b))))"))
         .as("p"))

@@ -445,6 +445,81 @@ object Graph {
       .orderBy(col("strength").desc, col("source"))
   }
 
+  /** Triangle counting + local clustering coefficients on the FREQUENT
+    * co-purchase graph — the community-structure probe (a part whose
+    * neighbors also co-sell with each other anchors a bundle; one that
+    * merely co-occurs widely is a commodity). Edges are part pairs
+    * sharing ≥ 2 distinct orders: the support filter is the scale
+    * device — the raw co-occurrence graph grows with the corpus (1.2 M
+    * pairs at sf0.1) while the support-≥2 graph is the stable frequent
+    * core (3.6 k edges; random pairs don't repeat), so the cubic-risk
+    * stage runs on a relation the support aggregate already reduced.
+    *
+    * Counting is the degree-ORIENTED node-iterator (Schank & Wagner
+    * SEA'05; Suri & Vassilvitskii WWW'11 in its join form): orient
+    * each edge low→high by (degree, id), wedge-join out-edges on the
+    * middle node, close with a third join — every triangle counted
+    * exactly once at its lowest-degree vertex, and wedge fan-out is
+    * bounded by ORIENTED out-degree (O(√m) for any graph), never raw
+    * hub degree. Exact integers: counts, and cc = 2·Δ(v)·10⁶ DIV
+    * (d(v)·(d(v)−1)) in micro. Per-node rows for deg ≥ 2 nodes;
+    * Σ n_tri = 3·Δ and a hand-built planted graph spec-pinned
+    * (`GraphSpec`). */
+  val q243Triangles: QueryDef = sql(
+    "q243_triangles",
+    """WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+      |pairs AS (SELECT x.pk AS a, y.pk AS b FROM li x JOIN li y
+      |            ON x.ok = y.ok AND x.pk < y.pk),
+      |e AS (SELECT a, b FROM pairs GROUP BY a, b HAVING COUNT(*) >= 2),
+      |deg AS (SELECT v, CAST(COUNT(*) AS BIGINT) AS d
+      |        FROM (SELECT a AS v FROM e UNION ALL SELECT b FROM e) GROUP BY 1),
+      |o AS (SELECT
+      |    CASE WHEN da.d < db.d OR (da.d = db.d AND e.a < e.b) THEN e.a ELSE e.b END AS u,
+      |    CASE WHEN da.d < db.d OR (da.d = db.d AND e.a < e.b) THEN e.b ELSE e.a END AS v
+      |  FROM e JOIN deg da ON e.a = da.v JOIN deg db ON e.b = db.v),
+      |w AS (SELECT e1.u AS x, e1.v AS y, e2.v AS z
+      |      FROM o e1 JOIN o e2 ON e2.u = e1.v),
+      |t AS (SELECT w.x, w.y, w.z FROM w JOIN o e3 ON e3.u = w.x AND e3.v = w.z),
+      |pn AS (SELECT node, CAST(COUNT(*) AS BIGINT) AS tri
+      |       FROM (SELECT x AS node FROM t UNION ALL SELECT y FROM t
+      |             UNION ALL SELECT z FROM t) GROUP BY 1)
+      |SELECT deg.v AS part, deg.d AS degree,
+      |  CAST(COALESCE(pn.tri, 0) AS BIGINT) AS n_tri,
+      |  (CAST(2000000 AS BIGINT) * COALESCE(pn.tri, 0)) // (deg.d * (deg.d - 1)) AS cc_micro
+      |FROM deg LEFT JOIN pn ON pn.node = deg.v
+      |WHERE deg.d >= 2
+      |ORDER BY part""".stripMargin) { (s, dir) =>
+    // pair generation rides q101's basket device: one orderkey shuffle +
+    // C(basket,2) array expansion, never a corpus self-join
+    val pairs = Analytics.pairsOf(Analytics.baskets(s, dir))
+      .select(col("part_a").as("a"), col("part_b").as("b"))
+    val e = pairs.groupBy(col("a"), col("b")).agg(count(lit(1)).as("c"))
+      .filter(col("c") >= 2).select(col("a"), col("b"))
+    val deg = e.select(col("a").as("v")).unionAll(e.select(col("b").as("v")))
+      .groupBy(col("v")).agg(count(lit(1)).cast("long").as("d"))
+    // degree relation is frequent-core-node-sized — broadcast into the
+    // edge scan (same posture as the walkers above)
+    val lowFirst = col("da") < col("db") || (col("da") === col("db") && col("a") < col("b"))
+    val o = e
+      .join(broadcast(deg.select(col("v").as("av"), col("d").as("da"))), col("a") === col("av"))
+      .join(broadcast(deg.select(col("v").as("bv"), col("d").as("db"))), col("b") === col("bv"))
+      .select(when(lowFirst, col("a")).otherwise(col("b")).as("u"),
+        when(lowFirst, col("b")).otherwise(col("a")).as("v"))
+    val w = o.select(col("u").as("x"), col("v").as("y"))
+      .join(o.select(col("u").as("y"), col("v").as("z")), Seq("y"))
+    val t = w.join(o.select(col("u").as("x"), col("v").as("z")), Seq("x", "z"))
+    val pn = t.select(col("x").as("node"))
+      .unionAll(t.select(col("y").as("node")))
+      .unionAll(t.select(col("z").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).cast("long").as("tri"))
+    deg.filter(col("d") >= 2)
+      .join(pn, col("v") === col("node"), "left")
+      .select(col("v").as("part"), col("d").as("degree"),
+        coalesce(col("tri"), lit(0L)).as("n_tri"),
+        expr("(CAST(2000000 AS BIGINT) * coalesce(tri, 0L)) DIV (d * (d - 1))").as("cc_micro"))
+      .orderBy(col("part"))
+  }
+
   val all: Seq[QueryDef] = Seq(q143Pagerank, q153LabelProp, q173BradleyTerry,
-    q188PersonalizedPagerank)
+    q188PersonalizedPagerank, q243Triangles)
 }

@@ -129,6 +129,34 @@ class GraphSpec extends SparkSpec {
     assert(even("X") == even("Y"), s"even split must tie: $even")
   }
 
+  test("q243: planted frequent-core triangle counts and clustering coefficients, hand-computed") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-tri").toString
+    // orders 1,2 each hold parts {1,2,3} → support-2 edges (1,2)(1,3)(2,3);
+    // orders 3,4 each hold {1,4} → edge (1,4), no triangle; orders 5 holds
+    // {5,6} once → below support, no edge
+    Seq(
+      (1L, 1L), (1L, 2L), (1L, 3L), (2L, 1L), (2L, 2L), (2L, 3L),
+      (3L, 1L), (3L, 4L), (4L, 1L), (4L, 4L),
+      (5L, 5L), (5L, 6L))
+      .toDF("l_orderkey", "l_partkey")
+      .write.parquet(s"$dir/lineitem.parquet")
+    val got = Graph.q243Triangles.run(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    // part 4 has degree 1 (excluded); part 1: deg 3, one triangle,
+    // cc = 2e6 DIV (3·2); parts 2,3: deg 2, cc = 2e6 DIV 2
+    assert(got == Map(
+      1L -> ((3L, 1L, 333333L)),
+      2L -> ((2L, 1L, 1000000L)),
+      3L -> ((2L, 1L, 1000000L))))
+    // fixture-wide identities: participation counts sum to 3·Δ, and a
+    // clustering coefficient never exceeds 1
+    val fix = Graph.q243Triangles.run(spark, sfDir).collect()
+    assert(fix.nonEmpty)
+    assert(fix.map(_.getLong(2)).sum % 3 == 0)
+    assert(fix.forall(r => r.getLong(3) <= 1000000L))
+    assert(fix.exists(_.getLong(2) > 0))
+  }
+
   test("q173 face: strengths positive, wins <= games, ordered by strength") {
     val rows = Graph.q173BradleyTerry.run(spark, sfDir).collect()
     assert(rows.nonEmpty)
