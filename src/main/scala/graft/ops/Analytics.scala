@@ -1915,8 +1915,97 @@ object Analytics {
     .withColumn("avg_cents", expr("rev_cents DIV n_orders"))
     .orderBy(col("mv_month"), col("o_orderpriority"))
 
+  /** CUPED variance-reduced experiment readout (Deng et al., WSDM'13)
+    * — the A/B-test estimator every mature experimentation platform
+    * runs: per-user post-period purchase dollars adjusted by the
+    * PRE-period covariate (y′ = y − θ·(x − x̄), θ = cov(x,y)/var(x)
+    * pooled across arms), which strips the between-user spend variance
+    * the randomization already balanced in expectation but not in
+    * sample — the same users are whales in both periods, so their
+    * pre-period spend explains post-period noise. Arms split by
+    * user_id parity; the pre/post boundary is the data-derived corpus
+    * midpoint (no wall-clock literal). Every user in EVERY arm row —
+    * non-purchasers carry x = y = 0 (dropping them would bias both
+    * means).
+    *
+    * Exactness: per-event cents floor → per-user dollar totals →
+    * integer moment sums (n, Σx, Σy, Σxy, Σx²); θ in micro-units by
+    * one truncating DIV over the n²-scaled cov/var (zero-variance
+    * guarded to 0); adjusted means composed from already-floored
+    * micro means so both engines walk identical integer ops. The
+    * whole readout is two scans (pre/post slices) + one user-keyed
+    * agg + two arm-keyed aggs over user-sized relations — at 100 TB
+    * the user table is the only shuffle. */
+  val q244Cuped: QueryDef = sql(
+    "q244_cuped",
+    """WITH mid AS (SELECT MIN(epoch_us(ts)) + (MAX(epoch_us(ts)) - MIN(epoch_us(ts))) // 2 AS m
+      |             FROM events),
+      |u AS (SELECT DISTINCT user_id FROM events),
+      |px AS (SELECT user_id, SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS c
+      |       FROM events WHERE event_type = 'purchase'
+      |         AND epoch_us(ts) < (SELECT m FROM mid) GROUP BY 1),
+      |py AS (SELECT user_id, SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS c
+      |       FROM events WHERE event_type = 'purchase'
+      |         AND epoch_us(ts) >= (SELECT m FROM mid) GROUP BY 1),
+      |uv AS (SELECT u.user_id, u.user_id % 2 AS arm,
+      |         COALESCE(px.c, 0) // 100 AS x, COALESCE(py.c, 0) // 100 AS y
+      |       FROM u LEFT JOIN px USING (user_id) LEFT JOIN py USING (user_id)),
+      |pool AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(x) AS BIGINT) AS sx,
+      |           CAST(SUM(y) AS BIGINT) AS sy, CAST(SUM(x * y) AS BIGINT) AS sxy,
+      |           CAST(SUM(x * x) AS BIGINT) AS sxx
+      |         FROM uv),
+      |th AS (SELECT n, sx,
+      |         CASE WHEN n * sxx - sx * sx = 0 THEN 0
+      |              ELSE (CAST(1000000 AS BIGINT) * (n * sxy - sx * sy)) // (n * sxx - sx * sx)
+      |         END AS theta_micro
+      |       FROM pool),
+      |arms AS (SELECT arm, CAST(COUNT(*) AS BIGINT) AS n_users,
+      |           CAST(SUM(x) AS BIGINT) AS sum_x_dollars, CAST(SUM(y) AS BIGINT) AS sum_y_dollars
+      |         FROM uv GROUP BY 1)
+      |SELECT arm, n_users, sum_x_dollars, sum_y_dollars, th.theta_micro,
+      |  (CAST(1000000 AS BIGINT) * sum_y_dollars) // n_users AS mean_y_micro,
+      |  (CAST(1000000 AS BIGINT) * sum_y_dollars) // n_users
+      |    - (th.theta_micro * ((CAST(1000000 AS BIGINT) * sum_x_dollars) // n_users
+      |        - (CAST(1000000 AS BIGINT) * th.sx) // th.n)) // 1000000 AS adj_mean_y_micro
+      |FROM arms, th
+      |ORDER BY arm""".stripMargin) { (s, dir) =>
+    val ev = Tables.events(s, dir)
+      .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("t"),
+        expr("CAST(FLOOR(value * 100 + 0.5) AS BIGINT)").as("cents"))
+    val b = ev.agg(min(col("t")), max(col("t"))).head
+    val mid = b.getLong(0) + (b.getLong(1) - b.getLong(0)) / 2
+    def slice(pred: org.apache.spark.sql.Column) = ev
+      .filter(col("event_type") === "purchase" && pred)
+      .groupBy(col("user_id")).agg(sum(col("cents")).as("c"))
+    val px = slice(col("t") < mid).withColumnRenamed("c", "cx")
+    val py = slice(col("t") >= mid).withColumnRenamed("c", "cy")
+    val uv = ev.select(col("user_id")).distinct()
+      .join(px, Seq("user_id"), "left").join(py, Seq("user_id"), "left")
+      .select(col("user_id"), pmod(col("user_id"), lit(2)).cast("long").as("arm"),
+        expr("coalesce(cx, 0L) div 100").as("x"), expr("coalesce(cy, 0L) div 100").as("y"))
+    val pool = uv.agg(count(lit(1)).cast("long").as("n"), sum(col("x")).as("sx"),
+      sum(col("y")).as("sy"), sum(col("x") * col("y")).as("sxy"),
+      sum(col("x") * col("x")).as("sxx"))
+      .withColumn("theta_micro",
+        expr("""CASE WHEN n * sxx - sx * sx = 0L THEN 0L
+               |ELSE (1000000L * (n * sxy - sx * sy)) DIV (n * sxx - sx * sx) END""".stripMargin))
+      .select(col("n"), col("sx"), col("theta_micro"))
+    val arms = uv.groupBy(col("arm"))
+      .agg(count(lit(1)).cast("long").as("n_users"),
+        sum(col("x")).as("sum_x_dollars"), sum(col("y")).as("sum_y_dollars"))
+    arms.crossJoin(broadcast(pool))
+      .select(col("arm"), col("n_users"), col("sum_x_dollars"), col("sum_y_dollars"),
+        col("theta_micro"),
+        expr("(1000000L * sum_y_dollars) DIV n_users").as("mean_y_micro"),
+        expr("""(1000000L * sum_y_dollars) DIV n_users
+               | - (theta_micro * ((1000000L * sum_x_dollars) DIV n_users
+               |     - (1000000L * sx) DIV n)) DIV 1000000""".stripMargin)
+          .as("adj_mean_y_micro"))
+      .orderBy(col("arm"))
+  }
+
   val all: Seq[QueryDef] = Seq(
-    q227IntegrityScorecard, q231MarketShare, q235MvMaintenance,
+    q227IntegrityScorecard, q231MarketShare, q235MvMaintenance, q244Cuped,
     q01PricingSummary, q02SelectiveFilter, q03ShippingPriority, q05LocalRevenue,
     q06SemiJoin, q07AntiJoin, q08RangeJoin, q09DistinctUsers, q10Rollup,
     q11Cube, q12WindowRank, q13WindowRunning, q14TopOrders, q15SetOps,

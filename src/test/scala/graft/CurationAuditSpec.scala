@@ -739,6 +739,47 @@ class CurationAuditSpec extends SparkSpec {
     assert(fix.forall(r => r._3 >= 1 && r._2 >= r._3 + r._4))
   }
 
+  test("q244: a perfect covariate adjusts both arms to the same mean; every user lands in an arm") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-cuped").toString
+    // y == x for every user → theta is exactly 1e6 and CUPED removes
+    // ALL between-arm covariate imbalance: both adjusted means equal
+    // the pooled mean (25 dollars)
+    Seq(
+      (1L, "2024-01-01 00:30:00", 1L, 10.0), (2L, "2024-01-01 03:00:00", 1L, 10.0),
+      (3L, "2024-01-01 00:30:00", 2L, 20.0), (4L, "2024-01-01 03:00:00", 2L, 20.0),
+      (5L, "2024-01-01 00:30:00", 3L, 30.0), (6L, "2024-01-01 03:00:00", 3L, 30.0),
+      (7L, "2024-01-01 00:30:00", 4L, 40.0), (8L, "2024-01-01 03:00:00", 4L, 40.0))
+      .toDF("event_id", "d", "user_id", "value")
+      .withColumn("ts", to_timestamp(col("d"))).drop("d")
+      .withColumn("event_type", lit("purchase"))
+      .withColumn("props", lit("{}"))
+      .write.parquet(s"$dir/events.parquet")
+    val got = graft.ops.Analytics.q244Cuped.run(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6)))).toMap
+    assert(got == Map(
+      0L -> ((2L, 60L, 60L, 1000000L, 30000000L, 25000000L)),
+      1L -> ((2L, 40L, 40L, 1000000L, 20000000L, 25000000L))))
+    // fixture-wide: two arms cover every user exactly once, theta is one
+    // pooled value, and the adjusted spread is no wider than the raw one
+    val fix = graft.ops.Analytics.q244Cuped.run(spark, sfDir).collect()
+    assert(fix.length == 2)
+    val users = graft.sources.Tables.events(spark, sfDir)
+      .select(col("user_id")).distinct().count()
+    assert(fix.map(_.getLong(1)).sum == users)
+    assert(fix.map(_.getLong(4)).toSet.size == 1)
+    // the emitted adjusted mean re-derives exactly from the emitted
+    // integer sums — the whole readout is auditable from its own row
+    val pn = fix.map(_.getLong(1)).sum
+    val psx = fix.map(_.getLong(2)).sum
+    fix.foreach { r =>
+      val adj = r.getLong(5) -
+        r.getLong(4) * (1000000L * r.getLong(2) / r.getLong(1) - 1000000L * psx / pn) / 1000000L
+      assert(r.getLong(6) == adj, s"arm ${r.getLong(0)} adjusted mean must re-derive")
+    }
+  }
+
   test("q238: pattern counts equal a literal driver simulation; the double-mangled pairs are the blocking misses") {
     val rows = graft.ops.Dedup.q238RecordLinkage.run(spark, sfDir).collect()
       .map(r => (r.getBoolean(0), r.getBoolean(1), r.getBoolean(2)) ->
