@@ -1682,11 +1682,79 @@ object Dedup {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
+  /** Edit-distance-1 join by deletion neighborhoods — FastSS (Bocek et
+    * al., TR 2007-11; the 1-deletion special case is Mor & Fraenkel
+    * CACM'82's dictionary trick): two strings are within one edit iff
+    * they collide on a deletion variant — at the SAME deleted index for
+    * substitutions (delete_i(a) = delete_i(b) ⟺ a,b differ ONLY at i,
+    * so the edit POSITION falls out of the join key for free), or
+    * variant-against-whole for insert/delete. This replaces the
+    * quadratic all-pairs levenshtein join with equi-joins whose bucket
+    * width is bounded by the ALPHABET (a deletion variant pins every
+    * other character — at most |Σ| strings share one), i.e. candidate
+    * volume is O(n·len·|Σ|), linear in the corpus; q97's bag-distance
+    * filter prunes by content, this prunes by STRUCTURE and is exact.
+    * Verification keeps the levenshtein = 1 check (cheap, candidates
+    * are near-certain) and pairs dedup on MIN(i) for ambiguous indel
+    * runs. Output: the edit-position histogram per kind over customer
+    * names — where in the key space near-collisions live (the
+    * typo-locality audit an entity-resolution blocking design needs).
+    * Exhaustive brute-force completeness spec on the fixture
+    * (`DedupSimilaritySpec`). */
+  val q245FastssJoin: QueryDef = sql(
+    "q245_fastss_join",
+    """WITH n AS (SELECT c_custkey AS id, c_name AS nm FROM customer),
+      |del AS (SELECT id, nm, CAST(u.i AS BIGINT) AS i,
+      |          substr(nm, 1, CAST(u.i AS INT) - 1) || substr(nm, CAST(u.i AS INT) + 1) AS v
+      |        FROM n, UNNEST(generate_series(1, len(nm))) u(i)),
+      |subc AS (SELECT LEAST(a.id, b.id) AS lo, GREATEST(a.id, b.id) AS hi,
+      |           a.i, a.nm AS na, b.nm AS nb
+      |         FROM del a JOIN del b ON b.v = a.v AND b.i = a.i AND a.id < b.id),
+      |idc AS (SELECT LEAST(a.id, b.id) AS lo, GREATEST(a.id, b.id) AS hi,
+      |          a.i, a.nm AS na, b.nm AS nb
+      |        FROM del a JOIN n b ON b.nm = a.v AND b.id <> a.id),
+      |cand AS (SELECT 'sub' AS kind, lo, hi, MIN(i) AS edit_pos FROM subc
+      |           WHERE levenshtein(na, nb) = 1 GROUP BY 2, 3
+      |         UNION ALL
+      |         SELECT 'indel', lo, hi, MIN(i) FROM idc
+      |           WHERE levenshtein(na, nb) = 1 GROUP BY 2, 3)
+      |SELECT kind, CAST(edit_pos AS BIGINT) AS edit_pos,
+      |  CAST(COUNT(*) AS BIGINT) AS n_pairs
+      |FROM cand GROUP BY 1, 2
+      |ORDER BY kind, edit_pos""".stripMargin) { (s, dir) =>
+    val n = Tables.customer(s, dir).select(col("c_custkey").as("id"), col("c_name").as("nm"))
+    val del = n.select(col("id"), col("nm"), explode(expr(
+        """transform(sequence(1, length(nm)),
+          |  i -> struct(CAST(i AS BIGINT) AS i,
+          |    concat(substring(nm, 1, i - 1), substring(nm, i + 1, length(nm))) AS v))"""
+          .stripMargin)).as("x"))
+      .select(col("id"), col("nm"), col("x.i").as("i"), col("x.v").as("v"))
+    val a = del.select(col("id").as("ida"), col("nm").as("na"), col("i"), col("v"))
+    val b = del.select(col("id").as("idb"), col("nm").as("nb"), col("i"), col("v"))
+    val subc = a.join(b, Seq("v", "i")).filter(col("ida") < col("idb"))
+      .select(least(col("ida"), col("idb")).as("lo"), greatest(col("ida"), col("idb")).as("hi"),
+        col("i"), col("na"), col("nb"))
+    val idc = a.join(n.select(col("id").as("idb"), col("nm").as("nb")),
+        col("nb") === col("v") && col("idb") =!= col("ida"))
+      .select(least(col("ida"), col("idb")).as("lo"), greatest(col("ida"), col("idb")).as("hi"),
+        col("i"), col("na"), col("nb"))
+    // one pair-keyed shuffle for both kinds (a pair is sub xor indel —
+    // the lengths differ in exactly one branch)
+    subc.select(lit("sub").as("kind"), col("lo"), col("hi"), col("i"), col("na"), col("nb"))
+      .unionByName(idc.select(lit("indel").as("kind"), col("lo"), col("hi"), col("i"),
+        col("na"), col("nb")))
+      .filter(levenshtein(col("na"), col("nb")) === 1)
+      .groupBy(col("kind"), col("lo"), col("hi")).agg(min(col("i")).as("edit_pos"))
+      .groupBy(col("kind"), col("edit_pos"))
+      .agg(count(lit(1)).cast("long").as("n_pairs"))
+      .orderBy(col("kind"), col("edit_pos"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     q30DedupExact, q31MinhashLsh, q32NeardupVerified, q33Simhash, q34SimhashPairs,
     q78SimhashHamming, q85DedupClusters, q108IncrementalDedup, q111SimhashWide,
     q126SpanDedup, q150DedupEval, q156RougeAudit, q161SplitLeakage,
     q163DedupSavings, q174ComponentSplit, q177Containment, q183SourceOverlap,
     q184Novelty, q194CanonicalDedup, q209ThresholdSweep, q234PrefixJoin,
-    q238RecordLinkage)
+    q238RecordLinkage, q245FastssJoin)
 }

@@ -1,5 +1,7 @@
 package graft
 
+import org.apache.spark.sql.functions.{col, levenshtein}
+
 import graft.ops.{Dedup, Similarity, TextOps}
 
 class DedupSimilaritySpec extends SparkSpec {
@@ -94,6 +96,31 @@ class DedupSimilaritySpec extends SparkSpec {
       (1L, 1L, 5L), (2L, 1L, 5L), (3L, 1L, 5L), (4L, 1L, 5L), (5L, 1L, 5L),
       (6L, 6L, 1L), (7L, 7L, 2L), (8L, 7L, 2L))
     assert(got == want)
+  }
+
+  test("q245: planted edit kinds land in the right buckets; fixture total equals brute-force levenshtein") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-fastss").toString
+    // subs: (abc,abd) pos 3, (ab,aa) pos 2; indels: (aa,a) deletable at
+    // either position → MIN(i) = 1, (ab,a) pos 2, (abc,ab) and (abd,ab)
+    // pos 3; xyz isolated
+    Seq((1L, "abc"), (2L, "abd"), (3L, "ab"), (4L, "xyz"), (5L, "aa"), (6L, "a"))
+      .toDF("c_custkey", "c_name")
+      .write.parquet(s"$dir/customer.parquet")
+    val got = Dedup.q245FastssJoin.run(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == Seq(("indel", 1L, 1L), ("indel", 2L, 1L), ("indel", 3L, 2L),
+      ("sub", 2L, 1L), ("sub", 3L, 1L)))
+    // completeness on the real fixture: the deletion-neighborhood join
+    // must find EVERY distance-1 pair the quadratic brute force finds
+    val n = graft.sources.Tables.customer(spark, sfDir)
+      .select(col("c_custkey").as("id"), col("c_name").as("nm"))
+    val brute = n.as("a").join(n.as("b"),
+        col("a.id") < col("b.id") &&
+          levenshtein(col("a.nm"), col("b.nm")) === 1).count()
+    val fix = Dedup.q245FastssJoin.run(spark, sfDir).collect()
+    assert(fix.map(_.getLong(2)).sum == brute,
+      s"histogram total must equal the brute-force distance-1 pair count $brute")
   }
 
   test("q85 clusters are transitively consistent with the verified pairs") {
