@@ -338,7 +338,96 @@ object Layout {
       .orderBy(col("col_name"))
   }
 
+  /** One join pair's estimation-audit CTE chain (shared by both q246
+    * pairs): per-key counts, the exact actual Σ cR(k)·cS(k) — computed
+    * by AGGREGATION, the join itself is never materialized — the
+    * System-R uniform estimate |R|·|S| / max(ndv), and the 64-bucket
+    * histogram refinement Σ_b cR_b·cS_b / max(ndv_b). */
+  private def cardAuditSql(pair: String, rsel: String, ssel: String): String =
+    s"""${pair}_rk AS (SELECT k, CAST(COUNT(*) AS BIGINT) AS c FROM ($rsel) GROUP BY 1),
+       |${pair}_sk AS (SELECT k, CAST(COUNT(*) AS BIGINT) AS c FROM ($ssel) GROUP BY 1),
+       |${pair}_act AS (SELECT CAST(SUM(a.c * b.c) AS BIGINT) AS actual
+       |  FROM ${pair}_rk a JOIN ${pair}_sk b USING (k)),
+       |${pair}_sysr AS (SELECT
+       |    ((SELECT CAST(SUM(c) AS BIGINT) FROM ${pair}_rk)
+       |     * (SELECT CAST(SUM(c) AS BIGINT) FROM ${pair}_sk))
+       |    // GREATEST((SELECT CAST(COUNT(*) AS BIGINT) FROM ${pair}_rk),
+       |               (SELECT CAST(COUNT(*) AS BIGINT) FROM ${pair}_sk)) AS est),
+       |${pair}_rb AS (SELECT k % 64 AS b, CAST(SUM(c) AS BIGINT) AS cb,
+       |    CAST(COUNT(*) AS BIGINT) AS db FROM ${pair}_rk GROUP BY 1),
+       |${pair}_sb AS (SELECT k % 64 AS b, CAST(SUM(c) AS BIGINT) AS cb,
+       |    CAST(COUNT(*) AS BIGINT) AS db FROM ${pair}_sk GROUP BY 1),
+       |${pair}_hist AS (SELECT CAST(SUM((a.cb * b.cb) // GREATEST(a.db, b.db)) AS BIGINT) AS est
+       |  FROM ${pair}_rb a JOIN ${pair}_sb b USING (b)),
+       |${pair}_rows AS (
+       |  SELECT '$pair' AS join_key, 'actual' AS estimator, actual AS est, actual
+       |  FROM ${pair}_act
+       |  UNION ALL SELECT '$pair', 'histogram64', est, (SELECT actual FROM ${pair}_act)
+       |  FROM ${pair}_hist
+       |  UNION ALL SELECT '$pair', 'system_r', est, (SELECT actual FROM ${pair}_act)
+       |  FROM ${pair}_sysr)""".stripMargin
+
+  /** Join-cardinality estimation audit — the optimizer-statistics
+    * validation loop (Selinger SIGMOD'79's uniform formula vs the
+    * bucketed-histogram refinement every modern CBO carries, vs TRUTH):
+    * for two join pairs — the many-to-many (l_partkey: all lineitems ⋈
+    * returned lineitems) and the PK-FK (l_orderkey ⋈ o_orderkey) — emit
+    * the System-R estimate |R|·|S|/max(ndv), the 64-bucket histogram
+    * estimate Σ_b cR_b·cS_b/max(ndv_b), and the exact actual, with
+    * error in micro. The audit's scale trick: ACTUAL is computed from
+    * per-key count aggregates (Σ cR·cS), so the join output — the thing
+    * whose size is being estimated precisely because materializing it
+    * is expensive — is never built; everything is key-sized after the
+    * first aggregate. This is the measurement a layout advisor (q230)
+    * or join-order search trusts its statistics with; histogram-vs-
+    * uniform divergence flags the skewed keys q114 salts. Exact
+    * integers throughout (counts, truncating DIV, micro error). */
+  val q246CardinalityAudit: QueryDef = sql(
+    "q246_cardinality_audit",
+    s"""WITH ${cardAuditSql("li_part_returns",
+         "SELECT l_partkey AS k FROM lineitem",
+         "SELECT l_partkey AS k FROM lineitem WHERE l_returnflag = 'R'")},
+       |${cardAuditSql("li_orders",
+         "SELECT l_orderkey AS k FROM lineitem",
+         "SELECT o_orderkey AS k FROM orders")}
+       |SELECT join_key, estimator, est, actual,
+       |  (CAST(1000000 AS BIGINT) * ABS(est - actual)) // actual AS err_micro
+       |FROM (SELECT * FROM li_part_returns_rows UNION ALL SELECT * FROM li_orders_rows)
+       |ORDER BY join_key, estimator""".stripMargin) { (s, dir) =>
+    def audit(pair: String, r: DataFrame, s2: DataFrame): DataFrame = {
+      val rk = r.groupBy(col("k")).agg(count(lit(1)).cast("long").as("rc"))
+      val sk = s2.groupBy(col("k")).agg(count(lit(1)).cast("long").as("sc"))
+      val act = rk.join(sk, "k").agg(sum(col("rc") * col("sc")).cast("long").as("actual"))
+      val sysr = rk.agg(sum(col("rc")).as("nr"), count(lit(1)).cast("long").as("dr"))
+        .crossJoin(sk.agg(sum(col("sc")).as("ns"), count(lit(1)).cast("long").as("ds")))
+        .select(expr("(nr * ns) DIV greatest(dr, ds)").as("est"))
+      def bucketed(kc: DataFrame, c: String) = kc
+        .groupBy(pmod(col("k"), lit(64)).as("b"))
+        .agg(sum(col(c)).as("cb"), count(lit(1)).cast("long").as("db"))
+      val hist = bucketed(rk, "rc").withColumnsRenamed(Map("cb" -> "rcb", "db" -> "rdb"))
+        .join(bucketed(sk, "sc").withColumnsRenamed(Map("cb" -> "scb", "db" -> "sdb")), "b")
+        .agg(sum(expr("(rcb * scb) DIV greatest(rdb, sdb)")).cast("long").as("est"))
+      act.select(lit(pair).as("join_key"), lit("actual").as("estimator"),
+          col("actual").as("est"), col("actual"))
+        .unionByName(hist.crossJoin(act)
+          .select(lit(pair).as("join_key"), lit("histogram64").as("estimator"),
+            col("est"), col("actual")))
+        .unionByName(sysr.crossJoin(act)
+          .select(lit(pair).as("join_key"), lit("system_r").as("estimator"),
+            col("est"), col("actual")))
+    }
+    val li = Tables.lineitem(s, dir)
+    audit("li_part_returns",
+        li.select(col("l_partkey").as("k")),
+        li.filter(col("l_returnflag") === "R").select(col("l_partkey").as("k")))
+      .unionByName(audit("li_orders",
+        li.select(col("l_orderkey").as("k")),
+        Tables.orders(s, dir).select(col("o_orderkey").as("k"))))
+      .withColumn("err_micro", expr("(1000000L * abs(est - actual)) DIV actual"))
+      .orderBy(col("join_key"), col("estimator"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     q112BucketedJoin, q113PartitionPruning, q114SaltedJoin, q115BloomSemiJoin,
-    q229ColumnProfile, q230LayoutAdvisor)
+    q229ColumnProfile, q230LayoutAdvisor, q246CardinalityAudit)
 }

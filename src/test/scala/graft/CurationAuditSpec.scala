@@ -456,6 +456,41 @@ class CurationAuditSpec extends SparkSpec {
     assert(byName("l_orderkey").getLong(3) == 0L)
   }
 
+  test("q246: planted skew makes the histogram beat System-R; PK-FK estimates are exact; actual is always err 0") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-card").toString
+    // part key 1 is hot (10 rows, 5 returned) and alone in bucket 1;
+    // keys 2 and 66 share bucket 2 — the histogram isolates the hot key,
+    // the uniform System-R formula averages it away
+    val li =
+      (1 to 5).map(i => (1L, 1L, "R")) ++ (1 to 5).map(i => (1L, 1L, "N")) ++
+        Seq((1L, 2L, "R"), (1L, 2L, "N"), (1L, 66L, "N"))
+    li.toDF("l_orderkey", "l_partkey", "l_returnflag")
+      .write.parquet(s"$dir/lineitem.parquet")
+    Seq((1L, "x"), (2L, "x")).toDF("o_orderkey", "o_comment")
+      .write.parquet(s"$dir/orders.parquet")
+    val got = graft.ops.Layout.q246CardinalityAudit.run(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(got(("li_part_returns", "actual")) == ((52L, 52L, 0L)))
+    assert(got(("li_part_returns", "system_r")) == ((26L, 52L, 500000L)))
+    assert(got(("li_part_returns", "histogram64")) == ((51L, 52L, 19230L)))
+    assert(got(("li_orders", "actual")) == ((13L, 13L, 0L)))
+    assert(got(("li_orders", "system_r")) == ((13L, 13L, 0L)))
+    assert(got(("li_orders", "histogram64")) == ((13L, 13L, 0L)))
+    // fixture-wide: the actual row is err-free by construction, and the
+    // histogram never does worse than System-R on these uniform keys by
+    // more than rounding (64 buckets × 1 truncation each)
+    val fix = graft.ops.Layout.q246CardinalityAudit.run(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> ((r.getLong(2), r.getLong(4)))).toMap
+    assert(fix.size == 6)
+    fix.filter(_._1._2 == "actual").values.foreach(v => assert(v._2 == 0L))
+    Seq("li_part_returns", "li_orders").foreach { k =>
+      assert(fix((k, "histogram64"))._2 <= fix((k, "system_r"))._2 + 64L,
+        s"$k: the histogram refinement must not lose to the uniform formula")
+    }
+  }
+
   test("q230: the advisor picks the date for partitioning and the join key for bucketing") {
     val rows = graft.ops.Layout.q230LayoutAdvisor.run(spark, sfDir).collect()
     val part = rows.filter(_.getBoolean(7)).map(_.getString(0))
