@@ -2004,8 +2004,62 @@ object Analytics {
       .orderBy(col("arm"))
   }
 
+  /** Approximate query processing audit — the sample-and-scale-up
+    * estimator (Horvitz & Thompson JASA'52; AQUA/BlinkDB lineage:
+    * Acharya SIGMOD'99, Agarwal EuroSys'13) run AGAINST ground truth:
+    * a deterministic 1/16 sample (md5-fraction device, not rand() —
+    * both engines draw the identical sample) of lineitem, per-group
+    * count and quantity sums scaled by 16, with the exact relative
+    * error of each estimate in micro units. The audit is what a
+    * production AQP deployment does once per sampling design: measure
+    * the uniform-sample error profile per group so the dashboard
+    * knows its bars. One scan computes sample and truth as
+    * conditional aggregates (no join, no second pass); the REAL
+    * serving path scans only a persisted 1/16 projection — 16× less
+    * I/O, which at 100 TB is the difference between interactive and
+    * not. Exact integers (quantities are integral in cents-free
+    * units; scale-up is ×16; truncating micro error). */
+  val q247AqpGroupby: QueryDef = sql(
+    "q247_aqp_groupby",
+    """WITH l AS (SELECT l_returnflag, l_linestatus,
+      |    CAST(l_quantity AS BIGINT) AS qty,
+      |    CASE WHEN CAST(('0x' || substr(md5('aqp:' || CAST(l_orderkey AS VARCHAR)
+      |      || ':' || CAST(l_linenumber AS VARCHAR)), 1, 4)) AS INT) % 16 = 0
+      |      THEN 1 ELSE 0 END AS picked
+      |  FROM lineitem)
+      |SELECT l_returnflag, l_linestatus,
+      |  CAST(SUM(picked) AS BIGINT) AS n_sample,
+      |  CAST(16 * SUM(picked) AS BIGINT) AS est_rows,
+      |  CAST(COUNT(*) AS BIGINT) AS true_rows,
+      |  CAST((CAST(1000000 AS BIGINT) * ABS(16 * SUM(picked) - COUNT(*))) // COUNT(*) AS BIGINT) AS err_rows_micro,
+      |  CAST(16 * SUM(CASE WHEN picked = 1 THEN qty ELSE 0 END) AS BIGINT) AS est_qty,
+      |  CAST(SUM(qty) AS BIGINT) AS true_qty,
+      |  CAST((CAST(1000000 AS BIGINT) * ABS(16 * SUM(CASE WHEN picked = 1 THEN qty ELSE 0 END)
+      |    - SUM(qty))) // SUM(qty) AS BIGINT) AS err_qty_micro
+      |FROM l
+      |GROUP BY 1, 2
+      |ORDER BY l_returnflag, l_linestatus""".stripMargin) { (s, dir) =>
+    val l = Tables.lineitem(s, dir).select(col("l_returnflag"), col("l_linestatus"),
+      col("l_quantity").cast("long").as("qty"),
+      expr("""CASE WHEN CAST(conv(substring(md5(concat('aqp:', CAST(l_orderkey AS STRING),
+             |  ':', CAST(l_linenumber AS STRING))), 1, 4), 16, 10) AS INT) % 16 = 0
+             |THEN 1L ELSE 0L END""".stripMargin).as("picked"))
+    l.groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(sum(col("picked")).as("n_sample"),
+        (lit(16L) * sum(col("picked"))).as("est_rows"),
+        count(lit(1)).cast("long").as("true_rows"),
+        sum(when(col("picked") === 1, col("qty")).otherwise(0L)).as("sq"),
+        sum(col("qty")).as("true_qty"))
+      .select(col("l_returnflag"), col("l_linestatus"), col("n_sample"),
+        col("est_rows"), col("true_rows"),
+        expr("(1000000L * abs(est_rows - true_rows)) DIV true_rows").as("err_rows_micro"),
+        (lit(16L) * col("sq")).as("est_qty"), col("true_qty"),
+        expr("(1000000L * abs(16L * sq - true_qty)) DIV true_qty").as("err_qty_micro"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+  }
+
   val all: Seq[QueryDef] = Seq(
-    q227IntegrityScorecard, q231MarketShare, q235MvMaintenance, q244Cuped,
+    q227IntegrityScorecard, q231MarketShare, q235MvMaintenance, q244Cuped, q247AqpGroupby,
     q01PricingSummary, q02SelectiveFilter, q03ShippingPriority, q05LocalRevenue,
     q06SemiJoin, q07AntiJoin, q08RangeJoin, q09DistinctUsers, q10Rollup,
     q11Cube, q12WindowRank, q13WindowRunning, q14TopOrders, q15SetOps,

@@ -815,6 +815,34 @@ class CurationAuditSpec extends SparkSpec {
     }
   }
 
+  test("q247: estimates re-derive from their own sample counts and the 1/16 design rate holds") {
+    import spark.implicits._
+    val fix = graft.ops.Analytics.q247AqpGroupby.run(spark, sfDir).collect()
+    assert(fix.nonEmpty)
+    var sampleTot = 0L; var trueTot = 0L
+    fix.foreach { r =>
+      val (ns, estR, trueR, errR, estQ, trueQ, errQ) =
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5),
+          r.getLong(6), r.getLong(7), r.getLong(8))
+      assert(estR == 16L * ns, "scale-up is exactly the inverse sampling rate")
+      assert(errR == 1000000L * math.abs(estR - trueR) / trueR)
+      assert(errQ == 1000000L * math.abs(estQ - trueQ) / trueQ)
+      sampleTot += ns; trueTot += trueR
+    }
+    // the md5 draw realizes the 1/16 design rate within 2x either way
+    assert(sampleTot * 32 >= trueTot && sampleTot * 8 <= trueTot,
+      s"sample fraction ${sampleTot.toDouble / trueTot} strays from 1/16")
+    // constant-quantity fixture: the qty estimate must equal qty x the
+    // row estimate — the estimator has no second degree of freedom
+    val dir = java.nio.file.Files.createTempDirectory("graft-aqp").toString
+    (1 to 320).map(i => (i.toLong, i, 5.0, "A", "F"))
+      .toDF("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag", "l_linestatus")
+      .write.parquet(s"$dir/lineitem.parquet")
+    val planted = graft.ops.Analytics.q247AqpGroupby.run(spark, dir).collect()
+    assert(planted.length == 1)
+    assert(planted.head.getLong(6) == 5L * planted.head.getLong(3))
+  }
+
   test("q238: pattern counts equal a literal driver simulation; the double-mangled pairs are the blocking misses") {
     val rows = graft.ops.Dedup.q238RecordLinkage.run(spark, sfDir).collect()
       .map(r => (r.getBoolean(0), r.getBoolean(1), r.getBoolean(2)) ->
