@@ -454,6 +454,78 @@ object Classifier {
       .orderBy(col("decile"))
   }
 
+  /** Isotonic (here: antitonic) regression calibration — the
+    * distribution-free calibrator (Ayer et al. AMS'55 pool-adjacent-
+    * violators; Zadrozny & Elkan KDD'02 for classifiers) fit WITHOUT
+    * the sequential PAV walk: the closed-form minimax identity
+    * fit(k) = min_{i≤k} max_{j≥k} avg(i..j) (Barlow et al. 1972, §1.2
+    * — the non-increasing dual, since purchase rate FALLS with event
+    * value on this corpus) turns the stack algorithm into three
+    * relational steps — prefix sums on the bucket axis, an interval-
+    * average relation, a triple-keyed min-of-max — every one a join/
+    * aggregate over the BOUNDED bucket axis (≤ 32 rows, B³ ≈ 5 k
+    * interval triples: metadata plane), so nothing sequential exists
+    * at any corpus size, unlike q242's genuinely-sequential product.
+    * Averages floor to micro before the min/max lattice (integer
+    * comparisons, engine-identical); quantization preserves
+    * monotonicity (min over growing i-sets of maxes over shrinking
+    * j-sets). Output per observed bucket: raw vs fitted rate; the
+    * fitted curve is what a serving layer looks up to turn a raw
+    * score into a calibrated probability. Violator-pooling planted
+    * case + monotone/pool-consistency spec (`CurationAuditSpec`). */
+  val q248IsotonicFit: QueryDef = sql(
+    "q248_isotonic_fit",
+    """WITH e AS (SELECT LEAST(31, CAST(FLOOR(value / 25) AS INT)) AS b,
+      |            CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+      |          FROM events),
+      |bk AS (SELECT b, CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(y) AS BIGINT) AS pos
+      |       FROM e GROUP BY 1),
+      |rk AS (SELECT b, n, pos, ROW_NUMBER() OVER (ORDER BY b) AS r FROM bk),
+      |ps AS (SELECT r, b, n, pos,
+      |         CAST(SUM(n) OVER (ORDER BY r) AS BIGINT) AS cn,
+      |         CAST(SUM(pos) OVER (ORDER BY r) AS BIGINT) AS cp
+      |       FROM rk),
+      |iv AS (SELECT i.r AS ri, j.r AS rj,
+      |         (CAST(1000000 AS BIGINT) * (j.cp - (i.cp - i.pos)))
+      |           // (j.cn - (i.cn - i.n)) AS avg_micro
+      |       FROM ps i JOIN ps j ON j.r >= i.r),
+      |inner_max AS (SELECT k.r AS rk2, iv.ri, MAX(iv.avg_micro) AS mx
+      |              FROM ps k JOIN iv ON iv.ri <= k.r AND iv.rj >= k.r
+      |              GROUP BY 1, 2),
+      |fit AS (SELECT rk2 AS r, CAST(MIN(mx) AS BIGINT) AS fit_micro
+      |        FROM inner_max GROUP BY 1)
+      |SELECT ps.b AS bucket, ps.n, ps.pos,
+      |  (CAST(1000000 AS BIGINT) * ps.pos) // ps.n AS raw_micro, fit.fit_micro
+      |FROM ps JOIN fit ON fit.r = ps.r
+      |ORDER BY bucket""".stripMargin) { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val bk = Tables.events(s, dir)
+      .select(least(lit(31), floor(col("value") / 25).cast("int")).as("b"),
+        when(col("event_type") === "purchase", 1L).otherwise(0L).as("y"))
+      .groupBy(col("b"))
+      .agg(count(lit(1)).cast("long").as("n"), sum(col("y")).as("pos"))
+    // everything below is bucket-axis-sized (≤ 32 rows): one window
+    // pass, then broadcast interval/triple joins on the metadata plane
+    val ps = bk.withColumn("r", row_number().over(Window.orderBy(col("b"))))
+      .withColumn("cn", sum(col("n")).over(Window.orderBy(col("r"))).cast("long"))
+      .withColumn("cp", sum(col("pos")).over(Window.orderBy(col("r"))).cast("long"))
+    val i = ps.select(col("r").as("ri"), col("cn").as("icn"), col("cp").as("icp"),
+      col("n").as("in_"), col("pos").as("ipos"))
+    val j = ps.select(col("r").as("rj"), col("cn").as("jcn"), col("cp").as("jcp"))
+    val iv = broadcast(i).join(broadcast(j), col("rj") >= col("ri"))
+      .select(col("ri"), col("rj"),
+        expr("(1000000L * (jcp - (icp - ipos))) DIV (jcn - (icn - in_))").as("avg_micro"))
+    val innerMax = broadcast(ps.select(col("r").as("rk2"))).join(iv,
+        col("ri") <= col("rk2") && col("rj") >= col("rk2"))
+      .groupBy(col("rk2"), col("ri")).agg(max(col("avg_micro")).as("mx"))
+    val fit = innerMax.groupBy(col("rk2").as("r"))
+      .agg(min(col("mx")).cast("long").as("fit_micro"))
+    ps.join(fit, "r")
+      .select(col("b").as("bucket"), col("n"), col("pos"),
+        expr("(1000000L * pos) DIV n").as("raw_micro"), col("fit_micro"))
+      .orderBy(col("bucket"))
+  }
+
   val all: Seq[QueryDef] = Seq(q127Perceptron, q182Calibration, q193Conformal,
-    q203AnnotatorKappa, q208LabelNoise, q221BrierDecomp)
+    q203AnnotatorKappa, q208LabelNoise, q221BrierDecomp, q248IsotonicFit)
 }

@@ -815,6 +815,36 @@ class CurationAuditSpec extends SparkSpec {
     }
   }
 
+  test("q248: a planted violator pools to the hand-walked PAV solution; fixture fit is antitonic and bounded") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-iso").toString
+    // raw rates 0.5, 0.8, 0.2 by bucket — buckets 0 and 1 violate the
+    // non-increasing order and pool to 13/20 = 0.65; bucket 2 stands
+    val rows =
+      (1 to 10).map(i => (i.toLong, 1.0, if (i <= 5) "purchase" else "view")) ++
+        (11 to 20).map(i => (i.toLong, 30.0, if (i <= 18) "purchase" else "view")) ++
+        (21 to 30).map(i => (i.toLong, 55.0, if (i <= 22) "purchase" else "view"))
+    rows.toDF("event_id", "value", "event_type")
+      .withColumn("ts", to_timestamp(lit("2024-01-01 00:00:00")))
+      .withColumn("user_id", col("event_id")).withColumn("props", lit("{}"))
+      .write.parquet(s"$dir/events.parquet")
+    val got = graft.ops.Classifier.q248IsotonicFit.run(spark, dir).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(got.toSeq == Seq(
+      (0, 10L, 5L, 500000L, 650000L),
+      (1, 10L, 8L, 800000L, 650000L),
+      (2, 10L, 2L, 200000L, 200000L)))
+    // fixture-wide: the fitted curve is non-increasing and lives inside
+    // the raw-rate envelope
+    val fix = graft.ops.Classifier.q248IsotonicFit.run(spark, sfDir).collect()
+      .map(r => (r.getLong(3), r.getLong(4)))
+    assert(fix.nonEmpty)
+    val fits = fix.map(_._2)
+    assert(fits.sliding(2).filter(_.size == 2).forall(p => p(0) >= p(1)), "fit must be antitonic")
+    assert(fits.max <= fix.map(_._1).max && fits.min >= fix.map(_._1).min,
+      "fit stays inside the raw envelope")
+  }
+
   test("q247: estimates re-derive from their own sample counts and the 1/16 design rate holds") {
     import spark.implicits._
     val fix = graft.ops.Analytics.q247AqpGroupby.run(spark, sfDir).collect()
