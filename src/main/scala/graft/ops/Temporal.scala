@@ -600,8 +600,105 @@ object Temporal {
       .orderBy(col("dur_min"))
   }
 
+  /** Shapley-value attribution — the game-theoretic closure of q236's
+    * rule-based models (Shapley 1953; Zhao et al. 2018 for marketing):
+    * each purchase's credit split by the unique axioms-satisfying
+    * division over its 7-day touch-channel COALITION, v(S) = purchases
+    * (and cents) whose touch set is non-empty and ⊆ S. With the 3-bit
+    * channel universe the whole game is METADATA: touch patterns are 8
+    * counters aggregated corpus-side (the q236 band join + one bit-OR
+    * agg per purchase), and φ_c = Σ_{S∌c} w(|S|)·(v(S∪c)−v(S)) runs on
+    * an 8×3 relation. Exactness: 3! = 6, so φ is emitted in SIXTHS —
+    * exact integers, no factorial-weight floats; efficiency
+    * (Σφ = v(full), in sixths: Σ = 6·attributed) is spec-asserted and
+    * the unattributed row carries 6× its totals so the whole output
+    * column-sums to 6× corpus purchase volume. Bit tricks shared by
+    * both engines: pattern = SUM(DISTINCT power-of-two channel codes),
+    * subset test (pat & S) = pat, popcount by shift-and-add.
+    * Planted-journey spec with hand-walked sixths
+    * (`CurationAuditSpec`). */
+  val q249ShapleyAttribution: QueryDef = QueryDef.sql(
+    "q249_shapley_attribution",
+    """WITH p AS (SELECT event_id AS p_id, user_id, ts AS p_ts,
+      |             CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS v_cents
+      |           FROM events WHERE event_type = 'purchase'),
+      |t AS (SELECT event_id AS t_id, user_id, ts AS t_ts, event_type AS channel
+      |      FROM events WHERE event_type IN ('view', 'click', 'signup')),
+      |j AS (SELECT p.p_id, p.v_cents, t.channel
+      |      FROM p LEFT JOIN t ON p.user_id = t.user_id
+      |        AND t.t_ts < p.p_ts AND t.t_ts >= p.p_ts - INTERVAL 7 DAY),
+      |pt AS (SELECT p_id, MAX(v_cents) AS v_cents,
+      |         CAST(SUM(DISTINCT CASE channel WHEN 'view' THEN 1 WHEN 'click' THEN 2
+      |           WHEN 'signup' THEN 4 ELSE 0 END) AS BIGINT) AS pat
+      |       FROM j GROUP BY 1),
+      |cnts AS (SELECT pat, CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(v_cents) AS BIGINT) AS cents
+      |         FROM pt GROUP BY 1),
+      |v AS (SELECT ss.s,
+      |        CAST(COALESCE(SUM(CASE WHEN c.pat <> 0 AND (c.pat & ss.s) = c.pat
+      |          THEN c.n END), 0) AS BIGINT) AS vn,
+      |        CAST(COALESCE(SUM(CASE WHEN c.pat <> 0 AND (c.pat & ss.s) = c.pat
+      |          THEN c.cents END), 0) AS BIGINT) AS vc
+      |      FROM generate_series(0, 7) ss(s) CROSS JOIN cnts c GROUP BY 1),
+      |ch AS (SELECT * FROM (VALUES (1, 'view'), (2, 'click'), (4, 'signup')) x(bit, name)),
+      |phi AS (SELECT ch.name AS channel,
+      |          CAST(SUM((CASE (v0.s & 1) + ((v0.s >> 1) & 1) + ((v0.s >> 2) & 1)
+      |              WHEN 0 THEN 2 WHEN 1 THEN 1 ELSE 2 END) * (v1.vn - v0.vn)) AS BIGINT)
+      |            AS credit_count_x6,
+      |          CAST(SUM((CASE (v0.s & 1) + ((v0.s >> 1) & 1) + ((v0.s >> 2) & 1)
+      |              WHEN 0 THEN 2 WHEN 1 THEN 1 ELSE 2 END) * (v1.vc - v0.vc)) AS BIGINT)
+      |            AS credit_cents_x6
+      |        FROM ch JOIN v v0 ON (v0.s & ch.bit) = 0
+      |          JOIN v v1 ON v1.s = (v0.s | ch.bit)
+      |        GROUP BY 1)
+      |SELECT channel, credit_count_x6, credit_cents_x6 FROM phi
+      |UNION ALL
+      |SELECT 'unattributed', 6 * n, 6 * cents FROM cnts WHERE pat = 0
+      |ORDER BY channel""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    val ev = Tables.events(s, dir)
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("p_id"), col("user_id").as("p_user"), col("ts").as("p_ts"),
+        expr("CAST(FLOOR(value * 100 + 0.5) AS BIGINT)").as("v_cents"))
+    val t = ev.filter(col("event_type").isin("view", "click", "signup"))
+      .select(col("user_id").as("t_user"), col("ts").as("t_ts"), col("event_type").as("channel"))
+    val pt = p.join(t,
+        col("p_user") === col("t_user") && col("t_ts") < col("p_ts") &&
+          col("t_ts") >= col("p_ts") - expr("INTERVAL 7 DAYS"), "left")
+      .groupBy(col("p_id"))
+      .agg(max(col("v_cents")).as("v_cents"),
+        coalesce(sum_distinct(expr(
+          "CASE channel WHEN 'view' THEN 1L WHEN 'click' THEN 2L WHEN 'signup' THEN 4L ELSE 0L END")),
+          lit(0L)).as("pat"))
+    val cnts = pt.groupBy(col("pat"))
+      .agg(count(lit(1)).cast("long").as("n"), sum(col("v_cents")).as("cents"))
+    // everything below is the 8-subset metadata plane
+    val v = s.range(0, 8).select(col("id").as("ss")).crossJoin(broadcast(cnts))
+      .groupBy(col("ss"))
+      .agg(coalesce(sum(when(col("pat") =!= 0 && (col("pat").bitwiseAND(col("ss")) === col("pat")),
+          col("n"))), lit(0L)).as("vn"),
+        coalesce(sum(when(col("pat") =!= 0 && (col("pat").bitwiseAND(col("ss")) === col("pat")),
+          col("cents"))), lit(0L)).as("vc"))
+    val ch = Seq((1L, "view"), (2L, "click"), (4L, "signup")).toDF("bit", "channel")
+    val v0 = v.select(col("ss").as("s0"), col("vn").as("vn0"), col("vc").as("vc0"))
+    val v1 = v.select(col("ss").as("s1"), col("vn").as("vn1"), col("vc").as("vc1"))
+    val w = expr("CASE (s0 & 1) + ((s0 >> 1) & 1) + ((s0 >> 2) & 1) " +
+      "WHEN 0 THEN 2L WHEN 1 THEN 1L ELSE 2L END")
+    val phi = broadcast(ch)
+      .join(v0, col("s0").bitwiseAND(col("bit")) === 0)
+      .join(v1, col("s1") === col("s0").bitwiseOR(col("bit")))
+      .groupBy(col("channel"))
+      .agg(sum(w * (col("vn1") - col("vn0"))).cast("long").as("credit_count_x6"),
+        sum(w * (col("vc1") - col("vc0"))).cast("long").as("credit_cents_x6"))
+    phi.unionByName(cnts.filter(col("pat") === 0)
+        .select(lit("unattributed").as("channel"),
+          (lit(6L) * col("n")).as("credit_count_x6"),
+          (lit(6L) * col("cents")).as("credit_cents_x6")))
+      .orderBy(col("channel"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     q46AsofJoin, q47Pivot, q55IntervalJoin, q63AsofNative, q81IntervalNative,
     q95Funnel, q96RetentionCohorts, q109TransitionMatrix, q192DecayScores,
-    q226ChangePoint, q236Attribution, q241PeakConcurrency, q242KaplanMeier)
+    q226ChangePoint, q236Attribution, q241PeakConcurrency, q242KaplanMeier,
+    q249ShapleyAttribution)
 }

@@ -845,6 +845,38 @@ class CurationAuditSpec extends SparkSpec {
       "fit stays inside the raw envelope")
   }
 
+  test("q249: hand-walked Shapley sixths on planted journeys; efficiency conserves 6x purchase volume") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-shap").toString
+    // u1 touched by view+click, u2 by view only, u3 untouched; $6 each.
+    // Hand-walked: view 9 sixths (u2 alone: 6; u1 split: 3), click 3,
+    // signup 0, unattributed 6
+    Seq(
+      (1L, "2024-01-01 00:00:00", 1L, "view", 0.0),
+      (2L, "2024-01-01 00:30:00", 1L, "click", 0.0),
+      (3L, "2024-01-01 01:00:00", 1L, "purchase", 6.0),
+      (4L, "2024-01-01 00:00:00", 2L, "view", 0.0),
+      (5L, "2024-01-01 01:00:00", 2L, "purchase", 6.0),
+      (6L, "2024-01-01 01:00:00", 3L, "purchase", 6.0))
+      .toDF("event_id", "d", "user_id", "event_type", "value")
+      .withColumn("ts", to_timestamp(col("d"))).drop("d")
+      .withColumn("props", lit("{}"))
+      .write.parquet(s"$dir/events.parquet")
+    val got = graft.ops.Temporal.q249ShapleyAttribution.run(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == Seq(
+      ("click", 3L, 1800L), ("signup", 0L, 0L),
+      ("unattributed", 6L, 3600L), ("view", 9L, 5400L)))
+    // fixture-wide efficiency: credit (incl. unattributed) column-sums
+    // to exactly 6x corpus purchase count and volume
+    val fix = graft.ops.Temporal.q249ShapleyAttribution.run(spark, sfDir).collect()
+    val ev = graft.sources.Tables.events(spark, sfDir)
+      .filter(col("event_type") === "purchase")
+      .agg(count(lit(1)), sum(expr("CAST(FLOOR(value * 100 + 0.5) AS BIGINT)"))).head
+    assert(fix.map(_.getLong(1)).sum == 6L * ev.getLong(0))
+    assert(fix.map(_.getLong(2)).sum == 6L * ev.getLong(1))
+  }
+
   test("q247: estimates re-derive from their own sample counts and the 1/16 design rate holds") {
     import spark.implicits._
     val fix = graft.ops.Analytics.q247AqpGroupby.run(spark, sfDir).collect()
