@@ -427,7 +427,103 @@ object Layout {
       .orderBy(col("join_key"), col("estimator"))
   }
 
+  /** Bloom zone maps — per-shard Bloom filters as SKIPPING METADATA
+    * (ORC bloom indexes, Parquet column bloom filters, Impala/Kudu
+    * zone maps; Bloom CACM'70), the membership complement of q232's
+    * min/max bounds (bands skip RANGES, blooms skip POINT probes the
+    * bands can't): orders sharded into 200-row blocks, each block
+    * publishing a 1008-bit / 2-hash Bloom over its distinct custkeys
+    * as 16 BIGINT words (63 usable bits per word — the sign bit stays
+    * clear so neither engine's shift overflows), built with one
+    * BIT_OR aggregate per (shard, word). A probe reads its two hash
+    * words per shard and ANDs the bit tests; the audit joins verdicts
+    * against TRUTH: false positives are counted (the design's FP rate
+    * made visible), misses are structurally impossible and
+    * spec-asserted zero. Output per probe key: shards skipped /
+    * scanned / fp, rows the scan avoided. At 100 TB the bloom
+    * relation is shards×16 rows of metadata built in the same pass
+    * that writes the shard; every probe then costs 2·shards word
+    * lookups, never a data scan. q115 uses Spark's runtime bloom
+    * inside ONE query; this one PERSISTS the filter as a relation the
+    * way a table format does. */
+  val q250BloomZoneMap: QueryDef = sql(
+    "q250_bloom_zonemap",
+    """WITH o AS (SELECT o_orderkey // 200 AS shard, o_custkey AS k FROM orders),
+      |ks AS (SELECT DISTINCT shard, k FROM o),
+      |bits AS (SELECT shard, k,
+      |    CAST(('0x' || substr(md5('bz0:' || CAST(k AS VARCHAR)), 1, 8)) AS BIGINT) % 1008 AS h
+      |  FROM ks
+      |  UNION ALL
+      |  SELECT shard, k,
+      |    CAST(('0x' || substr(md5('bz1:' || CAST(k AS VARCHAR)), 1, 8)) AS BIGINT) % 1008
+      |  FROM ks),
+      |words AS (SELECT shard, h // 63 AS w, BIT_OR(CAST(1 AS BIGINT) << CAST(h % 63 AS INT)) AS bm
+      |          FROM bits GROUP BY 1, 2),
+      |probes AS (SELECT DISTINCT k FROM ks WHERE k % 97 = 0),
+      |ph AS (SELECT k,
+      |    CAST(('0x' || substr(md5('bz0:' || CAST(k AS VARCHAR)), 1, 8)) AS BIGINT) % 1008 AS h
+      |  FROM probes
+      |  UNION ALL
+      |  SELECT k,
+      |    CAST(('0x' || substr(md5('bz1:' || CAST(k AS VARCHAR)), 1, 8)) AS BIGINT) % 1008
+      |  FROM probes),
+      |shards AS (SELECT DISTINCT shard FROM o),
+      |tests AS (SELECT ph.k, sh.shard,
+      |    MIN(COALESCE((w.bm >> CAST(ph.h % 63 AS INT)) & 1, 0)) AS hit
+      |  FROM ph CROSS JOIN shards sh
+      |  LEFT JOIN words w ON w.shard = sh.shard AND w.w = ph.h // 63
+      |  GROUP BY 1, 2),
+      |truth AS (SELECT k, shard, 1 AS present FROM ks),
+      |audit AS (SELECT t.k, t.shard, t.hit, COALESCE(tr.present, 0) AS present
+      |          FROM tests t LEFT JOIN truth tr ON tr.k = t.k AND tr.shard = t.shard),
+      |rows_per AS (SELECT shard, CAST(COUNT(*) AS BIGINT) AS n_rows FROM o GROUP BY 1)
+      |SELECT a.k AS probe_key,
+      |  CAST(COUNT(*) AS BIGINT) AS n_shards,
+      |  CAST(SUM(CASE WHEN a.hit = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_skipped,
+      |  CAST(SUM(CASE WHEN a.hit = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_scanned,
+      |  CAST(SUM(CASE WHEN a.hit = 1 AND a.present = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_fp,
+      |  CAST(SUM(CASE WHEN a.hit = 0 AND a.present = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_miss,
+      |  CAST(SUM(CASE WHEN a.hit = 0 THEN r.n_rows ELSE 0 END) AS BIGINT) AS rows_avoided
+      |FROM audit a JOIN rows_per r ON r.shard = a.shard
+      |GROUP BY 1
+      |ORDER BY probe_key""".stripMargin) { (s, dir) =>
+    val o = Tables.orders(s, dir)
+      .select(expr("o_orderkey div 200").as("shard"), col("o_custkey").as("k"))
+    val ks = o.distinct()
+    def hashed(df: DataFrame): DataFrame = df.select(col("*"), explode(array(
+        expr("CAST(conv(substring(md5(concat('bz0:', CAST(k AS STRING))), 1, 8), 16, 10) AS BIGINT) % 1008"),
+        expr("CAST(conv(substring(md5(concat('bz1:', CAST(k AS STRING))), 1, 8), 16, 10) AS BIGINT) % 1008")))
+        .as("h"))
+    val words = hashed(ks)
+      .groupBy(col("shard"), expr("h div 63").as("w"))
+      .agg(expr("bit_or(shiftleft(1L, CAST(h % 63 AS INT)))").as("bm"))
+    val probes = ks.filter(col("k") % 97 === 0).select(col("k")).distinct()
+    val ph = hashed(probes)
+    // a shard owning NEITHER of a probe's hash words has those bits
+    // clear by construction — the probe×shard grid with a left join
+    // keeps such shards as definite skips instead of dropping them
+    val shards = o.select(col("shard")).distinct()
+    val tests = ph.crossJoin(broadcast(shards.withColumnRenamed("shard", "gshard")))
+      .join(words, col("shard") === col("gshard") && col("w") === expr("h div 63"), "left")
+      .groupBy(col("k"), col("gshard").as("shard"))
+      .agg(min(coalesce(expr("(bm >> CAST(h % 63 AS INT)) & 1"), lit(0L))).as("hit"))
+    val truth = ks.withColumn("present", lit(1))
+    val audit = tests.join(truth.withColumnsRenamed(Map("k" -> "tk", "shard" -> "tshard")),
+        col("tk") === col("k") && col("tshard") === col("shard"), "left")
+      .select(col("k"), col("shard"), col("hit"), coalesce(col("present"), lit(0)).as("present"))
+    val rowsPer = o.groupBy(col("shard")).agg(count(lit(1)).cast("long").as("n_rows"))
+    audit.join(broadcast(rowsPer), "shard")
+      .groupBy(col("k").as("probe_key"))
+      .agg(count(lit(1)).cast("long").as("n_shards"),
+        sum(when(col("hit") === 0, 1L).otherwise(0L)).as("n_skipped"),
+        sum(when(col("hit") === 1, 1L).otherwise(0L)).as("n_scanned"),
+        sum(when(col("hit") === 1 && col("present") === 0, 1L).otherwise(0L)).as("n_fp"),
+        sum(when(col("hit") === 0 && col("present") === 1, 1L).otherwise(0L)).as("n_miss"),
+        sum(when(col("hit") === 0, col("n_rows")).otherwise(0L)).as("rows_avoided"))
+      .orderBy(col("probe_key"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     q112BucketedJoin, q113PartitionPruning, q114SaltedJoin, q115BloomSemiJoin,
-    q229ColumnProfile, q230LayoutAdvisor, q246CardinalityAudit)
+    q229ColumnProfile, q230LayoutAdvisor, q246CardinalityAudit, q250BloomZoneMap)
 }

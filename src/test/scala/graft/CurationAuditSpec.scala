@@ -815,6 +815,44 @@ class CurationAuditSpec extends SparkSpec {
     }
   }
 
+  test("q250: blooms never miss a present key, skip most shards, and account every shard exactly once") {
+    import spark.implicits._
+    // planted: three 200-order shards, each holding one custkey; probes
+    // are the %97 keys 0 (shard 0) and 97 (shard 1)
+    val dir = java.nio.file.Files.createTempDirectory("graft-bzm").toString
+    ((0L until 200L).map(i => (i, 0L)) ++ (200L until 400L).map(i => (i, 97L)) ++
+      (400L until 600L).map(i => (i, 5L)))
+      .toDF("o_orderkey", "o_custkey")
+      .write.parquet(s"$dir/orders.parquet")
+    val planted = graft.ops.Layout.q250BloomZoneMap.run(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6)))).toMap
+    assert(planted.keySet == Set(0L, 97L))
+    planted.foreach { case (k, (nSh, skip, scan, fp, miss, avoided)) =>
+      assert(nSh == 3 && miss == 0, s"probe $k must never miss")
+      assert(skip + scan == nSh)
+      assert(scan >= 1, s"probe $k's own shard must be scanned")
+      assert(fp == scan - 1, s"probe $k lives in exactly one shard")
+      assert(avoided == 200L * skip)
+    }
+    // fixture-wide: zero misses everywhere, full shard accounting, and
+    // scanned = truly-present + false-positives against an
+    // independently-computed truth (the audit's own numbers are honest)
+    val fix = graft.ops.Layout.q250BloomZoneMap.run(spark, sfDir).collect()
+    assert(fix.nonEmpty)
+    assert(fix.forall(_.getLong(5) == 0L), "a Bloom zone map can never produce a false negative")
+    assert(fix.forall(r => r.getLong(2) + r.getLong(3) == r.getLong(1)))
+    val present = graft.sources.Tables.orders(spark, sfDir)
+      .select(expr("o_orderkey div 200").as("shard"), col("o_custkey").as("k"))
+      .filter(col("k") % 97 === 0).distinct()
+      .groupBy(col("k")).count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    fix.foreach { r =>
+      assert(r.getLong(3) == present(r.getLong(0)) + r.getLong(4),
+        s"probe ${r.getLong(0)}: scanned must be present + fp")
+    }
+  }
+
   test("q248: a planted violator pools to the hand-walked PAV solution; fixture fit is antitonic and bounded") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft-iso").toString
