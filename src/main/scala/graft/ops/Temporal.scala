@@ -696,9 +696,141 @@ object Temporal {
       .orderBy(col("channel"))
   }
 
+  /** One chain's unrolled 8-round absorption walk for the q251 oracle:
+    * transient mass recurrence + per-round conversion absorption, with
+    * every product floored to micro BEFORE the sum (order-free exact
+    * integers). `x` is the removed channel ('' for the full chain). */
+  private def mkChainSql(tag: String, x: String): String = {
+    val tx = s"""tx_$tag AS MATERIALIZED (SELECT src, dst, p_micro FROM p
+                |  WHERE src <> '$x' AND dst <> '$x'),
+                |r0_$tag AS (SELECT 'start' AS state, CAST(1000000 AS BIGINT) AS mass)""".stripMargin
+    val rounds = (1 to 8).map { k =>
+      s"""r${k}_$tag AS MATERIALIZED (SELECT t.dst AS state,
+         |    CAST(SUM((r.mass * t.p_micro) // 1000000) AS BIGINT) AS mass
+         |  FROM r${k - 1}_$tag r JOIN tx_$tag t ON t.src = r.state
+         |  WHERE t.dst IN ('view', 'click', 'signup') GROUP BY 1),
+         |a${k}_$tag AS MATERIALIZED (SELECT CAST(COALESCE(SUM((r.mass * t.p_micro) // 1000000), 0) AS BIGINT) AS m
+         |  FROM r${k - 1}_$tag r JOIN tx_$tag t ON t.src = r.state AND t.dst = 'conv')""".stripMargin
+    }.mkString(",\n")
+    val convSum = (1 to 8).map(k => s"(SELECT m FROM a${k}_$tag)").mkString(" + ")
+    s"$tx,\n$rounds,\nconv_$tag AS (SELECT CAST($convSum AS BIGINT) AS conv)"
+  }
+
+  /** Markov-chain (removal-effect) attribution — the third leg of the
+    * attribution suite (q236 rule-based, q249 Shapley, this one
+    * path-based; Anderl et al. 2016): user journeys become a first-order
+    * chain over {start, view, click, signup} with absorbing conversion
+    * (each purchase closes a journey and the stream restarts; 'error'
+    * events are non-marketing and excluded), and each channel's credit
+    * is its REMOVAL EFFECT — how much absorbed conversion mass vanishes
+    * when the channel's states are deleted, i.e. the paths that NEEDED
+    * it, which rule models can't see (a middle-of-path channel earns
+    * nothing from first/last-touch).
+    *
+    * Exactness + scale: transition COUNTS are the only corpus-sized
+    * work (one user-keyed window pass — the q109 class); probabilities
+    * floor to micro, and the 4 chains × 8-round bounded-horizon
+    * absorption walks run on the COLLECTED ≤ 20-row matrix (metadata
+    * plane, the q170 bounded-collect class) with every mass·p product
+    * floored before summing, so the walk is order-free exact and the
+    * oracle unrolls the identical recurrence as generated CTEs
+    * ([[mkChainSql]]). Removal can only shed paths, so drops are
+    * structurally ≥ 0 even under flooring (spec-asserted); converted
+    * cents split ∝ drops with a zero-sum guard. */
+  val q251MarkovRemoval: QueryDef = QueryDef.sql(
+    "q251_markov_removal", {
+      val base =
+        """WITH e2 AS (SELECT user_id, epoch_us(ts) AS t, event_id,
+          |    CASE event_type WHEN 'purchase' THEN 'conv' ELSE event_type END AS st
+          |  FROM events WHERE event_type IN ('view', 'click', 'signup', 'purchase')),
+          |ord AS (SELECT user_id, st, t, event_id,
+          |    CAST(COALESCE(SUM(CASE WHEN st = 'conv' THEN 1 ELSE 0 END)
+          |      OVER (PARTITION BY user_id ORDER BY t, event_id
+          |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS jid
+          |  FROM e2),
+          |seq AS (SELECT user_id, jid, st,
+          |    ROW_NUMBER() OVER (PARTITION BY user_id, jid ORDER BY t, event_id) AS rn,
+          |    LEAD(st) OVER (PARTITION BY user_id, jid ORDER BY t, event_id) AS nxt
+          |  FROM ord),
+          |tr AS (SELECT 'start' AS src, st AS dst FROM seq WHERE rn = 1
+          |       UNION ALL
+          |       SELECT st, COALESCE(nxt, 'null') FROM seq WHERE st <> 'conv'),
+          |cnt AS (SELECT src, dst, CAST(COUNT(*) AS BIGINT) AS n FROM tr GROUP BY 1, 2),
+          |tot AS (SELECT src, CAST(SUM(n) AS BIGINT) AS tn FROM cnt GROUP BY 1),
+          |p AS MATERIALIZED (SELECT cnt.src, cnt.dst,
+          |        (CAST(1000000 AS BIGINT) * cnt.n) // tot.tn AS p_micro
+          |      FROM cnt JOIN tot ON tot.src = cnt.src)""".stripMargin
+      val chains = Seq(("full", ""), ("v", "view"), ("c", "click"), ("s", "signup"))
+        .map { case (tag, x) => mkChainSql(tag, x) }.mkString(",\n")
+      base + ",\n" + chains + ",\n" +
+        """tc AS (SELECT CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS cents
+          |       FROM events WHERE event_type = 'purchase'),
+          |drops AS (
+          |  SELECT 'view' AS channel, (SELECT conv FROM conv_full) AS full_conv,
+          |    (SELECT conv FROM conv_v) AS removed_conv
+          |  UNION ALL SELECT 'click', (SELECT conv FROM conv_full), (SELECT conv FROM conv_c)
+          |  UNION ALL SELECT 'signup', (SELECT conv FROM conv_full), (SELECT conv FROM conv_s)),
+          |sd AS (SELECT CAST(SUM(full_conv - removed_conv) AS BIGINT) AS v FROM drops)
+          |SELECT channel, full_conv AS full_conv_micro, removed_conv AS removed_conv_micro,
+          |  full_conv - removed_conv AS drop_micro,
+          |  CASE WHEN (SELECT v FROM sd) = 0 THEN 0
+          |       ELSE ((SELECT cents FROM tc) * (full_conv - removed_conv)) // (SELECT v FROM sd)
+          |  END AS credit_cents
+          |FROM drops
+          |ORDER BY channel""".stripMargin
+    }) { (s, dir) =>
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val e2 = Tables.events(s, dir)
+      .filter(col("event_type").isin("view", "click", "signup", "purchase"))
+      .select(col("user_id"), unix_micros(col("ts")).as("t"), col("event_id"),
+        when(col("event_type") === "purchase", "conv").otherwise(col("event_type")).as("st"))
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("t"), col("event_id"))
+    val ord = e2.withColumn("jid",
+      coalesce(sum(when(col("st") === "conv", 1L).otherwise(0L))
+        .over(byUser.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+    val byJourney = Window.partitionBy(col("user_id"), col("jid")).orderBy(col("t"), col("event_id"))
+    val seq = ord.withColumn("rn", row_number().over(byJourney))
+      .withColumn("nxt", lead(col("st"), 1).over(byJourney))
+    val tr = seq.filter(col("rn") === 1).select(lit("start").as("src"), col("st").as("dst"))
+      .unionByName(seq.filter(col("st") =!= "conv")
+        .select(col("st").as("src"), coalesce(col("nxt"), lit("null")).as("dst")))
+    val cnt = tr.groupBy(col("src"), col("dst")).agg(count(lit(1)).cast("long").as("n"))
+    val pRows = cnt.withColumn("tn", sum(col("n")).over(Window.partitionBy(col("src"))))
+      .select(col("src"), col("dst"), expr("(1000000L * n) DIV tn").as("p_micro"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    // ≤ 20-row matrix: the 4 chains' 8-round walks are metadata-plane
+    // (bounded-collect class — see scaladoc)
+    val transients = Set("view", "click", "signup")
+    def absorbed(removed: String): Long = {
+      val tx = pRows.filter { case (a, b, _) => a != removed && b != removed }
+        .sortBy { case (a, b, _) => (a, b) }
+      var mass = Map("start" -> 1000000L)
+      var conv = 0L
+      for (_ <- 1 to 8) {
+        val out = tx.flatMap { case (src, dst, p) =>
+          mass.get(src).map(m => (dst, m * p / 1000000L))
+        }
+        conv += out.filter(_._1 == "conv").map(_._2).sum
+        mass = out.filter(t => transients(t._1)).groupBy(_._1)
+          .map { case (k, v) => k -> v.map(_._2).sum }
+      }
+      conv
+    }
+    val full = absorbed("")
+    val cents = Tables.events(s, dir).filter(col("event_type") === "purchase")
+      .agg(sum(expr("CAST(FLOOR(value * 100 + 0.5) AS BIGINT)"))).head.getLong(0)
+    val rows = Seq("view", "click", "signup").map(ch => (ch, full, absorbed(ch)))
+    val sd = rows.map { case (_, f, r) => f - r }.sum
+    rows.map { case (ch, f, r) =>
+      (ch, f, r, f - r, if (sd == 0) 0L else cents * (f - r) / sd)
+    }.toDF("channel", "full_conv_micro", "removed_conv_micro", "drop_micro", "credit_cents")
+      .orderBy(col("channel"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     q46AsofJoin, q47Pivot, q55IntervalJoin, q63AsofNative, q81IntervalNative,
     q95Funnel, q96RetentionCohorts, q109TransitionMatrix, q192DecayScores,
     q226ChangePoint, q236Attribution, q241PeakConcurrency, q242KaplanMeier,
-    q249ShapleyAttribution)
+    q249ShapleyAttribution, q251MarkovRemoval)
 }

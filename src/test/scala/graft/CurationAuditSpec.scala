@@ -883,6 +883,48 @@ class CurationAuditSpec extends SparkSpec {
       "fit stays inside the raw envelope")
   }
 
+  test("q251: hand-walked removal effects on planted journeys; drops are non-negative on the fixture") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-markov").toString
+    // start→view (2/3), start→click (1/3); view→conv (1/2), view→null
+    // (1/2); click→conv (1). Hand-walk: full chain absorbs 666666 micro;
+    // removing view OR click each drops 333333; signup drops 0; $6 of
+    // conversions split 300/300 cents
+    Seq(
+      (1L, "2024-01-01 00:00:00", 1L, "view", 0.0),
+      (2L, "2024-01-01 00:01:00", 1L, "purchase", 2.0),
+      (3L, "2024-01-01 00:00:00", 2L, "view", 0.0),
+      (4L, "2024-01-01 00:00:00", 3L, "click", 0.0),
+      (5L, "2024-01-01 00:01:00", 3L, "purchase", 4.0))
+      .toDF("event_id", "d", "user_id", "event_type", "value")
+      .withColumn("ts", to_timestamp(col("d"))).drop("d")
+      .withColumn("props", lit("{}"))
+      .write.parquet(s"$dir/events.parquet")
+    val got = graft.ops.Temporal.q251MarkovRemoval.run(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSeq
+    assert(got == Seq(
+      ("click", 666666L, 333333L, 333333L, 300L),
+      ("signup", 666666L, 666666L, 0L, 0L),
+      ("view", 666666L, 333333L, 333333L, 300L)))
+    // fixture-wide: removal can only shed paths — never negative drops,
+    // never more absorption than the full chain; credits sum within
+    // truncation of total purchase cents when any drop exists
+    val fix = graft.ops.Temporal.q251MarkovRemoval.run(spark, sfDir).collect()
+    assert(fix.length == 3)
+    fix.foreach { r =>
+      assert(r.getLong(3) >= 0L && r.getLong(2) <= r.getLong(1))
+      assert(r.getLong(3) == r.getLong(1) - r.getLong(2))
+    }
+    if (fix.map(_.getLong(3)).sum > 0) {
+      val cents = graft.sources.Tables.events(spark, sfDir)
+        .filter(col("event_type") === "purchase")
+        .agg(sum(expr("CAST(FLOOR(value * 100 + 0.5) AS BIGINT)"))).head.getLong(0)
+      val credited = fix.map(_.getLong(4)).sum
+      assert(credited <= cents && credited >= cents - 3,
+        s"credits $credited must total purchase cents $cents within truncation")
+    }
+  }
+
   test("q249: hand-walked Shapley sixths on planted journeys; efficiency conserves 6x purchase volume") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft-shap").toString
