@@ -526,6 +526,108 @@ object Classifier {
       .orderBy(col("bucket"))
   }
 
+  /** Offline policy evaluation by replay (Li et al. WSDM'11) — the
+    * unbiased way to score a new serving policy on LOGGED interactions
+    * before any live traffic: keep exactly the logged events whose
+    * action matches what the candidate policy would have chosen, and
+    * average their rewards. Logged triples here: each marketing touch
+    * (view/click/signup) is a (segment = user_id % 4, action, reward)
+    * record with reward 1 iff the same user purchases within the next
+    * hour (a band semi-join, the q55 class). Two candidates against
+    * the logging baseline: a constant policy (always click) and a
+    * segment-greedy policy TRAINED on the first half of the corpus and
+    * evaluated on the second — the temporal split that keeps the
+    * estimate honest (training and evaluating on the same logs would
+    * leak). Exact integers: match/reward counts, argmax by
+    * micro-floored train rate with action-name tie-break, reward rate
+    * in micro with a zero-match guard.
+    *
+    * Scale: one corpus scan + one user-keyed band join; the policy is
+    * a 4-row broadcast relation; replay itself is a conditional
+    * aggregate — nothing pairwise, nothing iterative. */
+  val q252ReplayEval: QueryDef = sql(
+    "q252_replay_eval",
+    """WITH b AS (SELECT MIN(epoch_us(ts)) + (MAX(epoch_us(ts)) - MIN(epoch_us(ts))) // 2 AS m
+      |           FROM events),
+      |lg AS (SELECT event_id, user_id, user_id % 4 AS seg, epoch_us(ts) AS t,
+      |         event_type AS act
+      |       FROM events WHERE event_type IN ('view', 'click', 'signup')),
+      |pur AS (SELECT user_id, epoch_us(ts) AS pt FROM events WHERE event_type = 'purchase'),
+      |rw AS MATERIALIZED (SELECT lg.event_id, lg.seg, lg.t, lg.act,
+      |        CASE WHEN EXISTS (SELECT 1 FROM pur WHERE pur.user_id = lg.user_id
+      |          AND pur.pt > lg.t AND pur.pt <= lg.t + 3600000000) THEN 1 ELSE 0 END AS r
+      |      FROM lg),
+      |tr AS (SELECT seg, act, CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(r) AS BIGINT) AS pos
+      |       FROM rw WHERE t < (SELECT m FROM b) GROUP BY 1, 2),
+      |pol AS (SELECT seg, act FROM (SELECT seg, act,
+      |          ROW_NUMBER() OVER (PARTITION BY seg
+      |            ORDER BY (CAST(1000000 AS BIGINT) * pos) // n DESC, act) AS rn
+      |        FROM tr) WHERE rn = 1),
+      |ev AS (SELECT * FROM rw WHERE t >= (SELECT m FROM b)),
+      |rows_ AS (
+      |  SELECT 'logging_baseline' AS policy, CAST(COUNT(*) AS BIGINT) AS n_eval,
+      |    CAST(COUNT(*) AS BIGINT) AS n_matched, CAST(SUM(r) AS BIGINT) AS n_reward
+      |  FROM ev
+      |  UNION ALL
+      |  SELECT 'always_click', CAST(COUNT(*) AS BIGINT),
+      |    CAST(SUM(CASE WHEN act = 'click' THEN 1 ELSE 0 END) AS BIGINT),
+      |    CAST(SUM(CASE WHEN act = 'click' THEN r ELSE 0 END) AS BIGINT)
+      |  FROM ev
+      |  UNION ALL
+      |  SELECT 'segment_greedy', CAST(COUNT(*) AS BIGINT),
+      |    CAST(SUM(CASE WHEN ev.act = pol.act THEN 1 ELSE 0 END) AS BIGINT),
+      |    CAST(SUM(CASE WHEN ev.act = pol.act THEN ev.r ELSE 0 END) AS BIGINT)
+      |  FROM ev JOIN pol ON pol.seg = ev.seg)
+      |SELECT policy, n_eval, n_matched, n_reward,
+      |  CASE WHEN n_matched = 0 THEN 0
+      |       ELSE (CAST(1000000 AS BIGINT) * n_reward) // n_matched END AS reward_micro
+      |FROM rows_
+      |ORDER BY policy""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val ev0 = Tables.events(s, dir)
+    val bounds = ev0.agg(min(unix_micros(col("ts"))), max(unix_micros(col("ts")))).head
+    val mid = bounds.getLong(0) + (bounds.getLong(1) - bounds.getLong(0)) / 2
+    val lg = ev0.filter(col("event_type").isin("view", "click", "signup"))
+      .select(col("event_id"), col("user_id"), pmod(col("user_id"), lit(4)).cast("long").as("seg"),
+        unix_micros(col("ts")).as("t"), col("event_type").as("act"))
+    val pur = ev0.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), unix_micros(col("ts")).as("pt"))
+    val rw = lg.join(pur,
+        col("p_user") === col("user_id") && col("pt") > col("t") &&
+          col("pt") <= col("t") + lit(3600000000L), "left_semi")
+      .withColumn("r", lit(1L))
+      .unionByName(lg.join(pur,
+        col("p_user") === col("user_id") && col("pt") > col("t") &&
+          col("pt") <= col("t") + lit(3600000000L), "left_anti")
+        .withColumn("r", lit(0L)))
+    val tr = rw.filter(col("t") < mid).groupBy(col("seg"), col("act"))
+      .agg(count(lit(1)).cast("long").as("n"), sum(col("r")).as("pos"))
+    val pol = tr.withColumn("rn", row_number().over(Window.partitionBy(col("seg"))
+        .orderBy(expr("(1000000L * pos) DIV n").desc, col("act"))))
+      .filter(col("rn") === 1).select(col("seg"), col("act").as("pol_act"))
+    val evh = rw.filter(col("t") >= mid)
+    val base = evh.agg(count(lit(1)).cast("long").as("n_eval"),
+      count(lit(1)).cast("long").as("n_matched"), sum(col("r")).as("n_reward"))
+      .select(lit("logging_baseline").as("policy"), col("n_eval"), col("n_matched"),
+        col("n_reward"))
+    val click = evh.agg(count(lit(1)).cast("long").as("n_eval"),
+      sum(when(col("act") === "click", 1L).otherwise(0L)).as("n_matched"),
+      sum(when(col("act") === "click", col("r")).otherwise(0L)).as("n_reward"))
+      .select(lit("always_click").as("policy"), col("n_eval"), col("n_matched"), col("n_reward"))
+    val greedy = evh.join(broadcast(pol), "seg")
+      .agg(count(lit(1)).cast("long").as("n_eval"),
+        sum(when(col("act") === col("pol_act"), 1L).otherwise(0L)).as("n_matched"),
+        sum(when(col("act") === col("pol_act"), col("r")).otherwise(0L)).as("n_reward"))
+      .select(lit("segment_greedy").as("policy"), col("n_eval"), col("n_matched"),
+        col("n_reward"))
+    base.unionByName(click).unionByName(greedy)
+      .withColumn("reward_micro",
+        expr("CASE WHEN n_matched = 0 THEN 0L ELSE (1000000L * n_reward) DIV n_matched END"))
+      .orderBy(col("policy"))
+  }
+
   val all: Seq[QueryDef] = Seq(q127Perceptron, q182Calibration, q193Conformal,
-    q203AnnotatorKappa, q208LabelNoise, q221BrierDecomp, q248IsotonicFit)
+    q203AnnotatorKappa, q208LabelNoise, q221BrierDecomp, q248IsotonicFit,
+    q252ReplayEval)
 }

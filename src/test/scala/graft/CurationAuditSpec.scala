@@ -883,6 +883,47 @@ class CurationAuditSpec extends SparkSpec {
       "fit stays inside the raw envelope")
   }
 
+  test("q252: a trained policy replays to perfect reward on planted logs; accounting identities hold") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-replay").toString
+    // seg 0 (u4): view converts, click doesn't; seg 1 (u1): the reverse.
+    // Trained greedy should match 2 eval events and collect both rewards
+    Seq(
+      (1L, "2024-01-01 00:00:00", 4L, "view", 0.0),
+      (2L, "2024-01-01 00:30:00", 4L, "purchase", 1.0),
+      (3L, "2024-01-01 02:00:00", 4L, "click", 0.0),
+      (4L, "2024-01-01 00:00:00", 1L, "click", 0.0),
+      (5L, "2024-01-01 00:30:00", 1L, "purchase", 1.0),
+      (6L, "2024-01-01 02:00:00", 1L, "view", 0.0),
+      (7L, "2024-01-01 06:00:00", 4L, "view", 0.0),
+      (8L, "2024-01-01 06:30:00", 4L, "purchase", 1.0),
+      (9L, "2024-01-01 07:45:00", 4L, "click", 0.0),
+      (10L, "2024-01-01 06:00:00", 1L, "click", 0.0),
+      (11L, "2024-01-01 06:30:00", 1L, "purchase", 1.0),
+      (12L, "2024-01-01 07:45:00", 1L, "view", 0.0),
+      (13L, "2024-01-01 10:00:00", 9L, "error", 0.0))
+      .toDF("event_id", "d", "user_id", "event_type", "value")
+      .withColumn("ts", to_timestamp(col("d"))).drop("d")
+      .withColumn("props", lit("{}"))
+      .write.parquet(s"$dir/events.parquet")
+    val got = graft.ops.Classifier.q252ReplayEval.run(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSeq
+    assert(got == Seq(
+      ("always_click", 4L, 2L, 1L, 500000L),
+      ("logging_baseline", 4L, 4L, 2L, 500000L),
+      ("segment_greedy", 4L, 2L, 2L, 1000000L)))
+    // fixture-wide: matched <= eval, rewards <= matched, rate re-derives
+    val fix = graft.ops.Classifier.q252ReplayEval.run(spark, sfDir).collect()
+    assert(fix.length == 3)
+    fix.foreach { r =>
+      assert(r.getLong(2) <= r.getLong(1) && r.getLong(3) <= r.getLong(2))
+      val want = if (r.getLong(2) == 0) 0L else 1000000L * r.getLong(3) / r.getLong(2)
+      assert(r.getLong(4) == want)
+    }
+    val nEval = fix.map(_.getLong(1)).toSet
+    assert(nEval.size == 1, "every policy replays over the same eval half")
+  }
+
   test("q251: hand-walked removal effects on planted journeys; drops are non-negative on the fixture") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft-markov").toString
