@@ -2058,8 +2058,80 @@ object Analytics {
       .orderBy(col("l_returnflag"), col("l_linestatus"))
   }
 
+  /** RFM segmentation — the warehouse-classic customer taxonomy (Hughes
+    * 1994; the direct-marketing recency/frequency/monetary model):
+    * per-customer days-since-last-order, order count, and lifetime
+    * cents, each scored 1–5 by exact NTILE quintile with custkey
+    * tie-break (ties would otherwise make bucket edges
+    * nondeterministic), then a declared six-segment taxonomy
+    * (champions / loyal / recent / at_risk / hibernating / regular)
+    * rolled up to segment-level counts and exact-integer averages.
+    * The recency anchor is the corpus max order date (data-derived, no
+    * wall clock). Shape: one orders aggregate to customer grain, three
+    * window passes over the customer relation, one segment rollup — at
+    * 100 TB the customer relation is the only shuffle and the output
+    * is six rows. Planted-quintile spec + conservation
+    * (`AnalyticsSpec`). */
+  val q253RfmSegments: QueryDef = sql(
+    "q253_rfm_segments",
+    """WITH mx AS (SELECT MAX(o_orderdate) AS m FROM orders),
+      |cust AS (SELECT o_custkey AS c,
+      |    CAST(date_diff('day', CAST(MAX(o_orderdate) AS DATE),
+      |      (SELECT CAST(m AS DATE) FROM mx)) AS BIGINT) AS r_days,
+      |    CAST(COUNT(*) AS BIGINT) AS f_orders,
+      |    CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS m_cents
+      |  FROM orders GROUP BY 1),
+      |scored AS (SELECT c, r_days, f_orders, m_cents,
+      |    6 - NTILE(5) OVER (ORDER BY r_days, c) AS r_score,
+      |    6 - NTILE(5) OVER (ORDER BY f_orders DESC, c) AS f_score,
+      |    6 - NTILE(5) OVER (ORDER BY m_cents DESC, c) AS m_score
+      |  FROM cust),
+      |seg AS (SELECT *,
+      |    CASE WHEN r_score >= 4 AND f_score >= 4 THEN 'champions'
+      |         WHEN f_score >= 4 THEN 'loyal'
+      |         WHEN r_score >= 4 THEN 'recent'
+      |         WHEN r_score <= 2 AND f_score >= 3 THEN 'at_risk'
+      |         WHEN r_score <= 2 THEN 'hibernating'
+      |         ELSE 'regular' END AS segment
+      |  FROM scored)
+      |SELECT segment, CAST(COUNT(*) AS BIGINT) AS n_customers,
+      |  CAST(SUM(r_days) AS BIGINT) // COUNT(*) AS avg_r_days,
+      |  CAST(SUM(f_orders) AS BIGINT) // COUNT(*) AS avg_f_orders,
+      |  CAST(SUM(m_cents) AS BIGINT) AS total_cents
+      |FROM seg
+      |GROUP BY 1
+      |ORDER BY segment""".stripMargin) { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val o = Tables.orders(s, dir)
+    val mx = o.agg(max(col("o_orderdate")).cast("date").as("mxd"))
+    val cust = o.groupBy(col("o_custkey").as("c"))
+      .agg(max(col("o_orderdate")).cast("date").as("last_d"),
+        count(lit(1)).cast("long").as("f_orders"),
+        sum(expr("CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)")).as("m_cents"))
+      .crossJoin(broadcast(mx))
+      .withColumn("r_days", datediff(col("mxd"), col("last_d")).cast("long"))
+    val scored = cust
+      .withColumn("r_score", lit(6) - ntile(5).over(Window.orderBy(col("r_days"), col("c"))))
+      .withColumn("f_score", lit(6) - ntile(5).over(Window.orderBy(col("f_orders").desc, col("c"))))
+      .withColumn("m_score", lit(6) - ntile(5).over(Window.orderBy(col("m_cents").desc, col("c"))))
+    scored.withColumn("segment",
+        expr("""CASE WHEN r_score >= 4 AND f_score >= 4 THEN 'champions'
+               |     WHEN f_score >= 4 THEN 'loyal'
+               |     WHEN r_score >= 4 THEN 'recent'
+               |     WHEN r_score <= 2 AND f_score >= 3 THEN 'at_risk'
+               |     WHEN r_score <= 2 THEN 'hibernating'
+               |     ELSE 'regular' END""".stripMargin))
+      .groupBy(col("segment"))
+      .agg(count(lit(1)).cast("long").as("n_customers"),
+        expr("sum(r_days) DIV count(1)").as("avg_r_days"),
+        expr("sum(f_orders) DIV count(1)").as("avg_f_orders"),
+        sum(col("m_cents")).as("total_cents"))
+      .orderBy(col("segment"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     q227IntegrityScorecard, q231MarketShare, q235MvMaintenance, q244Cuped, q247AqpGroupby,
+    q253RfmSegments,
     q01PricingSummary, q02SelectiveFilter, q03ShippingPriority, q05LocalRevenue,
     q06SemiJoin, q07AntiJoin, q08RangeJoin, q09DistinctUsers, q10Rollup,
     q11Cube, q12WindowRank, q13WindowRunning, q14TopOrders, q15SetOps,

@@ -163,4 +163,41 @@ class AnalyticsSpec extends SparkSpec {
     assert(valueSpace == pairSpace)
     assert(valueSpace.nonEmpty)
   }
+
+  test("q253: planted quintiles land every customer in the hand-computed segment") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-rfm").toString
+    // customer i: last order 2024-02-01 minus (i-1) days (recency rank =
+    // id order), order count by a permutation that exercises all six
+    // segments, price i dollars per order
+    val f = Map(1 -> 1, 2 -> 10, 3 -> 9, 4 -> 2, 5 -> 8,
+      6 -> 3, 7 -> 7, 8 -> 4, 9 -> 6, 10 -> 5)
+    var oid = 0L
+    val rows = (1 to 10).flatMap { i =>
+      (1 to f(i)).map { j =>
+        oid += 1
+        val d = if (j == 1) java.time.LocalDateTime.of(2024, 2, 1, 0, 0).minusDays(i - 1)
+                else java.time.LocalDateTime.of(2024, 1, 1, 0, 0)
+        (oid, i.toLong, java.sql.Timestamp.valueOf(d), i.toDouble)
+      }
+    }
+    rows.toDF("o_orderkey", "o_custkey", "o_orderdate", "o_totalprice")
+      .write.parquet(s"$dir/orders.parquet")
+    val got = graft.ops.Analytics.q253RfmSegments.run(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSeq
+    assert(got == Seq(
+      ("at_risk", 2L, 8L, 5L, 10400L),
+      ("champions", 2L, 1L, 9L, 4700L),
+      ("hibernating", 1L, 7L, 4L, 3200L),
+      ("loyal", 2L, 5L, 7L, 8900L),
+      ("recent", 2L, 1L, 1L, 900L),
+      ("regular", 1L, 5L, 3L, 1800L)))
+    // fixture-wide: every customer in exactly one segment, cents conserve
+    val fix = graft.ops.Analytics.q253RfmSegments.run(spark, sfDir).collect()
+    val o = graft.sources.Tables.orders(spark, sfDir)
+    assert(fix.map(_.getLong(1)).sum == o.select(org.apache.spark.sql.functions.col("o_custkey")).distinct().count())
+    val cents = o.agg(org.apache.spark.sql.functions.sum(
+      org.apache.spark.sql.functions.expr("CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)"))).head.getLong(0)
+    assert(fix.map(_.getLong(4)).sum == cents)
+  }
 }
