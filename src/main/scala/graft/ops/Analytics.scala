@@ -2129,9 +2129,63 @@ object Analytics {
       .orderBy(col("segment"))
   }
 
+  /** Association rules over co-purchase pairs — the market-basket
+    * classic completed (Agrawal SIGMOD'93): q101 stops at raw pair
+    * counts; rules add the three measures a merchandiser actually
+    * ranks by — support (how often), confidence P(B|A) (how reliable),
+    * and lift P(B|A)/P(B) (how much better than chance — the measure
+    * that separates genuine affinity from two independently popular
+    * items). Both rule directions emitted per qualifying pair
+    * (confidence is asymmetric); support floor n(AB) ≥ 2 is q243's
+    * frequent core, applied BEFORE the item-count joins so the rule
+    * relation is core-sized. Exact integers: all three measures
+    * micro-floored from counts (lift = 10⁶·n(AB)·N DIV (n(A)·n(B))).
+    * Top-50 by (lift, a, b) rides TakeOrderedAndProject. Planted
+    * basket spec with hand-computed measures (`AnalyticsSpec`). */
+  val q254AssociationRules: QueryDef = sql(
+    "q254_association_rules",
+    """WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+      |n_orders AS (SELECT CAST(COUNT(DISTINCT ok) AS BIGINT) AS n FROM li),
+      |item AS (SELECT pk, CAST(COUNT(*) AS BIGINT) AS n_i FROM li GROUP BY 1),
+      |pr AS (SELECT a.pk AS pa, b.pk AS pb, CAST(COUNT(*) AS BIGINT) AS n_ab
+      |       FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk
+      |       GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+      |dirs AS (SELECT pa AS a, pb AS b, n_ab FROM pr
+      |         UNION ALL SELECT pb, pa, n_ab FROM pr),
+      |rules AS (SELECT d.a, d.b, d.n_ab, ia.n_i AS n_a, ib.n_i AS n_b,
+      |    (CAST(1000000 AS BIGINT) * d.n_ab) // (SELECT n FROM n_orders) AS supp_micro,
+      |    (CAST(1000000 AS BIGINT) * d.n_ab) // ia.n_i AS conf_micro,
+      |    (CAST(1000000 AS BIGINT) * d.n_ab * (SELECT n FROM n_orders))
+      |      // (ia.n_i * ib.n_i) AS lift_micro
+      |  FROM dirs d JOIN item ia ON ia.pk = d.a JOIN item ib ON ib.pk = d.b)
+      |SELECT a, b, n_ab, n_a, n_b, supp_micro, conf_micro, lift_micro
+      |FROM rules
+      |ORDER BY lift_micro DESC, a, b
+      |LIMIT 50""".stripMargin) { (s, dir) =>
+    val li = Tables.lineitem(s, dir)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct()
+    val nOrders = li.select(col("ok")).distinct().count()
+    val item = li.groupBy(col("pk")).agg(count(lit(1)).cast("long").as("n_i"))
+    val pr = pairsOf(baskets(s, dir))
+      .groupBy(col("part_a").as("pa"), col("part_b").as("pb"))
+      .agg(count(lit(1)).cast("long").as("n_ab"))
+      .filter(col("n_ab") >= 2)
+    val dirs = pr.select(col("pa").as("a"), col("pb").as("b"), col("n_ab"))
+      .unionByName(pr.select(col("pb").as("a"), col("pa").as("b"), col("n_ab")))
+    dirs
+      .join(item.select(col("pk").as("a"), col("n_i").as("n_a")), "a")
+      .join(item.select(col("pk").as("b"), col("n_i").as("n_b")), "b")
+      .select(col("a"), col("b"), col("n_ab"), col("n_a"), col("n_b"),
+        expr(s"(1000000L * n_ab) DIV ${nOrders}L").as("supp_micro"),
+        expr("(1000000L * n_ab) DIV n_a").as("conf_micro"),
+        expr(s"(1000000L * n_ab * ${nOrders}L) DIV (n_a * n_b)").as("lift_micro"))
+      .orderBy(col("lift_micro").desc, col("a"), col("b"))
+      .limit(50)
+  }
+
   val all: Seq[QueryDef] = Seq(
     q227IntegrityScorecard, q231MarketShare, q235MvMaintenance, q244Cuped, q247AqpGroupby,
-    q253RfmSegments,
+    q253RfmSegments, q254AssociationRules,
     q01PricingSummary, q02SelectiveFilter, q03ShippingPriority, q05LocalRevenue,
     q06SemiJoin, q07AntiJoin, q08RangeJoin, q09DistinctUsers, q10Rollup,
     q11Cube, q12WindowRank, q13WindowRunning, q14TopOrders, q15SetOps,

@@ -200,4 +200,32 @@ class AnalyticsSpec extends SparkSpec {
       org.apache.spark.sql.functions.expr("CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)"))).head.getLong(0)
     assert(fix.map(_.getLong(4)).sum == cents)
   }
+
+  test("q254: planted baskets produce hand-computed support/confidence/lift in both directions") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-rules").toString
+    // N=5 orders; {1,2} together twice (qualifies), {1,3} once (below
+    // the support floor); n(1)=3, n(2)=3, n(3)=2
+    Seq((1L, 1L), (1L, 2L), (2L, 1L), (2L, 2L), (3L, 1L), (3L, 3L), (4L, 3L), (5L, 2L))
+      .toDF("l_orderkey", "l_partkey")
+      .write.parquet(s"$dir/lineitem.parquet")
+    val got = graft.ops.Analytics.q254AssociationRules.run(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+        r.getLong(5), r.getLong(6), r.getLong(7))).toSeq
+    // supp = 2/5, conf = 2/3, lift = 2*5/(3*3) in micro floors
+    assert(got == Seq(
+      (1L, 2L, 2L, 3L, 3L, 400000L, 666666L, 1111111L),
+      (2L, 1L, 2L, 3L, 3L, 400000L, 666666L, 1111111L)))
+    // fixture-wide: rule measures re-derive from their own counts and
+    // confidence never exceeds 1
+    val fix = graft.ops.Analytics.q254AssociationRules.run(spark, sfDir).collect()
+    assert(fix.nonEmpty && fix.length <= 50)
+    fix.foreach { r =>
+      assert(r.getLong(6) == 1000000L * r.getLong(2) / r.getLong(3))
+      assert(r.getLong(6) <= 1000000L)
+      assert(r.getLong(2) <= math.min(r.getLong(3), r.getLong(4)))
+    }
+    val lifts = fix.map(_.getLong(7)).toSeq
+    assert(lifts == lifts.sorted.reverse, "rows arrive in lift order")
+  }
 }
