@@ -2183,9 +2183,62 @@ object Analytics {
       .limit(50)
   }
 
+  /** Cohort LTV curves — the finance-side completion of q96's retention
+    * (retention counts who comes back; LTV accumulates what they're
+    * WORTH): customers cohorted by first-order quarter, every order
+    * bucketed by cohort-age in quarters, and each cohort's revenue
+    * accumulated along its age axis — the per-customer cumulative
+    * curve whose plateau is the number an acquisition budget is
+    * justified against. Cumulation is a cohort-PARTITIONED window over
+    * the bounded age axis (≤ corpus quarters — never a global sort);
+    * cohort sizes join back from the first-order aggregate. Exact
+    * integers: cents floors, window cumsum, DIV per-customer curve.
+    * Conservation (Σ age cents = corpus cents; curves monotone)
+    * + planted two-cohort case spec-pinned (`AnalyticsSpec`). */
+  val q255CohortLtv: QueryDef = sql(
+    "q255_cohort_ltv",
+    """WITH firsts AS (SELECT o_custkey AS c,
+      |    CAST(date_trunc('quarter', MIN(o_orderdate)) AS DATE) AS cohort
+      |  FROM orders GROUP BY 1),
+      |sizes AS (SELECT cohort, CAST(COUNT(*) AS BIGINT) AS n_cust FROM firsts GROUP BY 1),
+      |aged AS (SELECT f.cohort,
+      |    CAST((year(o.o_orderdate) - year(f.cohort)) * 4
+      |      + (quarter(o.o_orderdate) - quarter(f.cohort)) AS BIGINT) AS age_q,
+      |    CAST(FLOOR(o.o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+      |  FROM orders o JOIN firsts f ON f.c = o.o_custkey),
+      |by_age AS (SELECT cohort, age_q, CAST(SUM(cents) AS BIGINT) AS age_cents
+      |           FROM aged GROUP BY 1, 2),
+      |cum AS (SELECT cohort, age_q, age_cents,
+      |    CAST(SUM(age_cents) OVER (PARTITION BY cohort ORDER BY age_q
+      |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_cents
+      |  FROM by_age)
+      |SELECT cum.cohort, cum.age_q, s.n_cust, cum.age_cents, cum.cum_cents,
+      |  cum.cum_cents // s.n_cust AS ltv_per_cust_cents
+      |FROM cum JOIN sizes s ON s.cohort = cum.cohort
+      |ORDER BY cum.cohort, age_q""".stripMargin) { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val o = Tables.orders(s, dir)
+    val firsts = o.groupBy(col("o_custkey").as("c"))
+      .agg(date_trunc("quarter", min(col("o_orderdate"))).cast("date").as("cohort"))
+    val sizes = firsts.groupBy(col("cohort")).agg(count(lit(1)).cast("long").as("n_cust"))
+    val aged = o.join(firsts, col("c") === col("o_custkey"))
+      .select(col("cohort"),
+        ((year(col("o_orderdate")) - year(col("cohort"))) * 4
+          + (quarter(col("o_orderdate")) - quarter(col("cohort")))).cast("long").as("age_q"),
+        expr("CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)").as("cents"))
+    val byAge = aged.groupBy(col("cohort"), col("age_q")).agg(sum(col("cents")).as("age_cents"))
+    byAge.withColumn("cum_cents",
+        sum(col("age_cents")).over(Window.partitionBy(col("cohort")).orderBy(col("age_q"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)).cast("long"))
+      .join(broadcast(sizes), "cohort")
+      .select(col("cohort"), col("age_q"), col("n_cust"), col("age_cents"), col("cum_cents"),
+        expr("cum_cents DIV n_cust").as("ltv_per_cust_cents"))
+      .orderBy(col("cohort"), col("age_q"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     q227IntegrityScorecard, q231MarketShare, q235MvMaintenance, q244Cuped, q247AqpGroupby,
-    q253RfmSegments, q254AssociationRules,
+    q253RfmSegments, q254AssociationRules, q255CohortLtv,
     q01PricingSummary, q02SelectiveFilter, q03ShippingPriority, q05LocalRevenue,
     q06SemiJoin, q07AntiJoin, q08RangeJoin, q09DistinctUsers, q10Rollup,
     q11Cube, q12WindowRank, q13WindowRunning, q14TopOrders, q15SetOps,

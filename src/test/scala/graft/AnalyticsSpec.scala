@@ -228,4 +228,38 @@ class AnalyticsSpec extends SparkSpec {
     val lifts = fix.map(_.getLong(7)).toSeq
     assert(lifts == lifts.sorted.reverse, "rows arrive in lift order")
   }
+
+  test("q255: planted cohorts accumulate to hand-computed LTV; corpus cents conserve") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-ltv").toString
+    def ts(v: String) = java.sql.Timestamp.valueOf(v + " 00:00:00")
+    Seq(
+      (1L, 1L, ts("1995-01-15"), 10.0), (2L, 1L, ts("1995-05-10"), 5.0),
+      (3L, 2L, ts("1995-02-01"), 20.0),
+      (4L, 3L, ts("1995-04-01"), 7.0))
+      .toDF("o_orderkey", "o_custkey", "o_orderdate", "o_totalprice")
+      .write.parquet(s"$dir/orders.parquet")
+    val got = graft.ops.Analytics.q255CohortLtv.run(spark, dir).collect()
+      .map(r => (r.getDate(0).toString, r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toSeq
+    assert(got == Seq(
+      ("1995-01-01", 0L, 2L, 3000L, 3000L, 1500L),
+      ("1995-01-01", 1L, 2L, 500L, 3500L, 1750L),
+      ("1995-04-01", 0L, 1L, 700L, 700L, 700L)))
+    // fixture-wide: per-cohort curves are monotone and all cents land
+    // in exactly one (cohort, age) cell
+    val fix = graft.ops.Analytics.q255CohortLtv.run(spark, sfDir).collect()
+      .map(r => (r.getDate(0).toString, r.getLong(1), r.getLong(3), r.getLong(4)))
+    assert(fix.nonEmpty)
+    fix.groupBy(_._1).values.foreach { rows =>
+      val byAge = rows.sortBy(_._2)
+      assert(byAge.map(_._4).sameElements(byAge.map(_._4).sorted), "cumulative curve monotone")
+      assert(byAge.map(_._3).sum == byAge.last._4, "cum equals sum of age cells")
+    }
+    val cents = graft.sources.Tables.orders(spark, sfDir)
+      .agg(org.apache.spark.sql.functions.sum(
+        org.apache.spark.sql.functions.expr("CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)")))
+      .head.getLong(0)
+    assert(fix.map(_._3).sum == cents)
+  }
 }
