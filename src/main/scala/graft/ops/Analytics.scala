@@ -2236,9 +2236,153 @@ object Analytics {
       .orderBy(col("cohort"), col("age_q"))
   }
 
+  /** Right-to-erasure (GDPR Art. 17) deletion-cascade planner — the
+    * governance query a lakehouse runs BEFORE touching a file: given a
+    * deletion request set (deterministic md5 2% of customers), walk
+    * the FK graph (customer → orders → lineitem) with semi-joins and
+    * emit the blast radius per table, PLUS the physical cost the
+    * logical count hides: with immutable 200-row files (q250's shard
+    * convention) every touched file is REWRITTEN whole, so the
+    * planner reports files touched and WRITE AMPLIFICATION (rows
+    * rewritten per row deleted) — the number that decides whether to
+    * delete eagerly or tombstone-and-compact (q170). Exact integers
+    * and pure semi-join/aggregate shape; the request set never
+    * leaves keyspace (no PII moves). Planted-cascade spec + request-
+    * fraction and amplification identities (`AnalyticsSpec`). */
+  val q256DeletionCascade: QueryDef = sql(
+    "q256_deletion_cascade",
+    """WITH req AS (SELECT c_custkey AS k FROM customer
+      |  WHERE CAST(('0x' || substr(md5('gdpr:' || CAST(c_custkey AS VARCHAR)), 1, 4)) AS INT)
+      |    % 50 = 0),
+      |del_o AS (SELECT o_orderkey FROM orders WHERE o_custkey IN (SELECT k FROM req)),
+      |del_l AS (SELECT l_orderkey, l_linenumber FROM lineitem
+      |          WHERE l_orderkey IN (SELECT o_orderkey FROM del_o)),
+      |files AS (SELECT l_orderkey // 200 AS f, CAST(COUNT(*) AS BIGINT) AS n_rows
+      |          FROM lineitem GROUP BY 1),
+      |touched AS (SELECT DISTINCT l_orderkey // 200 AS f FROM del_l),
+      |amp AS (SELECT CAST(SUM(files.n_rows) AS BIGINT) AS rewritten
+      |        FROM files JOIN touched ON touched.f = files.f),
+      |rows_ AS (
+      |  SELECT 'customer' AS tbl, (SELECT CAST(COUNT(*) AS BIGINT) FROM customer) AS n_total,
+      |    (SELECT CAST(COUNT(*) AS BIGINT) FROM req) AS n_affected
+      |  UNION ALL SELECT 'orders', (SELECT CAST(COUNT(*) AS BIGINT) FROM orders),
+      |    (SELECT CAST(COUNT(*) AS BIGINT) FROM del_o)
+      |  UNION ALL SELECT 'lineitem', (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem),
+      |    (SELECT CAST(COUNT(*) AS BIGINT) FROM del_l)
+      |  UNION ALL SELECT 'lineitem_files', (SELECT CAST(COUNT(*) AS BIGINT) FROM files),
+      |    (SELECT CAST(COUNT(*) AS BIGINT) FROM touched)
+      |  UNION ALL SELECT 'write_amplification', (SELECT CAST(COUNT(*) AS BIGINT) FROM del_l),
+      |    (SELECT rewritten FROM amp))
+      |SELECT tbl, n_total, n_affected,
+      |  CASE WHEN n_total = 0 THEN 0
+      |       ELSE (CAST(1000000 AS BIGINT) * n_affected) // n_total END AS frac_micro
+      |FROM rows_
+      |ORDER BY tbl""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    val cust = Tables.customer(s, dir)
+    val o = Tables.orders(s, dir)
+    val li = Tables.lineitem(s, dir)
+    val req = cust.filter(expr(
+        "CAST(conv(substring(md5(concat('gdpr:', CAST(c_custkey AS STRING))), 1, 4), 16, 10) AS INT) % 50 = 0"))
+      .select(col("c_custkey").as("k"))
+    val delO = o.join(broadcast(req), col("o_custkey") === col("k"), "left_semi")
+      .select(col("o_orderkey"))
+    val delL = li.join(delO, col("l_orderkey") === col("o_orderkey"), "left_semi")
+      .select(col("l_orderkey"), col("l_linenumber"))
+    val files = li.groupBy(expr("l_orderkey div 200").as("f"))
+      .agg(count(lit(1)).cast("long").as("n_rows"))
+    val touched = delL.select(expr("l_orderkey div 200").as("f")).distinct()
+    val rewritten = files.join(touched, "f").agg(sum(col("n_rows"))).head.getLong(0)
+    val rows = Seq(
+      ("customer", cust.count(), req.count()),
+      ("orders", o.count(), delO.count()),
+      ("lineitem", li.count(), delL.count()),
+      ("lineitem_files", files.count(), touched.count()),
+      // amplification row: total = deleted rows, affected = rows the
+      // immutable files force to be rewritten; frac = amplification
+      ("write_amplification", delL.count(), rewritten))
+    rows.toDF("tbl", "n_total", "n_affected")
+      .withColumn("frac_micro",
+        expr("CASE WHEN n_total = 0 THEN 0L ELSE (1000000L * n_affected) DIV n_total END"))
+      .orderBy(col("tbl"))
+  }
+
+  /** Equi-depth histogram construction + fidelity audit — the ANALYZE
+    * primitive behind q246's estimates (Piatetsky-Shapiro & Connell
+    * SIGMOD'84; every CBO's `height-balanced histogram`): 16 buckets
+    * with boundaries at exact value-at-rank cuts (rank i·N/16 via
+    * ROW_NUMBER — the value at a rank is deterministic under ties even
+    * though tie ORDER isn't), then per-bucket actual row counts and
+    * the deviation from the N/16 ideal in micro. Run on TWO columns
+    * side by side because the contrast IS the lesson: near-unique
+    * price buckets sit at deviation 0 while 50-distinct-value
+    * quantity buckets deviate up to ~30% — ties can't be split across
+    * a boundary, the documented failure mode of height balancing on
+    * low-cardinality columns (and the reason q246's bucket refinement
+    * carries per-bucket ndv). Exact integers throughout; bucket
+    * assignment joins the 16-row boundary relation against DISTINCT
+    * values, never row-at-a-time. The ranking pass is the ANALYZE
+    * posture: once per table version, amortized like the q112 layout
+    * writes. Hand-planted tie case + per-column row conservation
+    * (`AnalyticsSpec`). */
+  val q257EquiDepthAudit: QueryDef = sql(
+    "q257_equidepth_audit", {
+      def side(colName: String, cexpr: String) =
+        s"""${colName}_v AS (SELECT $cexpr AS c FROM lineitem),
+           |${colName}_n AS (SELECT CAST(COUNT(*) AS BIGINT) AS nn FROM ${colName}_v),
+           |${colName}_rk AS (SELECT c, ROW_NUMBER() OVER (ORDER BY c) AS r FROM ${colName}_v),
+           |${colName}_cuts AS (SELECT CAST(t.i AS BIGINT) AS bucket,
+           |    (t.i * (SELECT nn FROM ${colName}_n)) // 16 AS r
+           |  FROM generate_series(1, 16) t(i)),
+           |${colName}_bnd AS (SELECT c2.bucket, k.c AS hi
+           |  FROM ${colName}_cuts c2 JOIN ${colName}_rk k ON k.r = c2.r),
+           |${colName}_vals AS (SELECT c, CAST(COUNT(*) AS BIGINT) AS cnt
+           |  FROM ${colName}_v GROUP BY 1),
+           |${colName}_asg AS (SELECT v2.c, v2.cnt,
+           |    1 + SUM(CASE WHEN b.hi < v2.c AND b.bucket < 16 THEN 1 ELSE 0 END) AS bucket
+           |  FROM ${colName}_vals v2 CROSS JOIN ${colName}_bnd b GROUP BY 1, 2),
+           |${colName}_agg AS (SELECT '$colName' AS col_name, CAST(bucket AS BIGINT) AS bucket,
+           |    CAST(SUM(cnt) AS BIGINT) AS n_rows, MIN(c) AS lo_val, MAX(c) AS hi_val
+           |  FROM ${colName}_asg GROUP BY 1, 2),
+           |${colName}_out AS (SELECT col_name, bucket, lo_val, hi_val, n_rows,
+           |    (CAST(1000000 AS BIGINT) * ABS(16 * n_rows - (SELECT nn FROM ${colName}_n)))
+           |      // (SELECT nn FROM ${colName}_n) AS dev_micro
+           |  FROM ${colName}_agg)""".stripMargin
+      s"""WITH ${side("price_cents", "CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT)")},
+         |${side("quantity", "CAST(l_quantity AS BIGINT)")}
+         |SELECT * FROM price_cents_out
+         |UNION ALL SELECT * FROM quantity_out
+         |ORDER BY col_name, bucket""".stripMargin
+    }) { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val li = Tables.lineitem(s, dir)
+    def side(colName: String, cexpr: String): DataFrame = {
+      val v = li.select(expr(cexpr).as("c"))
+      val nn = v.count()
+      val rk = v.withColumn("r", row_number().over(Window.orderBy(col("c"))))
+      val cuts = s.range(1, 17).select(col("id").as("bucket"),
+        expr(s"(id * ${nn}L) DIV 16").as("r"))
+      val bnd = broadcast(cuts).join(rk, "r").select(col("bucket"), col("c").as("hi"))
+      val vals = v.groupBy(col("c")).agg(count(lit(1)).cast("long").as("cnt"))
+      val asg = vals.crossJoin(broadcast(bnd))
+        .groupBy(col("c"), col("cnt"))
+        .agg((lit(1L) + sum(when(col("hi") < col("c") && col("bucket") < 16, 1L).otherwise(0L)))
+          .as("bucket"))
+      asg.groupBy(col("bucket"))
+        .agg(sum(col("cnt")).as("n_rows"), min(col("c")).as("lo_val"), max(col("c")).as("hi_val"))
+        .select(lit(colName).as("col_name"), col("bucket"), col("lo_val"), col("hi_val"),
+          col("n_rows"),
+          expr(s"(1000000L * abs(16 * n_rows - ${nn}L)) DIV ${nn}L").as("dev_micro"))
+    }
+    side("price_cents", "CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT)")
+      .unionByName(side("quantity", "CAST(l_quantity AS BIGINT)"))
+      .orderBy(col("col_name"), col("bucket"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     q227IntegrityScorecard, q231MarketShare, q235MvMaintenance, q244Cuped, q247AqpGroupby,
-    q253RfmSegments, q254AssociationRules, q255CohortLtv,
+    q253RfmSegments, q254AssociationRules, q255CohortLtv, q256DeletionCascade,
+    q257EquiDepthAudit,
     q01PricingSummary, q02SelectiveFilter, q03ShippingPriority, q05LocalRevenue,
     q06SemiJoin, q07AntiJoin, q08RangeJoin, q09DistinctUsers, q10Rollup,
     q11Cube, q12WindowRank, q13WindowRunning, q14TopOrders, q15SetOps,

@@ -262,4 +262,66 @@ class AnalyticsSpec extends SparkSpec {
       .head.getLong(0)
     assert(fix.map(_._3).sum == cents)
   }
+
+  test("q256: planted cascade counts the blast radius and write amplification exactly") {
+    import spark.implicits._
+    // find one requested and one untouched custkey under the md5 rule
+    val sel = spark.sql(
+      """SELECT id FROM range(1, 2000)
+        |WHERE CAST(conv(substring(md5(concat('gdpr:', CAST(id AS STRING))), 1, 4), 16, 10) AS INT) % 50 = 0
+        |ORDER BY id""".stripMargin).head.getLong(0)
+    val non = spark.sql(
+      """SELECT id FROM range(1, 2000)
+        |WHERE CAST(conv(substring(md5(concat('gdpr:', CAST(id AS STRING))), 1, 4), 16, 10) AS INT) % 50 <> 0
+        |ORDER BY id""".stripMargin).head.getLong(0)
+    val dir = java.nio.file.Files.createTempDirectory("graft-gdpr").toString
+    Seq((sel, "a"), (non, "b")).toDF("c_custkey", "c_name")
+      .write.parquet(s"$dir/customer.parquet")
+    // requested customer owns orders 100 and 300 (files 0 and 1);
+    // untouched customer owns order 150 (file 0)
+    Seq((100L, sel), (300L, sel), (150L, non)).toDF("o_orderkey", "o_custkey")
+      .write.parquet(s"$dir/orders.parquet")
+    // deleting 3 of the 4 rows in file 0 and 1 of 1 in file 1 -> 5 rows
+    // rewritten for 4 deleted
+    Seq((100L, 1), (100L, 2), (300L, 1), (150L, 1), (150L, 2))
+      .toDF("l_orderkey", "l_linenumber")
+      .write.parquet(s"$dir/lineitem.parquet")
+    val got = graft.ops.Analytics.q256DeletionCascade.run(spark, dir).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got("customer") == ((2L, 1L, 500000L)))
+    assert(got("orders") == ((3L, 2L, 666666L)))
+    assert(got("lineitem") == ((5L, 3L, 600000L)))
+    assert(got("lineitem_files") == ((2L, 2L, 1000000L)))
+    assert(got("write_amplification") == ((3L, 5L, 1666666L)))
+    // fixture-wide: amplification is >= 1 and the cascade never deletes
+    // more than exists
+    val fix = graft.ops.Analytics.q256DeletionCascade.run(spark, sfDir).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(fix.keySet.size == 5)
+    fix.filter(_._1 != "write_amplification").values.foreach { case (t, d, _) => assert(d <= t) }
+    assert(fix("write_amplification")._3 >= 1000000L)
+  }
+
+  test("q257: ties deviate, unique values balance, and every row lands in one bucket") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-eqd").toString
+    // 32 rows: prices all distinct (perfect equi-depth), quantities in
+    // two tied runs of 20 and 12 (boundaries cannot split a tie)
+    (1 to 32).map(i => (i.toDouble, if (i <= 20) 1.0 else 2.0))
+      .toDF("l_extendedprice", "l_quantity")
+      .write.parquet(s"$dir/lineitem.parquet")
+    val got = graft.ops.Analytics.q257EquiDepthAudit.run(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+    val price = got.filter(_._1 == "price_cents")
+    assert(price.length == 16)
+    assert(price.forall(r => r._5 == 2L && r._6 == 0L), "unique values balance perfectly")
+    val qty = got.filter(_._1 == "quantity").map(r => (r._2, r._3, r._4, r._5, r._6)).toSeq
+    assert(qty == Seq((1L, 1L, 1L, 20L, 9000000L), (11L, 2L, 2L, 12L, 5000000L)),
+      s"tied runs concentrate in two buckets: $qty")
+    // fixture-wide: per column, bucket rows conserve the table
+    val fix = graft.ops.Analytics.q257EquiDepthAudit.run(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(4)))
+    val n = graft.sources.Tables.lineitem(spark, sfDir).count()
+    fix.groupBy(_._1).values.foreach(rows => assert(rows.map(_._2).sum == n))
+  }
 }
