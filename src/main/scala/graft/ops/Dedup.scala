@@ -1649,14 +1649,16 @@ object Dedup {
     val sh = shingles(s, dir)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val df = sh.groupBy(col("sh")).agg(count(lit(1)).as("df"))
-    val rk = df.withColumn("rnk", row_number().over(Window.orderBy(col("df"), col("sh"))))
-      .select(col("sh"), col("rnk"))
     val sz = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-    // rk and sz are vocabulary-/doc-count-sized — broadcast them so the
-    // prefix cut is one map stage over the persisted shingle relation
-    val pre = sh.join(broadcast(rk), "sh").join(broadcast(sz), "doc_id")
+    // df and sz are vocabulary-/doc-count-sized — broadcast them so the
+    // prefix cut is one map stage over the persisted shingle relation.
+    // The global df-rank relation the oracle names is never materialized:
+    // only the RELATIVE (df, sh) order matters for the per-doc rarest-
+    // first cut, so ordering the doc window by (df, sh) directly selects
+    // the identical prefix without the single-partition vocabulary sort
+    val pre = sh.join(broadcast(df), "sh").join(broadcast(sz), "doc_id")
       .withColumn("p", row_number().over(
-        Window.partitionBy(col("doc_id")).orderBy(col("rnk"))))
+        Window.partitionBy(col("doc_id")).orderBy(col("df"), col("sh"))))
       .filter(col("p") <= expr("n div 2 + 1"))
       .select(col("doc_id"), col("sh"), col("n"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
