@@ -523,7 +523,95 @@ object Layout {
       .orderBy(col("probe_key"))
   }
 
+  /** Space-filling-curve locality audit — MEASURING what q89's Z-order
+    * key only asserts (Morton 1966; Orenstein SIGMOD'84; the clustering
+    * analysis in Moon TKDE'01): lineitem rows land on a 64×64
+    * (partkey, suppkey) cell grid, and three physical sort orders —
+    * row-major, Z-order (bit-interleaved), and an md5 control — are
+    * scored on the two numbers a layout decision needs: total L1
+    * travel between consecutive cells (write/compression locality) and
+    * pages touched (16-cell pages) by a WIDE (full x, one y) and a
+    * TALL (one x, full y) range query. The measured lesson: row-major
+    * is optimal on its fast axis and worst-case on the slow one;
+    * Z-order pays a constant factor on both but never collapses;
+    * random loses everywhere. All on the bounded 4 096-cell axis
+    * (metadata plane after one distinct) — exact integers, bit ops
+    * engine-shared. Hand-checked 4×4 planted grid spec
+    * (`CurationAuditSpec`). */
+  val q258CurveLocality: QueryDef = sql(
+    "q258_curve_locality",
+    """WITH cells AS (SELECT DISTINCT l_partkey % 64 AS x, l_suppkey % 64 AS y FROM lineitem),
+      |keyed AS (SELECT x, y,
+      |    y * 64 + x AS k_row,
+      |    (((x >> 0) & 1) << 0) | (((y >> 0) & 1) << 1) | (((x >> 1) & 1) << 2) | (((y >> 1) & 1) << 3) | (((x >> 2) & 1) << 4) | (((y >> 2) & 1) << 5) | (((x >> 3) & 1) << 6) | (((y >> 3) & 1) << 7) | (((x >> 4) & 1) << 8) | (((y >> 4) & 1) << 9) | (((x >> 5) & 1) << 10) | (((y >> 5) & 1) << 11)
+      |      AS k_z,
+      |    CAST(('0x' || substr(md5(CAST(x AS VARCHAR) || ':' || CAST(y AS VARCHAR)), 1, 12)) AS BIGINT)
+      |      AS k_rnd
+      |  FROM cells),
+      |ranked AS (SELECT x, y,
+      |    ROW_NUMBER() OVER (ORDER BY k_row) AS r_row,
+      |    ROW_NUMBER() OVER (ORDER BY k_z) AS r_z,
+      |    ROW_NUMBER() OVER (ORDER BY k_rnd, x, y) AS r_rnd
+      |  FROM keyed),
+      |longf AS (SELECT 'row_major' AS ordering, r_row AS r, x, y FROM ranked
+      |          UNION ALL SELECT 'z_order', r_z, x, y FROM ranked
+      |          UNION ALL SELECT 'md5_random', r_rnd, x, y FROM ranked),
+      |deltas AS (SELECT ordering,
+      |    ABS(x - LAG(x) OVER (PARTITION BY ordering ORDER BY r)) AS dx,
+      |    ABS(y - LAG(y) OVER (PARTITION BY ordering ORDER BY r)) AS dy
+      |  FROM longf),
+      |travel AS (SELECT ordering, 'l1_travel' AS metric,
+      |    CAST(SUM(dx + dy) AS BIGINT) AS value
+      |  FROM deltas GROUP BY 1),
+      |wide AS (SELECT ordering, 'wide_query_pages' AS metric,
+      |    CAST(COUNT(DISTINCT (r - 1) // 16) AS BIGINT) AS value
+      |  FROM longf WHERE y = 5 GROUP BY 1),
+      |tall AS (SELECT ordering, 'tall_query_pages' AS metric,
+      |    CAST(COUNT(DISTINCT (r - 1) // 16) AS BIGINT) AS value
+      |  FROM longf WHERE x = 5 GROUP BY 1)
+      |SELECT metric, ordering, value FROM travel
+      |UNION ALL SELECT metric, ordering, value FROM wide
+      |UNION ALL SELECT metric, ordering, value FROM tall
+      |ORDER BY metric, ordering""".stripMargin) { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val cells = Tables.lineitem(s, dir)
+      .select(pmod(col("l_partkey"), lit(64)).cast("long").as("x"),
+        pmod(col("l_suppkey"), lit(64)).cast("long").as("y"))
+      .distinct()
+    val interleave = (0 to 5).map(b =>
+      s"(((x >> $b) & 1) << ${2 * b}) | (((y >> $b) & 1) << ${2 * b + 1})").mkString(" | ")
+    // everything below is the bounded 4096-cell metadata plane
+    val keyed = cells
+      .withColumn("k_row", expr("y * 64 + x"))
+      .withColumn("k_z", expr(interleave))
+      .withColumn("k_rnd", expr(
+        "CAST(conv(substring(md5(concat(CAST(x AS STRING), ':', CAST(y AS STRING))), 1, 12), 16, 10) AS BIGINT)"))
+    val ranked = keyed
+      .withColumn("r_row", row_number().over(Window.orderBy(col("k_row"))))
+      .withColumn("r_z", row_number().over(Window.orderBy(col("k_z"))))
+      .withColumn("r_rnd", row_number().over(Window.orderBy(col("k_rnd"), col("x"), col("y"))))
+    val longf = ranked.select(lit("row_major").as("ordering"), col("r_row").as("r"), col("x"), col("y"))
+      .unionByName(ranked.select(lit("z_order").as("ordering"), col("r_z").as("r"), col("x"), col("y")))
+      .unionByName(ranked.select(lit("md5_random").as("ordering"), col("r_rnd").as("r"), col("x"), col("y")))
+    val byOrd = Window.partitionBy(col("ordering")).orderBy(col("r"))
+    val travel = longf
+      .withColumn("dx", abs(col("x") - lag(col("x"), 1).over(byOrd)))
+      .withColumn("dy", abs(col("y") - lag(col("y"), 1).over(byOrd)))
+      .groupBy(col("ordering"))
+      .agg(sum(col("dx") + col("dy")).cast("long").as("value"))
+      .select(lit("l1_travel").as("metric"), col("ordering"), col("value"))
+    def pages(pred: org.apache.spark.sql.Column, name: String) = longf.filter(pred)
+      .select(col("ordering"), expr("(r - 1) div 16").as("pg")).distinct()
+      .groupBy(col("ordering")).agg(count(lit(1)).cast("long").as("value"))
+      .select(lit(name).as("metric"), col("ordering"), col("value"))
+    travel
+      .unionByName(pages(col("y") === 5, "wide_query_pages"))
+      .unionByName(pages(col("x") === 5, "tall_query_pages"))
+      .orderBy(col("metric"), col("ordering"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     q112BucketedJoin, q113PartitionPruning, q114SaltedJoin, q115BloomSemiJoin,
-    q229ColumnProfile, q230LayoutAdvisor, q246CardinalityAudit, q250BloomZoneMap)
+    q229ColumnProfile, q230LayoutAdvisor, q246CardinalityAudit, q250BloomZoneMap,
+    q258CurveLocality)
 }

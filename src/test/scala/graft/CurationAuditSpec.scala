@@ -815,6 +815,33 @@ class CurationAuditSpec extends SparkSpec {
     }
   }
 
+  test("q258: planted grid travel is exact; on the fixture Z-order balances the axes row-major can't") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-sfc").toString
+    // complete 4x4 grid: row-major travel = 4 rows x 3 + 3 wraps x 4 = 24,
+    // and 4x4 Morton traversal also totals 24; a random order can only tie
+    // or lose
+    (for (x <- 0 to 3; y <- 0 to 3) yield (x.toLong, y.toLong))
+      .toDF("l_partkey", "l_suppkey")
+      .write.parquet(s"$dir/lineitem.parquet")
+    val planted = graft.ops.Layout.q258CurveLocality.run(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(planted(("l1_travel", "row_major")) == 24L)
+    assert(planted(("l1_travel", "z_order")) == 24L)
+    assert(planted(("l1_travel", "md5_random")) >= 24L)
+    // fixture: the asymmetry lesson — row-major is best on its fast axis
+    // and worst-case on the slow one; Z-order pays the same on both
+    val fix = graft.ops.Layout.q258CurveLocality.run(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    // (on the dense sf0.01 grid Z-order additionally lands at exactly
+    // 16/16 pages for both orientations vs row-major's 4/64 — the
+    // sparse sf0.001 supplier axis makes that equality grid-dependent,
+    // so the spec pins only the direction of each comparison)
+    assert(fix(("wide_query_pages", "row_major")) <= fix(("wide_query_pages", "z_order")))
+    assert(fix(("tall_query_pages", "z_order")) <= fix(("tall_query_pages", "row_major")))
+    assert(fix(("l1_travel", "md5_random")) > fix(("l1_travel", "z_order")))
+  }
+
   test("q250: blooms never miss a present key, skip most shards, and account every shard exactly once") {
     import spark.implicits._
     // planted: three 200-order shards, each holding one custkey; probes
