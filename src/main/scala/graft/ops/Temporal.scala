@@ -828,9 +828,100 @@ object Temporal {
       .orderBy(col("channel"))
   }
 
+  /** Haar-wavelet compression of the daily event-volume series — the
+    * multi-resolution sketch (Haar 1910; Matias/Vitter/Wang SIGMOD'98
+    * wavelet synopses) a monitoring store keeps instead of raw
+    * per-day counters: the 32-slot padded calendar decomposes into one
+    * root sum + 31 difference coefficients, the top-8 by magnitude are
+    * kept (burst days live in few large coefficients; the smooth bulk
+    * compresses away), and each day reconstructs from ≤ 6 kept terms.
+    * EXACT in integers end-to-end: the unnormalized transform is all
+    * sums/differences, and reconstruction is emitted in 32nds —
+    * x·32 = root ± Σ D_ℓ·(32≫ℓ) — so keeping ALL coefficients
+    * reconstructs with error exactly 0 (spec-proved identity), and the
+    * top-8 error is an exact integer, not a float estimate. No
+    * recursion anywhere: each level is one bucket aggregate
+    * (approx = Σ, detail = Σ(+even/−odd)), five levels on the bounded
+    * calendar axis; the only corpus-sized work is the day-count scan.
+    * Planted single-burst case (one detail chain reconstructs the
+    * spike exactly) spec-pinned (`CurationAuditSpec`). */
+  val q259HaarCompress: QueryDef = QueryDef.sql(
+    "q259_haar_compress",
+    """WITH d0 AS (SELECT CAST(date_diff('day', (SELECT MIN(CAST(ts AS DATE)) FROM events),
+      |      CAST(ts AS DATE)) AS BIGINT) AS day,
+      |      CAST(COUNT(*) AS BIGINT) AS n
+      |    FROM events GROUP BY 1),
+      |days AS (SELECT CAST(t.i AS BIGINT) AS day, COALESCE(d0.n, 0) AS n
+      |         FROM generate_series(0, 31) t(i) LEFT JOIN d0 ON d0.day = t.i),
+      |s0 AS (SELECT day AS b, n AS v FROM days),
+      |s1 AS (SELECT b // 2 AS b, CAST(SUM(v) AS BIGINT) AS v FROM s0 GROUP BY 1),
+      |s2 AS (SELECT b // 2 AS b, CAST(SUM(v) AS BIGINT) AS v FROM s1 GROUP BY 1),
+      |s3 AS (SELECT b // 2 AS b, CAST(SUM(v) AS BIGINT) AS v FROM s2 GROUP BY 1),
+      |s4 AS (SELECT b // 2 AS b, CAST(SUM(v) AS BIGINT) AS v FROM s3 GROUP BY 1),
+      |s5 AS (SELECT b // 2 AS b, CAST(SUM(v) AS BIGINT) AS v FROM s4 GROUP BY 1),
+      |det AS (
+      |  SELECT 1 AS lvl, a.b // 2 AS b, a.v - o.v AS d
+      |  FROM s0 a JOIN s0 o ON o.b = a.b + 1 AND a.b % 2 = 0
+      |  UNION ALL SELECT 2, a.b // 2, a.v - o.v
+      |  FROM s1 a JOIN s1 o ON o.b = a.b + 1 AND a.b % 2 = 0
+      |  UNION ALL SELECT 3, a.b // 2, a.v - o.v
+      |  FROM s2 a JOIN s2 o ON o.b = a.b + 1 AND a.b % 2 = 0
+      |  UNION ALL SELECT 4, a.b // 2, a.v - o.v
+      |  FROM s3 a JOIN s3 o ON o.b = a.b + 1 AND a.b % 2 = 0
+      |  UNION ALL SELECT 5, a.b // 2, a.v - o.v
+      |  FROM s4 a JOIN s4 o ON o.b = a.b + 1 AND a.b % 2 = 0),
+      |kept AS (SELECT lvl, b, d FROM (SELECT *,
+      |    ROW_NUMBER() OVER (ORDER BY ABS(d) DESC, lvl, b) AS rn FROM det)
+      |  WHERE rn <= 8),
+      |recon AS (SELECT days.day, days.n,
+      |    (SELECT v FROM s5 WHERE b = 0)
+      |    + CAST(COALESCE(SUM((CASE WHEN (days.day // (1 << (k.lvl - 1))) % 2 = 0
+      |          THEN 1 ELSE -1 END) * k.d * (32 // (1 << k.lvl))), 0) AS BIGINT) AS r32
+      |  FROM days LEFT JOIN kept k ON days.day // (1 << k.lvl) = k.b
+      |  GROUP BY 1, 2)
+      |SELECT day, n AS actual, r32 AS recon_x32, ABS(32 * n - r32) AS err_x32
+      |FROM recon
+      |ORDER BY day""".stripMargin) { (s, dir) =>
+    val d0 = Tables.events(s, dir)
+      .select(col("ts").cast("date").as("d"))
+    val mn = d0.agg(min(col("d")).as("mn"))
+    val byDay = d0.crossJoin(broadcast(mn))
+      .select(datediff(col("d"), col("mn")).cast("long").as("day"))
+      .groupBy(col("day")).agg(count(lit(1)).cast("long").as("n"))
+    val days = s.range(0, 32).select(col("id").as("day"))
+      .join(byDay, Seq("day"), "left")
+      .select(col("day"), coalesce(col("n"), lit(0L)).as("n"))
+    // five bucket aggregates on the bounded 32-slot axis: approx = Σ,
+    // detail = Σ(+even/−odd) — the whole transform, no recursion
+    var approx = days.select(col("day").as("b"), col("n").as("v"))
+    val details = (1 to 5).map { lvl =>
+      val lvlUp = approx.groupBy(expr("b div 2").as("b"))
+        .agg(sum(col("v")).as("v"),
+          sum(when(pmod(col("b"), lit(2)) === 0, col("v")).otherwise(-col("v"))).as("d"))
+      val det = lvlUp.select(lit(lvl.toLong).as("lvl"), col("b"), col("d"))
+      approx = lvlUp.select(col("b"), col("v"))
+      det
+    }.reduce(_ unionByName _)
+    val root = approx.select(col("v").as("root"))
+    val kept = details.withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.orderBy(abs(col("d")).desc, col("lvl"), col("b"))))
+      .filter(col("rn") <= 8).select(col("lvl"), col("b").as("kb"), col("d"))
+    days.crossJoin(broadcast(root))
+      .join(broadcast(kept), expr("day div shiftleft(1L, CAST(lvl AS INT))") === col("kb"), "left")
+      .groupBy(col("day"), col("n"), col("root"))
+      .agg(coalesce(sum(
+        expr("""(CASE WHEN (day div shiftleft(1L, CAST(lvl AS INT) - 1)) % 2 = 0
+               | THEN 1L ELSE -1L END) * d * (32 div shiftleft(1L, CAST(lvl AS INT)))"""
+          .stripMargin)), lit(0L)).as("adj"))
+      .select(col("day"), col("n").as("actual"),
+        (col("root") + col("adj")).as("recon_x32"),
+        abs(lit(32L) * col("n") - (col("root") + col("adj"))).as("err_x32"))
+      .orderBy(col("day"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     q46AsofJoin, q47Pivot, q55IntervalJoin, q63AsofNative, q81IntervalNative,
     q95Funnel, q96RetentionCohorts, q109TransitionMatrix, q192DecayScores,
     q226ChangePoint, q236Attribution, q241PeakConcurrency, q242KaplanMeier,
-    q249ShapleyAttribution, q251MarkovRemoval)
+    q249ShapleyAttribution, q251MarkovRemoval, q259HaarCompress)
 }

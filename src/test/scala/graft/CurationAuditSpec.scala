@@ -815,6 +815,38 @@ class CurationAuditSpec extends SparkSpec {
     }
   }
 
+  test("q259: a planted spike's coefficient chain reconstructs exactly; dropped details never move the total") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-haar").toString
+    // flat 10/day over all 32 days with a +32 spike on day 5: exactly
+    // 5 nonzero details (the spike's chain), all kept by top-8, so the
+    // compressed reconstruction is EXACT at every day
+    val rows = (0 until 32).flatMap { day =>
+      val n = if (day == 5) 42 else 10
+      (1 to n).map { j =>
+        (day * 100L + j,
+          java.sql.Timestamp.valueOf(java.time.LocalDateTime.of(2024, 1, 1, 12, 0).plusDays(day)),
+          j.toLong, "view", 1.0, "{}")
+      }
+    }
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.parquet(s"$dir/events.parquet")
+    val got = graft.ops.Temporal.q259HaarCompress.run(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.length == 32)
+    got.foreach { case (day, actual, r32, err) =>
+      assert(actual == (if (day == 5) 42L else 10L))
+      assert(r32 == 32L * actual && err == 0L, s"day $day must reconstruct exactly")
+    }
+    // fixture-wide: details are zero-sum within their block, so dropping
+    // them never moves the series TOTAL — only its shape
+    val fix = graft.ops.Temporal.q259HaarCompress.run(spark, sfDir).collect()
+      .map(r => (r.getLong(1), r.getLong(2)))
+    assert(fix.length == 32)
+    assert(fix.map(_._2).sum == 32L * fix.map(_._1).sum,
+      "compression conserves the series total exactly")
+  }
+
   test("q258: planted grid travel is exact; on the fixture Z-order balances the axes row-major can't") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft-sfc").toString
