@@ -610,8 +610,91 @@ object Layout {
       .orderBy(col("metric"), col("ordering"))
   }
 
+  /** Shard-rebalance audit: modulo vs rendezvous hashing — the
+    * cluster-growth lesson measured (Thaler & Ravishankar HRW, ToN'98;
+    * Karger STOC'97): when the 8-node customer-shard ring gains a 9th
+    * node, `key % N` remaps almost everything (≈ 8/9 of keys change
+    * owner — every cache warm, every co-located file wrong), while
+    * rendezvous hashing (owner = argmax over nodes of md5(node:key))
+    * moves EXACTLY the keys the new node wins (≈ 1/9) and nothing
+    * else — the minimal-disruption property is structural: a key's
+    * argmax changes only if the new node beats the old winner. The
+    * audit emits, per strategy, keys moved and the max node load
+    * before/after (rendezvous also stays balanced). Exact integers:
+    * md5 scores with node-name tie-break, counts, micro fractions.
+    * One scan to distinct keys, then a keys × 9-node broadcast
+    * expansion — at 100 TB the key relation is the only shuffle.
+    * Structural-minimality spec: the rendezvous moved set EQUALS the
+    * new node's ownership set (`CurationAuditSpec`). */
+  val q260RebalanceAudit: QueryDef = sql(
+    "q260_rebalance_audit",
+    """WITH k AS (SELECT DISTINCT c_custkey AS key FROM customer),
+      |nodes AS (SELECT 'n' || CAST(t.i AS VARCHAR) AS node, CAST(t.i AS BIGINT) AS i
+      |          FROM generate_series(0, 8) t(i)),
+      |scores AS (SELECT k.key, n.node, n.i,
+      |    CAST(('0x' || substr(md5(n.node || ':' || CAST(k.key AS VARCHAR)), 1, 15)) AS BIGINT)
+      |      AS h
+      |  FROM k CROSS JOIN nodes n),
+      |hrw_before AS (SELECT key, node FROM (SELECT key, node,
+      |    ROW_NUMBER() OVER (PARTITION BY key ORDER BY h DESC, node) AS rn
+      |  FROM scores WHERE i < 8) WHERE rn = 1),
+      |hrw_after AS (SELECT key, node FROM (SELECT key, node,
+      |    ROW_NUMBER() OVER (PARTITION BY key ORDER BY h DESC, node) AS rn
+      |  FROM scores) WHERE rn = 1),
+      |mod_owners AS (SELECT key, 'n' || CAST(key % 8 AS VARCHAR) AS before_node,
+      |    'n' || CAST(key % 9 AS VARCHAR) AS after_node FROM k),
+      |hrw_owners AS (SELECT b.key, b.node AS before_node, a.node AS after_node
+      |  FROM hrw_before b JOIN hrw_after a ON a.key = b.key),
+      |audit AS (
+      |  SELECT 'mod_n' AS strategy, CAST(COUNT(*) AS BIGINT) AS n_keys,
+      |    CAST(SUM(CASE WHEN before_node <> after_node THEN 1 ELSE 0 END) AS BIGINT) AS n_moved,
+      |    (SELECT CAST(MAX(c) AS BIGINT) FROM (SELECT COUNT(*) AS c FROM mod_owners GROUP BY before_node)) AS max_before,
+      |    (SELECT CAST(MAX(c) AS BIGINT) FROM (SELECT COUNT(*) AS c FROM mod_owners GROUP BY after_node)) AS max_after
+      |  FROM mod_owners
+      |  UNION ALL
+      |  SELECT 'rendezvous', CAST(COUNT(*) AS BIGINT),
+      |    CAST(SUM(CASE WHEN before_node <> after_node THEN 1 ELSE 0 END) AS BIGINT),
+      |    (SELECT CAST(MAX(c) AS BIGINT) FROM (SELECT COUNT(*) AS c FROM hrw_owners GROUP BY before_node)),
+      |    (SELECT CAST(MAX(c) AS BIGINT) FROM (SELECT COUNT(*) AS c FROM hrw_owners GROUP BY after_node))
+      |  FROM hrw_owners)
+      |SELECT strategy, n_keys, n_moved,
+      |  (CAST(1000000 AS BIGINT) * n_moved) // n_keys AS moved_micro,
+      |  max_before, max_after
+      |FROM audit
+      |ORDER BY strategy""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val k = Tables.customer(s, dir).select(col("c_custkey").as("key")).distinct()
+    val nodes = (0 to 8).map(i => (s"n$i", i.toLong)).toDF("node", "i")
+    val scores = k.crossJoin(broadcast(nodes))
+      .withColumn("h", expr(
+        "CAST(conv(substring(md5(concat(node, ':', CAST(key AS STRING))), 1, 15), 16, 10) AS BIGINT)"))
+    def hrw(df: DataFrame): DataFrame = df
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("key")).orderBy(col("h").desc, col("node"))))
+      .filter(col("rn") === 1).select(col("key"), col("node"))
+    val hrwOwners = hrw(scores.filter(col("i") < 8)).withColumnRenamed("node", "before_node")
+      .join(hrw(scores).withColumnRenamed("node", "after_node"), "key")
+    val modOwners = k.select(col("key"),
+      concat(lit("n"), pmod(col("key"), lit(8)).cast("string")).as("before_node"),
+      concat(lit("n"), pmod(col("key"), lit(9)).cast("string")).as("after_node"))
+    def audit(owners: DataFrame, name: String): DataFrame = {
+      val maxB = owners.groupBy(col("before_node")).count()
+        .agg(max(col("count"))).head.getLong(0)
+      val maxA = owners.groupBy(col("after_node")).count()
+        .agg(max(col("count"))).head.getLong(0)
+      owners.agg(count(lit(1)).cast("long").as("n_keys"),
+          sum(when(col("before_node") =!= col("after_node"), 1L).otherwise(0L)).as("n_moved"))
+        .select(lit(name).as("strategy"), col("n_keys"), col("n_moved"),
+          expr("(1000000L * n_moved) DIV n_keys").as("moved_micro"),
+          lit(maxB).as("max_before"), lit(maxA).as("max_after"))
+    }
+    audit(modOwners, "mod_n").unionByName(audit(hrwOwners, "rendezvous"))
+      .orderBy(col("strategy"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     q112BucketedJoin, q113PartitionPruning, q114SaltedJoin, q115BloomSemiJoin,
     q229ColumnProfile, q230LayoutAdvisor, q246CardinalityAudit, q250BloomZoneMap,
-    q258CurveLocality)
+    q258CurveLocality, q260RebalanceAudit)
 }

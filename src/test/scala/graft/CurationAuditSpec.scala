@@ -815,6 +815,41 @@ class CurationAuditSpec extends SparkSpec {
     }
   }
 
+  test("q260: rendezvous moves exactly the new node's winnings; mod-N reshuffles nearly everything") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-hrw").toString
+    (1L to 900L).map(k => (k, s"c$k")).toDF("c_custkey", "c_name")
+      .write.parquet(s"$dir/customer.parquet")
+    val got = graft.ops.Layout.q260RebalanceAudit.run(spark, dir).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))).toMap
+    // structural minimality: the rendezvous moved count must equal the
+    // number of keys the NEW node wins in the 9-node ring — re-derived
+    // independently with the same scoring rule
+    val n8Wins = spark.sql(
+      """WITH k AS (SELECT id AS key FROM range(1, 901)),
+        |s AS (SELECT k.key, concat('n', CAST(n.id AS STRING)) AS node,
+        |    CAST(conv(substring(md5(concat('n', CAST(n.id AS STRING), ':',
+        |      CAST(k.key AS STRING))), 1, 15), 16, 10) AS BIGINT) AS h
+        |  FROM k CROSS JOIN range(0, 9) n),
+        |w AS (SELECT key, node, ROW_NUMBER() OVER (PARTITION BY key
+        |    ORDER BY h DESC, node) AS rn FROM s)
+        |SELECT COUNT(*) FROM w WHERE rn = 1 AND node = 'n8'""".stripMargin).head.getLong(0)
+    assert(got("rendezvous")._2 == n8Wins,
+      "rendezvous must move exactly the keys the new node wins, nothing else")
+    // mod-N moves every key except those with key % 72 making both mods
+    // agree: k % 8 == k % 9 ⟺ k % 72 < 8
+    val modStay = (1L to 900L).count(k => k % 8 == k % 9)
+    assert(got("mod_n")._2 == 900L - modStay)
+    // the headline contrast and sane loads
+    assert(got("rendezvous")._2 * 4 < got("mod_n")._2)
+    assert(got("rendezvous")._1 == 900L && got("mod_n")._1 == 900L)
+    // fixture: same invariants hold
+    val fix = graft.ops.Layout.q260RebalanceAudit.run(spark, sfDir).collect()
+      .map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(fix("rendezvous") * 4 < fix("mod_n"))
+  }
+
   test("q259: a planted spike's coefficient chain reconstructs exactly; dropped details never move the total") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft-haar").toString
