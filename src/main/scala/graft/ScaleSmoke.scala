@@ -142,7 +142,7 @@ object ScaleSmoke {
       "q228_vacuum_plan", "q232_manifest_pruning", "q233_skyline_select", "q234_prefix_join",
       "q237_mann_whitney", "q239_quantile_norm", "q240_merkle_diff",
       "q243_triangles", "q254_association_rules")
-    // q226/q227/q229/q230/q231/q235/q236/q238/q241/q242/q244/q245/q246/q247/q248/q249/q250/q251/q252/q253/q255/q256/q257/q258/q259/q260 are not smoked: the
+    // q226/q227/q229/q230/q231/q235/q236/q238/q241/q242/q244/q245/q246/q247/q248/q249/q250/q251/q252/q253/q255/q256/q257/q258/q259/q260/q261 are not smoked: the
     // smoke corpus has
     // no events/orders tables and only a 2-column lineitem projection,
     // and their shapes are already-covered classes (q226 = one daily
@@ -185,7 +185,8 @@ object ScaleSmoke {
     // boundary joins, the ANALYZE posture; q258 needs l_suppkey and is
     // one distinct to a 4096-cell metadata plane; q259 needs events and
     // is one day-count scan + five 32-slot aggregates; q260 needs
-    // customer and is one distinct + a 9-node broadcast expansion)
+    // customer and is one distinct + a 9-node broadcast expansion;
+    // q261 needs part and is a 4-leg union + one rank window)
     // SPARK_GRAFT_SMOKE_ONLY=q123,q124 limits a run to matching targets —
     // the same local profiling aid as Bench's SPARK_GRAFT_BENCH_ONLY
     val selected = sys.env.get("SPARK_GRAFT_SMOKE_ONLY")

@@ -2379,10 +2379,97 @@ object Analytics {
       .orderBy(col("col_name"), col("bucket"))
   }
 
+  /** Bitemporal as-of query — BOTH time axes at once (Snodgrass 1992;
+    * SQL:2011 system+application time; Jensen & Snodgrass TKDE'99),
+    * the ability that separates "time travel" (q176: one axis) from
+    * an auditable warehouse: VALID time (when a price was actually effective)
+    * and TRANSACTION time (when the warehouse learned it) answer
+    * "what did we THINK the price on date D was, as of knowledge
+    * state T" — and a retroactive correction changes the answer for a
+    * PAST valid date between two knowledge states without touching
+    * valid history. The history is synthesized deterministically from
+    * part (tx0 initial load; tx1 new valid era — irrelevant to D;
+    * tx2 retroactive corrections of the original era for md5 %7
+    * parts; tx3 later era), and the reading rule is the bitemporal
+    * standard: among rows with tx ≤ T and valid_from ≤ D, latest
+    * valid_from wins, then latest tx (newest knowledge about that
+    * era). Output: per part bucket, both readings (as-of tx1 vs tx3)
+    * and how many parts the correction silently changed — the audit
+    * diff a regulator asks for. One synthesized history scan + one
+    * per-(part, reading) window; exact cents. Hand-walked planted
+    * correction spec (`AnalyticsSpec`). */
+  val q261BitemporalAsof: QueryDef = sql(
+    "q261_bitemporal_asof",
+    """WITH hist AS (
+      |  SELECT p_partkey AS pk, 0 AS tx, DATE '1995-01-01' AS valid_from,
+      |    CAST(FLOOR(p_retailprice * 100 + 0.5) AS BIGINT) AS cents
+      |  FROM part
+      |  UNION ALL
+      |  SELECT p_partkey, 1, DATE '1995-07-01',
+      |    CAST(FLOOR(p_retailprice * 100 + 0.5) AS BIGINT) + 500
+      |  FROM part
+      |  WHERE CAST(('0x' || substr(md5('era:' || CAST(p_partkey AS VARCHAR)), 1, 4)) AS INT) % 5 = 0
+      |  UNION ALL
+      |  SELECT p_partkey, 2, DATE '1995-01-01',
+      |    CAST(FLOOR(p_retailprice * 100 + 0.5) AS BIGINT) + 100
+      |  FROM part
+      |  WHERE CAST(('0x' || substr(md5('fix:' || CAST(p_partkey AS VARCHAR)), 1, 4)) AS INT) % 7 = 0
+      |  UNION ALL
+      |  SELECT p_partkey, 3, DATE '1996-01-01',
+      |    CAST(FLOOR(p_retailprice * 100 + 0.5) AS BIGINT) + 900
+      |  FROM part
+      |  WHERE CAST(('0x' || substr(md5('new:' || CAST(p_partkey AS VARCHAR)), 1, 4)) AS INT) % 11 = 0),
+      |readings AS (SELECT t.asof_tx, h.pk, h.valid_from, h.tx, h.cents,
+      |    ROW_NUMBER() OVER (PARTITION BY t.asof_tx, h.pk
+      |      ORDER BY h.valid_from DESC, h.tx DESC) AS rn
+      |  FROM (SELECT 1 AS asof_tx UNION ALL SELECT 3) t
+      |  JOIN hist h ON h.tx <= t.asof_tx AND h.valid_from <= DATE '1995-03-01'),
+      |px AS (SELECT asof_tx, pk, cents FROM readings WHERE rn = 1),
+      |wide AS (SELECT a.pk, a.cents AS cents_tx1, b.cents AS cents_tx3
+      |  FROM px a JOIN px b ON b.pk = a.pk AND a.asof_tx = 1 AND b.asof_tx = 3)
+      |SELECT pk % 16 AS bucket, CAST(COUNT(*) AS BIGINT) AS n_parts,
+      |  CAST(SUM(CASE WHEN cents_tx1 <> cents_tx3 THEN 1 ELSE 0 END) AS BIGINT) AS n_corrected,
+      |  CAST(SUM(cents_tx1) AS BIGINT) AS sum_cents_tx1,
+      |  CAST(SUM(cents_tx3) AS BIGINT) AS sum_cents_tx3
+      |FROM wide
+      |GROUP BY 1
+      |ORDER BY bucket""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val p = Tables.part(s, dir)
+      .select(col("p_partkey").as("pk"),
+        expr("CAST(FLOOR(p_retailprice * 100 + 0.5) AS BIGINT)").as("base"))
+    def frac(tag: String, m: Int) = expr(
+      s"CAST(conv(substring(md5(concat('$tag:', CAST(pk AS STRING))), 1, 4), 16, 10) AS INT) % $m = 0")
+    val hist = p.select(col("pk"), lit(0).as("tx"), lit("1995-01-01").cast("date").as("valid_from"),
+        col("base").as("cents"))
+      .unionByName(p.filter(frac("era", 5)).select(col("pk"), lit(1).as("tx"),
+        lit("1995-07-01").cast("date").as("valid_from"), (col("base") + 500L).as("cents")))
+      .unionByName(p.filter(frac("fix", 7)).select(col("pk"), lit(2).as("tx"),
+        lit("1995-01-01").cast("date").as("valid_from"), (col("base") + 100L).as("cents")))
+      .unionByName(p.filter(frac("new", 11)).select(col("pk"), lit(3).as("tx"),
+        lit("1996-01-01").cast("date").as("valid_from"), (col("base") + 900L).as("cents")))
+    val asof = Seq(1, 3).toDF("asof_tx")
+    val readings = broadcast(asof).join(hist,
+        col("tx") <= col("asof_tx") && col("valid_from") <= lit("1995-03-01").cast("date"))
+      .withColumn("rn", row_number().over(Window.partitionBy(col("asof_tx"), col("pk"))
+        .orderBy(col("valid_from").desc, col("tx").desc)))
+      .filter(col("rn") === 1)
+    val px1 = readings.filter(col("asof_tx") === 1).select(col("pk"), col("cents").as("cents_tx1"))
+    val px3 = readings.filter(col("asof_tx") === 3).select(col("pk"), col("cents").as("cents_tx3"))
+    px1.join(px3, "pk")
+      .groupBy(pmod(col("pk"), lit(16)).cast("long").as("bucket"))
+      .agg(count(lit(1)).cast("long").as("n_parts"),
+        sum(when(col("cents_tx1") =!= col("cents_tx3"), 1L).otherwise(0L)).as("n_corrected"),
+        sum(col("cents_tx1")).as("sum_cents_tx1"),
+        sum(col("cents_tx3")).as("sum_cents_tx3"))
+      .orderBy(col("bucket"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     q227IntegrityScorecard, q231MarketShare, q235MvMaintenance, q244Cuped, q247AqpGroupby,
     q253RfmSegments, q254AssociationRules, q255CohortLtv, q256DeletionCascade,
-    q257EquiDepthAudit,
+    q257EquiDepthAudit, q261BitemporalAsof,
     q01PricingSummary, q02SelectiveFilter, q03ShippingPriority, q05LocalRevenue,
     q06SemiJoin, q07AntiJoin, q08RangeJoin, q09DistinctUsers, q10Rollup,
     q11Cube, q12WindowRank, q13WindowRunning, q14TopOrders, q15SetOps,

@@ -324,4 +324,33 @@ class AnalyticsSpec extends SparkSpec {
     val n = graft.sources.Tables.lineitem(spark, sfDir).count()
     fix.groupBy(_._1).values.foreach(rows => assert(rows.map(_._2).sum == n))
   }
+
+  test("q261: the tx3 reading differs from tx1 by exactly the retroactive corrections") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-bitemp").toString
+    (1L to 140L).map(k => (k, 10.0)).toDF("p_partkey", "p_retailprice")
+      .write.parquet(s"$dir/part.parquet")
+    val corrected = spark.sql(
+      """SELECT id FROM range(1, 141)
+        |WHERE CAST(conv(substring(md5(concat('fix:', CAST(id AS STRING))), 1, 4), 16, 10) AS INT) % 7 = 0"""
+        .stripMargin).collect().map(_.getLong(0)).toSet
+    val got = graft.ops.Analytics.q261BitemporalAsof.run(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(got.map(_._2).sum == 140L, "every part reads at both knowledge states")
+    got.foreach { case (bucket, n, nCorr, s1, s3) =>
+      val wantCorr = corrected.count(_ % 16 == bucket)
+      assert(nCorr == wantCorr, s"bucket $bucket correction count")
+      // tx1 reading predates the corrections: base price everywhere
+      assert(s1 == 1000L * n)
+      // the tx3 reading moves by exactly +100 per corrected part — the
+      // valid-era rows (tx1 and tx3 eras) start after the query date and
+      // must not leak in
+      assert(s3 == s1 + 100L * nCorr)
+    }
+    // fixture-wide: the same correction identity holds in aggregate
+    val fix = graft.ops.Analytics.q261BitemporalAsof.run(spark, sfDir).collect()
+      .map(r => (r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(fix.nonEmpty)
+    assert(fix.map(_._3).sum - fix.map(_._2).sum == 100L * fix.map(_._1).sum)
+  }
 }
