@@ -446,6 +446,25 @@ object Layout {
     * lookups, never a data scan. q115 uses Spark's runtime bloom
     * inside ONE query; this one PERSISTS the filter as a relation the
     * way a table format does. */
+  /** The q250 probe-hash expansion: each key fans out to its two Bloom
+    * bit positions on the 1008-bit axis. */
+  private[ops] def bloomHashed(df: DataFrame): DataFrame = df.select(col("*"), explode(array(
+      expr("CAST(conv(substring(md5(concat('bz0:', CAST(k AS STRING))), 1, 8), 16, 10) AS BIGINT) % 1008"),
+      expr("CAST(conv(substring(md5(concat('bz1:', CAST(k AS STRING))), 1, 8), 16, 10) AS BIGINT) % 1008")))
+      .as("h"))
+
+  /** The q250 Bloom-words relation over an orders slice in (shard, k)
+    * form: one BIT_OR aggregate per (shard, word). Shared verbatim by
+    * the batch audit and the streaming maintenance face
+    * ([[StreamingOps.bloomZoneMapStream]]) — and mergeable by BIT_OR
+    * again, which is IDEMPOTENT, so the stream needs no ingested-file
+    * log (contrast [[Analytics.mvMerge]], whose +/min/max merge is
+    * not). */
+  private[graft] def bloomWords(slice: DataFrame): DataFrame =
+    bloomHashed(slice.distinct())
+      .groupBy(col("shard"), expr("h div 63").as("w"))
+      .agg(expr("bit_or(shiftleft(1L, CAST(h % 63 AS INT)))").as("bm"))
+
   val q250BloomZoneMap: QueryDef = sql(
     "q250_bloom_zonemap",
     """WITH o AS (SELECT o_orderkey // 200 AS shard, o_custkey AS k FROM orders),
@@ -490,15 +509,9 @@ object Layout {
     val o = Tables.orders(s, dir)
       .select(expr("o_orderkey div 200").as("shard"), col("o_custkey").as("k"))
     val ks = o.distinct()
-    def hashed(df: DataFrame): DataFrame = df.select(col("*"), explode(array(
-        expr("CAST(conv(substring(md5(concat('bz0:', CAST(k AS STRING))), 1, 8), 16, 10) AS BIGINT) % 1008"),
-        expr("CAST(conv(substring(md5(concat('bz1:', CAST(k AS STRING))), 1, 8), 16, 10) AS BIGINT) % 1008")))
-        .as("h"))
-    val words = hashed(ks)
-      .groupBy(col("shard"), expr("h div 63").as("w"))
-      .agg(expr("bit_or(shiftleft(1L, CAST(h % 63 AS INT)))").as("bm"))
+    val words = bloomWords(o)
     val probes = ks.filter(col("k") % 97 === 0).select(col("k")).distinct()
-    val ph = hashed(probes)
+    val ph = bloomHashed(probes)
     // a shard owning NEITHER of a probe's hash words has those bits
     // clear by construction — the probe×shard grid with a left join
     // keeps such shards as definite skips instead of dropping them

@@ -533,6 +533,58 @@ object StreamingOps {
       .start()
   }
 
+  /** Streaming face of q250's Bloom zone maps — skipping metadata
+    * maintained in the SAME pass that ingests the shard, the way a
+    * table format keeps its column indexes current: each trigger
+    * builds [[Layout.bloomWords]] over only the arriving order files
+    * and BIT_ORs them into the persisted words relation, published as
+    * a versioned atomic snapshot. The contrast with
+    * [[mvMaintainStream]] is the point: BIT_OR is IDEMPOTENT, so a
+    * replayed file folds to a no-op and NO ingested-file log is
+    * needed — merge algebra decides durability protocol. Bits are
+    * only ever ADDED, matching the audit's no-false-negative
+    * guarantee under any replay/ordering. `onBatch` sees the
+    * post-merge words relation. */
+  def bloomZoneMapStream(s: SparkSession, stagedDir: String, stateDir: String)(
+      onBatch: (Long, DataFrame) => Unit): org.apache.spark.sql.streaming.StreamingQuery = {
+    val schema = "o_orderkey LONG, o_custkey LONG"
+    val root = new java.io.File(stateDir)
+    root.mkdirs()
+    def versions: Seq[Long] = Option(root.listFiles()).getOrElse(Array.empty[java.io.File])
+      .filter(f => f.getName.startsWith("v_") && !f.getName.contains(".tmp-") &&
+        new java.io.File(f, "_SUCCESS").exists())
+      .map(_.getName.stripPrefix("v_").toLong).sorted.toSeq
+    def emptyWords = s.sql("SELECT 0L AS shard, 0L AS w, 0L AS bm WHERE false")
+    s.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(stagedDir)
+      .writeStream
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        val arrived = s.createDataFrame(batch.rdd, batch.schema)
+          .select(expr("o_orderkey div 200").as("shard"), col("o_custkey").as("k"))
+        val vs = versions
+        val state = vs.lastOption match {
+          case Some(v) => s.read.parquet(s"$stateDir/v_$v")
+          case None => emptyWords
+        }
+        // idempotent merge: same-key words BIT_OR together, so a replayed
+        // file changes nothing and arrival order never matters
+        val merged = state.unionByName(Layout.bloomWords(arrived))
+          .groupBy(col("shard"), col("w"))
+          .agg(expr("bit_or(bm)").as("bm"))
+        val next = vs.lastOption.getOrElse(-1L) + 1L
+        val tmp = new java.io.File(root,
+          s"v_$next.tmp-${ProcessHandle.current().pid()}-${Thread.currentThread().getId}")
+        merged.write.parquet(tmp.getPath)
+        val published = new java.io.File(root, s"v_$next")
+        if (!tmp.renameTo(published))
+          org.apache.commons.io.FileUtils.deleteDirectory(tmp) // lost the race
+        onBatch(id, s.read.parquet(published.getPath))
+      }
+      .start()
+  }
+
   /** Streaming face of q130's sequence packing — the ingest loop that
     * packs ARRIVING documents into the SAME global token layout the
     * batch operator computes: the corpus-wide token offset persists

@@ -499,6 +499,42 @@ class StreamingSpec extends SparkSpec {
     assert(run1.keys.size == 2 && run2.keys.size == 3)
   }
 
+  test("bloom stream: BIT_OR state equals the batch words; a replayed file is a no-op without any file log") {
+    import scala.collection.concurrent.TrieMap
+    val orders = Tables.orders(spark, sfDir).select(col("o_orderkey"), col("o_custkey"))
+    val stateDir = Files.createTempDirectory("graft-bloom-state").resolve("w").toString
+    val srcDir = Files.createTempDirectory("graft-bloom-src")
+    def stage(df: DataFrame, name: String): Unit = {
+      val tmp = Files.createTempDirectory("graft-bloom-stage").toString
+      df.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(_.getName.endsWith(".parquet")).get.toPath
+      Files.copy(part, srcDir.resolve(name), StandardCopyOption.REPLACE_EXISTING)
+      stampStaged(srcDir.resolve(name))
+    }
+    def words(df: DataFrame): Set[(Long, Long, Long)] = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    def runStream(): Map[Long, Set[(Long, Long, Long)]] = {
+      val acc = TrieMap.empty[Long, Set[(Long, Long, Long)]]
+      val q = StreamingOps.bloomZoneMapStream(spark, srcDir.toString, stateDir) {
+        (id, w) => acc(id) = words(w)
+      }
+      assert(q.awaitTermination(180000), "bloom stream did not finish")
+      acc.toMap
+    }
+    stage(orders.filter(col("o_orderkey") % 2 === 0), "a.parquet")
+    stage(orders.filter(col("o_orderkey") % 2 === 1), "b.parquet")
+    val run1 = runStream()
+    // an uncheckpointed restart replays BOTH files: pure no-ops
+    val run2 = runStream()
+    val batch = words(graft.ops.Layout.bloomWords(
+      orders.select(expr("o_orderkey div 200").as("shard"), col("o_custkey").as("k"))))
+    assert(run1(run1.keys.max) == batch,
+      "streamed BIT_OR state must equal the batch words relation")
+    run2.values.foreach(wset => assert(wset == batch,
+      "replaying already-folded files must leave every word unchanged"))
+  }
+
   test("drift stream: accumulated bucket counts equal the batch assignment; restart never double-counts") {
     import scala.collection.concurrent.TrieMap
     val emb = Tables.embeddings(spark, sfDir).select(col("vec_id"), col("embedding"))
