@@ -141,7 +141,7 @@ object ScaleSmoke {
       "q223_robust_scale", "q224_burstiness", "q225_ks_drift",
       "q228_vacuum_plan", "q232_manifest_pruning", "q233_skyline_select", "q234_prefix_join",
       "q237_mann_whitney", "q239_quantile_norm", "q240_merkle_diff",
-      "q243_triangles", "q254_association_rules")
+      "q243_triangles", "q254_association_rules", "q262_pps_sample")
     // q226/q227/q229/q230/q231/q235/q236/q238/q241/q242/q244/q245/q246/q247/q248/q249/q250/q251/q252/q253/q255/q256/q257/q258/q259/q260/q261 are not smoked: the
     // smoke corpus has
     // no events/orders tables and only a 2-column lineitem projection,

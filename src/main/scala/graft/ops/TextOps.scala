@@ -5098,6 +5098,69 @@ object TextOps {
       .orderBy(col("quality_kilo").desc, col("n_tokens"), col("doc_id"))
   }
 
+  /** Systematic PPS sampling — probability-proportional-to-size draw
+    * (Madow 1949; Hansen & Hurwitz 1943; the survey-statistics
+    * workhorse) done EXACTLY: k = 100 selection points march through
+    * the cumulative char-weight axis at a fixed integer step from a
+    * deterministic md5 offset, and a document's multiplicity is the
+    * count of points inside its weight interval — big documents can
+    * be hit more than once (the with-replacement systematic variant,
+    * declared). Against q107 (uniform md5 thinning) and q68
+    * (equal-rate strata) this is the budget-faithful sampler: source
+    * share of the SAMPLE tracks source share of the TOKEN MASS, not
+    * of the doc count. All integers — cumulative sums, one ceil-div
+    * per interval end, point range capped at off + k·step so the
+    * total is EXACTLY k at any corpus (spec + planted two-doc case
+    * where weight ratio dictates multiplicity). The cumulative window
+    * is doc-ordered; at 100 TB it block-partitions by source like
+    * q204 (same decomposition proof shape). */
+  val q262PpsSample: QueryDef = sql(
+    "q262_pps_sample",
+    """WITH u AS (SELECT doc_id, source, CAST(n_chars AS BIGINT) AS w FROM documents),
+      |cum AS (SELECT doc_id, source, w,
+      |    CAST(SUM(w) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cend
+      |  FROM u),
+      |tot AS (SELECT CAST(SUM(w) AS BIGINT) AS tw, CAST(100 AS BIGINT) AS k FROM u),
+      |par AS (SELECT tw, k, tw // k AS step,
+      |    CAST(('0x' || substr(md5('pps:corpus'), 1, 8)) AS BIGINT) % (tw // k) AS off
+      |  FROM tot),
+      |m AS (SELECT c.source, c.w,
+      |    GREATEST(0, (LEAST(c.cend, p.off + p.k * p.step) - p.off + p.step - 1) // p.step)
+      |      - GREATEST(0, (LEAST(c.cend - c.w, p.off + p.k * p.step) - p.off + p.step - 1)
+      |          // p.step) AS mult
+      |  FROM cum c CROSS JOIN par p)
+      |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs, CAST(SUM(w) AS BIGINT) AS sum_w,
+      |  CAST(SUM(mult) AS BIGINT) AS n_selected,
+      |  CAST((CAST(1000000 AS BIGINT) * SUM(w)) // (SELECT tw FROM tot) AS BIGINT)
+      |    AS weight_share_micro,
+      |  CAST((CAST(1000000 AS BIGINT) * SUM(mult)) // (SELECT k FROM tot) AS BIGINT)
+      |    AS sample_share_micro
+      |FROM m
+      |GROUP BY 1
+      |ORDER BY source""".stripMargin) { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val u = Tables.documents(s, dir)
+      .select(col("doc_id"), col("source"), col("n_chars").cast("long").as("w"))
+    val cum = u.withColumn("cend",
+      sum(col("w")).over(Window.orderBy(col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)).cast("long"))
+    val par = u.agg(sum(col("w")).as("tw"))
+      .select(col("tw"), lit(100L).as("k"), expr("tw DIV 100").as("step"))
+      .withColumn("off", expr(
+        "CAST(conv(substring(md5('pps:corpus'), 1, 8), 16, 10) AS BIGINT) % step"))
+    val m = cum.crossJoin(broadcast(par))
+      .withColumn("mult",
+        expr("""GREATEST(0L, (LEAST(cend, off + k * step) - off + step - 1) DIV step)
+               | - GREATEST(0L, (LEAST(cend - w, off + k * step) - off + step - 1) DIV step)"""
+          .stripMargin))
+    m.groupBy(col("source"))
+      .agg(count(lit(1)).cast("long").as("n_docs"), sum(col("w")).as("sum_w"),
+        sum(col("mult")).cast("long").as("n_selected"),
+        expr("(1000000L * sum(w)) DIV first(tw)").as("weight_share_micro"),
+        expr("(1000000L * sum(mult)) DIV first(k)").as("sample_share_micro"))
+      .orderBy(col("source"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     q21TextStats, q22WordFreq, q23BigramFreq, q24LangId, q25QualityScore,
     q26Fingerprint, q27TokenRegex, q62TrainSplit, q64TermFreqMap,
@@ -5119,5 +5182,5 @@ object TextOps {
     q216LDiversity, q217PackingSweep, q218DomainReweight, q219LengthBias,
     q223RobustScale, q224Burstiness, q225KsDrift, q237MannWhitney,
     q239QuantileNorm, q240MerkleDiff, q228VacuumPlan,
-    q232ManifestPruning, q233SkylineSelect)
+    q232ManifestPruning, q233SkylineSelect, q262PpsSample)
 }

@@ -815,6 +815,26 @@ class CurationAuditSpec extends SparkSpec {
     }
   }
 
+  test("q262: planted weights dictate multiplicity exactly; the draw always totals k") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-pps").toString
+    // W = 400, step = 4: the 3:1 weight split yields exactly 75/25
+    // selections for ANY offset in [0, 4)
+    Seq((1L, "A", 300L), (2L, "B", 100L))
+      .toDF("doc_id", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    val got = graft.ops.TextOps.q262PpsSample.run(spark, dir).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(3)))).toMap
+    assert(got == Map("A" -> ((1L, 75L)), "B" -> ((1L, 25L))))
+    // fixture-wide: the capped point range makes the draw total EXACTLY
+    // k, and shares partition the whole
+    val fix = graft.ops.TextOps.q262PpsSample.run(spark, sfDir).collect()
+    assert(fix.map(_.getLong(3)).sum == 100L)
+    val wShare = fix.map(_.getLong(4)).sum
+    assert(wShare > 1000000L - fix.length && wShare <= 1000000L,
+      "weight shares partition the corpus up to per-source floor loss")
+  }
+
   test("q260: rendezvous moves exactly the new node's winnings; mod-N reshuffles nearly everything") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft-hrw").toString
