@@ -520,6 +520,140 @@ object Graph {
       .orderBy(col("part"))
   }
 
+  /** Multi-source BFS: exact minimum hop distance from a seed set, bounded
+    * at `maxHops` (the k-hop neighborhood query — crawl-frontier depth,
+    * "parts within 3 co-purchase hops of this catalog slice", blast-radius
+    * analysis on a dependency graph). Unweighted shortest paths need no
+    * priority queue: level-synchronous expansion IS Dijkstra here.
+    *
+    * Scale posture: each round expands ONLY the newly-discovered frontier
+    * (a node enters exactly one frontier, so every edge is relaxed at most
+    * once per endpoint discovery — total work O(m) across all rounds, not
+    * O(m·rounds) as the naive expand-everything-known formulation pays; the
+    * oracle keeps that full-union form, proving the two equal). The
+    * accumulated distance relation is node-sized and eagerly
+    * localCheckpoint-ed per round so round r's anti-join reads a
+    * materialized frame, not an r-deep plan. The frontier broadcast is
+    * node-sized; at billion-node scale drop the hint and co-partition on
+    * src instead (the labelPropagation caveat). */
+  def bfsDistances(edges: DataFrame, seeds: DataFrame, maxHops: Int): DataFrame = {
+    val e = edges.persist(StorageLevel.MEMORY_AND_DISK)
+    var dist = seeds.distinct()
+      .select(col("seed").as("node"), lit(0L).as("hops"))
+      .localCheckpoint(true)
+    var frontier = dist.select(col("node"))
+    for (h <- 1 to maxHops) {
+      val next = e
+        .join(broadcast(frontier.select(col("node").as("src"))), Seq("src"))
+        .select(col("dst").as("node")).distinct()
+        .join(dist, Seq("node"), "left_anti")
+        .select(col("node"), lit(h.toLong).as("hops"))
+        .localCheckpoint(true)
+      frontier = next.select(col("node"))
+      dist = dist.unionAll(next).localCheckpoint(true)
+    }
+    dist
+  }
+
+  /** One unrolled oracle BFS round k over CTEs e/d{k-1}: the full-union
+    * min-distance form (expand everything known, take MIN) — same fixpoint
+    * as the frontier expansion, kept naive on purpose as the equality
+    * proof. */
+  private def bfsRoundSql(k: Int): String = {
+    val prev = s"d${k - 1}"
+    s"""d$k AS (SELECT node, MIN(dist) AS dist FROM (
+       |    SELECT node, dist FROM $prev
+       |    UNION ALL
+       |    SELECT e.dst AS node, p.dist + 1 AS dist
+       |    FROM $prev p JOIN e ON e.src = p.node) GROUP BY 1)""".stripMargin
+  }
+
+  /** Contract face of [[bfsDistances]]: hop distance from the 10 lowest
+    * part keys (q188's seed slice) over the co-purchase graph, 4 hops.
+    * Every (node, hops) pair is in the result, so one node discovered a
+    * round early or late anywhere changes the hash. */
+  val q263BfsHops: QueryDef = sql(
+    "q263_bfs_hops",
+    s"""WITH e AS (
+       |  SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+       |  FROM lineitem a JOIN lineitem b
+       |    ON b.l_orderkey = a.l_orderkey AND b.l_partkey <> a.l_partkey),
+       |deg AS (SELECT src, COUNT(*) AS d FROM e GROUP BY 1),
+       |seeds AS (SELECT src AS node FROM deg ORDER BY src LIMIT 10),
+       |d0 AS (SELECT node, 0 AS dist FROM seeds),
+       |${bfsRoundSql(1)},
+       |${bfsRoundSql(2)},
+       |${bfsRoundSql(3)},
+       |${bfsRoundSql(4)}
+       |SELECT node AS part, CAST(dist AS BIGINT) AS hops
+       |FROM d4
+       |ORDER BY part""".stripMargin) { (s, dir) =>
+    val edges = copurchaseEdges(s, dir)
+    val seeds = edges.groupBy(col("src")).agg(count(lit(1)).as("d"))
+      .orderBy(col("src")).limit(10).select(col("src").as("seed"))
+    bfsDistances(edges, seeds, maxHops = 4)
+      .select(col("node").as("part"), col("hops"))
+      .orderBy(col("part"))
+  }
+
+  /** Local-bridge detection (Granovetter AJS 1973 "weak ties"; Easley &
+    * Kleinberg ch. 3): an edge whose endpoints share NO common neighbor —
+    * removing it lengthens its endpoints' connection to ≥ 3 hops, so
+    * local bridges are the inter-community conduits (where the q153
+    * communities touch) and the first edges a graph-partitioner may cut.
+    * Runs on the same support-≥2 frequent core as q243: the support
+    * filter bounds the wedge stage before any quadratic risk.
+    *
+    * One wedge semi-join decides everything: edge (a,b) is a local
+    * bridge iff no x with a–x and b–x — a LEFT ANTI join of the edge
+    * relation against the wedge closure, the exact complement of q243's
+    * triangle-close inner join (shared cost shape, opposite selection).
+    * Exact; endpoint degrees attached for the weak-tie reading. */
+  /** Local bridges of an undirected unique-pair edge relation (a < b):
+    * the edges whose endpoints share no common neighbor, with endpoint
+    * degrees attached. See the q274 face doc for the algorithm shape. */
+  def localBridges(edges: DataFrame): DataFrame = {
+    val e = edges.select(col("a"), col("b")).localCheckpoint(true)
+    val sym = e.select(col("a").as("u"), col("b").as("v"))
+      .unionAll(e.select(col("b").as("u"), col("a").as("v")))
+    val deg = sym.groupBy(col("u").as("node")).agg(count(lit(1)).cast("long").as("d"))
+    // wedge closure keyed on the shared neighbor; the anti join keeps
+    // exactly the edges q243's triangle join would drop
+    val closed = e
+      .join(sym.select(col("u").as("a"), col("v").as("x")), Seq("a"))
+      .join(sym.select(col("u").as("b"), col("v").as("x")), Seq("b", "x"))
+      .select(col("a"), col("b")).distinct()
+    e.join(closed, Seq("a", "b"), "left_anti")
+      .join(broadcast(deg.select(col("node").as("a"), col("d").as("deg_a"))), Seq("a"))
+      .join(broadcast(deg.select(col("node").as("b"), col("d").as("deg_b"))), Seq("b"))
+      .select(col("a"), col("b"), col("deg_a"), col("deg_b"))
+  }
+
+  val q274LocalBridges: QueryDef = sql(
+    "q274_local_bridges",
+    """WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+      |pairs AS (SELECT x.pk AS a, y.pk AS b FROM li x JOIN li y
+      |            ON x.ok = y.ok AND x.pk < y.pk),
+      |e AS (SELECT a, b FROM pairs GROUP BY a, b HAVING COUNT(*) >= 2),
+      |sym AS (SELECT a AS u, b AS v FROM e UNION ALL SELECT b, a FROM e),
+      |deg AS (SELECT u AS node, CAST(COUNT(*) AS BIGINT) AS d FROM sym GROUP BY 1),
+      |closed AS (SELECT DISTINCT e.a, e.b
+      |           FROM e JOIN sym na ON na.u = e.a JOIN sym nb ON nb.u = e.b
+      |           WHERE na.v = nb.v)
+      |SELECT e.a, e.b, da.d AS deg_a, db.d AS deg_b
+      |FROM e
+      |LEFT JOIN closed c ON c.a = e.a AND c.b = e.b
+      |JOIN deg da ON da.node = e.a
+      |JOIN deg db ON db.node = e.b
+      |WHERE c.a IS NULL
+      |ORDER BY e.a, e.b""".stripMargin) { (s, dir) =>
+    val pairs = Analytics.pairsOf(Analytics.baskets(s, dir))
+      .select(col("part_a").as("a"), col("part_b").as("b"))
+    val e = pairs.groupBy(col("a"), col("b")).agg(count(lit(1)).as("c"))
+      .filter(col("c") >= 2).select(col("a"), col("b"))
+    localBridges(e).orderBy(col("a"), col("b"))
+  }
+
   val all: Seq[QueryDef] = Seq(q143Pagerank, q153LabelProp, q173BradleyTerry,
-    q188PersonalizedPagerank, q243Triangles)
+    q188PersonalizedPagerank, q243Triangles, q263BfsHops, q274LocalBridges)
 }
