@@ -347,6 +347,51 @@ object StreamingOps {
       .toDF("event_type", "next_type")
   }
 
+  /** Streaming face of q264 (interval-union coverage): per-user stateful
+    * interval merge. State is one OPEN island (start, runningMaxEnd, n)
+    * per user; an incoming interval extends it while s ≤ maxEnd, and
+    * when an interval starts PAST the running max end the old island can
+    * never grow again, so it is emitted CLOSED and the new interval
+    * opens the next island — an uptime monitor's exact semantics (the
+    * still-open island is not final and stays in state; the batch face
+    * sees it, the stream hasn't finished it yet, and StreamingSpec
+    * asserts stream ≡ batch minus each user's chronologically-last
+    * island).
+    *
+    * Rows within a micro-batch sort by (s, event_id); ACROSS batches the
+    * merge is only correct when a user's events arrive in nondecreasing
+    * start order — the same staged-file time-order precondition
+    * [[corpusBuildStream]] documents (a production feed partitioned by
+    * event time satisfies it; late data belongs in the batch face).
+    * State is user-keyed (partitions across executors) and O(1) per
+    * user. */
+  def intervalUnionStream(s: SparkSession, events: DataFrame): DataFrame = {
+    import s.implicits._
+    val iv = Temporal.eventIntervals(events)
+      .as[(Long, Long, Long, Long)]
+    iv.groupByKey(_._1)
+      .flatMapGroupsWithState[(Long, Long, Long), (Long, Long, Long, Long, Long)](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout) {
+        case (uid, rows, state: GroupState[(Long, Long, Long)]) =>
+          val sorted = rows.toSeq.sortBy(r => (r._3, r._2))
+          var cur = state.getOption // (start, runningMaxEnd, n)
+          val out = Seq.newBuilder[(Long, Long, Long, Long, Long)]
+          sorted.foreach { case (_, _, st, en) =>
+            cur = cur match {
+              case Some((cs, ce, n)) if st <= ce =>
+                Some((cs, math.max(ce, en), n + 1))
+              case Some((cs, ce, n)) =>
+                out += ((uid, cs, ce, ce - cs, n))
+                Some((st, en, 1L))
+              case None => Some((st, en, 1L))
+            }
+          }
+          cur.foreach(state.update)
+          out.result().iterator
+      }
+      .toDF("user_id", "island_start", "island_end", "covered_us", "n_events")
+  }
+
   /** Streaming face of q108 (incremental dedup): NEW document files
     * arrive as a file-source stream; each micro-batch is decided against
     * the PERSISTED corpus state via `foreachBatch` — the corpus

@@ -919,9 +919,317 @@ object Temporal {
       .orderBy(col("day"))
   }
 
+  /** Interval-union coverage (uptime / SLA accounting): each event opens a
+    * VARIABLE-LENGTH activity interval [ts, ts + 60s + floor(value·60)s);
+    * per user, overlapping intervals merge into islands and the covered
+    * time is the union length. Variable durations make this a true
+    * interval-union problem — an early long interval can swallow several
+    * later ones, so "gap to the PREVIOUS event" (session semantics, q41)
+    * is wrong here; the island test must compare against the RUNNING MAX
+    * end. Touching intervals ([a,b) then [b,c)) merge.
+    *
+    * One user-keyed shuffle, then two ordered window passes per user
+    * (running max end → island ids) and two aggregations — O(n log n)
+    * per user, never the quadratic pairwise-overlap join. All arithmetic
+    * is exact BIGINT microseconds (`unix_micros`/`epoch_us`); the only
+    * double op is floor(value·60), the same IEEE expression both engines.
+    * Hot users at 100 TB salt via the q114 device. */
+  /** Per-user merged interval islands of a (user_id, event_id, s, e)
+    * relation: overlapping-or-touching [s, e) intervals collapse into
+    * islands via the running-max-end test. Returns one row per island:
+    * (user_id, island, start_us, end_us, covered, n). Shared by the q264
+    * batch face and the streaming equivalence proof. */
+  def intervalIslands(iv: DataFrame): DataFrame = {
+    val byStart = Window.partitionBy(col("user_id")).orderBy(col("s"), col("event_id"))
+    val marked = iv
+      .withColumn("pmax",
+        max(col("e")).over(byStart.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("new_island",
+        when(col("pmax") >= col("s"), lit(0L)).otherwise(lit(1L)))
+    marked.withColumn("island",
+        sum(col("new_island")).over(
+          Window.partitionBy(col("user_id")).orderBy(col("s"), col("e"))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("island"))
+      .agg(min(col("s")).as("start_us"), max(col("e")).as("end_us"),
+        (max(col("e")) - min(col("s"))).as("covered"), count(lit(1)).as("n"))
+  }
+
+  /** The q264/streaming-face interval projection of the events table. */
+  private[graft] def eventIntervals(events: DataFrame): DataFrame = events.select(
+    col("user_id"), col("event_id"),
+    unix_micros(col("ts")).as("s"),
+    (unix_micros(col("ts")) +
+      (expr("CAST(FLOOR(value * 60) AS BIGINT)") + lit(60L)) * lit(1000000L)).as("e"))
+
+  val q264IntervalUnion: QueryDef = sql(
+    "q264_interval_union",
+    """WITH iv AS (
+      |  SELECT user_id, event_id,
+      |    epoch_us(ts) AS s,
+      |    epoch_us(ts) + (CAST(FLOOR(value * 60) AS BIGINT) + 60) * 1000000 AS e
+      |  FROM events),
+      |marked AS (
+      |  SELECT user_id, s, e,
+      |    CASE WHEN MAX(e) OVER (PARTITION BY user_id ORDER BY s, event_id
+      |                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+      |              >= s THEN 0 ELSE 1 END AS new_island
+      |  FROM iv),
+      |isl AS (
+      |  SELECT user_id, s, e,
+      |    SUM(new_island) OVER (PARTITION BY user_id ORDER BY s, e
+      |                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+      |  FROM marked),
+      |spans AS (
+      |  SELECT user_id, island, MAX(e) - MIN(s) AS covered, COUNT(*) AS n
+      |  FROM isl GROUP BY 1, 2)
+      |SELECT user_id,
+      |  CAST(SUM(n) AS BIGINT) AS n_events,
+      |  CAST(COUNT(*) AS BIGINT) AS n_islands,
+      |  CAST(SUM(covered) AS BIGINT) AS covered_us
+      |FROM spans
+      |GROUP BY 1
+      |ORDER BY user_id""".stripMargin) { (s, dir) =>
+    intervalIslands(eventIntervals(Tables.events(s, dir)))
+      .groupBy(col("user_id"))
+      .agg(sum(col("n")).as("n_events"), count(lit(1)).as("n_islands"),
+        sum(col("covered")).as("covered_us"))
+      .orderBy(col("user_id"))
+  }
+
+  /** Theil–Sen robust trend (Theil 1950; Sen JASA 1968) of the daily event
+    * volume: slope = median of all pairwise day-to-day slopes, intercept =
+    * median residual at that slope — the 29.3%-breakdown trend estimator
+    * that one bad telemetry day cannot bend (OLS, q244's device, moves
+    * with every outlier).
+    *
+    * Scale split: the corpus-sized stage is the daily count aggregate
+    * (map-side combined, one shuffle on day); the pairwise stage runs on
+    * the DAY relation — O(days²) pairs where days is bounded (30 here,
+    * ~3.6 k at a decade of retention → ~6.6 M pairs, still dimension-
+    * sized). Medians select order statistics through one ordered window
+    * over that bounded relation; the single-partition window is over
+    * day-pairs, never events. Determinism: slopes are one double division
+    * of exact BIGINTs; the even-count median averages the two middle
+    * values ((n+1) DIV 2 and n DIV 2 + 1 collapse to the same row when n
+    * is odd) — identical IEEE ops both engines. */
+  val q265TheilSen: QueryDef = sql(
+    "q265_theil_sen",
+    """WITH daily AS (
+      |  SELECT CAST(epoch_us(date_trunc('day', ts)) // 86400000000 AS BIGINT) AS day_idx,
+      |    CAST(COUNT(*) AS BIGINT) AS cnt
+      |  FROM events GROUP BY 1),
+      |base AS (SELECT MIN(day_idx) AS d0 FROM daily),
+      |d AS (SELECT day_idx - d0 AS x, cnt FROM daily, base),
+      |sl AS (SELECT (CAST(b.cnt AS DOUBLE) - CAST(a.cnt AS DOUBLE)) / CAST(b.x - a.x AS DOUBLE) AS slope
+      |       FROM d a JOIN d b ON b.x > a.x),
+      |r AS (SELECT slope, ROW_NUMBER() OVER (ORDER BY slope) AS rn,
+      |        COUNT(*) OVER () AS n FROM sl),
+      |med AS (SELECT AVG(slope) AS slope FROM r WHERE rn = (n + 1) // 2 OR rn = n // 2 + 1),
+      |res AS (SELECT CAST(d.cnt AS DOUBLE) - med.slope * CAST(d.x AS DOUBLE) AS resid
+      |        FROM d, med),
+      |r2 AS (SELECT resid, ROW_NUMBER() OVER (ORDER BY resid) AS rn,
+      |         COUNT(*) OVER () AS n FROM res),
+      |icept AS (SELECT AVG(resid) AS intercept FROM r2 WHERE rn = (n + 1) // 2 OR rn = n // 2 + 1)
+      |SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM d) AS n_days,
+      |  (SELECT CAST(COUNT(*) AS BIGINT) FROM sl) AS n_pairs,
+      |  med.slope AS slope_per_day, icept.intercept AS intercept
+      |FROM med, icept""".stripMargin) { (s, dir) =>
+    val daily = Tables.events(s, dir)
+      // integer DIV, never `/`: epoch micros (~1.7e18) exceed double's
+      // 2^53 integer range, so a double division here would lose days
+      .groupBy(expr("unix_micros(date_trunc('day', ts)) div 86400000000L").as("day_idx"))
+      .agg(count(lit(1)).as("cnt"))
+    val d0 = daily.agg(min(col("day_idx")).as("d0"))
+    val d = daily.crossJoin(broadcast(d0))
+      .select((col("day_idx") - col("d0")).as("x"), col("cnt"))
+      .localCheckpoint(true) // day-sized; cuts the corpus agg out of both median plans
+    val sl = d.as("a").join(d.as("b"), col("b.x") > col("a.x"))
+      .select(((col("b.cnt").cast("double") - col("a.cnt").cast("double"))
+        / (col("b.x") - col("a.x")).cast("double")).as("slope"))
+    def medianOf(vals: DataFrame, c: String): DataFrame = {
+      val w = Window.orderBy(col(c))
+      vals.withColumn("rn", row_number().over(w))
+        .withColumn("n", count(lit(1)).over(
+          Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+        .filter(col("rn") === expr("(n + 1) div 2") ||
+          col("rn") === expr("n div 2 + 1"))
+        .agg(avg(col(c)).as(c))
+    }
+    val med = medianOf(sl, "slope")
+    val res = d.crossJoin(broadcast(med))
+      .select((col("cnt").cast("double") - col("slope") * col("x").cast("double")).as("resid"))
+    val icept = medianOf(res, "resid").withColumnRenamed("resid", "intercept")
+    val nDays = d.agg(count(lit(1)).as("n_days"))
+    val nPairs = sl.agg(count(lit(1)).as("n_pairs"))
+    nDays.crossJoin(nPairs).crossJoin(med.withColumnRenamed("slope", "slope_per_day"))
+      .crossJoin(icept)
+  }
+
+  /** Gap-constrained sequential-pattern mining (the 3-event episode cut of
+    * GSP/PrefixSpan, Srikant & Agrawal EDBT'96): every run of THREE
+    * consecutive same-user events with ≤ 30 min between neighbors, ranked
+    * by distinct-user support — "which 3-step journeys actually recur"
+    * (q109's transition matrix sees only pairs; funnels (q95) test ONE
+    * pinned sequence — this MINES the frequent ones).
+    *
+    * One user-keyed shuffle + two LEADs per event; candidate rows are
+    * occurrences (corpus-bounded, no blowup) and the pattern space is
+    * |event_types|³ — the aggregate output is dimension-sized. Exact
+    * integer micros for the gap test; support = exact count distinct. */
+  val q269EpisodeMining: QueryDef = sql(
+    "q269_episode_mining",
+    """WITH seqd AS (
+      |  SELECT user_id, event_type AS e1, epoch_us(ts) AS t1,
+      |    LEAD(event_type) OVER w AS e2, LEAD(epoch_us(ts)) OVER w AS t2,
+      |    LEAD(event_type, 2) OVER w AS e3, LEAD(epoch_us(ts), 2) OVER w AS t3
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |ep AS (
+      |  SELECT user_id, e1, e2, e3 FROM seqd
+      |  WHERE e3 IS NOT NULL AND t2 - t1 <= 1800000000 AND t3 - t2 <= 1800000000)
+      |SELECT e1, e2, e3,
+      |  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS support,
+      |  CAST(COUNT(*) AS BIGINT) AS occurrences
+      |FROM ep GROUP BY 1, 2, 3
+      |ORDER BY support DESC, occurrences DESC, e1, e2, e3
+      |LIMIT 50""".stripMargin) { (s, dir) =>
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val seqd = Tables.events(s, dir).select(
+      col("user_id"), col("event_type").as("e1"), unix_micros(col("ts")).as("t1"),
+      lead(col("event_type"), 1).over(w).as("e2"),
+      lead(unix_micros(col("ts")), 1).over(w).as("t2"),
+      lead(col("event_type"), 2).over(w).as("e3"),
+      lead(unix_micros(col("ts")), 2).over(w).as("t3"))
+    seqd.filter(col("e3").isNotNull &&
+        col("t2") - col("t1") <= 1800000000L && col("t3") - col("t2") <= 1800000000L)
+      .groupBy(col("e1"), col("e2"), col("e3"))
+      .agg(countDistinct(col("user_id")).as("support"),
+        count(lit(1)).as("occurrences"))
+      .orderBy(col("support").desc, col("occurrences").desc,
+        col("e1"), col("e2"), col("e3"))
+      .limit(50)
+  }
+
+  /** Sample autocorrelation function of the daily event volume at lags
+    * 1–7 (Box & Jenkins 1970, the r_k estimator with the full-sum
+    * denominator): the seasonality probe — a weekly cycle surfaces as a
+    * lag-7 spike, a trend as slow decay (feeding q265's trend fit and
+    * q226's change-point scan with WHICH structure to remove).
+    *
+    * Exactness device: r_k's numerator Σ(y_t−ȳ)(y_{t+k}−ȳ) is rational in
+    * ȳ — multiplying through by n² makes every term (n·y_t − S)(n·y_{t+k}
+    * − S) an exact BIGINT, so both engines reduce r_k to ONE double
+    * division of identical integers. The corpus-scale stage is the daily
+    * aggregate; lag joins run on the day relation (bounded, q265's
+    * argument). Calendar gaps break pairs naturally (join on x+k). */
+  val q270Autocorrelation: QueryDef = sql(
+    "q270_autocorrelation",
+    """WITH daily AS (
+      |  SELECT CAST(epoch_us(date_trunc('day', ts)) // 86400000000 AS BIGINT) AS x,
+      |    CAST(COUNT(*) AS BIGINT) AS y
+      |  FROM events GROUP BY 1),
+      |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(y) AS BIGINT) AS sy FROM daily),
+      |dev AS (SELECT x, tot.n * y - tot.sy AS d FROM daily, tot),
+      |den AS (SELECT CAST(SUM(d * d) AS BIGINT) AS den FROM dev),
+      |lags(lag) AS (VALUES (1), (2), (3), (4), (5), (6), (7)),
+      |num AS (
+      |  SELECT l.lag, CAST(COUNT(*) AS BIGINT) AS n_terms,
+      |    CAST(SUM(a.d * b.d) AS BIGINT) AS num
+      |  FROM lags l JOIN dev a ON TRUE JOIN dev b ON b.x = a.x + l.lag
+      |  GROUP BY 1)
+      |SELECT num.lag, num.n_terms,
+      |  CAST(num.num AS DOUBLE) / CAST(den.den AS DOUBLE) AS acf
+      |FROM num, den
+      |ORDER BY num.lag""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    val daily = Tables.events(s, dir)
+      .groupBy(expr("unix_micros(date_trunc('day', ts)) div 86400000000L").as("x"))
+      .agg(count(lit(1)).as("y"))
+    val tot = daily.agg(count(lit(1)).as("n"), sum(col("y")).as("sy"))
+    val dev = daily.crossJoin(broadcast(tot))
+      .select(col("x"), (col("n") * col("y") - col("sy")).as("d"))
+      .localCheckpoint(true) // day-sized; both lag sides read one materialized frame
+    val den = dev.agg(sum(col("d") * col("d")).as("den"))
+    val lags = Seq(1L, 2L, 3L, 4L, 5L, 6L, 7L).toDF("lag")
+    val num = broadcast(lags).crossJoin(dev.select(col("x").as("ax"), col("d").as("ad")))
+      .join(dev.select(col("x").as("bx"), col("d").as("bd")),
+        col("bx") === col("ax") + col("lag"))
+      .groupBy(col("lag"))
+      .agg(count(lit(1)).as("n_terms"), sum(col("ad") * col("bd")).as("num"))
+    num.crossJoin(broadcast(den))
+      .select(col("lag"), col("n_terms"),
+        (col("num").cast("double") / col("den").cast("double")).as("acf"))
+      .orderBy(col("lag"))
+  }
+
+  /** Exponential smoothing of the daily event series with α = 1/2 — the
+    * DYADIC-EXACT formulation: s_t = (y_t + s_{t−1})/2 unrolls to v_t =
+    * v_{t−1} + 2^{t−2}·y_t with s_t = v_t / 2^{t−1}, so the whole
+    * trajectory is ONE weighted prefix sum in exact BIGINTs and every
+    * smoothed value is a dyadic rational that DOUBLE represents exactly —
+    * no recurrence, no recursion, no cross-engine float drift (the q119
+    * unrolled-trajectory device transplanted to EWMA). The one-step-ahead
+    * forecast is s_{t−1} and its residual y_t − s_{t−1} is exact too.
+    *
+    * The shifted weights 2^{t−2} grow with the series index, so v_t needs
+    * t ≲ 40 at daily-count magnitudes (2^38·y < 2⁶³); for longer series
+    * truncate the window to the trailing ~50 rows — weights below 2⁻⁵³
+    * are sub-ulp and change no double — keeping the same exactness with a
+    * bounded frame. Day indexes densify through ROW_NUMBER so calendar
+    * gaps don't inflate exponents. */
+  val q271DyadicSmoothing: QueryDef = sql(
+    "q271_dyadic_smoothing",
+    """WITH daily AS (
+      |  SELECT CAST(epoch_us(date_trunc('day', ts)) // 86400000000 AS BIGINT) AS day_idx,
+      |    CAST(COUNT(*) AS BIGINT) AS y
+      |  FROM events GROUP BY 1),
+      |seq AS (SELECT day_idx, y,
+      |    CAST(ROW_NUMBER() OVER (ORDER BY day_idx) AS BIGINT) AS t FROM daily),
+      |pre AS (
+      |  SELECT day_idx, y, t,
+      |    CAST(SUM(CASE WHEN t = 1 THEN y ELSE y * (CAST(1 AS BIGINT) << CAST(t - 2 AS INTEGER)) END)
+      |      OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS v
+      |  FROM seq)
+      |SELECT day_idx, y,
+      |  CAST(v AS DOUBLE) / CAST(CAST(1 AS BIGINT) << CAST(t - 1 AS INTEGER) AS DOUBLE) AS smooth,
+      |  CASE WHEN t = 1 THEN NULL
+      |    ELSE CAST(LAG(v) OVER (ORDER BY t) AS DOUBLE)
+      |         / CAST(CAST(1 AS BIGINT) << CAST(t - 2 AS INTEGER) AS DOUBLE) END AS forecast,
+      |  CASE WHEN t = 1 THEN NULL
+      |    ELSE CAST(y AS DOUBLE)
+      |         - CAST(LAG(v) OVER (ORDER BY t) AS DOUBLE)
+      |           / CAST(CAST(1 AS BIGINT) << CAST(t - 2 AS INTEGER) AS DOUBLE) END AS residual
+      |FROM pre
+      |ORDER BY day_idx""".stripMargin) { (s, dir) =>
+    val daily = Tables.events(s, dir)
+      .groupBy(expr("unix_micros(date_trunc('day', ts)) div 86400000000L").as("day_idx"))
+      .agg(count(lit(1)).as("y"))
+    val byT = Window.orderBy(col("t"))
+    val pre = daily
+      .withColumn("t", row_number().over(Window.orderBy(col("day_idx"))).cast("long"))
+      .withColumn("v", sum(
+        when(col("t") === 1L, col("y"))
+          .otherwise(col("y") * expr("shiftleft(1L, CAST(t - 2 AS INT))")))
+        .over(byT.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    pre.select(col("day_idx"), col("y"),
+        (col("v").cast("double")
+          / expr("shiftleft(1L, CAST(t - 1 AS INT))").cast("double")).as("smooth"),
+        when(col("t") === 1L, lit(null).cast("double"))
+          .otherwise(lag(col("v"), 1).over(byT).cast("double")
+            / expr("shiftleft(1L, CAST(t - 2 AS INT))").cast("double")).as("forecast"),
+        when(col("t") === 1L, lit(null).cast("double"))
+          .otherwise(col("y").cast("double")
+            - lag(col("v"), 1).over(byT).cast("double")
+              / expr("shiftleft(1L, CAST(t - 2 AS INT))").cast("double")).as("residual"))
+      .orderBy(col("day_idx"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     q46AsofJoin, q47Pivot, q55IntervalJoin, q63AsofNative, q81IntervalNative,
     q95Funnel, q96RetentionCohorts, q109TransitionMatrix, q192DecayScores,
     q226ChangePoint, q236Attribution, q241PeakConcurrency, q242KaplanMeier,
-    q249ShapleyAttribution, q251MarkovRemoval, q259HaarCompress)
+    q249ShapleyAttribution, q251MarkovRemoval, q259HaarCompress,
+    q264IntervalUnion, q265TheilSen, q269EpisodeMining, q270Autocorrelation,
+    q271DyadicSmoothing)
 }
