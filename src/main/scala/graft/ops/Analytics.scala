@@ -2466,8 +2466,212 @@ object Analytics {
       .orderBy(col("bucket"))
   }
 
+  /** Benford first-digit audit (Newcomb 1881; Benford 1938; Nigrini's
+    * forensic-accounting screen): the distribution of leading digits of
+    * order totals vs the log-law P(d) = log10(1 + 1/d), with per-digit
+    * chi-square contributions — the fraud/synthetic-data tripwire (fixture
+    * prices are uniform-ish, so the audit SHOULD flag them; the value is
+    * the measurement, not conformance).
+    *
+    * Digit extraction never touches libm: cents = floor(price·100) is one
+    * exact double op, and the leading digit is the first character of the
+    * BIGINT's decimal rendering — integer→string is exact in any engine
+    * (log10-based extraction risks a 1-ulp boundary flip at powers of 10).
+    * The Benford probabilities are pinned micro-unit CONSTANTS, not
+    * engine-computed logs. One scan + a 9-row broadcast; counts exact;
+    * chi-square is the same IEEE expression both engines. */
+  val q266BenfordAudit: QueryDef = sql(
+    "q266_benford_audit",
+    """WITH c AS (
+      |  SELECT CAST(substr(CAST(CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS VARCHAR), 1, 1) AS BIGINT) AS digit
+      |  FROM orders),
+      |obs AS (SELECT digit, CAST(COUNT(*) AS BIGINT) AS n_obs FROM c GROUP BY 1),
+      |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM c),
+      |b(digit, exp_micro) AS (VALUES
+      |  (1, 301029), (2, 176091), (3, 124938), (4, 96910), (5, 79181),
+      |  (6, 66946), (7, 57991), (8, 51152), (9, 45757))
+      |SELECT b.digit, COALESCE(obs.n_obs, 0) AS n_obs,
+      |  COALESCE(obs.n_obs, 0) * 1000000 // tot.n AS obs_micro,
+      |  CAST(b.exp_micro AS BIGINT) AS exp_micro,
+      |  (CAST(COALESCE(obs.n_obs, 0) * 1000000 - tot.n * b.exp_micro AS DOUBLE)
+      |   * CAST(COALESCE(obs.n_obs, 0) * 1000000 - tot.n * b.exp_micro AS DOUBLE))
+      |  / ((CAST(tot.n AS DOUBLE) * CAST(b.exp_micro AS DOUBLE)) * 1000000.0) AS chi2_term
+      |FROM b LEFT JOIN obs ON obs.digit = b.digit, tot
+      |ORDER BY b.digit""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    val digits = Tables.orders(s, dir).select(
+      expr("CAST(substring(CAST(CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS STRING), 1, 1) AS BIGINT)")
+        .as("digit"))
+    val obs = digits.groupBy(col("digit")).agg(count(lit(1)).as("n_obs"))
+    val tot = digits.agg(count(lit(1)).as("n"))
+    val bench = Seq(
+      (1L, 301029L), (2L, 176091L), (3L, 124938L), (4L, 96910L), (5L, 79181L),
+      (6L, 66946L), (7L, 57991L), (8L, 51152L), (9L, 45757L))
+      .toDF("digit", "exp_micro")
+    bench.join(obs, Seq("digit"), "left").crossJoin(broadcast(tot))
+      .select(col("digit"),
+        coalesce(col("n_obs"), lit(0L)).as("n_obs"),
+        expr("coalesce(n_obs, 0L) * 1000000L DIV n").as("obs_micro"),
+        col("exp_micro"),
+        expr("""(CAST(coalesce(n_obs, 0L) * 1000000L - n * exp_micro AS DOUBLE)
+               | * CAST(coalesce(n_obs, 0L) * 1000000L - n * exp_micro AS DOUBLE))
+               | / ((CAST(n AS DOUBLE) * CAST(exp_micro AS DOUBLE)) * 1000000.0D)"""
+          .stripMargin).as("chi2_term"))
+      .orderBy(col("digit"))
+  }
+
+  /** Neyman-optimal stratified sample allocation (Neyman JRSS 1934; the
+    * survey-sampling design every AQP layer reuses): a budget of 1000
+    * sample rows split across the (returnflag, linestatus) strata
+    * ∝ N_h·S_h — wide, volatile strata get the budget; tight ones are
+    * cheap to estimate (vs the proportional split q247 measures).
+    * Integerization is LARGEST-REMAINDER (Hamilton): floor every exact
+    * allocation, then hand the leftover rows to the largest fractional
+    * parts — the unique deterministic rounding that conserves the budget.
+    *
+    * One map-side-combined pass builds (n, Σcents, Σcents²) per stratum
+    * in exact BIGINTs (cents² sums overflow 2⁶³ past ~10⁶ rows/stratum —
+    * lift the two sums to DECIMAL(38,0) at larger SF); the variance and
+    * everything after runs on the 6-row stratum relation through one
+    * ordered running-sum window (doubles summed in PINNED stratum order —
+    * unordered double aggregation would be engine-dependent). */
+  val q267NeymanAllocation: QueryDef = sql(
+    "q267_neyman_allocation",
+    """WITH st AS (
+      |  SELECT l_returnflag, l_linestatus,
+      |    CAST(COUNT(*) AS BIGINT) AS n_rows,
+      |    CAST(SUM(CAST(FLOOR(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS s1,
+      |    CAST(SUM(CAST(FLOOR(l_extendedprice * 100) AS BIGINT)
+      |             * CAST(FLOOR(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS s2
+      |  FROM lineitem GROUP BY 1, 2),
+      |sd AS (
+      |  SELECT l_returnflag, l_linestatus, n_rows,
+      |    SQRT((CAST(n_rows AS DOUBLE) * CAST(s2 AS DOUBLE)
+      |          - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE))
+      |         / (CAST(n_rows AS DOUBLE) * CAST(n_rows - 1 AS DOUBLE))) AS s_h
+      |  FROM st),
+      |wt AS (
+      |  SELECT *, CAST(n_rows AS DOUBLE) * s_h AS w,
+      |    ROW_NUMBER() OVER (ORDER BY l_returnflag, l_linestatus) AS rn,
+      |    SUM(CAST(n_rows AS DOUBLE) * s_h)
+      |      OVER (ORDER BY l_returnflag, l_linestatus
+      |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumw
+      |  FROM sd),
+      |tw AS (SELECT cumw AS total_w FROM wt WHERE rn = (SELECT MAX(rn) FROM wt)),
+      |ex AS (
+      |  SELECT l_returnflag, l_linestatus, n_rows, s_h,
+      |    1000.0 * w / total_w AS exact_a,
+      |    CAST(FLOOR(1000.0 * w / total_w) AS BIGINT) AS base
+      |  FROM wt, tw),
+      |rem AS (SELECT CAST(1000 - SUM(base) AS BIGINT) AS leftover FROM ex),
+      |rk AS (
+      |  SELECT *, ROW_NUMBER() OVER (
+      |    ORDER BY exact_a - base DESC, l_returnflag, l_linestatus) AS frn
+      |  FROM ex)
+      |SELECT rk.l_returnflag, rk.l_linestatus, rk.n_rows, rk.s_h,
+      |  rk.base + CASE WHEN rk.frn <= rem.leftover THEN 1 ELSE 0 END AS alloc
+      |FROM rk, rem
+      |ORDER BY rk.l_returnflag, rk.l_linestatus""".stripMargin) { (s, dir) =>
+    val cents = expr("CAST(FLOOR(l_extendedprice * 100) AS BIGINT)")
+    val st = Tables.lineitem(s, dir)
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n_rows"), sum(cents).as("s1"),
+        sum(cents * cents).as("s2"))
+    val sd = st.select(col("l_returnflag"), col("l_linestatus"), col("n_rows"),
+      expr("""SQRT((CAST(n_rows AS DOUBLE) * CAST(s2 AS DOUBLE)
+             | - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE))
+             | / (CAST(n_rows AS DOUBLE) * CAST(n_rows - 1 AS DOUBLE)))"""
+        .stripMargin).as("s_h"))
+    val ord = Window.orderBy(col("l_returnflag"), col("l_linestatus"))
+    val wt = sd
+      .withColumn("w", col("n_rows").cast("double") * col("s_h"))
+      .withColumn("rn", row_number().over(ord))
+      .withColumn("cumw", sum(col("w")).over(
+        ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val tw = wt.agg(max(col("rn")).as("mrn"))
+      .join(wt.select(col("rn"), col("cumw")), col("mrn") === col("rn"))
+      .select(col("cumw").as("total_w"))
+    val ex = wt.crossJoin(broadcast(tw))
+      .withColumn("exact_a", lit(1000.0) * col("w") / col("total_w"))
+      .withColumn("base", expr("CAST(FLOOR(1000.0D * w / total_w) AS BIGINT)"))
+    val rem = ex.agg((lit(1000L) - sum(col("base"))).as("leftover"))
+    val rk = ex.withColumn("frn", row_number().over(
+      Window.orderBy((col("exact_a") - col("base")).desc,
+        col("l_returnflag"), col("l_linestatus"))))
+    rk.crossJoin(broadcast(rem))
+      .select(col("l_returnflag"), col("l_linestatus"), col("n_rows"), col("s_h"),
+        (col("base") + when(col("frn") <= col("leftover"), 1L).otherwise(0L)).as("alloc"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+  }
+
+  /** Revenue-concentration audit: the Gini coefficient and the Lorenz
+    * curve of per-customer order revenue (Gini 1912; Lorenz 1905) — the
+    * "how head-heavy is this corpus" one-pager (the same shape argument
+    * as q201's Zipf audit, on money instead of words; a Gini near 0 says
+    * broadcast-the-dims, near 1 says the q114 hot-key device will be
+    * needed).
+    *
+    * All moments are exact integers: revenue in BIGINT cents, rank·revenue
+    * products summed exactly (Σ rn·rev < 2⁶³ to ~10⁶ customers — lift to
+    * DECIMAL(38,0) past that), so the Gini double is ONE division of
+    * exact integers. Deciles cut by NTILE over the same pinned total
+    * order. The customer aggregate is the only corpus-scale stage; the
+    * ordered window runs on the customer relation (document the
+    * single-axis sort: at 10⁹ customers use a range-partitioned sort,
+    * same result). */
+  val q268GiniLorenz: QueryDef = sql(
+    "q268_gini_lorenz",
+    """WITH rev AS (
+      |  SELECT o_custkey, CAST(SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+      |  FROM orders GROUP BY 1),
+      |rk AS (
+      |  SELECT o_custkey, cents,
+      |    ROW_NUMBER() OVER (ORDER BY cents, o_custkey) AS rn,
+      |    NTILE(10) OVER (ORDER BY cents, o_custkey) AS decile
+      |  FROM rev),
+      |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(cents) AS BIGINT) AS s0,
+      |               CAST(SUM(rn * cents) AS BIGINT) AS s1 FROM rk),
+      |dec AS (
+      |  SELECT decile, CAST(COUNT(*) AS BIGINT) AS n_customers,
+      |    CAST(SUM(cents) AS BIGINT) AS dec_cents
+      |  FROM rk GROUP BY 1),
+      |cum AS (
+      |  SELECT decile, n_customers,
+      |    CAST(SUM(dec_cents) OVER (ORDER BY decile
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_cents
+      |  FROM dec)
+      |SELECT cum.decile, cum.n_customers, cum.cum_cents,
+      |  CAST(cum.cum_cents AS DOUBLE) / CAST(tot.s0 AS DOUBLE) AS cum_share,
+      |  (2.0 * CAST(tot.s1 AS DOUBLE) - CAST(tot.n + 1 AS DOUBLE) * CAST(tot.s0 AS DOUBLE))
+      |    / (CAST(tot.n AS DOUBLE) * CAST(tot.s0 AS DOUBLE)) AS gini
+      |FROM cum, tot
+      |ORDER BY cum.decile""".stripMargin) { (s, dir) =>
+    val rev = Tables.orders(s, dir)
+      .groupBy(col("o_custkey"))
+      .agg(sum(expr("CAST(FLOOR(o_totalprice * 100) AS BIGINT)")).as("cents"))
+    val ord = Window.orderBy(col("cents"), col("o_custkey"))
+    val rk = rev
+      .withColumn("rn", row_number().over(ord))
+      .withColumn("decile", ntile(10).over(ord))
+    val tot = rk.agg(count(lit(1)).as("n"), sum(col("cents")).as("s0"),
+      sum(col("rn") * col("cents")).as("s1"))
+    val dec = rk.groupBy(col("decile"))
+      .agg(count(lit(1)).as("n_customers"), sum(col("cents")).as("dec_cents"))
+    val cum = dec.withColumn("cum_cents",
+      sum(col("dec_cents")).over(Window.orderBy(col("decile"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    cum.crossJoin(broadcast(tot))
+      .select(col("decile"), col("n_customers"), col("cum_cents"),
+        (col("cum_cents").cast("double") / col("s0").cast("double")).as("cum_share"),
+        ((lit(2.0) * col("s1").cast("double")
+          - (col("n") + 1).cast("double") * col("s0").cast("double"))
+          / (col("n").cast("double") * col("s0").cast("double"))).as("gini"))
+      .orderBy(col("decile"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     q227IntegrityScorecard, q231MarketShare, q235MvMaintenance, q244Cuped, q247AqpGroupby,
+    q266BenfordAudit, q267NeymanAllocation, q268GiniLorenz,
     q253RfmSegments, q254AssociationRules, q255CohortLtv, q256DeletionCascade,
     q257EquiDepthAudit, q261BitemporalAsof,
     q01PricingSummary, q02SelectiveFilter, q03ShippingPriority, q05LocalRevenue,
