@@ -706,8 +706,66 @@ object Layout {
       .orderBy(col("strategy"))
   }
 
+  /** Count–Min sketch audit (Cormode & Muthukrishnan J.Alg 2005): the
+    * d×w counter array over event user-ids, served back against exact
+    * counts for the top-20 heaviest users — the OTHER point-query sketch
+    * beside q102's Misra-Gries (MG answers "who is heavy" within an
+    * additive envelope; CM answers "how heavy is THIS key" for any key,
+    * overestimate-only, and merges by cell-wise addition, so per-shard
+    * sketches fold into a corpus sketch with no re-scan — the shape a
+    * 1000-executor frequency service ships to its driver).
+    *
+    * Determinism: row hashes are md5-derived buckets (the q62 device —
+    * no engine RNG, both engines derive identical cells), so the sketch
+    * and every estimate are exact integers the oracle reproduces cell
+    * for cell. Build cost: one map-side-combined pass producing ≤ d·w
+    * cells; estimates join the key's d cells against the broadcast
+    * sketch. The overestimate-only guarantee (est ≥ exact always) is
+    * pinned per row in the output. */
+  val q273CountMinAudit: QueryDef = sql(
+    "q273_count_min_audit",
+    """WITH rows_i(i) AS (VALUES (0), (1), (2), (3)),
+      |h AS (
+      |  SELECT user_id, i,
+      |    CAST(('0x' || substr(md5(CAST(i AS VARCHAR) || ':' || CAST(user_id AS VARCHAR)), 1, 4)) AS INT) % 256 AS bucket
+      |  FROM events, rows_i),
+      |sk AS (SELECT i, bucket, CAST(COUNT(*) AS BIGINT) AS c FROM h GROUP BY 1, 2),
+      |exact AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS exact_n
+      |          FROM events GROUP BY 1),
+      |keys AS (
+      |  SELECT e.user_id, e.exact_n, i.i,
+      |    CAST(('0x' || substr(md5(CAST(i.i AS VARCHAR) || ':' || CAST(e.user_id AS VARCHAR)), 1, 4)) AS INT) % 256 AS bucket
+      |  FROM exact e, rows_i i),
+      |est AS (
+      |  SELECT k.user_id, k.exact_n, CAST(MIN(sk.c) AS BIGINT) AS cm_est
+      |  FROM keys k JOIN sk ON sk.i = k.i AND sk.bucket = k.bucket
+      |  GROUP BY 1, 2)
+      |SELECT user_id, exact_n, cm_est, cm_est - exact_n AS overestimate
+      |FROM est
+      |ORDER BY exact_n DESC, user_id
+      |LIMIT 20""".stripMargin) { (s, dir) =>
+    val rowsI = explode(array((0 to 3).map(i => lit(i)): _*)).as("i")
+    // same md5-derived cell both at build and at probe time
+    val bucketC = pmod(
+      expr("CAST(conv(substring(md5(concat(CAST(i AS STRING), ':', CAST(user_id AS STRING))), 1, 4), 16, 10) AS INT)"),
+      lit(256)).as("bucket")
+    val ev = Tables.events(s, dir).select(col("user_id"))
+    val h = ev.select(col("user_id"), rowsI).select(col("user_id"), col("i"), bucketC)
+    val sk = h.groupBy(col("i"), col("bucket")).agg(count(lit(1)).as("c"))
+    val exact = ev.groupBy(col("user_id")).agg(count(lit(1)).as("exact_n"))
+    val keys = exact.select(col("user_id"), col("exact_n"), rowsI)
+      .select(col("user_id"), col("exact_n"), col("i"), bucketC)
+    keys.join(broadcast(sk), Seq("i", "bucket"))
+      .groupBy(col("user_id"), col("exact_n"))
+      .agg(min(col("c")).as("cm_est"))
+      .select(col("user_id"), col("exact_n"), col("cm_est"),
+        (col("cm_est") - col("exact_n")).as("overestimate"))
+      .orderBy(col("exact_n").desc, col("user_id"))
+      .limit(20)
+  }
+
   val all: Seq[QueryDef] = Seq(
     q112BucketedJoin, q113PartitionPruning, q114SaltedJoin, q115BloomSemiJoin,
     q229ColumnProfile, q230LayoutAdvisor, q246CardinalityAudit, q250BloomZoneMap,
-    q258CurveLocality, q260RebalanceAudit)
+    q258CurveLocality, q260RebalanceAudit, q273CountMinAudit)
 }

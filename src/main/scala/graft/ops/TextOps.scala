@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.sources.Tables
@@ -5161,7 +5162,162 @@ object TextOps {
       .orderBy(col("source"))
   }
 
+  /** Repeat-epoch budget allocation under data constraint (Muennighoff
+    * et al. NeurIPS 2023, "Scaling data-constrained language models"):
+    * when the token budget EXCEEDS the unique corpus, sources are
+    * repeated — but repeated epochs decay in value, so the question is
+    * which source earns its 2nd/3rd epoch before another earns its 1st.
+    * Marginal utility of source s's e-th epoch is modeled q_s·T_s·2^{1−e}
+    * (quality-weighted tokens, halving per repeat — the dyadic decay
+    * keeps every number an exact BIGINT shift); the greedy that fills the
+    * budget in descending marginal utility is OPTIMAL for this separable
+    * diminishing-returns objective, and per-source marginals strictly
+    * decrease, so the global greedy order is automatically prefix-closed
+    * per source (epoch e admitted ⇒ e−1 admitted earlier).
+    *
+    * One corpus pass builds (T_s, q_s) exactly; everything after —
+    * candidate epochs, the descending-utility running token sum, the
+    * budget cut — runs on the sources×6 relation through one ordered
+    * window. Budget = floor(1.5 × ΣT). */
+  val q276EpochAllocation: QueryDef = sql(
+    "q276_epoch_allocation",
+    """WITH src AS (
+      |  SELECT source,
+      |    CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS toks,
+      |    CAST(SUM(len(list_distinct(string_split(text, ' ')))) AS BIGINT) AS dtoks
+      |  FROM documents GROUP BY 1),
+      |q AS (SELECT source, toks, (dtoks * 1000000) // toks AS quality_micro FROM src),
+      |budget AS (SELECT (3 * SUM(toks)) // 2 AS b FROM q),
+      |eps(e) AS (VALUES (1), (2), (3), (4), (5), (6)),
+      |cand AS (
+      |  SELECT q.source, q.toks, q.quality_micro, eps.e,
+      |    (q.quality_micro * q.toks) >> (eps.e - 1) AS util
+      |  FROM q, eps),
+      |ordered AS (
+      |  SELECT *, SUM(toks) OVER (ORDER BY util DESC, source, e
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      |  FROM cand),
+      |kept AS (SELECT * FROM ordered, budget WHERE cum <= budget.b)
+      |SELECT q.source, q.toks, q.quality_micro,
+      |  CAST(COALESCE(k.epochs, 0) AS BIGINT) AS epochs,
+      |  CAST(COALESCE(k.epochs, 0) * q.toks AS BIGINT) AS scheduled_toks
+      |FROM q LEFT JOIN (SELECT source, COUNT(*) AS epochs FROM kept GROUP BY 1) k
+      |  ON k.source = q.source
+      |ORDER BY q.source""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    val src = Tables.fanOut(Tables.documents(s, dir))
+      .withColumn("toksArr", split(col("text"), " "))
+      .groupBy(col("source"))
+      .agg(sum(size(col("toksArr"))).cast("long").as("toks"),
+        sum(size(array_distinct(col("toksArr")))).cast("long").as("dtoks"))
+    val q = src.select(col("source"), col("toks"),
+      expr("(dtoks * 1000000L) DIV toks").as("quality_micro"))
+      .localCheckpoint(true) // source-sized; feeds candidates AND the final join
+    val budget = q.agg(expr("(3 * SUM(toks)) DIV 2").as("b"))
+    val eps = Seq(1, 2, 3, 4, 5, 6).toDF("e")
+    val cand = q.crossJoin(broadcast(eps))
+      .withColumn("util", expr("shiftright(quality_micro * toks, e - 1)"))
+    val ordered = cand.withColumn("cum",
+      sum(col("toks")).over(Window.orderBy(col("util").desc, col("source"), col("e"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val kept = ordered.crossJoin(broadcast(budget)).filter(col("cum") <= col("b"))
+    q.join(kept.groupBy(col("source")).agg(count(lit(1)).as("epochs")),
+        Seq("source"), "left")
+      .select(col("source"), col("toks"), col("quality_micro"),
+        coalesce(col("epochs"), lit(0L)).as("epochs"),
+        (coalesce(col("epochs"), lit(0L)) * col("toks")).as("scheduled_toks"))
+      .orderBy(col("source"))
+  }
+
+  /** Greedy maximum-coverage source selection (Nemhauser, Wolsey &
+    * Fisher 1978: the (1−1/e) greedy; Hochbaum's textbook max-cover):
+    * which THREE sources together cover the most distinct 5-gram
+    * shingles — the "which corpora to license next" question, where
+    * value is marginal novelty (q213's jackknife measures influence of a
+    * source on a metric; this measures raw coverage complementarity).
+    * Three unrolled greedy rounds, each = one anti-join of the
+    * (source, shingle) relation against the shingles already covered +
+    * one max-count argmax (ties to the lexically-lowest source).
+    *
+    * The corpus pass happens once (shingle→distinct per source); rounds
+    * run on that relation. Shingles are 60-bit md5 ints (the q31
+    * device), so the oracle reproduces them exactly. */
+  val q277CoverageSelect: QueryDef = sql(
+    "q277_coverage_select",
+    """WITH toks AS (
+      |  SELECT source, doc_id, string_split(text, ' ') AS w FROM documents),
+      |grams AS (
+      |  SELECT DISTINCT source,
+      |    CAST(('0x' || substr(md5(array_to_string(w[i:i+4], ' ')), 1, 15)) AS BIGINT) AS g
+      |  FROM toks, UNNEST(range(1, len(w) - 3)) AS t(i)
+      |  WHERE len(w) >= 5),
+      |p1 AS (SELECT source FROM grams GROUP BY 1
+      |       ORDER BY COUNT(*) DESC, source LIMIT 1),
+      |c1 AS (SELECT DISTINCT g FROM grams JOIN p1 USING (source)),
+      |g2 AS (SELECT grams.source, grams.g FROM grams
+      |       LEFT JOIN c1 ON c1.g = grams.g
+      |       WHERE c1.g IS NULL AND grams.source NOT IN (SELECT source FROM p1)),
+      |p2 AS (SELECT source FROM g2 GROUP BY 1
+      |       ORDER BY COUNT(*) DESC, source LIMIT 1),
+      |c2 AS (SELECT g FROM c1 UNION SELECT DISTINCT g FROM g2 JOIN p2 USING (source)),
+      |g3 AS (SELECT grams.source, grams.g FROM grams
+      |       LEFT JOIN c2 ON c2.g = grams.g
+      |       WHERE c2.g IS NULL AND grams.source NOT IN (SELECT source FROM p1)
+      |         AND grams.source NOT IN (SELECT source FROM p2)),
+      |p3 AS (SELECT source FROM g3 GROUP BY 1
+      |       ORDER BY COUNT(*) DESC, source LIMIT 1),
+      |picks AS (
+      |  SELECT 1 AS pick, source,
+      |    (SELECT CAST(COUNT(*) AS BIGINT) FROM c1) AS marginal FROM p1
+      |  UNION ALL
+      |  SELECT 2, p2.source,
+      |    (SELECT CAST(COUNT(*) AS BIGINT) FROM g2 JOIN p2 USING (source)) FROM p2
+      |  UNION ALL
+      |  SELECT 3, p3.source,
+      |    (SELECT CAST(COUNT(*) AS BIGINT) FROM g3 JOIN p3 USING (source)) FROM p3)
+      |SELECT CAST(pick AS BIGINT) AS pick, source, marginal,
+      |  CAST(SUM(marginal) OVER (ORDER BY pick
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_coverage
+      |FROM picks
+      |ORDER BY pick""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    val grams = Tables.fanOut(Tables.documents(s, dir))
+      .withColumn("w", split(col("text"), " "))
+      .filter(size(col("w")) >= 5)
+      .select(col("source"), explode(expr(
+        "transform(sequence(0, size(w) - 5), i -> " +
+          "CAST(conv(substring(md5(array_join(slice(w, i + 1, 5), ' ')), 1, 15), 16, 10) AS BIGINT))"))
+        .as("g"))
+      .distinct()
+      .localCheckpoint(true) // (source, shingle)-sized; read by every round
+    def pickBest(cands: DataFrame): String =
+      cands.groupBy(col("source")).agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("source")).limit(1)
+        .head().getString(0)
+    var covered: DataFrame = null
+    var remaining = grams
+    val picks = scala.collection.mutable.ArrayBuffer.empty[(Int, String, Long)]
+    for (round <- 1 to 3) {
+      val best = pickBest(remaining)
+      val newCov = remaining.filter(col("source") === best).select(col("g")).distinct()
+        .localCheckpoint(true)
+      val marginal = newCov.count()
+      picks += ((round, best, marginal))
+      covered = if (covered == null) newCov else covered.unionAll(newCov)
+      remaining = remaining.filter(col("source") =!= best)
+        .join(newCov.withColumnRenamed("g", "gc"), col("g") === col("gc"), "left_anti")
+        .localCheckpoint(true)
+    }
+    picks.toSeq.toDF("pick", "source", "marginal")
+      .withColumn("pick", col("pick").cast("long"))
+      .withColumn("cum_coverage", sum(col("marginal")).over(
+        Window.orderBy(col("pick"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .orderBy(col("pick"))
+  }
+
   val all: Seq[QueryDef] = Seq(
+    q276EpochAllocation, q277CoverageSelect,
     q21TextStats, q22WordFreq, q23BigramFreq, q24LangId, q25QualityScore,
     q26Fingerprint, q27TokenRegex, q62TrainSplit, q64TermFreqMap,
     q68StratifiedSample, q72Redaction, q74Chunking, q79CurationPipeline,
