@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.ops.{Analytics, Classifier, Dedup, Graph, Layout, Multimodal, QueryDef, SchemaLint, Similarity, StreamingOps, Temporal, TextOps, Tokenizer}
+import graft.ops.{Analytics, Classifier, Contracts, Dedup, Graph, Layout, Multimodal, QueryDef, SchemaLint, Similarity, StreamingOps, Temporal, TextOps, Tokenizer}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -15,7 +15,8 @@ object SparkEntry {
   private def registry: Seq[QueryDef] =
     SchemaLint.all ++ Analytics.all ++ Temporal.all ++ TextOps.all ++
       Dedup.all ++ Similarity.all ++ StreamingOps.all ++ Multimodal.all ++
-      Layout.all ++ Classifier.all ++ Tokenizer.all ++ Graph.all
+      Layout.all ++ Classifier.all ++ Tokenizer.all ++ Graph.all ++
+      Contracts.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

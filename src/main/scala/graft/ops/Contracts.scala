@@ -1,0 +1,163 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** Declarative data-contract checking — the Deequ / Great-Expectations
+  * shape (Schelter et al. VLDB'18 "Automating large-scale data quality
+  * verification"): a table ships with a suite of EXPECTATIONS (not-null,
+  * unique key, accepted values, numeric range, regex shape) and the engine
+  * evaluates the whole suite as a scan-bounded report of
+  * (constraint, violations, n_rows, passed) rows — the admission gate a
+  * 100 TB ingest runs BEFORE data reaches the curation pipeline (q227
+  * audits referential integrity BETWEEN tables; this audits each table
+  * against its own declared contract).
+  *
+  * Evaluation cost is the scale contract: every row-wise expectation
+  * compiles to one conditional-sum aggregate and the whole row-wise suite
+  * runs in ONE map-side-combined pass over the table regardless of suite
+  * size; each `Unique` key adds one exact group-count pass (Σ(cnt−1) over
+  * its key — the same answer as count(*) minus distinct-count, including
+  * NULL keys, without countDistinct's null-dropping surprise). Nothing
+  * collects; the report relation is suite-sized.
+  */
+object Contracts {
+  import QueryDef.sql
+
+  /** One declared expectation over a table's column(s). */
+  sealed trait Expectation
+
+  /** `col` must never be NULL. */
+  final case class NotNull(col: String) extends Expectation
+
+  /** `col` must be one of `values` (NULL violates). */
+  final case class AcceptedValues(col: String, values: Seq[String]) extends Expectation
+
+  /** `col` must lie in the closed range [lo, hi] (NULL violates). */
+  final case class InRange(col: String, lo: Double, hi: Double) extends Expectation
+
+  /** `col` must FULLY match `regex` (NULL violates) — the pattern is
+    * implicitly anchored, Spark's partial-match `rlike` notwithstanding. */
+  final case class MatchesRegex(col: String, regex: String) extends Expectation
+
+  /** The column tuple must be a unique key: violations = surplus rows
+    * beyond one per distinct tuple. */
+  final case class Unique(cols: Seq[String]) extends Expectation
+
+  private def label(table: String, e: Expectation): String = e match {
+    case NotNull(c)           => s"$table.$c.not_null"
+    case AcceptedValues(c, v) => s"$table.$c.accepted_values{${v.mkString(",")}}"
+    case InRange(c, lo, hi)   => s"$table.$c.range[$lo,$hi]"
+    case MatchesRegex(c, _)   => s"$table.$c.regex"
+    case Unique(cs)           => s"$table.(${cs.mkString(",")}).unique"
+  }
+
+  private def violation(e: Expectation): Column = e match {
+    case NotNull(c)           => col(c).isNull
+    case AcceptedValues(c, v) => col(c).isNull || !col(c).isin(v: _*)
+    case InRange(c, lo, hi)   => col(c).isNull || col(c) < lo || col(c) > hi
+    case MatchesRegex(c, re)  => col(c).isNull || !col(c).rlike(s"^(?:$re)$$")
+    case Unique(_)            => lit(false) // handled by its own pass
+  }
+
+  /** Evaluate `suite` against `df`; returns one
+    * (expectation, violations, n_rows, passed) row per expectation. */
+  def check(df: DataFrame, table: String, suite: Seq[Expectation]): DataFrame = {
+    val rowWise = suite.filter(!_.isInstanceOf[Unique])
+    val uniques = suite.collect { case u: Unique => u }
+    // one pass: every row-wise expectation as a conditional sum, aliased
+    // positionally (labels carry dots/brackets; they travel as literals)
+    val aggs = rowWise.zipWithIndex.map { case (e, i) =>
+      sum(when(violation(e), 1L).otherwise(0L)).as(s"v$i")
+    } :+ count(lit(1)).as("nr")
+    val one = df.agg(aggs.head, aggs.tail: _*)
+    val kvs = rowWise.zipWithIndex.map { case (e, i) =>
+      struct(lit(label(table, e)).as("expectation"), col(s"v$i").as("violations"))
+    }
+    val rowReport = one
+      .select(explode(array(kvs: _*)).as("kv"), col("nr"))
+      .select(col("kv.expectation").as("expectation"),
+        col("kv.violations").as("violations"), col("nr").as("n_rows"))
+    val uniqueReports = uniques.map { u =>
+      df.groupBy(u.cols.map(col): _*).agg(count(lit(1)).as("cnt"))
+        .agg(coalesce(sum(col("cnt") - 1L), lit(0L)).as("violations"),
+          coalesce(sum(col("cnt")), lit(0L)).as("n_rows"))
+        .select(lit(label(table, u)).as("expectation"), col("violations"),
+          col("n_rows"))
+    }
+    uniqueReports.foldLeft(rowReport)(_ unionAll _)
+      .withColumn("passed", col("violations") === 0L)
+  }
+
+  /** Contract face: the orders and lineitem tables against their declared
+    * contracts — 9 expectations in 2 row-wise passes + 2 key passes. The
+    * lineitem (l_orderkey, l_linenumber) key is DECLARED unique and the
+    * fixture genuinely violates it (q227's finding re-expressed as a
+    * contract): the suite must report that failure, proving the gate
+    * actually gates. */
+  val q272DataContracts: QueryDef = sql(
+    "q272_data_contracts",
+    """WITH r AS (
+      |  SELECT 'orders.o_orderkey.not_null' AS expectation,
+      |    CAST(COALESCE(SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END), 0) AS BIGINT) AS violations,
+      |    CAST(COUNT(*) AS BIGINT) AS n_rows FROM orders
+      |  UNION ALL
+      |  SELECT 'orders.o_orderstatus.accepted_values{O,F,P}',
+      |    CAST(COALESCE(SUM(CASE WHEN o_orderstatus IS NULL
+      |      OR o_orderstatus NOT IN ('O','F','P') THEN 1 ELSE 0 END), 0) AS BIGINT),
+      |    CAST(COUNT(*) AS BIGINT) FROM orders
+      |  UNION ALL
+      |  SELECT 'orders.o_totalprice.range[0.01,1.0E9]',
+      |    CAST(COALESCE(SUM(CASE WHEN o_totalprice IS NULL
+      |      OR o_totalprice < 0.01 OR o_totalprice > 1000000000.0 THEN 1 ELSE 0 END), 0) AS BIGINT),
+      |    CAST(COUNT(*) AS BIGINT) FROM orders
+      |  UNION ALL
+      |  SELECT 'orders.o_orderpriority.regex',
+      |    CAST(COALESCE(SUM(CASE WHEN o_orderpriority IS NULL
+      |      OR NOT regexp_full_match(o_orderpriority, '[1-5]-[A-Z ]+') THEN 1 ELSE 0 END), 0) AS BIGINT),
+      |    CAST(COUNT(*) AS BIGINT) FROM orders
+      |  UNION ALL
+      |  SELECT 'orders.(o_orderkey).unique',
+      |    CAST(COALESCE((SELECT SUM(cnt - 1) FROM
+      |      (SELECT COUNT(*) AS cnt FROM orders GROUP BY o_orderkey)), 0) AS BIGINT),
+      |    CAST(COUNT(*) AS BIGINT) FROM orders
+      |  UNION ALL
+      |  SELECT 'lineitem.l_quantity.range[1.0,50.0]',
+      |    CAST(COALESCE(SUM(CASE WHEN l_quantity IS NULL
+      |      OR l_quantity < 1.0 OR l_quantity > 50.0 THEN 1 ELSE 0 END), 0) AS BIGINT),
+      |    CAST(COUNT(*) AS BIGINT) FROM lineitem
+      |  UNION ALL
+      |  SELECT 'lineitem.l_returnflag.accepted_values{A,N,R}',
+      |    CAST(COALESCE(SUM(CASE WHEN l_returnflag IS NULL
+      |      OR l_returnflag NOT IN ('A','N','R') THEN 1 ELSE 0 END), 0) AS BIGINT),
+      |    CAST(COUNT(*) AS BIGINT) FROM lineitem
+      |  UNION ALL
+      |  SELECT 'lineitem.l_shipdate.not_null',
+      |    CAST(COALESCE(SUM(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END), 0) AS BIGINT),
+      |    CAST(COUNT(*) AS BIGINT) FROM lineitem
+      |  UNION ALL
+      |  SELECT 'lineitem.(l_orderkey,l_linenumber).unique',
+      |    CAST(COALESCE((SELECT SUM(cnt - 1) FROM
+      |      (SELECT COUNT(*) AS cnt FROM lineitem GROUP BY l_orderkey, l_linenumber)), 0) AS BIGINT),
+      |    CAST(COUNT(*) AS BIGINT) FROM lineitem)
+      |SELECT expectation, violations, n_rows, violations = 0 AS passed
+      |FROM r
+      |ORDER BY expectation""".stripMargin) { (s, dir) =>
+    val orders = check(Tables.orders(s, dir), "orders", Seq(
+      NotNull("o_orderkey"),
+      AcceptedValues("o_orderstatus", Seq("O", "F", "P")),
+      InRange("o_totalprice", 0.01, 1.0e9),
+      MatchesRegex("o_orderpriority", "[1-5]-[A-Z ]+"),
+      Unique(Seq("o_orderkey"))))
+    val li = check(Tables.lineitem(s, dir), "lineitem", Seq(
+      InRange("l_quantity", 1.0, 50.0),
+      AcceptedValues("l_returnflag", Seq("A", "N", "R")),
+      NotNull("l_shipdate"),
+      Unique(Seq("l_orderkey", "l_linenumber"))))
+    orders.unionAll(li).orderBy(col("expectation"))
+  }
+
+  val all: Seq[QueryDef] = Seq(q272DataContracts)
+}

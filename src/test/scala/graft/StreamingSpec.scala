@@ -673,6 +673,41 @@ class StreamingSpec extends SparkSpec {
     assert(got == want, "per-user stateful stream must reproduce the batch LEAD pairs")
   }
 
+  test("streaming interval union: closed islands equal batch islands minus each user's open one") {
+    // stage the fixture events as TWO time-halves so island state must
+    // survive a trigger boundary (stamped mtimes pin the replay order)
+    val dir = Files.createTempDirectory("graft-iu").toString
+    val ev = Tables.events(spark, sfDir).orderBy(col("ts"), col("event_id"))
+      .localCheckpoint(true)
+    val mid = ev.selectExpr("percentile_approx(unix_micros(ts), 0.5)").head().getLong(0)
+    Seq(("a", s"unix_micros(ts) <= ${mid}L"), ("b", s"unix_micros(ts) > ${mid}L"))
+      .foreach { case (half, pred) =>
+        val p = Files.createTempDirectory("graft-iu-w")
+        ev.filter(expr(pred)).coalesce(1).write.mode("overwrite").parquet(p.toString)
+        val one = Option(p.toFile.listFiles()).get
+          .filter(_.getName.endsWith(".parquet")).head.toPath
+        val dst = Paths.get(s"$dir/$half.parquet")
+        Files.copy(one, dst, StandardCopyOption.REPLACE_EXISTING)
+        stampStaged(dst)
+      }
+    val got = runToMemory(
+      StreamingOps.intervalUnionStream(spark, StreamingOps.eventsStream(spark, dir)),
+      "t_interval_union", "append")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(4))).toSet
+    // batch islands minus each user's chronologically-last (still-open) island
+    val islands = graft.ops.Temporal.intervalIslands(
+      graft.ops.Temporal.eventIntervals(Tables.events(spark, sfDir)))
+    val lastIsland = islands.groupBy(col("user_id"))
+      .agg(max(col("island")).as("island"))
+    val want = islands.join(lastIsland, Seq("user_id", "island"), "left_anti")
+      .collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("start_us"),
+        r.getAs[Long]("end_us"), r.getAs[Long]("n"))).toSet
+    assert(got == want, "stream must close exactly the batch islands that can no longer grow")
+    assert(got.nonEmpty)
+  }
+
   test("streaming admission cap consumes quota in arrival order, across a restart") {
     import scala.collection.concurrent.TrieMap
     val docs = Tables.documents(spark, sfDir)
