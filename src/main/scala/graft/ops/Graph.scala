@@ -654,6 +654,121 @@ object Graph {
     localBridges(e).orderBy(col("a"), col("b"))
   }
 
+  /** TextRank keyword extraction (Mihalcea & Tarau EMNLP 2004): the
+    * fixed-point PageRank walker ([[pagerank]] — node type is generic,
+    * so word STRINGS walk unchanged) over the word-adjacency graph of
+    * the English corpus slice — keywords are words central to the
+    * corpus's own co-occurrence structure, no training, no frequency
+    * cutoffs (TF-IDF q99 ranks by rarity; TextRank ranks by graph
+    * centrality — the two disagree exactly where it's interesting).
+    * Candidate words are lowercase-alphabetic, length ≥ 4 (the paper's
+    * syntactic filter, made deterministic); edges are distinct adjacent
+    * pairs, symmetric. Same exact-integer trajectory, same per-round
+    * cost shape, same oracle CTEs as q143.
+    *
+    * Scale posture: the corpus pass is the bigram explode (one scan);
+    * the graph is vocabulary-sized, the walk rounds move only the
+    * node-sized rank relation. */
+  val q279Textrank: QueryDef = sql(
+    "q279_textrank",
+    s"""WITH toks AS (
+       |  SELECT doc_id, string_split(text, ' ') AS w FROM documents WHERE lang = 'en'),
+       |adj AS (
+       |  SELECT w[i] AS wa, w[i + 1] AS wb
+       |  FROM toks, UNNEST(range(1, len(w))) AS t(i)),
+       |fil AS (
+       |  SELECT wa, wb FROM adj
+       |  WHERE regexp_full_match(wa, '[a-z]{4,}') AND regexp_full_match(wb, '[a-z]{4,}')
+       |    AND wa <> wb),
+       |e AS (SELECT DISTINCT wa AS src, wb AS dst FROM fil
+       |      UNION SELECT DISTINCT wb, wa FROM fil),
+       |deg AS (SELECT src, COUNT(*) AS d FROM e GROUP BY 1),
+       |r0 AS (SELECT src AS part, CAST($RankScale AS BIGINT) AS rank FROM deg),
+       |${roundSql(1)},
+       |${roundSql(2)},
+       |${roundSql(3)}
+       |SELECT r.part AS word, r.rank, deg.d AS degree
+       |FROM r3 r JOIN deg ON deg.src = r.part
+       |ORDER BY r.rank DESC, word
+       |LIMIT 50""".stripMargin) { (s, dir) =>
+    val word = "^[a-z]{4,}$"
+    val adj = Tables.fanOut(Tables.documents(s, dir))
+      .filter(col("lang") === "en")
+      .withColumn("w", split(col("text"), " "))
+      .filter(size(col("w")) >= 2) // sequence(0, -1) would count DOWN
+      .select(explode(expr(
+        "transform(sequence(0, size(w) - 2), i -> named_struct('wa', w[i], 'wb', w[i + 1]))")).as("p"))
+      .select(col("p.wa").as("wa"), col("p.wb").as("wb"))
+      .filter(col("wa").rlike(word) && col("wb").rlike(word) && col("wa") =!= col("wb"))
+    val e = adj.select(col("wa").as("src"), col("wb").as("dst"))
+      .union(adj.select(col("wb").as("src"), col("wa").as("dst")))
+      .distinct()
+    pagerank(e, rounds = 3)
+      .select(col("part").as("word"), col("rank"), col("degree"))
+      .orderBy(col("rank").desc, col("word"))
+      .limit(50)
+  }
+
+  /** Degree assortativity (Newman PRL 2002): the Pearson correlation of
+    * endpoint degrees over the directed edge list of the frequent
+    * co-purchase core — positive r means hubs sell with hubs (rich-club
+    * catalogs), negative means hubs anchor stars of commodities, and
+    * that sign decides whether q114-style hot-key salting hits a few
+    * super-nodes or a whole connected tier. All six moments are exact
+    * BIGINT sums over the support-≥2 core (degrees ≤ core size, no
+    * overflow); r is one double expression of them, identical both
+    * engines. */
+  /** Degree-assortativity moments of an undirected unique-pair edge
+    * relation (a < b): one row (n_directed_edges, sum_xy, r). See the
+    * q281 face doc. */
+  def degreeAssortativity(edges: DataFrame): DataFrame = {
+    val e = edges.select(col("a"), col("b"))
+    val sym = e.select(col("a").as("u"), col("b").as("v"))
+      .unionAll(e.select(col("b").as("u"), col("a").as("v")))
+      .localCheckpoint(true) // core-sized; feeds deg AND the moment join
+    val deg = sym.groupBy(col("u").as("node")).agg(count(lit(1)).cast("long").as("d"))
+    val ed = sym
+      .join(broadcast(deg.select(col("node").as("u"), col("d").as("x"))), Seq("u"))
+      .join(broadcast(deg.select(col("node").as("v"), col("d").as("y"))), Seq("v"))
+    ed.agg(count(lit(1)).as("n"), sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("y")).as("sxy"), sum(col("x") * col("x")).as("sxx"),
+        sum(col("y") * col("y")).as("syy"))
+      .select(col("n").as("n_directed_edges"), col("sxy").as("sum_xy"),
+        expr("""(CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+               | / SQRT((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+               |      * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))"""
+          .stripMargin).as("r"))
+  }
+
+  val q281Assortativity: QueryDef = sql(
+    "q281_assortativity",
+    """WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+      |pairs AS (SELECT x.pk AS a, y.pk AS b FROM li x JOIN li y
+      |            ON x.ok = y.ok AND x.pk < y.pk),
+      |e AS (SELECT a, b FROM pairs GROUP BY a, b HAVING COUNT(*) >= 2),
+      |sym AS (SELECT a AS u, b AS v FROM e UNION ALL SELECT b, a FROM e),
+      |deg AS (SELECT u AS node, CAST(COUNT(*) AS BIGINT) AS d FROM sym GROUP BY 1),
+      |ed AS (SELECT du.d AS x, dv.d AS y FROM sym
+      |       JOIN deg du ON du.node = sym.u JOIN deg dv ON dv.node = sym.v),
+      |m AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+      |        CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+      |        CAST(SUM(x * y) AS BIGINT) AS sxy,
+      |        CAST(SUM(x * x) AS BIGINT) AS sxx,
+      |        CAST(SUM(y * y) AS BIGINT) AS syy
+      |      FROM ed)
+      |SELECT n AS n_directed_edges, sxy AS sum_xy,
+      |  (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+      |  / SQRT((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+      |       * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))) AS r
+      |FROM m""".stripMargin) { (s, dir) =>
+    val pairs = Analytics.pairsOf(Analytics.baskets(s, dir))
+      .select(col("part_a").as("a"), col("part_b").as("b"))
+    val e = pairs.groupBy(col("a"), col("b")).agg(count(lit(1)).as("c"))
+      .filter(col("c") >= 2).select(col("a"), col("b"))
+    degreeAssortativity(e)
+  }
+
   val all: Seq[QueryDef] = Seq(q143Pagerank, q153LabelProp, q173BradleyTerry,
-    q188PersonalizedPagerank, q243Triangles, q263BfsHops, q274LocalBridges)
+    q188PersonalizedPagerank, q243Triangles, q263BfsHops, q274LocalBridges,
+    q279Textrank, q281Assortativity)
 }

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.Decimals._
@@ -764,8 +764,69 @@ object Layout {
       .limit(20)
   }
 
+  /** KMV distinct-count sketch audit (Bar-Yossef et al. RANDOM 2002;
+    * Beyer et al. SIGMOD 2007's unbiased (k−1)/R_k estimator): keep the
+    * k SMALLEST md5 values of a key column; the k-th smallest, read as a
+    * fraction of the hash space, estimates the distinct count. The
+    * oracle-exact counterpoint to q48/q93's opaque HLL: md5-derived
+    * hashes (the q62/q273 device) make the synopsis itself — not just
+    * its estimate — reproducible cell for cell in both engines. KMV
+    * merges by union + re-top-k, so per-shard sketches fold up a
+    * 1000-executor tree exactly like CM cells fold by addition.
+    *
+    * Audited on two key spaces (event users, lineitem parts); estimates
+    * are one double division of exact integers; exact counts ride the
+    * same scan. The top-k is TakeOrderedAndProject-sized (k = 64), never
+    * a global sort. */
+  val q278KmvSketch: QueryDef = sql(
+    "q278_kmv_sketch",
+    """WITH uh AS (
+      |  SELECT DISTINCT CAST(('0x' || substr(md5('kmv:' || CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+      |  FROM events),
+      |ph AS (
+      |  SELECT DISTINCT CAST(('0x' || substr(md5('kmv:' || CAST(l_partkey AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+      |  FROM lineitem),
+      |uk AS (SELECT MAX(h) AS rk, CAST(COUNT(*) AS BIGINT) AS kk
+      |       FROM (SELECT h FROM uh ORDER BY h LIMIT 64)),
+      |pk AS (SELECT MAX(h) AS rk, CAST(COUNT(*) AS BIGINT) AS kk
+      |       FROM (SELECT h FROM ph ORDER BY h LIMIT 64)),
+      |ex AS (
+      |  SELECT 'event_users' AS key_space,
+      |    (SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) FROM events) AS exact_n,
+      |    uk.rk, uk.kk FROM uk
+      |  UNION ALL
+      |  SELECT 'lineitem_parts',
+      |    (SELECT CAST(COUNT(DISTINCT l_partkey) AS BIGINT) FROM lineitem),
+      |    pk.rk, pk.kk FROM pk)
+      |SELECT key_space, exact_n, kk AS k_kept, rk AS kth_min_hash,
+      |  CASE WHEN kk < 64 THEN CAST(exact_n AS DOUBLE)
+      |       ELSE (CAST(kk AS DOUBLE) - 1.0) * 1152921504606846976.0 / CAST(rk AS DOUBLE) END AS kmv_estimate
+      |FROM ex
+      |ORDER BY key_space""".stripMargin) { (s, dir) =>
+    def kmv(df: DataFrame, keyExpr: String, name: String, exact: Column): DataFrame = {
+      val h = df.select(expr(
+        s"CAST(conv(substring(md5(concat('kmv:', CAST($keyExpr AS STRING))), 1, 15), 16, 10) AS BIGINT)")
+        .as("h")).distinct()
+      val topk = h.orderBy(col("h")).limit(64)
+        .agg(max(col("h")).as("rk"), count(lit(1)).as("kk"))
+      val ex = df.agg(exact.as("exact_n"))
+      topk.crossJoin(broadcast(ex))
+        .select(lit(name).as("key_space"), col("exact_n"), col("kk").as("k_kept"),
+          col("rk").as("kth_min_hash"),
+          when(col("kk") < 64, col("exact_n").cast("double"))
+            .otherwise((col("kk").cast("double") - 1.0) * lit(1152921504606846976.0)
+              / col("rk").cast("double")).as("kmv_estimate"))
+    }
+    val ev = Tables.events(s, dir)
+    val li = Tables.lineitem(s, dir)
+    kmv(ev, "user_id", "event_users", countDistinct(col("user_id")).cast("long"))
+      .unionAll(kmv(li, "l_partkey", "lineitem_parts",
+        countDistinct(col("l_partkey")).cast("long")))
+      .orderBy(col("key_space"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     q112BucketedJoin, q113PartitionPruning, q114SaltedJoin, q115BloomSemiJoin,
     q229ColumnProfile, q230LayoutAdvisor, q246CardinalityAudit, q250BloomZoneMap,
-    q258CurveLocality, q260RebalanceAudit, q273CountMinAudit)
+    q258CurveLocality, q260RebalanceAudit, q273CountMinAudit, q278KmvSketch)
 }

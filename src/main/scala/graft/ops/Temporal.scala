@@ -1225,11 +1225,127 @@ object Temporal {
       .orderBy(col("day_idx"))
   }
 
+  /** Classical additive seasonal decomposition of the daily event volume
+    * (the moving-average method, Kendall & Stuart; STL's ancestor):
+    * trend = centered 7-day moving average, seasonal = per-day-of-week
+    * mean of the detrended series, remainder = what neither explains —
+    * q270's ACF detects the weekly cycle, this one EXTRACTS it.
+    *
+    * Exactness: 7·trend and 7·detrended are exact BIGINT window sums, the
+    * seasonal index is an exact integer pair (Σ detrended×7, count), and
+    * the three emitted doubles are single identical expressions of those
+    * integers. Interior days only (a full 7-day window must exist AND be
+    * calendar-contiguous — the max−min=6 guard, so calendar gaps exclude
+    * their neighborhood instead of silently averaging over a hole).
+    * Seasonal indexes are the raw per-dow means (uncentered — the grand
+    * mean stays in the trend reading). Day relation is bounded (q265's
+    * argument); the corpus pass is the daily aggregate. */
+  val q275SeasonalDecompose: QueryDef = sql(
+    "q275_seasonal_decompose",
+    """WITH daily AS (
+      |  SELECT CAST(epoch_us(date_trunc('day', ts)) // 86400000000 AS BIGINT) AS day_idx,
+      |    CAST(COUNT(*) AS BIGINT) AS y
+      |  FROM events GROUP BY 1),
+      |tr AS (
+      |  SELECT day_idx, y,
+      |    SUM(y) OVER w AS t7, COUNT(*) OVER w AS c7,
+      |    MAX(day_idx) OVER w - MIN(day_idx) OVER w AS span
+      |  FROM daily
+      |  WINDOW w AS (ORDER BY day_idx ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+      |interior AS (
+      |  SELECT day_idx, y, t7, 7 * y - t7 AS d7, day_idx % 7 AS dow
+      |  FROM tr WHERE c7 = 7 AND span = 6),
+      |seas AS (
+      |  SELECT dow, CAST(SUM(d7) AS BIGINT) AS snum, CAST(COUNT(*) AS BIGINT) AS sden
+      |  FROM interior GROUP BY 1)
+      |SELECT i.day_idx, i.y,
+      |  CAST(i.t7 AS DOUBLE) / 7.0 AS trend,
+      |  CAST(s.snum AS DOUBLE) / (7.0 * CAST(s.sden AS DOUBLE)) AS seasonal,
+      |  CAST(i.y AS DOUBLE) - CAST(i.t7 AS DOUBLE) / 7.0
+      |    - CAST(s.snum AS DOUBLE) / (7.0 * CAST(s.sden AS DOUBLE)) AS remainder
+      |FROM interior i JOIN seas s ON s.dow = i.dow
+      |ORDER BY i.day_idx""".stripMargin) { (s, dir) =>
+    val daily = Tables.events(s, dir)
+      .groupBy(expr("unix_micros(date_trunc('day', ts)) div 86400000000L").as("day_idx"))
+      .agg(count(lit(1)).as("y"))
+    val w = Window.orderBy(col("day_idx")).rowsBetween(-3, 3)
+    val interior = daily
+      .withColumn("t7", sum(col("y")).over(w))
+      .withColumn("c7", count(lit(1)).over(w))
+      .withColumn("span", max(col("day_idx")).over(w) - min(col("day_idx")).over(w))
+      .filter(col("c7") === 7 && col("span") === 6)
+      .select(col("day_idx"), col("y"), col("t7"),
+        (lit(7L) * col("y") - col("t7")).as("d7"),
+        (col("day_idx") % 7).as("dow"))
+      .localCheckpoint(true) // day-sized; feeds the seasonal agg AND the join
+    val seas = interior.groupBy(col("dow"))
+      .agg(sum(col("d7")).as("snum"), count(lit(1)).as("sden"))
+    interior.join(broadcast(seas), Seq("dow"))
+      .select(col("day_idx"), col("y"),
+        (col("t7").cast("double") / 7.0).as("trend"),
+        (col("snum").cast("double") / (lit(7.0) * col("sden").cast("double"))).as("seasonal"),
+        (col("y").cast("double") - col("t7").cast("double") / 7.0
+          - col("snum").cast("double") / (lit(7.0) * col("sden").cast("double"))).as("remainder"))
+      .orderBy(col("day_idx"))
+  }
+
+  /** Inter-arrival burstiness per user (Goh & Barabási EPL 2008): the
+    * coefficient B = (σ−μ)/(σ+μ) of a user's gap distribution — B≈−1
+    * periodic heartbeat, B≈0 Poisson, B→1 bursty sessions. The event-time
+    * twin of q224's word burstiness, and the statistic that says whether
+    * per-user streaming state will see steady drips or bursts.
+    *
+    * One user-keyed shuffle; gaps via one LEAD; moments (n, Σg, Σg²) are
+    * exact BIGINTs in SECONDS (micros would square past 2⁶³; second
+    * granularity keeps Σg² exact to ~10⁶ events/user), and σ, μ, B are
+    * one identical double expression both engines (population σ, per the
+    * paper). Users with < 3 events (< 2 gaps) have no spread and are
+    * excluded. */
+  val q280Burstiness: QueryDef = sql(
+    "q280_burstiness",
+    """WITH g AS (
+      |  SELECT user_id,
+      |    (LEAD(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+      |     - epoch_us(ts)) // 1000000 AS gap_s
+      |  FROM events),
+      |m AS (
+      |  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_gaps,
+      |    CAST(SUM(gap_s) AS BIGINT) AS sg, CAST(SUM(gap_s * gap_s) AS BIGINT) AS sg2
+      |  FROM g WHERE gap_s IS NOT NULL GROUP BY 1 HAVING COUNT(*) >= 2)
+      |SELECT user_id, n_gaps,
+      |  CAST(sg AS DOUBLE) / CAST(n_gaps AS DOUBLE) AS mean_gap_s,
+      |  (SQRT((CAST(n_gaps AS DOUBLE) * CAST(sg2 AS DOUBLE) - CAST(sg AS DOUBLE) * CAST(sg AS DOUBLE)))
+      |     / CAST(n_gaps AS DOUBLE) - CAST(sg AS DOUBLE) / CAST(n_gaps AS DOUBLE))
+      |  / (SQRT((CAST(n_gaps AS DOUBLE) * CAST(sg2 AS DOUBLE) - CAST(sg AS DOUBLE) * CAST(sg AS DOUBLE)))
+      |     / CAST(n_gaps AS DOUBLE) + CAST(sg AS DOUBLE) / CAST(n_gaps AS DOUBLE)) AS burstiness
+      |FROM m
+      |ORDER BY user_id""".stripMargin) { (s, dir) =>
+    val byTs = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val g = Tables.events(s, dir)
+      .select(col("user_id"),
+        expr("unix_micros(ts)").as("t"),
+        lead(expr("unix_micros(ts)"), 1).over(byTs).as("tn"))
+      .filter(col("tn").isNotNull)
+      .select(col("user_id"), expr("(tn - t) div 1000000L").as("gap_s"))
+    g.groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_gaps"), sum(col("gap_s")).as("sg"),
+        sum(col("gap_s") * col("gap_s")).as("sg2"))
+      .filter(col("n_gaps") >= 2)
+      .select(col("user_id"), col("n_gaps"),
+        (col("sg").cast("double") / col("n_gaps").cast("double")).as("mean_gap_s"),
+        expr("""(SQRT((CAST(n_gaps AS DOUBLE) * CAST(sg2 AS DOUBLE) - CAST(sg AS DOUBLE) * CAST(sg AS DOUBLE)))
+               |   / CAST(n_gaps AS DOUBLE) - CAST(sg AS DOUBLE) / CAST(n_gaps AS DOUBLE))
+               |/ (SQRT((CAST(n_gaps AS DOUBLE) * CAST(sg2 AS DOUBLE) - CAST(sg AS DOUBLE) * CAST(sg AS DOUBLE)))
+               |   / CAST(n_gaps AS DOUBLE) + CAST(sg AS DOUBLE) / CAST(n_gaps AS DOUBLE))"""
+          .stripMargin).as("burstiness"))
+      .orderBy(col("user_id"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     q46AsofJoin, q47Pivot, q55IntervalJoin, q63AsofNative, q81IntervalNative,
     q95Funnel, q96RetentionCohorts, q109TransitionMatrix, q192DecayScores,
     q226ChangePoint, q236Attribution, q241PeakConcurrency, q242KaplanMeier,
     q249ShapleyAttribution, q251MarkovRemoval, q259HaarCompress,
     q264IntervalUnion, q265TheilSen, q269EpisodeMining, q270Autocorrelation,
-    q271DyadicSmoothing)
+    q271DyadicSmoothing, q275SeasonalDecompose, q280Burstiness)
 }

@@ -213,4 +213,83 @@ class RobustStatsSpec extends SparkSpec {
     assert(rows.map(_.getLong(0)).toSeq == (1L to 7L))
     rows.foreach(r => assert(math.abs(r.getDouble(2)) <= 1.0 + 1e-12))
   }
+
+  test("seasonal decomposition: a pure weekly cycle leaves remainder exactly zero") {
+    // y = 7 on dow 0, else 0, for 21 days: trend = 1 everywhere interior,
+    // seasonal = 6 on dow 0 and -1 otherwise, remainder = 0 EXACTLY
+    // (every emitted double is a dyadic-free exact integer ratio /7)
+    val rows = (0 until 21).flatMap { d =>
+      val y = if (d % 7 == 0) 7 else 0
+      Seq.fill(y max 0)(java.sql.Timestamp.valueOf(
+        java.time.LocalDateTime.of(2024, 3, d + 1, 12, 0)))
+    } // zero-count days vanish from the aggregate -> plant a 1-event floor
+    val withFloor = rows ++ (0 until 21).map(d => java.sql.Timestamp.valueOf(
+      java.time.LocalDateTime.of(2024, 3, d + 1, 0, 1)))
+    withFloor.toDF("ts").createOrReplaceTempView("seas_events")
+    val got = spark.sql(
+      """WITH daily AS (SELECT unix_micros(date_trunc('day', ts)) div 86400000000L AS day_idx,
+        |  count(*) AS y FROM seas_events GROUP BY 1),
+        |tr AS (SELECT day_idx, y, SUM(y) OVER w AS t7, COUNT(*) OVER w AS c7,
+        |         MAX(day_idx) OVER w - MIN(day_idx) OVER w AS span
+        |       FROM daily WINDOW w AS (ORDER BY day_idx ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+        |interior AS (SELECT day_idx, y, t7, 7 * y - t7 AS d7, day_idx % 7 AS dow
+        |             FROM tr WHERE c7 = 7 AND span = 6),
+        |seas AS (SELECT dow, SUM(d7) AS snum, COUNT(*) AS sden FROM interior GROUP BY 1)
+        |SELECT CAST(i.y AS DOUBLE) - CAST(i.t7 AS DOUBLE) / 7.0
+        |  - CAST(s.snum AS DOUBLE) / (7.0 * CAST(s.sden AS DOUBLE)) AS remainder
+        |FROM interior i JOIN seas s ON s.dow = i.dow""".stripMargin)
+      .collect().map(_.getDouble(0))
+    assert(got.nonEmpty && got.forall(_ == 0.0))
+  }
+
+  test("kmv face: small key spaces report exactly, large ones within the 3-sigma envelope") {
+    val rows = graft.ops.Layout.q278KmvSketch.run(spark, sfDir).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(4)))).toMap
+    val (uN, uK, uEst) = rows("event_users")
+    if (uK < 64) assert(uEst == uN.toDouble) // small-set rule: sketch IS the set
+    val (pN, pK, pEst) = rows("lineitem_parts")
+    if (pK == 64) assert(math.abs(pEst - pN) / pN <= 3.0 / math.sqrt(62.0))
+  }
+
+  test("assortativity: a star is perfectly disassortative (r = -1)") {
+    val e = Seq((0L, 1L), (0L, 2L), (0L, 3L)).toDF("a", "b")
+    val r = Graph.degreeAssortativity(e).head().getDouble(2)
+    assert(r == -1.0)
+  }
+
+  test("burstiness: sign separates periodic from bursty planted users") {
+    val t0 = java.time.LocalDateTime.of(2024, 4, 1, 0, 0)
+    def ev(uid: Long, offsetsS: Seq[Long]) = offsetsS.zipWithIndex.map { case (o, i) =>
+      (uid, (uid * 1000 + i).toLong, java.sql.Timestamp.valueOf(t0.plusSeconds(o)))
+    }
+    // user 1: perfect heartbeat (equal gaps) -> sigma = 0 -> B = -1
+    // user 2: three quick hits then a long silence -> B > 0
+    val df = (ev(1L, Seq(0L, 60L, 120L, 180L)) ++ ev(2L, Seq(0L, 1L, 2L, 300L)))
+      .toDF("user_id", "event_id", "ts")
+    import org.apache.spark.sql.expressions.Window
+    val byTs = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val g = df.select(col("user_id"), expr("unix_micros(ts)").as("t"),
+        lead(expr("unix_micros(ts)"), 1).over(byTs).as("tn"))
+      .filter(col("tn").isNotNull)
+      .select(col("user_id"), expr("(tn - t) div 1000000L").as("gap_s"))
+    val b = g.groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_gaps"), sum(col("gap_s")).as("sg"),
+        sum(col("gap_s") * col("gap_s")).as("sg2"))
+      .select(col("user_id"), expr(
+        """(SQRT((CAST(n_gaps AS DOUBLE) * CAST(sg2 AS DOUBLE) - CAST(sg AS DOUBLE) * CAST(sg AS DOUBLE)))
+          |   / CAST(n_gaps AS DOUBLE) - CAST(sg AS DOUBLE) / CAST(n_gaps AS DOUBLE))
+          |/ (SQRT((CAST(n_gaps AS DOUBLE) * CAST(sg2 AS DOUBLE) - CAST(sg AS DOUBLE) * CAST(sg AS DOUBLE)))
+          |   / CAST(n_gaps AS DOUBLE) + CAST(sg AS DOUBLE) / CAST(n_gaps AS DOUBLE))""".stripMargin).as("b"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(b(1L) == -1.0)
+    assert(b(2L) > 0.0 && b(2L) < 1.0)
+  }
+
+  test("textrank face: keywords obey the syntactic filter and ranks order the output") {
+    val rows = Graph.q279Textrank.run(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(_.getString(0).matches("[a-z]{4,}")))
+    val ranks = rows.map(_.getLong(1))
+    assert(ranks.sliding(2).forall(p => p(0) >= p(1)))
+  }
 }
