@@ -207,6 +207,79 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), jac.as("jaccard"))
   }
 
+  /** MinHash estimator-quality audit (Broder SEQUENCES'97 §3: component
+    * agreement is an unbiased Bernoulli(J) estimate of Jaccard): for
+    * every LSH candidate pair, the signature-agreement estimate
+    * (matches/8 — the quantity the q31 bands actually threshold on)
+    * against the EXACT shingle Jaccard, per pair — the q273/q278 family
+    * member for the near-dup chain (audit the sketch against ground
+    * truth ON the production path; σ = √(J(1−J)/8) ≈ 0.17 at k = 8, so
+    * this also documents WHY verification (q32) must follow LSH rather
+    * than trusting the signature). All quantities are exact integers in
+    * micro; the audit rides the persisted signature/shingle relations
+    * the chain already builds. */
+  val q283MinhashAudit: QueryDef = sql(
+    "q283_minhash_audit",
+    s"""WITH $shinglesSql,
+       |$signaturesSql,
+       |$bandsSql,
+       |$candSql,
+       |m AS (SELECT c.doc_a, c.doc_b,
+       |    CAST(${(0 until NumHashes).map(k => s"(CASE WHEN a.s$k = b.s$k THEN 1 ELSE 0 END)").mkString(" + ")} AS BIGINT) AS sig_matches
+       |  FROM cand c JOIN sig a ON a.doc_id = c.doc_a
+       |  JOIN sig b ON b.doc_id = c.doc_b),
+       |inter AS (SELECT c.doc_a, c.doc_b, CAST(COUNT(*) AS BIGINT) AS n_common
+       |          FROM cand c
+       |          JOIN sh a ON a.doc_id = c.doc_a
+       |          JOIN sh b ON b.doc_id = c.doc_b AND b.sh = a.sh
+       |          GROUP BY 1, 2),
+       |cnts AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n FROM sh GROUP BY 1)
+       |SELECT m.doc_a, m.doc_b, m.sig_matches,
+       |  m.sig_matches * 125000 AS est_micro,
+       |  COALESCE(i.n_common, 0) * 1000000
+       |    // (ca.n + cb.n - COALESCE(i.n_common, 0)) AS exact_micro,
+       |  ABS(m.sig_matches * 125000 - COALESCE(i.n_common, 0) * 1000000
+       |    // (ca.n + cb.n - COALESCE(i.n_common, 0))) AS abs_err_micro
+       |FROM m
+       |LEFT JOIN inter i ON i.doc_a = m.doc_a AND i.doc_b = m.doc_b
+       |JOIN cnts ca ON ca.doc_id = m.doc_a
+       |JOIN cnts cb ON cb.doc_id = m.doc_b
+       |ORDER BY m.doc_a, m.doc_b""".stripMargin) { (s, dir) =>
+    val sh = shingles(s, dir)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sig = signatures(s, dir)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cand = {
+      val bb = bands(sig).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val a = bb.select(col("doc_id").as("doc_a"), col("band"), col("bucket"))
+      val b = bb.select(col("doc_id").as("doc_b"), col("band"), col("bucket"))
+      a.join(b, Seq("band", "bucket")).filter(col("doc_a") < col("doc_b"))
+        .select(col("doc_a"), col("doc_b")).distinct()
+    }
+    val matchExpr = (0 until NumHashes)
+      .map(k => s"(CASE WHEN a.s$k = b.s$k THEN 1 ELSE 0 END)").mkString(" + ")
+    val m = cand
+      .join(sig.as("a"), col("doc_a") === col("a.doc_id"))
+      .join(sig.as("b"), col("doc_b") === col("b.doc_id"))
+      .select(col("doc_a"), col("doc_b"),
+        expr(s"CAST($matchExpr AS BIGINT)").as("sig_matches"))
+    val inter = cand
+      .join(sh.select(col("doc_id").as("doc_a"), col("sh")), "doc_a")
+      .join(sh.select(col("doc_id").as("doc_b"), col("sh")), Seq("doc_b", "sh"))
+      .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("n_common"))
+    val cnts = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    m.join(inter, Seq("doc_a", "doc_b"), "left")
+      .join(cnts.select(col("doc_id").as("doc_a"), col("n").as("na")), "doc_a")
+      .join(cnts.select(col("doc_id").as("doc_b"), col("n").as("nb")), "doc_b")
+      .select(col("doc_a"), col("doc_b"), col("sig_matches"),
+        (col("sig_matches") * lit(125000L)).as("est_micro"),
+        expr("coalesce(n_common, 0L) * 1000000L DIV (na + nb - coalesce(n_common, 0L))")
+          .as("exact_micro"),
+        expr("""ABS(sig_matches * 125000L - coalesce(n_common, 0L) * 1000000L
+               |  DIV (na + nb - coalesce(n_common, 0L)))""".stripMargin).as("abs_err_micro"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
   /** Exact 3-gram Jaccard verification over the LSH candidates only. */
   val q32NeardupVerified: QueryDef = sql(
     "q32_neardup_verified",
@@ -1758,5 +1831,5 @@ object Dedup {
     q126SpanDedup, q150DedupEval, q156RougeAudit, q161SplitLeakage,
     q163DedupSavings, q174ComponentSplit, q177Containment, q183SourceOverlap,
     q184Novelty, q194CanonicalDedup, q209ThresholdSweep, q234PrefixJoin,
-    q238RecordLinkage, q245FastssJoin)
+    q238RecordLinkage, q245FastssJoin, q283MinhashAudit)
 }

@@ -768,7 +768,71 @@ object Graph {
     degreeAssortativity(e)
   }
 
+  /** `rounds` synchronous peel rounds toward the k-core (Seidman Social
+    * Networks 1983; the Batagelj–Zaveršnik peel expressed as whole-
+    * relation rounds): repeatedly delete every node with degree < k and
+    * every edge touching one. Returns the surviving edge relation. The
+    * peel converges in at most diameter-ish rounds on frequent-core
+    * graphs; a fixed round budget keeps the plan static and the result
+    * is IDEMPOTENT at the fixpoint (extra rounds change nothing) —
+    * GraphSpec-style pinning asserts rounds/rounds+1 equality on the
+    * contract graph. Per round: one degree aggregate + two semi-joins,
+    * only the shrinking edge relation moves. */
+  def kcoreEdges(edges: DataFrame, k: Int, rounds: Int): DataFrame = {
+    var e = edges.select(col("a"), col("b")).localCheckpoint(true)
+    for (_ <- 1 to rounds) {
+      val keep = e.select(col("a").as("v")).unionAll(e.select(col("b").as("v")))
+        .groupBy(col("v")).agg(count(lit(1)).as("d"))
+        .filter(col("d") >= k).select(col("v"))
+      e = e.join(keep.select(col("v").as("a")), Seq("a"), "left_semi")
+        .join(keep.select(col("v").as("b")), Seq("b"), "left_semi")
+        .select(col("a"), col("b"))
+        .localCheckpoint(true)
+    }
+    e
+  }
+
+  /** One unrolled oracle peel round r over CTEs e{r-1} at threshold k. */
+  private def kcoreRoundSql(r: Int, k: Int): String = {
+    val prev = s"e${r - 1}"
+    s"""d$r AS (SELECT v, COUNT(*) AS d FROM (
+       |    SELECT a AS v FROM $prev UNION ALL SELECT b FROM $prev) GROUP BY 1),
+       |k$r AS (SELECT v FROM d$r WHERE d >= $k),
+       |e$r AS (SELECT e.a, e.b FROM $prev e
+       |        JOIN k$r x ON x.v = e.a JOIN k$r y ON y.v = e.b)""".stripMargin
+  }
+
+  /** Contract face of [[kcoreEdges]]: the 3-core of the frequent
+    * co-purchase graph after 4 peel rounds — the "stable bundle nucleus"
+    * (every surviving part co-sells with ≥ 3 other survivors; the
+    * clustering-coefficient view is q243, the cohesion view is this).
+    * Emits each core member with its within-core degree. */
+  val q282KCore: QueryDef = sql(
+    "q282_kcore",
+    s"""WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+       |pairs AS (SELECT x.pk AS a, y.pk AS b FROM li x JOIN li y
+       |            ON x.ok = y.ok AND x.pk < y.pk),
+       |e0 AS (SELECT a, b FROM pairs GROUP BY a, b HAVING COUNT(*) >= 2),
+       |${kcoreRoundSql(1, 3)},
+       |${kcoreRoundSql(2, 3)},
+       |${kcoreRoundSql(3, 3)},
+       |${kcoreRoundSql(4, 3)}
+       |SELECT v AS part, CAST(d AS BIGINT) AS core_degree FROM (
+       |  SELECT v, COUNT(*) AS d FROM (
+       |    SELECT a AS v FROM e4 UNION ALL SELECT b FROM e4) GROUP BY 1)
+       |ORDER BY part""".stripMargin) { (s, dir) =>
+    val pairs = Analytics.pairsOf(Analytics.baskets(s, dir))
+      .select(col("part_a").as("a"), col("part_b").as("b"))
+    val e0 = pairs.groupBy(col("a"), col("b")).agg(count(lit(1)).as("c"))
+      .filter(col("c") >= 2).select(col("a"), col("b"))
+    val core = kcoreEdges(e0, k = 3, rounds = 4)
+    core.select(col("a").as("v")).unionAll(core.select(col("b").as("v")))
+      .groupBy(col("v")).agg(count(lit(1)).cast("long").as("core_degree"))
+      .select(col("v").as("part"), col("core_degree"))
+      .orderBy(col("part"))
+  }
+
   val all: Seq[QueryDef] = Seq(q143Pagerank, q153LabelProp, q173BradleyTerry,
     q188PersonalizedPagerank, q243Triangles, q263BfsHops, q274LocalBridges,
-    q279Textrank, q281Assortativity)
+    q279Textrank, q281Assortativity, q282KCore)
 }

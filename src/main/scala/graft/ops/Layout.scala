@@ -778,6 +778,13 @@ object Layout {
     * are one double division of exact integers; exact counts ride the
     * same scan. The top-k is TakeOrderedAndProject-sized (k = 64), never
     * a global sort. */
+  /** Distinct md5 key hashes of `keyExpr` — the KMV input relation
+    * (shared by the q278 batch face and the streaming min-fold face). */
+  def kmvHashes(df: DataFrame, keyExpr: String): DataFrame =
+    df.select(expr(
+      s"CAST(conv(substring(md5(concat('kmv:', CAST($keyExpr AS STRING))), 1, 15), 16, 10) AS BIGINT)")
+      .as("h")).distinct()
+
   val q278KmvSketch: QueryDef = sql(
     "q278_kmv_sketch",
     """WITH uh AS (
@@ -804,9 +811,7 @@ object Layout {
       |FROM ex
       |ORDER BY key_space""".stripMargin) { (s, dir) =>
     def kmv(df: DataFrame, keyExpr: String, name: String, exact: Column): DataFrame = {
-      val h = df.select(expr(
-        s"CAST(conv(substring(md5(concat('kmv:', CAST($keyExpr AS STRING))), 1, 15), 16, 10) AS BIGINT)")
-        .as("h")).distinct()
+      val h = kmvHashes(df, keyExpr)
       val topk = h.orderBy(col("h")).limit(64)
         .agg(max(col("h")).as("rk"), count(lit(1)).as("kk"))
       val ex = df.agg(exact.as("exact_n"))

@@ -630,6 +630,52 @@ object StreamingOps {
       .start()
   }
 
+  /** Streaming face of q278 (KMV distinct sketch): per trigger, hash the
+    * arriving keys, union with the persisted k smallest, keep the k
+    * smallest again, publish a versioned snapshot. KMV state is a
+    * MIN-SEMILATTICE exactly like q250's Bloom BIT_OR: the fold is
+    * idempotent and commutative, so a replayed file is a no-op and
+    * arrival order never matters — no file log, no offset, no
+    * checkpoint needed for correctness (the q250 argument, on the
+    * second synopsis family). `onBatch` sees the post-merge sketch. */
+  def kmvStream(s: SparkSession, stagedDir: String, stateDir: String, k: Int = 64)(
+      onBatch: (Long, DataFrame) => Unit): org.apache.spark.sql.streaming.StreamingQuery = {
+    val schema = "o_orderkey LONG, o_custkey LONG"
+    val root = new java.io.File(stateDir)
+    root.mkdirs()
+    def versions: Seq[Long] = Option(root.listFiles()).getOrElse(Array.empty[java.io.File])
+      .filter(f => f.getName.startsWith("v_") && !f.getName.contains(".tmp-") &&
+        new java.io.File(f, "_SUCCESS").exists())
+      .map(_.getName.stripPrefix("v_").toLong).sorted.toSeq
+    def emptyH = s.sql("SELECT 0L AS h WHERE false")
+    s.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(stagedDir)
+      .writeStream
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        val arrived = Layout.kmvHashes(
+          s.createDataFrame(batch.rdd, batch.schema), "o_custkey")
+        val vs = versions
+        val state = vs.lastOption match {
+          case Some(v) => s.read.parquet(s"$stateDir/v_$v")
+          case None => emptyH
+        }
+        // idempotent min-fold: union + distinct + re-top-k
+        val merged = state.unionByName(arrived).distinct()
+          .orderBy(col("h")).limit(k)
+        val next = vs.lastOption.getOrElse(-1L) + 1L
+        val tmp = new java.io.File(root,
+          s"v_$next.tmp-${ProcessHandle.current().pid()}-${Thread.currentThread().getId}")
+        merged.write.parquet(tmp.getPath)
+        val published = new java.io.File(root, s"v_$next")
+        if (!tmp.renameTo(published))
+          org.apache.commons.io.FileUtils.deleteDirectory(tmp) // lost the race
+        onBatch(id, s.read.parquet(published.getPath))
+      }
+      .start()
+  }
+
   /** Streaming face of q130's sequence packing — the ingest loop that
     * packs ARRIVING documents into the SAME global token layout the
     * batch operator computes: the corpus-wide token offset persists

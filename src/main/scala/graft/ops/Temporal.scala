@@ -1347,5 +1347,64 @@ object Temporal {
     q226ChangePoint, q236Attribution, q241PeakConcurrency, q242KaplanMeier,
     q249ShapleyAttribution, q251MarkovRemoval, q259HaarCompress,
     q264IntervalUnion, q265TheilSen, q269EpisodeMining, q270Autocorrelation,
-    q271DyadicSmoothing, q275SeasonalDecompose, q280Burstiness)
+    q271DyadicSmoothing, q275SeasonalDecompose, q280Burstiness,
+    q284MarkovStationary)
+
+  /** One unrolled stationary-power-iteration round r over CTEs p/v{r-1}:
+    * v_j ← Σ_i floor(v_i · p_ij / 10⁶), exact integers. */
+  private def statRoundSql(r: Int): String = {
+    val prev = s"v${r - 1}"
+    s"""v$r AS (SELECT p.nxt AS event_type,
+       |    CAST(SUM((v.m * p.p_micro) // 1000000) AS BIGINT) AS m
+       |  FROM $prev v JOIN p ON p.cur = v.event_type GROUP BY 1)""".stripMargin
+  }
+
+  /** Stationary distribution of the q109 event-transition chain: 4 exact
+    * fixed-point power-iteration rounds over the per-type transition
+    * probabilities (micro-units, row-normalized by integer division) from
+    * the uniform start — "where does a user's session settle" (q109 gives
+    * the one-step kernel, q251 removal effects; this is the long-run
+    * occupancy that prices each state). The whole trajectory is exact
+    * integers (the q143 device on a 5×5 matrix), so one transition count
+    * diverging anywhere reshuffles the vector. Matrix and vector are
+    * alphabet-sized; the single corpus pass is the LEAD that counts
+    * transitions. Flooring leaks ≤ |alphabet| micro per round by design
+    * (mass conservation is the spec's bound, not renormalized away). */
+  lazy val q284MarkovStationary: QueryDef = sql(
+    "q284_markov_stationary",
+    s"""WITH tr AS (
+       |  SELECT event_type AS cur,
+       |    LEAD(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS nxt
+       |  FROM events),
+       |cnt AS (SELECT cur, nxt, CAST(COUNT(*) AS BIGINT) AS n FROM tr
+       |        WHERE nxt IS NOT NULL GROUP BY 1, 2),
+       |tot AS (SELECT cur, CAST(SUM(n) AS BIGINT) AS t FROM cnt GROUP BY 1),
+       |p AS (SELECT cnt.cur, cnt.nxt, (cnt.n * 1000000) // tot.t AS p_micro
+       |      FROM cnt JOIN tot ON tot.cur = cnt.cur),
+       |v0 AS (SELECT cur AS event_type, CAST(200000 AS BIGINT) AS m FROM tot),
+       |${statRoundSql(1)},
+       |${statRoundSql(2)},
+       |${statRoundSql(3)},
+       |${statRoundSql(4)}
+       |SELECT event_type, m AS stationary_micro FROM v4
+       |ORDER BY event_type""".stripMargin) { (s, dir) =>
+    val byTs = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val tr = Tables.events(s, dir)
+      .select(col("event_type").as("cur"),
+        lead(col("event_type"), 1).over(byTs).as("nxt"))
+      .filter(col("nxt").isNotNull)
+    val cnt = tr.groupBy(col("cur"), col("nxt")).agg(count(lit(1)).as("n"))
+    val tot = cnt.groupBy(col("cur")).agg(sum(col("n")).as("t"))
+    val p = cnt.join(tot, Seq("cur"))
+      .select(col("cur"), col("nxt"), expr("(n * 1000000L) DIV t").as("p_micro"))
+      .localCheckpoint(true) // alphabet-squared-sized; read every round
+    var v = tot.select(col("cur").as("event_type"), lit(200000L).as("m"))
+    for (_ <- 1 to 4) {
+      v = p.join(broadcast(v), p("cur") === v("event_type"))
+        .groupBy(col("nxt").as("event_type"))
+        .agg(sum(expr("(m * p_micro) DIV 1000000L")).as("m"))
+    }
+    v.select(col("event_type"), col("m").as("stationary_micro"))
+      .orderBy(col("event_type"))
+  }
 }

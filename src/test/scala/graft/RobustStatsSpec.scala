@@ -285,6 +285,41 @@ class RobustStatsSpec extends SparkSpec {
     assert(b(2L) > 0.0 && b(2L) < 1.0)
   }
 
+  test("kcore: pendant tail peels away, the triangle survives as the 2-core") {
+    val e = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L), (4L, 5L)).toDF("a", "b")
+    val core = Graph.kcoreEdges(e, k = 2, rounds = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(core == Set((1L, 2L), (2L, 3L), (1L, 3L)))
+  }
+
+  test("kcore: extra rounds past the fixpoint change nothing (idempotent peel)") {
+    val e = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L), (4L, 5L), (5L, 6L),
+      (6L, 7L), (7L, 8L)).toDF("a", "b")
+    def edges(rounds: Int) = Graph.kcoreEdges(e, k = 2, rounds)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(edges(6) == edges(8))
+    assert(edges(6) == Set((1L, 2L), (2L, 3L), (1L, 3L))) // the 6-chain fully unravels
+  }
+
+  test("q284 face: stationary mass stays within the flooring leak, alphabet complete") {
+    val rows = Temporal.q284MarkovStationary.run(spark, sfDir).collect()
+    assert(rows.length == 5)
+    val total = rows.map(_.getLong(1)).sum
+    // start mass is 5 x 200000; each of 4 rounds floors away < 1 micro
+    // per (cur, nxt) cell, 25 cells
+    assert(total <= 1000000L && total >= 1000000L - 4L * 25L)
+  }
+
+  test("q283 face: identical shingle sets imply identical signatures (err 0 at J = 1)") {
+    val rows = graft.ops.Dedup.q283MinhashAudit.run(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (m, est, exact) = (r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(m >= 0L && m <= 8L && est == m * 125000L)
+      if (exact == 1000000L) assert(m == 8L, "J=1 pairs must agree on every component")
+    }
+  }
+
   test("textrank face: keywords obey the syntactic filter and ranks order the output") {
     val rows = Graph.q279Textrank.run(spark, sfDir).collect()
     assert(rows.nonEmpty)

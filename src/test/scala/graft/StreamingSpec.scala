@@ -535,6 +535,40 @@ class StreamingSpec extends SparkSpec {
       "replaying already-folded files must leave every word unchanged"))
   }
 
+  test("kmv stream: min-fold state equals the batch sketch; replay is a no-op without any file log") {
+    import scala.collection.concurrent.TrieMap
+    val orders = Tables.orders(spark, sfDir).select(col("o_orderkey"), col("o_custkey"))
+    val stateDir = Files.createTempDirectory("graft-kmv-state").resolve("s").toString
+    val srcDir = Files.createTempDirectory("graft-kmv-src")
+    def stage(df: DataFrame, name: String): Unit = {
+      val tmp = Files.createTempDirectory("graft-kmv-stage").toString
+      df.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(_.getName.endsWith(".parquet")).get.toPath
+      Files.copy(part, srcDir.resolve(name), StandardCopyOption.REPLACE_EXISTING)
+      stampStaged(srcDir.resolve(name))
+    }
+    def hs(df: DataFrame): Set[Long] = df.collect().map(_.getLong(0)).toSet
+    def runStream(): Map[Long, Set[Long]] = {
+      val acc = TrieMap.empty[Long, Set[Long]]
+      val q = StreamingOps.kmvStream(spark, srcDir.toString, stateDir, k = 16) {
+        (id, sk) => acc(id) = hs(sk)
+      }
+      assert(q.awaitTermination(180000), "kmv stream did not finish")
+      acc.toMap
+    }
+    stage(orders.filter(col("o_orderkey") % 2 === 0), "a.parquet")
+    stage(orders.filter(col("o_orderkey") % 2 === 1), "b.parquet")
+    val run1 = runStream()
+    val run2 = runStream() // uncheckpointed restart replays BOTH files
+    val batch = hs(graft.ops.Layout.kmvHashes(orders, "o_custkey")
+      .orderBy(col("h")).limit(16))
+    assert(run1(run1.keys.max) == batch,
+      "streamed k smallest hashes must equal the batch sketch")
+    run2.values.foreach(sk => assert(sk == batch,
+      "replaying already-folded files must leave the sketch unchanged"))
+  }
+
   test("drift stream: accumulated bucket counts equal the batch assignment; restart never double-counts") {
     import scala.collection.concurrent.TrieMap
     val emb = Tables.embeddings(spark, sfDir).select(col("vec_id"), col("embedding"))
