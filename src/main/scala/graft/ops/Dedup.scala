@@ -280,6 +280,48 @@ object Dedup {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
+  /** Near-dup transitivity audit: among the verified pairs (q32's
+    * jaccard > 0.7 edges), what fraction of wedges A–B–C close into a
+    * triangle? Jaccard similarity is famously NOT transitive — two 0.7
+    * neighbors of B can share less than 0.4 with each other — and this
+    * single number is the empirical justification for q85's connected-
+    * components step: closure ≪ 10⁶ means pair-level dedup decisions
+    * are inconsistent without the transitive clustering pass. Wedge
+    * enumeration rides the verified-pair relation (tiny by
+    * construction); the corpus cost is the q31/q32 chain itself. */
+  val q285TransitivityAudit: QueryDef = sql(
+    "q285_transitivity_audit",
+    s"""WITH $verifiedPairsSql,
+       |e AS (SELECT doc_a AS a, doc_b AS b FROM vp),
+       |sym AS (SELECT a AS u, b AS v FROM e UNION ALL SELECT b, a FROM e),
+       |w AS (SELECT s1.v AS x, s1.u AS y, s2.v AS z
+       |      FROM sym s1 JOIN sym s2 ON s2.u = s1.u AND s1.v < s2.v),
+       |cl AS (SELECT w.x, w.y, w.z, CASE WHEN e2.a IS NULL THEN 0 ELSE 1 END AS closed
+       |       FROM w LEFT JOIN e e2 ON e2.a = w.x AND e2.b = w.z)
+       |SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM e) AS n_edges,
+       |  CAST(COUNT(*) AS BIGINT) AS n_wedges,
+       |  CAST(SUM(closed) AS BIGINT) AS n_closed,
+       |  CASE WHEN COUNT(*) = 0 THEN CAST(1000000 AS BIGINT)
+       |       ELSE CAST(SUM(closed) AS BIGINT) * 1000000 // COUNT(*) END AS closure_micro
+       |FROM cl""".stripMargin) { (s, dir) =>
+    val e = verifiedPairs(s, dir).select(col("doc_a").as("a"), col("doc_b").as("b"))
+      .localCheckpoint(true) // verified-pair-sized; feeds sym, wedges, closure
+    val sym = e.select(col("a").as("u"), col("b").as("v"))
+      .unionAll(e.select(col("b").as("u"), col("a").as("v")))
+    val w = sym.select(col("u").as("y"), col("v").as("x"))
+      .join(sym.select(col("u").as("y"), col("v").as("z")), Seq("y"))
+      .filter(col("x") < col("z"))
+    val cl = w.join(e.select(col("a").as("x"), col("b").as("z"), lit(1L).as("cc")),
+        Seq("x", "z"), "left")
+      .select(coalesce(col("cc"), lit(0L)).as("closed"))
+    val nE = e.agg(count(lit(1)).as("n_edges"))
+    cl.agg(count(lit(1)).as("n_wedges"), sum(col("closed")).as("n_closed"))
+      .crossJoin(broadcast(nE))
+      .select(col("n_edges"), col("n_wedges"), col("n_closed"),
+        when(col("n_wedges") === 0L, lit(1000000L))
+          .otherwise(expr("n_closed * 1000000L DIV n_wedges")).as("closure_micro"))
+  }
+
   /** Exact 3-gram Jaccard verification over the LSH candidates only. */
   val q32NeardupVerified: QueryDef = sql(
     "q32_neardup_verified",
@@ -1831,5 +1873,5 @@ object Dedup {
     q126SpanDedup, q150DedupEval, q156RougeAudit, q161SplitLeakage,
     q163DedupSavings, q174ComponentSplit, q177Containment, q183SourceOverlap,
     q184Novelty, q194CanonicalDedup, q209ThresholdSweep, q234PrefixJoin,
-    q238RecordLinkage, q245FastssJoin, q283MinhashAudit)
+    q238RecordLinkage, q245FastssJoin, q283MinhashAudit, q285TransitivityAudit)
 }

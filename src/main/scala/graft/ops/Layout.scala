@@ -830,8 +830,52 @@ object Layout {
       .orderBy(col("key_space"))
   }
 
+  /** Deterministic synthetic-data generator audit: 100 k rows conjured
+    * from NOTHING but a row-id range and md5 (no input I/O, no RNG seed
+    * state — row content is a pure function of the id), aggregated to a
+    * per-category fingerprint. This is the scale-testing workhorse: a
+    * 1000-executor cluster can materialize a 100 TB synthetic corpus by
+    * fanning `spark.range` across executors with ZERO storage reads, and
+    * any two runs — any engine — produce bit-identical content (the
+    * bit_xor row fingerprint proves full-content equality here against
+    * DuckDB's range()). The same device already drives ScaleSmoke;
+    * this face makes the generator itself a verified library operator.
+    *
+    * spark.range is the only distributed-by-construction source: it
+    * splits [0, n) across partitions with no shuffle, no skew, and
+    * every derived column stays inside whole-stage codegen. */
+  val q286SyntheticGen: QueryDef = sql(
+    "q286_synthetic_gen",
+    """WITH g AS (
+      |  SELECT t.range AS id,
+      |    CAST(('0x' || substr(md5('cat:' || CAST(t.range AS VARCHAR)), 1, 4)) AS INT) % 16 AS category,
+      |    CAST(('0x' || substr(md5('val:' || CAST(t.range AS VARCHAR)), 1, 8)) AS BIGINT) % 100000 AS value,
+      |    CAST(('0x' || substr(md5('fp:' || CAST(t.range AS VARCHAR)), 1, 15)) AS BIGINT) AS fp
+      |  FROM range(100000) t)
+      |SELECT category, CAST(COUNT(*) AS BIGINT) AS n,
+      |  CAST(SUM(value) AS BIGINT) AS sum_value,
+      |  CAST(MIN(value) AS BIGINT) AS min_value,
+      |  CAST(MAX(value) AS BIGINT) AS max_value,
+      |  bit_xor(fp) AS content_fp
+      |FROM g GROUP BY 1
+      |ORDER BY category""".stripMargin) { (s, _) =>
+    s.range(100000)
+      .select(col("id"),
+        pmod(expr("CAST(conv(substring(md5(concat('cat:', CAST(id AS STRING))), 1, 4), 16, 10) AS INT)"),
+          lit(16)).as("category"),
+        pmod(expr("CAST(conv(substring(md5(concat('val:', CAST(id AS STRING))), 1, 8), 16, 10) AS BIGINT)"),
+          lit(100000L)).as("value"),
+        expr("CAST(conv(substring(md5(concat('fp:', CAST(id AS STRING))), 1, 15), 16, 10) AS BIGINT)").as("fp"))
+      .groupBy(col("category"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"),
+        min(col("value")).as("min_value"), max(col("value")).as("max_value"),
+        expr("bit_xor(fp)").as("content_fp"))
+      .orderBy(col("category"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     q112BucketedJoin, q113PartitionPruning, q114SaltedJoin, q115BloomSemiJoin,
     q229ColumnProfile, q230LayoutAdvisor, q246CardinalityAudit, q250BloomZoneMap,
-    q258CurveLocality, q260RebalanceAudit, q273CountMinAudit, q278KmvSketch)
+    q258CurveLocality, q260RebalanceAudit, q273CountMinAudit, q278KmvSketch,
+    q286SyntheticGen)
 }

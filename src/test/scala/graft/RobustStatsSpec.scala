@@ -320,6 +320,27 @@ class RobustStatsSpec extends SparkSpec {
     }
   }
 
+  test("transitivity audit face: closure is a well-formed fraction of wedges") {
+    val r = graft.ops.Dedup.q285TransitivityAudit.run(spark, sfDir).head()
+    val (edges, wedges, closed, micro) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+    assert(edges >= 0L && closed <= wedges)
+    assert(micro >= 0L && micro <= 1000000L)
+    if (wedges > 0) assert(micro == closed * 1000000L / wedges)
+  }
+
+  test("synthetic generator: zero-input corpus is complete, bounded, and reproducible") {
+    val a = graft.ops.Layout.q286SyntheticGen.run(spark, sfDir).collect()
+    assert(a.map(_.getLong(1)).sum == 100000L)
+    assert(a.length == 16 && a.map(_.getInt(0)).toSeq == (0 until 16))
+    a.foreach { r =>
+      assert(r.getLong(3) >= 0L && r.getLong(4) < 100000L) // value range
+    }
+    // pure function of ids: a second run is bit-identical
+    val b = graft.ops.Layout.q286SyntheticGen.run(spark, sfDir).collect()
+    assert(a.map(_.toString).toSeq == b.map(_.toString).toSeq)
+  }
+
   test("textrank face: keywords obey the syntactic filter and ranks order the output") {
     val rows = Graph.q279Textrank.run(spark, sfDir).collect()
     assert(rows.nonEmpty)
