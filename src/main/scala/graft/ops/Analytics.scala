@@ -2669,9 +2669,74 @@ object Analytics {
       .orderBy(col("decile"))
   }
 
+  /** Changelog merge — the CDC apply step (Debezium/Delta `MERGE` shape):
+    * a base snapshot plus a stream of versioned upserts and deletes
+    * collapses to latest-version-wins per key, deletes dropping the row
+    * — the third lakehouse write primitive beside q90's SCD-2 (history-
+    * preserving) and q235's MV maintenance (aggregate-merging). The
+    * changelog is carved deterministically out of orders: every key ≡ 3
+    * (mod 4) gets an upsert bumping its total by one cent at version =
+    * key, and every key ≡ 7 (mod 8) a delete at version = key + 1 —
+    * so some keys see upsert THEN delete and the version order decides.
+    *
+    * One key-partitioned window (max version wins, ROW_NUMBER = 1),
+    * delete filter, then a status-keyed fingerprint aggregate (count,
+    * cent sum, bit_xor of key hashes) that pins every surviving row.
+    * At 100 TB: the window is the shuffle; changelog and base co-
+    * partition on the key, and the output fingerprint is the cheap
+    * cross-engine equality proof for any CDC pipeline. */
+  val q287CdcApply: QueryDef = sql(
+    "q287_cdc_apply",
+    """WITH base AS (
+      |  SELECT o_orderkey AS k, o_orderstatus AS st,
+      |    CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS cents,
+      |    CAST(0 AS BIGINT) AS version, 'U' AS op
+      |  FROM orders),
+      |ups AS (
+      |  SELECT o_orderkey AS k, o_orderstatus AS st,
+      |    CAST(FLOOR(o_totalprice * 100) AS BIGINT) + 1 AS cents,
+      |    o_orderkey AS version, 'U' AS op
+      |  FROM orders WHERE o_orderkey % 4 = 3),
+      |dels AS (
+      |  SELECT o_orderkey AS k, o_orderstatus AS st, CAST(0 AS BIGINT) AS cents,
+      |    o_orderkey + 1 AS version, 'D' AS op
+      |  FROM orders WHERE o_orderkey % 8 = 7),
+      |log AS (SELECT * FROM base UNION ALL SELECT * FROM ups UNION ALL SELECT * FROM dels),
+      |latest AS (
+      |  SELECT k, st, cents, op FROM (
+      |    SELECT *, ROW_NUMBER() OVER (PARTITION BY k ORDER BY version DESC, op DESC) AS rn
+      |    FROM log) WHERE rn = 1),
+      |live AS (SELECT k, st, cents FROM latest WHERE op = 'U')
+      |SELECT st AS o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n_live,
+      |  CAST(SUM(cents) AS BIGINT) AS sum_cents,
+      |  bit_xor(CAST(('0x' || substr(md5(CAST(k AS VARCHAR)), 1, 15)) AS BIGINT)) AS key_fp
+      |FROM live GROUP BY 1
+      |ORDER BY o_orderstatus""".stripMargin) { (s, dir) =>
+    val o = Tables.orders(s, dir)
+    val cents = expr("CAST(FLOOR(o_totalprice * 100) AS BIGINT)")
+    val base = o.select(col("o_orderkey").as("k"), col("o_orderstatus").as("st"),
+      cents.as("cents"), lit(0L).as("version"), lit("U").as("op"))
+    val ups = o.filter(col("o_orderkey") % 4 === 3)
+      .select(col("o_orderkey").as("k"), col("o_orderstatus").as("st"),
+        (cents + 1L).as("cents"), col("o_orderkey").as("version"), lit("U").as("op"))
+    val dels = o.filter(col("o_orderkey") % 8 === 7)
+      .select(col("o_orderkey").as("k"), col("o_orderstatus").as("st"),
+        lit(0L).as("cents"), (col("o_orderkey") + 1L).as("version"), lit("D").as("op"))
+    val log = base.unionAll(ups).unionAll(dels)
+    val latest = log.withColumn("rn", row_number().over(
+        Window.partitionBy(col("k")).orderBy(col("version").desc, col("op").desc)))
+      .filter(col("rn") === 1)
+    latest.filter(col("op") === "U")
+      .groupBy(col("st").as("o_orderstatus"))
+      .agg(count(lit(1)).as("n_live"), sum(col("cents")).as("sum_cents"),
+        expr("bit_xor(CAST(conv(substring(md5(CAST(k AS STRING)), 1, 15), 16, 10) AS BIGINT))")
+          .as("key_fp"))
+      .orderBy(col("o_orderstatus"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     q227IntegrityScorecard, q231MarketShare, q235MvMaintenance, q244Cuped, q247AqpGroupby,
-    q266BenfordAudit, q267NeymanAllocation, q268GiniLorenz,
+    q266BenfordAudit, q267NeymanAllocation, q268GiniLorenz, q287CdcApply,
     q253RfmSegments, q254AssociationRules, q255CohortLtv, q256DeletionCascade,
     q257EquiDepthAudit, q261BitemporalAsof,
     q01PricingSummary, q02SelectiveFilter, q03ShippingPriority, q05LocalRevenue,

@@ -627,7 +627,70 @@ object Classifier {
       .orderBy(col("policy"))
   }
 
+  /** pass@k — the unbiased estimator from the Codex paper (Chen et al.
+    * 2021 §2.1): with n attempts and c successes per problem, the
+    * probability that at least one of k drawn-without-replacement
+    * attempts succeeds is 1 − C(n−c,k)/C(n,k), evaluated as the stable
+    * telescoping product Π_{i<k}(n−c−i)/(n−i) — THE functional-
+    * correctness metric for code/reasoning evals, here over each user's
+    * event history (attempts = events, successes = purchases; any
+    * (problem, attempt, pass) relation slots in). A Wilson 95% score
+    * interval (Wilson JASA 1927) on the raw success rate rides along —
+    * the CI that behaves at c = 0 where the normal approximation
+    * collapses.
+    *
+    * Exactness: n and c are exact counts; pass@5 is the same chained
+    * IEEE product both engines (each factor one division of exact
+    * integers — no binomials materialize, so nothing overflows at any
+    * n); Wilson is one closed-form expression of n, c and the pinned
+    * z² = 3.8416 (exact in binary? no — but the same literal, hence
+    * the same double, in both engines). One user-keyed aggregate; the
+    * per-row math is scan-level. Only users with n ≥ 5 qualify (the
+    * estimator requires n ≥ k). */
+  val q288PassAtK: QueryDef = sql(
+    "q288_pass_at_k",
+    """WITH a AS (
+      |  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n,
+      |    CAST(COALESCE(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END), 0) AS BIGINT) AS c
+      |  FROM events GROUP BY 1 HAVING COUNT(*) >= 5)
+      |SELECT user_id, n, c,
+      |  CAST(c AS DOUBLE) / CAST(n AS DOUBLE) AS pass_at_1,
+      |  CASE WHEN n - c < 5 THEN 1.0
+      |    ELSE 1.0 - (CAST(n - c AS DOUBLE) / CAST(n AS DOUBLE))
+      |      * (CAST(n - c - 1 AS DOUBLE) / CAST(n - 1 AS DOUBLE))
+      |      * (CAST(n - c - 2 AS DOUBLE) / CAST(n - 2 AS DOUBLE))
+      |      * (CAST(n - c - 3 AS DOUBLE) / CAST(n - 3 AS DOUBLE))
+      |      * (CAST(n - c - 4 AS DOUBLE) / CAST(n - 4 AS DOUBLE)) END AS pass_at_5,
+      |  (CAST(c AS DOUBLE) + 1.9208 - 1.96 * SQRT((CAST(c AS DOUBLE) * CAST(n - c AS DOUBLE))
+      |     / CAST(n AS DOUBLE) + 0.9604)) / (CAST(n AS DOUBLE) + 3.8416) AS wilson_lo,
+      |  (CAST(c AS DOUBLE) + 1.9208 + 1.96 * SQRT((CAST(c AS DOUBLE) * CAST(n - c AS DOUBLE))
+      |     / CAST(n AS DOUBLE) + 0.9604)) / (CAST(n AS DOUBLE) + 3.8416) AS wilson_hi
+      |FROM a
+      |ORDER BY user_id""".stripMargin) { (s, dir) =>
+    Tables.events(s, dir)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n"),
+        coalesce(sum(when(col("event_type") === "purchase", 1L).otherwise(0L)), lit(0L)).as("c"))
+      .filter(col("n") >= 5)
+      .select(col("user_id"), col("n"), col("c"),
+        (col("c").cast("double") / col("n").cast("double")).as("pass_at_1"),
+        when(col("n") - col("c") < 5, lit(1.0)).otherwise(expr(
+          """1.0D - (CAST(n - c AS DOUBLE) / CAST(n AS DOUBLE))
+            | * (CAST(n - c - 1 AS DOUBLE) / CAST(n - 1 AS DOUBLE))
+            | * (CAST(n - c - 2 AS DOUBLE) / CAST(n - 2 AS DOUBLE))
+            | * (CAST(n - c - 3 AS DOUBLE) / CAST(n - 3 AS DOUBLE))
+            | * (CAST(n - c - 4 AS DOUBLE) / CAST(n - 4 AS DOUBLE))""".stripMargin))
+          .as("pass_at_5"),
+        expr("""(CAST(c AS DOUBLE) + 1.9208D - 1.96D * SQRT((CAST(c AS DOUBLE) * CAST(n - c AS DOUBLE))
+               |  / CAST(n AS DOUBLE) + 0.9604D)) / (CAST(n AS DOUBLE) + 3.8416D)""".stripMargin)
+          .as("wilson_lo"),
+        expr("""(CAST(c AS DOUBLE) + 1.9208D + 1.96D * SQRT((CAST(c AS DOUBLE) * CAST(n - c AS DOUBLE))
+               |  / CAST(n AS DOUBLE) + 0.9604D)) / (CAST(n AS DOUBLE) + 3.8416D)""".stripMargin)
+          .as("wilson_hi"))
+      .orderBy(col("user_id"))
+  }
+
   val all: Seq[QueryDef] = Seq(q127Perceptron, q182Calibration, q193Conformal,
     q203AnnotatorKappa, q208LabelNoise, q221BrierDecomp, q248IsotonicFit,
-    q252ReplayEval)
+    q252ReplayEval, q288PassAtK)
 }

@@ -5316,8 +5316,54 @@ object TextOps {
       .orderBy(col("pick"))
   }
 
+  /** Chao1 vocabulary-richness estimate per language (Chao Scand. J.
+    * Stat. 1984; the bias-corrected form): V + F₁(F₁−1)/(2(F₂+1)),
+    * where F₁/F₂ are the singleton/doubleton counts — "how much
+    * vocabulary exists that this corpus slice has NOT seen yet", the
+    * ecology estimator NLP borrowed for coverage planning. q202 (Heaps)
+    * fits observed growth and q215 (Good–Turing) reallocates observed
+    * mass; Chao1 extrapolates to the unseen total, which is the number
+    * a "do we need more ja/zh data?" decision actually wants.
+    *
+    * One token pass → (lang, word) counts (map-side combined), then a
+    * lang-keyed count-of-counts fold; every input to the estimate is an
+    * exact BIGINT, the estimate itself one identical double expression.
+    * Output is language-sized. */
+  val q289Chao1: QueryDef = sql(
+    "q289_chao1",
+    """WITH wc AS (
+      |  SELECT lang, w, CAST(COUNT(*) AS BIGINT) AS c
+      |  FROM (SELECT lang, unnest(string_split(text, ' ')) AS w FROM documents)
+      |  GROUP BY 1, 2),
+      |cc AS (
+      |  SELECT lang, CAST(COUNT(*) AS BIGINT) AS v,
+      |    CAST(COALESCE(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END), 0) AS BIGINT) AS f1,
+      |    CAST(COALESCE(SUM(CASE WHEN c = 2 THEN 1 ELSE 0 END), 0) AS BIGINT) AS f2,
+      |    CAST(SUM(c) AS BIGINT) AS n_tokens
+      |  FROM wc GROUP BY 1)
+      |SELECT lang, n_tokens, v, f1, f2,
+      |  CAST(v AS DOUBLE) + CAST(f1 AS DOUBLE) * CAST(f1 - 1 AS DOUBLE)
+      |    / (2.0 * CAST(f2 + 1 AS DOUBLE)) AS chao1,
+      |  1.0 - CAST(f1 AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS coverage
+      |FROM cc
+      |ORDER BY lang""".stripMargin) { (s, dir) =>
+    val wc = Tables.fanOut(Tables.documents(s, dir))
+      .select(col("lang"), explode(split(col("text"), " ")).as("w"))
+      .groupBy(col("lang"), col("w")).agg(count(lit(1)).as("c"))
+    wc.groupBy(col("lang"))
+      .agg(count(lit(1)).as("v"),
+        coalesce(sum(when(col("c") === 1L, 1L).otherwise(0L)), lit(0L)).as("f1"),
+        coalesce(sum(when(col("c") === 2L, 1L).otherwise(0L)), lit(0L)).as("f2"),
+        sum(col("c")).as("n_tokens"))
+      .select(col("lang"), col("n_tokens"), col("v"), col("f1"), col("f2"),
+        expr("""CAST(v AS DOUBLE) + CAST(f1 AS DOUBLE) * CAST(f1 - 1 AS DOUBLE)
+               |  / (2.0D * CAST(f2 + 1 AS DOUBLE))""".stripMargin).as("chao1"),
+        (lit(1.0) - col("f1").cast("double") / col("n_tokens").cast("double")).as("coverage"))
+      .orderBy(col("lang"))
+  }
+
   val all: Seq[QueryDef] = Seq(
-    q276EpochAllocation, q277CoverageSelect,
+    q276EpochAllocation, q277CoverageSelect, q289Chao1,
     q21TextStats, q22WordFreq, q23BigramFreq, q24LangId, q25QualityScore,
     q26Fingerprint, q27TokenRegex, q62TrainSplit, q64TermFreqMap,
     q68StratifiedSample, q72Redaction, q74Chunking, q79CurationPipeline,

@@ -341,6 +341,38 @@ class RobustStatsSpec extends SparkSpec {
     assert(a.map(_.toString).toSeq == b.map(_.toString).toSeq)
   }
 
+  test("cdc apply face: deletes remove exactly the keys the changelog deletes") {
+    val live = graft.ops.Analytics.q287CdcApply.run(spark, sfDir)
+      .collect().map(_.getLong(1)).sum
+    val o = graft.sources.Tables.orders(spark, sfDir)
+    val total = o.count()
+    val deleted = o.filter(col("o_orderkey") % 8 === 7).count()
+    assert(live == total - deleted)
+  }
+
+  test("pass@k face: estimator dominates pass@1, Wilson brackets the point rate") {
+    val rows = graft.ops.Classifier.q288PassAtK.run(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (n, c) = (r.getLong(1), r.getLong(2))
+      val (p1, p5, lo, hi) = (r.getDouble(3), r.getDouble(4), r.getDouble(5), r.getDouble(6))
+      assert(p5 >= p1 - 1e-12 && p5 <= 1.0 + 1e-12 && p1 >= 0.0)
+      assert(lo <= c.toDouble / n + 1e-12 && hi >= c.toDouble / n - 1e-12)
+      assert(lo >= 0.0 && hi <= 1.0)
+      if (c == 0L) assert(p5 == 0.0)
+      if (n - c < 5L) assert(p5 == 1.0)
+    }
+  }
+
+  test("chao1 face: the estimate never falls below the observed vocabulary") {
+    val rows = graft.ops.TextOps.q289Chao1.run(spark, sfDir).collect()
+    assert(rows.map(_.getString(0)).toSet == Set("de", "en", "es", "fr", "zh"))
+    rows.foreach { r =>
+      assert(r.getDouble(5) >= r.getLong(2).toDouble) // chao1 >= V
+      assert(r.getDouble(6) >= 0.0 && r.getDouble(6) <= 1.0)
+    }
+  }
+
   test("textrank face: keywords obey the syntactic filter and ranks order the output") {
     val rows = Graph.q279Textrank.run(spark, sfDir).collect()
     assert(rows.nonEmpty)
