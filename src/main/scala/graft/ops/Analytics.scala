@@ -2734,9 +2734,42 @@ object Analytics {
       .orderBy(col("o_orderstatus"))
   }
 
+  /** XML shredding through Spark 4's native `from_xml` — the
+    * semi-structured surface beside JSON (q19/q54) and VARIANT (q84).
+    * Orders render to canonical XML and parse back through the real
+    * XML codec into a typed struct; the per-status fingerprint of the
+    * PARSED values can only match the oracle (which computes the same
+    * aggregate straight from the table — DuckDB has no XML) if every
+    * value survived the serialize→parse round trip bit-for-bit. The
+    * XML path is genuinely exercised on the Spark side; the oracle
+    * proves round-trip identity, the same device as q44a's structural
+    * slice. Scan-level: render + parse stay inside the projection. */
+  val q290XmlShred: QueryDef = sql(
+    "q290_xml_shred",
+    """SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n,
+      |  CAST(SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sum_cents,
+      |  bit_xor(CAST(('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 15)) AS BIGINT)) AS key_fp
+      |FROM orders
+      |GROUP BY 1
+      |ORDER BY o_orderstatus""".stripMargin) { (s, dir) =>
+    Tables.orders(s, dir)
+      .select(concat(
+        lit("<o><k>"), col("o_orderkey"),
+        lit("</k><st>"), col("o_orderstatus"),
+        lit("</st><c>"), expr("CAST(FLOOR(o_totalprice * 100) AS BIGINT)"),
+        lit("</c></o>")).as("xml"))
+      .select(expr("from_xml(xml, 'k BIGINT, st STRING, c BIGINT')").as("p"))
+      .select(col("p.k").as("k"), col("p.st").as("o_orderstatus"), col("p.c").as("cents"))
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"), sum(col("cents")).as("sum_cents"),
+        expr("bit_xor(CAST(conv(substring(md5(CAST(k AS STRING)), 1, 15), 16, 10) AS BIGINT))")
+          .as("key_fp"))
+      .orderBy(col("o_orderstatus"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     q227IntegrityScorecard, q231MarketShare, q235MvMaintenance, q244Cuped, q247AqpGroupby,
-    q266BenfordAudit, q267NeymanAllocation, q268GiniLorenz, q287CdcApply,
+    q266BenfordAudit, q267NeymanAllocation, q268GiniLorenz, q287CdcApply, q290XmlShred,
     q253RfmSegments, q254AssociationRules, q255CohortLtv, q256DeletionCascade,
     q257EquiDepthAudit, q261BitemporalAsof,
     q01PricingSummary, q02SelectiveFilter, q03ShippingPriority, q05LocalRevenue,

@@ -224,6 +224,31 @@ object StreamingOps {
         col("purchase_ts"), col("click_ts"))
   }
 
+  /** Stream-stream FULL OUTER interval join — completing the join-type
+    * matrix with [[purchaseClickJoin]] (inner) and
+    * [[purchaseClickLeftJoin]] (left): purchases with no qualifying
+    * click AND clicks that preceded no purchase both surface as
+    * null-padded rows once the watermark proves no match can still
+    * arrive. Same watermarks, same time constraint; state on both sides
+    * is bounded identically — the outer rows are emitted at eviction
+    * time, which is why outer stream joins need the watermark at all. */
+  def purchaseClickFullJoin(purchases: DataFrame, clicks: DataFrame): DataFrame = {
+    val p = purchases.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id").as("p_user"),
+        col("ts").as("purchase_ts"))
+      .withWatermark("purchase_ts", "20 minutes")
+    val c = clicks.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id").as("c_user"),
+        col("ts").as("click_ts"))
+      .withWatermark("click_ts", "20 minutes")
+    p.join(c, col("c_user") === col("p_user") &&
+      col("click_ts") >= col("purchase_ts") - expr("INTERVAL 10 MINUTES") &&
+      col("click_ts") < col("purchase_ts"), "full_outer")
+      .select(col("purchase_id"), col("click_id"),
+        coalesce(col("p_user"), col("c_user")).as("user_id"),
+        col("purchase_ts"), col("click_ts"))
+  }
+
   /** Shared core of q70's batch and streaming faces: left-join the static
     * customer dimension onto events, aggregate per (segment, minute).
     * Works on bounded and unbounded `events` alike — on a stream, Spark

@@ -1348,7 +1348,99 @@ object Temporal {
     q249ShapleyAttribution, q251MarkovRemoval, q259HaarCompress,
     q264IntervalUnion, q265TheilSen, q269EpisodeMining, q270Autocorrelation,
     q271DyadicSmoothing, q275SeasonalDecompose, q280Burstiness,
-    q284MarkovStationary)
+    q284MarkovStationary, q291ActivityStreaks, q292ActiveUsers)
+
+  /** Longest consecutive-day activity streak per user — gaps-and-islands
+    * on the day axis (the engagement metric every product dashboard
+    * ships): distinct active days, grouped into runs by the classic
+    * day_idx − ROW_NUMBER constant-difference device (runs of
+    * consecutive integers share the difference), then a per-user max.
+    * One user-keyed shuffle over the (user, day)-distinct relation —
+    * already corpus-reduced — and exact integers throughout. */
+  lazy val q291ActivityStreaks: QueryDef = sql(
+    "q291_activity_streaks",
+    """WITH ud AS (
+      |  SELECT DISTINCT user_id,
+      |    CAST(epoch_us(date_trunc('day', ts)) // 86400000000 AS BIGINT) AS d
+      |  FROM events),
+      |runs AS (
+      |  SELECT user_id, d,
+      |    d - ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY d) AS grp
+      |  FROM ud),
+      |st AS (
+      |  SELECT user_id, grp, CAST(COUNT(*) AS BIGINT) AS len,
+      |    CAST(MIN(d) AS BIGINT) AS start_d
+      |  FROM runs GROUP BY 1, 2)
+      |SELECT user_id,
+      |  CAST(SUM(len) AS BIGINT) AS active_days,
+      |  CAST(COUNT(*) AS BIGINT) AS n_streaks,
+      |  CAST(MAX(len) AS BIGINT) AS longest_streak,
+      |  CAST(MIN(CASE WHEN len = (SELECT MAX(len) FROM st s2 WHERE s2.user_id = st.user_id)
+      |           THEN start_d END) AS BIGINT) AS longest_start_day
+      |FROM st
+      |GROUP BY user_id
+      |ORDER BY user_id""".stripMargin) { (s, dir) =>
+    val ud = Tables.events(s, dir)
+      .select(col("user_id"),
+        expr("unix_micros(date_trunc('day', ts)) div 86400000000L").as("d"))
+      .distinct()
+    val runs = ud.withColumn("grp",
+      col("d") - row_number().over(
+        Window.partitionBy(col("user_id")).orderBy(col("d"))))
+    val st = runs.groupBy(col("user_id"), col("grp"))
+      .agg(count(lit(1)).as("len"), min(col("d")).as("start_d"))
+    // per-user argmax via one more window instead of the oracle's
+    // correlated subquery (same answer, one pass)
+    val mx = st.withColumn("mlen",
+      max(col("len")).over(Window.partitionBy(col("user_id"))))
+    mx.groupBy(col("user_id"))
+      .agg(sum(col("len")).as("active_days"), count(lit(1)).as("n_streaks"),
+        max(col("len")).as("longest_streak"),
+        min(when(col("len") === col("mlen"), col("start_d"))).as("longest_start_day"))
+      .orderBy(col("user_id"))
+  }
+
+  /** Rolling active-user counts — DAU, trailing-7-day WAU, trailing-28-
+    * day MAU and the DAU/WAU stickiness ratio (the growth-team
+    * scorecard). Exact sliding-window DISTINCT does not fold into a
+    * window function (distinct isn't subtractable), so the rolling
+    * counts come from a bounded range join of the DAY relation against
+    * the (user, day)-distinct relation — fan-out ≤ 28 rows per active
+    * (user, day), a constant, and both inputs are already corpus-
+    * reduced (the corpus pass is the dedup to (user, day)). At 10⁹
+    * users this is the standard pre-aggregated-activity layout. */
+  lazy val q292ActiveUsers: QueryDef = sql(
+    "q292_active_users",
+    """WITH ud AS (
+      |  SELECT DISTINCT user_id,
+      |    CAST(epoch_us(date_trunc('day', ts)) // 86400000000 AS BIGINT) AS d
+      |  FROM events),
+      |days AS (SELECT DISTINCT d FROM ud),
+      |dau AS (SELECT d, CAST(COUNT(*) AS BIGINT) AS dau FROM ud GROUP BY 1),
+      |wau AS (SELECT days.d, CAST(COUNT(DISTINCT ud.user_id) AS BIGINT) AS wau
+      |        FROM days JOIN ud ON ud.d BETWEEN days.d - 6 AND days.d GROUP BY 1),
+      |mau AS (SELECT days.d, CAST(COUNT(DISTINCT ud.user_id) AS BIGINT) AS mau
+      |        FROM days JOIN ud ON ud.d BETWEEN days.d - 27 AND days.d GROUP BY 1)
+      |SELECT dau.d AS day_idx, dau.dau, wau.wau, mau.mau,
+      |  CAST(dau.dau AS DOUBLE) / CAST(wau.wau AS DOUBLE) AS stickiness
+      |FROM dau JOIN wau ON wau.d = dau.d JOIN mau ON mau.d = dau.d
+      |ORDER BY day_idx""".stripMargin) { (s, dir) =>
+    val ud = Tables.events(s, dir)
+      .select(col("user_id"),
+        expr("unix_micros(date_trunc('day', ts)) div 86400000000L").as("d"))
+      .distinct()
+      .localCheckpoint(true) // (user, day)-sized; four consumers below
+    val days = ud.select(col("d")).distinct()
+    val dau = ud.groupBy(col("d")).agg(count(lit(1)).as("dau"))
+    def trailing(win: Int, name: String): DataFrame =
+      days.select(col("d").as("dd"))
+        .join(ud, col("d").between(col("dd") - (win - 1), col("dd")))
+        .groupBy(col("dd").as("d")).agg(countDistinct(col("user_id")).as(name))
+    dau.join(trailing(7, "wau"), Seq("d")).join(trailing(28, "mau"), Seq("d"))
+      .select(col("d").as("day_idx"), col("dau"), col("wau"), col("mau"),
+        (col("dau").cast("double") / col("wau").cast("double")).as("stickiness"))
+      .orderBy(col("day_idx"))
+  }
 
   /** One unrolled stationary-power-iteration round r over CTEs p/v{r-1}:
     * v_j ← Σ_i floor(v_i · p_ij / 10⁶), exact integers. */

@@ -179,6 +179,41 @@ class StreamingSpec extends SparkSpec {
       s"${(mustEmit -- gotNull).size} expired unmatched purchases missing from outer output")
   }
 
+  test("stream-stream FULL OUTER join: inner pairs match; both sides' evicted rows emit null") {
+    val dir = stageEvents()
+    val got = runToMemory(
+      StreamingOps.purchaseClickFullJoin(
+        StreamingOps.eventsStream(spark, dir),
+        StreamingOps.eventsStream(spark, dir)),
+      "t_ssfull", "append").collect()
+    val matched = got.filter(r =>
+      r.getAs[Any]("purchase_id") != null && r.getAs[Any]("click_id") != null)
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val innerWant = graft.ops.Temporal.q55IntervalJoin.run(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(matched == innerWant, "matched rows must equal the inner-join face")
+    // null-padded rows may only come from genuinely unmatched sides
+    val ev = Tables.events(spark, sfDir)
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id").as("p_user"),
+        col("ts").as("purchase_ts"))
+    val c = ev.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id").as("c_user"),
+        col("ts").as("click_ts"))
+    val cond = col("c_user") === col("p_user") &&
+      col("click_ts") >= col("purchase_ts") - expr("INTERVAL 10 MINUTES") &&
+      col("click_ts") < col("purchase_ts")
+    val unmatchedP = p.join(c, cond, "left_anti")
+      .collect().map(_.getLong(0)).toSet
+    val unmatchedC = c.join(p, cond, "left_anti")
+      .collect().map(_.getLong(0)).toSet
+    val gotNullClick = got.filter(_.getAs[Any]("click_id") == null).map(_.getLong(0)).toSet
+    val gotNullPurch = got.filter(_.getAs[Any]("purchase_id") == null).map(_.getLong(1)).toSet
+    assert(gotNullClick.subsetOf(unmatchedP))
+    assert(gotNullPurch.subsetOf(unmatchedC))
+    assert(gotNullPurch.nonEmpty, "the fixture has clicks preceding no purchase — some must evict")
+  }
+
   test("flatMapGroupsWithState emits only high-watermark events, ending at the batch max") {
     val got = runToMemory(
       StreamingOps.highWatermarkEvents(spark, StreamingOps.eventsStream(spark, stageEvents())),
