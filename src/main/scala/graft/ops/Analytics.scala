@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -2767,9 +2767,68 @@ object Analytics {
       .orderBy(col("o_orderstatus"))
   }
 
+  /** Difference-in-differences (Card & Krueger AER 1994 made it canon):
+    * the treatment effect as (treated post − pre) − (control post − pre),
+    * differencing away both the group gap and the common time trend —
+    * the quasi-experimental readout when assignment wasn't randomized
+    * (q244's CUPED assumes a randomized A/B; DiD is what you run on a
+    * staged rollout). Cohorts are deterministic (treat = odd user id,
+    * post = day 15 of the window); the metric is event value in exact
+    * floor-cents.
+    *
+    * One conditional-aggregate pass builds all four cell moments
+    * (map-side combined); the estimate is one double expression of
+    * eight exact integers. Emitted as one row carrying every cell so
+    * the hash pins the full 2×2 table, not just the headline. */
+  val q293DiffInDiff: QueryDef = sql(
+    "q293_diff_in_diff",
+    """WITH base AS (
+      |  SELECT CAST(user_id % 2 AS BIGINT) AS treat,
+      |    CASE WHEN CAST(epoch_us(date_trunc('day', ts)) // 86400000000 AS BIGINT)
+      |      >= (SELECT MIN(CAST(epoch_us(date_trunc('day', ts)) // 86400000000 AS BIGINT)) + 15 FROM events)
+      |      THEN 1 ELSE 0 END AS post,
+      |    CAST(FLOOR(value * 100) AS BIGINT) AS cents
+      |  FROM events),
+      |m AS (
+      |  SELECT
+      |    CAST(SUM(CASE WHEN treat = 1 AND post = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_tp,
+      |    CAST(SUM(CASE WHEN treat = 1 AND post = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_tq,
+      |    CAST(SUM(CASE WHEN treat = 0 AND post = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_cp,
+      |    CAST(SUM(CASE WHEN treat = 0 AND post = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_cq,
+      |    CAST(SUM(CASE WHEN treat = 1 AND post = 1 THEN cents ELSE 0 END) AS BIGINT) AS s_tp,
+      |    CAST(SUM(CASE WHEN treat = 1 AND post = 0 THEN cents ELSE 0 END) AS BIGINT) AS s_tq,
+      |    CAST(SUM(CASE WHEN treat = 0 AND post = 1 THEN cents ELSE 0 END) AS BIGINT) AS s_cp,
+      |    CAST(SUM(CASE WHEN treat = 0 AND post = 0 THEN cents ELSE 0 END) AS BIGINT) AS s_cq
+      |  FROM base)
+      |SELECT n_tp, n_tq, n_cp, n_cq, s_tp, s_tq, s_cp, s_cq,
+      |  (CAST(s_tp AS DOUBLE) / CAST(n_tp AS DOUBLE) - CAST(s_tq AS DOUBLE) / CAST(n_tq AS DOUBLE))
+      |  - (CAST(s_cp AS DOUBLE) / CAST(n_cp AS DOUBLE) - CAST(s_cq AS DOUBLE) / CAST(n_cq AS DOUBLE))
+      |    AS did_cents
+      |FROM m""".stripMargin) { (s, dir) =>
+    val ev = Tables.events(s, dir)
+    val d0 = ev.agg(min(expr("unix_micros(date_trunc('day', ts)) div 86400000000L")).as("d0"))
+    val base = ev.crossJoin(broadcast(d0)).select(
+      (col("user_id") % 2).as("treat"),
+      when(expr("unix_micros(date_trunc('day', ts)) div 86400000000L") >= col("d0") + 15, 1L)
+        .otherwise(0L).as("post"),
+      expr("CAST(FLOOR(value * 100) AS BIGINT)").as("cents"))
+    def cell(t: Int, p: Int, agg: Column, name: String): Column =
+      sum(when(col("treat") === t && col("post") === p, agg).otherwise(0L)).as(name)
+    base.agg(
+        cell(1, 1, lit(1L), "n_tp"), cell(1, 0, lit(1L), "n_tq"),
+        cell(0, 1, lit(1L), "n_cp"), cell(0, 0, lit(1L), "n_cq"),
+        cell(1, 1, col("cents"), "s_tp"), cell(1, 0, col("cents"), "s_tq"),
+        cell(0, 1, col("cents"), "s_cp"), cell(0, 0, col("cents"), "s_cq"))
+      .withColumn("did_cents", expr(
+        """(CAST(s_tp AS DOUBLE) / CAST(n_tp AS DOUBLE) - CAST(s_tq AS DOUBLE) / CAST(n_tq AS DOUBLE))
+          |- (CAST(s_cp AS DOUBLE) / CAST(n_cp AS DOUBLE) - CAST(s_cq AS DOUBLE) / CAST(n_cq AS DOUBLE))"""
+          .stripMargin))
+  }
+
   val all: Seq[QueryDef] = Seq(
     q227IntegrityScorecard, q231MarketShare, q235MvMaintenance, q244Cuped, q247AqpGroupby,
     q266BenfordAudit, q267NeymanAllocation, q268GiniLorenz, q287CdcApply, q290XmlShred,
+    q293DiffInDiff,
     q253RfmSegments, q254AssociationRules, q255CohortLtv, q256DeletionCascade,
     q257EquiDepthAudit, q261BitemporalAsof,
     q01PricingSummary, q02SelectiveFilter, q03ShippingPriority, q05LocalRevenue,

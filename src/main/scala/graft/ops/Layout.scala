@@ -873,9 +873,65 @@ object Layout {
       .orderBy(col("category"))
   }
 
+  /** NDV-from-sample audit: the estimators an ANALYZE that cannot
+    * afford a full scan actually uses, scored against ground truth.
+    * A deterministic 10% ROW sample (md5 on the row key — the q62
+    * device, so the "random" sample is reproducible cross-engine)
+    * yields d distinct keys and f1/f2 sample-frequency counts; the
+    * audit reports GEE (Charikar et al. PODS 2000: d + (√(N/n)−1)·f1 —
+    * the estimator with the matching √(N/n) lower-bound guarantee) and
+    * sample-Chao (q289's estimator applied to the sample) beside the
+    * exact NDV from the same scan. q229 profiles with exact passes;
+    * this is the 100 TB path where profiling must sample, and the
+    * error columns say what that costs. One pass; sample aggregates
+    * are map-side combined. */
+  val q294NdvEstimate: QueryDef = sql(
+    "q294_ndv_estimate",
+    """WITH li AS (
+      |  SELECT l_partkey AS k,
+      |    CAST(('0x' || substr(md5('smp:' || CAST(l_orderkey AS VARCHAR) || ':' ||
+      |      CAST(l_linenumber AS VARCHAR) || ':' || CAST(l_partkey AS VARCHAR)), 1, 4)) AS INT) AS b
+      |  FROM lineitem),
+      |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+      |               CAST(COUNT(DISTINCT k) AS BIGINT) AS exact_ndv FROM li),
+      |smp AS (SELECT k, CAST(COUNT(*) AS BIGINT) AS c FROM li WHERE b < 6554 GROUP BY 1),
+      |sagg AS (SELECT CAST(COUNT(*) AS BIGINT) AS d,
+      |    CAST(COALESCE(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END), 0) AS BIGINT) AS f1,
+      |    CAST(COALESCE(SUM(CASE WHEN c = 2 THEN 1 ELSE 0 END), 0) AS BIGINT) AS f2,
+      |    CAST(COALESCE(SUM(c), 0) AS BIGINT) AS n_sample
+      |  FROM smp)
+      |SELECT tot.n_rows, tot.exact_ndv, sagg.n_sample, sagg.d, sagg.f1, sagg.f2,
+      |  CAST(sagg.d AS DOUBLE)
+      |    + (SQRT(CAST(tot.n_rows AS DOUBLE) / CAST(sagg.n_sample AS DOUBLE)) - 1.0)
+      |      * CAST(sagg.f1 AS DOUBLE) AS gee,
+      |  CAST(sagg.d AS DOUBLE) + CAST(sagg.f1 AS DOUBLE) * CAST(sagg.f1 - 1 AS DOUBLE)
+      |    / (2.0 * CAST(sagg.f2 + 1 AS DOUBLE)) AS chao
+      |FROM tot, sagg""".stripMargin) { (s, dir) =>
+    val li = Tables.lineitem(s, dir).select(col("l_partkey").as("k"),
+      expr("""CAST(conv(substring(md5(concat('smp:', CAST(l_orderkey AS STRING), ':',
+             |  CAST(l_linenumber AS STRING), ':', CAST(l_partkey AS STRING))), 1, 4), 16, 10) AS INT)"""
+        .stripMargin).as("b"))
+    val tot = li.agg(count(lit(1)).as("n_rows"),
+      countDistinct(col("k")).cast("long").as("exact_ndv"))
+    val sagg = li.filter(col("b") < 6554)
+      .groupBy(col("k")).agg(count(lit(1)).as("c"))
+      .agg(count(lit(1)).as("d"),
+        coalesce(sum(when(col("c") === 1L, 1L).otherwise(0L)), lit(0L)).as("f1"),
+        coalesce(sum(when(col("c") === 2L, 1L).otherwise(0L)), lit(0L)).as("f2"),
+        coalesce(sum(col("c")), lit(0L)).as("n_sample"))
+    tot.crossJoin(broadcast(sagg))
+      .select(col("n_rows"), col("exact_ndv"), col("n_sample"), col("d"),
+        col("f1"), col("f2"),
+        expr("""CAST(d AS DOUBLE)
+               | + (SQRT(CAST(n_rows AS DOUBLE) / CAST(n_sample AS DOUBLE)) - 1.0D)
+               |   * CAST(f1 AS DOUBLE)""".stripMargin).as("gee"),
+        expr("""CAST(d AS DOUBLE) + CAST(f1 AS DOUBLE) * CAST(f1 - 1 AS DOUBLE)
+               |  / (2.0D * CAST(f2 + 1 AS DOUBLE))""".stripMargin).as("chao"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     q112BucketedJoin, q113PartitionPruning, q114SaltedJoin, q115BloomSemiJoin,
     q229ColumnProfile, q230LayoutAdvisor, q246CardinalityAudit, q250BloomZoneMap,
     q258CurveLocality, q260RebalanceAudit, q273CountMinAudit, q278KmvSketch,
-    q286SyntheticGen)
+    q286SyntheticGen, q294NdvEstimate)
 }

@@ -373,6 +373,25 @@ class RobustStatsSpec extends SparkSpec {
     }
   }
 
+  test("diff-in-diff face: cells partition the corpus and the headline matches its own cells") {
+    val r = graft.ops.Analytics.q293DiffInDiff.run(spark, sfDir).head()
+    val n = (0 to 3).map(r.getLong)
+    val sums = (4 to 7).map(r.getLong)
+    assert(n.sum == graft.sources.Tables.events(spark, sfDir).count())
+    val did = (sums(0).toDouble / n(0) - sums(1).toDouble / n(1)) -
+      (sums(2).toDouble / n(2) - sums(3).toDouble / n(3))
+    assert(math.abs(r.getDouble(8) - did) < 1e-9)
+  }
+
+  test("ndv estimate face: sample is ~10%, every estimator at least the observed distinct") {
+    val r = graft.ops.Layout.q294NdvEstimate.run(spark, sfDir).head()
+    val (nRows, exact, nSample, d) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+    assert(nSample >= nRows / 20 && nSample <= nRows / 5, s"sample $nSample of $nRows")
+    assert(d <= exact)
+    assert(r.getDouble(6) >= d.toDouble && r.getDouble(7) >= d.toDouble)
+  }
+
   test("textrank face: keywords obey the syntactic filter and ranks order the output") {
     val rows = Graph.q279Textrank.run(spark, sfDir).collect()
     assert(rows.nonEmpty)
