@@ -2825,10 +2825,63 @@ object Analytics {
           .stripMargin))
   }
 
+  /** Standardized effect size + experiment sizing: Cohen's d (Cohen 1988)
+    * between purchase and click event values, with the sample size per
+    * arm an 80%-power / 5%-α two-sample test would need to detect the
+    * OBSERVED effect — the "is this difference big enough to chase, and
+    * what would confirming it cost" pair every experimentation review
+    * asks for (q244 reduces variance, q293 removes trends; this prices
+    * the next experiment). Moments are exact integer cent sums; d and
+    * n-per-arm are single double expressions with the z-constants
+    * pinned as literals (1.96, 0.8416). One conditional-aggregate
+    * pass. */
+  val q295EffectSize: QueryDef = sql(
+    "q295_effect_size",
+    """WITH m AS (
+      |  SELECT
+      |    CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+      |    CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+      |    CAST(SUM(CASE WHEN event_type = 'purchase' THEN CAST(FLOOR(value * 100) AS BIGINT) ELSE 0 END) AS BIGINT) AS s1,
+      |    CAST(SUM(CASE WHEN event_type = 'click' THEN CAST(FLOOR(value * 100) AS BIGINT) ELSE 0 END) AS BIGINT) AS s2,
+      |    CAST(SUM(CASE WHEN event_type = 'purchase' THEN CAST(FLOOR(value * 100) AS BIGINT) * CAST(FLOOR(value * 100) AS BIGINT) ELSE 0 END) AS BIGINT) AS q1,
+      |    CAST(SUM(CASE WHEN event_type = 'click' THEN CAST(FLOOR(value * 100) AS BIGINT) * CAST(FLOOR(value * 100) AS BIGINT) ELSE 0 END) AS BIGINT) AS q2
+      |  FROM events),
+      |d AS (
+      |  SELECT n1, n2, s1, s2,
+      |    (CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE) - CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE)) AS diff_cents,
+      |    SQRT(((CAST(n1 AS DOUBLE) * CAST(q1 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)) / CAST(n1 AS DOUBLE)
+      |        + (CAST(n2 AS DOUBLE) * CAST(q2 AS DOUBLE) - CAST(s2 AS DOUBLE) * CAST(s2 AS DOUBLE)) / CAST(n2 AS DOUBLE))
+      |      / CAST(n1 + n2 - 2 AS DOUBLE)) AS sd_pooled
+      |  FROM m)
+      |SELECT n1, n2, diff_cents, sd_pooled,
+      |  diff_cents / sd_pooled AS cohen_d,
+      |  CAST(CEIL(2.0 * ((1.96 + 0.8416) * sd_pooled / diff_cents)
+      |           * ((1.96 + 0.8416) * sd_pooled / diff_cents)) AS BIGINT) AS n_per_arm_80
+      |FROM d""".stripMargin) { (s, dir) =>
+    val cents = expr("CAST(FLOOR(value * 100) AS BIGINT)")
+    def side(t: String, a: Column, name: String): Column =
+      sum(when(col("event_type") === t, a).otherwise(0L)).as(name)
+    val m = Tables.events(s, dir).agg(
+      side("purchase", lit(1L), "n1"), side("click", lit(1L), "n2"),
+      side("purchase", cents, "s1"), side("click", cents, "s2"),
+      side("purchase", cents * cents, "q1"), side("click", cents * cents, "q2"))
+    m.select(col("n1"), col("n2"),
+        expr("CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE) - CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE)")
+          .as("diff_cents"),
+        expr("""SQRT(((CAST(n1 AS DOUBLE) * CAST(q1 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)) / CAST(n1 AS DOUBLE)
+               |    + (CAST(n2 AS DOUBLE) * CAST(q2 AS DOUBLE) - CAST(s2 AS DOUBLE) * CAST(s2 AS DOUBLE)) / CAST(n2 AS DOUBLE))
+               |  / CAST(n1 + n2 - 2 AS DOUBLE))""".stripMargin).as("sd_pooled"))
+      .select(col("n1"), col("n2"), col("diff_cents"), col("sd_pooled"),
+        (col("diff_cents") / col("sd_pooled")).as("cohen_d"),
+        expr("""CAST(CEIL(2.0D * ((1.96D + 0.8416D) * sd_pooled / diff_cents)
+               |          * ((1.96D + 0.8416D) * sd_pooled / diff_cents)) AS BIGINT)""".stripMargin)
+          .as("n_per_arm_80"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     q227IntegrityScorecard, q231MarketShare, q235MvMaintenance, q244Cuped, q247AqpGroupby,
     q266BenfordAudit, q267NeymanAllocation, q268GiniLorenz, q287CdcApply, q290XmlShred,
-    q293DiffInDiff,
+    q293DiffInDiff, q295EffectSize,
     q253RfmSegments, q254AssociationRules, q255CohortLtv, q256DeletionCascade,
     q257EquiDepthAudit, q261BitemporalAsof,
     q01PricingSummary, q02SelectiveFilter, q03ShippingPriority, q05LocalRevenue,

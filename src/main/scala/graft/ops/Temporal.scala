@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -1348,7 +1348,129 @@ object Temporal {
     q249ShapleyAttribution, q251MarkovRemoval, q259HaarCompress,
     q264IntervalUnion, q265TheilSen, q269EpisodeMining, q270Autocorrelation,
     q271DyadicSmoothing, q275SeasonalDecompose, q280Burstiness,
-    q284MarkovStationary, q291ActivityStreaks, q292ActiveUsers)
+    q284MarkovStationary, q291ActivityStreaks, q292ActiveUsers,
+    q296KendallTau, q297CrossCorrelation)
+
+  /** The two daily series every ops question correlates: click volume x
+    * and purchase revenue cents y, per day — one pass over events (the
+    * orders table lives in a different calendar era from events, so a
+    * cross-table day join would be vacuous). Day-sized; shared by q296
+    * and q297. */
+  private def dailyXY(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy(expr("unix_micros(date_trunc('day', ts)) div 86400000000L").as("d"))
+      .agg(sum(when(col("event_type") === "click", 1L).otherwise(0L)).as("x"),
+        sum(when(col("event_type") === "purchase",
+          expr("CAST(FLOOR(value * 100) AS BIGINT)")).otherwise(0L)).as("y"))
+      .localCheckpoint(true) // day-sized; both pair sides
+
+  // def, not val: `all` (declared above) forces the lazy query vals at
+  // object init, before a later-declared val would be assigned
+  private def dailyXYSql =
+    """xy AS (
+      |  SELECT CAST(epoch_us(date_trunc('day', ts)) // 86400000000 AS BIGINT) AS d,
+      |    CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS x,
+      |    CAST(SUM(CASE WHEN event_type = 'purchase'
+      |      THEN CAST(FLOOR(value * 100) AS BIGINT) ELSE 0 END) AS BIGINT) AS y
+      |  FROM events GROUP BY 1)""".stripMargin
+
+  /** Kendall's τ-b (Kendall Biometrika 1938; the tie-corrected τ-b form)
+    * between daily click volume and daily purchase revenue: the rank
+    * correlation built from pairwise CONCORDANCE, robust to any
+    * monotone transform of either series and exact in integers — C, D,
+    * and the tie terms are counts over day pairs; τ-b is one double
+    * expression of them (q181's Spearman ranks VALUES; Kendall counts
+    * pair ORDERINGS — they disagree precisely under heavy ties, so both
+    * belong in the toolbox). O(days²) pairs on the bounded day relation
+    * (q265's argument); the corpus passes are the two daily
+    * aggregates. */
+  lazy val q296KendallTau: QueryDef = sql(
+    "q296_kendall_tau",
+    s"""WITH $dailyXYSql,
+       |pr AS (
+       |  SELECT CASE WHEN (b.x - a.x) * (b.y - a.y) > 0 THEN 1 ELSE 0 END AS con,
+       |    CASE WHEN (b.x - a.x) * (b.y - a.y) < 0 THEN 1 ELSE 0 END AS dis,
+       |    CASE WHEN b.x = a.x THEN 1 ELSE 0 END AS tx,
+       |    CASE WHEN b.y = a.y THEN 1 ELSE 0 END AS ty
+       |  FROM xy a JOIN xy b ON b.d > a.d),
+       |agg AS (
+       |  SELECT CAST(COUNT(*) AS BIGINT) AS n0, CAST(SUM(con) AS BIGINT) AS c,
+       |    CAST(SUM(dis) AS BIGINT) AS dd, CAST(SUM(tx) AS BIGINT) AS n1,
+       |    CAST(SUM(ty) AS BIGINT) AS n2
+       |  FROM pr)
+       |SELECT n0 AS n_pairs, c AS concordant, dd AS discordant, n1 AS ties_x, n2 AS ties_y,
+       |  CAST(c - dd AS DOUBLE)
+       |    / SQRT(CAST(n0 - n1 AS DOUBLE) * CAST(n0 - n2 AS DOUBLE)) AS tau_b
+       |FROM agg""".stripMargin) { (s, dir) =>
+    val xy = dailyXY(s, dir)
+    val pr = xy.as("a").join(xy.as("b"), col("b.d") > col("a.d"))
+      .select(
+        when((col("b.x") - col("a.x")) * (col("b.y") - col("a.y")) > 0, 1L).otherwise(0L).as("con"),
+        when((col("b.x") - col("a.x")) * (col("b.y") - col("a.y")) < 0, 1L).otherwise(0L).as("dis"),
+        when(col("b.x") === col("a.x"), 1L).otherwise(0L).as("tx"),
+        when(col("b.y") === col("a.y"), 1L).otherwise(0L).as("ty"))
+    pr.agg(count(lit(1)).as("n0"), sum(col("con")).as("c"), sum(col("dis")).as("dd"),
+        sum(col("tx")).as("n1"), sum(col("ty")).as("n2"))
+      .select(col("n0").as("n_pairs"), col("c").as("concordant"),
+        col("dd").as("discordant"), col("n1").as("ties_x"), col("n2").as("ties_y"),
+        expr("""CAST(c - dd AS DOUBLE)
+               |  / SQRT(CAST(n0 - n1 AS DOUBLE) * CAST(n0 - n2 AS DOUBLE))""".stripMargin)
+          .as("tau_b"))
+  }
+
+  /** Lead–lag cross-correlation (the CCF companion of q270's ACF):
+    * r_k between daily click volume and daily purchase revenue at lags
+    * −7…+7 — "does activity LEAD revenue, and by how many days?" The
+    * peak lag is the operational answer (positive k: x leads y).
+    * Same exactness device as q270 — n-scaled integer deviations with
+    * every SUM over BIGINTs (a double-sum numerator would be
+    * aggregation-order-dependent and break cross-engine parity) —
+    * except revenue deviations are floored to 10⁴-cent units first:
+    * cent deviations square past 2⁶³, scaled ones stay exact to ~10³
+    * days × 10⁹/day. r_k is one double expression of four exact
+    * integers. Lag joins on the bounded day relation. */
+  lazy val q297CrossCorrelation: QueryDef = sql(
+    "q297_cross_correlation",
+    s"""WITH $dailyXYSql,
+       |sc AS (SELECT d, x, y // 10000 AS y FROM xy),
+       |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(x) AS BIGINT) AS sx,
+       |               CAST(SUM(y) AS BIGINT) AS sy FROM sc),
+       |dev AS (SELECT d, tot.n * x - tot.sx AS dx, tot.n * y - tot.sy AS dy FROM sc, tot),
+       |den AS (SELECT CAST(SUM(dx * dx) AS BIGINT) AS denx,
+       |               CAST(SUM(dy * dy) AS BIGINT) AS deny FROM dev),
+       |lags(lag) AS (VALUES (-7), (-6), (-5), (-4), (-3), (-2), (-1), (0),
+       |                     (1), (2), (3), (4), (5), (6), (7)),
+       |num AS (
+       |  SELECT l.lag, CAST(COUNT(*) AS BIGINT) AS n_terms,
+       |    CAST(SUM(a.dx * b.dy) AS BIGINT) AS num
+       |  FROM lags l JOIN dev a ON TRUE JOIN dev b ON b.d = a.d + l.lag
+       |  GROUP BY 1)
+       |SELECT CAST(num.lag AS BIGINT) AS lag, num.n_terms,
+       |  CAST(num.num AS DOUBLE) / (SQRT(CAST(den.denx AS DOUBLE)) * SQRT(CAST(den.deny AS DOUBLE))) AS ccf
+       |FROM num, den
+       |ORDER BY lag""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    val sc = dailyXY(s, dir).select(col("d"), col("x"), expr("y DIV 10000L").as("y"))
+    val tot = sc.agg(count(lit(1)).as("n"), sum(col("x")).as("sx"), sum(col("y")).as("sy"))
+    val dev = sc.crossJoin(broadcast(tot))
+      .select(col("d"), (col("n") * col("x") - col("sx")).as("dx"),
+        (col("n") * col("y") - col("sy")).as("dy"))
+      .localCheckpoint(true)
+    val den = dev.agg(sum(col("dx") * col("dx")).as("denx"),
+      sum(col("dy") * col("dy")).as("deny"))
+    val lags = (-7L to 7L).toDF("lag")
+    val num = broadcast(lags)
+      .crossJoin(dev.select(col("d").as("ad"), col("dx").as("adx")))
+      .join(dev.select(col("d").as("bd"), col("dy").as("bdy")),
+        col("bd") === col("ad") + col("lag"))
+      .groupBy(col("lag"))
+      .agg(count(lit(1)).as("n_terms"), sum(col("adx") * col("bdy")).as("num"))
+    num.crossJoin(broadcast(den))
+      .select(col("lag"), col("n_terms"),
+        (col("num").cast("double")
+          / (sqrt(col("denx").cast("double")) * sqrt(col("deny").cast("double")))).as("ccf"))
+      .orderBy(col("lag"))
+  }
 
   /** Longest consecutive-day activity streak per user — gaps-and-islands
     * on the day axis (the engagement metric every product dashboard

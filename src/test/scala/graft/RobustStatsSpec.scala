@@ -392,6 +392,41 @@ class RobustStatsSpec extends SparkSpec {
     assert(r.getDouble(6) >= d.toDouble && r.getDouble(7) >= d.toDouble)
   }
 
+  test("kendall tau: planted monotone pairs hit +1, anti-monotone -1 (hand logic)") {
+    def tau(pairsXY: Seq[(Long, Long)]): Double = {
+      val xy = pairsXY.zipWithIndex.map { case ((x, y), d) => (d.toLong, x, y) }
+        .toDF("d", "x", "y")
+      val pr = xy.as("a").join(xy.as("b"), col("b.d") > col("a.d"))
+        .select(
+          when((col("b.x") - col("a.x")) * (col("b.y") - col("a.y")) > 0, 1L).otherwise(0L).as("con"),
+          when((col("b.x") - col("a.x")) * (col("b.y") - col("a.y")) < 0, 1L).otherwise(0L).as("dis"),
+          when(col("b.x") === col("a.x"), 1L).otherwise(0L).as("tx"),
+          when(col("b.y") === col("a.y"), 1L).otherwise(0L).as("ty"))
+      pr.agg(count(lit(1)).as("n0"), sum(col("con")).as("c"), sum(col("dis")).as("dd"),
+          sum(col("tx")).as("n1"), sum(col("ty")).as("n2"))
+        .select(expr("CAST(c - dd AS DOUBLE) / SQRT(CAST(n0 - n1 AS DOUBLE) * CAST(n0 - n2 AS DOUBLE))"))
+        .head().getDouble(0)
+    }
+    assert(tau(Seq((1L, 10L), (2L, 20L), (3L, 30L), (4L, 40L))) == 1.0)
+    assert(tau(Seq((1L, 40L), (2L, 30L), (3L, 20L), (4L, 10L))) == -1.0)
+  }
+
+  test("q296/q297 faces: tau and every ccf bounded, lags complete, lag-0 terms = days") {
+    val t = Temporal.q296KendallTau.run(spark, sfDir).head()
+    assert(math.abs(t.getDouble(5)) <= 1.0)
+    val cc = Temporal.q297CrossCorrelation.run(spark, sfDir).collect()
+    assert(cc.map(_.getLong(0)).toSeq == (-7L to 7L))
+    cc.foreach(r => assert(math.abs(r.getDouble(2)) <= 1.0 + 1e-12))
+    val nDays = cc.find(_.getLong(0) == 0L).get.getLong(1)
+    assert(cc.forall(_.getLong(1) <= nDays))
+  }
+
+  test("effect size face: cohen_d consistent with its own moments, sizing positive") {
+    val r = graft.ops.Analytics.q295EffectSize.run(spark, sfDir).head()
+    assert(math.abs(r.getDouble(4) - r.getDouble(2) / r.getDouble(3)) < 1e-12)
+    assert(r.getLong(5) >= 1L)
+  }
+
   test("textrank face: keywords obey the syntactic filter and ranks order the output") {
     val rows = Graph.q279Textrank.run(spark, sfDir).collect()
     assert(rows.nonEmpty)
