@@ -159,5 +159,64 @@ object Contracts {
     orders.unionAll(li).orderBy(col("expectation"))
   }
 
-  val all: Seq[QueryDef] = Seq(q272DataContracts)
+  /** The data-ops scorecard capstone: five audit families — declared
+    * contracts (q272), Benford anomaly mass (q266), revenue concentration
+    * (q268), Markov flooring leak (q284), KMV estimator error (q278) —
+    * reduced to one (audit, value) row each and ONE hash, the morning
+    * dashboard a data-platform team actually pages on (the q200/q123
+    * capstone device applied to the observability suite: composition is
+    * proven by the gate, not claimed). Every value is an exact BIGINT
+    * (doubles floor through identical expressions), and the ORACLE is
+    * assembled from the member queries' own oracle SQL as subqueries —
+    * the scorecard can only pass if every member face still matches its
+    * member oracle INSIDE a composition. */
+  val q298OpsScorecard: QueryDef = {
+    def sub(q: QueryDef): String = q.oracle.get
+    sql(
+      "q298_ops_scorecard",
+      s"""SELECT 'benford_max_chi2_micro' AS audit,
+         |  (SELECT CAST(FLOOR(MAX(chi2_term) * 1000000.0) AS BIGINT)
+         |   FROM (${sub(Analytics.q266BenfordAudit)})) AS value
+         |UNION ALL
+         |SELECT 'contracts_failed',
+         |  (SELECT CAST(COUNT(*) AS BIGINT) FROM (${sub(q272DataContracts)}) WHERE NOT passed)
+         |UNION ALL
+         |SELECT 'gini_micro',
+         |  (SELECT CAST(FLOOR(MAX(gini) * 1000000.0) AS BIGINT)
+         |   FROM (${sub(Analytics.q268GiniLorenz)}))
+         |UNION ALL
+         |SELECT 'kmv_err_micro',
+         |  (SELECT CAST(FLOOR(ABS(kmv_estimate - CAST(exact_n AS DOUBLE)) * 1000000.0
+         |       / CAST(exact_n AS DOUBLE)) AS BIGINT)
+         |   FROM (${sub(Layout.q278KmvSketch)}) WHERE key_space = 'lineitem_parts')
+         |UNION ALL
+         |SELECT 'stationary_leak_micro',
+         |  (SELECT 1000000 - CAST(SUM(stationary_micro) AS BIGINT)
+         |   FROM (${sub(Temporal.q284MarkovStationary)}))
+         |ORDER BY audit""".stripMargin) { (s, dir) =>
+      def row(name: String, v: DataFrame): DataFrame =
+        v.select(lit(name).as("audit"), col("v").as("value"))
+      val contracts = row("contracts_failed",
+        q272DataContracts.run(s, dir).filter(!col("passed"))
+          .agg(count(lit(1)).as("v")))
+      val benford = row("benford_max_chi2_micro",
+        Analytics.q266BenfordAudit.run(s, dir)
+          .agg(max(expr("CAST(FLOOR(chi2_term * 1000000.0D) AS BIGINT)")).as("v")))
+      val gini = row("gini_micro",
+        Analytics.q268GiniLorenz.run(s, dir)
+          .agg(max(expr("CAST(FLOOR(gini * 1000000.0D) AS BIGINT)")).as("v")))
+      val kmv = row("kmv_err_micro",
+        Layout.q278KmvSketch.run(s, dir)
+          .filter(col("key_space") === "lineitem_parts")
+          .select(expr("""CAST(FLOOR(ABS(kmv_estimate - CAST(exact_n AS DOUBLE)) * 1000000.0D
+                         |  / CAST(exact_n AS DOUBLE)) AS BIGINT)""".stripMargin).as("v")))
+      val leak = row("stationary_leak_micro",
+        Temporal.q284MarkovStationary.run(s, dir)
+          .agg((lit(1000000L) - sum(col("stationary_micro"))).as("v")))
+      benford.unionAll(contracts).unionAll(gini).unionAll(kmv).unionAll(leak)
+        .orderBy(col("audit"))
+    }
+  }
+
+  val all: Seq[QueryDef] = Seq(q272DataContracts, q298OpsScorecard)
 }

@@ -427,6 +427,16 @@ class RobustStatsSpec extends SparkSpec {
     assert(r.getLong(5) >= 1L)
   }
 
+  test("ops scorecard face: five audits, the planted contract failure surfaces") {
+    val rows = Contracts.q298OpsScorecard.run(spark, sfDir)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(rows.keySet == Set("benford_max_chi2_micro", "contracts_failed",
+      "gini_micro", "kmv_err_micro", "stationary_leak_micro"))
+    assert(rows("contracts_failed") == 1L) // the lineitem composite-PK violation
+    assert(rows("gini_micro") >= 0L && rows("gini_micro") <= 1000000L)
+    assert(rows("stationary_leak_micro") >= 0L && rows("stationary_leak_micro") <= 100L)
+  }
+
   test("textrank face: keywords obey the syntactic filter and ranks order the output") {
     val rows = Graph.q279Textrank.run(spark, sfDir).collect()
     assert(rows.nonEmpty)
