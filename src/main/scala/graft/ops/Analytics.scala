@@ -2878,10 +2878,61 @@ object Analytics {
           .as("n_per_arm_80"))
   }
 
+  /** Exact weighted median per group: the price at which half the
+    * QUANTITY (not half the rows) sits below — the inventory-weighted
+    * center an unweighted median (q60) misreports whenever cheap items
+    * ship in bulk. The device is the distributed weighted-quantile
+    * selector: one group-partitioned sort, a running weight sum, and the
+    * first row where 2·cum ≥ W (integer comparison — no W/2 division, no
+    * doubles anywhere). Groups partition the windows, so nothing funnels
+    * through one partition; at a billion rows per group the same
+    * selection runs on a range-partitioned sort. Weights are exact
+    * floored quantities; ties on price break by orderkey/linenumber so
+    * both engines select the identical row. */
+  val q299WeightedMedian: QueryDef = sql(
+    "q299_weighted_median",
+    """WITH w AS (
+      |  SELECT l_returnflag, CAST(FLOOR(l_extendedprice * 100) AS BIGINT) AS cents,
+      |    CAST(FLOOR(l_quantity) AS BIGINT) AS qty, l_orderkey, l_linenumber
+      |  FROM lineitem),
+      |cum AS (
+      |  SELECT l_returnflag, cents, qty,
+      |    SUM(qty) OVER (PARTITION BY l_returnflag
+      |      ORDER BY cents, l_orderkey, l_linenumber
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cw,
+      |    SUM(qty) OVER (PARTITION BY l_returnflag) AS tw
+      |  FROM w),
+      |hit AS (
+      |  SELECT l_returnflag, cents, cw, tw,
+      |    ROW_NUMBER() OVER (PARTITION BY l_returnflag ORDER BY cw) AS rn
+      |  FROM cum WHERE 2 * cw >= tw)
+      |SELECT l_returnflag, CAST(tw AS BIGINT) AS total_qty,
+      |  CAST(cents AS BIGINT) AS weighted_median_cents
+      |FROM hit WHERE rn = 1
+      |ORDER BY l_returnflag""".stripMargin) { (s, dir) =>
+    val w = Tables.lineitem(s, dir).select(col("l_returnflag"),
+      expr("CAST(FLOOR(l_extendedprice * 100) AS BIGINT)").as("cents"),
+      expr("CAST(FLOOR(l_quantity) AS BIGINT)").as("qty"),
+      col("l_orderkey"), col("l_linenumber"))
+    val byPrice = Window.partitionBy(col("l_returnflag"))
+      .orderBy(col("cents"), col("l_orderkey"), col("l_linenumber"))
+    val cum = w
+      .withColumn("cw", sum(col("qty")).over(
+        byPrice.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("tw", sum(col("qty")).over(Window.partitionBy(col("l_returnflag"))))
+    cum.filter(lit(2L) * col("cw") >= col("tw"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("l_returnflag")).orderBy(col("cw"))))
+      .filter(col("rn") === 1)
+      .select(col("l_returnflag"), col("tw").as("total_qty"),
+        col("cents").as("weighted_median_cents"))
+      .orderBy(col("l_returnflag"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     q227IntegrityScorecard, q231MarketShare, q235MvMaintenance, q244Cuped, q247AqpGroupby,
     q266BenfordAudit, q267NeymanAllocation, q268GiniLorenz, q287CdcApply, q290XmlShred,
-    q293DiffInDiff, q295EffectSize,
+    q293DiffInDiff, q295EffectSize, q299WeightedMedian,
     q253RfmSegments, q254AssociationRules, q255CohortLtv, q256DeletionCascade,
     q257EquiDepthAudit, q261BitemporalAsof,
     q01PricingSummary, q02SelectiveFilter, q03ShippingPriority, q05LocalRevenue,

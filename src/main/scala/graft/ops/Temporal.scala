@@ -1349,7 +1349,53 @@ object Temporal {
     q264IntervalUnion, q265TheilSen, q269EpisodeMining, q270Autocorrelation,
     q271DyadicSmoothing, q275SeasonalDecompose, q280Burstiness,
     q284MarkovStationary, q291ActivityStreaks, q292ActiveUsers,
-    q296KendallTau, q297CrossCorrelation)
+    q296KendallTau, q297CrossCorrelation, q300LatencyHistogram)
+
+  /** Log₂-bucketed latency histogram (the HdrHistogram / Prometheus-
+    * exponential-buckets shape) of same-user inter-event gaps: bucket k
+    * holds gaps in [2^k, 2^(k+1)) microseconds, covering nine decades in
+    * ~40 buckets — the layout every latency dashboard uses because tail
+    * behavior needs resolution proportional to magnitude. floor(log₂)
+    * is computed EXACTLY as length(bin(x)) − 1 (binary digit count —
+    * no libm, no 1-ulp boundary flips at powers of two where log2's
+    * rounding differs across engines). One LEAD + one dimension-sized
+    * aggregate; cumulative share in exact micro. */
+  lazy val q300LatencyHistogram: QueryDef = sql(
+    "q300_latency_histogram",
+    """WITH g AS (
+      |  SELECT LEAD(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+      |         - epoch_us(ts) AS raw_gap
+      |  FROM events),
+      |b AS (
+      |  SELECT CAST(LENGTH(bin(GREATEST(1, raw_gap))) - 1 AS BIGINT) AS bucket
+      |  FROM g WHERE raw_gap IS NOT NULL),
+      |h AS (SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n FROM b GROUP BY 1),
+      |t AS (SELECT CAST(SUM(n) AS BIGINT) AS total FROM h)
+      |SELECT h.bucket,
+      |  CAST(1 AS BIGINT) << CAST(h.bucket AS INTEGER) AS lo_us,
+      |  h.n,
+      |  CAST(SUM(h.n) OVER (ORDER BY h.bucket
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) * 1000000 // t.total AS BIGINT) AS cum_micro
+      |FROM h, t
+      |ORDER BY h.bucket""".stripMargin) { (s, dir) =>
+    val byTs = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val g = Tables.events(s, dir)
+      .select((lead(expr("unix_micros(ts)"), 1).over(byTs)
+        - expr("unix_micros(ts)")).as("raw_gap"))
+      .filter(col("raw_gap").isNotNull) // BEFORE the clamp: greatest() skips
+      // NULLs in both engines, so clamping first would phantom-count the
+      // last event of every user as a 1-microsecond gap
+    val h = g.select(expr("CAST(LENGTH(bin(GREATEST(1L, raw_gap))) - 1 AS BIGINT)").as("bucket"))
+      .groupBy(col("bucket")).agg(count(lit(1)).as("n"))
+    val t = h.agg(sum(col("n")).as("total"))
+    h.crossJoin(broadcast(t))
+      .select(col("bucket"),
+        expr("shiftleft(1L, CAST(bucket AS INT))").as("lo_us"), col("n"),
+        expr("""CAST(SUM(n) OVER (ORDER BY bucket
+               |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) * 1000000L DIV total AS BIGINT)"""
+          .stripMargin).as("cum_micro"))
+      .orderBy(col("bucket"))
+  }
 
   /** The two daily series every ops question correlates: click volume x
     * and purchase revenue cents y, per day — one pass over events (the

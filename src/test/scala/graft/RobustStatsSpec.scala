@@ -437,6 +437,40 @@ class RobustStatsSpec extends SparkSpec {
     assert(rows("stationary_leak_micro") >= 0L && rows("stationary_leak_micro") <= 100L)
   }
 
+  test("weighted median face: the selected price splits quantity mass in half") {
+    val rows = graft.ops.Analytics.q299WeightedMedian.run(spark, sfDir).collect()
+    assert(rows.map(_.getString(0)).toSeq == Seq("A", "N", "R"))
+    val li = graft.sources.Tables.lineitem(spark, sfDir)
+      .select(col("l_returnflag").as("f"),
+        expr("CAST(FLOOR(l_extendedprice * 100) AS BIGINT)").as("cents"),
+        expr("CAST(FLOOR(l_quantity) AS BIGINT)").as("qty"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    rows.foreach { r =>
+      val (f, tw, med) = (r.getString(0), r.getLong(1), r.getLong(2))
+      val grp = li.filter(_._1 == f)
+      assert(grp.map(_._3).sum == tw)
+      val below = grp.filter(_._2 < med).map(_._3).sum
+      val atOrBelow = grp.filter(_._2 <= med).map(_._3).sum
+      assert(2 * below < tw || 2 * below == tw,
+        s"$f: strictly-below mass must not exceed half")
+      assert(2 * atOrBelow >= tw, s"$f: at-or-below mass must reach half")
+    }
+  }
+
+  test("latency histogram face: buckets partition all gaps, bounds are powers of two") {
+    val rows = Temporal.q300LatencyHistogram.run(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (b, lo) = (r.getLong(0), r.getLong(1))
+      assert(lo == (1L << b.toInt))
+    }
+    assert(rows.last.getLong(3) == 1000000L) // cumulative share ends at exactly 1
+    val nGaps = rows.map(_.getLong(2)).sum
+    val ev = graft.sources.Tables.events(spark, sfDir)
+    val users = ev.select(col("user_id")).distinct().count()
+    assert(nGaps == ev.count() - users) // one gap fewer than events, per user
+  }
+
   test("textrank face: keywords obey the syntactic filter and ranks order the output") {
     val rows = Graph.q279Textrank.run(spark, sfDir).collect()
     assert(rows.nonEmpty)
