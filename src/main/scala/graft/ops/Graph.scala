@@ -832,7 +832,75 @@ object Graph {
       .orderBy(col("part"))
   }
 
+  /** Walker convergence audit: the L1 and max rank movement of each
+    * PageRank round on the co-purchase graph — the numeric-analysis
+    * companion to q143 that answers "how many rounds does THIS graph
+    * need" with data instead of folklore (the damping factor bounds the
+    * contraction at 0.85 per round; the audit shows the measured ratio,
+    * which is what a production round budget should be set from).
+    * Rank trajectories are the same exact micro integers as q143, so
+    * every delta is an exact BIGINT; rounds share the one persisted
+    * edge relation and only node-sized rank frames join per round. */
+  val q302WalkerConvergence: QueryDef = sql(
+    "q302_walker_convergence",
+    s"""WITH e AS (
+       |  SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+       |  FROM lineitem a JOIN lineitem b
+       |    ON b.l_orderkey = a.l_orderkey AND b.l_partkey <> a.l_partkey),
+       |deg AS (SELECT src, COUNT(*) AS d FROM e GROUP BY 1),
+       |r0 AS (SELECT src AS part, CAST($RankScale AS BIGINT) AS rank FROM deg),
+       |${roundSql(1)},
+       |${roundSql(2)},
+       |${roundSql(3)},
+       |d1 AS (SELECT 1 AS round, CAST(SUM(ABS(r1.rank - r0.rank)) AS BIGINT) AS l1,
+       |         CAST(MAX(ABS(r1.rank - r0.rank)) AS BIGINT) AS linf
+       |       FROM r1 JOIN r0 ON r0.part = r1.part),
+       |d2 AS (SELECT 2, CAST(SUM(ABS(r2.rank - r1.rank)) AS BIGINT),
+       |         CAST(MAX(ABS(r2.rank - r1.rank)) AS BIGINT)
+       |       FROM r2 JOIN r1 ON r1.part = r2.part),
+       |d3 AS (SELECT 3, CAST(SUM(ABS(r3.rank - r2.rank)) AS BIGINT),
+       |         CAST(MAX(ABS(r3.rank - r2.rank)) AS BIGINT)
+       |       FROM r3 JOIN r2 ON r2.part = r3.part)
+       |SELECT CAST(round AS BIGINT) AS round, l1 AS l1_delta, linf AS max_delta
+       |FROM (SELECT * FROM d1 UNION ALL SELECT * FROM d2 UNION ALL SELECT * FROM d3)
+       |ORDER BY round""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    val edges = copurchaseEdges(s, dir)
+    // one shared edge/degree pass; ranks for rounds 0..3 captured inline
+    // (the q143 walkRounds body, kept here so intermediate rounds exist)
+    val e = edges.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val deg = e.groupBy(col("src")).agg(count(lit(1)).as("d"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val seeded = deg.select(col("src").as("part"), lit(150000L).as("tele"))
+    var rank = deg.select(col("src").as("part"), lit(RankScale).as("rank"))
+    val rounds = scala.collection.mutable.ArrayBuffer(rank)
+    for (_ <- 1 to 3) {
+      val contrib = e
+        .join(broadcast(rank
+          .join(deg, rank("part") === deg("src"))
+          .withColumn("c", expr("CAST(FLOOR(CAST(rank AS DOUBLE) / d) AS BIGINT)"))
+          .select(col("src"), col("c"))), Seq("src"))
+        .groupBy(col("dst")).agg(sum(col("c")).as("inc"))
+      rank = seeded
+        .join(contrib, col("part") === contrib("dst"), "left")
+        .select(col("part"),
+          (col("tele") + expr(
+            "CAST(FLOOR(0.85D * CAST(COALESCE(inc, CAST(0 AS BIGINT)) AS DOUBLE)) AS BIGINT)")).as("rank"))
+        .localCheckpoint(true) // node-sized; referenced by TWO deltas
+      rounds += rank
+    }
+    val deltas = (1 to 3).map { k =>
+      val prev = rounds(k - 1).select(col("part"), col("rank").as("pr"))
+      rounds(k).join(prev, Seq("part"))
+        .agg(sum(abs(col("rank") - col("pr"))).as("l1"),
+          max(abs(col("rank") - col("pr"))).as("linf"))
+        .select(lit(k.toLong).as("round"), col("l1").as("l1_delta"),
+          col("linf").as("max_delta"))
+    }
+    deltas.reduce(_ unionAll _).orderBy(col("round"))
+  }
+
   val all: Seq[QueryDef] = Seq(q143Pagerank, q153LabelProp, q173BradleyTerry,
     q188PersonalizedPagerank, q243Triangles, q263BfsHops, q274LocalBridges,
-    q279Textrank, q281Assortativity, q282KCore)
+    q279Textrank, q281Assortativity, q282KCore, q302WalkerConvergence)
 }

@@ -1349,7 +1349,67 @@ object Temporal {
     q264IntervalUnion, q265TheilSen, q269EpisodeMining, q270Autocorrelation,
     q271DyadicSmoothing, q275SeasonalDecompose, q280Burstiness,
     q284MarkovStationary, q291ActivityStreaks, q292ActiveUsers,
-    q296KendallTau, q297CrossCorrelation, q300LatencyHistogram)
+    q296KendallTau, q297CrossCorrelation, q300LatencyHistogram,
+    q301EntryExit)
+
+  /** Session entry/exit profile — where journeys start, where they die
+    * (the web-analytics flow matrix; q41 counts sessions, q95 tests one
+    * pinned funnel, THIS profiles all observed (first, last) pairs with
+    * their bounce share). Sessions are 30-minute-gap islands per user
+    * (the batch gaps-and-islands twin of q41's session_window face);
+    * entry/exit resolve by (ts, event_id), so ties are deterministic.
+    * One user-keyed shuffle; the profile is |event_types|² rows. */
+  lazy val q301EntryExit: QueryDef = sql(
+    "q301_entry_exit",
+    """WITH m AS (
+      |  SELECT user_id, event_id, event_type, epoch_us(ts) AS t,
+      |    CASE WHEN epoch_us(ts) - LAG(epoch_us(ts))
+      |        OVER (PARTITION BY user_id ORDER BY ts, event_id) > 1800000000
+      |      OR LAG(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+      |      THEN 1 ELSE 0 END AS brk
+      |  FROM events),
+      |sess AS (
+      |  SELECT user_id, event_id, event_type, t,
+      |    SUM(brk) OVER (PARTITION BY user_id ORDER BY t, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+      |  FROM m),
+      |prof AS (
+      |  SELECT user_id, sid,
+      |    FIRST(event_type ORDER BY t, event_id) AS entry_type,
+      |    LAST(event_type ORDER BY t, event_id) AS exit_type,
+      |    CAST(COUNT(*) AS BIGINT) AS n
+      |  FROM sess GROUP BY 1, 2)
+      |SELECT entry_type, exit_type,
+      |  CAST(COUNT(*) AS BIGINT) AS n_sessions,
+      |  CAST(COALESCE(SUM(CASE WHEN n = 1 THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_bounces,
+      |  CAST(SUM(n) AS BIGINT) AS total_events
+      |FROM prof
+      |GROUP BY 1, 2
+      |ORDER BY entry_type, exit_type""".stripMargin) { (s, dir) =>
+    val byT = Window.partitionBy(col("user_id")).orderBy(col("t"), col("event_id"))
+    val m = Tables.events(s, dir)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        expr("unix_micros(ts)").as("t"))
+      .withColumn("prev", lag(col("t"), 1).over(byT))
+      .withColumn("brk",
+        when(col("prev").isNull || col("t") - col("prev") > 1800000000L, 1L).otherwise(0L))
+    val sess = m.withColumn("sid",
+      sum(col("brk")).over(Window.partitionBy(col("user_id")).orderBy(col("t"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val ordered = Window.partitionBy(col("user_id"), col("sid"))
+      .orderBy(col("t"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val prof = sess
+      .withColumn("entry_type", first(col("event_type")).over(ordered))
+      .withColumn("exit_type", last(col("event_type")).over(ordered))
+      .groupBy(col("user_id"), col("sid"), col("entry_type"), col("exit_type"))
+      .agg(count(lit(1)).as("n"))
+    prof.groupBy(col("entry_type"), col("exit_type"))
+      .agg(count(lit(1)).as("n_sessions"),
+        coalesce(sum(when(col("n") === 1L, 1L).otherwise(0L)), lit(0L)).as("n_bounces"),
+        sum(col("n")).as("total_events"))
+      .orderBy(col("entry_type"), col("exit_type"))
+  }
 
   /** Log₂-bucketed latency histogram (the HdrHistogram / Prometheus-
     * exponential-buckets shape) of same-user inter-event gaps: bucket k

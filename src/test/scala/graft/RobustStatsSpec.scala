@@ -471,6 +471,26 @@ class RobustStatsSpec extends SparkSpec {
     assert(nGaps == ev.count() - users) // one gap fewer than events, per user
   }
 
+  test("entry/exit face: bounces only on the diagonal, sessions conserve events") {
+    val rows = Temporal.q301EntryExit.run(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (en, ex, ns, nb, te) = (r.getString(0), r.getString(1),
+        r.getLong(2), r.getLong(3), r.getLong(4))
+      if (nb > 0) assert(en == ex, "a single-event session enters and exits on the same type")
+      assert(nb <= ns && te >= ns)
+    }
+    assert(rows.map(_.getLong(4)).sum ==
+      graft.sources.Tables.events(spark, sfDir).count())
+  }
+
+  test("walker convergence: round deltas contract (the 0.85 damping bound, observed)") {
+    val rows = Graph.q302WalkerConvergence.run(spark, sfDir).collect()
+    assert(rows.map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L))
+    val l1 = rows.map(_.getLong(1))
+    assert(l1.sliding(2).forall(p => p(1) <= p(0)), "L1 movement must not grow")
+  }
+
   test("textrank face: keywords obey the syntactic filter and ranks order the output") {
     val rows = Graph.q279Textrank.run(spark, sfDir).collect()
     assert(rows.nonEmpty)
