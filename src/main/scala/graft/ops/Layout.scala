@@ -929,9 +929,119 @@ object Layout {
                |  / (2.0D * CAST(f2 + 1 AS DOUBLE))""".stripMargin).as("chao"))
   }
 
+  /** Joinability discovery (the Aurum/data-catalog primitive — Fernandez
+    * et al. ICDE'18): measure CONTAINMENT |A∩B|/|A| between candidate
+    * key-column pairs across tables, from the data alone. The reference
+    * lints DECLARED metadata (q227 checks declared FK edges hold); this
+    * is the discovery half — which undeclared column pairs COULD be FK
+    * edges (containment ≈ 1) and which plausible-looking ones are noise
+    * (the planted events.user_id ⊄ customer key pair scores what it
+    * scores, not 10⁶). Eight pinned pairs, each one distinct-distinct
+    * semi-join on already-deduplicated key sets; exact counts,
+    * containment in exact micro. */
+  val q304Joinability: QueryDef = {
+    val pairs = Seq(
+      ("lineitem.l_orderkey", "orders.o_orderkey", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+      ("lineitem.l_partkey", "part.p_partkey", "lineitem", "l_partkey", "part", "p_partkey"),
+      ("lineitem.l_suppkey", "supplier.s_suppkey", "lineitem", "l_suppkey", "supplier", "s_suppkey"),
+      ("orders.o_custkey", "customer.c_custkey", "orders", "o_custkey", "customer", "c_custkey"),
+      ("events.user_id", "customer.c_custkey", "events", "user_id", "customer", "c_custkey"),
+      ("nation.n_regionkey", "region.r_regionkey", "nation", "n_regionkey", "region", "r_regionkey"),
+      ("customer.c_nationkey", "nation.n_nationkey", "customer", "c_nationkey", "nation", "n_nationkey"),
+      ("part.p_partkey", "lineitem.l_partkey", "part", "p_partkey", "lineitem", "l_partkey"))
+    def subSql(p: (String, String, String, String, String, String)): String = {
+      val (na, nb, ta, ca, tb, cb) = p
+      s"""SELECT '$na' AS col_a, '$nb' AS col_b,
+         |  (SELECT CAST(COUNT(DISTINCT $ca) AS BIGINT) FROM $ta) AS ndv_a,
+         |  (SELECT CAST(COUNT(DISTINCT $cb) AS BIGINT) FROM $tb) AS ndv_b,
+         |  (SELECT CAST(COUNT(*) AS BIGINT) FROM
+         |     (SELECT DISTINCT $ca AS k FROM $ta) a
+         |     JOIN (SELECT DISTINCT $cb AS k FROM $tb) b ON b.k = a.k) AS n_common,
+         |  (SELECT CAST(COUNT(*) AS BIGINT) FROM
+         |     (SELECT DISTINCT $ca AS k FROM $ta) a
+         |     JOIN (SELECT DISTINCT $cb AS k FROM $tb) b ON b.k = a.k) * 1000000
+         |   // (SELECT COUNT(DISTINCT $ca) FROM $ta) AS containment_micro""".stripMargin
+    }
+    sql(
+      "q304_joinability",
+      pairs.map(subSql).mkString("", "\nUNION ALL\n", "\nORDER BY col_a, col_b")) { (s, dir) =>
+      def table(n: String): DataFrame = n match {
+        case "lineitem" => Tables.lineitem(s, dir)
+        case "orders"   => Tables.orders(s, dir)
+        case "part"     => Tables.part(s, dir)
+        case "supplier" => Tables.supplier(s, dir)
+        case "customer" => Tables.customer(s, dir)
+        case "events"   => Tables.events(s, dir)
+        case "nation"   => Tables.nation(s, dir)
+        case "region"   => Tables.region(s, dir)
+      }
+      pairs.map { case (na, nb, ta, ca, tb, cb) =>
+        val a = table(ta).select(col(ca).cast("long").as("k")).distinct()
+          .localCheckpoint(true) // key-set-sized; counted AND joined
+        val b = table(tb).select(col(cb).cast("long").as("k")).distinct()
+        val common = a.join(b, Seq("k"), "left_semi").agg(count(lit(1)).as("n_common"))
+        val counts = a.agg(count(lit(1)).as("ndv_a"))
+          .crossJoin(b.agg(count(lit(1)).as("ndv_b")))
+        counts.crossJoin(common)
+          .select(lit(na).as("col_a"), lit(nb).as("col_b"),
+            col("ndv_a"), col("ndv_b"), col("n_common"),
+            expr("n_common * 1000000L DIV ndv_a").as("containment_micro"))
+      }.reduce(_ unionAll _).orderBy(col("col_a"), col("col_b"))
+    }
+  }
+
+  /** Functional-dependency discovery (TANE's question — Huhtala et al.
+    * Comput. J. 1999 — answered for a pinned candidate set): does X → Y
+    * hold in the DATA? Violations = |distinct(X, Y)| − |distinct X|
+    * (zero iff every X value maps to one Y). The second data-driven
+    * catalog primitive beside q304: candidates include the fixture's
+    * planted defect — (l_orderkey, l_linenumber) → l_partkey fails
+    * because the composite PK itself is violated (q227's finding
+    * rediscovered from pure data profiling). Each candidate is two
+    * map-side-combined distinct aggregates over one scan. */
+  val q305FdDiscovery: QueryDef = {
+    val cands = Seq(
+      ("orders: o_orderkey -> o_custkey", "orders", Seq("o_orderkey"), "o_custkey"),
+      ("orders: o_custkey -> o_orderpriority", "orders", Seq("o_custkey"), "o_orderpriority"),
+      ("customer: c_custkey -> c_nationkey", "customer", Seq("c_custkey"), "c_nationkey"),
+      ("events: event_id -> user_id", "events", Seq("event_id"), "user_id"),
+      ("events: user_id -> event_type", "events", Seq("user_id"), "event_type"),
+      ("lineitem: (l_orderkey,l_linenumber) -> l_partkey", "lineitem",
+        Seq("l_orderkey", "l_linenumber"), "l_partkey"))
+    def subSql(c: (String, String, Seq[String], String)): String = {
+      val (name, t, lhs, rhs) = c
+      val l = lhs.mkString(", ")
+      s"""SELECT '$name' AS fd,
+         |  (SELECT CAST(COUNT(*) AS BIGINT) FROM (SELECT DISTINCT $l FROM $t)) AS lhs_ndv,
+         |  (SELECT CAST(COUNT(*) AS BIGINT) FROM (SELECT DISTINCT $l, $rhs FROM $t)) AS pair_ndv,
+         |  (SELECT CAST(COUNT(*) AS BIGINT) FROM (SELECT DISTINCT $l, $rhs FROM $t))
+         |    - (SELECT COUNT(*) FROM (SELECT DISTINCT $l FROM $t)) AS violations,
+         |  (SELECT COUNT(*) FROM (SELECT DISTINCT $l, $rhs FROM $t))
+         |    = (SELECT COUNT(*) FROM (SELECT DISTINCT $l FROM $t)) AS holds""".stripMargin
+    }
+    sql(
+      "q305_fd_discovery",
+      cands.map(subSql).mkString("", "\nUNION ALL\n", "\nORDER BY fd")) { (s, dir) =>
+      def table(n: String): DataFrame = n match {
+        case "orders"   => Tables.orders(s, dir)
+        case "customer" => Tables.customer(s, dir)
+        case "events"   => Tables.events(s, dir)
+        case "lineitem" => Tables.lineitem(s, dir)
+      }
+      cands.map { case (name, t, lhs, rhs) =>
+        val tb = table(t)
+        val l = tb.select(lhs.map(col): _*).distinct().agg(count(lit(1)).as("lhs_ndv"))
+        val p = tb.select((lhs :+ rhs).map(col): _*).distinct().agg(count(lit(1)).as("pair_ndv"))
+        l.crossJoin(p).select(lit(name).as("fd"), col("lhs_ndv"), col("pair_ndv"),
+          (col("pair_ndv") - col("lhs_ndv")).as("violations"),
+          (col("pair_ndv") === col("lhs_ndv")).as("holds"))
+      }.reduce(_ unionAll _).orderBy(col("fd"))
+    }
+  }
+
   val all: Seq[QueryDef] = Seq(
     q112BucketedJoin, q113PartitionPruning, q114SaltedJoin, q115BloomSemiJoin,
     q229ColumnProfile, q230LayoutAdvisor, q246CardinalityAudit, q250BloomZoneMap,
     q258CurveLocality, q260RebalanceAudit, q273CountMinAudit, q278KmvSketch,
-    q286SyntheticGen, q294NdvEstimate)
+    q286SyntheticGen, q294NdvEstimate, q304Joinability, q305FdDiscovery)
 }

@@ -2260,7 +2260,80 @@ object Similarity {
       .orderBy(col("nprobe"), col("query_id"))
   }
 
+  /** Distance-concentration audit (Beyer et al. ICDT'99 "When is nearest
+    * neighbor meaningful?"): the relative contrast (d_max − d_min)/d_min
+    * of pairwise distances — as dimensionality concentrates distances,
+    * contrast → 0 and EVERY index (IVF, LSH, PQ — q39/q52/q133) loses
+    * selectivity, so this one number says whether ANN can work on this
+    * embedding space at all. Pairs are a SYSTEMATIC ring sample
+    * (vec_id + stride for three strides — the q262 argument: under
+    * arbitrary id assignment a stride sample is exchangeable with a
+    * random one, and it costs three equi-joins, never an all-pairs
+    * predicate). Distances are exact integer squared L2 on micro-
+    * quantized vectors via the ordered per-row fold; the median is an
+    * order-statistic pick, the contrast one exact-integer division. */
+  val q303ContrastAudit: QueryDef = {
+    val strides = Seq(1, 7, 49)
+    val d2Spark =
+      "aggregate(zip_with(aqv, bqv, (x, y) -> (x - y) * (x - y)), 0L, (acc, x) -> acc + x)"
+    def d2Sql(a: String, b: String) =
+      s"list_reduce(list_transform(range(len($a)), i -> ($a[i+1] - $b[i+1]) * ($a[i+1] - $b[i+1])), (x, y) -> x + y)"
+    sql(
+      "q303_contrast_audit",
+      s"""WITH q AS (
+         |  SELECT vec_id,
+         |    list_transform(embedding, x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT)) AS qv
+         |  FROM embeddings),
+         |pairs AS (${strides.map(st =>
+             s"""SELECT a.vec_id AS ia, b.vec_id AS ib,
+                |    ${d2Sql("a.qv", "b.qv")} AS d2
+                |  FROM q a JOIN q b ON b.vec_id = a.vec_id + $st""".stripMargin)
+             .mkString("\n  UNION ALL\n")}),
+         |r AS (SELECT d2, ROW_NUMBER() OVER (ORDER BY d2, ia, ib) AS rn,
+         |        COUNT(*) OVER () AS n FROM pairs),
+         |med AS (SELECT d2 AS med_d2 FROM r WHERE rn = (n + 1) // 2),
+         |agg AS (
+         |  SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+         |    CAST(MIN(d2) AS BIGINT) AS min_d2,
+         |    CAST(MIN(CASE WHEN d2 > 0 THEN d2 END) AS BIGINT) AS min_nz_d2,
+         |    CAST(MAX(d2) AS BIGINT) AS max_d2,
+         |    CAST(SUM(d2) // COUNT(*) AS BIGINT) AS mean_d2,
+         |    CAST(COALESCE(SUM(CASE WHEN d2 = 0 THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_zero
+         |  FROM pairs)
+         |SELECT agg.n_pairs, agg.min_d2, agg.min_nz_d2, CAST(med.med_d2 AS BIGINT) AS med_d2,
+         |  agg.mean_d2, agg.max_d2, agg.n_zero,
+         |  (agg.max_d2 - agg.min_nz_d2) * 1000000 // agg.min_nz_d2 AS contrast_micro
+         |FROM agg, med""".stripMargin) { (s, dir) =>
+      val q = quantizeVectors(Tables.embeddings(s, dir))
+        .localCheckpoint(true) // vector-sized; three join sides
+      val pairs = strides.map { st =>
+        q.select(col("vec_id").as("ia"), col("qv").as("aqv"))
+          .join(q.select((col("vec_id") - st).as("ia"), col("vec_id").as("ib"),
+            col("qv").as("bqv")), Seq("ia"))
+          .select(col("ia"), col("ib"), expr(d2Spark).as("d2"))
+      }.reduce(_ unionAll _)
+        .localCheckpoint(true) // pair-sized; median AND moment consumers
+      val med = pairs
+        .withColumn("rn", row_number().over(
+          Window.orderBy(col("d2"), col("ia"), col("ib"))))
+        .withColumn("n", count(lit(1)).over(
+          Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+        .filter(col("rn") === expr("(n + 1) div 2"))
+        .select(col("d2").as("med_d2"))
+      val agg = pairs.agg(count(lit(1)).as("n_pairs"), min(col("d2")).as("min_d2"),
+        min(when(col("d2") > 0L, col("d2"))).as("min_nz_d2"),
+        max(col("d2")).as("max_d2"),
+        expr("CAST(SUM(d2) DIV COUNT(*) AS BIGINT)").as("mean_d2"),
+        coalesce(sum(when(col("d2") === 0L, 1L).otherwise(0L)), lit(0L)).as("n_zero"))
+      agg.crossJoin(broadcast(med))
+        .select(col("n_pairs"), col("min_d2"), col("min_nz_d2"), col("med_d2"),
+          col("mean_d2"), col("max_d2"), col("n_zero"),
+          expr("(max_d2 - min_nz_d2) * 1000000L DIV min_nz_d2").as("contrast_micro"))
+    }
+  }
+
   val all: Seq[QueryDef] = Seq(
+    q303ContrastAudit,
     q36ArrayNorms, q37EmbeddingNeardup, q38AnnBruteforce, q39AnnIvf,
     q45AnnNative, q52AnnLsh, q61AnnQuantized, q119KmeansTrain,
     q120AnnIvfTrained, q122SemanticDedup, q125SemdedupCentroid,

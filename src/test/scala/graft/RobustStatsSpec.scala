@@ -491,6 +491,36 @@ class RobustStatsSpec extends SparkSpec {
     assert(l1.sliding(2).forall(p => p(1) <= p(0)), "L1 movement must not grow")
   }
 
+  test("joinability face: declared FK pairs score full containment, counts consistent") {
+    val rows = graft.ops.Layout.q304Joinability.run(spark, sfDir).collect()
+    assert(rows.length == 8)
+    rows.foreach { r =>
+      val (ndvA, common, micro) = (r.getLong(2), r.getLong(4), r.getLong(5))
+      assert(common <= ndvA && micro == common * 1000000L / ndvA)
+    }
+    val byA = rows.map(r => r.getString(0) -> r.getLong(5)).toMap
+    assert(byA("lineitem.l_orderkey") == 1000000L) // every lineitem order exists
+    assert(byA("nation.n_regionkey") == 1000000L)
+  }
+
+  test("fd discovery face: PKs determine, the planted composite-PK defect fails its FD") {
+    val rows = graft.ops.Layout.q305FdDiscovery.run(spark, sfDir)
+      .collect().map(r => r.getString(0) -> ((r.getLong(3), r.getBoolean(4)))).toMap
+    assert(rows("orders: o_orderkey -> o_custkey") == ((0L, true)))
+    assert(rows("customer: c_custkey -> c_nationkey") == ((0L, true)))
+    assert(!rows("lineitem: (l_orderkey,l_linenumber) -> l_partkey")._2,
+      "the planted PK violation must surface as FD violations")
+    assert(!rows("events: user_id -> event_type")._2)
+  }
+
+  test("contrast audit face: ordering of the distance order statistics") {
+    val r = graft.ops.Similarity.q303ContrastAudit.run(spark, sfDir).head()
+    val (n, mn, mnz, med, mean, mx) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))
+    assert(n > 0 && mn <= mnz && mnz <= med && med <= mx && mn <= mean && mean <= mx)
+    assert(r.getLong(7) >= 0L)
+  }
+
   test("textrank face: keywords obey the syntactic filter and ranks order the output") {
     val rows = Graph.q279Textrank.run(spark, sfDir).collect()
     assert(rows.nonEmpty)
