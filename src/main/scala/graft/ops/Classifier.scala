@@ -690,7 +690,74 @@ object Classifier {
       .orderBy(col("user_id"))
   }
 
+  /** Qini / uplift-by-decile evaluation (Radcliffe 2007; the standard
+    * uplift-model scorecard): units are users, treatment is the q293
+    * parity assignment, outcome is "converted" (≥ 1 purchase), and the
+    * ranking score under test is raw engagement (event count — the naive
+    * model a real uplift model must beat). Per score decile: treated and
+    * control conversion in exact micro, their difference (the uplift
+    * bar), and the cumulative Qini value q(k) = cumConvT −
+    * cumConvC·(cumNT/cumNC) as one double expression of four exact
+    * cumulative integers (NULL where an arm is empty — tiny fixtures\n    * leave deciles one-sided). The corpus pass is one user aggregate; deciles
+    * and cumulatives run on the user relation through pinned-order
+    * windows. */
+  val q308QiniUplift: QueryDef = sql(
+    "q308_qini_uplift",
+    """WITH u AS (
+      |  SELECT user_id, CAST(user_id % 2 AS BIGINT) AS treat,
+      |    CAST(COUNT(*) AS BIGINT) AS score,
+      |    CAST(MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS conv
+      |  FROM events GROUP BY 1),
+      |d AS (SELECT *, NTILE(10) OVER (ORDER BY score DESC, user_id) AS decile FROM u),
+      |g AS (
+      |  SELECT decile,
+      |    CAST(SUM(treat) AS BIGINT) AS n_t,
+      |    CAST(SUM(1 - treat) AS BIGINT) AS n_c,
+      |    CAST(SUM(treat * conv) AS BIGINT) AS conv_t,
+      |    CAST(SUM((1 - treat) * conv) AS BIGINT) AS conv_c
+      |  FROM d GROUP BY 1),
+      |c AS (
+      |  SELECT decile, n_t, n_c, conv_t, conv_c,
+      |    SUM(n_t) OVER w AS cnt, SUM(n_c) OVER w AS cnc,
+      |    SUM(conv_t) OVER w AS cct, SUM(conv_c) OVER w AS ccc
+      |  FROM g
+      |  WINDOW w AS (ORDER BY decile ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+      |SELECT CAST(decile AS BIGINT) AS decile, n_t, n_c, conv_t, conv_c,
+      |  CASE WHEN n_t > 0 AND n_c > 0
+      |    THEN conv_t * 1000000 // n_t - conv_c * 1000000 // n_c END AS uplift_micro,
+      |  CASE WHEN cnc > 0 THEN CAST(cct AS DOUBLE)
+      |    - CAST(ccc AS DOUBLE) * (CAST(cnt AS DOUBLE) / CAST(cnc AS DOUBLE)) END AS qini
+      |FROM c
+      |ORDER BY decile""".stripMargin) { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val u = Tables.events(s, dir)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("score"),
+        max(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("conv"))
+      .withColumn("treat", col("user_id") % 2)
+    val d = u.withColumn("decile",
+      ntile(10).over(Window.orderBy(col("score").desc, col("user_id"))))
+    val g = d.groupBy(col("decile"))
+      .agg(sum(col("treat")).as("n_t"), sum(lit(1L) - col("treat")).as("n_c"),
+        sum(col("treat") * col("conv")).as("conv_t"),
+        sum((lit(1L) - col("treat")) * col("conv")).as("conv_c"))
+    val w = Window.orderBy(col("decile"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    g.withColumn("cnt", sum(col("n_t")).over(w))
+      .withColumn("cnc", sum(col("n_c")).over(w))
+      .withColumn("cct", sum(col("conv_t")).over(w))
+      .withColumn("ccc", sum(col("conv_c")).over(w))
+      .select(col("decile").cast("long").as("decile"),
+        col("n_t"), col("n_c"), col("conv_t"), col("conv_c"),
+        expr("""CASE WHEN n_t > 0 AND n_c > 0
+               |  THEN conv_t * 1000000L DIV n_t - conv_c * 1000000L DIV n_c END"""
+          .stripMargin).as("uplift_micro"),
+        expr("""CASE WHEN cnc > 0 THEN CAST(cct AS DOUBLE) - CAST(ccc AS DOUBLE)
+               |  * (CAST(cnt AS DOUBLE) / CAST(cnc AS DOUBLE)) END""".stripMargin).as("qini"))
+      .orderBy(col("decile"))
+  }
+
   val all: Seq[QueryDef] = Seq(q127Perceptron, q182Calibration, q193Conformal,
     q203AnnotatorKappa, q208LabelNoise, q221BrierDecomp, q248IsotonicFit,
-    q252ReplayEval, q288PassAtK)
+    q252ReplayEval, q288PassAtK, q308QiniUplift)
 }

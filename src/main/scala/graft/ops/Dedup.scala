@@ -322,6 +322,47 @@ object Dedup {
           .otherwise(expr("n_closed * 1000000L DIV n_wedges")).as("closure_micro"))
   }
 
+  /** Sorted-neighborhood entity matching (Hernández & Stolfo SIGMOD'95,
+    * the merge/purge method): sort the distinct name dictionary once and
+    * compare each name only to its w = 3 successors — the THIRD blocking
+    * family in the toolbox (q238 blocks by key equality, q245 by
+    * deletion neighborhoods; SNM blocks by SORT ORDER, which catches
+    * prefix-preserving typos equality blocking misses and costs O(n·w)
+    * after one dictionary sort, never all-pairs). Survivors verify by
+    * Levenshtein ≤ 4. The window runs on the DISTINCT name relation
+    * (dictionary-sized — Heaps-sublinear in the corpus); at larger
+    * dictionaries the same window rides a range-partitioned sort. */
+  val q306SortedNeighborhood: QueryDef = sql(
+    "q306_sorted_neighborhood",
+    """WITH names AS (SELECT DISTINCT p_name FROM part),
+      |w AS (
+      |  SELECT p_name AS a,
+      |    LEAD(p_name, 1) OVER (ORDER BY p_name) AS b1,
+      |    LEAD(p_name, 2) OVER (ORDER BY p_name) AS b2,
+      |    LEAD(p_name, 3) OVER (ORDER BY p_name) AS b3
+      |  FROM names),
+      |cand AS (
+      |  SELECT a, b1 AS b FROM w WHERE b1 IS NOT NULL
+      |  UNION ALL SELECT a, b2 FROM w WHERE b2 IS NOT NULL
+      |  UNION ALL SELECT a, b3 FROM w WHERE b3 IS NOT NULL)
+      |SELECT a, b, CAST(levenshtein(a, b) AS BIGINT) AS dist
+      |FROM cand
+      |WHERE levenshtein(a, b) <= 4
+      |ORDER BY a, b""".stripMargin) { (s, dir) =>
+    val byName = org.apache.spark.sql.expressions.Window.orderBy(col("p_name"))
+    val w = Tables.part(s, dir).select(col("p_name")).distinct()
+      .select(col("p_name").as("a"),
+        lead(col("p_name"), 1).over(byName).as("b1"),
+        lead(col("p_name"), 2).over(byName).as("b2"),
+        lead(col("p_name"), 3).over(byName).as("b3"))
+    val cand = Seq("b1", "b2", "b3").map(c =>
+        w.filter(col(c).isNotNull).select(col("a"), col(c).as("b")))
+      .reduce(_ unionAll _)
+    cand.withColumn("dist", levenshtein(col("a"), col("b")).cast("long"))
+      .filter(col("dist") <= 4)
+      .orderBy(col("a"), col("b"))
+  }
+
   /** Exact 3-gram Jaccard verification over the LSH candidates only. */
   val q32NeardupVerified: QueryDef = sql(
     "q32_neardup_verified",
@@ -1873,5 +1914,6 @@ object Dedup {
     q126SpanDedup, q150DedupEval, q156RougeAudit, q161SplitLeakage,
     q163DedupSavings, q174ComponentSplit, q177Containment, q183SourceOverlap,
     q184Novelty, q194CanonicalDedup, q209ThresholdSweep, q234PrefixJoin,
-    q238RecordLinkage, q245FastssJoin, q283MinhashAudit, q285TransitivityAudit)
+    q238RecordLinkage, q245FastssJoin, q283MinhashAudit, q285TransitivityAudit,
+    q306SortedNeighborhood)
 }

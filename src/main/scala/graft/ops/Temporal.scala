@@ -1350,7 +1350,40 @@ object Temporal {
     q271DyadicSmoothing, q275SeasonalDecompose, q280Burstiness,
     q284MarkovStationary, q291ActivityStreaks, q292ActiveUsers,
     q296KendallTau, q297CrossCorrelation, q300LatencyHistogram,
-    q301EntryExit)
+    q301EntryExit, q307FreshnessAudit)
+
+  /** Feed-freshness audit: per event feed (type), how far its newest
+    * record lags the corpus high-water mark — the ingestion-SLO monitor
+    * ("the error feed stopped 3 hours ago" page). Lag is measured
+    * against the CORPUS max, not wall clock, so the audit is
+    * deterministic and replayable; exact integer micros throughout.
+    * One map-side-combined pass + a broadcast of the one-row high-water
+    * mark. */
+  lazy val q307FreshnessAudit: QueryDef = sql(
+    "q307_freshness_audit",
+    """WITH f AS (
+      |  SELECT event_type,
+      |    CAST(MAX(epoch_us(ts)) AS BIGINT) AS last_us,
+      |    CAST(COUNT(*) AS BIGINT) AS n_events,
+      |    CAST(COUNT(DISTINCT CAST(epoch_us(date_trunc('day', ts)) // 86400000000 AS BIGINT)) AS BIGINT) AS active_days
+      |  FROM events GROUP BY 1),
+      |hw AS (SELECT CAST(MAX(last_us) AS BIGINT) AS hwm FROM f)
+      |SELECT f.event_type, f.n_events, f.active_days, f.last_us,
+      |  hw.hwm - f.last_us AS lag_us
+      |FROM f, hw
+      |ORDER BY f.event_type""".stripMargin) { (s, dir) =>
+    val f = Tables.events(s, dir)
+      .groupBy(col("event_type"))
+      .agg(max(expr("unix_micros(ts)")).as("last_us"),
+        count(lit(1)).as("n_events"),
+        countDistinct(expr("unix_micros(date_trunc('day', ts)) div 86400000000L"))
+          .as("active_days"))
+    val hw = f.agg(max(col("last_us")).as("hwm"))
+    f.crossJoin(broadcast(hw))
+      .select(col("event_type"), col("n_events"), col("active_days"),
+        col("last_us"), (col("hwm") - col("last_us")).as("lag_us"))
+      .orderBy(col("event_type"))
+  }
 
   /** Session entry/exit profile — where journeys start, where they die
     * (the web-analytics flow matrix; q41 counts sessions, q95 tests one

@@ -521,6 +521,34 @@ class RobustStatsSpec extends SparkSpec {
     assert(r.getLong(7) >= 0L)
   }
 
+  test("sorted neighborhood face: pairs are sort-adjacent, verified, and loop-free") {
+    val rows = graft.ops.Dedup.q306SortedNeighborhood.run(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getString(0) < r.getString(1), "window pairs follow sort order")
+      assert(r.getLong(2) >= 1L && r.getLong(2) <= 4L)
+    }
+  }
+
+  test("freshness face: one feed defines the high-water mark (lag 0), lags nonnegative") {
+    val rows = Temporal.q307FreshnessAudit.run(spark, sfDir).collect()
+    assert(rows.map(_.getString(0)).toSet ==
+      Set("click", "error", "purchase", "signup", "view"))
+    assert(rows.count(_.getLong(4) == 0L) >= 1)
+    rows.foreach(r => assert(r.getLong(4) >= 0L))
+  }
+
+  test("qini face: deciles partition users, conversions bounded by arms") {
+    val rows = graft.ops.Classifier.q308QiniUplift.run(spark, sfDir).collect()
+    assert(rows.map(_.getLong(0)).toSeq == (1L to 10L))
+    val users = graft.sources.Tables.events(spark, sfDir)
+      .select(col("user_id")).distinct().count()
+    assert(rows.map(r => r.getLong(1) + r.getLong(2)).sum == users)
+    rows.foreach { r =>
+      assert(r.getLong(3) <= r.getLong(1) && r.getLong(4) <= r.getLong(2))
+    }
+  }
+
   test("textrank face: keywords obey the syntactic filter and ranks order the output") {
     val rows = Graph.q279Textrank.run(spark, sfDir).collect()
     assert(rows.nonEmpty)
