@@ -2929,10 +2929,109 @@ object Analytics {
       .orderBy(col("l_returnflag"))
   }
 
+  /** A/A-test harness audit (Kohavi's experimentation-platform smoke
+    * test): sixteen PSEUDO-experiments, each splitting users by an
+    * independent md5 bit, measure the same metric in both arms — every
+    * delta should be noise-sized, and ONE split showing "signal" means
+    * the bucketing or the metric pipeline is broken (the platform bug
+    * A/B results silently inherit). Splits and arms are md5-derived
+    * (the q62 device), so the whole audit replays identically anywhere;
+    * one conditional-aggregate pass builds all 32 arm moments. Emitted
+    * per split: arm sizes and the mean delta in cents (one double
+    * expression of exact integers). */
+  val q309AaHarness: QueryDef = sql(
+    "q309_aa_harness",
+    """WITH s(split) AS (VALUES (0), (1), (2), (3), (4), (5), (6), (7),
+      |                        (8), (9), (10), (11), (12), (13), (14), (15)),
+      |armed AS (
+      |  SELECT s.split, CAST(FLOOR(e.value * 100) AS BIGINT) AS cents,
+      |    CAST(('0x' || substr(md5('aa:' || CAST(s.split AS VARCHAR) || ':'
+      |      || CAST(e.user_id AS VARCHAR)), 1, 4)) AS INT) % 2 AS arm
+      |  FROM events e, s),
+      |m AS (
+      |  SELECT split,
+      |    CAST(SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+      |    CAST(SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+      |    CAST(SUM(CASE WHEN arm = 0 THEN cents ELSE 0 END) AS BIGINT) AS s_a,
+      |    CAST(SUM(CASE WHEN arm = 1 THEN cents ELSE 0 END) AS BIGINT) AS s_b
+      |  FROM armed GROUP BY 1)
+      |SELECT CAST(split AS BIGINT) AS split, n_a, n_b,
+      |  CAST(s_a AS DOUBLE) / CAST(n_a AS DOUBLE)
+      |    - CAST(s_b AS DOUBLE) / CAST(n_b AS DOUBLE) AS delta_cents
+      |FROM m
+      |ORDER BY split""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    val splits = (0 to 15).map(_.toLong).toDF("split")
+    val armed = Tables.events(s, dir).crossJoin(broadcast(splits))
+      .select(col("split"),
+        expr("CAST(FLOOR(value * 100) AS BIGINT)").as("cents"),
+        pmod(expr("CAST(conv(substring(md5(concat('aa:', CAST(split AS STRING), ':', CAST(user_id AS STRING))), 1, 4), 16, 10) AS INT)"),
+          lit(2)).as("arm"))
+    armed.groupBy(col("split"))
+      .agg(sum(when(col("arm") === 0, 1L).otherwise(0L)).as("n_a"),
+        sum(when(col("arm") === 1, 1L).otherwise(0L)).as("n_b"),
+        sum(when(col("arm") === 0, col("cents")).otherwise(0L)).as("s_a"),
+        sum(when(col("arm") === 1, col("cents")).otherwise(0L)).as("s_b"))
+      .select(col("split"), col("n_a"), col("n_b"),
+        expr("""CAST(s_a AS DOUBLE) / CAST(n_a AS DOUBLE)
+               |  - CAST(s_b AS DOUBLE) / CAST(n_b AS DOUBLE)""".stripMargin).as("delta_cents"))
+      .orderBy(col("split"))
+  }
+
+  /** ABC inventory classification (the Pareto 80/95 cut finance and
+    * supply chains run on everything): parts ranked by revenue, class A
+    * carries the first 80% of cumulative revenue, B to 95%, C the tail —
+    * q268 measures HOW concentrated revenue is; this hands operations
+    * the actual A/B/C part lists (summarized per class; the per-part
+    * assignment is the intermediate relation). Exact BIGINT cents and
+    * micro shares; the class boundary is an integer comparison on the
+    * cumulative share. */
+  val q311AbcClasses: QueryDef = sql(
+    "q311_abc_classes",
+    """WITH rev AS (
+      |  SELECT l_partkey, CAST(SUM(CAST(FLOOR(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS cents
+      |  FROM lineitem GROUP BY 1),
+      |rk AS (
+      |  SELECT l_partkey, cents,
+      |    SUM(cents) OVER (ORDER BY cents DESC, l_partkey
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+      |    SUM(cents) OVER () AS tot
+      |  FROM rev),
+      |cls AS (
+      |  SELECT l_partkey, cents,
+      |    CASE WHEN cum * 100 <= tot * 80 THEN 'A'
+      |         WHEN cum * 100 <= tot * 95 THEN 'B'
+      |         ELSE 'C' END AS abc
+      |  FROM rk)
+      |SELECT abc, CAST(COUNT(*) AS BIGINT) AS n_parts,
+      |  CAST(SUM(cents) AS BIGINT) AS revenue_cents,
+      |  CAST(SUM(cents) * 1000000 // MAX(tot2.t) AS BIGINT) AS share_micro
+      |FROM cls, (SELECT CAST(SUM(cents) AS BIGINT) AS t FROM rev) tot2
+      |GROUP BY abc
+      |ORDER BY abc""".stripMargin) { (s, dir) =>
+    val rev = Tables.lineitem(s, dir)
+      .groupBy(col("l_partkey"))
+      .agg(sum(expr("CAST(FLOOR(l_extendedprice * 100) AS BIGINT)")).as("cents"))
+    val byRev = Window.orderBy(col("cents").desc, col("l_partkey"))
+    val rk = rev
+      .withColumn("cum", sum(col("cents")).over(
+        byRev.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("tot", sum(col("cents")).over(
+        Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+    rk.withColumn("abc",
+        when(col("cum") * 100 <= col("tot") * 80, "A")
+          .when(col("cum") * 100 <= col("tot") * 95, "B")
+          .otherwise("C"))
+      .groupBy(col("abc"))
+      .agg(count(lit(1)).as("n_parts"), sum(col("cents")).as("revenue_cents"),
+        expr("SUM(cents) * 1000000L DIV MAX(tot)").as("share_micro"))
+      .orderBy(col("abc"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     q227IntegrityScorecard, q231MarketShare, q235MvMaintenance, q244Cuped, q247AqpGroupby,
     q266BenfordAudit, q267NeymanAllocation, q268GiniLorenz, q287CdcApply, q290XmlShred,
-    q293DiffInDiff, q295EffectSize, q299WeightedMedian,
+    q293DiffInDiff, q295EffectSize, q299WeightedMedian, q309AaHarness, q311AbcClasses,
     q253RfmSegments, q254AssociationRules, q255CohortLtv, q256DeletionCascade,
     q257EquiDepthAudit, q261BitemporalAsof,
     q01PricingSummary, q02SelectiveFilter, q03ShippingPriority, q05LocalRevenue,

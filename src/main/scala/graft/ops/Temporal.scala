@@ -1350,7 +1350,60 @@ object Temporal {
     q271DyadicSmoothing, q275SeasonalDecompose, q280Burstiness,
     q284MarkovStationary, q291ActivityStreaks, q292ActiveUsers,
     q296KendallTau, q297CrossCorrelation, q300LatencyHistogram,
-    q301EntryExit, q307FreshnessAudit)
+    q301EntryExit, q307FreshnessAudit, q310PvmBridge)
+
+  /** Price–volume–mix bridge (the FP&A revenue waterfall): why did each
+    * event type's revenue move between the last day and a week before?
+    * ΔR decomposes exactly as Δn·v₀ (volume at old value) + n₀·Δv
+    * (value at old volume) + Δn·Δv (the joint term) — the identity
+    * every margin-bridge slide is built on. Day totals are exact
+    * BIGINT cents; ΔR is emitted exact, the three effects as identical
+    * double expressions of the same integers (the identity holds in
+    * the reals; the spec checks it to double precision). Empty arms
+    * (a type absent on either day) emit NULL effects, not division
+    * errors. One pass + a self-join on the two pinned days. */
+  lazy val q310PvmBridge: QueryDef = sql(
+    "q310_pvm_bridge",
+    """WITH daily AS (
+      |  SELECT event_type,
+      |    CAST(epoch_us(date_trunc('day', ts)) // 86400000000 AS BIGINT) AS d,
+      |    CAST(COUNT(*) AS BIGINT) AS n,
+      |    CAST(SUM(CAST(FLOOR(value * 100) AS BIGINT)) AS BIGINT) AS s
+      |  FROM events GROUP BY 1, 2),
+      |mx AS (SELECT CAST(MAX(d) AS BIGINT) AS dl FROM daily),
+      |cur AS (SELECT event_type, n AS n1, s AS s1 FROM daily, mx WHERE d = mx.dl),
+      |base AS (SELECT event_type, n AS n0, s AS s0 FROM daily, mx WHERE d = mx.dl - 7)
+      |SELECT c.event_type, b.n0, c.n1, b.s0, c.s1,
+      |  c.s1 - b.s0 AS delta_cents,
+      |  CAST(c.n1 - b.n0 AS DOUBLE) * (CAST(b.s0 AS DOUBLE) / CAST(b.n0 AS DOUBLE)) AS volume_effect,
+      |  CAST(b.n0 AS DOUBLE) * (CAST(c.s1 AS DOUBLE) / CAST(c.n1 AS DOUBLE)
+      |    - CAST(b.s0 AS DOUBLE) / CAST(b.n0 AS DOUBLE)) AS value_effect,
+      |  CAST(c.n1 - b.n0 AS DOUBLE) * (CAST(c.s1 AS DOUBLE) / CAST(c.n1 AS DOUBLE)
+      |    - CAST(b.s0 AS DOUBLE) / CAST(b.n0 AS DOUBLE)) AS joint_effect
+      |FROM cur c JOIN base b ON b.event_type = c.event_type
+      |ORDER BY c.event_type""".stripMargin) { (s, dir) =>
+    val daily = Tables.events(s, dir)
+      .groupBy(col("event_type"),
+        expr("unix_micros(date_trunc('day', ts)) div 86400000000L").as("d"))
+      .agg(count(lit(1)).as("n"),
+        sum(expr("CAST(FLOOR(value * 100) AS BIGINT)")).as("s"))
+      .localCheckpoint(true) // (type × day)-sized; three consumers
+    val mx = daily.agg(max(col("d")).as("dl"))
+    val cur = daily.crossJoin(broadcast(mx)).filter(col("d") === col("dl"))
+      .select(col("event_type"), col("n").as("n1"), col("s").as("s1"))
+    val base = daily.crossJoin(broadcast(mx)).filter(col("d") === col("dl") - 7)
+      .select(col("event_type"), col("n").as("n0"), col("s").as("s0"))
+    cur.join(base, Seq("event_type"))
+      .select(col("event_type"), col("n0"), col("n1"), col("s0"), col("s1"),
+        (col("s1") - col("s0")).as("delta_cents"),
+        expr("""CAST(n1 - n0 AS DOUBLE) * (CAST(s0 AS DOUBLE) / CAST(n0 AS DOUBLE))""")
+          .as("volume_effect"),
+        expr("""CAST(n0 AS DOUBLE) * (CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+               |  - CAST(s0 AS DOUBLE) / CAST(n0 AS DOUBLE))""".stripMargin).as("value_effect"),
+        expr("""CAST(n1 - n0 AS DOUBLE) * (CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+               |  - CAST(s0 AS DOUBLE) / CAST(n0 AS DOUBLE))""".stripMargin).as("joint_effect"))
+      .orderBy(col("event_type"))
+  }
 
   /** Feed-freshness audit: per event feed (type), how far its newest
     * record lags the corpus high-water mark — the ingestion-SLO monitor

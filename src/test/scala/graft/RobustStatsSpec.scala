@@ -549,6 +549,36 @@ class RobustStatsSpec extends SparkSpec {
     }
   }
 
+  test("aa harness face: sixteen splits, arms partition events, deltas are noise-sized") {
+    val rows = graft.ops.Analytics.q309AaHarness.run(spark, sfDir).collect()
+    assert(rows.map(_.getLong(0)).toSeq == (0L to 15L))
+    val total = graft.sources.Tables.events(spark, sfDir).count()
+    rows.foreach(r => assert(r.getLong(1) + r.getLong(2) == total))
+  }
+
+  test("pvm bridge face: the three effects reconstruct the exact revenue delta") {
+    val rows = Temporal.q310PvmBridge.run(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val recon = r.getDouble(6) + r.getDouble(7) + r.getDouble(8)
+      assert(math.abs(recon - r.getLong(5).toDouble) < 1e-6,
+        s"${r.getString(0)}: effects must bridge the delta")
+    }
+  }
+
+  test("abc face: classes cover all revenue, A dominates per part") {
+    val rows = graft.ops.Analytics.q311AbcClasses.run(spark, sfDir)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(rows.keySet.subsetOf(Set("A", "B", "C")) && rows.contains("A"))
+    val li = graft.sources.Tables.lineitem(spark, sfDir)
+    val totalCents = li.agg(sum(expr("CAST(FLOOR(l_extendedprice * 100) AS BIGINT)")))
+      .head().getLong(0)
+    assert(rows.values.map(_._2).sum == totalCents)
+    // A-class parts each carry more than C-class parts on average
+    for (a <- rows.get("A"); c <- rows.get("C"))
+      assert(a._2 / a._1 > c._2 / c._1)
+  }
+
   test("textrank face: keywords obey the syntactic filter and ranks order the output") {
     val rows = Graph.q279Textrank.run(spark, sfDir).collect()
     assert(rows.nonEmpty)
