@@ -3028,10 +3028,59 @@ object Analytics {
       .orderBy(col("abc"))
   }
 
+  /** Trending movers: the parts whose popularity RANK moved most between
+    * the two halves of the shipping window — the "what's rising" board
+    * (level changes mislead when everything grows; RANK deltas isolate
+    * relative movement). Halves split on the median ship day via NTILE
+    * over days; ranks are dense per half with deterministic part
+    * tie-breaks; only parts present in BOTH halves qualify (a debut is
+    * a different list). Two half-keyed aggregates + one join; top 20 by
+    * absolute delta with pinned ties. */
+  val q315TrendingMovers: QueryDef = sql(
+    "q315_trending_movers",
+    """WITH days AS (
+      |  SELECT DISTINCT CAST(epoch_us(date_trunc('day', l_shipdate)) // 86400000000 AS BIGINT) AS d
+      |  FROM lineitem),
+      |half AS (SELECT d, NTILE(2) OVER (ORDER BY d) AS h FROM days),
+      |cnt AS (
+      |  SELECT half.h, l.l_partkey, CAST(COUNT(*) AS BIGINT) AS n
+      |  FROM lineitem l
+      |  JOIN half ON half.d = CAST(epoch_us(date_trunc('day', l.l_shipdate)) // 86400000000 AS BIGINT)
+      |  GROUP BY 1, 2),
+      |rk AS (
+      |  SELECT h, l_partkey, n,
+      |    CAST(ROW_NUMBER() OVER (PARTITION BY h ORDER BY n DESC, l_partkey) AS BIGINT) AS rnk
+      |  FROM cnt)
+      |SELECT a.l_partkey, a.rnk AS rank_first, b.rnk AS rank_second,
+      |  a.rnk - b.rnk AS rank_gain
+      |FROM rk a JOIN rk b ON b.l_partkey = a.l_partkey AND a.h = 1 AND b.h = 2
+      |ORDER BY ABS(a.rnk - b.rnk) DESC, a.l_partkey
+      |LIMIT 20""".stripMargin) { (s, dir) =>
+    val dayE = expr("unix_micros(date_trunc('day', l_shipdate)) div 86400000000L")
+    val days = Tables.lineitem(s, dir).select(dayE.as("d")).distinct()
+    val half = days.withColumn("h", ntile(2).over(Window.orderBy(col("d"))))
+    val cnt = Tables.lineitem(s, dir).select(col("l_partkey"), dayE.as("d"))
+      .join(broadcast(half), Seq("d"))
+      .groupBy(col("h"), col("l_partkey")).agg(count(lit(1)).as("n"))
+    val rk = cnt.withColumn("rnk", row_number().over(
+        Window.partitionBy(col("h")).orderBy(col("n").desc, col("l_partkey")))
+      .cast("long"))
+      .localCheckpoint(true) // part-sized; both join sides
+    rk.filter(col("h") === 1)
+      .select(col("l_partkey"), col("rnk").as("rank_first"))
+      .join(rk.filter(col("h") === 2)
+        .select(col("l_partkey"), col("rnk").as("rank_second")), Seq("l_partkey"))
+      .select(col("l_partkey"), col("rank_first"), col("rank_second"),
+        (col("rank_first") - col("rank_second")).as("rank_gain"))
+      .orderBy(abs(col("rank_first") - col("rank_second")).desc, col("l_partkey"))
+      .limit(20)
+  }
+
   val all: Seq[QueryDef] = Seq(
     q227IntegrityScorecard, q231MarketShare, q235MvMaintenance, q244Cuped, q247AqpGroupby,
     q266BenfordAudit, q267NeymanAllocation, q268GiniLorenz, q287CdcApply, q290XmlShred,
     q293DiffInDiff, q295EffectSize, q299WeightedMedian, q309AaHarness, q311AbcClasses,
+    q315TrendingMovers,
     q253RfmSegments, q254AssociationRules, q255CohortLtv, q256DeletionCascade,
     q257EquiDepthAudit, q261BitemporalAsof,
     q01PricingSummary, q02SelectiveFilter, q03ShippingPriority, q05LocalRevenue,

@@ -218,5 +218,91 @@ object Contracts {
     }
   }
 
-  val all: Seq[QueryDef] = Seq(q272DataContracts, q298OpsScorecard)
+  /** Luhn checksum audit (Luhn, US patent 2,950,048 — the mod-10 check
+    * behind every card PAN and many account-number schemes): synthesize
+    * 16-digit account numbers with a computed check digit from customer
+    * keys (deterministic — the q286 generator device), then verify the
+    * full Luhn invariant over (a) the minted numbers and (b) a copy with
+    * one digit bumped. Valid mints must pass at exactly 10⁶ micro and
+    * the corrupted copy at exactly 0 — Luhn detects EVERY single-digit
+    * substitution by construction, and the audit proves the checker
+    * would catch the classic fat-finger in a PII/redaction pipeline
+    * (q72's account-number patterns get their validity check here).
+    * Pure scan-level digit folds; exact integers end to end. */
+  val q313LuhnAudit: QueryDef = {
+    // digit i (1-based, left to right) of a 16-char PAN is doubled when
+    // i is odd (positions 16,14,… from the right)
+    def luhnSumSql(s: String): String =
+      s"""list_reduce(list_transform(range(1, 17), i ->
+         |  CASE WHEN i % 2 = 1
+         |    THEN CASE WHEN 2 * CAST(substr($s, i, 1) AS BIGINT) > 9
+         |      THEN 2 * CAST(substr($s, i, 1) AS BIGINT) - 9
+         |      ELSE 2 * CAST(substr($s, i, 1) AS BIGINT) END
+         |    ELSE CAST(substr($s, i, 1) AS BIGINT) END), (x, y) -> x + y)""".stripMargin
+    def luhnSumSpark(s: String): String =
+      s"""aggregate(transform(sequence(1, 16), i ->
+         |  CASE WHEN i % 2 = 1
+         |    THEN CASE WHEN 2L * CAST(substring($s, i, 1) AS BIGINT) > 9L
+         |      THEN 2L * CAST(substring($s, i, 1) AS BIGINT) - 9L
+         |      ELSE 2L * CAST(substring($s, i, 1) AS BIGINT) END
+         |    ELSE CAST(substring($s, i, 1) AS BIGINT) END), 0L, (x, y) -> x + y)""".stripMargin
+    // payload digit i of the 15-char body sits at PAN position i, so the
+    // same parity rule applies; the check digit (position 16) is even —
+    // never doubled — hence check = (10 - sum mod 10) mod 10
+    def paySumSql(s: String): String =
+      s"""list_reduce(list_transform(range(1, 16), i ->
+         |  CASE WHEN i % 2 = 1
+         |    THEN CASE WHEN 2 * CAST(substr($s, i, 1) AS BIGINT) > 9
+         |      THEN 2 * CAST(substr($s, i, 1) AS BIGINT) - 9
+         |      ELSE 2 * CAST(substr($s, i, 1) AS BIGINT) END
+         |    ELSE CAST(substr($s, i, 1) AS BIGINT) END), (x, y) -> x + y)""".stripMargin
+    def paySumSpark(s: String): String =
+      s"""aggregate(transform(sequence(1, 15), i ->
+         |  CASE WHEN i % 2 = 1
+         |    THEN CASE WHEN 2L * CAST(substring($s, i, 1) AS BIGINT) > 9L
+         |      THEN 2L * CAST(substring($s, i, 1) AS BIGINT) - 9L
+         |      ELSE 2L * CAST(substring($s, i, 1) AS BIGINT) END
+         |    ELSE CAST(substring($s, i, 1) AS BIGINT) END), 0L, (x, y) -> x + y)""".stripMargin
+    sql(
+      "q313_luhn_audit",
+      s"""WITH body AS (
+         |  SELECT lpad(CAST((c_custkey * 7919 + 12345) % 1000000000000000 AS VARCHAR), 15, '0') AS b
+         |  FROM customer),
+         |pan AS (
+         |  SELECT b || CAST((10 - (${paySumSql("b")}) % 10) % 10 AS VARCHAR) AS p
+         |  FROM body),
+         |variants AS (
+         |  SELECT 'minted' AS variant, p FROM pan
+         |  UNION ALL
+         |  SELECT 'corrupted',
+         |    substr(p, 1, 2) || CAST((CAST(substr(p, 3, 1) AS BIGINT) + 1) % 10 AS VARCHAR)
+         |      || substr(p, 4) AS p
+         |  FROM pan)
+         |SELECT variant, CAST(COUNT(*) AS BIGINT) AS n,
+         |  CAST(COALESCE(SUM(CASE WHEN (${luhnSumSql("p")}) % 10 = 0 THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_valid,
+         |  CAST(COALESCE(SUM(CASE WHEN (${luhnSumSql("p")}) % 10 = 0 THEN 1 ELSE 0 END), 0) AS BIGINT)
+         |    * 1000000 // COUNT(*) AS valid_micro
+         |FROM variants
+         |GROUP BY 1
+         |ORDER BY variant""".stripMargin) { (s, dir) =>
+      val body = Tables.customer(s, dir).select(expr(
+        "lpad(CAST((c_custkey * 7919L + 12345L) % 1000000000000000L AS STRING), 15, '0')").as("b"))
+      val pan = body.select(expr(
+        s"concat(b, CAST((10L - (${paySumSpark("b")}) % 10L) % 10L AS STRING))").as("p"))
+        .localCheckpoint(true) // customer-sized; both variants read it
+      val both = pan.select(lit("minted").as("variant"), col("p"))
+        .unionAll(pan.select(lit("corrupted").as("variant"), expr(
+          "concat(substring(p, 1, 2), CAST((CAST(substring(p, 3, 1) AS BIGINT) + 1L) % 10L AS STRING), substring(p, 4))")
+          .as("p")))
+      both.groupBy(col("variant"))
+        .agg(count(lit(1)).as("n"),
+          coalesce(sum(when(expr(s"(${luhnSumSpark("p")}) % 10L") === 0L, 1L)
+            .otherwise(0L)), lit(0L)).as("n_valid"))
+        .select(col("variant"), col("n"), col("n_valid"),
+          expr("n_valid * 1000000L DIV n").as("valid_micro"))
+        .orderBy(col("variant"))
+    }
+  }
+
+  val all: Seq[QueryDef] = Seq(q272DataContracts, q298OpsScorecard, q313LuhnAudit)
 }

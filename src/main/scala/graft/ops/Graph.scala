@@ -900,7 +900,78 @@ object Graph {
     deltas.reduce(_ unionAll _).orderBy(col("round"))
   }
 
+  /** Hierarchy rollup via POINTER DOUBLING (the PRAM pointer-jumping
+    * trick; Valiant's list-ranking lineage): subtree revenue for every
+    * node of the part hierarchy parent(k) = k ÷ 4. A sequential BOM
+    * explosion walks the tree depth-first; the distributed form builds
+    * the ancestor closure in ⌈log₂ depth⌉ self-join rounds — R_{i+1} =
+    * R_i ∪ R_i∘R_i doubles the covered distance, so FOUR rounds reach
+    * depth 16 (part keys to 4¹⁶) where the naive one-level-per-round
+    * iteration would need 16 — the difference between 4 and 16 shuffle
+    * barriers at 100 TB. Closure size is Σ depth(n) ≈ n·log₄ n rows.
+    * Exact cents; each node's rollup = own revenue + descendants'. */
+  val q312HierarchyRollup: QueryDef = {
+    def dblSql(i: Int): String = {
+      val prev = s"r${i - 1}"
+      s"""r$i AS (SELECT DISTINCT * FROM (
+         |    SELECT c, p FROM $prev
+         |    UNION ALL
+         |    SELECT a.c, b.p FROM $prev a JOIN $prev b ON b.c = a.p))""".stripMargin
+    }
+    sql(
+      "q312_hierarchy_rollup",
+      s"""WITH rev AS (
+         |  SELECT l_partkey AS node,
+         |    CAST(SUM(CAST(FLOOR(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS cents
+         |  FROM lineitem GROUP BY 1),
+         |v AS (
+         |  SELECT p.p_partkey AS node, CAST(COALESCE(rev.cents, 0) AS BIGINT) AS cents
+         |  FROM part p LEFT JOIN rev ON rev.node = p.p_partkey),
+         |r1 AS (SELECT node AS c, node // 4 AS p FROM v WHERE node // 4 <> node),
+         |${dblSql(2)},
+         |${dblSql(3)},
+         |${dblSql(4)},
+         |sub AS (
+         |  SELECT r4.p AS node, CAST(COUNT(*) AS BIGINT) AS n_desc,
+         |    CAST(SUM(v.cents) AS BIGINT) AS desc_cents
+         |  FROM r4 JOIN v ON v.node = r4.c
+         |  GROUP BY 1)
+         |SELECT sub.node, sub.n_desc,
+         |  CAST(COALESCE(v.cents, 0) + sub.desc_cents AS BIGINT) AS subtree_cents
+         |FROM sub LEFT JOIN v ON v.node = sub.node
+         |ORDER BY sub.node""".stripMargin) { (s, dir) =>
+      val rev = Tables.lineitem(s, dir)
+        .groupBy(col("l_partkey").as("node"))
+        .agg(sum(expr("CAST(FLOOR(l_extendedprice * 100) AS BIGINT)")).as("cents"))
+      // nodes come from the DENSE part table: an unsold intermediate part
+      // must still relay its subtree upward, so the closure cannot be
+      // seeded from observed lineitem keys alone
+      val v = Tables.part(s, dir).select(col("p_partkey").as("node"))
+        .join(rev, Seq("node"), "left")
+        .select(col("node"), coalesce(col("cents"), lit(0L)).as("cents"))
+        .localCheckpoint(true) // node-sized; closure seed AND both rollup sides
+      var r = v.select(col("node").as("c"), expr("node DIV 4").as("p"))
+        .filter(col("c") =!= col("p"))
+      for (_ <- 2 to 4) {
+        r = r.unionAll(
+            r.select(col("c"), col("p").as("m"))
+              .join(r.select(col("c").as("m"), col("p")), Seq("m"))
+              .select(col("c"), col("p")))
+          .distinct()
+          .localCheckpoint(true) // closure-sized; both sides of the next round
+      }
+      val sub = r.join(v.select(col("node").as("c"), col("cents")), Seq("c"))
+        .groupBy(col("p").as("node"))
+        .agg(count(lit(1)).as("n_desc"), sum(col("cents")).as("desc_cents"))
+      sub.join(v.select(col("node"), col("cents")), Seq("node"), "left")
+        .select(col("node"), col("n_desc"),
+          (coalesce(col("cents"), lit(0L)) + col("desc_cents")).as("subtree_cents"))
+        .orderBy(col("node"))
+    }
+  }
+
   val all: Seq[QueryDef] = Seq(q143Pagerank, q153LabelProp, q173BradleyTerry,
     q188PersonalizedPagerank, q243Triangles, q263BfsHops, q274LocalBridges,
-    q279Textrank, q281Assortativity, q282KCore, q302WalkerConvergence)
+    q279Textrank, q281Assortativity, q282KCore, q302WalkerConvergence,
+    q312HierarchyRollup)
 }

@@ -1350,7 +1350,86 @@ object Temporal {
     q271DyadicSmoothing, q275SeasonalDecompose, q280Burstiness,
     q284MarkovStationary, q291ActivityStreaks, q292ActiveUsers,
     q296KendallTau, q297CrossCorrelation, q300LatencyHistogram,
-    q301EntryExit, q307FreshnessAudit, q310PvmBridge)
+    q301EntryExit, q307FreshnessAudit, q310PvmBridge, q314ResidualAnomaly)
+
+  /** Decomposition-residual anomaly flags — the monitoring loop q275
+    * feeds: after trend and weekly seasonality are explained away, a day
+    * is anomalous when its remainder sits more than 3 robust sigmas
+    * (1.4826·MAD) from the median remainder. Flagging on the RESIDUAL is
+    * the difference between "Sunday is always low" (not an alert) and
+    * "this Sunday is low FOR A SUNDAY" (an alert) — raw z-scores (q103)
+    * can't tell them apart. Medians/MAD go through the q265
+    * order-statistic device on the bounded day relation; every emitted
+    * double is the same expression of the same inputs in both engines,
+    * so the flags agree bit-for-bit. */
+  lazy val q314ResidualAnomaly: QueryDef = sql(
+    "q314_residual_anomaly",
+    """WITH daily AS (
+      |  SELECT CAST(epoch_us(date_trunc('day', ts)) // 86400000000 AS BIGINT) AS day_idx,
+      |    CAST(COUNT(*) AS BIGINT) AS y
+      |  FROM events GROUP BY 1),
+      |tr AS (
+      |  SELECT day_idx, y, SUM(y) OVER w AS t7, COUNT(*) OVER w AS c7,
+      |    MAX(day_idx) OVER w - MIN(day_idx) OVER w AS span
+      |  FROM daily
+      |  WINDOW w AS (ORDER BY day_idx ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+      |interior AS (
+      |  SELECT day_idx, y, t7, 7 * y - t7 AS d7, day_idx % 7 AS dow
+      |  FROM tr WHERE c7 = 7 AND span = 6),
+      |seas AS (
+      |  SELECT dow, CAST(SUM(d7) AS BIGINT) AS snum, CAST(COUNT(*) AS BIGINT) AS sden
+      |  FROM interior GROUP BY 1),
+      |rem AS (
+      |  SELECT i.day_idx, i.y,
+      |    CAST(i.y AS DOUBLE) - CAST(i.t7 AS DOUBLE) / 7.0
+      |      - CAST(s.snum AS DOUBLE) / (7.0 * CAST(s.sden AS DOUBLE)) AS r
+      |  FROM interior i JOIN seas s ON s.dow = i.dow),
+      |m1 AS (SELECT AVG(r) AS med FROM (
+      |    SELECT r, ROW_NUMBER() OVER (ORDER BY r) AS rn, COUNT(*) OVER () AS n FROM rem)
+      |  WHERE rn = (n + 1) // 2 OR rn = n // 2 + 1),
+      |ad AS (SELECT rem.day_idx, rem.y, rem.r, ABS(rem.r - m1.med) AS a FROM rem, m1),
+      |m2 AS (SELECT AVG(a) AS mad FROM (
+      |    SELECT a, ROW_NUMBER() OVER (ORDER BY a) AS rn, COUNT(*) OVER () AS n FROM ad)
+      |  WHERE rn = (n + 1) // 2 OR rn = n // 2 + 1)
+      |SELECT ad.day_idx, ad.y, ad.r AS remainder,
+      |  ad.a > 3.0 * 1.4826 * m2.mad AS is_anomaly
+      |FROM ad, m2
+      |ORDER BY ad.day_idx""".stripMargin) { (s, dir) =>
+    val daily = Tables.events(s, dir)
+      .groupBy(expr("unix_micros(date_trunc('day', ts)) div 86400000000L").as("day_idx"))
+      .agg(count(lit(1)).as("y"))
+    val w = Window.orderBy(col("day_idx")).rowsBetween(-3, 3)
+    val interior = daily
+      .withColumn("t7", sum(col("y")).over(w))
+      .withColumn("c7", count(lit(1)).over(w))
+      .withColumn("span", max(col("day_idx")).over(w) - min(col("day_idx")).over(w))
+      .filter(col("c7") === 7 && col("span") === 6)
+      .select(col("day_idx"), col("y"), col("t7"),
+        (lit(7L) * col("y") - col("t7")).as("d7"), (col("day_idx") % 7).as("dow"))
+      .localCheckpoint(true)
+    val seas = interior.groupBy(col("dow"))
+      .agg(sum(col("d7")).as("snum"), count(lit(1)).as("sden"))
+    val rem = interior.join(broadcast(seas), Seq("dow"))
+      .select(col("day_idx"), col("y"),
+        (col("y").cast("double") - col("t7").cast("double") / 7.0
+          - col("snum").cast("double") / (lit(7.0) * col("sden").cast("double"))).as("r"))
+      .localCheckpoint(true) // day-sized; median, MAD, and the flag pass
+    def medianOf(vals: DataFrame, c: String, out: String): DataFrame =
+      vals.withColumn("rn", row_number().over(Window.orderBy(col(c))))
+        .withColumn("n", count(lit(1)).over(
+          Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+        .filter(col("rn") === expr("(n + 1) div 2") || col("rn") === expr("n div 2 + 1"))
+        .agg(avg(col(c)).as(out))
+    val m1 = medianOf(rem.select(col("r")), "r", "med")
+    val ad = rem.crossJoin(broadcast(m1))
+      .select(col("day_idx"), col("y"), col("r"), abs(col("r") - col("med")).as("a"))
+      .localCheckpoint(true)
+    val m2 = medianOf(ad.select(col("a")), "a", "mad")
+    ad.crossJoin(broadcast(m2))
+      .select(col("day_idx"), col("y"), col("r").as("remainder"),
+        (col("a") > lit(3.0) * lit(1.4826) * col("mad")).as("is_anomaly"))
+      .orderBy(col("day_idx"))
+  }
 
   /** Price–volume–mix bridge (the FP&A revenue waterfall): why did each
     * event type's revenue move between the last day and a week before?

@@ -579,6 +579,56 @@ class RobustStatsSpec extends SparkSpec {
       assert(a._2 / a._1 > c._2 / c._1)
   }
 
+  test("hierarchy rollup: every node's subtree includes itself plus all descendants (hand tree)") {
+    // parent(k) = k div 4 over the face; pin the face's conservation law:
+    // the root 0's subtree must carry ALL part revenue
+    val rows = Graph.q312HierarchyRollup.run(spark, sfDir).collect()
+    val byNode = rows.map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val li = graft.sources.Tables.lineitem(spark, sfDir)
+    val total = li.agg(sum(expr("CAST(FLOOR(l_extendedprice * 100) AS BIGINT)")))
+      .head().getLong(0)
+    val nParts = graft.sources.Tables.part(spark, sfDir).count()
+    assert(byNode(0L) == ((nParts - 1, total)),
+      "root subtree = every other part as descendant + all revenue")
+    // monotone: a child's subtree never exceeds its parent's
+    rows.foreach { r =>
+      val node = r.getLong(0)
+      if (node > 0) byNode.get(node / 4).foreach { case (_, parentCents) =>
+        assert(r.getLong(2) <= parentCents)
+      }
+    }
+  }
+
+  test("luhn audit face: minted numbers all pass, any single-digit bump always fails") {
+    val rows = Contracts.q313LuhnAudit.run(spark, sfDir)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val (nM, vM) = rows("minted")
+    val (nC, vC) = rows("corrupted")
+    assert(nM == nC && vM == nM, "every minted PAN must verify")
+    assert(vC == 0L, "Luhn detects every single-digit substitution")
+  }
+
+  test("residual anomaly face: flags agree with the emitted remainder and robust scale") {
+    val rows = Temporal.q314ResidualAnomaly.run(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val rs = rows.map(_.getDouble(2)).sorted
+    def med(a: Array[Double]) = (a((a.length + 1) / 2 - 1) + a(a.length / 2 + 1 - 1)) / 2
+    val m = med(rs)
+    val mad = med(rows.map(r => math.abs(r.getDouble(2) - m)).sorted)
+    rows.foreach { r =>
+      val expected = math.abs(r.getDouble(2) - m) > 3.0 * 1.4826 * mad
+      assert(r.getBoolean(3) == expected)
+    }
+  }
+
+  test("trending movers face: gains are first-minus-second rank, sorted by magnitude") {
+    val rows = graft.ops.Analytics.q315TrendingMovers.run(spark, sfDir).collect()
+    assert(rows.nonEmpty && rows.length <= 20)
+    rows.foreach(r => assert(r.getLong(3) == r.getLong(1) - r.getLong(2)))
+    val mags = rows.map(r => math.abs(r.getLong(3)))
+    assert(mags.sliding(2).forall(p => p(0) >= p(1)))
+  }
+
   test("textrank face: keywords obey the syntactic filter and ranks order the output") {
     val rows = Graph.q279Textrank.run(spark, sfDir).collect()
     assert(rows.nonEmpty)
