@@ -3076,11 +3076,60 @@ object Analytics {
       .limit(20)
   }
 
+  /** Top-k + OTHER rollup — the dashboard contract every BI tile obeys:
+    * the ten highest-revenue parts as named rows plus ONE exact residual
+    * bucket, so the tile always sums to 100% (a bare top-k silently
+    * drops the tail; the OTHER row is where "should this tile have more
+    * slots" decisions come from). Ranks cut by a WindowGroupLimit-
+    * friendly row_number; the residual aggregates everything past the
+    * cut in the same pass. Exact cents, shares in micro. */
+  val q317TopkOther: QueryDef = sql(
+    "q317_topk_other",
+    """WITH rev AS (
+      |  SELECT l_partkey, CAST(SUM(CAST(FLOOR(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS cents
+      |  FROM lineitem GROUP BY 1),
+      |rk AS (SELECT l_partkey, cents,
+      |         ROW_NUMBER() OVER (ORDER BY cents DESC, l_partkey) AS rn
+      |       FROM rev),
+      |tot AS (SELECT CAST(SUM(cents) AS BIGINT) AS t FROM rev),
+      |rows_out AS (
+      |  SELECT rn AS rank, CAST(l_partkey AS VARCHAR) AS label,
+      |    CAST(1 AS BIGINT) AS n_items, cents FROM rk WHERE rn <= 10
+      |  UNION ALL
+      |  SELECT 11, 'OTHER', CAST(COUNT(*) AS BIGINT), CAST(SUM(cents) AS BIGINT)
+      |  FROM rk WHERE rn > 10)
+      |SELECT CAST(rank AS BIGINT) AS rank, label, n_items,
+      |  CAST(cents AS BIGINT) AS revenue_cents,
+      |  cents * 1000000 // tot.t AS share_micro
+      |FROM rows_out, tot
+      |ORDER BY rank""".stripMargin) { (s, dir) =>
+    val rev = Tables.lineitem(s, dir)
+      .groupBy(col("l_partkey"))
+      .agg(sum(expr("CAST(FLOOR(l_extendedprice * 100) AS BIGINT)")).as("cents"))
+    val rk = rev.withColumn("rn", row_number().over(
+        Window.orderBy(col("cents").desc, col("l_partkey"))))
+      .localCheckpoint(true) // part-sized; head and tail consumers
+    val tot = rev.agg(sum(col("cents")).as("t"))
+    val head = rk.filter(col("rn") <= 10)
+      .select(col("rn").cast("long").as("rank"),
+        col("l_partkey").cast("string").as("label"),
+        lit(1L).as("n_items"), col("cents"))
+    val tail = rk.filter(col("rn") > 10)
+      .agg(count(lit(1)).as("n_items"), sum(col("cents")).as("cents"))
+      .select(lit(11L).as("rank"), lit("OTHER").as("label"),
+        col("n_items"), col("cents"))
+    head.unionAll(tail).crossJoin(broadcast(tot))
+      .select(col("rank"), col("label"), col("n_items"),
+        col("cents").as("revenue_cents"),
+        expr("cents * 1000000L DIV t").as("share_micro"))
+      .orderBy(col("rank"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     q227IntegrityScorecard, q231MarketShare, q235MvMaintenance, q244Cuped, q247AqpGroupby,
     q266BenfordAudit, q267NeymanAllocation, q268GiniLorenz, q287CdcApply, q290XmlShred,
     q293DiffInDiff, q295EffectSize, q299WeightedMedian, q309AaHarness, q311AbcClasses,
-    q315TrendingMovers,
+    q315TrendingMovers, q317TopkOther,
     q253RfmSegments, q254AssociationRules, q255CohortLtv, q256DeletionCascade,
     q257EquiDepthAudit, q261BitemporalAsof,
     q01PricingSummary, q02SelectiveFilter, q03ShippingPriority, q05LocalRevenue,

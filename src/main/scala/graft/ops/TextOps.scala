@@ -5362,8 +5362,62 @@ object TextOps {
       .orderBy(col("lang"))
   }
 
+  /** t-closeness audit (Li, Li & Venkatasubramanian ICDE'07) — the third
+    * leg of the privacy triad: q195 asks "is the class big enough"
+    * (k-anonymity), q216 "are the sensitive values varied enough"
+    * (l-diversity); t-closeness asks whether the class's sensitive-value
+    * DISTRIBUTION leaks — a class can be large and varied yet still
+    * 90% one source when the corpus is 5%. t is the total-variation
+    * distance between the class and global source distributions
+    * (the categorical EMD), computed EXACTLY: Σ|n_cs·N − N_s·n_c| over
+    * sources is an exact BIGINT cross-multiplication, and t_micro is one
+    * integer division — no per-class float distributions anywhere.
+    * Classes are q195's (lang, length-bucket) QI; one pass builds the
+    * class×source counts, the source margins broadcast. */
+  val q316TCloseness: QueryDef = sql(
+    "q316_t_closeness",
+    """WITH cs AS (
+      |  SELECT lang, CAST(n_chars // 100 AS BIGINT) AS len_bucket, source,
+      |    CAST(COUNT(*) AS BIGINT) AS n_cs
+      |  FROM documents GROUP BY 1, 2, 3),
+      |cls AS (SELECT lang, len_bucket, CAST(SUM(n_cs) AS BIGINT) AS n_c
+      |        FROM cs GROUP BY 1, 2),
+      |marg AS (SELECT source, CAST(SUM(n_cs) AS BIGINT) AS n_s FROM cs GROUP BY 1),
+      |tot AS (SELECT CAST(SUM(n_s) AS BIGINT) AS n FROM marg),
+      |dev AS (
+      |  SELECT cls.lang, cls.len_bucket, cls.n_c,
+      |    ABS(COALESCE(cs.n_cs, 0) * tot.n - marg.n_s * cls.n_c) AS num
+      |  FROM cls CROSS JOIN marg CROSS JOIN tot
+      |  LEFT JOIN cs ON cs.lang = cls.lang AND cs.len_bucket = cls.len_bucket
+      |    AND cs.source = marg.source)
+      |SELECT lang, len_bucket, CAST(MAX(n_c) AS BIGINT) AS n_docs,
+      |  CAST(SUM(num) * 1000000 // (2 * MAX(n_c) * MAX(tot2.n)) AS BIGINT) AS t_micro,
+      |  SUM(num) * 1000000 // (2 * MAX(n_c) * MAX(tot2.n)) > 300000 AS breach
+      |FROM dev, (SELECT CAST(SUM(n_cs) AS BIGINT) AS n FROM cs) tot2
+      |GROUP BY lang, len_bucket
+      |ORDER BY lang, len_bucket""".stripMargin) { (s, dir) =>
+    val cs = Tables.fanOut(Tables.documents(s, dir))
+      .groupBy(col("lang"), expr("n_chars DIV 100").as("len_bucket"), col("source"))
+      .agg(count(lit(1)).as("n_cs"))
+      .localCheckpoint(true) // class×source-sized; three consumers
+    val cls = cs.groupBy(col("lang"), col("len_bucket")).agg(sum(col("n_cs")).as("n_c"))
+    val marg = cs.groupBy(col("source")).agg(sum(col("n_cs")).as("n_s"))
+    val tot = marg.agg(sum(col("n_s")).as("n"))
+    val dev = cls.crossJoin(broadcast(marg)).crossJoin(broadcast(tot))
+      .join(cs, Seq("lang", "len_bucket", "source"), "left")
+      .select(col("lang"), col("len_bucket"), col("n_c"),
+        abs(coalesce(col("n_cs"), lit(0L)) * col("n") - col("n_s") * col("n_c")).as("num"),
+        col("n"))
+    dev.groupBy(col("lang"), col("len_bucket"))
+      .agg(max(col("n_c")).as("n_docs"),
+        expr("CAST(SUM(num) * 1000000L DIV (2 * MAX(n_c) * MAX(n)) AS BIGINT)").as("t_micro"))
+      .select(col("lang"), col("len_bucket"), col("n_docs"), col("t_micro"),
+        (col("t_micro") > 300000L).as("breach"))
+      .orderBy(col("lang"), col("len_bucket"))
+  }
+
   val all: Seq[QueryDef] = Seq(
-    q276EpochAllocation, q277CoverageSelect, q289Chao1,
+    q276EpochAllocation, q277CoverageSelect, q289Chao1, q316TCloseness,
     q21TextStats, q22WordFreq, q23BigramFreq, q24LangId, q25QualityScore,
     q26Fingerprint, q27TokenRegex, q62TrainSplit, q64TermFreqMap,
     q68StratifiedSample, q72Redaction, q74Chunking, q79CurationPipeline,

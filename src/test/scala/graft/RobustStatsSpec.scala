@@ -629,6 +629,28 @@ class RobustStatsSpec extends SparkSpec {
     assert(mags.sliding(2).forall(p => p(0) >= p(1)))
   }
 
+  test("t-closeness face: t in [0, 1e6]; a single-source planted class maxes out") {
+    val rows = graft.ops.TextOps.q316TCloseness.run(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(r.getLong(3) >= 0L && r.getLong(3) <= 1000000L))
+    // TV distance to a 20-way global from a 1-doc class is near 1 - n_s/N;
+    // every 1-doc class must sit above any 300k-micro threshold
+    rows.filter(_.getLong(2) == 1L).foreach(r =>
+      assert(r.getLong(3) > 300000L && r.getBoolean(4)))
+  }
+
+  test("topk+other face: shares cover everything, OTHER carries the residual exactly") {
+    val rows = graft.ops.Analytics.q317TopkOther.run(spark, sfDir).collect()
+    assert(rows.map(_.getLong(0)).toSeq == (1L to 11L))
+    assert(rows.last.getString(1) == "OTHER")
+    val li = graft.sources.Tables.lineitem(spark, sfDir)
+    val total = li.agg(sum(expr("CAST(FLOOR(l_extendedprice * 100) AS BIGINT)")))
+      .head().getLong(0)
+    assert(rows.map(_.getLong(3)).sum == total)
+    val nParts = li.select(col("l_partkey")).distinct().count()
+    assert(rows.map(_.getLong(2)).sum == nParts)
+  }
+
   test("textrank face: keywords obey the syntactic filter and ranks order the output") {
     val rows = Graph.q279Textrank.run(spark, sfDir).collect()
     assert(rows.nonEmpty)
