@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.Decimals._
@@ -1039,9 +1040,68 @@ object Layout {
     }
   }
 
+  /** Bitmap-index conjunction audit (the Model 204 / FastBit structure;
+    * O'Neil 1987): low-cardinality columns index as one BITMAP per
+    * value — rows become bit positions packed 32 to a word (bit 63 of a signed
+    * BIGINT is engine-hostile territory: DuckDB rejects 1 << 63 as signed
+    * overflow where Spark silently wraps — 32-bit packing keeps every
+    * shift portable), built with
+    * ONE BIT_OR aggregate — and a multi-predicate COUNT becomes popcount
+    * of the ANDed words, never a row scan. The audit builds real
+    * bitmaps for l_returnflag and l_linestatus, answers every
+    * flag∧status count from the INDEX alone, and pins it against the
+    * exact group-by from the rows — the fifth index structure in the
+    * family (Bloom q115/q250, zone maps q232, KMV q278, CM q273), and
+    * the only one here that is EXACT by construction. Identical
+    * duplicate rows may permute positions under the row-numbering
+    * tie-break, but permuting positions of identical rows fixes every
+    * bitmap, so the index is deterministic anyway. */
+  val q318BitmapIndex: QueryDef = sql(
+    "q318_bitmap_index",
+    """WITH pos AS (
+      |  SELECT l_returnflag AS f, l_linestatus AS st,
+      |    ROW_NUMBER() OVER (ORDER BY l_orderkey, l_linenumber, l_partkey, l_suppkey) - 1 AS p
+      |  FROM lineitem),
+      |fb AS (SELECT f, p // 32 AS w, bit_or(CAST(1 AS BIGINT) << CAST(p % 32 AS INTEGER)) AS bm
+      |       FROM pos GROUP BY 1, 2),
+      |sb AS (SELECT st, p // 32 AS w, bit_or(CAST(1 AS BIGINT) << CAST(p % 32 AS INTEGER)) AS bm
+      |       FROM pos GROUP BY 1, 2),
+      |viaidx AS (
+      |  SELECT fb.f, sb.st, CAST(SUM(bit_count(fb.bm & sb.bm)) AS BIGINT) AS n_bitmap
+      |  FROM fb JOIN sb ON sb.w = fb.w
+      |  GROUP BY 1, 2),
+      |exact AS (SELECT f, st, CAST(COUNT(*) AS BIGINT) AS n_exact
+      |          FROM pos GROUP BY 1, 2)
+      |SELECT e.f AS l_returnflag, e.st AS l_linestatus, e.n_exact,
+      |  COALESCE(v.n_bitmap, 0) AS n_bitmap,
+      |  e.n_exact = COALESCE(v.n_bitmap, 0) AS index_exact
+      |FROM exact e LEFT JOIN viaidx v ON v.f = e.f AND v.st = e.st
+      |ORDER BY l_returnflag, l_linestatus""".stripMargin) { (s, dir) =>
+    val pos = Tables.lineitem(s, dir)
+      .select(col("l_returnflag").as("f"), col("l_linestatus").as("st"),
+        (row_number().over(Window.orderBy(col("l_orderkey"), col("l_linenumber"),
+          col("l_partkey"), col("l_suppkey"))) - 1).cast("long").as("p"))
+      .localCheckpoint(true) // positioned rows; both bitmap builds + exact
+    def bitmaps(c: String): DataFrame = pos
+      .groupBy(col(c), expr("p DIV 32").as("w"))
+      .agg(expr("bit_or(shiftleft(1L, CAST(p % 32 AS INT)))").as("bm"))
+    val fb = bitmaps("f").select(col("f"), col("w"), col("bm").as("fbm"))
+    val sb = bitmaps("st").select(col("st"), col("w"), col("bm").as("sbm"))
+    val viaidx = fb.join(sb, Seq("w"))
+      .groupBy(col("f"), col("st"))
+      .agg(sum(expr("bit_count(fbm & sbm)")).cast("long").as("n_bitmap"))
+    val exact = pos.groupBy(col("f"), col("st")).agg(count(lit(1)).as("n_exact"))
+    exact.join(viaidx, Seq("f", "st"), "left")
+      .select(col("f").as("l_returnflag"), col("st").as("l_linestatus"),
+        col("n_exact"), coalesce(col("n_bitmap"), lit(0L)).as("n_bitmap"),
+        (col("n_exact") === coalesce(col("n_bitmap"), lit(0L))).as("index_exact"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     q112BucketedJoin, q113PartitionPruning, q114SaltedJoin, q115BloomSemiJoin,
     q229ColumnProfile, q230LayoutAdvisor, q246CardinalityAudit, q250BloomZoneMap,
     q258CurveLocality, q260RebalanceAudit, q273CountMinAudit, q278KmvSketch,
-    q286SyntheticGen, q294NdvEstimate, q304Joinability, q305FdDiscovery)
+    q286SyntheticGen, q294NdvEstimate, q304Joinability, q305FdDiscovery,
+    q318BitmapIndex)
 }

@@ -651,6 +651,17 @@ class RobustStatsSpec extends SparkSpec {
     assert(rows.map(_.getLong(2)).sum == nParts)
   }
 
+  test("bitmap index face: every conjunction answered from the index matches the rows") {
+    val rows = graft.ops.Layout.q318BitmapIndex.run(spark, sfDir).collect()
+    assert(rows.length == 6)
+    rows.foreach { r =>
+      assert(r.getBoolean(4), s"${r.getString(0)}/${r.getString(1)}: index must be exact")
+      assert(r.getLong(2) == r.getLong(3))
+    }
+    assert(rows.map(_.getLong(2)).sum ==
+      graft.sources.Tables.lineitem(spark, sfDir).count())
+  }
+
   test("textrank face: keywords obey the syntactic filter and ranks order the output") {
     val rows = Graph.q279Textrank.run(spark, sfDir).collect()
     assert(rows.nonEmpty)
