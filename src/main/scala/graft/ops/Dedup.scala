@@ -363,6 +363,82 @@ object Dedup {
       .orderBy(col("a"), col("b"))
   }
 
+  /** b-bit minwise hashing audit (Li & König WWW'10): store only the
+    * LOWEST b = 2 bits of each MinHash component — a 16× signature
+    * compression — and recover Jaccard from the matched-bit rate via the
+    * paper's collision correction Ĵ = (A − C)/(1 − C), C = 2^−b (the
+    * chance two UNRELATED components agree on b bits). The audit runs
+    * the estimator on the production LSH candidates beside q283's
+    * full-width estimate and the exact Jaccard — the storage-versus-
+    * variance frontier of the dedup index, measured rather than
+    * asserted. Everything is exact integers in micro (the correction is
+    * one integer expression: Ĵ_micro = (4·matches·125000 − 8·250000·...)
+    * — reduced below); rides the persisted signature/shingle chain. */
+  val q319BbitMinhash: QueryDef = sql(
+    "q319_bbit_minhash",
+    s"""WITH $shinglesSql,
+       |$signaturesSql,
+       |$bandsSql,
+       |$candSql,
+       |m AS (SELECT c.doc_a, c.doc_b,
+       |    CAST(${(0 until NumHashes).map(k => s"(CASE WHEN a.s$k % 4 = b.s$k % 4 THEN 1 ELSE 0 END)").mkString(" + ")} AS BIGINT) AS bbit_matches,
+       |    CAST(${(0 until NumHashes).map(k => s"(CASE WHEN a.s$k = b.s$k THEN 1 ELSE 0 END)").mkString(" + ")} AS BIGINT) AS full_matches
+       |  FROM cand c JOIN sig a ON a.doc_id = c.doc_a
+       |  JOIN sig b ON b.doc_id = c.doc_b),
+       |inter AS (SELECT c.doc_a, c.doc_b, CAST(COUNT(*) AS BIGINT) AS n_common
+       |          FROM cand c
+       |          JOIN sh a ON a.doc_id = c.doc_a
+       |          JOIN sh b ON b.doc_id = c.doc_b AND b.sh = a.sh
+       |          GROUP BY 1, 2),
+       |cnts AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n FROM sh GROUP BY 1)
+       |SELECT m.doc_a, m.doc_b, m.bbit_matches, m.full_matches,
+       |  GREATEST(CAST(0 AS BIGINT), (m.bbit_matches * 1000000 // 8 - 250000) * 4 // 3) AS bbit_est_micro,
+       |  m.full_matches * 125000 AS full_est_micro,
+       |  COALESCE(i.n_common, 0) * 1000000
+       |    // (ca.n + cb.n - COALESCE(i.n_common, 0)) AS exact_micro
+       |FROM m
+       |LEFT JOIN inter i ON i.doc_a = m.doc_a AND i.doc_b = m.doc_b
+       |JOIN cnts ca ON ca.doc_id = m.doc_a
+       |JOIN cnts cb ON cb.doc_id = m.doc_b
+       |ORDER BY m.doc_a, m.doc_b""".stripMargin) { (s, dir) =>
+    val sh = shingles(s, dir)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sig = signatures(s, dir)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cand = {
+      val bb = bands(sig).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val a = bb.select(col("doc_id").as("doc_a"), col("band"), col("bucket"))
+      val b = bb.select(col("doc_id").as("doc_b"), col("band"), col("bucket"))
+      a.join(b, Seq("band", "bucket")).filter(col("doc_a") < col("doc_b"))
+        .select(col("doc_a"), col("doc_b")).distinct()
+    }
+    val bbitExpr = (0 until NumHashes)
+      .map(k => s"(CASE WHEN a.s$k % 4 = b.s$k % 4 THEN 1 ELSE 0 END)").mkString(" + ")
+    val fullExpr = (0 until NumHashes)
+      .map(k => s"(CASE WHEN a.s$k = b.s$k THEN 1 ELSE 0 END)").mkString(" + ")
+    val m = cand
+      .join(sig.as("a"), col("doc_a") === col("a.doc_id"))
+      .join(sig.as("b"), col("doc_b") === col("b.doc_id"))
+      .select(col("doc_a"), col("doc_b"),
+        expr(s"CAST($bbitExpr AS BIGINT)").as("bbit_matches"),
+        expr(s"CAST($fullExpr AS BIGINT)").as("full_matches"))
+    val inter = cand
+      .join(sh.select(col("doc_id").as("doc_a"), col("sh")), "doc_a")
+      .join(sh.select(col("doc_id").as("doc_b"), col("sh")), Seq("doc_b", "sh"))
+      .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("n_common"))
+    val cnts = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    m.join(inter, Seq("doc_a", "doc_b"), "left")
+      .join(cnts.select(col("doc_id").as("doc_a"), col("n").as("na")), "doc_a")
+      .join(cnts.select(col("doc_id").as("doc_b"), col("n").as("nb")), "doc_b")
+      .select(col("doc_a"), col("doc_b"), col("bbit_matches"), col("full_matches"),
+        greatest(lit(0L),
+          expr("(bbit_matches * 1000000L DIV 8 - 250000L) * 4 DIV 3")).as("bbit_est_micro"),
+        (col("full_matches") * lit(125000L)).as("full_est_micro"),
+        expr("coalesce(n_common, 0L) * 1000000L DIV (na + nb - coalesce(n_common, 0L))")
+          .as("exact_micro"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
   /** Exact 3-gram Jaccard verification over the LSH candidates only. */
   val q32NeardupVerified: QueryDef = sql(
     "q32_neardup_verified",
@@ -1915,5 +1991,5 @@ object Dedup {
     q163DedupSavings, q174ComponentSplit, q177Containment, q183SourceOverlap,
     q184Novelty, q194CanonicalDedup, q209ThresholdSweep, q234PrefixJoin,
     q238RecordLinkage, q245FastssJoin, q283MinhashAudit, q285TransitivityAudit,
-    q306SortedNeighborhood)
+    q306SortedNeighborhood, q319BbitMinhash)
 }

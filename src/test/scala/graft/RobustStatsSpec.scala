@@ -662,6 +662,20 @@ class RobustStatsSpec extends SparkSpec {
       graft.sources.Tables.lineitem(spark, sfDir).count())
   }
 
+  test("b-bit minhash face: compressed matches dominate full matches, J=1 still saturates") {
+    val rows = graft.ops.Dedup.q319BbitMinhash.run(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (bb, fm) = (r.getLong(2), r.getLong(3))
+      // dropping bits can only CREATE matches, never destroy them
+      assert(bb >= fm && bb <= 8L && fm >= 0L)
+      if (r.getLong(6) == 1000000L) { // exact J = 1
+        assert(fm == 8L && bb == 8L && r.getLong(4) == 1000000L)
+      }
+      assert(r.getLong(4) >= 0L && r.getLong(4) <= 1000000L)
+    }
+  }
+
   test("textrank face: keywords obey the syntactic filter and ranks order the output") {
     val rows = Graph.q279Textrank.run(spark, sfDir).collect()
     assert(rows.nonEmpty)
