@@ -561,7 +561,9 @@ object Graph {
     * proof. */
   private def bfsRoundSql(k: Int): String = {
     val prev = s"d${k - 1}"
-    s"""d$k AS (SELECT node, MIN(dist) AS dist FROM (
+    // MATERIALIZED: d_{k-1} is referenced twice per round (union + expand);
+    // inlined CTEs would re-evaluate the edge chain 2^rounds times
+    s"""d$k AS MATERIALIZED (SELECT node, MIN(dist) AS dist FROM (
        |    SELECT node, dist FROM $prev
        |    UNION ALL
        |    SELECT e.dst AS node, p.dist + 1 AS dist
@@ -795,10 +797,14 @@ object Graph {
   /** One unrolled oracle peel round r over CTEs e{r-1} at threshold k. */
   private def kcoreRoundSql(r: Int, k: Int): String = {
     val prev = s"e${r - 1}"
-    s"""d$r AS (SELECT v, COUNT(*) AS d FROM (
+    // MATERIALIZED: each round references its predecessor three times
+    // (two degree legs + the edge filter); DuckDB inlines plain CTEs, so
+    // an un-materialized 4-round unroll re-evaluates the base pair
+    // self-join 3^4 times and spills unboundedly at sf0.1
+    s"""d$r AS MATERIALIZED (SELECT v, COUNT(*) AS d FROM (
        |    SELECT a AS v FROM $prev UNION ALL SELECT b FROM $prev) GROUP BY 1),
-       |k$r AS (SELECT v FROM d$r WHERE d >= $k),
-       |e$r AS (SELECT e.a, e.b FROM $prev e
+       |k$r AS MATERIALIZED (SELECT v FROM d$r WHERE d >= $k),
+       |e$r AS MATERIALIZED (SELECT e.a, e.b FROM $prev e
        |        JOIN k$r x ON x.v = e.a JOIN k$r y ON y.v = e.b)""".stripMargin
   }
 
@@ -812,7 +818,7 @@ object Graph {
     s"""WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
        |pairs AS (SELECT x.pk AS a, y.pk AS b FROM li x JOIN li y
        |            ON x.ok = y.ok AND x.pk < y.pk),
-       |e0 AS (SELECT a, b FROM pairs GROUP BY a, b HAVING COUNT(*) >= 2),
+       |e0 AS MATERIALIZED (SELECT a, b FROM pairs GROUP BY a, b HAVING COUNT(*) >= 2),
        |${kcoreRoundSql(1, 3)},
        |${kcoreRoundSql(2, 3)},
        |${kcoreRoundSql(3, 3)},
@@ -913,7 +919,8 @@ object Graph {
   val q312HierarchyRollup: QueryDef = {
     def dblSql(i: Int): String = {
       val prev = s"r${i - 1}"
-      s"""r$i AS (SELECT DISTINCT * FROM (
+      // MATERIALIZED: each doubling references its predecessor three times
+      s"""r$i AS MATERIALIZED (SELECT DISTINCT * FROM (
          |    SELECT c, p FROM $prev
          |    UNION ALL
          |    SELECT a.c, b.p FROM $prev a JOIN $prev b ON b.c = a.p))""".stripMargin
