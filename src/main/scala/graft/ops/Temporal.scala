@@ -1350,7 +1350,77 @@ object Temporal {
     q271DyadicSmoothing, q275SeasonalDecompose, q280Burstiness,
     q284MarkovStationary, q291ActivityStreaks, q292ActiveUsers,
     q296KendallTau, q297CrossCorrelation, q300LatencyHistogram,
-    q301EntryExit, q307FreshnessAudit, q310PvmBridge, q314ResidualAnomaly)
+    q301EntryExit, q307FreshnessAudit, q310PvmBridge, q314ResidualAnomaly,
+    q320HistogramQuantiles)
+
+  /** Histogram-estimated quantiles vs exact (the Prometheus
+    * `histogram_quantile` trade made measurable): a log₂ histogram
+    * (q300's structure) answers p50/p90/p99 from bucket boundaries —
+    * O(#buckets) state instead of the full distribution — and this
+    * audit reports the estimate (conservative upper bucket bound 2^(k+1)
+    * − 1) beside the EXACT order statistic from the same gaps, with the
+    * over-read in exact micro. The answer every SLO dashboard quotes is
+    * the estimate; this query prices its bias. All integers: bucket
+    * bounds are shifts, exact quantiles are rank picks at ⌈q·n⌉ over
+    * the user-partitioned gap relation, never a distributional
+    * assumption. */
+  lazy val q320HistogramQuantiles: QueryDef = sql(
+    "q320_histogram_quantiles",
+    """WITH g AS (
+      |  SELECT LEAD(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+      |         - epoch_us(ts) AS raw_gap
+      |  FROM events),
+      |gv AS (SELECT GREATEST(1, raw_gap) AS gap_us FROM g WHERE raw_gap IS NOT NULL),
+      |r AS (SELECT gap_us, ROW_NUMBER() OVER (ORDER BY gap_us) AS rn,
+      |        COUNT(*) OVER () AS n FROM gv),
+      |q(tag, qm) AS (VALUES ('p50', 500000), ('p90', 900000), ('p99', 990000)),
+      |exact AS (
+      |  SELECT q.tag, q.qm, CAST(MIN(r.gap_us) AS BIGINT) AS exact_us
+      |  FROM q JOIN r ON r.rn = CAST((q.qm * r.n + 999999) // 1000000 AS BIGINT)
+      |  GROUP BY 1, 2),
+      |h AS (SELECT CAST(LENGTH(bin(gap_us)) - 1 AS BIGINT) AS bucket,
+      |        CAST(COUNT(*) AS BIGINT) AS c FROM gv GROUP BY 1),
+      |hc AS (SELECT bucket, SUM(c) OVER (ORDER BY bucket
+      |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+      |         SUM(c) OVER () AS n FROM h),
+      |est AS (
+      |  SELECT q.tag, CAST(MIN((CAST(1 AS BIGINT) << CAST(hc.bucket + 1 AS INTEGER)) - 1) AS BIGINT) AS est_us
+      |  FROM q JOIN hc ON hc.cum * 1000000 >= q.qm * hc.n
+      |  GROUP BY 1)
+      |SELECT e.tag AS quantile, e.exact_us, est.est_us,
+      |  (est.est_us - e.exact_us) * 1000000 // e.exact_us AS over_read_micro
+      |FROM exact e JOIN est ON est.tag = e.tag
+      |ORDER BY quantile""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    val byTs = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val gv = Tables.events(s, dir)
+      .select((lead(expr("unix_micros(ts)"), 1).over(byTs)
+        - expr("unix_micros(ts)")).as("raw_gap"))
+      .filter(col("raw_gap").isNotNull)
+      .select(greatest(lit(1L), col("raw_gap")).as("gap_us"))
+      .localCheckpoint(true) // gap-sized; exact ranks AND the histogram
+    val r = gv.withColumn("rn", row_number().over(Window.orderBy(col("gap_us"))))
+      .withColumn("n", count(lit(1)).over(
+        Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+    val q = Seq(("p50", 500000L), ("p90", 900000L), ("p99", 990000L)).toDF("tag", "qm")
+    val exact = broadcast(q).join(r,
+        col("rn") === expr("(qm * n + 999999L) DIV 1000000L"))
+      .groupBy(col("tag"), col("qm")).agg(min(col("gap_us")).as("exact_us"))
+    val h = gv.select(expr("CAST(LENGTH(bin(gap_us)) - 1 AS BIGINT)").as("bucket"))
+      .groupBy(col("bucket")).agg(count(lit(1)).as("c"))
+    val hc = h
+      .withColumn("cum", sum(col("c")).over(Window.orderBy(col("bucket"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("n", sum(col("c")).over(
+        Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+    val est = broadcast(q).join(hc, col("cum") * 1000000L >= col("qm") * col("n"))
+      .groupBy(col("tag"))
+      .agg(min(expr("shiftleft(1L, CAST(bucket + 1 AS INT)) - 1L")).as("est_us"))
+    exact.join(est, Seq("tag"))
+      .select(col("tag").as("quantile"), col("exact_us"), col("est_us"),
+        expr("(est_us - exact_us) * 1000000L DIV exact_us").as("over_read_micro"))
+      .orderBy(col("quantile"))
+  }
 
   /** Decomposition-residual anomaly flags — the monitoring loop q275
     * feeds: after trend and weekly seasonality are explained away, a day

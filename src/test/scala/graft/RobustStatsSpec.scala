@@ -676,6 +676,17 @@ class RobustStatsSpec extends SparkSpec {
     }
   }
 
+  test("histogram quantiles face: the bucket bound never under-reads the exact quantile") {
+    val rows = Temporal.q320HistogramQuantiles.run(spark, sfDir).collect()
+    assert(rows.map(_.getString(0)).toSeq == Seq("p50", "p90", "p99"))
+    rows.foreach { r =>
+      val (exact, est, over) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(est >= exact, s"${r.getString(0)}: upper bucket bound must dominate")
+      assert(est < 2 * exact + 2, s"${r.getString(0)}: log2 buckets over-read at most 2x")
+      assert(over == (est - exact) * 1000000L / exact)
+    }
+  }
+
   test("textrank face: keywords obey the syntactic filter and ranks order the output") {
     val rows = Graph.q279Textrank.run(spark, sfDir).collect()
     assert(rows.nonEmpty)
