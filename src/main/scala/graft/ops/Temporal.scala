@@ -1351,7 +1351,60 @@ object Temporal {
     q284MarkovStationary, q291ActivityStreaks, q292ActiveUsers,
     q296KendallTau, q297CrossCorrelation, q300LatencyHistogram,
     q301EntryExit, q307FreshnessAudit, q310PvmBridge, q314ResidualAnomaly,
-    q320HistogramQuantiles)
+    q320HistogramQuantiles, q321DispersionAudit)
+
+  /** Poisson overdispersion audit (the Fisher index of dispersion, var/
+    * mean over hourly counts, per feed): a Poisson arrival process has
+    * ID = 1; ID ≫ 1 means the feed arrives in BURSTS — which decides
+    * whether per-feed streaming state sees steady drips or spikes, and
+    * whether a rate alert needs a burst allowance. The feed-level twin
+    * of q280's per-user burstiness. Hours with zero events count as
+    * zero observations (the hour GRID comes from the corpus span, not
+    * from observed hours — omitting empty hours biases ID down
+    * exactly when it matters); moments are exact BIGINTs over the
+    * bounded hour×feed grid, ID one double expression. */
+  lazy val q321DispersionAudit: QueryDef = sql(
+    "q321_dispersion_audit",
+    """WITH hc AS (
+      |  SELECT event_type, CAST(epoch_us(date_trunc('hour', ts)) // 3600000000 AS BIGINT) AS h,
+      |    CAST(COUNT(*) AS BIGINT) AS c
+      |  FROM events GROUP BY 1, 2),
+      |span AS (SELECT MIN(h) AS h0, MAX(h) AS h1 FROM hc),
+      |m AS (
+      |  SELECT event_type,
+      |    CAST(MAX(span.h1) - MIN(span.h0) + 1 AS BIGINT) AS n_hours,
+      |    CAST(SUM(c) AS BIGINT) AS s1, CAST(SUM(c * c) AS BIGINT) AS s2
+      |  FROM hc, span GROUP BY 1)
+      |SELECT event_type, n_hours, s1 AS n_events,
+      |  CAST(s1 AS DOUBLE) / CAST(n_hours AS DOUBLE) AS mean_per_hour,
+      |  (CAST(n_hours AS DOUBLE) * CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE))
+      |    / (CAST(n_hours - 1 AS DOUBLE) * CAST(s1 AS DOUBLE)) AS dispersion,
+      |  (CAST(n_hours AS DOUBLE) * CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE))
+      |    / (CAST(n_hours - 1 AS DOUBLE) * CAST(s1 AS DOUBLE)) > 2.0 AS bursty
+      |FROM m
+      |ORDER BY event_type""".stripMargin) { (s, dir) =>
+    val hc = Tables.events(s, dir)
+      .groupBy(col("event_type"),
+        expr("unix_micros(date_trunc('hour', ts)) div 3600000000L").as("h"))
+      .agg(count(lit(1)).as("c"))
+      .localCheckpoint(true) // hour-grid-sized; span AND moments
+    val span = hc.agg(min(col("h")).as("h0"), max(col("h")).as("h1"))
+    // zero hours contribute 0 to both sums, so only the COUNT needs the
+    // grid — n_hours from the corpus span, sums from observed hours
+    val m = hc.crossJoin(broadcast(span))
+      .groupBy(col("event_type"))
+      .agg((max(col("h1")) - min(col("h0")) + 1L).as("n_hours"),
+        sum(col("c")).as("s1"), sum(col("c") * col("c")).as("s2"))
+    m.select(col("event_type"), col("n_hours"), col("s1").as("n_events"),
+        (col("s1").cast("double") / col("n_hours").cast("double")).as("mean_per_hour"),
+        expr("""(CAST(n_hours AS DOUBLE) * CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE))
+               |  / (CAST(n_hours - 1 AS DOUBLE) * CAST(s1 AS DOUBLE))""".stripMargin)
+          .as("dispersion"),
+        expr("""(CAST(n_hours AS DOUBLE) * CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE))
+               |  / (CAST(n_hours - 1 AS DOUBLE) * CAST(s1 AS DOUBLE)) > 2.0D""".stripMargin)
+          .as("bursty"))
+      .orderBy(col("event_type"))
+  }
 
   /** Histogram-estimated quantiles vs exact (the Prometheus
     * `histogram_quantile` trade made measurable): a log₂ histogram

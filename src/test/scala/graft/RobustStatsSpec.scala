@@ -687,6 +687,18 @@ class RobustStatsSpec extends SparkSpec {
     }
   }
 
+  test("dispersion face: feeds share the corpus hour span; dispersion nonnegative") {
+    val rows = Temporal.q321DispersionAudit.run(spark, sfDir).collect()
+    assert(rows.map(_.getString(0)).toSet ==
+      Set("click", "error", "purchase", "signup", "view"))
+    val spans = rows.map(_.getLong(1)).distinct
+    assert(spans.length == 1, "every feed measures against the same corpus hour grid")
+    rows.foreach { r =>
+      assert(r.getDouble(4) >= 0.0)
+      assert(r.getBoolean(5) == (r.getDouble(4) > 2.0))
+    }
+  }
+
   test("textrank face: keywords obey the syntactic filter and ranks order the output") {
     val rows = Graph.q279Textrank.run(spark, sfDir).collect()
     assert(rows.nonEmpty)
