@@ -1351,7 +1351,77 @@ object Temporal {
     q284MarkovStationary, q291ActivityStreaks, q292ActiveUsers,
     q296KendallTau, q297CrossCorrelation, q300LatencyHistogram,
     q301EntryExit, q307FreshnessAudit, q310PvmBridge, q314ResidualAnomaly,
-    q320HistogramQuantiles, q321DispersionAudit)
+    q320HistogramQuantiles, q321DispersionAudit, q322GrowthAccounting)
+
+  /** Growth accounting (the Social-Capital/a16z DAU decomposition):
+    * every active user-day is exactly one of NEW (first day ever),
+    * RETAINED (also active yesterday) or RESURRECTED (seen before, not
+    * yesterday), and yesterday's actives who vanished are CHURNED —
+    * DAU(d) = new + retained + resurrected and churned(d) = DAU(d−1) −
+    * retained(d), both conservation laws spec-pinned. q292 counts
+    * actives; this explains their MOVEMENT, which is the number that
+    * says whether growth is acquisition or leaky-bucket refill. One
+    * (user, day) dedup, a per-user min, one day−1 self-join — all exact
+    * counts. */
+  lazy val q322GrowthAccounting: QueryDef = sql(
+    "q322_growth_accounting",
+    """WITH ud AS (
+      |  SELECT DISTINCT user_id,
+      |    CAST(epoch_us(date_trunc('day', ts)) // 86400000000 AS BIGINT) AS d
+      |  FROM events),
+      |fd AS (SELECT user_id, MIN(d) AS first_d FROM ud GROUP BY 1),
+      |st AS (
+      |  SELECT a.user_id, a.d,
+      |    CASE WHEN a.d = fd.first_d THEN 'new'
+      |         WHEN y.user_id IS NOT NULL THEN 'retained'
+      |         ELSE 'resurrected' END AS status
+      |  FROM ud a
+      |  JOIN fd ON fd.user_id = a.user_id
+      |  LEFT JOIN ud y ON y.user_id = a.user_id AND y.d = a.d - 1),
+      |agg AS (
+      |  SELECT d,
+      |    CAST(SUM(CASE WHEN status = 'new' THEN 1 ELSE 0 END) AS BIGINT) AS new_users,
+      |    CAST(SUM(CASE WHEN status = 'retained' THEN 1 ELSE 0 END) AS BIGINT) AS retained,
+      |    CAST(SUM(CASE WHEN status = 'resurrected' THEN 1 ELSE 0 END) AS BIGINT) AS resurrected
+      |  FROM st GROUP BY 1),
+      |ch AS (
+      |  SELECT y.d + 1 AS d, CAST(COUNT(*) AS BIGINT) AS churned
+      |  FROM ud y LEFT JOIN ud t ON t.user_id = y.user_id AND t.d = y.d + 1
+      |  WHERE t.user_id IS NULL GROUP BY 1)
+      |SELECT agg.d AS day_idx, agg.new_users, agg.retained, agg.resurrected,
+      |  CAST(COALESCE(ch.churned, 0) AS BIGINT) AS churned,
+      |  agg.new_users + agg.retained + agg.resurrected AS dau
+      |FROM agg LEFT JOIN ch ON ch.d = agg.d
+      |ORDER BY day_idx""".stripMargin) { (s, dir) =>
+    val ud = Tables.events(s, dir)
+      .select(col("user_id"),
+        expr("unix_micros(date_trunc('day', ts)) div 86400000000L").as("d"))
+      .distinct()
+      .localCheckpoint(true) // (user, day)-sized; four consumers
+    val fd = ud.groupBy(col("user_id")).agg(min(col("d")).as("first_d"))
+    val st = ud
+      .join(fd, Seq("user_id"))
+      .join(ud.select(col("user_id"), (col("d") + 1L).as("d"), lit(1L).as("yday")),
+        Seq("user_id", "d"), "left")
+      .select(col("d"),
+        when(col("d") === col("first_d"), "new")
+          .when(col("yday").isNotNull, "retained")
+          .otherwise("resurrected").as("status"))
+    val agg = st.groupBy(col("d"))
+      .agg(sum(when(col("status") === "new", 1L).otherwise(0L)).as("new_users"),
+        sum(when(col("status") === "retained", 1L).otherwise(0L)).as("retained"),
+        sum(when(col("status") === "resurrected", 1L).otherwise(0L)).as("resurrected"))
+    val ch = ud.select(col("user_id"), col("d"))
+      .join(ud.select(col("user_id"), (col("d") - 1L).as("d"), lit(1L).as("tmrw")),
+        Seq("user_id", "d"), "left")
+      .filter(col("tmrw").isNull)
+      .groupBy((col("d") + 1L).as("d")).agg(count(lit(1)).as("churned"))
+    agg.join(ch, Seq("d"), "left")
+      .select(col("d").as("day_idx"), col("new_users"), col("retained"),
+        col("resurrected"), coalesce(col("churned"), lit(0L)).as("churned"),
+        (col("new_users") + col("retained") + col("resurrected")).as("dau"))
+      .orderBy(col("day_idx"))
+  }
 
   /** Poisson overdispersion audit (the Fisher index of dispersion, var/
     * mean over hourly counts, per feed): a Poisson arrival process has

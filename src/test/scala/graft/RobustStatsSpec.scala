@@ -699,6 +699,23 @@ class RobustStatsSpec extends SparkSpec {
     }
   }
 
+  test("growth accounting face: both conservation laws hold on every day") {
+    val rows = Temporal.q322GrowthAccounting.run(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))).toMap
+    assert(rows.nonEmpty)
+    rows.foreach { case (_, (nw, ret, res, _, dau)) =>
+      assert(nw + ret + res == dau, "every active user-day is exactly one status")
+    }
+    val days = rows.keys.toSeq.sorted
+    days.sliding(2).foreach { case Seq(y, t) if t == y + 1 =>
+      val dauY = rows(y)._5
+      assert(rows(t)._4 == dauY - rows(t)._2,
+        s"day $t: churned must equal yesterday's DAU minus today's retained")
+    case _ => ()
+    }
+  }
+
   test("textrank face: keywords obey the syntactic filter and ranks order the output") {
     val rows = Graph.q279Textrank.run(spark, sfDir).collect()
     assert(rows.nonEmpty)
