@@ -3125,11 +3125,60 @@ object Analytics {
       .orderBy(col("rank"))
   }
 
+  /** Quantile treatment effects (Doksum Ann. Statist. 1974; the
+    * distributional A/B readout): the treated-minus-control difference
+    * at each outcome DECILE — a mean effect (q293/q295) of zero can
+    * hide a tail redistribution, and the QTE profile is where it
+    * surfaces. Arms are the q293 parity assignment; each decile is an
+    * exact order-statistic pick at ⌈q·n⌉ within its arm (arm-
+    * partitioned windows — no single-axis sort), so every emitted
+    * number is an exact integer cent and the effect one subtraction. */
+  val q323QuantileEffects: QueryDef = sql(
+    "q323_quantile_effects",
+    """WITH a AS (
+      |  SELECT CAST(user_id % 2 AS BIGINT) AS treat,
+      |    CAST(FLOOR(value * 100) AS BIGINT) AS cents
+      |  FROM events),
+      |r AS (SELECT treat, cents,
+      |        ROW_NUMBER() OVER (PARTITION BY treat ORDER BY cents) AS rn,
+      |        COUNT(*) OVER (PARTITION BY treat) AS n
+      |      FROM a),
+      |q(decile, qm) AS (VALUES (1, 100000), (2, 200000), (3, 300000), (4, 400000),
+      |  (5, 500000), (6, 600000), (7, 700000), (8, 800000), (9, 900000)),
+      |pick AS (
+      |  SELECT q.decile, r.treat, CAST(MIN(r.cents) AS BIGINT) AS cents
+      |  FROM q JOIN r ON r.rn = CAST((q.qm * r.n + 999999) // 1000000 AS BIGINT)
+      |  GROUP BY 1, 2)
+      |SELECT t.decile AS decile, t.cents AS treated_cents, c.cents AS control_cents,
+      |  t.cents - c.cents AS qte_cents
+      |FROM pick t JOIN pick c ON c.decile = t.decile AND t.treat = 1 AND c.treat = 0
+      |ORDER BY decile""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    val a = Tables.events(s, dir).select(
+      (col("user_id") % 2).as("treat"),
+      expr("CAST(FLOOR(value * 100) AS BIGINT)").as("cents"))
+    val byArm = Window.partitionBy(col("treat")).orderBy(col("cents"))
+    val r = a.withColumn("rn", row_number().over(byArm))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy(col("treat"))))
+    val q = (1 to 9).map(d => (d.toLong, d * 100000L)).toDF("decile", "qm")
+    val pick = broadcast(q).join(r,
+        col("rn") === expr("(qm * n + 999999L) DIV 1000000L"))
+      .groupBy(col("decile"), col("treat")).agg(min(col("cents")).as("cents"))
+      .localCheckpoint(true) // 18 rows; both join sides
+    pick.filter(col("treat") === 1)
+      .select(col("decile"), col("cents").as("treated_cents"))
+      .join(pick.filter(col("treat") === 0)
+        .select(col("decile"), col("cents").as("control_cents")), Seq("decile"))
+      .select(col("decile"), col("treated_cents"), col("control_cents"),
+        (col("treated_cents") - col("control_cents")).as("qte_cents"))
+      .orderBy(col("decile"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     q227IntegrityScorecard, q231MarketShare, q235MvMaintenance, q244Cuped, q247AqpGroupby,
     q266BenfordAudit, q267NeymanAllocation, q268GiniLorenz, q287CdcApply, q290XmlShred,
     q293DiffInDiff, q295EffectSize, q299WeightedMedian, q309AaHarness, q311AbcClasses,
-    q315TrendingMovers, q317TopkOther,
+    q315TrendingMovers, q317TopkOther, q323QuantileEffects,
     q253RfmSegments, q254AssociationRules, q255CohortLtv, q256DeletionCascade,
     q257EquiDepthAudit, q261BitemporalAsof,
     q01PricingSummary, q02SelectiveFilter, q03ShippingPriority, q05LocalRevenue,

@@ -716,6 +716,15 @@ class RobustStatsSpec extends SparkSpec {
     }
   }
 
+  test("qte face: nine deciles, per-arm quantiles monotone, effect is the difference") {
+    val rows = graft.ops.Analytics.q323QuantileEffects.run(spark, sfDir).collect()
+    assert(rows.map(_.getLong(0)).toSeq == (1L to 9L))
+    rows.foreach(r => assert(r.getLong(3) == r.getLong(1) - r.getLong(2)))
+    val t = rows.map(_.getLong(1)); val c = rows.map(_.getLong(2))
+    assert(t.sliding(2).forall(p => p(0) <= p(1)), "treated quantiles monotone")
+    assert(c.sliding(2).forall(p => p(0) <= p(1)), "control quantiles monotone")
+  }
+
   test("textrank face: keywords obey the syntactic filter and ranks order the output") {
     val rows = Graph.q279Textrank.run(spark, sfDir).collect()
     assert(rows.nonEmpty)
