@@ -701,6 +701,57 @@ object StreamingOps {
       .start()
   }
 
+  /** Streaming face of q307 (feed freshness): per trigger, fold the
+    * arriving per-feed max event times into the persisted high-water
+    * marks by MAX — the third semilattice face (Bloom BIT_OR q250, KMV
+    * min-fold q278, freshness MAX-fold): idempotent and commutative, so
+    * a replayed file is a no-op, arrival order never matters, and no
+    * file log is needed. This is the merge-algebra-decides-durability
+    * principle stated three ways; `onBatch` sees the post-merge marks. */
+  def freshnessStream(s: SparkSession, stagedDir: String, stateDir: String)(
+      onBatch: (Long, DataFrame) => Unit): org.apache.spark.sql.streaming.StreamingQuery = {
+    val root = new java.io.File(stateDir)
+    root.mkdirs()
+    def versions: Seq[Long] = Option(root.listFiles()).getOrElse(Array.empty[java.io.File])
+      .filter(f => f.getName.startsWith("v_") && !f.getName.contains(".tmp-") &&
+        new java.io.File(f, "_SUCCESS").exists())
+      .map(_.getName.stripPrefix("v_").toLong).sorted.toSeq
+    def emptyMarks = s.sql("SELECT '' AS event_type, 0L AS last_us, 0L AS n_events WHERE false")
+    val schema = s.read.parquet(stagedDir).schema
+    s.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(stagedDir)
+      .writeStream
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        val arrived = Tables.normalizeEventsTs(s.createDataFrame(batch.rdd, batch.schema))
+          .groupBy(col("event_type"))
+          .agg(max(expr("unix_micros(ts)")).as("last_us"),
+            count(lit(1)).as("n_events"))
+        val vs = versions
+        val state = vs.lastOption match {
+          case Some(v) => s.read.parquet(s"$stateDir/v_$v")
+          case None => emptyMarks
+        }
+        // NOTE: last_us folds by MAX (idempotent); n_events folds by SUM
+        // and is therefore only exact under exactly-once file delivery —
+        // the marks stay correct under replay, the counts are advisory
+        // (the same split q250 documents for its rows-behind estimate)
+        val merged = state.unionByName(arrived)
+          .groupBy(col("event_type"))
+          .agg(max(col("last_us")).as("last_us"), sum(col("n_events")).as("n_events"))
+        val next = vs.lastOption.getOrElse(-1L) + 1L
+        val tmp = new java.io.File(root,
+          s"v_$next.tmp-${ProcessHandle.current().pid()}-${Thread.currentThread().getId}")
+        merged.write.parquet(tmp.getPath)
+        val published = new java.io.File(root, s"v_$next")
+        if (!tmp.renameTo(published))
+          org.apache.commons.io.FileUtils.deleteDirectory(tmp) // lost the race
+        onBatch(id, s.read.parquet(published.getPath))
+      }
+      .start()
+  }
+
   /** Streaming face of q130's sequence packing — the ingest loop that
     * packs ARRIVING documents into the SAME global token layout the
     * batch operator computes: the corpus-wide token offset persists

@@ -604,6 +604,42 @@ class StreamingSpec extends SparkSpec {
       "replaying already-folded files must leave the sketch unchanged"))
   }
 
+  test("freshness stream: MAX-fold marks equal the batch high-water marks; replay leaves marks unchanged") {
+    import scala.collection.concurrent.TrieMap
+    val ev = Tables.events(spark, sfDir)
+    val stateDir = Files.createTempDirectory("graft-fresh-state").resolve("m").toString
+    val srcDir = Files.createTempDirectory("graft-fresh-src")
+    def stage(df: DataFrame, name: String): Unit = {
+      val tmp = Files.createTempDirectory("graft-fresh-stage").toString
+      df.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(_.getName.endsWith(".parquet")).get.toPath
+      Files.copy(part, srcDir.resolve(name), StandardCopyOption.REPLACE_EXISTING)
+      stampStaged(srcDir.resolve(name))
+    }
+    def marks(df: DataFrame): Map[String, Long] =
+      df.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    def runStream(): Map[Long, Map[String, Long]] = {
+      val acc = TrieMap.empty[Long, Map[String, Long]]
+      val q = StreamingOps.freshnessStream(spark, srcDir.toString, stateDir) {
+        (id, m) => acc(id) = marks(m)
+      }
+      assert(q.awaitTermination(180000), "freshness stream did not finish")
+      acc.toMap
+    }
+    stage(ev.filter(col("event_id") % 2 === 0), "a.parquet")
+    stage(ev.filter(col("event_id") % 2 === 1), "b.parquet")
+    val run1 = runStream()
+    val run2 = runStream() // uncheckpointed restart replays BOTH files
+    val batch = ev.groupBy(col("event_type"))
+      .agg(max(expr("unix_micros(ts)")).as("last_us"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(run1(run1.keys.max) == batch,
+      "streamed high-water marks must equal the batch maxima")
+    run2.values.foreach(m => assert(m == batch,
+      "replaying already-folded files must leave every mark unchanged"))
+  }
+
   test("drift stream: accumulated bucket counts equal the batch assignment; restart never double-counts") {
     import scala.collection.concurrent.TrieMap
     val emb = Tables.embeddings(spark, sfDir).select(col("vec_id"), col("embedding"))
