@@ -3174,11 +3174,49 @@ object Analytics {
       .orderBy(col("decile"))
   }
 
+  /** Wilson-lower-bound ranking (Wilson JASA 1927; the "how not to sort
+    * by average rating" correction): parts ranked by the 95% LOWER
+    * bound of their return rate, not the naive share — a part with 2
+    * returns in 3 sales must not outrank one with 40 in 100, and the
+    * lower bound is exactly the shrinkage that encodes "confidently
+    * bad beats possibly bad". Emits naive share beside the bound so
+    * the re-ranking it causes is visible. Counts exact; the bound one
+    * identical closed-form expression per row (pinned z² literals,
+    * q288's device). One part-keyed aggregate + TakeOrdered top-k. */
+  val q324WilsonRanking: QueryDef = sql(
+    "q324_wilson_ranking",
+    """WITH p AS (
+      |  SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS n,
+      |    CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT) AS r
+      |  FROM lineitem GROUP BY 1),
+      |s AS (
+      |  SELECT l_partkey, n, r,
+      |    r * 1000000 // n AS naive_micro,
+      |    (CAST(r AS DOUBLE) + 1.9208 - 1.96 * SQRT((CAST(r AS DOUBLE) * CAST(n - r AS DOUBLE))
+      |       / CAST(n AS DOUBLE) + 0.9604)) / (CAST(n AS DOUBLE) + 3.8416) AS wilson_lo
+      |  FROM p)
+      |SELECT l_partkey, n, r, naive_micro, wilson_lo
+      |FROM s
+      |ORDER BY wilson_lo DESC, l_partkey
+      |LIMIT 20""".stripMargin) { (s, dir) =>
+    Tables.lineitem(s, dir)
+      .groupBy(col("l_partkey"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("l_returnflag") === "R", 1L).otherwise(0L)).as("r"))
+      .select(col("l_partkey"), col("n"), col("r"),
+        expr("r * 1000000L DIV n").as("naive_micro"),
+        expr("""(CAST(r AS DOUBLE) + 1.9208D - 1.96D * SQRT((CAST(r AS DOUBLE) * CAST(n - r AS DOUBLE))
+               |  / CAST(n AS DOUBLE) + 0.9604D)) / (CAST(n AS DOUBLE) + 3.8416D)""".stripMargin)
+          .as("wilson_lo"))
+      .orderBy(col("wilson_lo").desc, col("l_partkey"))
+      .limit(20)
+  }
+
   val all: Seq[QueryDef] = Seq(
     q227IntegrityScorecard, q231MarketShare, q235MvMaintenance, q244Cuped, q247AqpGroupby,
     q266BenfordAudit, q267NeymanAllocation, q268GiniLorenz, q287CdcApply, q290XmlShred,
     q293DiffInDiff, q295EffectSize, q299WeightedMedian, q309AaHarness, q311AbcClasses,
-    q315TrendingMovers, q317TopkOther, q323QuantileEffects,
+    q315TrendingMovers, q317TopkOther, q323QuantileEffects, q324WilsonRanking,
     q253RfmSegments, q254AssociationRules, q255CohortLtv, q256DeletionCascade,
     q257EquiDepthAudit, q261BitemporalAsof,
     q01PricingSummary, q02SelectiveFilter, q03ShippingPriority, q05LocalRevenue,

@@ -725,6 +725,18 @@ class RobustStatsSpec extends SparkSpec {
     assert(c.sliding(2).forall(p => p(0) <= p(1)), "control quantiles monotone")
   }
 
+  test("wilson ranking face: the bound shrinks toward zero and never exceeds the naive share") {
+    val rows = graft.ops.Analytics.q324WilsonRanking.run(spark, sfDir).collect()
+    assert(rows.nonEmpty && rows.length <= 20)
+    rows.foreach { r =>
+      val (naive, lo) = (r.getLong(3), r.getDouble(4))
+      assert(lo >= 0.0 && lo <= naive.toDouble / 1000000.0 + 1e-12,
+        "the lower bound must not exceed the point estimate")
+    }
+    val los = rows.map(_.getDouble(4))
+    assert(los.sliding(2).forall(p => p(0) >= p(1)))
+  }
+
   test("textrank face: keywords obey the syntactic filter and ranks order the output") {
     val rows = Graph.q279Textrank.run(spark, sfDir).collect()
     assert(rows.nonEmpty)
