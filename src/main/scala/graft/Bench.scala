@@ -69,32 +69,51 @@ object Bench {
     }
     val maxRuns = sys.env.getOrElse("SPARK_GRAFT_BENCH_MAX_RUNS", "4").toInt.max(runs)
     val probePre = loadProbe()
-    val results = selected.map { case (name, fn) =>
-      def once(): Double = {
-        val t0 = System.nanoTime()
-        try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-        catch { case e: Throwable => System.err.println(s"[bench] $name failed: ${e.getMessage}") }
-        // queries that persist multi-consumer intermediates (dedup family)
-        // must not leave them pinned — for memory, for self-contained
-        // timings regardless of run order, and so run 2 re-does the I/O
-        spark.catalog.clearCache()
-        (System.nanoTime() - t0) / 1e9
-      }
-      val times = scala.collection.mutable.ArrayBuffer.fill(runs)(once())
-      // the min is only trusted once a second run lands within 30% of it
-      // (or the run budget is spent): a load burst that hit one run costs
-      // one more run, an idle sweep pays nothing extra
-      def corroborated = {
-        val s = times.sorted
-        s.length >= 2 && s(1) <= s(0) * 1.3
-      }
-      while (!corroborated && times.length < maxRuns) times += once()
+    def once(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+      val t0 = System.nanoTime()
+      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+      catch { case e: Throwable => System.err.println(s"[bench] $name failed: ${e.getMessage}") }
+      // queries that persist multi-consumer intermediates (dedup family)
+      // must not leave them pinned — for memory, for self-contained
+      // timings regardless of run order, and so run 2 re-does the I/O
+      spark.catalog.clearCache()
+      (System.nanoTime() - t0) / 1e9
+    }
+    // the min is only trusted once a second run lands within 30% of it:
+    // a load burst that hit one run costs one more run, an idle sweep
+    // pays nothing extra
+    def corroborated(times: Seq[Double]): Boolean = {
+      val s = times.sorted
+      s.length >= 2 && s(1) <= s(0) * 1.3
+    }
+    val firstPass = selected.toSeq.map { case (name, fn) =>
+      val times = scala.collection.mutable.ArrayBuffer.fill(runs)(once(name, fn))
+      while (!corroborated(times.toSeq) && times.length < maxRuns)
+        times += once(name, fn)
       // per-run breakdown to stderr: shows warm-vs-cold effects (e.g. a
       // first run that builds persisted state) that the min hides
       System.err.println(s"[bench] $name runs: " +
         times.map(t => String.format(java.util.Locale.ROOT, "%.3f", Double.box(t))).mkString(", "))
-      name -> times.min
+      (name, fn, times.toSeq)
     }
+    // RE-QUEUE, don't re-run adjacently: a load burst longer than one
+    // query's whole run window owns ALL of its adjacent runs, and no
+    // corroboration policy can see that from inside the window (r5:
+    // q03's 3.77 s artifact re-measured at 0.80 s on a quiet box). A
+    // query that exhausted its budget uncorroborated gets two fresh
+    // runs at sweep end — minutes later, when the burst has moved on —
+    // and reports the min over all runs.
+    val results = firstPass.map { case (name, fn, times) =>
+      val all =
+        if (corroborated(times)) times
+        else {
+          val retry = Seq.fill(2)(once(name, fn))
+          System.err.println(s"[bench] $name requeued runs: " +
+            retry.map(t => String.format(java.util.Locale.ROOT, "%.3f", Double.box(t))).mkString(", "))
+          times ++ retry
+        }
+      name -> all.min
+    }.toMap
     val probePost = loadProbe()
     def queriesJson(qs: Iterable[(String, Double)]): String =
       // Locale.ROOT: the default-locale interpolator writes "1,234" under
@@ -106,13 +125,13 @@ object Bench {
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
     // bench_rev: timing methodology version (3 = min-of-two runs + q78
     // corpus slice; 4 = 32g default heap; 5 = corroborated-min re-runs +
-    // load probe) — cross-round deltas are only comparable at equal
-    // bench_rev
+    // load probe; 6 = uncorroborated queries re-queued at sweep end) —
+    // cross-round deltas are only comparable at equal bench_rev
     def f3(v: Double) = String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     val probes = s""""probe_sec":${f3(probePre)},"probe_post_sec":${f3(probePost)}"""
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":${queriesJson(results)},"sf":"$sfDir","bench_rev":5,"runs_per_query":$runs,$probes}"""
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":${queriesJson(results)},"sf":"$sfDir","bench_rev":6,"runs_per_query":$runs,$probes}"""
     val top10 = results.toSeq.sortBy(-_._2).take(10)
-    val compact = s"""{"metric":"total","value":$total,"unit":"sec","queries":${queriesJson(top10)},"sf":"$sfDir","n_queries":${results.size},"runs_per_query":$runs,"bench_rev":5,$probes,"full_out":"$out"}"""
+    val compact = s"""{"metric":"total","value":$total,"unit":"sec","queries":${queriesJson(top10)},"sf":"$sfDir","n_queries":${results.size},"runs_per_query":$runs,"bench_rev":6,$probes,"full_out":"$out"}"""
     System.err.println(json)
     System.err.flush()
     println(json)

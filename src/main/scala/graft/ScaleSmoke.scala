@@ -224,6 +224,26 @@ object ScaleSmoke {
       spark.catalog.clearCache()
     }
 
+    // large-graph walker path: force the node-broadcast budget to 0 so
+    // every round join takes the co-partitioned shuffle fallback — the
+    // plan a billion-node graph would get — and prove it matches the
+    // hinted path bit-for-bit at smoke scale (the same demonstration the
+    // simhash-vocabulary OOM got when its broadcast was size-gated).
+    {
+      val key = "spark.graft.graph.broadcastNodeBudget"
+      val hinted = SparkEntry.queries("q143_pagerank")(spark, dir)
+        .collect().map(_.toString).toSeq
+      spark.conf.set(key, "0")
+      val t0w = System.nanoTime()
+      val shuffled = SparkEntry.queries("q143_pagerank")(spark, dir)
+        .collect().map(_.toString).toSeq
+      val dtw = (System.nanoTime() - t0w) / 1e9
+      spark.conf.unset(key)
+      spark.catalog.clearCache()
+      println(f"pagerank_shuffle_fallback $dtw%8.2f s  (${shuffled.size} rows)")
+      assert(shuffled == hinted, "shuffle-path walker must equal the hinted walker")
+    }
+
     // adversarial-diameter connected components: ONE chain of n nodes —
     // min-label propagation's worst case (rounds = diameter = n); the
     // large-star/small-star contraction must collapse it in O(log n)

@@ -79,6 +79,48 @@ object Classifier {
     (0L to dims.toLong).map(d => (d, w.getOrElse(d, 0L))).toDF("dim", "w")
   }
 
+  /** The fixture-task (y = +1 ⇔ lang = 'en') training inputs every
+    * classifier face shares: fanned-out docs, hashed features, labels. */
+  private def taskInputs(s: SparkSession, dir: String): (DataFrame, DataFrame, DataFrame) = {
+    val docs = Tables.fanOut(Tables.documents(s, dir))
+    val feats = hashedFeatures(docs)
+    val labels = docs.select(col("doc_id"),
+      when(col("lang") === "en", 1L).otherwise(-1L).as("y"))
+    (docs, feats, labels)
+  }
+
+  /** TRAIN-ONCE / SERVE-MANY weights for the fixture task
+    * ([[graft.sources.ParquetState]] keyed by a content fingerprint of
+    * (doc_id, lang, text) — the q136 postings-index device applied to
+    * model state): the first classifier-family query to run trains the
+    * 3-round perceptron and PUBLISHES the (dim, w) relation; q127/q182/
+    * q193/q208/q221 then read one 33-row parquet instead of each
+    * re-paying three corpus passes of training (~15 redundant corpus
+    * passes per pipeline run at 100 TB). A changed corpus — text OR
+    * label column — changes the fingerprint, so stale weights are never
+    * looked up. PerceptronSpec pins read-state ≡ retrain. */
+  private[graft] def trainedTaskWeights(s: SparkSession, dir: String): DataFrame = {
+    val (docs, feats, labels) = taskInputs(s, dir)
+    // lang feeds the labels, so it must be inside the fingerprint
+    val fp = TextOps.evalSetFingerprint(docs.select(col("doc_id"),
+      concat_ws("", col("lang"), col("text")).as("text")))
+    val stateDir = s"${System.getProperty("java.io.tmpdir")}/graft_perceptron_en_v1_$fp"
+    graft.sources.ParquetState.getOrBuild(s, stateDir, Seq("weights")) {
+      val pinned = feats.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val w = perceptronTrain(pinned, labels, rounds = 3)
+      pinned.unpersist() // weights are DIMS+1 driver-local rows by now
+      Seq(w)
+    }.head
+  }
+
+  /** Served corpus under the persisted weights: (doc_id, y, margin) —
+    * the one corpus pass (featurize + broadcast-join + agg) every
+    * family face starts from. */
+  private def servedMargins(s: SparkSession, dir: String): DataFrame = {
+    val (_, feats, labels) = taskInputs(s, dir)
+    perceptronScore(feats, trainedTaskWeights(s, dir)).join(labels, "doc_id")
+  }
+
   /** Contract face: train 3 rounds on the whole fixture with y = +1 ⇔
     * lang = 'en' (the fastText language-ID task over hashed
     * bag-of-words), then serve the trained weights back over the
@@ -93,13 +135,7 @@ object Classifier {
        |  CAST(CASE WHEN mf.margin > 0 THEN 1 ELSE -1 END AS BIGINT) AS pred
        |FROM lab l JOIN mf USING (doc_id)
        |ORDER BY l.doc_id""".stripMargin) { (s, dir) =>
-    val docs = Tables.fanOut(Tables.documents(s, dir))
-    val feats = hashedFeatures(docs)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val labels = docs.select(col("doc_id"),
-      when(col("lang") === "en", 1L).otherwise(-1L).as("y"))
-    val trained = perceptronTrain(feats, labels, rounds = 3)
-    perceptronScore(feats, trained).join(labels, "doc_id")
+    servedMargins(s, dir)
       .select(col("doc_id"), col("y"), col("margin"),
         when(col("margin") > 0, 1L).otherwise(-1L).as("pred"))
       .orderBy(col("doc_id"))
@@ -171,13 +207,7 @@ object Classifier {
        |GROUP BY 1
        |ORDER BY decile""".stripMargin) { (s, dir) =>
     import org.apache.spark.sql.expressions.Window
-    val docs = Tables.fanOut(Tables.documents(s, dir))
-    val feats = hashedFeatures(docs)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val labels = docs.select(col("doc_id"),
-      when(col("lang") === "en", 1L).otherwise(-1L).as("y"))
-    val served = perceptronScore(feats, perceptronTrain(feats, labels, rounds = 3))
-      .join(labels, "doc_id")
+    val served = servedMargins(s, dir)
       .withColumn("decile", ntile(10).over(
         Window.orderBy(col("margin"), col("doc_id"))).cast("long"))
     served.groupBy(col("decile"))
@@ -226,13 +256,7 @@ object Classifier {
        |WHERE s.doc_id % 2 = 1
        |ORDER BY s.doc_id""".stripMargin) { (s, dir) =>
     import org.apache.spark.sql.expressions.Window
-    val docs = Tables.fanOut(Tables.documents(s, dir))
-    val feats = hashedFeatures(docs)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val labels = docs.select(col("doc_id"),
-      when(col("lang") === "en", 1L).otherwise(-1L).as("y"))
-    val served = perceptronScore(feats, perceptronTrain(feats, labels, rounds = 3))
-      .join(labels, "doc_id")
+    val served = servedMargins(s, dir)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cal = served.filter(col("doc_id") % 2 === 0)
       .select(col("doc_id"), (-col("y") * col("margin")).as("score"))
@@ -360,13 +384,7 @@ object Classifier {
        |WHERE s.y * s.margin < 0 AND s.abs_margin >= k.tau
        |ORDER BY noise_rank""".stripMargin) { (s, dir) =>
     import org.apache.spark.sql.expressions.Window
-    val docs = Tables.fanOut(Tables.documents(s, dir))
-    val feats = hashedFeatures(docs)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val labels = docs.select(col("doc_id"),
-      when(col("lang") === "en", 1L).otherwise(-1L).as("y"))
-    val served = perceptronScore(feats, perceptronTrain(feats, labels, rounds = 3))
-      .join(labels, "doc_id")
+    val served = servedMargins(s, dir)
       .withColumn("abs_margin", abs(col("margin")))
     val n = served.agg(count(lit(1)).as("n"))
     val kth = served
@@ -423,13 +441,7 @@ object Classifier {
        |FROM d, c
        |ORDER BY decile""".stripMargin) { (s, dir) =>
     import org.apache.spark.sql.expressions.Window
-    val docs = Tables.fanOut(Tables.documents(s, dir))
-    val feats = hashedFeatures(docs)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val labels = docs.select(col("doc_id"),
-      when(col("lang") === "en", 1L).otherwise(-1L).as("y"))
-    val served = perceptronScore(feats, perceptronTrain(feats, labels, rounds = 3))
-      .join(labels, "doc_id")
+    val served = servedMargins(s, dir)
       .withColumn("decile", ntile(10).over(
         Window.orderBy(col("margin"), col("doc_id"))).cast("long"))
     val d = served.groupBy(col("decile"))

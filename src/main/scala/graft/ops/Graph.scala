@@ -39,6 +39,53 @@ object Graph {
   /** Micro-unit scale: rank 1.0 ≡ 1,000,000. */
   val RankScale = 1000000L
 
+  /** Broadcast budget (ROWS) for the node-sized relations the round
+    * loops join against the pinned edges each round (rank / label /
+    * frontier / degree). These relations are DATA-PROPORTIONAL — they
+    * grow with the graph — so the repo's own scale rule ("only
+    * force-broadcast constant-size dimensions") forbids an
+    * unconditional hint: at a billion-node graph a forced broadcast is
+    * the simhash-vocabulary OOM class. Under the budget the hint keeps
+    * the per-round join shuffle-free; above it the walkers fall back to
+    * a plain key-partitioned join against an edge relation
+    * CO-PARTITIONED ONCE on the join key ([[pinEdges]]), so each round
+    * still shuffles only the node-sized side. Default 4M rows ≈ 64 MB
+    * of (id, value) pairs — comfortably inside executor broadcast
+    * memory, far above every fixture. Conf-settable so PlanSpec pins
+    * BOTH plans and ScaleSmoke can force the large-graph path. */
+  private[graft] def broadcastNodeBudget(s: SparkSession): Long =
+    s.conf.getOption("spark.graft.graph.broadcastNodeBudget")
+      .map(_.toLong).getOrElse(4000000L)
+
+  /** Hint `df` for broadcast only while its known row count is within
+    * [[broadcastNodeBudget]]; otherwise return it unhinted and let the
+    * join shuffle (one-sided when the other side is co-partitioned). */
+  private[graft] def gateBroadcast(df: DataFrame, rows: Long): DataFrame =
+    if (rows <= broadcastNodeBudget(df.sparkSession)) broadcast(df) else df
+
+  /** Pin an edge relation for a round loop: persist it, derive the
+    * src-keyed degree relation and the node count, and — when the node
+    * relation exceeds the broadcast budget — re-materialize the edges
+    * hash-partitioned on `key` ONCE, so every round's node-relation
+    * join reuses the edge partitioning and shuffles only the node-sized
+    * side (one shuffle per round of the SMALL side, never the edges). */
+  private[graft] def pinEdges(edges: DataFrame, key: String = "src"):
+      (DataFrame, DataFrame, Long) = {
+    val raw = edges.persist(StorageLevel.MEMORY_AND_DISK)
+    val deg = raw.groupBy(col("src")).agg(count(lit(1)).as("d"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val n = deg.count() // also materializes both persists before round 1
+    val e =
+      if (n <= broadcastNodeBudget(edges.sparkSession)) raw
+      else {
+        val parted = raw.repartition(col(key)).persist(StorageLevel.MEMORY_AND_DISK)
+        parted.count() // materialize so rounds read the partitioned cache
+        raw.unpersist()
+        parted
+      }
+    (e, deg, n)
+  }
+
   /** One-hop co-occurrence edges of `df`: distinct (src, dst) pairs of
     * `idCol` values sharing a `groupCol` value, src ≠ dst. Symmetric by
     * construction. */
@@ -76,31 +123,33 @@ object Graph {
     }.head)
   }
 
-  /** The shared fixed-point random-walk round body (q143 uniform and
-    * q188 personalized are the SAME walker with different teleport
-    * vectors): per round, one broadcast of the node-sized rank relation
-    * into the pinned edges, one dst-keyed map-side-combined sum, and
-    * the damping blend rank' = tele(part) + floor(0.85·Σfloor(rank/deg))
-    * against the (part, tele) relation. A damping or flooring fix lands
-    * in exactly one place for both walkers. */
+  /** ONE fixed-point random-walk round (q143 uniform, q188
+    * personalized, and the q302 convergence audit share it): join the
+    * node-sized (src, c=floor(rank/deg)) contribution relation into the
+    * pinned edges — gated broadcast under the budget, co-partitioned
+    * shuffle above it — one dst-keyed map-side-combined sum, and the
+    * damping blend rank' = tele(part) + floor(0.85·Σ c) against the
+    * (part, tele) relation. A damping or flooring fix lands in exactly
+    * one place for every walker. */
+  private def walkRound(e: DataFrame, deg: DataFrame, seeded: DataFrame,
+                        rank: DataFrame, nNodes: Long): DataFrame = {
+    val contrib = e
+      .join(gateBroadcast(rank
+        .join(deg, rank("part") === deg("src"))
+        .withColumn("c", expr("CAST(FLOOR(CAST(rank AS DOUBLE) / d) AS BIGINT)"))
+        .select(col("src"), col("c")), nNodes), Seq("src"))
+      .groupBy(col("dst")).agg(sum(col("c")).as("inc"))
+    seeded
+      .join(contrib, col("part") === contrib("dst"), "left")
+      .select(col("part"),
+        (col("tele") + expr(
+          "CAST(FLOOR(0.85D * CAST(COALESCE(inc, CAST(0 AS BIGINT)) AS DOUBLE)) AS BIGINT)")).as("rank"))
+  }
+
   private def walkRounds(e: DataFrame, deg: DataFrame, seeded: DataFrame,
-                         init: DataFrame, rounds: Int): DataFrame = {
+                         init: DataFrame, rounds: Int, nNodes: Long): DataFrame = {
     var rank = init
-    for (_ <- 1 to rounds) {
-      // rank/degree relations are node-sized — broadcast them into the
-      // edge scan (same rationale and caveat as labelPropagation)
-      val contrib = e
-        .join(broadcast(rank
-          .join(deg, rank("part") === deg("src"))
-          .withColumn("c", expr("CAST(FLOOR(CAST(rank AS DOUBLE) / d) AS BIGINT)"))
-          .select(col("src"), col("c"))), Seq("src"))
-        .groupBy(col("dst")).agg(sum(col("c")).as("inc"))
-      rank = seeded
-        .join(contrib, col("part") === contrib("dst"), "left")
-        .select(col("part"),
-          (col("tele") + expr(
-            "CAST(FLOOR(0.85D * CAST(COALESCE(inc, CAST(0 AS BIGINT)) AS DOUBLE)) AS BIGINT)")).as("rank"))
-    }
+    for (_ <- 1 to rounds) rank = walkRound(e, deg, seeded, rank, nNodes)
     rank.join(deg, rank("part") === deg("src"))
       .select(col("part"), col("rank"), col("d").as("degree"))
   }
@@ -110,12 +159,10 @@ object Graph {
     * 0.85 in micro-units: rank' = 150000 + floor(0.85 · Σ floor(rank/deg)).
     * This IS [[walkRounds]] with the uniform teleport vector. */
   def pagerank(edges: DataFrame, rounds: Int): DataFrame = {
-    val e = edges.persist(StorageLevel.MEMORY_AND_DISK)
-    val deg = e.groupBy(col("src")).agg(count(lit(1)).as("d"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    val (e, deg, n) = pinEdges(edges)
     val seeded = deg.select(col("src").as("part"), lit(150000L).as("tele"))
     val init = deg.select(col("src").as("part"), lit(RankScale).as("rank"))
-    walkRounds(e, deg, seeded, init, rounds)
+    walkRounds(e, deg, seeded, init, rounds, n)
   }
 
   /** `rounds` synchronous label-propagation iterations (Raghavan et al.
@@ -135,15 +182,15 @@ object Graph {
     * shuffle over the count relation. Only the node-sized label relation
     * moves between rounds. */
   def labelPropagation(edges: DataFrame, rounds: Int): DataFrame = {
-    val e = edges.persist(StorageLevel.MEMORY_AND_DISK)
-    var lab = e.select(col("src").as("node")).distinct()
-      .withColumn("label", col("node"))
+    // the per-round join keys the edges on dst, so that's the pin key;
+    // the node set falls out of the already-aggregated degree relation
+    val (e, deg, n) = pinEdges(edges, key = "dst")
+    var lab = deg.select(col("src").as("node"), col("src").as("label"))
     for (_ <- 1 to rounds) {
-      // the label relation is node-sized — the broadcast side by
-      // construction (edges ≫ nodes in any co-occurrence graph). At
-      // billion-node scale, drop the hint and co-partition both
-      // relations by the join key instead.
-      lab = e.join(broadcast(lab), e("dst") === lab("node"))
+      // the label relation is node-sized and data-proportional: hinted
+      // only under the budget, else a plain join against the
+      // dst-partitioned edges (one-sided node-relation shuffle/round)
+      lab = e.join(gateBroadcast(lab, n), e("dst") === lab("node"))
         .groupBy(col("src"), col("label")).agg(count(lit(1)).as("cnt"))
         // argmax(cnt) with lowest-label ties: max over (cnt, -label)
         .groupBy(col("src"))
@@ -263,14 +310,14 @@ object Graph {
     val wi = w.groupBy(col("a").as("src")).agg(sum(col("w")).as("wins"))
       .localCheckpoint(true)
     val gi = n.groupBy(col("a").as("src")).agg(sum(col("n")).as("games"))
+    val nSrc = wi.count() // wi is checkpointed — a cache-read count
     var p = wi.select(col("src"), lit(RankScale).as("p"))
     for (_ <- 1 to rounds) {
-      // the strength relation is source-sized — broadcast it into both
-      // ends of the pair relation (same rationale as the PageRank
-      // rank-side broadcast above)
+      // the strength relation is source-sized — usually dimension-like,
+      // but gate it anyway (same budget discipline as the walkers)
       val d = n
-        .join(broadcast(p.select(col("src").as("a"), col("p").as("pa"))), Seq("a"))
-        .join(broadcast(p.select(col("src").as("b"), col("p").as("pb"))), Seq("b"))
+        .join(gateBroadcast(p.select(col("src").as("a"), col("p").as("pa")), nSrc), Seq("a"))
+        .join(gateBroadcast(p.select(col("src").as("b"), col("p").as("pb")), nSrc), Seq("b"))
         .withColumn("term", expr("(n * 1000000000000L) DIV (pa + pb)"))
         .groupBy(col("a").as("src")).agg(sum(col("term")).as("d"))
       p = wi.join(d, Seq("src"))
@@ -319,9 +366,7 @@ object Graph {
     * exact-integer trajectory device; same per-round join shape; seeds
     * are a broadcast-sized relation. */
   def personalizedPagerank(edges: DataFrame, seeds: DataFrame, rounds: Int): DataFrame = {
-    val e = edges.persist(StorageLevel.MEMORY_AND_DISK)
-    val deg = e.groupBy(col("src")).agg(count(lit(1)).as("d"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    val (e, deg, nV) = pinEdges(edges)
     val nodes = deg.select(col("src").as("part"))
     // count only IN-GRAPH seeds, so the mass-preservation claim holds
     // even when a caller passes ids with no edges (off-graph seeds are
@@ -331,13 +376,14 @@ object Graph {
       .persist(StorageLevel.MEMORY_AND_DISK)
     val nS = inGraph.count()
     require(nS > 0, "personalizedPagerank needs at least one seed present in the graph")
-    val nV = deg.count()
     val tele = (150000L * nV) / nS
-    val seeded = nodes.join(broadcast(inGraph.withColumn("t", lit(tele))),
+    // the seed relation is caller-sized, not graph-sized, but gate it on
+    // its own count anyway — a caller may personalize on half the graph
+    val seeded = nodes.join(gateBroadcast(inGraph.withColumn("t", lit(tele)), nS),
         Seq("part"), "left")
       .select(col("part"), coalesce(col("t"), lit(0L)).as("tele"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    walkRounds(e, deg, seeded, seeded.select(col("part"), col("tele").as("rank")), rounds)
+    walkRounds(e, deg, seeded, seeded.select(col("part"), col("tele").as("rank")), rounds, nV)
   }
 
   /** One unrolled oracle walk round k, parameterized on the node CTE
@@ -497,12 +543,14 @@ object Graph {
       .filter(col("c") >= 2).select(col("a"), col("b"))
     val deg = e.select(col("a").as("v")).unionAll(e.select(col("b").as("v")))
       .groupBy(col("v")).agg(count(lit(1)).cast("long").as("d"))
-    // degree relation is frequent-core-node-sized — broadcast into the
-    // edge scan (same posture as the walkers above)
+      .localCheckpoint(true) // core-node-sized; feeds both orient legs + final
+    val nd = deg.count()
+    // degree relation is frequent-core-node-sized but still
+    // data-proportional — gate the hint like the walkers above
     val lowFirst = col("da") < col("db") || (col("da") === col("db") && col("a") < col("b"))
     val o = e
-      .join(broadcast(deg.select(col("v").as("av"), col("d").as("da"))), col("a") === col("av"))
-      .join(broadcast(deg.select(col("v").as("bv"), col("d").as("db"))), col("b") === col("bv"))
+      .join(gateBroadcast(deg.select(col("v").as("av"), col("d").as("da")), nd), col("a") === col("av"))
+      .join(gateBroadcast(deg.select(col("v").as("bv"), col("d").as("db")), nd), col("b") === col("bv"))
       .select(when(lowFirst, col("a")).otherwise(col("b")).as("u"),
         when(lowFirst, col("b")).otherwise(col("a")).as("v"))
     val w = o.select(col("u").as("x"), col("v").as("y"))
@@ -533,23 +581,38 @@ object Graph {
     * oracle keeps that full-union form, proving the two equal). The
     * accumulated distance relation is node-sized and eagerly
     * localCheckpoint-ed per round so round r's anti-join reads a
-    * materialized frame, not an r-deep plan. The frontier broadcast is
-    * node-sized; at billion-node scale drop the hint and co-partition on
-    * src instead (the labelPropagation caveat). */
+    * materialized frame, not an r-deep plan. The frontier join is gated
+    * PER ROUND on the frontier's known size (each round's frontier is
+    * already materialized, so the count is a cache read): a BFS frontier
+    * starts seed-sized and can grow to graph-sized in two hops, so a
+    * static hint is wrong in both directions — the first over-budget
+    * round co-partitions the edges once and later rounds shuffle only
+    * the frontier. */
   def bfsDistances(edges: DataFrame, seeds: DataFrame, maxHops: Int): DataFrame = {
-    val e = edges.persist(StorageLevel.MEMORY_AND_DISK)
+    val raw = edges.persist(StorageLevel.MEMORY_AND_DISK)
+    var e = raw
+    var parted = false
     var dist = seeds.distinct()
       .select(col("seed").as("node"), lit(0L).as("hops"))
       .localCheckpoint(true)
     var frontier = dist.select(col("node"))
+    var frontierRows = dist.count()
     for (h <- 1 to maxHops) {
+      if (!parted && frontierRows > broadcastNodeBudget(edges.sparkSession)) {
+        val p = raw.repartition(col("src")).persist(StorageLevel.MEMORY_AND_DISK)
+        p.count()
+        raw.unpersist()
+        e = p
+        parted = true
+      }
       val next = e
-        .join(broadcast(frontier.select(col("node").as("src"))), Seq("src"))
+        .join(gateBroadcast(frontier.select(col("node").as("src")), frontierRows), Seq("src"))
         .select(col("dst").as("node")).distinct()
         .join(dist, Seq("node"), "left_anti")
         .select(col("node"), lit(h.toLong).as("hops"))
         .localCheckpoint(true)
       frontier = next.select(col("node"))
+      frontierRows = next.count()
       dist = dist.unionAll(next).localCheckpoint(true)
     }
     dist
@@ -619,6 +682,8 @@ object Graph {
     val sym = e.select(col("a").as("u"), col("b").as("v"))
       .unionAll(e.select(col("b").as("u"), col("a").as("v")))
     val deg = sym.groupBy(col("u").as("node")).agg(count(lit(1)).cast("long").as("d"))
+      .localCheckpoint(true) // node-sized; feeds both endpoint joins
+    val nd = deg.count()
     // wedge closure keyed on the shared neighbor; the anti join keeps
     // exactly the edges q243's triangle join would drop
     val closed = e
@@ -626,8 +691,8 @@ object Graph {
       .join(sym.select(col("u").as("b"), col("v").as("x")), Seq("b", "x"))
       .select(col("a"), col("b")).distinct()
     e.join(closed, Seq("a", "b"), "left_anti")
-      .join(broadcast(deg.select(col("node").as("a"), col("d").as("deg_a"))), Seq("a"))
-      .join(broadcast(deg.select(col("node").as("b"), col("d").as("deg_b"))), Seq("b"))
+      .join(gateBroadcast(deg.select(col("node").as("a"), col("d").as("deg_a")), nd), Seq("a"))
+      .join(gateBroadcast(deg.select(col("node").as("b"), col("d").as("deg_b")), nd), Seq("b"))
       .select(col("a"), col("b"), col("deg_a"), col("deg_b"))
   }
 
@@ -711,6 +776,122 @@ object Graph {
       .limit(50)
   }
 
+  /** DIRECTED fixed-point PageRank with the standard DANGLING-MASS
+    * redistribution term (Page et al. 1999 §2.1.1; the crawl-graph
+    * reality the symmetric co-purchase walkers never face): on a
+    * directed edge relation some nodes have NO out-edges, and without
+    * redistribution their rank mass simply vanishes each round —
+    * ranks leak toward the teleport floor and the totals stop being
+    * comparable across graphs. Here every round sums the dangling
+    * nodes' rank D and hands each node floor(D/|V|) alongside its
+    * in-edge contributions:
+    *   rank' = 150000 + floor(0.85 · (Σ_in floor(rank/outdeg) + D DIV |V|))
+    * — still an exact integer trajectory (the q143 device): D is an
+    * exact BIGINT sum, the share an integer division, and the damping
+    * blend the same single floored double expression both engines.
+    *
+    * Scale posture: node set = src ∪ dst built once; per round one
+    * gated node-relation join into the pinned (and, over budget,
+    * src-co-partitioned) edges, one dst-keyed map-side-combined sum,
+    * and a ONE-ROW dangling aggregate that rides a broadcast — the
+    * redistribution adds no corpus-scale stage. Returns
+    * (part, rank, out_degree) with out_degree = 0 for dangling nodes. */
+  def pagerankDirected(edges: DataFrame, rounds: Int): DataFrame = {
+    val raw = edges.persist(StorageLevel.MEMORY_AND_DISK)
+    val deg = raw.groupBy(col("src")).agg(count(lit(1)).as("d"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val nodes = raw.select(col("src").as("part"))
+      .unionAll(raw.select(col("dst").as("part")))
+      .distinct()
+      .localCheckpoint(true) // node-sized; seeds init AND every round's blend
+    val nV = nodes.count()
+    val e =
+      if (nV <= broadcastNodeBudget(edges.sparkSession)) raw
+      else {
+        val p = raw.repartition(col("src")).persist(StorageLevel.MEMORY_AND_DISK)
+        p.count(); raw.unpersist(); p
+      }
+    var rank = nodes.withColumn("rank", lit(RankScale))
+    for (_ <- 1 to rounds) {
+      val withDeg = rank.join(deg, rank("part") === deg("src"), "left")
+        .select(col("part"), col("rank"), col("d"))
+      val contrib = e
+        .join(gateBroadcast(withDeg.filter(col("d").isNotNull)
+          .withColumn("c", expr("CAST(FLOOR(CAST(rank AS DOUBLE) / d) AS BIGINT)"))
+          .select(col("part").as("src"), col("c")), nV), Seq("src"))
+        .groupBy(col("dst")).agg(sum(col("c")).as("inc"))
+      val dang = withDeg.filter(col("d").isNull)
+        .agg(coalesce(sum(col("rank")), lit(0L)).as("dm"))
+      rank = nodes
+        .join(contrib, col("part") === contrib("dst"), "left")
+        .crossJoin(broadcast(dang))
+        .select(col("part"),
+          (lit(150000L) + expr(
+            s"CAST(FLOOR(0.85D * CAST(COALESCE(inc, CAST(0 AS BIGINT)) + dm DIV ${nV}L AS DOUBLE)) AS BIGINT)")).as("rank"))
+    }
+    rank.join(deg, rank("part") === deg("src"), "left")
+      .select(col("part"), col("rank"), coalesce(col("d"), lit(0L)).as("out_degree"))
+  }
+
+  /** One unrolled oracle directed round k over CTEs e/deg/nodes/st. */
+  private def dirRoundSql(k: Int): String = {
+    val prev = s"r${k - 1}"
+    s"""c$k AS (SELECT e.dst, CAST(FLOOR(CAST(r.rank AS DOUBLE) / deg.d) AS BIGINT) AS c
+       |  FROM $prev r JOIN deg ON deg.src = r.part JOIN e ON e.src = r.part),
+       |s$k AS (SELECT dst, CAST(SUM(c) AS BIGINT) AS inc FROM c$k GROUP BY 1),
+       |dg$k AS (SELECT CAST(COALESCE(SUM(r.rank), 0) AS BIGINT) AS dm
+       |  FROM $prev r LEFT JOIN deg ON deg.src = r.part WHERE deg.src IS NULL),
+       |r$k AS (SELECT n.part,
+       |    150000 + CAST(FLOOR(0.85 * CAST(COALESCE(s.inc, 0) + dg$k.dm // st.nv AS DOUBLE)) AS BIGINT) AS rank
+       |  FROM nodes n LEFT JOIN s$k s ON s.dst = n.part, dg$k, st)""".stripMargin
+  }
+
+  /** Contract face of [[pagerankDirected]]: 3 rounds over the DIRECTED
+    * word-adjacency graph of the English corpus slice (q279's bigrams
+    * kept one-way, so words that only ever END a bigram are genuine
+    * dangling nodes), top 100 by rank. The ranks hash the dangling sum
+    * of every round — dropping or mis-flooring the redistribution
+    * anywhere reshuffles the leaderboard. */
+  val q325DirectedPagerank: QueryDef = sql(
+    "q325_directed_pagerank",
+    s"""WITH toks AS (
+       |  SELECT doc_id, string_split(text, ' ') AS w FROM documents WHERE lang = 'en'),
+       |adj AS (
+       |  SELECT w[i] AS wa, w[i + 1] AS wb
+       |  FROM toks, UNNEST(range(1, len(w))) AS t(i)),
+       |fil AS (
+       |  SELECT wa, wb FROM adj
+       |  WHERE regexp_full_match(wa, '[a-z]{4,}') AND regexp_full_match(wb, '[a-z]{4,}')
+       |    AND wa <> wb),
+       |e AS (SELECT DISTINCT wa AS src, wb AS dst FROM fil),
+       |deg AS (SELECT src, COUNT(*) AS d FROM e GROUP BY 1),
+       |nodes AS (SELECT src AS part FROM e UNION SELECT dst FROM e),
+       |st AS (SELECT CAST(COUNT(*) AS BIGINT) AS nv FROM nodes),
+       |r0 AS (SELECT part, CAST($RankScale AS BIGINT) AS rank FROM nodes),
+       |${dirRoundSql(1)},
+       |${dirRoundSql(2)},
+       |${dirRoundSql(3)}
+       |SELECT r.part AS word, r.rank,
+       |  CAST(COALESCE(deg.d, 0) AS BIGINT) AS out_degree
+       |FROM r3 r LEFT JOIN deg ON deg.src = r.part
+       |ORDER BY r.rank DESC, word
+       |LIMIT 100""".stripMargin) { (s, dir) =>
+    val word = "^[a-z]{4,}$"
+    val adj = Tables.fanOut(Tables.documents(s, dir))
+      .filter(col("lang") === "en")
+      .withColumn("w", split(col("text"), " "))
+      .filter(size(col("w")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(0, size(w) - 2), i -> named_struct('wa', w[i], 'wb', w[i + 1]))")).as("p"))
+      .select(col("p.wa").as("wa"), col("p.wb").as("wb"))
+      .filter(col("wa").rlike(word) && col("wb").rlike(word) && col("wa") =!= col("wb"))
+    val e = adj.select(col("wa").as("src"), col("wb").as("dst")).distinct()
+    pagerankDirected(e, rounds = 3)
+      .select(col("part").as("word"), col("rank"), col("out_degree"))
+      .orderBy(col("rank").desc, col("word"))
+      .limit(100)
+  }
+
   /** Degree assortativity (Newman PRL 2002): the Pearson correlation of
     * endpoint degrees over the directed edge list of the frequent
     * co-purchase core — positive r means hubs sell with hubs (rich-club
@@ -729,9 +910,11 @@ object Graph {
       .unionAll(e.select(col("b").as("u"), col("a").as("v")))
       .localCheckpoint(true) // core-sized; feeds deg AND the moment join
     val deg = sym.groupBy(col("u").as("node")).agg(count(lit(1)).cast("long").as("d"))
+      .localCheckpoint(true) // node-sized; feeds both moment-join legs
+    val nd = deg.count()
     val ed = sym
-      .join(broadcast(deg.select(col("node").as("u"), col("d").as("x"))), Seq("u"))
-      .join(broadcast(deg.select(col("node").as("v"), col("d").as("y"))), Seq("v"))
+      .join(gateBroadcast(deg.select(col("node").as("u"), col("d").as("x")), nd), Seq("u"))
+      .join(gateBroadcast(deg.select(col("node").as("v"), col("d").as("y")), nd), Seq("v"))
     ed.agg(count(lit(1)).as("n"), sum(col("x")).as("sx"), sum(col("y")).as("sy"),
         sum(col("x") * col("y")).as("sxy"), sum(col("x") * col("x")).as("sxx"),
         sum(col("y") * col("y")).as("syy"))
@@ -871,27 +1054,14 @@ object Graph {
        |FROM (SELECT * FROM d1 UNION ALL SELECT * FROM d2 UNION ALL SELECT * FROM d3)
        |ORDER BY round""".stripMargin) { (s, dir) =>
     import s.implicits._
-    val edges = copurchaseEdges(s, dir)
-    // one shared edge/degree pass; ranks for rounds 0..3 captured inline
-    // (the q143 walkRounds body, kept here so intermediate rounds exist)
-    val e = edges.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val deg = e.groupBy(col("src")).agg(count(lit(1)).as("d"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // one shared edge/degree pass; ranks for rounds 0..3 captured via
+    // the SAME gated round body as q143/q188 ([[walkRound]])
+    val (e, deg, n) = pinEdges(copurchaseEdges(s, dir))
     val seeded = deg.select(col("src").as("part"), lit(150000L).as("tele"))
     var rank = deg.select(col("src").as("part"), lit(RankScale).as("rank"))
     val rounds = scala.collection.mutable.ArrayBuffer(rank)
     for (_ <- 1 to 3) {
-      val contrib = e
-        .join(broadcast(rank
-          .join(deg, rank("part") === deg("src"))
-          .withColumn("c", expr("CAST(FLOOR(CAST(rank AS DOUBLE) / d) AS BIGINT)"))
-          .select(col("src"), col("c"))), Seq("src"))
-        .groupBy(col("dst")).agg(sum(col("c")).as("inc"))
-      rank = seeded
-        .join(contrib, col("part") === contrib("dst"), "left")
-        .select(col("part"),
-          (col("tele") + expr(
-            "CAST(FLOOR(0.85D * CAST(COALESCE(inc, CAST(0 AS BIGINT)) AS DOUBLE)) AS BIGINT)")).as("rank"))
+      rank = walkRound(e, deg, seeded, rank, n)
         .localCheckpoint(true) // node-sized; referenced by TWO deltas
       rounds += rank
     }
@@ -911,10 +1081,13 @@ object Graph {
     * node of the part hierarchy parent(k) = k ÷ 4. A sequential BOM
     * explosion walks the tree depth-first; the distributed form builds
     * the ancestor closure in ⌈log₂ depth⌉ self-join rounds — R_{i+1} =
-    * R_i ∪ R_i∘R_i doubles the covered distance, so FOUR rounds reach
-    * depth 16 (part keys to 4¹⁶) where the naive one-level-per-round
-    * iteration would need 16 — the difference between 4 and 16 shuffle
-    * barriers at 100 TB. Closure size is Σ depth(n) ≈ n·log₄ n rows.
+    * R_i ∪ R_i∘R_i doubles the covered distance: r1 covers distance 1,
+    * each later round doubles, so FIVE rounds (r1 + four doublings)
+    * reach depth 16 (part keys to 4¹⁶ ≈ 4.3·10⁹ — beyond any SF's key
+    * space; SF1's 200 000 keys need depth 9, which four doublings'
+    * depth-8 cover silently truncated) where the naive one-level-per-
+    * round iteration would need 16 — 5 vs 16 shuffle barriers at
+    * 100 TB. Closure size is Σ depth(n) ≈ n·log₄ n rows.
     * Exact cents; each node's rollup = own revenue + descendants'. */
   val q312HierarchyRollup: QueryDef = {
     def dblSql(i: Int): String = {
@@ -938,10 +1111,11 @@ object Graph {
          |${dblSql(2)},
          |${dblSql(3)},
          |${dblSql(4)},
+         |${dblSql(5)},
          |sub AS (
-         |  SELECT r4.p AS node, CAST(COUNT(*) AS BIGINT) AS n_desc,
+         |  SELECT r5.p AS node, CAST(COUNT(*) AS BIGINT) AS n_desc,
          |    CAST(SUM(v.cents) AS BIGINT) AS desc_cents
-         |  FROM r4 JOIN v ON v.node = r4.c
+         |  FROM r5 JOIN v ON v.node = r5.c
          |  GROUP BY 1)
          |SELECT sub.node, sub.n_desc,
          |  CAST(COALESCE(v.cents, 0) + sub.desc_cents AS BIGINT) AS subtree_cents
@@ -959,7 +1133,7 @@ object Graph {
         .localCheckpoint(true) // node-sized; closure seed AND both rollup sides
       var r = v.select(col("node").as("c"), expr("node DIV 4").as("p"))
         .filter(col("c") =!= col("p"))
-      for (_ <- 2 to 4) {
+      for (_ <- 2 to 5) {
         r = r.unionAll(
             r.select(col("c"), col("p").as("m"))
               .join(r.select(col("c").as("m"), col("p")), Seq("m"))
@@ -980,5 +1154,5 @@ object Graph {
   val all: Seq[QueryDef] = Seq(q143Pagerank, q153LabelProp, q173BradleyTerry,
     q188PersonalizedPagerank, q243Triangles, q263BfsHops, q274LocalBridges,
     q279Textrank, q281Assortativity, q282KCore, q302WalkerConvergence,
-    q312HierarchyRollup)
+    q312HierarchyRollup, q325DirectedPagerank)
 }

@@ -371,6 +371,29 @@ object Similarity {
   private def quantizedLong(s: SparkSession, dir: String): DataFrame =
     quantizeVectors(Tables.embeddings(s, dir))
 
+  /** TRAIN-ONCE / SERVE-MANY coarse-quantizer centroids
+    * ([[graft.sources.ParquetState]] keyed by a content fingerprint of
+    * the quantized embeddings plus (k, iters) — the q136 postings /
+    * q127 weights device applied to the IVF index): the first ANN face
+    * to run pays the Lloyd rounds and PUBLISHES the (cid, vec)
+    * relation; every other face (routing, drift, hubness, silhouette,
+    * hard negatives, semantic dedup, …) reads a k-row parquet. Integer
+    * coordinates survive the round-trip exactly, so read-then-assign is
+    * bit-identical to train-then-assign (AnnQualitySpec pins this). A
+    * changed embeddings table changes the fingerprint; stale centroids
+    * are never looked up. */
+  private[graft] def trainedCentroids(s: SparkSession, dir: String,
+                                      k: Int, iters: Int): DataFrame = {
+    val v = quantizedLong(s, dir)
+    val fp = TextOps.evalSetFingerprint(v.select(col("vec_id").as("doc_id"),
+      concat_ws(",", expr("transform(qv, x -> CAST(x AS STRING))")).as("text")))
+    val stateDir =
+      s"${System.getProperty("java.io.tmpdir")}/graft_ivf_v1_k${k}_i${iters}_$fp"
+    graft.sources.ParquetState.getOrBuild(s, stateDir, Seq("centroids")) {
+      Seq(kmeansCentroidFrame(v, k, iters))
+    }.head
+  }
+
   /** Distributed Lloyd k-means over (vec_id, qv array<bigint>) frames:
     * `iters` rounds of assign + update, then a final assignment; returns
     * (vec_id, qv, cid, dist). Centroids live as a (cid, vec) RELATION
@@ -539,7 +562,8 @@ object Similarity {
     s"""$kmeansSqlPrefix
        |SELECT CAST(cid AS INT) AS cid, COUNT(*) AS n_vecs, CAST(SUM(dist) AS BIGINT) AS inertia
        |FROM a3 GROUP BY 1 ORDER BY cid""".stripMargin) { (s, dir) =>
-    kmeansQuantized(quantizedLong(s, dir), k = 8, iters = 2)
+    assignToCentroids(quantizedLong(s, dir), trainedCentroids(s, dir, k = 8, iters = 2))
+      .select(col("vec_id"), col("qv"), col("cid"), col("dist"))
       .groupBy(col("cid").cast("int").as("cid"))
       .agg(count(lit(1)).as("n_vecs"), sum(col("dist")).as("inertia"))
       .orderBy(col("cid"))
@@ -573,7 +597,7 @@ object Similarity {
        |LIMIT 10""".stripMargin) { (s, dir) =>
     graft.functions.CosineSimilarity.register(s)
     val v = quantizedLong(s, dir)
-    val centsF = kmeansCentroidFrame(v, k = 8, iters = 2)
+    val centsF = trainedCentroids(s, dir, k = 8, iters = 2)
     val assigned = assignToCentroids(v, centsF).select(col("vec_id"), col("cid"))
     // query-time routing: the same exact metric over the same relation,
     // top-NumProbe centroids for the single query vector
@@ -638,7 +662,7 @@ object Similarity {
                     keepBy: SemDedupKeep = KeepLowestId): DataFrame = {
     graft.functions.CosineSimilarity.register(s)
     val v = quantizedLong(s, dir)
-    val assigned = assignToCentroids(v, kmeansCentroidFrame(v, k, iters))
+    val assigned = assignToCentroids(v, trainedCentroids(s, dir, k, iters))
       .select(col("vec_id"), col("cid"), col("dist"))
     val m = Tables.embeddings(s, dir).join(assigned, "vec_id")
       .select(col("vec_id"), col("cid"), col("dist"), col("embedding"))
@@ -778,7 +802,7 @@ object Similarity {
     import org.apache.spark.sql.expressions.Window
     graft.functions.CosineSimilarity.register(s)
     val v = quantizedLong(s, dir)
-    val centsF = kmeansCentroidFrame(v, k = 8, iters = 2)
+    val centsF = trainedCentroids(s, dir, k = 8, iters = 2)
     val assigned = assignToCentroids(v, centsF).select(col("vec_id"), col("cid"))
     val emb = Tables.embeddings(s, dir)
     val anchors = emb.filter(col("vec_id") % 50 === 0)
@@ -1354,7 +1378,7 @@ object Similarity {
        |ORDER BY test_id""".stripMargin) { (s, dir) =>
     import org.apache.spark.sql.expressions.Window
     val v = quantizedLong(s, dir)
-    val centsF = kmeansCentroidFrame(v, k = 8, iters = 2)
+    val centsF = trainedCentroids(s, dir, k = 8, iters = 2)
     val assigned = assignToCentroids(v, centsF).select(col("vec_id"), col("cid"))
     val emb = Tables.embeddings(s, dir)
     val test = emb.filter(col("vec_id") % 10 === 0)
@@ -1746,7 +1770,7 @@ object Similarity {
        |LIMIT 20""".stripMargin) { (s, dir) =>
     import org.apache.spark.sql.expressions.Window
     val v = quantizedLong(s, dir)
-    val assigned = assignToCentroids(v, kmeansCentroidFrame(v, k = 8, iters = 2))
+    val assigned = assignToCentroids(v, trainedCentroids(s, dir, k = 8, iters = 2))
       .select(col("vec_id"), col("qv"), col("cid"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val a = assigned.select(col("vec_id").as("va"), col("qv").as("qa"), col("cid"))
@@ -1863,7 +1887,7 @@ object Similarity {
        |ORDER BY cid""".stripMargin) { (s, dir) =>
     import org.apache.spark.sql.expressions.Window
     val v = quantizedLong(s, dir)
-    val d = centroidDistances(v, kmeansCentroidFrame(v, k = 8, iters = 2))
+    val d = centroidDistances(v, trainedCentroids(s, dir, k = 8, iters = 2))
       .withColumn("rn", row_number().over(
         Window.partitionBy(col("vec_id")).orderBy(col("cdist"), col("cid"))))
       .filter(col("rn") <= 2)
@@ -1912,7 +1936,7 @@ object Similarity {
        |ORDER BY t.vec_id""".stripMargin) { (s, dir) =>
     graft.functions.CosineSimilarity.register(s)
     val v = quantizedLong(s, dir)
-    val assigned = assignToCentroids(v, kmeansCentroidFrame(v, k = 8, iters = 2))
+    val assigned = assignToCentroids(v, trainedCentroids(s, dir, k = 8, iters = 2))
       .select(col("vec_id"), col("cid"))
     val m = Tables.embeddings(s, dir).join(assigned, "vec_id")
       .select(col("vec_id"), col("cid"), col("embedding"))
@@ -2216,7 +2240,7 @@ object Similarity {
     import org.apache.spark.sql.expressions.Window
     graft.functions.CosineSimilarity.register(s)
     val v = quantizedLong(s, dir)
-    val centsF = kmeansCentroidFrame(v, k = 8, iters = 2)
+    val centsF = trainedCentroids(s, dir, k = 8, iters = 2)
     val assigned = assignToCentroids(v, centsF).select(col("vec_id"), col("cid"))
     val route = centroidDistances(v.filter(col("vec_id") % 100 === 0), centsF)
       .withColumn("crank", row_number().over(

@@ -946,9 +946,15 @@ object Temporal {
         max(col("e")).over(byStart.rowsBetween(Window.unboundedPreceding, -1)))
       .withColumn("new_island",
         when(col("pmax") >= col("s"), lit(0L)).otherwise(lit(1L)))
+    // the island-id running sum MUST visit rows in the same total order
+    // the new_island flags were computed under — (s, event_id), which is
+    // unique per user hence deterministic. Ordering by (s, e) here once
+    // let a tied-start pair with inverted e-order pick up the previous
+    // island's id across a genuine gap (and silently disagreed with
+    // intervalUnionStream's (s, event_id) sort).
     marked.withColumn("island",
         sum(col("new_island")).over(
-          Window.partitionBy(col("user_id")).orderBy(col("s"), col("e"))
+          Window.partitionBy(col("user_id")).orderBy(col("s"), col("event_id"))
             .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
       .groupBy(col("user_id"), col("island"))
       .agg(min(col("s")).as("start_us"), max(col("e")).as("end_us"),
@@ -970,14 +976,14 @@ object Temporal {
       |    epoch_us(ts) + (CAST(FLOOR(value * 60) AS BIGINT) + 60) * 1000000 AS e
       |  FROM events),
       |marked AS (
-      |  SELECT user_id, s, e,
+      |  SELECT user_id, event_id, s, e,
       |    CASE WHEN MAX(e) OVER (PARTITION BY user_id ORDER BY s, event_id
       |                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
       |              >= s THEN 0 ELSE 1 END AS new_island
       |  FROM iv),
       |isl AS (
       |  SELECT user_id, s, e,
-      |    SUM(new_island) OVER (PARTITION BY user_id ORDER BY s, e
+      |    SUM(new_island) OVER (PARTITION BY user_id ORDER BY s, event_id
       |                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
       |  FROM marked),
       |spans AS (
@@ -1172,20 +1178,26 @@ object Temporal {
     * unrolled-trajectory device transplanted to EWMA). The one-step-ahead
     * forecast is s_{t−1} and its residual y_t − s_{t−1} is exact too.
     *
-    * The shifted weights 2^{t−2} grow with the series index, so v_t needs
-    * t ≲ 40 at daily-count magnitudes (2^38·y < 2⁶³); for longer series
-    * truncate the window to the trailing ~50 rows — weights below 2⁻⁵³
-    * are sub-ulp and change no double — keeping the same exactness with a
-    * bounded frame. Day indexes densify through ROW_NUMBER so calendar
-    * gaps don't inflate exponents. */
+    * The shifted weights 2^{t−2} grow with the series index, so the
+    * series is HARD-BOUNDED to its trailing 40 days (both faces filter
+    * `day_idx > max − 40` and renumber t from the cut): exponents stay
+    * ≤ 38, so v_t is exact BIGINT for daily counts up to 2²⁴, and the
+    * EWMA restarts at the cut — the standard warm-up-window semantics,
+    * and the dropped weights are ≤ 2⁻³⁹ of the leading term. Without the
+    * bound, t ≥ 66 made Spark's shiftleft wrap (shift mod 64) while
+    * DuckDB's << does not — silent garbage AND cross-engine divergence
+    * on any series past ~40 days. Day indexes densify through ROW_NUMBER
+    * so calendar gaps don't inflate exponents. */
   val q271DyadicSmoothing: QueryDef = sql(
     "q271_dyadic_smoothing",
     """WITH daily AS (
       |  SELECT CAST(epoch_us(date_trunc('day', ts)) // 86400000000 AS BIGINT) AS day_idx,
       |    CAST(COUNT(*) AS BIGINT) AS y
       |  FROM events GROUP BY 1),
+      |mx AS (SELECT MAX(day_idx) AS m FROM daily),
       |seq AS (SELECT day_idx, y,
-      |    CAST(ROW_NUMBER() OVER (ORDER BY day_idx) AS BIGINT) AS t FROM daily),
+      |    CAST(ROW_NUMBER() OVER (ORDER BY day_idx) AS BIGINT) AS t
+      |  FROM daily, mx WHERE day_idx > mx.m - 40),
       |pre AS (
       |  SELECT day_idx, y, t,
       |    CAST(SUM(CASE WHEN t = 1 THEN y ELSE y * (CAST(1 AS BIGINT) << CAST(t - 2 AS INTEGER)) END)
@@ -1205,8 +1217,11 @@ object Temporal {
     val daily = Tables.events(s, dir)
       .groupBy(expr("unix_micros(date_trunc('day', ts)) div 86400000000L").as("day_idx"))
       .agg(count(lit(1)).as("y"))
+    val mx = daily.agg(max(col("day_idx")).as("m"))
     val byT = Window.orderBy(col("t"))
-    val pre = daily
+    val pre = daily.crossJoin(broadcast(mx))
+      .filter(col("day_idx") > col("m") - 40)
+      .drop("m")
       .withColumn("t", row_number().over(Window.orderBy(col("day_idx"))).cast("long"))
       .withColumn("v", sum(
         when(col("t") === 1L, col("y"))

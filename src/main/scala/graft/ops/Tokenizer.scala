@@ -101,13 +101,38 @@ object Tokenizer {
     traj.result()
   }
 
+  /** Project a trajectory inventory to the served trained form
+    * (word, cnt, bpe, n_syms). */
+  private def trainedOf(w: DataFrame): DataFrame =
+    w.select(col("word"), col("cnt"),
+      concat_ws(" ", col("syms")).as("bpe"),
+      size(col("syms")).cast("long").as("n_syms"))
+
   /** Train `rounds` BPE merges over the corpus word counts; returns the
     * final per-word symbolization (word, cnt, bpe, n_syms). */
   def bpeTrain(docs: DataFrame, rounds: Int): DataFrame =
-    bpeTrajectory(docs, rounds).last
-      .select(col("word"), col("cnt"),
-        concat_ws(" ", col("syms")).as("bpe"),
-        size(col("syms")).cast("long").as("n_syms"))
+    trainedOf(bpeTrajectory(docs, rounds).last)
+
+  /** The q132 training trajectory persisted BY CORPUS FINGERPRINT
+    * ([[graft.sources.ParquetState]] — the q136 postings / q127 weights
+    * device applied to the tokenizer): the first tokenizer face to run
+    * trains once and publishes inventories w0..w`rounds`; q132/q144/
+    * q220 then read vocabulary-sized parquet instead of each re-running
+    * the corpus word count + merge loop. If training exhausts mergeable
+    * pairs early, the final inventory repeats (a no-op merge), keeping
+    * the published-part contract exact. */
+  private[graft] def persistedTrajectory(s: SparkSession, dir: String,
+                                         rounds: Int): Seq[DataFrame] = {
+    val docs = Tables.fanOut(Tables.documents(s, dir))
+    val fp = TextOps.evalSetFingerprint(docs.select(col("doc_id"), col("text")))
+    val stateDir =
+      s"${System.getProperty("java.io.tmpdir")}/graft_bpe_v1_r${rounds}_$fp"
+    graft.sources.ParquetState.getOrBuild(s, stateDir,
+      (0 to rounds).map(m => s"w$m")) {
+      val t = bpeTrajectory(docs, rounds)
+      t ++ Seq.fill(rounds + 1 - t.length)(t.last)
+    }
+  }
 
   /** One unrolled oracle round k: pair counts → winner → positional merge
     * via the same run-grouping window algebra. */
@@ -194,7 +219,8 @@ object Tokenizer {
        |FROM enc GROUP BY 1, 2
        |ORDER BY doc_id""".stripMargin) { (s, dir) =>
     val docs = Tables.fanOut(Tables.documents(s, dir))
-    bpeEncode(docs, bpeTrain(docs, rounds = 3)).orderBy(col("doc_id"))
+    bpeEncode(docs, trainedOf(persistedTrajectory(s, dir, rounds = 3).last))
+      .orderBy(col("doc_id"))
   }
 
   /** Contract face: 3 BPE merge rounds over the corpus word counts. The
@@ -216,7 +242,7 @@ object Tokenizer {
        |  CAST(len(syms) AS BIGINT) AS n_syms
        |FROM w3
        |ORDER BY word""".stripMargin) { (s, dir) =>
-    bpeTrain(Tables.fanOut(Tables.documents(s, dir)), rounds = 3)
+    trainedOf(persistedTrajectory(s, dir, rounds = 3).last)
       .orderBy(col("word"))
   }
 
@@ -258,7 +284,7 @@ object Tokenizer {
        |FROM (SELECT * FROM s0 UNION ALL SELECT * FROM s1
        |      UNION ALL SELECT * FROM s2 UNION ALL SELECT * FROM s3)
        |ORDER BY n_merges""".stripMargin) { (s, dir) =>
-    val traj = bpeTrajectory(Tables.fanOut(Tables.documents(s, dir)), rounds = 3)
+    val traj = persistedTrajectory(s, dir, rounds = 3)
     val stages = traj.zipWithIndex.map { case (w, m) =>
       val vocab = w.select(explode(col("syms")).as("sym"))
         .agg(countDistinct(col("sym")).as("vocab_syms"))

@@ -586,4 +586,13 @@ class AnnQualitySpec extends SparkSpec {
     assert(radii.zip(radii.tail).forall { case (a, b) => a >= b },
       s"coverage radius must not increase: ${radii.toSeq}")
   }
+
+  test("persisted centroids equal a fresh Lloyd run (read-state == retrain)") {
+    val v = Similarity.quantizeVectors(graft.sources.Tables.embeddings(spark, sfDir))
+    val fresh = Similarity.collectCentroids(
+      Similarity.kmeansCentroidFrame(v, k = 8, iters = 2))
+    val stored = Similarity.collectCentroids(
+      Similarity.trainedCentroids(spark, sfDir, k = 8, iters = 2))
+    assert(stored == fresh, "published centroid state must be bit-identical to retraining")
+  }
 }

@@ -167,4 +167,50 @@ class GraphSpec extends SparkSpec {
     val s = rows.map(_.getLong(1)).toSeq
     assert(s == s.sorted.reverse)
   }
+
+  test("walkers are plan-invariant: the budget-0 shuffle path equals the broadcast path") {
+    // The size gate chooses a PLAN, never an answer: force the
+    // co-partitioned fallback and compare every walker bit-for-bit.
+    val e = edges((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L), (4L, 5L))
+    val dirE = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("src", "dst")
+    val seeds = Seq(1L).toDF("seed")
+    def all() = Seq(
+      Graph.pagerank(e, rounds = 2).collect().map(_.toString).sorted.toSeq,
+      Graph.labelPropagation(e, rounds = 2).collect().map(_.toString).sorted.toSeq,
+      Graph.bfsDistances(e, seeds, maxHops = 3).collect().map(_.toString).sorted.toSeq,
+      Graph.pagerankDirected(dirE, rounds = 2).collect().map(_.toString).sorted.toSeq)
+    val key = "spark.graft.graph.broadcastNodeBudget"
+    val saved = spark.conf.getOption(key)
+    val hinted = all()
+    try {
+      spark.conf.set(key, "0")
+      assert(all() == hinted, "shuffle-path walkers must equal the broadcast-path walkers")
+    } finally saved match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
+  test("directed PageRank: dangling chain 1->2->3, hand-computed round 1") {
+    // nodes {1,2,3}, nV=3; node 3 is dangling. Round 1: contribs 1->2
+    // and 2->3 carry 1_000_000 each; dangling mass D=1_000_000, share
+    // D DIV 3 = 333_333. rank_1 = 150000+floor(.85*333333) = 433_333;
+    // rank_2 = rank_3 = 150000+floor(.85*1333333) = 1_283_333.
+    val dirE = Seq((1L, 2L), (2L, 3L)).toDF("src", "dst")
+    val got = Graph.pagerankDirected(dirE, rounds = 1)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got == Map(
+      1L -> ((433333L, 1L)), 2L -> ((1283333L, 1L)), 3L -> ((1283333L, 0L))))
+    // mass conservation up to per-node floors: total stays ~3e6
+    assert(math.abs(got.values.map(_._1).sum - 3000000L) <= 3)
+  }
+
+  test("directed PageRank without dangling nodes degrades to the plain walker shape") {
+    // a directed 3-cycle has no dangling mass: D=0 every round, so the
+    // uniform graph is a fixed point exactly as in the symmetric walker
+    val cyc = Seq((1L, 2L), (2L, 3L), (3L, 1L)).toDF("src", "dst")
+    val got = Graph.pagerankDirected(cyc, rounds = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1000000L, 2L -> 1000000L, 3L -> 1000000L))
+  }
 }

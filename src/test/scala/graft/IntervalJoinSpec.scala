@@ -44,6 +44,29 @@ class IntervalJoinSpec extends SparkSpec {
     assert(native.toSeq == composed.toSeq)
   }
 
+  test("interval islands: tied start times accumulate in flag order (s, event_id)") {
+    import spark.implicits._
+    // user 1: two intervals share s=0 and the EARLIER event_id has the
+    // LARGER e — the regression shape where an island-sum ordered by
+    // (s, e) visited the short interval first and handed it the previous
+    // island's id; then a genuine gap. user 2: rows tied on BOTH s and e
+    // (event_id makes assignment deterministic).
+    val iv = Seq(
+      (1L, 1L, 0L, 100L), (1L, 2L, 0L, 10L), (1L, 3L, 200L, 250L),
+      (2L, 1L, 0L, 50L), (2L, 2L, 0L, 50L), (2L, 3L, 100L, 150L))
+      .toDF("user_id", "event_id", "s", "e")
+    val got = Temporal.intervalIslands(iv)
+      .select(col("user_id"), col("island"), col("start_us"), col("end_us"),
+        col("covered"), col("n"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toSet
+    val want = Set(
+      (1L, 1L, 0L, 100L, 100L, 2L), (1L, 2L, 200L, 250L, 50L, 1L),
+      (2L, 1L, 0L, 50L, 50L, 2L), (2L, 2L, 100L, 150L, 50L, 1L))
+    assert(got == want, s"tied-start islands mis-assigned: $got")
+  }
+
   test("the plan is the custom exec with clustered+sorted children, no SMJ") {
     val df = Temporal.q81IntervalNative.run(spark, sfDir)
     val plan = df.queryExecution.executedPlan.toString

@@ -122,4 +122,18 @@ class PerceptronSpec extends SparkSpec {
     // the sets are informative: not everything is a 2-label set
     assert(got.exists(_._7 == 1L), "some prediction set must be a singleton")
   }
+
+  test("persisted task weights equal a fresh retrain (read-state == retrain)") {
+    val docs = graft.sources.Tables.documents(spark, sfDir)
+    val feats = Classifier.hashedFeatures(docs)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val labels = docs.select(col("doc_id"),
+      when(col("lang") === "en", 1L).otherwise(-1L).as("y"))
+    val fresh = Classifier.perceptronTrain(feats, labels, rounds = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val stored = Classifier.trainedTaskWeights(spark, sfDir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    feats.unpersist()
+    assert(stored == fresh, "published weight state must be bit-identical to retraining")
+  }
 }

@@ -639,4 +639,35 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("TakeOrdered") || p.contains("WindowGroupLimit") || p.contains("RunningWindowFunction") || p.contains("Window"),
       s"per-query top-k must be cut before the audit join:\n$p")
   }
+
+  test("graph walkers: the node-relation broadcast is size-gated — both plans pinned") {
+    // Under the budget the per-round rank join rides the explicit hint;
+    // over it the hint MUST disappear (a data-proportional relation may
+    // never be forced to broadcast — the simhash-vocabulary OOM class)
+    // and the round becomes a shuffle join against the co-partitioned
+    // edges. autoBroadcastJoinThreshold=-1 isolates the hint from the
+    // planner's own size-based choice on fixture-sized inputs.
+    import spark.implicits._
+    val e = (1L to 40L).flatMap(i => Seq((i, i % 40 + 1), (i % 40 + 1, i)))
+      .toDF("src", "dst")
+    val budgetKey = "spark.graft.graph.broadcastNodeBudget"
+    val abtKey = "spark.sql.autoBroadcastJoinThreshold"
+    val saved = Seq(budgetKey, abtKey).map(k => k -> spark.conf.getOption(k))
+    spark.conf.set(abtKey, "-1")
+    try {
+      spark.conf.set(budgetKey, "1000000")
+      val hinted = planOf(graft.ops.Graph.pagerank(e, rounds = 1))
+      assert(hinted.contains("BroadcastHashJoin"),
+        s"under the budget the rank relation must ride the hint:\n$hinted")
+      spark.conf.set(budgetKey, "0")
+      val shuffled = planOf(graft.ops.Graph.pagerank(e, rounds = 1))
+      assert(!shuffled.contains("BroadcastHashJoin") && !shuffled.contains("BroadcastExchange"),
+        s"over the budget no node relation may be force-broadcast:\n$shuffled")
+      assert(shuffled.contains("SortMergeJoin") || shuffled.contains("ShuffledHashJoin"),
+        s"the fallback is a key-partitioned shuffle join:\n$shuffled")
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
 }

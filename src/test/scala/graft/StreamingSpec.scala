@@ -604,7 +604,7 @@ class StreamingSpec extends SparkSpec {
       "replaying already-folded files must leave the sketch unchanged"))
   }
 
-  test("freshness stream: MAX-fold marks equal the batch high-water marks; replay leaves marks unchanged") {
+  test("freshness stream: MAX-fold marks equal the batch high-water marks; replay leaves marks AND counts unchanged") {
     import scala.collection.concurrent.TrieMap
     val ev = Tables.events(spark, sfDir)
     val stateDir = Files.createTempDirectory("graft-fresh-state").resolve("m").toString
@@ -617,10 +617,11 @@ class StreamingSpec extends SparkSpec {
       Files.copy(part, srcDir.resolve(name), StandardCopyOption.REPLACE_EXISTING)
       stampStaged(srcDir.resolve(name))
     }
-    def marks(df: DataFrame): Map[String, Long] =
-      df.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-    def runStream(): Map[Long, Map[String, Long]] = {
-      val acc = TrieMap.empty[Long, Map[String, Long]]
+    // capture BOTH served stats: (event_type -> (last_us, n_events))
+    def marks(df: DataFrame): Map[String, (Long, Long)] =
+      df.collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    def runStream(): Map[Long, Map[String, (Long, Long)]] = {
+      val acc = TrieMap.empty[Long, Map[String, (Long, Long)]]
       val q = StreamingOps.freshnessStream(spark, srcDir.toString, stateDir) {
         (id, m) => acc(id) = marks(m)
       }
@@ -632,12 +633,14 @@ class StreamingSpec extends SparkSpec {
     val run1 = runStream()
     val run2 = runStream() // uncheckpointed restart replays BOTH files
     val batch = ev.groupBy(col("event_type"))
-      .agg(max(expr("unix_micros(ts)")).as("last_us"))
-      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      .agg(max(expr("unix_micros(ts)")).as("last_us"), count(lit(1)).as("n_events"))
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
     assert(run1(run1.keys.max) == batch,
-      "streamed high-water marks must equal the batch maxima")
+      "streamed high-water marks + counts must equal the batch aggregates")
+    // the forced-restart replay: the per-file set-union state makes the
+    // SUM-derived counts exactly-once, not just the MAX-fold marks
     run2.values.foreach(m => assert(m == batch,
-      "replaying already-folded files must leave every mark unchanged"))
+      "replaying already-folded files must leave every mark and count unchanged"))
   }
 
   test("drift stream: accumulated bucket counts equal the batch assignment; restart never double-counts") {

@@ -89,4 +89,16 @@ class TokenizerSpec extends SparkSpec {
       .agg(org.apache.spark.sql.functions.sum("n_syms")).collect()(0).getLong(0)
     assert(nTokens == expected)
   }
+
+  test("persisted trajectory equals a fresh retrain (read-state == retrain)") {
+    val docs = graft.sources.Tables.documents(spark, sfDir)
+    val fresh = Tokenizer.bpeTrain(docs, rounds = 3)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getString(2), r.getLong(3))).toSet
+    val stored = Tokenizer.persistedTrajectory(spark, sfDir, rounds = 3).last
+      .select(col("word"), col("cnt"),
+        concat_ws(" ", col("syms")).as("bpe"),
+        size(col("syms")).cast("long").as("n_syms"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getString(2), r.getLong(3))).toSet
+    assert(stored == fresh, "published BPE inventory must be bit-identical to retraining")
+  }
 }
