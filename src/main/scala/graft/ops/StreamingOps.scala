@@ -705,9 +705,20 @@ object StreamingOps {
     * arriving per-feed max event times into the persisted high-water
     * marks by MAX — the third semilattice face (Bloom BIT_OR q250, KMV
     * min-fold q278, freshness MAX-fold): idempotent and commutative, so
-    * a replayed file is a no-op, arrival order never matters, and no
-    * file log is needed. This is the merge-algebra-decides-durability
-    * principle stated three ways; `onBatch` sees the post-merge marks. */
+    * a replayed file is a no-op and arrival order never matters.
+    *
+    * The event COUNTS are not a semilattice under a naive SUM — a
+    * replayed file would double-count — so the persisted state is keyed
+    * PER SOURCE FILE: (fname, event_type, last_us, n_events), where a
+    * replayed file contributes byte-identical rows and the merge
+    * (group by (fname, event_type), fold each stat by MAX over equal
+    * values) is a set union — idempotent again. The marks relation
+    * `onBatch` sees is derived from that state (MAX of marks, SUM of
+    * the per-file deduped counts), so BOTH the marks and the counts are
+    * exact under at-least-once file delivery with no separate log: the
+    * file identity IS the log, carried inside the state. State size is
+    * files × feeds — manifest-sized, not row-sized — and compactable by
+    * the same snapshot versioning. */
   def freshnessStream(s: SparkSession, stagedDir: String, stateDir: String)(
       onBatch: (Long, DataFrame) => Unit): org.apache.spark.sql.streaming.StreamingQuery = {
     val root = new java.io.File(stateDir)
@@ -716,7 +727,8 @@ object StreamingOps {
       .filter(f => f.getName.startsWith("v_") && !f.getName.contains(".tmp-") &&
         new java.io.File(f, "_SUCCESS").exists())
       .map(_.getName.stripPrefix("v_").toLong).sorted.toSeq
-    def emptyMarks = s.sql("SELECT '' AS event_type, 0L AS last_us, 0L AS n_events WHERE false")
+    def emptyState = s.sql(
+      "SELECT '' AS fname, '' AS event_type, 0L AS last_us, 0L AS n_events WHERE false")
     val schema = s.read.parquet(stagedDir).schema
     s.readStream.schema(schema)
       .option("maxFilesPerTrigger", "1")
@@ -724,22 +736,24 @@ object StreamingOps {
       .writeStream
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, id: Long) =>
-        val arrived = Tables.normalizeEventsTs(s.createDataFrame(batch.rdd, batch.schema))
-          .groupBy(col("event_type"))
+        // file identity must ride along BEFORE the detach: it only
+        // exists while the rows still belong to the file-source scan
+        val named = batch.withColumn("fname", input_file_name())
+        val arrived = Tables.normalizeEventsTs(
+            s.createDataFrame(named.rdd, named.schema))
+          .groupBy(col("fname"), col("event_type"))
           .agg(max(expr("unix_micros(ts)")).as("last_us"),
             count(lit(1)).as("n_events"))
         val vs = versions
         val state = vs.lastOption match {
           case Some(v) => s.read.parquet(s"$stateDir/v_$v")
-          case None => emptyMarks
+          case None => emptyState
         }
-        // NOTE: last_us folds by MAX (idempotent); n_events folds by SUM
-        // and is therefore only exact under exactly-once file delivery —
-        // the marks stay correct under replay, the counts are advisory
-        // (the same split q250 documents for its rows-behind estimate)
+        // set-union merge: a replayed file re-derives the SAME
+        // (fname, event_type) rows, so MAX over equal values = no-op
         val merged = state.unionByName(arrived)
-          .groupBy(col("event_type"))
-          .agg(max(col("last_us")).as("last_us"), sum(col("n_events")).as("n_events"))
+          .groupBy(col("fname"), col("event_type"))
+          .agg(max(col("last_us")).as("last_us"), max(col("n_events")).as("n_events"))
         val next = vs.lastOption.getOrElse(-1L) + 1L
         val tmp = new java.io.File(root,
           s"v_$next.tmp-${ProcessHandle.current().pid()}-${Thread.currentThread().getId}")
@@ -747,7 +761,11 @@ object StreamingOps {
         val published = new java.io.File(root, s"v_$next")
         if (!tmp.renameTo(published))
           org.apache.commons.io.FileUtils.deleteDirectory(tmp) // lost the race
-        onBatch(id, s.read.parquet(published.getPath))
+        // the served marks: per-file state rolled up — counts now sum
+        // over DEDUPED files, exact under replay
+        onBatch(id, s.read.parquet(published.getPath)
+          .groupBy(col("event_type"))
+          .agg(max(col("last_us")).as("last_us"), sum(col("n_events")).as("n_events")))
       }
       .start()
   }
