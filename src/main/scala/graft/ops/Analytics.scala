@@ -3212,7 +3212,68 @@ object Analytics {
       .limit(20)
   }
 
+  /** Incremental JOIN-view maintenance by the classic delta rule
+    * (Blakeley et al. SIGMOD'86; the join-side companion to q235's
+    * aggregate MV and q287's snapshot CDC): for V = O ⋈ C maintained
+    * under inserts ΔO and ΔC, the exact increment is
+    *   ΔV = ΔO ⋈ C₀  ∪  O₀ ⋈ ΔC  ∪  ΔO ⋈ ΔC
+    * — three joins whose LARGER side appears exactly once each, so at
+    * 100 TB a daily delta costs O(|Δ|·avg-fanout) instead of re-joining
+    * two full facts (the entire point of maintaining the view). The
+    * face keeps the view as mergeable partial-aggregate state at the
+    * (c_nationkey, o_orderpriority) grain — counts and cent-sums ADD,
+    * the md5 key fingerprint folds by bit_xor (commutative/associative,
+    * the q287 device) — merges base state with the delta state, and
+    * emits the merged view. The oracle computes the full join from
+    * scratch: the hash can only match if the delta rule misses no pair
+    * and double-counts none (bit_xor cancels a double-counted key, so
+    * over-counting shows as loudly as dropping).
+    *
+    * Scale posture: ΔC (customer-delta) rides broadcast joins; the two
+    * O-sized joins scan each fact once; the state merge is grain-sized.
+    * Splits are hash-residue classes of the keys — deterministic, no
+    * sampling. */
+  val q332DeltaJoinMv: QueryDef = sql(
+    "q332_delta_join_mv",
+    """WITH v AS (
+      |  SELECT c.c_nationkey, o.o_orderpriority,
+      |    CAST(FLOOR(o.o_totalprice * 100) AS BIGINT) AS cents,
+      |    CAST(('0x' || substr(md5(CAST(o.o_orderkey AS VARCHAR)), 1, 15)) AS BIGINT) AS kf
+      |  FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey)
+      |SELECT c_nationkey, o_orderpriority,
+      |  CAST(COUNT(*) AS BIGINT) AS n_rows,
+      |  CAST(SUM(cents) AS BIGINT) AS sum_cents,
+      |  bit_xor(kf) AS key_fp
+      |FROM v GROUP BY 1, 2
+      |ORDER BY c_nationkey, o_orderpriority""".stripMargin) { (s, dir) =>
+    val o = Tables.orders(s, dir).select(
+      col("o_custkey"), col("o_orderpriority"), col("o_orderkey"),
+      expr("CAST(FLOOR(o_totalprice * 100) AS BIGINT)").as("cents"))
+    val c = Tables.customer(s, dir).select(col("c_custkey"), col("c_nationkey"))
+    val (o0, dO) = (o.filter(col("o_orderkey") % 5 =!= 0), o.filter(col("o_orderkey") % 5 === 0))
+    val (c0, dC) = (c.filter(col("c_custkey") % 7 =!= 0), c.filter(col("c_custkey") % 7 === 0))
+    // partial-aggregate view state of one O-slice ⋈ C-slice
+    def state(os: DataFrame, cs: DataFrame): DataFrame = os
+      .join(cs, col("c_custkey") === col("o_custkey"))
+      .groupBy(col("c_nationkey"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"), sum(col("cents")).as("sc"),
+        expr("bit_xor(CAST(conv(substring(md5(CAST(o_orderkey AS STRING)), 1, 15), 16, 10) AS BIGINT))")
+          .as("fp"))
+    val base = state(o0, c0)
+    // the delta rule: each term joins a DELTA against a base (or delta)
+    // side — the customer deltas are dimension-sized and broadcast
+    val delta = state(dO, c0)
+      .unionByName(state(o0, broadcast(dC)))
+      .unionByName(state(dO, broadcast(dC)))
+    base.unionByName(delta)
+      .groupBy(col("c_nationkey"), col("o_orderpriority"))
+      .agg(sum(col("n")).as("n_rows"), sum(col("sc")).as("sum_cents"),
+        expr("bit_xor(fp)").as("key_fp"))
+      .orderBy(col("c_nationkey"), col("o_orderpriority"))
+  }
+
   val all: Seq[QueryDef] = Seq(
+    q332DeltaJoinMv,
     q227IntegrityScorecard, q231MarketShare, q235MvMaintenance, q244Cuped, q247AqpGroupby,
     q266BenfordAudit, q267NeymanAllocation, q268GiniLorenz, q287CdcApply, q290XmlShred,
     q293DiffInDiff, q295EffectSize, q299WeightedMedian, q309AaHarness, q311AbcClasses,

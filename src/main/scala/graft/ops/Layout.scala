@@ -1098,7 +1098,117 @@ object Layout {
       .orderBy(col("l_returnflag"), col("l_linestatus"))
   }
 
+  /** Inverted-index posting-list compression audit (delta gaps +
+    * LEB128 varints — the Lucene/PForDelta storage model's sizing
+    * question): for every term, sort its posting doc_ids, delta-encode
+    * to gaps, and charge each gap its varint byte cost (1 byte per
+    * 7 bits); report per df-CLASS (power-of-two document-frequency
+    * bucket) how many bytes the store pays raw (8 B/posting) vs
+    * varint-compressed. The audit quantifies the inverse-frequency
+    * law every index build banks on: frequent terms have SMALL gaps
+    * (dense postings) and compress hardest, so compressed index size
+    * grows far slower than the corpus — the number a 100 TB index
+    * capacity plan starts from.
+    *
+    * Exactness: gaps and byte costs are pure integer CASE ladders; the
+    * df class is len(bin(df)) − 1 = floor(log2 df) WITHOUT floats (an
+    * LN-ratio floor would diverge between engines at exact powers of
+    * two). Scale posture: one distinct over (word, doc_id), one
+    * word-partitioned window for the gaps (map-side after the
+    * partition), and a log-many-row final aggregate — no join at all. */
+  val q328PostingsVarint: QueryDef = sql(
+    "q328_postings_varint",
+    """WITH raw AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
+      |toks AS (SELECT DISTINCT doc_id, word FROM raw),
+      |g AS (SELECT word,
+      |        COALESCE(doc_id - LAG(doc_id) OVER (PARTITION BY word ORDER BY doc_id),
+      |                 doc_id + 1) AS gap
+      |      FROM toks),
+      |df AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS df FROM toks GROUP BY 1),
+      |b AS (SELECT g.word, df.df,
+      |        CASE WHEN gap < 128 THEN 1 WHEN gap < 16384 THEN 2
+      |             WHEN gap < 2097152 THEN 3 WHEN gap < 268435456 THEN 4
+      |             ELSE 5 END AS vbytes
+      |      FROM g JOIN df USING (word)),
+      |cls AS (SELECT CAST(len(bin(df)) - 1 AS BIGINT) AS df_class, word, df, vbytes FROM b)
+      |SELECT df_class,
+      |  CAST(COUNT(DISTINCT word) AS BIGINT) AS n_terms,
+      |  CAST(COUNT(*) AS BIGINT) AS n_postings,
+      |  CAST(COUNT(*) * 8 AS BIGINT) AS raw_bytes,
+      |  CAST(SUM(vbytes) AS BIGINT) AS varint_bytes,
+      |  CAST(SUM(vbytes) AS DOUBLE) / (COUNT(*) * 8) AS compressed_frac
+      |FROM cls GROUP BY 1
+      |ORDER BY df_class""".stripMargin) { (s, dir) =>
+    val toks = Tables.fanOut(Tables.documents(s, dir))
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+      .distinct()
+    val g = toks.withColumn("gap", coalesce(
+      col("doc_id") - lag(col("doc_id"), 1).over(
+        Window.partitionBy(col("word")).orderBy(col("doc_id"))),
+      col("doc_id") + 1))
+    val withDf = g.withColumn("df", count(lit(1)).over(Window.partitionBy(col("word"))))
+      .withColumn("vbytes",
+        when(col("gap") < 128, 1).when(col("gap") < 16384, 2)
+          .when(col("gap") < 2097152, 3).when(col("gap") < 268435456, 4)
+          .otherwise(5))
+    withDf
+      .withColumn("df_class", (length(bin(col("df"))) - 1).cast("long"))
+      .groupBy(col("df_class"))
+      .agg(countDistinct(col("word")).as("n_terms"),
+        count(lit(1)).as("n_postings"),
+        (count(lit(1)) * 8).as("raw_bytes"),
+        sum(col("vbytes")).as("varint_bytes"),
+        (sum(col("vbytes")).cast("double") / (count(lit(1)) * 8)).as("compressed_frac"))
+      .orderBy(col("df_class"))
+  }
+
+  /** Hash-partition skew planner — the pre-flight a 100 TB shuffle
+    * SHOULD run before picking `spark.sql.shuffle.partitions` or a
+    * salting factor: simulate partitioning the lineitem fact by
+    * l_orderkey into P = 32 slots under a DOCUMENTED multiplicative
+    * hash (Knuth 2654435761 mod 2³² — spelled out so both engines and
+    * any future reader compute the identical assignment; the audit is
+    * about the DISTRIBUTION SHAPE, which any decent mixer shares), and
+    * report per slot: rows, distinct keys, and the largest single-key
+    * row count. The planner's two decisions read straight off the
+    * result: max(rows)/avg(rows) says whether AQE skew splitting will
+    * trigger, and max_key_rows says whether salting is needed AT ALL
+    * (a slot can be hot because one key is hot — salting helps — or
+    * because many medium keys collided — repartitioning helps; the two
+    * fixes differ, so the audit must separate them).
+    *
+    * All-integer arithmetic with explicit mod bounds: k·2654435761 <
+    * 2⁶³ for every fixture key, so no overflow in either engine.
+    * Scale posture: one map-side projection + one (slot, key) agg +
+    * one slot agg — the same two-level shape as a real shuffle write. */
+  val q329PartitionSkew: QueryDef = sql(
+    "q329_partition_skew",
+    """WITH h AS (
+      |  SELECT l_orderkey AS k,
+      |    ((l_orderkey * 2654435761) % 4294967296) % 32 AS slot
+      |  FROM lineitem),
+      |pk AS (SELECT slot, k, CAST(COUNT(*) AS BIGINT) AS key_rows
+      |       FROM h GROUP BY 1, 2)
+      |SELECT CAST(slot AS BIGINT) AS slot,
+      |  CAST(SUM(key_rows) AS BIGINT) AS n_rows,
+      |  CAST(COUNT(*) AS BIGINT) AS n_keys,
+      |  CAST(MAX(key_rows) AS BIGINT) AS max_key_rows
+      |FROM pk GROUP BY 1
+      |ORDER BY slot""".stripMargin) { (s, dir) =>
+    val h = Tables.lineitem(s, dir).select(
+      col("l_orderkey").as("k"),
+      (((col("l_orderkey") * 2654435761L) % 4294967296L) % 32).as("slot"))
+    h.groupBy(col("slot"), col("k")).agg(count(lit(1)).as("key_rows"))
+      .groupBy(col("slot").cast("long").as("slot"))
+      .agg(sum(col("key_rows")).as("n_rows"),
+        count(lit(1)).as("n_keys"),
+        max(col("key_rows")).as("max_key_rows"))
+      .orderBy(col("slot"))
+  }
+
   val all: Seq[QueryDef] = Seq(
+    q328PostingsVarint, q329PartitionSkew,
     q112BucketedJoin, q113PartitionPruning, q114SaltedJoin, q115BloomSemiJoin,
     q229ColumnProfile, q230LayoutAdvisor, q246CardinalityAudit, q250BloomZoneMap,
     q258CurveLocality, q260RebalanceAudit, q273CountMinAudit, q278KmvSketch,

@@ -673,7 +673,174 @@ object Multimodal {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
+  /** (doc_id, frame_idx, phash) over ALL frames of each payload — the
+    * video-side signature stream [[q330SceneSegments]] segments. Frames
+    * are the same sniff-dispatched units as [[frameFeaturesOf]] (real
+    * MJPEG frames when the payload is one, [[FrameSize]]-byte chunks
+    * otherwise), hashed by the same bit rule as [[phash60]]. */
+  def framePhashes(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    mediaTable(s, dir).as[MediaRow].mapPartitions { rows =>
+      rows.grouped(BatchSize).flatMap(_.iterator.flatMap { r =>
+        val frames: Iterator[(Array[Byte], Int)] =
+          if (looksLikeMjpeg(r.payload)) splitMjpeg(r.payload).iterator.zipWithIndex
+          else r.payload.grouped(FrameSize).zipWithIndex
+        frames.map { case (fr, idx) => (r.doc_id, idx.toLong, phash60(fr)) }
+      })
+    }.toDF("doc_id", "frame_idx", "phash")
+  }
+
+  /** Video scene segmentation on perceptual frame hashes — the
+    * shot-boundary detector every video curation pipeline runs before
+    * sampling training frames (one frame per SCENE beats one frame
+    * every N: a static shot contributes near-duplicate frames that
+    * near-dup dedup would only re-discover later at pair cost): hash
+    * every frame ([[framePhashes]] — the [[phash60]] bit rule per
+    * frame), compare CONSECUTIVE hashes by exact hamming distance, and
+    * open a new scene when the distance exceeds 24 of 60 bits; the
+    * running sum of boundaries numbers the scenes (the q264
+    * interval-island device on the frame axis). Emits per video:
+    * frames, scenes, the longest scene, and the mean inter-frame
+    * distance (a stability score).
+    *
+    * Scale posture: payloads never shuffle — only (doc_id, frame_idx,
+    * phash) leaves the decode stage; the LAG and the running sum share
+    * ONE doc-partitioned sort, and the rollup is doc-keyed. The oracle
+    * re-derives every frame hash from the payload's character codes, so
+    * the decode pipeline is hash-verified end-to-end (the q124/q148
+    * discipline). */
+  val q330SceneSegments: QueryDef = sql(
+    "q330_scene_segments",
+    s"""WITH b AS (SELECT doc_id, i - 1 AS pos, ascii(substr(text, i, 1)) AS v
+       |           FROM documents, LATERAL (SELECT unnest(range(1, len(text) + 1)) AS i)),
+       |fr AS (SELECT doc_id, pos // $FrameSize AS f, pos % $FrameSize AS off, v FROM b),
+       |fl AS (SELECT doc_id, f, CAST(MAX(off) + 1 AS BIGINT) AS flen FROM fr GROUP BY 1, 2),
+       |c AS (SELECT fr.doc_id, fr.f, CAST((fr.off * 60) // fl.flen AS INT) AS chunk,
+       |        fr.v, fl.flen
+       |      FROM fr JOIN fl ON fl.doc_id = fr.doc_id AND fl.f = fr.f),
+       |cs AS (SELECT doc_id, f, chunk, SUM(v) AS s, COUNT(*) AS l, MAX(flen) AS flen
+       |       FROM c GROUP BY 1, 2, 3),
+       |t AS (SELECT doc_id, f, SUM(s) AS total FROM cs GROUP BY 1, 2),
+       |h AS (SELECT cs.doc_id, cs.f,
+       |        CAST(SUM(CASE WHEN cs.s * cs.flen > t.total * cs.l
+       |                      THEN (CAST(1 AS BIGINT) << chunk) ELSE 0 END) AS BIGINT) AS ph
+       |      FROM cs JOIN t ON t.doc_id = cs.doc_id AND t.f = cs.f GROUP BY 1, 2),
+       |d AS (SELECT doc_id, f, ph,
+       |        LAG(ph) OVER (PARTITION BY doc_id ORDER BY f) AS prev FROM h),
+       |m AS (SELECT doc_id, f,
+       |        CASE WHEN prev IS NULL OR bit_count(xor(ph, prev)) > 24 THEN 1 ELSE 0 END AS ns,
+       |        CASE WHEN prev IS NULL THEN NULL
+       |             ELSE CAST(bit_count(xor(ph, prev)) AS BIGINT) END AS dist
+       |      FROM d),
+       |sc AS (SELECT doc_id, f, dist,
+       |         SUM(ns) OVER (PARTITION BY doc_id ORDER BY f
+       |                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS scene
+       |       FROM m),
+       |per AS (SELECT doc_id, scene, CAST(COUNT(*) AS BIGINT) AS sf FROM sc GROUP BY 1, 2)
+       |SELECT sc.doc_id AS doc_id,
+       |  CAST(COUNT(*) AS BIGINT) AS n_frames,
+       |  CAST(MAX(sc.scene) AS BIGINT) AS n_scenes,
+       |  CAST(MAX(per.sf) AS BIGINT) AS max_scene_frames,
+       |  CAST(SUM(sc.dist) AS BIGINT) AS total_boundary_bits
+       |FROM sc JOIN per ON per.doc_id = sc.doc_id AND per.scene = sc.scene
+       |GROUP BY 1
+       |ORDER BY 1""".stripMargin) { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val byF = Window.partitionBy(col("doc_id")).orderBy(col("frame_idx"))
+    val d = framePhashes(s, dir)
+      .withColumn("prev", lag(col("phash"), 1).over(byF))
+      .withColumn("dist", when(col("prev").isNull, lit(null).cast("long"))
+        .otherwise(expr("CAST(bit_count(phash ^ prev) AS BIGINT)")))
+      .withColumn("ns", when(col("prev").isNull || col("dist") > 24, 1L).otherwise(0L))
+      .withColumn("scene", sum(col("ns")).over(
+        byF.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val per = d.groupBy(col("doc_id"), col("scene")).agg(count(lit(1)).as("sf"))
+    d.join(per, Seq("doc_id", "scene"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_frames"),
+        max(col("scene")).as("n_scenes"),
+        max(col("sf")).as("max_scene_frames"),
+        sum(col("dist")).as("total_boundary_bits"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Voice-activity segmentation (the audio curation gate that trims
+    * silence before transcription or fingerprinting — the audio analog
+    * of q330's shot detector): a window is SPEECH when its energy per
+    * sample exceeds the track's own mean — the comparison
+    * sum_sq · Σn > Σsum_sq · n is exact integers and level-invariant
+    * (the q148/q222 no-division bit rule) — and consecutive speech
+    * windows fuse into segments (the q264 island device on the window
+    * axis; any non-speech window breaks the run). Emits per track:
+    * window/speech counts, segment count, the longest segment, and the
+    * speech fraction. Tracks that never cross their own mean emit
+    * zeroes rather than vanishing — silence-only audio is a finding,
+    * not a missing row.
+    *
+    * Scale posture: one decode pass ([[extractAudioWindows]] — payloads
+    * never shuffle), one doc-keyed totals aggregate broadcast back, one
+    * doc-partitioned island window, one rollup. */
+  val q331VadSegments: QueryDef = sql(
+    "q331_vad_segments",
+    s"""WITH $audioWinSql,
+       |dt AS (SELECT doc_id, CAST(SUM(sum_sq) AS BIGINT) AS tot_sq,
+       |         CAST(SUM(n_samples) AS BIGINT) AS tot_n,
+       |         CAST(COUNT(*) AS BIGINT) AS n_windows
+       |       FROM aw GROUP BY 1),
+       |sp AS (SELECT aw.doc_id, aw.window_idx
+       |       FROM aw JOIN dt USING (doc_id)
+       |       WHERE aw.sum_sq * dt.tot_n > dt.tot_sq * aw.n_samples),
+       |mk AS (SELECT doc_id, window_idx,
+       |         CASE WHEN LAG(window_idx) OVER (PARTITION BY doc_id ORDER BY window_idx)
+       |                   = window_idx - 1 THEN 0 ELSE 1 END AS ns
+       |       FROM sp),
+       |sg AS (SELECT doc_id, window_idx,
+       |         SUM(ns) OVER (PARTITION BY doc_id ORDER BY window_idx
+       |                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS seg
+       |       FROM mk),
+       |per AS (SELECT doc_id, seg, CAST(COUNT(*) AS BIGINT) AS sw FROM sg GROUP BY 1, 2),
+       |agg AS (SELECT doc_id, CAST(SUM(sw) AS BIGINT) AS n_speech,
+       |          CAST(COUNT(*) AS BIGINT) AS n_segments,
+       |          CAST(MAX(sw) AS BIGINT) AS max_segment_windows
+       |        FROM per GROUP BY 1)
+       |SELECT dt.doc_id, dt.n_windows,
+       |  COALESCE(agg.n_speech, 0) AS n_speech,
+       |  COALESCE(agg.n_segments, 0) AS n_segments,
+       |  COALESCE(agg.max_segment_windows, 0) AS max_segment_windows,
+       |  CAST(COALESCE(agg.n_speech, 0) AS DOUBLE) / dt.n_windows AS speech_frac
+       |FROM dt LEFT JOIN agg USING (doc_id)
+       |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val aw = extractAudioWindows(s, dir).toDF()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val dt = aw.groupBy(col("doc_id"))
+      .agg(sum(col("sum_sq")).as("tot_sq"), sum(col("n_samples")).as("tot_n"),
+        count(lit(1)).as("n_windows"))
+    val sp = aw.join(dt, "doc_id")
+      .filter(col("sum_sq") * col("tot_n") > col("tot_sq") * col("n_samples"))
+      .select(col("doc_id"), col("window_idx"))
+    val byW = Window.partitionBy(col("doc_id")).orderBy(col("window_idx"))
+    val sg = sp
+      .withColumn("ns", when(lag(col("window_idx"), 1).over(byW) === col("window_idx") - 1, 0L)
+        .otherwise(1L))
+      .withColumn("seg", sum(col("ns")).over(
+        byW.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val agg = sg.groupBy(col("doc_id"), col("seg")).agg(count(lit(1)).as("sw"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("sw")).as("n_speech"), count(lit(1)).as("n_segments"),
+        max(col("sw")).as("max_segment_windows"))
+    dt.join(agg, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_windows"),
+        coalesce(col("n_speech"), lit(0L)).as("n_speech"),
+        coalesce(col("n_segments"), lit(0L)).as("n_segments"),
+        coalesce(col("max_segment_windows"), lit(0L)).as("max_segment_windows"),
+        (coalesce(col("n_speech"), lit(0L)).cast("double") / col("n_windows"))
+          .as("speech_frac"))
+      .orderBy(col("doc_id"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     q43MultimodalMeta, q44MultimodalFeatures, q44aMultimodalStruct, q53MultimodalFrames,
-    q124AudioWindows, q148PhashDedup, q222AudioFingerprint)
+    q124AudioWindows, q148PhashDedup, q222AudioFingerprint,
+    q330SceneSegments, q331VadSegments)
 }

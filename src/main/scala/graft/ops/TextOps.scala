@@ -5416,7 +5416,275 @@ object TextOps {
       .orderBy(col("lang"), col("len_bucket"))
   }
 
+  /** Winnowing fingerprint overlap (Schleimer–Wilkerson–Aiken SIGMOD'03,
+    * the MOSS device): hash every word-5-gram shingle, slide a window of
+    * w = 4 consecutive shingle positions, and keep each window's MINIMUM
+    * hash — the selection lemma guarantees any shared run of ≥ k + w − 1
+    * tokens contributes at least one COMMON fingerprint while storing
+    * only ~2/(w+1) of the shingles, and because selection is per-window
+    * LOCAL, fingerprints survive the global position shift that breaks
+    * exact hashing (q30) — the contrast with q26's whole-doc min/max
+    * signature and q177's full n-gram containment: same guarantee class
+    * at a w-fold smaller index. Cross-source pairs sharing ≥ 2 capped
+    * fingerprints emit with a containment score. The fixture has no
+    * organic shifted copies, so the face synthesizes re-ingests
+    * deterministically (the q194/q222 device): every %31 doc reappears
+    * at doc_id + 3000000 under source 'reingest' with a 2-token prefix
+    * — exact dedup misses it, winnowing catches it, which is the point.
+    *
+    * Scale posture: one scan to shingle-hash (md5 → 48-bit ints, exact
+    * in both engines), per-doc window minima (one partitioned window,
+    * no self-join — the fingerprint SET is just the distinct window
+    * minima), then a fingerprint-keyed equi-join whose fan-out is
+    * df-capped at 50 docs per fingerprint (the q102 hot-key device), so
+    * candidate volume is Σ min(df,50)² — never all-pairs. */
+  val q326Winnowing: QueryDef = sql(
+    "q326_winnowing",
+    """WITH raw AS (SELECT doc_id, source, string_split(text, ' ') AS toks FROM documents),
+      |aug AS (SELECT doc_id, source, toks FROM raw
+      |        UNION ALL
+      |        SELECT doc_id + 3000000, 'reingest',
+      |               list_concat(['copy', 'notice:'], toks)
+      |        FROM raw WHERE doc_id % 31 = 0),
+      |base AS (SELECT doc_id, source, toks FROM aug WHERE len(toks) >= 8),
+      |sh AS (SELECT doc_id, i - 1 AS p,
+      |         CAST(('0x' || substr(md5(array_to_string(list_slice(toks, i, i + 4), ' ')), 1, 12)) AS BIGINT) AS h
+      |       FROM base, LATERAL (SELECT unnest(range(1, len(toks) - 3)) AS i)),
+      |wm AS (SELECT doc_id, p,
+      |         MIN(h) OVER (PARTITION BY doc_id ORDER BY p
+      |                      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS wmin,
+      |         COUNT(*) OVER (PARTITION BY doc_id) AS n_sh
+      |       FROM sh),
+      |fp AS (SELECT DISTINCT doc_id, wmin AS h FROM wm WHERE p <= n_sh - 4),
+      |hd AS (SELECT h FROM fp GROUP BY h HAVING COUNT(*) <= 50),
+      |fpc AS (SELECT f.doc_id, f.h FROM fp f JOIN hd USING (h)),
+      |cnt AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS nf FROM fpc GROUP BY 1),
+      |src AS (SELECT doc_id, source FROM base),
+      |pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |            CAST(COUNT(*) AS BIGINT) AS n_shared
+      |          FROM fpc a JOIN fpc b ON b.h = a.h AND a.doc_id < b.doc_id
+      |          JOIN src sa ON sa.doc_id = a.doc_id
+      |          JOIN src sb ON sb.doc_id = b.doc_id
+      |          WHERE sa.source <> sb.source
+      |          GROUP BY 1, 2)
+      |SELECT p.doc_a, p.doc_b, p.n_shared, ca.nf AS fp_a, cb.nf AS fp_b,
+      |  CAST(p.n_shared AS DOUBLE) / LEAST(ca.nf, cb.nf) AS containment
+      |FROM pairs p
+      |JOIN cnt ca ON ca.doc_id = p.doc_a
+      |JOIN cnt cb ON cb.doc_id = p.doc_b
+      |WHERE p.n_shared >= 2
+      |ORDER BY doc_a, doc_b""".stripMargin) { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val raw = Tables.fanOut(Tables.documents(s, dir))
+      .select(col("doc_id"), col("source"), split(col("text"), " ").as("toks"))
+    val aug = raw.unionByName(raw.filter(col("doc_id") % 31 === 0)
+      .select((col("doc_id") + 3000000L).as("doc_id"), lit("reingest").as("source"),
+        concat(array(lit("copy"), lit("notice:")), col("toks")).as("toks")))
+    val base = aug.filter(size(col("toks")) >= 8)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sh = base.select(col("doc_id"), posexplode(expr(
+        "transform(sequence(0, size(toks) - 5), i -> " +
+        "CAST(conv(substring(md5(concat_ws(' ', slice(toks, i + 1, 5))), 1, 12), 16, 10) AS BIGINT))")))
+      .toDF("doc_id", "p", "h")
+    val byP = Window.partitionBy(col("doc_id")).orderBy(col("p"))
+    val fp = sh
+      .withColumn("wmin", min(col("h")).over(byP.rowsBetween(0, 3)))
+      .withColumn("n_sh", count(lit(1)).over(Window.partitionBy(col("doc_id"))))
+      .filter(col("p") <= col("n_sh") - 4)
+      .select(col("doc_id"), col("wmin").as("h")).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // hot-fingerprint cap: a boilerplate shingle shared by thousands of
+    // docs must not quadratically explode the candidate join (q102)
+    val hd = fp.groupBy(col("h")).agg(count(lit(1)).as("dfh"))
+      .filter(col("dfh") <= 50).select(col("h"))
+    val fpc = fp.join(hd, "h")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cnt = fpc.groupBy(col("doc_id")).agg(count(lit(1)).as("nf"))
+    val srcRel = base.select(col("doc_id"), col("source"))
+    val pairs = fpc.select(col("doc_id").as("doc_a"), col("h"))
+      .join(fpc.select(col("doc_id").as("doc_b"), col("h")), "h")
+      .filter(col("doc_a") < col("doc_b"))
+      .join(srcRel.select(col("doc_id").as("doc_a"), col("source").as("src_a")), "doc_a")
+      .join(srcRel.select(col("doc_id").as("doc_b"), col("source").as("src_b")), "doc_b")
+      .filter(col("src_a") =!= col("src_b"))
+      .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("n_shared"))
+    pairs
+      .join(cnt.select(col("doc_id").as("doc_a"), col("nf").as("fp_a")), "doc_a")
+      .join(cnt.select(col("doc_id").as("doc_b"), col("nf").as("fp_b")), "doc_b")
+      .filter(col("n_shared") >= 2)
+      .select(col("doc_a"), col("doc_b"), col("n_shared"), col("fp_a"), col("fp_b"),
+        (col("n_shared").cast("double") / least(col("fp_a"), col("fp_b"))).as("containment"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** Encoding-integrity (mojibake) audit — the ingest QA gate every
+    * web-scale text pipeline runs before tokenization: per source,
+    * count documents carrying (a) U+FFFD replacement characters (a
+    * decoder already gave up), (b) C0 control bytes outside tab/newline
+    * (binary bleed-through), (c) the 'Ã'-family double-encoding
+    * signature (UTF-8 read as Latin-1 and re-encoded — 'é' becomes
+    * 'Ã©'), and (d) non-breaking spaces masquerading as word joiners
+    * (they silently glue tokens through a whitespace tokenizer). The
+    * synthetic fixture is clean ASCII, so each defect class is injected
+    * deterministically on its own residue class (the q194/q222
+    * synthesis device) — the audit must find EXACTLY the planted sets,
+    * making over- and under-matching both visible in the hash.
+    *
+    * Scale posture: one scan, per-doc flags from split-counting (no
+    * regex backtracking in the hot path), one source-sized aggregate. */
+  val q327MojibakeAudit: QueryDef = {
+    // defect markers pinned once as ASCII escape spellings and
+    // interpolated into BOTH faces at runtime -- the source file stays
+    // ASCII and the two engines provably inject byte-identical text
+    val repl = "\uFFFD"            // replacement character
+    val nbsp = "\u00A0"            // non-breaking space
+    val mojN = "\u00C3\u00A9"      // UTF-8 e-acute re-read as Latin-1
+    val moji = s" th$mojN caf$mojN"
+    sql(
+      "q327_mojibake_audit",
+      s"""WITH aug AS (
+       |  SELECT doc_id, source,
+       |    text
+       |      || CASE WHEN doc_id % 13 = 0 THEN '$moji' ELSE '' END
+       |      || CASE WHEN doc_id % 17 = 0 THEN ' $repl$repl' ELSE '' END
+       |      || CASE WHEN doc_id % 19 = 0 THEN chr(7) || chr(27) ELSE '' END
+       |      || CASE WHEN doc_id % 23 = 0 THEN 'a' || '$nbsp' || 'b' ELSE '' END AS text
+       |  FROM documents),
+       |flags AS (
+       |  SELECT source,
+       |    CASE WHEN len(string_split(text, '$repl')) > 1 THEN 1 ELSE 0 END AS f_repl,
+       |    CASE WHEN len(regexp_extract_all(text, '[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f]')) > 0
+       |         THEN 1 ELSE 0 END AS f_ctrl,
+       |    CASE WHEN len(string_split(text, '$mojN')) > 1 THEN 1 ELSE 0 END AS f_moji,
+       |    CASE WHEN len(string_split(text, '$nbsp')) > 1 THEN 1 ELSE 0 END AS f_nbsp
+       |  FROM aug)
+       |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |  CAST(SUM(f_repl) AS BIGINT) AS n_replacement,
+       |  CAST(SUM(f_ctrl) AS BIGINT) AS n_control,
+       |  CAST(SUM(f_moji) AS BIGINT) AS n_mojibake,
+       |  CAST(SUM(f_nbsp) AS BIGINT) AS n_nbsp,
+       |  CAST(SUM(CASE WHEN f_repl + f_ctrl + f_moji + f_nbsp > 0 THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_dirty
+       |FROM flags GROUP BY source
+       |ORDER BY source""".stripMargin) { (s, dir) =>
+      def splitHits(c: Column, needle: String): Column =
+        when(size(split(c, java.util.regex.Pattern.quote(needle), -1)) > 1, 1).otherwise(0)
+      val aug = Tables.fanOut(Tables.documents(s, dir)).select(col("doc_id"), col("source"),
+        concat(col("text"),
+          when(col("doc_id") % 13 === 0, moji).otherwise(""),
+          when(col("doc_id") % 17 === 0, s" $repl$repl").otherwise(""),
+          when(col("doc_id") % 19 === 0, "\u0007\u001B").otherwise(""),
+          when(col("doc_id") % 23 === 0, s"a${nbsp}b").otherwise("")).as("text"))
+      aug.select(col("source"),
+          splitHits(col("text"), repl).as("f_repl"),
+          when(size(regexp_extract_all(col("text"),
+            lit("[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f]"), lit(0))) > 0, 1)
+            .otherwise(0).as("f_ctrl"),
+          splitHits(col("text"), mojN).as("f_moji"),
+          splitHits(col("text"), nbsp).as("f_nbsp"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("f_repl")).as("n_replacement"),
+          sum(col("f_ctrl")).as("n_control"),
+          sum(col("f_moji")).as("n_mojibake"),
+          sum(col("f_nbsp")).as("n_nbsp"),
+          sum(when(col("f_repl") + col("f_ctrl") + col("f_moji") + col("f_nbsp") > 0, 1)
+            .otherwise(0)).as("n_dirty"))
+        .orderBy(col("source"))
+    }
+  }
+
+  /** Rank-biased overlap (Webber–Moffat–Zobel TOIS'10) between the BM25
+    * ranking (q136's exact formula off the shared postings) and a
+    * TF-IDF ranking of the same queries — the top-weighted agreement
+    * score used to answer "did swapping the retriever actually change
+    * what users see?", where Kendall/Spearman (q296) mis-serve because
+    * they weight rank 100 like rank 1. Truncated RBO@10 with
+    * persistence p = ½: RBO = Σ_{d=1..10} (½)^d · |A_d ∩ B_d| / d.
+    * With dyadic p every term is an exact rational, so the face
+    * computes the EXACT integer rbo_scaled = Σ_d ov_d · 2^{10−d} ·
+    * (2520/d) (2520 = lcm 1..10; K = 2¹⁰·2520) and divides once at
+    * emit — no float accumulation order to diverge on (the q143
+    * integer-trajectory device applied to rank agreement). Queries
+    * whose top-10s are disjoint emit 0, not nothing.
+    *
+    * Scale posture: both legs ride the persisted postings with
+    * broadcast query terms (the q136 plan); the RBO join is
+    * (query, doc)-keyed over two 10-row-per-query relations, and the
+    * weight relation is 10 rows broadcast. */
+  val q333Rbo: QueryDef = sql(
+    "q333_rbo",
+    s"""WITH $bm25PrefixSql,
+       |bsc AS (
+       |${bm25ScoreSql("qt")}),
+       |ar AS (SELECT query_id, doc_id,
+       |         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY raw DESC, doc_id) AS ra
+       |       FROM bsc),
+       |tsc AS (SELECT q.query_id, t.doc_id,
+       |          SUM(t.tf * LN(CAST(s.n_docs AS DOUBLE) / d.df)) AS raw
+       |        FROM qt q
+       |        JOIN tf t ON t.word = q.word AND t.doc_id <> q.query_id
+       |        JOIN df d ON d.word = q.word, stats s
+       |        GROUP BY 1, 2),
+       |br AS (SELECT query_id, doc_id,
+       |         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY raw DESC, doc_id) AS rb
+       |       FROM tsc),
+       |pr AS (SELECT a.query_id, GREATEST(a.ra, b.rb) AS m
+       |       FROM (SELECT * FROM ar WHERE ra <= 10) a
+       |       JOIN (SELECT * FROM br WHERE rb <= 10) b USING (query_id, doc_id)),
+       |w AS (SELECT d, (CAST(1 AS BIGINT) << (10 - d)) * (2520 // d) AS wgt
+       |      FROM (SELECT unnest(range(1, 11)) AS d)),
+       |com AS (SELECT query_id, CAST(COUNT(*) AS BIGINT) AS n_common FROM pr GROUP BY 1),
+       |rs AS (SELECT pr.query_id, CAST(SUM(w.wgt) AS BIGINT) AS rbo_scaled
+       |       FROM pr JOIN w ON w.d >= pr.m GROUP BY 1),
+       |ql AS (SELECT DISTINCT query_id FROM qt)
+       |SELECT ql.query_id,
+       |  COALESCE(com.n_common, 0) AS n_common,
+       |  COALESCE(rs.rbo_scaled, 0) AS rbo_scaled,
+       |  CAST(COALESCE(rs.rbo_scaled, 0) AS DOUBLE) / 2580480.0 AS rbo
+       |FROM ql LEFT JOIN com USING (query_id) LEFT JOIN rs USING (query_id)
+       |ORDER BY query_id""".stripMargin) { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val (tf, dl, df) = postingsIndex(s, Tables.documents(s, dir))
+    val stats = dl.agg(count(lit(1)).as("n_docs"), avg(col("dl")).as("avgdl"))
+    val qt = tf.filter(col("doc_id") % 100 === 0)
+      .select(col("doc_id").as("query_id"), col("word"))
+    val byQ = Window.partitionBy(col("query_id"))
+    val bm25Term =
+      log(lit(1.0) + (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5))) *
+        (col("tf") * lit(2.2)) /
+        (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / col("avgdl")))
+    val joined = broadcast(qt).join(tf, Seq("word"))
+      .filter(col("doc_id") =!= col("query_id"))
+      .join(broadcast(df), Seq("word"))
+      .join(dl, Seq("doc_id"))
+      .crossJoin(broadcast(stats))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val ar = joined.groupBy(col("query_id"), col("doc_id")).agg(sum(bm25Term).as("raw"))
+      .withColumn("ra", row_number().over(byQ.orderBy(col("raw").desc, col("doc_id"))))
+      .filter(col("ra") <= 10).select(col("query_id"), col("doc_id"), col("ra"))
+    val tfidfTerm = col("tf") * log(col("n_docs").cast("double") / col("df"))
+    val br = joined.groupBy(col("query_id"), col("doc_id")).agg(sum(tfidfTerm).as("raw"))
+      .withColumn("rb", row_number().over(byQ.orderBy(col("raw").desc, col("doc_id"))))
+      .filter(col("rb") <= 10).select(col("query_id"), col("doc_id"), col("rb"))
+    val pr = ar.join(br, Seq("query_id", "doc_id"))
+      .select(col("query_id"), greatest(col("ra"), col("rb")).as("m"))
+    import s.implicits._
+    val w = (1 to 10).map(d => (d.toLong, (1L << (10 - d)) * (2520L / d))).toDF("d", "wgt")
+    val com = pr.groupBy(col("query_id")).agg(count(lit(1)).as("n_common"))
+    val rs = pr.join(broadcast(w), col("d") >= col("m"))
+      .groupBy(col("query_id")).agg(sum(col("wgt")).as("rbo_scaled"))
+    val ql = qt.select(col("query_id")).distinct()
+    ql.join(com, Seq("query_id"), "left").join(rs, Seq("query_id"), "left")
+      .select(col("query_id"),
+        coalesce(col("n_common"), lit(0L)).as("n_common"),
+        coalesce(col("rbo_scaled"), lit(0L)).as("rbo_scaled"),
+        (coalesce(col("rbo_scaled"), lit(0L)).cast("double") / lit(2580480.0)).as("rbo"))
+      .orderBy(col("query_id"))
+  }
+
   val all: Seq[QueryDef] = Seq(
+    q326Winnowing, q327MojibakeAudit, q333Rbo,
     q276EpochAllocation, q277CoverageSelect, q289Chao1, q316TCloseness,
     q21TextStats, q22WordFreq, q23BigramFreq, q24LangId, q25QualityScore,
     q26Fingerprint, q27TokenRegex, q62TrainSplit, q64TermFreqMap,

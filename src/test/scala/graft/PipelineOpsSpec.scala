@@ -1,0 +1,133 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.{Analytics, Layout, Multimodal, TextOps}
+import graft.sources.Tables
+
+/** Targeted proofs for the round-6 pipeline-ops wave (q326–q333): each
+  * face is already hash-gated against DuckDB; these tests pin the
+  * SEMANTIC claims the hashes alone don't state — shift robustness,
+  * planted-defect recovery, delta-rule equality with a from-scratch
+  * recompute, and the structural invariants of each output. */
+class PipelineOpsSpec extends SparkSpec {
+
+  test("winnowing: the synthesized shifted re-ingests are caught with high containment") {
+    val rows = TextOps.q326Winnowing.run(spark, sfDir).collect()
+    assert(rows.nonEmpty, "winnowing must surface the planted shifted copies")
+    rows.foreach { r =>
+      val (nShared, fa, fb, cont) = (r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5))
+      assert(nShared >= 2 && nShared <= math.min(fa, fb))
+      assert(cont > 0.0 && cont <= 1.0)
+    }
+    // a 2-token prefix shifts every shingle position; winnowing's
+    // window-local selection must still share most interior minima
+    val reingest = rows.filter(r => r.getLong(1) == r.getLong(0) + 3000000L)
+    assert(reingest.nonEmpty, "every %31 doc with >= 8 tokens reappears shifted")
+    assert(reingest.exists(_.getDouble(5) >= 0.5),
+      "shifted copies must retain at least half their fingerprints")
+  }
+
+  test("mojibake audit recovers exactly the planted defect classes") {
+    val docs = Tables.documents(spark, sfDir).select(col("doc_id")).collect().map(_.getLong(0))
+    val got = TextOps.q327MojibakeAudit.run(spark, sfDir).collect()
+    def tot(i: Int) = got.map(_.getLong(i)).sum
+    assert(tot(1) == docs.length, "n_docs must cover the corpus")
+    assert(tot(2) == docs.count(_ % 17 == 0), "replacement-char set = the %17 class")
+    assert(tot(3) == docs.count(_ % 19 == 0), "control-char set = the %19 class")
+    assert(tot(4) == docs.count(_ % 13 == 0), "mojibake set = the %13 class")
+    assert(tot(5) == docs.count(_ % 23 == 0), "nbsp set = the %23 class")
+    assert(tot(6) == docs.count(d => d % 13 == 0 || d % 17 == 0 || d % 19 == 0 || d % 23 == 0),
+      "dirty = the union of the planted classes, nothing else")
+  }
+
+  test("rbo: exact dyadic scaling invariants hold per query") {
+    val rows = TextOps.q333Rbo.run(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val fullAgreement = 2520L * 1023L // ov_d = d for all d: 2520 * sum 2^(10-d)
+    rows.foreach { r =>
+      val (nc, scaled, rbo) = (r.getLong(1), r.getLong(2), r.getDouble(3))
+      assert(scaled >= 0 && scaled <= fullAgreement)
+      assert((nc == 0) == (scaled == 0), "zero overlap iff zero score")
+      assert(rbo == scaled.toDouble / 2580480.0, "the emitted double is the one exact division")
+    }
+  }
+
+  test("postings varint audit: compression never exceeds raw and frequent terms compress hardest") {
+    val rows = Layout.q328PostingsVarint.run(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (terms, posts, raw, vb, frac) =
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5))
+      assert(terms >= 1 && posts >= terms)
+      assert(raw == posts * 8 && vb >= posts && vb <= raw)
+      assert(frac > 0.0 && frac <= 1.0)
+    }
+    // the inverse-frequency law: the highest-df class beats the lowest
+    val byClass = rows.map(r => r.getLong(0) -> r.getDouble(5)).sortBy(_._1)
+    if (byClass.length >= 2)
+      assert(byClass.last._2 <= byClass.head._2,
+        "dense postings (small gaps) must compress at least as hard as sparse ones")
+  }
+
+  test("partition skew planner: slots partition the fact exactly") {
+    val rows = Layout.q329PartitionSkew.run(spark, sfDir).collect()
+    assert(rows.map(_.getLong(0)).toSeq == (0L until 32L),
+      "all 32 slots must appear in order")
+    val totalRows = rows.map(_.getLong(1)).sum
+    assert(totalRows == Tables.lineitem(spark, sfDir).count(),
+      "slot loads must sum to the fact row count")
+    rows.foreach { r =>
+      assert(r.getLong(2) <= r.getLong(1), "n_keys <= n_rows")
+      assert(r.getLong(3) <= r.getLong(1), "max_key_rows <= n_rows")
+    }
+  }
+
+  test("scene segments: counts are consistent and frames cover every payload") {
+    val rows = Multimodal.q330SceneSegments.run(spark, sfDir).collect()
+    val expectedFrames = Tables.documents(spark, sfDir)
+      .select(expr("CAST(CEIL(length(text) / 256.0) AS BIGINT)").as("nf"))
+      .agg(sum(col("nf"))).collect()(0).getLong(0)
+    assert(rows.map(_.getLong(1)).sum == expectedFrames,
+      "every 256-byte chunk of every payload is a frame")
+    rows.foreach { r =>
+      val (nf, ns, mx) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(ns >= 1 && ns <= nf, "between one scene and one per frame")
+      assert(mx >= 1 && mx <= nf)
+      if (nf == 1) assert(ns == 1)
+    }
+  }
+
+  test("vad segments: speech windows and segments nest correctly") {
+    val rows = Multimodal.q331VadSegments.run(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (nw, nsp, nseg, mx, frac) =
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5))
+      assert(nsp <= nw && nseg <= nsp && mx <= nsp)
+      assert((nsp == 0) == (nseg == 0))
+      assert(frac == nsp.toDouble / nw)
+      // strict above-own-mean rule: a track can never be all speech
+      assert(nsp < nw || nw == 0)
+    }
+    assert(rows.exists(_.getLong(3) > 0), "the fixture has energy contrast somewhere")
+  }
+
+  test("delta-join MV equals the from-scratch join recompute") {
+    val direct = Tables.orders(spark, sfDir)
+      .join(Tables.customer(spark, sfDir),
+        col("c_custkey") === col("o_custkey"))
+      .groupBy(col("c_nationkey"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(expr("CAST(FLOOR(o_totalprice * 100) AS BIGINT)")).as("sum_cents"),
+        expr("bit_xor(CAST(conv(substring(md5(CAST(o_orderkey AS STRING)), 1, 15), 16, 10) AS BIGINT))")
+          .as("key_fp"))
+      .collect().map(r => (r.getInt(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    val got = Analytics.q332DeltaJoinMv.run(spark, sfDir)
+      .collect().map(r => (r.getInt(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(got == direct,
+      "the delta rule must reproduce the full join's counts, cents, and key fingerprints")
+  }
+}
