@@ -5654,18 +5654,22 @@ object TextOps {
       log(lit(1.0) + (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5))) *
         (col("tf") * lit(2.2)) /
         (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / col("avgdl")))
-    val joined = broadcast(qt).join(tf, Seq("word"))
+    val tfidfTerm = col("tf") * log(col("n_docs").cast("double") / col("df"))
+    // BOTH scorers ride ONE postings join and ONE (query, doc) aggregate
+    // — the legs differ only in which sum they rank on
+    val scored = broadcast(qt).join(tf, Seq("word"))
       .filter(col("doc_id") =!= col("query_id"))
       .join(broadcast(df), Seq("word"))
       .join(dl, Seq("doc_id"))
       .crossJoin(broadcast(stats))
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(sum(bm25Term).as("raw_a"), sum(tfidfTerm).as("raw_b"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val ar = joined.groupBy(col("query_id"), col("doc_id")).agg(sum(bm25Term).as("raw"))
-      .withColumn("ra", row_number().over(byQ.orderBy(col("raw").desc, col("doc_id"))))
+    val ar = scored
+      .withColumn("ra", row_number().over(byQ.orderBy(col("raw_a").desc, col("doc_id"))))
       .filter(col("ra") <= 10).select(col("query_id"), col("doc_id"), col("ra"))
-    val tfidfTerm = col("tf") * log(col("n_docs").cast("double") / col("df"))
-    val br = joined.groupBy(col("query_id"), col("doc_id")).agg(sum(tfidfTerm).as("raw"))
-      .withColumn("rb", row_number().over(byQ.orderBy(col("raw").desc, col("doc_id"))))
+    val br = scored
+      .withColumn("rb", row_number().over(byQ.orderBy(col("raw_b").desc, col("doc_id"))))
       .filter(col("rb") <= 10).select(col("query_id"), col("doc_id"), col("rb"))
     val pr = ar.join(br, Seq("query_id", "doc_id"))
       .select(col("query_id"), greatest(col("ra"), col("rb")).as("m"))
