@@ -229,40 +229,42 @@ object Contracts {
     * would catch the classic fat-finger in a PII/redaction pipeline
     * (q72's account-number patterns get their validity check here).
     * Pure scan-level digit folds; exact integers end to end. */
-  val q313LuhnAudit: QueryDef = {
-    // digit i (1-based, left to right) of a 16-char PAN is doubled when
-    // i is odd (positions 16,14,… from the right)
-    def luhnSumSql(s: String): String =
+  // Luhn digit folds, shared by q313 (validity audit) and q335 (PII
+  // scan): digit i (1-based, left to right) of a 16-char PAN is doubled
+  // when i is odd (positions 16,14,… from the right)
+  private def luhnSumSql(s: String): String =
       s"""list_reduce(list_transform(range(1, 17), i ->
          |  CASE WHEN i % 2 = 1
          |    THEN CASE WHEN 2 * CAST(substr($s, i, 1) AS BIGINT) > 9
          |      THEN 2 * CAST(substr($s, i, 1) AS BIGINT) - 9
          |      ELSE 2 * CAST(substr($s, i, 1) AS BIGINT) END
          |    ELSE CAST(substr($s, i, 1) AS BIGINT) END), (x, y) -> x + y)""".stripMargin
-    def luhnSumSpark(s: String): String =
+  private def luhnSumSpark(s: String): String =
       s"""aggregate(transform(sequence(1, 16), i ->
          |  CASE WHEN i % 2 = 1
          |    THEN CASE WHEN 2L * CAST(substring($s, i, 1) AS BIGINT) > 9L
          |      THEN 2L * CAST(substring($s, i, 1) AS BIGINT) - 9L
          |      ELSE 2L * CAST(substring($s, i, 1) AS BIGINT) END
          |    ELSE CAST(substring($s, i, 1) AS BIGINT) END), 0L, (x, y) -> x + y)""".stripMargin
-    // payload digit i of the 15-char body sits at PAN position i, so the
-    // same parity rule applies; the check digit (position 16) is even —
-    // never doubled — hence check = (10 - sum mod 10) mod 10
-    def paySumSql(s: String): String =
+  // payload digit i of the 15-char body sits at PAN position i, so the
+  // same parity rule applies; the check digit (position 16) is even —
+  // never doubled — hence check = (10 - sum mod 10) mod 10
+  private def paySumSql(s: String): String =
       s"""list_reduce(list_transform(range(1, 16), i ->
          |  CASE WHEN i % 2 = 1
          |    THEN CASE WHEN 2 * CAST(substr($s, i, 1) AS BIGINT) > 9
          |      THEN 2 * CAST(substr($s, i, 1) AS BIGINT) - 9
          |      ELSE 2 * CAST(substr($s, i, 1) AS BIGINT) END
          |    ELSE CAST(substr($s, i, 1) AS BIGINT) END), (x, y) -> x + y)""".stripMargin
-    def paySumSpark(s: String): String =
+  private def paySumSpark(s: String): String =
       s"""aggregate(transform(sequence(1, 15), i ->
          |  CASE WHEN i % 2 = 1
          |    THEN CASE WHEN 2L * CAST(substring($s, i, 1) AS BIGINT) > 9L
          |      THEN 2L * CAST(substring($s, i, 1) AS BIGINT) - 9L
          |      ELSE 2L * CAST(substring($s, i, 1) AS BIGINT) END
          |    ELSE CAST(substring($s, i, 1) AS BIGINT) END), 0L, (x, y) -> x + y)""".stripMargin
+
+  val q313LuhnAudit: QueryDef = {
     sql(
       "q313_luhn_audit",
       s"""WITH body AS (
@@ -304,5 +306,99 @@ object Contracts {
     }
   }
 
-  val all: Seq[QueryDef] = Seq(q272DataContracts, q298OpsScorecard, q313LuhnAudit)
+  /** PII exposure scan — the compliance sweep a corpus release runs
+    * BEFORE q72's redaction rewrites anything: per source, how many
+    * documents expose an email, a phone number, or a 16-digit account
+    * number, and — the detector-quality split — how many of those
+    * number runs actually Luhn-verify (a random 16-digit run is a
+    * phone-book artifact 90% of the time; a VALID one is a card). Four
+    * defect classes are planted deterministically (the q327 device):
+    * emails on %11, phones on %29, Luhn-VALID PANs on %37 (minted with
+    * the q313 check digit), and Luhn-INVALID 16-digit runs on %41 (the
+    * minted PAN with one digit bumped — q313's corruption), so the scan
+    * must separate digit-shaped noise from verifying card numbers, not
+    * just regex-match.
+    *
+    * Scale posture: one scan — regex flags and the Luhn fold are all
+    * scan-level projections — and one source-sized aggregate. */
+  val q335PiiScan: QueryDef = sql(
+    "q335_pii_scan",
+    s"""WITH pan AS (
+       |  SELECT doc_id,
+       |    lpad(CAST((doc_id * 7919 + 12345) % 1000000000000000 AS VARCHAR), 15, '0') AS b
+       |  FROM documents),
+       |panx AS (SELECT doc_id,
+       |    b || CAST((10 - (${paySumSql("b")}) % 10) % 10 AS VARCHAR) AS p
+       |  FROM pan),
+       |aug AS (
+       |  SELECT d.doc_id, d.source, d.text
+       |    || CASE WHEN d.doc_id % 11 = 0
+       |         THEN ' mail user' || CAST(d.doc_id AS VARCHAR) || '@corp.example now' ELSE '' END
+       |    || CASE WHEN d.doc_id % 29 = 0
+       |         THEN ' call +1-555-' || lpad(CAST(d.doc_id % 10000 AS VARCHAR), 4, '0') || ' now' ELSE '' END
+       |    || CASE WHEN d.doc_id % 37 = 0 THEN ' pan ' || px.p || ' end' ELSE '' END
+       |    || CASE WHEN d.doc_id % 41 = 0
+       |         THEN ' ref ' || substr(px.p, 1, 2)
+       |           || CAST((CAST(substr(px.p, 3, 1) AS BIGINT) + 1) % 10 AS VARCHAR)
+       |           || substr(px.p, 4) || ' end' ELSE '' END AS text
+       |  FROM documents d JOIN panx px USING (doc_id)),
+       |flags AS (
+       |  SELECT source,
+       |    CASE WHEN regexp_matches(text, '[a-z0-9._]+@[a-z.]+[a-z]') THEN 1 ELSE 0 END AS f_email,
+       |    CASE WHEN regexp_matches(text, '\\+1-[0-9]{3}-[0-9]{4}') THEN 1 ELSE 0 END AS f_phone,
+       |    CASE WHEN len(cand) = 16 THEN 1 ELSE 0 END AS f_pan,
+       |    CASE WHEN len(cand) = 16 AND (${luhnSumSql("cand")}) % 10 = 0
+       |         THEN 1 ELSE 0 END AS f_valid
+       |  FROM (SELECT source, text, regexp_extract(text, '[0-9]{16}') AS cand FROM aug))
+       |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |  CAST(SUM(f_email) AS BIGINT) AS n_email,
+       |  CAST(SUM(f_phone) AS BIGINT) AS n_phone,
+       |  CAST(SUM(f_pan) AS BIGINT) AS n_pan_shaped,
+       |  CAST(SUM(f_valid) AS BIGINT) AS n_pan_valid,
+       |  CAST(SUM(CASE WHEN f_email + f_phone + f_pan > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_exposed,
+       |  CAST(SUM(CASE WHEN f_email + f_phone + f_pan > 0 THEN 1 ELSE 0 END) AS BIGINT)
+       |    * 1000000 // COUNT(*) AS exposed_micro
+       |FROM flags GROUP BY source
+       |ORDER BY source""".stripMargin) { (s, dir) =>
+    val panx = Tables.documents(s, dir).select(col("doc_id"), expr(
+        "lpad(CAST((doc_id * 7919L + 12345L) % 1000000000000000L AS STRING), 15, '0')").as("b"))
+      .select(col("doc_id"),
+        expr(s"concat(b, CAST((10L - (${paySumSpark("b")}) % 10L) % 10L AS STRING))").as("p"))
+    val aug = Tables.fanOut(Tables.documents(s, dir)).join(panx, "doc_id")
+      .select(col("source"), concat(col("text"),
+        when(col("doc_id") % 11 === 0,
+          concat(lit(" mail user"), col("doc_id").cast("string"), lit("@corp.example now")))
+          .otherwise(""),
+        when(col("doc_id") % 29 === 0,
+          concat(lit(" call +1-555-"), lpad((col("doc_id") % 10000).cast("string"), 4, "0"),
+            lit(" now"))).otherwise(""),
+        when(col("doc_id") % 37 === 0, concat(lit(" pan "), col("p"), lit(" end")))
+          .otherwise(""),
+        when(col("doc_id") % 41 === 0, concat(lit(" ref "),
+          expr("concat(substring(p, 1, 2), CAST((CAST(substring(p, 3, 1) AS BIGINT) + 1L) % 10L AS STRING), substring(p, 4))"),
+          lit(" end"))).otherwise("")).as("text"))
+    val flags = aug
+      .withColumn("cand", regexp_extract(col("text"), "[0-9]{16}", 0))
+      .select(col("source"),
+        when(col("text").rlike("[a-z0-9._]+@[a-z.]+[a-z]"), 1).otherwise(0).as("f_email"),
+        when(col("text").rlike("\\+1-[0-9]{3}-[0-9]{4}"), 1).otherwise(0).as("f_phone"),
+        when(length(col("cand")) === 16, 1).otherwise(0).as("f_pan"),
+        when(length(col("cand")) === 16 &&
+          expr(s"(${luhnSumSpark("cand")}) % 10L") === 0L, 1).otherwise(0).as("f_valid"))
+    flags.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("f_email")).as("n_email"),
+        sum(col("f_phone")).as("n_phone"),
+        sum(col("f_pan")).as("n_pan_shaped"),
+        sum(col("f_valid")).as("n_pan_valid"),
+        sum(when(col("f_email") + col("f_phone") + col("f_pan") > 0, 1).otherwise(0))
+          .as("n_exposed"))
+      .select(col("source"), col("n_docs"), col("n_email"), col("n_phone"),
+        col("n_pan_shaped"), col("n_pan_valid"), col("n_exposed"),
+        expr("n_exposed * 1000000L DIV n_docs").as("exposed_micro"))
+      .orderBy(col("source"))
+  }
+
+  val all: Seq[QueryDef] = Seq(q272DataContracts, q298OpsScorecard, q313LuhnAudit,
+    q335PiiScan)
 }

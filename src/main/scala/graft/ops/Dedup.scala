@@ -1984,7 +1984,97 @@ object Dedup {
       .orderBy(col("kind"), col("edit_pos"))
   }
 
+  /** Blocking-quality audit (Christen, TKDE 2012's two numbers): every
+    * blocked dedup run (q31's bands, q306's windows, q234's prefixes)
+    * silently trades RECALL for CANDIDATE VOLUME, and this operator
+    * prices that trade against ground truth — the q194 canonical-dup
+    * corpus (originals + planted UPPER and double-space re-ingests,
+    * truth = canonical-hash groups). Two schemes compete:
+    * `raw_first_token` (blocks on the raw first token — cheap, but the
+    * UPPER variants land in different blocks and their truth pairs are
+    * LOST) and `canon_first_token` (blocks on the canonicalized first
+    * token — catches everything at similar volume). Emits per scheme:
+    * blocks, candidate pairs Σ n(n−1)/2, truth pairs caught, pairs
+    * completeness (recall), and reduction ratio vs the N(N−1)/2
+    * all-pairs baseline — PC and RR, the two standard blocking
+    * metrics. Exact integers end to end.
+    *
+    * Scale posture: two grouped counts per scheme (block sizes, and
+    * (truth-group × block) intersections) — no pair is ever
+    * materialized; the audit costs two aggregates while pricing a
+    * quadratic it never runs. */
+  val q339BlockingQuality: QueryDef = sql(
+    "q339_blocking_quality",
+    """WITH corpus AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 1000000, upper(text) FROM documents WHERE doc_id % 11 = 0
+      |  UNION ALL
+      |  SELECT doc_id + 2000000, replace(text, ' ', '  ') FROM documents WHERE doc_id % 13 = 0),
+      |k AS (SELECT doc_id,
+      |        md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))) AS ch,
+      |        string_split(text, ' ')[1] AS raw_tok,
+      |        string_split(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')), ' ')[1] AS canon_tok
+      |      FROM corpus),
+      |n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM k),
+      |truth AS (SELECT CAST(COALESCE(SUM(g * (g - 1) // 2), 0) AS BIGINT) AS tp
+      |          FROM (SELECT COUNT(*) AS g FROM k GROUP BY ch)),
+      |schemes AS (
+      |  SELECT 'raw_first_token' AS scheme, doc_id, ch, raw_tok AS blk FROM k
+      |  UNION ALL
+      |  SELECT 'canon_first_token', doc_id, ch, canon_tok FROM k),
+      |bs AS (SELECT scheme, CAST(COUNT(DISTINCT blk) AS BIGINT) AS n_blocks,
+      |         CAST(SUM(c * (c - 1) // 2) AS BIGINT) AS cand
+      |       FROM (SELECT scheme, blk, COUNT(*) AS c FROM schemes GROUP BY 1, 2)
+      |       GROUP BY 1),
+      |caught AS (SELECT scheme, CAST(COALESCE(SUM(m * (m - 1) // 2), 0) AS BIGINT) AS cp
+      |           FROM (SELECT scheme, ch, blk, COUNT(*) AS m FROM schemes GROUP BY 1, 2, 3)
+      |           GROUP BY 1)
+      |SELECT bs.scheme, bs.n_blocks, bs.cand AS candidate_pairs,
+      |  truth.tp AS truth_pairs, caught.cp AS caught_pairs,
+      |  caught.cp * 1000000 // truth.tp AS pc_micro,
+      |  (n.n * (n.n - 1) // 2 - bs.cand) * 1000000 // (n.n * (n.n - 1) // 2) AS rr_micro
+      |FROM bs JOIN caught USING (scheme), truth, n
+      |ORDER BY scheme""".stripMargin) { (s, dir) =>
+    val docs = Tables.fanOut(Tables.documents(s, dir))
+    val corpus = docs.select(col("doc_id"), col("text"))
+      .unionByName(docs.filter(col("doc_id") % 11 === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"), upper(col("text")).as("text")))
+      .unionByName(docs.filter(col("doc_id") % 13 === 0)
+        .select((col("doc_id") + 2000000L).as("doc_id"),
+          regexp_replace(col("text"), " ", "  ").as("text")))
+    val canonText = trim(regexp_replace(
+      regexp_replace(lower(col("text")), "[^a-z0-9 ]", ""), " +", " "))
+    val k = corpus.select(col("doc_id"), md5(canonText).as("ch"),
+        element_at(split(col("text"), " "), 1).as("raw_tok"),
+        element_at(split(canonText, " "), 1).as("canon_tok"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val n = k.agg(count(lit(1)).as("n"))
+    val truth = k.groupBy(col("ch")).agg(count(lit(1)).as("g"))
+      .agg(coalesce(sum(expr("g * (g - 1) DIV 2")), lit(0L)).as("tp"))
+    val schemes = k.select(lit("raw_first_token").as("scheme"), col("doc_id"),
+        col("ch"), col("raw_tok").as("blk"))
+      .unionByName(k.select(lit("canon_first_token").as("scheme"), col("doc_id"),
+        col("ch"), col("canon_tok").as("blk")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val bs = schemes.groupBy(col("scheme"), col("blk")).agg(count(lit(1)).as("c"))
+      .groupBy(col("scheme"))
+      .agg(countDistinct(col("blk")).as("n_blocks"),
+        sum(expr("c * (c - 1) DIV 2")).as("cand"))
+    val caught = schemes.groupBy(col("scheme"), col("ch"), col("blk"))
+      .agg(count(lit(1)).as("m"))
+      .groupBy(col("scheme"))
+      .agg(coalesce(sum(expr("m * (m - 1) DIV 2")), lit(0L)).as("cp"))
+    bs.join(caught, "scheme").crossJoin(broadcast(truth)).crossJoin(broadcast(n))
+      .select(col("scheme"), col("n_blocks"), col("cand").as("candidate_pairs"),
+        col("tp").as("truth_pairs"), col("cp").as("caught_pairs"),
+        expr("cp * 1000000L DIV tp").as("pc_micro"),
+        expr("(n * (n - 1) DIV 2 - cand) * 1000000L DIV (n * (n - 1) DIV 2)").as("rr_micro"))
+      .orderBy(col("scheme"))
+  }
+
   val all: Seq[QueryDef] = Seq(
+    q339BlockingQuality,
     q30DedupExact, q31MinhashLsh, q32NeardupVerified, q33Simhash, q34SimhashPairs,
     q78SimhashHamming, q85DedupClusters, q108IncrementalDedup, q111SimhashWide,
     q126SpanDedup, q150DedupEval, q156RougeAudit, q161SplitLeakage,

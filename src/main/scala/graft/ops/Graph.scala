@@ -1151,8 +1151,99 @@ object Graph {
     }
   }
 
+  /** PER-SEED BFS ([[bfsDistances]] generalized from min-over-the-set
+    * to per-seed distances): state and frontier are (seed, node) keyed,
+    * so memory is |seeds| × reach — the standard sampled-centrality
+    * budget. Same round mechanics: frontier-only expansion, per-round
+    * localCheckpoint, gated frontier broadcast with the one-time edge
+    * co-partition fallback above the budget. */
+  private[graft] def bfsPerSeed(edges: DataFrame, seeds: DataFrame,
+                                maxHops: Int): DataFrame = {
+    val raw = edges.persist(StorageLevel.MEMORY_AND_DISK)
+    var e = raw
+    var parted = false
+    var dist = seeds.distinct()
+      .select(col("seed"), col("seed").as("node"), lit(0L).as("hops"))
+      .localCheckpoint(true)
+    var frontier = dist.select(col("seed"), col("node"))
+    var frontierRows = dist.count()
+    for (h <- 1 to maxHops) {
+      if (!parted && frontierRows > broadcastNodeBudget(edges.sparkSession)) {
+        val p = raw.repartition(col("src")).persist(StorageLevel.MEMORY_AND_DISK)
+        p.count()
+        raw.unpersist()
+        e = p
+        parted = true
+      }
+      val next = e
+        .join(gateBroadcast(frontier.select(col("seed"), col("node").as("src")),
+          frontierRows), Seq("src"))
+        .select(col("seed"), col("dst").as("node")).distinct()
+        .join(dist, Seq("seed", "node"), "left_anti")
+        .select(col("seed"), col("node"), lit(h.toLong).as("hops"))
+        .localCheckpoint(true)
+      frontier = next.select(col("seed"), col("node"))
+      frontierRows = next.count()
+      dist = dist.unionAll(next).localCheckpoint(true)
+    }
+    dist
+  }
+
+  /** One unrolled per-seed oracle BFS round k over CTEs e/h{k−1}. */
+  private def seedRoundSql(k: Int): String = {
+    val prev = s"h${k - 1}"
+    s"""h$k AS MATERIALIZED (SELECT seed, node, MIN(dist) AS dist FROM (
+       |    SELECT seed, node, dist FROM $prev
+       |    UNION ALL
+       |    SELECT p.seed, e.dst AS node, p.dist + 1 AS dist
+       |    FROM $prev p JOIN e ON e.src = p.node) GROUP BY 1, 2)""".stripMargin
+  }
+
+  /** Harmonic centrality (Boldi & Vigna, Internet Math. 2014 —
+    * "Axioms for centrality" names it the one that behaves on
+    * disconnected graphs) of the q263 seed slice over the co-purchase
+    * graph: H(u) = Σ_{v≠u} 1/d(u,v), truncated at 4 hops, in exact
+    * micro-units (Σ 1000000 DIV d — integer division, documented; the
+    * q143 exact-trajectory discipline). Unreachable nodes contribute 0
+    * naturally — the property that makes harmonic the production
+    * choice over closeness, whose 1/Σd blows up per component.
+    *
+    * Scale posture: sampled-seed centrality is the standard 100 TB
+    * shape (per-seed BFS state = |seeds| × reach, here 10 × n at
+    * worst); all-nodes exact centrality is quadratic and is exactly
+    * what this operator exists to avoid. Frontier joins are gated like
+    * every walker. */
+  val q340HarmonicCentrality: QueryDef = sql(
+    "q340_harmonic_centrality",
+    s"""WITH e AS (
+       |  SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+       |  FROM lineitem a JOIN lineitem b
+       |    ON b.l_orderkey = a.l_orderkey AND b.l_partkey <> a.l_partkey),
+       |deg AS (SELECT src, COUNT(*) AS d FROM e GROUP BY 1),
+       |seeds AS (SELECT src AS seed FROM deg ORDER BY src LIMIT 10),
+       |h0 AS (SELECT seed, seed AS node, 0 AS dist FROM seeds),
+       |${seedRoundSql(1)},
+       |${seedRoundSql(2)},
+       |${seedRoundSql(3)},
+       |${seedRoundSql(4)}
+       |SELECT seed, CAST(COUNT(*) AS BIGINT) AS n_reached,
+       |  CAST(SUM(1000000 // dist) AS BIGINT) AS harmonic_micro
+       |FROM h4 WHERE dist > 0
+       |GROUP BY 1
+       |ORDER BY seed""".stripMargin) { (s, dir) =>
+    val edges = copurchaseEdges(s, dir)
+    val seeds = edges.groupBy(col("src")).agg(count(lit(1)).as("d"))
+      .orderBy(col("src")).limit(10).select(col("src").as("seed"))
+    bfsPerSeed(edges, seeds, maxHops = 4)
+      .filter(col("hops") > 0)
+      .groupBy(col("seed"))
+      .agg(count(lit(1)).as("n_reached"),
+        sum(expr("1000000L DIV hops")).as("harmonic_micro"))
+      .orderBy(col("seed"))
+  }
+
   val all: Seq[QueryDef] = Seq(q143Pagerank, q153LabelProp, q173BradleyTerry,
     q188PersonalizedPagerank, q243Triangles, q263BfsHops, q274LocalBridges,
     q279Textrank, q281Assortativity, q282KCore, q302WalkerConvergence,
-    q312HierarchyRollup, q325DirectedPagerank)
+    q312HierarchyRollup, q325DirectedPagerank, q340HarmonicCentrality)
 }

@@ -1207,8 +1207,119 @@ object Layout {
       .orderBy(col("slot"))
   }
 
+  /** Join-cardinality estimation audit — the cost-based-optimizer step
+    * that decides whether a self-join (= a dedup/blocking candidate
+    * pass, q30/q85's cost driver) is affordable BEFORE running it: the
+    * true pair volume of the orders self-join on o_custkey is
+    * Σ_k c(k)², and the audit prices the two standard estimators
+    * against it — the NAIVE uniform model |R|²/ndv (what a CBO uses
+    * with only table stats) and the 32-bucket HASH-HISTOGRAM refinement
+    * Σ_b c_b²/ndv_b (uniform only within a bucket — what it uses with
+    * column histograms). Skew is exactly what the naive model misses,
+    * so the histogram error is the value-of-statistics number a 100 TB
+    * planner deployment justifies itself with.
+    *
+    * All-integer arithmetic (counts, integer divisions, micro-unit
+    * errors); the bucket hash is the q329 documented multiplicative
+    * mixer. Scale: two grouped counts and a 3-row emit. */
+  val q336JoinEstimate: QueryDef = sql(
+    "q336_join_estimate",
+    """WITH c AS (SELECT o_custkey AS k, CAST(COUNT(*) AS BIGINT) AS c FROM orders GROUP BY 1),
+      |ex AS (SELECT CAST(SUM(c * c) AS BIGINT) AS v FROM c),
+      |st AS (SELECT CAST(SUM(c) AS BIGINT) AS n, CAST(COUNT(*) AS BIGINT) AS ndv FROM c),
+      |hb AS (SELECT ((k * 2654435761) % 4294967296) % 32 AS b, c FROM c),
+      |hs AS (SELECT b, CAST(SUM(c) AS BIGINT) AS cb, CAST(COUNT(*) AS BIGINT) AS ndvb
+      |       FROM hb GROUP BY 1),
+      |est AS (
+      |  SELECT 'naive_uniform' AS estimator, CAST(st.n * st.n // st.ndv AS BIGINT) AS estimate
+      |  FROM st
+      |  UNION ALL
+      |  SELECT 'hash_histogram_32', CAST(SUM(cb * cb // ndvb) AS BIGINT) FROM hs
+      |  UNION ALL
+      |  SELECT 'exact', v FROM ex)
+      |SELECT e.estimator, e.estimate, ex.v AS exact_pairs,
+      |  ABS(e.estimate - ex.v) * 1000000 // ex.v AS err_micro
+      |FROM est e, ex
+      |ORDER BY estimator""".stripMargin) { (s, dir) =>
+    val c = Tables.orders(s, dir).groupBy(col("o_custkey").as("k"))
+      .agg(count(lit(1)).as("c"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val ex = c.agg(sum(col("c") * col("c")).as("v"))
+    val st = c.agg(sum(col("c")).as("n"), count(lit(1)).as("ndv"))
+    val hs = c.select((((col("k") * 2654435761L) % 4294967296L) % 32).as("b"), col("c"))
+      .groupBy(col("b")).agg(sum(col("c")).as("cb"), count(lit(1)).as("ndvb"))
+    val est = st.select(lit("naive_uniform").as("estimator"),
+        expr("n * n DIV ndv").as("estimate"))
+      .unionByName(hs.agg(sum(expr("cb * cb DIV ndvb")).as("estimate"))
+        .select(lit("hash_histogram_32").as("estimator"), col("estimate")))
+      .unionByName(ex.select(lit("exact").as("estimator"), col("v").as("estimate")))
+    est.crossJoin(broadcast(ex))
+      .select(col("estimator"), col("estimate"), col("v").as("exact_pairs"),
+        expr("ABS(estimate - v) * 1000000L DIV v").as("err_micro"))
+      .orderBy(col("estimator"))
+  }
+
+  /** Bloom-filter false-positive-rate audit — the synopsis-eval face
+    * beside q273 (count-min) and q278 (KMV): build an m = 4096-bit,
+    * k = 2-hash Bloom filter over the EVEN customer keys, probe it with
+    * the ODD keys (guaranteed non-members), and measure the achieved
+    * FPR against the textbook (1 − e^{−kn/m})^k. The measured number is
+    * exact integers (a probe is a false positive iff BOTH its bit
+    * positions are set — two semi-joins against the bit relation); the
+    * theoretical reference is one identical closed-form expression.
+    * This is the audit that sizes every Bloom deployment in the repo
+    * (q115's semi-join, q250's zone maps, q151's decontamination):
+    * bits-per-key budgets come FROM this curve.
+    *
+    * Scale posture: the bit relation is min(m, 2n) rows — filter-sized,
+    * broadcast into both probe semi-joins; one scan each side. */
+  val q337BloomFpr: QueryDef = sql(
+    "q337_bloom_fpr",
+    """WITH mem AS (SELECT c_custkey AS key FROM customer WHERE c_custkey % 2 = 0),
+      |probe AS (SELECT c_custkey AS key FROM customer WHERE c_custkey % 2 = 1),
+      |bits AS (
+      |  SELECT DISTINCT CAST(('0x' || substr(md5('b1:' || CAST(key AS VARCHAR)), 1, 8)) AS BIGINT) % 4096 AS pos FROM mem
+      |  UNION
+      |  SELECT DISTINCT CAST(('0x' || substr(md5('b2:' || CAST(key AS VARCHAR)), 1, 8)) AS BIGINT) % 4096 AS pos FROM mem),
+      |ph AS (SELECT key,
+      |         CAST(('0x' || substr(md5('b1:' || CAST(key AS VARCHAR)), 1, 8)) AS BIGINT) % 4096 AS p1,
+      |         CAST(('0x' || substr(md5('b2:' || CAST(key AS VARCHAR)), 1, 8)) AS BIGINT) % 4096 AS p2
+      |       FROM probe),
+      |fp AS (SELECT ph.key FROM ph
+      |       JOIN bits b1 ON b1.pos = ph.p1
+      |       JOIN bits b2 ON b2.pos = ph.p2),
+      |st AS (SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM mem) AS n_members,
+      |              (SELECT CAST(COUNT(*) AS BIGINT) FROM bits) AS n_bits_set,
+      |              (SELECT CAST(COUNT(*) AS BIGINT) FROM probe) AS n_probes,
+      |              (SELECT CAST(COUNT(*) AS BIGINT) FROM fp) AS n_false_pos)
+      |SELECT n_members, n_bits_set, n_probes, n_false_pos,
+      |  n_false_pos * 1000000 // n_probes AS fpr_micro,
+      |  ROUND(POW(1.0 - EXP(-(2.0 * n_members) / 4096.0), 2), 6) AS fpr_theory
+      |FROM st""".stripMargin) { (s, dir) =>
+    def pos(tag: String) =
+      expr(s"CAST(conv(substring(md5(concat('$tag:', CAST(key AS STRING))), 1, 8), 16, 10) AS BIGINT) % 4096")
+    val cust = Tables.customer(s, dir).select(col("c_custkey").as("key"))
+    val mem = cust.filter(col("key") % 2 === 0)
+    val probe = cust.filter(col("key") % 2 === 1)
+    val bits = mem.select(pos("b1").as("pos"))
+      .union(mem.select(pos("b2").as("pos"))).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val ph = probe.select(col("key"), pos("b1").as("p1"), pos("b2").as("p2"))
+    val fp = ph
+      .join(broadcast(bits.select(col("pos").as("p1"))), Seq("p1"))
+      .join(broadcast(bits.select(col("pos").as("p2"))), Seq("p2"))
+    val st = mem.agg(count(lit(1)).as("n_members"))
+      .crossJoin(bits.agg(count(lit(1)).as("n_bits_set")))
+      .crossJoin(probe.agg(count(lit(1)).as("n_probes")))
+      .crossJoin(fp.agg(count(lit(1)).as("n_false_pos")))
+    st.select(col("n_members"), col("n_bits_set"), col("n_probes"), col("n_false_pos"),
+      expr("n_false_pos * 1000000L DIV n_probes").as("fpr_micro"),
+      round(pow(lit(1.0) - exp((lit(-2.0) * col("n_members")) / lit(4096.0)), 2), 6)
+        .as("fpr_theory"))
+  }
+
   val all: Seq[QueryDef] = Seq(
-    q328PostingsVarint, q329PartitionSkew,
+    q328PostingsVarint, q329PartitionSkew, q336JoinEstimate, q337BloomFpr,
     q112BucketedJoin, q113PartitionPruning, q114SaltedJoin, q115BloomSemiJoin,
     q229ColumnProfile, q230LayoutAdvisor, q246CardinalityAudit, q250BloomZoneMap,
     q258CurveLocality, q260RebalanceAudit, q273CountMinAudit, q278KmvSketch,

@@ -1356,7 +1356,79 @@ object Temporal {
       .orderBy(col("user_id"))
   }
 
+  /** Watermark-lateness audit — the measurement every
+    * `withWatermark(delay)` in the streaming module should be SIZED
+    * from, instead of guessed: an event's lateness is how far its
+    * event time lags the per-feed high-water mark among EARLIER
+    * arrivals — max(ts) over the preceding-rows frame minus own ts,
+    * floored at 0. The fixture's ingest sequence (event_id) is
+    * perfectly time-ordered — zero natural disorder — so disorder is
+    * PLANTED deterministically (the q327/q335 device): every %7 event
+    * arrives 20 sequence slots late, and the audit must price exactly
+    * that planted stragglerhood (PipelineOpsSpec pins that only the
+    * delayed class can be late). Emits per feed: event/late counts,
+    * the late rate, the worst lateness, and the exact p99 (ceil-rank
+    * order-statistic pick, q60's device) — p99 is the number the
+    * watermark delay is set to, and max − p99 is the mass that delay
+    * would drop.
+    *
+    * Scale posture: one feed-partitioned window pass (running max and
+    * the rank share one sort), one feed-keyed aggregate + rank-pick
+    * join. Exact integers end to end. */
+  val q341WatermarkLateness: QueryDef = sql(
+    "q341_watermark_lateness",
+    """WITH ev AS (SELECT event_type, event_id,
+      |        event_id + CASE WHEN event_id % 7 = 0 THEN 20 ELSE 0 END AS arrival,
+      |        epoch_us(ts) AS us
+      |      FROM events),
+      |l AS (SELECT event_type, event_id,
+      |        GREATEST(COALESCE(MAX(us) OVER (PARTITION BY event_type ORDER BY arrival, event_id
+      |                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) - us, 0), 0) AS late_us
+      |      FROM ev),
+      |r AS (SELECT event_type, late_us,
+      |        ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY late_us, event_id) AS rk,
+      |        COUNT(*) OVER (PARTITION BY event_type) AS n
+      |      FROM l),
+      |agg AS (SELECT event_type, CAST(MAX(n) AS BIGINT) AS n_events,
+      |          CAST(SUM(CASE WHEN late_us > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_late,
+      |          CAST(MAX(late_us) AS BIGINT) AS max_late_us
+      |        FROM r GROUP BY 1),
+      |p99 AS (SELECT event_type, CAST(late_us AS BIGINT) AS p99_late_us
+      |        FROM r WHERE rk = (n * 99 + 99) // 100)
+      |SELECT a.event_type, a.n_events, a.n_late,
+      |  a.n_late * 1000000 // a.n_events AS late_micro,
+      |  a.max_late_us, p99.p99_late_us
+      |FROM agg a JOIN p99 USING (event_type)
+      |ORDER BY event_type""".stripMargin) { (s, dir) =>
+    val ev = Tables.events(s, dir).select(col("event_type"), col("event_id"),
+      (col("event_id") + when(col("event_id") % 7 === 0, 20L).otherwise(0L)).as("arrival"),
+      expr("unix_micros(ts)").as("us"))
+    val byArrival = Window.partitionBy(col("event_type"))
+      .orderBy(col("arrival"), col("event_id"))
+    val l = ev.withColumn("late_us",
+      greatest(coalesce(
+        max(col("us")).over(byArrival.rowsBetween(Window.unboundedPreceding, -1)) - col("us"),
+        lit(0L)), lit(0L)))
+    val r = l
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("event_type")).orderBy(col("late_us"), col("event_id"))))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy(col("event_type"))))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val agg = r.groupBy(col("event_type"))
+      .agg(max(col("n")).as("n_events"),
+        sum(when(col("late_us") > 0, 1L).otherwise(0L)).as("n_late"),
+        max(col("late_us")).as("max_late_us"))
+    val p99 = r.filter(col("rk") === expr("(n * 99 + 99) DIV 100"))
+      .select(col("event_type"), col("late_us").as("p99_late_us"))
+    agg.join(p99, "event_type")
+      .select(col("event_type"), col("n_events"), col("n_late"),
+        expr("n_late * 1000000L DIV n_events").as("late_micro"),
+        col("max_late_us"), col("p99_late_us"))
+      .orderBy(col("event_type"))
+  }
+
   val all: Seq[QueryDef] = Seq(
+    q341WatermarkLateness,
     q46AsofJoin, q47Pivot, q55IntervalJoin, q63AsofNative, q81IntervalNative,
     q95Funnel, q96RetentionCohorts, q109TransitionMatrix, q192DecayScores,
     q226ChangePoint, q236Attribution, q241PeakConcurrency, q242KaplanMeier,

@@ -5687,8 +5687,141 @@ object TextOps {
       .orderBy(col("query_id"))
   }
 
+  /** Hill tail-index estimator (Hill, Ann. Stat. 1975) of the word-
+    * frequency distribution per language — the corpus-law companion to
+    * q201's Zipf SLOPE: the Hill estimator reads the tail exponent
+    * directly from the top-k order statistics,
+    * α̂ = k / Σ_{i≤k} ln(X_(i)/X_(k+1)), without fitting a regression,
+    * and is the standard way to decide how heavy a corpus's head
+    * really is (mixing weights, cap policies, and heavy-hitter budgets
+    * all key off α). k adapts to the vocabulary:
+    * k = min(100, n_distinct − 1) — the standard top-fraction practice
+    * — and languages with fewer than 11 distinct words are below
+    * estimator resolution and are omitted rather than emitted with a
+    * fake tail.
+    *
+    * Float discipline: the 100 ln-ratio terms are exact-integer inputs
+    * to the identical IEEE expression in both engines, summed over a
+    * fixed 100-row set and ROUNDed to 6 dp (q136's device — the
+    * accumulated ulp noise is ~1e-14 against a 5e-7 rounding bin).
+    * Scale posture: one corpus word count, one per-lang top-(k+1)
+    * window cut (WindowGroupLimit), one 100-row-per-lang aggregate. */
+  val q334HillTail: QueryDef = sql(
+    "q334_hill_tail",
+    """WITH toks AS (SELECT lang, unnest(string_split(text, ' ')) AS word FROM documents),
+      |w AS (SELECT lang, word, CAST(COUNT(*) AS BIGINT) AS c FROM toks GROUP BY 1, 2),
+      |r AS (SELECT lang, word, c,
+      |        ROW_NUMBER() OVER (PARTITION BY lang ORDER BY c DESC, word) AS rk,
+      |        COUNT(*) OVER (PARTITION BY lang) AS nd
+      |      FROM w),
+      |ks AS (SELECT lang, LEAST(100, nd - 1) AS k FROM r WHERE rk = 1 AND nd >= 11),
+      |kv AS (SELECT r.lang, r.c AS ck FROM r JOIN ks ON ks.lang = r.lang AND r.rk = ks.k + 1),
+      |top AS (SELECT r.lang, r.c FROM r JOIN ks ON ks.lang = r.lang AND r.rk <= ks.k)
+      |SELECT t.lang, CAST(COUNT(*) AS BIGINT) AS k,
+      |  CAST(MAX(kv.ck) AS BIGINT) AS x_k1,
+      |  ROUND(COUNT(*) / SUM(LN(CAST(t.c AS DOUBLE) / kv.ck)), 6) AS hill_alpha
+      |FROM top t JOIN kv USING (lang)
+      |GROUP BY t.lang
+      |ORDER BY t.lang""".stripMargin) { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val w = Tables.fanOut(Tables.documents(s, dir))
+      .select(col("lang"), explode(split(col("text"), " ")).as("word"))
+      .groupBy(col("lang"), col("word")).agg(count(lit(1)).as("c"))
+    val r = w
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("lang")).orderBy(col("c").desc, col("word"))))
+      .withColumn("k", least(lit(100L), count(lit(1)).over(
+        Window.partitionBy(col("lang"))) - 1))
+      .filter(col("k") >= 10 && col("rk") <= col("k") + 1)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val kv = r.filter(col("rk") === col("k") + 1).select(col("lang"), col("c").as("ck"))
+    r.filter(col("rk") <= col("k")).select(col("lang"), col("c"))
+      .join(kv, "lang")
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("k"), max(col("ck")).as("x_k1"),
+        round(count(lit(1)) / sum(log(col("c").cast("double") / col("ck"))), 6)
+          .as("hill_alpha"))
+      .orderBy(col("lang"))
+  }
+
+  /** Population stability index (the credit-scoring / ML-monitoring
+    * drift score beside q225's KS statistic — PSI is what model-ops
+    * dashboards actually alert on, with the 0.1/0.25 action bands):
+    * document length distributions of the even and odd doc_id halves
+    * compared per source over 10 fixed 200-char bins,
+    * PSI = Σ_b (p_b − q_b) · ln(p_b / q_b), add-one smoothed so an
+    * empty bin contributes a finite term (the standard production
+    * guard — unsmoothed PSI is infinite the first time a bin empties,
+    * which is exactly when you need the number). The split is the q62
+    * md5 hash device, NOT doc_id parity — the fixture assigns sources
+    * by doc_id residue, so a parity split would put a whole source in
+    * one arm and compare nothing. Hash-split expected PSI is near zero
+    * and anything large flags a REAL asymmetry — the A/A shape of q309
+    * applied to drift monitoring.
+    *
+    * Exactness: bin counts are integers; the smoothed ratios feed one
+    * identical IEEE expression per bin, 10 bins summed, ROUND 6 dp.
+    * Scale posture: one scan → (source, half, bin) counts; the bin
+    * grid is a 10-row broadcast; output is sources × 1 rows. */
+  val q338PsiDrift: QueryDef = sql(
+    "q338_psi_drift",
+    """WITH d AS (SELECT source,
+      |             CAST(('0x' || substr(md5('psi:' || CAST(doc_id AS VARCHAR)), 1, 4)) AS INT) % 2 AS half,
+      |             LEAST(n_chars // 200, 9) AS bin
+      |           FROM documents),
+      |c AS (SELECT source, half, bin, CAST(COUNT(*) AS BIGINT) AS n
+      |      FROM d GROUP BY 1, 2, 3),
+      |tot AS (SELECT source, half, CAST(SUM(n) AS BIGINT) AS t FROM c GROUP BY 1, 2),
+      |grid AS (SELECT DISTINCT source, b.bin
+      |         FROM c, (SELECT unnest(range(0, 10)) AS bin) b),
+      |m AS (SELECT g.source, g.bin,
+      |        COALESCE(a.n, 0) AS na, COALESCE(bb.n, 0) AS nb,
+      |        ta.t AS tta, tb.t AS ttb
+      |      FROM grid g
+      |      LEFT JOIN c a ON a.source = g.source AND a.bin = g.bin AND a.half = 0
+      |      LEFT JOIN c bb ON bb.source = g.source AND bb.bin = g.bin AND bb.half = 1
+      |      JOIN tot ta ON ta.source = g.source AND ta.half = 0
+      |      JOIN tot tb ON tb.source = g.source AND tb.half = 1),
+      |terms AS (SELECT source,
+      |            (CAST(na + 1 AS DOUBLE) / (tta + 10) - CAST(nb + 1 AS DOUBLE) / (ttb + 10))
+      |              * LN((CAST(na + 1 AS DOUBLE) / (tta + 10))
+      |                   / (CAST(nb + 1 AS DOUBLE) / (ttb + 10))) AS term
+      |          FROM m)
+      |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_bins,
+      |  ROUND(SUM(term), 6) AS psi
+      |FROM terms GROUP BY 1
+      |ORDER BY source""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    val c = Tables.fanOut(Tables.documents(s, dir))
+      .select(col("source"),
+        (expr("CAST(conv(substring(md5(concat('psi:', CAST(doc_id AS STRING))), 1, 4), 16, 10) AS INT)") % 2)
+          .as("half"),
+        least(expr("n_chars DIV 200"), lit(9L)).as("bin"))
+      .groupBy(col("source"), col("half"), col("bin")).agg(count(lit(1)).as("n"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val tot = c.groupBy(col("source"), col("half")).agg(sum(col("n")).as("t"))
+    val grid = c.select(col("source")).distinct()
+      .crossJoin(broadcast((0L to 9L).toDF("bin")))
+    val m = grid
+      .join(c.filter(col("half") === 0).select(col("source"), col("bin"), col("n").as("na")),
+        Seq("source", "bin"), "left")
+      .join(c.filter(col("half") === 1).select(col("source"), col("bin"), col("n").as("nb")),
+        Seq("source", "bin"), "left")
+      .join(tot.filter(col("half") === 0).select(col("source"), col("t").as("tta")), "source")
+      .join(tot.filter(col("half") === 1).select(col("source"), col("t").as("ttb")), "source")
+      .select(col("source"),
+        coalesce(col("na"), lit(0L)).as("na"), coalesce(col("nb"), lit(0L)).as("nb"),
+        col("tta"), col("ttb"))
+    val pa = (col("na") + 1).cast("double") / (col("tta") + 10)
+    val pb = (col("nb") + 1).cast("double") / (col("ttb") + 10)
+    m.select(col("source"), ((pa - pb) * log(pa / pb)).as("term"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_bins"), round(sum(col("term")), 6).as("psi"))
+      .orderBy(col("source"))
+  }
+
   val all: Seq[QueryDef] = Seq(
-    q326Winnowing, q327MojibakeAudit, q333Rbo,
+    q326Winnowing, q327MojibakeAudit, q333Rbo, q334HillTail, q338PsiDrift,
     q276EpochAllocation, q277CoverageSelect, q289Chao1, q316TCloseness,
     q21TextStats, q22WordFreq, q23BigramFreq, q24LangId, q25QualityScore,
     q26Fingerprint, q27TokenRegex, q62TrainSplit, q64TermFreqMap,

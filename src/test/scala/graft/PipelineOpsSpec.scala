@@ -113,6 +113,112 @@ class PipelineOpsSpec extends SparkSpec {
     assert(rows.exists(_.getLong(3) > 0), "the fixture has energy contrast somewhere")
   }
 
+  test("hill tail index: adaptive k, positive alpha, and k+1-st count below the top-k") {
+    val rows = TextOps.q334HillTail.run(spark, sfDir).collect()
+    assert(rows.nonEmpty, "every fixture language has >= 11 distinct words")
+    rows.foreach { r =>
+      val (k, xk1, alpha) = (r.getLong(1), r.getLong(2), r.getDouble(3))
+      assert(k >= 10 && k <= 100)
+      assert(xk1 >= 1)
+      assert(alpha > 0.0, "a heavy-tailed word distribution has a positive tail index")
+    }
+  }
+
+  test("pii scan recovers exactly the planted classes and Luhn splits shaped from valid") {
+    val ids = Tables.documents(spark, sfDir).select(col("doc_id")).collect().map(_.getLong(0))
+    val got = graft.ops.Contracts.q335PiiScan.run(spark, sfDir).collect()
+    def tot(i: Int) = got.map(_.getLong(i)).sum
+    assert(tot(1) == ids.length)
+    assert(tot(2) == ids.count(_ % 11 == 0), "emails = the %11 class")
+    assert(tot(3) == ids.count(_ % 29 == 0), "phones = the %29 class")
+    assert(tot(4) == ids.count(d => d % 37 == 0 || d % 41 == 0),
+      "16-digit runs = the %37 (valid) plus %41 (corrupted) classes")
+    assert(tot(5) == ids.count(_ % 37 == 0),
+      "only the minted class Luhn-verifies; the bumped digits must all fail")
+  }
+
+  test("join-size estimators: exact has zero error and the histogram beats naive") {
+    val rows = Layout.q336JoinEstimate.run(spark, sfDir).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    val (exEst, exact, exErr) = rows("exact")
+    assert(exEst == exact && exErr == 0)
+    val naive = rows("naive_uniform")
+    val hist = rows("hash_histogram_32")
+    assert(naive._1 <= exact && hist._1 <= exact,
+      "uniform-within-group estimates lower-bound sum of squares (Cauchy-Schwarz)")
+    assert(hist._3 <= naive._3,
+      "column statistics must not make the estimate worse")
+  }
+
+  test("bloom fpr: measured rate is sane and theory matches the closed form") {
+    val r = Layout.q337BloomFpr.run(spark, sfDir).collect()(0)
+    val (nMem, nBits, nProbes, nFp) = (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+    assert(nBits <= math.min(4096L, 2 * nMem))
+    assert(nFp <= nProbes)
+    assert(r.getLong(4) == nFp * 1000000L / nProbes)
+    val theory = math.pow(1.0 - math.exp(-2.0 * nMem / 4096.0), 2)
+    assert(math.abs(r.getDouble(5) - theory) < 1e-6)
+    // the filter must actually filter: FPR well below 1
+    assert(nFp * 2 < nProbes, s"fpr ${nFp.toDouble / nProbes} is uselessly high")
+  }
+
+  test("psi drift: hash-split A/A over the same source stays near zero") {
+    val rows = TextOps.q338PsiDrift.run(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(1) == 10, "all ten bins in the grid")
+      val psi = r.getDouble(2)
+      assert(psi >= 0.0, "PSI is a sum of (p-q)ln(p/q) terms, each nonnegative")
+      // the 0.1/0.25 action bands assume production n; at the 25-docs-
+      // per-source unit fixture sampling noise alone reaches ~0.4, so
+      // pin only finiteness and a generous sanity ceiling here (the A/A
+      // claim is meaningful at the driver SFs, not at n=25)
+      assert(!psi.isNaN && !psi.isInfinite && psi < 3.0, s"degenerate PSI: $psi")
+    }
+  }
+
+  test("blocking quality: canonical blocking reaches full recall, raw blocking provably loses pairs") {
+    val rows = graft.ops.Dedup.q339BlockingQuality.run(spark, sfDir).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6)))).toMap
+    val canon = rows("canon_first_token")
+    val raw = rows("raw_first_token")
+    assert(canon._3 == canon._2 && canon._4 == 1000000L,
+      "canonical-key blocking catches every canonical-dup pair by construction")
+    assert(raw._3 < raw._2, "raw blocking must lose the planted UPPER pairs")
+    assert(canon._5 > 900000L && raw._5 > 900000L,
+      "both schemes still cut >90% of the all-pairs volume")
+  }
+
+  test("harmonic centrality: bounded by reach and consistent with per-seed BFS") {
+    val rows = graft.ops.Graph.q340HarmonicCentrality.run(spark, sfDir).collect()
+    assert(rows.length == 10, "the q263 seed slice is 10 seeds")
+    rows.foreach { r =>
+      val (nReached, h) = (r.getLong(1), r.getLong(2))
+      assert(nReached >= 1)
+      // each reached node contributes (0, 1e6] micro-units
+      assert(h > (nReached - 1) * 250000L && h <= nReached * 1000000L,
+        s"harmonic $h out of bounds for reach $nReached at 4 hops")
+    }
+  }
+
+  test("watermark lateness: only the planted straggler class can be late") {
+    val rows = graft.ops.Temporal.q341WatermarkLateness.run(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val nStragglers = Tables.events(spark, sfDir)
+      .filter(col("event_id") % 7 === 0).count()
+    val totalLate = rows.map(_.getLong(2)).sum
+    assert(totalLate > 0, "the planted %7 delays must register as lateness")
+    assert(totalLate <= nStragglers,
+      "a non-delayed event only ever follows earlier-timestamped arrivals")
+    rows.foreach { r =>
+      val (n, late, micro, mx, p99) =
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))
+      assert(late <= n && micro == late * 1000000L / n)
+      assert(p99 <= mx)
+    }
+  }
+
   test("delta-join MV equals the from-scratch join recompute") {
     val direct = Tables.orders(spark, sfDir)
       .join(Tables.customer(spark, sfDir),
