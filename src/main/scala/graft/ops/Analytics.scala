@@ -3252,28 +3252,130 @@ object Analytics {
     val c = Tables.customer(s, dir).select(col("c_custkey"), col("c_nationkey"))
     val (o0, dO) = (o.filter(col("o_orderkey") % 5 =!= 0), o.filter(col("o_orderkey") % 5 === 0))
     val (c0, dC) = (c.filter(col("c_custkey") % 7 =!= 0), c.filter(col("c_custkey") % 7 === 0))
-    // partial-aggregate view state of one O-slice ⋈ C-slice
-    def state(os: DataFrame, cs: DataFrame): DataFrame = os
-      .join(cs, col("c_custkey") === col("o_custkey"))
-      .groupBy(col("c_nationkey"), col("o_orderpriority"))
-      .agg(count(lit(1)).as("n"), sum(col("cents")).as("sc"),
-        expr("bit_xor(CAST(conv(substring(md5(CAST(o_orderkey AS STRING)), 1, 15), 16, 10) AS BIGINT))")
-          .as("fp"))
-    val base = state(o0, c0)
+    val base = joinMvState(o0, c0)
     // the delta rule: each term joins a DELTA against a base (or delta)
     // side — the customer deltas are dimension-sized and broadcast
-    val delta = state(dO, c0)
-      .unionByName(state(o0, broadcast(dC)))
-      .unionByName(state(dO, broadcast(dC)))
-    base.unionByName(delta)
-      .groupBy(col("c_nationkey"), col("o_orderpriority"))
-      .agg(sum(col("n")).as("n_rows"), sum(col("sc")).as("sum_cents"),
-        expr("bit_xor(fp)").as("key_fp"))
-      .orderBy(col("c_nationkey"), col("o_orderpriority"))
+    val delta = joinMvState(dO, c0)
+      .unionByName(joinMvState(o0, broadcast(dC)))
+      .unionByName(joinMvState(dO, broadcast(dC)))
+    joinMvEmit(joinMvMerge(base, delta))
+  }
+
+  /** The q332 join-view's partial-aggregate state over one orders slice
+    * ⋈ one customer slice: (c_nationkey, o_orderpriority) →
+    * (n, sc cents, bit_xor key fingerprint). Shared verbatim by the
+    * batch delta rule and the streaming refresh loop
+    * ([[graft.ops.StreamingOps.joinMvMaintainStream]]) so the two can
+    * never drift (the q235 mvState discipline, applied to a JOIN view).
+    * `orders` needs (o_custkey, o_orderpriority, o_orderkey, cents);
+    * `cust` needs (c_custkey, c_nationkey). */
+  def joinMvState(orders: DataFrame, cust: DataFrame): DataFrame = orders
+    .join(cust, col("c_custkey") === col("o_custkey"))
+    .groupBy(col("c_nationkey"), col("o_orderpriority"))
+    .agg(count(lit(1)).as("n"), sum(col("cents")).as("sc"),
+      expr("bit_xor(CAST(conv(substring(md5(CAST(o_orderkey AS STRING)), 1, 15), 16, 10) AS BIGINT))")
+        .as("fp"))
+
+  /** Merge two join-MV states: counts and cent-sums ADD, fingerprints
+    * fold by bit_xor — associative and commutative, so merge order
+    * never matters (but NOT idempotent: a state merged twice cancels
+    * its fingerprints, which is why the streaming face logs files). */
+  def joinMvMerge(a: DataFrame, b: DataFrame): DataFrame = a.unionByName(b)
+    .groupBy(col("c_nationkey"), col("o_orderpriority"))
+    .agg(sum(col("n")).as("n"), sum(col("sc")).as("sc"),
+      expr("bit_xor(fp)").as("fp"))
+
+  /** Emit a join-MV state in the q332 contract shape. */
+  def joinMvEmit(state: DataFrame): DataFrame = state
+    .select(col("c_nationkey"), col("o_orderpriority"),
+      col("n").as("n_rows"), col("sc").as("sum_cents"), col("fp").as("key_fp"))
+    .orderBy(col("c_nationkey"), col("o_orderpriority"))
+
+  /** Normalize a raw orders frame to [[joinMvState]]'s orders shape. */
+  def joinMvOrders(orders: DataFrame): DataFrame = orders.select(
+    col("o_custkey"), col("o_orderpriority"), col("o_orderkey"),
+    expr("CAST(FLOOR(o_totalprice * 100) AS BIGINT)").as("cents"))
+
+  /** CDC-log compaction plan (the Kafka log-compaction / Iceberg
+    * rewrite_position_deletes economics, priced on q287's change log):
+    * a change log replayed from the beginning costs its FULL length;
+    * compaction keeps only the latest record per key and drops keys
+    * whose latest record is a tombstone. The audit emits the exact
+    * before/after economics — log records, compacted records, live
+    * rows, terminal tombstones, the retention fraction — plus the
+    * bit_xor key fingerprint of the LIVE set, which must equal the
+    * fingerprint q287 derives by replaying the whole log: the hash
+    * proves compaction loses nothing and resurrects nothing (a dropped
+    * live key or a kept-dead key both flip the fp). Per-status grain so
+    * the plan shows WHERE the reclaim is.
+    *
+    * Scale posture: one window max per key (the same per-key latest
+    * q287 pays), grain-sized aggregates — compaction planning costs one
+    * log pass, the compaction it prices saves every future replay. */
+  val q344CdcCompaction: QueryDef = sql(
+    "q344_cdc_compaction",
+    """WITH base AS (
+      |  SELECT o_orderkey AS k, o_orderstatus AS st,
+      |    CAST(0 AS BIGINT) AS version, 'U' AS op
+      |  FROM orders),
+      |ups AS (
+      |  SELECT o_orderkey AS k, o_orderstatus AS st, o_orderkey AS version, 'U' AS op
+      |  FROM orders WHERE o_orderkey % 4 = 3),
+      |dels AS (
+      |  SELECT o_orderkey AS k, o_orderstatus AS st, o_orderkey + 1 AS version, 'D' AS op
+      |  FROM orders WHERE o_orderkey % 8 = 7),
+      |log AS (SELECT * FROM base UNION ALL SELECT * FROM ups UNION ALL SELECT * FROM dels),
+      |latest AS (
+      |  SELECT k, st, op FROM (
+      |    SELECT *, ROW_NUMBER() OVER (PARTITION BY k ORDER BY version DESC, op DESC) AS rn
+      |    FROM log) WHERE rn = 1),
+      |lg AS (SELECT st, CAST(COUNT(*) AS BIGINT) AS n_log FROM log GROUP BY 1),
+      |cp AS (SELECT st,
+      |         CAST(COUNT(*) AS BIGINT) AS n_compacted,
+      |         CAST(SUM(CASE WHEN op = 'U' THEN 1 ELSE 0 END) AS BIGINT) AS n_live,
+      |         CAST(SUM(CASE WHEN op = 'D' THEN 1 ELSE 0 END) AS BIGINT) AS n_tombstones,
+      |         bit_xor(CASE WHEN op = 'U'
+      |           THEN CAST(('0x' || substr(md5(CAST(k AS VARCHAR)), 1, 15)) AS BIGINT)
+      |           ELSE 0 END) AS live_fp
+      |       FROM latest GROUP BY 1)
+      |SELECT cp.st AS o_orderstatus, lg.n_log, cp.n_compacted, cp.n_live,
+      |  cp.n_tombstones,
+      |  cp.n_compacted * 1000000 // lg.n_log AS retained_micro,
+      |  cp.live_fp
+      |FROM cp JOIN lg USING (st)
+      |ORDER BY o_orderstatus""".stripMargin) { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val o = Tables.orders(s, dir)
+    val base = o.select(col("o_orderkey").as("k"), col("o_orderstatus").as("st"),
+      lit(0L).as("version"), lit("U").as("op"))
+    val ups = o.filter(col("o_orderkey") % 4 === 3)
+      .select(col("o_orderkey").as("k"), col("o_orderstatus").as("st"),
+        col("o_orderkey").as("version"), lit("U").as("op"))
+    val dels = o.filter(col("o_orderkey") % 8 === 7)
+      .select(col("o_orderkey").as("k"), col("o_orderstatus").as("st"),
+        (col("o_orderkey") + 1L).as("version"), lit("D").as("op"))
+    val log = base.unionAll(ups).unionAll(dels)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val latest = log.withColumn("rn", row_number().over(
+        Window.partitionBy(col("k")).orderBy(col("version").desc, col("op").desc)))
+      .filter(col("rn") === 1)
+    val lg = log.groupBy(col("st")).agg(count(lit(1)).as("n_log"))
+    val cp = latest.groupBy(col("st"))
+      .agg(count(lit(1)).as("n_compacted"),
+        sum(when(col("op") === "U", 1L).otherwise(0L)).as("n_live"),
+        sum(when(col("op") === "D", 1L).otherwise(0L)).as("n_tombstones"),
+        expr("bit_xor(CASE WHEN op = 'U' THEN CAST(conv(substring(md5(CAST(k AS STRING)), 1, 15), 16, 10) AS BIGINT) ELSE 0L END)")
+          .as("live_fp"))
+    cp.join(lg, "st")
+      .select(col("st").as("o_orderstatus"), col("n_log"), col("n_compacted"),
+        col("n_live"), col("n_tombstones"),
+        expr("n_compacted * 1000000L DIV n_log").as("retained_micro"),
+        col("live_fp"))
+      .orderBy(col("o_orderstatus"))
   }
 
   val all: Seq[QueryDef] = Seq(
-    q332DeltaJoinMv,
+    q332DeltaJoinMv, q344CdcCompaction,
     q227IntegrityScorecard, q231MarketShare, q235MvMaintenance, q244Cuped, q247AqpGroupby,
     q266BenfordAudit, q267NeymanAllocation, q268GiniLorenz, q287CdcApply, q290XmlShred,
     q293DiffInDiff, q295EffectSize, q299WeightedMedian, q309AaHarness, q311AbcClasses,

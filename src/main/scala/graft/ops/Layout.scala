@@ -1318,8 +1318,105 @@ object Layout {
         .as("fpr_theory"))
   }
 
+  /** Correlated zone-map transfer audit — the question behind every
+    * "should we ALSO z-order on column B?" layout debate: data laid out
+    * by column A (l_shipdate) carries implicit zone-map power for any
+    * column CORRELATED with A — here a receipt date SYNTHESIZED as
+    * shipdate + a deterministic 0..29-day lag (the q327/q341 planted
+    * device: the fixture's own date columns are mutually uncorrelated,
+    * measured corr 0.03, so the transfer effect must be planted to be
+    * auditable),
+    * and none for an uncorrelated one. The audit builds 1000-row shards
+    * under two layouts (shipdate-sorted vs multiplicative-hash-scattered
+    * — the q329 mixer as the null layout), records per-shard
+    * min/max(receiptdate) — exactly what a parquet footer stores — and
+    * prices five receiptdate cutoff predicates: a shard is skippable
+    * for `receiptdate <= c` iff its MIN exceeds c. The clustered layout
+    * should skip nearly (1 − selectivity) of shards; the hash layout
+    * should skip ~none — the measured gap IS the value of clustering
+    * for the correlated column, the number that decides whether B needs
+    * its own sort key at 100 TB.
+    *
+    * Exact integers (day arithmetic via datediff, shard mins/maxes,
+    * micro-unit fractions). Scale posture: one window rank per layout
+    * (the physical sort a writer pays anyway), shard-count-sized
+    * min/max relation, 5-row cutoff grid broadcast. */
+  val q343CorrelatedZonemap: QueryDef = sql(
+    "q343_correlated_zonemap",
+    """WITH d AS (SELECT l_orderkey AS k, l_linenumber AS ln,
+      |    epoch_us(l_shipdate) // 86400000000 AS ship_d,
+      |    epoch_us(l_shipdate) // 86400000000 + l_orderkey % 30 AS rcpt_d
+      |  FROM lineitem),
+      |lay AS (
+      |  SELECT 'shipdate_clustered' AS layout, rcpt_d,
+      |    (ROW_NUMBER() OVER (ORDER BY ship_d, rcpt_d, k, ln) - 1) // 1000 AS shard
+      |  FROM d
+      |  UNION ALL
+      |  SELECT 'hash_scattered', rcpt_d,
+      |    (ROW_NUMBER() OVER (ORDER BY (k * 2654435761) % 4294967296, rcpt_d, k, ln) - 1) // 1000 AS shard
+      |  FROM d),
+      |sh AS (SELECT layout, shard, MIN(rcpt_d) AS mn, MAX(rcpt_d) AS mx,
+      |         CAST(COUNT(*) AS BIGINT) AS n
+      |       FROM lay GROUP BY 1, 2),
+      |bounds AS (SELECT MIN(rcpt_d) AS lo, MAX(rcpt_d) AS hi FROM d),
+      |cuts AS (SELECT i AS cut_k, b.lo + i * (b.hi - b.lo) // 6 AS cut
+      |         FROM (SELECT unnest(range(1, 6)) AS i), bounds b),
+      |ev AS (SELECT sh.layout, c.cut_k, c.cut,
+      |         CASE WHEN sh.mn > c.cut THEN 1 ELSE 0 END AS skippable,
+      |         CASE WHEN sh.mn > c.cut THEN sh.n ELSE 0 END AS rows_skipped,
+      |         sh.n
+      |       FROM sh CROSS JOIN cuts c),
+      |sel AS (SELECT cuts.cut_k, CAST(SUM(CASE WHEN d.rcpt_d <= cuts.cut THEN 1 ELSE 0 END) AS BIGINT) AS n_match
+      |        FROM d CROSS JOIN cuts GROUP BY 1)
+      |SELECT ev.layout, CAST(ev.cut_k AS BIGINT) AS cut_k,
+      |  CAST(COUNT(*) AS BIGINT) AS n_shards,
+      |  CAST(SUM(ev.skippable) AS BIGINT) AS n_skippable,
+      |  CAST(SUM(ev.skippable) AS BIGINT) * 1000000 // COUNT(*) AS skip_micro,
+      |  CAST(SUM(ev.rows_skipped) AS BIGINT) AS rows_skipped,
+      |  CAST(MAX(sel.n_match) AS BIGINT) * 1000000 // CAST(SUM(ev.n) AS BIGINT) AS sel_micro
+      |FROM ev JOIN sel ON sel.cut_k = ev.cut_k
+      |GROUP BY 1, 2
+      |ORDER BY layout, cut_k""".stripMargin) { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    import s.implicits._
+    val d = Tables.lineitem(s, dir)
+      .select(col("l_orderkey").as("k"), col("l_linenumber").as("ln"),
+        expr("unix_micros(CAST(l_shipdate AS TIMESTAMP)) div 86400000000L").as("ship_d"),
+        expr("unix_micros(CAST(l_shipdate AS TIMESTAMP)) div 86400000000L + l_orderkey % 30")
+          .as("rcpt_d"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val lay = d.select(lit("shipdate_clustered").as("layout"), col("rcpt_d"),
+        expr("(ROW_NUMBER() OVER (ORDER BY ship_d, rcpt_d, k, ln) - 1) DIV 1000").as("shard"))
+      .unionByName(d.select(lit("hash_scattered").as("layout"), col("rcpt_d"),
+        expr("(ROW_NUMBER() OVER (ORDER BY (k * 2654435761L) % 4294967296L, rcpt_d, k, ln) - 1) DIV 1000")
+          .as("shard")))
+    val sh = lay.groupBy(col("layout"), col("shard"))
+      .agg(min(col("rcpt_d")).as("mn"), max(col("rcpt_d")).as("mx"),
+        count(lit(1)).as("n"))
+    val bounds = d.agg(min(col("rcpt_d")).as("lo"), max(col("rcpt_d")).as("hi"))
+    val cuts = broadcast((1L to 5L).toDF("cut_k").crossJoin(broadcast(bounds))
+      .select(col("cut_k"), expr("lo + cut_k * (hi - lo) DIV 6").as("cut")))
+    val ev = sh.crossJoin(cuts)
+      .select(col("layout"), col("cut_k"), col("cut"),
+        when(col("mn") > col("cut"), 1L).otherwise(0L).as("skippable"),
+        when(col("mn") > col("cut"), col("n")).otherwise(0L).as("rows_skipped"),
+        col("n"))
+    val sel = d.crossJoin(cuts)
+      .groupBy(col("cut_k"))
+      .agg(sum(when(col("rcpt_d") <= col("cut"), 1L).otherwise(0L)).as("n_match"))
+    ev.join(sel, "cut_k")
+      .groupBy(col("layout"), col("cut_k"))
+      .agg(count(lit(1)).as("n_shards"),
+        sum(col("skippable")).as("n_skippable"),
+        expr("CAST(SUM(skippable) * 1000000L DIV COUNT(*) AS BIGINT)").as("skip_micro"),
+        sum(col("rows_skipped")).as("rows_skipped"),
+        expr("CAST(MAX(n_match) * 1000000L DIV SUM(n) AS BIGINT)").as("sel_micro"))
+      .orderBy(col("layout"), col("cut_k"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     q328PostingsVarint, q329PartitionSkew, q336JoinEstimate, q337BloomFpr,
+    q343CorrelatedZonemap,
     q112BucketedJoin, q113PartitionPruning, q114SaltedJoin, q115BloomSemiJoin,
     q229ColumnProfile, q230LayoutAdvisor, q246CardinalityAudit, q250BloomZoneMap,
     q258CurveLocality, q260RebalanceAudit, q273CountMinAudit, q278KmvSketch,

@@ -603,6 +603,78 @@ object StreamingOps {
       .start()
   }
 
+  /** Streaming face of q332's JOIN-view maintenance — the stream-static
+    * delta rule: orders arrive as staged files, the customer dimension
+    * is static, and each trigger folds ΔO ⋈ C into the persisted view
+    * state ([[Analytics.joinMvState]]/[[Analytics.joinMvMerge]] —
+    * literally the batch operator's code, the q235 discipline). The
+    * merge is NOT idempotent (sums add, fingerprints XOR — a replayed
+    * file would cancel its own keys back OUT of the fingerprint), so
+    * the ingested-file log publishes in the same atomic snapshot as
+    * the state (the [[mvMaintainStream]] protocol): a replaying
+    * restart anti-joins staged files out of the fresh set and re-emits
+    * the same view.
+    *
+    * Per-trigger cost: Δ-scan ⋈ broadcast dimension + a merge of two
+    * GRAIN-sized states — the full fact is never re-joined, which is
+    * the delta rule's 100 TB point. `onBatch` sees the emitted view. */
+  def joinMvMaintainStream(s: SparkSession, stagedDir: String, cust: DataFrame,
+      stateDir: String)(
+      onBatch: (Long, DataFrame) => Unit): org.apache.spark.sql.streaming.StreamingQuery = {
+    val schema = "o_orderkey LONG, o_custkey LONG, o_orderstatus STRING, " +
+      "o_totalprice DOUBLE, o_orderdate TIMESTAMP, o_orderpriority STRING"
+    val root = new java.io.File(stateDir)
+    root.mkdirs()
+    val dim = broadcast(cust.select(col("c_custkey"), col("c_nationkey")))
+    def versions: Seq[Long] = Option(root.listFiles()).getOrElse(Array.empty[java.io.File])
+      .filter(f => f.getName.startsWith("v_") && !f.getName.contains(".tmp-") &&
+        new java.io.File(f, "files/_SUCCESS").exists())
+      .map(_.getName.stripPrefix("v_").toLong).sorted.toSeq
+    def emptyState = s.sql(
+      "SELECT 0 AS c_nationkey, '' AS o_orderpriority, 0L AS n, 0L AS sc, 0L AS fp WHERE false")
+      .select(col("c_nationkey").cast("int").as("c_nationkey"), col("o_orderpriority"),
+        col("n"), col("sc"), col("fp"))
+    def emptyFiles = s.sql("SELECT '' AS src_file WHERE false")
+    s.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(stagedDir)
+      .writeStream
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        val withFile = batch.withColumn("src_file", input_file_name())
+        val arrived = s.createDataFrame(withFile.rdd, withFile.schema)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try {
+          val vs = versions
+          val (state, seen) = vs.lastOption match {
+            case Some(v) => (s.read.parquet(s"$stateDir/v_$v/mv"),
+              s.read.parquet(s"$stateDir/v_$v/files"))
+            case None => (emptyState, emptyFiles)
+          }
+          val fresh = arrived.join(seen, Seq("src_file"), "left_anti")
+          if (fresh.isEmpty) {
+            onBatch(id, Analytics.joinMvEmit(state))
+          } else {
+            val next = vs.lastOption.getOrElse(-1L) + 1L
+            val tmp = new java.io.File(root,
+              s"v_$next.tmp-${ProcessHandle.current().pid()}-${Thread.currentThread().getId}")
+            Analytics.joinMvMerge(state,
+                Analytics.joinMvState(Analytics.joinMvOrders(fresh.drop("src_file")), dim))
+              .write.parquet(s"${tmp.getPath}/mv")
+            seen.select(col("src_file"))
+              .union(fresh.select(col("src_file")).distinct())
+              .distinct()
+              .write.parquet(s"${tmp.getPath}/files")
+            val published = new java.io.File(root, s"v_$next")
+            if (!tmp.renameTo(published))
+              org.apache.commons.io.FileUtils.deleteDirectory(tmp) // lost the race
+            onBatch(id, Analytics.joinMvEmit(s.read.parquet(s"${published.getPath}/mv")))
+          }
+        } finally arrived.unpersist()
+      }
+      .start()
+  }
+
   /** Streaming face of q250's Bloom zone maps — skipping metadata
     * maintained in the SAME pass that ingests the shard, the way a
     * table format keeps its column indexes current: each trigger

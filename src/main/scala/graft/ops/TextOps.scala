@@ -5820,7 +5820,42 @@ object TextOps {
       .orderBy(col("source"))
   }
 
+  /** Fixed-BUDGET stratified sample — the eval-set constructor: exactly
+    * k = 20 documents per language, drawn uniformly without replacement
+    * by md5-priority bottom-k (each doc's priority is a pure function
+    * of doc_id, so the sample is reproducible across runs, engines, and
+    * cluster sizes — no seed, no count pass). The deliberate contrast
+    * with q68: a keep-FRACTION is a zero-shuffle scan filter but its
+    * stratum sizes float with the data; an exact budget ("20 eval docs
+    * per language, every release") costs one per-stratum top-k window —
+    * WindowGroupLimit-pushed, so the sort cuts to k rows map-side
+    * before the shuffle. That window is the PRICE of exactness, and
+    * choosing between the two faces is a real pipeline decision this
+    * pair of operators makes explicit.
+    *
+    * Ties are impossible (md5 of distinct ids), so the sample is
+    * total-order deterministic. */
+  val q342BottomkSample: QueryDef = sql(
+    "q342_bottomk_sample",
+    """SELECT lang, CAST(rk AS BIGINT) AS rk, doc_id FROM (
+      |  SELECT lang, doc_id,
+      |    ROW_NUMBER() OVER (PARTITION BY lang ORDER BY
+      |      md5('smp:' || CAST(doc_id AS VARCHAR)), doc_id) AS rk
+      |  FROM documents)
+      |WHERE rk <= 20
+      |ORDER BY lang, rk""".stripMargin) { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    Tables.documents(s, dir)
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("lang"))
+          .orderBy(md5(concat(lit("smp:"), col("doc_id").cast("string"))), col("doc_id"))))
+      .filter(col("rk") <= 20)
+      .select(col("lang"), col("rk").cast("long").as("rk"), col("doc_id"))
+      .orderBy(col("lang"), col("rk"))
+  }
+
   val all: Seq[QueryDef] = Seq(
+    q342BottomkSample,
     q326Winnowing, q327MojibakeAudit, q333Rbo, q334HillTail, q338PsiDrift,
     q276EpochAllocation, q277CoverageSelect, q289Chao1, q316TCloseness,
     q21TextStats, q22WordFreq, q23BigramFreq, q24LangId, q25QualityScore,

@@ -219,6 +219,54 @@ class PipelineOpsSpec extends SparkSpec {
     }
   }
 
+  test("bottom-k sample: exactly k per stratum, reproducible, and uniform-without-replacement") {
+    val rows = TextOps.q342BottomkSample.run(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val perLang = rows.groupBy(_._1)
+    perLang.foreach { case (lang, xs) =>
+      assert(xs.length == 20, s"$lang must contribute exactly k docs")
+      assert(xs.map(_._2).sorted.toSeq == (1L to 20L), "ranks are dense 1..k")
+      assert(xs.map(_._3).distinct.length == 20, "without replacement")
+    }
+    // reproducibility: a second run is bit-identical (pure function of ids)
+    val again = TextOps.q342BottomkSample.run(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(rows.toSeq == again.toSeq)
+  }
+
+  test("correlated zone maps: the clustered layout skips, the scattered layout cannot") {
+    val rows = Layout.q343CorrelatedZonemap.run(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        ((r.getLong(3), r.getLong(4), r.getLong(6)))).toMap
+    (1L to 5L).foreach { k =>
+      val (sortSkip, sortMicro, sel) = rows(("shipdate_clustered", k))
+      val (hashSkip, hashMicro, _) = rows(("hash_scattered", k))
+      assert(sortSkip >= hashSkip,
+        s"cut $k: clustering must never skip less than scattering")
+      // the sorted layout's skip fraction approaches 1 - selectivity
+      assert(sortMicro + sel >= 800000L,
+        s"cut $k: clustered skip ($sortMicro) + selectivity ($sel) must approach 1e6")
+      assert(hashMicro <= 100000L,
+        s"cut $k: a hash-scattered layout has almost no transferable zone power ($hashMicro)")
+    }
+  }
+
+  test("cdc compaction: live fingerprints equal the full-replay q287 derivation") {
+    val q287 = Analytics.q287CdcApply.run(spark, sfDir).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(3)))).toMap
+    val rows = Analytics.q344CdcCompaction.run(spark, sfDir).collect()
+    rows.foreach { r =>
+      val st = r.getString(0)
+      val (nLog, nComp, nLive, nTomb) =
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(nComp == nLive + nTomb && nComp <= nLog)
+      assert(r.getLong(5) == nComp * 1000000L / nLog)
+      val (wantLive, wantFp) = q287(st)
+      assert(nLive == wantLive, s"$st: compacted live count must match the full replay")
+      assert(r.getLong(6) == wantFp, s"$st: compaction must preserve the live key fingerprint")
+    }
+  }
+
   test("delta-join MV equals the from-scratch join recompute") {
     val direct = Tables.orders(spark, sfDir)
       .join(Tables.customer(spark, sfDir),

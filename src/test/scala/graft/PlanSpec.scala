@@ -670,4 +670,34 @@ class PlanSpec extends SparkSpec {
       case (k, None) => spark.conf.unset(k)
     }
   }
+
+  test("q332: the customer-delta legs ride broadcast joins") {
+    // the delta rule's whole point is that a daily delta never re-joins
+    // two full facts — the dimension-delta side must be the build side
+    val p = planOf(Analytics.q332DeltaJoinMv.run(spark, sfDir))
+    assert(p.contains("BroadcastHashJoin"),
+      s"delta-MV maintenance must broadcast the customer deltas:\n$p")
+  }
+
+  test("q337: the bit relation is broadcast into both probe semi-joins") {
+    val p = planOf(graft.ops.Layout.q337BloomFpr.run(spark, sfDir))
+    // two probe-side joins against the filter-sized bit relation — both
+    // must be broadcast builds, never a shuffle of the probe stream
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2,
+      s"both bloom-probe joins must be broadcast:\n$p")
+  }
+
+  test("q326: winnowing scans tokenize once and the pair join is the only wide join") {
+    // the fingerprint relation is persisted (InMemory scans feed the
+    // self-join) and per-doc window minima must not introduce a
+    // CartesianProduct or a nested loop anywhere
+    val p = planOf(graft.ops.TextOps.q326Winnowing.run(spark, sfDir))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"winnowing must stay equi-join only:\n$p")
+  }
+
+  test("q328: postings varint audit plans no join at all") {
+    val p = planOf(graft.ops.Layout.q328PostingsVarint.run(spark, sfDir))
+    assert(!p.contains("Join"), s"gap+cost is pure window+agg work:\n$p")
+  }
 }

@@ -534,6 +534,47 @@ class StreamingSpec extends SparkSpec {
     assert(run1.keys.size == 2 && run2.keys.size == 3)
   }
 
+  test("join-MV stream: delta-rule state equals the batch join recompute; replay never cancels fingerprints") {
+    import scala.collection.concurrent.TrieMap
+    import graft.ops.Analytics
+    val orders = Tables.orders(spark, sfDir)
+    val cust = Tables.customer(spark, sfDir)
+    val stateDir = Files.createTempDirectory("graft-jmv-state").resolve("mv").toString
+    val srcDir = Files.createTempDirectory("graft-jmv-src")
+    def stage(df: DataFrame, name: String): Unit = {
+      val tmp = Files.createTempDirectory("graft-jmv-stage").toString
+      df.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(_.getName.endsWith(".parquet")).get.toPath
+      Files.copy(part, srcDir.resolve(name), StandardCopyOption.REPLACE_EXISTING)
+      stampStaged(srcDir.resolve(name))
+    }
+    def runStream(): Map[Long, Seq[Row]] = {
+      val acc = TrieMap.empty[Long, Seq[Row]]
+      val q = StreamingOps.joinMvMaintainStream(spark, srcDir.toString, cust, stateDir) {
+        (id, mv) => acc(id) = mv.collect().toSeq
+      }
+      val terminated = q.awaitTermination(180000)
+      if (!terminated) q.stop()
+      assert(terminated, "join-MV stream did not finish")
+      acc.toMap
+    }
+    stage(orders.filter(col("o_orderkey") % 3 === 0), "a.parquet")
+    stage(orders.filter(col("o_orderkey") % 3 === 1), "b.parquet")
+    val run1 = runStream()
+    // restart replays file b (no checkpoint) and brings one new file —
+    // without the file log the XOR fold would CANCEL b's keys back out
+    stage(orders.filter(col("o_orderkey") % 3 === 1), "b.parquet")
+    stage(orders.filter(col("o_orderkey") % 3 === 2), "c.parquet")
+    val run2 = runStream()
+    val want = Analytics.joinMvEmit(
+      Analytics.joinMvState(Analytics.joinMvOrders(orders), cust)).collect().toSeq
+    assert(run2(run2.keys.max) == want,
+      "after all files (including a replayed one) the streamed view must equal the batch join")
+    assert(run2.values.exists(_ == run1(run1.keys.max)),
+      "the replay trigger re-emits the pre-restart view unchanged")
+  }
+
   test("bloom stream: BIT_OR state equals the batch words; a replayed file is a no-op without any file log") {
     import scala.collection.concurrent.TrieMap
     val orders = Tables.orders(spark, sfDir).select(col("o_orderkey"), col("o_custkey"))
