@@ -1414,9 +1414,93 @@ object Layout {
       .orderBy(col("layout"), col("cut_k"))
   }
 
+  /** Column-encoding advisor — the PAGE-level companion to q230's
+    * table-level partition/bucket advisor and q328's posting costs: a
+    * parquet/ORC writer picks dictionary, run-length, or delta encoding
+    * per column from exactly three statistics, all computed here in one
+    * pass under the file's write order (row order is the whole game for
+    * RLE/delta, so it is pinned explicitly to the insert order
+    * (l_orderkey, l_linenumber) — both engines must walk the same
+    * sequence): run count (RLE pays when avg run > 4), distinct count
+    * (dictionary pays when ndv ≤ 1% of rows), and the non-decreasing
+    * fraction of numeric deltas (delta pays when ≥ 99% sorted). The
+    * rule ladder is the standard writer heuristic spelled out as exact
+    * integer comparisons, so the advisor is auditable: its entire input
+    * ships in its output.
+    *
+    * Scale posture: one unpivot scan (6× projection, map-side), one
+    * column-partitioned LAG window, one 6-row aggregate. The global
+    * write-order window is the sort a writer pays anyway. */
+  val q345EncodingAdvisor: QueryDef = {
+    val numCols = Seq("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber")
+    val strCols = Seq("l_returnflag", "l_linestatus")
+    val unionSql = (numCols.map(c =>
+        s"SELECT '$c' AS col_name, ord, CAST($c AS VARCHAR) AS v, CAST($c AS BIGINT) AS nv FROM base") ++
+      strCols.map(c =>
+        s"SELECT '$c', ord, $c, CAST(NULL AS BIGINT) FROM base")).mkString("\n      |  UNION ALL ")
+    sql(
+      "q345_encoding_advisor",
+      s"""WITH base AS (
+       |  SELECT l_orderkey, l_partkey, l_suppkey, l_linenumber, l_returnflag, l_linestatus,
+       |    ROW_NUMBER() OVER (ORDER BY l_orderkey, l_linenumber) AS ord
+       |  FROM lineitem),
+       |long AS (
+       |  $unionSql),
+       |r AS (SELECT col_name, v, nv,
+       |        LAG(v) OVER (PARTITION BY col_name ORDER BY ord) AS pv,
+       |        LAG(nv) OVER (PARTITION BY col_name ORDER BY ord) AS pnv
+       |      FROM long),
+       |st AS (SELECT col_name, CAST(COUNT(*) AS BIGINT) AS n,
+       |        CAST(COUNT(DISTINCT v) AS BIGINT) AS ndv,
+       |        CAST(SUM(CASE WHEN pv IS NULL OR v <> pv THEN 1 ELSE 0 END) AS BIGINT) AS n_runs,
+       |        CAST(SUM(CASE WHEN pnv IS NOT NULL AND nv >= pnv THEN 1 ELSE 0 END) AS BIGINT) AS n_nondec,
+       |        CAST(SUM(CASE WHEN pnv IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_pairs
+       |      FROM r GROUP BY 1)
+       |SELECT col_name, n, ndv, n_runs,
+       |  n * 1000000 // n_runs AS avg_run_micro,
+       |  CASE WHEN n_pairs > 0 THEN n_nondec * 1000000 // n_pairs ELSE 0 END AS mono_micro,
+       |  CASE WHEN n * 1000000 // n_runs > 4000000 THEN 'rle'
+       |       WHEN ndv * 100 <= n THEN 'dict'
+       |       WHEN n_pairs > 0 AND n_nondec * 1000000 // n_pairs >= 990000 THEN 'delta'
+       |       ELSE 'plain' END AS encoding
+       |FROM st
+       |ORDER BY col_name""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val base = Tables.lineitem(s, dir)
+        .select((numCols ++ strCols).map(col) :+
+          row_number().over(Window.orderBy(col("l_orderkey"), col("l_linenumber")))
+            .as("ord"): _*)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val long = (numCols.map(c => base.select(lit(c).as("col_name"), col("ord"),
+          col(c).cast("string").as("v"), col(c).cast("long").as("nv"))) ++
+        strCols.map(c => base.select(lit(c).as("col_name"), col("ord"),
+          col(c).as("v"), lit(null).cast("long").as("nv"))))
+        .reduce(_ unionByName _)
+      val byOrd = Window.partitionBy(col("col_name")).orderBy(col("ord"))
+      val r = long
+        .withColumn("pv", lag(col("v"), 1).over(byOrd))
+        .withColumn("pnv", lag(col("nv"), 1).over(byOrd))
+      r.groupBy(col("col_name"))
+        .agg(count(lit(1)).as("n"), countDistinct(col("v")).as("ndv"),
+          sum(when(col("pv").isNull || col("v") =!= col("pv"), 1L).otherwise(0L)).as("n_runs"),
+          sum(when(col("pnv").isNotNull && col("nv") >= col("pnv"), 1L).otherwise(0L))
+            .as("n_nondec"),
+          sum(when(col("pnv").isNotNull, 1L).otherwise(0L)).as("n_pairs"))
+        .select(col("col_name"), col("n"), col("ndv"), col("n_runs"),
+          expr("n * 1000000L DIV n_runs").as("avg_run_micro"),
+          expr("CASE WHEN n_pairs > 0 THEN n_nondec * 1000000L DIV n_pairs ELSE 0L END")
+            .as("mono_micro"),
+          expr("""CASE WHEN n * 1000000L DIV n_runs > 4000000L THEN 'rle'
+                 |  WHEN ndv * 100L <= n THEN 'dict'
+                 |  WHEN n_pairs > 0 AND n_nondec * 1000000L DIV n_pairs >= 990000L THEN 'delta'
+                 |  ELSE 'plain' END""".stripMargin).as("encoding"))
+        .orderBy(col("col_name"))
+    }
+  }
+
   val all: Seq[QueryDef] = Seq(
     q328PostingsVarint, q329PartitionSkew, q336JoinEstimate, q337BloomFpr,
-    q343CorrelatedZonemap,
+    q343CorrelatedZonemap, q345EncodingAdvisor,
     q112BucketedJoin, q113PartitionPruning, q114SaltedJoin, q115BloomSemiJoin,
     q229ColumnProfile, q230LayoutAdvisor, q246CardinalityAudit, q250BloomZoneMap,
     q258CurveLocality, q260RebalanceAudit, q273CountMinAudit, q278KmvSketch,

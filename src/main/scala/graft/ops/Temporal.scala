@@ -1428,7 +1428,7 @@ object Temporal {
   }
 
   val all: Seq[QueryDef] = Seq(
-    q341WatermarkLateness,
+    q341WatermarkLateness, q346EntropyRate,
     q46AsofJoin, q47Pivot, q55IntervalJoin, q63AsofNative, q81IntervalNative,
     q95Funnel, q96RetentionCohorts, q109TransitionMatrix, q192DecayScores,
     q226ChangePoint, q236Attribution, q241PeakConcurrency, q242KaplanMeier,
@@ -2170,6 +2170,77 @@ object Temporal {
         .agg(sum(expr("(m * p_micro) DIV 1000000L")).as("m"))
     }
     v.select(col("event_type"), col("m").as("stationary_micro"))
+      .orderBy(col("event_type"))
+  }
+
+  /** Entropy rate of the event-transition chain (Shannon 1948 §7 /
+    * Cover & Thomas ch. 4): H = Σ_i π_i · H_i with
+    * H_i = −Σ_j p_ij ln p_ij — how PREDICTABLE a user's next action is
+    * from the current one, the single number that says whether the q109
+    * kernel is worth exploiting (H near ln(alphabet) = navigation is
+    * noise; near 0 = deterministic funnels). Composes two proven
+    * relations: the q109/q284 transition counts (exact integer rationals
+    * n/t) and q284's exact-integer stationary vector — per state it
+    * emits π (micro), the out-alphabet size, H_i, and the π-weighted
+    * contribution; the q298 composition discipline, so a drift anywhere
+    * upstream reshuffles this hash too.
+    *
+    * Float discipline: each H_i is a ≤ alphabet-sized sum of identical
+    * IEEE terms from exact integers, ROUND 6 (q136's device). Scale:
+    * the one corpus pass is the transition LEAD; everything after is
+    * alphabet-sized. */
+  lazy val q346EntropyRate: QueryDef = sql(
+    "q346_entropy_rate",
+    s"""WITH tr AS (
+       |  SELECT event_type AS cur,
+       |    LEAD(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS nxt
+       |  FROM events),
+       |cnt AS (SELECT cur, nxt, CAST(COUNT(*) AS BIGINT) AS n FROM tr
+       |        WHERE nxt IS NOT NULL GROUP BY 1, 2),
+       |tot AS (SELECT cur, CAST(SUM(n) AS BIGINT) AS t FROM cnt GROUP BY 1),
+       |p AS (SELECT cnt.cur, cnt.nxt, (cnt.n * 1000000) // tot.t AS p_micro
+       |      FROM cnt JOIN tot ON tot.cur = cnt.cur),
+       |v0 AS (SELECT cur AS event_type, CAST(200000 AS BIGINT) AS m FROM tot),
+       |${statRoundSql(1)},
+       |${statRoundSql(2)},
+       |${statRoundSql(3)},
+       |${statRoundSql(4)},
+       |h AS (SELECT cnt.cur AS event_type,
+       |        CAST(COUNT(*) AS BIGINT) AS out_degree,
+       |        -SUM((CAST(cnt.n AS DOUBLE) / tot.t) * LN(CAST(cnt.n AS DOUBLE) / tot.t)) AS hi
+       |      FROM cnt JOIN tot ON tot.cur = cnt.cur
+       |      GROUP BY 1)
+       |SELECT h.event_type, v4.m AS pi_micro, h.out_degree,
+       |  ROUND(h.hi, 6) AS h_state,
+       |  ROUND((CAST(v4.m AS DOUBLE) / 1000000.0) * h.hi, 6) AS contrib
+       |FROM h JOIN v4 ON v4.event_type = h.event_type
+       |ORDER BY h.event_type""".stripMargin) { (s, dir) =>
+    val byTs = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val tr = Tables.events(s, dir)
+      .select(col("event_type").as("cur"),
+        lead(col("event_type"), 1).over(byTs).as("nxt"))
+      .filter(col("nxt").isNotNull)
+    val cnt = tr.groupBy(col("cur"), col("nxt")).agg(count(lit(1)).as("n"))
+      .localCheckpoint(true) // alphabet-squared; feeds p, rounds, and h
+    val tot = cnt.groupBy(col("cur")).agg(sum(col("n")).as("t"))
+    val p = cnt.join(tot, Seq("cur"))
+      .select(col("cur"), col("nxt"), expr("(n * 1000000L) DIV t").as("p_micro"))
+      .localCheckpoint(true)
+    var v = tot.select(col("cur").as("event_type"), lit(200000L).as("m"))
+    for (_ <- 1 to 4) {
+      v = p.join(broadcast(v), p("cur") === v("event_type"))
+        .groupBy(col("nxt").as("event_type"))
+        .agg(sum(expr("(m * p_micro) DIV 1000000L")).as("m"))
+    }
+    val h = cnt.join(tot, Seq("cur"))
+      .groupBy(col("cur").as("event_type"))
+      .agg(count(lit(1)).as("out_degree"),
+        (-sum((col("n").cast("double") / col("t")) *
+          log(col("n").cast("double") / col("t")))).as("hi"))
+    h.join(v, "event_type")
+      .select(col("event_type"), col("m").as("pi_micro"), col("out_degree"),
+        round(col("hi"), 6).as("h_state"),
+        round((col("m").cast("double") / lit(1000000.0)) * col("hi"), 6).as("contrib"))
       .orderBy(col("event_type"))
   }
 }

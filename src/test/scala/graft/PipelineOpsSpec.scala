@@ -267,6 +267,48 @@ class PipelineOpsSpec extends SparkSpec {
     }
   }
 
+  test("encoding advisor: statistics are consistent and recommendations follow the ladder") {
+    val rows = Layout.q345EncodingAdvisor.run(spark, sfDir).collect()
+    assert(rows.length == 6)
+    val byCol = rows.map(r => r.getString(0) ->
+      ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getString(6)))).toMap
+    byCol.foreach { case (c, (n, ndv, runs, avgRun, mono, enc)) =>
+      assert(ndv <= n && runs <= n && runs >= ndv / 2, s"$c stats degenerate")
+      assert(avgRun == n * 1000000L / runs)
+      // recommendation must match its own published inputs
+      val expect =
+        if (avgRun > 4000000L) "rle"
+        else if (ndv * 100 <= n) "dict"
+        else if (mono >= 990000L) "delta"
+        else "plain"
+      assert(enc == expect, s"$c: $enc vs $expect from its own stats")
+    }
+    // the insert-order key is sorted by construction: delta or rle
+    assert(byCol("l_orderkey")._6 == "delta" || byCol("l_orderkey")._6 == "rle")
+    // 3-value flags are dictionary columns at any realistic size
+    assert(byCol("l_returnflag")._2 <= 3 && byCol("l_returnflag")._6 == "dict")
+  }
+
+  test("entropy rate: per-state entropy bounded by ln(out_degree), stationary mass conserved") {
+    val rows = graft.ops.Temporal.q346EntropyRate.run(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    var piSum = 0L
+    rows.foreach { r =>
+      val (pi, outDeg, hi, contrib) =
+        (r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4))
+      piSum += pi
+      assert(hi >= 0.0 && hi <= math.log(outDeg.toDouble) + 1e-9,
+        s"uniform over $outDeg successors maximizes H: $hi")
+      assert(math.abs(contrib - pi / 1e6 * hi) < 1e-5)
+    }
+    // exact-integer power iteration: each of the 4 rounds loses up to
+    // alphabet micro to the update floors PLUS alphabet micro per state
+    // to the kernel's own row-normalization floor (Σ p_ij <= 1e6), so
+    // the documented bound is rounds * alphabet * (alphabet + 1)
+    assert(piSum > 1000000L - 4 * 5 * 6 && piSum <= 1000000L,
+      s"stationary mass $piSum must conserve up to the documented floor leak")
+  }
+
   test("delta-join MV equals the from-scratch join recompute") {
     val direct = Tables.orders(spark, sfDir)
       .join(Tables.customer(spark, sfDir),
