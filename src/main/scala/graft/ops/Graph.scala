@@ -1242,8 +1242,63 @@ object Graph {
       .orderBy(col("seed"))
   }
 
+  /** Distributed cycle detection by doubling reachability — the
+    * integrity check a hierarchy ingest runs BEFORE q312's rollup
+    * (pointer doubling on a cyclic parent graph never converges; a
+    * sequential DFS would find the cycle but takes depth-many steps):
+    * build the closure R ← R ∪ R∘R and report every node with a
+    * self-path (x, x). The fixture hierarchy parent(k) = k÷4 is a
+    * forest — acyclic by construction — so cycles are PLANTED
+    * deterministically (the q341 device): every part key k ≥ 16 with
+    * k % 97 == 0 gains a back edge k÷16 → k, closing the 3-cycle
+    * {k, k÷4, k÷16}. The audit must find EXACTLY the planted cycle
+    * members: a missed back edge, an extra closure row, or a doubling
+    * that overshoots all change the set.
+    *
+    * Two doublings cover path length 4 > the planted cycle length 3;
+    * closure size stays Σ min(depth, 4) — bounded rows per node, NOT
+    * the full ancestor closure, because detection only needs paths as
+    * long as the longest cycle it guards against (documented bound:
+    * cycles longer than 4 need another round). Exact integers. */
+  val q347CycleDetection: QueryDef = sql(
+    "q347_cycle_detection",
+    """WITH keys AS (SELECT DISTINCT p_partkey AS k FROM part),
+      |fwd AS (SELECT k AS src, k // 4 AS dst FROM keys WHERE k >= 1),
+      |back AS (SELECT k // 16 AS src, k AS dst FROM keys WHERE k >= 16 AND k % 97 = 0),
+      |e AS (SELECT src, dst FROM fwd UNION SELECT src, dst FROM back),
+      |r1 AS (SELECT src, dst FROM e),
+      |r2 AS MATERIALIZED (
+      |  SELECT src, dst FROM r1
+      |  UNION
+      |  SELECT a.src, b.dst FROM r1 a JOIN r1 b ON b.src = a.dst),
+      |r3 AS MATERIALIZED (
+      |  SELECT src, dst FROM r2
+      |  UNION
+      |  SELECT a.src, b.dst FROM r2 a JOIN r2 b ON b.src = a.dst)
+      |SELECT src AS node FROM r3 WHERE src = dst
+      |ORDER BY node""".stripMargin) { (s, dir) =>
+    val keys = Tables.part(s, dir).select(col("p_partkey").as("k")).distinct()
+      .localCheckpoint(true) // key-sized; feeds both edge relations
+    val fwd = keys.filter(col("k") >= 1)
+      .select(col("k").as("src"), expr("k DIV 4").as("dst"))
+    val back = keys.filter(col("k") >= 16 && col("k") % 97 === 0)
+      .select(expr("k DIV 16").as("src"), col("k").as("dst"))
+    var r = fwd.unionByName(back).distinct().localCheckpoint(true)
+    for (_ <- 1 to 2) {
+      r = r.unionByName(
+          r.select(col("src"), col("dst").as("m"))
+            .join(r.select(col("src").as("m"), col("dst")), Seq("m"))
+            .select(col("src"), col("dst")))
+        .distinct()
+        .localCheckpoint(true) // referenced twice next round (union + both join sides)
+    }
+    r.filter(col("src") === col("dst")).select(col("src").as("node"))
+      .orderBy(col("node"))
+  }
+
   val all: Seq[QueryDef] = Seq(q143Pagerank, q153LabelProp, q173BradleyTerry,
     q188PersonalizedPagerank, q243Triangles, q263BfsHops, q274LocalBridges,
     q279Textrank, q281Assortativity, q282KCore, q302WalkerConvergence,
-    q312HierarchyRollup, q325DirectedPagerank, q340HarmonicCentrality)
+    q312HierarchyRollup, q325DirectedPagerank, q340HarmonicCentrality,
+    q347CycleDetection)
 }

@@ -603,6 +603,39 @@ object StreamingOps {
       .start()
   }
 
+  /** Event-time tumbling DAY counts under a REAL watermark — the face
+    * that closes the loop on q341's lateness audit: q341 measures the
+    * disorder and says what `withWatermark(delay)` must be; this stream
+    * runs that policy for real, and StreamingSpec proves BOTH
+    * directions of the claim — a delay ≥ the measured max lateness
+    * reproduces the batch tumbling counts exactly, and an undersized
+    * delay drops late rows, and ONLY rows of the straggler class.
+    * Engine facts the spec encodes: the late-row filter lags one batch
+    * (the first late batch after a high-water file is still fully
+    * aggregated — the watermark it sees was committed before that
+    * file), and rows are dropped by WINDOW expiry (window.end vs
+    * watermark), not by raw timestamp. Update-mode memory sink, latest
+    * row per window = the window's final count (append mode would
+    * never emit windows still open at AvailableNow termination — the
+    * classic watermark-test trap). */
+  def tumblingCountsStream(s: SparkSession, stagedDir: String, delay: String,
+      sinkName: String): org.apache.spark.sql.streaming.StreamingQuery = {
+    val schema = s.read.parquet(stagedDir).schema
+    s.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(stagedDir)
+      .withWatermark("ts", delay)
+      .groupBy(window(col("ts"), "1 day"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("window.start").as("win_start"), col("n_events"))
+      .writeStream
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .outputMode("update")
+      .format("memory")
+      .queryName(sinkName)
+      .start()
+  }
+
   /** Streaming face of q332's JOIN-view maintenance — the stream-static
     * delta rule: orders arrive as staged files, the customer dimension
     * is static, and each trigger folds ΔO ⋈ C into the persisted view

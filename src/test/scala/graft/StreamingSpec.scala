@@ -534,6 +534,59 @@ class StreamingSpec extends SparkSpec {
     assert(run1.keys.size == 2 && run2.keys.size == 3)
   }
 
+  test("watermark policy: a q341-sized delay reproduces batch counts; an undersized one drops only stragglers") {
+    val ev = Tables.events(spark, sfDir)
+      .select(col("event_id"), col("ts"))
+      .localCheckpoint(true)
+    val srcDir = Files.createTempDirectory("graft-wm-src")
+    def stage(df: DataFrame, name: String): Unit = {
+      val tmp = Files.createTempDirectory("graft-wm-stage").toString
+      df.select(col("event_id"), col("ts")).coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(_.getName.endsWith(".parquet")).get.toPath
+      Files.copy(part, srcDir.resolve(name), StandardCopyOption.REPLACE_EXISTING)
+      stampStaged(srcDir.resolve(name))
+    }
+    // the %7 class delivers LATE, split across TWO files: Spark's
+    // late-row filter uses the watermark committed before the PREVIOUS
+    // batch (a one-batch lag, verified empirically — the first late
+    // batch after the high-water file is still fully aggregated), so
+    // only the second late file meets the advanced watermark
+    stage(ev.filter(col("event_id") % 7 =!= 0), "a.parquet") // on-time arrivals
+    stage(ev.filter(col("event_id") % 14 === 0), "b.parquet") // stragglers, wave 1
+    stage(ev.filter(col("event_id") % 7 === 0 && col("event_id") % 14 =!= 0),
+      "c.parquet") // stragglers, wave 2 — these face the real watermark
+    def runWm(delay: String, sink: String): Map[java.sql.Timestamp, Long] = {
+      val q = StreamingOps.tumblingCountsStream(spark, srcDir.toString, delay, sink)
+      assert(q.awaitTermination(180000), s"watermark stream ($delay) did not finish")
+      // update-mode sink: the LAST row per window is its final count
+      spark.table(sink).collect()
+        .map(r => (r.getTimestamp(0), r.getLong(1)))
+        .foldLeft(Map.empty[java.sql.Timestamp, Long]) { case (m, (w, c)) => m.updated(w, c) }
+    }
+    val batch = ev.groupBy(window(col("ts"), "1 day"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start"), col("n"))
+      .collect().map(r => r.getTimestamp(0) -> r.getLong(1)).toMap
+    // (a) delay sized by the q341 audit (comfortably >= max lateness):
+    // the stream must reproduce the batch tumbling counts EXACTLY
+    val generous = runWm("60 days", "wm_generous")
+    assert(generous == batch,
+      "a watermark sized by the lateness audit must lose nothing")
+    // (b) an undersized delay: only the planted stragglers CAN be
+    // dropped (everything else arrives time-ordered), and something is
+    val tight = runWm("1 second", "wm_tight")
+    val streamedTotal = tight.values.sum
+    val batchTotal = batch.values.sum
+    val nStragglers = ev.filter(col("event_id") % 7 === 0).count()
+    assert(streamedTotal < batchTotal, "an undersized watermark must drop late rows")
+    assert(batchTotal - streamedTotal <= nStragglers,
+      "only the planted straggler class is ever late, so only it can be dropped")
+    tight.foreach { case (w, c) =>
+      assert(c <= batch(w), s"window $w cannot gain rows under a tighter watermark")
+    }
+  }
+
   test("join-MV stream: delta-rule state equals the batch join recompute; replay never cancels fingerprints") {
     import scala.collection.concurrent.TrieMap
     import graft.ops.Analytics
