@@ -1420,8 +1420,16 @@ object Layout {
     * per column from exactly three statistics, all computed here in one
     * pass under the file's write order (row order is the whole game for
     * RLE/delta, so it is pinned explicitly to the insert order
-    * (l_orderkey, l_linenumber) — both engines must walk the same
-    * sequence): run count (RLE pays when avg run > 4), distinct count
+    * (l_orderkey, l_linenumber), computed as the CLOSED-FORM surrogate
+    * l_orderkey·8 + l_linenumber (l_linenumber ≤ 7), with duplicate
+    * (orderkey, linenumber) rows — the fixture genuinely has them, the
+    * q272 finding — tie-broken BY VALUE so the walked sequence is
+    * total and engine-independent. Runs are counted within 8192-wide
+    * ord shards — the page granularity an encoder actually works at,
+    * and the property that makes the whole audit embarrassingly
+    * parallel: a single-partition global ROW_NUMBER cost 5–7 s at
+    * sf0.1 and would serialize a 100 TB audit entirely; per-shard
+    * windows shuffle-partition instead): run count (RLE pays when avg run > 4), distinct count
     * (dictionary pays when ndv ≤ 1% of rows), and the non-decreasing
     * fraction of numeric deltas (delta pays when ≥ 99% sorted). The
     * rule ladder is the standard writer heuristic spelled out as exact
@@ -1442,13 +1450,13 @@ object Layout {
       "q345_encoding_advisor",
       s"""WITH base AS (
        |  SELECT l_orderkey, l_partkey, l_suppkey, l_linenumber, l_returnflag, l_linestatus,
-       |    ROW_NUMBER() OVER (ORDER BY l_orderkey, l_linenumber) AS ord
+       |    l_orderkey * 8 + l_linenumber AS ord
        |  FROM lineitem),
        |long AS (
        |  $unionSql),
        |r AS (SELECT col_name, v, nv,
-       |        LAG(v) OVER (PARTITION BY col_name ORDER BY ord) AS pv,
-       |        LAG(nv) OVER (PARTITION BY col_name ORDER BY ord) AS pnv
+       |        LAG(v) OVER (PARTITION BY col_name, ord // 8192 ORDER BY ord, v) AS pv,
+       |        LAG(nv) OVER (PARTITION BY col_name, ord // 8192 ORDER BY ord, v) AS pnv
        |      FROM long),
        |st AS (SELECT col_name, CAST(COUNT(*) AS BIGINT) AS n,
        |        CAST(COUNT(DISTINCT v) AS BIGINT) AS ndv,
@@ -1468,15 +1476,22 @@ object Layout {
       import org.apache.spark.sql.expressions.Window
       val base = Tables.lineitem(s, dir)
         .select((numCols ++ strCols).map(col) :+
-          row_number().over(Window.orderBy(col("l_orderkey"), col("l_linenumber")))
-            .as("ord"): _*)
+          (col("l_orderkey") * 8 + col("l_linenumber")).as("ord"): _*)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val long = (numCols.map(c => base.select(lit(c).as("col_name"), col("ord"),
           col(c).cast("string").as("v"), col(c).cast("long").as("nv"))) ++
         strCols.map(c => base.select(lit(c).as("col_name"), col("ord"),
           col(c).as("v"), lit(null).cast("long").as("nv"))))
         .reduce(_ unionByName _)
-      val byOrd = Window.partitionBy(col("col_name")).orderBy(col("ord"))
+      // the fixture's (l_orderkey, l_linenumber) genuinely duplicates
+      // (the q272 contract violation), so the surrogate ord has ties —
+      // break them BY VALUE so the walked sequence is total and
+      // engine-independent (equal values are interchangeable for runs).
+      // Partitioning by the 8192-wide ord range makes the walk
+      // PER-SHARD — the page granularity an encoder works at — so no
+      // single-partition global sort ever runs
+      val byOrd = Window.partitionBy(col("col_name"), expr("ord DIV 8192"))
+        .orderBy(col("ord"), col("v"))
       val r = long
         .withColumn("pv", lag(col("v"), 1).over(byOrd))
         .withColumn("pnv", lag(col("nv"), 1).over(byOrd))
