@@ -1296,9 +1296,71 @@ object Graph {
       .orderBy(col("node"))
   }
 
+  /** Link prediction by Adamic–Adar (Adamic & Adar, Social Networks
+    * 2003): for NON-adjacent pairs of the support-≥2 co-purchase core
+    * sharing at least one neighbor, AA(a,b) = Σ_{x ∈ Γa∩Γb} 1/ln(deg x)
+    * — common neighbors weighted by how SELECTIVE they are (a hub that
+    * co-sells with everything certifies nothing; a degree-2 part
+    * certifies a lot). The top predictions are the assortment gaps a
+    * recommender fills — the inverse question of q274 (which existing
+    * edges are bridges) on the same wedge machinery as q243 (the
+    * triangle closure's complement, grouped instead of dropped).
+    *
+    * Wedge centers are common neighbors, hence deg ≥ 2 and
+    * ln(deg) > 0 always. Float discipline: each pair's sum is a few
+    * identical IEEE terms (q136's device), ROUND 6, rank on raw with
+    * (a, b) tie-break. Scale: the support filter bounds the wedge
+    * fan-out BEFORE enumeration (the q243 argument), degrees ride a
+    * gated broadcast, and the top-20 cut is WindowGroupLimit-shaped. */
+  val q349LinkPrediction: QueryDef = sql(
+    "q349_link_prediction",
+    """WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+      |pairs AS (SELECT x.pk AS a, y.pk AS b FROM li x JOIN li y
+      |          ON y.ok = x.ok AND y.pk > x.pk),
+      |e AS (SELECT a, b FROM pairs GROUP BY a, b HAVING COUNT(*) >= 2),
+      |sym AS (SELECT a AS u, b AS v FROM e UNION ALL SELECT b, a FROM e),
+      |deg AS (SELECT u AS node, CAST(COUNT(*) AS BIGINT) AS d FROM sym GROUP BY 1),
+      |wedge AS (SELECT na.v AS a, nb.v AS b, na.u AS x
+      |          FROM sym na JOIN sym nb ON nb.u = na.u AND nb.v > na.v),
+      |cand AS (SELECT w.a, w.b, w.x FROM wedge w
+      |         LEFT JOIN e ON e.a = w.a AND e.b = w.b
+      |         WHERE e.a IS NULL),
+      |aa AS (SELECT c.a, c.b, CAST(COUNT(*) AS BIGINT) AS n_common,
+      |         SUM(1.0 / LN(CAST(deg.d AS DOUBLE))) AS raw
+      |       FROM cand c JOIN deg ON deg.node = c.x
+      |       GROUP BY 1, 2)
+      |SELECT a, b, n_common, ROUND(raw, 6) AS adamic_adar
+      |FROM aa
+      |ORDER BY raw DESC, a, b
+      |LIMIT 20""".stripMargin) { (s, dir) =>
+    val pairs = Analytics.pairsOf(Analytics.baskets(s, dir))
+      .select(col("part_a").as("a"), col("part_b").as("b"))
+    val e = pairs.groupBy(col("a"), col("b")).agg(count(lit(1)).as("c"))
+      .filter(col("c") >= 2).select(col("a"), col("b"))
+      .localCheckpoint(true) // core-sized; feeds sym, deg, and the anti join
+    val sym = e.select(col("a").as("u"), col("b").as("v"))
+      .unionAll(e.select(col("b").as("u"), col("a").as("v")))
+    val deg = sym.groupBy(col("u").as("node")).agg(count(lit(1)).as("d"))
+      .localCheckpoint(true)
+    val nd = deg.count()
+    val wedge = sym.select(col("u").as("x"), col("v").as("a"))
+      .join(sym.select(col("u").as("x"), col("v").as("b")), Seq("x"))
+      .filter(col("b") > col("a"))
+    val cand = wedge.join(e, Seq("a", "b"), "left_anti")
+    cand.join(gateBroadcast(deg.select(col("node").as("x"), col("d")), nd), Seq("x"))
+      .groupBy(col("a"), col("b"))
+      .agg(count(lit(1)).as("n_common"),
+        sum(lit(1.0) / log(col("d").cast("double"))).as("raw"))
+      .select(col("a"), col("b"), col("n_common"), round(col("raw"), 6).as("adamic_adar"),
+        col("raw"))
+      .orderBy(col("raw").desc, col("a"), col("b"))
+      .limit(20)
+      .drop("raw")
+  }
+
   val all: Seq[QueryDef] = Seq(q143Pagerank, q153LabelProp, q173BradleyTerry,
     q188PersonalizedPagerank, q243Triangles, q263BfsHops, q274LocalBridges,
     q279Textrank, q281Assortativity, q282KCore, q302WalkerConvergence,
     q312HierarchyRollup, q325DirectedPagerank, q340HarmonicCentrality,
-    q347CycleDetection)
+    q347CycleDetection, q349LinkPrediction)
 }

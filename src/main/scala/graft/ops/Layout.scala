@@ -1513,9 +1513,74 @@ object Layout {
     }
   }
 
+  /** KMV set algebra — audience-overlap estimation from mergeable
+    * sketches (Beyer et al. SIGMOD'07 §4: the union sketch is the
+    * bottom-k of the merged bottom-k's, and Jaccard is estimated by the
+    * fraction of union-sketch members present in BOTH input sets):
+    * |A∪B| from the union sketch's k-th minimum, |A∩B| = Ĵ · |A∪B|̂.
+    * A = customers who placed a '1-URGENT' order, B = '2-HIGH' — two
+    * overlapping audiences whose intersection no single-set sketch can
+    * answer; this is the sketch-ALGEBRA face beside q278's single-set
+    * estimate, and the reason KMV (not HLL-without-intersection) is
+    * the synopsis this engine standardizes on. Exact counterparts ride
+    * the same scan; estimates are one closed-form expression over
+    * exact integers; membership tests are k-row broadcast semi-joins.
+    * Degenerate small-k cases fall back to exact (the q278 rule),
+    * which the fixture exercises at sf0.001. */
+  val q350KmvSetAlgebra: QueryDef = sql(
+    "q350_kmv_set_algebra",
+    """WITH a AS (SELECT DISTINCT o_custkey AS k FROM orders WHERE o_orderpriority = '1-URGENT'),
+      |b AS (SELECT DISTINCT o_custkey AS k FROM orders WHERE o_orderpriority = '2-HIGH'),
+      |ha AS (SELECT DISTINCT CAST(('0x' || substr(md5('kmv:' || CAST(k AS VARCHAR)), 1, 15)) AS BIGINT) AS h FROM a),
+      |hb AS (SELECT DISTINCT CAST(('0x' || substr(md5('kmv:' || CAST(k AS VARCHAR)), 1, 15)) AS BIGINT) AS h FROM b),
+      |hu AS (SELECT h FROM (SELECT h FROM ha UNION SELECT h FROM hb) ORDER BY h LIMIT 64),
+      |uk AS (SELECT MAX(h) AS rk, CAST(COUNT(*) AS BIGINT) AS kk FROM hu),
+      |mboth AS (SELECT CAST(COUNT(*) AS BIGINT) AS nb FROM hu
+      |         WHERE h IN (SELECT h FROM ha) AND h IN (SELECT h FROM hb)),
+      |exact AS (SELECT
+      |    (SELECT CAST(COUNT(*) AS BIGINT) FROM (SELECT k FROM a UNION SELECT k FROM b)) AS ex_union,
+      |    (SELECT CAST(COUNT(*) AS BIGINT) FROM a JOIN b USING (k)) AS ex_inter),
+      |est AS (SELECT
+      |    CASE WHEN uk.kk < 64 THEN CAST(uk.kk AS DOUBLE)
+      |         ELSE (CAST(uk.kk AS DOUBLE) - 1.0) * 1152921504606846976.0 / CAST(uk.rk AS DOUBLE)
+      |    END AS u_est,
+      |    mboth.nb, uk.kk
+      |  FROM uk, mboth)
+      |SELECT e.kk AS k_kept, e.nb AS n_both_in_sketch,
+      |  ROUND(e.u_est, 3) AS union_est, x.ex_union,
+      |  ROUND(e.u_est * e.nb / e.kk, 3) AS inter_est, x.ex_inter,
+      |  CAST(FLOOR(ABS(e.u_est - x.ex_union) * 1000000.0 / x.ex_union) AS BIGINT) AS union_err_micro
+      |FROM est e, exact x""".stripMargin) { (s, dir) =>
+    val o = Tables.orders(s, dir)
+    def aud(p: String) = o.filter(col("o_orderpriority") === p)
+      .select(col("o_custkey").as("k")).distinct()
+    val a = aud("1-URGENT").persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val b = aud("2-HIGH").persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val ha = kmvHashes(a, "k").persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val hb = kmvHashes(b, "k").persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val hu = ha.union(hb).distinct().orderBy(col("h")).limit(64)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val uk = hu.agg(max(col("h")).as("rk"), count(lit(1)).as("kk"))
+    val both = hu.join(broadcast(ha), "h").join(broadcast(hb), "h")
+      .agg(count(lit(1)).as("nb"))
+    val exact = a.union(b).distinct().agg(count(lit(1)).as("ex_union"))
+      .crossJoin(a.join(b, "k").agg(count(lit(1)).as("ex_inter")))
+    uk.crossJoin(broadcast(both)).crossJoin(broadcast(exact))
+      .select(col("kk").as("k_kept"), col("nb").as("n_both_in_sketch"),
+        when(col("kk") < 64, col("kk").cast("double"))
+          .otherwise((col("kk").cast("double") - 1.0) * lit(1152921504606846976.0)
+            / col("rk").cast("double")).as("u_est"),
+        col("ex_union"), col("nb"), col("kk").as("kk2"), col("ex_inter"))
+      .select(col("k_kept"), col("n_both_in_sketch"),
+        round(col("u_est"), 3).as("union_est"), col("ex_union"),
+        round(col("u_est") * col("nb") / col("kk2"), 3).as("inter_est"), col("ex_inter"),
+        expr("CAST(FLOOR(ABS(u_est - ex_union) * 1000000.0D / ex_union) AS BIGINT)")
+          .as("union_err_micro"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     q328PostingsVarint, q329PartitionSkew, q336JoinEstimate, q337BloomFpr,
-    q343CorrelatedZonemap, q345EncodingAdvisor,
+    q343CorrelatedZonemap, q345EncodingAdvisor, q350KmvSetAlgebra,
     q112BucketedJoin, q113PartitionPruning, q114SaltedJoin, q115BloomSemiJoin,
     q229ColumnProfile, q230LayoutAdvisor, q246CardinalityAudit, q250BloomZoneMap,
     q258CurveLocality, q260RebalanceAudit, q273CountMinAudit, q278KmvSketch,

@@ -5854,8 +5854,76 @@ object TextOps {
       .orderBy(col("lang"), col("rk"))
   }
 
+  /** Dirichlet query-likelihood retrieval (Zhai & Lafferty SIGIR'01,
+    * μ = 2000) — the third lexical scorer beside BM25 (q136) and TF-IDF
+    * (q333's leg), closing the classic trio: documents rank by
+    * P(q|d) under Dirichlet-smoothed language models. Computed in the
+    * RANK-EQUIVALENT sparse decomposition
+    *   score = Σ_{w∈q∩d} ln(1 + tf·|C|/(μ·cf_w)) + |q|·ln(μ/(dl+μ))
+    * so only MATCHING postings join (the dense background mass folds
+    * into the per-document length term) — the algebra that makes LM
+    * retrieval affordable on an inverted index at all. Same postings,
+    * same broadcast query terms, same WindowGroupLimit top-k as q136;
+    * exact-integer inputs (tf, cf, dl, |C|, |q|) through one identical
+    * IEEE expression, ROUND 6 emit, rank on raw. */
+  val q348DirichletQl: QueryDef = sql(
+    "q348_dirichlet_ql",
+    s"""WITH $bm25PrefixSql,
+       |cf AS (SELECT word, CAST(SUM(tf) AS BIGINT) AS cf FROM tf GROUP BY 1),
+       |coll AS (SELECT CAST(SUM(dl) AS BIGINT) AS c FROM dl),
+       |qn AS (SELECT query_id, CAST(COUNT(*) AS BIGINT) AS nq FROM qt GROUP BY 1),
+       |mt AS (SELECT q.query_id, t.doc_id,
+       |         SUM(LN(1.0 + (CAST(t.tf AS DOUBLE) * coll.c) / (2000.0 * cf.cf))) AS msum
+       |       FROM qt q
+       |       JOIN tf t ON t.word = q.word AND t.doc_id <> q.query_id
+       |       JOIN cf ON cf.word = q.word, coll
+       |       GROUP BY 1, 2),
+       |scored AS (SELECT mt.query_id, mt.doc_id,
+       |             mt.msum + qn.nq * LN(2000.0 / (dl.dl + 2000.0)) AS raw
+       |           FROM mt
+       |           JOIN qn ON qn.query_id = mt.query_id
+       |           JOIN dl ON dl.doc_id = mt.doc_id),
+       |ranked AS (SELECT query_id, doc_id, raw,
+       |             CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+       |               ORDER BY ROUND(raw, 6) DESC, doc_id) AS INT) AS rnk
+       |           FROM scored)
+       |SELECT query_id, doc_id, rnk, ROUND(raw, 6) AS ql
+       |FROM ranked WHERE rnk <= 10
+       |ORDER BY query_id, rnk""".stripMargin) { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val (tf, dl, df) = postingsIndex(s, Tables.documents(s, dir))
+    val cf = tf.groupBy(col("word")).agg(sum(col("tf")).as("cf"))
+    val coll = dl.agg(sum(col("dl")).as("c"))
+    val qt = tf.filter(col("doc_id") % 100 === 0)
+      .select(col("doc_id").as("query_id"), col("word"))
+    val qn = qt.groupBy(col("query_id")).agg(count(lit(1)).as("nq"))
+    val mt = broadcast(qt).join(tf, Seq("word"))
+      .filter(col("doc_id") =!= col("query_id"))
+      .join(broadcast(cf), Seq("word"))
+      .crossJoin(broadcast(coll))
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(sum(log(lit(1.0) +
+        (col("tf").cast("double") * col("c")) / (lit(2000.0) * col("cf")))).as("msum"))
+    val scored = mt
+      .join(broadcast(qn), "query_id")
+      .join(dl, "doc_id")
+      .select(col("query_id"), col("doc_id"),
+        (col("msum") + col("nq") * log(lit(2000.0) / (col("dl") + lit(2000.0)))).as("raw"))
+    scored
+      // rank on the ROUNDED score: QL scores of same-length docs with
+      // equal matched multisets sit within float-sum noise of each
+      // other, and a raw-score rank would break the cross-engine tie
+      // arbitrarily at the top-k boundary (BM25's spread hides this;
+      // QL's does not)
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy(col("query_id")).orderBy(round(col("raw"), 6).desc, col("doc_id"))))
+      .filter(col("rnk") <= 10)
+      .select(col("query_id"), col("doc_id"), col("rnk"), round(col("raw"), 6).as("ql"))
+      .orderBy(col("query_id"), col("rnk"))
+  }
+
   val all: Seq[QueryDef] = Seq(
-    q342BottomkSample,
+    q342BottomkSample, q348DirichletQl,
     q326Winnowing, q327MojibakeAudit, q333Rbo, q334HillTail, q338PsiDrift,
     q276EpochAllocation, q277CoverageSelect, q289Chao1, q316TCloseness,
     q21TextStats, q22WordFreq, q23BigramFreq, q24LangId, q25QualityScore,

@@ -309,6 +309,49 @@ class PipelineOpsSpec extends SparkSpec {
       s"stationary mass $piSum must conserve up to the documented floor leak")
   }
 
+  test("dirichlet QL: ranks are dense per query and scores decrease down the ranking") {
+    val rows = TextOps.q348DirichletQl.run(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3)))
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).foreach { case (q, xs) =>
+      val sorted = xs.sortBy(_._3)
+      assert(sorted.map(_._3).toSeq == (1 to sorted.length), s"query $q ranks not dense")
+      assert(sorted.map(_._4).toSeq == sorted.map(_._4).sortBy(-_).toSeq,
+        s"query $q scores must not increase down the ranking")
+      assert(!sorted.map(_._2).contains(q), "a query never retrieves itself")
+    }
+  }
+
+  test("adamic-adar: predictions are non-edges with common neighbors, weighted sanely") {
+    val rows = graft.ops.Graph.q349LinkPrediction.run(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(rows.nonEmpty && rows.length <= 20)
+    rows.foreach { case (a, b, nc, aa) =>
+      assert(a < b && nc >= 1)
+      // each common neighbor has degree >= 2, so its weight is in
+      // (0, 1/ln 2]; the sum is bounded by n_common / ln 2
+      assert(aa > 0.0 && aa <= nc / math.log(2.0) + 1e-6)
+    }
+    val scores = rows.map(_._4)
+    assert(scores.toSeq == scores.sortBy(-_).toSeq, "emitted in score order")
+  }
+
+  test("kmv set algebra: estimates bracket reality and degenerate-k falls back to exact") {
+    val r = Layout.q350KmvSetAlgebra.run(spark, sfDir).collect()(0)
+    val (kk, nb, uEst, exU, iEst, exI) = (r.getLong(0), r.getLong(1), r.getDouble(2),
+      r.getLong(3), r.getDouble(4), r.getLong(5))
+    assert(nb <= kk)
+    if (kk < 64) {
+      // the fixture's audiences are small: the sketch IS the set
+      assert(uEst == exU.toDouble, "under-filled sketch must report exactly")
+      assert(iEst == exI.toDouble)
+    } else {
+      assert(math.abs(uEst - exU) / exU < 0.5, s"union estimate $uEst vs $exU")
+      assert(math.abs(iEst - exI) <= math.max(exI.toDouble, 1.0) * 1.0 + uEst / 8,
+        s"intersection estimate $iEst vs $exI")
+    }
+  }
+
   test("delta-join MV equals the from-scratch join recompute") {
     val direct = Tables.orders(spark, sfDir)
       .join(Tables.customer(spark, sfDir),
