@@ -399,6 +399,74 @@ object Contracts {
       .orderBy(col("source"))
   }
 
+  /** The STORAGE-PLAN scorecard capstone — the q298 device applied to
+    * round 6's physical-design audit suite: postings compressibility
+    * (q328), shuffle-slot skew (q329), the value of join statistics
+    * (q336, naive vs histogram error), Bloom FPR (q337), the
+    * correlated-zone-map clustering gap at the median cutoff (q343),
+    * and how many columns escape plain encoding (q345) — one BIGINT
+    * per audit, ONE hash, and the oracle assembled from the member
+    * queries' own oracle SQL as subqueries, so the scorecard passes
+    * only if every member still matches its oracle INSIDE the
+    * composition. This is the sheet a storage-engineering review
+    * actually opens with. */
+  val q352StorageScorecard: QueryDef = {
+    def sub(q: QueryDef): String = q.oracle.get
+    sql(
+      "q352_storage_scorecard",
+      s"""SELECT 'bloom_fpr_micro' AS audit,
+         |  (SELECT fpr_micro FROM (${sub(Layout.q337BloomFpr)})) AS value
+         |UNION ALL
+         |SELECT 'encoded_columns',
+         |  (SELECT CAST(COUNT(*) AS BIGINT) FROM (${sub(Layout.q345EncodingAdvisor)})
+         |   WHERE encoding <> 'plain')
+         |UNION ALL
+         |SELECT 'join_stats_value_micro',
+         |  (SELECT MAX(CASE WHEN estimator = 'naive_uniform' THEN err_micro ELSE 0 END)
+         |        - MAX(CASE WHEN estimator = 'hash_histogram_32' THEN err_micro ELSE 0 END)
+         |   FROM (${sub(Layout.q336JoinEstimate)}))
+         |UNION ALL
+         |SELECT 'postings_compressed_micro',
+         |  (SELECT CAST(SUM(varint_bytes) * 1000000 // SUM(raw_bytes) AS BIGINT)
+         |   FROM (${sub(Layout.q328PostingsVarint)}))
+         |UNION ALL
+         |SELECT 'skew_max_over_avg_micro',
+         |  (SELECT CAST(MAX(n_rows) * 1000000 // (SUM(n_rows) // 32) AS BIGINT)
+         |   FROM (${sub(Layout.q329PartitionSkew)}))
+         |UNION ALL
+         |SELECT 'zonemap_clustering_gap_micro',
+         |  (SELECT CAST(SUM(CASE WHEN layout = 'shipdate_clustered' THEN skip_micro ELSE 0 END)
+         |        - SUM(CASE WHEN layout = 'hash_scattered' THEN skip_micro ELSE 0 END) AS BIGINT)
+         |   FROM (${sub(Layout.q343CorrelatedZonemap)}) WHERE cut_k = 3)
+         |ORDER BY audit""".stripMargin) { (s, dir) =>
+      def row(name: String, v: DataFrame): DataFrame =
+        v.select(lit(name).as("audit"), col("v").as("value"))
+      val bloom = row("bloom_fpr_micro",
+        Layout.q337BloomFpr.run(s, dir).agg(max(col("fpr_micro")).as("v")))
+      val enc = row("encoded_columns",
+        Layout.q345EncodingAdvisor.run(s, dir).filter(col("encoding") =!= "plain")
+          .agg(count(lit(1)).as("v")))
+      val joinv = row("join_stats_value_micro",
+        Layout.q336JoinEstimate.run(s, dir)
+          .agg((max(when(col("estimator") === "naive_uniform", col("err_micro")).otherwise(0L))
+            - max(when(col("estimator") === "hash_histogram_32", col("err_micro")).otherwise(0L)))
+            .as("v")))
+      val post = row("postings_compressed_micro",
+        Layout.q328PostingsVarint.run(s, dir)
+          .agg(expr("CAST(SUM(varint_bytes) * 1000000L DIV SUM(raw_bytes) AS BIGINT)").as("v")))
+      val skew = row("skew_max_over_avg_micro",
+        Layout.q329PartitionSkew.run(s, dir)
+          .agg(expr("CAST(MAX(n_rows) * 1000000L DIV (SUM(n_rows) DIV 32) AS BIGINT)").as("v")))
+      val zone = row("zonemap_clustering_gap_micro",
+        Layout.q343CorrelatedZonemap.run(s, dir).filter(col("cut_k") === 3)
+          .agg((sum(when(col("layout") === "shipdate_clustered", col("skip_micro")).otherwise(0L))
+            - sum(when(col("layout") === "hash_scattered", col("skip_micro")).otherwise(0L)))
+            .as("v")))
+      bloom.unionAll(enc).unionAll(joinv).unionAll(post).unionAll(skew).unionAll(zone)
+        .orderBy(col("audit"))
+    }
+  }
+
   val all: Seq[QueryDef] = Seq(q272DataContracts, q298OpsScorecard, q313LuhnAudit,
-    q335PiiScan)
+    q335PiiScan, q352StorageScorecard)
 }

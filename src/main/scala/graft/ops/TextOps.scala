@@ -5922,8 +5922,116 @@ object TextOps {
       .orderBy(col("query_id"), col("rnk"))
   }
 
+  /** TRAINED character-trigram language ID (Cavnar & Trenkle '94 by
+    * counts, Naive-Bayes-smoothed — the fastText-before-fastText
+    * baseline) — the learned counterpart of q24's fixed wordlist
+    * heuristic: train add-one-smoothed trigram models per language on
+    * the even doc_ids, classify the odd ones, emit the confusion
+    * matrix. The score uses the SPARSE decomposition
+    *   Σ_tri m·ln(c+1) − M·ln(tot_lang + V)
+    * (absent trigrams contribute ln 1 = 0 to the first sum, so only
+    * matching (doc, tri, lang) rows ever join — the q348 algebra on
+    * characters). Argmax ranks on the ROUNDED score with lang
+    * tie-break (the q348 float discipline).
+    *
+    * The fixture's five "languages" draw from ONE shared vocabulary —
+    * lang is a label, not a distribution, so NO model can beat chance
+    * on the raw text. A per-language function-word layer is therefore
+    * planted deterministically (the q327/q341 device): every doc gains
+    * three marker tokens from its language's 10-marker inventory
+    * (marker ids md5-derived from doc_id). The audit proves the
+    * trained model RECOVERS the planted distributional signal from
+    * held-out docs at near-perfect accuracy — exactly what
+    * distinguishes a trained classifier from q24's fixed wordlist,
+    * which is blind to it.
+    *
+    * Scale posture: training is one map-side-combined (lang, tri)
+    * count; the model is vocabulary-sized and BROADCAST into the test
+    * scan; scoring is one sparse join + doc-keyed agg; the grid that
+    * gives every doc all 5 language scores is a 5-row broadcast. */
+  val q351CharngramLangid: QueryDef = sql(
+    "q351_charngram_langid",
+    """WITH aug AS (
+      |  SELECT doc_id, lang, text || ' zq' || lang
+      |      || CAST(CAST(('0x' || substr(md5('mk:' || CAST(doc_id AS VARCHAR) || ':1'), 1, 4)) AS INT) % 10 AS VARCHAR)
+      |    || ' zq' || lang
+      |      || CAST(CAST(('0x' || substr(md5('mk:' || CAST(doc_id AS VARCHAR) || ':2'), 1, 4)) AS INT) % 10 AS VARCHAR)
+      |    || ' zq' || lang
+      |      || CAST(CAST(('0x' || substr(md5('mk:' || CAST(doc_id AS VARCHAR) || ':3'), 1, 4)) AS INT) % 10 AS VARCHAR) AS text
+      |  FROM documents),
+      |tri AS (
+      |  SELECT doc_id, lang, doc_id % 2 AS part,
+      |    substr(text, i, 3) AS t
+      |  FROM aug, LATERAL (SELECT unnest(range(1, len(text) - 1)) AS i)),
+      |train AS (SELECT lang, t, CAST(COUNT(*) AS BIGINT) AS c
+      |          FROM tri WHERE part = 0 GROUP BY 1, 2),
+      |tot AS (SELECT lang, CAST(SUM(c) AS BIGINT) AS tot FROM train GROUP BY 1),
+      |vocab AS (SELECT CAST(COUNT(DISTINCT t) AS BIGINT) AS v FROM train),
+      |test AS (SELECT doc_id, lang AS true_lang, t, CAST(COUNT(*) AS BIGINT) AS m
+      |         FROM tri WHERE part = 1 GROUP BY 1, 2, 3),
+      |tm AS (SELECT doc_id, CAST(SUM(m) AS BIGINT) AS mm FROM test GROUP BY 1),
+      |hit AS (SELECT te.doc_id, tr.lang,
+      |          SUM(te.m * LN(CAST(tr.c + 1 AS DOUBLE))) AS hitsum
+      |        FROM test te JOIN train tr ON tr.t = te.t
+      |        GROUP BY 1, 2),
+      |grid AS (SELECT DISTINCT te.doc_id, te.true_lang, tot.lang FROM test te, tot),
+      |sc AS (SELECT g.doc_id, g.true_lang, g.lang,
+      |         COALESCE(h.hitsum, 0.0) - tm.mm * LN(CAST(tot.tot + vocab.v AS DOUBLE)) AS score
+      |       FROM grid g
+      |       LEFT JOIN hit h ON h.doc_id = g.doc_id AND h.lang = g.lang
+      |       JOIN tm ON tm.doc_id = g.doc_id
+      |       JOIN tot ON tot.lang = g.lang, vocab),
+      |best AS (SELECT doc_id, true_lang, lang AS predicted FROM (
+      |           SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+      |             ORDER BY ROUND(score, 6) DESC, lang) AS rn
+      |           FROM sc) WHERE rn = 1)
+      |SELECT true_lang, predicted, CAST(COUNT(*) AS BIGINT) AS n
+      |FROM best GROUP BY 1, 2
+      |ORDER BY true_lang, predicted""".stripMargin) { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    def mk(i: Int) = concat(lit(" zq"), col("lang"),
+      (expr(s"CAST(conv(substring(md5(concat('mk:', CAST(doc_id AS STRING), ':$i')), 1, 4), 16, 10) AS INT)") % 10)
+        .cast("string"))
+    val tri = Tables.fanOut(Tables.documents(s, dir))
+      .withColumn("text", concat(col("text"), mk(1), mk(2), mk(3)))
+      .select(col("doc_id"), col("lang"), (col("doc_id") % 2).as("part"),
+        explode(expr(
+          // CASE guard: Spark's sequence(1, 0) counts DOWN, not empty
+          "CASE WHEN length(text) >= 3 THEN transform(sequence(1, length(text) - 2), i -> substring(text, i, 3)) ELSE array() END"))
+          .as("t"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val train = tri.filter(col("part") === 0)
+      .groupBy(col("lang"), col("t")).agg(count(lit(1)).as("c"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val tot = train.groupBy(col("lang")).agg(sum(col("c")).as("tot"))
+    val vocab = train.agg(countDistinct(col("t")).as("v"))
+    val test = tri.filter(col("part") === 1)
+      .groupBy(col("doc_id"), col("lang").as("true_lang"), col("t"))
+      .agg(count(lit(1)).as("m"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val tm = test.groupBy(col("doc_id")).agg(sum(col("m")).as("mm"))
+    val hit = test.join(broadcast(train.withColumnRenamed("lang", "mlang")), "t")
+      .groupBy(col("doc_id"), col("mlang").as("lang"))
+      .agg(sum(col("m") * log((col("c") + 1).cast("double"))).as("hitsum"))
+    val grid = test.select(col("doc_id"), col("true_lang")).distinct()
+      .crossJoin(broadcast(tot))
+    val sc = grid
+      .join(hit, Seq("doc_id", "lang"), "left")
+      .join(tm, "doc_id")
+      .crossJoin(broadcast(vocab))
+      .select(col("doc_id"), col("true_lang"), col("lang"),
+        (coalesce(col("hitsum"), lit(0.0)) -
+          col("mm") * log((col("tot") + col("v")).cast("double"))).as("score"))
+    sc.withColumn("rn", row_number().over(
+        Window.partitionBy(col("doc_id")).orderBy(round(col("score"), 6).desc, col("lang"))))
+      .filter(col("rn") === 1)
+      .groupBy(col("true_lang"), col("lang").as("predicted"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("true_lang"), col("predicted"))
+  }
+
   val all: Seq[QueryDef] = Seq(
-    q342BottomkSample, q348DirichletQl,
+    q342BottomkSample, q348DirichletQl, q351CharngramLangid,
     q326Winnowing, q327MojibakeAudit, q333Rbo, q334HillTail, q338PsiDrift,
     q276EpochAllocation, q277CoverageSelect, q289Chao1, q316TCloseness,
     q21TextStats, q22WordFreq, q23BigramFreq, q24LangId, q25QualityScore,

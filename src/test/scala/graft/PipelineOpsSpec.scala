@@ -352,6 +352,36 @@ class PipelineOpsSpec extends SparkSpec {
     }
   }
 
+  test("char-ngram langid: the trained model is diagonally dominant on held-out docs") {
+    val rows = TextOps.q351CharngramLangid.run(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    val total = rows.map(_._3).sum
+    val correct = rows.filter(r => r._1 == r._2).map(_._3).sum
+    assert(total == Tables.documents(spark, sfDir).filter(col("doc_id") % 2 === 1).count(),
+      "every held-out doc gets exactly one prediction")
+    // 5 balanced classes: chance is 20%; a trained trigram model must
+    // do far better on a synthetic per-language vocabulary
+    assert(correct * 10 > total * 7, s"accuracy ${correct.toDouble / total} too low for a trained model")
+    rows.groupBy(_._1).foreach { case (lang, xs) =>
+      val diag = xs.filter(_._2 == lang).map(_._3).sum
+      assert(diag >= xs.map(_._3).max / 1, s"$lang: diagonal must carry the mode")
+    }
+  }
+
+  test("storage scorecard: member audits survive composition with sane headline values") {
+    val m = graft.ops.Contracts.q352StorageScorecard.run(spark, sfDir).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(m.keySet == Set("bloom_fpr_micro", "encoded_columns", "join_stats_value_micro",
+      "postings_compressed_micro", "skew_max_over_avg_micro", "zonemap_clustering_gap_micro"))
+    assert(m("bloom_fpr_micro") >= 0 && m("bloom_fpr_micro") < 500000,
+      "the filter must actually filter")
+    assert(m("encoded_columns") >= 1 && m("encoded_columns") <= 6)
+    assert(m("join_stats_value_micro") >= 0, "histogram stats never increase the error")
+    assert(m("postings_compressed_micro") > 0 && m("postings_compressed_micro") <= 1000000)
+    assert(m("skew_max_over_avg_micro") >= 1000000, "max slot load >= the average by definition")
+    assert(m("zonemap_clustering_gap_micro") > 0, "clustering must buy transferable skipping")
+  }
+
   test("delta-join MV equals the from-scratch join recompute") {
     val direct = Tables.orders(spark, sfDir)
       .join(Tables.customer(spark, sfDir),
