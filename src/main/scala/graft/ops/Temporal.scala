@@ -1427,8 +1427,85 @@ object Temporal {
       .orderBy(col("event_type"))
   }
 
+  /** Forecast backtest by MASE (Hyndman & Koehler IJF 2006 — the scale-
+    * free forecast error that made "is this model better than naive?"
+    * a number): per feed, hold out the LAST 10 days, forecast each
+    * held-out day with the weekly seasonal naive ŷ_t = y_{t−7}, and
+    * score against the in-sample one-step naive as the denominator —
+    * MASE < 1e6 micro means the seasonal model beats persistence and
+    * the feed has real weekly structure worth a model; > 1e6 means
+    * "ship the naive". The day axis is the CALENDAR grid (missing days
+    * are genuine zeroes — a rank axis would silently stitch gaps and
+    * fake the seasonality). All exact integers: MASE in micro-units is
+    * (Σ_test |e| · n_train) · 10⁶ // (n_test · Σ_train |Δ|), the q143
+    * integer-trajectory discipline applied to forecasting.
+    *
+    * Scale: one scan → (feed, day) counts; the grid is feeds ×
+    * span-days (broadcast-sized); everything after is grid-sized. */
+  val q354ForecastBacktest: QueryDef = sql(
+    "q354_forecast_backtest",
+    """WITH daily AS (
+      |  SELECT event_type, CAST(epoch_us(date_trunc('day', ts)) // 86400000000 AS BIGINT) AS d,
+      |    CAST(COUNT(*) AS BIGINT) AS y
+      |  FROM events GROUP BY 1, 2),
+      |span AS (SELECT MIN(d) AS lo, MAX(d) AS hi FROM daily),
+      |grid AS (SELECT et.event_type, gs.d
+      |         FROM (SELECT DISTINCT event_type FROM daily) et,
+      |              (SELECT unnest(range((SELECT lo FROM span), (SELECT hi FROM span) + 1)) AS d) gs),
+      |g AS (SELECT grid.event_type, grid.d - span.lo + 1 AS t,
+      |        COALESCE(daily.y, 0) AS y,
+      |        span.hi - span.lo + 1 AS nt
+      |      FROM grid
+      |      LEFT JOIN daily ON daily.event_type = grid.event_type AND daily.d = grid.d,
+      |      span),
+      |te AS (SELECT a.event_type, CAST(COUNT(*) AS BIGINT) AS n_test,
+      |         CAST(SUM(ABS(a.y - f.y)) AS BIGINT) AS sae
+      |       FROM g a JOIN g f ON f.event_type = a.event_type AND f.t = a.t - 7
+      |       WHERE a.t > a.nt - 10
+      |       GROUP BY 1),
+      |tr AS (SELECT a.event_type, CAST(COUNT(*) AS BIGINT) AS n_train,
+      |         CAST(SUM(ABS(a.y - p.y)) AS BIGINT) AS sad
+      |       FROM g a JOIN g p ON p.event_type = a.event_type AND p.t = a.t - 1
+      |       WHERE a.t <= a.nt - 10
+      |       GROUP BY 1)
+      |SELECT te.event_type, tr.n_train, te.n_test, te.sae, tr.sad,
+      |  CASE WHEN tr.sad = 0 THEN NULL
+      |       ELSE te.sae * tr.n_train * 1000000 // (te.n_test * tr.sad) END AS mase_micro
+      |FROM te JOIN tr USING (event_type)
+      |ORDER BY event_type""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    val daily = Tables.events(s, dir)
+      .groupBy(col("event_type"),
+        expr("unix_micros(date_trunc('day', ts)) div 86400000000L").as("d"))
+      .agg(count(lit(1)).as("y"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val span = daily.agg(min(col("d")).as("lo"), max(col("d")).as("hi"))
+      .collect()(0)
+    val (lo, hi) = (span.getLong(0), span.getLong(1))
+    val grid = daily.select(col("event_type")).distinct()
+      .crossJoin(broadcast((lo to hi).toDF("d")))
+    val g = grid.join(daily, Seq("event_type", "d"), "left")
+      .select(col("event_type"), (col("d") - lo + 1).as("t"),
+        coalesce(col("y"), lit(0L)).as("y"), lit(hi - lo + 1).as("nt"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    def lagJoin(k: Int) = g.select(col("event_type"), col("t"), col("y"), col("nt"))
+      .join(g.select(col("event_type"), (col("t") + k).as("t"), col("y").as("py")),
+        Seq("event_type", "t"))
+    val te = lagJoin(7).filter(col("t") > col("nt") - 10)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_test"), sum(abs(col("y") - col("py"))).as("sae"))
+    val tr = lagJoin(1).filter(col("t") <= col("nt") - 10)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_train"), sum(abs(col("y") - col("py"))).as("sad"))
+    te.join(tr, "event_type")
+      .select(col("event_type"), col("n_train"), col("n_test"), col("sae"), col("sad"),
+        when(col("sad") === 0, lit(null).cast("long"))
+          .otherwise(expr("sae * n_train * 1000000L DIV (n_test * sad)")).as("mase_micro"))
+      .orderBy(col("event_type"))
+  }
+
   val all: Seq[QueryDef] = Seq(
-    q341WatermarkLateness, q346EntropyRate,
+    q341WatermarkLateness, q346EntropyRate, q354ForecastBacktest,
     q46AsofJoin, q47Pivot, q55IntervalJoin, q63AsofNative, q81IntervalNative,
     q95Funnel, q96RetentionCohorts, q109TransitionMatrix, q192DecayScores,
     q226ChangePoint, q236Attribution, q241PeakConcurrency, q242KaplanMeier,

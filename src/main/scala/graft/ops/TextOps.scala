@@ -6030,8 +6030,98 @@ object TextOps {
       .orderBy(col("true_lang"), col("predicted"))
   }
 
+  /** Topic segmentation (TextTiling — Hearst CL'97, reduced to the
+    * repo's exact-integer algebra): split each document into 20-token
+    * blocks, score ADJACENT block boundaries by vocabulary overlap
+    * (exact Jaccard of the block word sets — integer cross-counts, no
+    * cosine floats), and open a new topic segment where the overlap
+    * falls below the document's own MEDIAN boundary score (a
+    * self-calibrated threshold — absolute cutoffs break on vocabulary-
+    * dense corpora). The pipeline customer is RAG chunking: q74/q169
+    * cut context windows at FIXED offsets; topic-aware cuts keep
+    * retrieved chunks semantically whole, and this operator emits
+    * exactly the per-doc segment layout such a chunker consumes.
+    *
+    * Exact integers end to end (Jaccard compared by cross-
+    * multiplication against the median pick — q60's order-statistic
+    * device per doc). Scale: blocks explode map-side; boundary scoring
+    * joins ADJACENT blocks only (self-join on block_idx+1 within the
+    * doc — linear, never all-pairs); one doc-partitioned median window
+    * + island sum. */
+  val q353TopicSegments: QueryDef = sql(
+    "q353_topic_segments",
+    """WITH toks AS (
+      |  SELECT doc_id, (i - 1) // 20 AS blk, w[i] AS word
+      |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents) t,
+      |       LATERAL (SELECT unnest(range(1, len(w) + 1)) AS i)),
+      |bw AS (SELECT DISTINCT doc_id, blk, word FROM toks),
+      |bsz AS (SELECT doc_id, blk, CAST(COUNT(*) AS BIGINT) AS sz FROM bw GROUP BY 1, 2),
+      |inter AS (SELECT a.doc_id, a.blk AS b0, CAST(COUNT(*) AS BIGINT) AS ix
+      |          FROM bw a JOIN bw b
+      |            ON b.doc_id = a.doc_id AND b.blk = a.blk + 1 AND b.word = a.word
+      |          GROUP BY 1, 2),
+      |bound AS (SELECT s0.doc_id, s0.blk AS b0,
+      |            COALESCE(i.ix, 0) AS ix,
+      |            s0.sz + s1.sz - COALESCE(i.ix, 0) AS un
+      |          FROM bsz s0
+      |          JOIN bsz s1 ON s1.doc_id = s0.doc_id AND s1.blk = s0.blk + 1
+      |          LEFT JOIN inter i ON i.doc_id = s0.doc_id AND i.b0 = s0.blk),
+      |med AS (SELECT doc_id, ix AS mix, un AS mun FROM (
+      |          SELECT doc_id, ix, un,
+      |            ROW_NUMBER() OVER (PARTITION BY doc_id
+      |              ORDER BY ix * 1000000 // un, b0) AS rk,
+      |            COUNT(*) OVER (PARTITION BY doc_id) AS nb
+      |          FROM bound) WHERE rk = (nb + 1) // 2),
+      |cuts AS (SELECT b.doc_id, b.b0,
+      |           CASE WHEN b.ix * m.mun < m.mix * b.un THEN 1 ELSE 0 END AS cut
+      |         FROM bound b JOIN med m ON m.doc_id = b.doc_id),
+      |seg AS (SELECT doc_id, CAST(1 + SUM(cut) AS BIGINT) AS n_segments,
+      |          CAST(COUNT(*) + 1 AS BIGINT) AS n_blocks
+      |        FROM cuts GROUP BY 1)
+      |SELECT doc_id, n_blocks, n_segments,
+      |  n_segments * 1000000 // n_blocks AS cut_rate_micro
+      |FROM seg
+      |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val bw = Tables.fanOut(Tables.documents(s, dir))
+      .select(col("doc_id"), posexplode(split(col("text"), " ")))
+      .toDF("doc_id", "p", "word")
+      .select(col("doc_id"), expr("p DIV 20").as("blk"), col("word"))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val bsz = bw.groupBy(col("doc_id"), col("blk")).agg(count(lit(1)).as("sz"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val inter = bw.select(col("doc_id"), col("blk").as("b0"), col("word"))
+      .join(bw.select(col("doc_id"), (col("blk") - 1).as("b0"), col("word")),
+        Seq("doc_id", "b0", "word"))
+      .groupBy(col("doc_id"), col("b0")).agg(count(lit(1)).as("ix"))
+    val bound = bsz.select(col("doc_id"), col("blk").as("b0"), col("sz").as("sz0"))
+      .join(bsz.select(col("doc_id"), (col("blk") - 1).as("b0"), col("sz").as("sz1")),
+        Seq("doc_id", "b0"))
+      .join(inter, Seq("doc_id", "b0"), "left")
+      .select(col("doc_id"), col("b0"), coalesce(col("ix"), lit(0L)).as("ix"),
+        (col("sz0") + col("sz1") - coalesce(col("ix"), lit(0L))).as("un"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val byDoc = Window.partitionBy(col("doc_id"))
+    val med = bound
+      .withColumn("rk", row_number().over(
+        byDoc.orderBy(expr("ix * 1000000L DIV un"), col("b0"))))
+      .withColumn("nb", count(lit(1)).over(byDoc))
+      .filter(col("rk") === expr("(nb + 1) DIV 2"))
+      .select(col("doc_id"), col("ix").as("mix"), col("un").as("mun"))
+    bound.join(med, "doc_id")
+      .select(col("doc_id"),
+        when(col("ix") * col("mun") < col("mix") * col("un"), 1L).otherwise(0L).as("cut"))
+      .groupBy(col("doc_id"))
+      .agg((lit(1L) + sum(col("cut"))).as("n_segments"),
+        (count(lit(1)) + 1).as("n_blocks"))
+      .select(col("doc_id"), col("n_blocks"), col("n_segments"),
+        expr("n_segments * 1000000L DIV n_blocks").as("cut_rate_micro"))
+      .orderBy(col("doc_id"))
+  }
+
   val all: Seq[QueryDef] = Seq(
-    q342BottomkSample, q348DirichletQl, q351CharngramLangid,
+    q342BottomkSample, q348DirichletQl, q351CharngramLangid, q353TopicSegments,
     q326Winnowing, q327MojibakeAudit, q333Rbo, q334HillTail, q338PsiDrift,
     q276EpochAllocation, q277CoverageSelect, q289Chao1, q316TCloseness,
     q21TextStats, q22WordFreq, q23BigramFreq, q24LangId, q25QualityScore,

@@ -382,6 +382,36 @@ class PipelineOpsSpec extends SparkSpec {
     assert(m("zonemap_clustering_gap_micro") > 0, "clustering must buy transferable skipping")
   }
 
+  test("topic segments: bounds hold and the self-calibrated cut fires somewhere") {
+    val rows = TextOps.q353TopicSegments.run(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (_, nb, ns, rate) =>
+      assert(nb >= 2, "single-block docs are below segmentation granularity and omitted")
+      assert(ns >= 1 && ns <= nb, "between one segment and one per block")
+      assert(rate == ns * 1000000L / nb)
+    }
+    // a median-calibrated threshold cuts roughly half the boundaries
+    // somewhere in the corpus — all-1 or all-max would mean the
+    // comparison degenerated
+    assert(rows.exists(_._3 > 1), "some document must segment")
+    assert(rows.exists(r => r._3 < r._2), "no document may split at every boundary")
+  }
+
+  test("forecast backtest: MASE components are consistent and the grid covers the span") {
+    val rows = graft.ops.Temporal.q354ForecastBacktest.run(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (nTrain, nTest, sae, sad) =
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(nTest == 10, "the holdout is the last 10 calendar days")
+      assert(nTrain >= 7, "a weekly seasonal naive needs at least one season of training")
+      assert(sae >= 0 && sad >= 0)
+      if (sad > 0)
+        assert(r.getLong(5) == sae * nTrain * 1000000L / (nTest * sad))
+    }
+  }
+
   test("delta-join MV equals the from-scratch join recompute") {
     val direct = Tables.orders(spark, sfDir)
       .join(Tables.customer(spark, sfDir),
