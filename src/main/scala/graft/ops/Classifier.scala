@@ -769,7 +769,122 @@ object Classifier {
       .orderBy(col("decile"))
   }
 
+  /** One fold of the q127 trainer, unrolled for the oracle: the SAME
+    * 3-round batch-perceptron chain as [[trainedMarginsSql]], but
+    * trained only on docs whose md5 fold ≠ `f` and serving margins for
+    * fold = `f` — every CTE suffixed `_$f` so five folds coexist in one
+    * statement. */
+  private def foldSql(f: Int): String = {
+    val s = s"_$f"
+    s"""docs$s AS (SELECT doc_id, lang, text,
+       |    CAST(('0x' || substr(md5('cv:' || CAST(doc_id AS VARCHAR)), 1, 4)) AS INT) % 5 AS fold
+       |  FROM documents),
+       |toks$s AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+       |           FROM docs$s WHERE fold <> $f),
+       |hf$s AS (SELECT doc_id, CAST(('0x' || substr(md5(word), 1, 8)) AS BIGINT) % 32 AS dim,
+       |           CAST(COUNT(*) AS BIGINT) AS cnt
+       |         FROM toks$s GROUP BY 1, 2
+       |         UNION ALL
+       |         SELECT doc_id, 32 AS dim, 1 AS cnt FROM docs$s WHERE fold <> $f),
+       |lab$s AS (SELECT doc_id, CASE WHEN lang = 'en' THEN 1 ELSE -1 END AS y
+       |          FROM docs$s WHERE fold <> $f),
+       |w1$s AS (SELECT f.dim, CAST(SUM(l.y * f.cnt) AS BIGINT) AS w
+       |         FROM hf$s f JOIN lab$s l USING (doc_id) GROUP BY 1),
+       |m2$s AS (SELECT f.doc_id, CAST(SUM(COALESCE(w.w, 0) * f.cnt) AS BIGINT) AS margin
+       |         FROM hf$s f LEFT JOIN w1$s w USING (dim) GROUP BY 1),
+       |u2$s AS (SELECT f.dim, CAST(SUM(l.y * f.cnt) AS BIGINT) AS dw
+       |         FROM hf$s f JOIN lab$s l USING (doc_id) JOIN m2$s m USING (doc_id)
+       |         WHERE l.y * m.margin <= 0 GROUP BY 1),
+       |w2$s AS (SELECT COALESCE(a.dim, b.dim) AS dim, COALESCE(a.w, 0) + COALESCE(b.dw, 0) AS w
+       |         FROM w1$s a FULL JOIN u2$s b ON a.dim = b.dim),
+       |m3$s AS (SELECT f.doc_id, CAST(SUM(COALESCE(w.w, 0) * f.cnt) AS BIGINT) AS margin
+       |         FROM hf$s f LEFT JOIN w2$s w USING (dim) GROUP BY 1),
+       |u3$s AS (SELECT f.dim, CAST(SUM(l.y * f.cnt) AS BIGINT) AS dw
+       |         FROM hf$s f JOIN lab$s l USING (doc_id) JOIN m3$s m USING (doc_id)
+       |         WHERE l.y * m.margin <= 0 GROUP BY 1),
+       |w3$s AS (SELECT COALESCE(a.dim, b.dim) AS dim, COALESCE(a.w, 0) + COALESCE(b.dw, 0) AS w
+       |         FROM w2$s a FULL JOIN u3$s b ON a.dim = b.dim),
+       |etoks$s AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+       |            FROM docs$s WHERE fold = $f),
+       |ehf$s AS (SELECT doc_id, CAST(('0x' || substr(md5(word), 1, 8)) AS BIGINT) % 32 AS dim,
+       |            CAST(COUNT(*) AS BIGINT) AS cnt
+       |          FROM etoks$s GROUP BY 1, 2
+       |          UNION ALL
+       |          SELECT doc_id, 32 AS dim, 1 AS cnt FROM docs$s WHERE fold = $f),
+       |ev$s AS (SELECT f.doc_id, CAST(SUM(COALESCE(w.w, 0) * f.cnt) AS BIGINT) AS margin
+       |         FROM ehf$s f LEFT JOIN w3$s w USING (dim) GROUP BY 1),
+       |res$s AS (SELECT CAST($f AS BIGINT) AS fold,
+       |            (SELECT CAST(COUNT(*) AS BIGINT) FROM docs$s WHERE fold <> $f) AS n_train,
+       |            CAST(COUNT(*) AS BIGINT) AS n_eval,
+       |            CAST(SUM(CASE WHEN (CASE WHEN d.lang = 'en' THEN 1 ELSE -1 END)
+       |                     * CASE WHEN e.margin > 0 THEN 1 ELSE -1 END > 0
+       |                   THEN 1 ELSE 0 END) AS BIGINT) AS n_correct
+       |          FROM ev$s e JOIN docs$s d USING (doc_id))""".stripMargin
+  }
+
+  /** Five-fold cross-validation of the q127 task — the eval PROTOCOL
+    * operator (Stone '74; the train/serve split every reported
+    * accuracy needs): docs fold by an md5 hash (reproducible, no
+    * seed — the q62 device), each fold's model trains on the other
+    * four via the SAME 3-round batch perceptron as q127 and is scored
+    * on its held-out fold; per-fold accuracy plus the pooled mean
+    * lands in one hash. The oracle unrolls all five trainings — five
+    * complete training chains inside one statement, the heaviest
+    * composition proof in the contract: one update decided differently
+    * in any round of any fold moves some fold's count.
+    *
+    * Scale posture: 5 × the q127 training cost by construction (each
+    * training pass is one map-side-combined agg + a DIMS-bounded
+    * driver update, the documented bounded-collect class); fold
+    * membership is a scan predicate, never a shuffle. */
+  val q355CrossValidation: QueryDef = sql(
+    "q355_cross_validation",
+    s"""WITH ${(0 to 4).map(foldSql).mkString(",\n")},
+       |allf AS (${(0 to 4).map(f => s"SELECT * FROM res_$f").mkString("\n UNION ALL ")})
+       |SELECT fold, n_train, n_eval, n_correct,
+       |  n_correct * 1000000 // n_eval AS acc_micro
+       |FROM allf
+       |UNION ALL
+       |SELECT CAST(-1 AS BIGINT), CAST(SUM(n_train) AS BIGINT), CAST(SUM(n_eval) AS BIGINT),
+       |  CAST(SUM(n_correct) AS BIGINT),
+       |  CAST(SUM(n_correct) AS BIGINT) * 1000000 // CAST(SUM(n_eval) AS BIGINT)
+       |FROM allf
+       |ORDER BY fold""".stripMargin) { (s, dir) =>
+    val docs = Tables.fanOut(Tables.documents(s, dir))
+      .withColumn("fold",
+        expr("CAST(conv(substring(md5(concat('cv:', CAST(doc_id AS STRING))), 1, 4), 16, 10) AS INT) % 5"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val folds = (0 to 4).map { f =>
+      val train = docs.filter(col("fold") =!= f)
+      val eval = docs.filter(col("fold") === f)
+      val feats = hashedFeatures(train)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val labels = train.select(col("doc_id"),
+        when(col("lang") === "en", 1L).otherwise(-1L).as("y"))
+      val w = perceptronTrain(feats, labels, rounds = 3)
+      feats.unpersist()
+      val scored = perceptronScore(hashedFeatures(eval), w)
+        .join(eval.select(col("doc_id"),
+          when(col("lang") === "en", 1L).otherwise(-1L).as("y")), "doc_id")
+      val nTrain = train.count()
+      scored.agg(count(lit(1)).as("n_eval"),
+          sum(when(col("y") * when(col("margin") > 0, 1L).otherwise(-1L) > 0, 1L)
+            .otherwise(0L)).as("n_correct"))
+        .select(lit(f.toLong).as("fold"), lit(nTrain).as("n_train"),
+          col("n_eval"), col("n_correct"))
+    }
+    val allf = folds.reduce(_ unionAll _)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    allf.select(col("fold"), col("n_train"), col("n_eval"), col("n_correct"),
+        expr("n_correct * 1000000L DIV n_eval").as("acc_micro"))
+      .unionAll(allf.agg(sum(col("n_train")).as("n_train"), sum(col("n_eval")).as("n_eval"),
+          sum(col("n_correct")).as("n_correct"))
+        .select(lit(-1L).as("fold"), col("n_train"), col("n_eval"), col("n_correct"),
+          expr("n_correct * 1000000L DIV n_eval").as("acc_micro")))
+      .orderBy(col("fold"))
+  }
+
   val all: Seq[QueryDef] = Seq(q127Perceptron, q182Calibration, q193Conformal,
     q203AnnotatorKappa, q208LabelNoise, q221BrierDecomp, q248IsotonicFit,
-    q252ReplayEval, q288PassAtK, q308QiniUplift)
+    q252ReplayEval, q288PassAtK, q308QiniUplift, q355CrossValidation)
 }

@@ -412,6 +412,25 @@ class PipelineOpsSpec extends SparkSpec {
     }
   }
 
+  test("cross-validation: folds partition the corpus and the pooled row sums them") {
+    val n = Tables.documents(spark, sfDir).count()
+    val rows = graft.ops.Classifier.q355CrossValidation.run(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    val folds = rows.filter(_._1 >= 0)
+    val pooled = rows.find(_._1 == -1L).get
+    assert(folds.length == 5)
+    folds.foreach { case (_, nTrain, nEval, nCorr, acc) =>
+      assert(nTrain + nEval == n, "train + eval is the whole corpus per fold")
+      assert(nCorr <= nEval && acc == nCorr * 1000000L / nEval)
+    }
+    assert(folds.map(_._3).sum == n, "the five eval folds partition the corpus")
+    assert(pooled._3 == n && pooled._4 == folds.map(_._4).sum)
+    // y = +1 iff lang = 'en' (1 of 5 balanced classes): always-predict
+    // -1 scores ~0.8; the trained model must at least clear coin-flip
+    // territory on held-out data for the protocol to mean anything
+    assert(pooled._5 > 500000L, s"pooled held-out accuracy ${pooled._5} collapsed")
+  }
+
   test("delta-join MV equals the from-scratch join recompute") {
     val direct = Tables.orders(spark, sfDir)
       .join(Tables.customer(spark, sfDir),
