@@ -103,6 +103,8 @@ object Bench {
     // query that exhausted its budget uncorroborated gets two fresh
     // runs at sweep end — minutes later, when the burst has moved on —
     // and reports the min over all runs.
+    // kept as an ORDERED Seq: a Map would scramble the artifact's query
+    // order and make cross-round textual diffs of BENCH_rN.json useless
     val results = firstPass.map { case (name, fn, times) =>
       val all =
         if (corroborated(times)) times
@@ -113,7 +115,7 @@ object Bench {
           times ++ retry
         }
       name -> all.min
-    }.toMap
+    }
     val probePost = loadProbe()
     def queriesJson(qs: Iterable[(String, Double)]): String =
       // Locale.ROOT: the default-locale interpolator writes "1,234" under
@@ -121,7 +123,7 @@ object Bench {
       qs.map { case (k, v) =>
         "\"" + k + "\":" + String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
       }.mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
     // bench_rev: timing methodology version (3 = min-of-two runs + q78
     // corpus slice; 4 = 32g default heap; 5 = corroborated-min re-runs +
@@ -130,7 +132,7 @@ object Bench {
     def f3(v: Double) = String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     val probes = s""""probe_sec":${f3(probePre)},"probe_post_sec":${f3(probePost)}"""
     val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":${queriesJson(results)},"sf":"$sfDir","bench_rev":6,"runs_per_query":$runs,$probes}"""
-    val top10 = results.toSeq.sortBy(-_._2).take(10)
+    val top10 = results.sortBy(-_._2).take(10)
     val compact = s"""{"metric":"total","value":$total,"unit":"sec","queries":${queriesJson(top10)},"sf":"$sfDir","n_queries":${results.size},"runs_per_query":$runs,"bench_rev":6,$probes,"full_out":"$out"}"""
     System.err.println(json)
     System.err.flush()

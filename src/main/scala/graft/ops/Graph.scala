@@ -63,6 +63,19 @@ object Graph {
   private[graft] def gateBroadcast(df: DataFrame, rows: Long): DataFrame =
     if (rows <= broadcastNodeBudget(df.sparkSession)) broadcast(df) else df
 
+  /** Re-materialize an already-persisted relation hash-partitioned on
+    * `key` ONCE (count() forces the partitioned cache before any round
+    * reads it, then the unpartitioned copy is released) — the shared
+    * over-budget fallback of every round loop: after this, each
+    * round's node-relation join reuses the edge partitioning and
+    * shuffles only the node-sized side. */
+  private def copartitionOnce(raw: DataFrame, key: String): DataFrame = {
+    val p = raw.repartition(col(key)).persist(StorageLevel.MEMORY_AND_DISK)
+    p.count()
+    raw.unpersist()
+    p
+  }
+
   /** Pin an edge relation for a round loop: persist it, derive the
     * src-keyed degree relation and the node count, and — when the node
     * relation exceeds the broadcast budget — re-materialize the edges
@@ -77,12 +90,7 @@ object Graph {
     val n = deg.count() // also materializes both persists before round 1
     val e =
       if (n <= broadcastNodeBudget(edges.sparkSession)) raw
-      else {
-        val parted = raw.repartition(col(key)).persist(StorageLevel.MEMORY_AND_DISK)
-        parted.count() // materialize so rounds read the partitioned cache
-        raw.unpersist()
-        parted
-      }
+      else copartitionOnce(raw, key)
     (e, deg, n)
   }
 
@@ -599,10 +607,7 @@ object Graph {
     var frontierRows = dist.count()
     for (h <- 1 to maxHops) {
       if (!parted && frontierRows > broadcastNodeBudget(edges.sparkSession)) {
-        val p = raw.repartition(col("src")).persist(StorageLevel.MEMORY_AND_DISK)
-        p.count()
-        raw.unpersist()
-        e = p
+        e = copartitionOnce(raw, "src")
         parted = true
       }
       val next = e
@@ -807,10 +812,7 @@ object Graph {
     val nV = nodes.count()
     val e =
       if (nV <= broadcastNodeBudget(edges.sparkSession)) raw
-      else {
-        val p = raw.repartition(col("src")).persist(StorageLevel.MEMORY_AND_DISK)
-        p.count(); raw.unpersist(); p
-      }
+      else copartitionOnce(raw, "src")
     var rank = nodes.withColumn("rank", lit(RankScale))
     for (_ <- 1 to rounds) {
       val withDeg = rank.join(deg, rank("part") === deg("src"), "left")
@@ -1169,10 +1171,7 @@ object Graph {
     var frontierRows = dist.count()
     for (h <- 1 to maxHops) {
       if (!parted && frontierRows > broadcastNodeBudget(edges.sparkSession)) {
-        val p = raw.repartition(col("src")).persist(StorageLevel.MEMORY_AND_DISK)
-        p.count()
-        raw.unpersist()
-        e = p
+        e = copartitionOnce(raw, "src")
         parted = true
       }
       val next = e
@@ -1331,7 +1330,7 @@ object Graph {
       |       GROUP BY 1, 2)
       |SELECT a, b, n_common, ROUND(raw, 6) AS adamic_adar
       |FROM aa
-      |ORDER BY raw DESC, a, b
+      |ORDER BY ROUND(raw, 6) DESC, a, b
       |LIMIT 20""".stripMargin) { (s, dir) =>
     val pairs = Analytics.pairsOf(Analytics.baskets(s, dir))
       .select(col("part_a").as("a"), col("part_b").as("b"))
@@ -1351,11 +1350,12 @@ object Graph {
       .groupBy(col("a"), col("b"))
       .agg(count(lit(1)).as("n_common"),
         sum(lit(1.0) / log(col("d").cast("double"))).as("raw"))
-      .select(col("a"), col("b"), col("n_common"), round(col("raw"), 6).as("adamic_adar"),
-        col("raw"))
-      .orderBy(col("raw").desc, col("a"), col("b"))
+      // cut the top-20 on the ROUNDED score (the q348 discipline):
+      // same-degree-multiset pairs tie exactly and a raw-float cut
+      // would pick the 20th pair engine-dependently
+      .select(col("a"), col("b"), col("n_common"), round(col("raw"), 6).as("adamic_adar"))
+      .orderBy(col("adamic_adar").desc, col("a"), col("b"))
       .limit(20)
-      .drop("raw")
   }
 
   val all: Seq[QueryDef] = Seq(q143Pagerank, q153LabelProp, q173BradleyTerry,

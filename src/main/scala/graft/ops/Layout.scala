@@ -1178,15 +1178,21 @@ object Layout {
     * because many medium keys collided — repartitioning helps; the two
     * fixes differ, so the audit must separate them).
     *
-    * All-integer arithmetic with explicit mod bounds: k·2654435761 <
-    * 2⁶³ for every fixture key, so no overflow in either engine.
+    * All-integer arithmetic with a HARD overflow guard: keys reduce
+    * mod 3×10⁹ before the multiply, so the product stays < 8×10¹⁸ <
+    * 2⁶³ for ANY key — without the guard, a key above ~3.47×10⁹
+    * (TPC-H SF ≳ 600) makes DuckDB raise an overflow error while
+    * Spark silently wraps negative: the audit pitched as the 100 TB
+    * pre-flight would fail precisely at large scale. The reduction is
+    * the identity for every key below 3×10⁹, so small-scale results
+    * are unchanged.
     * Scale posture: one map-side projection + one (slot, key) agg +
     * one slot agg — the same two-level shape as a real shuffle write. */
   val q329PartitionSkew: QueryDef = sql(
     "q329_partition_skew",
     """WITH h AS (
       |  SELECT l_orderkey AS k,
-      |    ((l_orderkey * 2654435761) % 4294967296) % 32 AS slot
+      |    (((l_orderkey % 3000000000) * 2654435761) % 4294967296) % 32 AS slot
       |  FROM lineitem),
       |pk AS (SELECT slot, k, CAST(COUNT(*) AS BIGINT) AS key_rows
       |       FROM h GROUP BY 1, 2)
@@ -1198,7 +1204,7 @@ object Layout {
       |ORDER BY slot""".stripMargin) { (s, dir) =>
     val h = Tables.lineitem(s, dir).select(
       col("l_orderkey").as("k"),
-      (((col("l_orderkey") * 2654435761L) % 4294967296L) % 32).as("slot"))
+      ((((col("l_orderkey") % 3000000000L) * 2654435761L) % 4294967296L) % 32).as("slot"))
     h.groupBy(col("slot"), col("k")).agg(count(lit(1)).as("key_rows"))
       .groupBy(col("slot").cast("long").as("slot"))
       .agg(sum(col("key_rows")).as("n_rows"),
@@ -1227,7 +1233,7 @@ object Layout {
     """WITH c AS (SELECT o_custkey AS k, CAST(COUNT(*) AS BIGINT) AS c FROM orders GROUP BY 1),
       |ex AS (SELECT CAST(SUM(c * c) AS BIGINT) AS v FROM c),
       |st AS (SELECT CAST(SUM(c) AS BIGINT) AS n, CAST(COUNT(*) AS BIGINT) AS ndv FROM c),
-      |hb AS (SELECT ((k * 2654435761) % 4294967296) % 32 AS b, c FROM c),
+      |hb AS (SELECT (((k % 3000000000) * 2654435761) % 4294967296) % 32 AS b, c FROM c),
       |hs AS (SELECT b, CAST(SUM(c) AS BIGINT) AS cb, CAST(COUNT(*) AS BIGINT) AS ndvb
       |       FROM hb GROUP BY 1),
       |est AS (
@@ -1246,7 +1252,7 @@ object Layout {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val ex = c.agg(sum(col("c") * col("c")).as("v"))
     val st = c.agg(sum(col("c")).as("n"), count(lit(1)).as("ndv"))
-    val hs = c.select((((col("k") * 2654435761L) % 4294967296L) % 32).as("b"), col("c"))
+    val hs = c.select(((((col("k") % 3000000000L) * 2654435761L) % 4294967296L) % 32).as("b"), col("c"))
       .groupBy(col("b")).agg(sum(col("c")).as("cb"), count(lit(1)).as("ndvb"))
     val est = st.select(lit("naive_uniform").as("estimator"),
         expr("n * n DIV ndv").as("estimate"))
@@ -1353,7 +1359,7 @@ object Layout {
       |  FROM d
       |  UNION ALL
       |  SELECT 'hash_scattered', rcpt_d,
-      |    (ROW_NUMBER() OVER (ORDER BY (k * 2654435761) % 4294967296, rcpt_d, k, ln) - 1) // 1000 AS shard
+      |    (ROW_NUMBER() OVER (ORDER BY ((k % 3000000000) * 2654435761) % 4294967296, rcpt_d, k, ln) - 1) // 1000 AS shard
       |  FROM d),
       |sh AS (SELECT layout, shard, MIN(rcpt_d) AS mn, MAX(rcpt_d) AS mx,
       |         CAST(COUNT(*) AS BIGINT) AS n
@@ -1388,7 +1394,7 @@ object Layout {
     val lay = d.select(lit("shipdate_clustered").as("layout"), col("rcpt_d"),
         expr("(ROW_NUMBER() OVER (ORDER BY ship_d, rcpt_d, k, ln) - 1) DIV 1000").as("shard"))
       .unionByName(d.select(lit("hash_scattered").as("layout"), col("rcpt_d"),
-        expr("(ROW_NUMBER() OVER (ORDER BY (k * 2654435761L) % 4294967296L, rcpt_d, k, ln) - 1) DIV 1000")
+        expr("(ROW_NUMBER() OVER (ORDER BY ((k % 3000000000L) * 2654435761L) % 4294967296L, rcpt_d, k, ln) - 1) DIV 1000")
           .as("shard")))
     val sh = lay.groupBy(col("layout"), col("shard"))
       .agg(min(col("rcpt_d")).as("mn"), max(col("rcpt_d")).as("mx"),

@@ -5618,7 +5618,7 @@ object TextOps {
        |bsc AS (
        |${bm25ScoreSql("qt")}),
        |ar AS (SELECT query_id, doc_id,
-       |         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY raw DESC, doc_id) AS ra
+       |         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY ROUND(raw, 6) DESC, doc_id) AS ra
        |       FROM bsc),
        |tsc AS (SELECT q.query_id, t.doc_id,
        |          SUM(t.tf * LN(CAST(s.n_docs AS DOUBLE) / d.df)) AS raw
@@ -5627,7 +5627,7 @@ object TextOps {
        |        JOIN df d ON d.word = q.word, stats s
        |        GROUP BY 1, 2),
        |br AS (SELECT query_id, doc_id,
-       |         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY raw DESC, doc_id) AS rb
+       |         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY ROUND(raw, 6) DESC, doc_id) AS rb
        |       FROM tsc),
        |pr AS (SELECT a.query_id, GREATEST(a.ra, b.rb) AS m
        |       FROM (SELECT * FROM ar WHERE ra <= 10) a
@@ -5665,11 +5665,14 @@ object TextOps {
       .groupBy(col("query_id"), col("doc_id"))
       .agg(sum(bm25Term).as("raw_a"), sum(tfidfTerm).as("raw_b"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // rank on the ROUNDED scores (the q348 discipline): the TF-IDF leg
+    // has no length term, so equal matched (word, tf) multisets tie
+    // exactly and a raw-float rank would break engine-dependently
     val ar = scored
-      .withColumn("ra", row_number().over(byQ.orderBy(col("raw_a").desc, col("doc_id"))))
+      .withColumn("ra", row_number().over(byQ.orderBy(round(col("raw_a"), 6).desc, col("doc_id"))))
       .filter(col("ra") <= 10).select(col("query_id"), col("doc_id"), col("ra"))
     val br = scored
-      .withColumn("rb", row_number().over(byQ.orderBy(col("raw_b").desc, col("doc_id"))))
+      .withColumn("rb", row_number().over(byQ.orderBy(round(col("raw_b"), 6).desc, col("doc_id"))))
       .filter(col("rb") <= 10).select(col("query_id"), col("doc_id"), col("rb"))
     val pr = ar.join(br, Seq("query_id", "doc_id"))
       .select(col("query_id"), greatest(col("ra"), col("rb")).as("m"))

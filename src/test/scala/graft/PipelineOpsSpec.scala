@@ -364,7 +364,7 @@ class PipelineOpsSpec extends SparkSpec {
     assert(correct * 10 > total * 7, s"accuracy ${correct.toDouble / total} too low for a trained model")
     rows.groupBy(_._1).foreach { case (lang, xs) =>
       val diag = xs.filter(_._2 == lang).map(_._3).sum
-      assert(diag >= xs.map(_._3).max / 1, s"$lang: diagonal must carry the mode")
+      assert(diag == xs.map(_._3).max, s"$lang: the diagonal must be the row mode")
     }
   }
 
