@@ -1584,9 +1584,58 @@ object Layout {
           .as("union_err_micro"))
   }
 
+  /** Hash-width collision audit — the meta-audit behind every md5
+    * prefix in this repo (the q62 splits, q151's mix rates, q278's KMV
+    * keys, q339's blocks all truncate md5 to k hex chars): for
+    * k ∈ {4, 6, 8, 12} hex digits, count the ACTUAL colliding doc_id
+    * pairs at that width against the birthday expectation
+    * n(n−1)/2 ÷ 16^k. The table answers "how wide must a fingerprint
+    * be before collisions stop mattering at my scale" with measured
+    * data next to theory — at k = 4 (65 536 slots) the fixture already
+    * collides heavily (which is WHY q62 uses it for bucketing, where
+    * collisions are the point, and q278 uses 15 chars for identity,
+    * where they are not).
+    *
+    * Exact integers: colliding pairs via Σ c·(c−1)/2 over prefix
+    * groups — one grouped count per width, never a pair join. */
+  val q357HashWidthAudit: QueryDef = sql(
+    "q357_hash_width_audit",
+    """WITH h AS (SELECT md5('hw:' || CAST(doc_id AS VARCHAR)) AS m FROM documents),
+      |n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM h),
+      |w AS (SELECT k FROM (SELECT unnest([4, 6, 8, 12]) AS k)),
+      |grp AS (SELECT w.k, substr(h.m, 1, w.k) AS pfx, CAST(COUNT(*) AS BIGINT) AS c
+      |        FROM h CROSS JOIN w GROUP BY 1, 2),
+      |coll AS (SELECT k, CAST(SUM(c * (c - 1) // 2) AS BIGINT) AS pairs,
+      |           CAST(SUM(CASE WHEN c > 1 THEN c ELSE 0 END) AS BIGINT) AS colliding_keys
+      |         FROM grp GROUP BY 1)
+      |SELECT CAST(coll.k AS BIGINT) AS width_hex, n.n AS n_keys, coll.pairs AS collisions,
+      |  coll.colliding_keys,
+      |  ROUND(CAST(n.n AS DOUBLE) * (n.n - 1) / 2.0 / POW(16.0, coll.k), 6) AS expected
+      |FROM coll, n
+      |ORDER BY width_hex""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    val h = Tables.documents(s, dir)
+      .select(md5(concat(lit("hw:"), col("doc_id").cast("string"))).as("m"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val n = h.agg(count(lit(1)).as("n"))
+    val w = broadcast(Seq(4, 6, 8, 12).toDF("k"))
+    val grp = h.crossJoin(w)
+      .groupBy(col("k"), expr("substring(m, 1, k)").as("pfx"))
+      .agg(count(lit(1)).as("c"))
+    grp.groupBy(col("k"))
+      .agg(sum(expr("c * (c - 1) DIV 2")).as("pairs"),
+        sum(when(col("c") > 1, col("c")).otherwise(0L)).as("colliding_keys"))
+      .crossJoin(broadcast(n))
+      .select(col("k").cast("long").as("width_hex"), col("n").as("n_keys"),
+        col("pairs").as("collisions"), col("colliding_keys"),
+        round(col("n").cast("double") * (col("n") - 1) / lit(2.0) / pow(lit(16.0), col("k")), 6)
+          .as("expected"))
+      .orderBy(col("width_hex"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     q328PostingsVarint, q329PartitionSkew, q336JoinEstimate, q337BloomFpr,
-    q343CorrelatedZonemap, q345EncodingAdvisor, q350KmvSetAlgebra,
+    q343CorrelatedZonemap, q345EncodingAdvisor, q350KmvSetAlgebra, q357HashWidthAudit,
     q112BucketedJoin, q113PartitionPruning, q114SaltedJoin, q115BloomSemiJoin,
     q229ColumnProfile, q230LayoutAdvisor, q246CardinalityAudit, q250BloomZoneMap,
     q258CurveLocality, q260RebalanceAudit, q273CountMinAudit, q278KmvSketch,

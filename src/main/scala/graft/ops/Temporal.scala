@@ -1504,8 +1504,86 @@ object Temporal {
       .orderBy(col("event_type"))
   }
 
+  /** Wald–Wolfowitz runs test (Ann. Math. Stat. 1940) on the SIGN
+    * sequence of day-over-day volume deltas per feed — the
+    * independence check that decides whether q354's backtest residuals
+    * (or any daily KPI) carry momentum a forecaster should model: too
+    * FEW runs means positive autocorrelation (trends), too many means
+    * oscillation. Ties (zero deltas) drop, per the classical test.
+    * Exact integer inputs (n⁺, n⁻, R on the calendar grid — the q354
+    * device, so silent days are real zeroes); the expected-run count
+    * and variance are the textbook closed forms over those integers,
+    * one identical IEEE expression each, ROUND 6 emit.
+    *
+    * Scale: one scan → grid-sized day deltas; everything after is
+    * feed-keyed and alphabet-sized. */
+  val q356RunsTest: QueryDef = sql(
+    "q356_runs_test",
+    """WITH daily AS (
+      |  SELECT event_type, CAST(epoch_us(date_trunc('day', ts)) // 86400000000 AS BIGINT) AS d,
+      |    CAST(COUNT(*) AS BIGINT) AS y
+      |  FROM events GROUP BY 1, 2),
+      |span AS (SELECT MIN(d) AS lo, MAX(d) AS hi FROM daily),
+      |grid AS (SELECT et.event_type, gs.d
+      |         FROM (SELECT DISTINCT event_type FROM daily) et,
+      |              (SELECT unnest(range((SELECT lo FROM span), (SELECT hi FROM span) + 1)) AS d) gs),
+      |g AS (SELECT grid.event_type, grid.d, COALESCE(daily.y, 0) AS y
+      |      FROM grid LEFT JOIN daily ON daily.event_type = grid.event_type AND daily.d = grid.d),
+      |sg AS (SELECT event_type, d,
+      |         CASE WHEN y > LAG(y) OVER (PARTITION BY event_type ORDER BY d) THEN 1
+      |              WHEN y < LAG(y) OVER (PARTITION BY event_type ORDER BY d) THEN -1 END AS sgn
+      |       FROM g),
+      |nz AS (SELECT event_type, d, sgn,
+      |         LAG(sgn) OVER (PARTITION BY event_type ORDER BY d) AS prev
+      |       FROM sg WHERE sgn IS NOT NULL),
+      |st AS (SELECT event_type,
+      |         CAST(SUM(CASE WHEN sgn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+      |         CAST(SUM(CASE WHEN sgn = -1 THEN 1 ELSE 0 END) AS BIGINT) AS n_neg,
+      |         CAST(SUM(CASE WHEN prev IS NULL OR sgn <> prev THEN 1 ELSE 0 END) AS BIGINT) AS runs
+      |       FROM nz GROUP BY 1)
+      |SELECT event_type, n_pos, n_neg, runs,
+      |  ROUND(1.0 + 2.0 * n_pos * n_neg / (n_pos + n_neg), 6) AS expected_runs,
+      |  ROUND((runs - (1.0 + 2.0 * n_pos * n_neg / (n_pos + n_neg)))
+      |    / SQRT(2.0 * n_pos * n_neg * (2.0 * n_pos * n_neg - n_pos - n_neg)
+      |           / ((n_pos + n_neg) * (n_pos + n_neg) * (n_pos + n_neg - 1.0))), 6) AS z
+      |FROM st
+      |ORDER BY event_type""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    val daily = Tables.events(s, dir)
+      .groupBy(col("event_type"),
+        expr("unix_micros(date_trunc('day', ts)) div 86400000000L").as("d"))
+      .agg(count(lit(1)).as("y"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val span = daily.agg(min(col("d")).as("lo"), max(col("d")).as("hi")).collect()(0)
+    val (lo, hi) = (span.getLong(0), span.getLong(1))
+    val grid = daily.select(col("event_type")).distinct()
+      .crossJoin(broadcast((lo to hi).toDF("d")))
+    val g = grid.join(daily, Seq("event_type", "d"), "left")
+      .select(col("event_type"), col("d"), coalesce(col("y"), lit(0L)).as("y"))
+    val byD = Window.partitionBy(col("event_type")).orderBy(col("d"))
+    val sg = g.withColumn("sgn",
+        when(col("y") > lag(col("y"), 1).over(byD), 1)
+          .when(col("y") < lag(col("y"), 1).over(byD), -1))
+      .filter(col("sgn").isNotNull)
+    val nz = sg.withColumn("prev", lag(col("sgn"), 1).over(byD))
+    val st = nz.groupBy(col("event_type"))
+      .agg(sum(when(col("sgn") === 1, 1L).otherwise(0L)).as("n_pos"),
+        sum(when(col("sgn") === -1, 1L).otherwise(0L)).as("n_neg"),
+        sum(when(col("prev").isNull || col("sgn") =!= col("prev"), 1L).otherwise(0L))
+          .as("runs"))
+    val e = lit(1.0) + lit(2.0) * col("n_pos") * col("n_neg") / (col("n_pos") + col("n_neg"))
+    val v = lit(2.0) * col("n_pos") * col("n_neg") *
+      (lit(2.0) * col("n_pos") * col("n_neg") - col("n_pos") - col("n_neg")) /
+      ((col("n_pos") + col("n_neg")) * (col("n_pos") + col("n_neg")) *
+        (col("n_pos") + col("n_neg") - lit(1.0)))
+    st.select(col("event_type"), col("n_pos"), col("n_neg"), col("runs"),
+        round(e, 6).as("expected_runs"),
+        round((col("runs") - e) / sqrt(v), 6).as("z"))
+      .orderBy(col("event_type"))
+  }
+
   val all: Seq[QueryDef] = Seq(
-    q341WatermarkLateness, q346EntropyRate, q354ForecastBacktest,
+    q341WatermarkLateness, q346EntropyRate, q354ForecastBacktest, q356RunsTest,
     q46AsofJoin, q47Pivot, q55IntervalJoin, q63AsofNative, q81IntervalNative,
     q95Funnel, q96RetentionCohorts, q109TransitionMatrix, q192DecayScores,
     q226ChangePoint, q236Attribution, q241PeakConcurrency, q242KaplanMeier,

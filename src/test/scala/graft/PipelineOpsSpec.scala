@@ -431,6 +431,37 @@ class PipelineOpsSpec extends SparkSpec {
     assert(pooled._5 > 500000L, s"pooled held-out accuracy ${pooled._5} collapsed")
   }
 
+  test("runs test: counts are consistent and the statistic centers") {
+    val rows = graft.ops.Temporal.q356RunsTest.run(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (np, nn, runs, exp) = (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))
+      assert(runs >= 1 && runs <= np + nn, "runs bounded by the sign count")
+      assert(runs >= (if (np.min(nn) > 0) 2L else 1L) || np == 0 || nn == 0)
+      assert(math.abs(exp - (1.0 + 2.0 * np * nn / (np + nn))) < 1e-6)
+      assert(math.abs(r.getDouble(5)) < 6.0,
+        "a |z| beyond 6 on 30 days means the arithmetic broke, not the data")
+    }
+  }
+
+  test("hash-width audit: collisions fall with width and match the grouped recount") {
+    val rows = Layout.q357HashWidthAudit.run(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+    assert(rows.map(_._1).toSeq == Seq(4L, 6L, 8L, 12L))
+    val n = rows.head._2
+    rows.foreach { case (_, nk, pairs, ck, expct) =>
+      assert(nk == n)
+      assert(ck <= n && (pairs == 0) == (ck == 0))
+      assert(expct >= 0.0)
+    }
+    // monotone: a wider prefix can only merge fewer keys
+    val ps = rows.map(_._3)
+    assert(ps.zip(ps.tail).forall { case (a, b) => a >= b },
+      s"collisions must not increase with width: ${ps.toSeq}")
+    // the 12-hex width (~2^48 space) must be collision-free at fixture scale
+    assert(rows.last._3 == 0, "12 hex chars must not collide on thousands of keys")
+  }
+
   test("delta-join MV equals the from-scratch join recompute") {
     val direct = Tables.orders(spark, sfDir)
       .join(Tables.customer(spark, sfDir),
