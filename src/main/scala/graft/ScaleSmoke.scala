@@ -231,6 +231,16 @@ object ScaleSmoke {
     // simhash-vocabulary OOM got when its broadcast was size-gated).
     {
       val key = "spark.graft.graph.broadcastNodeBudget"
+      // the derived crossover: one conf (autoBroadcastJoinThreshold)
+      // governs Spark's own broadcasts AND the walkers' node budget —
+      // print both so the smoke table shows which side of the line
+      // this corpus lands on and where the line is
+      val budget = graft.ops.Graph.broadcastNodeBudget(spark)
+      val nNodes = spark.read.parquet(s"$dir/lineitem.parquet")
+        .select("l_partkey").distinct().count()
+      println(f"walker_budget derived=$budget%d rows (autoBroadcastJoinThreshold/" +
+        f"${graft.ops.Graph.NodeRowBytes}%d B) nodes=$nNodes%d → " +
+        (if (nNodes <= budget) "broadcast path" else "co-partitioned shuffle path"))
       val hinted = SparkEntry.queries("q143_pagerank")(spark, dir)
         .collect().map(_.toString).toSeq
       spark.conf.set(key, "0")
@@ -242,6 +252,35 @@ object ScaleSmoke {
       spark.catalog.clearCache()
       println(f"pagerank_shuffle_fallback $dtw%8.2f s  (${shuffled.size} rows)")
       assert(shuffled == hinted, "shuffle-path walker must equal the hinted walker")
+    }
+
+    // block two-pass rank device at corpus scale: the exact global rank
+    // the order-statistic segmentation family (q253/q268/q311/q208) now
+    // rides, on an nDocs×4-row skewed integer relation, NEXT TO the naive
+    // single-partition window it replaced — fingerprint-asserted equal
+    // (Σ rn·v + Σ rn·k pins the full assignment incl. tie order), both
+    // timed so the table shows the crossover the device buys at scale.
+    {
+      val nr = nDocs * 4
+      val rel = spark.range(nr).select(col("id").as("k"),
+        expr("CAST(conv(substring(md5(CAST(id AS STRING)), 1, 12), 16, 10) % 1000000 AS BIGINT)")
+          .as("v"))
+      def fp(df: org.apache.spark.sql.DataFrame): (Long, Long) = {
+        val r = df.agg(sum(expr("rn * v")), sum(expr("rn * k"))).collect()(0)
+        (r.getLong(0), r.getLong(1))
+      }
+      val t0b = System.nanoTime()
+      val fpBlocked = fp(graft.ops.BlockRank.globalRowNumberAdaptive(
+        rel, col("v"), asc = true, Seq(col("v").asc, col("k").asc), "rn"))
+      val dtB = (System.nanoTime() - t0b) / 1e9
+      val t0n = System.nanoTime()
+      val fpNaive = fp(rel.withColumn("rn",
+        org.apache.spark.sql.functions.row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .orderBy(col("v").asc, col("k").asc)).cast("long")))
+      val dtN = (System.nanoTime() - t0n) / 1e9
+      println(f"block_rank(n=$nr%d) $dtB%8.2f s  (naive single-partition: $dtN%.2f s)")
+      assert(fpBlocked == fpNaive, "block two-pass rank must equal the naive global window")
     }
 
     // adversarial-diameter connected components: ONE chain of n nodes —

@@ -797,13 +797,22 @@ object Analytics {
 
   /** HLL sketch distinct — the one-pass mergeable scale path for q09's
     * exact two-phase count(distinct). Rows-only (sketch estimates are not
-    * oracle-matchable by design); AnalyticsSpec bounds the error vs exact. */
+    * oracle-matchable by design); AnalyticsSpec bounds the error vs exact,
+    * and the SAME contract is emitted as columns so the driver's rows
+    * check sees it without a hash: (approx, exact twin, bound,
+    * within_bound) — the 5%-relative-error bound in micro units,
+    * self-evidently satisfied row by row. */
   val q48ApproxDistinct: QueryDef = QueryDef.rowsOnly("q48_approx_distinct") { (s, dir) =>
     Tables.events(s, dir)
       .groupBy(col("event_type"))
       .agg(
         approx_count_distinct(col("user_id")).as("approx_users"),
         countDistinct(col("user_id")).as("exact_users"))
+      .select(col("event_type"), col("approx_users"), col("exact_users"),
+        expr("abs(approx_users - exact_users) * 1000000L DIV exact_users").as("err_micro"),
+        lit(50000L).as("bound_micro"),
+        (expr("abs(approx_users - exact_users) * 1000000L")
+          <= col("exact_users") * 50000L).as("within_bound"))
       .orderBy(col("event_type"))
   }
 
@@ -976,15 +985,33 @@ object Analytics {
     * one pass, map-side partials, the only formulation that works when a
     * group's values don't fit an executor. Rows-only in the contract
     * (sketch internals differ across engines); AnalyticsSpec pins the
-    * accuracy-parameter error bound against q60's exact values. */
+    * accuracy-parameter error bound against q60's exact values, and the
+    * same contract rides the output as columns — each sketch percentile
+    * next to its exact twin, the 2%-relative bound in micro units, and
+    * a row-level within_bound verdict — so the driver's rows check sees
+    * the contract without a hash. (The exact twin is the audit face;
+    * production serves the sketch columns alone.) */
   val q91ApproxPercentiles: QueryDef = QueryDef.rowsOnly(
     "q91_approx_percentiles") { (s, dir) =>
-    Tables.lineitem(s, dir)
+    val approx = Tables.lineitem(s, dir)
       .groupBy(col("l_returnflag"))
       .agg(expr("approx_percentile(l_extendedprice, array(0.5D, 0.95D), 10000)").as("ps"))
       .select(col("l_returnflag"),
         element_at(col("ps"), 1).as("p50_price"),
         element_at(col("ps"), 2).as("p95_price"))
+    val exact = Tables.lineitem(s, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(expr("percentile(l_extendedprice, array(0.5D, 0.95D))").as("pe"))
+      .select(col("l_returnflag"),
+        element_at(col("pe"), 1).as("p50_exact"),
+        element_at(col("pe"), 2).as("p95_exact"))
+    approx.join(exact, "l_returnflag")
+      .select(col("l_returnflag"), col("p50_price"), col("p95_price"),
+        col("p50_exact"), col("p95_exact"),
+        lit(20000L).as("bound_micro"),
+        (abs(col("p50_price") - col("p50_exact")) <= col("p50_exact") * 0.02 &&
+          abs(col("p95_price") - col("p95_exact")) <= col("p95_exact") * 0.02)
+          .as("within_bound"))
       .orderBy(col("l_returnflag"))
   }
 
@@ -1018,14 +1045,28 @@ object Analytics {
     * whole point: exact distinct counts cannot be combined across
     * partial aggregates, sketches can. Rows-only in the contract
     * (sketch bytes are engine-specific); ConsistencySpec pins the
-    * estimate against q09's exact counts. */
+    * estimate against q09's exact counts, and the same contract rides
+    * the output as columns — estimate, exact twin, the 5% bound in
+    * micro units, row-level within_bound — driver-visible without a
+    * hash. (The exact twin is the audit face; production serves the
+    * merged sketches alone.) */
   val q93HllMerge: QueryDef = QueryDef.rowsOnly("q93_hll_merge") { (s, dir) =>
-    Tables.events(s, dir)
+    val approx = Tables.events(s, dir)
       .groupBy(col("event_type"), to_date(col("ts")).as("day"))
       .agg(expr("hll_sketch_agg(user_id, 14)").as("sk"))
       .groupBy(col("event_type"))
       .agg(expr("hll_sketch_estimate(hll_union_agg(sk, false))").as("approx_users"),
         count(lit(1)).as("n_days"))
+    val exact = Tables.events(s, dir)
+      .groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("exact_users"))
+    approx.join(exact, "event_type")
+      .select(col("event_type"), col("approx_users"), col("n_days"),
+        col("exact_users"),
+        expr("abs(approx_users - exact_users) * 1000000L DIV exact_users").as("err_micro"),
+        lit(50000L).as("bound_micro"),
+        (expr("abs(approx_users - exact_users) * 1000000L")
+          <= col("exact_users") * 50000L).as("within_bound"))
       .orderBy(col("event_type"))
   }
 
@@ -2067,11 +2108,18 @@ object Analytics {
     * (champions / loyal / recent / at_risk / hibernating / regular)
     * rolled up to segment-level counts and exact-integer averages.
     * The recency anchor is the corpus max order date (data-derived, no
-    * wall clock). Shape: one orders aggregate to customer grain, three
-    * window passes over the customer relation, one segment rollup — at
-    * 100 TB the customer relation is the only shuffle and the output
-    * is six rows. Planted-quintile spec + conservation
-    * (`AnalyticsSpec`). */
+    * wall clock). Shape: one orders aggregate to customer grain, then
+    * the quintiles come from [[BlockRank]]'s two-pass exact rank (the
+    * customer relation is data-proportional — at 10⁸–10⁹ customers a
+    * plain `NTILE OVER (ORDER BY …)` would be a single-partition sort;
+    * the block device keeps every corpus-sized window partitioned and
+    * reconstructs NTILE arithmetically from the exact rank), one
+    * segment rollup — the customer aggregate is the only shuffle and
+    * the output is six rows. The monetary quintile is computed by the
+    * oracle but used by neither (the taxonomy cuts on R and F only),
+    * so the Spark face skips that rank pass entirely.
+    * Planted-quintile spec + conservation (`AnalyticsSpec`);
+    * no-single-partition-WindowExec pinned in `PlanSpec`. */
   val q253RfmSegments: QueryDef = sql(
     "q253_rfm_segments",
     """WITH mx AS (SELECT MAX(o_orderdate) AS m FROM orders),
@@ -2101,7 +2149,6 @@ object Analytics {
       |FROM seg
       |GROUP BY 1
       |ORDER BY segment""".stripMargin) { (s, dir) =>
-    import org.apache.spark.sql.expressions.Window
     val o = Tables.orders(s, dir)
     val mx = o.agg(max(col("o_orderdate")).cast("date").as("mxd"))
     val cust = o.groupBy(col("o_custkey").as("c"))
@@ -2110,10 +2157,16 @@ object Analytics {
         sum(expr("CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)")).as("m_cents"))
       .crossJoin(broadcast(mx))
       .withColumn("r_days", datediff(col("mxd"), col("last_d")).cast("long"))
-    val scored = cust
-      .withColumn("r_score", lit(6) - ntile(5).over(Window.orderBy(col("r_days"), col("c"))))
-      .withColumn("f_score", lit(6) - ntile(5).over(Window.orderBy(col("f_orders").desc, col("c"))))
-      .withColumn("m_score", lit(6) - ntile(5).over(Window.orderBy(col("m_cents").desc, col("c"))))
+    val n = cust.agg(count(lit(1)).cast("long").as("n_cust"))
+    val rRanked = BlockRank.globalRowNumberAdaptive(
+      cust.crossJoin(broadcast(n)), col("r_days"), asc = true,
+      Seq(col("r_days").asc, col("c").asc), "rk_r")
+    val fRanked = BlockRank.globalRowNumberAdaptive(
+      rRanked, col("f_orders"), asc = false,
+      Seq(col("f_orders").desc, col("c").asc), "rk_f")
+    val scored = fRanked
+      .withColumn("r_score", lit(6) - BlockRank.ntileFromRank("rk_r", "n_cust", 5))
+      .withColumn("f_score", lit(6) - BlockRank.ntileFromRank("rk_f", "n_cust", 5))
     scored.withColumn("segment",
         expr("""CASE WHEN r_score >= 4 AND f_score >= 4 THEN 'champions'
                |     WHEN f_score >= 4 THEN 'loyal'
@@ -2614,11 +2667,12 @@ object Analytics {
     * All moments are exact integers: revenue in BIGINT cents, rank·revenue
     * products summed exactly (Σ rn·rev < 2⁶³ to ~10⁶ customers — lift to
     * DECIMAL(38,0) past that), so the Gini double is ONE division of
-    * exact integers. Deciles cut by NTILE over the same pinned total
-    * order. The customer aggregate is the only corpus-scale stage; the
-    * ordered window runs on the customer relation (document the
-    * single-axis sort: at 10⁹ customers use a range-partitioned sort,
-    * same result). */
+    * exact integers. The rank and the deciles come from [[BlockRank]]'s
+    * two-pass device (rank exact → NTILE reconstructed arithmetically),
+    * so the customer-sized relation never sees a single-partition
+    * window; the only global-order window left is the 10-row decile
+    * cumsum. The customer aggregate is the only corpus-scale stage.
+    * No-single-partition-WindowExec pinned in `PlanSpec`. */
   val q268GiniLorenz: QueryDef = sql(
     "q268_gini_lorenz",
     """WITH rev AS (
@@ -2649,10 +2703,11 @@ object Analytics {
     val rev = Tables.orders(s, dir)
       .groupBy(col("o_custkey"))
       .agg(sum(expr("CAST(FLOOR(o_totalprice * 100) AS BIGINT)")).as("cents"))
-    val ord = Window.orderBy(col("cents"), col("o_custkey"))
-    val rk = rev
-      .withColumn("rn", row_number().over(ord))
-      .withColumn("decile", ntile(10).over(ord))
+    val nrel = rev.agg(count(lit(1)).cast("long").as("n_tot"))
+    val rk = BlockRank.globalRowNumberAdaptive(
+        rev.crossJoin(broadcast(nrel)), col("cents"), asc = true,
+        Seq(col("cents").asc, col("o_custkey").asc), "rn")
+      .withColumn("decile", BlockRank.ntileFromRank("rn", "n_tot", 10))
     val tot = rk.agg(count(lit(1)).as("n"), sum(col("cents")).as("s0"),
       sum(col("rn") * col("cents")).as("s1"))
     val dec = rk.groupBy(col("decile"))
@@ -2985,7 +3040,12 @@ object Analytics {
     * the actual A/B/C part lists (summarized per class; the per-part
     * assignment is the intermediate relation). Exact BIGINT cents and
     * micro shares; the class boundary is an integer comparison on the
-    * cumulative share. */
+    * cumulative share. The cumulative revenue comes from
+    * [[BlockRank.globalRunningSumAdaptive]] (the part relation is
+    * data-proportional — a plain `SUM OVER (ORDER BY …)` would be a
+    * single-partition sort at 10⁸ parts) and the grand total from a
+    * broadcast 1-row aggregate instead of a second global window.
+    * No-single-partition-WindowExec pinned in `PlanSpec`. */
   val q311AbcClasses: QueryDef = sql(
     "q311_abc_classes",
     """WITH rev AS (
@@ -3012,12 +3072,10 @@ object Analytics {
     val rev = Tables.lineitem(s, dir)
       .groupBy(col("l_partkey"))
       .agg(sum(expr("CAST(FLOOR(l_extendedprice * 100) AS BIGINT)")).as("cents"))
-    val byRev = Window.orderBy(col("cents").desc, col("l_partkey"))
-    val rk = rev
-      .withColumn("cum", sum(col("cents")).over(
-        byRev.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-      .withColumn("tot", sum(col("cents")).over(
-        Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+    val totRel = rev.agg(sum(col("cents")).as("tot"))
+    val rk = BlockRank.globalRunningSumAdaptive(
+      rev.crossJoin(broadcast(totRel)), col("cents"), asc = false,
+      Seq(col("cents").desc, col("l_partkey").asc), col("cents"), "cum")
     rk.withColumn("abc",
         when(col("cum") * 100 <= col("tot") * 80, "A")
           .when(col("cum") * 100 <= col("tot") * 95, "B")
@@ -3374,7 +3432,65 @@ object Analytics {
       .orderBy(col("o_orderstatus"))
   }
 
+  /** Kruskal–Wallis rank ANOVA (Kruskal & Wallis JASA 1952) of line
+    * revenue across return flags — the distribution-free "do these
+    * groups differ?" test a curation pipeline runs when the value
+    * column is heavy-tailed and a mean-based ANOVA (q211) would be
+    * driven by outliers. This one ranks THE FACT TABLE itself — every
+    * lineitem row gets an exact global rank via [[BlockRank]] (at 10⁹
+    * rows a plain `RANK() OVER (ORDER BY …)` is the canonical
+    * single-partition killer), tie-broken by (orderkey, linenumber) so
+    * both engines produce the same permutation (the classical test
+    * mid-ranks ties; the deterministic tiebreak is the q333/q349
+    * rounded-rank discipline applied to rank statistics — documented
+    * deviation, identical in both engines). Per-group rank sums are
+    * exact BIGINTs; H is one identical IEEE expression over them,
+    * ROUND 6 because its Σ R²/n term is a float sum over groups whose
+    * accumulation order neither engine pins. */
+  val q360KruskalWallis: QueryDef = sql(
+    "q360_kruskal_wallis",
+    """WITH v AS (
+      |  SELECT l_returnflag AS grp,
+      |    CAST(FLOOR(l_extendedprice * 100) AS BIGINT) AS cents,
+      |    l_orderkey, l_linenumber
+      |  FROM lineitem),
+      |rk AS (
+      |  SELECT grp,
+      |    ROW_NUMBER() OVER (ORDER BY cents, l_orderkey, l_linenumber) AS r
+      |  FROM v),
+      |g AS (SELECT grp, CAST(COUNT(*) AS BIGINT) AS n_j,
+      |        CAST(SUM(r) AS BIGINT) AS rank_sum
+      |      FROM rk GROUP BY 1),
+      |tot AS (SELECT CAST(SUM(n_j) AS BIGINT) AS n,
+      |          SUM(12.0 * (CAST(rank_sum AS DOUBLE) * CAST(rank_sum AS DOUBLE))
+      |              / CAST(n_j AS DOUBLE)) AS s
+      |        FROM g)
+      |SELECT g.grp AS l_returnflag, g.n_j, g.rank_sum, tot.n,
+      |  ROUND(tot.s / (CAST(tot.n AS DOUBLE) * (CAST(tot.n AS DOUBLE) + 1.0))
+      |    - 3.0 * (CAST(tot.n AS DOUBLE) + 1.0), 6) AS h_stat
+      |FROM g, tot
+      |ORDER BY l_returnflag""".stripMargin) { (s, dir) =>
+    val v = Tables.lineitem(s, dir).select(col("l_returnflag").as("grp"),
+      expr("CAST(FLOOR(l_extendedprice * 100) AS BIGINT)").as("cents"),
+      col("l_orderkey"), col("l_linenumber"))
+    val rk = BlockRank.globalRowNumberAdaptive(v, col("cents"), asc = true,
+      Seq(col("cents").asc, col("l_orderkey").asc, col("l_linenumber").asc), "r")
+    val g = rk.groupBy(col("grp"))
+      .agg(count(lit(1)).as("n_j"), sum(col("r")).as("rank_sum"))
+    val tot = g.agg(sum(col("n_j")).as("n"),
+      sum(lit(12.0) * (col("rank_sum").cast("double") * col("rank_sum").cast("double"))
+        / col("n_j").cast("double")).as("s"))
+    g.crossJoin(broadcast(tot))
+      .select(col("grp").as("l_returnflag"), col("n_j"), col("rank_sum"), col("n"),
+        // ROUND 6: s is a float sum over a handful of group terms whose
+        // accumulation order neither engine pins
+        round(col("s") / (col("n").cast("double") * (col("n").cast("double") + lit(1.0)))
+          - lit(3.0) * (col("n").cast("double") + lit(1.0)), 6).as("h_stat"))
+      .orderBy(col("l_returnflag"))
+  }
+
   val all: Seq[QueryDef] = Seq(
+    q360KruskalWallis,
     q332DeltaJoinMv, q344CdcCompaction,
     q227IntegrityScorecard, q231MarketShare, q235MvMaintenance, q244Cuped, q247AqpGroupby,
     q266BenfordAudit, q267NeymanAllocation, q268GiniLorenz, q287CdcApply, q290XmlShred,

@@ -187,11 +187,11 @@ object Classifier {
     * Completes the classifier lifecycle: q127 trains and serves, this
     * audits the served scores against truth.
     *
-    * Scale posture: everything after q127's own serving pass is one
-    * corpus-wide NTILE window (rank on a 64-bit key; at 100 TB this is
-    * the one global sort — the same class as q100's packing window,
-    * replaceable by the block two-pass device if it ever dominates) plus
-    * a 10-row aggregate. */
+    * Scale posture: everything after q127's own serving pass is the
+    * corpus-wide decile assignment, which rides [[BlockRank]]'s
+    * two-pass exact rank (NTILE reconstructed arithmetically — no
+    * single-partition sort at any corpus size) plus a 10-row
+    * aggregate. */
   val q182Calibration: QueryDef = sql(
     "q182_calibration",
     s"""WITH $trainedMarginsSql,
@@ -206,10 +206,12 @@ object Classifier {
        |FROM served
        |GROUP BY 1
        |ORDER BY decile""".stripMargin) { (s, dir) =>
-    import org.apache.spark.sql.expressions.Window
-    val served = servedMargins(s, dir)
-      .withColumn("decile", ntile(10).over(
-        Window.orderBy(col("margin"), col("doc_id"))).cast("long"))
+    val served0 = servedMargins(s, dir)
+    val nAll = served0.agg(count(lit(1)).cast("long").as("n_all"))
+    val served = BlockRank.globalRowNumberAdaptive(
+        served0.crossJoin(broadcast(nAll)), col("margin"), asc = true,
+        Seq(col("margin").asc, col("doc_id").asc), "rk")
+      .withColumn("decile", BlockRank.ntileFromRank("rk", "n_all", 10).cast("long"))
     served.groupBy(col("decile"))
       .agg(count(lit(1)).as("n"),
         sum(when(col("y") === 1L, 1L).otherwise(0L)).as("n_pos"),
@@ -234,8 +236,9 @@ object Classifier {
     * uncertainty face beside q182's calibration deciles.
     *
     * Scale posture: q127's serving pass + one calibration-split rank
-    * (a window over the calibration margins only) + a scan-level set
-    * decision against the broadcast scalar τ. */
+    * ([[BlockRank]]'s two-pass device — the calibration half is
+    * corpus-proportional) + a scan-level set decision against the
+    * broadcast scalar τ. */
   val q193Conformal: QueryDef = sql(
     "q193_conformal",
     s"""WITH $trainedMarginsSql,
@@ -255,15 +258,17 @@ object Classifier {
        |FROM served s, kth k
        |WHERE s.doc_id % 2 = 1
        |ORDER BY s.doc_id""".stripMargin) { (s, dir) =>
-    import org.apache.spark.sql.expressions.Window
     val served = servedMargins(s, dir)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cal = served.filter(col("doc_id") % 2 === 0)
       .select(col("doc_id"), (-col("y") * col("margin")).as("score"))
     val n = cal.count()
     val k = (9 * (n + 1) + 9) / 10
-    val tau = cal.withColumn("rn", row_number().over(
-        Window.orderBy(col("score"), col("doc_id"))))
+    // calibration-half order statistic via the block two-pass rank —
+    // the calibration split is corpus-proportional, never a
+    // single-partition sort
+    val tau = BlockRank.globalRowNumberAdaptive(cal, col("score"), asc = true,
+        Seq(col("score").asc, col("doc_id").asc), "rn")
       .filter(col("rn") === k).select(col("score").as("tau"))
     served.filter(col("doc_id") % 2 === 1)
       .crossJoin(broadcast(tau))
@@ -362,11 +367,12 @@ object Classifier {
     * the review queue a labeling owner actually triages — bounded,
     * ordered, and reproducible — rather than a score dump.
     *
-    * Scale posture: q127's serving pass + one rank window for the
-    * order statistic (global, but over margins only — replaceable by
-    * the block two-pass device if it ever dominates) + a scan-level
-    * filter against the broadcast scalar τ and one rank window over
-    * the SUSPECTS (a vanishing fraction of the corpus). */
+    * Scale posture: q127's serving pass; BOTH rank windows (the τ
+    * order statistic over the served corpus and the review-queue rank
+    * over the suspects) run through [[BlockRank]]'s two-pass device,
+    * so no corpus-proportional relation ever plans a single-partition
+    * WindowExec (pinned in `PlanSpec`); plus a scan-level filter
+    * against the broadcast scalar τ. */
   val q208LabelNoise: QueryDef = sql(
     "q208_label_noise",
     s"""WITH $trainedMarginsSql,
@@ -383,19 +389,20 @@ object Classifier {
        |FROM served s, kth k
        |WHERE s.y * s.margin < 0 AND s.abs_margin >= k.tau
        |ORDER BY noise_rank""".stripMargin) { (s, dir) =>
-    import org.apache.spark.sql.expressions.Window
     val served = servedMargins(s, dir)
       .withColumn("abs_margin", abs(col("margin")))
     val n = served.agg(count(lit(1)).as("n"))
-    val kth = served
-      .withColumn("rn", row_number().over(Window.orderBy(col("abs_margin"), col("doc_id"))))
+    val kth = BlockRank.globalRowNumberAdaptive(
+        served, col("abs_margin"), asc = true,
+        Seq(col("abs_margin").asc, col("doc_id").asc), "rn")
       .crossJoin(broadcast(n))
       .filter(col("rn") === expr("(3 * (n + 1)) div 4"))
       .select(col("abs_margin").as("tau"))
-    served.crossJoin(broadcast(kth))
+    val suspects = served.crossJoin(broadcast(kth))
       .filter(col("y") * col("margin") < 0 && col("abs_margin") >= col("tau"))
-      .withColumn("noise_rank", row_number().over(
-        Window.orderBy(col("abs_margin").desc, col("doc_id"))).cast("long"))
+    BlockRank.globalRowNumberAdaptive(
+        suspects, col("abs_margin"), asc = false,
+        Seq(col("abs_margin").desc, col("doc_id").asc), "noise_rank")
       .select(col("doc_id"), col("y"), col("margin"), col("abs_margin"), col("noise_rank"))
       .orderBy(col("noise_rank"))
   }
@@ -411,7 +418,8 @@ object Classifier {
     * arithmetic is exact milli/micro floor-integers from exact counts —
     * squares of millis are micros, no floats anywhere.
     *
-    * Shape: q182's serving pass + NTILE window + a 10-row aggregate and
+    * Shape: q182's serving pass + the block two-pass decile assignment
+    * ([[BlockRank]], no single-partition sort) + a 10-row aggregate and
     * broadcast constants — nothing new at corpus scale. */
   val q221BrierDecomp: QueryDef = sql(
     "q221_brier_decomp",
@@ -440,10 +448,12 @@ object Classifier {
        |  CAST(c.rel_micro - c.res_micro + c.unc_micro AS BIGINT) AS brier_micro
        |FROM d, c
        |ORDER BY decile""".stripMargin) { (s, dir) =>
-    import org.apache.spark.sql.expressions.Window
-    val served = servedMargins(s, dir)
-      .withColumn("decile", ntile(10).over(
-        Window.orderBy(col("margin"), col("doc_id"))).cast("long"))
+    val served0 = servedMargins(s, dir)
+    val nAll = served0.agg(count(lit(1)).cast("long").as("n_all"))
+    val served = BlockRank.globalRowNumberAdaptive(
+        served0.crossJoin(broadcast(nAll)), col("margin"), asc = true,
+        Seq(col("margin").asc, col("doc_id").asc), "rk")
+      .withColumn("decile", BlockRank.ntileFromRank("rk", "n_all", 10).cast("long"))
     val d = served.groupBy(col("decile"))
       .agg(count(lit(1)).as("n"),
         sum(when(col("y") === 1L, 1L).otherwise(0L)).as("n_pos"))
@@ -464,6 +474,67 @@ object Classifier {
         col("ece_milli"), col("rel_micro"), col("res_micro"), col("unc_micro"),
         (col("rel_micro") - col("res_micro") + col("unc_micro")).cast("long").as("brier_micro"))
       .orderBy(col("decile"))
+  }
+
+  /** McNemar's paired-classifier test (McNemar, Psychometrika 1947;
+    * Dietterich NC'98 made it the standard "is model B actually better
+    * than model A on the SAME test set" check): the trained perceptron
+    * against the zero-cost heuristic baseline (predict English iff the
+    * doc contains the token 'the' — the stopword rule every langid
+    * bake-off opens with). Accuracy deltas mislead on paired data;
+    * McNemar looks only at the DISAGREEMENT cells — b = model right
+    * where baseline wrong, c = baseline right where model wrong — and
+    * χ² = (|b−c|−1)²/(b+c) with continuity correction. All counts are
+    * exact integers from one serving pass; χ² in micro units by integer
+    * floor division, NULL when b + c = 0 (no disagreements — the test
+    * is undefined, the q356 guard discipline).
+    *
+    * Scale posture: q127's serving pass + one scan-level baseline
+    * predicate + a single 1-row aggregate. The oracle unrolls the full
+    * 3-round training chain (the q208/q355 discipline), so the hash
+    * pins the comparison end to end. */
+  val q361McnemarTest: QueryDef = sql(
+    "q361_mcnemar_test",
+    s"""WITH $trainedMarginsSql,
+       |base AS (SELECT doc_id,
+       |           CASE WHEN list_contains(string_split(text, ' '), 'the')
+       |                THEN 1 ELSE -1 END AS pred_base
+       |         FROM documents),
+       |served AS (SELECT l.doc_id, l.y,
+       |             CASE WHEN mf.margin > 0 THEN 1 ELSE -1 END AS pred_model,
+       |             b.pred_base
+       |           FROM lab l JOIN mf USING (doc_id) JOIN base b USING (doc_id)),
+       |cells AS (SELECT
+       |    CAST(COUNT(*) AS BIGINT) AS n,
+       |    CAST(SUM(CASE WHEN pred_model = y THEN 1 ELSE 0 END) AS BIGINT) AS n_model_ok,
+       |    CAST(SUM(CASE WHEN pred_base = y THEN 1 ELSE 0 END) AS BIGINT) AS n_base_ok,
+       |    CAST(SUM(CASE WHEN pred_model = y AND pred_base <> y THEN 1 ELSE 0 END) AS BIGINT) AS b,
+       |    CAST(SUM(CASE WHEN pred_model <> y AND pred_base = y THEN 1 ELSE 0 END) AS BIGINT) AS c
+       |  FROM served)
+       |SELECT n, n_model_ok, n_base_ok, b, c,
+       |  CASE WHEN b + c = 0 THEN NULL
+       |       ELSE CAST((ABS(b - c) - 1) * (ABS(b - c) - 1) * 1000000 // (b + c) AS BIGINT)
+       |  END AS chi2_micro
+       |FROM cells""".stripMargin) { (s, dir) =>
+    val (docs, _, _) = taskInputs(s, dir)
+    val base = docs.select(col("doc_id"),
+      when(array_contains(split(col("text"), " "), "the"), 1L).otherwise(-1L)
+        .as("pred_base"))
+    val served = servedMargins(s, dir)
+      .withColumn("pred_model", when(col("margin") > 0, 1L).otherwise(-1L))
+      .join(base, "doc_id")
+    served.agg(
+        count(lit(1)).as("n"),
+        sum(when(col("pred_model") === col("y"), 1L).otherwise(0L)).as("n_model_ok"),
+        sum(when(col("pred_base") === col("y"), 1L).otherwise(0L)).as("n_base_ok"),
+        sum(when(col("pred_model") === col("y") && col("pred_base") =!= col("y"), 1L)
+          .otherwise(0L)).as("b"),
+        sum(when(col("pred_model") =!= col("y") && col("pred_base") === col("y"), 1L)
+          .otherwise(0L)).as("c"))
+      .select(col("n"), col("n_model_ok"), col("n_base_ok"), col("b"), col("c"),
+        when(col("b") + col("c") === 0, lit(null).cast("long"))
+          .otherwise(expr("(ABS(b - c) - 1) * (ABS(b - c) - 1) * 1000000L DIV (b + c)"))
+          .as("chi2_micro"))
   }
 
   /** Isotonic (here: antitonic) regression calibration — the
@@ -899,5 +970,6 @@ object Classifier {
 
   val all: Seq[QueryDef] = Seq(q127Perceptron, q182Calibration, q193Conformal,
     q203AnnotatorKappa, q208LabelNoise, q221BrierDecomp, q248IsotonicFit,
+    q361McnemarTest,
     q252ReplayEval, q288PassAtK, q308QiniUplift, q355CrossValidation)
 }

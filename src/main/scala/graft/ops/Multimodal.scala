@@ -512,9 +512,24 @@ object Multimodal {
   }
 
   /** Batched stub-decode features — rows-only check (the decode is not
-    * SQL-expressible by design; determinism is pinned by FunctionsSpec). */
+    * SQL-expressible by design; determinism is pinned by FunctionsSpec
+    * and the structural slice is hash-verified as q44a). The structural
+    * contract also rides the output as columns: expected_bytes re-derived
+    * from the fixture column outside the decode pipeline, and a row-level
+    * within_bound verdict (byte count matches, f_len is exactly
+    * n_bytes/255, and the stub moments sit in [0, 255] with
+    * mean ≤ max) — driver-visible without a hash. */
   val q44MultimodalFeatures: QueryDef = rowsOnly("q44_multimodal_features") { (s, dir) =>
-    extractFeatures(s, dir).toDF().orderBy(col("doc_id"))
+    val expected = Tables.documents(s, dir)
+      .select(col("doc_id"), octet_length(col("text")).cast("int").as("expected_bytes"))
+    extractFeatures(s, dir).toDF().join(expected, "doc_id")
+      .withColumn("within_bound",
+        col("n_bytes") === col("expected_bytes") &&
+          // FLOAT-cast the quotient: Spark promotes float arithmetic to
+          // double, and f_len was produced by single-precision division
+          col("f_len") === (col("n_bytes").cast("float") / lit(255f)).cast("float") &&
+          col("mean_byte") >= 0f && col("mean_byte") <= col("max_byte"))
+      .orderBy(col("doc_id"))
   }
 
   /** The structural slice of q44, hash-verified: `n_bytes` and `f_len`

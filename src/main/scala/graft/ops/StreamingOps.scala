@@ -851,7 +851,20 @@ object StreamingOps {
             count(lit(1)).as("n_events"))
         val vs = versions
         val state = vs.lastOption match {
-          case Some(v) => s.read.parquet(s"$stateDir/v_$v")
+          case Some(v) =>
+            val snap = s.read.parquet(s"$stateDir/v_$v")
+            // schema gate: a pre-file-keyed snapshot (event_type,
+            // last_us, n_events — no fname) CANNOT be upgraded exactly:
+            // its counts are un-attributed to files, so any replayed
+            // file would double-count against them. Reject the restart
+            // cleanly with the remedy instead of dying inside
+            // unionByName with a missing-column AnalysisException.
+            require(snap.columns.contains("fname"),
+              s"freshness state at $stateDir/v_$v predates the file-keyed " +
+                "schema (no fname column) and cannot be migrated exactly; " +
+                "delete the state dir and re-run — the stream rebuilds it " +
+                "from the staged files")
+            snap
           case None => emptyState
         }
         // set-union merge: a replayed file re-derives the SAME

@@ -1430,7 +1430,10 @@ object Temporal {
   /** Forecast backtest by MASE (Hyndman & Koehler IJF 2006 — the scale-
     * free forecast error that made "is this model better than naive?"
     * a number): per feed, hold out the LAST 10 days, forecast each
-    * held-out day with the weekly seasonal naive ŷ_t = y_{t−7}, and
+    * held-out day with the weekly seasonal naive pinned to the
+    * TRAINING ORIGIN — ŷ_t = y at the last same-weekday at or before
+    * the cutoff (lag 7 for the first 7 test days, lag 14 for the last
+    * 3), so no held-out value ever feeds a forecast — and
     * score against the in-sample one-step naive as the denominator —
     * MASE < 1e6 micro means the seasonal model beats persistence and
     * the feed has real weekly structure worth a model; > 1e6 means
@@ -1460,7 +1463,8 @@ object Temporal {
       |      span),
       |te AS (SELECT a.event_type, CAST(COUNT(*) AS BIGINT) AS n_test,
       |         CAST(SUM(ABS(a.y - f.y)) AS BIGINT) AS sae
-      |       FROM g a JOIN g f ON f.event_type = a.event_type AND f.t = a.t - 7
+      |       FROM g a JOIN g f ON f.event_type = a.event_type
+      |         AND f.t = a.t - (CASE WHEN a.t - 7 <= a.nt - 10 THEN 7 ELSE 14 END)
       |       WHERE a.t > a.nt - 10
       |       GROUP BY 1),
       |tr AS (SELECT a.event_type, CAST(COUNT(*) AS BIGINT) AS n_train,
@@ -1482,8 +1486,10 @@ object Temporal {
     val span = daily.agg(min(col("d")).as("lo"), max(col("d")).as("hi"))
       .collect()(0)
     val (lo, hi) = (span.getLong(0), span.getLong(1))
+    // calendar-bounded day axis, but generated distributed (spark.range),
+    // not driver-materialized
     val grid = daily.select(col("event_type")).distinct()
-      .crossJoin(broadcast((lo to hi).toDF("d")))
+      .crossJoin(broadcast(s.range(lo, hi + 1).toDF("d")))
     val g = grid.join(daily, Seq("event_type", "d"), "left")
       .select(col("event_type"), (col("d") - lo + 1).as("t"),
         coalesce(col("y"), lit(0L)).as("y"), lit(hi - lo + 1).as("nt"))
@@ -1491,7 +1497,15 @@ object Temporal {
     def lagJoin(k: Int) = g.select(col("event_type"), col("t"), col("y"), col("nt"))
       .join(g.select(col("event_type"), (col("t") + k).as("t"), col("y").as("py")),
         Seq("event_type", "t"))
-    val te = lagJoin(7).filter(col("t") > col("nt") - 10)
+    // fixed-origin seasonal naive: a test day forecasts from the last
+    // same-weekday AT OR BEFORE the training cutoff (lag 7 for test days
+    // 1-7, lag 14 for 8-10) — never from inside the holdout
+    val tst = g.filter(col("t") > col("nt") - 10)
+      .withColumn("pt",
+        col("t") - when(col("t") - 7 <= col("nt") - 10, 7L).otherwise(14L))
+    val te = tst
+      .join(g.select(col("event_type").as("fet"), col("t").as("ft"), col("y").as("py")),
+        col("fet") === col("event_type") && col("ft") === col("pt"))
       .groupBy(col("event_type"))
       .agg(count(lit(1)).as("n_test"), sum(abs(col("y") - col("py"))).as("sae"))
     val tr = lagJoin(1).filter(col("t") <= col("nt") - 10)
@@ -1543,9 +1557,10 @@ object Temporal {
       |       FROM nz GROUP BY 1)
       |SELECT event_type, n_pos, n_neg, runs,
       |  ROUND(1.0 + 2.0 * n_pos * n_neg / (n_pos + n_neg), 6) AS expected_runs,
-      |  ROUND((runs - (1.0 + 2.0 * n_pos * n_neg / (n_pos + n_neg)))
+      |  CASE WHEN n_pos = 0 OR n_neg = 0 THEN NULL
+      |       ELSE ROUND((runs - (1.0 + 2.0 * n_pos * n_neg / (n_pos + n_neg)))
       |    / SQRT(2.0 * n_pos * n_neg * (2.0 * n_pos * n_neg - n_pos - n_neg)
-      |           / ((n_pos + n_neg) * (n_pos + n_neg) * (n_pos + n_neg - 1.0))), 6) AS z
+      |           / ((n_pos + n_neg) * (n_pos + n_neg) * (n_pos + n_neg - 1.0))), 6) END AS z
       |FROM st
       |ORDER BY event_type""".stripMargin) { (s, dir) =>
     import s.implicits._
@@ -1557,7 +1572,7 @@ object Temporal {
     val span = daily.agg(min(col("d")).as("lo"), max(col("d")).as("hi")).collect()(0)
     val (lo, hi) = (span.getLong(0), span.getLong(1))
     val grid = daily.select(col("event_type")).distinct()
-      .crossJoin(broadcast((lo to hi).toDF("d")))
+      .crossJoin(broadcast(s.range(lo, hi + 1).toDF("d")))
     val g = grid.join(daily, Seq("event_type", "d"), "left")
       .select(col("event_type"), col("d"), coalesce(col("y"), lit(0L)).as("y"))
     val byD = Window.partitionBy(col("event_type")).orderBy(col("d"))
@@ -1576,9 +1591,12 @@ object Temporal {
       (lit(2.0) * col("n_pos") * col("n_neg") - col("n_pos") - col("n_neg")) /
       ((col("n_pos") + col("n_neg")) * (col("n_pos") + col("n_neg")) *
         (col("n_pos") + col("n_neg") - lit(1.0)))
+    // a monotone feed (n_pos = 0 or n_neg = 0) has zero variance — the
+    // test is undefined there, so z is NULL, never NaN/Infinity
     st.select(col("event_type"), col("n_pos"), col("n_neg"), col("runs"),
         round(e, 6).as("expected_runs"),
-        round((col("runs") - e) / sqrt(v), 6).as("z"))
+        when(col("n_pos") === 0 || col("n_neg") === 0, lit(null).cast("double"))
+          .otherwise(round((col("runs") - e) / sqrt(v), 6)).as("z"))
       .orderBy(col("event_type"))
   }
 

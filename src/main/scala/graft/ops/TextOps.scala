@@ -966,6 +966,76 @@ object TextOps {
       .orderBy(col("phrase"), col("rnk"))
   }
 
+  /** Proximity (slop) search — the `"w1 w2"~k` operator that sits
+    * between q175's exact-adjacency phrases and q136's bag-of-words
+    * (Lucene's SpanNearQuery; the retrieval middle ground RAG stacks
+    * actually serve): for the corpus's own top-5 bigrams, how many
+    * documents still match when the two words may sit up to `slop`
+    * positions apart in order — plus the summed per-doc MINIMUM gap,
+    * which pins every matched document's tightest occurrence, not just
+    * the match count. Same persisted positional index as q175 (build
+    * once, both faces read it); the pair join sees only postings of
+    * the ≤10 phrase words (broadcast roles), and the per-doc pair
+    * volume is tf(w1)·tf(w2) — the documented in-document quadratic
+    * every positional engine pays, bounded by document length. The
+    * slop grid is a 3-row broadcast. */
+  val q359SlopSearch: QueryDef = sql(
+    "q359_slop_search",
+    """WITH tk AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+      |pos AS (SELECT doc_id, i AS pos, toks[i] AS word
+      |        FROM tk, LATERAL (SELECT generate_subscripts(toks, 1) AS i)),
+      |big AS (SELECT t.toks[i] || ' ' || t.toks[i + 1] AS phrase, COUNT(*) AS n
+      |        FROM tk t, LATERAL (SELECT generate_subscripts(t.toks, 1) AS i)
+      |        WHERE i <= len(t.toks) - 1
+      |        GROUP BY 1 ORDER BY n DESC, phrase LIMIT 5),
+      |ph AS (SELECT phrase, string_split(phrase, ' ')[1] AS w1,
+      |              string_split(phrase, ' ')[2] AS w2 FROM big),
+      |gp AS (SELECT ph.phrase, p1.doc_id, MIN(p2.pos - p1.pos) AS min_gap
+      |       FROM ph
+      |       JOIN pos p1 ON p1.word = ph.w1
+      |       JOIN pos p2 ON p2.doc_id = p1.doc_id AND p2.word = ph.w2
+      |                  AND p2.pos > p1.pos
+      |       GROUP BY 1, 2),
+      |sl AS (SELECT unnest([1, 3, 6]) AS slop)
+      |SELECT gp.phrase, CAST(sl.slop AS BIGINT) AS slop,
+      |  CAST(COALESCE(SUM(CASE WHEN gp.min_gap <= sl.slop THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_docs,
+      |  CAST(COALESCE(SUM(CASE WHEN gp.min_gap <= sl.slop THEN gp.min_gap ELSE 0 END), 0) AS BIGINT) AS sum_min_gap
+      |FROM gp, sl
+      |GROUP BY 1, 2
+      |ORDER BY phrase, slop""".stripMargin) { (s, dir) =>
+    val docs = Tables.fanOut(Tables.documents(s, dir))
+    val pos = positionalIndex(s, Tables.documents(s, dir))
+    val phrases = docs
+      .select(explode(expr(
+        "CASE WHEN size(split(text, ' ')) >= 2 THEN transform(sequence(0, size(split(text, ' ')) - 2), i -> concat(split(text, ' ')[i], ' ', split(text, ' ')[i + 1])) ELSE array() END")).as("phrase"))
+      .groupBy(col("phrase")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("phrase")).limit(5)
+      .select(col("phrase"),
+        split(col("phrase"), " ").getItem(0).as("w1"),
+        split(col("phrase"), " ").getItem(1).as("w2"))
+    val roles = phrases.select(col("phrase"), col("w1").as("word"), lit(1).as("role"))
+      .union(phrases.select(col("phrase"), col("w2").as("word"), lit(2).as("role")))
+    val hits = pos.join(broadcast(roles), "word")
+      .select(col("phrase"), col("role"), col("doc_id"), col("pos"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val p1 = hits.filter(col("role") === 1).select(col("phrase"), col("doc_id"), col("pos"))
+    val p2 = hits.filter(col("role") === 2)
+      .select(col("phrase"), col("doc_id"), col("pos").as("pos2"))
+    val gp = p1.join(p2, Seq("phrase", "doc_id"))
+      .filter(col("pos2") > col("pos"))
+      .groupBy(col("phrase"), col("doc_id"))
+      .agg(min(col("pos2") - col("pos")).as("min_gap"))
+    import s.implicits._
+    val slops = Seq(1L, 3L, 6L).toDF("slop")
+    gp.crossJoin(broadcast(slops))
+      .groupBy(col("phrase"), col("slop"))
+      .agg(coalesce(sum(when(col("min_gap") <= col("slop"), 1L).otherwise(0L)), lit(0L))
+          .as("n_docs"),
+        coalesce(sum(when(col("min_gap") <= col("slop"), col("min_gap")).otherwise(0L)),
+          lit(0L)).as("sum_min_gap"))
+      .orderBy(col("phrase"), col("slop"))
+  }
+
   /** Quality-signal agreement — Spearman rank correlation between two
     * independent curation signals, per language: the cheap heuristic
     * quality score (q25's ratio product) and the n-gram LM negative
@@ -2155,17 +2225,33 @@ object TextOps {
     * (HLL) for distinct and q91 for percentiles. Estimates are
     * stream-order-dependent (inherent to MG), so the contract entry is
     * rows-only; HeavyHittersSpec pins the three MG guarantees against
-    * q22's exact counts. */
+    * q22's exact counts, and the CENTRAL one rides the output as
+    * columns: per surfaced word the estimate, its exact count, and the
+    * MG slack N/k — within_bound asserts est ≤ exact ≤ est + N/k row
+    * by row, driver-visible without a hash. (The exact-count join is
+    * the audit face — 10 words semi-joined against the token stream —
+    * production serves the sketch alone.) */
   val q102HeavyHitters: QueryDef = QueryDef.rowsOnly(
     "q102_heavy_hitters") { (s, dir) =>
     val mg = udaf(graft.functions.HeavyHitters,
       org.apache.spark.sql.Encoders.STRING)
-    Tables.fanOut(Tables.documents(s, dir))
+    val words = Tables.fanOut(Tables.documents(s, dir))
       .select(explode(split(col("text"), " ")).as("word"))
+    val top = words
       .agg(mg(col("word")).as("sketch"))
       .select(explode(col("sketch")).as(Seq("word", "est_count")))
       .orderBy(col("est_count").desc, col("word"))
       .limit(10)
+    val stats = words.agg(count(lit(1)).as("n_tokens"))
+    val exact = words.join(broadcast(top.select(col("word"))), "word")
+      .groupBy(col("word")).agg(count(lit(1)).as("exact_count"))
+    top.join(exact, "word").crossJoin(broadcast(stats))
+      .select(col("word"), col("est_count"), col("exact_count"),
+        expr("n_tokens div 64").as("mg_slack"),
+        (col("est_count") <= col("exact_count") &&
+          col("exact_count") <= col("est_count") + expr("n_tokens div 64"))
+          .as("within_bound"))
+      .orderBy(col("est_count").desc, col("word"))
   }
 
   /** Quality-weighted deterministic sampling: each document survives
@@ -6139,7 +6225,7 @@ object TextOps {
     q68StratifiedSample, q72Redaction, q74Chunking, q79CurationPipeline,
     q80TrigramGenerator, q99Tfidf, q100ShardPacking, q102HeavyHitters, q136Bm25, q137RrfFusion,
     q107QualitySample, q110Contingency, q116Contamination, q117Repetition,
-    q172RetrievalMetrics, q175PhraseSearch, q181SignalAgreement, q185WordSimilarity,
+    q172RetrievalMetrics, q175PhraseSearch, q359SlopSearch, q181SignalAgreement, q185WordSimilarity,
     q186BootstrapCi, q187Rm3Expansion, q189WeakLabels, q195KAnonymity,
     q118SourceMix, q121NegativeSampling, q123CorpusBuild, q128LmPerplexity,
     q129DsirSelect, q130SequencePacking, q134UnimaxMix, q139MixSchedule,

@@ -61,6 +61,9 @@ class AnalyticsSpec extends SparkSpec {
       val (p50, p95) = exact(r.getString(0))
       assert(math.abs(r.getDouble(1) - p50) / p50 < 0.02)
       assert(math.abs(r.getDouble(2) - p95) / p95 < 0.02)
+      assert(r.getAs[Boolean]("within_bound"), "the emitted verdict column must agree")
+      assert(r.getAs[Double]("p50_exact") == p50 && r.getAs[Double]("p95_exact") == p95,
+        "the emitted exact-twin columns must equal q60")
     }
   }
 
@@ -69,6 +72,9 @@ class AnalyticsSpec extends SparkSpec {
       val approx = r.getAs[Long]("approx_users").toDouble
       val exact = r.getAs[Long]("exact_users").toDouble
       assert(math.abs(approx - exact) / exact < 0.05, s"approx=$approx exact=$exact")
+      assert(r.getAs[Boolean]("within_bound") &&
+        r.getAs[Long]("err_micro") <= r.getAs[Long]("bound_micro"),
+        "the emitted bound columns must agree with the spec's own check")
     }
   }
 

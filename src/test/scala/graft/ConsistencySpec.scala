@@ -114,7 +114,10 @@ class ConsistencySpec extends SparkSpec {
   }
 
   test("q44a structural columns equal q44's full feature output") {
-    val full = graft.ops.Multimodal.q44MultimodalFeatures.run(spark, sfDir).collect()
+    val rows = graft.ops.Multimodal.q44MultimodalFeatures.run(spark, sfDir).collect()
+    rows.foreach(r => assert(r.getAs[Boolean]("within_bound"),
+      s"doc ${r.getAs[Long]("doc_id")}: the emitted structural verdict must hold"))
+    val full = rows
       .map(r => r.getAs[Long]("doc_id") -> (r.getAs[Int]("n_bytes"), r.getAs[Float]("f_len"))).toMap
     graft.ops.Multimodal.q44aMultimodalStruct.run(spark, sfDir).collect().foreach { r =>
       assert(full(r.getAs[Long]("doc_id")) == (r.getAs[Int]("n_bytes"), r.getAs[Float]("f_len")))
@@ -192,6 +195,11 @@ class ConsistencySpec extends SparkSpec {
     exact.foreach { case (k, e) =>
       assert(math.abs(approx(k).toDouble - e) / e < 0.05,
         s"$k: approx ${approx(k)} vs exact $e")
+    }
+    Analytics.q93HllMerge.run(spark, sfDir).collect().foreach { r =>
+      assert(r.getAs[Long]("exact_users") == exact(r.getString(0)) &&
+        r.getAs[Boolean]("within_bound"),
+        s"${r.getString(0)}: emitted exact twin + verdict must agree with q09")
     }
   }
 

@@ -213,4 +213,31 @@ class GraphSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(got == Map(1L -> 1000000L, 2L -> 1000000L, 3L -> 1000000L))
   }
+
+  test("a planted 6-cycle: the 2-doubling bounded face provably misses it, the fixpoint face finds it") {
+    // a 6-cycle plus an acyclic tail — path length after two doublings
+    // is ≤ 4 < 6, so q347's bounded device reports NOTHING here (that
+    // is its documented contract), while the convergence variant must
+    // report exactly the six cycle members and no tail node
+    val sixCycle = (1L to 6L).map(i => (i, i % 6 + 1))
+    val tail = Seq((10L, 11L), (11L, 12L), (12L, 1L))
+    val edges = (sixCycle ++ tail).toDF("src", "dst")
+    // the bounded face, replayed inline (two doublings, as q347 plans)
+    var r = edges.distinct().localCheckpoint(true)
+    for (_ <- 1 to 2)
+      r = r.unionByName(
+          r.select(col("src"), col("dst").as("m"))
+            .join(r.select(col("src").as("m"), col("dst")), Seq("m"))
+            .select(col("src"), col("dst")))
+        .distinct().localCheckpoint(true)
+    assert(r.filter(col("src") === col("dst")).count() == 0,
+      "two doublings must miss a 6-cycle — that miss is what motivates the fixpoint face")
+    val found = Graph.cycleDetectFixpoint(edges).collect().map(_.getLong(0)).toSeq
+    assert(found == (1L to 6L), s"fixpoint face must name exactly the cycle members, got $found")
+  }
+
+  test("fixpoint cycle detection on an acyclic chain converges to the empty report") {
+    val chain = (1L to 20L).map(i => (i, i + 1)).toDF("src", "dst")
+    assert(Graph.cycleDetectFixpoint(chain).count() == 0)
+  }
 }

@@ -61,6 +61,10 @@ class HeavyHittersSpec extends SparkSpec {
     rows.foreach { r =>
       val w = r.getAs[String]("word")
       assert(exact.contains(w), s"'$w' not a corpus word")
+      assert(r.getAs[Long]("exact_count") == exact(w),
+        s"'$w': emitted exact twin ${r.getAs[Long]("exact_count")} vs ${exact(w)}")
+      assert(r.getAs[Boolean]("within_bound"),
+        s"'$w': the emitted MG-guarantee verdict must hold")
     }
   }
 }

@@ -605,6 +605,39 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("q253/q268/q311/q208: the order-statistic segmentation family plans no single-partition window over a data-proportional relation") {
+    // the RFM quintiles, Gini deciles, ABC cumulative revenue, and the
+    // label-noise τ/queue ranks all ride BlockRank's two-pass device:
+    // every window over a customer/part/corpus-sized relation must be
+    // partitioned (by the block key); the only permissible global-order
+    // windows range over bounded aggregate relations (the ≤targetBlocks
+    // block offsets, the 10-row decile cumsum)
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Window => LWindow}
+    val family = Seq(
+      "q253" -> Analytics.q253RfmSegments,
+      "q268" -> Analytics.q268GiniLorenz,
+      "q311" -> Analytics.q311AbcClasses,
+      "q208" -> graft.ops.Classifier.q208LabelNoise)
+    for ((tag, q) <- family) {
+      val plan = q.run(spark, sfDir).queryExecution.optimizedPlan
+      val windows = plan.collect { case w: LWindow => w }
+      val (global, parted) = windows.partition(_.partitionSpec.isEmpty)
+      assert(parted.nonEmpty, s"$tag: the per-block rank must be a partitioned window")
+      // the allowlist is explicit: a global window may order ONLY by the
+      // device's block key (offsets relation, ≤targetBlocks rows) or by
+      // the 10-value decile axis — ordering by a raw measure column
+      // (r_days, cents, abs_margin, …) is the single-partition-sort
+      // regression this test exists to catch
+      global.foreach { w =>
+        assert(w.collect { case a: Aggregate => a }.nonEmpty,
+          s"$tag: a global window may only range over a bounded aggregate relation:\n$w")
+        val ordCols = w.orderSpec.flatMap(_.child.references.map(_.name)).toSet
+        assert(ordCols.subsetOf(Set(graft.ops.BlockRank.BlkCol, "decile")),
+          s"$tag: global window orders by $ordCols — not a bounded axis:\n$w")
+      }
+    }
+  }
+
   test("q211/q213: the quality screens are one aggregate + broadcast scalars — no shuffle joins") {
     for (q <- Seq(graft.ops.TextOps.q211QualityAnova, graft.ops.TextOps.q213SourceJackknife)) {
       val df = q.run(spark, sfDir)

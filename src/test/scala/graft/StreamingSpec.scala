@@ -737,6 +737,32 @@ class StreamingSpec extends SparkSpec {
       "replaying already-folded files must leave every mark and count unchanged"))
   }
 
+  test("freshness stream: a pre-fname state snapshot is rejected cleanly, not an AnalysisException") {
+    // the round-6 state schema gained a fname column; an old snapshot's
+    // counts are un-attributed to files and CANNOT be migrated exactly —
+    // the stream must refuse the restart with the remedy in the message
+    val stateDir = Files.createTempDirectory("graft-fresh-v1state").resolve("m").toString
+    // hand-write a v_0 snapshot in the PREVIOUS schema (no fname)
+    spark.sql("SELECT 'click' AS event_type, 100L AS last_us, 5L AS n_events")
+      .write.parquet(s"$stateDir/v_0")
+    val srcDir = Files.createTempDirectory("graft-fresh-v1src")
+    val tmp = Files.createTempDirectory("graft-fresh-v1stage").toString
+    Tables.events(spark, sfDir).limit(10).coalesce(1)
+      .write.mode("overwrite").parquet(tmp)
+    val part = new java.io.File(tmp).listFiles()
+      .find(_.getName.endsWith(".parquet")).get.toPath
+    Files.copy(part, srcDir.resolve("a.parquet"), StandardCopyOption.REPLACE_EXISTING)
+    stampStaged(srcDir.resolve("a.parquet"))
+    val q = StreamingOps.freshnessStream(spark, srcDir.toString, stateDir) { (_, _) => () }
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q.awaitTermination(180000)
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ messages(x.getCause))
+    assert(messages(e).exists(_.contains("cannot be migrated exactly")),
+      s"the rejection must carry the remedy, got:\n${messages(e).mkString("\n")}")
+  }
+
   test("drift stream: accumulated bucket counts equal the batch assignment; restart never double-counts") {
     import scala.collection.concurrent.TrieMap
     val emb = Tables.embeddings(spark, sfDir).select(col("vec_id"), col("embedding"))
