@@ -2412,7 +2412,11 @@ object Analytics {
     def side(colName: String, cexpr: String): DataFrame = {
       val v = li.select(expr(cexpr).as("c"))
       val nn = v.count()
-      val rk = v.withColumn("r", row_number().over(Window.orderBy(col("c"))))
+      // corpus-sized rank via the block two-pass device (ties need no
+      // tiebreak: only the VALUE at each rank is read, and that is
+      // order-invariant among equal values)
+      val rk = BlockRank.globalRowNumberAdaptive(v, col("c"), asc = true,
+        Seq(col("c").asc), "r")
       val cuts = s.range(1, 17).select(col("id").as("bucket"),
         expr(s"(id * ${nn}L) DIV 16").as("r"))
       val bnd = broadcast(cuts).join(rk, "r").select(col("bucket"), col("c").as("hi"))
@@ -3164,8 +3168,11 @@ object Analytics {
     val rev = Tables.lineitem(s, dir)
       .groupBy(col("l_partkey"))
       .agg(sum(expr("CAST(FLOOR(l_extendedprice * 100) AS BIGINT)")).as("cents"))
-    val rk = rev.withColumn("rn", row_number().over(
-        Window.orderBy(col("cents").desc, col("l_partkey"))))
+    // the tail aggregate reads EVERY rank (rn > 10), so this is not the
+    // WindowGroupLimit top-k shape — the part-sized rank rides the
+    // block two-pass device instead of a single-partition sort
+    val rk = BlockRank.globalRowNumberAdaptive(rev, col("cents"), asc = false,
+        Seq(col("cents").desc, col("l_partkey").asc), "rn")
       .localCheckpoint(true) // part-sized; head and tail consumers
     val tot = rev.agg(sum(col("cents")).as("t"))
     val head = rk.filter(col("rn") <= 10)

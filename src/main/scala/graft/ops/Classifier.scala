@@ -818,8 +818,12 @@ object Classifier {
       .agg(count(lit(1)).as("score"),
         max(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("conv"))
       .withColumn("treat", col("user_id") % 2)
-    val d = u.withColumn("decile",
-      ntile(10).over(Window.orderBy(col("score").desc, col("user_id"))))
+    // user-sized decile via the block two-pass device (the q253 class)
+    val nU = u.agg(count(lit(1)).cast("long").as("n_u"))
+    val d = BlockRank.globalRowNumberAdaptive(
+        u.crossJoin(broadcast(nU)), col("score"), asc = false,
+        Seq(col("score").desc, col("user_id").asc), "rk")
+      .withColumn("decile", BlockRank.ntileFromRank("rk", "n_u", 10))
     val g = d.groupBy(col("decile"))
       .agg(sum(col("treat")).as("n_t"), sum(lit(1L) - col("treat")).as("n_c"),
         sum(col("treat") * col("conv")).as("conv_t"),

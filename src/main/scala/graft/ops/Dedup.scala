@@ -329,9 +329,11 @@ object Dedup {
     * deletion neighborhoods; SNM blocks by SORT ORDER, which catches
     * prefix-preserving typos equality blocking misses and costs O(n·w)
     * after one dictionary sort, never all-pairs). Survivors verify by
-    * Levenshtein ≤ 4. The window runs on the DISTINCT name relation
-    * (dictionary-sized — Heaps-sublinear in the corpus); at larger
-    * dictionaries the same window rides a range-partitioned sort. */
+    * Levenshtein ≤ 4. The dictionary rank rides [[BlockRank]]'s
+    * two-pass device with a 2-char ASCII prefix as the monotone block
+    * key (lexicographic prefixes preserve the sort order), and the
+    * w = 3 successors come from three rank equi-joins — no
+    * single-partition LEAD window at any dictionary size. */
   val q306SortedNeighborhood: QueryDef = sql(
     "q306_sorted_neighborhood",
     """WITH names AS (SELECT DISTINCT p_name FROM part),
@@ -349,14 +351,19 @@ object Dedup {
       |FROM cand
       |WHERE levenshtein(a, b) <= 4
       |ORDER BY a, b""".stripMargin) { (s, dir) =>
-    val byName = org.apache.spark.sql.expressions.Window.orderBy(col("p_name"))
-    val w = Tables.part(s, dir).select(col("p_name")).distinct()
-      .select(col("p_name").as("a"),
-        lead(col("p_name"), 1).over(byName).as("b1"),
-        lead(col("p_name"), 2).over(byName).as("b2"),
-        lead(col("p_name"), 3).over(byName).as("b3"))
-    val cand = Seq("b1", "b2", "b3").map(c =>
-        w.filter(col(c).isNotNull).select(col("a"), col(c).as("b")))
+    // lexicographic rank via the device: the 2-char ASCII prefix is a
+    // monotone coarsening of the name order (ascii('') = 0 keeps
+    // 1-char names ordered before their extensions)
+    val blk = expr(
+      "ascii(substring(p_name, 1, 1)) * 256 + ascii(substring(p_name, 2, 1))")
+    val rn = BlockRank.globalRowNumber(
+        Tables.part(s, dir).select(col("p_name")).distinct(),
+        blk, blkAsc = true, Seq(col("p_name").asc), "rn")
+      .localCheckpoint(true) // dictionary-sized; three successor joins
+    val succ = rn.select(col("p_name").as("b"), col("rn").as("rnb"))
+    val cand = (1 to 3).map(k =>
+        rn.join(succ, col("rnb") === col("rn") + k)
+          .select(col("p_name").as("a"), col("b")))
       .reduce(_ unionAll _)
     cand.withColumn("dist", levenshtein(col("a"), col("b")).cast("long"))
       .filter(col("dist") <= 4)

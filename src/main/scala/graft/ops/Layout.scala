@@ -1077,10 +1077,17 @@ object Layout {
       |  e.n_exact = COALESCE(v.n_bitmap, 0) AS index_exact
       |FROM exact e LEFT JOIN viaidx v ON v.f = e.f AND v.st = e.st
       |ORDER BY l_returnflag, l_linestatus""".stripMargin) { (s, dir) =>
-    val pos = Tables.lineitem(s, dir)
-      .select(col("l_returnflag").as("f"), col("l_linestatus").as("st"),
-        (row_number().over(Window.orderBy(col("l_orderkey"), col("l_linenumber"),
-          col("l_partkey"), col("l_suppkey"))) - 1).cast("long").as("p"))
+    // corpus-sized row positions via the block two-pass device (the
+    // bitmap build is exactly where a production indexer would
+    // single-partition-sort the whole fact table otherwise)
+    val pos = BlockRank.globalRowNumberAdaptive(
+        Tables.lineitem(s, dir)
+          .select(col("l_returnflag").as("f"), col("l_linestatus").as("st"),
+            col("l_orderkey"), col("l_linenumber"), col("l_partkey"), col("l_suppkey")),
+        col("l_orderkey"), asc = true,
+        Seq(col("l_orderkey").asc, col("l_linenumber").asc,
+          col("l_partkey").asc, col("l_suppkey").asc), "rn1")
+      .select(col("f"), col("st"), (col("rn1") - 1).as("p"))
       .localCheckpoint(true) // positioned rows; both bitmap builds + exact
     def bitmaps(c: String): DataFrame = pos
       .groupBy(col(c), expr("p DIV 32").as("w"))

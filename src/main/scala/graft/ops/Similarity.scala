@@ -2337,11 +2337,11 @@ object Similarity {
           .select(col("ia"), col("ib"), expr(d2Spark).as("d2"))
       }.reduce(_ unionAll _)
         .localCheckpoint(true) // pair-sized; median AND moment consumers
-      val med = pairs
-        .withColumn("rn", row_number().over(
-          Window.orderBy(col("d2"), col("ia"), col("ib"))))
-        .withColumn("n", count(lit(1)).over(
-          Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+      // pair-relation median via the block two-pass device (the stride
+      // pair set grows with the vector count)
+      val nP = pairs.agg(count(lit(1)).cast("long").as("n"))
+      val med = BlockRank.globalRowNumberAdaptive(pairs.crossJoin(broadcast(nP)),
+          col("d2"), asc = true, Seq(col("d2").asc, col("ia").asc, col("ib").asc), "rn")
         .filter(col("rn") === expr("(n + 1) div 2"))
         .select(col("d2").as("med_d2"))
       val agg = pairs.agg(count(lit(1)).as("n_pairs"), min(col("d2")).as("min_d2"),

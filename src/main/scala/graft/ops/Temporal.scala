@@ -1782,9 +1782,12 @@ object Temporal {
       .filter(col("raw_gap").isNotNull)
       .select(greatest(lit(1L), col("raw_gap")).as("gap_us"))
       .localCheckpoint(true) // gap-sized; exact ranks AND the histogram
-    val r = gv.withColumn("rn", row_number().over(Window.orderBy(col("gap_us"))))
-      .withColumn("n", count(lit(1)).over(
-        Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+    // gap-relation order statistics via the block two-pass device (the
+    // gap relation is corpus-proportional; ties need no tiebreak — only
+    // the VALUE at each rank is read)
+    val nG = gv.agg(count(lit(1)).cast("long").as("n"))
+    val r = BlockRank.globalRowNumberAdaptive(gv.crossJoin(broadcast(nG)),
+      col("gap_us"), asc = true, Seq(col("gap_us").asc), "rn")
     val q = Seq(("p50", 500000L), ("p90", 900000L), ("p99", 990000L)).toDF("tag", "qm")
     val exact = broadcast(q).join(r,
         col("rn") === expr("(qm * n + 999999L) DIV 1000000L"))
