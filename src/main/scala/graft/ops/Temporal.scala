@@ -1600,7 +1600,119 @@ object Temporal {
       .orderBy(col("event_type"))
   }
 
+  /** Daily revenue recognition by interval proration — the accounting
+    * rewrite every subscription/fulfillment warehouse runs (ASC 606's
+    * ratable recognition, relationally): a line's revenue spreads over
+    * its service interval, one exact cent-slice per covered day, and
+    * the day axis aggregates what was EARNED that day rather than what
+    * was booked. The interval is planted deterministically (the
+    * fixture carries no receipt date): span = 1 + (orderkey·7 +
+    * linenumber) mod 30 days from the ship day. Allocation is exact
+    * largest-remainder (the q267 discipline): base = cents DIV span
+    * per day, the first (cents mod span) days get one extra cent —
+    * so Σ(day slices) ≡ cents per line, making total recognized
+    * revenue conserve exactly (spec-pinned).
+    *
+    * Scale posture: one scan; the explode fans each row out ≤ 30× (the
+    * span bound — a constant, not data-growth); the day aggregate is
+    * calendar-bounded. No windows, no driver state. */
+  val q365RevenueProration: QueryDef = sql(
+    "q365_revenue_proration",
+    """WITH li AS (
+      |  SELECT CAST(epoch_us(date_trunc('day', l_shipdate)) // 86400000000 AS BIGINT) AS d0,
+      |    CAST(FLOOR(l_extendedprice * 100) AS BIGINT) AS cents,
+      |    1 + (l_orderkey * 7 + l_linenumber) % 30 AS span
+      |  FROM lineitem),
+      |slices AS (
+      |  SELECT li.d0 + u.i AS d,
+      |    cents // span + CASE WHEN u.i < cents % span THEN 1 ELSE 0 END AS slice
+      |  FROM li, LATERAL (SELECT UNNEST(range(0, span)) AS i) u)
+      |SELECT d, CAST(COUNT(*) AS BIGINT) AS n_slices,
+      |  CAST(SUM(slice) AS BIGINT) AS recognized_cents
+      |FROM slices
+      |GROUP BY 1
+      |ORDER BY d""".stripMargin) { (s, dir) =>
+    val li = Tables.lineitem(s, dir).select(
+      expr("unix_micros(date_trunc('day', l_shipdate)) div 86400000000L").as("d0"),
+      expr("CAST(FLOOR(l_extendedprice * 100) AS BIGINT)").as("cents"),
+      expr("1L + (l_orderkey * 7L + l_linenumber) % 30L").as("span"))
+    li.select(col("d0"), col("cents"), col("span"),
+        explode(expr("sequence(0L, span - 1)")).as("i"))
+      .select((col("d0") + col("i")).as("d"),
+        (expr("cents DIV span") +
+          when(col("i") < col("cents") % col("span"), 1L).otherwise(0L)).as("slice"))
+      .groupBy(col("d"))
+      .agg(count(lit(1)).as("n_slices"), sum(col("slice")).as("recognized_cents"))
+      .orderBy(col("d"))
+  }
+
+  /** Friedman's blocked rank ANOVA (Friedman JASA 1937) — "do the feeds
+    * differ once the day is controlled for?": within every day (the
+    * BLOCK), the k event types are ranked by volume, so a global surge
+    * that lifts every feed equally cancels out — the repeated-measures
+    * complement to q360's Kruskal–Wallis (independent groups) exactly
+    * as paired-vs-unpaired t-tests relate. The (day × type) grid takes
+    * genuine zeroes for silent cells (the q354 calendar discipline);
+    * within-day ranks tie-break on event_type (deterministic — the
+    * q360 deviation from classical mid-ranks, identical in both
+    * engines; per-day windows are k-row, never corpus-sized). Rank
+    * sums are exact BIGINTs and Σ R² over k groups stays exact, so
+    * χ²_F = 12·ΣR²/(n·k·(k+1)) − 3·n·(k+1) is ONE identical IEEE
+    * expression over exact integers — no rounding needed. */
+  val q366FriedmanTest: QueryDef = sql(
+    "q366_friedman_test",
+    """WITH daily AS (
+      |  SELECT event_type, CAST(epoch_us(date_trunc('day', ts)) // 86400000000 AS BIGINT) AS d,
+      |    CAST(COUNT(*) AS BIGINT) AS y
+      |  FROM events GROUP BY 1, 2),
+      |grid AS (SELECT et.event_type, ds.d
+      |         FROM (SELECT DISTINCT event_type FROM daily) et,
+      |              (SELECT DISTINCT d FROM daily) ds),
+      |g AS (SELECT grid.event_type, grid.d, COALESCE(daily.y, 0) AS y
+      |      FROM grid LEFT JOIN daily
+      |        ON daily.event_type = grid.event_type AND daily.d = grid.d),
+      |rk AS (SELECT event_type, d,
+      |         CAST(ROW_NUMBER() OVER (PARTITION BY d ORDER BY y, event_type) AS BIGINT) AS r
+      |       FROM g),
+      |rs AS (SELECT event_type, CAST(SUM(r) AS BIGINT) AS rank_sum,
+      |         CAST(COUNT(*) AS BIGINT) AS n_days
+      |       FROM rk GROUP BY 1),
+      |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS k, CAST(MAX(n_days) AS BIGINT) AS n,
+      |          CAST(SUM(rank_sum * rank_sum) AS BIGINT) AS s2
+      |        FROM rs)
+      |SELECT rs.event_type, rs.rank_sum, rs.n_days,
+      |  12.0 * CAST(tot.s2 AS DOUBLE)
+      |    / (CAST(tot.n AS DOUBLE) * CAST(tot.k AS DOUBLE) * (CAST(tot.k AS DOUBLE) + 1.0))
+      |    - 3.0 * CAST(tot.n AS DOUBLE) * (CAST(tot.k AS DOUBLE) + 1.0) AS chi2_f
+      |FROM rs, tot
+      |ORDER BY rs.event_type""".stripMargin) { (s, dir) =>
+    val daily = Tables.events(s, dir)
+      .groupBy(col("event_type"),
+        expr("unix_micros(date_trunc('day', ts)) div 86400000000L").as("d"))
+      .agg(count(lit(1)).as("y"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val grid = daily.select(col("event_type")).distinct()
+      .crossJoin(broadcast(daily.select(col("d")).distinct()))
+    val g = grid.join(daily, Seq("event_type", "d"), "left")
+      .select(col("event_type"), col("d"), coalesce(col("y"), lit(0L)).as("y"))
+    val rk = g.withColumn("r", row_number().over(
+      Window.partitionBy(col("d")).orderBy(col("y"), col("event_type"))).cast("long"))
+    val rs = rk.groupBy(col("event_type"))
+      .agg(sum(col("r")).as("rank_sum"), count(lit(1)).as("n_days"))
+    val tot = rs.agg(count(lit(1)).as("k"), max(col("n_days")).as("n"),
+      sum(col("rank_sum") * col("rank_sum")).as("s2"))
+    rs.crossJoin(broadcast(tot))
+      .select(col("event_type"), col("rank_sum"), col("n_days"),
+        (lit(12.0) * col("s2").cast("double")
+          / (col("n").cast("double") * col("k").cast("double")
+            * (col("k").cast("double") + lit(1.0)))
+          - lit(3.0) * col("n").cast("double") * (col("k").cast("double") + lit(1.0)))
+          .as("chi2_f"))
+      .orderBy(col("event_type"))
+  }
+
   val all: Seq[QueryDef] = Seq(
+    q365RevenueProration, q366FriedmanTest,
     q341WatermarkLateness, q346EntropyRate, q354ForecastBacktest, q356RunsTest,
     q46AsofJoin, q47Pivot, q55IntervalJoin, q63AsofNative, q81IntervalNative,
     q95Funnel, q96RetentionCohorts, q109TransitionMatrix, q192DecayScores,

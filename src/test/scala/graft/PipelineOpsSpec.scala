@@ -479,4 +479,24 @@ class PipelineOpsSpec extends SparkSpec {
     assert(got == direct,
       "the delta rule must reproduce the full join's counts, cents, and key fingerprints")
   }
+
+  test("q365: prorated revenue conserves exactly — every booked cent is recognized once") {
+    val recognized = graft.ops.Temporal.q365RevenueProration.run(spark, sfDir)
+      .agg(sum(col("recognized_cents"))).collect()(0).getLong(0)
+    val booked = Tables.lineitem(spark, sfDir)
+      .agg(sum(expr("CAST(FLOOR(l_extendedprice * 100) AS BIGINT)"))).collect()(0).getLong(0)
+    assert(recognized == booked,
+      s"largest-remainder slices must sum back to the booked cents: $recognized vs $booked")
+  }
+
+  test("q366: Friedman rank sums conserve n*k*(k+1)/2 and the statistic is non-negative") {
+    val rows = graft.ops.Temporal.q366FriedmanTest.run(spark, sfDir).collect()
+    val k = rows.length
+    val n = rows.head.getAs[Long]("n_days")
+    assert(rows.forall(_.getAs[Long]("n_days") == n), "every type covers the same day blocks")
+    val total = rows.map(_.getAs[Long]("rank_sum")).sum
+    assert(total == n * k.toLong * (k + 1) / 2,
+      s"within-day ranks 1..k must conserve: $total vs ${n * k.toLong * (k + 1) / 2}")
+    assert(rows.head.getAs[Double]("chi2_f") >= 0.0)
+  }
 }
