@@ -256,17 +256,24 @@ object ScaleSmoke {
 
     // block two-pass rank device at corpus scale: the exact global rank
     // the order-statistic segmentation family (q253/q268/q311/q208) now
-    // rides, on an nDocs×4-row skewed integer relation, NEXT TO the naive
-    // single-partition window it replaced — fingerprint-asserted equal
-    // (Σ rn·v + Σ rn·k pins the full assignment incl. tie order), both
-    // timed so the table shows the crossover the device buys at scale.
+    // rides, on an nDocs×40-row skewed integer relation, NEXT TO the
+    // naive single-partition window it replaced — fingerprint-asserted
+    // equal (Σ rn·v + Σ rn·k pins the full assignment incl. tie order),
+    // both timed. NOTE the naive window can still win at smoke sizes (a
+    // few-million-row sort fits one task comfortably); the device's
+    // case is the 10⁸–10⁹-row relation where the single task's sort
+    // spills or OOMs — what the smoke proves is equality plus the
+    // device's LINEAR cost shape, not a toy-scale win.
     {
-      val nr = nDocs * 4
+      val nr = nDocs * 40
       val rel = spark.range(nr).select(col("id").as("k"),
         expr("CAST(conv(substring(md5(CAST(id AS STRING)), 1, 12), 16, 10) % 1000000 AS BIGINT)")
           .as("v"))
+      // bit_xor, not sum: Σ rn·v would overflow 2⁶³ past ~30× and ANSI
+      // mode makes that an error, not a wrap; xor pins the same
+      // assignment (incl. tie order via rn·k) at any multiplier
       def fp(df: org.apache.spark.sql.DataFrame): (Long, Long) = {
-        val r = df.agg(sum(expr("rn * v")), sum(expr("rn * k"))).collect()(0)
+        val r = df.agg(expr("bit_xor(rn * v)"), expr("bit_xor(rn * k)")).collect()(0)
         (r.getLong(0), r.getLong(1))
       }
       val t0b = System.nanoTime()
