@@ -806,6 +806,85 @@ object StreamingOps {
       .start()
   }
 
+  /** Streaming face of q102 (heavy hitters): per arriving FILE, an
+    * exact-counts-then-compress Misra–Gries summary — top k words by
+    * count minus the (k+1)-th largest count (the COMPRESS step of
+    * mergeable summaries, Agarwal et al. PODS'12: a k-counter summary
+    * whose undercount is ≤ N_file/(k+1)) — folded into persisted state
+    * keyed PER SOURCE FILE, exactly like the freshness counts: a
+    * replayed file re-derives byte-identical (fname, word, est) rows
+    * and the set-union merge (group by (fname, word), MAX over equal
+    * est) is idempotent, so at-least-once delivery never double-counts
+    * a file. The SERVED sketch re-compresses the summed per-file
+    * estimates to k counters; total undercount is bounded by
+    * Σ_f N_f/(k+1) + N/(k+1) ≤ 2N/(k+1), so every word with true count
+    * above that bound is guaranteed present (StreamingSpec pins the
+    * guarantee against exact batch counts AND replay-idempotence).
+    * State size is files × k — manifest-sized, never vocabulary-sized.
+    * At 100 TB this is the standing "what's trending in the ingest"
+    * board: one bounded summary per arriving shard, one bounded merge
+    * to serve. */
+  def topkStream(s: SparkSession, stagedDir: String, stateDir: String, k: Int = 64)(
+      onBatch: (Long, DataFrame) => Unit): org.apache.spark.sql.streaming.StreamingQuery = {
+    val schema = "doc_id LONG, text STRING, lang STRING, source STRING, n_chars LONG"
+    val root = new java.io.File(stateDir)
+    root.mkdirs()
+    def versions: Seq[Long] = Option(root.listFiles()).getOrElse(Array.empty[java.io.File])
+      .filter(f => f.getName.startsWith("v_") && !f.getName.contains(".tmp-") &&
+        new java.io.File(f, "_SUCCESS").exists())
+      .map(_.getName.stripPrefix("v_").toLong).sorted.toSeq
+    def emptyState = s.sql("SELECT '' AS fname, '' AS word, 0L AS est WHERE false")
+    // compress exact (grp-keyed) counts to a k-counter MG summary:
+    // est = cnt - cnt_(k+1), keep positive — per group `grp`
+    def compress(counts: DataFrame, grp: Seq[String]): DataFrame = {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(grp.map(col): _*).orderBy(col("cnt").desc, col("word"))
+      counts
+        .withColumn("rk", row_number().over(w))
+        .withColumn("off", coalesce(
+          max(when(col("rk") === k + 1, col("cnt"))).over(
+            org.apache.spark.sql.expressions.Window.partitionBy(grp.map(col): _*)),
+          lit(0L)))
+        .filter(col("rk") <= k && col("cnt") > col("off"))
+        .select(grp.map(col) :+ col("word") :+ (col("cnt") - col("off")).as("est"): _*)
+    }
+    s.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(stagedDir)
+      .writeStream
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        val named = batch.withColumn("fname", input_file_name())
+        val counts = s.createDataFrame(named.rdd, named.schema)
+          .select(col("fname"), explode(split(col("text"), " ")).as("word"))
+          .groupBy(col("fname"), col("word")).agg(count(lit(1)).as("cnt"))
+        val arrived = compress(counts, Seq("fname"))
+        val vs = versions
+        val state = vs.lastOption match {
+          case Some(v) => s.read.parquet(s"$stateDir/v_$v")
+          case None => emptyState
+        }
+        // set union: a replayed file contributes identical rows
+        val merged = state.unionByName(arrived)
+          .groupBy(col("fname"), col("word")).agg(max(col("est")).as("est"))
+        val next = vs.lastOption.getOrElse(-1L) + 1L
+        val tmp = new java.io.File(root,
+          s"v_$next.tmp-${ProcessHandle.current().pid()}-${Thread.currentThread().getId}")
+        merged.write.parquet(tmp.getPath)
+        val published = new java.io.File(root, s"v_$next")
+        if (!tmp.renameTo(published))
+          org.apache.commons.io.FileUtils.deleteDirectory(tmp) // lost the race
+        // serve: sum the per-file summaries, re-compress to k counters
+        val summed = s.read.parquet(published.getPath)
+          .groupBy(col("word")).agg(sum(col("est")).as("cnt"))
+          .withColumn("tag", lit(1))
+        onBatch(id, compress(summed, Seq("tag"))
+          .select(col("word"), col("est"))
+          .orderBy(col("est").desc, col("word")))
+      }
+      .start()
+  }
+
   /** Streaming face of q307 (feed freshness): per trigger, fold the
     * arriving per-feed max event times into the persisted high-water
     * marks by MAX — the third semilattice face (Bloom BIT_OR q250, KMV

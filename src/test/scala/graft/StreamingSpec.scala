@@ -737,6 +737,49 @@ class StreamingSpec extends SparkSpec {
       "replaying already-folded files must leave every mark and count unchanged"))
   }
 
+  test("top-k stream: merged MG summaries obey the sketch guarantee; replay leaves the board unchanged") {
+    import scala.collection.concurrent.TrieMap
+    val docs = Tables.documents(spark, sfDir)
+    val stateDir = Files.createTempDirectory("graft-topk-state").resolve("m").toString
+    val srcDir = Files.createTempDirectory("graft-topk-src")
+    def stage(df: DataFrame, name: String): Unit = {
+      val tmp = Files.createTempDirectory("graft-topk-stage").toString
+      df.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(_.getName.endsWith(".parquet")).get.toPath
+      Files.copy(part, srcDir.resolve(name), StandardCopyOption.REPLACE_EXISTING)
+      stampStaged(srcDir.resolve(name))
+    }
+    def runStream(): Map[Long, Seq[(String, Long)]] = {
+      val acc = TrieMap.empty[Long, Seq[(String, Long)]]
+      val q = StreamingOps.topkStream(spark, srcDir.toString, stateDir) { (id, b) =>
+        acc(id) = b.collect().map(r => r.getString(0) -> r.getLong(1)).toSeq
+      }
+      assert(q.awaitTermination(180000), "top-k stream did not finish")
+      acc.toMap
+    }
+    stage(docs.filter(col("doc_id") % 2 === 0), "a.parquet")
+    stage(docs.filter(col("doc_id") % 2 === 1), "b.parquet")
+    val run1 = runStream()
+    val run2 = runStream() // uncheckpointed restart replays BOTH files
+    val served = run1(run1.keys.max).toMap
+    val exact = docs.select(explode(split(col("text"), " ")).as("w"))
+      .groupBy(col("w")).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val n = exact.values.sum
+    val bound = 2 * n / 65 // two compress layers, each subtracting <= N/(k+1), k=64
+    served.foreach { case (w, est) =>
+      assert(est <= exact(w), s"'$w': MG estimate $est must never exceed true ${exact(w)}")
+      assert(exact(w) <= est + bound, s"'$w': undercount beyond the 2N/(k+1) guarantee")
+    }
+    val guaranteed = exact.filter(_._2 > bound).keySet
+    assert(guaranteed.nonEmpty, "fixture must have words above the sketch bound")
+    assert((guaranteed -- served.keySet).isEmpty,
+      s"words above the bound must be on the board: missing ${guaranteed -- served.keySet}")
+    assert(run2(run2.keys.max) == run1(run1.keys.max),
+      "replaying already-summarized files must leave the served board unchanged")
+  }
+
   test("freshness stream: a pre-fname state snapshot is rejected cleanly, not an AnalysisException") {
     // the round-6 state schema gained a fname column; an old snapshot's
     // counts are un-attributed to files and CANNOT be migrated exactly —
