@@ -1352,62 +1352,123 @@ object Dedup {
     * The tight Hamming radius targets STRONG near-dups (boilerplate
     * edits); the 1-token-in-150 planted dups are minhash/Jaccard's job
     * (q31/q32) — the two detectors are complementary, not redundant. */
-  val q111SimhashWide: QueryDef = {
-    val Bits = 60
-    val PartBits = 15 // 4 parts; ≤3 differing bits leave ≥1 part identical
+  private val WideBits = 60
+  private val WidePartBits = 15 // 4 parts; ≤3 differing bits leave ≥1 part identical
+
+  /** SQL CTE chain ending in `wcand(doc_a, doc_b, hamming)`: the 60-bit
+    * SimHash near-dup pairs at Hamming ≤ 3. w-prefixed names so the
+    * chain composes with [[verifiedPairsSql]] (q367) without CTE
+    * clashes. Shared by q111 and q367. */
+  private val simhashWideSql: String = {
     def voteSql(p: Int) =
       s"2 * ((strpos('0123456789abcdef', substr(hh, ${1 + p / 4}, 1)) - 1 >> ${3 - p % 4}) & 1) - 1"
-    val sumsSql = (0 until Bits).map(p => s"SUM(${voteSql(p)}) AS s$p").mkString(",\n      ")
-    val packSql = (0 until Bits).map(p => s"CASE WHEN s$p > 0 THEN (1::BIGINT << $p) ELSE 0 END")
+    val sumsSql = (0 until WideBits).map(p => s"SUM(${voteSql(p)}) AS s$p").mkString(",\n      ")
+    val packSql = (0 until WideBits).map(p => s"CASE WHEN s$p > 0 THEN (1::BIGINT << $p) ELSE 0 END")
       .mkString(" + ")
-    val partsSql = (0 until Bits / PartBits).map(i =>
-      s"SELECT doc_id, sim, $i AS pidx, (sim >> ${i * PartBits}) & ${(1 << PartBits) - 1} AS pval FROM sig")
+    val partsSql = (0 until WideBits / WidePartBits).map(i =>
+      s"SELECT doc_id, sim, $i AS pidx, (sim >> ${i * WidePartBits}) & ${(1 << WidePartBits) - 1} AS pval FROM wsig")
       .mkString("\n  UNION ALL ")
+    s"""wh AS (SELECT doc_id, md5(word) AS hh
+       |           FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents)),
+       |wvotes AS (SELECT doc_id,
+       |      $sumsSql
+       |    FROM wh GROUP BY doc_id),
+       |wsig AS (SELECT doc_id, CAST($packSql AS BIGINT) AS sim FROM wvotes),
+       |wparts AS (
+       |  $partsSql),
+       |wcand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |                CAST(bit_count(xor(a.sim, b.sim)) AS INT) AS hamming
+       |         FROM wparts a JOIN wparts b
+       |           ON a.pidx = b.pidx AND a.pval = b.pval AND a.doc_id < b.doc_id
+       |         WHERE bit_count(xor(a.sim, b.sim)) <= 3)""".stripMargin
+  }
+
+  /** 60-bit SimHash pairs at Hamming ≤ 3 — shared by q111 and q367. */
+  private def simhashWidePairs(s: SparkSession, dir: String): DataFrame = {
+    val Bits = WideBits
+    val votes = Tables.fanOut(Tables.documents(s, dir))
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+      .select(col("doc_id"), md5(col("word")).as("hh"))
+      .select(col("doc_id") +: (0 until Bits).map { p =>
+        expr(s"2 * (shiftright(instr('0123456789abcdef', substr(hh, ${1 + p / 4}, 1)) - 1, ${3 - p % 4}) & 1) - 1")
+          .as(s"v$p")
+      }: _*)
+    val sig = votes.groupBy(col("doc_id"))
+      .agg(sum(col("v0")).as("s0"), (1 until Bits).map(p => sum(col(s"v$p")).as(s"s$p")): _*)
+      .select(col("doc_id"), expr(
+        (0 until Bits).map(p => s"IF(s$p > 0, ${1L << p}L, 0L)").mkString("CAST(", " + ", " AS BIGINT)"))
+        .as("sim"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val parts = sig.select(col("doc_id"), col("sim"),
+        explode(array((0 until Bits / WidePartBits).map { i =>
+          struct(lit(i).as("pidx"),
+            expr(s"shiftright(sim, ${i * WidePartBits}) & ${(1 << WidePartBits) - 1}").as("pval"))
+        }: _*)).as("p"))
+      .select(col("doc_id"), col("sim"), col("p.pidx").as("pidx"), col("p.pval").as("pval"))
+    val a = parts.select(col("doc_id").as("doc_a"), col("sim").as("sig_a"),
+      col("pidx"), col("pval"))
+    val b = parts.select(col("doc_id").as("doc_b"), col("sim").as("sig_b"),
+      col("pidx"), col("pval"))
+    val ham = expr("bit_count(sig_a ^ sig_b)")
+    a.join(b, Seq("pidx", "pval")).filter(col("doc_a") < col("doc_b") && ham <= 3)
+      .select(col("doc_a"), col("doc_b"), ham.cast("int").as("hamming")).distinct()
+  }
+
+  val q111SimhashWide: QueryDef =
     sql(
       "q111_simhash_wide",
-      s"""WITH h AS (SELECT doc_id, md5(word) AS hh
-         |           FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents)),
-         |votes AS (SELECT doc_id,
-         |      $sumsSql
-         |    FROM h GROUP BY doc_id),
-         |sig AS (SELECT doc_id, CAST($packSql AS BIGINT) AS sim FROM votes),
-         |parts AS (
-         |  $partsSql),
-         |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
-         |                CAST(bit_count(xor(a.sim, b.sim)) AS INT) AS hamming
-         |         FROM parts a JOIN parts b
-         |           ON a.pidx = b.pidx AND a.pval = b.pval AND a.doc_id < b.doc_id
-         |         WHERE bit_count(xor(a.sim, b.sim)) <= 3)
-         |SELECT doc_a, doc_b, hamming FROM cand
+      s"""WITH $simhashWideSql
+         |SELECT doc_a, doc_b, hamming FROM wcand
          |ORDER BY doc_a, doc_b""".stripMargin) { (s, dir) =>
-      val votes = Tables.fanOut(Tables.documents(s, dir))
-        .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
-        .select(col("doc_id"), md5(col("word")).as("hh"))
-        .select(col("doc_id") +: (0 until Bits).map { p =>
-          expr(s"2 * (shiftright(instr('0123456789abcdef', substr(hh, ${1 + p / 4}, 1)) - 1, ${3 - p % 4}) & 1) - 1")
-            .as(s"v$p")
-        }: _*)
-      val sig = votes.groupBy(col("doc_id"))
-        .agg(sum(col("v0")).as("s0"), (1 until Bits).map(p => sum(col(s"v$p")).as(s"s$p")): _*)
-        .select(col("doc_id"), expr(
-          (0 until Bits).map(p => s"IF(s$p > 0, ${1L << p}L, 0L)").mkString("CAST(", " + ", " AS BIGINT)"))
-          .as("sim"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val parts = sig.select(col("doc_id"), col("sim"),
-          explode(array((0 until Bits / PartBits).map { i =>
-            struct(lit(i).as("pidx"),
-              expr(s"shiftright(sim, ${i * PartBits}) & ${(1 << PartBits) - 1}").as("pval"))
-          }: _*)).as("p"))
-        .select(col("doc_id"), col("sim"), col("p.pidx").as("pidx"), col("p.pval").as("pval"))
-      val a = parts.select(col("doc_id").as("doc_a"), col("sim").as("sig_a"),
-        col("pidx"), col("pval"))
-      val b = parts.select(col("doc_id").as("doc_b"), col("sim").as("sig_b"),
-        col("pidx"), col("pval"))
-      val ham = expr("bit_count(sig_a ^ sig_b)")
-      a.join(b, Seq("pidx", "pval")).filter(col("doc_a") < col("doc_b") && ham <= 3)
-        .select(col("doc_a"), col("doc_b"), ham.cast("int").as("hamming")).distinct()
-        .orderBy(col("doc_a"), col("doc_b"))
+      simhashWidePairs(s, dir).orderBy(col("doc_a"), col("doc_b"))
     }
+
+  /** Capture–recapture dedup coverage — "how many near-dup pairs did we
+    * MISS?" WITHOUT ground truth (Chapman's bias-corrected
+    * Lincoln–Petersen estimator, the wildlife-census device applied to
+    * detector overlap): two independent-ish detectors — MinHash-LSH
+    * verified pairs (Jaccard > 0.7) and 60-bit SimHash at Hamming ≤ 3 —
+    * each "capture" a sample of the true duplicate-pair population;
+    * the overlap rate prices the population size N̂ =
+    * (n_a+1)(n_b+1)/(m+1) − 1, and est_missed = N̂ − |A ∪ B| is the
+    * number every dedup sign-off actually wants (q150/q339 audit
+    * against PLANTED truth; this estimates coverage when no truth
+    * exists — the production case). Exact integer arithmetic
+    * throughout; the independence caveat (correlated detectors bias N̂
+    * low) is the estimator's textbook limitation, stated not hidden.
+    * Both pair relations are the persisted banded/bucketed chains —
+    * nothing new at scale. */
+  val q367CaptureRecapture: QueryDef = sql(
+    "q367_capture_recapture",
+    s"""WITH $verifiedPairsSql,
+       |$simhashWideSql,
+       |pa AS (SELECT doc_a, doc_b FROM vp),
+       |pb AS (SELECT doc_a, doc_b FROM wcand),
+       |pm AS (SELECT doc_a, doc_b FROM pa INTERSECT SELECT doc_a, doc_b FROM pb),
+       |pu AS (SELECT doc_a, doc_b FROM pa UNION SELECT doc_a, doc_b FROM pb),
+       |c AS (SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM pa) AS n_a,
+       |             (SELECT CAST(COUNT(*) AS BIGINT) FROM pb) AS n_b,
+       |             (SELECT CAST(COUNT(*) AS BIGINT) FROM pm) AS n_both,
+       |             (SELECT CAST(COUNT(*) AS BIGINT) FROM pu) AS n_union)
+       |SELECT n_a, n_b, n_both, n_union,
+       |  CAST((n_a + 1) * (n_b + 1) // (n_both + 1) - 1 AS BIGINT) AS est_total,
+       |  CAST(GREATEST(0, (n_a + 1) * (n_b + 1) // (n_both + 1) - 1 - n_union) AS BIGINT) AS est_missed,
+       |  CAST(n_union * 1000000 // GREATEST(1, (n_a + 1) * (n_b + 1) // (n_both + 1) - 1) AS BIGINT) AS coverage_micro
+       |FROM c""".stripMargin) { (s, dir) =>
+    val pa = verifiedPairs(s, dir).select(col("doc_a"), col("doc_b"))
+      .localCheckpoint(true) // feeds the overlap join and two counts
+    val pb = simhashWidePairs(s, dir).select(col("doc_a"), col("doc_b"))
+      .localCheckpoint(true)
+    val na = pa.agg(count(lit(1)).as("n_a"))
+    val nb = pb.agg(count(lit(1)).as("n_b"))
+    val nm = pa.join(pb, Seq("doc_a", "doc_b")).agg(count(lit(1)).as("n_both"))
+    val nu = pa.unionByName(pb).distinct().agg(count(lit(1)).as("n_union"))
+    na.crossJoin(broadcast(nb)).crossJoin(broadcast(nm)).crossJoin(broadcast(nu))
+      .select(col("n_a"), col("n_b"), col("n_both"), col("n_union"),
+        expr("(n_a + 1) * (n_b + 1) DIV (n_both + 1) - 1").as("est_total"),
+        expr("GREATEST(0L, (n_a + 1) * (n_b + 1) DIV (n_both + 1) - 1 - n_union)").as("est_missed"),
+        expr("n_union * 1000000L DIV GREATEST(1L, (n_a + 1) * (n_b + 1) DIV (n_both + 1) - 1)")
+          .as("coverage_micro"))
   }
 
   /** [[signatures]] over an externally-supplied (already persisted)
@@ -2081,7 +2142,7 @@ object Dedup {
   }
 
   val all: Seq[QueryDef] = Seq(
-    q339BlockingQuality,
+    q339BlockingQuality, q367CaptureRecapture,
     q30DedupExact, q31MinhashLsh, q32NeardupVerified, q33Simhash, q34SimhashPairs,
     q78SimhashHamming, q85DedupClusters, q108IncrementalDedup, q111SimhashWide,
     q126SpanDedup, q150DedupEval, q156RougeAudit, q161SplitLeakage,
