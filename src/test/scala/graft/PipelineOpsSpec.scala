@@ -480,6 +480,51 @@ class PipelineOpsSpec extends SparkSpec {
       "the delta rule must reproduce the full join's counts, cents, and key fingerprints")
   }
 
+  test("q362: z-order touches no more files than partkey-major on tight 2-D rectangles, and zone maps never lie") {
+    val rows = Layout.q362ZorderSkipping.run(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(5)))).toMap // (layout, query) -> (files_read, rows_matched)
+    // zone maps are conservative: a query with matching rows must touch >= 1 file
+    rows.foreach { case ((l, q), (files, matched)) =>
+      if (matched > 0) assert(files >= 1, s"$l q$q: rows matched but no file read")
+    }
+    // the advisor's point, on the TIGHT square rectangles (1 and 2):
+    // interleaved bits bound BOTH coordinates per file, partkey-major
+    // bounds only one — z-order must never read more files
+    for (q <- Seq(1L, 2L); if rows.contains(("z_order", q)) && rows.contains(("partkey_major", q)))
+      assert(rows(("z_order", q))._1 <= rows(("partkey_major", q))._1,
+        s"q$q: z-order read ${rows(("z_order", q))._1} files vs partkey-major ${rows(("partkey_major", q))._1}")
+  }
+
+  test("q363: the chained estimate inherits step-1 error — never more accurate than the anchored form's input") {
+    val rows = Layout.q363JoinChainEstimate.run(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))).toMap
+    val (e1, a1c, act1, err1c, err1a) = rows(1L)
+    assert(e1 == a1c && err1c == err1a, "step 1 has nothing to inherit: chained = anchored")
+    assert(act1 > 0 && rows(2L)._3 > 0, "both chain steps must produce rows on this fixture")
+    // the compounding direction: chained step-2 is the same formula as
+    // anchored but fed the step-1 ESTIMATE instead of its truth, so the
+    // two relate exactly as their inputs do (monotone integer formula)
+    val (e2c, e2a, _, _, _) = rows(2L)
+    assert((e1 >= act1) == (e2c >= e2a) || e2c == e2a,
+      "the chained estimate must inherit the step-1 error's direction")
+  }
+
+  test("q367: capture-recapture estimate is at least the observed union and coverage is a proper fraction") {
+    val r = graft.ops.Dedup.q367CaptureRecapture.run(spark, sfDir).collect()(0)
+    val (na, nb, m, u) = (r.getAs[Long]("n_a"), r.getAs[Long]("n_b"),
+      r.getAs[Long]("n_both"), r.getAs[Long]("n_union"))
+    assert(na > 0 && nb > 0 && m > 0, "both detectors must fire and overlap on the planted near-dups")
+    assert(m <= math.min(na, nb) && u <= na + nb && u >= math.max(na, nb))
+    val est = r.getAs[Long]("est_total")
+    // Chapman's estimate can only fall below the union when the
+    // detectors overlap almost completely — then est_missed floors at 0
+    assert(r.getAs[Long]("est_missed") == math.max(0L, est - u))
+    assert(r.getAs[Long]("coverage_micro") <= 1000000L ||
+      est < u, "coverage beyond 1.0 only when overlap saturates the estimator")
+  }
+
   test("q365: prorated revenue conserves exactly — every booked cent is recognized once") {
     val recognized = graft.ops.Temporal.q365RevenueProration.run(spark, sfDir)
       .agg(sum(col("recognized_cents"))).collect()(0).getLong(0)
