@@ -70,6 +70,42 @@ object BlockRank {
       .drop(BlkCol, BlkOffsetCol)
   }
 
+  /** [[globalRowNumber]] PER GROUP — exact 1-based row number within
+    * each distinct `grpNames` tuple under (block order, then `inner`),
+    * for the alphabet-partitioned window class (`PARTITION BY lang
+    * ORDER BY …` where each partition is corpus/|alphabet| — still one
+    * task per language at 10⁹ docs): the heavy windows partition by
+    * (group, block); the only per-group ordered window runs on the
+    * groups × blocks offsets relation. That relation must stay
+    * broadcastable — true when the group alphabet is bounded (langs,
+    * flags, sources), which is this device's use case; for
+    * data-proportional groups use a plain partitioned window (each
+    * group is then small) — the two devices cover complementary
+    * regimes. `blk` must be a monotone coarsening of the leading
+    * `inner` key WITHIN every group (a `floor(value × 2²⁰)` scale-up
+    * works for bounded doubles: floor of a monotone map is monotone,
+    * and `inner` breaks intra-block ties exactly). */
+  def groupedRowNumber(
+      df: DataFrame, grpNames: Seq[String], blk: Column, blkAsc: Boolean,
+      inner: Seq[Column], out: String): DataFrame = {
+    val withBlk = df.withColumn(BlkCol, blk)
+    val blkOrd = if (blkAsc) col(BlkCol).asc else col(BlkCol).desc
+    val offsets = withBlk.groupBy(grpNames.map(col) :+ col(BlkCol): _*)
+      .agg(count(lit(1)).as(BlkCountCol))
+      .withColumn(BlkOffsetCol, coalesce(
+        sum(col(BlkCountCol)).over(
+          Window.partitionBy(grpNames.map(col): _*).orderBy(blkOrd)
+            .rowsBetween(Window.unboundedPreceding, -1)),
+        lit(0L)))
+      .select(grpNames.map(col) :+ col(BlkCol) :+ col(BlkOffsetCol): _*)
+    withBlk.join(broadcast(offsets), grpNames :+ BlkCol)
+      .withColumn(out,
+        (col(BlkOffsetCol) + row_number().over(
+          Window.partitionBy(grpNames.map(col) :+ col(BlkCol): _*)
+            .orderBy(inner: _*))).cast("long"))
+      .drop(BlkCol, BlkOffsetCol)
+  }
+
   /** Add `out` = exact running SUM of `value` under the same block-total
     * order (the q204 prefix-sum face of the device): the offsets relation
     * carries exclusive cumulative block VALUE totals instead of counts.

@@ -1094,11 +1094,18 @@ object TextOps {
           least(lit(1.0), size(col("toks")).cast("double") / 50.0)).as("quality"))
     val nll = lmPerplexity(docs, docs.filter(col("lang") === "en"))
       .select(col("doc_id"), col("avg_nll"))
-    val ranked = qual.join(nll, "doc_id")
-      .withColumn("r1", row_number().over(
-        Window.partitionBy(col("lang")).orderBy(col("quality").desc, col("doc_id"))).cast("long"))
-      .withColumn("r2", row_number().over(
-        Window.partitionBy(col("lang")).orderBy(col("avg_nll"), col("doc_id"))).cast("long"))
+    // per-language ranks via the GROUPED block device: a `PARTITION BY
+    // lang` window is still one task per language — corpus/5 rows each
+    // at this fixture's alphabet — so the heavy windows partition by
+    // (lang, block) instead; floor(value·2²⁰) is the monotone block key
+    // and the exact value + doc_id break intra-block ties
+    val joined = qual.join(nll, "doc_id")
+    val withR1 = BlockRank.groupedRowNumber(joined, Seq("lang"),
+      floor(col("quality") * 1048576).cast("long"), blkAsc = false,
+      Seq(col("quality").desc, col("doc_id").asc), "r1")
+    val ranked = BlockRank.groupedRowNumber(withR1, Seq("lang"),
+      floor(col("avg_nll") * 1048576).cast("long"), blkAsc = true,
+      Seq(col("avg_nll").asc, col("doc_id").asc), "r2")
     ranked.groupBy(col("lang"))
       .agg(count(lit(1)).as("n"),
         sum((col("r1") - col("r2")) * (col("r1") - col("r2"))).as("sum_d2"))

@@ -86,6 +86,23 @@ class BlockRankSpec extends SparkSpec {
     }
   }
 
+  test("groupedRowNumber equals the naive partitioned ROW_NUMBER, including double keys via a floor-scaled block") {
+    val df = spark.range(4000).select(col("id").as("k"),
+      concat(lit("g"), (col("id") % 5).cast("string")).as("g"),
+      // a double measure with heavy ties and sub-integer structure
+      ((col("id") * 37 % 101).cast("double") / 7.0).as("v"))
+    for (asc <- Seq(true, false)) {
+      val inner = if (asc) Seq(col("v").asc, col("k").asc) else Seq(col("v").desc, col("k").asc)
+      val got = BlockRank.groupedRowNumber(df, Seq("g"),
+        floor(col("v") * 1048576).cast("long"), asc, inner, "rn")
+      val want = df.withColumn("rn_naive", row_number().over(
+        Window.partitionBy(col("g")).orderBy(inner: _*)).cast("long"))
+      val bad = got.join(want.select(col("k"), col("rn_naive")), "k")
+        .filter(col("rn") =!= col("rn_naive")).count()
+      assert(bad == 0, s"asc=$asc: $bad grouped rank mismatches")
+    }
+  }
+
   test("empty input yields empty output (the suspects relation can be empty at some SF)") {
     val df = fixture(100).filter(col("v") > 1000)
     assert(BlockRank.globalRowNumberAdaptive(
