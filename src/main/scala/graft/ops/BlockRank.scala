@@ -35,6 +35,14 @@ import org.apache.spark.sql.functions._
   * relation stays ~10³–10⁵ rows (broadcastable) while no single block
   * collects a disproportionate share (finer width bounds any hot block;
   * both needs are monotone in width, tuned per value distribution).
+  *
+  * Cost shape: the input is read TWICE (the per-block count/sum pass,
+  * then the rank pass) — both fully parallel, column-pruned scans. The
+  * naive global window reads once but pays a single-task sort that
+  * grows with the corpus; two parallel scans vs one serial sort is the
+  * whole trade, and it inverts in the device's favor long before the
+  * single task spills. Callers ranking an already-persisted relation
+  * pay the second read from cache.
   */
 object BlockRank {
 
