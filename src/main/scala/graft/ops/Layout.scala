@@ -1819,8 +1819,74 @@ object Layout {
       .orderBy(col("step"))
   }
 
+  /** Sort-key selection by exact best-case RLE runs — the
+    * `OPTIMIZE … SORT BY` 1-D cousin of q362's z-order audit (q230
+    * picks partition/bucket columns from NDV/skew, q345 picks
+    * encodings at the CURRENT write order; this asks which LEADING
+    * sort column makes every other column most compressible). The
+    * device is an identity, not a simulation: with lead c and
+    * secondary d, the run count of d in the sorted file is EXACTLY
+    * `count(distinct (c, d))` — equal (c, d) rows are adjacent, and
+    * every group boundary starts a new run — so the advisor needs no
+    * window and no sort at all, just pair-distinct counts (best case
+    * for d; a writer that sorts by c alone does no worse on c and no
+    * better on d). Per-lead TOTAL rows make the recommendation
+    * one ORDER BY away. All exact integers; one exploded scan feeding
+    * a map-side-combined distinct at any scale. */
+  val q368SortKeyAdvisor: QueryDef = {
+    val cols = Seq(
+      "ship_day" -> ("CAST(epoch_us(date_trunc('day', l_shipdate)) // 86400000000 AS BIGINT)",
+        "unix_micros(date_trunc('day', l_shipdate)) div 86400000000L"),
+      "partkey" -> ("l_partkey", "l_partkey"),
+      "suppkey" -> ("l_suppkey", "l_suppkey"),
+      "returnflag" -> ("l_returnflag", "l_returnflag"),
+      "linestatus" -> ("l_linestatus", "l_linestatus"),
+      "quantity" -> ("CAST(l_quantity AS BIGINT)", "CAST(l_quantity AS BIGINT)"))
+    val leads = Seq("ship_day", "partkey", "returnflag")
+    val duckLegs = (for (l <- leads; (p, (pd, _)) <- cols) yield
+      s"""SELECT '$l' AS lead_col, '$p' AS payload_col, CAST(COUNT(*) AS BIGINT) AS n_runs
+         |FROM (SELECT DISTINCT ${cols.toMap.apply(l)._1} AS lv, $pd AS pv FROM lineitem)"""
+        .stripMargin).mkString("\nUNION ALL\n")
+    sql(
+      "q368_sort_key_advisor",
+      s"""WITH runs AS (
+         |$duckLegs),
+         |nr AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_rows FROM lineitem),
+         |tot AS (SELECT lead_col, 'TOTAL' AS payload_col,
+         |          CAST(SUM(n_runs) AS BIGINT) AS n_runs
+         |        FROM runs GROUP BY 1),
+         |unioned AS (SELECT * FROM runs UNION ALL SELECT * FROM tot)
+         |SELECT u.lead_col, u.payload_col, u.n_runs, nr.n_rows,
+         |  CAST(u.n_runs * 1000000
+         |    // (nr.n_rows * CASE WHEN u.payload_col = 'TOTAL' THEN ${cols.size} ELSE 1 END)
+         |    AS BIGINT) AS runs_micro
+         |FROM unioned u, nr
+         |ORDER BY lead_col, payload_col""".stripMargin) { (s, dir) =>
+      val base = Tables.lineitem(s, dir).select(
+        cols.map { case (n, (_, sp)) => expr(sp).as(n) }: _*)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val legs = for (l <- leads; (p, _) <- cols) yield
+        base.select(lit(l).as("lead_col"), lit(p).as("payload_col"),
+          col(l).cast("string").as("lv"), col(p).cast("string").as("pv"))
+      val runs = legs.reduce(_ unionAll _).distinct()
+        .groupBy(col("lead_col"), col("payload_col"))
+        .agg(count(lit(1)).as("n_runs"))
+        .localCheckpoint(true) // 18 rows; feeds the per-lead totals too
+      val tot = runs.groupBy(col("lead_col"))
+        .agg(sum(col("n_runs")).as("n_runs"))
+        .select(col("lead_col"), lit("TOTAL").as("payload_col"), col("n_runs"))
+      val nr = base.agg(count(lit(1)).as("n_rows"))
+      runs.unionByName(tot).crossJoin(broadcast(nr))
+        .select(col("lead_col"), col("payload_col"), col("n_runs"), col("n_rows"),
+          expr(s"n_runs * 1000000L DIV (n_rows * " +
+            s"CASE WHEN payload_col = 'TOTAL' THEN ${cols.size} ELSE 1 END)")
+            .as("runs_micro"))
+        .orderBy(col("lead_col"), col("payload_col"))
+    }
+  }
+
   val all: Seq[QueryDef] = Seq(
-    q362ZorderSkipping, q363JoinChainEstimate,
+    q362ZorderSkipping, q363JoinChainEstimate, q368SortKeyAdvisor,
     q328PostingsVarint, q329PartitionSkew, q336JoinEstimate, q337BloomFpr,
     q343CorrelatedZonemap, q345EncodingAdvisor, q350KmvSetAlgebra, q357HashWidthAudit,
     q112BucketedJoin, q113PartitionPruning, q114SaltedJoin, q115BloomSemiJoin,
