@@ -3496,7 +3496,81 @@ object Analytics {
       .orderBy(col("l_returnflag"))
   }
 
+  /** Coarsened Exact Matching ATT (Iacus, King & Porro, Political
+    * Analysis 2012): the effect of the BUILDING market segment on
+    * customer lifetime spend, balanced on coarsened covariates —
+    * nation × account-balance band (floor(acctbal/2000)). Strata with
+    * no treated or no control drop (that is CEM's whole move: refuse
+    * to extrapolate where no counterfactual exists); the matched ATT
+    * reweights each stratum's treated−control mean gap by its treated
+    * count. Completes the causal shelf: q293 needs a time axis, q244 a
+    * pre-period covariate, q308 a score ranking — CEM is the
+    * cross-sectional answer when all you have is categorical
+    * covariates. Exact integer device: per-stratum gaps in
+    * centi-cents via integer division (a double Σ over strata would be
+    * aggregation-order-dependent), the final weighted mean one more
+    * integer divide — overflow-safe to ~10⁹ customers × 10⁶-cent
+    * spends. Naive (unmatched) gap ships alongside: the bias CEM
+    * removed is the row's point. One grouped pass over
+    * customer⋈orders, stratum-parallel. */
+  val q375CemAtt: QueryDef = sql(
+    "q375_cem_att",
+    """WITH sp AS (
+      |  SELECT o_custkey, CAST(SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+      |  FROM orders GROUP BY 1),
+      |base AS (
+      |  SELECT c_custkey, c_nationkey AS nat,
+      |    CAST(FLOOR(c_acctbal / 2000) AS BIGINT) AS bal_bucket,
+      |    CASE WHEN c_mktsegment = 'BUILDING' THEN 1 ELSE 0 END AS treat,
+      |    COALESCE(sp.cents, 0) AS y
+      |  FROM customer LEFT JOIN sp ON sp.o_custkey = c_custkey),
+      |cell AS (
+      |  SELECT nat, bal_bucket,
+      |    CAST(SUM(treat) AS BIGINT) AS n_t, CAST(SUM(1 - treat) AS BIGINT) AS n_c,
+      |    CAST(SUM(CASE WHEN treat = 1 THEN y ELSE 0 END) AS BIGINT) AS s_t,
+      |    CAST(SUM(CASE WHEN treat = 0 THEN y ELSE 0 END) AS BIGINT) AS s_c
+      |  FROM base GROUP BY 1, 2),
+      |mt AS (
+      |  SELECT CAST(COUNT(*) AS BIGINT) AS n_strata_matched,
+      |    CAST(SUM(n_t) AS BIGINT) AS n_treated_matched,
+      |    CAST(SUM(n_t * (s_t * 100 // n_t - s_c * 100 // n_c)) AS BIGINT) AS wnum
+      |  FROM cell WHERE n_t > 0 AND n_c > 0),
+      |tt AS (
+      |  SELECT CAST(SUM(n_t) AS BIGINT) AS nt_all, CAST(SUM(n_c) AS BIGINT) AS nc_all,
+      |    CAST(SUM(s_t) AS BIGINT) AS st_all, CAST(SUM(s_c) AS BIGINT) AS sc_all
+      |  FROM cell)
+      |SELECT mt.n_strata_matched, mt.n_treated_matched, tt.nt_all AS n_treated_total,
+      |  CAST(mt.wnum // mt.n_treated_matched AS DOUBLE) / 100 AS att_cents,
+      |  CAST(st_all * 100 // nt_all - sc_all * 100 // nc_all AS DOUBLE) / 100 AS naive_cents
+      |FROM mt, tt""".stripMargin) { (s, dir) =>
+    val sp = Tables.orders(s, dir).groupBy(col("o_custkey"))
+      .agg(sum(expr("CAST(FLOOR(o_totalprice * 100) AS BIGINT)")).as("cents"))
+    val base = Tables.customer(s, dir)
+      .join(sp, col("o_custkey") === col("c_custkey"), "left")
+      .select(col("c_nationkey").as("nat"),
+        expr("CAST(FLOOR(c_acctbal / 2000) AS BIGINT)").as("bal_bucket"),
+        when(col("c_mktsegment") === "BUILDING", 1L).otherwise(0L).as("treat"),
+        coalesce(col("cents"), lit(0L)).as("y"))
+    val cell = base.groupBy(col("nat"), col("bal_bucket"))
+      .agg(sum(col("treat")).as("n_t"), sum(lit(1L) - col("treat")).as("n_c"),
+        sum(when(col("treat") === 1, col("y")).otherwise(0L)).as("s_t"),
+        sum(when(col("treat") === 0, col("y")).otherwise(0L)).as("s_c"))
+      .localCheckpoint(true) // strata-sized; feeds the matched and total aggs
+    val mt = cell.filter(col("n_t") > 0 && col("n_c") > 0)
+      .agg(count(lit(1)).as("n_strata_matched"), sum(col("n_t")).as("n_treated_matched"),
+        sum(expr("n_t * (s_t * 100L DIV n_t - s_c * 100L DIV n_c)")).as("wnum"))
+    val tt = cell.agg(sum(col("n_t")).as("nt_all"), sum(col("n_c")).as("nc_all"),
+      sum(col("s_t")).as("st_all"), sum(col("s_c")).as("sc_all"))
+    mt.crossJoin(broadcast(tt))
+      .select(col("n_strata_matched"), col("n_treated_matched"),
+        col("nt_all").as("n_treated_total"),
+        expr("CAST(wnum DIV n_treated_matched AS DOUBLE) / 100").as("att_cents"),
+        expr("CAST(st_all * 100L DIV nt_all - sc_all * 100L DIV nc_all AS DOUBLE) / 100")
+          .as("naive_cents"))
+  }
+
   val all: Seq[QueryDef] = Seq(
+    q375CemAtt,
     q360KruskalWallis,
     q332DeltaJoinMv, q344CdcCompaction,
     q227IntegrityScorecard, q231MarketShare, q235MvMaintenance, q244Cuped, q247AqpGroupby,

@@ -139,6 +139,36 @@ object BlockRank {
       .drop(BlkCol, BlkOffsetCol)
   }
 
+  /** [[globalRunningSum]] within groups (the [[groupedRowNumber]] face
+    * of the prefix-sum device): exact running SUM of `value` per group
+    * under (block order, `inner` within block) — for the
+    * few-large-groups shape where `PARTITION BY grp ORDER BY …` still
+    * funnels each data-proportional group through one task. The offsets
+    * window runs over (groups × blocks) rows only. Bit-equal to
+    * `SUM(value) OVER (PARTITION BY grp ORDER BY … ROWS UNBOUNDED
+    * PRECEDING)` for integer `value`. */
+  def groupedRunningSum(
+      df: DataFrame, grpNames: Seq[String], blk: Column, blkAsc: Boolean,
+      inner: Seq[Column], value: Column, out: String): DataFrame = {
+    val withBlk = df.withColumn(BlkCol, blk)
+    val blkOrd = if (blkAsc) col(BlkCol).asc else col(BlkCol).desc
+    val offsets = withBlk.groupBy(grpNames.map(col) :+ col(BlkCol): _*)
+      .agg(sum(value).as(BlkCountCol))
+      .withColumn(BlkOffsetCol, coalesce(
+        sum(col(BlkCountCol)).over(
+          Window.partitionBy(grpNames.map(col): _*).orderBy(blkOrd)
+            .rowsBetween(Window.unboundedPreceding, -1)),
+        lit(0L)))
+      .select(grpNames.map(col) :+ col(BlkCol) :+ col(BlkOffsetCol): _*)
+    withBlk.join(broadcast(offsets), grpNames :+ BlkCol)
+      .withColumn(out,
+        (col(BlkOffsetCol) + sum(value).over(
+          Window.partitionBy(grpNames.map(col) :+ col(BlkCol): _*)
+            .orderBy(inner: _*)
+            .rowsBetween(Window.unboundedPreceding, 0))).cast("long"))
+      .drop(BlkCol, BlkOffsetCol)
+  }
+
   /** [[globalRowNumber]] with the block width derived FROM THE DATA: a
     * 1-row (min, width) aggregate over the integer leading key sizes the
     * coarsening `(value - min) div width` to ≈ `targetBlocks` blocks

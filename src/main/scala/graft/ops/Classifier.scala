@@ -57,9 +57,20 @@ object Classifier {
     * floats. `labels` is (doc_id, y) with y ∈ {+1, -1}. Returns the
     * (dim, w) weight relation, every dim present. */
   def perceptronTrain(feats: DataFrame, labels: DataFrame, rounds: Int,
-                      dims: Int = Dims): DataFrame = {
+                      dims: Int = Dims): DataFrame =
+    perceptronTrajectory(feats, labels, rounds, dims).lastOption
+      .getOrElse(weightsDf(feats.sparkSession, Map.empty, dims))
+
+  /** The training TRAJECTORY of [[perceptronTrain]]: the (dim, w)
+    * relation after EACH round (index r-1 = weights after r rounds) —
+    * q380's data map scores the corpus under every prefix of the run.
+    * Same loop, same updates; weights stay DIMS-bounded driver maps. */
+  private[graft] def perceptronTrajectory(
+      feats: DataFrame, labels: DataFrame, rounds: Int,
+      dims: Int = Dims): Seq[DataFrame] = {
     val s = feats.sparkSession
     var w = Map.empty[Long, Long]
+    val out = Seq.newBuilder[DataFrame]
     for (_ <- 1 to rounds) {
       val mis = perceptronScore(feats, weightsDf(s, w, dims))
         .join(labels, "doc_id")
@@ -70,8 +81,9 @@ object Classifier {
         .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
       w = (w.keySet ++ upd.keySet)
         .map(d => d -> (w.getOrElse(d, 0L) + upd.getOrElse(d, 0L))).toMap
+      out += weightsDf(s, w, dims)
     }
-    weightsDf(s, w, dims)
+    out.result()
   }
 
   private def weightsDf(s: SparkSession, w: Map[Long, Long], dims: Int): DataFrame = {
@@ -972,8 +984,128 @@ object Classifier {
       .orderBy(col("fold"))
   }
 
+  /** Exact ROC-AUC of the served classifier (Hanley & McNeil 1982 via
+    * the Mann–Whitney identity: AUC = P(margin⁺ > margin⁻) + ½
+    * P(tie)) — the threshold-free ranking number that q182's deciles
+    * and q221's Brier decomposition both presuppose but neither
+    * reports. Computed WITHOUT enumerating the n⁺·n⁻ pairs: group the
+    * served margins into an exact (margin → pos-count, neg-count)
+    * histogram, prefix-sum the negative counts in margin order, and
+    * 2U = Σ_m cp(m)·(2·neg-below(m) + cn(m)) — all BIGINT, the ties
+    * term exact in half-units. AUC lands in micro-units by one integer
+    * divide (2U·10⁶ DIV 2n⁺n⁻; overflow past ~10⁹·10⁹ pos×neg pairs —
+    * at that scale the divide moves ahead of the multiply, documented
+    * not hidden); Gini = 2·AUC − 1 rides along.
+    *
+    * Scale posture: one corpus serving pass (shared persisted weights),
+    * one margin-keyed aggregate, and the prefix sum rides
+    * [[BlockRank.globalRunningSumAdaptive]] over the margin histogram —
+    * distinct margins are data-proportional, so no single-partition
+    * window here either. Final row is a one-row aggregate. */
+  val q377AucEval: QueryDef = sql(
+    "q377_auc_eval",
+    s"""WITH $trainedMarginsSql,
+       |sc AS (SELECT l.y, mf.margin FROM lab l JOIN mf USING (doc_id)),
+       |hmg AS (SELECT margin,
+       |    CAST(SUM(CASE WHEN y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS cp,
+       |    CAST(SUM(CASE WHEN y = -1 THEN 1 ELSE 0 END) AS BIGINT) AS cn
+       |  FROM sc GROUP BY 1),
+       |cum AS (SELECT margin, cp, cn,
+       |    CAST(COALESCE(SUM(cn) OVER (ORDER BY margin
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cneg
+       |  FROM hmg),
+       |u AS (SELECT CAST(SUM(cp * (2 * cneg + cn)) AS BIGINT) AS u2,
+       |    CAST(SUM(cp) AS BIGINT) AS n_pos, CAST(SUM(cn) AS BIGINT) AS n_neg
+       |  FROM cum)
+       |SELECT n_pos, n_neg, u2 AS u_times2,
+       |  CAST(u2 * 1000000 // (2 * n_pos * n_neg) AS BIGINT) AS auc_micro,
+       |  CAST(u2 * 1000000 // (n_pos * n_neg) - 1000000 AS BIGINT) AS gini_micro
+       |FROM u""".stripMargin) { (s, dir) =>
+    val hmg = servedMargins(s, dir)
+      .groupBy(col("margin"))
+      .agg(sum(when(col("y") === 1, 1L).otherwise(0L)).as("cp"),
+        sum(when(col("y") === -1, 1L).otherwise(0L)).as("cn"))
+    val cum = BlockRank.globalRunningSumAdaptive(
+      hmg, col("margin"), asc = true, Seq(col("margin")), col("cn"), out = "cnin")
+    cum.withColumn("cneg", col("cnin") - col("cn"))
+      .agg(sum(expr("cp * (2L * cneg + cn)")).as("u2"),
+        sum(col("cp")).as("n_pos"), sum(col("cn")).as("n_neg"))
+      .select(col("n_pos"), col("n_neg"), col("u2").as("u_times2"),
+        expr("u2 * 1000000L DIV (2L * n_pos * n_neg)").as("auc_micro"),
+        expr("u2 * 1000000L DIV (n_pos * n_neg) - 1000000L").as("gini_micro"))
+  }
+
+  /** Snapshot weights after rounds 1..3, persisted by the SAME corpus
+    * fingerprint discipline as [[trainedTaskWeights]] (three 33-row
+    * relations — the final one is bit-identical to the served weights;
+    * the prefixes exist only for the q380 trajectory audit). */
+  private def trainedTaskTrajectory(s: SparkSession, dir: String): Seq[DataFrame] = {
+    val (docs, feats, labels) = taskInputs(s, dir)
+    val fp = TextOps.evalSetFingerprint(docs.select(col("doc_id"),
+      concat_ws("", col("lang"), col("text")).as("text")))
+    val stateDir = s"${System.getProperty("java.io.tmpdir")}/graft_perceptron_traj_v1_$fp"
+    graft.sources.ParquetState.getOrBuild(s, stateDir, Seq("w1", "w2", "w3")) {
+      val pinned = feats.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val t = perceptronTrajectory(pinned, labels, rounds = 3)
+      pinned.unpersist()
+      t
+    }
+  }
+
+  /** Dataset cartography over the training trajectory (Swayamdipta et
+    * al., EMNLP 2020 "Dataset Cartography": map examples by the
+    * model's confidence and its variability ACROSS training
+    * checkpoints — easy-to-learn, hard-to-learn, and ambiguous regions
+    * drive different curation actions: ambiguous examples help most,
+    * consistently-hard ones are label-error suspects). Here the
+    * checkpoints are the three batch-perceptron round snapshots the
+    * repo already trains: per document, n_correct_rounds counts the
+    * rounds whose margin agrees with the label (3 = easy, 0 = hard,
+    * 1–2 = the flip region) and conf_total sums the exact integer
+    * y·margin trajectory. Reported as the (lang × n_correct_rounds)
+    * map with doc counts and summed confidence — the grid a curation
+    * review reads before deciding which stratum to relabel or
+    * downweight. Oracle reuses q127's unrolled chain: m2/m3/mf ARE
+    * the three checkpoints, so the map hashes the whole training run.
+    *
+    * Scale posture: snapshot weights persist by corpus fingerprint
+    * (33-row relations); serving is three broadcast-join scoring
+    * passes over the persisted feature relation + one grouped
+    * aggregate — no new corpus-scale machinery. */
+  val q380DataMap: QueryDef = sql(
+    "q380_data_map",
+    s"""WITH $trainedMarginsSql,
+       |rnds AS (
+       |  SELECT doc_id, margin, 1 AS r FROM m2
+       |  UNION ALL SELECT doc_id, margin, 2 FROM m3
+       |  UNION ALL SELECT doc_id, margin, 3 FROM mf),
+       |per AS (SELECT d.doc_id, d.lang,
+       |    CAST(SUM(CASE WHEN l.y * r.margin > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_correct_rounds,
+       |    CAST(SUM(l.y * r.margin) AS BIGINT) AS conf_sum
+       |  FROM rnds r JOIN lab l USING (doc_id) JOIN documents d ON d.doc_id = r.doc_id
+       |  GROUP BY 1, 2)
+       |SELECT lang, n_correct_rounds, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |  CAST(SUM(conf_sum) AS BIGINT) AS conf_total
+       |FROM per GROUP BY 1, 2
+       |ORDER BY lang, n_correct_rounds""".stripMargin) { (s, dir) =>
+    val (docs, feats0, labels) = taskInputs(s, dir)
+    val feats = feats0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val snaps = trainedTaskTrajectory(s, dir)
+    val rnds = snaps.zipWithIndex.map { case (w, i) =>
+      perceptronScore(feats, w).withColumn("r", lit(i + 1L))
+    }.reduce(_ unionByName _)
+    val per = rnds.join(labels, "doc_id")
+      .join(docs.select(col("doc_id"), col("lang")), "doc_id")
+      .groupBy(col("doc_id"), col("lang"))
+      .agg(sum(when(col("y") * col("margin") > 0, 1L).otherwise(0L)).as("n_correct_rounds"),
+        sum(col("y") * col("margin")).as("conf_sum"))
+    per.groupBy(col("lang"), col("n_correct_rounds"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("conf_sum")).as("conf_total"))
+      .orderBy(col("lang"), col("n_correct_rounds"))
+  }
+
   val all: Seq[QueryDef] = Seq(q127Perceptron, q182Calibration, q193Conformal,
     q203AnnotatorKappa, q208LabelNoise, q221BrierDecomp, q248IsotonicFit,
-    q361McnemarTest,
+    q361McnemarTest, q377AucEval, q380DataMap,
     q252ReplayEval, q288PassAtK, q308QiniUplift, q355CrossValidation)
 }

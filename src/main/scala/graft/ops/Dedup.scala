@@ -2141,7 +2141,106 @@ object Dedup {
       .orderBy(col("scheme"))
   }
 
+  /** Cluster-fragility percolation audit (the targeted-attack reading
+    * of Albert, Jeong & Barabási, Nature 2000, applied to the near-dup
+    * graph): remove the 5 highest-degree documents from the verified
+    * pair graph and re-run the clustering — if the giant dedup cluster
+    * shatters, it was held together by HUB documents (boilerplate-heavy
+    * pages that near-match everything), i.e. the transitive closure was
+    * CHAINING through hubs rather than reflecting genuine duplication —
+    * the over-merge failure q285 measures pairwise, diagnosed
+    * structurally. Reports component structure before/after: node
+    * count, components, multi-member components, giant and second
+    * component sizes. A robust clustering barely moves; a fragile one
+    * craters the giant. Exact integer counts; hub pick ties to the
+    * smaller doc_id.
+    *
+    * Scale posture: the pair graph is the LSH-verified relation
+    * (banded, never all-pairs); both phases reuse ONE checkpointed pair
+    * set; clustering is q85's machinery (driver union-find under the
+    * edge threshold, min-label/star contraction above); the top-2
+    * component cut is a TakeOrdered top-k, and the only collect is two
+    * rows (the documented bounded class). */
+  val q379Percolation: QueryDef = sql(
+    "q379_percolation",
+    s"""WITH RECURSIVE $verifiedPairsSql,
+       |pdeg AS (SELECT node, COUNT(*) AS d FROM (
+       |    SELECT doc_a AS node FROM vp UNION ALL SELECT doc_b AS node FROM vp)
+       |  GROUP BY 1),
+       |hubs AS (SELECT node FROM (
+       |    SELECT node, ROW_NUMBER() OVER (ORDER BY d DESC, node) AS rn FROM pdeg)
+       |  WHERE rn <= 5),
+       |edges AS (SELECT doc_a AS src, doc_b AS dst FROM vp
+       |          UNION ALL SELECT doc_b, doc_a FROM vp),
+       |reach AS (
+       |  SELECT doc_id AS node, doc_id AS r FROM documents
+       |  UNION
+       |  SELECT e.src, reach.r FROM edges e JOIN reach ON reach.node = e.dst),
+       |cl1 AS (SELECT node, MIN(r) AS cid FROM reach GROUP BY 1),
+       |sz1 AS (SELECT cid, CAST(COUNT(*) AS BIGINT) AS n FROM cl1 GROUP BY 1),
+       |docs2 AS (SELECT doc_id FROM documents
+       |          WHERE doc_id NOT IN (SELECT node FROM hubs)),
+       |vp2 AS (SELECT doc_a, doc_b FROM vp
+       |        WHERE doc_a NOT IN (SELECT node FROM hubs)
+       |          AND doc_b NOT IN (SELECT node FROM hubs)),
+       |edges2 AS (SELECT doc_a AS src, doc_b AS dst FROM vp2
+       |           UNION ALL SELECT doc_b, doc_a FROM vp2),
+       |reach2 AS (
+       |  SELECT doc_id AS node, doc_id AS r FROM docs2
+       |  UNION
+       |  SELECT e.src, reach2.r FROM edges2 e JOIN reach2 ON reach2.node = e.dst),
+       |cl2 AS (SELECT node, MIN(r) AS cid FROM reach2 GROUP BY 1),
+       |sz2 AS (SELECT cid, CAST(COUNT(*) AS BIGINT) AS n FROM cl2 GROUP BY 1),
+       |st AS (
+       |  SELECT 'before' AS phase,
+       |    (SELECT CAST(SUM(n) AS BIGINT) FROM sz1) AS n_nodes,
+       |    (SELECT CAST(COUNT(*) AS BIGINT) FROM sz1) AS n_components,
+       |    (SELECT CAST(COUNT(*) AS BIGINT) FROM sz1 WHERE n >= 2) AS n_multi,
+       |    (SELECT n FROM sz1 ORDER BY n DESC, cid LIMIT 1) AS giant_size,
+       |    COALESCE((SELECT n FROM sz1 ORDER BY n DESC, cid LIMIT 1 OFFSET 1), 0) AS second_size
+       |  UNION ALL
+       |  SELECT 'after',
+       |    (SELECT CAST(SUM(n) AS BIGINT) FROM sz2),
+       |    (SELECT CAST(COUNT(*) AS BIGINT) FROM sz2),
+       |    (SELECT CAST(COUNT(*) AS BIGINT) FROM sz2 WHERE n >= 2),
+       |    (SELECT n FROM sz2 ORDER BY n DESC, cid LIMIT 1),
+       |    COALESCE((SELECT n FROM sz2 ORDER BY n DESC, cid LIMIT 1 OFFSET 1), 0))
+       |SELECT phase, n_nodes, n_components, n_multi,
+       |  CAST(giant_size AS BIGINT) AS giant_size,
+       |  CAST(second_size AS BIGINT) AS second_size
+       |FROM st ORDER BY phase""".stripMargin) { (s, dir) =>
+    val docs = Tables.documents(s, dir).select(col("doc_id"))
+    val vp = verifiedPairs(s, dir).select(col("doc_a"), col("doc_b"))
+      .localCheckpoint(true) // pair-sized; degree + both phase clusterings
+    val deg = vp.select(col("doc_a").as("node"))
+      .unionAll(vp.select(col("doc_b").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("d"))
+    val hubs = deg.orderBy(col("d").desc, col("node")).limit(5)
+      .select(col("node")).localCheckpoint(true)
+    def phaseStats(phase: String, nodes: DataFrame, pairs: DataFrame): DataFrame = {
+      val sz = connectedComponents(nodes, pairs)
+        .groupBy(col("cluster_id")).agg(count(lit(1)).as("n"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val top2 = sz.orderBy(col("n").desc, col("cluster_id")).limit(2)
+        .collect().map(_.getLong(1)) // two rows — the bounded collect class
+      sz.agg(sum(col("n")).as("n_nodes"), count(lit(1)).as("n_components"),
+          sum(when(col("n") >= 2, 1L).otherwise(0L)).as("n_multi"))
+        .select(lit(phase).as("phase"), col("n_nodes"), col("n_components"),
+          col("n_multi"),
+          lit(top2.headOption.getOrElse(0L)).as("giant_size"),
+          lit(if (top2.length > 1) top2(1) else 0L).as("second_size"))
+    }
+    val before = phaseStats("before", docs, vp)
+    val after = phaseStats("after",
+      docs.join(hubs.withColumnRenamed("node", "doc_id"), Seq("doc_id"), "left_anti"),
+      vp.join(hubs.withColumnRenamed("node", "doc_a"), Seq("doc_a"), "left_anti")
+        .join(hubs.withColumnRenamed("node", "doc_b"), Seq("doc_b"), "left_anti")
+        .select(col("doc_a"), col("doc_b")))
+    before.unionByName(after).orderBy(col("phase"))
+  }
+
   val all: Seq[QueryDef] = Seq(
+    q379Percolation,
     q339BlockingQuality, q367CaptureRecapture,
     q30DedupExact, q31MinhashLsh, q32NeardupVerified, q33Simhash, q34SimhashPairs,
     q78SimhashHamming, q85DedupClusters, q108IncrementalDedup, q111SimhashWide,

@@ -876,16 +876,7 @@ object Graph {
     * anywhere reshuffles the leaderboard. */
   val q325DirectedPagerank: QueryDef = sql(
     "q325_directed_pagerank",
-    s"""WITH toks AS (
-       |  SELECT doc_id, string_split(text, ' ') AS w FROM documents WHERE lang = 'en'),
-       |adj AS (
-       |  SELECT w[i] AS wa, w[i + 1] AS wb
-       |  FROM toks, UNNEST(range(1, len(w))) AS t(i)),
-       |fil AS (
-       |  SELECT wa, wb FROM adj
-       |  WHERE regexp_full_match(wa, '[a-z]{4,}') AND regexp_full_match(wb, '[a-z]{4,}')
-       |    AND wa <> wb),
-       |e AS (SELECT DISTINCT wa AS src, wb AS dst FROM fil),
+    s"""WITH $wordEdgesSql,
        |deg AS (SELECT src, COUNT(*) AS d FROM e GROUP BY 1),
        |nodes AS (SELECT src AS part FROM e UNION SELECT dst FROM e),
        |st AS (SELECT CAST(COUNT(*) AS BIGINT) AS nv FROM nodes),
@@ -898,17 +889,7 @@ object Graph {
        |FROM r3 r LEFT JOIN deg ON deg.src = r.part
        |ORDER BY r.rank DESC, word
        |LIMIT 100""".stripMargin) { (s, dir) =>
-    val word = "^[a-z]{4,}$"
-    val adj = Tables.fanOut(Tables.documents(s, dir))
-      .filter(col("lang") === "en")
-      .withColumn("w", split(col("text"), " "))
-      .filter(size(col("w")) >= 2)
-      .select(explode(expr(
-        "transform(sequence(0, size(w) - 2), i -> named_struct('wa', w[i], 'wb', w[i + 1]))")).as("p"))
-      .select(col("p.wa").as("wa"), col("p.wb").as("wb"))
-      .filter(col("wa").rlike(word) && col("wb").rlike(word) && col("wa") =!= col("wb"))
-    val e = adj.select(col("wa").as("src"), col("wb").as("dst")).distinct()
-    pagerankDirected(e, rounds = 3)
+    pagerankDirected(wordDirectedEdges(s, dir), rounds = 3)
       .select(col("part").as("word"), col("rank"), col("out_degree"))
       .orderBy(col("rank").desc, col("word"))
       .limit(100)
@@ -1534,10 +1515,439 @@ object Graph {
       .limit(20)
   }
 
+  /** The q325/q369 DIRECTED word-adjacency edge relation: one-way
+    * bigrams of the English corpus slice, both words ≥ 4 lowercase
+    * letters. Shared so the two centrality faces rank the SAME graph. */
+  private def wordDirectedEdges(s: SparkSession, dir: String): DataFrame = {
+    val word = "^[a-z]{4,}$"
+    Tables.fanOut(Tables.documents(s, dir))
+      .filter(col("lang") === "en")
+      .withColumn("w", split(col("text"), " "))
+      .filter(size(col("w")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(0, size(w) - 2), i -> named_struct('wa', w[i], 'wb', w[i + 1]))")).as("p"))
+      .select(col("p.wa").as("wa"), col("p.wb").as("wb"))
+      .filter(col("wa").rlike(word) && col("wb").rlike(word) && col("wa") =!= col("wb"))
+      .select(col("wa").as("src"), col("wb").as("dst")).distinct()
+  }
+
+  /** Oracle CTE prefix ending in `e(src, dst)` — the SQL twin of
+    * [[wordDirectedEdges]] (kept verbatim from q325's oracle). `def`,
+    * not `val`: q325 (declared above) reads it at object init. */
+  private def wordEdgesSql =
+    """toks AS (
+      |  SELECT doc_id, string_split(text, ' ') AS w FROM documents WHERE lang = 'en'),
+      |adj AS (
+      |  SELECT w[i] AS wa, w[i + 1] AS wb
+      |  FROM toks, UNNEST(range(1, len(w))) AS t(i)),
+      |fil AS (
+      |  SELECT wa, wb FROM adj
+      |  WHERE regexp_full_match(wa, '[a-z]{4,}') AND regexp_full_match(wb, '[a-z]{4,}')
+      |    AND wa <> wb),
+      |e AS (SELECT DISTINCT wa AS src, wb AS dst FROM fil)""".stripMargin
+
+  /** Overflow-free fixed-point power-iteration normalizer, shared by the
+    * HITS half-steps: `x DIV max(1, mx DIV 10⁶)` rescales a raw score
+    * vector so its maximum lands near [[RankScale]] WITHOUT the
+    * `x * 10⁶ DIV mx` multiply — the multiply form overflows BIGINT the
+    * moment a raw score passes ~9.2·10¹² (max in-degree ~10⁷ at full
+    * crawl scale), while the divide form never widens its operands.
+    * Exact-integer and engine-order-independent either way; the divide
+    * rounding is simply part of the pinned trajectory spec. */
+  private def normSqlExpr(x: String, mx: String): String =
+    s"$x DIV GREATEST(1L, $mx DIV ${RankScale}L)"
+
+  /** HITS hubs and authorities (Kleinberg JACM 1999) over the directed
+    * word-adjacency graph — the OTHER classic link-centrality axis:
+    * PageRank scores a page by who points at it transitively; HITS
+    * splits the signal into AUTHORITIES (pointed at by good hubs) and
+    * HUBS (pointing at good authorities), the decomposition that
+    * separates "reference pages" from "directory pages" in a crawl
+    * curation pass. Two full mutual-reinforcement iterations:
+    *   a_k = Σ_in h_{k-1}   (then rescale)
+    *   h_k = Σ_out a_k      (then rescale)
+    * with h₀ = 10⁶ — so a₁ starts as pure in-degree and the second
+    * round is where hub quality first differentiates authorities. Every
+    * quantity is an exact BIGINT (sums of scaled integers, scalar max,
+    * integer divide — see [[normSqlExpr]]), so the trajectory is
+    * engine-order-independent and the oracle unrolls it verbatim.
+    *
+    * Scale posture (100 TB crawl graph): the edge relation is persisted
+    * once and, over the broadcast budget, co-partitioned on src; each
+    * half-step is one gated node-relation join into the pinned edges +
+    * one map-side-combined sum + a ONE-ROW max that rides a broadcast —
+    * the authority step joins on src and the hub step on dst, so the
+    * over-budget path pins one copy per key (two edge-sized
+    * materializations, once, not per round). Rounds are a fixed small
+    * constant. The rescale bounds every score at ~2·10⁶, so round
+    * sums stay ≤ 2·10⁶ · max-degree — no overflow at any realistic
+    * degree. */
+  def hits(edges: DataFrame, rounds: Int): DataFrame = {
+    val s = edges.sparkSession
+    val raw = edges.persist(StorageLevel.MEMORY_AND_DISK)
+    val nodes = raw.select(col("src").as("part"))
+      .unionAll(raw.select(col("dst").as("part")))
+      .distinct()
+      .localCheckpoint(true) // node-sized; seeds both score vectors
+    val nV = nodes.count()
+    val (eSrc, eDst) =
+      if (nV <= broadcastNodeBudget(s)) (raw, raw)
+      else {
+        // build the dst copy while raw is still cached: copartitionOnce
+        // unpersists raw as its last act
+        val d = raw.repartition(col("dst")).persist(StorageLevel.MEMORY_AND_DISK)
+        d.count()
+        (copartitionOnce(raw, "src"), d)
+      }
+    var hub = nodes.withColumn("h", lit(RankScale))
+    var auth = nodes.withColumn("a", lit(0L))
+    for (_ <- 1 to rounds) {
+      val aRaw = eSrc
+        .join(gateBroadcast(hub.select(col("part").as("src"), col("h")), nV), Seq("src"))
+        .groupBy(col("dst")).agg(sum(col("h")).as("a_raw"))
+      val aMax = aRaw.agg(greatest(max(col("a_raw")), lit(1L)).as("amx"))
+      auth = nodes.join(aRaw, col("part") === aRaw("dst"), "left")
+        .crossJoin(broadcast(aMax))
+        .select(col("part"),
+          expr(normSqlExpr("COALESCE(a_raw, 0L)", "amx")).as("a"))
+      val hRaw = eDst
+        .join(gateBroadcast(auth.select(col("part").as("dst"), col("a")), nV), Seq("dst"))
+        .groupBy(col("src")).agg(sum(col("a")).as("h_raw"))
+      val hMax = hRaw.agg(greatest(max(col("h_raw")), lit(1L)).as("hmx"))
+      hub = nodes.join(hRaw, col("part") === hRaw("src"), "left")
+        .crossJoin(broadcast(hMax))
+        .select(col("part"),
+          expr(normSqlExpr("COALESCE(h_raw, 0L)", "hmx")).as("h"))
+    }
+    nodes.join(auth, Seq("part")).join(hub, Seq("part"))
+  }
+
+  /** One unrolled oracle HITS round k over CTEs e/nodes/h{k-1}. */
+  private def hitsRoundSql(k: Int): String = {
+    val prev = s"h${k - 1}"
+    s"""ar$k AS (SELECT e.dst, CAST(SUM(h.h) AS BIGINT) AS a_raw
+       |  FROM $prev h JOIN e ON e.src = h.part GROUP BY 1),
+       |am$k AS (SELECT GREATEST(MAX(a_raw), 1) AS amx FROM ar$k),
+       |a$k AS (SELECT n.part,
+       |    CAST(COALESCE(ar.a_raw, 0) // GREATEST(1, am$k.amx // $RankScale) AS BIGINT) AS a
+       |  FROM nodes n LEFT JOIN ar$k ar ON ar.dst = n.part, am$k),
+       |hr$k AS (SELECT e.src, CAST(SUM(a.a) AS BIGINT) AS h_raw
+       |  FROM a$k a JOIN e ON e.dst = a.part GROUP BY 1),
+       |hm$k AS (SELECT GREATEST(MAX(h_raw), 1) AS hmx FROM hr$k),
+       |h$k AS (SELECT n.part,
+       |    CAST(COALESCE(hr.h_raw, 0) // GREATEST(1, hm$k.hmx // $RankScale) AS BIGINT) AS h
+       |  FROM nodes n LEFT JOIN hr$k hr ON hr.src = n.part, hm$k)""".stripMargin
+  }
+
+  /** Contract face of [[hits]]: 2 mutual-reinforcement rounds over the
+    * q325 directed word graph, top 100 by authority. The scores hash
+    * both rescale divisions of every round — a diverged max or floor
+    * anywhere reshuffles the leaderboard. */
+  val q369Hits: QueryDef = sql(
+    "q369_hits",
+    s"""WITH $wordEdgesSql,
+       |nodes AS (SELECT src AS part FROM e UNION SELECT dst FROM e),
+       |h0 AS (SELECT part, CAST($RankScale AS BIGINT) AS h FROM nodes),
+       |${hitsRoundSql(1)},
+       |${hitsRoundSql(2)}
+       |SELECT n.part AS word, a2.a AS authority, h2.h AS hub
+       |FROM nodes n JOIN a2 ON a2.part = n.part JOIN h2 ON h2.part = n.part
+       |ORDER BY authority DESC, word
+       |LIMIT 100""".stripMargin) { (s, dir) =>
+    hits(wordDirectedEdges(s, dir), rounds = 2)
+      .select(col("part").as("word"), col("a").as("authority"), col("h").as("hub"))
+      .orderBy(col("authority").desc, col("word"))
+      .limit(100)
+  }
+
+  /** Deterministic random-walk corpus generation (the DeepWalk/node2vec
+    * ingest stage — Perozzi et al. KDD 2014; Grover & Leskovec KDD 2016):
+    * the walk sequences that become "sentences" for a graph-embedding
+    * trainer. Production twist: the successor at each step is chosen by
+    * a HASH of (seed, node, step) mod out-degree instead of an RNG —
+    * the walk corpus is bit-reproducible across reruns, engines, and
+    * partitionings (the property an audit trail needs; a stochastic
+    * walker re-samples a different corpus every run and no oracle can
+    * pin it). Distribution-wise the mixed md5 bits are uniform over the
+    * neighbor index, so walk statistics match the uniform random walk.
+    *
+    * Plan shape: the adjacency is indexed ONCE by a src-partitioned
+    * window (parallel; the window shuffle leaves it hash-partitioned on
+    * src, which every step join then reuses), and the walk relation —
+    * seed-sized, 1/101 of nodes — takes `steps` sequential joins into
+    * it, gated broadcast under the node budget and a plain
+    * co-partitioned join above it. Nothing edge-scale ever re-shuffles.
+    * Returns (seed, step, node) for steps 0..`steps`. */
+  def walkCorpus(edges: DataFrame, steps: Int, seedMod: Int): DataFrame = {
+    val e = edges.persist(StorageLevel.MEMORY_AND_DISK)
+    val adjIdx = e
+      .withColumn("rn", expr("row_number() OVER (PARTITION BY src ORDER BY dst)"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val deg = e.groupBy(col("src")).agg(count(lit(1)).as("d"))
+    val nSeeds = deg.filter(col("src") % seedMod === 0).count()
+    val w0 = deg.filter(col("src") % seedMod === 0)
+      .select(col("src").as("seed"), col("src").as("node"))
+      .localCheckpoint(true) // seed-sized; every step extends it
+    var cur = w0
+    val frames = scala.collection.mutable.ArrayBuffer(
+      w0.withColumn("step", lit(0)))
+    for (t <- 1 to steps) {
+      val withIdx = cur
+        .join(deg, cur("node") === deg("src")).drop("src")
+        .withColumn("pick", expr(
+          s"""1 + CAST(conv(substring(md5(concat(CAST(seed AS STRING), ':',
+             |CAST(node AS STRING), ':', '$t')), 1, 15), 16, 10) AS BIGINT) % d"""
+            .stripMargin.replace("\n", " ")))
+        .select(col("seed"), col("node").as("cursrc"), col("pick"))
+      cur = adjIdx
+        .join(gateBroadcast(withIdx, nSeeds),
+          adjIdx("src") === col("cursrc") && adjIdx("rn") === col("pick"))
+        .select(col("seed"), col("dst").as("node"))
+        .localCheckpoint(true) // cut the per-step lineage growth
+      frames += cur.withColumn("step", lit(t))
+    }
+    frames.reduce(_ unionByName _)
+  }
+
+  /** One unrolled oracle walk step t over CTEs adjx/deg/w{t-1}. */
+  private def walkStepSql(t: Int): String =
+    s"""w$t AS (SELECT w.seed, a.dst AS node
+       |  FROM w${t - 1} w
+       |  JOIN deg g ON g.src = w.node
+       |  JOIN adjx a ON a.src = w.node
+       |   AND a.rn = 1 + CAST(('0x' || substr(md5(CAST(w.seed AS VARCHAR) || ':' ||
+       |         CAST(w.node AS VARCHAR) || ':$t'), 1, 15)) AS BIGINT) % g.d)""".stripMargin
+
+  /** Contract face of [[walkCorpus]]: 4-step walks from every 101st
+    * part over the co-purchase graph. The node sequence hashes every
+    * step's md5-mod-degree pick against the windowed adjacency index —
+    * a diverged neighbor ordering or hash anywhere derails the walk. */
+  val q370WalkCorpus: QueryDef = sql(
+    "q370_walk_corpus",
+    s"""WITH e AS (
+       |  SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+       |  FROM lineitem a JOIN lineitem b
+       |    ON b.l_orderkey = a.l_orderkey AND b.l_partkey <> a.l_partkey),
+       |adjx AS (SELECT src, dst,
+       |    ROW_NUMBER() OVER (PARTITION BY src ORDER BY dst) AS rn FROM e),
+       |deg AS (SELECT src, COUNT(*) AS d FROM e GROUP BY 1),
+       |w0 AS (SELECT src AS seed, src AS node FROM deg WHERE src % 101 = 0),
+       |${walkStepSql(1)},
+       |${walkStepSql(2)},
+       |${walkStepSql(3)},
+       |${walkStepSql(4)}
+       |SELECT seed, 0 AS step, node FROM w0
+       |UNION ALL SELECT seed, 1, node FROM w1
+       |UNION ALL SELECT seed, 2, node FROM w2
+       |UNION ALL SELECT seed, 3, node FROM w3
+       |UNION ALL SELECT seed, 4, node FROM w4
+       |ORDER BY seed, step""".stripMargin) { (s, dir) =>
+    walkCorpus(copurchaseEdges(s, dir), steps = 4, seedMod = 101)
+      .orderBy(col("seed"), col("step"))
+  }
+
+  /** Newman modularity audit of the q153 label-propagation communities
+    * (Newman & Girvan PRE 2004): Q_c = within_c/E − (d_c/E)² per
+    * community over the symmetric co-purchase edge list (E counts
+    * directed edges = 2m, so both terms are the standard fractions).
+    * This is the ACCEPTANCE TEST for the clustering q153 ships — LPA
+    * can degenerate into one giant community or shatter into
+    * singletons, and downstream consumers (domain mixtures, q141 caps)
+    * deserve a number that says whether the partition beats the
+    * degree-random baseline before they trust it. Micro-unit integer
+    * spec: within·10⁶ DIV E and (d_c·10⁶ DIV E)² DIV 10⁶ — exact,
+    * engine-order-independent, and overflow-safe to E ≈ 9·10¹²
+    * directed edges (the d_c·10⁶ term; past that the scale constant
+    * drops a decade, documented not hidden).
+    *
+    * Plan shape: labels are node-sized and join the pinned edges twice
+    * (gated broadcast / co-partition, the walker discipline); the rest
+    * is label-keyed aggregates + a one-row edge count on a broadcast.
+    * Top 20 communities by size. */
+  val q373Modularity: QueryDef = sql(
+    "q373_modularity",
+    s"""WITH e AS (
+       |  SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+       |  FROM lineitem a JOIN lineitem b
+       |    ON b.l_orderkey = a.l_orderkey AND b.l_partkey <> a.l_partkey),
+       |l0 AS (SELECT DISTINCT src AS node, src AS label FROM e),
+       |${lpaRoundSql(1)},
+       |${lpaRoundSql(2)},
+       |${lpaRoundSql(3)},
+       |lab AS (SELECT node, label FROM l3),
+       |wi AS (SELECT a.label AS community, CAST(COUNT(*) AS BIGINT) AS within_edges
+       |       FROM e JOIN lab a ON a.node = e.src
+       |              JOIN lab b ON b.node = e.dst AND b.label = a.label
+       |       GROUP BY 1),
+       |deg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS d FROM e GROUP BY 1),
+       |dc AS (SELECT l.label AS community, CAST(SUM(deg.d) AS BIGINT) AS degree_sum,
+       |              CAST(COUNT(*) AS BIGINT) AS n_members
+       |       FROM deg JOIN lab l ON l.node = deg.src GROUP BY 1),
+       |te AS (SELECT CAST(COUNT(*) AS BIGINT) AS ec FROM e)
+       |SELECT dc.community, dc.n_members,
+       |  CAST(COALESCE(wi.within_edges, 0) AS BIGINT) AS within_edges, dc.degree_sum,
+       |  CAST(COALESCE(wi.within_edges, 0) * 1000000 // te.ec
+       |    - (dc.degree_sum * 1000000 // te.ec) * (dc.degree_sum * 1000000 // te.ec) // 1000000
+       |    AS BIGINT) AS q_micro
+       |FROM dc LEFT JOIN wi ON wi.community = dc.community, te
+       |ORDER BY dc.n_members DESC, dc.community
+       |LIMIT 20""".stripMargin) { (s, dir) =>
+    val e = copurchaseEdges(s, dir).persist(StorageLevel.MEMORY_AND_DISK)
+    modularityOf(e, labelPropagation(e, rounds = 3))
+      .orderBy(col("n_members").desc, col("community"))
+      .limit(20)
+  }
+
+  /** Per-community modularity terms of a (node, label) partition over a
+    * symmetric (src, dst) edge relation — the q373 core, factored for
+    * the hand-computed spec. Returns (community, n_members,
+    * within_edges, degree_sum, q_micro), unordered. */
+  private[graft] def modularityOf(e: DataFrame, labels: DataFrame): DataFrame = {
+    val lab = labels.localCheckpoint(true) // node-sized; joins edges twice + degree once
+    val nL = lab.count()
+    val wi = e
+      .join(gateBroadcast(lab.select(col("node").as("src"), col("label").as("la")), nL), Seq("src"))
+      .join(gateBroadcast(lab.select(col("node").as("dst"), col("label").as("lb")), nL), Seq("dst"))
+      .filter(col("la") === col("lb"))
+      .groupBy(col("la").as("community")).agg(count(lit(1)).as("within_edges"))
+    val deg = e.groupBy(col("src")).agg(count(lit(1)).as("d"))
+    val dc = deg
+      .join(gateBroadcast(lab.select(col("node").as("src"), col("label")), nL), Seq("src"))
+      .groupBy(col("label").as("community"))
+      .agg(sum(col("d")).as("degree_sum"), count(lit(1)).as("n_members"))
+    val te = e.agg(count(lit(1)).as("ec"))
+    dc.join(wi, Seq("community"), "left").crossJoin(broadcast(te))
+      .select(col("community"), col("n_members"),
+        coalesce(col("within_edges"), lit(0L)).as("within_edges"), col("degree_sum"),
+        expr("""COALESCE(within_edges, 0L) * 1000000L DIV ec
+               |  - (degree_sum * 1000000L DIV ec) * (degree_sum * 1000000L DIV ec) DIV 1000000L"""
+          .stripMargin).as("q_micro"))
+  }
+
+  /** Sampled-seed betweenness centrality (Brandes, J. Math. Sociol.
+    * 2001; the k-seed sampling of Brandes & Pich 2007) over the
+    * co-purchase graph, truncated at 3 hops: forward BFS per seed
+    * accumulates exact shortest-path COUNTS σ level by level (a node's
+    * σ is the sum over its shortest-path predecessors — level k → k+1
+    * edges only, which IS the Brandes DAG), then the dependency
+    * accumulation walks back δ(v) = Σ_w (σ_v/σ_w)(1 + δ(w)) in
+    * micro-units: σ_v·(10⁶ + δ_w) DIV σ_w per DAG edge, summed as
+    * exact BIGINTs. The bridge-node complement of the q340 axis:
+    * harmonic says who is CLOSE to everything, betweenness says who
+    * sits ON the paths — the node whose removal severs co-purchase
+    * routes. Same honesty note as q340: 10 seeds, depth 3 — a SAMPLE
+    * of the exact statistic (all-pairs Brandes is O(V·E) and web-scale
+    * runs always sample seeds); deeper dependencies are dropped, not
+    * approximated. σ·(10⁶+δ) stays in BIGINT to ~10¹²-path fan-outs;
+    * the denser regime wants the scale constant dropped a decade
+    * (documented, as in q352's mixer guard).
+    *
+    * Plan shape: per-level frontier joins against the pinned edges
+    * (gated broadcast / co-partition — the walker discipline), state
+    * |seeds|×reach, never all-nodes; the backward pass is two more
+    * gated joins. Every aggregate is map-side combinable. */
+  val q378Betweenness: QueryDef = sql(
+    "q378_betweenness",
+    s"""WITH e AS (
+       |  SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+       |  FROM lineitem a JOIN lineitem b
+       |    ON b.l_orderkey = a.l_orderkey AND b.l_partkey <> a.l_partkey),
+       |deg AS (SELECT src, COUNT(*) AS d FROM e GROUP BY 1),
+       |seeds AS (SELECT src AS seed FROM deg ORDER BY src LIMIT 10),
+       |b0 AS (SELECT seed, seed AS node, CAST(1 AS BIGINT) AS sig FROM seeds),
+       |b1 AS MATERIALIZED (
+       |  SELECT p.seed, e.dst AS node, CAST(SUM(p.sig) AS BIGINT) AS sig
+       |  FROM b0 p JOIN e ON e.src = p.node
+       |  WHERE e.dst <> p.seed
+       |  GROUP BY 1, 2),
+       |b2 AS MATERIALIZED (
+       |  SELECT c.seed, c.node, CAST(SUM(c.sig) AS BIGINT) AS sig FROM (
+       |      SELECT p.seed, e.dst AS node, p.sig
+       |      FROM b1 p JOIN e ON e.src = p.node) c
+       |  WHERE NOT EXISTS (SELECT 1 FROM b0 x WHERE x.seed = c.seed AND x.node = c.node)
+       |    AND NOT EXISTS (SELECT 1 FROM b1 x WHERE x.seed = c.seed AND x.node = c.node)
+       |  GROUP BY 1, 2),
+       |b3 AS MATERIALIZED (
+       |  SELECT c.seed, c.node, CAST(SUM(c.sig) AS BIGINT) AS sig FROM (
+       |      SELECT p.seed, e.dst AS node, p.sig
+       |      FROM b2 p JOIN e ON e.src = p.node) c
+       |  WHERE NOT EXISTS (SELECT 1 FROM b0 x WHERE x.seed = c.seed AND x.node = c.node)
+       |    AND NOT EXISTS (SELECT 1 FROM b1 x WHERE x.seed = c.seed AND x.node = c.node)
+       |    AND NOT EXISTS (SELECT 1 FROM b2 x WHERE x.seed = c.seed AND x.node = c.node)
+       |  GROUP BY 1, 2),
+       |d2 AS MATERIALIZED (
+       |  SELECT v.seed, v.node, CAST(SUM(v.sig * 1000000 // w.sig) AS BIGINT) AS delta
+       |  FROM b2 v JOIN e ON e.src = v.node
+       |  JOIN b3 w ON w.seed = v.seed AND w.node = e.dst
+       |  GROUP BY 1, 2),
+       |d1 AS (
+       |  SELECT v.seed, v.node,
+       |    CAST(SUM(v.sig * (1000000 + COALESCE(d.delta, 0)) // w.sig) AS BIGINT) AS delta
+       |  FROM b1 v JOIN e ON e.src = v.node
+       |  JOIN b2 w ON w.seed = v.seed AND w.node = e.dst
+       |  LEFT JOIN d2 d ON d.seed = w.seed AND d.node = w.node
+       |  GROUP BY 1, 2),
+       |al AS (SELECT seed, node, delta FROM d1
+       |       UNION ALL SELECT seed, node, delta FROM d2)
+       |SELECT node, CAST(SUM(delta) AS BIGINT) AS betweenness_micro,
+       |  CAST(COUNT(*) AS BIGINT) AS n_contribs
+       |FROM al GROUP BY 1
+       |ORDER BY betweenness_micro DESC, node
+       |LIMIT 50""".stripMargin) { (s, dir) =>
+    val edges = copurchaseEdges(s, dir).persist(StorageLevel.MEMORY_AND_DISK)
+    val seeds = edges.groupBy(col("src")).agg(count(lit(1)).as("d"))
+      .orderBy(col("src")).limit(10).select(col("src").as("seed"))
+    betweennessSampled(edges, seeds)
+      .orderBy(col("betweenness_micro").desc, col("node"))
+      .limit(50)
+  }
+
+  /** The q378 core — depth-3 truncated Brandes over the given seed set,
+    * factored for the hand-computed spec. Returns (node,
+    * betweenness_micro, n_contribs), unordered. */
+  private[graft] def betweennessSampled(edges: DataFrame, seeds: DataFrame): DataFrame = {
+    val b0 = seeds.select(col("seed"), col("seed").as("node"), lit(1L).as("sig"))
+      .localCheckpoint(true)
+    def levelUp(prev: DataFrame, excl: Seq[DataFrame]): DataFrame = {
+      val pr = prev.count()
+      val cand = edges
+        .join(gateBroadcast(
+          prev.select(col("seed"), col("node").as("src"), col("sig")), pr), Seq("src"))
+        .select(col("seed"), col("dst").as("node"), col("sig"))
+        .groupBy(col("seed"), col("node")).agg(sum(col("sig")).as("sig"))
+      excl.foldLeft(cand) { (df, x) =>
+        df.join(x.select(col("seed"), col("node")), Seq("seed", "node"), "left_anti")
+      }.localCheckpoint(true)
+    }
+    val b1 = levelUp(b0, Seq(b0))
+    val b2 = levelUp(b1, Seq(b0, b1))
+    val b3 = levelUp(b2, Seq(b0, b1, b2))
+    def deltaDown(lower: DataFrame, upper: DataFrame, upperDelta: DataFrame): DataFrame = {
+      val lr = lower.count()
+      val up = upper.join(upperDelta, Seq("seed", "node"), "left")
+        .select(col("seed"), col("node"), col("sig").as("wsig"),
+          coalesce(col("delta"), lit(0L)).as("wd"))
+      edges
+        .join(gateBroadcast(lower.select(col("seed"), col("node").as("src"),
+          col("node").as("vnode"), col("sig").as("vsig")), lr), Seq("src"))
+        .select(col("seed"), col("vnode"), col("vsig"), col("dst").as("node"))
+        .join(up, Seq("seed", "node"))
+        .select(col("seed"), col("vnode").as("node"),
+          expr("vsig * (1000000L + wd) DIV wsig").as("term"))
+        .groupBy(col("seed"), col("node")).agg(sum(col("term")).as("delta"))
+        .localCheckpoint(true)
+    }
+    val d2 = deltaDown(b2, b3, b3.select(col("seed"), col("node"), lit(0L).as("delta")))
+    val d1 = deltaDown(b1, b2, d2)
+    d1.unionAll(d2).groupBy(col("node"))
+      .agg(sum(col("delta")).as("betweenness_micro"), count(lit(1)).as("n_contribs"))
+  }
+
   val all: Seq[QueryDef] = Seq(q143Pagerank, q153LabelProp, q173BradleyTerry,
     q188PersonalizedPagerank, q243Triangles, q263BfsHops, q274LocalBridges,
     q279Textrank, q281Assortativity, q282KCore, q302WalkerConvergence,
     q312HierarchyRollup, q325DirectedPagerank, q340HarmonicCentrality,
     q347CycleDetection, q349LinkPrediction, q358CycleFixpoint,
-    q364StronglyConnected)
+    q364StronglyConnected, q369Hits, q370WalkCorpus, q373Modularity,
+    q378Betweenness)
 }

@@ -854,7 +854,67 @@ object Multimodal {
       .orderBy(col("doc_id"))
   }
 
+  /** Aspect-ratio bucketed batch packing — the vision-training ingest
+    * step (SDXL's bucketing, Podell et al. 2023 §2.3: batches must be
+    * shape-homogeneous, so images go to the nearest aspect bucket and
+    * batches fill a pixel budget per bucket): every image joins its
+    * nearest milli-ratio bucket from a fixed 5-ratio grid (|aspect −
+    * bucket| with ties to the narrower bucket), then each bucket packs
+    * doc_id-ordered images into ~2²¹-pixel batches by the q100
+    * start-offset rule (batch = exclusive-prefix-pixels DIV budget).
+    * Exact integers end to end: aspect in milli-units by integer
+    * divide, prefix sums of integer pixel counts.
+    *
+    * Plan shape: the grid is a 5-row broadcast; the nearest-bucket pick
+    * is a map-side min(struct) aggregate (no window); the per-bucket
+    * prefix sum is [[BlockRank.groupedRunningSum]] — 5 buckets ×
+    * data-proportional membership is EXACTLY the few-large-groups shape
+    * where `PARTITION BY bucket ORDER BY doc_id` would funnel each
+    * bucket through one task, so the grouped device (per-(bucket,
+    * doc-block) partials + a (buckets×blocks)-row offset window) does
+    * the global ordering work. Output is batch-granular. */
+  val q376AspectBatching: QueryDef = sql(
+    "q376_aspect_batching",
+    """WITH img AS (SELECT doc_id, 64 + n_chars % 512 AS width,
+      |    64 + (doc_id * 31) % 512 AS height FROM documents),
+      |asp AS (SELECT doc_id, width * height AS pix,
+      |    width * 1000 // height AS am FROM img),
+      |grid(bm) AS (VALUES (500), (750), (1000), (1333), (2000)),
+      |pick AS (SELECT doc_id, pix, bm AS bucket_milli FROM (
+      |    SELECT a.doc_id, a.pix, g.bm,
+      |      ROW_NUMBER() OVER (PARTITION BY a.doc_id
+      |        ORDER BY ABS(a.am - g.bm), g.bm) AS rn
+      |    FROM asp a CROSS JOIN grid g) WHERE rn = 1),
+      |cum AS (SELECT bucket_milli, doc_id, pix,
+      |    CAST(COALESCE(SUM(pix) OVER (PARTITION BY bucket_milli ORDER BY doc_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS off
+      |  FROM pick)
+      |SELECT CAST(bucket_milli AS BIGINT) AS bucket_milli,
+      |  CAST(off // 2097152 AS BIGINT) AS batch_id,
+      |  CAST(COUNT(*) AS BIGINT) AS n_images, CAST(SUM(pix) AS BIGINT) AS sum_pixels
+      |FROM cum GROUP BY 1, 2
+      |ORDER BY 1, 2""".stripMargin) { (s, dir) =>
+    val asp = mediaTable(s, dir)
+      .select(col("doc_id"), (col("width") * col("height")).as("pix"),
+        expr("width * 1000L DIV height").as("am"))
+    val grid = broadcast(s.range(1).select(
+      explode(array(Seq(500L, 750L, 1000L, 1333L, 2000L).map(lit): _*)).as("bm")))
+    val pick = asp.crossJoin(grid)
+      .groupBy(col("doc_id"), col("pix"))
+      .agg(min(struct(abs(col("am") - col("bm")).as("d"), col("bm"))).as("w"))
+      .select(col("doc_id"), col("pix"), col("w.bm").as("bucket_milli"))
+    val cum = BlockRank.groupedRunningSum(
+      pick, Seq("bucket_milli"), expr("doc_id DIV 4096"), blkAsc = true,
+      Seq(col("doc_id")), col("pix"), out = "cumpix")
+    cum.select(col("bucket_milli"), col("pix"),
+        expr("(cumpix - pix) DIV 2097152").as("batch_id"))
+      .groupBy(col("bucket_milli"), col("batch_id"))
+      .agg(count(lit(1)).as("n_images"), sum(col("pix")).as("sum_pixels"))
+      .orderBy(col("bucket_milli"), col("batch_id"))
+  }
+
   val all: Seq[QueryDef] = Seq(
+    q376AspectBatching,
     q43MultimodalMeta, q44MultimodalFeatures, q44aMultimodalStruct, q53MultimodalFrames,
     q124AudioWindows, q148PhashDedup, q222AudioFingerprint,
     q330SceneSegments, q331VadSegments)

@@ -2356,7 +2356,87 @@ object Similarity {
     }
   }
 
+  /** Scalar-quantization recall audit: recall@10 of the q61 8-bit
+    * (min/scale dequantized) cosine ranking against the exact float
+    * ranking, for every 97th vector as the query — the acceptance
+    * number a compressed serving index ships with (q214 prices the IVF
+    * ROUTING loss; this prices the CODE loss — the two compound at
+    * serving time and deserve separate dials). Both rankings break
+    * ties on vec_id, overlap is an exact integer count, recall lands
+    * in micro-units. Per-query work is a query-partitioned window —
+    * fully parallel; the brute-force legs are the audit's POINT (they
+    * are the ground truth) and run over a 1/97 query sample, so the
+    * cost is (N/97)·N dot products, not N² — at production N the same
+    * audit runs against the persisted IVF candidates instead of the
+    * full cross product, as q214 does. */
+  val q374QuantizationRecall: QueryDef = sql(
+    "q374_quantization_recall",
+    s"""WITH ${withNormSql()},
+       |$quantizedSql,
+       |dq AS (SELECT vec_id, mn, scale, codes,
+       |    SQRT(list_reduce(list_transform(range(len(codes)), i ->
+       |      (mn + CAST(codes[i+1] AS DOUBLE) * scale) * (mn + CAST(codes[i+1] AS DOUBLE) * scale)),
+       |      (a, x) -> a + x)) AS dnrm
+       |  FROM quant),
+       |qs AS (SELECT vec_id AS qid, embedding AS qe, nrm AS qn FROM n WHERE vec_id % 97 = 0),
+       |ex AS (SELECT qid, vec_id FROM (
+       |    SELECT qs.qid, n.vec_id,
+       |      ROW_NUMBER() OVER (PARTITION BY qs.qid
+       |        ORDER BY ${dotSql("n.embedding", "qs.qe")} / (n.nrm * qs.qn) DESC, n.vec_id) AS rn
+       |    FROM n JOIN qs ON n.vec_id <> qs.qid) WHERE rn <= 10),
+       |qq AS (SELECT vec_id AS qid, mn AS qmn, scale AS qsc, codes AS qc, dnrm AS qdn
+       |  FROM dq WHERE vec_id % 97 = 0),
+       |qx AS (SELECT qid, vec_id FROM (
+       |    SELECT qq.qid, v.vec_id,
+       |      ROW_NUMBER() OVER (PARTITION BY qq.qid
+       |        ORDER BY list_reduce(list_transform(range(len(v.codes)), i ->
+       |            (v.mn + CAST(v.codes[i+1] AS DOUBLE) * v.scale) * (qq.qmn + CAST(qq.qc[i+1] AS DOUBLE) * qq.qsc)),
+       |          (a, x) -> a + x) / (v.dnrm * qq.qdn) DESC, v.vec_id) AS rn
+       |    FROM dq v JOIN qq ON v.vec_id <> qq.qid) WHERE rn <= 10),
+       |ov AS (SELECT ex.qid, CAST(COUNT(*) AS BIGINT) AS n_overlap
+       |  FROM ex JOIN qx ON qx.qid = ex.qid AND qx.vec_id = ex.vec_id GROUP BY 1)
+       |SELECT qs.qid AS query_vec, CAST(COALESCE(ov.n_overlap, 0) AS BIGINT) AS n_overlap,
+       |  CAST(COALESCE(ov.n_overlap, 0) * 100000 AS BIGINT) AS recall_micro
+       |FROM qs LEFT JOIN ov ON ov.qid = qs.qid
+       |ORDER BY query_vec""".stripMargin) { (s, dir) =>
+    val n = withNorm(s, dir)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val qs = n.filter(col("vec_id") % 97 === 0)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"), col("nrm").as("qn"))
+    val byQ = Window.partitionBy(col("qid"))
+    val ex = n.join(broadcast(qs), n("vec_id") =!= qs("qid"))
+      .select(col("qid"), col("vec_id"),
+        (dot("embedding", "qe") / (col("nrm") * col("qn"))).as("cos"))
+      .withColumn("rn", row_number().over(byQ.orderBy(col("cos").desc, col("vec_id"))))
+      .filter(col("rn") <= 10).select(col("qid"), col("vec_id"))
+    val dqNorm = expr(
+      """SQRT(aggregate(transform(codes, p ->
+        |  (mn + CAST(p AS DOUBLE) * scale) * (mn + CAST(p AS DOUBLE) * scale)),
+        |CAST(0 AS DOUBLE), (a, x) -> a + x))""".stripMargin)
+    val dq = quantized(s, dir).withColumn("dnrm", dqNorm)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val qq = dq.filter(col("vec_id") % 97 === 0)
+      .select(col("vec_id").as("qid"), col("mn").as("qmn"), col("scale").as("qsc"),
+        col("codes").as("qc"), col("dnrm").as("qdn"))
+    val dotq = expr(
+      """aggregate(zip_with(codes, qc, (p, q) ->
+        |  (mn + CAST(p AS DOUBLE) * scale) * (qmn + CAST(q AS DOUBLE) * qsc)),
+        |CAST(0 AS DOUBLE), (a, x) -> a + x)""".stripMargin)
+    val qx = dq.join(broadcast(qq), dq("vec_id") =!= qq("qid"))
+      .select(col("qid"), col("vec_id"), (dotq / (col("dnrm") * col("qdn"))).as("qcos"))
+      .withColumn("rn", row_number().over(byQ.orderBy(col("qcos").desc, col("vec_id"))))
+      .filter(col("rn") <= 10).select(col("qid"), col("vec_id"))
+    val ov = ex.join(qx, Seq("qid", "vec_id")).groupBy(col("qid"))
+      .agg(count(lit(1)).as("n_overlap"))
+    qs.select(col("qid")).join(ov, Seq("qid"), "left")
+      .select(col("qid").as("query_vec"),
+        coalesce(col("n_overlap"), lit(0L)).as("n_overlap"),
+        (coalesce(col("n_overlap"), lit(0L)) * 100000L).as("recall_micro"))
+      .orderBy(col("query_vec"))
+  }
+
   val all: Seq[QueryDef] = Seq(
+    q374QuantizationRecall,
     q303ContrastAudit,
     q36ArrayNorms, q37EmbeddingNeardup, q38AnnBruteforce, q39AnnIvf,
     q45AnnNative, q52AnnLsh, q61AnnQuantized, q119KmeansTrain,

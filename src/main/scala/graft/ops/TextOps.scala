@@ -6223,7 +6223,145 @@ object TextOps {
       .orderBy(col("doc_id"))
   }
 
+  /** Per-source Welch drift screen: for EVERY source, the
+    * unequal-variance two-sample t statistic (Welch Biometrika 1947)
+    * of its mean document length against the REST of the corpus, with
+    * the Welch–Satterthwaite effective df. Completes the source-QA
+    * trio: q211's ANOVA assumes one shared variance (its F blurs a
+    * small erratic source into the pooled term), q213's jackknife
+    * prices influence on the corpus MEAN — this is the per-source
+    * significance screen that stays honest when sources have genuinely
+    * different spreads, which crawl sources always do (a boilerplate
+    * mirror has near-zero length variance; a forum dump is heavy-
+    * tailed). "Rest" moments are global-minus-source differences of
+    * exact BIGINT sums — one grouped pass + one broadcast total row,
+    * no second corpus scan, group-parallel at any source count. t and
+    * df are single double expressions of the exact integers; both are
+    * NULL when either side's variance term degenerates (n < 2 or zero
+    * spread — the q356 lesson: a monotone/constant side must not emit
+    * NaN into the contract hash). */
+  val q371WelchScreen: QueryDef = sql(
+    "q371_welch_screen",
+    """WITH per AS (
+      |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n1,
+      |    CAST(SUM(CAST(n_chars AS BIGINT)) AS BIGINT) AS s1,
+      |    CAST(SUM(CAST(n_chars AS BIGINT) * CAST(n_chars AS BIGINT)) AS BIGINT) AS q1
+      |  FROM documents GROUP BY 1),
+      |tot AS (SELECT CAST(SUM(n1) AS BIGINT) AS n, CAST(SUM(s1) AS BIGINT) AS s,
+      |               CAST(SUM(q1) AS BIGINT) AS q FROM per),
+      |m AS (SELECT source, n1, s1, q1,
+      |        tot.n - n1 AS n2, tot.s - s1 AS s2, tot.q - q1 AS q2 FROM per, tot),
+      |v AS (SELECT source, n1, n2,
+      |        CAST(s1 AS DOUBLE) / n1 - CAST(s2 AS DOUBLE) / n2 AS diff_chars,
+      |        (CAST(n1 AS DOUBLE) * q1 - CAST(s1 AS DOUBLE) * s1) / (CAST(n1 AS DOUBLE) * n1 * (n1 - 1)) AS vn1,
+      |        (CAST(n2 AS DOUBLE) * q2 - CAST(s2 AS DOUBLE) * s2) / (CAST(n2 AS DOUBLE) * n2 * (n2 - 1)) AS vn2
+      |      FROM m WHERE n1 >= 2 AND n2 >= 2)
+      |SELECT source, n1 AS n_docs, diff_chars,
+      |  CASE WHEN vn1 + vn2 > 0 THEN diff_chars / SQRT(vn1 + vn2) END AS t_welch,
+      |  CASE WHEN vn1 > 0 AND vn2 > 0 THEN
+      |    (vn1 + vn2) * (vn1 + vn2) / (vn1 * vn1 / (n1 - 1) + vn2 * vn2 / (n2 - 1)) END AS df_welch
+      |FROM v
+      |ORDER BY source""".stripMargin) { (s, dir) =>
+    val nc = expr("CAST(n_chars AS BIGINT)")
+    val per = Tables.documents(s, dir).groupBy(col("source"))
+      .agg(count(lit(1)).as("n1"), sum(nc).as("s1"), sum(nc * nc).as("q1"))
+    val tot = per.agg(sum(col("n1")).as("n"), sum(col("s1")).as("s"), sum(col("q1")).as("q"))
+    per.crossJoin(broadcast(tot))
+      .select(col("source"), col("n1"), col("s1"), col("q1"),
+        (col("n") - col("n1")).as("n2"), (col("s") - col("s1")).as("s2"),
+        (col("q") - col("q1")).as("q2"))
+      .filter(col("n1") >= 2 && col("n2") >= 2)
+      .select(col("source"), col("n1"), col("n2"),
+        expr("CAST(s1 AS DOUBLE) / n1 - CAST(s2 AS DOUBLE) / n2").as("diff_chars"),
+        expr("(CAST(n1 AS DOUBLE) * q1 - CAST(s1 AS DOUBLE) * s1) / (CAST(n1 AS DOUBLE) * n1 * (n1 - 1))").as("vn1"),
+        expr("(CAST(n2 AS DOUBLE) * q2 - CAST(s2 AS DOUBLE) * s2) / (CAST(n2 AS DOUBLE) * n2 * (n2 - 1))").as("vn2"))
+      .select(col("source"), col("n1").as("n_docs"), col("diff_chars"),
+        expr("CASE WHEN vn1 + vn2 > 0 THEN diff_chars / SQRT(vn1 + vn2) END").as("t_welch"),
+        expr("""CASE WHEN vn1 > 0 AND vn2 > 0 THEN
+               |  (vn1 + vn2) * (vn1 + vn2) / (vn1 * vn1 / (n1 - 1) + vn2 * vn2 / (n2 - 1)) END"""
+          .stripMargin).as("df_welch"))
+      .orderBy(col("source"))
+  }
+
+  /** RAKE stopword list (Rose et al. 2010 use a full function-word
+    * lexicon; the fixture vocabulary contains exactly these). The list
+    * is part of the operator spec — both engines split phrases on it. */
+  private val RakeStops = Seq("the", "a", "an", "of", "to", "and", "in", "is", "on", "for")
+
+  /** RAKE keyphrase extraction (Rose et al. 2010, "Automatic Keyword
+    * Extraction from Individual Documents"): candidate phrases are the
+    * maximal stopword-free token runs; each word scores
+    * deg(w)/freq(w) — deg summing the lengths of every phrase it
+    * appears in (long-phrase membership ≈ co-occurrence degree), freq
+    * its candidate occurrences — and a phrase scores the sum of its
+    * member word scores. The corpus-level complement of q279's
+    * TextRank (which ranks single WORDS by graph centrality): RAKE
+    * surfaces multi-word terminology, the unit a domain-glossary or
+    * prompt-template audit actually wants. Word scores are micro-unit
+    * integers (deg·10⁶ DIV freq), phrase scores exact BIGINT sums of
+    * them — engine-order-independent, no float ranking ties.
+    *
+    * Plan shape: phrase segmentation is a per-doc cumulative stopword
+    * count (doc-partitioned window, parallel), word stats one grouped
+    * aggregate, phrase scores a member-word join against the word-sized
+    * score relation, identical phrases merged by text. Nothing global
+    * but the top-50 cut. */
+  val q372RakeKeyphrases: QueryDef = sql(
+    "q372_rake_keyphrases",
+    s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+       |toks AS (SELECT doc_id, i AS pos, w[i] AS word,
+       |    CASE WHEN w[i] IN (${RakeStops.map("'" + _ + "'").mkString(", ")}) THEN 1 ELSE 0 END AS stop
+       |  FROM t, UNNEST(range(1, len(w) + 1)) AS u(i)),
+       |seg AS (SELECT doc_id, pos, word, stop,
+       |    SUM(stop) OVER (PARTITION BY doc_id ORDER BY pos) AS pid
+       |  FROM toks),
+       |mem AS (SELECT doc_id, pid, pos, word FROM seg WHERE stop = 0),
+       |plen AS (SELECT doc_id, pid, CAST(COUNT(*) AS BIGINT) AS plen,
+       |    string_agg(word, ' ' ORDER BY pos) AS phrase
+       |  FROM mem GROUP BY 1, 2),
+       |wsc AS (SELECT m.word,
+       |    CAST(SUM(p.plen) * 1000000 // COUNT(*) AS BIGINT) AS ws
+       |  FROM mem m JOIN plen p ON p.doc_id = m.doc_id AND p.pid = m.pid
+       |  GROUP BY 1),
+       |psc AS (SELECT m.doc_id, m.pid, CAST(SUM(w.ws) AS BIGINT) AS score_micro
+       |  FROM mem m JOIN wsc w ON w.word = m.word GROUP BY 1, 2)
+       |SELECT p.phrase, MAX(p.plen) AS n_words,
+       |  CAST(COUNT(*) AS BIGINT) AS n_occurrences,
+       |  MAX(s.score_micro) AS score_micro
+       |FROM plen p JOIN psc s ON s.doc_id = p.doc_id AND s.pid = p.pid
+       |GROUP BY p.phrase
+       |ORDER BY score_micro DESC, phrase
+       |LIMIT 50""".stripMargin) { (s, dir) =>
+    val stopArr = RakeStops.map(w => s"'$w'").mkString(", ")
+    val toks = Tables.fanOut(Tables.documents(s, dir))
+      .withColumn("w", split(col("text"), " "))
+      .select(col("doc_id"), posexplode(col("w")).as(Seq("i", "word")))
+      .select(col("doc_id"), (col("i") + 1).as("pos"), col("word"),
+        expr(s"CASE WHEN word IN ($stopArr) THEN 1L ELSE 0L END").as("stop"))
+    val seg = toks.withColumn("pid",
+      sum(col("stop")).over(Window.partitionBy(col("doc_id")).orderBy(col("pos"))))
+    val mem = seg.filter(col("stop") === 0)
+      .select(col("doc_id"), col("pid"), col("pos"), col("word"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val plen = mem.groupBy(col("doc_id"), col("pid"))
+      .agg(count(lit(1)).as("plen"),
+        concat_ws(" ", expr("transform(array_sort(collect_list(struct(pos, word))), x -> x.word)")).as("phrase"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val wsc = mem.join(plen.select(col("doc_id"), col("pid"), col("plen")), Seq("doc_id", "pid"))
+      .groupBy(col("word"))
+      .agg(expr("CAST(SUM(plen) * 1000000L DIV COUNT(*) AS BIGINT)").as("ws"))
+    val psc = mem.join(wsc, "word")
+      .groupBy(col("doc_id"), col("pid")).agg(sum(col("ws")).as("score_micro"))
+    plen.join(psc, Seq("doc_id", "pid"))
+      .groupBy(col("phrase"))
+      .agg(max(col("plen")).as("n_words"), count(lit(1)).as("n_occurrences"),
+        max(col("score_micro")).as("score_micro"))
+      .orderBy(col("score_micro").desc, col("phrase"))
+      .limit(50)
+  }
+
   val all: Seq[QueryDef] = Seq(
+    q371WelchScreen, q372RakeKeyphrases,
     q342BottomkSample, q348DirichletQl, q351CharngramLangid, q353TopicSegments,
     q326Winnowing, q327MojibakeAudit, q333Rbo, q334HillTail, q338PsiDrift,
     q276EpochAllocation, q277CoverageSelect, q289Chao1, q316TCloseness,

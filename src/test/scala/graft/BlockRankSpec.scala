@@ -103,6 +103,22 @@ class BlockRankSpec extends SparkSpec {
     }
   }
 
+  test("groupedRunningSum equals the naive partitioned running SUM (ties, negatives, hot value)") {
+    val df = fixture(4000).withColumn("g",
+      concat(lit("g"), (col("k") % 5).cast("string")))
+    for (asc <- Seq(true, false)) {
+      val inner = if (asc) Seq(col("v").asc, col("k").asc) else Seq(col("v").desc, col("k").asc)
+      val got = BlockRank.groupedRunningSum(df, Seq("g"),
+        expr("v DIV 8"), asc, inner, col("w"), "cum")
+      val want = df.withColumn("cum_naive",
+        sum(col("w")).over(Window.partitionBy(col("g")).orderBy(inner: _*)
+          .rowsBetween(Window.unboundedPreceding, 0)).cast("long"))
+      val bad = got.join(want.select(col("k"), col("cum_naive")), "k")
+        .filter(col("cum") =!= col("cum_naive")).count()
+      assert(bad == 0, s"asc=$asc: $bad grouped running-sum mismatches")
+    }
+  }
+
   test("empty input yields empty output (the suspects relation can be empty at some SF)") {
     val df = fixture(100).filter(col("v") > 1000)
     assert(BlockRank.globalRowNumberAdaptive(

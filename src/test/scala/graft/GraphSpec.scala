@@ -240,4 +240,83 @@ class GraphSpec extends SparkSpec {
     val chain = (1L to 20L).map(i => (i, i + 1)).toDF("src", "dst")
     assert(Graph.cycleDetectFixpoint(chain).count() == 0)
   }
+
+  test("HITS: hand-computed 2-round trajectory on a directed triangle-with-tail") {
+    // Edges 1→3, 2→3, 3→1. Round 1: a_raw(3)=2e6, a_raw(1)=1e6, amx=2e6,
+    // divisor 2 → a = (1e6, 0, 500000)[nodes 3,2,1 resp: a(3)=1e6, a(1)=5e5].
+    // h_raw(1)=a(3)=1e6, h_raw(2)=1e6, h_raw(3)=a(1)=5e5; hmx=1e6, div 1.
+    // Round 2: a_raw(3)=2e6→1e6, a_raw(1)=5e5→250000;
+    // h(1)=h(2)=1e6, h(3)=250000.
+    val e = Seq((1L, 3L), (2L, 3L), (3L, 1L)).toDF("src", "dst")
+    val got = Graph.hits(e, rounds = 2)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got == Map(
+      1L -> ((250000L, 1000000L)),
+      2L -> ((0L, 1000000L)),
+      3L -> ((1000000L, 250000L))))
+  }
+
+  test("walk corpus: degree-1 graph forces the alternating walk; output shape is seeds x (steps+1)") {
+    // On 1↔2 every node has exactly one neighbor, so the hash pick is
+    // forced and the walks alternate — a fully hand-checkable trace.
+    val e = edges((1L, 2L))
+    val got = Graph.walkCorpus(e, steps = 4, seedMod = 1)
+      .collect().map(r => (r.getLong(0), r.getInt(2), r.getLong(1))).toSet
+    val want = Set(
+      (1L, 0, 1L), (1L, 1, 2L), (1L, 2, 1L), (1L, 3, 2L), (1L, 4, 1L),
+      (2L, 0, 2L), (2L, 1, 1L), (2L, 2, 2L), (2L, 3, 1L), (2L, 4, 2L))
+    assert(got == want)
+  }
+
+  test("walk corpus: every transition is a real edge and reruns are bit-identical") {
+    val e = edges((1L, 2L), (2L, 3L), (3L, 4L), (1L, 4L), (2L, 4L))
+    val w = Graph.walkCorpus(e, steps = 3, seedMod = 1)
+      .collect().map(r => (r.getLong(0), r.getInt(2), r.getLong(1)))
+    val edgeSet = e.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val bySeed = w.groupBy(_._1)
+    for ((seed, rows) <- bySeed) {
+      val path = rows.sortBy(_._2).map(_._3)
+      assert(path.head == seed)
+      path.sliding(2).foreach { pair =>
+        assert(edgeSet.contains((pair(0), pair(1))),
+          s"walk $seed used non-edge ${pair(0)}->${pair(1)}")
+      }
+    }
+    val again = Graph.walkCorpus(e, steps = 3, seedMod = 1)
+      .collect().map(r => (r.getLong(0), r.getInt(2), r.getLong(1)))
+    assert(w.toSet == again.toSet, "hash-driven walks must replay identically")
+  }
+
+  test("modularity: two disjoint triangles under their LPA labels score 250000 micro each") {
+    // Each triangle: within=6 directed edges of E=12 → 500000; degree
+    // sum 6 → 500000; q = 500000 - 500000^2/1e6 = 250000 (total Q=0.5,
+    // the textbook two-clique value).
+    val e = edges((1L, 2L), (2L, 3L), (1L, 3L), (4L, 5L), (5L, 6L), (4L, 6L))
+    val labels = Graph.labelPropagation(e, rounds = 3)
+    val got = Graph.modularityOf(e, labels)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toSet
+    assert(got == Set((1L, 3L, 6L, 6L, 250000L), (4L, 3L, 6L, 6L, 250000L)))
+  }
+
+  test("betweenness: path 1-2-3 puts all dependency on the middle node, hand-computed") {
+    // Seed 1: delta(2) = sig_2*(1e6+0)/sig_3 = 1e6; seed 3 symmetric;
+    // seed 2: both neighbors are level 1 with no level 2 — no rows.
+    val e = edges((1L, 2L), (2L, 3L))
+    val seeds = Seq(1L, 2L, 3L).toDF("seed")
+    val got = Graph.betweennessSampled(e, seeds)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == Set((2L, 2000000L, 2L)))
+  }
+
+  test("betweenness: split shortest paths halve the dependency (sigma ratios, not counts)") {
+    // Square 1-2-4, 1-3-4: from seed 1, node 4 has sigma 2 via {2,3};
+    // delta(2) = sig_2*(1e6+0) DIV sig_4 = 1*1e6 DIV 2 = 500000, same
+    // for 3 — the sigma-ratio device, not a path count.
+    val e = edges((1L, 2L), (1L, 3L), (2L, 4L), (3L, 4L))
+    val seeds = Seq(1L).toDF("seed")
+    val got = Graph.betweennessSampled(e, seeds)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got == Map(2L -> 500000L, 3L -> 500000L))
+  }
 }
