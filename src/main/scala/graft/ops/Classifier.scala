@@ -1104,8 +1104,80 @@ object Classifier {
       .orderBy(col("lang"), col("n_correct_rounds"))
   }
 
+  /** Micro-unit Gini impurity 10⁶·(1 − (p/n)² − (q/n)²) as one integer
+    * expression (overflow-safe to ~9·10¹² rows per side: every product
+    * keeps one factor ≤ 10⁶). */
+  private def giniSql(p: String, n: String): String =
+    s"1000000L - ($p * 1000000L DIV $n) * $p DIV $n" +
+      s" - (($n - $p) * 1000000L DIV $n) * ($n - $p) DIV $n"
+
+  /** Depth-1 decision tree (CART decision stump, Breiman et al. 1984):
+    * the best single threshold on document length for predicting
+    * lang = 'en', by exact Gini impurity in micro-units. The
+    * interpretable floor every learned quality gate gets compared
+    * against (q127's perceptron is 33 dims; this is the one-number
+    * rule a curation reviewer can read), and the split-finding device
+    * is the point at scale: candidate thresholds come from a LENGTH
+    * HISTOGRAM whose left-side counts are prefix sums — one grouped
+    * aggregate + the [[BlockRank]] running-sum device + an
+    * argmin-by-(impurity, threshold) top-1, never a per-threshold scan
+    * and never a single-partition window. Gini terms are exact integer
+    * divisions, identical in both engines; the winning row reports the
+    * split, both side impurities, the unsplit baseline, and the
+    * gain. */
+  val q381DecisionStump: QueryDef = sql(
+    "q381_decision_stump",
+    s"""WITH h AS (SELECT n_chars // 50 AS b, CAST(COUNT(*) AS BIGINT) AS n,
+       |    CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS p
+       |  FROM documents GROUP BY 1),
+       |cum AS (SELECT b,
+       |    CAST(SUM(n) OVER (ORDER BY b ROWS UNBOUNDED PRECEDING) AS BIGINT) AS nl,
+       |    CAST(SUM(p) OVER (ORDER BY b ROWS UNBOUNDED PRECEDING) AS BIGINT) AS pl
+       |  FROM h),
+       |tot AS (SELECT CAST(SUM(n) AS BIGINT) AS tn, CAST(SUM(p) AS BIGINT) AS tp FROM h),
+       |cand AS (SELECT c.b, c.nl, c.pl, t.tn - c.nl AS nr, t.tp - c.pl AS pr, t.tn, t.tp
+       |  FROM cum c, tot t WHERE c.nl < t.tn),
+       |imp AS (SELECT b, nl, nr,
+       |    ${giniSql("pl", "nl").replace("DIV", "//").replace("1000000L", "1000000")} AS impl,
+       |    ${giniSql("pr", "nr").replace("DIV", "//").replace("1000000L", "1000000")} AS impr,
+       |    ${giniSql("tp", "tn").replace("DIV", "//").replace("1000000L", "1000000")} AS base
+       |  FROM cand),
+       |w AS (SELECT b, nl, nr, impl, impr, base,
+       |    (nl * impl + nr * impr) // (nl + nr) AS weighted FROM imp)
+       |SELECT CAST((b + 1) * 50 AS BIGINT) AS threshold_chars,
+       |  nl AS n_left, nr AS n_right,
+       |  CAST(impl AS BIGINT) AS gini_left_micro, CAST(impr AS BIGINT) AS gini_right_micro,
+       |  CAST(weighted AS BIGINT) AS gini_split_micro, CAST(base AS BIGINT) AS gini_base_micro,
+       |  CAST(base - weighted AS BIGINT) AS gain_micro
+       |FROM w ORDER BY weighted, b LIMIT 1""".stripMargin) { (s, dir) =>
+    val h = Tables.documents(s, dir)
+      .groupBy(expr("n_chars DIV 50").as("b"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("lang") === "en", 1L).otherwise(0L)).as("p"))
+      .localCheckpoint(true) // length-histogram-sized; two prefix passes + totals
+    val c1 = BlockRank.globalRunningSumAdaptive(
+      h, col("b"), asc = true, Seq(col("b")), col("n"), out = "nl")
+    val cum = BlockRank.globalRunningSumAdaptive(
+      c1, col("b"), asc = true, Seq(col("b")), col("p"), out = "pl")
+    val tot = h.agg(sum(col("n")).as("tn"), sum(col("p")).as("tp"))
+    cum.crossJoin(broadcast(tot)).filter(col("nl") < col("tn"))
+      .select(col("b"), col("nl"), col("pl"),
+        (col("tn") - col("nl")).as("nr"), (col("tp") - col("pl")).as("pr"),
+        col("tn"), col("tp"))
+      .withColumn("impl", expr(giniSql("pl", "nl")))
+      .withColumn("impr", expr(giniSql("pr", "nr")))
+      .withColumn("base", expr(giniSql("tp", "tn")))
+      .withColumn("weighted", expr("(nl * impl + nr * impr) DIV (nl + nr)"))
+      .orderBy(col("weighted"), col("b")).limit(1)
+      .select(((col("b") + 1) * 50).as("threshold_chars"),
+        col("nl").as("n_left"), col("nr").as("n_right"),
+        col("impl").as("gini_left_micro"), col("impr").as("gini_right_micro"),
+        col("weighted").as("gini_split_micro"), col("base").as("gini_base_micro"),
+        (col("base") - col("weighted")).as("gain_micro"))
+  }
+
   val all: Seq[QueryDef] = Seq(q127Perceptron, q182Calibration, q193Conformal,
     q203AnnotatorKappa, q208LabelNoise, q221BrierDecomp, q248IsotonicFit,
-    q361McnemarTest, q377AucEval, q380DataMap,
+    q361McnemarTest, q377AucEval, q380DataMap, q381DecisionStump,
     q252ReplayEval, q288PassAtK, q308QiniUplift, q355CrossValidation)
 }

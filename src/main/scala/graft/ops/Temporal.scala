@@ -1712,6 +1712,7 @@ object Temporal {
   }
 
   val all: Seq[QueryDef] = Seq(
+    q382QuantileRegression,
     q365RevenueProration, q366FriedmanTest,
     q341WatermarkLateness, q346EntropyRate, q354ForecastBacktest, q356RunsTest,
     q46AsofJoin, q47Pivot, q55IntervalJoin, q63AsofNative, q81IntervalNative,
@@ -2309,6 +2310,66 @@ object Temporal {
         (col("num").cast("double")
           / (sqrt(col("denx").cast("double")) * sqrt(col("deny").cast("double")))).as("ccf"))
       .orderBy(col("lag"))
+  }
+
+  /** Quantile regression by exact grid search (Koenker & Bassett,
+    * Econometrica 1978): the τ = 0.9 revenue trend line — "what slope
+    * does the TOP of the daily-revenue distribution follow?" — fit by
+    * minimizing pinball loss over a fixed slope grid, with the
+    * intercept per slope the EXACT τ-order-statistic of the residuals
+    * (for a fixed slope the τ-quantile minimizes pinball — the
+    * textbook property, so the search is exact over the grid, not a
+    * descent). The P90 companion of q265's Theil–Sen median line: OLS
+    * and the median line both miss a fattening upper tail; capacity
+    * planning reads the 0.9 line. Pinball in deci-units (9·u⁺ + 1·u⁻)
+    * keeps every quantity BIGINT; ranks tie-break on day. The day
+    * relation is calendar-bounded, so the 21-slope × days expansion
+    * and its per-slope windows are bounded work at any corpus size —
+    * the corpus-scale step is the one daily aggregate (the q296
+    * argument). */
+  lazy val q382QuantileRegression: QueryDef = sql(
+    "q382_quantile_regression",
+    s"""WITH $dailyXYSql,
+       |d0 AS (SELECT MIN(d) AS d0 FROM xy),
+       |sc AS (SELECT xy.d - d0.d0 AS t, xy.y AS yv FROM xy, d0),
+       |g(b) AS (VALUES ${(-10 to 10).map(i => s"(${i * 50})").mkString(", ")}),
+       |r AS (SELECT g.b, sc.t, sc.yv - g.b * sc.t AS res FROM sc CROSS JOIN g),
+       |cnt AS (SELECT b, CAST(COUNT(*) AS BIGINT) AS n FROM r GROUP BY 1),
+       |qr AS (SELECT b, res AS qv FROM (
+       |    SELECT r.b, r.res, c.n,
+       |      ROW_NUMBER() OVER (PARTITION BY r.b ORDER BY r.res, r.t) AS rn
+       |    FROM r JOIN cnt c USING (b)) WHERE rn = (9 * n + 9) // 10),
+       |loss AS (SELECT r.b, q.qv,
+       |    CAST(SUM(CASE WHEN r.res >= q.qv THEN 9 * (r.res - q.qv)
+       |                  ELSE q.qv - r.res END) AS BIGINT) AS pinball_deci
+       |  FROM r JOIN qr q USING (b) GROUP BY 1, 2)
+       |SELECT CAST(b AS BIGINT) AS slope_cents_per_day, qv AS intercept_cents,
+       |  pinball_deci
+       |FROM loss ORDER BY pinball_deci, b LIMIT 1""".stripMargin) { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val xy = dailyXY(s, dir)
+    val d0 = xy.agg(min(col("d")).as("d0"))
+    val sc = xy.crossJoin(broadcast(d0))
+      .select((col("d") - col("d0")).as("t"), col("y").as("yv"))
+      .localCheckpoint(true) // day-sized; residual grid reads it 21×
+    val grid = broadcast(s.range(1).select(
+      explode(array((-10 to 10).map(i => lit(i * 50L)): _*)).as("b")))
+    val r = sc.crossJoin(grid)
+      .select(col("b"), col("t"), (col("yv") - col("b") * col("t")).as("res"))
+      .localCheckpoint(true) // (21 slopes × days)-sized; quantile + loss
+    val cnt = r.groupBy(col("b")).agg(count(lit(1)).as("n"))
+    val qr = r.join(cnt, "b")
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("b")).orderBy(col("res"), col("t"))))
+      .filter(col("rn") === expr("(9 * n + 9) DIV 10"))
+      .select(col("b"), col("res").as("qv"))
+    r.join(qr, "b")
+      .groupBy(col("b"), col("qv"))
+      .agg(sum(when(col("res") >= col("qv"), (col("res") - col("qv")) * 9L)
+        .otherwise(col("qv") - col("res"))).as("pinball_deci"))
+      .orderBy(col("pinball_deci"), col("b")).limit(1)
+      .select(col("b").as("slope_cents_per_day"), col("qv").as("intercept_cents"),
+        col("pinball_deci"))
   }
 
   /** Longest consecutive-day activity streak per user — gaps-and-islands

@@ -544,4 +544,124 @@ class PipelineOpsSpec extends SparkSpec {
       s"within-day ranks 1..k must conserve: $total vs ${n * k.toLong * (k + 1) / 2}")
     assert(rows.head.getAs[Double]("chi2_f") >= 0.0)
   }
+
+  test("q371: Welch screen covers the corpus, t matches the gap's sign, degenerate variances go NULL not NaN") {
+    val rows = graft.ops.TextOps.q371WelchScreen.run(spark, sfDir).collect()
+    val corpus = Tables.documents(spark, sfDir).count()
+    assert(rows.map(_.getAs[Long]("n_docs")).sum == corpus,
+      "every document belongs to exactly one screened source (n >= 2 holds for all fixture sources)")
+    rows.foreach { r =>
+      if (!r.isNullAt(r.fieldIndex("t_welch"))) {
+        val t = r.getAs[Double]("t_welch")
+        assert(!t.isNaN && !t.isInfinite, "NaN/Inf must never reach the contract")
+        assert(t.sign == r.getAs[Double]("diff_chars").sign || t == 0.0)
+        val df = r.getAs[Double]("df_welch")
+        assert(df >= 1.0 && df < corpus.toDouble, s"Welch df out of range: $df")
+      }
+    }
+  }
+
+  test("q372: RAKE phrases are stopword-free, scores positive, single-word phrase scores equal deg*1e6/freq") {
+    val rows = graft.ops.TextOps.q372RakeKeyphrases.run(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val stops = Set("the", "a", "an", "of", "to", "and", "in", "is", "on", "for")
+    rows.foreach { r =>
+      val words = r.getAs[String]("phrase").split(" ")
+      assert(words.nonEmpty && words.forall(w => !stops.contains(w)),
+        s"candidate phrase contains a stopword: ${r.getAs[String]("phrase")}")
+      assert(r.getAs[Long]("n_words") == words.length)
+      assert(r.getAs[Long]("score_micro") > 0)
+      assert(r.getAs[Long]("n_occurrences") >= 1)
+    }
+    // phrase scores sum member word scores, so a phrase can never
+    // outscore a longer phrase that contains it plus positive words —
+    // spot the monotonicity on the top rows
+    val top = rows.head
+    assert(top.getAs[Long]("score_micro") >= rows.last.getAs[Long]("score_micro"))
+  }
+
+  test("q374: quantization recall is a fraction of k=10 and covers every sampled query") {
+    val rows = graft.ops.Similarity.q374QuantizationRecall.run(spark, sfDir).collect()
+    val nq = Tables.embeddings(spark, sfDir).filter(col("vec_id") % 97 === 0).count()
+    assert(rows.length == nq, "one row per sampled query")
+    rows.foreach { r =>
+      val ov = r.getAs[Long]("n_overlap")
+      assert(ov >= 0 && ov <= 10)
+      assert(r.getAs[Long]("recall_micro") == ov * 100000L)
+    }
+  }
+
+  test("q375: CEM matches a subset of the treated and both gaps are finite cents") {
+    val r = graft.ops.Analytics.q375CemAtt.run(spark, sfDir).collect()(0)
+    assert(r.getAs[Long]("n_treated_matched") <= r.getAs[Long]("n_treated_total"))
+    assert(r.getAs[Long]("n_strata_matched") >= 1)
+    assert(!r.getAs[Double]("att_cents").isNaN && !r.getAs[Double]("naive_cents").isNaN)
+  }
+
+  test("q376: aspect batches cover every image once and batch ids are dense per bucket") {
+    val rows = graft.ops.Multimodal.q376AspectBatching.run(spark, sfDir).collect()
+    val corpus = Tables.documents(spark, sfDir).count()
+    assert(rows.map(_.getAs[Long]("n_images")).sum == corpus,
+      "every image lands in exactly one (bucket, batch)")
+    val buckets = Set(500L, 750L, 1000L, 1333L, 2000L)
+    rows.foreach(r => assert(buckets.contains(r.getAs[Long]("bucket_milli"))))
+    rows.groupBy(_.getAs[Long]("bucket_milli")).foreach { case (b, rs) =>
+      val ids = rs.map(_.getAs[Long]("batch_id")).sorted.toSeq
+      assert(ids == ids.indices.map(_.toLong),
+        s"bucket $b batch ids must be dense from 0: ${ids.mkString(",")}")
+    }
+  }
+
+  test("q377: AUC identities — 2U bounded by 2*npos*nneg, Gini consistent with AUC") {
+    val r = graft.ops.Classifier.q377AucEval.run(spark, sfDir).collect()(0)
+    val (np, nn, u2) = (r.getAs[Long]("n_pos"), r.getAs[Long]("n_neg"), r.getAs[Long]("u_times2"))
+    assert(u2 >= 0 && u2 <= 2 * np * nn, "U must be a pair fraction")
+    val auc = r.getAs[Long]("auc_micro")
+    assert(auc >= 0 && auc <= 1000000)
+    val gini = r.getAs[Long]("gini_micro")
+    assert(math.abs(gini - (2 * auc - 1000000)) <= 1,
+      "Gini = 2*AUC - 1 up to one integer-division ulp")
+  }
+
+  test("q379: hub removal can only shrink the giant; universe drops by exactly the removed hubs") {
+    val rows = graft.ops.Dedup.q379Percolation.run(spark, sfDir).collect()
+      .map(r => r.getAs[String]("phase") -> r).toMap
+    val (before, after) = (rows("before"), rows("after"))
+    assert(after.getAs[Long]("n_nodes") == before.getAs[Long]("n_nodes") - 5)
+    assert(after.getAs[Long]("giant_size") <= before.getAs[Long]("giant_size"))
+    assert(before.getAs[Long]("second_size") <= before.getAs[Long]("giant_size"))
+    assert(after.getAs[Long]("second_size") <= after.getAs[Long]("giant_size"))
+  }
+
+  test("q380: the data map partitions the corpus and confidence agrees with the bucket") {
+    val rows = graft.ops.Classifier.q380DataMap.run(spark, sfDir).collect()
+    val corpus = Tables.documents(spark, sfDir).count()
+    assert(rows.map(_.getAs[Long]("n_docs")).sum == corpus)
+    rows.foreach { r =>
+      val ncr = r.getAs[Long]("n_correct_rounds")
+      assert(ncr >= 0 && ncr <= 3)
+      // every round correct forces a positive summed confidence; never
+      // correct forces it non-positive (margins of the wrong sign)
+      if (ncr == 3) assert(r.getAs[Long]("conf_total") > 0)
+      if (ncr == 0) assert(r.getAs[Long]("conf_total") <= 0)
+    }
+  }
+
+  test("q381: the stump's split beats or ties the unsplit baseline and sides cover the corpus") {
+    val r = graft.ops.Classifier.q381DecisionStump.run(spark, sfDir).collect()(0)
+    val corpus = Tables.documents(spark, sfDir).count()
+    assert(r.getAs[Long]("n_left") + r.getAs[Long]("n_right") == corpus)
+    assert(r.getAs[Long]("gain_micro") >= 0, "argmin split can never be worse than no split")
+    Seq("gini_left_micro", "gini_right_micro", "gini_base_micro").foreach { c =>
+      val g = r.getAs[Long](c)
+      assert(g >= 0 && g <= 500000, s"$c out of the binary-Gini range: $g")
+    }
+  }
+
+  test("q382: the fitted 0.9-line is a grid slope with non-negative pinball loss") {
+    val r = graft.ops.Temporal.q382QuantileRegression.run(spark, sfDir).collect()(0)
+    val slope = r.getAs[Long]("slope_cents_per_day")
+    assert(slope % 50 == 0 && slope >= -500 && slope <= 500, "winner must come from the grid")
+    assert(r.getAs[Long]("pinball_deci") >= 0)
+  }
 }
