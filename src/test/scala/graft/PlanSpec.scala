@@ -629,7 +629,16 @@ class PlanSpec extends SparkSpec {
       "q320" -> Temporal.q320HistogramQuantiles,
       "q303" -> Similarity.q303ContrastAudit,
       "q360" -> Analytics.q360KruskalWallis,
-      "q362" -> graft.ops.Layout.q362ZorderSkipping)
+      "q362" -> graft.ops.Layout.q362ZorderSkipping,
+      // round-7 second wave: RAKE's per-doc segmentation windows, the
+      // aspect-bucket grouped prefix sums, the AUC margin-histogram
+      // prefix, the stump's histogram prefix, and the per-slope
+      // quantile ranks must all stay partitioned (or bounded)
+      "q372" -> graft.ops.TextOps.q372RakeKeyphrases,
+      "q376" -> graft.ops.Multimodal.q376AspectBatching,
+      "q377" -> graft.ops.Classifier.q377AucEval,
+      "q381" -> graft.ops.Classifier.q381DecisionStump,
+      "q382" -> Temporal.q382QuantileRegression)
     for ((tag, q) <- family) {
       val plan = q.run(spark, sfDir).queryExecution.optimizedPlan
       val windows = plan.collect { case w: LWindow => w }
