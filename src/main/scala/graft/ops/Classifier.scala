@@ -1176,8 +1176,72 @@ object Classifier {
         (col("base") - col("weighted")).as("gain_micro"))
   }
 
+  /** Linearly-weighted Cohen's κ (Cohen, Psych. Bull. 1968) over the
+    * q203 synthetic annotator pair, treating the 0–2 grades as ORDINAL:
+    * disagreeing by two grades costs twice a one-grade slip. The
+    * ordinal complement of q203's nominal κ — for quality tiers and
+    * harm severities (the common LLM-annotation shape) nominal κ
+    * under-rewards near-misses, and the two statistics diverging IS
+    * the signal that raters disagree mostly at adjacent grades.
+    *   κ_w = 1 − n·Σ w_ij O_ij / Σ w_ij R_i C_j,  w_ij = |i − j|
+    * with O the observed confusion cells and R/C the marginals — all
+    * exact BIGINTs from two grouped passes; κ_w is one double
+    * expression of them. Output is the 3×3 confusion matrix with the
+    * shared κ_w (the q203 presentation), so the hash pins every
+    * cell. */
+  val q384WeightedKappa: QueryDef = sql(
+    "q384_weighted_kappa",
+    """WITH ann AS (
+      |  SELECT doc_id,
+      |    CAST(('0x' || substr(md5('ann_a:' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 3 AS a,
+      |    CASE WHEN CAST(('0x' || substr(md5('ann_b:' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 10 < 7
+      |         THEN CAST(('0x' || substr(md5('ann_a:' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 3
+      |         ELSE CAST(('0x' || substr(md5('ann_b:' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 3
+      |    END AS b
+      |  FROM documents),
+      |grades(g) AS (VALUES (0), (1), (2)),
+      |cells AS (SELECT ga.g AS a, gb.g AS b FROM grades ga CROSS JOIN grades gb),
+      |obs AS (SELECT a, b, CAST(COUNT(*) AS BIGINT) AS n_obs FROM ann GROUP BY 1, 2),
+      |o AS (SELECT c.a, c.b, COALESCE(obs.n_obs, 0) AS n_obs
+      |      FROM cells c LEFT JOIN obs ON obs.a = c.a AND obs.b = c.b),
+      |ra AS (SELECT a, CAST(SUM(n_obs) AS BIGINT) AS n_a FROM o GROUP BY 1),
+      |cb AS (SELECT b, CAST(SUM(n_obs) AS BIGINT) AS n_b FROM o GROUP BY 1),
+      |tot AS (SELECT
+      |    (SELECT CAST(SUM(n_obs) AS BIGINT) FROM o) AS n,
+      |    (SELECT CAST(SUM(ABS(a - b) * n_obs) AS BIGINT) FROM o) AS wo,
+      |    (SELECT CAST(SUM(ABS(o.a - o.b) * ra.n_a * cb.n_b) AS BIGINT)
+      |       FROM o JOIN ra ON ra.a = o.a JOIN cb ON cb.b = o.b) AS we)
+      |SELECT CAST(o.a AS BIGINT) AS a, CAST(o.b AS BIGINT) AS b, o.n_obs,
+      |  1.0 - CAST(tot.n * tot.wo AS DOUBLE) / CAST(tot.we AS DOUBLE) AS kappa_w
+      |FROM o, tot
+      |ORDER BY a, b""".stripMargin) { (s, dir) =>
+    val ha = expr("CAST(conv(substring(md5(concat('ann_a:', CAST(doc_id AS STRING))), 1, 8), 16, 10) AS BIGINT)")
+    val hb = expr("CAST(conv(substring(md5(concat('ann_b:', CAST(doc_id AS STRING))), 1, 8), 16, 10) AS BIGINT)")
+    val ann = Tables.documents(s, dir).select(col("doc_id"))
+      .select((ha % 3).as("a"), when(hb % 10 < 7, ha % 3).otherwise(hb % 3).as("b"))
+    val grades = broadcast(s.range(3).select(col("id").as("g")))
+    val cells = grades.select(col("g").as("a"))
+      .crossJoin(grades.select(col("g").as("b")))
+    val obs = ann.groupBy(col("a"), col("b")).agg(count(lit(1)).as("n_obs"))
+    val o = cells.join(obs, Seq("a", "b"), "left")
+      .select(col("a"), col("b"), coalesce(col("n_obs"), lit(0L)).as("n_obs"))
+      .localCheckpoint(true) // 9 rows; marginals + both weighted sums
+    val ra = o.groupBy(col("a")).agg(sum(col("n_obs")).as("n_a"))
+    val cb = o.groupBy(col("b")).agg(sum(col("n_obs")).as("n_b"))
+    val tot = o.agg(sum(col("n_obs")).as("n"),
+        sum(abs(col("a") - col("b")) * col("n_obs")).as("wo"))
+      .crossJoin(broadcast(o.join(ra, "a").join(cb, "b")
+        .agg(sum(abs(col("a") - col("b")) * col("n_a") * col("n_b")).as("we"))))
+    o.crossJoin(broadcast(tot))
+      .select(col("a"), col("b"), col("n_obs"),
+        (lit(1.0) - (col("n") * col("wo")).cast("double") / col("we").cast("double"))
+          .as("kappa_w"))
+      .orderBy(col("a"), col("b"))
+  }
+
   val all: Seq[QueryDef] = Seq(q127Perceptron, q182Calibration, q193Conformal,
     q203AnnotatorKappa, q208LabelNoise, q221BrierDecomp, q248IsotonicFit,
     q361McnemarTest, q377AucEval, q380DataMap, q381DecisionStump,
+    q384WeightedKappa,
     q252ReplayEval, q288PassAtK, q308QiniUplift, q355CrossValidation)
 }

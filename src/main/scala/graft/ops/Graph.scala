@@ -133,12 +133,19 @@ object Graph {
     * edge set and later runs (and later QUERIES — q143 and q153 share
     * it) cost one parquet scan. A changed lineitem changes the
     * fingerprint, so stale edges are never looked up. */
-  private[graft] def copurchaseEdges(s: SparkSession, dir: String): DataFrame = {
-    val li = Tables.lineitem(s, dir)
-    val r = li.agg(expr(
+  /** Content fingerprint of the (orderkey, partkey) projection — keys
+    * the persisted co-purchase edge set AND the artifacts derived from
+    * it (the q153/q373 LPA labels). */
+  private def copurchaseFp(s: SparkSession, dir: String): String = {
+    val r = Tables.lineitem(s, dir).agg(expr(
       "bit_xor(CAST(conv(substring(md5(concat(CAST(l_orderkey AS STRING), ':', CAST(l_partkey AS STRING))), 1, 15), 16, 10) AS BIGINT))").as("fp"))
       .head()
-    val fp = if (r.isNullAt(0)) "empty" else java.lang.Long.toHexString(r.getLong(0))
+    if (r.isNullAt(0)) "empty" else java.lang.Long.toHexString(r.getLong(0))
+  }
+
+  private[graft] def copurchaseEdges(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+    val fp = copurchaseFp(s, dir)
     val stateDir = s"${System.getProperty("java.io.tmpdir")}/graft_copurchase_v1_$fp"
     // fan the state read out to engine parallelism: a compact edge file
     // scans as 1-2 partitions, and the planner's size estimate for it
@@ -238,6 +245,20 @@ object Graph {
        |    FROM n$k) WHERE rn = 1)""".stripMargin
   }
 
+  /** The q153 LPA labels persisted by the co-purchase fingerprint
+    * ([[graft.sources.ParquetState]] — the trained-state discipline
+    * applied to the community assignment): q153 and q373 both READ the
+    * label relation; the first to run pays the 3 propagation rounds
+    * once per corpus version. A changed lineitem changes the
+    * fingerprint, so stale labels are never looked up. */
+  private[graft] def persistedLpaLabels(s: SparkSession, dir: String): DataFrame = {
+    val fp = copurchaseFp(s, dir)
+    val stateDir = s"${System.getProperty("java.io.tmpdir")}/graft_lpa_v1_r3_$fp"
+    graft.sources.ParquetState.getOrBuild(s, stateDir, Seq("labels")) {
+      Seq(labelPropagation(copurchaseEdges(s, dir), rounds = 3))
+    }.head
+  }
+
   /** Contract face of [[labelPropagation]]: 3 deterministic rounds over
     * the co-purchase part graph, communities summarized as (community,
     * n_members) — the domain-clustering signal a curation pipeline feeds
@@ -260,7 +281,7 @@ object Graph {
        |GROUP BY 1
        |ORDER BY n_members DESC, community
        |LIMIT 100""".stripMargin) { (s, dir) =>
-    labelPropagation(copurchaseEdges(s, dir), rounds = 3)
+    persistedLpaLabels(s, dir)
       .groupBy(col("label").as("community"))
       .agg(count(lit(1)).as("n_members"), min(col("node")).as("min_node"))
       .orderBy(col("n_members").desc, col("community"))
@@ -1606,10 +1627,13 @@ object Graph {
         .join(gateBroadcast(hub.select(col("part").as("src"), col("h")), nV), Seq("src"))
         .groupBy(col("dst")).agg(sum(col("h")).as("a_raw"))
       val aMax = aRaw.agg(greatest(max(col("a_raw")), lit(1L)).as("amx"))
+      // checkpoint each node-sized half-step: the broadcast max and the
+      // next half-step otherwise both re-derive the whole prior lineage
       auth = nodes.join(aRaw, col("part") === aRaw("dst"), "left")
         .crossJoin(broadcast(aMax))
         .select(col("part"),
           expr(normSqlExpr("COALESCE(a_raw, 0L)", "amx")).as("a"))
+        .localCheckpoint(true)
       val hRaw = eDst
         .join(gateBroadcast(auth.select(col("part").as("dst"), col("a")), nV), Seq("dst"))
         .groupBy(col("src")).agg(sum(col("a")).as("h_raw"))
@@ -1618,6 +1642,7 @@ object Graph {
         .crossJoin(broadcast(hMax))
         .select(col("part"),
           expr(normSqlExpr("COALESCE(h_raw, 0L)", "hmx")).as("h"))
+        .localCheckpoint(true)
     }
     nodes.join(auth, Seq("part")).join(hub, Seq("part"))
   }
@@ -1683,6 +1708,7 @@ object Graph {
     val adjIdx = e
       .withColumn("rn", expr("row_number() OVER (PARTITION BY src ORDER BY dst)"))
       .persist(StorageLevel.MEMORY_AND_DISK)
+    adjIdx.count() // materialize once: every step's broadcast build reads it
     val deg = e.groupBy(col("src")).agg(count(lit(1)).as("d"))
     val nSeeds = deg.filter(col("src") % seedMod === 0).count()
     val w0 = deg.filter(col("src") % seedMod === 0)
@@ -1699,11 +1725,14 @@ object Graph {
              |CAST(node AS STRING), ':', '$t')), 1, 15), 16, 10) AS BIGINT) % d"""
             .stripMargin.replace("\n", " ")))
         .select(col("seed"), col("node").as("cursrc"), col("pick"))
+      // checkpoint each step: without it every later frame re-derives
+      // the whole prior chain INSIDE its broadcast build (measured 2×
+      // slower than the 4 eager checkpoint jobs at sf0.1)
       cur = adjIdx
         .join(gateBroadcast(withIdx, nSeeds),
           adjIdx("src") === col("cursrc") && adjIdx("rn") === col("pick"))
         .select(col("seed"), col("dst").as("node"))
-        .localCheckpoint(true) // cut the per-step lineage growth
+        .localCheckpoint(true)
       frames += cur.withColumn("step", lit(t))
     }
     frames.reduce(_ unionByName _)
@@ -1793,7 +1822,7 @@ object Graph {
        |ORDER BY dc.n_members DESC, dc.community
        |LIMIT 20""".stripMargin) { (s, dir) =>
     val e = copurchaseEdges(s, dir).persist(StorageLevel.MEMORY_AND_DISK)
-    modularityOf(e, labelPropagation(e, rounds = 3))
+    modularityOf(e, persistedLpaLabels(s, dir))
       .orderBy(col("n_members").desc, col("community"))
       .limit(20)
   }
@@ -1805,17 +1834,20 @@ object Graph {
   private[graft] def modularityOf(e: DataFrame, labels: DataFrame): DataFrame = {
     val lab = labels.localCheckpoint(true) // node-sized; joins edges twice + degree once
     val nL = lab.count()
+    e.count() // materialize the caller's persist before the 2 consumers below
     val wi = e
       .join(gateBroadcast(lab.select(col("node").as("src"), col("label").as("la")), nL), Seq("src"))
       .join(gateBroadcast(lab.select(col("node").as("dst"), col("label").as("lb")), nL), Seq("dst"))
       .filter(col("la") === col("lb"))
       .groupBy(col("la").as("community")).agg(count(lit(1)).as("within_edges"))
     val deg = e.groupBy(col("src")).agg(count(lit(1)).as("d"))
+      .localCheckpoint(true) // node-sized; feeds dc AND the edge total
     val dc = deg
       .join(gateBroadcast(lab.select(col("node").as("src"), col("label")), nL), Seq("src"))
       .groupBy(col("label").as("community"))
       .agg(sum(col("d")).as("degree_sum"), count(lit(1)).as("n_members"))
-    val te = e.agg(count(lit(1)).as("ec"))
+    // E = Σ out-degree — no third edge scan
+    val te = deg.agg(sum(col("d")).as("ec"))
     dc.join(wi, Seq("community"), "left").crossJoin(broadcast(te))
       .select(col("community"), col("n_members"),
         coalesce(col("within_edges"), lit(0L)).as("within_edges"), col("degree_sum"),
@@ -1908,25 +1940,34 @@ object Graph {
   private[graft] def betweennessSampled(edges: DataFrame, seeds: DataFrame): DataFrame = {
     val b0 = seeds.select(col("seed"), col("seed").as("node"), lit(1L).as("sig"))
       .localCheckpoint(true)
-    def levelUp(prev: DataFrame, excl: Seq[DataFrame]): DataFrame = {
+    def levelUp(prev: DataFrame, excl: Seq[DataFrame],
+                checkpoint: Boolean = true): DataFrame = {
       val pr = prev.count()
       val cand = edges
         .join(gateBroadcast(
           prev.select(col("seed"), col("node").as("src"), col("sig")), pr), Seq("src"))
         .select(col("seed"), col("dst").as("node"), col("sig"))
         .groupBy(col("seed"), col("node")).agg(sum(col("sig")).as("sig"))
-      excl.foldLeft(cand) { (df, x) =>
-        df.join(x.select(col("seed"), col("node")), Seq("seed", "node"), "left_anti")
-      }.localCheckpoint(true)
+      // one fused anti-join against the UNION of visited levels, not one
+      // join stage per level (measured ~2× on the widest level at sf0.1)
+      val seen = excl.map(_.select(col("seed"), col("node"))).reduce(_ unionAll _)
+      val next = cand.join(seen, Seq("seed", "node"), "left_anti")
+      if (checkpoint) next.localCheckpoint(true) else next
     }
     val b1 = levelUp(b0, Seq(b0))
     val b2 = levelUp(b1, Seq(b0, b1))
-    val b3 = levelUp(b2, Seq(b0, b1, b2))
-    def deltaDown(lower: DataFrame, upper: DataFrame, upperDelta: DataFrame): DataFrame = {
+    // b3 has a single consumer (d2's upper side) — no checkpoint job
+    val b3 = levelUp(b2, Seq(b0, b1, b2), checkpoint = false)
+    def deltaDown(lower: DataFrame, upper: DataFrame,
+                  upperDelta: Option[DataFrame]): DataFrame = {
       val lr = lower.count()
-      val up = upper.join(upperDelta, Seq("seed", "node"), "left")
-        .select(col("seed"), col("node"), col("sig").as("wsig"),
-          coalesce(col("delta"), lit(0L)).as("wd"))
+      val up = upperDelta match {
+        case Some(d) => upper.join(d, Seq("seed", "node"), "left")
+          .select(col("seed"), col("node"), col("sig").as("wsig"),
+            coalesce(col("delta"), lit(0L)).as("wd"))
+        case None => upper.select(col("seed"), col("node"),
+          col("sig").as("wsig"), lit(0L).as("wd"))
+      }
       edges
         .join(gateBroadcast(lower.select(col("seed"), col("node").as("src"),
           col("node").as("vnode"), col("sig").as("vsig")), lr), Seq("src"))
@@ -1937,8 +1978,8 @@ object Graph {
         .groupBy(col("seed"), col("node")).agg(sum(col("term")).as("delta"))
         .localCheckpoint(true)
     }
-    val d2 = deltaDown(b2, b3, b3.select(col("seed"), col("node"), lit(0L).as("delta")))
-    val d1 = deltaDown(b1, b2, d2)
+    val d2 = deltaDown(b2, b3, None)
+    val d1 = deltaDown(b1, b2, Some(d2))
     d1.unionAll(d2).groupBy(col("node"))
       .agg(sum(col("delta")).as("betweenness_micro"), count(lit(1)).as("n_contribs"))
   }

@@ -1712,7 +1712,7 @@ object Temporal {
   }
 
   val all: Seq[QueryDef] = Seq(
-    q382QuantileRegression,
+    q382QuantileRegression, q383SloBurn,
     q365RevenueProration, q366FriedmanTest,
     q341WatermarkLateness, q346EntropyRate, q354ForecastBacktest, q356RunsTest,
     q46AsofJoin, q47Pivot, q55IntervalJoin, q63AsofNative, q81IntervalNative,
@@ -2310,6 +2310,63 @@ object Temporal {
         (col("num").cast("double")
           / (sqrt(col("denx").cast("double")) * sqrt(col("deny").cast("double")))).as("ccf"))
       .orderBy(col("lag"))
+  }
+
+  /** Multiwindow SLO burn-rate alerting (the Google SRE workbook
+    * device, ch. 5: page only when BOTH a fast and a slow window burn
+    * the error budget — the fast window catches onset, the slow one
+    * suppresses blips): against a 99% success SLO over the events
+    * feed, burn rate = (error fraction) / (1 − SLO) per trailing 1 h
+    * and 6 h windows on the hour axis, paging when burn₁ₕ ≥ 14.4 AND
+    * burn₆ₕ ≥ 6 (the workbook's fast-burn pair). Empty hours count as
+    * zero-traffic rows (the axis is generated, not observed — a gap
+    * in events must not silently shrink the 6 h denominator). Burn
+    * rates are exact micro-unit integers (err·10⁸ DIV total — safe to
+    * ~9·10¹⁰ errors/hour); the trailing sums ride ROWS-frame windows
+    * over the CALENDAR-BOUNDED hour axis (the documented bounded-axis
+    * class — hours, not corpus rows). One grouped pass over events +
+    * one axis join. */
+  lazy val q383SloBurn: QueryDef = sql(
+    "q383_slo_burn",
+    """WITH ev AS (SELECT CAST(epoch_us(date_trunc('hour', ts)) // 3600000000 AS BIGINT) AS h,
+      |    CASE WHEN event_type = 'error' THEN 1 ELSE 0 END AS is_err FROM events),
+      |hb AS (SELECT h, CAST(COUNT(*) AS BIGINT) AS n_total,
+      |    CAST(SUM(is_err) AS BIGINT) AS n_err FROM ev GROUP BY 1),
+      |mx AS (SELECT MIN(h) AS lo, MAX(h) AS hi FROM hb),
+      |axis AS (SELECT lo + t.i AS h FROM mx, LATERAL (SELECT unnest(range(0, hi - lo + 1)) AS i) t),
+      |f AS (SELECT a.h, COALESCE(hb.n_total, 0) AS n_total,
+      |    COALESCE(hb.n_err, 0) AS n_err FROM axis a LEFT JOIN hb USING (h)),
+      |w AS (SELECT h, n_total, n_err,
+      |    SUM(n_total) OVER w6 AS t6, SUM(n_err) OVER w6 AS e6
+      |  FROM f WINDOW w6 AS (ORDER BY h ROWS BETWEEN 5 PRECEDING AND CURRENT ROW))
+      |SELECT h AS hour_idx, n_total, n_err,
+      |  CAST(n_err * 100000000 // GREATEST(1, n_total) AS BIGINT) AS burn1_micro,
+      |  CAST(e6 * 100000000 // GREATEST(1, t6) AS BIGINT) AS burn6_micro,
+      |  CAST(CASE WHEN n_err * 100000000 // GREATEST(1, n_total) >= 14400000
+      |         AND e6 * 100000000 // GREATEST(1, t6) >= 6000000
+      |        THEN 1 ELSE 0 END AS BIGINT) AS page
+      |FROM w ORDER BY hour_idx""".stripMargin) { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val hb = Tables.events(s, dir)
+      .groupBy(expr("unix_micros(date_trunc('hour', ts)) div 3600000000L").as("h"))
+      .agg(count(lit(1)).as("n_total"),
+        sum(when(col("event_type") === "error", 1L).otherwise(0L)).as("n_err"))
+      .localCheckpoint(true) // hour-axis-sized; bounds + fill read it
+    val b = hb.agg(min(col("h")).as("lo"), max(col("h")).as("hi")).head()
+    val axis = s.range(b.getLong(0), b.getLong(1) + 1).toDF("h")
+    val f = axis.join(hb, Seq("h"), "left")
+      .select(col("h"), coalesce(col("n_total"), lit(0L)).as("n_total"),
+        coalesce(col("n_err"), lit(0L)).as("n_err"))
+    val w6 = Window.orderBy(col("h")).rowsBetween(-5, 0)
+    f.withColumn("t6", sum(col("n_total")).over(w6))
+      .withColumn("e6", sum(col("n_err")).over(w6))
+      .select(col("h").as("hour_idx"), col("n_total"), col("n_err"),
+        expr("n_err * 100000000L DIV GREATEST(1L, n_total)").as("burn1_micro"),
+        expr("e6 * 100000000L DIV GREATEST(1L, t6)").as("burn6_micro"),
+        expr("""CAST(CASE WHEN n_err * 100000000L DIV GREATEST(1L, n_total) >= 14400000
+               |       AND e6 * 100000000L DIV GREATEST(1L, t6) >= 6000000
+               |      THEN 1 ELSE 0 END AS BIGINT)""".stripMargin).as("page"))
+      .orderBy(col("hour_idx"))
   }
 
   /** Quantile regression by exact grid search (Koenker & Bassett,

@@ -178,7 +178,12 @@ class GraphSpec extends SparkSpec {
       Graph.pagerank(e, rounds = 2).collect().map(_.toString).sorted.toSeq,
       Graph.labelPropagation(e, rounds = 2).collect().map(_.toString).sorted.toSeq,
       Graph.bfsDistances(e, seeds, maxHops = 3).collect().map(_.toString).sorted.toSeq,
-      Graph.pagerankDirected(dirE, rounds = 2).collect().map(_.toString).sorted.toSeq)
+      Graph.pagerankDirected(dirE, rounds = 2).collect().map(_.toString).sorted.toSeq,
+      Graph.hits(dirE, rounds = 2).collect().map(_.toString).sorted.toSeq,
+      Graph.walkCorpus(e, steps = 3, seedMod = 1).collect().map(_.toString).sorted.toSeq,
+      Graph.betweennessSampled(e, seeds).collect().map(_.toString).sorted.toSeq,
+      Graph.modularityOf(e, Graph.labelPropagation(e, rounds = 2))
+        .collect().map(_.toString).sorted.toSeq)
     val key = "spark.graft.graph.broadcastNodeBudget"
     val saved = spark.conf.getOption(key)
     val hinted = all()
