@@ -141,7 +141,19 @@ object ScaleSmoke {
       "q223_robust_scale", "q224_burstiness", "q225_ks_drift",
       "q228_vacuum_plan", "q232_manifest_pruning", "q233_skyline_select", "q234_prefix_join",
       "q237_mann_whitney", "q239_quantile_norm", "q240_merkle_diff",
-      "q243_triangles", "q254_association_rules", "q262_pps_sample")
+      "q243_triangles", "q254_association_rules", "q262_pps_sample",
+      // round-7 second wave: the word-graph centralities, the
+      // co-purchase walkers, and the corpus-shaped audits all run on
+      // the smoke tables (documents + the 2-col lineitem + vecs);
+      // q375/q382/q383 need orders/events and sit in the documented
+      // already-covered classes (q375 = one grouped pass + broadcast
+      // totals, the q211 class; q382/q383 = bounded-axis windows over
+      // one daily/hourly aggregate, the q226 class)
+      "q369_hits", "q370_walk_corpus", "q371_welch_screen",
+      "q372_rake_keyphrases", "q373_modularity",
+      "q374_quantization_recall", "q376_aspect_batching",
+      "q377_auc_eval", "q378_betweenness", "q379_percolation",
+      "q380_data_map", "q381_decision_stump", "q384_weighted_kappa")
     // q226/q227/q229/q230/q231/q235/q236/q238/q241/q242/q244/q245/q246/q247/q248/q249/q250/q251/q252/q253/q255/q256/q257/q258/q259/q260/q261 are not smoked: the
     // smoke corpus has
     // no events/orders tables and only a 2-column lineitem projection,
