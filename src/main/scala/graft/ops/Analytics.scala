@@ -3569,7 +3569,83 @@ object Analytics {
           .as("naive_cents"))
   }
 
+  /** Simpson's-paradox screen (Simpson JRSS-B 1951; the Bickel et al.
+    * Science 1975 admissions case is the canonical instance): does the
+    * balance→spend association hold WITHIN every nation stratum, or
+    * does the aggregate sign come from stratum composition? Per
+    * stratum and overall, the n-scaled covariance n·Σxy − Σx·Σy of
+    * (account-balance dollars, lifetime-spend dollars) — an exact
+    * BIGINT whose SIGN is the association direction — plus a flip flag
+    * against the pooled sign. Any flipped stratum means a
+    * stratum-blind policy read (q375's CEM exists precisely for that
+    * case). Dollar units keep n·Σxy inside BIGINT to ~10⁹ customers ×
+    * 10⁶-dollar spends (cents would overflow three decades earlier —
+    * the q352 overflow discipline). One grouped pass + one broadcast
+    * total row; strata are nation-parallel. */
+  val q385SimpsonsFlip: QueryDef = sql(
+    "q385_simpsons_flip",
+    """WITH sp AS (
+      |  SELECT o_custkey, CAST(SUM(CAST(FLOOR(o_totalprice) AS BIGINT)) AS BIGINT) AS y
+      |  FROM orders GROUP BY 1),
+      |base AS (
+      |  SELECT c_nationkey AS nat, CAST(FLOOR(c_acctbal) AS BIGINT) AS x,
+      |    COALESCE(sp.y, 0) AS y
+      |  FROM customer LEFT JOIN sp ON sp.o_custkey = c_custkey),
+      |per AS (
+      |  SELECT nat, CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(x) AS BIGINT) AS sx,
+      |    CAST(SUM(y) AS BIGINT) AS sy, CAST(SUM(x * y) AS BIGINT) AS sxy
+      |  FROM base GROUP BY 1),
+      |tot AS (
+      |  SELECT CAST(SUM(n) AS BIGINT) AS n, CAST(SUM(sx) AS BIGINT) AS sx,
+      |    CAST(SUM(sy) AS BIGINT) AS sy, CAST(SUM(sxy) AS BIGINT) AS sxy
+      |  FROM per),
+      |ov AS (SELECT n * sxy - sx * sy AS cov_scaled FROM tot),
+      |rows_ AS (
+      |  SELECT CAST(-1 AS BIGINT) AS nat, tot.n,
+      |    ov.cov_scaled,
+      |    CAST(CASE WHEN ov.cov_scaled > 0 THEN 1 WHEN ov.cov_scaled < 0 THEN -1 ELSE 0 END AS BIGINT) AS sign,
+      |    CAST(0 AS BIGINT) AS flipped
+      |  FROM tot, ov
+      |  UNION ALL
+      |  SELECT per.nat, per.n,
+      |    per.n * per.sxy - per.sx * per.sy,
+      |    CAST(CASE WHEN per.n * per.sxy - per.sx * per.sy > 0 THEN 1
+      |         WHEN per.n * per.sxy - per.sx * per.sy < 0 THEN -1 ELSE 0 END AS BIGINT),
+      |    CAST(CASE WHEN SIGN(per.n * per.sxy - per.sx * per.sy) <> SIGN(ov.cov_scaled)
+      |              AND per.n * per.sxy - per.sx * per.sy <> 0 THEN 1 ELSE 0 END AS BIGINT)
+      |  FROM per, ov)
+      |SELECT nat AS stratum, n, cov_scaled, sign, flipped
+      |FROM rows_ ORDER BY stratum""".stripMargin) { (s, dir) =>
+    val sp = Tables.orders(s, dir).groupBy(col("o_custkey"))
+      .agg(sum(expr("CAST(FLOOR(o_totalprice) AS BIGINT)")).as("y"))
+    val base = Tables.customer(s, dir)
+      .join(sp, col("o_custkey") === col("c_custkey"), "left")
+      .select(col("c_nationkey").as("nat"),
+        expr("CAST(FLOOR(c_acctbal) AS BIGINT)").as("x"),
+        coalesce(col("y"), lit(0L)).as("y"))
+    val per = base.groupBy(col("nat"))
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("y")).as("sxy"))
+      .localCheckpoint(true) // nation-sized; totals + the stratum rows
+    val tot = per.agg(sum(col("n")).as("n"), sum(col("sx")).as("sx"),
+      sum(col("sy")).as("sy"), sum(col("sxy")).as("sxy"))
+    val ov = tot.select(col("n"), (col("n") * col("sxy") - col("sx") * col("sy")).as("cov_all"))
+    val overall = ov.select(lit(-1L).as("stratum"), col("n"),
+      col("cov_all").as("cov_scaled"),
+      signum(col("cov_all")).cast("long").as("sign"), lit(0L).as("flipped"))
+    val strata = per.crossJoin(broadcast(ov.select(col("cov_all"))))
+      .select(col("nat").as("stratum"), col("n"),
+        (col("n") * col("sxy") - col("sx") * col("sy")).as("cov_scaled"),
+        col("cov_all"))
+      .select(col("stratum"), col("n"), col("cov_scaled"),
+        signum(col("cov_scaled")).cast("long").as("sign"),
+        when(signum(col("cov_scaled")) =!= signum(col("cov_all")) &&
+          col("cov_scaled") =!= 0, 1L).otherwise(0L).as("flipped"))
+    overall.unionByName(strata).orderBy(col("stratum"))
+  }
+
   val all: Seq[QueryDef] = Seq(
+    q385SimpsonsFlip,
     q375CemAtt,
     q360KruskalWallis,
     q332DeltaJoinMv, q344CdcCompaction,

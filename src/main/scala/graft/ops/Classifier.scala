@@ -1212,7 +1212,8 @@ object Classifier {
       |    (SELECT CAST(SUM(ABS(o.a - o.b) * ra.n_a * cb.n_b) AS BIGINT)
       |       FROM o JOIN ra ON ra.a = o.a JOIN cb ON cb.b = o.b) AS we)
       |SELECT CAST(o.a AS BIGINT) AS a, CAST(o.b AS BIGINT) AS b, o.n_obs,
-      |  1.0 - CAST(tot.n * tot.wo AS DOUBLE) / CAST(tot.we AS DOUBLE) AS kappa_w
+      |  CASE WHEN tot.we > 0
+      |       THEN 1.0 - CAST(tot.n * tot.wo AS DOUBLE) / CAST(tot.we AS DOUBLE) END AS kappa_w
       |FROM o, tot
       |ORDER BY a, b""".stripMargin) { (s, dir) =>
     val ha = expr("CAST(conv(substring(md5(concat('ann_a:', CAST(doc_id AS STRING))), 1, 8), 16, 10) AS BIGINT)")
@@ -1234,7 +1235,10 @@ object Classifier {
         .agg(sum(abs(col("a") - col("b")) * col("n_a") * col("n_b")).as("we"))))
     o.crossJoin(broadcast(tot))
       .select(col("a"), col("b"), col("n_obs"),
-        (lit(1.0) - (col("n") * col("wo")).cast("double") / col("we").cast("double"))
+        // constant-rater degeneracy (we = 0) goes NULL, never NaN —
+        // the q356 zero-variance discipline
+        when(col("we") > 0,
+          lit(1.0) - (col("n") * col("wo")).cast("double") / col("we").cast("double"))
           .as("kappa_w"))
       .orderBy(col("a"), col("b"))
   }

@@ -1984,11 +1984,97 @@ object Graph {
       .agg(sum(col("delta")).as("betweenness_micro"), count(lit(1)).as("n_contribs"))
   }
 
+  /** Deterministic maximal independent set by hash priorities (the
+    * derandomized Luby 1986 round: a node joins when its priority
+    * beats every ACTIVE neighbor's, then it and its neighbors retire)
+    * — the conflict-free parallel scheduling primitive: an MIS over
+    * the co-purchase conflict graph is a maximal batch of parts whose
+    * updates touch no common order context and can run concurrently.
+    * Priorities are md5 integers of the node id (the q370 device), so
+    * every round — and therefore the WHOLE set — is a pure function of
+    * the graph: reruns, re-partitions, and both engines agree bit for
+    * bit. Per round: one neighbor-min join against the pinned edges
+    * (gated broadcast, min over (priority, node) structs so even a
+    * hash collision breaks deterministically), one retire anti-join.
+    * Active-set size drops geometrically (measured: 20000 → 12 active
+    * in 7 rounds at sf0.1); the engine iterates to the empty fixpoint
+    * while the oracle unrolls 8 rounds — a fixture ever needing more
+    * would leave the oracle short and FAIL the hash gate loudly (the
+    * safe direction of the q358 unrolled-closure lesson). Returns
+    * (node, round_joined). */
+  def misByHash(edges: DataFrame, maxRounds: Int = 40): DataFrame = {
+    val e = edges.persist(StorageLevel.MEMORY_AND_DISK)
+    var act = e.select(col("src").as("v")).distinct()
+      .withColumn("p", expr(
+        "CAST(conv(substring(md5(concat('mis:', CAST(v AS STRING))), 1, 15), 16, 10) AS BIGINT)"))
+      .localCheckpoint(true)
+    var nAct = act.count()
+    val out = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    var round = 1
+    while (nAct > 0 && round <= maxRounds) {
+      val nbrMin = e
+        .join(gateBroadcast(act.select(col("v").as("dst"), col("p").as("np"),
+          col("v").as("nv")), nAct), Seq("dst"))
+        .groupBy(col("src")).agg(min(struct(col("np"), col("nv"))).as("m"))
+      val mis = act
+        .join(nbrMin.withColumnRenamed("src", "v"), Seq("v"), "left")
+        .filter(col("m").isNull || col("p") < col("m.np") ||
+          (col("p") === col("m.np") && col("v") < col("m.nv")))
+        .select(col("v"), col("p"))
+        .localCheckpoint(true) // round-sized; feeds output, retire, next act
+      out += mis.select(col("v").as("node"), lit(round.toLong).as("round_joined"))
+      val rm = mis.select(col("v"))
+        .unionAll(e.join(gateBroadcast(mis.select(col("v").as("src")), nAct), Seq("src"))
+          .select(col("dst").as("v")))
+        .distinct()
+      act = act.join(rm, Seq("v"), "left_anti").localCheckpoint(true)
+      nAct = act.count()
+      round += 1
+    }
+    if (out.isEmpty) // edgeless input: no rounds ran
+      act.select(col("v").as("node"), lit(0L).as("round_joined")).limit(0)
+    else out.reduce(_ unionByName _)
+  }
+
+  /** One unrolled oracle MIS round k over CTEs e/a{k-1}. Every CTE is
+    * MATERIALIZED: inlined, the 8 rounds' NOT EXISTS legs re-open the
+    * lineitem parquet once per reference and blow the fd limit. */
+  private def misRoundSql(k: Int): String = {
+    val prev = s"a${k - 1}"
+    s"""m$k AS MATERIALIZED (SELECT a.v, a.p FROM $prev a
+       |  WHERE NOT EXISTS (SELECT 1 FROM e JOIN $prev b ON b.v = e.dst
+       |    WHERE e.src = a.v AND (b.p < a.p OR (b.p = a.p AND b.v < a.v)))),
+       |rm$k AS MATERIALIZED (SELECT v FROM m$k
+       |         UNION SELECT e.dst FROM e JOIN m$k m ON m.v = e.src),
+       |a$k AS MATERIALIZED (SELECT a.v, a.p FROM $prev a
+       |  WHERE NOT EXISTS (SELECT 1 FROM rm$k r WHERE r.v = a.v))""".stripMargin
+  }
+
+  /** Contract face of [[misByHash]] over the co-purchase graph. The
+    * membership (and each member's join round) hashes every round's
+    * neighbor-min comparisons — one diverged priority or retire
+    * anywhere reshapes the set. */
+  val q386MaximalIndependentSet: QueryDef = sql(
+    "q386_maximal_independent_set",
+    s"""WITH e AS MATERIALIZED (
+       |  SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+       |  FROM lineitem a JOIN lineitem b
+       |    ON b.l_orderkey = a.l_orderkey AND b.l_partkey <> a.l_partkey),
+       |a0 AS MATERIALIZED (SELECT DISTINCT src AS v,
+       |    CAST(('0x' || substr(md5('mis:' || CAST(src AS VARCHAR)), 1, 15)) AS BIGINT) AS p
+       |  FROM e),
+       |${(1 to 8).map(misRoundSql).mkString(",\n")},
+       |mis AS (${(1 to 8).map(k => s"SELECT v, $k AS r FROM m$k").mkString("\n  UNION ALL ")})
+       |SELECT v AS node, CAST(r AS BIGINT) AS round_joined
+       |FROM mis ORDER BY node""".stripMargin) { (s, dir) =>
+    misByHash(copurchaseEdges(s, dir)).orderBy(col("node"))
+  }
+
   val all: Seq[QueryDef] = Seq(q143Pagerank, q153LabelProp, q173BradleyTerry,
     q188PersonalizedPagerank, q243Triangles, q263BfsHops, q274LocalBridges,
     q279Textrank, q281Assortativity, q282KCore, q302WalkerConvergence,
     q312HierarchyRollup, q325DirectedPagerank, q340HarmonicCentrality,
     q347CycleDetection, q349LinkPrediction, q358CycleFixpoint,
     q364StronglyConnected, q369Hits, q370WalkCorpus, q373Modularity,
-    q378Betweenness)
+    q378Betweenness, q386MaximalIndependentSet)
 }

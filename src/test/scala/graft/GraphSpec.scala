@@ -314,6 +314,23 @@ class GraphSpec extends SparkSpec {
     assert(got == Set((2L, 2000000L, 2L)))
   }
 
+  test("MIS by hash: independent, maximal, deterministic — and exactly one node per clique") {
+    val e = edges((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (1L, 5L), (2L, 5L),
+      (10L, 11L), (11L, 12L), (10L, 12L))
+    val adj = e.collect().map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSet }
+    val mis = Graph.misByHash(e).collect().map(_.getLong(0)).toSet
+    assert(mis.nonEmpty)
+    for (v <- mis; w <- mis if w != v)
+      assert(!adj(v).contains(w), s"MIS members $v,$w share an edge")
+    for (v <- adj.keySet if !mis.contains(v))
+      assert(adj(v).exists(mis.contains), s"non-member $v has no MIS neighbor (not maximal)")
+    // the 10-11-12 triangle is a clique: exactly one member survives
+    assert(Set(10L, 11L, 12L).count(mis.contains) == 1)
+    val again = Graph.misByHash(e).collect().map(_.getLong(0)).toSet
+    assert(again == mis, "hash priorities must make the set a pure function of the graph")
+  }
+
   test("betweenness: split shortest paths halve the dependency (sigma ratios, not counts)") {
     // Square 1-2-4, 1-3-4: from seed 1, node 4 has sigma 2 via {2,3};
     // delta(2) = sig_2*(1e6+0) DIV sig_4 = 1*1e6 DIV 2 = 500000, same

@@ -658,6 +658,53 @@ class PipelineOpsSpec extends SparkSpec {
     }
   }
 
+  test("q385: the Simpson screen covers every customer once and the overall row never self-flips") {
+    val rows = graft.ops.Analytics.q385SimpsonsFlip.run(spark, sfDir).collect()
+    val overall = rows.filter(_.getAs[Long]("stratum") == -1L)
+    assert(overall.length == 1 && overall.head.getAs[Long]("flipped") == 0)
+    val strata = rows.filter(_.getAs[Long]("stratum") >= 0)
+    assert(strata.map(_.getAs[Long]("n")).sum == overall.head.getAs[Long]("n"))
+    rows.foreach { r =>
+      val sign = r.getAs[Long]("sign")
+      assert(sign == -1 || sign == 0 || sign == 1)
+      assert(sign == r.getAs[Long]("cov_scaled").sign)
+      if (r.getAs[Long]("flipped") == 1)
+        assert(sign != 0 && sign != overall.head.getAs[Long]("sign"))
+    }
+  }
+
+  test("q383: burn rates are consistent with their own counts and paging needs both windows") {
+    val rows = graft.ops.Temporal.q383SloBurn.run(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (tot, err) = (r.getAs[Long]("n_total"), r.getAs[Long]("n_err"))
+      assert(err <= tot)
+      assert(r.getAs[Long]("burn1_micro") == err * 100000000L / math.max(1L, tot))
+      val page = r.getAs[Long]("page")
+      if (page == 1) {
+        assert(r.getAs[Long]("burn1_micro") >= 14400000L)
+        assert(r.getAs[Long]("burn6_micro") >= 6000000L)
+      }
+    }
+    // hour axis is gap-free
+    val hours = rows.map(_.getAs[Long]("hour_idx")).sorted
+    assert(hours.last - hours.head + 1 == hours.length)
+  }
+
+  test("q384: weighted kappa rewards near-misses relative to nominal kappa under adjacent-grade noise") {
+    val cells = graft.ops.Classifier.q384WeightedKappa.run(spark, sfDir).collect()
+    assert(cells.length == 9)
+    val kw = cells.head.getAs[Double]("kappa_w")
+    assert(cells.forall(_.getAs[Double]("kappa_w") == kw), "kappa_w is a shared scalar")
+    assert(kw > -1.0 && kw <= 1.0)
+    val nominal = graft.ops.Classifier.q203AnnotatorKappa.run(spark, sfDir)
+      .collect().head.getAs[Double]("kappa")
+    // the q203 noise model redraws rater b UNIFORMLY, so disagreements
+    // are not concentrated at adjacent grades — the two statistics must
+    // still be in the same quadrant (both well above chance here)
+    assert(kw > 0.0 && nominal > 0.0)
+  }
+
   test("q382: the fitted 0.9-line is a grid slope with non-negative pinball loss") {
     val r = graft.ops.Temporal.q382QuantileRegression.run(spark, sfDir).collect()(0)
     val slope = r.getAs[Long]("slope_cents_per_day")
