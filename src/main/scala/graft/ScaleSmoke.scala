@@ -153,7 +153,9 @@ object ScaleSmoke {
       "q372_rake_keyphrases", "q373_modularity",
       "q374_quantization_recall", "q376_aspect_batching",
       "q377_auc_eval", "q378_betweenness", "q379_percolation",
-      "q380_data_map", "q381_decision_stump", "q384_weighted_kappa")
+      "q380_data_map", "q381_decision_stump", "q384_weighted_kappa",
+      "q386_maximal_independent_set", "q387_wl_refinement",
+      "q388_wasserstein_drift")
     // q226/q227/q229/q230/q231/q235/q236/q238/q241/q242/q244/q245/q246/q247/q248/q249/q250/q251/q252/q253/q255/q256/q257/q258/q259/q260/q261 are not smoked: the
     // smoke corpus has
     // no events/orders tables and only a 2-column lineitem projection,

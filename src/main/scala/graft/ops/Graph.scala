@@ -2070,11 +2070,81 @@ object Graph {
     misByHash(copurchaseEdges(s, dir)).orderBy(col("node"))
   }
 
+  /** 1-dimensional Weisfeiler–Leman color refinement (Weisfeiler &
+    * Leman 1968; the WL-subtree kernel of Shervashidze et al., JMLR
+    * 2011): every node's color starts as its degree and each round
+    * re-hashes (own color | sorted neighbor-color multiset) — after k
+    * rounds two nodes share a color only if their depth-k neighborhood
+    * trees are isomorphic. The STRUCTURAL-ROLE signature: q153 groups
+    * nodes that are near each other, WL groups nodes that look alike
+    * (leaf parts, bridge parts, hub cores), which is the feature
+    * graph-dedup and graph-classification pipelines hash. Colors are
+    * 60-bit md5 integers of a canonical serialization (numeric-sorted
+    * neighbor colors, comma-joined), so both engines refine
+    * identically. Two rounds; the color histogram hashes the whole
+    * refinement.
+    *
+    * Scale posture: per round one gated node-color join into the
+    * pinned edges + a node-keyed sorted-list aggregate (per-node state
+    * bounded by degree); the histogram is a map-side-combined count.
+    * Like any WL implementation the multiset serialization is
+    * degree-bounded per node — skewed hubs carry long lists, the
+    * documented cost of the exact kernel (hash-of-sorted-hashes is
+    * what graph-ML libraries ship). */
+  def wlColors(edges: DataFrame, rounds: Int): DataFrame = {
+    val (e, deg, n) = pinEdges(edges)
+    var color = deg.select(col("src").as("v"), col("d").cast("long").as("c"))
+      .localCheckpoint(true)
+    for (_ <- 1 to rounds) {
+      color = e
+        .join(gateBroadcast(color.select(col("v").as("dst"), col("c").as("nc")), n), Seq("dst"))
+        .groupBy(col("src"))
+        .agg(expr("concat_ws(',', transform(array_sort(collect_list(nc)), x -> CAST(x AS STRING)))").as("s"))
+        .join(gateBroadcast(color.select(col("v").as("src"), col("c")), n), Seq("src"))
+        .select(col("src").as("v"), expr(
+          "CAST(conv(substring(md5(concat(CAST(c AS STRING), '|', s)), 1, 15), 16, 10) AS BIGINT)").as("c"))
+        .localCheckpoint(true)
+    }
+    color
+  }
+
+  /** One unrolled oracle WL round k over CTEs e/w{k-1}. */
+  private def wlRoundSql(k: Int): String = {
+    val prev = s"w${k - 1}"
+    s"""w$k AS MATERIALIZED (
+       |  SELECT n.v, CAST(('0x' || substr(md5(CAST(n.c AS VARCHAR) || '|' || n.s), 1, 15)) AS BIGINT) AS c
+       |  FROM (SELECT p.v, p.c, array_to_string(list_sort(list(b.c)), ',') AS s
+       |        FROM $prev p JOIN e ON e.src = p.v JOIN $prev b ON b.v = e.dst
+       |        GROUP BY p.v, p.c) n)""".stripMargin
+  }
+
+  /** Contract face of [[wlColors]]: 2 refinement rounds over the
+    * co-purchase graph, top-100 color classes by size. */
+  val q387WlRefinement: QueryDef = sql(
+    "q387_wl_refinement",
+    s"""WITH e AS MATERIALIZED (
+       |  SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+       |  FROM lineitem a JOIN lineitem b
+       |    ON b.l_orderkey = a.l_orderkey AND b.l_partkey <> a.l_partkey),
+       |deg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS d FROM e GROUP BY 1),
+       |w0 AS MATERIALIZED (SELECT src AS v, d AS c FROM deg),
+       |${wlRoundSql(1)},
+       |${wlRoundSql(2)}
+       |SELECT c AS wl_color, CAST(COUNT(*) AS BIGINT) AS n_nodes
+       |FROM w2 GROUP BY 1
+       |ORDER BY n_nodes DESC, wl_color
+       |LIMIT 100""".stripMargin) { (s, dir) =>
+    wlColors(copurchaseEdges(s, dir), rounds = 2)
+      .groupBy(col("c").as("wl_color")).agg(count(lit(1)).as("n_nodes"))
+      .orderBy(col("n_nodes").desc, col("wl_color"))
+      .limit(100)
+  }
+
   val all: Seq[QueryDef] = Seq(q143Pagerank, q153LabelProp, q173BradleyTerry,
     q188PersonalizedPagerank, q243Triangles, q263BfsHops, q274LocalBridges,
     q279Textrank, q281Assortativity, q282KCore, q302WalkerConvergence,
     q312HierarchyRollup, q325DirectedPagerank, q340HarmonicCentrality,
     q347CycleDetection, q349LinkPrediction, q358CycleFixpoint,
     q364StronglyConnected, q369Hits, q370WalkCorpus, q373Modularity,
-    q378Betweenness, q386MaximalIndependentSet)
+    q378Betweenness, q386MaximalIndependentSet, q387WlRefinement)
 }

@@ -6360,7 +6360,69 @@ object TextOps {
       .limit(50)
   }
 
+  /** Wasserstein-1 (earth mover's) length drift per source — the third
+    * leg of the drift tripod: q225's KS reads the single WORST CDF gap
+    * (insensitive to how long the distributions stay apart), q338's PSI
+    * reads log-ratio mass shifts (unstable on near-empty bins), W₁ =
+    * Σ_buckets |CDF_source − CDF_corpus| integrates the whole gap in
+    * distance units — the metric that says HOW FAR the mass moved, not
+    * just that it did (the 1-D closed form of optimal transport:
+    * Vallender 1974). Computed on the 50-char length histogram over
+    * the GLOBAL bucket axis (missing buckets are real zeroes on both
+    * sides), CDFs in exact micro-units by integer division, the sum in
+    * micro-bucket-steps. Per-source work is a bounded-axis prefix
+    * window (buckets ≈ max-length/50, value-range-bounded — the
+    * documented bounded-axis class); the corpus passes are one grouped
+    * histogram. */
+  val q388WassersteinDrift: QueryDef = sql(
+    "q388_wasserstein_drift",
+    """WITH h AS (SELECT source, n_chars // 50 AS b, CAST(COUNT(*) AS BIGINT) AS n
+      |  FROM documents GROUP BY 1, 2),
+      |axis AS (SELECT DISTINCT b FROM h),
+      |srcs AS (SELECT source, CAST(SUM(n) AS BIGINT) AS ns FROM h GROUP BY 1),
+      |grid AS (SELECT s.source, a.b, COALESCE(h.n, 0) AS n, s.ns
+      |  FROM srcs s CROSS JOIN axis a
+      |  LEFT JOIN h ON h.source = s.source AND h.b = a.b),
+      |cums AS (SELECT source, b, ns,
+      |    CAST(SUM(n) OVER (PARTITION BY source ORDER BY b
+      |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+      |  FROM grid),
+      |gh AS (SELECT b, CAST(SUM(n) AS BIGINT) AS gn FROM h GROUP BY 1),
+      |gt AS (SELECT CAST(SUM(gn) AS BIGINT) AS nall FROM gh),
+      |gcum AS (SELECT b,
+      |    CAST(SUM(gn) OVER (ORDER BY b ROWS UNBOUNDED PRECEDING) AS BIGINT) AS gc
+      |  FROM gh)
+      |SELECT c.source, MAX(c.ns) AS n_docs,
+      |  CAST(SUM(ABS(c.cum * 1000000 // c.ns - g.gc * 1000000 // gt.nall)) AS BIGINT) AS w1_micro
+      |FROM cums c JOIN gcum g ON g.b = c.b, gt
+      |GROUP BY c.source
+      |ORDER BY c.source""".stripMargin) { (s, dir) =>
+    val h = Tables.documents(s, dir)
+      .groupBy(col("source"), expr("n_chars DIV 50").as("b"))
+      .agg(count(lit(1)).as("n"))
+      .localCheckpoint(true) // (source × bucket)-sized; axis + totals + grid
+    val axis = h.select(col("b")).distinct()
+    val srcs = h.groupBy(col("source")).agg(sum(col("n")).as("ns"))
+    val grid = srcs.crossJoin(broadcast(axis))
+      .join(h, Seq("source", "b"), "left")
+      .select(col("source"), col("b"), coalesce(col("n"), lit(0L)).as("n"), col("ns"))
+    val bySrc = Window.partitionBy(col("source")).orderBy(col("b"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val cums = grid.withColumn("cum", sum(col("n")).over(bySrc))
+    val gh = h.groupBy(col("b")).agg(sum(col("n")).as("gn"))
+    val gt = gh.agg(sum(col("gn")).as("nall"))
+    val gcum = gh.withColumn("gc", sum(col("gn")).over(
+      Window.orderBy(col("b")).rowsBetween(Window.unboundedPreceding, 0)))
+    cums.join(broadcast(gcum.select(col("b"), col("gc"))), Seq("b"))
+      .crossJoin(broadcast(gt))
+      .groupBy(col("source"))
+      .agg(max(col("ns")).as("n_docs"),
+        sum(expr("ABS(cum * 1000000L DIV ns - gc * 1000000L DIV nall)")).as("w1_micro"))
+      .orderBy(col("source"))
+  }
+
   val all: Seq[QueryDef] = Seq(
+    q388WassersteinDrift,
     q371WelchScreen, q372RakeKeyphrases,
     q342BottomkSample, q348DirichletQl, q351CharngramLangid, q353TopicSegments,
     q326Winnowing, q327MojibakeAudit, q333Rbo, q334HillTail, q338PsiDrift,

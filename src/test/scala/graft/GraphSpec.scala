@@ -304,6 +304,24 @@ class GraphSpec extends SparkSpec {
     assert(got == Set((1L, 3L, 6L, 6L, 250000L), (4L, 3L, 6L, 6L, 250000L)))
   }
 
+  test("WL refinement: structurally equivalent nodes share colors, roles separate") {
+    // disjoint triangle {1,2,3} + star 10-(11,12,13): triangle corners
+    // are mutually isomorphic; star leaves are mutually isomorphic but
+    // differ from the center and from the corners (degree + neighbor
+    // multiset distinguish them by round 1)
+    val e = edges((1L, 2L), (2L, 3L), (1L, 3L),
+      (10L, 11L), (10L, 12L), (10L, 13L))
+    val c = Graph.wlColors(e, rounds = 2).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(c(1L) == c(2L) && c(2L) == c(3L), "triangle corners are one WL class")
+    assert(c(11L) == c(12L) && c(12L) == c(13L), "star leaves are one WL class")
+    assert(c(10L) != c(11L), "center vs leaf must separate")
+    assert(c(1L) != c(11L), "corner vs leaf must separate (corner sees degree-2 peers)")
+    val again = Graph.wlColors(e, rounds = 2).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(again == c, "refinement is a pure function of the graph")
+  }
+
   test("betweenness: path 1-2-3 puts all dependency on the middle node, hand-computed") {
     // Seed 1: delta(2) = sig_2*(1e6+0)/sig_3 = 1e6; seed 3 symmetric;
     // seed 2: both neighbors are level 1 with no level 2 — no rows.

@@ -705,6 +705,20 @@ class PipelineOpsSpec extends SparkSpec {
     assert(kw > 0.0 && nominal > 0.0)
   }
 
+  test("q388: W1 drift is non-negative, bounded by the bucket span, and covers every source") {
+    val rows = graft.ops.TextOps.q388WassersteinDrift.run(spark, sfDir).collect()
+    val corpus = Tables.documents(spark, sfDir).count()
+    assert(rows.map(_.getAs[Long]("n_docs")).sum == corpus)
+    val buckets = Tables.documents(spark, sfDir)
+      .select(expr("n_chars DIV 50")).distinct().count()
+    rows.foreach { r =>
+      val w1 = r.getAs[Long]("w1_micro")
+      // each bucket contributes |CDF gap| <= 1e6, so W1 <= buckets * 1e6
+      assert(w1 >= 0 && w1 <= buckets * 1000000L,
+        s"${r.getAs[String]("source")}: W1 $w1 outside [0, ${buckets}e6]")
+    }
+  }
+
   test("q382: the fitted 0.9-line is a grid slope with non-negative pinball loss") {
     val r = graft.ops.Temporal.q382QuantileRegression.run(spark, sfDir).collect()(0)
     val slope = r.getAs[Long]("slope_cents_per_day")
