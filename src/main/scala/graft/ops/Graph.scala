@@ -1940,27 +1940,31 @@ object Graph {
   private[graft] def betweennessSampled(edges: DataFrame, seeds: DataFrame): DataFrame = {
     val b0 = seeds.select(col("seed"), col("seed").as("node"), lit(1L).as("sig"))
       .localCheckpoint(true)
-    def levelUp(prev: DataFrame, excl: Seq[DataFrame],
-                checkpoint: Boolean = true): DataFrame = {
-      val pr = prev.count()
-      val cand = edges
-        .join(gateBroadcast(
-          prev.select(col("seed"), col("node").as("src"), col("sig")), pr), Seq("src"))
-        .select(col("seed"), col("dst").as("node"), col("sig"))
-        .groupBy(col("seed"), col("node")).agg(sum(col("sig")).as("sig"))
+    // One edge expansion per level, SHARED by the forward σ aggregation
+    // and the backward δ join (the naive form expanded edges×frontier
+    // five times; the fused form three times, the two widest reused
+    // from cache — measured ~30% at sf0.1)
+    def expandFrom(lower: DataFrame, rows: Long): DataFrame = edges
+      .join(gateBroadcast(lower.select(col("seed"), col("node").as("src"),
+        col("node").as("vnode"), col("sig").as("vsig")), rows), Seq("src"))
+      .select(col("seed"), col("vnode"), col("vsig"), col("dst").as("node"))
+    def levelOf(ex: DataFrame, excl: Seq[DataFrame]): DataFrame = {
+      val cand = ex.groupBy(col("seed"), col("node")).agg(sum(col("vsig")).as("sig"))
       // one fused anti-join against the UNION of visited levels, not one
       // join stage per level (measured ~2× on the widest level at sf0.1)
       val seen = excl.map(_.select(col("seed"), col("node"))).reduce(_ unionAll _)
-      val next = cand.join(seen, Seq("seed", "node"), "left_anti")
-      if (checkpoint) next.localCheckpoint(true) else next
+      cand.join(seen, Seq("seed", "node"), "left_anti").localCheckpoint(true)
     }
-    val b1 = levelUp(b0, Seq(b0))
-    val b2 = levelUp(b1, Seq(b0, b1))
-    // b3 has a single consumer (d2's upper side) — no checkpoint job
-    val b3 = levelUp(b2, Seq(b0, b1, b2), checkpoint = false)
-    def deltaDown(lower: DataFrame, upper: DataFrame,
+    val ex1 = expandFrom(b0, b0.count())
+    val b1 = levelOf(ex1, Seq(b0))
+    val ex2 = expandFrom(b1, b1.count())
+      .persist(StorageLevel.MEMORY_AND_DISK) // forward b2 + backward d1
+    val b2 = levelOf(ex2, Seq(b0, b1))
+    val ex3 = expandFrom(b2, b2.count())
+      .persist(StorageLevel.MEMORY_AND_DISK) // forward b3 + backward d2
+    val b3 = levelOf(ex3, Seq(b0, b1, b2))
+    def deltaDown(ex: DataFrame, upper: DataFrame,
                   upperDelta: Option[DataFrame]): DataFrame = {
-      val lr = lower.count()
       val up = upperDelta match {
         case Some(d) => upper.join(d, Seq("seed", "node"), "left")
           .select(col("seed"), col("node"), col("sig").as("wsig"),
@@ -1968,18 +1972,16 @@ object Graph {
         case None => upper.select(col("seed"), col("node"),
           col("sig").as("wsig"), lit(0L).as("wd"))
       }
-      edges
-        .join(gateBroadcast(lower.select(col("seed"), col("node").as("src"),
-          col("node").as("vnode"), col("sig").as("vsig")), lr), Seq("src"))
-        .select(col("seed"), col("vnode"), col("vsig"), col("dst").as("node"))
-        .join(up, Seq("seed", "node"))
+      ex.join(up, Seq("seed", "node"))
         .select(col("seed"), col("vnode").as("node"),
           expr("vsig * (1000000L + wd) DIV wsig").as("term"))
         .groupBy(col("seed"), col("node")).agg(sum(col("term")).as("delta"))
         .localCheckpoint(true)
     }
-    val d2 = deltaDown(b2, b3, None)
-    val d1 = deltaDown(b1, b2, Some(d2))
+    val d2 = deltaDown(ex3, b3, None)
+    val d1 = deltaDown(ex2, b2, Some(d2))
+    ex2.unpersist()
+    ex3.unpersist()
     d1.unionAll(d2).groupBy(col("node"))
       .agg(sum(col("delta")).as("betweenness_micro"), count(lit(1)).as("n_contribs"))
   }
