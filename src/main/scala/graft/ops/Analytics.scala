@@ -3644,7 +3644,84 @@ object Analytics {
     overall.unionByName(strata).orderBy(col("stratum"))
   }
 
+  /** Group-sequential monitoring of the parity A/B split (Pocock,
+    * Biometrika 1977): the interim-analysis protocol that makes
+    * PEEKING legal — five equally-spaced looks at the cumulative
+    * purchase-value z statistic, each judged against the Pocock
+    * 5-look/α=0.05 boundary 2.413 instead of the fixed-test 1.96 (the
+    * repo's experiment shelf prices effects after the fact — q244,
+    * q293, q295; this is the DURING-the-test discipline, and the
+    * naive-vs-Pocock crossing columns show exactly the false-alarm
+    * surface unadjusted peeking buys). Arms are the deterministic
+    * user-parity split (the q293 device); per-look moments are exact
+    * integer cent sums via five conditional aggregates in ONE events
+    * pass (cutoffs from the observed day span on a broadcast row); z
+    * is a single double expression per look, NULL-guarded at the
+    * zero-variance degeneracy. */
+  val q390SequentialTest: QueryDef = sql(
+    "q390_sequential_test",
+    """WITH ev AS (
+      |  SELECT CAST(epoch_us(date_trunc('day', ts)) // 86400000000 AS BIGINT) AS d,
+      |    user_id % 2 AS arm, CAST(FLOOR(value * 100) AS BIGINT) AS cents
+      |  FROM events WHERE event_type = 'purchase'),
+      |sp AS (SELECT MIN(d) AS lo, MAX(d) AS hi FROM ev),
+      |looks(k) AS (VALUES (1), (2), (3), (4), (5)),
+      |cut AS (SELECT k, sp.lo + ((sp.hi - sp.lo + 1) * k) // 5 - 1 AS cutoff FROM looks, sp),
+      |m AS (SELECT c.k, c.cutoff,
+      |    CAST(SUM(CASE WHEN ev.arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+      |    CAST(SUM(CASE WHEN ev.arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n0,
+      |    CAST(SUM(CASE WHEN ev.arm = 1 THEN ev.cents ELSE 0 END) AS BIGINT) AS s1,
+      |    CAST(SUM(CASE WHEN ev.arm = 0 THEN ev.cents ELSE 0 END) AS BIGINT) AS s0,
+      |    CAST(SUM(CASE WHEN ev.arm = 1 THEN ev.cents * ev.cents ELSE 0 END) AS BIGINT) AS q1,
+      |    CAST(SUM(CASE WHEN ev.arm = 0 THEN ev.cents * ev.cents ELSE 0 END) AS BIGINT) AS q0
+      |  FROM cut c JOIN ev ON ev.d <= c.cutoff
+      |  GROUP BY 1, 2),
+      |z AS (SELECT k AS look, cutoff AS cutoff_day, n1, n0,
+      |    CASE WHEN n1 >= 2 AND n0 >= 2
+      |          AND (CAST(n1 AS DOUBLE) * q1 - CAST(s1 AS DOUBLE) * s1) > 0
+      |          AND (CAST(n0 AS DOUBLE) * q0 - CAST(s0 AS DOUBLE) * s0) > 0
+      |      THEN (CAST(s1 AS DOUBLE) / n1 - CAST(s0 AS DOUBLE) / n0)
+      |        / SQRT((CAST(n1 AS DOUBLE) * q1 - CAST(s1 AS DOUBLE) * s1) / (CAST(n1 AS DOUBLE) * n1 * (n1 - 1))
+      |             + (CAST(n0 AS DOUBLE) * q0 - CAST(s0 AS DOUBLE) * s0) / (CAST(n0 AS DOUBLE) * n0 * (n0 - 1)))
+      |    END AS z
+      |  FROM m)
+      |SELECT look, cutoff_day, n1, n0, z,
+      |  CAST(CASE WHEN ABS(z) >= 2.413 THEN 1 ELSE 0 END AS BIGINT) AS crossed_pocock,
+      |  CAST(CASE WHEN ABS(z) >= 1.96 THEN 1 ELSE 0 END AS BIGINT) AS crossed_naive
+      |FROM z ORDER BY look""".stripMargin) { (s, dir) =>
+    val ev = Tables.events(s, dir).filter(col("event_type") === "purchase")
+      .select(expr("unix_micros(date_trunc('day', ts)) div 86400000000L").as("d"),
+        (col("user_id") % 2).as("arm"),
+        expr("CAST(FLOOR(value * 100) AS BIGINT)").as("cents"))
+      .localCheckpoint(true) // purchase-sized; span + the look pass
+    val sp = ev.agg(min(col("d")).as("lo"), max(col("d")).as("hi"))
+    val looks = s.range(1, 6).select(col("id").as("k"))
+    val cut = broadcast(looks.crossJoin(broadcast(sp))
+      .select(col("k"), expr("lo + ((hi - lo + 1) * k) DIV 5 - 1").as("cutoff")))
+    def cell(arm: Int, a: Column, name: String): Column =
+      sum(when(col("arm") === arm, a).otherwise(0L)).as(name)
+    val m = cut.join(ev, col("d") <= col("cutoff"))
+      .groupBy(col("k"), col("cutoff"))
+      .agg(cell(1, lit(1L), "n1"), cell(0, lit(1L), "n0"),
+        cell(1, col("cents"), "s1"), cell(0, col("cents"), "s0"),
+        cell(1, col("cents") * col("cents"), "q1"),
+        cell(0, col("cents") * col("cents"), "q0"))
+    m.select(col("k").as("look"), col("cutoff").as("cutoff_day"), col("n1"), col("n0"),
+        expr("""CASE WHEN n1 >= 2 AND n0 >= 2
+               |      AND (CAST(n1 AS DOUBLE) * q1 - CAST(s1 AS DOUBLE) * s1) > 0
+               |      AND (CAST(n0 AS DOUBLE) * q0 - CAST(s0 AS DOUBLE) * s0) > 0
+               |  THEN (CAST(s1 AS DOUBLE) / n1 - CAST(s0 AS DOUBLE) / n0)
+               |    / SQRT((CAST(n1 AS DOUBLE) * q1 - CAST(s1 AS DOUBLE) * s1) / (CAST(n1 AS DOUBLE) * n1 * (n1 - 1))
+               |         + (CAST(n0 AS DOUBLE) * q0 - CAST(s0 AS DOUBLE) * s0) / (CAST(n0 AS DOUBLE) * n0 * (n0 - 1)))
+               |END""".stripMargin).as("z"))
+      .select(col("look"), col("cutoff_day"), col("n1"), col("n0"), col("z"),
+        expr("CAST(CASE WHEN ABS(z) >= 2.413D THEN 1 ELSE 0 END AS BIGINT)").as("crossed_pocock"),
+        expr("CAST(CASE WHEN ABS(z) >= 1.96D THEN 1 ELSE 0 END AS BIGINT)").as("crossed_naive"))
+      .orderBy(col("look"))
+  }
+
   val all: Seq[QueryDef] = Seq(
+    q390SequentialTest,
     q385SimpsonsFlip,
     q375CemAtt,
     q360KruskalWallis,

@@ -6421,7 +6421,86 @@ object TextOps {
       .orderBy(col("source"))
   }
 
+  /** Two-way variance decomposition of document length over source ×
+    * language (the cell-means layout of Scheffé 1959 ch. 4): marginal
+    * SS for each factor, the cell SS, and the interaction remainder
+    * SS_cells − SS_src − SS_lang — "is length variation a SOURCE
+    * effect, a LANGUAGE effect, or do specific source–language pairs
+    * behave differently?" — the screen that decides whether per-source
+    * thresholds (q371) need to be per-(source, language). One-way
+    * q211 cannot see the interaction, which is where curation
+    * surprises live (one source's Chinese slice behaving unlike its
+    * English one). Unbalanced-design honesty: with unequal cell
+    * counts the marginal decomposition is non-orthogonal and the
+    * remainder can go negative — reported as-is, documented, exactly
+    * as the cell-means algebra defines it (a regression-based Type-II
+    * adjustment is a different estimand, not a fix). Every SS is an
+    * exact BIGINT in char² units (per-group s²  DIV n, then integer
+    * sums — a double Σ over cells would be aggregation-order-
+    * dependent); the F ratios are single double expressions with
+    * integer dfs. One grouped pass to cells; marginals and totals are
+    * cell-relation aggregates. */
+  val q389TwowayAnova: QueryDef = sql(
+    "q389_twoway_anova",
+    """WITH cells AS (
+      |  SELECT source, lang, CAST(COUNT(*) AS BIGINT) AS n,
+      |    CAST(SUM(CAST(n_chars AS BIGINT)) AS BIGINT) AS s,
+      |    CAST(SUM(CAST(n_chars AS BIGINT) * CAST(n_chars AS BIGINT)) AS BIGINT) AS q
+      |  FROM documents GROUP BY 1, 2),
+      |ma AS (SELECT source, CAST(SUM(n) AS BIGINT) AS n, CAST(SUM(s) AS BIGINT) AS s
+      |       FROM cells GROUP BY 1),
+      |mb AS (SELECT lang, CAST(SUM(n) AS BIGINT) AS n, CAST(SUM(s) AS BIGINT) AS s
+      |       FROM cells GROUP BY 1),
+      |tot AS (SELECT CAST(SUM(n) AS BIGINT) AS n, CAST(SUM(s) AS BIGINT) AS s,
+      |               CAST(SUM(q) AS BIGINT) AS q,
+      |               CAST(COUNT(*) AS BIGINT) AS n_cells FROM cells),
+      |sa AS (SELECT CAST(SUM(s * s // n) AS BIGINT) AS v, CAST(COUNT(*) AS BIGINT) AS a FROM ma),
+      |sb AS (SELECT CAST(SUM(s * s // n) AS BIGINT) AS v, CAST(COUNT(*) AS BIGINT) AS b FROM mb),
+      |sc AS (SELECT CAST(SUM(s * s // n) AS BIGINT) AS v FROM cells),
+      |d AS (SELECT tot.n, sa.a, sb.b, tot.n_cells,
+      |    sa.v - tot.s * tot.s // tot.n AS ss_source,
+      |    sb.v - tot.s * tot.s // tot.n AS ss_lang,
+      |    sc.v - tot.s * tot.s // tot.n AS ss_cells,
+      |    tot.q - sc.v AS ss_error,
+      |    tot.q - tot.s * tot.s // tot.n AS ss_total
+      |  FROM tot, sa, sb, sc)
+      |SELECT n, a AS n_sources, b AS n_langs, n_cells,
+      |  CAST(ss_source AS BIGINT) AS ss_source, CAST(ss_lang AS BIGINT) AS ss_lang,
+      |  CAST(ss_cells - ss_source - ss_lang AS BIGINT) AS ss_interaction,
+      |  CAST(ss_error AS BIGINT) AS ss_error, CAST(ss_total AS BIGINT) AS ss_total,
+      |  (CAST(ss_source AS DOUBLE) / (a - 1)) / (CAST(ss_error AS DOUBLE) / (n - n_cells)) AS f_source,
+      |  (CAST(ss_lang AS DOUBLE) / (b - 1)) / (CAST(ss_error AS DOUBLE) / (n - n_cells)) AS f_lang,
+      |  (CAST(ss_cells - ss_source - ss_lang AS DOUBLE) / ((a - 1) * (b - 1)))
+      |    / (CAST(ss_error AS DOUBLE) / (n - n_cells)) AS f_interaction
+      |FROM d""".stripMargin) { (s, dir) =>
+    val nc = expr("CAST(n_chars AS BIGINT)")
+    val cells = Tables.documents(s, dir).groupBy(col("source"), col("lang"))
+      .agg(count(lit(1)).as("n"), sum(nc).as("s"), sum(nc * nc).as("q"))
+      .localCheckpoint(true) // cell-sized; marginals + totals read it
+    val ma = cells.groupBy(col("source")).agg(sum(col("n")).as("n"), sum(col("s")).as("s"))
+    val mb = cells.groupBy(col("lang")).agg(sum(col("n")).as("n"), sum(col("s")).as("s"))
+    val tot = cells.agg(sum(col("n")).as("n"), sum(col("s")).as("s"),
+      sum(col("q")).as("q"), count(lit(1)).as("n_cells"))
+    val sa = ma.agg(sum(expr("s * s DIV n")).as("va"), count(lit(1)).as("a"))
+    val sb = mb.agg(sum(expr("s * s DIV n")).as("vb"), count(lit(1)).as("b"))
+    val sc = cells.agg(sum(expr("s * s DIV n")).as("vc"))
+    tot.crossJoin(broadcast(sa)).crossJoin(broadcast(sb)).crossJoin(broadcast(sc))
+      .select(col("n"), col("a").as("n_sources"), col("b").as("n_langs"), col("n_cells"),
+        expr("va - s * s DIV n").as("ss_source"),
+        expr("vb - s * s DIV n").as("ss_lang"),
+        expr("vc - va - vb + s * s DIV n").as("ss_interaction"),
+        expr("q - vc").as("ss_error"),
+        expr("q - s * s DIV n").as("ss_total"),
+        expr("""(CAST(va - s * s DIV n AS DOUBLE) / (a - 1))
+               |  / (CAST(q - vc AS DOUBLE) / (n - n_cells))""".stripMargin).as("f_source"),
+        expr("""(CAST(vb - s * s DIV n AS DOUBLE) / (b - 1))
+               |  / (CAST(q - vc AS DOUBLE) / (n - n_cells))""".stripMargin).as("f_lang"),
+        expr("""(CAST(vc - va - vb + s * s DIV n AS DOUBLE) / ((a - 1) * (b - 1)))
+               |  / (CAST(q - vc AS DOUBLE) / (n - n_cells))""".stripMargin).as("f_interaction"))
+  }
+
   val all: Seq[QueryDef] = Seq(
+    q389TwowayAnova,
     q388WassersteinDrift,
     q371WelchScreen, q372RakeKeyphrases,
     q342BottomkSample, q348DirichletQl, q351CharngramLangid, q353TopicSegments,

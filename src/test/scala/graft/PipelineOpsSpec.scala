@@ -719,6 +719,36 @@ class PipelineOpsSpec extends SparkSpec {
     }
   }
 
+  test("q389: the SS ledger balances exactly — cells + error = total, error non-negative") {
+    val r = graft.ops.TextOps.q389TwowayAnova.run(spark, sfDir).collect()(0)
+    val (ssS, ssL, ssI) = (r.getAs[Long]("ss_source"), r.getAs[Long]("ss_lang"),
+      r.getAs[Long]("ss_interaction"))
+    val (ssC, ssE, ssT) = (ssS + ssL + ssI, r.getAs[Long]("ss_error"), r.getAs[Long]("ss_total"))
+    assert(ssC + ssE == ssT, "SS_cells + SS_error must equal SS_total exactly (integer ledger)")
+    assert(ssE >= 0, "per-cell q >= s^2//n makes the error SS non-negative")
+    Seq("f_source", "f_lang", "f_interaction").foreach { c =>
+      val f = r.getAs[Double](c)
+      assert(!f.isNaN && !f.isInfinite, s"$c must be finite on the fixture")
+    }
+    assert(r.getAs[Long]("n_cells") <= r.getAs[Long]("n_sources") * r.getAs[Long]("n_langs"))
+  }
+
+  test("q390: looks accumulate monotonically and crossing flags agree with their boundaries") {
+    val rows = graft.ops.Analytics.q390SequentialTest.run(spark, sfDir).collect()
+    assert(rows.length == 5)
+    val ns = rows.map(r => r.getAs[Long]("n1") + r.getAs[Long]("n0"))
+    assert(ns.sliding(2).forall(p => p(0) <= p(1)), "cumulative looks can only grow")
+    rows.foreach { r =>
+      if (!r.isNullAt(r.fieldIndex("z"))) {
+        val z = math.abs(r.getAs[Double]("z"))
+        assert((r.getAs[Long]("crossed_pocock") == 1) == (z >= 2.413))
+        assert((r.getAs[Long]("crossed_naive") == 1) == (z >= 1.96))
+        // Pocock is strictly more conservative than the fixed test
+        if (r.getAs[Long]("crossed_pocock") == 1) assert(r.getAs[Long]("crossed_naive") == 1)
+      }
+    }
+  }
+
   test("q382: the fitted 0.9-line is a grid slope with non-negative pinball loss") {
     val r = graft.ops.Temporal.q382QuantileRegression.run(spark, sfDir).collect()(0)
     val slope = r.getAs[Long]("slope_cents_per_day")
