@@ -1712,7 +1712,7 @@ object Temporal {
   }
 
   val all: Seq[QueryDef] = Seq(
-    q382QuantileRegression, q383SloBurn,
+    q382QuantileRegression, q383SloBurn, q391OlsTrend,
     q365RevenueProration, q366FriedmanTest,
     q341WatermarkLateness, q346EntropyRate, q354ForecastBacktest, q356RunsTest,
     q46AsofJoin, q47Pivot, q55IntervalJoin, q63AsofNative, q81IntervalNative,
@@ -2310,6 +2310,71 @@ object Temporal {
         (col("num").cast("double")
           / (sqrt(col("denx").cast("double")) * sqrt(col("deny").cast("double")))).as("ccf"))
       .orderBy(col("lag"))
+  }
+
+  /** Ordinary least squares on the daily revenue trend (Legendre 1805 /
+    * Gauss; the closed-form moment solution): slope, intercept, R², the
+    * classical slope standard error and its t — completing the
+    * trend-line shelf: q265's Theil–Sen is the median (breakdown-robust)
+    * line, q382's pinball fit is the τ=0.9 (tail) line, OLS is the
+    * mean line whose SE/t the other two deliberately don't claim.
+    * Every moment (n, Σt, Σy, Σt², Σty, Σy²) is an exact BIGINT from
+    * one day-relation aggregate; every statistic is a single double
+    * expression of them — no per-row residual pass, no
+    * aggregation-order-dependent double sums (SSE comes from the
+    * moment identity SSE = Syy − Sty²/Stt). Degenerate-span guard
+    * (n < 3 or zero t-variance) goes NULL. Day indices re-base to 0 so
+    * t-moments stay small; cents keep Σty within BIGINT to ~10³ days ×
+    * 10¹²-cent days. */
+  lazy val q391OlsTrend: QueryDef = sql(
+    "q391_ols_trend",
+    s"""WITH $dailyXYSql,
+       |d0 AS (SELECT MIN(d) AS d0 FROM xy),
+       |sc AS (SELECT xy.d - d0.d0 AS t, xy.y AS yv FROM xy, d0),
+       |m AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(t) AS BIGINT) AS st,
+       |    CAST(SUM(yv) AS BIGINT) AS sy, CAST(SUM(t * t) AS BIGINT) AS stt,
+       |    CAST(SUM(t * yv) AS BIGINT) AS sty, CAST(SUM(yv * yv) AS BIGINT) AS syy
+       |  FROM sc),
+       |k AS (SELECT n, st, sy,
+       |    CAST(n AS DOUBLE) * stt - CAST(st AS DOUBLE) * st AS sxx,
+       |    CAST(n AS DOUBLE) * sty - CAST(st AS DOUBLE) * sy AS sxy,
+       |    CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy AS syy_c
+       |  FROM m)
+       |SELECT n AS n_days,
+       |  CASE WHEN n >= 3 AND sxx > 0 THEN sxy / sxx END AS slope_cents_per_day,
+       |  CASE WHEN n >= 3 AND sxx > 0
+       |    THEN (CAST(sy AS DOUBLE) - (sxy / sxx) * st) / n END AS intercept_cents,
+       |  CASE WHEN n >= 3 AND sxx > 0 AND syy_c > 0
+       |    THEN sxy * sxy / (sxx * syy_c) END AS r2,
+       |  CASE WHEN n >= 3 AND sxx > 0
+       |    THEN SQRT(((syy_c - sxy * sxy / sxx) / (n - 2)) * n / sxx) END AS se_slope,
+       |  CASE WHEN n >= 3 AND sxx > 0 AND syy_c - sxy * sxy / sxx > 0
+       |    THEN (sxy / sxx) / SQRT(((syy_c - sxy * sxy / sxx) / (n - 2)) * n / sxx) END AS t_slope
+       |FROM k""".stripMargin) { (s, dir) =>
+    val xy = dailyXY(s, dir)
+    val d0 = xy.agg(min(col("d")).as("d0"))
+    val sc = xy.crossJoin(broadcast(d0))
+      .select((col("d") - col("d0")).as("t"), col("y").as("yv"))
+    val m = sc.agg(count(lit(1)).as("n"), sum(col("t")).as("st"),
+      sum(col("yv")).as("sy"), sum(col("t") * col("t")).as("stt"),
+      sum(col("t") * col("yv")).as("sty"), sum(col("yv") * col("yv")).as("syy"))
+    m.select(col("n"), col("st"), col("sy"),
+        expr("CAST(n AS DOUBLE) * stt - CAST(st AS DOUBLE) * st").as("sxx"),
+        expr("CAST(n AS DOUBLE) * sty - CAST(st AS DOUBLE) * sy").as("sxy"),
+        expr("CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy").as("syy_c"))
+      .select(col("n").as("n_days"),
+        expr("CASE WHEN n >= 3 AND sxx > 0 THEN sxy / sxx END").as("slope_cents_per_day"),
+        expr("""CASE WHEN n >= 3 AND sxx > 0
+               |  THEN (CAST(sy AS DOUBLE) - (sxy / sxx) * st) / n END""".stripMargin)
+          .as("intercept_cents"),
+        expr("CASE WHEN n >= 3 AND sxx > 0 AND syy_c > 0 THEN sxy * sxy / (sxx * syy_c) END")
+          .as("r2"),
+        expr("""CASE WHEN n >= 3 AND sxx > 0
+               |  THEN SQRT(((syy_c - sxy * sxy / sxx) / (n - 2)) * n / sxx) END""".stripMargin)
+          .as("se_slope"),
+        expr("""CASE WHEN n >= 3 AND sxx > 0 AND syy_c - sxy * sxy / sxx > 0
+               |  THEN (sxy / sxx) / SQRT(((syy_c - sxy * sxy / sxx) / (n - 2)) * n / sxx) END"""
+          .stripMargin).as("t_slope"))
   }
 
   /** Multiwindow SLO burn-rate alerting (the Google SRE workbook

@@ -749,6 +749,16 @@ class PipelineOpsSpec extends SparkSpec {
     }
   }
 
+  test("q391: OLS identities — R2 in [0,1], t = slope/se, positive spread") {
+    val r = graft.ops.Temporal.q391OlsTrend.run(spark, sfDir).collect()(0)
+    val r2 = r.getAs[Double]("r2")
+    assert(r2 >= 0.0 && r2 <= 1.0)
+    val (b, se, t) = (r.getAs[Double]("slope_cents_per_day"),
+      r.getAs[Double]("se_slope"), r.getAs[Double]("t_slope"))
+    assert(se > 0.0)
+    assert(math.abs(t - b / se) < 1e-9, "t must be slope/se exactly")
+  }
+
   test("q382: the fitted 0.9-line is a grid slope with non-negative pinball loss") {
     val r = graft.ops.Temporal.q382QuantileRegression.run(spark, sfDir).collect()(0)
     val slope = r.getAs[Long]("slope_cents_per_day")
