@@ -1943,11 +1943,21 @@ object Graph {
     // One edge expansion per level, SHARED by the forward σ aggregation
     // and the backward δ join (the naive form expanded edges×frontier
     // five times; the fused form three times, the two widest reused
-    // from cache — measured ~30% at sf0.1)
-    def expandFrom(lower: DataFrame, rows: Long): DataFrame = edges
-      .join(gateBroadcast(lower.select(col("seed"), col("node").as("src"),
-        col("node").as("vnode"), col("sig").as("vsig")), rows), Seq("src"))
-      .select(col("seed"), col("vnode"), col("vsig"), col("dst").as("node"))
+    // from cache — measured ~30% at sf0.1). Frontiers grow to
+    // |seeds|×reach, so past the broadcast budget the edges re-pin
+    // src-co-partitioned ONCE (the bfsPerSeed discipline) and every
+    // later expansion shuffles only the frontier side.
+    var e = edges
+    var parted = false
+    def expandFrom(lower: DataFrame, rows: Long): DataFrame = {
+      if (!parted && rows > broadcastNodeBudget(edges.sparkSession)) {
+        e = copartitionOnce(edges, "src")
+        parted = true
+      }
+      e.join(gateBroadcast(lower.select(col("seed"), col("node").as("src"),
+          col("node").as("vnode"), col("sig").as("vsig")), rows), Seq("src"))
+        .select(col("seed"), col("vnode"), col("vsig"), col("dst").as("node"))
+    }
     def levelOf(ex: DataFrame, excl: Seq[DataFrame]): DataFrame = {
       val cand = ex.groupBy(col("seed"), col("node")).agg(sum(col("vsig")).as("sig"))
       // one fused anti-join against the UNION of visited levels, not one
@@ -2005,16 +2015,27 @@ object Graph {
     * safe direction of the q358 unrolled-closure lesson). Returns
     * (node, round_joined). */
   def misByHash(edges: DataFrame, maxRounds: Int = 40): DataFrame = {
-    val e = edges.persist(StorageLevel.MEMORY_AND_DISK)
-    var act = e.select(col("src").as("v")).distinct()
+    val raw = edges.persist(StorageLevel.MEMORY_AND_DISK)
+    var act = raw.select(col("src").as("v")).distinct()
       .withColumn("p", expr(
         "CAST(conv(substring(md5(concat('mis:', CAST(v AS STRING))), 1, 15), 16, 10) AS BIGINT)"))
       .localCheckpoint(true)
     var nAct = act.count()
+    // the rounds join edges on BOTH keys (neighbor-min on dst, retire
+    // on src): over the broadcast budget pin one co-partitioned copy
+    // per key ONCE — the hits/walker discipline — so each round
+    // shuffles only the shrinking active relation
+    val (eDst, eSrc) =
+      if (nAct <= broadcastNodeBudget(raw.sparkSession)) (raw, raw)
+      else {
+        val d = raw.repartition(col("dst")).persist(StorageLevel.MEMORY_AND_DISK)
+        d.count()
+        (d, copartitionOnce(raw, "src"))
+      }
     val out = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     var round = 1
     while (nAct > 0 && round <= maxRounds) {
-      val nbrMin = e
+      val nbrMin = eDst
         .join(gateBroadcast(act.select(col("v").as("dst"), col("p").as("np"),
           col("v").as("nv")), nAct), Seq("dst"))
         .groupBy(col("src")).agg(min(struct(col("np"), col("nv"))).as("m"))
@@ -2026,7 +2047,7 @@ object Graph {
         .localCheckpoint(true) // round-sized; feeds output, retire, next act
       out += mis.select(col("v").as("node"), lit(round.toLong).as("round_joined"))
       val rm = mis.select(col("v"))
-        .unionAll(e.join(gateBroadcast(mis.select(col("v").as("src")), nAct), Seq("src"))
+        .unionAll(eSrc.join(gateBroadcast(mis.select(col("v").as("src")), nAct), Seq("src"))
           .select(col("dst").as("v")))
         .distinct()
       act = act.join(rm, Seq("v"), "left_anti").localCheckpoint(true)
@@ -2094,7 +2115,9 @@ object Graph {
     * documented cost of the exact kernel (hash-of-sorted-hashes is
     * what graph-ML libraries ship). */
   def wlColors(edges: DataFrame, rounds: Int): DataFrame = {
-    val (e, deg, n) = pinEdges(edges)
+    // the per-round edge join keys on dst (neighbor colors), so the
+    // over-budget co-partition must be dst-keyed
+    val (e, deg, n) = pinEdges(edges, key = "dst")
     var color = deg.select(col("src").as("v"), col("d").cast("long").as("c"))
       .localCheckpoint(true)
     for (_ <- 1 to rounds) {

@@ -183,7 +183,9 @@ class GraphSpec extends SparkSpec {
       Graph.walkCorpus(e, steps = 3, seedMod = 1).collect().map(_.toString).sorted.toSeq,
       Graph.betweennessSampled(e, seeds).collect().map(_.toString).sorted.toSeq,
       Graph.modularityOf(e, Graph.labelPropagation(e, rounds = 2))
-        .collect().map(_.toString).sorted.toSeq)
+        .collect().map(_.toString).sorted.toSeq,
+      Graph.misByHash(e).collect().map(_.toString).sorted.toSeq,
+      Graph.wlColors(e, rounds = 2).collect().map(_.toString).sorted.toSeq)
     val key = "spark.graft.graph.broadcastNodeBudget"
     val saved = spark.conf.getOption(key)
     val hinted = all()
