@@ -2035,9 +2035,16 @@ object Graph {
     val out = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     var round = 1
     while (nAct > 0 && round <= maxRounds) {
-      val nbrMin = eDst
+      // round 1: every node is active, so the neighbor minimum needs NO
+      // join — the priority is a pure function of the id and computes
+      // map-side in the edge scan (the widest round, join-free)
+      val nbrMin = (if (round == 1)
+        raw.select(col("src"), expr(
+          "CAST(conv(substring(md5(concat('mis:', CAST(dst AS STRING))), 1, 15), 16, 10) AS BIGINT)").as("np"),
+          col("dst").as("nv"))
+      else eDst
         .join(gateBroadcast(act.select(col("v").as("dst"), col("p").as("np"),
-          col("v").as("nv")), nAct), Seq("dst"))
+          col("v").as("nv")), nAct), Seq("dst")))
         .groupBy(col("src")).agg(min(struct(col("np"), col("nv"))).as("m"))
       val mis = act
         .join(nbrMin.withColumnRenamed("src", "v"), Seq("v"), "left")
