@@ -1712,7 +1712,7 @@ object Temporal {
   }
 
   val all: Seq[QueryDef] = Seq(
-    q382QuantileRegression, q383SloBurn, q391OlsTrend,
+    q382QuantileRegression, q383SloBurn, q391OlsTrend, q392EventMixDrift,
     q365RevenueProration, q366FriedmanTest,
     q341WatermarkLateness, q346EntropyRate, q354ForecastBacktest, q356RunsTest,
     q46AsofJoin, q47Pivot, q55IntervalJoin, q63AsofNative, q81IntervalNative,
@@ -2310,6 +2310,85 @@ object Temporal {
         (col("num").cast("double")
           / (sqrt(col("denx").cast("double")) * sqrt(col("deny").cast("double")))).as("ccf"))
       .orderBy(col("lag"))
+  }
+
+  /** Per-day event-mix χ² drift (Pearson 1900 goodness-of-fit against
+    * the corpus-global mix): does TODAY's click/view/purchase/signup/
+    * error composition match the feed's overall proportions? The
+    * categorical-mix stability face of the drift shelf — q338's PSI
+    * compares two fixed populations at source grain, q383 watches one
+    * binary rate; this walks the day axis against the pooled mix with
+    * df = 4 and flags days past the α = 0.05 critical value 9.488.
+    * The 5 per-type counts pivot to COLUMNS via conditional aggregates,
+    * so each day's χ² is ONE fixed-order double expression of exact
+    * BIGINTs — no order-dependent double summation — in the
+    * scale-free form Σ_t (c_t·N − n·C_t)² / (n·C_t·N). Day-zero
+    * degeneracy (n = 0 never occurs: a day row exists only with
+    * events) and a zero global class would divide by zero — guarded to
+    * NULL. One grouped events pass + a one-row broadcast. */
+  lazy val q392EventMixDrift: QueryDef = sql(
+    "q392_event_mix_drift",
+    s"""WITH ev AS (
+       |  SELECT CAST(epoch_us(date_trunc('day', ts)) // 86400000000 AS BIGINT) AS d,
+       |    event_type FROM events),
+       |pd AS (SELECT d,
+       |    CAST(COUNT(*) AS BIGINT) AS n,
+       |    CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+       |    CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS c2,
+       |    CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS c3,
+       |    CAST(SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS c4,
+       |    CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS c5
+       |  FROM ev GROUP BY 1),
+       |g AS (SELECT CAST(SUM(n) AS BIGINT) AS nn, CAST(SUM(c1) AS BIGINT) AS g1,
+       |    CAST(SUM(c2) AS BIGINT) AS g2, CAST(SUM(c3) AS BIGINT) AS g3,
+       |    CAST(SUM(c4) AS BIGINT) AS g4, CAST(SUM(c5) AS BIGINT) AS g5 FROM pd),
+       |x AS (SELECT pd.d, pd.n,
+       |    CASE WHEN g.g1 > 0 AND g.g2 > 0 AND g.g3 > 0 AND g.g4 > 0 AND g.g5 > 0 THEN
+       |      (CAST(pd.c1 AS DOUBLE) * g.nn - CAST(pd.n AS DOUBLE) * g.g1)
+       |        * (CAST(pd.c1 AS DOUBLE) * g.nn - CAST(pd.n AS DOUBLE) * g.g1)
+       |        / (CAST(pd.n AS DOUBLE) * g.g1 * g.nn)
+       |      + (CAST(pd.c2 AS DOUBLE) * g.nn - CAST(pd.n AS DOUBLE) * g.g2)
+       |        * (CAST(pd.c2 AS DOUBLE) * g.nn - CAST(pd.n AS DOUBLE) * g.g2)
+       |        / (CAST(pd.n AS DOUBLE) * g.g2 * g.nn)
+       |      + (CAST(pd.c3 AS DOUBLE) * g.nn - CAST(pd.n AS DOUBLE) * g.g3)
+       |        * (CAST(pd.c3 AS DOUBLE) * g.nn - CAST(pd.n AS DOUBLE) * g.g3)
+       |        / (CAST(pd.n AS DOUBLE) * g.g3 * g.nn)
+       |      + (CAST(pd.c4 AS DOUBLE) * g.nn - CAST(pd.n AS DOUBLE) * g.g4)
+       |        * (CAST(pd.c4 AS DOUBLE) * g.nn - CAST(pd.n AS DOUBLE) * g.g4)
+       |        / (CAST(pd.n AS DOUBLE) * g.g4 * g.nn)
+       |      + (CAST(pd.c5 AS DOUBLE) * g.nn - CAST(pd.n AS DOUBLE) * g.g5)
+       |        * (CAST(pd.c5 AS DOUBLE) * g.nn - CAST(pd.n AS DOUBLE) * g.g5)
+       |        / (CAST(pd.n AS DOUBLE) * g.g5 * g.nn)
+       |    END AS chi2
+       |  FROM pd, g)
+       |SELECT d AS day_idx, n AS n_events, chi2,
+       |  CAST(CASE WHEN chi2 >= 9.488 THEN 1 ELSE 0 END AS BIGINT) AS drifted
+       |FROM x ORDER BY day_idx""".stripMargin) { (s, dir) =>
+    def cnt(t: String, name: String): org.apache.spark.sql.Column =
+      sum(when(col("event_type") === t, 1L).otherwise(0L)).as(name)
+    val pd = Tables.events(s, dir)
+      .select(expr("unix_micros(date_trunc('day', ts)) div 86400000000L").as("d"),
+        col("event_type"))
+      .groupBy(col("d"))
+      .agg(count(lit(1)).as("n"), cnt("click", "c1"), cnt("view", "c2"),
+        cnt("purchase", "c3"), cnt("signup", "c4"), cnt("error", "c5"))
+      .localCheckpoint(true) // day-sized; totals + the per-day pass
+    val g = pd.agg(sum(col("n")).as("nn"), sum(col("c1")).as("g1"),
+      sum(col("c2")).as("g2"), sum(col("c3")).as("g3"),
+      sum(col("c4")).as("g4"), sum(col("c5")).as("g5"))
+    def term(c: String, gc: String): String =
+      s"""(CAST($c AS DOUBLE) * nn - CAST(n AS DOUBLE) * $gc)
+         |  * (CAST($c AS DOUBLE) * nn - CAST(n AS DOUBLE) * $gc)
+         |  / (CAST(n AS DOUBLE) * $gc * nn)""".stripMargin
+    pd.crossJoin(broadcast(g))
+      .select(col("d").as("day_idx"), col("n").as("n_events"),
+        expr(s"""CASE WHEN g1 > 0 AND g2 > 0 AND g3 > 0 AND g4 > 0 AND g5 > 0 THEN
+                |${term("c1", "g1")} + ${term("c2", "g2")} + ${term("c3", "g3")}
+                |  + ${term("c4", "g4")} + ${term("c5", "g5")}
+                |END""".stripMargin).as("chi2"))
+      .select(col("day_idx"), col("n_events"), col("chi2"),
+        expr("CAST(CASE WHEN chi2 >= 9.488D THEN 1 ELSE 0 END AS BIGINT)").as("drifted"))
+      .orderBy(col("day_idx"))
   }
 
   /** Ordinary least squares on the daily revenue trend (Legendre 1805 /

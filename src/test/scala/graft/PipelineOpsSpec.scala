@@ -749,6 +749,18 @@ class PipelineOpsSpec extends SparkSpec {
     }
   }
 
+  test("q392: per-day chi2 is non-negative, flags match the critical value, days cover the span") {
+    val rows = graft.ops.Temporal.q392EventMixDrift.run(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val chi2 = r.getAs[Double]("chi2")
+      assert(!chi2.isNaN && chi2 >= 0.0)
+      assert((r.getAs[Long]("drifted") == 1) == (chi2 >= 9.488))
+    }
+    val days = rows.map(_.getAs[Long]("day_idx"))
+    assert(days.distinct.length == days.length, "one row per observed day")
+  }
+
   test("q391: OLS identities — R2 in [0,1], t = slope/se, positive spread") {
     val r = graft.ops.Temporal.q391OlsTrend.run(spark, sfDir).collect()(0)
     val r2 = r.getAs[Double]("r2")
