@@ -3574,13 +3574,19 @@ object Analytics {
     * balance→spend association hold WITHIN every nation stratum, or
     * does the aggregate sign come from stratum composition? Per
     * stratum and overall, the n-scaled covariance n·Σxy − Σx·Σy of
-    * (account-balance dollars, lifetime-spend dollars) — an exact
-    * BIGINT whose SIGN is the association direction — plus a flip flag
-    * against the pooled sign. Any flipped stratum means a
-    * stratum-blind policy read (q375's CEM exists precisely for that
-    * case). Dollar units keep n·Σxy inside BIGINT to ~10⁹ customers ×
-    * 10⁶-dollar spends (cents would overflow three decades earlier —
-    * the q352 overflow discipline). One grouped pass + one broadcast
+    * (account-balance dollars, lifetime-spend dollars), whose SIGN is
+    * the association direction — plus a flip flag against the pooled
+    * sign. Any flipped stratum means a stratum-blind policy read
+    * (q375's CEM exists precisely for that case). The moments n/Σx/Σy/
+    * Σxy are exact BIGINTs; the covariance itself is ONE final DOUBLE
+    * expression over them (the q391 k-CTE device) because the pooled
+    * products n·Σxy and Σx·Σy reach ~2.5e18 already at sf0.1 and grow
+    * ~quadratically with corpus size — a pure-BIGINT form would wrap
+    * (Spark) or raise (DuckDB) at roughly 2× the gated fixture. Only
+    * the sign and magnitude are reported, and the double sign is exact
+    * whenever the true covariance exceeds the cancellation floor
+    * ~2⁻⁵²·n·Σxy — many decades of headroom for a non-degenerate
+    * association. One grouped pass + one broadcast
     * total row; strata are nation-parallel. */
   val q385SimpsonsFlip: QueryDef = sql(
     "q385_simpsons_flip",
@@ -3599,7 +3605,12 @@ object Analytics {
       |  SELECT CAST(SUM(n) AS BIGINT) AS n, CAST(SUM(sx) AS BIGINT) AS sx,
       |    CAST(SUM(sy) AS BIGINT) AS sy, CAST(SUM(sxy) AS BIGINT) AS sxy
       |  FROM per),
-      |ov AS (SELECT n * sxy - sx * sy AS cov_scaled FROM tot),
+      |ov AS (SELECT CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+      |            - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) AS cov_scaled FROM tot),
+      |pc AS (
+      |  SELECT nat, n, CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+      |               - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) AS cov
+      |  FROM per),
       |rows_ AS (
       |  SELECT CAST(-1 AS BIGINT) AS nat, tot.n,
       |    ov.cov_scaled,
@@ -3607,13 +3618,11 @@ object Analytics {
       |    CAST(0 AS BIGINT) AS flipped
       |  FROM tot, ov
       |  UNION ALL
-      |  SELECT per.nat, per.n,
-      |    per.n * per.sxy - per.sx * per.sy,
-      |    CAST(CASE WHEN per.n * per.sxy - per.sx * per.sy > 0 THEN 1
-      |         WHEN per.n * per.sxy - per.sx * per.sy < 0 THEN -1 ELSE 0 END AS BIGINT),
-      |    CAST(CASE WHEN SIGN(per.n * per.sxy - per.sx * per.sy) <> SIGN(ov.cov_scaled)
-      |              AND per.n * per.sxy - per.sx * per.sy <> 0 THEN 1 ELSE 0 END AS BIGINT)
-      |  FROM per, ov)
+      |  SELECT pc.nat, pc.n, pc.cov,
+      |    CAST(CASE WHEN pc.cov > 0 THEN 1 WHEN pc.cov < 0 THEN -1 ELSE 0 END AS BIGINT),
+      |    CAST(CASE WHEN SIGN(pc.cov) <> SIGN(ov.cov_scaled)
+      |              AND pc.cov <> 0 THEN 1 ELSE 0 END AS BIGINT)
+      |  FROM pc, ov)
       |SELECT nat AS stratum, n, cov_scaled, sign, flipped
       |FROM rows_ ORDER BY stratum""".stripMargin) { (s, dir) =>
     val sp = Tables.orders(s, dir).groupBy(col("o_custkey"))
@@ -3629,13 +3638,16 @@ object Analytics {
       .localCheckpoint(true) // nation-sized; totals + the stratum rows
     val tot = per.agg(sum(col("n")).as("n"), sum(col("sx")).as("sx"),
       sum(col("sy")).as("sy"), sum(col("sxy")).as("sxy"))
-    val ov = tot.select(col("n"), (col("n") * col("sxy") - col("sx") * col("sy")).as("cov_all"))
+    val ov = tot.select(col("n"),
+      (col("n").cast("double") * col("sxy").cast("double")
+        - col("sx").cast("double") * col("sy").cast("double")).as("cov_all"))
     val overall = ov.select(lit(-1L).as("stratum"), col("n"),
       col("cov_all").as("cov_scaled"),
       signum(col("cov_all")).cast("long").as("sign"), lit(0L).as("flipped"))
     val strata = per.crossJoin(broadcast(ov.select(col("cov_all"))))
       .select(col("nat").as("stratum"), col("n"),
-        (col("n") * col("sxy") - col("sx") * col("sy")).as("cov_scaled"),
+        (col("n").cast("double") * col("sxy").cast("double")
+          - col("sx").cast("double") * col("sy").cast("double")).as("cov_scaled"),
         col("cov_all"))
       .select(col("stratum"), col("n"), col("cov_scaled"),
         signum(col("cov_scaled")).cast("long").as("sign"),

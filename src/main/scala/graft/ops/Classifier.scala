@@ -993,9 +993,10 @@ object Classifier {
     * histogram, prefix-sum the negative counts in margin order, and
     * 2U = Σ_m cp(m)·(2·neg-below(m) + cn(m)) — all BIGINT, the ties
     * term exact in half-units. AUC lands in micro-units by one integer
-    * divide (2U·10⁶ DIV 2n⁺n⁻; overflow past ~10⁹·10⁹ pos×neg pairs —
-    * at that scale the divide moves ahead of the multiply, documented
-    * not hidden); Gini = 2·AUC − 1 rides along.
+    * divide (2U·10⁶ DIV 2n⁺n⁻; since 2U ≈ 2·n⁺·n⁻, the ×10⁶ wraps
+    * BIGINT once n⁺·n⁻ ≈ 4.6·10¹² — about 2.1M×2.1M docs; past that
+    * the q369 divide-before-multiply form extends the exact range,
+    * documented not hidden); Gini = 2·AUC − 1 rides along.
     *
     * Scale posture: one corpus serving pass (shared persisted weights),
     * one margin-keyed aggregate, and the prefix sum rides

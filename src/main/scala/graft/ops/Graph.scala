@@ -1317,22 +1317,32 @@ object Graph {
       .orderBy(col("node"))
   }
 
-  /** Convergence-variant cycle detection — q347's bounded closure
-    * iterated UNTIL FIXPOINT (the q302 convergence device, realized as
-    * [[transitiveClosureFixpoint]]'s semi-naive delta loop), certifying
-    * cycles of ANY length instead of q347's documented ≤ 4 bound.
-    * `maxRounds` is a runaway backstop, not a semantic bound: hitting
-    * it raises rather than silently under-reporting. */
-  def cycleDetectFixpoint(edges: DataFrame, maxRounds: Int = 100): DataFrame =
-    transitiveClosureFixpoint(edges, maxRounds)
-      .filter(col("src") === col("dst")).select(col("src").as("node"))
-      .distinct().orderBy(col("node"))
+  /** Convergence-variant cycle detection — certifies cycles of ANY
+    * length (vs q347's documented ≤ 4 bound) WITHOUT materializing a
+    * reachability closure: a node is on a cycle iff its strongly
+    * connected component is nontrivial (or it carries a self-loop), so
+    * this is one projection of [[sccCyclic]] — O(V) label state per
+    * round instead of the closure's O(pairs) (the round-7 verdict's
+    * scale finding: the closure reached 5.6M pairs over 20k nodes on
+    * the dense fixture and is ~quadratic-prone on social-shaped
+    * graphs). The pair-materializing [[transitiveClosureFixpoint]]
+    * remains available for metadata-scale reachability questions,
+    * behind its own pair budget. */
+  def cycleDetectFixpoint(edges: DataFrame): DataFrame =
+    sccCyclic(edges).select(col("node")).distinct().orderBy(col("node"))
 
   /** The full reachability closure to fixpoint by SEMI-NAIVE evaluation
     * (the Datalog delta rule: only last round's NEW pairs extend by one
-    * edge; known pairs never rejoin) — shared by [[cycleDetectFixpoint]]
-    * and the SCC condensation ([[q364StronglyConnected]]). Returns the
-    * (src, dst) pair set.
+    * edge; known pairs never rejoin). Returns the (src, dst) pair set.
+    *
+    * SCALE GATE: the closure's STATE is pair-proportional — ~quadratic
+    * in nodes on dense graphs — so this is a METADATA-SCALE device
+    * (FK/workflow graphs, catalogs), not a corpus-scale one. The
+    * accumulated pair count is checked every round against
+    * `spark.graft.graph.closurePairBudget` (default 20M pairs ≈ the
+    * measured 5.6M-pair dense fixture with 3–4× headroom) and RAISES
+    * on breach, naming [[sccCyclic]] — which answers the cycle /
+    * condensation questions with O(V) state — as the scale path.
     *
     * Why not doubling (R ← R ∪ R∘R, log₂(diameter) rounds)? Doubling's
     * self-join materializes Σ_m indeg(m)·outdeg(m) intermediate rows —
@@ -1348,22 +1358,174 @@ object Graph {
     * `maxRounds` is a runaway backstop that raises rather than
     * silently under-reporting. */
   def transitiveClosureFixpoint(edges: DataFrame, maxRounds: Int = 100): DataFrame = {
+    val budget = edges.sparkSession.conf
+      .getOption("spark.graft.graph.closurePairBudget").map(_.toLong)
+      .getOrElse(20000000L)
     val e0 = edges.select(col("src"), col("dst")).distinct().localCheckpoint(true)
     val e = gateBroadcast(e0.select(col("src").as("m"), col("dst")), e0.count())
     var acc = e0
     var delta = e0
+    var nAcc = e0.count()
+    var nDelta = nAcc
     var round = 0
-    while (round < maxRounds && !delta.isEmpty) {
+    while (round < maxRounds && nDelta > 0) {
       val ext = delta.select(col("src"), col("dst").as("m"))
         .join(e, Seq("m"))
         .select(col("src"), col("dst")).distinct()
       delta = ext.join(acc, Seq("src", "dst"), "left_anti").localCheckpoint(true)
       // delta is disjoint from acc by the anti join — no distinct needed
       acc = acc.unionByName(delta).localCheckpoint(true)
+      nDelta = delta.count()
+      nAcc += nDelta
+      require(nAcc <= budget,
+        s"transitive closure exceeded the $budget-pair state budget at round $round " +
+          s"($nAcc pairs) — pair-proportional state does not scale on dense graphs; " +
+          "for cycle membership / SCC condensation use sccCyclic (O(V) label state)")
       round += 1
     }
-    require(delta.isEmpty, s"closure did not fixpoint within $maxRounds rounds")
+    require(nDelta == 0, s"closure did not fixpoint within $maxRounds rounds")
     acc
+  }
+
+  /** Strongly connected components by forward–backward reachability
+    * COLORING (Fleischer, Hendrickson & Pınar 2000; the multi-pivot
+    * distributed form of Hong et al. / Park et al. ICDE 2016; Orzan's
+    * coloring step): per outer round (1) TRIM the subgraph to its
+    * in-AND-out core — a node with no incoming or no outgoing edge is
+    * a trivial SCC and can never cycle; (2) propagate forward the MAX
+    * reaching node id to fixpoint (semi-naive: only changed colors
+    * rejoin), partitioning the core into color classes; (3) from each
+    * class root r (color(r) = r), sweep BACKWARD restricted to color-r
+    * nodes — the reached set is EXACTLY SCC(r) (any v→…→r path with
+    * color(v) = r stays inside color r: an intermediate w has r→w, so
+    * color(w) ≥ r, and color(w) = c > r would imply c→w→r hence
+    * color(r) ≥ c, contradiction); (4) emit the nontrivial reached
+    * classes, peel ALL reached nodes, repeat on the remainder. State
+    * per round is one (node, color) relation — O(V), never pairs —
+    * which is the whole point vs [[transitiveClosureFixpoint]]: the
+    * dense q358 fixture's closure is 5.6M pairs over 20k nodes and
+    * ~quadratic-prone at social-graph scale, while these labels stay
+    * node-linear at any density. Outer rounds = depth of the SCC
+    * condensation chain (each round removes every color class's root
+    * SCC); `maxOuter`/`maxInner` are runaway backstops that RAISE
+    * rather than under-report.
+    *
+    * Returns (node, scc_id = min member) for every node ON A CYCLE —
+    * members of nontrivial SCCs plus self-loop nodes. Acyclic nodes
+    * are trivially singleton SCCs and are omitted (join back against
+    * the node set if the total map is needed); this keeps the output
+    * O(cyclic nodes) and is exactly the q358/q364 contract.
+    *
+    * Scale posture: trim and sweep joins put the NODE-sized relation
+    * (core set, color delta, backward frontier) on the build side via
+    * [[gateBroadcast]]; over budget the subgraph is co-partitioned
+    * once per outer round on each join key (src for the forward
+    * color join, dst for the backward sweep — the MIS/HITS both-keys
+    * discipline), so every inner round shuffles only the shrinking
+    * label relation. */
+  def sccCyclic(edges: DataFrame, maxOuter: Int = 64, maxInner: Int = 300): DataFrame = {
+    val eAll = edges.select(col("src"), col("dst")).distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val selfLoops = eAll.filter(col("src") === col("dst"))
+      .select(col("src").as("node")).distinct().localCheckpoint(true)
+    var sub = eAll.filter(col("src") =!= col("dst")).localCheckpoint(true)
+    val emptyOut = sub.limit(0)
+      .select(col("src").as("node"), col("dst").as("scc_id"))
+    eAll.unpersist()
+    val out = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    var outer = 0
+    var done = false
+    while (!done) {
+      // (1) trim to the in-and-out core, to fixpoint
+      var nE = sub.count()
+      var shrunk = true
+      while (shrunk && nE > 0) {
+        val srcs = sub.select(col("src").as("v")).distinct()
+        val dsts = sub.select(col("dst").as("v")).distinct()
+        val core = srcs.join(dsts, Seq("v")).localCheckpoint(true)
+        val nCore = core.count()
+        val t = sub
+          .join(gateBroadcast(core.select(col("v").as("src")), nCore), Seq("src"), "left_semi")
+          .join(gateBroadcast(core.select(col("v").as("dst")), nCore), Seq("dst"), "left_semi")
+          .select(col("src"), col("dst")).localCheckpoint(true)
+        val n2 = t.count()
+        shrunk = n2 != nE
+        nE = n2
+        sub = t
+      }
+      if (nE == 0) done = true
+      else {
+        outer += 1
+        require(outer <= maxOuter,
+          s"SCC coloring did not converge within $maxOuter outer rounds")
+        val nodes = sub.select(col("src").as("v"))
+          .union(sub.select(col("dst").as("v"))).distinct().localCheckpoint(true)
+        val nNodes = nodes.count()
+        val overBudget = nNodes > broadcastNodeBudget(sub.sparkSession)
+        val eFwd = if (overBudget) copartitionOnce(sub, "src") else sub
+        val eBwd = if (overBudget) copartitionOnce(sub, "dst") else sub
+        // (2) forward max-color propagation, semi-naive
+        var colors = nodes.select(col("v"), col("v").as("c")).localCheckpoint(true)
+        var delta = colors
+        var dn = nNodes
+        var inner = 0
+        while (dn > 0) {
+          inner += 1
+          require(inner <= maxInner, s"color propagation exceeded $maxInner rounds")
+          val cand = eFwd
+            .join(gateBroadcast(delta.select(col("v").as("src"), col("c").as("cs")), dn),
+              Seq("src"))
+            .groupBy(col("dst")).agg(max(col("cs")).as("cand"))
+            .select(col("dst").as("v"), col("cand"))
+          delta = cand.join(colors, Seq("v"))
+            .filter(col("cand") > col("c"))
+            .select(col("v"), col("cand").as("c")).localCheckpoint(true)
+          dn = delta.count()
+          if (dn > 0)
+            colors = colors
+              .join(delta.select(col("v"), col("c").as("c2")), Seq("v"), "left")
+              .select(col("v"), coalesce(col("c2"), col("c")).as("c"))
+              .localCheckpoint(true)
+        }
+        // (3) backward sweep from the roots, restricted to each root's color
+        var reached = colors.filter(col("c") === col("v")).localCheckpoint(true)
+        var bd = reached
+        var bn = bd.count()
+        inner = 0
+        while (bn > 0) {
+          inner += 1
+          require(inner <= maxInner, s"backward sweep exceeded $maxInner rounds")
+          val preds = eBwd
+            .join(gateBroadcast(bd.select(col("v").as("dst"), col("c")), bn), Seq("dst"))
+            .select(col("src").as("v"), col("c")).distinct()
+            .join(colors.select(col("v"), col("c").as("vc")), Seq("v"))
+            .filter(col("c") === col("vc"))
+            .select(col("v"), col("c"))
+          bd = preds.join(reached, Seq("v"), "left_anti").localCheckpoint(true)
+          bn = bd.count()
+          if (bn > 0) reached = reached.unionByName(bd).localCheckpoint(true)
+        }
+        // (4) emit nontrivial classes, peel everything reached
+        val comps = reached.groupBy(col("c"))
+          .agg(count(lit(1)).as("n"), min(col("v")).as("scc_id"))
+        out += reached
+          .join(comps.filter(col("n") > 1).select(col("c"), col("scc_id")), Seq("c"))
+          .select(col("v").as("node"), col("scc_id")).localCheckpoint(true)
+        val nReached = reached.count()
+        sub = sub
+          .join(gateBroadcast(reached.select(col("v").as("src")), nReached),
+            Seq("src"), "left_anti")
+          .join(gateBroadcast(reached.select(col("v").as("dst")), nReached),
+            Seq("dst"), "left_anti")
+          .select(col("src"), col("dst")).localCheckpoint(true)
+        if (overBudget) { eFwd.unpersist(); eBwd.unpersist() }
+      }
+    }
+    val nontrivial = if (out.isEmpty) emptyOut else out.reduce(_ unionByName _)
+    val selfOnly = selfLoops
+      .join(nontrivial.select(col("node")), Seq("node"), "left_anti")
+      .select(col("node"), col("node").as("scc_id"))
+    nontrivial.unionByName(selfOnly)
   }
 
   /** The fixpoint detector as a contract face: q347's hierarchy with a
@@ -1374,10 +1536,13 @@ object Graph {
     * 6, and `GraphSpec` pins that miss on a planted graph). The oracle
     * computes the EXACT closure as a recursive set-semantics CTE (any
     * bounded unrolling eventually under-reaches — a 5-round bound
-    * missed a length->32 mutual path at sf0.1); the Spark face
-    * iterates doubling until the count fixpoints — same set, proving
-    * the convergence loop stops at the true closure. 3-cycles (% 97)
-    * exist at every SF; 6-cycles appear from sf0.01 (keys ≥ 1024). */
+    * missed a length->32 mutual path at sf0.1); the Spark face rides
+    * [[sccCyclic]] — cycle membership is plan-independent set
+    * semantics, so the O(V)-state coloring and the oracle's O(pairs)
+    * closure name the same nodes (the closure is fine for DuckDB at
+    * oracle fixture scale; only the ENGINE side must carry the
+    * 100×-safe plan). 3-cycles (% 97) exist at every SF; 6-cycles
+    * appear from sf0.01 (keys ≥ 1024). */
   /** The q358/q364 fixture graph: the part hierarchy with both planted
     * back-edge classes (3-cycles on % 97, 6-cycles on % 101 above key
     * 1024). */
@@ -1411,18 +1576,20 @@ object Graph {
       |  UNION
       |  SELECT c.src, e.dst FROM cl c JOIN e ON e.src = c.dst)""".stripMargin
 
-  /** The q358/q364 closure, computed ONCE per corpus version and
+  /** The q358/q364 SCC labels, computed ONCE per corpus version and
     * persisted ([[graft.sources.ParquetState]] keyed by a part-key
     * fingerprint — the trained-state discipline applied to a graph
-    * artifact): both faces and every bench rerun read the pair set
-    * instead of re-paying the diameter-round delta loop. */
-  private def auditClosure(s: SparkSession, dir: String): DataFrame = {
+    * artifact): both faces and every bench rerun read the (node,
+    * scc_id) relation — O(cyclic nodes), NOT the O(pairs) closure the
+    * round-7 draft persisted (5.6M pairs over 20k nodes on this dense
+    * fixture; the labels are ~200 rows at the same SF). */
+  private def auditScc(s: SparkSession, dir: String): DataFrame = {
     val keys = Tables.part(s, dir).select(col("p_partkey").as("k")).distinct()
     val fpr = keys.agg(expr("bit_xor(xxhash64(k))")).head()
     val fp = if (fpr.isNullAt(0)) "empty" else java.lang.Long.toHexString(fpr.getLong(0))
-    val stateDir = s"${System.getProperty("java.io.tmpdir")}/graft_closure_v1_$fp"
-    graft.sources.ParquetState.getOrBuild(s, stateDir, Seq("closure")) {
-      Seq(transitiveClosureFixpoint(fixpointAuditEdges(s, dir)))
+    val stateDir = s"${System.getProperty("java.io.tmpdir")}/graft_scc_v1_$fp"
+    graft.sources.ParquetState.getOrBuild(s, stateDir, Seq("scc")) {
+      Seq(sccCyclic(fixpointAuditEdges(s, dir)))
     }.head
   }
 
@@ -1431,25 +1598,22 @@ object Graph {
     s"""WITH RECURSIVE $closureRecSql
        |SELECT DISTINCT src AS node FROM cl WHERE src = dst
        |ORDER BY node""".stripMargin) { (s, dir) =>
-    auditClosure(s, dir)
-      .filter(col("src") === col("dst")).select(col("src").as("node"))
-      .distinct().orderBy(col("node"))
+    auditScc(s, dir).select(col("node")).distinct().orderBy(col("node"))
   }
 
   /** Strongly connected components — the condensation step after q358
     * says "cycles exist": WHICH nodes cycle together (one merged supply
     * loop or many independent ones?) is what the remediation ticket
-    * needs. A pair is mutually reachable iff the closure holds both
-    * (x, y) and (y, x); each node's component id is the MIN mutual
-    * partner (x itself is mutual via its self-path, so ids are total),
-    * and only nodes on cycles appear — an acyclic node has no mutual
-    * pair at all, so the trivial singleton SCCs never materialize.
-    * Membership is pinned by a bit_xor node fingerprint per component,
-    * not just the count. Reuses [[transitiveClosureFixpoint]]
-    * (convergence-bounded, q302 device) on the q358 fixture graph;
-    * the oracle reuses the same unrolled r5 closure. At 100 TB: the
-    * mutual join is closure ⋈ closureᵀ on (src, dst) — key-partitioned
-    * equi-join, no new machinery. */
+    * needs. The ORACLE derives components from the recursive closure
+    * (mutual pair = (x,y) and (y,x) both reachable; component id = MIN
+    * mutual partner, x mutual with itself via its self-path — only
+    * cyclic nodes appear, since an acyclic node has no mutual pair);
+    * the ENGINE face reads the same partition from [[sccCyclic]]'s
+    * forward–backward coloring, whose scc_id = min member matches the
+    * MIN-mutual-partner id exactly and whose state is O(V) labels
+    * instead of the closure's O(pairs) — the round-7 verdict's scale
+    * fix. Membership is pinned by a bit_xor node fingerprint per
+    * component, not just the count. */
   val q364StronglyConnected: QueryDef = sql(
     "q364_strongly_connected",
     s"""WITH RECURSIVE $closureRecSql,
@@ -1461,11 +1625,7 @@ object Graph {
        |FROM comp
        |GROUP BY 1
        |ORDER BY scc_id""".stripMargin) { (s, dir) =>
-    val closure = auditClosure(s, dir)
-    val mut = closure.join(
-      closure.select(col("src").as("dst"), col("dst").as("src")),
-      Seq("src", "dst"))
-    mut.groupBy(col("src").as("node")).agg(min(col("dst")).as("scc_id"))
+    auditScc(s, dir)
       .groupBy(col("scc_id"))
       .agg(count(lit(1)).as("n_members"),
         expr("bit_xor(CAST(conv(substring(md5(CAST(node AS STRING)), 1, 15), 16, 10) AS BIGINT))")
@@ -2009,13 +2169,29 @@ object Graph {
     * (gated broadcast, min over (priority, node) structs so even a
     * hash collision breaks deterministically), one retire anti-join.
     * Active-set size drops geometrically (measured: 20000 → 12 active
-    * in 7 rounds at sf0.1); the engine iterates to the empty fixpoint
-    * while the oracle unrolls 8 rounds — a fixture ever needing more
-    * would leave the oracle short and FAIL the hash gate loudly (the
-    * safe direction of the q358 unrolled-closure lesson). Returns
-    * (node, round_joined). */
+    * in 7 rounds at sf0.1).
+    *
+    * PRECONDITION: `edges` must be SYMMETRIC (every (a,b) paired with
+    * (b,a)) — the round-1 join-free shortcut and the src-only active
+    * seeding read only the src→dst direction and would silently skip
+    * one-directional neighbors. Asserted by an order-sensitive xxhash
+    * fingerprint (XOR of h(src,dst) vs XOR of h(dst,src) — one
+    * map-side pass, no join; equal iff symmetric up to a 2⁻⁶⁴
+    * collision). Not reaching the empty fixpoint within `maxRounds`
+    * RAISES rather than returning a partial set, and the q386 face
+    * passes [[MisUnrollRounds]] — the same constant the oracle unrolls
+    * — so a fixture ever needing more rounds fails loudly on the
+    * ENGINE side before the oracle could silently under-cover (the
+    * safe direction of the q358 unrolled-closure lesson; Luby rounds
+    * grow ~O(log n), so the constant's margin over the measured 7
+    * covers a ~32× fixture). Returns (node, round_joined). */
   def misByHash(edges: DataFrame, maxRounds: Int = 40): DataFrame = {
     val raw = edges.persist(StorageLevel.MEMORY_AND_DISK)
+    val symFp = raw.agg(
+      expr("bit_xor(xxhash64(src, dst))").as("f"),
+      expr("bit_xor(xxhash64(dst, src))").as("b")).head()
+    require(symFp.isNullAt(0) || symFp.getLong(0) == symFp.getLong(1),
+      "misByHash requires a symmetric edge relation (fingerprint mismatch)")
     var act = raw.select(col("src").as("v")).distinct()
       .withColumn("p", expr(
         "CAST(conv(substring(md5(concat('mis:', CAST(v AS STRING))), 1, 15), 16, 10) AS BIGINT)"))
@@ -2061,10 +2237,19 @@ object Graph {
       nAct = act.count()
       round += 1
     }
+    require(nAct == 0,
+      s"MIS did not reach the empty fixpoint within $maxRounds rounds ($nAct still active)")
     if (out.isEmpty) // edgeless input: no rounds ran
       act.select(col("v").as("node"), lit(0L).as("round_joined")).limit(0)
     else out.reduce(_ unionByName _)
   }
+
+  /** The q386 oracle's unroll depth AND the engine bound its face runs
+    * under — one constant so they can never drift. Measured fixpoint
+    * is 7 rounds at sf0.1; Luby round count grows ~O(log n), so 12
+    * covers a ~32× fixture before the engine's require fires (loudly,
+    * before the oracle could under-cover). */
+  private[graft] val MisUnrollRounds = 12
 
   /** One unrolled oracle MIS round k over CTEs e/a{k-1}. Every CTE is
     * MATERIALIZED: inlined, the 8 rounds' NOT EXISTS legs re-open the
@@ -2093,11 +2278,11 @@ object Graph {
        |a0 AS MATERIALIZED (SELECT DISTINCT src AS v,
        |    CAST(('0x' || substr(md5('mis:' || CAST(src AS VARCHAR)), 1, 15)) AS BIGINT) AS p
        |  FROM e),
-       |${(1 to 8).map(misRoundSql).mkString(",\n")},
-       |mis AS (${(1 to 8).map(k => s"SELECT v, $k AS r FROM m$k").mkString("\n  UNION ALL ")})
+       |${(1 to MisUnrollRounds).map(misRoundSql).mkString(",\n")},
+       |mis AS (${(1 to MisUnrollRounds).map(k => s"SELECT v, $k AS r FROM m$k").mkString("\n  UNION ALL ")})
        |SELECT v AS node, CAST(r AS BIGINT) AS round_joined
        |FROM mis ORDER BY node""".stripMargin) { (s, dir) =>
-    misByHash(copurchaseEdges(s, dir)).orderBy(col("node"))
+    misByHash(copurchaseEdges(s, dir), maxRounds = MisUnrollRounds).orderBy(col("node"))
   }
 
   /** 1-dimensional Weisfeiler–Leman color refinement (Weisfeiler &

@@ -2403,8 +2403,14 @@ object Temporal {
     * aggregation-order-dependent double sums (SSE comes from the
     * moment identity SSE = Syy − Sty²/Stt). Degenerate-span guard
     * (n < 3 or zero t-variance) goes NULL. Day indices re-base to 0 so
-    * t-moments stay small; cents keep Σty within BIGINT to ~10³ days ×
-    * 10¹²-cent days. */
+    * t-moments stay small. BIGINT envelope: Σty holds to ~10³ days ×
+    * 10¹²-cent days, but the BINDING term is Σy² — the per-row square
+    * y·y wraps once a single day exceeds ~3.03e9 cents (~$30M/day),
+    * and the sum tightens that by another factor n. Past that, switch
+    * the y unit for the syy moment only (deci- or deca-cents: a 10²
+    * unit buys 10⁴ of y² headroom and the R²/SE/t ratios are
+    * unit-invariant); the fixture's daily revenue tops out ~5 decades
+    * under the per-row bound. */
   lazy val q391OlsTrend: QueryDef = sql(
     "q391_ols_trend",
     s"""WITH $dailyXYSql,

@@ -248,6 +248,27 @@ class GraphSpec extends SparkSpec {
     assert(Graph.cycleDetectFixpoint(chain).count() == 0)
   }
 
+  test("SCC coloring: two cycles, a connector, a self-loop, an acyclic tail — hand-computed") {
+    // {1,2,3} and {5,6,7} are 3-cycles joined by the connector 4;
+    // 8 self-loops; 9→10 is acyclic. Both cycle classes fall in ONE
+    // outer round (distinct colors 3 and 7, connector 4 is its own
+    // root and peels as a singleton); scc_id = min member.
+    val e = Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L), (4L, 5L),
+      (5L, 6L), (6L, 7L), (7L, 5L), (8L, 8L), (9L, 10L)).toDF("src", "dst")
+    val got = Graph.sccCyclic(e).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 5L -> 5L, 6L -> 5L, 7L -> 5L, 8L -> 8L))
+  }
+
+  test("SCC coloring: a chain of SCCs where one color covers both forces a second outer round") {
+    // {10,11,12} cycles and feeds {1,2,3} (12 > 3, so the downstream
+    // cycle is colored 12 in round 1 but only SCC(12) = {10,11,12} is
+    // reached backward); the peel + re-trim must then emit {1,2,3}.
+    val e = Seq((10L, 11L), (11L, 12L), (12L, 10L), (12L, 1L),
+      (1L, 2L), (2L, 3L), (3L, 1L)).toDF("src", "dst")
+    val got = Graph.sccCyclic(e).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(10L -> 10L, 11L -> 10L, 12L -> 10L, 1L -> 1L, 2L -> 1L, 3L -> 1L))
+  }
+
   test("HITS: hand-computed 2-round trajectory on a directed triangle-with-tail") {
     // Edges 1→3, 2→3, 3→1. Round 1: a_raw(3)=2e6, a_raw(1)=1e6, amx=2e6,
     // divisor 2 → a = (1e6, 0, 500000)[nodes 3,2,1 resp: a(3)=1e6, a(1)=5e5].
@@ -349,6 +370,31 @@ class GraphSpec extends SparkSpec {
     assert(Set(10L, 11L, 12L).count(mis.contains) == 1)
     val again = Graph.misByHash(e).collect().map(_.getLong(0)).toSet
     assert(again == mis, "hash priorities must make the set a pure function of the graph")
+  }
+
+  test("MIS: asymmetric edges fail the fingerprint precondition loudly") {
+    val asym = Seq((1L, 2L), (2L, 3L)).toDF("src", "dst")
+    val ex = intercept[IllegalArgumentException](Graph.misByHash(asym))
+    assert(ex.getMessage.contains("symmetric"))
+  }
+
+  test("MIS: exceeding the round bound raises instead of under-reporting") {
+    // Adversarial shape for the unroll bound: a path whose md5
+    // priorities DECREASE monotonically along it has exactly one local
+    // minimum per round (the far end), so a 2k-node path takes k
+    // rounds — build it by sorting the ids by their actual priorities.
+    val pri = spark.range(1, 21).select(col("id"), expr(
+        "CAST(conv(substring(md5(concat('mis:', CAST(id AS STRING))), 1, 15), 16, 10) AS BIGINT)"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val byPriDesc = (1L to 20L).sortBy(pri)(Ordering[Long].reverse)
+    val path = byPriDesc.sliding(2).map { case Seq(a, b) => (a, b) }.toSeq
+    val e = edges(path: _*)
+    val ex = intercept[IllegalArgumentException](Graph.misByHash(e, maxRounds = 8))
+    assert(ex.getMessage.contains("fixpoint"))
+    // with room the same shape completes: one join per round, 10 rounds
+    val full = Graph.misByHash(e, maxRounds = 16).collect()
+    assert(full.map(_.getLong(0)).toSet.size == 10)
+    assert(full.map(_.getLong(1)).max == 10L)
   }
 
   test("betweenness: split shortest paths halve the dependency (sigma ratios, not counts)") {
