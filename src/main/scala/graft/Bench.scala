@@ -20,7 +20,13 @@ import java.nio.file.{Files, Paths}
   *      sweep and recorded as probe_sec/probe_post_sec — sustained
   *      external load shows up there, so an inflated round artifact is
   *      distinguishable from a real regression without local
-  *      re-measurement (BASELINE.md pins the idle probe value).
+  *      re-measurement (BASELINE.md pins the idle probe value);
+  *   3. (rev 8) every min is also checked against the PREVIOUS round's
+  *      committed artifact (BENCH_PRIOR.json) — a >2x jump on a
+  *      methodology-identical rerun earns one sweep-end recheck, and
+  *      anything still >2x lands in the "suspect" list instead of
+  *      being silently trusted (r7's artifact carried two phantom 2-4x
+  *      spikes on unchanged code that solo re-measures reversed).
   * Caches are cleared between runs, so every run repeats the full
   * scan+shuffle; the min only dodges scheduler/load spikes.
   *
@@ -120,7 +126,7 @@ object Bench {
     // and reports the min over all runs.
     // kept as an ORDERED Seq: a Map would scramble the artifact's query
     // order and make cross-round textual diffs of BENCH_rN.json useless
-    val results = firstPass.map { case (name, fn, times) =>
+    val requeued = firstPass.map { case (name, fn, times) =>
       val all =
         if (corroborated(times)) times
         else {
@@ -129,8 +135,36 @@ object Bench {
             retry.map(t => String.format(java.util.Locale.ROOT, "%.3f", Double.box(t))).mkString(", "))
           times ++ retry
         }
-      name -> all.min
+      (name, fn, all.min)
     }
+    // CROSS-ROUND corroboration (bench_rev 8; the r7 verdict's fix for
+    // the q207/q234 phantom spikes): within-sweep agreement can't see a
+    // burst that owned a query's ENTIRE run window, but the previous
+    // round's artifact can. Any query whose min exceeds its prior-round
+    // figure by >2x on UNCHANGED methodology gets one more sweep-end
+    // run; whatever still exceeds 2x is listed in "suspect":[...] so a
+    // reader chases it with a solo re-measure instead of trusting it.
+    val priorPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_PRIOR", "BENCH_PRIOR.json")
+    val prior: Map[String, Double] =
+      try {
+        val qNum = """"(q\d+[^"]*)"\s*:\s*([0-9.]+)""".r
+        qNum.findAllMatchIn(Files.readString(Paths.get(priorPath)))
+          .map(m => m.group(1) -> m.group(2).toDouble).toMap
+      } catch { case _: Throwable => Map.empty }
+    val crossChecked = requeued.map { case (name, fn, best) =>
+      prior.get(name) match {
+        case Some(p) if p > 0 && best > p * 2 =>
+          val again = once(name, fn)
+          System.err.println(f"[bench] $name cross-round recheck: $again%.3f " +
+            f"(min was $best%.3f, prior $p%.3f)")
+          (name, math.min(best, again), p)
+        case _ => (name, best, prior.getOrElse(name, 0.0))
+      }
+    }
+    val suspects = crossChecked.collect {
+      case (name, best, p) if p > 0 && best > p * 2 => name
+    }
+    val results = crossChecked.map { case (name, best, _) => name -> best }
     val probePost = loadProbe()
     def queriesJson(qs: Iterable[(String, Double)]): String =
       // Locale.ROOT: the default-locale interpolator writes "1,234" under
@@ -143,13 +177,36 @@ object Bench {
     // bench_rev: timing methodology version (3 = min-of-two runs + q78
     // corpus slice; 4 = 32g default heap; 5 = corroborated-min re-runs +
     // load probe; 6 = uncorroborated queries re-queued at sweep end;
-    // 7 = pre-sweep settle loop until the probe reads idle) —
+    // 7 = pre-sweep settle loop until the probe reads idle;
+    // 8 = cross-round >2x recheck + suspect list + per-era split) —
     // cross-round deltas are only comparable at equal bench_rev
     def f3(v: Double) = String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+    // per-era decomposition, so the number comparable to the r3
+    // baseline (the r4-era s/q) rides the artifact instead of being
+    // re-derived from BASELINE.md each round; eras follow the rounds'
+    // query-number ranges
+    def era(name: String): String = {
+      val n = name.drop(1).takeWhile(_.isDigit)
+      if (!name.startsWith("q") || n.isEmpty) "ref"
+      else n.toInt match {
+        case v if v <= 124 => "r4"
+        case v if v <= 318 => "r5"
+        case v if v <= 357 => "r6"
+        case v if v <= 392 => "r7"
+        case _ => "r8"
+      }
+    }
+    val eras = results.groupBy { case (n, _) => era(n) }.toSeq.sortBy(_._1)
+      .map { case (e, qs) =>
+        val sec = qs.map(_._2).sum
+        s""""$e":{"n":${qs.size},"sec":${f3(sec)},"sec_per_q":${f3(sec / qs.size)}}"""
+      }.mkString("{", ",", "}")
+    val suspectJson = suspects.map("\"" + _ + "\"").mkString("[", ",", "]")
     val probes = s""""probe_sec":${f3(probePre)},"probe_post_sec":${f3(probePost)},"settle_waits":$settleWaits"""
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":${queriesJson(results)},"sf":"$sfDir","bench_rev":7,"runs_per_query":$runs,$probes}"""
+    val extras = s""""eras":$eras,"suspect":$suspectJson"""
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":${queriesJson(results)},"sf":"$sfDir","bench_rev":8,"runs_per_query":$runs,$probes,$extras}"""
     val top10 = results.sortBy(-_._2).take(10)
-    val compact = s"""{"metric":"total","value":$total,"unit":"sec","queries":${queriesJson(top10)},"sf":"$sfDir","n_queries":${results.size},"runs_per_query":$runs,"bench_rev":7,$probes,"full_out":"$out"}"""
+    val compact = s"""{"metric":"total","value":$total,"unit":"sec","queries":${queriesJson(top10)},"sf":"$sfDir","n_queries":${results.size},"runs_per_query":$runs,"bench_rev":8,$probes,$extras,"full_out":"$out"}"""
     System.err.println(json)
     System.err.flush()
     println(json)
