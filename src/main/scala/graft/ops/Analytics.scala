@@ -2157,10 +2157,19 @@ object Analytics {
         sum(expr("CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)")).as("m_cents"))
       .crossJoin(broadcast(mx))
       .withColumn("r_days", datediff(col("mxd"), col("last_d")).cast("long"))
+      // customer-sized but derived from the ORDERS scan, and read by the
+      // n-agg plus both adaptive rank passes (each itself two-pass) — up
+      // to ~5 lineage re-derivations without this checkpoint (measured
+      // 2.4 s → ~1 s at sf0.1; the r7 verdict's claw-back item)
+      .localCheckpoint(true)
     val n = cust.agg(count(lit(1)).cast("long").as("n_cust"))
     val rRanked = BlockRank.globalRowNumberAdaptive(
       cust.crossJoin(broadcast(n)), col("r_days"), asc = true,
       Seq(col("r_days").asc, col("c").asc), "rk_r")
+      // an adaptive rank pass reads its input three times (stats agg,
+      // offsets agg, rank join) — without this checkpoint the second
+      // pass re-executes the first's join+window chain per read
+      .localCheckpoint(false)
     val fRanked = BlockRank.globalRowNumberAdaptive(
       rRanked, col("f_orders"), asc = false,
       Seq(col("f_orders").desc, col("c").asc), "rk_f")
