@@ -155,7 +155,11 @@ object ScaleSmoke {
       "q377_auc_eval", "q378_betweenness", "q379_percolation",
       "q380_data_map", "q381_decision_stump", "q384_weighted_kappa",
       "q386_maximal_independent_set", "q387_wl_refinement",
-      "q388_wasserstein_drift")
+      "q388_wasserstein_drift",
+      // round-8: the walk-features chain (q393 consumes the persisted
+      // q370 corpus; q394 is the biased walker) runs on the 2-col
+      // smoke lineitem like the rest of the graph family
+      "q393_walk_ppmi", "q394_node2vec_walks")
     // q226/q227/q229/q230/q231/q235/q236/q238/q241/q242/q244/q245/q246/q247/q248/q249/q250/q251/q252/q253/q255/q256/q257/q258/q259/q260/q261 are not smoked: the
     // smoke corpus has
     // no events/orders tables and only a 2-column lineitem projection,
@@ -318,6 +322,73 @@ object ScaleSmoke {
     val dt = (System.nanoTime() - t0) / 1e9
     println(f"star_cc_chain(n=$n%d) $dt%8.2f s  ($nClusters%d clusters)")
     assert(nClusters == 1, s"chain must collapse to one cluster, got $nClusters")
+
+    // coloring SCC on the 10× dense q358 hierarchy: the r7 closure held
+    // 5.6M pairs over 20k nodes at sf0.1 and grows ~quadratically; the
+    // coloring's output (and peak label state) is O(cyclic nodes). The
+    // leg prints labels vs nodes so the sub-closure state is measured,
+    // not asserted from theory, and pins the nontrivial-SCC invariant.
+    {
+      val nk = 20000L * mult
+      val keys = spark.range(1, nk + 1).select(col("id").as("k"))
+      val fwd = keys.select(col("k").as("src"), expr("k DIV 4").as("dst"))
+      val b3 = keys.filter(col("k") >= 16 && col("k") % 97 === 0)
+        .select(expr("k DIV 16").as("src"), col("k").as("dst"))
+      val b6 = keys.filter(col("k") >= 1024 && col("k") % 101 === 0)
+        .select(expr("k DIV 1024").as("src"), col("k").as("dst"))
+      val t0s = System.nanoTime()
+      val scc = graft.ops.Graph.sccCyclic(fwd.unionByName(b3).unionByName(b6))
+        .persist()
+      val nLabels = scc.count()
+      val dts = (System.nanoTime() - t0s) / 1e9
+      val sizes = scc.groupBy("scc_id").count()
+      val minSize = sizes.agg(org.apache.spark.sql.functions.min("count")).head().getLong(0)
+      println(f"scc_coloring(nodes=$nk%d) $dts%8.2f s  " +
+        f"($nLabels%d labels — the closure here would be pair-quadratic)")
+      assert(minSize > 1, "no self-loops planted: every emitted SCC must be nontrivial")
+      scc.unpersist()
+      spark.catalog.clearCache()
+    }
+
+    // MIS on a star: the degenerate hub shape — either the hub beats
+    // every leaf (1 round, MIS = hub) or some leaf beats it (all
+    // beating leaves join round 1, the hub retires, survivors join
+    // round 2). Pins that the fixpoint lands well inside the shared
+    // MisUnrollRounds bound on the worst fan-out shape.
+    {
+      val leaves = nDocs / 10
+      val star = spark.range(1, leaves + 1)
+        .select(lit(0L).as("src"), col("id").as("dst"))
+      val sym = star.unionByName(star.select(col("dst").as("src"), col("src").as("dst")))
+      val t0m = System.nanoTime()
+      val mis = graft.ops.Graph.misByHash(sym).persist()
+      val nMis = mis.count()
+      val maxRound = mis.agg(org.apache.spark.sql.functions.max("round_joined")).head().getLong(0)
+      val dtm = (System.nanoTime() - t0m) / 1e9
+      println(f"mis_star(leaves=$leaves%d) $dtm%8.2f s  ($nMis%d members, $maxRound rounds)")
+      assert(maxRound <= 2, s"star MIS must settle in <= 2 rounds, took $maxRound")
+      assert(nMis == 1L || nMis == leaves, "star MIS is the hub alone or every leaf")
+      mis.unpersist()
+      spark.catalog.clearCache()
+    }
+
+    // walk corpus on a ring: every node degree 2, maximal step-pick
+    // collisions (the hash picks between exactly two neighbors every
+    // step) — shape: seeds × (steps+1), all transitions real edges.
+    {
+      val rn = nDocs / 10
+      val ringF = spark.range(rn)
+        .select(col("id").as("src"), expr(s"(id + 1) % $rn").as("dst"))
+      val ring = ringF.unionByName(ringF.select(col("dst").as("src"), col("src").as("dst")))
+      val t0r = System.nanoTime()
+      val wc = graft.ops.Graph.walkCorpus(ring, steps = 4, seedMod = 101)
+      val nw = wc.count()
+      val dtr = (System.nanoTime() - t0r) / 1e9
+      val seeds = (rn + 100) / 101
+      println(f"walk_ring(n=$rn%d) $dtr%8.2f s  ($nw%d rows)")
+      assert(nw == seeds * 5, s"ring walk corpus must be seeds*5 rows, got $nw vs ${seeds * 5}")
+      spark.catalog.clearCache()
+    }
     spark.stop()
   }
 }

@@ -1481,10 +1481,19 @@ object Graph {
             .filter(col("cand") > col("c"))
             .select(col("v"), col("cand").as("c")).localCheckpoint(true)
           dn = delta.count()
+          // the recurrence updates colors by ANTI JOIN + UNION, not a
+          // left-outer merge: outer/inner joins multiply Catalyst's
+          // sizeInBytes estimate, and a recurrence whose stats multiply
+          // by its own prior stats compounds into a 3^k-digit BigInt
+          // tower that the driver then grinds through inside every
+          // checkpoint's stats capture (measured: the 10x smoke leg
+          // pinned one core for >20 min in BigInteger.multiply before
+          // this rewrite; anti joins carry the LEFT side's stats, so
+          // bits grow linearly instead)
           if (dn > 0)
             colors = colors
-              .join(delta.select(col("v"), col("c").as("c2")), Seq("v"), "left")
-              .select(col("v"), coalesce(col("c2"), col("c")).as("c"))
+              .join(delta.select(col("v")), Seq("v"), "left_anti")
+              .unionByName(delta)
               .localCheckpoint(true)
         }
         // (3) backward sweep from the roots, restricted to each root's color
@@ -1907,31 +1916,255 @@ object Graph {
        |   AND a.rn = 1 + CAST(('0x' || substr(md5(CAST(w.seed AS VARCHAR) || ':' ||
        |         CAST(w.node AS VARCHAR) || ':$t'), 1, 15)) AS BIGINT) % g.d)""".stripMargin
 
+  /** Shared oracle prefix for q370/q393: the co-purchase edges, the
+    * windowed adjacency index, and the full 4-step walk corpus as a
+    * `walks` CTE. MATERIALIZED where referenced more than once — q393's
+    * skip-gram self-join reads `walks` twice, and inlined CTEs re-open
+    * the parquet per reference (the fd-limit lesson). */
+  private val walkOracleSql =
+    s"""e AS MATERIALIZED (
+       |  SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+       |  FROM lineitem a JOIN lineitem b
+       |    ON b.l_orderkey = a.l_orderkey AND b.l_partkey <> a.l_partkey),
+       |adjx AS MATERIALIZED (SELECT src, dst,
+       |    ROW_NUMBER() OVER (PARTITION BY src ORDER BY dst) AS rn FROM e),
+       |deg AS MATERIALIZED (SELECT src, COUNT(*) AS d FROM e GROUP BY 1),
+       |w0 AS (SELECT src AS seed, src AS node FROM deg WHERE src % 101 = 0),
+       |${walkStepSql(1)},
+       |${walkStepSql(2)},
+       |${walkStepSql(3)},
+       |${walkStepSql(4)},
+       |walks AS MATERIALIZED (
+       |  SELECT seed, 0 AS step, node FROM w0
+       |  UNION ALL SELECT seed, 1, node FROM w1
+       |  UNION ALL SELECT seed, 2, node FROM w2
+       |  UNION ALL SELECT seed, 3, node FROM w3
+       |  UNION ALL SELECT seed, 4, node FROM w4)""".stripMargin
+
+  /** The q370 walk corpus, generated ONCE per corpus version and
+    * persisted (ParquetState keyed by the lineitem fingerprint — the
+    * trained-state discipline): q370 serves it and q393's skip-gram
+    * features consume it, so the ingest chain structure→walks→features
+    * pays the walk build once. Deterministic hash picks make the
+    * persisted corpus equal to a fresh rebuild bit for bit. */
+  private def persistedWalkCorpus(s: SparkSession, dir: String): DataFrame = {
+    val fp = copurchaseFp(s, dir)
+    val stateDir = s"${System.getProperty("java.io.tmpdir")}/graft_walks_v1_$fp"
+    graft.sources.ParquetState.getOrBuild(s, stateDir, Seq("walks")) {
+      Seq(walkCorpus(copurchaseEdges(s, dir), steps = 4, seedMod = 101))
+    }.head
+  }
+
   /** Contract face of [[walkCorpus]]: 4-step walks from every 101st
     * part over the co-purchase graph. The node sequence hashes every
     * step's md5-mod-degree pick against the windowed adjacency index —
     * a diverged neighbor ordering or hash anywhere derails the walk. */
   val q370WalkCorpus: QueryDef = sql(
     "q370_walk_corpus",
-    s"""WITH e AS (
+    s"""WITH $walkOracleSql
+       |SELECT seed, step, node FROM walks
+       |ORDER BY seed, step""".stripMargin) { (s, dir) =>
+    persistedWalkCorpus(s, dir).orderBy(col("seed"), col("step"))
+  }
+
+  /** Skip-gram co-occurrence counts + shifted-PPMI association over the
+    * persisted q370 walk corpus (Levy & Goldberg, NIPS 2014: SGNS with
+    * k negatives factorizes the PMI − log k matrix, so the EXACT
+    * pair-count algebra below is the oracle-able core of a DeepWalk
+    * embedding — the piece that is integer math, unlike SGNS itself).
+    * Window-2 skip-gram pairs within each walk "sentence"; n(a,b),
+    * marginals, and the association ratio P(a,b)/(P(a)P(b)) =
+    * n(ab)·N/(n(a)·n(b)) in micro-units, plus the k=5 shifted-PPMI
+    * sign (ratio > k ⇔ PMI > log k — the log never needs computing,
+    * which is also what keeps both engines exact: no cross-engine
+    * transcendentals). Top 100 by (association, pair).
+    *
+    * Overflow: the ratio is (10⁶·n(ab) DIV n(a)) · N DIV n(b) — the
+    * first factor is ≤ 10⁶ exactly because n(ab) ≤ n(a), so the
+    * product stays in BIGINT while N < 9.2·10¹² pair tokens (a
+    * 100 TB-scale walk corpus; past that drop the micro scale a
+    * decade). The divide-before-multiply order costs ≤ 1 micro of
+    * truncation, identically in both engines.
+    *
+    * Scale posture: pairs are |corpus|·2w rows (window-bounded, never
+    * node²); counts are observed-pair-sparse; marginals derive from
+    * the pair counts (no second corpus pass); the only broadcast is
+    * the 1-row total. Completes the q370 chain: structure → walks →
+    * embedding features. */
+  val q393WalkPpmi: QueryDef = sql(
+    "q393_walk_ppmi",
+    s"""WITH $walkOracleSql,
+       |pairs AS MATERIALIZED (
+       |  SELECT a.node AS w, b.node AS c
+       |  FROM walks a JOIN walks b
+       |    ON b.seed = a.seed AND b.step <> a.step
+       |   AND b.step BETWEEN a.step - 2 AND a.step + 2),
+       |pc AS MATERIALIZED (
+       |  SELECT w, c, CAST(COUNT(*) AS BIGINT) AS n_ab FROM pairs GROUP BY 1, 2),
+       |wm AS (SELECT w, CAST(SUM(n_ab) AS BIGINT) AS n_w FROM pc GROUP BY 1),
+       |cm AS (SELECT c, CAST(SUM(n_ab) AS BIGINT) AS n_c FROM pc GROUP BY 1),
+       |tot AS (SELECT CAST(SUM(n_ab) AS BIGINT) AS n FROM pc)
+       |SELECT pc.w, pc.c, pc.n_ab, wm.n_w, cm.n_c,
+       |  CAST((1000000 * pc.n_ab // wm.n_w) * tot.n // cm.n_c AS BIGINT) AS assoc_micro,
+       |  CAST(CASE WHEN (1000000 * pc.n_ab // wm.n_w) * tot.n // cm.n_c > 5000000
+       |       THEN 1 ELSE 0 END AS BIGINT) AS sppmi_pos
+       |FROM pc JOIN wm USING (w) JOIN cm USING (c), tot
+       |ORDER BY assoc_micro DESC, w, c
+       |LIMIT 100""".stripMargin) { (s, dir) =>
+    walkPpmi(persistedWalkCorpus(s, dir), window = 2, shiftK = 5)
+      .orderBy(col("assoc_micro").desc, col("w"), col("c"))
+      .limit(100)
+  }
+
+  /** The q393 algebra over any (seed, step, node) walk corpus: window-w
+    * skip-gram pair counts, marginals, micro-unit association ratio,
+    * and the shift-k PPMI sign. Exposed for the hand-computed spec. */
+  def walkPpmi(corpus: DataFrame, window: Int, shiftK: Int): DataFrame = {
+    val a = corpus.select(col("seed"), col("step").as("sa"), col("node").as("w"))
+    val b = corpus.select(col("seed"), col("step").as("sb"), col("node").as("c"))
+    val pc = a.join(b, Seq("seed"))
+      .filter(col("sb") =!= col("sa") &&
+        col("sb").between(col("sa") - window, col("sa") + window))
+      .groupBy(col("w"), col("c")).agg(count(lit(1)).as("n_ab"))
+      .localCheckpoint(true) // feeds both marginals, the total, and the final join
+    val wm = pc.groupBy(col("w")).agg(sum(col("n_ab")).as("n_w"))
+    val cm = pc.groupBy(col("c")).agg(sum(col("n_ab")).as("n_c"))
+    val tot = pc.agg(sum(col("n_ab")).as("n"))
+    pc.join(wm, Seq("w")).join(cm, Seq("c")).crossJoin(broadcast(tot))
+      .select(col("w"), col("c"), col("n_ab"), col("n_w"), col("n_c"),
+        expr("(1000000L * n_ab DIV n_w) * n DIV n_c").as("assoc_micro"))
+      .withColumn("sppmi_pos",
+        when(col("assoc_micro") > lit(shiftK * 1000000L), 1L).otherwise(0L))
+  }
+
+  /** node2vec BIASED walk corpus (Grover & Leskovec, KDD 2016) — the
+    * p/q second-order walk that q370's uniform DeepWalk walker lacks:
+    * the step distribution depends on the PREVIOUS node, weighting a
+    * candidate 1/p when it returns to it, 1 when it stays in its
+    * neighborhood (distance 1 — triadic closure), 1/q when it leaves
+    * (distance 2). Integer weights 1/4/2 realize p=4, q=2
+    * (backtracking discouraged, mild exploration). The pick is the
+    * same deterministic md5 device as [[walkCorpus]] ('n2v:' prefix so
+    * the corpora decouple), drawn from the CUMULATIVE weight line of
+    * the candidate set — bit-reproducible across engines and
+    * partitionings, distributionally the weighted sample.
+    *
+    * Plan shape per step: one adjacency scan with the seed-sized walk
+    * relation on the build side (gated broadcast), one edge scan
+    * semi-joined down to the (prev, dst) pairs the step actually
+    * probes (the distance-1 test — never a full edge join), then
+    * degree-bounded per-walk windows for the cumulative pick. Nothing
+    * edge-scale re-shuffles; candidate relations are seeds × degree.
+    * Returns (seed, step, node), step 0..`steps` (step 1 uniform — no
+    * previous node yet). */
+  def node2vecWalks(edges: DataFrame, steps: Int, seedMod: Int): DataFrame = {
+    val e = edges.select(col("src"), col("dst")).distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val adjIdx = e
+      .withColumn("rn", expr("row_number() OVER (PARTITION BY src ORDER BY dst)"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    adjIdx.count()
+    val deg = e.groupBy(col("src")).agg(count(lit(1)).as("d"))
+    val nSeeds = deg.filter(col("src") % seedMod === 0).count()
+    val w0 = deg.filter(col("src") % seedMod === 0)
+      .select(col("src").as("seed"), col("src").as("node"))
+      .localCheckpoint(true)
+    val s1 = adjIdx.join(
+        gateBroadcast(w0.join(deg, w0("node") === deg("src")).drop("src")
+          .withColumn("pick", expr(
+            "1 + CAST(conv(substring(md5(concat('n2v:', CAST(seed AS STRING), ':', " +
+              "CAST(node AS STRING), ':1')), 1, 15), 16, 10) AS BIGINT) % d"))
+          .select(col("seed"), col("node").as("cursrc"), col("pick")), nSeeds),
+        adjIdx("src") === col("cursrc") && adjIdx("rn") === col("pick"))
+      .select(col("seed"), col("cursrc").as("prev"), col("dst").as("node"))
+      .localCheckpoint(true)
+    var cur = s1
+    val frames = scala.collection.mutable.ArrayBuffer(
+      w0.select(col("seed"), col("node"), lit(0).as("step")),
+      s1.select(col("seed"), col("node")).withColumn("step", lit(1)))
+    for (t <- 2 to steps) {
+      val cand = e.join(
+          gateBroadcast(cur.select(col("seed"), col("prev"), col("node").as("src")), nSeeds),
+          Seq("src"))
+        .select(col("seed"), col("prev"), col("src").as("node"), col("dst"))
+        .localCheckpoint(true) // read by the near-set probe and the pick
+      val candN = cand.count()
+      // distance-1 test: reduce the EDGE relation to the probed
+      // (prev, dst) pairs with a broadcast semi-join — the preserved
+      // side of the outer join below then stays candidate-sized on
+      // both sides (broadcasting the small preserved side of an outer
+      // join directly is not a Spark build-side option)
+      val near = e.select(col("src").as("prev"), col("dst"))
+        .join(gateBroadcast(cand.select(col("prev"), col("dst")).distinct(), candN),
+          Seq("prev", "dst"), "left_semi")
+        .withColumn("isnear", lit(1L))
+      val staged = cand
+        .join(gateBroadcast(near, candN), Seq("prev", "dst"), "left")
+        .withColumn("wgt", when(col("dst") === col("prev"), 1L)
+          .when(col("isnear").isNotNull, 4L).otherwise(2L))
+        .withColumn("cw",
+          expr("SUM(wgt) OVER (PARTITION BY seed ORDER BY dst ROWS UNBOUNDED PRECEDING)"))
+        .withColumn("tw", expr("SUM(wgt) OVER (PARTITION BY seed)"))
+        .withColumn("r", expr(
+          s"CAST(conv(substring(md5(concat('n2v:', CAST(seed AS STRING), ':', " +
+            s"CAST(node AS STRING), ':$t')), 1, 15), 16, 10) AS BIGINT) % tw"))
+      cur = staged
+        .filter(col("r") >= col("cw") - col("wgt") && col("r") < col("cw"))
+        .select(col("seed"), col("node").as("prev"), col("dst").as("node"))
+        .localCheckpoint(true)
+      frames += cur.select(col("seed"), col("node")).withColumn("step", lit(t))
+    }
+    frames.reduce(_ unionByName _)
+  }
+
+  /** One unrolled oracle node2vec step t over CTEs e/b{t-1}. Every CTE
+    * MATERIALIZED (multi-round unroll, the fd-limit rule). */
+  private def n2vStepSql(t: Int): String =
+    s"""c$t AS MATERIALIZED (
+       |  SELECT w.seed, w.prev, w.node, e.dst,
+       |    CASE WHEN e.dst = w.prev THEN 1
+       |         WHEN e2.src IS NOT NULL THEN 4 ELSE 2 END AS wgt
+       |  FROM b${t - 1} w
+       |  JOIN e ON e.src = w.node
+       |  LEFT JOIN e e2 ON e2.src = w.prev AND e2.dst = e.dst),
+       |s$t AS MATERIALIZED (
+       |  SELECT seed, prev, node, dst, wgt,
+       |    SUM(wgt) OVER (PARTITION BY seed ORDER BY dst ROWS UNBOUNDED PRECEDING) AS cw,
+       |    SUM(wgt) OVER (PARTITION BY seed) AS tw
+       |  FROM c$t),
+       |b$t AS MATERIALIZED (
+       |  SELECT seed, node AS prev, dst AS node FROM s$t
+       |  WHERE CAST(('0x' || substr(md5('n2v:' || CAST(seed AS VARCHAR) || ':' ||
+       |          CAST(node AS VARCHAR) || ':$t'), 1, 15)) AS BIGINT) % tw
+       |        BETWEEN cw - wgt AND cw - 1)""".stripMargin
+
+  /** Contract face of [[node2vecWalks]]: 3-step p=4/q=2 biased walks
+    * from every 101st part over the co-purchase graph. The sequence
+    * hashes every step's weighted cumulative pick — a diverged weight,
+    * near-set, neighbor order, or hash anywhere derails the walk. */
+  val q394Node2vecWalks: QueryDef = sql(
+    "q394_node2vec_walks",
+    s"""WITH e AS MATERIALIZED (
        |  SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
        |  FROM lineitem a JOIN lineitem b
        |    ON b.l_orderkey = a.l_orderkey AND b.l_partkey <> a.l_partkey),
-       |adjx AS (SELECT src, dst,
+       |adjx AS MATERIALIZED (SELECT src, dst,
        |    ROW_NUMBER() OVER (PARTITION BY src ORDER BY dst) AS rn FROM e),
-       |deg AS (SELECT src, COUNT(*) AS d FROM e GROUP BY 1),
-       |w0 AS (SELECT src AS seed, src AS node FROM deg WHERE src % 101 = 0),
-       |${walkStepSql(1)},
-       |${walkStepSql(2)},
-       |${walkStepSql(3)},
-       |${walkStepSql(4)}
+       |deg AS MATERIALIZED (SELECT src, COUNT(*) AS d FROM e GROUP BY 1),
+       |w0 AS MATERIALIZED (SELECT src AS seed, src AS node FROM deg WHERE src % 101 = 0),
+       |b1 AS MATERIALIZED (SELECT w.seed, w.node AS prev, a.dst AS node
+       |  FROM w0 w JOIN deg g ON g.src = w.node
+       |  JOIN adjx a ON a.src = w.node
+       |   AND a.rn = 1 + CAST(('0x' || substr(md5('n2v:' || CAST(w.seed AS VARCHAR) || ':' ||
+       |         CAST(w.node AS VARCHAR) || ':1'), 1, 15)) AS BIGINT) % g.d),
+       |${n2vStepSql(2)},
+       |${n2vStepSql(3)}
        |SELECT seed, 0 AS step, node FROM w0
-       |UNION ALL SELECT seed, 1, node FROM w1
-       |UNION ALL SELECT seed, 2, node FROM w2
-       |UNION ALL SELECT seed, 3, node FROM w3
-       |UNION ALL SELECT seed, 4, node FROM w4
+       |UNION ALL SELECT seed, 1, node FROM b1
+       |UNION ALL SELECT seed, 2, node FROM b2
+       |UNION ALL SELECT seed, 3, node FROM b3
        |ORDER BY seed, step""".stripMargin) { (s, dir) =>
-    walkCorpus(copurchaseEdges(s, dir), steps = 4, seedMod = 101)
+    node2vecWalks(copurchaseEdges(s, dir), steps = 3, seedMod = 101)
       .orderBy(col("seed"), col("step"))
   }
 
@@ -2363,5 +2596,6 @@ object Graph {
     q312HierarchyRollup, q325DirectedPagerank, q340HarmonicCentrality,
     q347CycleDetection, q349LinkPrediction, q358CycleFixpoint,
     q364StronglyConnected, q369Hits, q370WalkCorpus, q373Modularity,
-    q378Betweenness, q386MaximalIndependentSet, q387WlRefinement)
+    q378Betweenness, q386MaximalIndependentSet, q387WlRefinement,
+    q393WalkPpmi, q394Node2vecWalks)
 }

@@ -181,6 +181,8 @@ class GraphSpec extends SparkSpec {
       Graph.pagerankDirected(dirE, rounds = 2).collect().map(_.toString).sorted.toSeq,
       Graph.hits(dirE, rounds = 2).collect().map(_.toString).sorted.toSeq,
       Graph.walkCorpus(e, steps = 3, seedMod = 1).collect().map(_.toString).sorted.toSeq,
+      Graph.node2vecWalks(e, steps = 3, seedMod = 1).collect().map(_.toString).sorted.toSeq,
+      Graph.sccCyclic(e.unionByName(dirE)).collect().map(_.toString).sorted.toSeq,
       Graph.betweennessSampled(e, seeds).collect().map(_.toString).sorted.toSeq,
       Graph.modularityOf(e, Graph.labelPropagation(e, rounds = 2))
         .collect().map(_.toString).sorted.toSeq,
@@ -246,6 +248,22 @@ class GraphSpec extends SparkSpec {
   test("fixpoint cycle detection on an acyclic chain converges to the empty report") {
     val chain = (1L to 20L).map(i => (i, i + 1)).toDF("src", "dst")
     assert(Graph.cycleDetectFixpoint(chain).count() == 0)
+  }
+
+  test("transitive closure: breaching the pair budget raises and names the scale path") {
+    val key = "spark.graft.graph.closurePairBudget"
+    val saved = spark.conf.getOption(key)
+    try {
+      spark.conf.set(key, "10")
+      // a 20-node chain closes to 190 pairs > 10
+      val chain = (1L to 20L).map(i => (i, i + 1)).toDF("src", "dst")
+      val ex = intercept[IllegalArgumentException](
+        Graph.transitiveClosureFixpoint(chain).count())
+      assert(ex.getMessage.contains("sccCyclic"))
+    } finally saved match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
   }
 
   test("SCC coloring: two cycles, a connector, a self-loop, an acyclic tail — hand-computed") {
@@ -370,6 +388,73 @@ class GraphSpec extends SparkSpec {
     assert(Set(10L, 11L, 12L).count(mis.contains) == 1)
     val again = Graph.misByHash(e).collect().map(_.getLong(0)).toSet
     assert(again == mis, "hash priorities must make the set a pure function of the graph")
+  }
+
+  test("walk PPMI: hand-computed pair counts, marginals, ratio, and shift sign") {
+    // one walk 10,20,10,30; window 2 → 10 ordered pairs, N = 10
+    val corpus = Seq((1L, 0, 10L), (1L, 1, 20L), (1L, 2, 10L), (1L, 3, 30L))
+      .toDF("seed", "step", "node")
+    val got = Graph.walkPpmi(corpus, window = 2, shiftK = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6)))).toMap
+    assert(got == Map(
+      (10L, 20L) -> ((2L, 5L, 3L, 1333333L, 1L)),
+      (10L, 10L) -> ((2L, 5L, 5L, 800000L, 0L)),
+      (20L, 10L) -> ((2L, 3L, 5L, 1333332L, 1L)),
+      (20L, 30L) -> ((1L, 3L, 2L, 1666665L, 1L)),
+      (10L, 30L) -> ((1L, 5L, 2L, 1000000L, 0L)),
+      (30L, 20L) -> ((1L, 2L, 3L, 1666666L, 1L)),
+      (30L, 10L) -> ((1L, 2L, 5L, 1000000L, 0L))))
+  }
+
+  test("node2vec: weighted cumulative bands pick the hand-derived successor on a path") {
+    // On a path, step-2 candidates from an interior node are {prev,
+    // other}: prev weighs 1 (return), the other 2 (distance 2 — prev
+    // and next are never adjacent on a path), so the bands in
+    // dst-order are hand-derivable from the raw hash alone.
+    val pathPairs = (1L to 6L).map(i => (i, i + 1))
+    val e = edges(pathPairs: _*)
+    val adj = pathPairs.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+      .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).sorted }
+    def h(seed: Long, node: Long, t: Int): Long = spark.sql(
+      s"SELECT CAST(conv(substring(md5(concat('n2v:', CAST($seed AS STRING), ':', " +
+        s"CAST($node AS STRING), ':$t')), 1, 15), 16, 10) AS BIGINT)").head().getLong(0)
+    val walks = Graph.node2vecWalks(e, steps = 2, seedMod = 1).collect()
+      .map(r => (r.getLong(0), r.getInt(2)) -> r.getLong(1)).toMap
+    for (s <- 1L to 7L) {
+      assert(walks((s, 0)) == s)
+      val nb1 = adj(s)
+      val exp1 = nb1((h(s, s, 1) % nb1.length).toInt)
+      assert(walks((s, 1)) == exp1, s"seed $s step 1")
+      val prev = s
+      val cur = exp1
+      val cands = adj(cur) // sorted by dst
+      val wgts = cands.map(d => if (d == prev) 1L else 2L)
+      val tw = wgts.sum
+      val r = h(s, cur, 2) % tw
+      val cum = wgts.scanLeft(0L)(_ + _)
+      val exp2 = cands(cum.indexWhere(_ > r) - 1)
+      assert(walks((s, 2)) == exp2, s"seed $s step 2 (r=$r bands=$cum cands=$cands)")
+    }
+    val again = Graph.node2vecWalks(e, steps = 2, seedMod = 1).collect()
+      .map(r => (r.getLong(0), r.getInt(2)) -> r.getLong(1)).toMap
+    assert(again == walks, "biased walks must be bit-reproducible")
+  }
+
+  test("node2vec: every transition is a real edge and triadic candidates outweigh far ones") {
+    // triangle + pendant: from inside the triangle the distance-1
+    // candidate carries weight 4 vs return 1 — walks stay valid edges
+    val e = edges((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L))
+    val adj = e.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val rows = Graph.node2vecWalks(e, steps = 3, seedMod = 1).collect()
+      .map(r => (r.getLong(0), r.getInt(2), r.getLong(1)))
+    val bySeed = rows.groupBy(_._1)
+    for ((_, steps) <- bySeed) {
+      val ordered = steps.sortBy(_._2).map(_._3)
+      ordered.sliding(2).foreach { case Array(a, b) =>
+        assert(adj.contains((a, b)), s"walk transition $a->$b is not an edge")
+      }
+    }
   }
 
   test("MIS: asymmetric edges fail the fingerprint precondition loudly") {
