@@ -667,7 +667,10 @@ class PipelineOpsSpec extends SparkSpec {
     rows.foreach { r =>
       val sign = r.getAs[Long]("sign")
       assert(sign == -1 || sign == 0 || sign == 1)
-      assert(sign == r.getAs[Long]("cov_scaled").sign)
+      // cov_scaled is one DOUBLE expression over the exact BIGINT
+      // moments since the r8 overflow fix (ADVICE: the pooled products
+      // wrapped BIGINT ~2x past the gated fixture)
+      assert(sign == math.signum(r.getAs[Double]("cov_scaled")).toLong)
       if (r.getAs[Long]("flipped") == 1)
         assert(sign != 0 && sign != overall.head.getAs[Long]("sign"))
     }
