@@ -2139,9 +2139,13 @@ object Graph {
        |        BETWEEN cw - wgt AND cw - 1)""".stripMargin
 
   /** Contract face of [[node2vecWalks]]: 3-step p=4/q=2 biased walks
-    * from every 101st part over the co-purchase graph. The sequence
-    * hashes every step's weighted cumulative pick — a diverged weight,
-    * near-set, neighbor order, or hash anywhere derails the walk. */
+    * from every 101st part over the co-purchase graph, persisted per
+    * lineitem fingerprint like the q370 corpus (deterministic picks
+    * make the persisted corpus equal a fresh rebuild bit for bit; the
+    * 3-step build pays 2 edge scans per biased step — once per corpus
+    * version, not per read). The sequence hashes every step's weighted
+    * cumulative pick — a diverged weight, near-set, neighbor order, or
+    * hash anywhere derails the walk. */
   val q394Node2vecWalks: QueryDef = sql(
     "q394_node2vec_walks",
     s"""WITH e AS MATERIALIZED (
@@ -2164,8 +2168,11 @@ object Graph {
        |UNION ALL SELECT seed, 2, node FROM b2
        |UNION ALL SELECT seed, 3, node FROM b3
        |ORDER BY seed, step""".stripMargin) { (s, dir) =>
-    node2vecWalks(copurchaseEdges(s, dir), steps = 3, seedMod = 101)
-      .orderBy(col("seed"), col("step"))
+    val fp = copurchaseFp(s, dir)
+    val stateDir = s"${System.getProperty("java.io.tmpdir")}/graft_n2vwalks_v1_$fp"
+    graft.sources.ParquetState.getOrBuild(s, stateDir, Seq("walks")) {
+      Seq(node2vecWalks(copurchaseEdges(s, dir), steps = 3, seedMod = 101))
+    }.head.orderBy(col("seed"), col("step"))
   }
 
   /** Newman modularity audit of the q153 label-propagation communities
