@@ -1991,16 +1991,21 @@ object Graph {
     * the pair counts (no second corpus pass); the only broadcast is
     * the 1-row total. Completes the q370 chain: structure → walks →
     * embedding features. */
+  /** Shared oracle CTEs for q393/q395: the window-2 skip-gram pairs of
+    * the walk corpus and their (w, c) counts. */
+  private val skipgramOracleSql =
+    """pairs AS MATERIALIZED (
+      |  SELECT a.node AS w, b.node AS c
+      |  FROM walks a JOIN walks b
+      |    ON b.seed = a.seed AND b.step <> a.step
+      |   AND b.step BETWEEN a.step - 2 AND a.step + 2),
+      |pc AS MATERIALIZED (
+      |  SELECT w, c, CAST(COUNT(*) AS BIGINT) AS n_ab FROM pairs GROUP BY 1, 2)""".stripMargin
+
   val q393WalkPpmi: QueryDef = sql(
     "q393_walk_ppmi",
     s"""WITH $walkOracleSql,
-       |pairs AS MATERIALIZED (
-       |  SELECT a.node AS w, b.node AS c
-       |  FROM walks a JOIN walks b
-       |    ON b.seed = a.seed AND b.step <> a.step
-       |   AND b.step BETWEEN a.step - 2 AND a.step + 2),
-       |pc AS MATERIALIZED (
-       |  SELECT w, c, CAST(COUNT(*) AS BIGINT) AS n_ab FROM pairs GROUP BY 1, 2),
+       |$skipgramOracleSql,
        |wm AS (SELECT w, CAST(SUM(n_ab) AS BIGINT) AS n_w FROM pc GROUP BY 1),
        |cm AS (SELECT c, CAST(SUM(n_ab) AS BIGINT) AS n_c FROM pc GROUP BY 1),
        |tot AS (SELECT CAST(SUM(n_ab) AS BIGINT) AS n FROM pc)
@@ -2016,17 +2021,25 @@ object Graph {
       .limit(100)
   }
 
+  /** Window-w skip-gram (w → context) pair counts over a (seed, step,
+    * node) walk corpus — the shared first stage of [[walkPpmi]] and the
+    * q395 context similarity. Checkpointed: every consumer reads it
+    * several times (marginals, norms, self-joins). */
+  def skipgramCounts(corpus: DataFrame, window: Int): DataFrame = {
+    val a = corpus.select(col("seed"), col("step").as("sa"), col("node").as("w"))
+    val b = corpus.select(col("seed"), col("step").as("sb"), col("node").as("c"))
+    a.join(b, Seq("seed"))
+      .filter(col("sb") =!= col("sa") &&
+        col("sb").between(col("sa") - window, col("sa") + window))
+      .groupBy(col("w"), col("c")).agg(count(lit(1)).as("n_ab"))
+      .localCheckpoint(true)
+  }
+
   /** The q393 algebra over any (seed, step, node) walk corpus: window-w
     * skip-gram pair counts, marginals, micro-unit association ratio,
     * and the shift-k PPMI sign. Exposed for the hand-computed spec. */
   def walkPpmi(corpus: DataFrame, window: Int, shiftK: Int): DataFrame = {
-    val a = corpus.select(col("seed"), col("step").as("sa"), col("node").as("w"))
-    val b = corpus.select(col("seed"), col("step").as("sb"), col("node").as("c"))
-    val pc = a.join(b, Seq("seed"))
-      .filter(col("sb") =!= col("sa") &&
-        col("sb").between(col("sa") - window, col("sa") + window))
-      .groupBy(col("w"), col("c")).agg(count(lit(1)).as("n_ab"))
-      .localCheckpoint(true) // feeds both marginals, the total, and the final join
+    val pc = skipgramCounts(corpus, window)
     val wm = pc.groupBy(col("w")).agg(sum(col("n_ab")).as("n_w"))
     val cm = pc.groupBy(col("c")).agg(sum(col("n_ab")).as("n_c"))
     val tot = pc.agg(sum(col("n_ab")).as("n"))
@@ -2173,6 +2186,68 @@ object Graph {
     graft.sources.ParquetState.getOrBuild(s, stateDir, Seq("walks")) {
       Seq(node2vecWalks(copurchaseEdges(s, dir), steps = 3, seedMod = 101))
     }.head.orderBy(col("seed"), col("step"))
+  }
+
+  /** Distributional node similarity over the walk-context space
+    * (second-order similarity, Schütze CL 1998; the Levy–Goldberg
+    * feature space q393 exposes): two parts are similar when they
+    * occur in the SAME walk contexts even if they never co-occur — the
+    * complement of q349's Adamic–Adar (shared DIRECT neighbors) and
+    * the exact, oracle-able audit face of what a trained DeepWalk
+    * embedding's nearest-neighbor query would retrieve. Count-vector
+    * cosine over the window-2 skip-gram counts of the persisted q370
+    * corpus; hub contexts (fan-out > 64 distinct center nodes) are
+    * dropped first — a context shared with everything certifies
+    * nothing (the q349 selectivity rationale), AND the cap bounds the
+    * context self-join at Σ fan² ≤ 64·Σ fan (bucketed, never node²;
+    * the same df-cap device as PPJoin's prefix filter). dot and both
+    * norms are exact BIGINTs (exact while per-pair counts stay ≤
+    * ~3·10⁹ — the n² square's BIGINT bound); the cosine is ONE final
+    * double expression — IEEE-754 specifies sqrt correctly rounded, so
+    * both engines agree bit for bit — rounded to 6 places BEFORE
+    * ranking, (a, b) tie-broken. Top 100 pairs. */
+  val q395WalkContextSim: QueryDef = sql(
+    "q395_walk_context_sim",
+    s"""WITH $walkOracleSql,
+       |$skipgramOracleSql,
+       |fan AS (SELECT c, CAST(COUNT(*) AS BIGINT) AS nf FROM pc GROUP BY 1),
+       |kept AS MATERIALIZED (
+       |  SELECT pc.w, pc.c, pc.n_ab FROM pc JOIN fan USING (c) WHERE fan.nf <= 64),
+       |nrm AS MATERIALIZED (
+       |  SELECT w, CAST(SUM(n_ab * n_ab) AS BIGINT) AS n2 FROM kept GROUP BY 1),
+       |dots AS (
+       |  SELECT x.w AS a, y.w AS b, CAST(SUM(x.n_ab * y.n_ab) AS BIGINT) AS dot
+       |  FROM kept x JOIN kept y ON y.c = x.c AND y.w > x.w
+       |  GROUP BY 1, 2)
+       |SELECT d.a, d.b, d.dot, na.n2 AS na2, nb.n2 AS nb2,
+       |  ROUND(CAST(d.dot AS DOUBLE) /
+       |        SQRT(CAST(na.n2 AS DOUBLE) * CAST(nb.n2 AS DOUBLE)), 6) AS cos_r6
+       |FROM dots d JOIN nrm na ON na.w = d.a JOIN nrm nb ON nb.w = d.b
+       |ORDER BY cos_r6 DESC, a, b
+       |LIMIT 100""".stripMargin) { (s, dir) =>
+    walkContextSim(skipgramCounts(persistedWalkCorpus(s, dir), window = 2), maxFan = 64)
+      .orderBy(col("cos_r6").desc, col("a"), col("b"))
+      .limit(100)
+  }
+
+  /** The q395 algebra over any (w, c, n_ab) count relation. Exposed
+    * for the hand-computed spec. */
+  def walkContextSim(pc: DataFrame, maxFan: Int): DataFrame = {
+    val fan = pc.groupBy(col("c")).agg(count(lit(1)).as("nf"))
+    val kept = pc
+      .join(fan.filter(col("nf") <= maxFan).select(col("c")), Seq("c"))
+      .localCheckpoint(true) // feeds the norms and both self-join sides
+    val nrm = kept.groupBy(col("w")).agg(sum(col("n_ab") * col("n_ab")).as("n2"))
+      .localCheckpoint(true) // joined on both the a and b sides
+    val dots = kept.select(col("c"), col("w").as("a"), col("n_ab").as("na"))
+      .join(kept.select(col("c"), col("w").as("b"), col("n_ab").as("nb")), Seq("c"))
+      .filter(col("b") > col("a"))
+      .groupBy(col("a"), col("b")).agg(sum(col("na") * col("nb")).as("dot"))
+    dots.join(nrm.select(col("w").as("a"), col("n2").as("na2")), Seq("a"))
+      .join(nrm.select(col("w").as("b"), col("n2").as("nb2")), Seq("b"))
+      .select(col("a"), col("b"), col("dot"), col("na2"), col("nb2"),
+        round(col("dot").cast("double") /
+          sqrt(col("na2").cast("double") * col("nb2").cast("double")), 6).as("cos_r6"))
   }
 
   /** Newman modularity audit of the q153 label-propagation communities
@@ -2604,5 +2679,5 @@ object Graph {
     q347CycleDetection, q349LinkPrediction, q358CycleFixpoint,
     q364StronglyConnected, q369Hits, q370WalkCorpus, q373Modularity,
     q378Betweenness, q386MaximalIndependentSet, q387WlRefinement,
-    q393WalkPpmi, q394Node2vecWalks)
+    q393WalkPpmi, q394Node2vecWalks, q395WalkContextSim)
 }

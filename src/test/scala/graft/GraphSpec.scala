@@ -407,6 +407,19 @@ class GraphSpec extends SparkSpec {
       (30L, 10L) -> ((1L, 2L, 5L, 1000000L, 0L))))
   }
 
+  test("walk context similarity: hub contexts drop, cosines hand-computed") {
+    // c=9 has fan-out 3 > maxFan=2 and must not contribute; the kept
+    // vectors are 10:(c1=2,c2=1), 20:(c1=1), 30:(c2=2)
+    val pc = Seq((10L, 1L, 2L), (20L, 1L, 1L), (10L, 2L, 1L), (30L, 2L, 2L),
+      (10L, 9L, 5L), (20L, 9L, 5L), (30L, 9L, 5L)).toDF("w", "c", "n_ab")
+    val got = Graph.walkContextSim(pc, maxFan = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5)))).toMap
+    assert(got == Map(
+      (10L, 20L) -> ((2L, 5L, 1L, 0.894427)), // 2/sqrt(5)
+      (10L, 30L) -> ((2L, 5L, 4L, 0.447214)))) // 2/sqrt(20)
+  }
+
   test("node2vec: weighted cumulative bands pick the hand-derived successor on a path") {
     // On a path, step-2 candidates from an interior node are {prev,
     // other}: prev weighs 1 (return), the other 2 (distance 2 — prev
