@@ -611,6 +611,35 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("q358/q364: the cycle/SCC faces read the persisted O(V) label state, never a pair closure") {
+    Seq(graft.ops.Graph.q358CycleFixpoint, graft.ops.Graph.q364StronglyConnected).foreach { q =>
+      val p = planOf(q.run(spark, sfDir))
+      assert(p.contains("graft_scc_v1"),
+        s"${q.name} must scan the persisted SCC labels:\n$p")
+      assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+        s"${q.name}:\n$p")
+    }
+  }
+
+  test("q394: the biased-walk face serves the persisted corpus") {
+    val p = planOf(graft.ops.Graph.q394Node2vecWalks.run(spark, sfDir))
+    assert(p.contains("graft_n2vwalks_v1"),
+      s"plan must scan the persisted node2vec corpus:\n$p")
+  }
+
+  test("q393/q395: the walk-feature faces keep top-k pushed down and never go all-pairs") {
+    // the walks themselves come off a checkpointed skip-gram count
+    // relation (the parquet-state read happens inside the checkpoint
+    // build), so the pin here is the downstream shape: TakeOrdered for
+    // the top-100, no cartesian anywhere
+    Seq(graft.ops.Graph.q393WalkPpmi, graft.ops.Graph.q395WalkContextSim).foreach { q =>
+      val p = planOf(q.run(spark, sfDir))
+      assert(p.contains("TakeOrderedAndProject"),
+        s"${q.name} top-100 must be TakeOrdered, not a global sort:\n$p")
+      assert(!p.contains("CartesianProduct"), s"${q.name}:\n$p")
+    }
+  }
+
   test("q253/q268/q311/q208: the order-statistic segmentation family plans no single-partition window over a data-proportional relation") {
     // the RFM quintiles, Gini deciles, ABC cumulative revenue, and the
     // label-noise τ/queue ranks all ride BlockRank's two-pass device:
