@@ -30,6 +30,35 @@ import java.nio.file.{Files, Paths}
   * Caches are cleared between runs, so every run repeats the full
   * scan+shuffle; the min only dodges scheduler/load spikes.
   *
+  * Durability (rev 9 — the r8 driver bench died on its wall-clock
+  * timeout with rc 124 and NO artifact, because everything was written
+  * only at sweep end):
+  *   1. the artifact file is rewritten INCREMENTALLY after every
+  *      query, carrying `"truncated":true` until the sweep completes —
+  *      a kill at any point leaves a parseable partial artifact;
+  *   2. a JVM shutdown hook emits the current compact JSON line to
+  *      stdout and rewrites the file — SIGTERM (what `timeout` sends)
+  *      runs hooks, so even the stdout tail carries per-query data;
+  *   3. a compact snapshot line is also printed every 50 queries, so a
+  *      SIGKILL (no hooks) still leaves parseable lines in the tail;
+  *   4. a wall-clock budget (SPARK_GRAFT_BENCH_BUDGET_S, default 1200 s
+  *      measured from JVM start, settle phase included) degrades the
+  *      sweep instead of letting the driver kill it: past the budget,
+  *      queries run ONCE (no corroboration loop) and the requeue +
+  *      cross-round recheck phases are skipped; past 1.15x the budget
+  *      the sweep stops and the artifact lists the rest in
+  *      `"skipped":[...]`. Degraded figures are still labeled: the
+  *      artifact records `degraded_after` (how many queries ran at full
+  *      methodology) so a reader knows which tail to distrust;
+  *   5. persisted trained state (walk corpora, BPE, IVF centroids,
+  *      postings, perceptron weights, SCC labels, …) is PRE-WARMED
+  *      untimed before the sweep — the r8 in-sweep cold builds (q393
+  *      12.2 s / q394 7.3 s first runs) paid state construction inside
+  *      the timed window; min-of-runs already discarded them from the
+  *      figures, but the wall clock still paid, and both timed runs
+  *      being warm is what lets the 30% corroboration succeed without
+  *      extra runs.
+  *
   * Output contract (the driver tails decorated sbt stdout, which can
   * truncate a long line mid-JSON — r2's BENCH had "parsed": null):
   *   1. the full JSON line goes to stderr first, then stdout;
@@ -39,10 +68,36 @@ import java.nio.file.{Files, Paths}
   *      (default `bench_out.json`).
   */
 object Bench {
+  /** Queries whose FIRST run builds fingerprint-keyed persisted state
+    * ([[graft.sources.ParquetState]]); run once untimed before the
+    * sweep so every timed run serves from state. One name per state
+    * family (the cheapest face that triggers the build); a stale entry
+    * here is harmless — it just warms a normal query. */
+  private val stateBuilders = Seq(
+    "q370_walk_corpus",      // co-purchase edges + DeepWalk corpus (feeds q393/q395)
+    "q394_node2vec_walks",   // biased walk corpus
+    "q153_label_prop",       // LPA labels (feeds q373)
+    "q358_cycle_fixpoint",   // SCC labels (feeds q364)
+    "q132_bpe_train",        // BPE merge trajectory (feeds q144/q220)
+    "q136_bm25",             // postings index (feeds the retrieval stack)
+    "q175_phrase_search",    // positional index
+    "q119_kmeans_train",     // IVF centroids (feeds q120/q122/q374)
+    "q123_corpus_build",     // eval-set decontamination Bloom
+    "q149_corpus_card",      // second Bloom consumer (same key, shared)
+    "q351_charngram_langid", // trained trigram model
+    "q355_cross_validation", // 5-fold perceptron weights
+    "q127_perceptron",       // served task weights
+    "q380_data_map",         // perceptron trajectory
+    "q298_ops_scorecard")    // ops scorecard sheet
+
   def main(args: Array[String]): Unit = {
+    val tJvm0 = System.nanoTime()
+    def elapsedS: Double = (System.nanoTime() - tJvm0) / 1e9
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "2").toInt.max(1)
+    val budgetS = sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET_S", "1200").toDouble
+    val hardStopS = budgetS * 1.15
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -79,11 +134,13 @@ object Bench {
     // the sweep — r6 opened at probe 0.253 vs the 0.08–0.15 idle pin.
     // Probe, and while it reads hot, wait 30 s and re-probe (bounded
     // budget); the artifact records the wait count, so a round that
-    // STILL opened hot is documented rather than silent.
+    // STILL opened hot is documented rather than silent. Settle time
+    // counts against the wall budget: a round that spent its clock
+    // settling degrades gracefully instead of getting killed mid-sweep.
     val settleLimit = sys.env.getOrElse("SPARK_GRAFT_BENCH_SETTLE_TRIES", "6").toInt
     var settleWaits = 0
     var probePre = loadProbe()
-    while (probePre > 0.15 && settleWaits < settleLimit) {
+    while (probePre > 0.15 && settleWaits < settleLimit && elapsedS < budgetS * 0.25) {
       System.err.println(f"[bench] probe ${probePre}%.3f s > 0.15 idle pin — settling 30 s " +
         s"(${settleWaits + 1}/$settleLimit)")
       Thread.sleep(30000)
@@ -100,6 +157,42 @@ object Bench {
       spark.catalog.clearCache()
       (System.nanoTime() - t0) / 1e9
     }
+    def f3(v: Double) = String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+    def queriesJson(qs: Iterable[(String, Double)]): String =
+      // Locale.ROOT: the default-locale interpolator writes "1,234" under
+      // comma-decimal locales, which is invalid JSON
+      qs.map { case (k, v) => "\"" + k + "\":" + f3(v) }.mkString("{", ",", "}")
+
+    // pre-warm the persisted-state builders (rev 9): untimed, and only
+    // while the budget is comfortable — on a box that burned its clock
+    // settling, cold builds land in run 1 and min-of-runs absorbs them
+    // exactly as rev 8 did
+    var warmed = 0
+    for ((name, fn) <- selected if stateBuilders.contains(name) && elapsedS < budgetS * 0.4) {
+      val t = once(name, fn)
+      warmed += 1
+      System.err.println(s"[bench] warm $name: ${f3(t)}")
+    }
+
+    // ---- incremental artifact plumbing (rev 9) ----
+    val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
+    val done = new java.util.concurrent.atomic.AtomicBoolean(false)
+    @volatile var snapshotFull: String = ""
+    @volatile var snapshotCompact: String = ""
+    def writeArtifact(json: String): Unit =
+      try Files.writeString(Paths.get(out), json + "\n")
+      catch { case e: Throwable => System.err.println(s"[bench] could not write $out: ${e.getMessage}") }
+    // SIGTERM (what the driver's `timeout` sends) runs shutdown hooks:
+    // flush the last snapshot to both the file and stdout so a killed
+    // sweep still yields a parseable artifact and a parseable tail line
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      if (!done.get && snapshotFull.nonEmpty) {
+        writeArtifact(snapshotFull)
+        println(snapshotCompact)
+        System.out.flush()
+      }
+    }))
+
     // the min is only trusted once a second run lands within 30% of it:
     // a load burst that hit one run costs one more run, an idle sweep
     // pays nothing extra
@@ -107,15 +200,53 @@ object Bench {
       val s = times.sorted
       s.length >= 2 && s(1) <= s(0) * 1.3
     }
-    val firstPass = selected.toSeq.map { case (name, fn) =>
-      val times = scala.collection.mutable.ArrayBuffer.fill(runs)(once(name, fn))
-      while (!corroborated(times.toSeq) && times.length < maxRuns)
-        times += once(name, fn)
-      // per-run breakdown to stderr: shows warm-vs-cold effects (e.g. a
-      // first run that builds persisted state) that the min hides
-      System.err.println(s"[bench] $name runs: " +
-        times.map(t => String.format(java.util.Locale.ROOT, "%.3f", Double.box(t))).mkString(", "))
-      (name, fn, times.toSeq)
+    // kept as ORDERED collections throughout: a Map would scramble the
+    // artifact's query order and make cross-round textual diffs of
+    // BENCH_rN.json useless
+    val partial = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    val skipped = scala.collection.mutable.ArrayBuffer.empty[String]
+    def partialJson(trunc: Boolean, extra: String = ""): String = {
+      val total = if (partial.nonEmpty) partial.values.sum else 0.0
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":${queriesJson(partial)},""" +
+        s""""sf":"$sfDir","bench_rev":9,"runs_per_query":$runs,"truncated":$trunc,""" +
+        s""""n_done":${partial.size},"n_selected":${selected.size},"warmed":$warmed,""" +
+        s""""settle_waits":$settleWaits,"probe_sec":${f3(probePre)}$extra}"""
+    }
+    def compactOf(full: Boolean): String = {
+      val top10 = partial.toSeq.sortBy(-_._2).take(10)
+      val total = if (partial.nonEmpty) partial.values.sum else 0.0
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":${queriesJson(top10)},""" +
+        s""""sf":"$sfDir","bench_rev":9,"n_queries":${partial.size},"n_selected":${selected.size},""" +
+        s""""truncated":${!full},"warmed":$warmed,"settle_waits":$settleWaits,""" +
+        s""""probe_sec":${f3(probePre)},"full_out":"$out"}"""
+    }
+    var degradedAfter = -1 // index past which queries ran once (budget)
+    val firstPass = selected.toSeq.zipWithIndex.flatMap { case ((name, fn), i) =>
+      if (elapsedS > hardStopS) { skipped += name; None }
+      else {
+        val degraded = elapsedS > budgetS
+        if (degraded && degradedAfter < 0) {
+          degradedAfter = i
+          System.err.println(f"[bench] wall budget $budgetS%.0f s exceeded at $i/${selected.size} — 1 run/query from here")
+        }
+        val times = scala.collection.mutable.ArrayBuffer(once(name, fn))
+        if (!degraded) {
+          while (times.length < runs) times += once(name, fn)
+          while (!corroborated(times.toSeq) && times.length < maxRuns)
+            times += once(name, fn)
+        }
+        // per-run breakdown to stderr: shows warm-vs-cold effects (e.g. a
+        // first run that builds persisted state) that the min hides
+        System.err.println(s"[bench] $name runs: " + times.map(f3).mkString(", "))
+        partial(name) = times.min
+        snapshotFull = partialJson(trunc = true)
+        snapshotCompact = compactOf(full = false)
+        writeArtifact(snapshotFull)
+        // a SIGKILL leaves no hook — drop a parseable snapshot line in
+        // the stdout tail every 50 queries
+        if ((i + 1) % 50 == 0) { println(snapshotCompact); System.out.flush() }
+        Some((name, fn, times.toSeq))
+      }
     }
     // RE-QUEUE, don't re-run adjacently: a load burst longer than one
     // query's whole run window owns ALL of its adjacent runs, and no
@@ -123,18 +254,16 @@ object Bench {
     // q03's 3.77 s artifact re-measured at 0.80 s on a quiet box). A
     // query that exhausted its budget uncorroborated gets two fresh
     // runs at sweep end — minutes later, when the burst has moved on —
-    // and reports the min over all runs.
-    // kept as an ORDERED Seq: a Map would scramble the artifact's query
-    // order and make cross-round textual diffs of BENCH_rN.json useless
+    // and reports the min over all runs. Skipped past the wall budget.
     val requeued = firstPass.map { case (name, fn, times) =>
       val all =
-        if (corroborated(times)) times
+        if (corroborated(times) || times.length < 2 || elapsedS > budgetS) times
         else {
           val retry = Seq.fill(2)(once(name, fn))
-          System.err.println(s"[bench] $name requeued runs: " +
-            retry.map(t => String.format(java.util.Locale.ROOT, "%.3f", Double.box(t))).mkString(", "))
+          System.err.println(s"[bench] $name requeued runs: " + retry.map(f3).mkString(", "))
           times ++ retry
         }
+      partial(name) = all.min
       (name, fn, all.min)
     }
     // CROSS-ROUND corroboration (bench_rev 8; the r7 verdict's fix for
@@ -144,19 +273,28 @@ object Bench {
     // figure by >2x on UNCHANGED methodology gets one more sweep-end
     // run; whatever still exceeds 2x is listed in "suspect":[...] so a
     // reader chases it with a solo re-measure instead of trusting it.
+    // Skipped entirely past the wall budget.
     val priorPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_PRIOR", "BENCH_PRIOR.json")
     val prior: Map[String, Double] =
       try {
+        // anchor the parse to the artifact's flat "queries":{...} object
+        // (ADVICE r8: a whole-file regex would also bind q-named keys
+        // from any future nested map, last-match-wins)
+        val txt = Files.readString(Paths.get(priorPath))
+        val i = txt.indexOf("\"queries\"")
+        val start = txt.indexOf('{', i)
+        val end = txt.indexOf('}', start)
+        val obj = if (i < 0 || start < 0 || end < 0) "" else txt.substring(start, end + 1)
         val qNum = """"(q\d+[^"]*)"\s*:\s*([0-9.]+)""".r
-        qNum.findAllMatchIn(Files.readString(Paths.get(priorPath)))
-          .map(m => m.group(1) -> m.group(2).toDouble).toMap
+        qNum.findAllMatchIn(obj).map(m => m.group(1) -> m.group(2).toDouble).toMap
       } catch { case _: Throwable => Map.empty }
     val crossChecked = requeued.map { case (name, fn, best) =>
       prior.get(name) match {
-        case Some(p) if p > 0 && best > p * 2 =>
+        case Some(p) if p > 0 && best > p * 2 && elapsedS < budgetS =>
           val again = once(name, fn)
           System.err.println(f"[bench] $name cross-round recheck: $again%.3f " +
             f"(min was $best%.3f, prior $p%.3f)")
+          partial(name) = math.min(best, again)
           (name, math.min(best, again), p)
         case _ => (name, best, prior.getOrElse(name, 0.0))
       }
@@ -166,21 +304,14 @@ object Bench {
     }
     val results = crossChecked.map { case (name, best, _) => name -> best }
     val probePost = loadProbe()
-    def queriesJson(qs: Iterable[(String, Double)]): String =
-      // Locale.ROOT: the default-locale interpolator writes "1,234" under
-      // comma-decimal locales, which is invalid JSON
-      qs.map { case (k, v) =>
-        "\"" + k + "\":" + String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
-      }.mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
     // bench_rev: timing methodology version (3 = min-of-two runs + q78
     // corpus slice; 4 = 32g default heap; 5 = corroborated-min re-runs +
     // load probe; 6 = uncorroborated queries re-queued at sweep end;
     // 7 = pre-sweep settle loop until the probe reads idle;
-    // 8 = cross-round >2x recheck + suspect list + per-era split) —
-    // cross-round deltas are only comparable at equal bench_rev
-    def f3(v: Double) = String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+    // 8 = cross-round >2x recheck + suspect list + per-era split;
+    // 9 = incremental artifact + shutdown hook + wall budget + state
+    // pre-warm) — cross-round deltas are only comparable at equal rev
     // per-era decomposition, so the number comparable to the r3
     // baseline (the r4-era s/q) rides the artifact instead of being
     // re-derived from BASELINE.md each round; eras follow the rounds'
@@ -193,7 +324,8 @@ object Bench {
         case v if v <= 318 => "r5"
         case v if v <= 357 => "r6"
         case v if v <= 392 => "r7"
-        case _ => "r8"
+        case v if v <= 395 => "r8"
+        case _ => "r9"
       }
     }
     val eras = results.groupBy { case (n, _) => era(n) }.toSeq.sortBy(_._1)
@@ -202,16 +334,20 @@ object Bench {
         s""""$e":{"n":${qs.size},"sec":${f3(sec)},"sec_per_q":${f3(sec / qs.size)}}"""
       }.mkString("{", ",", "}")
     val suspectJson = suspects.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val skippedJson = skipped.map("\"" + _ + "\"").mkString("[", ",", "]")
     val probes = s""""probe_sec":${f3(probePre)},"probe_post_sec":${f3(probePost)},"settle_waits":$settleWaits"""
-    val extras = s""""eras":$eras,"suspect":$suspectJson"""
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":${queriesJson(results)},"sf":"$sfDir","bench_rev":8,"runs_per_query":$runs,$probes,$extras}"""
+    val trunc = skipped.nonEmpty
+    val extras = s""""eras":$eras,"suspect":$suspectJson,"skipped":$skippedJson,""" +
+      s""""truncated":$trunc,"degraded_after":$degradedAfter,"warmed":$warmed,""" +
+      s""""wall_sec":${f3(elapsedS)}"""
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":${queriesJson(results)},"sf":"$sfDir","bench_rev":9,"runs_per_query":$runs,$probes,$extras}"""
     val top10 = results.sortBy(-_._2).take(10)
-    val compact = s"""{"metric":"total","value":$total,"unit":"sec","queries":${queriesJson(top10)},"sf":"$sfDir","n_queries":${results.size},"runs_per_query":$runs,"bench_rev":8,$probes,$extras,"full_out":"$out"}"""
+    val compact = s"""{"metric":"total","value":$total,"unit":"sec","queries":${queriesJson(top10)},"sf":"$sfDir","n_queries":${results.size},"runs_per_query":$runs,"bench_rev":9,$probes,$extras,"full_out":"$out"}"""
     System.err.println(json)
     System.err.flush()
     println(json)
-    try Files.writeString(Paths.get(out), json + "\n")
-    catch { case e: Throwable => System.err.println(s"[bench] could not write $out: ${e.getMessage}") }
+    writeArtifact(json)
+    done.set(true)
     spark.stop()
     // last stdout line before sbt's [success] footer — short enough to
     // survive any tail truncation the driver applies

@@ -3595,8 +3595,14 @@ object Analytics {
     * the sign and magnitude are reported, and the double sign is exact
     * whenever the true covariance exceeds the cancellation floor
     * ~2⁻⁵²·n·Σxy — many decades of headroom for a non-degenerate
-    * association. One grouped pass + one broadcast
-    * total row; strata are nation-parallel. */
+    * association. The reported magnitude is `cov_giga` = ROUND(cov/1e9)
+    * — a coarser scaled unit, so the COMPARED output is stable against
+    * low-bit drift from a future evaluator/FMA change in either engine
+    * (ADVICE r8: the raw ~2.5e18 double relied on bit-identical IEEE
+    * sequences); sign and flipped still read the unrounded double, so
+    * the flip verdict keeps its full cancellation-floor headroom. One
+    * grouped pass + one broadcast total row; strata are
+    * nation-parallel. */
   val q385SimpsonsFlip: QueryDef = sql(
     "q385_simpsons_flip",
     """WITH sp AS (
@@ -3622,17 +3628,17 @@ object Analytics {
       |  FROM per),
       |rows_ AS (
       |  SELECT CAST(-1 AS BIGINT) AS nat, tot.n,
-      |    ov.cov_scaled,
+      |    ROUND(ov.cov_scaled / 1e9, 0) AS cov_giga,
       |    CAST(CASE WHEN ov.cov_scaled > 0 THEN 1 WHEN ov.cov_scaled < 0 THEN -1 ELSE 0 END AS BIGINT) AS sign,
       |    CAST(0 AS BIGINT) AS flipped
       |  FROM tot, ov
       |  UNION ALL
-      |  SELECT pc.nat, pc.n, pc.cov,
+      |  SELECT pc.nat, pc.n, ROUND(pc.cov / 1e9, 0),
       |    CAST(CASE WHEN pc.cov > 0 THEN 1 WHEN pc.cov < 0 THEN -1 ELSE 0 END AS BIGINT),
       |    CAST(CASE WHEN SIGN(pc.cov) <> SIGN(ov.cov_scaled)
       |              AND pc.cov <> 0 THEN 1 ELSE 0 END AS BIGINT)
       |  FROM pc, ov)
-      |SELECT nat AS stratum, n, cov_scaled, sign, flipped
+      |SELECT nat AS stratum, n, cov_giga, sign, flipped
       |FROM rows_ ORDER BY stratum""".stripMargin) { (s, dir) =>
     val sp = Tables.orders(s, dir).groupBy(col("o_custkey"))
       .agg(sum(expr("CAST(FLOOR(o_totalprice) AS BIGINT)")).as("y"))
@@ -3651,17 +3657,18 @@ object Analytics {
       (col("n").cast("double") * col("sxy").cast("double")
         - col("sx").cast("double") * col("sy").cast("double")).as("cov_all"))
     val overall = ov.select(lit(-1L).as("stratum"), col("n"),
-      col("cov_all").as("cov_scaled"),
+      round(col("cov_all") / lit(1e9), 0).as("cov_giga"),
       signum(col("cov_all")).cast("long").as("sign"), lit(0L).as("flipped"))
     val strata = per.crossJoin(broadcast(ov.select(col("cov_all"))))
       .select(col("nat").as("stratum"), col("n"),
         (col("n").cast("double") * col("sxy").cast("double")
-          - col("sx").cast("double") * col("sy").cast("double")).as("cov_scaled"),
+          - col("sx").cast("double") * col("sy").cast("double")).as("cov_raw"),
         col("cov_all"))
-      .select(col("stratum"), col("n"), col("cov_scaled"),
-        signum(col("cov_scaled")).cast("long").as("sign"),
-        when(signum(col("cov_scaled")) =!= signum(col("cov_all")) &&
-          col("cov_scaled") =!= 0, 1L).otherwise(0L).as("flipped"))
+      .select(col("stratum"), col("n"),
+        round(col("cov_raw") / lit(1e9), 0).as("cov_giga"),
+        signum(col("cov_raw")).cast("long").as("sign"),
+        when(signum(col("cov_raw")) =!= signum(col("cov_all")) &&
+          col("cov_raw") =!= 0, 1L).otherwise(0L).as("flipped"))
     overall.unionByName(strata).orderBy(col("stratum"))
   }
 

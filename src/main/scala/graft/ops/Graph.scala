@@ -158,6 +158,33 @@ object Graph {
     }.head)
   }
 
+  /** The co-purchase adjacency index — (src, dst, rn) with rn the
+    * dst-ordered neighbor rank, plus the (src, d) degree relation —
+    * persisted ONCE per corpus fingerprint (r8 verdict item: the q370
+    * DeepWalk and q394 node2vec state builds each re-derived the
+    * windowed index and the degrees from the edge set on a cold
+    * start). Keyed by the same lineitem fingerprint as the edges, so
+    * stale adjacency is never looked up; both walk corpora read it,
+    * and a cold corpus build pays the src-partitioned window exactly
+    * once per corpus version. (The generic [[pinEdges]] walkers keep
+    * computing their own degree relation: it is one cheap aggregation
+    * over the already-persisted edge set, their pin key varies by
+    * caller, and several run over non-co-purchase graphs.) */
+  private def persistedAdjacency(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val fp = copurchaseFp(s, dir)
+    val stateDir = s"${System.getProperty("java.io.tmpdir")}/graft_adjx_v1_$fp"
+    val Seq(adjx, deg) = graft.sources.ParquetState.getOrBuild(
+      s, stateDir, Seq("adjx", "deg")) {
+      val e = copurchaseEdges(s, dir)
+      Seq(
+        e.withColumn("rn", expr("row_number() OVER (PARTITION BY src ORDER BY dst)")),
+        e.groupBy(col("src")).agg(count(lit(1)).as("d")))
+    }
+    // fanned out on read for the same size-estimate reason as the
+    // persisted edges above
+    (Tables.fanOut(adjx), Tables.fanOut(deg))
+  }
+
   /** ONE fixed-point random-walk round (q143 uniform, q188
     * personalized, and the q302 convergence audit share it): join the
     * node-sized (src, c=floor(rank/deg)) contribution relation into the
@@ -1369,18 +1396,30 @@ object Graph {
     var nDelta = nAcc
     var round = 0
     while (round < maxRounds && nDelta > 0) {
+      // ext is checkpointed and counted BEFORE the anti-join and the
+      // acc union (ADVICE r8: the budget used to be checked only after
+      // the round's delta and the acc∪delta union were fully
+      // materialized, so one dense round could land far past the
+      // budget before the require fired). nExt bounds the round's new
+      // pairs from above — raising on nAcc + nExt keeps the breach's
+      // materialized footprint at one extension set. The bound can
+      // over-count by the ext∩acc overlap, but this guard exists for
+      // densities where ext is MOSTLY new pairs; a marginal workload
+      // that trips it early gets the same actionable message (use
+      // sccCyclic), one round sooner.
       val ext = delta.select(col("src"), col("dst").as("m"))
         .join(e, Seq("m"))
-        .select(col("src"), col("dst")).distinct()
+        .select(col("src"), col("dst")).distinct().localCheckpoint(true)
+      val nExt = ext.count()
+      require(nAcc + nExt <= budget,
+        s"transitive closure would exceed the $budget-pair state budget at round $round " +
+          s"($nAcc pairs + $nExt extensions) — pair-proportional state does not scale on " +
+          "dense graphs; for cycle membership / SCC condensation use sccCyclic (O(V) label state)")
       delta = ext.join(acc, Seq("src", "dst"), "left_anti").localCheckpoint(true)
       // delta is disjoint from acc by the anti join — no distinct needed
       acc = acc.unionByName(delta).localCheckpoint(true)
       nDelta = delta.count()
       nAcc += nDelta
-      require(nAcc <= budget,
-        s"transitive closure exceeded the $budget-pair state budget at round $round " +
-          s"($nAcc pairs) — pair-proportional state does not scale on dense graphs; " +
-          "for cycle membership / SCC condensation use sccCyclic (O(V) label state)")
       round += 1
     }
     require(nDelta == 0, s"closure did not fixpoint within $maxRounds rounds")
@@ -1871,14 +1910,20 @@ object Graph {
     * seed-sized, 1/101 of nodes — takes `steps` sequential joins into
     * it, gated broadcast under the node budget and a plain
     * co-partitioned join above it. Nothing edge-scale ever re-shuffles.
-    * Returns (seed, step, node) for steps 0..`steps`. */
-  def walkCorpus(edges: DataFrame, steps: Int, seedMod: Int): DataFrame = {
+    * Returns (seed, step, node) for steps 0..`steps`. `adjDeg`
+    * optionally supplies a precomputed (adjacency index, degree)
+    * pair — the persisted co-purchase triple — so a corpus build skips
+    * re-deriving both (bit-identical either way: the index is a pure
+    * function of the edge set). */
+  def walkCorpus(edges: DataFrame, steps: Int, seedMod: Int,
+                 adjDeg: Option[(DataFrame, DataFrame)] = None): DataFrame = {
     val e = edges.persist(StorageLevel.MEMORY_AND_DISK)
-    val adjIdx = e
-      .withColumn("rn", expr("row_number() OVER (PARTITION BY src ORDER BY dst)"))
+    val adjIdx = adjDeg.map(_._1).getOrElse(
+        e.withColumn("rn", expr("row_number() OVER (PARTITION BY src ORDER BY dst)")))
       .persist(StorageLevel.MEMORY_AND_DISK)
     adjIdx.count() // materialize once: every step's broadcast build reads it
-    val deg = e.groupBy(col("src")).agg(count(lit(1)).as("d"))
+    val deg = adjDeg.map(_._2).getOrElse(
+      e.groupBy(col("src")).agg(count(lit(1)).as("d")))
     val nSeeds = deg.filter(col("src") % seedMod === 0).count()
     val w0 = deg.filter(col("src") % seedMod === 0)
       .select(col("src").as("seed"), col("src").as("node"))
@@ -1951,7 +1996,8 @@ object Graph {
     val fp = copurchaseFp(s, dir)
     val stateDir = s"${System.getProperty("java.io.tmpdir")}/graft_walks_v1_$fp"
     graft.sources.ParquetState.getOrBuild(s, stateDir, Seq("walks")) {
-      Seq(walkCorpus(copurchaseEdges(s, dir), steps = 4, seedMod = 101))
+      Seq(walkCorpus(copurchaseEdges(s, dir), steps = 4, seedMod = 101,
+        adjDeg = Some(persistedAdjacency(s, dir))))
     }.head
   }
 
@@ -2070,14 +2116,16 @@ object Graph {
     * edge-scale re-shuffles; candidate relations are seeds × degree.
     * Returns (seed, step, node), step 0..`steps` (step 1 uniform — no
     * previous node yet). */
-  def node2vecWalks(edges: DataFrame, steps: Int, seedMod: Int): DataFrame = {
+  def node2vecWalks(edges: DataFrame, steps: Int, seedMod: Int,
+                    adjDeg: Option[(DataFrame, DataFrame)] = None): DataFrame = {
     val e = edges.select(col("src"), col("dst")).distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val adjIdx = e
-      .withColumn("rn", expr("row_number() OVER (PARTITION BY src ORDER BY dst)"))
+    val adjIdx = adjDeg.map(_._1).getOrElse(
+        e.withColumn("rn", expr("row_number() OVER (PARTITION BY src ORDER BY dst)")))
       .persist(StorageLevel.MEMORY_AND_DISK)
     adjIdx.count()
-    val deg = e.groupBy(col("src")).agg(count(lit(1)).as("d"))
+    val deg = adjDeg.map(_._2).getOrElse(
+      e.groupBy(col("src")).agg(count(lit(1)).as("d")))
     val nSeeds = deg.filter(col("src") % seedMod === 0).count()
     val w0 = deg.filter(col("src") % seedMod === 0)
       .select(col("src").as("seed"), col("src").as("node"))
@@ -2184,7 +2232,8 @@ object Graph {
     val fp = copurchaseFp(s, dir)
     val stateDir = s"${System.getProperty("java.io.tmpdir")}/graft_n2vwalks_v1_$fp"
     graft.sources.ParquetState.getOrBuild(s, stateDir, Seq("walks")) {
-      Seq(node2vecWalks(copurchaseEdges(s, dir), steps = 3, seedMod = 101))
+      Seq(node2vecWalks(copurchaseEdges(s, dir), steps = 3, seedMod = 101,
+        adjDeg = Some(persistedAdjacency(s, dir))))
     }.head.orderBy(col("seed"), col("step"))
   }
 
@@ -2502,7 +2551,12 @@ object Graph {
     * covers a ~32× fixture). Returns (node, round_joined). */
   def misByHash(edges: DataFrame, maxRounds: Int = 40): DataFrame = {
     val raw = edges.persist(StorageLevel.MEMORY_AND_DISK)
-    val symFp = raw.agg(
+    // fingerprint DISTINCT edges: the XOR cancels any even-multiplicity
+    // row, so a duplicated one-directional edge would otherwise slip the
+    // guard and then be silently skipped by the src-only seeding (ADVICE
+    // r8); the guarded callers pass distinct relations, so the distinct
+    // here is one extra no-op aggregation, not a semantic change
+    val symFp = raw.select(col("src"), col("dst")).distinct().agg(
       expr("bit_xor(xxhash64(src, dst))").as("f"),
       expr("bit_xor(xxhash64(dst, src))").as("b")).head()
     require(symFp.isNullAt(0) || symFp.getLong(0) == symFp.getLong(1),
