@@ -2299,6 +2299,93 @@ object Graph {
           sqrt(col("na2").cast("double") * col("nb2").cast("double")), 6).as("cos_r6"))
   }
 
+  /** Walk-corpus coverage audit: per step t, how much of what a t-step
+    * walker COULD reach (the exact BFS frontier of the seed set — the
+    * q263/q302 discipline) the persisted q370 corpus actually visited.
+    * This PRICES the walk budget: DeepWalk-style trainers sample a
+    * corpus whose node coverage, not its raw size, bounds embedding
+    * quality (Perozzi et al. KDD 2014 §4.1 observe coverage saturates
+    * with walks-per-node — this is the measurement that says WHERE it
+    * saturates on THIS graph, so the 1/101 seed budget is a dial set
+    * from data, and at 100 TB the decision "more seeds vs longer
+    * walks" is made from a 5-row audit instead of a re-trained
+    * embedding). Exact integer algebra end to end: min walk step per
+    * node (one grouped pass over the corpus), min BFS distance per
+    * node (4 frontier-sized anti-join rounds over the pinned edges —
+    * the frontier only ever shuffles node-sized relations), then ONE
+    * conditional aggregation over the 5-row step grid. coverage_micro
+    * = visited·10⁶ DIV frontier (walk nodes at step t are within
+    * distance t of their seed, so visited ⊆ frontier and the ratio is
+    * a true fraction); an empty frontier reports NULL, never a
+    * division error. */
+  val q396WalkCoverage: QueryDef = sql(
+    "q396_walk_coverage",
+    s"""WITH $walkOracleSql,
+       |f0 AS MATERIALIZED (SELECT src AS node FROM deg WHERE src % 101 = 0),
+       |x1 AS MATERIALIZED (SELECT DISTINCT e.dst AS node FROM e JOIN f0 ON e.src = f0.node),
+       |x2 AS MATERIALIZED (SELECT DISTINCT e.dst AS node FROM e JOIN x1 ON e.src = x1.node),
+       |x3 AS MATERIALIZED (SELECT DISTINCT e.dst AS node FROM e JOIN x2 ON e.src = x2.node),
+       |x4 AS MATERIALIZED (SELECT DISTINCT e.dst AS node FROM e JOIN x3 ON e.src = x3.node),
+       |reach AS (SELECT node, 0 AS d FROM f0
+       |  UNION ALL SELECT node, 1 FROM x1 UNION ALL SELECT node, 2 FROM x2
+       |  UNION ALL SELECT node, 3 FROM x3 UNION ALL SELECT node, 4 FROM x4),
+       |dist AS MATERIALIZED (SELECT node, MIN(d) AS d FROM reach GROUP BY 1),
+       |vis AS MATERIALIZED (SELECT node, MIN(step) AS s FROM walks GROUP BY 1),
+       |j AS MATERIALIZED (
+       |  SELECT di.node, di.d, v.s FROM dist di LEFT JOIN vis v ON v.node = di.node),
+       |looks(k) AS (VALUES (0), (1), (2), (3), (4))
+       |SELECT CAST(k AS BIGINT) AS step,
+       |  CAST(SUM(CASE WHEN j.d <= k THEN 1 ELSE 0 END) AS BIGINT) AS frontier_n,
+       |  CAST(SUM(CASE WHEN j.s IS NOT NULL AND j.s <= k THEN 1 ELSE 0 END) AS BIGINT) AS visited_n,
+       |  CAST(CASE WHEN SUM(CASE WHEN j.d <= k THEN 1 ELSE 0 END) = 0 THEN NULL
+       |       ELSE SUM(CASE WHEN j.s IS NOT NULL AND j.s <= k THEN 1 ELSE 0 END) * 1000000
+       |            // SUM(CASE WHEN j.d <= k THEN 1 ELSE 0 END) END AS BIGINT) AS coverage_micro
+       |FROM looks LEFT JOIN j ON TRUE GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+    val (e, deg, n) = pinEdges(copurchaseEdges(s, dir))
+    val seeds = deg.filter(col("src") % 101 === 0).select(col("src").as("node"))
+    walkCoverage(e, seeds, persistedWalkCorpus(s, dir), maxStep = 4, nNodes = n)
+      .orderBy(col("step"))
+  }
+
+  /** The q396 algebra over a pinned edge relation, a seed set, and a
+    * (seed, step, node) corpus. Exposed for the hand-computed spec.
+    * `nNodes` gates the frontier broadcasts (the [[pinEdges]] caller
+    * already knows it — the frontier is bounded by the node set). */
+  def walkCoverage(e: DataFrame, seeds: DataFrame, corpus: DataFrame,
+                   maxStep: Int, nNodes: Long): DataFrame = {
+    val s = seeds.sparkSession
+    var seen = seeds.withColumn("d", lit(0)).localCheckpoint(true)
+    var frontier = seeds
+    for (t <- 1 to maxStep) {
+      // frontier-sized expansion, anti-joined against everything seen —
+      // min-distance falls out structurally (a node joins `seen` the
+      // first round it appears, which IS its BFS distance)
+      val next = e
+        .join(gateBroadcast(frontier.select(col("node").as("src")), nNodes), Seq("src"))
+        .select(col("dst").as("node")).distinct()
+        .join(seen, Seq("node"), "left_anti")
+        .withColumn("d", lit(t))
+        .localCheckpoint(true) // feeds seen AND the next round's frontier
+      seen = seen.unionByName(next).localCheckpoint(true)
+      frontier = next.select(col("node"))
+    }
+    val vis = corpus.groupBy(col("node")).agg(min(col("step")).as("s"))
+    val looks = s.range(0, maxStep + 1).select(col("id").as("k"))
+    val agg = seen.join(vis, Seq("node"), "left")
+      .crossJoin(broadcast(looks))
+      .groupBy(col("k"))
+      .agg(sum(when(col("d") <= col("k"), 1L).otherwise(0L)).as("fn"),
+        sum(when(col("s").isNotNull && col("s") <= col("k"), 1L).otherwise(0L)).as("vn"))
+    // the step grid drives the output (left join), so a seedless audit
+    // still reports every step as (0, 0, NULL) instead of vanishing
+    looks.join(agg, Seq("k"), "left")
+      .select(col("k").as("step"),
+        coalesce(col("fn"), lit(0L)).as("frontier_n"),
+        coalesce(col("vn"), lit(0L)).as("visited_n"),
+        when(coalesce(col("fn"), lit(0L)) === 0L, lit(null).cast("long"))
+          .otherwise(expr("vn * 1000000L DIV fn")).as("coverage_micro"))
+  }
+
   /** Newman modularity audit of the q153 label-propagation communities
     * (Newman & Girvan PRE 2004): Q_c = within_c/E − (d_c/E)² per
     * community over the symmetric co-purchase edge list (E counts
@@ -2733,5 +2820,5 @@ object Graph {
     q347CycleDetection, q349LinkPrediction, q358CycleFixpoint,
     q364StronglyConnected, q369Hits, q370WalkCorpus, q373Modularity,
     q378Betweenness, q386MaximalIndependentSet, q387WlRefinement,
-    q393WalkPpmi, q394Node2vecWalks, q395WalkContextSim)
+    q393WalkPpmi, q394Node2vecWalks, q395WalkContextSim, q396WalkCoverage)
 }

@@ -420,6 +420,31 @@ class GraphSpec extends SparkSpec {
       (10L, 30L) -> ((2L, 5L, 4L, 0.447214)))) // 2/sqrt(20)
   }
 
+  test("walk coverage: hand-computed BFS frontier vs a synthetic corpus, empty frontier is NULL-safe") {
+    // directed graph: 0→1→2→3→4→5 with a branch 1→6; seed {0}.
+    // BFS distances: 0:0, 1:1, {2,6}:2, 3:3, 4:4 (5 is beyond step 4).
+    // corpus walks 0,1,2,3,4 → min step per node = its index.
+    val e = Seq((0L, 1L), (1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (1L, 6L))
+      .toDF("src", "dst")
+    val seeds = Seq(0L).toDF("node")
+    val corpus = (0 to 4).map(t => (0L, t, t.toLong)).toDF("seed", "step", "node")
+    val got = Graph.walkCoverage(e, seeds, corpus, maxStep = 4, nNodes = 7)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), if (r.isNullAt(3)) -1L else r.getLong(3)))).toMap
+    assert(got == Map(
+      0L -> ((1L, 1L, 1000000L)),
+      1L -> ((2L, 2L, 1000000L)),
+      2L -> ((4L, 3L, 750000L)),  // frontier {0,1,2,6}, visited {0,1,2}
+      3L -> ((5L, 4L, 800000L)),
+      4L -> ((6L, 5L, 833333L)))) // 5_000_000 DIV 6
+    // a seedless audit reports NULL coverage at every step, never a
+    // division error (the house degenerate-input rule)
+    val none = Graph.walkCoverage(e, Seq.empty[Long].toDF("node"),
+        corpus.limit(0), maxStep = 1, nNodes = 7)
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.isNullAt(3)))
+    assert(none.toSet == Set((0L, 0L, true)))
+  }
+
   test("node2vec: weighted cumulative bands pick the hand-derived successor on a path") {
     // On a path, step-2 candidates from an interior node are {prev,
     // other}: prev weighs 1 (return), the other 2 (distance 2 — prev
