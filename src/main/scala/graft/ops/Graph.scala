@@ -2366,6 +2366,11 @@ object Graph {
         .join(seen, Seq("node"), "left_anti")
         .withColumn("d", lit(t))
         .localCheckpoint(true) // feeds seen AND the next round's frontier
+      // seen IS re-checkpointed per round even though each level frame
+      // is already materialized: the next round's anti-join otherwise
+      // re-reads the whole union per task (measured ~1.5-2x slower
+      // without this at sf0.1, cold-JVM min-of-4 12.1 vs 7.8 s — the
+      // q370 "fewer jobs" inversion again)
       seen = seen.unionByName(next).localCheckpoint(true)
       frontier = next.select(col("node"))
     }

@@ -640,6 +640,17 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("q396: the coverage audit reads the persisted walk corpus and never goes all-pairs") {
+    // the only nested-loop join in the plan is the broadcast 5-row step
+    // grid (bounded by maxStep+1, never data-proportional); the BFS
+    // side is checkpointed anti-join rounds, the corpus side one
+    // grouped pass over the persisted q370 state
+    val p = planOf(graft.ops.Graph.q396WalkCoverage.run(spark, sfDir))
+    assert(p.contains("graft_walks_v1"),
+      s"q396 must scan the persisted walk corpus:\n$p")
+    assert(!p.contains("CartesianProduct"), s"q396:\n$p")
+  }
+
   test("q253/q268/q311/q208: the order-statistic segmentation family plans no single-partition window over a data-proportional relation") {
     // the RFM quintiles, Gini deciles, ABC cumulative revenue, and the
     // label-noise τ/queue ranks all ride BlockRank's two-pass device:
