@@ -221,26 +221,33 @@ object Bench {
         s""""probe_sec":${f3(probePre)},"full_out":"$out"}"""
     }
     var degradedAfter = -1 // index past which queries ran once (budget)
-    // predictive degrade (refined after the driver-conditions rehearsal:
-    // waiting until the budget is SPENT left 155/394 queries skipped at
-    // the hard stop — a 1-run figure for every query beats full
-    // methodology for 40% of them): switch to 1 run/query as soon as
-    // the remaining queries' single-run reserve no longer fits the
-    // budget, so the sweep covers the whole contract before the clock
-    // dies. avgRun is measured from this sweep's own timed runs.
+    // predictive degrade (refined after two driver-conditions
+    // rehearsals: waiting until the budget was SPENT left 155/394
+    // queries skipped at the hard stop — a 1-run figure for every
+    // query beats full methodology for 40% of them — and a STICKY
+    // trigger fired at query 4 off the cold-JIT first runs and never
+    // recovered): run a query at 1 run when the remaining queries'
+    // single-run reserve no longer fits the budget, re-deciding PER
+    // QUERY — avgRun starts inflated by JIT warmup and decays as warm
+    // runs accumulate, so early degrades self-correct and the sweep
+    // still covers the whole contract before the clock dies.
     var runWall = 0.0
     var runCount = 0
     def avgRun = if (runCount == 0) 1.0 else runWall / runCount
+    var nSingleRun = 0
     val firstPass = selected.toSeq.zipWithIndex.flatMap { case ((name, fn), i) =>
       if (elapsedS > hardStopS) { skipped += name; None }
       else {
         val reserve = (selected.size - i - 1) * avgRun
-        val degraded = degradedAfter >= 0 || elapsedS > budgetS ||
+        val degraded = elapsedS > budgetS ||
           elapsedS + reserve + 2.2 * avgRun > budgetS
-        if (degraded && degradedAfter < 0) {
-          degradedAfter = i
-          System.err.println(f"[bench] wall budget $budgetS%.0f s minus ${reserve}%.0f s " +
-            s"single-run reserve reached at $i/${selected.size} — 1 run/query from here")
+        if (degraded) {
+          nSingleRun += 1
+          if (degradedAfter < 0) {
+            degradedAfter = i
+            System.err.println(f"[bench] wall budget $budgetS%.0f s minus ${reserve}%.0f s " +
+              s"single-run reserve first reached at $i/${selected.size} — per-query 1-run mode")
+          }
         }
         def timed(): Double = {
           val t = once(name, fn)
@@ -356,8 +363,8 @@ object Bench {
     val probes = s""""probe_sec":${f3(probePre)},"probe_post_sec":${f3(probePost)},"settle_waits":$settleWaits"""
     val trunc = skipped.nonEmpty
     val extras = s""""eras":$eras,"suspect":$suspectJson,"skipped":$skippedJson,""" +
-      s""""truncated":$trunc,"degraded_after":$degradedAfter,"warmed":$warmed,""" +
-      s""""wall_sec":${f3(elapsedS)}"""
+      s""""truncated":$trunc,"degraded_after":$degradedAfter,"n_single_run":$nSingleRun,""" +
+      s""""warmed":$warmed,"wall_sec":${f3(elapsedS)}"""
     val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":${queriesJson(results)},"sf":"$sfDir","bench_rev":9,"runs_per_query":$runs,$probes,$extras}"""
     val top10 = results.sortBy(-_._2).take(10)
     val compact = s"""{"metric":"total","value":$total,"unit":"sec","queries":${queriesJson(top10)},"sf":"$sfDir","n_queries":${results.size},"runs_per_query":$runs,"bench_rev":9,$probes,$extras,"full_out":"$out"}"""
