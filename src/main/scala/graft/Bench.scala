@@ -235,6 +235,7 @@ object Bench {
     var runCount = 0
     def avgRun = if (runCount == 0) 1.0 else runWall / runCount
     var nSingleRun = 0
+    val singleRun = scala.collection.mutable.Set.empty[String]
     val firstPass = selected.toSeq.zipWithIndex.flatMap { case ((name, fn), i) =>
       if (elapsedS > hardStopS) { skipped += name; None }
       else {
@@ -243,6 +244,7 @@ object Bench {
           elapsedS + reserve + 2.2 * avgRun > budgetS
         if (degraded) {
           nSingleRun += 1
+          singleRun += name
           if (degradedAfter < 0) {
             degradedAfter = i
             System.err.println(f"[bench] wall budget $budgetS%.0f s minus ${reserve}%.0f s " +
@@ -324,8 +326,12 @@ object Bench {
         case _ => (name, best, prior.getOrElse(name, 0.0))
       }
     }
+    // single-run figures are pre-declared lower-confidence (n_single_run
+    // labels them); flagging them against min-of-runs priors would flood
+    // the suspect list with methodology artifacts, so suspects are only
+    // drawn from full-methodology queries
     val suspects = crossChecked.collect {
-      case (name, best, p) if p > 0 && best > p * 2 => name
+      case (name, best, p) if p > 0 && best > p * 2 && !singleRun.contains(name) => name
     }
     val results = crossChecked.map { case (name, best, _) => name -> best }
     val probePost = loadProbe()
