@@ -220,7 +220,7 @@ object Bench {
         s""""truncated":${!full},"warmed":$warmed,"settle_waits":$settleWaits,""" +
         s""""probe_sec":${f3(probePre)},"full_out":"$out"}"""
     }
-    var degradedAfter = -1 // index past which queries ran once (budget)
+    var degradedAfter = -1 // first index where 1-run mode activated (−1 = never)
     // predictive degrade (refined after two driver-conditions
     // rehearsals: waiting until the budget was SPENT left 155/394
     // queries skipped at the hard stop — a 1-run figure for every
