@@ -187,7 +187,10 @@ class GraphSpec extends SparkSpec {
       Graph.modularityOf(e, Graph.labelPropagation(e, rounds = 2))
         .collect().map(_.toString).sorted.toSeq,
       Graph.misByHash(e).collect().map(_.toString).sorted.toSeq,
-      Graph.wlColors(e, rounds = 2).collect().map(_.toString).sorted.toSeq)
+      Graph.wlColors(e, rounds = 2).collect().map(_.toString).sorted.toSeq,
+      Graph.walkCoverage(e, Seq(1L).toDF("node"),
+          Graph.walkCorpus(e, steps = 3, seedMod = 1), maxStep = 3, nNodes = 5)
+        .collect().map(_.toString).sorted.toSeq)
     val key = "spark.graft.graph.broadcastNodeBudget"
     val saved = spark.conf.getOption(key)
     val hinted = all()
