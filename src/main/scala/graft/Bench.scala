@@ -79,6 +79,7 @@ object Bench {
     "q153_label_prop",       // LPA labels (feeds q373)
     "q358_cycle_fixpoint",   // SCC labels (feeds q364)
     "q132_bpe_train",        // BPE merge trajectory (feeds q144/q220)
+    "q397_bpe_holdout",      // held-out (2%-sample) BPE trajectory
     "q136_bm25",             // postings index (feeds the retrieval stack)
     "q175_phrase_search",    // positional index
     "q119_kmeans_train",     // IVF centroids (feeds q120/q122/q374)

@@ -300,5 +300,98 @@ object Tokenizer {
     stages.reduce(_ unionAll _).orderBy(col("n_merges"))
   }
 
-  val all: Seq[QueryDef] = Seq(q132BpeTrain, q144BpeEncode, q220MergeSweep)
+  /** The q397 algebra: encode a held-out corpus under a trained
+    * (word, n_syms) inventory and report per-language generalization —
+    * word count, OOV count (words the training sample never saw),
+    * token count with the character-fallback for OOV words, and the
+    * OOV/fertility rates in exact floor-micros. Exposed for the
+    * hand-computed spec. */
+  def bpeHoldoutAudit(test: DataFrame, trained: DataFrame): DataFrame = {
+    val words = test
+      .select(col("lang"), explode(split(col("text"), " ")).as("word"))
+      .filter(col("word") =!= "")
+    words
+      .join(broadcast(trained.select(col("word"), col("n_syms"))), Seq("word"), "left")
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_words"),
+        sum(when(col("n_syms").isNull, 1L).otherwise(0L)).as("n_oov"),
+        sum(coalesce(col("n_syms"), length(col("word")).cast("long"))).as("n_tokens"))
+      .select(col("lang"), col("n_words"), col("n_oov"), col("n_tokens"),
+        expr("n_oov * 1000000L DIV n_words").as("oov_micro"),
+        expr("n_tokens * 1000000L DIV n_words").as("fertility_micro"))
+  }
+
+  /** The held-out training trajectory (even doc_ids only), persisted by
+    * the SAMPLE's fingerprint — a different corpus than q132's
+    * full-corpus state, so the two families never collide. */
+  private def persistedHoldoutTrajectory(s: SparkSession, dir: String,
+                                         rounds: Int): Seq[DataFrame] = {
+    val train = Tables.fanOut(Tables.documents(s, dir))
+      .filter(col("doc_id") % 50 === 0)
+    val fp = TextOps.evalSetFingerprint(train.select(col("doc_id"), col("text")))
+    val stateDir =
+      s"${System.getProperty("java.io.tmpdir")}/graft_bpeho_v1_r${rounds}_$fp"
+    graft.sources.ParquetState.getOrBuild(s, stateDir,
+      (0 to rounds).map(m => s"w$m")) {
+      val t = bpeTrajectory(train, rounds)
+      t ++ Seq.fill(rounds + 1 - t.length)(t.last)
+    }
+  }
+
+  /** Held-out tokenizer generalization audit — the lifecycle step
+    * q132/q144 deliberately skip: they train on the corpus they
+    * encode, so q144's OOV fallback ("an untrained word tokenizes to
+    * its characters") is never exercised. A 100 TB pipeline trains on
+    * a Heaps-sublinear SAMPLE and serves the full stream (Sennrich et
+    * al. ACL'16 train/apply split; Rust et al. ACL'21 compare exactly
+    * these per-language fertility/OOV figures across tokenizers), and
+    * the figure that decides whether the sample was big enough is the
+    * held-out OOV rate — token inflation from character-fallback is
+    * the cost the audit prices BEFORE a tokenizer ships. Train on the
+    * 1-in-50 doc_id sample (2% — the fixtures' Zipf vocabulary
+    * saturates so fast that a 50% split never produces an OOV word,
+    * which would leave the fallback branch outside the hash; at 2%
+    * the held-out stream carries real OOVs and the gate covers both
+    * branches), encode the other 49/50, report per-language n_words /
+    * n_oov / n_tokens and exact floor-micro OOV + fertility rates.
+    *
+    * Scale posture: the trained inventory is vocabulary-sized
+    * (broadcast); the held-out pass is one explode + broadcast join +
+    * lang-keyed map-side-combined aggregate — no shuffle beyond the
+    * ≤|langs| group relation. The hash covers the fallback path
+    * cross-engine (Spark `length` vs DuckDB `len` — exact on the
+    * fixtures' ASCII; a non-BMP corpus would need a codepoint-count
+    * expression on the Spark side). */
+  val q397BpeHoldout: QueryDef = sql(
+    "q397_bpe_holdout",
+    s"""WITH wc AS (SELECT word, COUNT(*) AS cnt FROM (
+       |    SELECT unnest(string_split(text, ' ')) AS word FROM documents
+       |    WHERE doc_id % 50 = 0)
+       |  WHERE word <> '' GROUP BY 1),
+       |w0 AS (SELECT word, cnt,
+       |    list_transform(range(1, len(word) + 1), i -> substr(word, i, 1)) AS syms
+       |  FROM wc),
+       |${roundSql(1)},
+       |${roundSql(2)},
+       |${roundSql(3)},
+       |tw AS (SELECT word, len(syms) AS n_syms FROM w3),
+       |dw AS (SELECT lang, unnest(string_split(text, ' ')) AS word
+       |       FROM documents WHERE doc_id % 50 <> 0),
+       |j AS (SELECT d.lang, d.word, tw.n_syms FROM dw d
+       |      LEFT JOIN tw ON tw.word = d.word WHERE d.word <> '')
+       |SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_words,
+       |  CAST(SUM(CASE WHEN n_syms IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+       |  CAST(SUM(COALESCE(n_syms, len(word))) AS BIGINT) AS n_tokens,
+       |  CAST(SUM(CASE WHEN n_syms IS NULL THEN 1 ELSE 0 END) * 1000000 // COUNT(*) AS BIGINT) AS oov_micro,
+       |  CAST(SUM(COALESCE(n_syms, len(word))) * 1000000 // COUNT(*) AS BIGINT) AS fertility_micro
+       |FROM j GROUP BY 1
+       |ORDER BY lang""".stripMargin) { (s, dir) =>
+    val test = Tables.fanOut(Tables.documents(s, dir))
+      .filter(col("doc_id") % 50 =!= 0)
+    bpeHoldoutAudit(test, trainedOf(persistedHoldoutTrajectory(s, dir, rounds = 3).last))
+      .orderBy(col("lang"))
+  }
+
+  val all: Seq[QueryDef] = Seq(q132BpeTrain, q144BpeEncode, q220MergeSweep,
+    q397BpeHoldout)
 }

@@ -75,6 +75,23 @@ class TokenizerSpec extends SparkSpec {
     assert(got.length == 1 && got.head.getLong(3) == 4L)
   }
 
+  test("holdout audit: hand-computed OOV and fertility micros, both branches of the fallback") {
+    val train = Seq((0L, "en", "aa aa low low")).toDF("doc_id", "lang", "text")
+    // 2 merges: (a,a)→aa then (l,o)→lo; trained: aa→1 sym, low→[lo,w]→2
+    val trained = Tokenizer.bpeTrain(train, 2)
+    val test = Seq((1L, "en", "aa low zzz"), (2L, "de", "aaaa"))
+      .toDF("doc_id", "lang", "text")
+    val got = Tokenizer.bpeHoldoutAudit(test, trained)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    // en: aa(1 tok) + low(2) + zzz OOV(3 chars) → 3 words, 1 oov, 6 toks,
+    //     oov 1e6 DIV 3 = 333333, fertility 6e6 DIV 3 = 2000000
+    // de: aaaa OOV (untrained WORD even though its chars merge) → 4 chars
+    assert(got == Map(
+      "en" -> ((3L, 1L, 6L, 333333L, 2000000L)),
+      "de" -> ((1L, 1L, 4L, 1000000L, 4000000L))))
+  }
+
   test("bpeEncode totals agree with a manual word-level join") {
     val docs = graft.sources.Tables.documents(spark, sfDir)
     val trained = Tokenizer.bpeTrain(docs, 3)
