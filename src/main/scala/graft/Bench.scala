@@ -1,6 +1,6 @@
 package graft
 import org.apache.spark.sql.SparkSession
-import java.nio.file.{Files, Paths}
+import java.nio.file.{Files, Paths, StandardCopyOption}
 
 /** Per-round benchmark: times every SparkEntry query at the driver's SF.
   *
@@ -30,15 +30,19 @@ import java.nio.file.{Files, Paths}
   * Caches are cleared between runs, so every run repeats the full
   * scan+shuffle; the min only dodges scheduler/load spikes.
   *
-  * Durability (rev 9 — the r8 driver bench died on its wall-clock
-  * timeout with rc 124 and NO artifact, because everything was written
-  * only at sweep end):
+  * Durability (rev 9 added the incremental artifact; rev 10 closes the
+  * last-mile holes the r9 driver run exposed — BENCH_r09 was rc:0 but
+  * `parsed:null` because the "short" compact line embedded the 89-name
+  * skipped array, and the skip tail swallowed both round-9 queries):
   *   1. the artifact file is rewritten INCREMENTALLY after every
-  *      query, carrying `"truncated":true` until the sweep completes —
-  *      a kill at any point leaves a parseable partial artifact;
+  *      query, via a sibling temp file + ATOMIC_MOVE so a kill or
+  *      disk-full mid-write can never leave a torn JSON (rev 10);
   *   2. a JVM shutdown hook emits the current compact JSON line to
   *      stdout and rewrites the file — SIGTERM (what `timeout` sends)
-  *      runs hooks, so even the stdout tail carries per-query data;
+  *      runs hooks. The snapshots are seeded BEFORE the pre-warm loop
+  *      and refreshed through the requeue/cross-check phases, so a kill
+  *      at any phase flushes current data (rev 10; rev 9 only refreshed
+  *      them inside the first pass);
   *   3. a compact snapshot line is also printed every 50 queries, so a
   *      SIGKILL (no hooks) still leaves parseable lines in the tail;
   *   4. a wall-clock budget (SPARK_GRAFT_BENCH_BUDGET_S, default 1200 s
@@ -49,23 +53,41 @@ import java.nio.file.{Files, Paths}
   *      the sweep stops and the artifact lists the rest in
   *      `"skipped":[...]`. Degraded figures are still labeled: the
   *      artifact records `degraded_after` (how many queries ran at full
-  *      methodology) so a reader knows which tail to distrust;
-  *   5. persisted trained state (walk corpora, BPE, IVF centroids,
+  *      methodology) so a reader knows which tail to distrust. The
+  *      degrade decision prices the REMAINING queries by their
+  *      prior-round figures (calibrated by the observed/prior ratio of
+  *      completed queries) instead of a flat average, so a cheap-first
+  *      sweep cannot underestimate an expensive tail (rev 10);
+  *   5. the sweep runs VALUE-ORDERED (rev 10): un-priored queries (new
+  *      contract entries — the ones a driver artifact most needs a
+  *      figure for) first, then cheapest-first by prior. Under budget
+  *      pressure the skip tail is therefore drawn from the most
+  *      expensive well-priored queries, never from the round's own
+  *      additions (r9: q396+q397 both landed in `skipped`). The final
+  *      artifact re-sorts `queries` by name so cross-round textual
+  *      diffs stay stable as priors move;
+  *   6. persisted trained state (walk corpora, BPE, IVF centroids,
   *      postings, perceptron weights, SCC labels, …) is PRE-WARMED
-  *      untimed before the sweep — the r8 in-sweep cold builds (q393
-  *      12.2 s / q394 7.3 s first runs) paid state construction inside
-  *      the timed window; min-of-runs already discarded them from the
-  *      figures, but the wall clock still paid, and both timed runs
-  *      being warm is what lets the 30% corroboration succeed without
-  *      extra runs.
+  *      untimed before the sweep — but only while the projected
+  *      remaining sweep (prior-priced, load-scaled by the probe) still
+  *      fits the budget (rev 10; the r9 driver run spent its clock
+  *      warming 16 cold families and then skipped 89 queries). When
+  *      warming doesn't fit, `warmed` records 0 and cold builds land in
+  *      run 1 where min-of-runs absorbs them (rev-8 behavior, cheaper
+  *      exactly when the budget is tight).
   *
   * Output contract (the driver tails decorated sbt stdout, which can
   * truncate a long line mid-JSON — r2's BENCH had "parsed": null):
   *   1. the full JSON line goes to stderr first, then stdout;
-  *   2. the LAST stdout line is a compact variant (total + top-10 slowest
-  *      queries, well under tail-truncation size) with the same schema;
+  *   2. the LAST stdout line is a compact variant with the same schema
+  *      whose every field is BOUNDED (top-10 slowest queries,
+  *      `n_skipped`/`n_suspect` counts plus ≤5 sample names — never the
+  *      full arrays, which r9 proved can blow the driver's tail window);
   *   3. the full JSON is also written to `SPARK_GRAFT_BENCH_OUT`
-  *      (default `bench_out.json`).
+  *      (default `bench_out.json`), including the full skipped/suspect
+  *      lists and a per-query `runs` map of EVERY timed run (not just
+  *      the min), so suspect adjudication can read spread from the
+  *      artifact instead of demanding a re-measure (rev 10).
   */
 object Bench {
   /** Queries whose FIRST run builds fingerprint-keyed persisted state
@@ -80,6 +102,7 @@ object Bench {
     "q358_cycle_fixpoint",   // SCC labels (feeds q364)
     "q132_bpe_train",        // BPE merge trajectory (feeds q144/q220)
     "q397_bpe_holdout",      // held-out (2%-sample) BPE trajectory
+    "q398_sample_elbow",     // sample-rate sweep BPE trajectories (1/200, 1/10)
     "q136_bm25",             // postings index (feeds the retrieval stack)
     "q175_phrase_search",    // positional index
     "q119_kmeans_train",     // IVF centroids (feeds q120/q122/q374)
@@ -148,6 +171,33 @@ object Bench {
       settleWaits += 1
       probePre = loadProbe()
     }
+    // CROSS-ROUND priors (bench_rev 8; loaded before the sweep since
+    // rev 10 because they also drive the sweep order, the pre-warm
+    // decision, and the degrade's remaining-cost estimate).
+    val priorPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_PRIOR", "BENCH_PRIOR.json")
+    val prior: Map[String, Double] =
+      try {
+        // anchor the parse to the artifact's flat "queries":{...} object
+        // (ADVICE r8: a whole-file regex would also bind q-named keys
+        // from any future nested map, last-match-wins)
+        val txt = Files.readString(Paths.get(priorPath))
+        val i = txt.indexOf("\"queries\"")
+        val start = txt.indexOf('{', i)
+        val end = txt.indexOf('}', start)
+        val obj = if (i < 0 || start < 0 || end < 0) "" else txt.substring(start, end + 1)
+        val qNum = """"(q\d+[^"]*)"\s*:\s*([0-9.]+)""".r
+        qNum.findAllMatchIn(obj).map(m => m.group(1) -> m.group(2).toDouble).toMap
+      } catch { case _: Throwable => Map.empty }
+    // VALUE-ORDERED sweep (rev 10): un-priored queries first — a new
+    // contract entry has no cross-round history, so the round artifact
+    // is the only place a driver-side figure can come from — then
+    // cheapest-first by prior. A budget-pressed sweep therefore skips
+    // the most expensive well-priored queries (whose priors already
+    // document them) instead of whatever the hash order left last.
+    val ordered: Seq[(String, (SparkSession, String) => org.apache.spark.sql.DataFrame)] =
+      selected.toSeq.sortBy { case (n, _) =>
+        (if (prior.contains(n)) 1 else 0, prior.getOrElse(n, 0.0), n)
+      }
     def once(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
       try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
@@ -163,26 +213,28 @@ object Bench {
       // Locale.ROOT: the default-locale interpolator writes "1,234" under
       // comma-decimal locales, which is invalid JSON
       qs.map { case (k, v) => "\"" + k + "\":" + f3(v) }.mkString("{", ",", "}")
+    def sampleJson(names: Iterable[String], cap: Int): String =
+      names.take(cap).map("\"" + _ + "\"").mkString("[", ",", "]")
 
-    // pre-warm the persisted-state builders (rev 9): untimed, and only
-    // while the budget is comfortable — on a box that burned its clock
-    // settling, cold builds land in run 1 and min-of-runs absorbs them
-    // exactly as rev 8 did
-    var warmed = 0
-    for ((name, fn) <- selected if stateBuilders.contains(name) && elapsedS < budgetS * 0.4) {
-      val t = once(name, fn)
-      warmed += 1
-      System.err.println(s"[bench] warm $name: ${f3(t)}")
-    }
-
-    // ---- incremental artifact plumbing (rev 9) ----
+    // ---- incremental artifact plumbing (rev 9/10) ----
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
     val done = new java.util.concurrent.atomic.AtomicBoolean(false)
     @volatile var snapshotFull: String = ""
     @volatile var snapshotCompact: String = ""
+    // temp-file + ATOMIC_MOVE (rev 10): an in-place truncate-and-rewrite
+    // torn by SIGKILL/disk-full would leave unparseable JSON — exactly
+    // the hole the incremental design exists to close
     def writeArtifact(json: String): Unit =
-      try Files.writeString(Paths.get(out), json + "\n")
-      catch { case e: Throwable => System.err.println(s"[bench] could not write $out: ${e.getMessage}") }
+      try {
+        val target = Paths.get(out)
+        val dir = Option(target.toAbsolutePath.getParent).getOrElse(Paths.get("."))
+        val tmp = Files.createTempFile(dir, ".bench", ".tmp")
+        Files.writeString(tmp, json + "\n")
+        try Files.move(tmp, target, StandardCopyOption.ATOMIC_MOVE,
+          StandardCopyOption.REPLACE_EXISTING)
+        catch { case _: java.nio.file.AtomicMoveNotSupportedException =>
+          Files.move(tmp, target, StandardCopyOption.REPLACE_EXISTING) }
+      } catch { case e: Throwable => System.err.println(s"[bench] could not write $out: ${e.getMessage}") }
     // SIGTERM (what the driver's `timeout` sends) runs shutdown hooks:
     // flush the last snapshot to both the file and stdout so a killed
     // sweep still yields a parseable artifact and a parseable tail line
@@ -201,46 +253,99 @@ object Bench {
       val s = times.sorted
       s.length >= 2 && s(1) <= s(0) * 1.3
     }
-    // kept as ORDERED collections throughout: a Map would scramble the
-    // artifact's query order and make cross-round textual diffs of
-    // BENCH_rN.json useless
+    // kept as ORDERED collections throughout: completion order for the
+    // incremental snapshots (so a killed sweep's artifact reads in sweep
+    // order), re-sorted by name only in the final artifact
     val partial = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    // EVERY timed run per query (first pass + requeue + recheck), not
+    // just the min — file-artifact only; lets a reader adjudicate a
+    // suspect from recorded spread instead of a fresh re-measure
+    val allRuns = scala.collection.mutable.LinkedHashMap.empty[String, Seq[Double]]
     val skipped = scala.collection.mutable.ArrayBuffer.empty[String]
+    var warmed = 0
+    def runsJson: String =
+      allRuns.map { case (k, ts) => "\"" + k + "\":" + ts.map(f3).mkString("[", ",", "]") }
+        .mkString("{", ",", "}")
     def partialJson(trunc: Boolean, extra: String = ""): String = {
       val total = if (partial.nonEmpty) partial.values.sum else 0.0
       s"""{"metric":"total","value":$total,"unit":"sec","queries":${queriesJson(partial)},""" +
-        s""""sf":"$sfDir","bench_rev":9,"runs_per_query":$runs,"truncated":$trunc,""" +
+        s""""sf":"$sfDir","bench_rev":10,"runs_per_query":$runs,"truncated":$trunc,""" +
         s""""n_done":${partial.size},"n_selected":${selected.size},"warmed":$warmed,""" +
-        s""""settle_waits":$settleWaits,"probe_sec":${f3(probePre)}$extra}"""
+        s""""settle_waits":$settleWaits,"probe_sec":${f3(probePre)},"runs":$runsJson$extra}"""
     }
+    // every field bounded: top-10 queries, counts + ≤5-name samples.
+    // r9's lesson — the 89-name skipped array in the "compact" line blew
+    // the driver's tail window and BENCH_r09 parsed null; full lists
+    // live only in the file artifact
     def compactOf(full: Boolean): String = {
       val top10 = partial.toSeq.sortBy(-_._2).take(10)
       val total = if (partial.nonEmpty) partial.values.sum else 0.0
       s"""{"metric":"total","value":$total,"unit":"sec","queries":${queriesJson(top10)},""" +
-        s""""sf":"$sfDir","bench_rev":9,"n_queries":${partial.size},"n_selected":${selected.size},""" +
+        s""""sf":"$sfDir","bench_rev":10,"n_queries":${partial.size},"n_selected":${selected.size},""" +
         s""""truncated":${!full},"warmed":$warmed,"settle_waits":$settleWaits,""" +
+        s""""n_skipped":${skipped.size},"skipped_sample":${sampleJson(skipped, 5)},""" +
         s""""probe_sec":${f3(probePre)},"full_out":"$out"}"""
     }
+    // seed the snapshots BEFORE any long-running phase (ADVICE r9): a
+    // kill during a minutes-long cold pre-warm previously found
+    // snapshotFull empty and left no artifact at all
+    snapshotFull = partialJson(trunc = true)
+    snapshotCompact = compactOf(full = false)
+    writeArtifact(snapshotFull)
+
+    // pre-warm the persisted-state builders untimed — but ONLY while the
+    // projected remaining sweep still fits the budget (rev 10). The
+    // projection prices each remaining query at its prior (1 s when
+    // un-priored), scaled by the probe's load factor: the r9 driver box
+    // opened at probe 0.365 ≈ 2.4x the idle pin and every query paid
+    // about that multiple. When warming doesn't fit, cold builds land in
+    // run 1 and min-of-runs absorbs them (rev-8 behavior) — cheaper
+    // exactly when the budget is tight.
+    val loadCalib = math.min(3.0, math.max(1.0, probePre / 0.12))
+    val sweepReserveEst = ordered.map { case (n, _) => prior.getOrElse(n, 1.0) }.sum * loadCalib
+    for ((name, fn) <- ordered if stateBuilders.contains(name) &&
+           elapsedS + sweepReserveEst < budgetS * 0.85 && elapsedS < budgetS * 0.4) {
+      val t = once(name, fn)
+      warmed += 1
+      System.err.println(s"[bench] warm $name: ${f3(t)}")
+    }
+    if (warmed == 0)
+      System.err.println(f"[bench] pre-warm skipped: sweep reserve ${sweepReserveEst}%.0f s " +
+        f"(load calib ${loadCalib}%.2f) leaves no headroom in budget $budgetS%.0f s")
+
     var degradedAfter = -1 // first index where 1-run mode activated (−1 = never)
-    // predictive degrade (refined after two driver-conditions
-    // rehearsals: waiting until the budget was SPENT left 155/394
-    // queries skipped at the hard stop — a 1-run figure for every
-    // query beats full methodology for 40% of them — and a STICKY
-    // trigger fired at query 4 off the cold-JIT first runs and never
-    // recovered): run a query at 1 run when the remaining queries'
+    // predictive degrade (refined over three driver-conditions
+    // rehearsals): run a query at 1 run when the remaining queries'
     // single-run reserve no longer fits the budget, re-deciding PER
-    // QUERY — avgRun starts inflated by JIT warmup and decays as warm
-    // runs accumulate, so early degrades self-correct and the sweep
-    // still covers the whole contract before the clock dies.
+    // QUERY. Since rev 10 the reserve prices each remaining query by its
+    // PRIOR (scaled by the observed/prior ratio of completed priored
+    // queries) and only falls back to the running average for un-priored
+    // ones — under cheapest-first ordering a flat average would
+    // systematically underestimate the expensive tail and degrade too
+    // late (r9 verdict #2).
     var runWall = 0.0
     var runCount = 0
     def avgRun = if (runCount == 0) 1.0 else runWall / runCount
+    var priorSumDone = 0.0 // priors of completed priored queries
+    var priorObsDone = 0.0 // their observed first-run times
+    def calib = if (priorSumDone > 0.5) math.min(5.0, math.max(0.8, priorObsDone / priorSumDone))
+                else loadCalib
+    // suffix sums over the ordered sweep: remaining prior mass and
+    // remaining un-priored count from each index
+    val priorsArr = ordered.map { case (n, _) => prior.getOrElse(n, -1.0) }.toArray
+    val n = priorsArr.length
+    val sufPrior = new Array[Double](n + 1)
+    val sufUnpriored = new Array[Int](n + 1)
+    for (i <- (n - 1) to 0 by -1) {
+      sufPrior(i) = sufPrior(i + 1) + math.max(priorsArr(i), 0.0)
+      sufUnpriored(i) = sufUnpriored(i + 1) + (if (priorsArr(i) < 0) 1 else 0)
+    }
     var nSingleRun = 0
     val singleRun = scala.collection.mutable.Set.empty[String]
-    val firstPass = selected.toSeq.zipWithIndex.flatMap { case ((name, fn), i) =>
+    val firstPass = ordered.zipWithIndex.flatMap { case ((name, fn), i) =>
       if (elapsedS > hardStopS) { skipped += name; None }
       else {
-        val reserve = (selected.size - i - 1) * avgRun
+        val reserve = sufPrior(i + 1) * calib + sufUnpriored(i + 1) * avgRun
         val degraded = elapsedS > budgetS ||
           elapsedS + reserve + 2.2 * avgRun > budgetS
         if (degraded) {
@@ -249,7 +354,7 @@ object Bench {
           if (degradedAfter < 0) {
             degradedAfter = i
             System.err.println(f"[bench] wall budget $budgetS%.0f s minus ${reserve}%.0f s " +
-              s"single-run reserve first reached at $i/${selected.size} — per-query 1-run mode")
+              s"single-run reserve first reached at $i/${ordered.size} — per-query 1-run mode")
           }
         }
         def timed(): Double = {
@@ -257,7 +362,9 @@ object Bench {
           runWall += t; runCount += 1
           t
         }
-        val times = scala.collection.mutable.ArrayBuffer(timed())
+        val first = timed()
+        if (priorsArr(i) > 0) { priorSumDone += priorsArr(i); priorObsDone += first }
+        val times = scala.collection.mutable.ArrayBuffer(first)
         if (!degraded) {
           while (times.length < runs) times += timed()
           while (!corroborated(times.toSeq) && times.length < maxRuns)
@@ -267,6 +374,7 @@ object Bench {
         // first run that builds persisted state) that the min hides
         System.err.println(s"[bench] $name runs: " + times.map(f3).mkString(", "))
         partial(name) = times.min
+        allRuns(name) = times.toSeq
         snapshotFull = partialJson(trunc = true)
         snapshotCompact = compactOf(full = false)
         writeArtifact(snapshotFull)
@@ -289,9 +397,17 @@ object Bench {
         else {
           val retry = Seq.fill(2)(once(name, fn))
           System.err.println(s"[bench] $name requeued runs: " + retry.map(f3).mkString(", "))
+          allRuns(name) = allRuns(name) ++ retry
           times ++ retry
         }
-      partial(name) = all.min
+      if (all.length > times.length) {
+        partial(name) = all.min
+        // keep the kill-time snapshot current through this phase too
+        // (ADVICE r9: a SIGTERM during requeue flushed a stale snapshot)
+        snapshotFull = partialJson(trunc = true)
+        snapshotCompact = compactOf(full = false)
+        writeArtifact(snapshotFull)
+      }
       (name, fn, all.min)
     }
     // CROSS-ROUND corroboration (bench_rev 8; the r7 verdict's fix for
@@ -302,27 +418,17 @@ object Bench {
     // run; whatever still exceeds 2x is listed in "suspect":[...] so a
     // reader chases it with a solo re-measure instead of trusting it.
     // Skipped entirely past the wall budget.
-    val priorPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_PRIOR", "BENCH_PRIOR.json")
-    val prior: Map[String, Double] =
-      try {
-        // anchor the parse to the artifact's flat "queries":{...} object
-        // (ADVICE r8: a whole-file regex would also bind q-named keys
-        // from any future nested map, last-match-wins)
-        val txt = Files.readString(Paths.get(priorPath))
-        val i = txt.indexOf("\"queries\"")
-        val start = txt.indexOf('{', i)
-        val end = txt.indexOf('}', start)
-        val obj = if (i < 0 || start < 0 || end < 0) "" else txt.substring(start, end + 1)
-        val qNum = """"(q\d+[^"]*)"\s*:\s*([0-9.]+)""".r
-        qNum.findAllMatchIn(obj).map(m => m.group(1) -> m.group(2).toDouble).toMap
-      } catch { case _: Throwable => Map.empty }
     val crossChecked = requeued.map { case (name, fn, best) =>
       prior.get(name) match {
         case Some(p) if p > 0 && best > p * 2 && elapsedS < budgetS =>
           val again = once(name, fn)
           System.err.println(f"[bench] $name cross-round recheck: $again%.3f " +
             f"(min was $best%.3f, prior $p%.3f)")
+          allRuns(name) = allRuns(name) :+ again
           partial(name) = math.min(best, again)
+          snapshotFull = partialJson(trunc = true)
+          snapshotCompact = compactOf(full = false)
+          writeArtifact(snapshotFull)
           (name, math.min(best, again), p)
         case _ => (name, best, prior.getOrElse(name, 0.0))
       }
@@ -334,7 +440,10 @@ object Bench {
     val suspects = crossChecked.collect {
       case (name, best, p) if p > 0 && best > p * 2 && !singleRun.contains(name) => name
     }
-    val results = crossChecked.map { case (name, best, _) => name -> best }
+    // final artifact sorted by name: the sweep ran value-ordered, but a
+    // name-sorted map keeps cross-round textual diffs of BENCH_rN.json
+    // stable as priors move between rounds
+    val results = crossChecked.map { case (name, best, _) => name -> best }.sortBy(_._1)
     val probePost = loadProbe()
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     // bench_rev: timing methodology version (3 = min-of-two runs + q78
@@ -343,24 +452,27 @@ object Bench {
     // 7 = pre-sweep settle loop until the probe reads idle;
     // 8 = cross-round >2x recheck + suspect list + per-era split;
     // 9 = incremental artifact + shutdown hook + wall budget + state
-    // pre-warm) — cross-round deltas are only comparable at equal rev
-    // per-era decomposition, so the number comparable to the r3
-    // baseline (the r4-era s/q) rides the artifact instead of being
+    // pre-warm; 10 = value-ordered sweep + prior-priced degrade +
+    // cost-aware pre-warm + bounded compact line + atomic writes +
+    // per-query run spreads) — cross-round deltas are only comparable
+    // at equal rev. Per-era decomposition: the number comparable to the
+    // r3 baseline (the r4-era s/q) rides the artifact instead of being
     // re-derived from BASELINE.md each round; eras follow the rounds'
     // query-number ranges
     def era(name: String): String = {
-      val n = name.drop(1).takeWhile(_.isDigit)
-      if (!name.startsWith("q") || n.isEmpty) "ref"
-      else n.toInt match {
+      val nDigits = name.drop(1).takeWhile(_.isDigit)
+      if (!name.startsWith("q") || nDigits.isEmpty) "ref"
+      else nDigits.toInt match {
         case v if v <= 124 => "r4"
         case v if v <= 318 => "r5"
         case v if v <= 357 => "r6"
         case v if v <= 392 => "r7"
         case v if v <= 395 => "r8"
-        case _ => "r9"
+        case v if v <= 397 => "r9"
+        case _ => "r10"
       }
     }
-    val eras = results.groupBy { case (n, _) => era(n) }.toSeq.sortBy(_._1)
+    val eras = results.groupBy { case (qn, _) => era(qn) }.toSeq.sortBy(_._1)
       .map { case (e, qs) =>
         val sec = qs.map(_._2).sum
         s""""$e":{"n":${qs.size},"sec":${f3(sec)},"sec_per_q":${f3(sec / qs.size)}}"""
@@ -369,20 +481,29 @@ object Bench {
     val skippedJson = skipped.map("\"" + _ + "\"").mkString("[", ",", "]")
     val probes = s""""probe_sec":${f3(probePre)},"probe_post_sec":${f3(probePost)},"settle_waits":$settleWaits"""
     val trunc = skipped.nonEmpty
+    // full extras (file + full stdout/stderr line): unbounded lists OK
     val extras = s""""eras":$eras,"suspect":$suspectJson,"skipped":$skippedJson,""" +
       s""""truncated":$trunc,"degraded_after":$degradedAfter,"n_single_run":$nSingleRun,""" +
+      s""""warmed":$warmed,"wall_sec":${f3(elapsedS)},"runs":$runsJson"""
+    // compact extras (the tail-truncation-proof LAST stdout line):
+    // counts + capped samples ONLY — r9's full skipped array here is
+    // exactly what made BENCH_r09 parse null
+    val extrasCompact = s""""eras":$eras,"n_suspect":${suspects.size},""" +
+      s""""suspect_sample":${sampleJson(suspects, 5)},"n_skipped":${skipped.size},""" +
+      s""""skipped_sample":${sampleJson(skipped, 5)},"truncated":$trunc,""" +
+      s""""degraded_after":$degradedAfter,"n_single_run":$nSingleRun,""" +
       s""""warmed":$warmed,"wall_sec":${f3(elapsedS)}"""
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":${queriesJson(results)},"sf":"$sfDir","bench_rev":9,"runs_per_query":$runs,$probes,$extras}"""
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":${queriesJson(results)},"sf":"$sfDir","bench_rev":10,"runs_per_query":$runs,$probes,$extras}"""
     val top10 = results.sortBy(-_._2).take(10)
-    val compact = s"""{"metric":"total","value":$total,"unit":"sec","queries":${queriesJson(top10)},"sf":"$sfDir","n_queries":${results.size},"runs_per_query":$runs,"bench_rev":9,$probes,$extras,"full_out":"$out"}"""
+    val compact = s"""{"metric":"total","value":$total,"unit":"sec","queries":${queriesJson(top10)},"sf":"$sfDir","n_queries":${results.size},"runs_per_query":$runs,"bench_rev":10,$probes,$extrasCompact,"full_out":"$out"}"""
     System.err.println(json)
     System.err.flush()
     println(json)
     writeArtifact(json)
     done.set(true)
     spark.stop()
-    // last stdout line before sbt's [success] footer — short enough to
-    // survive any tail truncation the driver applies
+    // last stdout line before sbt's [success] footer — every field
+    // bounded, short enough to survive any tail truncation
     println(compact)
     System.out.flush()
   }

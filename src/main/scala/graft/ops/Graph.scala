@@ -1396,29 +1396,26 @@ object Graph {
     var nDelta = nAcc
     var round = 0
     while (round < maxRounds && nDelta > 0) {
-      // ext is checkpointed and counted BEFORE the anti-join and the
-      // acc union (ADVICE r8: the budget used to be checked only after
-      // the round's delta and the acc∪delta union were fully
-      // materialized, so one dense round could land far past the
-      // budget before the require fired). nExt bounds the round's new
-      // pairs from above — raising on nAcc + nExt keeps the breach's
-      // materialized footprint at one extension set. The bound can
-      // over-count by the ext∩acc overlap, but this guard exists for
-      // densities where ext is MOSTLY new pairs; a marginal workload
-      // that trips it early gets the same actionable message (use
-      // sccCyclic), one round sooner.
+      // the budget check fires BEFORE the acc union is materialized
+      // (ADVICE r8), and since r10 it counts the anti-joined DELTA —
+      // disjoint from acc by construction, so nAcc + nDelta is the
+      // EXACT post-union pair count (ADVICE r9: the previous nAcc +
+      // nExt bound over-counted by the ext∩acc overlap, so a dense
+      // late round rediscovering known pairs could abort a closure
+      // whose true final size fits the budget). The materialized
+      // breach footprint stays bounded: one checkpointed extension
+      // set plus its anti-join subset, never the over-budget union.
       val ext = delta.select(col("src"), col("dst").as("m"))
         .join(e, Seq("m"))
         .select(col("src"), col("dst")).distinct().localCheckpoint(true)
-      val nExt = ext.count()
-      require(nAcc + nExt <= budget,
-        s"transitive closure would exceed the $budget-pair state budget at round $round " +
-          s"($nAcc pairs + $nExt extensions) — pair-proportional state does not scale on " +
-          "dense graphs; for cycle membership / SCC condensation use sccCyclic (O(V) label state)")
       delta = ext.join(acc, Seq("src", "dst"), "left_anti").localCheckpoint(true)
+      nDelta = delta.count()
+      require(nAcc + nDelta <= budget,
+        s"transitive closure would exceed the $budget-pair state budget at round $round " +
+          s"($nAcc pairs + $nDelta new) — pair-proportional state does not scale on " +
+          "dense graphs; for cycle membership / SCC condensation use sccCyclic (O(V) label state)")
       // delta is disjoint from acc by the anti join — no distinct needed
       acc = acc.unionByName(delta).localCheckpoint(true)
-      nDelta = delta.count()
       nAcc += nDelta
       round += 1
     }

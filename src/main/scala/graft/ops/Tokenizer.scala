@@ -135,7 +135,14 @@ object Tokenizer {
   }
 
   /** One unrolled oracle round k: pair counts → winner → positional merge
-    * via the same run-grouping window algebra. */
+    * via the same run-grouping window algebra. A merge-exhausted round
+    * (no adjacent pair left anywhere, so b\$k is empty) is a NO-OP: e\$k
+    * joins the winner via LEFT JOIN ON TRUE and every position falls
+    * back to its own symbol, reproducing the Spark trajectory's
+    * repeat-last-inventory padding (ADVICE r9 — a CROSS JOIN here
+    * collapsed the trained inventory to empty instead, a divergence
+    * reachable once sampled training faces like q397 shrink the
+    * corpus). */
   private def roundSql(k: Int): String = {
     val prev = s"w${k - 1}"
     s"""p$k AS (SELECT s1, s2, SUM(cnt) AS c FROM (
@@ -155,7 +162,7 @@ object Tokenizer {
        |  WHERE (i - rs) % 2 = 0),
        |e$k AS (SELECT b.word, b.cnt, b.i,
        |    CASE WHEN s.i IS NOT NULL THEN bb.s1 || bb.s2 ELSE b.sym END AS tok
-       |  FROM base$k b CROSS JOIN b$k bb
+       |  FROM base$k b LEFT JOIN b$k bb ON TRUE
        |  LEFT JOIN sel$k s ON s.word = b.word AND s.i = b.i
        |  LEFT JOIN sel$k c ON c.word = b.word AND c.i = b.i - 1
        |  WHERE c.i IS NULL),
