@@ -165,7 +165,9 @@ object ScaleSmoke {
       // inherits q132's md5-vocab worst-case note (every smoke token
       // distinct → a 2% sample leaves ~98% OOV, the fallback-heavy
       // extreme of the audit's range)
-      "q396_walk_coverage", "q397_bpe_holdout")
+      // inherits q132's md5-vocab worst-case note; round-10's q398
+      // sweeps three sample rates over the same distinct-token extreme
+      "q396_walk_coverage", "q397_bpe_holdout", "q398_sample_elbow")
     // q226/q227/q229/q230/q231/q235/q236/q238/q241/q242/q244/q245/q246/q247/q248/q249/q250/q251/q252/q253/q255/q256/q257/q258/q259/q260/q261 are not smoked: the
     // smoke corpus has
     // no events/orders tables and only a 2-column lineitem projection,

@@ -142,31 +142,34 @@ object Tokenizer {
     * repeat-last-inventory padding (ADVICE r9 — a CROSS JOIN here
     * collapsed the trained inventory to empty instead, a divergence
     * reachable once sampled training faces like q397 shrink the
-    * corpus). */
-  private def roundSql(k: Int): String = {
-    val prev = s"w${k - 1}"
-    s"""p$k AS (SELECT s1, s2, SUM(cnt) AS c FROM (
+    * corpus). The `pfx` namespaces every CTE so one statement can
+    * unroll several independent trajectories (q398 trains three
+    * sample rates side by side); the default "" keeps the q132/q144/
+    * q220/q397 oracle strings byte-identical. */
+  private def roundSql(k: Int, pfx: String = ""): String = {
+    val prev = s"${pfx}w${k - 1}"
+    s"""${pfx}p$k AS (SELECT s1, s2, SUM(cnt) AS c FROM (
        |    SELECT syms[i] AS s1, syms[i + 1] AS s2, cnt
        |    FROM $prev, LATERAL (SELECT unnest(range(1, len(syms))) AS i))
        |  GROUP BY 1, 2),
-       |b$k AS (SELECT s1, s2 FROM p$k ORDER BY c DESC, s1, s2 LIMIT 1),
-       |base$k AS (SELECT word, cnt, i, syms[i] AS sym,
+       |${pfx}b$k AS (SELECT s1, s2 FROM ${pfx}p$k ORDER BY c DESC, s1, s2 LIMIT 1),
+       |${pfx}base$k AS (SELECT word, cnt, i, syms[i] AS sym,
        |    CASE WHEN i < len(syms) THEN syms[i + 1] END AS nxt
        |  FROM $prev, LATERAL (SELECT unnest(range(1, len(syms) + 1)) AS i)),
-       |mt$k AS (SELECT base$k.word, i FROM base$k, b$k
-       |  WHERE sym = b$k.s1 AND nxt = b$k.s2),
-       |sel$k AS (SELECT word, i FROM (
+       |${pfx}mt$k AS (SELECT ${pfx}base$k.word, i FROM ${pfx}base$k, ${pfx}b$k
+       |  WHERE sym = ${pfx}b$k.s1 AND nxt = ${pfx}b$k.s2),
+       |${pfx}sel$k AS (SELECT word, i FROM (
        |    SELECT word, i, MIN(i) OVER (PARTITION BY word, grp) AS rs FROM (
        |      SELECT word, i, i - ROW_NUMBER() OVER (PARTITION BY word ORDER BY i) AS grp
-       |      FROM mt$k))
+       |      FROM ${pfx}mt$k))
        |  WHERE (i - rs) % 2 = 0),
-       |e$k AS (SELECT b.word, b.cnt, b.i,
+       |${pfx}e$k AS (SELECT b.word, b.cnt, b.i,
        |    CASE WHEN s.i IS NOT NULL THEN bb.s1 || bb.s2 ELSE b.sym END AS tok
-       |  FROM base$k b LEFT JOIN b$k bb ON TRUE
-       |  LEFT JOIN sel$k s ON s.word = b.word AND s.i = b.i
-       |  LEFT JOIN sel$k c ON c.word = b.word AND c.i = b.i - 1
+       |  FROM ${pfx}base$k b LEFT JOIN ${pfx}b$k bb ON TRUE
+       |  LEFT JOIN ${pfx}sel$k s ON s.word = b.word AND s.i = b.i
+       |  LEFT JOIN ${pfx}sel$k c ON c.word = b.word AND c.i = b.i - 1
        |  WHERE c.i IS NULL),
-       |w$k AS (SELECT word, cnt, list(tok ORDER BY i) AS syms FROM e$k GROUP BY 1, 2)""".stripMargin
+       |${pfx}w$k AS (SELECT word, cnt, list(tok ORDER BY i) AS syms FROM ${pfx}e$k GROUP BY 1, 2)""".stripMargin
   }
 
   /** Encode a corpus with a TRAINED symbolization — the apply half of
@@ -328,13 +331,15 @@ object Tokenizer {
         expr("n_tokens * 1000000L DIV n_words").as("fertility_micro"))
   }
 
-  /** The held-out training trajectory (even doc_ids only), persisted by
-    * the SAMPLE's fingerprint — a different corpus than q132's
-    * full-corpus state, so the two families never collide. */
-  private def persistedHoldoutTrajectory(s: SparkSession, dir: String,
-                                         rounds: Int): Seq[DataFrame] = {
+  /** A training trajectory over the 1-in-`mod` doc_id sample, persisted
+    * by the SAMPLE's fingerprint — a different corpus than q132's
+    * full-corpus state (and than any other mod's sample), so the
+    * families never collide: the fingerprint IS the sample. mod = 50
+    * is q397's holdout trainer; q398 adds mods 10 and 200. */
+  private def persistedSampledTrajectory(s: SparkSession, dir: String,
+                                         rounds: Int, mod: Int): Seq[DataFrame] = {
     val train = Tables.fanOut(Tables.documents(s, dir))
-      .filter(col("doc_id") % 50 === 0)
+      .filter(col("doc_id") % mod === 0)
     val fp = TextOps.evalSetFingerprint(train.select(col("doc_id"), col("text")))
     val stateDir =
       s"${System.getProperty("java.io.tmpdir")}/graft_bpeho_v1_r${rounds}_$fp"
@@ -344,6 +349,10 @@ object Tokenizer {
       t ++ Seq.fill(rounds + 1 - t.length)(t.last)
     }
   }
+
+  private def persistedHoldoutTrajectory(s: SparkSession, dir: String,
+                                         rounds: Int): Seq[DataFrame] =
+    persistedSampledTrajectory(s, dir, rounds, 50)
 
   /** Held-out tokenizer generalization audit — the lifecycle step
     * q132/q144 deliberately skip: they train on the corpus they
@@ -399,6 +408,119 @@ object Tokenizer {
       .orderBy(col("lang"))
   }
 
+  /** The q398 algebra, exposed for the hand-computed spec: encode ONE
+    * fixed eval word stream against several trained (word, n_syms)
+    * inventories in a single corpus pass (one broadcast left join per
+    * inventory — the inventories are vocabulary-sized), aggregate to a
+    * single row, and unpivot via `stack` into one row per sample rate.
+    * `trainedByMod` also carries each rate's training-doc count so the
+    * output prices sample size in documents, not just in rate. */
+  def bpeSampleElbow(docs: DataFrame,
+                     trainedByMod: Seq[(Long, DataFrame)]): DataFrame = {
+    val words = docs.filter(col("doc_id") % 10 =!= 0)
+      .select(explode(split(col("text"), " ")).as("word"))
+      .filter(col("word") =!= "")
+    val joined = trainedByMod.foldLeft(words) { case (j, (mod, trained)) =>
+      j.join(broadcast(trained.select(col("word"), col("n_syms").as(s"ns$mod"))),
+        Seq("word"), "left")
+    }
+    val aggs = count(lit(1)).as("n_words") +: trainedByMod.flatMap { case (mod, _) =>
+      Seq(sum(when(col(s"ns$mod").isNull, 1L).otherwise(0L)).as(s"oov$mod"),
+        sum(coalesce(col(s"ns$mod"), length(col("word")).cast("long"))).as(s"tok$mod"))
+    }
+    val one = trainedByMod.foldLeft(joined.agg(aggs.head, aggs.tail: _*)) {
+      case (df, (mod, trained)) =>
+        df.crossJoin(broadcast(docs.filter(col("doc_id") % mod === 0)
+            .agg(count(lit(1)).as(s"docs$mod"))))
+          .crossJoin(broadcast(trained.agg(count(lit(1)).as(s"tw$mod"))))
+    }
+    val stackArgs = trainedByMod
+      .map { case (mod, _) => s"${mod}L, docs$mod, tw$mod, oov$mod, tok$mod" }
+      .mkString(", ")
+    one.selectExpr(
+        s"stack(${trainedByMod.size}, $stackArgs) AS " +
+          "(sample_mod, n_train_docs, train_words, n_oov, n_tokens)",
+        "n_words")
+      .select(col("sample_mod"), col("n_train_docs"), col("train_words"),
+        col("n_words"), col("n_oov"), col("n_tokens"),
+        expr("CASE WHEN n_words = 0 THEN NULL ELSE n_oov * 1000000L DIV n_words END")
+          .as("oov_micro"),
+        expr("CASE WHEN n_words = 0 THEN NULL ELSE n_tokens * 1000000L DIV n_words END")
+          .as("fertility_micro"))
+      .orderBy(col("sample_mod"))
+  }
+
+  /** Train-sample-rate elbow — the dial q397 prices one point of. q397
+    * showed a 2% doc sample generalizes with a measured OOV cost; the
+    * question a 100 TB tokenizer owner actually asks is "how SMALL can
+    * the training sample get before OOV inflation bites" (Sennrich et
+    * al. ACL'16 train on a sample by construction; Rust et al. ACL'21
+    * compare tokenizer quality by exactly these fertility/OOV figures),
+    * because BPE training cost is driven by the corpus word-count pass
+    * over the sample. One query sweeps three rates — 1-in-10, 1-in-50,
+    * 1-in-200 doc_id samples — trains a 3-merge trajectory per rate
+    * (each persisted by its own sample fingerprint, so re-runs and
+    * other faces reuse them; the 1-in-50 state IS q397's), and encodes
+    * the SAME fixed eval stream (doc_id % 10 <> 0 — disjoint from all
+    * three training samples, since 50 and 200 are multiples of 10)
+    * against all three inventories in ONE corpus pass with three
+    * vocabulary-sized broadcast joins. Output per rate: training docs,
+    * trained vocab words, eval words, OOV count, token count, and
+    * exact floor-micro OOV/fertility — the monotone curve whose elbow
+    * is the cheapest safe sample rate. On the fixtures' Zipf-saturated
+    * vocabulary the elbow is sharp: at sf0.01 the 1-in-200 and 1-in-50
+    * samples both pay real OOVs while 1-in-10 pays none, so the audit
+    * reads "sample 10% and stop" from 3 rows instead of three
+    * re-trainings.
+    *
+    * Scale posture: identical to q397 — the corpus-scale work is one
+    * explode + 3 broadcast joins + one map-side-combined global agg;
+    * the per-rate trainers are sample-sized word counts + vocab-sized
+    * merge rounds; the unpivot is a 1-row stack. Degenerate eval
+    * (n_words = 0) yields NULL micros in both faces, never a NaN. */
+  val q398SampleElbow: QueryDef = {
+    val ewSql =
+      """ew AS MATERIALIZED (SELECT word FROM (
+        |    SELECT unnest(string_split(text, ' ')) AS word FROM documents
+        |    WHERE doc_id % 10 <> 0) WHERE word <> '')""".stripMargin
+    val legsSql = Seq(10, 50, 200).map { mod =>
+      val p = s"m$mod"
+      s"""${p}wc AS (SELECT word, COUNT(*) AS cnt FROM (
+         |    SELECT unnest(string_split(text, ' ')) AS word FROM documents
+         |    WHERE doc_id % $mod = 0)
+         |  WHERE word <> '' GROUP BY 1),
+         |${p}w0 AS (SELECT word, cnt,
+         |    list_transform(range(1, len(word) + 1), i -> substr(word, i, 1)) AS syms
+         |  FROM ${p}wc),
+         |${roundSql(1, p)},
+         |${roundSql(2, p)},
+         |${roundSql(3, p)},
+         |${p}tw AS MATERIALIZED (SELECT word, len(syms) AS n_syms FROM ${p}w3),
+         |l$mod AS (SELECT CAST($mod AS BIGINT) AS sample_mod,
+         |    CAST((SELECT COUNT(*) FROM documents WHERE doc_id % $mod = 0) AS BIGINT) AS n_train_docs,
+         |    CAST((SELECT COUNT(*) FROM ${p}tw) AS BIGINT) AS train_words,
+         |    CAST(COUNT(*) AS BIGINT) AS n_words,
+         |    CAST(SUM(CASE WHEN t.n_syms IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+         |    CAST(SUM(COALESCE(t.n_syms, len(e.word))) AS BIGINT) AS n_tokens
+         |  FROM ew e LEFT JOIN ${p}tw t ON t.word = e.word)""".stripMargin
+    }.mkString(",\n")
+    sql(
+      "q398_sample_elbow",
+      s"""WITH $ewSql,
+         |$legsSql
+         |SELECT sample_mod, n_train_docs, train_words, n_words, n_oov, n_tokens,
+         |  CAST(CASE WHEN n_words = 0 THEN NULL ELSE n_oov * 1000000 // n_words END AS BIGINT) AS oov_micro,
+         |  CAST(CASE WHEN n_words = 0 THEN NULL ELSE n_tokens * 1000000 // n_words END AS BIGINT) AS fertility_micro
+         |FROM (SELECT * FROM l10 UNION ALL SELECT * FROM l50 UNION ALL SELECT * FROM l200)
+         |ORDER BY sample_mod""".stripMargin) { (s, dir) =>
+      val docs = Tables.fanOut(Tables.documents(s, dir))
+      val trainedByMod = Seq(10L, 50L, 200L).map { mod =>
+        mod -> trainedOf(persistedSampledTrajectory(s, dir, rounds = 3, mod = mod.toInt).last)
+      }
+      bpeSampleElbow(docs, trainedByMod)
+    }
+  }
+
   val all: Seq[QueryDef] = Seq(q132BpeTrain, q144BpeEncode, q220MergeSweep,
-    q397BpeHoldout)
+    q397BpeHoldout, q398SampleElbow)
 }

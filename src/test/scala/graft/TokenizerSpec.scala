@@ -92,6 +92,27 @@ class TokenizerSpec extends SparkSpec {
       "de" -> ((1L, 1L, 4L, 1000000L, 4000000L))))
   }
 
+  test("sample elbow: hand-computed three-rate sweep incl. an empty inventory") {
+    // eval = doc_id % 10 <> 0 → docs 1 and 2, words [aa bb zz cc];
+    // docs 0 and 10 are training-side only (0 trains every rate,
+    // 10 trains only the 1-in-10 rate)
+    val docs = Seq(
+      (0L, "aa bb"), (10L, "cc"),
+      (1L, "aa bb zz"), (2L, "cc")).toDF("doc_id", "text")
+    val t10 = Seq(("aa", 1L), ("bb", 1L), ("cc", 2L)).toDF("word", "n_syms")
+    val t50 = Seq(("aa", 1L)).toDF("word", "n_syms")
+    val t200 = Seq.empty[(String, Long)].toDF("word", "n_syms")
+    val got = Tokenizer.bpeSampleElbow(docs, Seq(10L -> t10, 50L -> t50, 200L -> t200))
+      .collect().toSeq.map(r => (0 to 7).map(r.getLong))
+    // rate 1/10: zz OOV (2 chars) → 4 words, 1 oov, 1+1+2+2 = 6 tokens
+    // rate 1/50: bb,zz,cc OOV → 3 oov, 1+2+2+2 = 7 tokens
+    // rate 1/200: empty inventory → all 4 OOV, 8 tokens (char counts)
+    assert(got == Seq(
+      Seq(10L, 2L, 3L, 4L, 1L, 6L, 250000L, 1500000L),
+      Seq(50L, 1L, 1L, 4L, 3L, 7L, 750000L, 1750000L),
+      Seq(200L, 1L, 0L, 4L, 4L, 8L, 1000000L, 2000000L)))
+  }
+
   test("bpeEncode totals agree with a manual word-level join") {
     val docs = graft.sources.Tables.documents(spark, sfDir)
     val trained = Tokenizer.bpeTrain(docs, 3)
