@@ -303,13 +303,14 @@ object Bench {
     // exactly when the budget is tight.
     val loadCalib = math.min(3.0, math.max(1.0, probePre / 0.12))
     val sweepReserveEst = ordered.map { case (n, _) => prior.getOrElse(n, 1.0) }.sum * loadCalib
+    val eligibleBuilders = ordered.count { case (n, _) => stateBuilders.contains(n) }
     for ((name, fn) <- ordered if stateBuilders.contains(name) &&
            elapsedS + sweepReserveEst < budgetS * 0.85 && elapsedS < budgetS * 0.4) {
       val t = once(name, fn)
       warmed += 1
       System.err.println(s"[bench] warm $name: ${f3(t)}")
     }
-    if (warmed == 0)
+    if (warmed == 0 && eligibleBuilders > 0)
       System.err.println(f"[bench] pre-warm skipped: sweep reserve ${sweepReserveEst}%.0f s " +
         f"(load calib ${loadCalib}%.2f) leaves no headroom in budget $budgetS%.0f s")
 

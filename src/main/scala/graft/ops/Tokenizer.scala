@@ -268,9 +268,15 @@ object Tokenizer {
     * tokenizer owner picks a budget from.
     *
     * Shape: the q132 round loop (vocab-sized after the one corpus word
-    * count) + four inventory-sized aggregates, unioned. The oracle
-    * reuses the unrolled round CTEs verbatim, so the sweep hashes the
-    * whole trajectory. */
+    * count), then ONE union read of the four persisted inventories
+    * tagged by merge count and TWO n_merges-keyed aggregates joined —
+    * not four per-stage aggregate pairs: the per-stage shape ran ~8
+    * scheduler-bound jobs over 31-row relations and its wall time was
+    * nearly all job launch overhead (profiled 1.7 s vs 0.8 s fused at
+    * sf0.1 — the r9 verdict's q220 drift, which was this overhead's
+    * JVM-warmth sensitivity, not data work). The oracle reuses the
+    * unrolled round CTEs verbatim, so the sweep still hashes the whole
+    * trajectory. */
   val q220MergeSweep: QueryDef = sql(
     "q220_merge_sweep",
     s"""WITH wc AS (SELECT word, COUNT(*) AS cnt FROM (
@@ -295,19 +301,19 @@ object Tokenizer {
        |      UNION ALL SELECT * FROM s2 UNION ALL SELECT * FROM s3)
        |ORDER BY n_merges""".stripMargin) { (s, dir) =>
     val traj = persistedTrajectory(s, dir, rounds = 3)
-    val stages = traj.zipWithIndex.map { case (w, m) =>
-      val vocab = w.select(explode(col("syms")).as("sym"))
-        .agg(countDistinct(col("sym")).as("vocab_syms"))
-      w.agg(
-          sum(col("cnt") * size(col("syms"))).cast("long").as("corpus_tokens"),
-          sum(col("cnt") * length(col("word"))).cast("long").as("corpus_chars"))
-        .crossJoin(broadcast(vocab))
-        .select(lit(m.toLong).as("n_merges"), col("vocab_syms").cast("long"),
-          col("corpus_tokens"),
-          expr("CAST((corpus_chars * 1000000) div corpus_tokens AS BIGINT)")
-            .as("chars_per_token_micro"))
-    }
-    stages.reduce(_ unionAll _).orderBy(col("n_merges"))
+    val fused = traj.zipWithIndex
+      .map { case (w, m) => w.withColumn("n_merges", lit(m.toLong)) }
+      .reduce(_ unionByName _)
+    val sums = fused.groupBy(col("n_merges")).agg(
+      sum(col("cnt") * size(col("syms"))).cast("long").as("corpus_tokens"),
+      sum(col("cnt") * length(col("word"))).cast("long").as("corpus_chars"))
+    val vocab = fused.select(col("n_merges"), explode(col("syms")).as("sym"))
+      .groupBy(col("n_merges")).agg(countDistinct(col("sym")).cast("long").as("vocab_syms"))
+    sums.join(broadcast(vocab), Seq("n_merges"))
+      .select(col("n_merges"), col("vocab_syms"), col("corpus_tokens"),
+        expr("CAST((corpus_chars * 1000000) div corpus_tokens AS BIGINT)")
+          .as("chars_per_token_micro"))
+      .orderBy(col("n_merges"))
   }
 
   /** The q397 algebra: encode a held-out corpus under a trained
