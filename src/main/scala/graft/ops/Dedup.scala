@@ -1455,15 +1455,28 @@ object Dedup {
        |  CAST(GREATEST(0, (n_a + 1) * (n_b + 1) // (n_both + 1) - 1 - n_union) AS BIGINT) AS est_missed,
        |  CAST(n_union * 1000000 // GREATEST(1, (n_a + 1) * (n_b + 1) // (n_both + 1) - 1) AS BIGINT) AS coverage_micro
        |FROM c""".stripMargin) { (s, dir) =>
-    val pa = verifiedPairs(s, dir).select(col("doc_a"), col("doc_b"))
-      .localCheckpoint(true) // feeds the overlap join and two counts
-    val pb = simhashWidePairs(s, dir).select(col("doc_a"), col("doc_b"))
-      .localCheckpoint(true)
-    val na = pa.agg(count(lit(1)).as("n_a"))
-    val nb = pb.agg(count(lit(1)).as("n_b"))
-    val nm = pa.join(pb, Seq("doc_a", "doc_b")).agg(count(lit(1)).as("n_both"))
-    val nu = pa.unionByName(pb).distinct().agg(count(lit(1)).as("n_union"))
-    na.crossJoin(broadcast(nb)).crossJoin(broadcast(nm)).crossJoin(broadcast(nu))
+    // ONE pass over both detectors' pairs (r10 optimization): tag each
+    // side, collapse on the pair key with map-side max-flags, and read
+    // n_a / n_b / n_both / n_union out of one 1-row aggregate. Replaces
+    // {two eager localCheckpoints + overlap join + union-distinct + two
+    // counts}: the checkpoints serialized the two (independent) detector
+    // pipelines into sequential jobs, and the overlap/union each paid
+    // another pair-keyed shuffle of the same relations. Both inputs are
+    // distinct pair sets by construction (vp is a post-aggregate filter,
+    // wcand ends in distinct()), so sum(flag) == the old count(*) per
+    // side, sum(ina·inb) == the old inner-join count, and count(*) ==
+    // the old union-distinct count (guide §2.3/§2.4).
+    val pa = verifiedPairs(s, dir).select(col("doc_a"), col("doc_b"),
+      lit(1L).as("ina"), lit(0L).as("inb"))
+    val pb = simhashWidePairs(s, dir).select(col("doc_a"), col("doc_b"),
+      lit(0L).as("ina"), lit(1L).as("inb"))
+    pa.unionByName(pb)
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(max(col("ina")).as("ina"), max(col("inb")).as("inb"))
+      .agg(coalesce(sum(col("ina")), lit(0L)).as("n_a"),
+        coalesce(sum(col("inb")), lit(0L)).as("n_b"),
+        coalesce(sum(col("ina") * col("inb")), lit(0L)).as("n_both"),
+        count(lit(1)).as("n_union"))
       .select(col("n_a"), col("n_b"), col("n_both"), col("n_union"),
         expr("(n_a + 1) * (n_b + 1) DIV (n_both + 1) - 1").as("est_total"),
         expr("GREATEST(0L, (n_a + 1) * (n_b + 1) DIV (n_both + 1) - 1 - n_union)").as("est_missed"),

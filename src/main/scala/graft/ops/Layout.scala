@@ -976,14 +976,31 @@ object Layout {
         case "nation"   => Tables.nation(s, dir)
         case "region"   => Tables.region(s, dir)
       }
+      // ONE pass per pair (r10 optimization): tag each side's raw keys,
+      // one map-side-combined groupBy(k) collapses duplicates and marks
+      // membership, one 1-row aggregate reads ndv_a/ndv_b/n_common out
+      // of the flags. Replaces per-pair {distinct + eager localCheckpoint
+      // + semi-join + three aggregates}: the 8 eager checkpoints
+      // serialized the pairs into 8 sequential jobs, and the semi-join
+      // was a second shuffle of the key sets. Now the 8 branches are one
+      // lazy union — a single job, branches scheduled in parallel — and
+      // each pair costs exactly one shuffle of tagged keys (guide §2.3
+      // "aggregate before you shuffle", §2.4 "remove shuffles outright").
+      // Semantics pinned to the old form: ndv counts a NULL key group
+      // (distinct() kept a null row; the fixture keys have none), while
+      // n_common excludes NULL (join equality never matched it).
       pairs.map { case (na, nb, ta, ca, tb, cb) =>
-        val a = table(ta).select(col(ca).cast("long").as("k")).distinct()
-          .localCheckpoint(true) // key-set-sized; counted AND joined
-        val b = table(tb).select(col(cb).cast("long").as("k")).distinct()
-        val common = a.join(b, Seq("k"), "left_semi").agg(count(lit(1)).as("n_common"))
-        val counts = a.agg(count(lit(1)).as("ndv_a"))
-          .crossJoin(b.agg(count(lit(1)).as("ndv_b")))
-        counts.crossJoin(common)
+        val a = table(ta).select(col(ca).cast("long").as("k"),
+          lit(1L).as("ina"), lit(0L).as("inb"))
+        val b = table(tb).select(col(cb).cast("long").as("k"),
+          lit(0L).as("ina"), lit(1L).as("inb"))
+        a.unionAll(b)
+          .groupBy(col("k"))
+          .agg(max(col("ina")).as("ina"), max(col("inb")).as("inb"))
+          .agg(coalesce(sum(col("ina")), lit(0L)).as("ndv_a"),
+            coalesce(sum(col("inb")), lit(0L)).as("ndv_b"),
+            coalesce(sum(when(col("k").isNotNull,
+              col("ina") * col("inb")).otherwise(0L)), lit(0L)).as("n_common"))
           .select(lit(na).as("col_a"), lit(nb).as("col_b"),
             col("ndv_a"), col("ndv_b"), col("n_common"),
             expr("n_common * 1000000L DIV ndv_a").as("containment_micro"))
