@@ -2586,8 +2586,8 @@ object Graph {
     val ex3 = expandFrom(b2, b2.count())
       .persist(StorageLevel.MEMORY_AND_DISK) // forward b3 + backward d2
     val b3 = levelOf(ex3, Seq(b0, b1, b2))
-    def deltaDown(ex: DataFrame, upper: DataFrame,
-                  upperDelta: Option[DataFrame]): DataFrame = {
+    def deltaDown(ex: DataFrame, upper: DataFrame, upperDelta: Option[DataFrame],
+                  checkpoint: Boolean): DataFrame = {
       val up = upperDelta match {
         case Some(d) => upper.join(d, Seq("seed", "node"), "left")
           .select(col("seed"), col("node"), col("sig").as("wsig"),
@@ -2595,15 +2595,22 @@ object Graph {
         case None => upper.select(col("seed"), col("node"),
           col("sig").as("wsig"), lit(0L).as("wd"))
       }
-      ex.join(up, Seq("seed", "node"))
+      val d = ex.join(up, Seq("seed", "node"))
         .select(col("seed"), col("vnode").as("node"),
           expr("vsig * (1000000L + wd) DIV wsig").as("term"))
         .groupBy(col("seed"), col("node")).agg(sum(col("term")).as("delta"))
-        .localCheckpoint(true)
+      // d2 feeds two consumers (d1's left join + the final union) and
+      // must materialize; d1 feeds ONLY the final aggregate — an eager
+      // checkpoint there was one extra barrier job over pair-sized data
+      // for nothing (r10: fold it into the final action)
+      if (checkpoint) d.localCheckpoint(true) else d
     }
-    val d2 = deltaDown(ex3, b3, None)
-    val d1 = deltaDown(ex2, b2, Some(d2))
-    ex2.unpersist()
+    val d2 = deltaDown(ex3, b3, None, checkpoint = true)
+    val d1 = deltaDown(ex2, b2, Some(d2), checkpoint = false)
+    // ex3 has served both consumers (b3 + d2, the latter just
+    // checkpointed); ex2 must STAY persisted — the now-lazy d1 reads it
+    // inside the caller's final action (the per-query cache clear
+    // releases it, same lifetime as the level persists)
     ex3.unpersist()
     d1.unionAll(d2).groupBy(col("node"))
       .agg(sum(col("delta")).as("betweenness_micro"), count(lit(1)).as("n_contribs"))
@@ -2655,30 +2662,33 @@ object Graph {
         "CAST(conv(substring(md5(concat('mis:', CAST(v AS STRING))), 1, 15), 16, 10) AS BIGINT)"))
       .localCheckpoint(true)
     var nAct = act.count()
-    // the rounds join edges on BOTH keys (neighbor-min on dst, retire
-    // on src): over the broadcast budget pin one co-partitioned copy
-    // per key ONCE — the hits/walker discipline — so each round
-    // shuffles only the shrinking active relation
-    val (eDst, eSrc) =
-      if (nAct <= broadcastNodeBudget(raw.sparkSession)) (raw, raw)
-      else {
-        val d = raw.repartition(col("dst")).persist(StorageLevel.MEMORY_AND_DISK)
-        d.count()
-        (d, copartitionOnce(raw, "src"))
-      }
     val out = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    // LIVE edge relation (r10 optimization): after each round, restrict
+    // the edges to pairs whose BOTH endpoints are still active. A
+    // retired node never influences another round (Luby competition is
+    // among active neighbors only), yet the previous form probed the
+    // FULL persisted edge set twice per round (neighbor-min + retire)
+    // while the active set shrank geometrically — at sf0.1 that was
+    // 7 rounds × 2 × 1.2 M edge rows for a competition that involves a
+    // few thousand live edges after round 2. Live edges also make every
+    // round's neighbor-min JOIN-FREE (the round-1 shortcut generalized):
+    // each dst in the live relation is active by construction, and its
+    // priority is a pure function of the id, so it computes map-side in
+    // the live-edge scan. The retire expansion and the next live set are
+    // gated broadcast joins of round-sized relations into the shrinking
+    // live edges; above the broadcast budget they degrade to shuffles of
+    // a relation that is itself shrinking at the Luby rate (expected
+    // half the EDGES per round), so total over-budget shuffle volume is
+    // a constant factor of one edge pass — vs one static co-partition
+    // but O(rounds) full-edge probes before.
+    var live = raw
+    val dstPrio = expr(
+      "CAST(conv(substring(md5(concat('mis:', CAST(dst AS STRING))), 1, 15), 16, 10) AS BIGINT)")
     var round = 1
     while (nAct > 0 && round <= maxRounds) {
-      // round 1: every node is active, so the neighbor minimum needs NO
-      // join — the priority is a pure function of the id and computes
-      // map-side in the edge scan (the widest round, join-free)
-      val nbrMin = (if (round == 1)
-        raw.select(col("src"), expr(
-          "CAST(conv(substring(md5(concat('mis:', CAST(dst AS STRING))), 1, 15), 16, 10) AS BIGINT)").as("np"),
-          col("dst").as("nv"))
-      else eDst
-        .join(gateBroadcast(act.select(col("v").as("dst"), col("p").as("np"),
-          col("v").as("nv")), nAct), Seq("dst")))
+      // join-free neighbor minimum: every edge in `live` has an active
+      // dst, and the priority computes map-side from the id
+      val nbrMin = live.select(col("src"), dstPrio.as("np"), col("dst").as("nv"))
         .groupBy(col("src")).agg(min(struct(col("np"), col("nv"))).as("m"))
       val mis = act
         .join(nbrMin.withColumnRenamed("src", "v"), Seq("v"), "left")
@@ -2688,11 +2698,20 @@ object Graph {
         .localCheckpoint(true) // round-sized; feeds output, retire, next act
       out += mis.select(col("v").as("node"), lit(round.toLong).as("round_joined"))
       val rm = mis.select(col("v"))
-        .unionAll(eSrc.join(gateBroadcast(mis.select(col("v").as("src")), nAct), Seq("src"))
+        .unionAll(live.join(gateBroadcast(mis.select(col("v").as("src")), nAct), Seq("src"))
           .select(col("dst").as("v")))
         .distinct()
       act = act.join(rm, Seq("v"), "left_anti").localCheckpoint(true)
       nAct = act.count()
+      if (nAct > 0) {
+        // both-endpoints-active restriction for the next round; the
+        // checkpoint bounds lineage and materializes the shrink so
+        // round k+1 scans live_k, not a k-deep semi-join chain
+        live = live
+          .join(gateBroadcast(act.select(col("v").as("src")), nAct), Seq("src"), "left_semi")
+          .join(gateBroadcast(act.select(col("v").as("dst")), nAct), Seq("dst"), "left_semi")
+          .localCheckpoint(true)
+      }
       round += 1
     }
     require(nAct == 0,
