@@ -127,10 +127,19 @@ object Classifier {
 
   /** Served corpus under the persisted weights: (doc_id, y, margin) —
     * the one corpus pass (featurize + broadcast-join + agg) every
-    * family face starts from. */
+    * family face starts from. Materialized EAGERLY (r10 optimization):
+    * the calibration/Brier/label-noise faces reference this relation
+    * 3-6 times (BlockRank's stats + offsets + rank join, plus their own
+    * total aggregates), and without a truncation point each reference
+    * both re-embedded the full featurize-serve lineage in the plan
+    * (q208's plan reached 184 parquet scans / 4.8k lines — guide §7.3's
+    * huge-plan mode) and re-ran the serving pass at execution. One
+    * localCheckpoint = one serving pass, doc-count-sized state,
+    * downstream plans see a LogicalRDD. */
   private def servedMargins(s: SparkSession, dir: String): DataFrame = {
     val (_, feats, labels) = taskInputs(s, dir)
     perceptronScore(feats, trainedTaskWeights(s, dir)).join(labels, "doc_id")
+      .localCheckpoint(true)
   }
 
   /** Contract face: train 3 rounds on the whole fixture with y = +1 ⇔

@@ -3336,24 +3336,35 @@ object TextOps {
     import org.apache.spark.sql.expressions.Window
     val gated = curationGates(Tables.fanOut(Tables.documents(s, dir)))
     val w = Window.partitionBy(md5(col("text"))).orderBy(col("doc_id"))
+    // Stage boundaries are eager localCheckpoints, not persists (r10
+    // optimization): each of ded/clean/mixed is referenced by ≥ 2
+    // downstream consumers, and a persist keeps the full LOGICAL plan
+    // under every reference — the nine-stage composition multiplied
+    // the curation-gate gram subtree per reference and the final plan
+    // reached 29.8k lines / 1444 parquet scans, which Catalyst then
+    // re-optimized per AQE stage (guide §7.3's huge-plan failure mode;
+    // measured 10.1 s at sf0.1 with almost idle executors). The
+    // checkpoint truncates each stage to a LogicalRDD — the same
+    // materialization a production pipeline's stage write gives — and
+    // the plan collapses to the downstream operators only.
     val ded = gated.withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1).drop("rn")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(true)
     val evalDocs = Tables.documents(s, dir).filter(col("doc_id") % 50 === 0)
       .select(col("doc_id"), col("text"))
     val bloomDir = s"${System.getProperty("java.io.tmpdir")}/graft_evalbloom_v1_" +
       evalSetFingerprint(evalDocs)
     // clean feeds the mixture rates AND the remix filter (two consumers
-    // inside remixSources) — persist, or the gate/dedup/decontamination
+    // inside remixSources) — materialize, or the gate/dedup/decontamination
     // prefix runs twice (q123's discipline; measured 94 → ~60 s at the
-    // 10× smoke when this persist was missing)
+    // 10× smoke when this materialization was missing)
     val clean = ded.join(
       decontaminate(ded.select(col("doc_id"), col("text")), evalDocs,
           bloomState = Some(bloomDir))
         .filter(!col("contaminated")).select(col("doc_id")), "doc_id")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(true)
     val mixed = remixSources(clean, expr("(CAST(substring(source, 4) AS INT) % 4) + 1"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(true)
     // q141's cap operator composed verbatim: the cap key is len(text)
     // (fixture-column-independent, like the oracle's len(text))
     val kept = domainCap(
