@@ -969,13 +969,19 @@ object Classifier {
         w
       }
     }
+    // fold sizes in ONE grouped count (r10 optimization): n_train(f) =
+    // total − |fold f|, so the five per-fold train.count() actions —
+    // five sequential jobs over the same cached relation — collapse to
+    // one 5-row aggregate read once
+    val foldCounts = docs.groupBy(col("fold")).agg(count(lit(1)).as("c"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val nTotal = foldCounts.values.sum
     val folds = (0 to 4).map { f =>
-      val train = docs.filter(col("fold") =!= f)
       val eval = docs.filter(col("fold") === f)
       val scored = perceptronScore(hashedFeatures(eval), weights(f))
         .join(eval.select(col("doc_id"),
           when(col("lang") === "en", 1L).otherwise(-1L).as("y")), "doc_id")
-      val nTrain = train.count()
+      val nTrain = nTotal - foldCounts.getOrElse(f, 0L)
       scored.agg(count(lit(1)).as("n_eval"),
           sum(when(col("y") * when(col("margin") > 0, 1L).otherwise(-1L) > 0, 1L)
             .otherwise(0L)).as("n_correct"))

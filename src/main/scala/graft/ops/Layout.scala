@@ -310,11 +310,16 @@ object Layout {
        |ORDER BY f.col_name""".stripMargin) { (s, dir) =>
     import org.apache.spark.sql.expressions.Window
     val p = columnProfile(s, dir)
+    // column-count-sized and referenced by THREE consumers (part pick,
+    // bucket pick, final projection), each of which otherwise re-embeds
+    // and re-executes the whole per-column profile union (the plan read
+    // 90 parquet scans / 2.2k lines) — materialize the profile once (r10)
     val flags = p
       .withColumn("part_cand",
         col("ndv") >= 2 && col("ndv") <= 10000 && col("top1_share_micro") <= 500000)
       .withColumn("buck_cand",
         col("ndv") * 10 >= col("n_rows") && col("top1_share_micro") <= 10000)
+      .localCheckpoint(true)
     // picks as struct-min aggregates: ALWAYS one row (null pick when no
     // candidate), so the final cross-joins can never wipe the output
     val partPick = flags.agg(min(when(col("part_cand"),

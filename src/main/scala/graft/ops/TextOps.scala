@@ -2429,11 +2429,15 @@ object TextOps {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(md5(col("text"))).orderBy(col("doc_id"))
     // ded feeds the contamination gram chain AND the final join; clean
-    // feeds the mixture rates AND the remix filter — persist both so the
-    // gate/dedup prefix runs once, not once per consumer
+    // feeds the mixture rates AND the remix filter — materialize both so
+    // the gate/dedup prefix runs once, not once per consumer. Eager
+    // localCheckpoints, not persists (r10): a persist keeps the full
+    // logical lineage under every reference and this plan reached 34
+    // parquet scans / 1.1k lines (q151's disease at smaller exponent);
+    // the checkpoint truncates each stage to a LogicalRDD
     val ded = gated.withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1).drop("rn")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(true)
     val evalDocs = Tables.documents(s, dir).filter(col("doc_id") % 50 === 0)
       .select(col("doc_id"), col("text"))
     // capstone direction: huge scored corpus, small eval reference — the
@@ -2444,7 +2448,7 @@ object TextOps {
       decontaminate(ded.select(col("doc_id"), col("text")), evalDocs,
           bloomState = Some(bloomDir))
         .filter(!col("contaminated")).select(col("doc_id")), "doc_id")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(true)
     remixSources(clean, expr("(CAST(substring(source, 4) AS INT) % 4) + 1"))
       .select(col("doc_id"), col("lang"), col("source"),
         size(col("toks")).cast("long").as("n_tokens"))
