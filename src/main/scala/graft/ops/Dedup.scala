@@ -146,7 +146,7 @@ object Dedup {
     // thing you'd write to storage between pipeline stages; locally
     // MEMORY_AND_DISK persist states the same plan property.
     val bb = bands(signatures(s, dir))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(true) // (doc × band)-sized; both self-join sides
     val a = bb.select(col("doc_id").as("doc_a"), col("band"), col("bucket"))
     val b = bb.select(col("doc_id").as("doc_b"), col("band"), col("bucket"))
     a.join(b, Seq("band", "bucket")).filter(col("doc_a") < col("doc_b"))
@@ -190,9 +190,12 @@ object Dedup {
   private def verifiedPairs(s: SparkSession, dir: String): DataFrame = {
     // Three consumers (both intersection sides + the per-doc counts):
     // materialize the shingle relation once — see candidates() for the
-    // 100 TB rationale.
+    // 100 TB rationale. Eager localCheckpoint, not persist (r10): the
+    // consumers run as parallel stages of ONE job, which raced the lazy
+    // cache (re-computing the shingle explode per stage) and re-embedded
+    // the lineage under every plan reference.
     val sh = shingles(s, dir)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(true)
     val cand = candidates(s, dir)
     val inter = cand
       .join(sh.select(col("doc_id").as("doc_a"), col("sh")), "doc_a")

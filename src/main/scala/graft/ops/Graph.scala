@@ -840,8 +840,14 @@ object Graph {
         "transform(sequence(0, size(w) - 2), i -> named_struct('wa', w[i], 'wb', w[i + 1]))")).as("p"))
       .select(col("p.wa").as("wa"), col("p.wb").as("wb"))
       .filter(col("wa").rlike(word) && col("wb").rlike(word) && col("wa") =!= col("wb"))
-    val e = adj.select(col("wa").as("src"), col("wb").as("dst"))
-      .union(adj.select(col("wb").as("src"), col("wa").as("dst")))
+    // symmetrize with ONE explode instead of a two-branch union (r10):
+    // the union re-ran the whole bigram explode + regex filter per
+    // branch (the corpus pass, twice) — emitting both orientations from
+    // one pass yields the identical distinct edge set
+    val e = adj.select(explode(array(
+        struct(col("wa").as("src"), col("wb").as("dst")),
+        struct(col("wb").as("src"), col("wa").as("dst")))).as("x"))
+      .select(col("x.src").as("src"), col("x.dst").as("dst"))
       .distinct()
     pagerank(e, rounds = 3)
       .select(col("part").as("word"), col("rank"), col("degree"))

@@ -1733,8 +1733,12 @@ object Layout {
           col("l_orderkey"), col("l_linenumber"))
         .withColumn("zkey", expr(sparkZ).cast("long"))
       val n = k.agg(count(lit(1)).cast("long").as("n_all"))
+      // eager localCheckpoint (r10): kk feeds both layout carves (each
+      // referencing it 3× through BlockRank) plus the row-match leg —
+      // as a persist the consuming job's parallel stages raced the cache
+      // and the plan re-embedded the scan per reference
       val kk = k.crossJoin(broadcast(n))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        .localCheckpoint(true)
       def carve(layout: String, key: Column, inner: Seq[Column]): DataFrame =
         BlockRank.globalRowNumberAdaptive(kk, key, asc = true, inner, "rk")
           .withColumn("file_id", BlockRank.ntileFromRank("rk", "n_all", 64))

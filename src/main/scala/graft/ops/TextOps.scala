@@ -1168,8 +1168,14 @@ object TextOps {
       .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
     val vocab = toks.groupBy(col("word")).agg(count(lit(1)).as("wc"))
       .orderBy(col("wc").desc, col("word")).limit(100)
+    // eager localCheckpoints, not persists (r10): hits feeds nw + both
+    // co-occurrence self-join sides and lift feeds the norm + both
+    // numerator sides — as persists, the parallel stages of the one
+    // consuming job raced to materialize the cache and re-embedded the
+    // lineage per reference (39-scan plan); the checkpoint computes each
+    // exactly once
     val hits = toks.join(broadcast(vocab.select(col("word"))), "word").distinct()
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(true)
     val nw = hits.groupBy(col("word")).agg(count(lit(1)).as("n"))
     val nd = Tables.documents(s, dir).agg(count(lit(1)).as("n_docs"))
     val co = hits.select(col("doc_id"), col("word").as("w"))
@@ -1181,7 +1187,7 @@ object TextOps {
       .join(broadcast(nw.select(col("word").as("c"), col("n").as("nc"))), "c")
       .crossJoin(broadcast(nd))
       .select(col("w"), col("c"), expr("nwc * 1000L * n_docs DIV (na * nc)").as("l"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(true) // vocab²-bounded; norm + both numerator sides
     val nrm = lift.groupBy(col("w")).agg(sum(col("l") * col("l")).as("n2"))
     val num = lift.select(col("w").as("wa"), col("c"), col("l").as("la"))
       .join(lift.select(col("w").as("wb"), col("c"), col("l").as("lb")), "c")
@@ -5772,7 +5778,7 @@ object TextOps {
       .crossJoin(broadcast(stats))
       .groupBy(col("query_id"), col("doc_id"))
       .agg(sum(bm25Term).as("raw_a"), sum(tfidfTerm).as("raw_b"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(true) // (query, doc)-sized; both rank legs read it
     // rank on the ROUNDED scores (the q348 discipline): the TF-IDF leg
     // has no length term, so equal matched (word, tf) multisets tie
     // exactly and a raw-float rank would break engine-dependently
