@@ -249,11 +249,11 @@ object Dedup {
        |JOIN cnts cb ON cb.doc_id = m.doc_b
        |ORDER BY m.doc_a, m.doc_b""".stripMargin) { (s, dir) =>
     val sh = shingles(s, dir)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(true)
     val sig = signatures(s, dir)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(true)
     val cand = {
-      val bb = bands(sig).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val bb = bands(sig).localCheckpoint(true)
       val a = bb.select(col("doc_id").as("doc_a"), col("band"), col("bucket"))
       val b = bb.select(col("doc_id").as("doc_b"), col("band"), col("bucket"))
       a.join(b, Seq("band", "bucket")).filter(col("doc_a") < col("doc_b"))
@@ -412,11 +412,11 @@ object Dedup {
        |JOIN cnts cb ON cb.doc_id = m.doc_b
        |ORDER BY m.doc_a, m.doc_b""".stripMargin) { (s, dir) =>
     val sh = shingles(s, dir)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(true)
     val sig = signatures(s, dir)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(true)
     val cand = {
-      val bb = bands(sig).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val bb = bands(sig).localCheckpoint(true)
       val a = bb.select(col("doc_id").as("doc_a"), col("band"), col("bucket"))
       val b = bb.select(col("doc_id").as("doc_b"), col("band"), col("bucket"))
       a.join(b, Seq("band", "bucket")).filter(col("doc_a") < col("doc_b"))
@@ -579,7 +579,7 @@ object Dedup {
   private[graft] def containmentPairs(sh0: DataFrame): DataFrame = {
     val dfreq = sh0.groupBy(col("sh")).agg(count(lit(1)).as("df"))
     val keep = sh0.join(dfreq.filter(col("df") <= 20), "sh")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(true)
     val cnts = keep.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val inter = keep.filter(col("df") >= 2)
       .select(col("doc_id").as("doc_a"), col("sh"))
@@ -666,7 +666,7 @@ object Dedup {
        |FROM per
        |ORDER BY doc_id""".stripMargin) { (s, dir) =>
     val sh = shingles(s, dir)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(true)
     val dfreq = sh.groupBy(col("sh")).agg(count(lit(1)).as("df"))
     sh.join(dfreq, "sh")
       .groupBy(col("doc_id"))
@@ -722,7 +722,7 @@ object Dedup {
     val canon = corpus.select(col("doc_id"),
       md5(trim(regexp_replace(regexp_replace(lower(col("text")), "[^a-z0-9 ]", ""), " +", " "))).as("ch"),
       md5(col("text")).as("rh"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(true)
     val grp = canon.groupBy(col("ch"))
       .agg(count(lit(1)).as("n_docs"), countDistinct(col("rh")).as("n_raw"),
         min(col("doc_id")).as("canon_id"))
@@ -1092,7 +1092,7 @@ object Dedup {
     // relation once instead of recomputing the tokenize→hash→vote chain
     // per side.
     val sig = simhashes(s, dir)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(true)
     val a = sig.select(col("doc_id").as("doc_a"), col("simhash"))
     val b = sig.select(col("doc_id").as("doc_b"), col("simhash"))
     a.join(b, "simhash").filter(col("doc_a") < col("doc_b"))
@@ -1138,7 +1138,7 @@ object Dedup {
        |WHERE bit_count(xor(sig_a, sig_b)) <= 2
        |ORDER BY doc_a, doc_b""".stripMargin) { (s, dir) =>
     val sig = simhashes(s, dir, "doc_id % 5 = 0")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(true)
     val parts = sig.select(col("doc_id"), col("simhash"),
         explode(array(
           struct(lit(0).as("pidx"), (col("simhash") % 64).as("pval")),
@@ -1401,7 +1401,7 @@ object Dedup {
       .select(col("doc_id"), expr(
         (0 until Bits).map(p => s"IF(s$p > 0, ${1L << p}L, 0L)").mkString("CAST(", " + ", " AS BIGINT)"))
         .as("sim"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(true)
     val parts = sig.select(col("doc_id"), col("sim"),
         explode(array((0 until Bits / WidePartBits).map { i =>
           struct(lit(i).as("pidx"),
@@ -1631,7 +1631,7 @@ object Dedup {
        |WHERE c.doc_a IS NOT NULL OR COALESCE(j.j, 0) >= 0.5
        |ORDER BY doc_a, doc_b""".stripMargin) { (s, dir) =>
     val sh = shingles(s, dir)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(true)
     val cand = candidates(s, dir).withColumn("predicted", lit(true))
     val gi = sh.select(col("doc_id").as("doc_a"), col("sh"))
       .join(sh.select(col("doc_id").as("doc_b"), col("sh")), "sh")
@@ -1878,7 +1878,7 @@ object Dedup {
        |FROM sw
        |ORDER BY tau_pct""".stripMargin) { (s, dir) =>
     val sh = shingles(s, dir)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(true)
     val cand = candidates(s, dir).withColumn("predicted", lit(true))
     val gi = sh.select(col("doc_id").as("doc_a"), col("sh"))
       .join(sh.select(col("doc_id").as("doc_b"), col("sh")), "sh")
@@ -1963,7 +1963,7 @@ object Dedup {
        |ORDER BY doc_a, doc_b""".stripMargin) { (s, dir) =>
     import org.apache.spark.sql.expressions.Window
     val sh = shingles(s, dir)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(true)
     val df = sh.groupBy(col("sh")).agg(count(lit(1)).as("df"))
     val sz = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     // df and sz are vocabulary-/doc-count-sized — broadcast them so the
@@ -1977,7 +1977,7 @@ object Dedup {
         Window.partitionBy(col("doc_id")).orderBy(col("df"), col("sh"))))
       .filter(col("p") <= expr("n div 2 + 1"))
       .select(col("doc_id"), col("sh"), col("n"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(true)
     // the PPJoin length filter rides the candidate join: J >= 1/2
     // already implies n_b <= 2 n_a, so pruning it here costs nothing
     // and kills the cross-size candidate tail before verification
@@ -2132,7 +2132,7 @@ object Dedup {
     val k = corpus.select(col("doc_id"), md5(canonText).as("ch"),
         element_at(split(col("text"), " "), 1).as("raw_tok"),
         element_at(split(canonText, " "), 1).as("canon_tok"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(true)
     val n = k.agg(count(lit(1)).as("n"))
     val truth = k.groupBy(col("ch")).agg(count(lit(1)).as("g"))
       .agg(coalesce(sum(expr("g * (g - 1) DIV 2")), lit(0L)).as("tp"))
@@ -2140,7 +2140,7 @@ object Dedup {
         col("ch"), col("raw_tok").as("blk"))
       .unionByName(k.select(lit("canon_first_token").as("scheme"), col("doc_id"),
         col("ch"), col("canon_tok").as("blk")))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(true)
     val bs = schemes.groupBy(col("scheme"), col("blk")).agg(count(lit(1)).as("c"))
       .groupBy(col("scheme"))
       .agg(countDistinct(col("blk")).as("n_blocks"),
@@ -2236,7 +2236,7 @@ object Dedup {
     def phaseStats(phase: String, nodes: DataFrame, pairs: DataFrame): DataFrame = {
       val sz = connectedComponents(nodes, pairs)
         .groupBy(col("cluster_id")).agg(count(lit(1)).as("n"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        .localCheckpoint(true)
       val top2 = sz.orderBy(col("n").desc, col("cluster_id")).limit(2)
         .collect().map(_.getLong(1)) // two rows — the bounded collect class
       sz.agg(sum(col("n")).as("n_nodes"), count(lit(1)).as("n_components"),
