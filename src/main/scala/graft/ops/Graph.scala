@@ -686,7 +686,13 @@ object Graph {
         .localCheckpoint(true)
       frontier = next.select(col("node"))
       frontierRows = next.count()
-      dist = dist.unionAll(next).localCheckpoint(true)
+      // the accumulated relation re-checkpoints only while another
+      // round will anti-join against it; after the LAST hop it has one
+      // consumer (the caller's aggregate), and both union legs are
+      // already materialized — a final checkpoint was a pure extra
+      // barrier copy (r10)
+      dist = if (h < maxHops) dist.unionAll(next).localCheckpoint(true)
+             else dist.unionAll(next)
     }
     dist
   }
@@ -1197,6 +1203,9 @@ object Graph {
               .select(col("c"), col("p")))
           .distinct()
           .localCheckpoint(true) // closure-sized; both sides of the next round
+          // (kept on the LAST doubling too: an r10 A/B of dropping it
+          // measured 1.67 → 2.28 s — the known-size LogicalRDD buys the
+          // rollup join a better plan than the barrier costs)
       }
       val sub = r.join(v.select(col("node").as("c"), col("cents")), Seq("c"))
         .groupBy(col("p").as("node"))
@@ -1238,7 +1247,10 @@ object Graph {
         .localCheckpoint(true)
       frontier = next.select(col("seed"), col("node"))
       frontierRows = next.count()
-      dist = dist.unionAll(next).localCheckpoint(true)
+      // same last-hop rule as [[bfsDistances]]: no barrier copy after
+      // the final anti-join consumer is gone (r10)
+      dist = if (h < maxHops) dist.unionAll(next).localCheckpoint(true)
+             else dist.unionAll(next)
     }
     dist
   }
