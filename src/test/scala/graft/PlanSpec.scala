@@ -361,12 +361,26 @@ class PlanSpec extends SparkSpec {
       .findFirstIn(p).isEmpty,
       s"non-scalar nested-loop join in the build plan:\n${p.take(4000)}")
     // ded/clean each feed two consumers; the gate+dedup prefix must be
-    // served from the persisted cache, not recomputed per consumer
-    assert(p.contains("InMemoryTableScan"),
-      s"shared prefixes must come from the cache:\n$p")
-    // decontamination rides the bloom-pruned gram join (q116's machinery)
-    assert(p.contains("might_contain"),
-      s"gram join must carry the bloom probe:\n$p")
+    // served from a materialization, not recomputed per consumer — an
+    // InMemoryTableScan (persist) or a LogicalRDD scan (the r10 eager
+    // localCheckpoint, which also truncates the exploded plan lineage)
+    assert(p.contains("InMemoryTableScan") || p.contains("ExistingRDD"),
+      s"shared prefixes must come from a materialization:\n$p")
+    // decontamination rides the bloom-pruned gram join (q116's
+    // machinery). Since r10 that stage sits BEHIND the clean checkpoint
+    // (the final plan is deliberately truncated), so the probe is pinned
+    // on the stage's own plan, built exactly as q123 builds it
+    val docs = graft.sources.Tables.fanOut(
+      graft.sources.Tables.documents(spark, sfDir))
+    val ev = graft.sources.Tables.documents(spark, sfDir)
+      .filter(org.apache.spark.sql.functions.col("doc_id") % 50 === 0)
+      .select(org.apache.spark.sql.functions.col("doc_id"),
+        org.apache.spark.sql.functions.col("text"))
+    val dec = planOf(graft.ops.TextOps.decontaminate(
+      docs.select(org.apache.spark.sql.functions.col("doc_id"),
+        org.apache.spark.sql.functions.col("text")), ev))
+    assert(dec.contains("might_contain"),
+      s"gram join must carry the bloom probe:\n$dec")
   }
 
   test("q116: the train gram stream is bloom-pruned BEFORE its distinct exchange") {
