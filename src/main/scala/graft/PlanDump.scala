@@ -21,8 +21,27 @@ object PlanDump {
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     Files.createDirectories(Paths.get(outDir))
+    // Name resolution (ADVICE r10): exact match, else UNIQUE prefix —
+    // `q31` must never silently pick q319_bbit_minhash over
+    // q31_minhash_lsh (Map order is unspecified), and an ambiguous or
+    // unknown token fails BEFORE the session does any work, because the
+    // committed before/after plan evidence depends on dumping the
+    // intended query.
+    def resolve(t: String): String = {
+      val keys = SparkEntry.queries.keys.toSeq.sorted
+      if (keys.contains(t)) t
+      else keys.filter(k => k.startsWith(t + "_") || k.startsWith(t)) match {
+        case Seq(one) => one
+        case Seq() => sys.error(s"[plandump] no such query: $t")
+        case many => many.filter(_.startsWith(t + "_")) match {
+          case Seq(one) => one
+          case _ => sys.error(
+            s"[plandump] ambiguous token $t: ${many.mkString(", ")}")
+        }
+      }
+    }
     val selected =
-      if (names.nonEmpty) names.map(t => SparkEntry.queries.keys.find(_.contains(t)).getOrElse(t))
+      if (names.nonEmpty) names.map(resolve)
       else SparkEntry.queries.keys.toSeq.sorted
     for (name <- selected) {
       SparkEntry.queries.get(name) match {
@@ -34,7 +53,7 @@ object PlanDump {
             println(s"[plandump] wrote $outDir/${name}_$suffix.txt")
           } catch { case e: Throwable =>
             System.err.println(s"[plandump] $name failed: ${e.getMessage}")
-          } finally spark.catalog.clearCache()
+          } finally { spark.catalog.clearCache(); graft.ops.releaseStageBoundaries() }
         case None => System.err.println(s"[plandump] no such query: $name")
       }
     }

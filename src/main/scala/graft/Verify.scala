@@ -27,6 +27,10 @@ object Verify {
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
       spark.catalog.clearCache() // release per-query persisted intermediates
+      // clearCache frees persists but NOT stage-boundary localCheckpoint
+      // blocks (ContextCleaner frees those only on GC, which can lag a
+      // 396-query sweep on a big heap — ADVICE r10): drop them eagerly
+      graft.ops.releaseStageBoundaries()
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

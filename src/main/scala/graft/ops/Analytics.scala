@@ -2161,7 +2161,7 @@ object Analytics {
       // n-agg plus both adaptive rank passes (each itself two-pass) — up
       // to ~5 lineage re-derivations without this checkpoint (measured
       // 2.4 s → ~1 s at sf0.1; the r7 verdict's claw-back item)
-      .localCheckpoint(true)
+      .stageBoundary
     val n = cust.agg(count(lit(1)).cast("long").as("n_cust"))
     val rRanked = BlockRank.globalRowNumberAdaptive(
       cust.crossJoin(broadcast(n)), col("r_days"), asc = true,
@@ -2340,7 +2340,6 @@ object Analytics {
       |       ELSE (CAST(1000000 AS BIGINT) * n_affected) // n_total END AS frac_micro
       |FROM rows_
       |ORDER BY tbl""".stripMargin) { (s, dir) =>
-    import s.implicits._
     val cust = Tables.customer(s, dir)
     val o = Tables.orders(s, dir)
     val li = Tables.lineitem(s, dir)
@@ -2354,16 +2353,30 @@ object Analytics {
     val files = li.groupBy(expr("l_orderkey div 200").as("f"))
       .agg(count(lit(1)).cast("long").as("n_rows"))
     val touched = delL.select(expr("l_orderkey div 200").as("f")).distinct()
-    val rewritten = files.join(touched, "f").agg(sum(col("n_rows"))).head.getLong(0)
-    val rows = Seq(
-      ("customer", cust.count(), req.count()),
-      ("orders", o.count(), delO.count()),
-      ("lineitem", li.count(), delL.count()),
-      ("lineitem_files", files.count(), touched.count()),
-      // amplification row: total = deleted rows, affected = rows the
-      // immutable files force to be rewritten; frac = amplification
-      ("write_amplification", delL.count(), rewritten))
-    rows.toDF("tbl", "n_total", "n_affected")
+    // r11 (guide §2.4, the q304/q355 fusion): the report was 10
+    // sequential driver actions (9 counts + the amplification head) —
+    // pure scheduler serialization. Each (n_total, n_affected) pair is
+    // now a 1-row aggregate × 1-row aggregate cross of two single-row
+    // relations, and the five rows union into ONE lazy job whose
+    // branches schedule in parallel; no value ever visits the driver.
+    // delL is recomputed per consuming branch (scan + two broadcast
+    // semi-joins) — measured cheaper than serializing on a barrier.
+    def pair(tbl: String, total: DataFrame, affected: DataFrame): DataFrame =
+      total.agg(count(lit(1)).cast("long").as("n_total")).crossJoin(
+        affected.agg(count(lit(1)).cast("long").as("n_affected")))
+        .select(lit(tbl).as("tbl"), col("n_total"), col("n_affected"))
+    val rows =
+      pair("customer", cust, req)
+        .unionAll(pair("orders", o, delO))
+        .unionAll(pair("lineitem", li, delL))
+        .unionAll(pair("lineitem_files", files, touched))
+        // amplification row: total = deleted rows, affected = rows the
+        // immutable files force to be rewritten; frac = amplification
+        .unionAll(delL.agg(count(lit(1)).cast("long").as("n_total")).crossJoin(
+            files.join(touched, "f").agg(sum(col("n_rows")).as("n_affected")))
+          .select(lit("write_amplification").as("tbl"),
+            col("n_total"), col("n_affected")))
+    rows
       .withColumn("frac_micro",
         expr("CASE WHEN n_total = 0 THEN 0L ELSE (1000000L * n_affected) DIV n_total END"))
       .orderBy(col("tbl"))
@@ -2420,14 +2433,21 @@ object Analytics {
     val li = Tables.lineitem(s, dir)
     def side(colName: String, cexpr: String): DataFrame = {
       val v = li.select(expr(cexpr).as("c"))
-      val nn = v.count()
+      // r11 (guide §2.4 fewer actions): nn previously rode the driver
+      // via v.count() — one sequential full-scan ACTION per side before
+      // the real job. The cut ranks now read nn from a 1-row broadcast
+      // aggregate, and dev_micro recovers nn from bucket conservation
+      // (every row lands in exactly one bucket, so Σ n_rows = nn — the
+      // identity AnalyticsSpec already pins); the whole two-sided audit
+      // is ONE lazy job.
+      val nn = v.agg(count(lit(1)).as("nn"))
       // corpus-sized rank via the block two-pass device (ties need no
       // tiebreak: only the VALUE at each rank is read, and that is
       // order-invariant among equal values)
       val rk = BlockRank.globalRowNumberAdaptive(v, col("c"), asc = true,
         Seq(col("c").asc), "r")
-      val cuts = s.range(1, 17).select(col("id").as("bucket"),
-        expr(s"(id * ${nn}L) DIV 16").as("r"))
+      val cuts = s.range(1, 17).crossJoin(broadcast(nn))
+        .select(col("id").as("bucket"), expr("(id * nn) DIV 16").as("r"))
       val bnd = broadcast(cuts).join(rk, "r").select(col("bucket"), col("c").as("hi"))
       val vals = v.groupBy(col("c")).agg(count(lit(1)).cast("long").as("cnt"))
       val asg = vals.crossJoin(broadcast(bnd))
@@ -2436,9 +2456,12 @@ object Analytics {
           .as("bucket"))
       asg.groupBy(col("bucket"))
         .agg(sum(col("cnt")).as("n_rows"), min(col("c")).as("lo_val"), max(col("c")).as("hi_val"))
+        // 16-row relation: the unpartitioned window is a single trivial task
+        .withColumn("nn", sum(col("n_rows")).over(
+          Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
         .select(lit(colName).as("col_name"), col("bucket"), col("lo_val"), col("hi_val"),
           col("n_rows"),
-          expr(s"(1000000L * abs(16 * n_rows - ${nn}L)) DIV ${nn}L").as("dev_micro"))
+          expr("(1000000L * abs(16 * n_rows - nn)) DIV nn").as("dev_micro"))
     }
     side("price_cents", "CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT)")
       .unionByName(side("quantity", "CAST(l_quantity AS BIGINT)"))
@@ -3136,7 +3159,7 @@ object Analytics {
     val rk = cnt.withColumn("rnk", row_number().over(
         Window.partitionBy(col("h")).orderBy(col("n").desc, col("l_partkey")))
       .cast("long"))
-      .localCheckpoint(true) // part-sized; both join sides
+      .stageBoundary // part-sized; both join sides
     rk.filter(col("h") === 1)
       .select(col("l_partkey"), col("rnk").as("rank_first"))
       .join(rk.filter(col("h") === 2)
@@ -3182,7 +3205,7 @@ object Analytics {
     // block two-pass device instead of a single-partition sort
     val rk = BlockRank.globalRowNumberAdaptive(rev, col("cents"), asc = false,
         Seq(col("cents").desc, col("l_partkey").asc), "rn")
-      .localCheckpoint(true) // part-sized; head and tail consumers
+      .stageBoundary // part-sized; head and tail consumers
     val tot = rev.agg(sum(col("cents")).as("t"))
     val head = rk.filter(col("rn") <= 10)
       .select(col("rn").cast("long").as("rank"),
@@ -3238,7 +3261,7 @@ object Analytics {
     val pick = broadcast(q).join(r,
         col("rn") === expr("(qm * n + 999999L) DIV 1000000L"))
       .groupBy(col("decile"), col("treat")).agg(min(col("cents")).as("cents"))
-      .localCheckpoint(true) // 18 rows; both join sides
+      .stageBoundary // 18 rows; both join sides
     pick.filter(col("treat") === 1)
       .select(col("decile"), col("cents").as("treated_cents"))
       .join(pick.filter(col("treat") === 0)
@@ -3564,7 +3587,7 @@ object Analytics {
       .agg(sum(col("treat")).as("n_t"), sum(lit(1L) - col("treat")).as("n_c"),
         sum(when(col("treat") === 1, col("y")).otherwise(0L)).as("s_t"),
         sum(when(col("treat") === 0, col("y")).otherwise(0L)).as("s_c"))
-      .localCheckpoint(true) // strata-sized; feeds the matched and total aggs
+      .stageBoundary // strata-sized; feeds the matched and total aggs
     val mt = cell.filter(col("n_t") > 0 && col("n_c") > 0)
       .agg(count(lit(1)).as("n_strata_matched"), sum(col("n_t")).as("n_treated_matched"),
         sum(expr("n_t * (s_t * 100L DIV n_t - s_c * 100L DIV n_c)")).as("wnum"))
@@ -3650,7 +3673,7 @@ object Analytics {
     val per = base.groupBy(col("nat"))
       .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"), sum(col("y")).as("sy"),
         sum(col("x") * col("y")).as("sxy"))
-      .localCheckpoint(true) // nation-sized; totals + the stratum rows
+      .stageBoundary // nation-sized; totals + the stratum rows
     val tot = per.agg(sum(col("n")).as("n"), sum(col("sx")).as("sx"),
       sum(col("sy")).as("sy"), sum(col("sxy")).as("sxy"))
     val ov = tot.select(col("n"),
@@ -3721,7 +3744,7 @@ object Analytics {
       .select(expr("unix_micros(date_trunc('day', ts)) div 86400000000L").as("d"),
         (col("user_id") % 2).as("arm"),
         expr("CAST(FLOOR(value * 100) AS BIGINT)").as("cents"))
-      .localCheckpoint(true) // purchase-sized; span + the look pass
+      .stageBoundary // purchase-sized; span + the look pass
     val sp = ev.agg(min(col("d")).as("lo"), max(col("d")).as("hi"))
     val looks = s.range(1, 6).select(col("id").as("k"))
     val cut = broadcast(looks.crossJoin(broadcast(sp))

@@ -139,7 +139,7 @@ object Classifier {
   private def servedMargins(s: SparkSession, dir: String): DataFrame = {
     val (_, feats, labels) = taskInputs(s, dir)
     perceptronScore(feats, trainedTaskWeights(s, dir)).join(labels, "doc_id")
-      .localCheckpoint(true)
+      .stageBoundary
   }
 
   /** Contract face: train 3 rounds on the whole fixture with y = +1 ⇔
@@ -1170,7 +1170,7 @@ object Classifier {
       .groupBy(expr("n_chars DIV 50").as("b"))
       .agg(count(lit(1)).as("n"),
         sum(when(col("lang") === "en", 1L).otherwise(0L)).as("p"))
-      .localCheckpoint(true) // length-histogram-sized; two prefix passes + totals
+      .stageBoundary // length-histogram-sized; two prefix passes + totals
     val c1 = BlockRank.globalRunningSumAdaptive(
       h, col("b"), asc = true, Seq(col("b")), col("n"), out = "nl")
     val cum = BlockRank.globalRunningSumAdaptive(
@@ -1242,7 +1242,7 @@ object Classifier {
     val obs = ann.groupBy(col("a"), col("b")).agg(count(lit(1)).as("n_obs"))
     val o = cells.join(obs, Seq("a", "b"), "left")
       .select(col("a"), col("b"), coalesce(col("n_obs"), lit(0L)).as("n_obs"))
-      .localCheckpoint(true) // 9 rows; marginals + both weighted sums
+      .stageBoundary // 9 rows; marginals + both weighted sums
     val ra = o.groupBy(col("a")).agg(sum(col("n_obs")).as("n_a"))
     val cb = o.groupBy(col("b")).agg(sum(col("n_obs")).as("n_b"))
     val tot = o.agg(sum(col("n_obs")).as("n"),

@@ -291,7 +291,7 @@ object Contracts {
         "lpad(CAST((c_custkey * 7919L + 12345L) % 1000000000000000L AS STRING), 15, '0')").as("b"))
       val pan = body.select(expr(
         s"concat(b, CAST((10L - (${paySumSpark("b")}) % 10L) % 10L AS STRING))").as("p"))
-        .localCheckpoint(true) // customer-sized; both variants read it
+        .stageBoundary // customer-sized; both variants read it
       val both = pan.select(lit("minted").as("variant"), col("p"))
         .unionAll(pan.select(lit("corrupted").as("variant"), expr(
           "concat(substring(p, 1, 2), CAST((CAST(substring(p, 3, 1) AS BIGINT) + 1L) % 10L AS STRING), substring(p, 4))")

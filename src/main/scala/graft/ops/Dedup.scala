@@ -146,7 +146,7 @@ object Dedup {
     // thing you'd write to storage between pipeline stages; locally
     // MEMORY_AND_DISK persist states the same plan property.
     val bb = bands(signatures(s, dir))
-      .localCheckpoint(true) // (doc × band)-sized; both self-join sides
+      .stageBoundary // (doc × band)-sized; both self-join sides
     val a = bb.select(col("doc_id").as("doc_a"), col("band"), col("bucket"))
     val b = bb.select(col("doc_id").as("doc_b"), col("band"), col("bucket"))
     a.join(b, Seq("band", "bucket")).filter(col("doc_a") < col("doc_b"))
@@ -190,12 +190,12 @@ object Dedup {
   private def verifiedPairs(s: SparkSession, dir: String): DataFrame = {
     // Three consumers (both intersection sides + the per-doc counts):
     // materialize the shingle relation once — see candidates() for the
-    // 100 TB rationale. Eager localCheckpoint, not persist (r10): the
+    // 100 TB rationale. Eager stage boundary, not persist (r10): the
     // consumers run as parallel stages of ONE job, which raced the lazy
     // cache (re-computing the shingle explode per stage) and re-embedded
     // the lineage under every plan reference.
     val sh = shingles(s, dir)
-      .localCheckpoint(true)
+      .stageBoundary
     val cand = candidates(s, dir)
     val inter = cand
       .join(sh.select(col("doc_id").as("doc_a"), col("sh")), "doc_a")
@@ -249,11 +249,11 @@ object Dedup {
        |JOIN cnts cb ON cb.doc_id = m.doc_b
        |ORDER BY m.doc_a, m.doc_b""".stripMargin) { (s, dir) =>
     val sh = shingles(s, dir)
-      .localCheckpoint(true)
+      .stageBoundary
     val sig = signatures(s, dir)
-      .localCheckpoint(true)
+      .stageBoundary
     val cand = {
-      val bb = bands(sig).localCheckpoint(true)
+      val bb = bands(sig).stageBoundary
       val a = bb.select(col("doc_id").as("doc_a"), col("band"), col("bucket"))
       val b = bb.select(col("doc_id").as("doc_b"), col("band"), col("bucket"))
       a.join(b, Seq("band", "bucket")).filter(col("doc_a") < col("doc_b"))
@@ -308,7 +308,7 @@ object Dedup {
        |       ELSE CAST(SUM(closed) AS BIGINT) * 1000000 // COUNT(*) END AS closure_micro
        |FROM cl""".stripMargin) { (s, dir) =>
     val e = verifiedPairs(s, dir).select(col("doc_a").as("a"), col("doc_b").as("b"))
-      .localCheckpoint(true) // verified-pair-sized; feeds sym, wedges, closure
+      .stageBoundary // verified-pair-sized; feeds sym, wedges, closure
     val sym = e.select(col("a").as("u"), col("b").as("v"))
       .unionAll(e.select(col("b").as("u"), col("a").as("v")))
     val w = sym.select(col("u").as("y"), col("v").as("x"))
@@ -362,7 +362,7 @@ object Dedup {
     val rn = BlockRank.globalRowNumber(
         Tables.part(s, dir).select(col("p_name")).distinct(),
         blk, blkAsc = true, Seq(col("p_name").asc), "rn")
-      .localCheckpoint(true) // dictionary-sized; three successor joins
+      .stageBoundary // dictionary-sized; three successor joins
     val succ = rn.select(col("p_name").as("b"), col("rn").as("rnb"))
     val cand = (1 to 3).map(k =>
         rn.join(succ, col("rnb") === col("rn") + k)
@@ -412,11 +412,11 @@ object Dedup {
        |JOIN cnts cb ON cb.doc_id = m.doc_b
        |ORDER BY m.doc_a, m.doc_b""".stripMargin) { (s, dir) =>
     val sh = shingles(s, dir)
-      .localCheckpoint(true)
+      .stageBoundary
     val sig = signatures(s, dir)
-      .localCheckpoint(true)
+      .stageBoundary
     val cand = {
-      val bb = bands(sig).localCheckpoint(true)
+      val bb = bands(sig).stageBoundary
       val a = bb.select(col("doc_id").as("doc_a"), col("band"), col("bucket"))
       val b = bb.select(col("doc_id").as("doc_b"), col("band"), col("bucket"))
       a.join(b, Seq("band", "bucket")).filter(col("doc_a") < col("doc_b"))
@@ -579,7 +579,7 @@ object Dedup {
   private[graft] def containmentPairs(sh0: DataFrame): DataFrame = {
     val dfreq = sh0.groupBy(col("sh")).agg(count(lit(1)).as("df"))
     val keep = sh0.join(dfreq.filter(col("df") <= 20), "sh")
-      .localCheckpoint(true)
+      .stageBoundary
     val cnts = keep.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val inter = keep.filter(col("df") >= 2)
       .select(col("doc_id").as("doc_a"), col("sh"))
@@ -666,7 +666,7 @@ object Dedup {
        |FROM per
        |ORDER BY doc_id""".stripMargin) { (s, dir) =>
     val sh = shingles(s, dir)
-      .localCheckpoint(true)
+      .stageBoundary
     val dfreq = sh.groupBy(col("sh")).agg(count(lit(1)).as("df"))
     sh.join(dfreq, "sh")
       .groupBy(col("doc_id"))
@@ -722,7 +722,7 @@ object Dedup {
     val canon = corpus.select(col("doc_id"),
       md5(trim(regexp_replace(regexp_replace(lower(col("text")), "[^a-z0-9 ]", ""), " +", " "))).as("ch"),
       md5(col("text")).as("rh"))
-      .localCheckpoint(true)
+      .stageBoundary
     val grp = canon.groupBy(col("ch"))
       .agg(count(lit(1)).as("n_docs"), countDistinct(col("rh")).as("n_raw"),
         min(col("doc_id")).as("canon_id"))
@@ -878,7 +878,7 @@ object Dedup {
       .persist(StorageLevel.MEMORY_AND_DISK)
     var labels = edges.select(col("src").as("doc_id")).distinct()
       .select(col("doc_id"), col("doc_id").as("cluster_id"))
-      .localCheckpoint(true)
+      .stageBoundary
     var converged = false
     var rounds = 0
     while (!converged && rounds < propagationRounds) {
@@ -891,7 +891,7 @@ object Dedup {
       val combined = labels.join(nbrMin, Seq("doc_id"), "left")
         .select(col("doc_id"), col("cluster_id").as("prev"),
           least(col("cluster_id"), coalesce(col("nbr_min"), col("cluster_id"))).as("cluster_id"))
-        .localCheckpoint(true)
+        .stageBoundary
       val changed = combined.filter(col("cluster_id") < col("prev")).count()
       labels = combined.select(col("doc_id"), col("cluster_id"))
       converged = changed == 0
@@ -998,11 +998,11 @@ object Dedup {
       .select(greatest(col("doc_a"), col("doc_b")).as("u"),
         least(col("doc_a"), col("doc_b")).as("v"))
       .filter(col("u") =!= col("v")).distinct()
-      .localCheckpoint(true)
+      .stageBoundary
     var converged = e.isEmpty
     var rounds = 0
     while (!converged && rounds < maxRounds) {
-      val next = smallStar(largeStar(e).localCheckpoint(true)).localCheckpoint(true)
+      val next = smallStar(largeStar(e).stageBoundary).stageBoundary
       // both sides are DISTINCT sets: equal counts + empty one-way diff ⇒ equal
       converged = next.count() == e.count() && next.except(e).isEmpty
       e = next
@@ -1092,7 +1092,7 @@ object Dedup {
     // relation once instead of recomputing the tokenize→hash→vote chain
     // per side.
     val sig = simhashes(s, dir)
-      .localCheckpoint(true)
+      .stageBoundary
     val a = sig.select(col("doc_id").as("doc_a"), col("simhash"))
     val b = sig.select(col("doc_id").as("doc_b"), col("simhash"))
     a.join(b, "simhash").filter(col("doc_a") < col("doc_b"))
@@ -1138,7 +1138,7 @@ object Dedup {
        |WHERE bit_count(xor(sig_a, sig_b)) <= 2
        |ORDER BY doc_a, doc_b""".stripMargin) { (s, dir) =>
     val sig = simhashes(s, dir, "doc_id % 5 = 0")
-      .localCheckpoint(true)
+      .stageBoundary
     val parts = sig.select(col("doc_id"), col("simhash"),
         explode(array(
           struct(lit(0).as("pidx"), (col("simhash") % 64).as("pval")),
@@ -1401,7 +1401,7 @@ object Dedup {
       .select(col("doc_id"), expr(
         (0 until Bits).map(p => s"IF(s$p > 0, ${1L << p}L, 0L)").mkString("CAST(", " + ", " AS BIGINT)"))
         .as("sim"))
-      .localCheckpoint(true)
+      .stageBoundary
     val parts = sig.select(col("doc_id"), col("sim"),
         explode(array((0 until Bits / WidePartBits).map { i =>
           struct(lit(i).as("pidx"),
@@ -1631,7 +1631,7 @@ object Dedup {
        |WHERE c.doc_a IS NOT NULL OR COALESCE(j.j, 0) >= 0.5
        |ORDER BY doc_a, doc_b""".stripMargin) { (s, dir) =>
     val sh = shingles(s, dir)
-      .localCheckpoint(true)
+      .stageBoundary
     val cand = candidates(s, dir).withColumn("predicted", lit(true))
     val gi = sh.select(col("doc_id").as("doc_a"), col("sh"))
       .join(sh.select(col("doc_id").as("doc_b"), col("sh")), "sh")
@@ -1878,7 +1878,7 @@ object Dedup {
        |FROM sw
        |ORDER BY tau_pct""".stripMargin) { (s, dir) =>
     val sh = shingles(s, dir)
-      .localCheckpoint(true)
+      .stageBoundary
     val cand = candidates(s, dir).withColumn("predicted", lit(true))
     val gi = sh.select(col("doc_id").as("doc_a"), col("sh"))
       .join(sh.select(col("doc_id").as("doc_b"), col("sh")), "sh")
@@ -1962,22 +1962,31 @@ object Dedup {
        |WHERE 3 * i.i >= za.n + zb.n
        |ORDER BY doc_a, doc_b""".stripMargin) { (s, dir) =>
     import org.apache.spark.sql.expressions.Window
-    val sh = shingles(s, dir)
-      .localCheckpoint(true)
-    val df = sh.groupBy(col("sh")).agg(count(lit(1)).as("df"))
-    val sz = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-    // df and sz are vocabulary-/doc-count-sized — broadcast them so the
-    // prefix cut is one map stage over the persisted shingle relation.
-    // The global df-rank relation the oracle names is never materialized:
-    // only the RELATIVE (df, sh) order matters for the per-doc rarest-
-    // first cut, so ordering the doc window by (df, sh) directly selects
-    // the identical prefix without the single-partition vocabulary sort
-    val pre = sh.join(broadcast(df), "sh").join(broadcast(sz), "doc_id")
-      .withColumn("p", row_number().over(
-        Window.partitionBy(col("doc_id")).orderBy(col("df"), col("sh"))))
-      .filter(col("p") <= expr("n div 2 + 1"))
-      .select(col("doc_id"), col("sh"), col("n"))
-      .localCheckpoint(true)
+    // r11 (guide §2.3/§2.4): verification by RECORD ARRAYS, the literal
+    // PPJoin formulation — each doc carries its rarest-first-sorted
+    // shingle list; candidates collide on exploded prefix tokens;
+    // survivors verify with one in-place array intersection. Replaces
+    // the r10 shape {sh checkpoint; df+sz broadcast joins + per-doc
+    // window + prefix checkpoint; cand ⋈ sh ⋈ sh + pair-keyed count}:
+    // the double doc-keyed join against the full shingle relation and
+    // the pair-count exchange are gone, and so is one of the two eager
+    // barriers. df(sh) attaches as a window count over the token key
+    // (no second pass over sh, no broadcast), and sort_array over
+    // (df, sh) structs induces per doc EXACTLY the order the oracle's
+    // global df-rank window does — (df, sh) is a total order because
+    // sh is unique in the df relation.
+    val docs = shingles(s, dir)
+      .withColumn("df", count(lit(1)).over(Window.partitionBy(col("sh"))))
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(struct(col("df"), col("sh")))).as("ts"))
+      .select(col("doc_id"),
+        expr("transform(ts, t -> t.sh)").as("arr"),
+        size(col("ts")).cast("long").as("n"))
+      .stageBoundary // doc-count-sized; prefix explode + both attach sides
+    // prefix = the first ⌊n/2⌋+1 rarest tokens (two sets with J ≥ ½
+    // MUST collide inside their prefixes — Xiao et al. WWW'08)
+    val pre = docs.select(col("doc_id"), col("n"),
+      explode(expr("slice(arr, 1, CAST(n div 2 + 1 AS INT))")).as("sh"))
     // the PPJoin length filter rides the candidate join: J >= 1/2
     // already implies n_b <= 2 n_a, so pruning it here costs nothing
     // and kills the cross-size candidate tail before verification
@@ -1986,16 +1995,17 @@ object Dedup {
       .filter(col("doc_a") < col("doc_b") &&
         col("na") <= lit(2) * col("nb") && col("nb") <= lit(2) * col("na"))
       .select(col("doc_a"), col("doc_b")).distinct()
-    val inter = cand
-      .join(sh.select(col("doc_id").as("doc_a"), col("sh")), Seq("doc_a"))
-      .join(sh.select(col("doc_id").as("doc_b"), col("sh")), Seq("doc_b", "sh"))
-      .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("i"))
-    inter
-      .join(sz.select(col("doc_id").as("doc_a"), col("n").as("na")), "doc_a")
-      .join(sz.select(col("doc_id").as("doc_b"), col("n").as("nb")), "doc_b")
+    // exact verification: shingle lists are per-doc DISTINCT, so
+    // |array_intersect| IS the oracle's shared-shingle count
+    cand
+      .join(docs.select(col("doc_id").as("doc_a"),
+        col("arr").as("aa"), col("n").as("na")), "doc_a")
+      .join(docs.select(col("doc_id").as("doc_b"),
+        col("arr").as("ab"), col("n").as("nb")), "doc_b")
+      .withColumn("i", size(array_intersect(col("aa"), col("ab"))).cast("long"))
       .filter(lit(3) * col("i") >= col("na") + col("nb"))
-      .select(col("doc_a"), col("doc_b"), col("i").cast("long").as("n_common"),
-        (col("na") + col("nb") - col("i")).cast("long").as("n_union"),
+      .select(col("doc_a"), col("doc_b"), col("i").as("n_common"),
+        (col("na") + col("nb") - col("i")).as("n_union"),
         (col("i").cast("double") / (col("na") + col("nb") - col("i"))).as("jaccard"))
       .orderBy(col("doc_a"), col("doc_b"))
   }
@@ -2132,7 +2142,7 @@ object Dedup {
     val k = corpus.select(col("doc_id"), md5(canonText).as("ch"),
         element_at(split(col("text"), " "), 1).as("raw_tok"),
         element_at(split(canonText, " "), 1).as("canon_tok"))
-      .localCheckpoint(true)
+      .stageBoundary
     val n = k.agg(count(lit(1)).as("n"))
     val truth = k.groupBy(col("ch")).agg(count(lit(1)).as("g"))
       .agg(coalesce(sum(expr("g * (g - 1) DIV 2")), lit(0L)).as("tp"))
@@ -2140,7 +2150,7 @@ object Dedup {
         col("ch"), col("raw_tok").as("blk"))
       .unionByName(k.select(lit("canon_first_token").as("scheme"), col("doc_id"),
         col("ch"), col("canon_tok").as("blk")))
-      .localCheckpoint(true)
+      .stageBoundary
     val bs = schemes.groupBy(col("scheme"), col("blk")).agg(count(lit(1)).as("c"))
       .groupBy(col("scheme"))
       .agg(countDistinct(col("blk")).as("n_blocks"),
@@ -2227,16 +2237,16 @@ object Dedup {
        |FROM st ORDER BY phase""".stripMargin) { (s, dir) =>
     val docs = Tables.documents(s, dir).select(col("doc_id"))
     val vp = verifiedPairs(s, dir).select(col("doc_a"), col("doc_b"))
-      .localCheckpoint(true) // pair-sized; degree + both phase clusterings
+      .stageBoundary // pair-sized; degree + both phase clusterings
     val deg = vp.select(col("doc_a").as("node"))
       .unionAll(vp.select(col("doc_b").as("node")))
       .groupBy(col("node")).agg(count(lit(1)).as("d"))
     val hubs = deg.orderBy(col("d").desc, col("node")).limit(5)
-      .select(col("node")).localCheckpoint(true)
+      .select(col("node")).stageBoundary
     def phaseStats(phase: String, nodes: DataFrame, pairs: DataFrame): DataFrame = {
       val sz = connectedComponents(nodes, pairs)
         .groupBy(col("cluster_id")).agg(count(lit(1)).as("n"))
-        .localCheckpoint(true)
+        .stageBoundary
       val top2 = sz.orderBy(col("n").desc, col("cluster_id")).limit(2)
         .collect().map(_.getLong(1)) // two rows — the bounded collect class
       sz.agg(sum(col("n")).as("n_nodes"), count(lit(1)).as("n_components"),

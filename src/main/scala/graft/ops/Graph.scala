@@ -368,7 +368,7 @@ object Graph {
     // every round's plan AND out of the per-round broadcast builds, which
     // otherwise each replay it (measured 6.7 s → ~1.5 s on the q173 face;
     // at cluster scale these become reliable checkpoints)
-    val m = matches.select(col("w_src"), col("l_src")).localCheckpoint(true)
+    val m = matches.select(col("w_src"), col("l_src")).stageBoundary
     val pairsU = m.select(least(col("w_src"), col("l_src")).as("a"),
         greatest(col("w_src"), col("l_src")).as("b")).distinct()
     val dirs = pairsU.union(pairsU.select(col("b"), col("a")))
@@ -377,14 +377,14 @@ object Graph {
       .agg(count(lit(1)).as("wo"))
     val w = dirs.join(wObs, Seq("a", "b"), "left")
       .select(col("a"), col("b"), (coalesce(col("wo"), lit(0L)) + lit(1L)).as("w"))
-      .localCheckpoint(true)
+      .stageBoundary
     val n = w.as("w1").join(w.as("w2"),
         col("w1.a") === col("w2.b") && col("w1.b") === col("w2.a"))
       .select(col("w1.a").as("a"), col("w1.b").as("b"),
         (col("w1.w") + col("w2.w")).as("n"))
-      .localCheckpoint(true)
+      .stageBoundary
     val wi = w.groupBy(col("a").as("src")).agg(sum(col("w")).as("wins"))
-      .localCheckpoint(true)
+      .stageBoundary
     val gi = n.groupBy(col("a").as("src")).agg(sum(col("n")).as("games"))
     val nSrc = wi.count() // wi is checkpointed — a cache-read count
     var p = wi.select(col("src"), lit(RankScale).as("p"))
@@ -619,7 +619,7 @@ object Graph {
       .filter(col("c") >= 2).select(col("a"), col("b"))
     val deg = e.select(col("a").as("v")).unionAll(e.select(col("b").as("v")))
       .groupBy(col("v")).agg(count(lit(1)).cast("long").as("d"))
-      .localCheckpoint(true) // core-node-sized; feeds both orient legs + final
+      .stageBoundary // core-node-sized; feeds both orient legs + final
     val nd = deg.count()
     // degree relation is frequent-core-node-sized but still
     // data-proportional — gate the hint like the walkers above
@@ -629,6 +629,11 @@ object Graph {
       .join(gateBroadcast(deg.select(col("v").as("bv"), col("d").as("db")), nd), col("b") === col("bv"))
       .select(when(lowFirst, col("a")).otherwise(col("b")).as("u"),
         when(lowFirst, col("b")).otherwise(col("a")).as("v"))
+      // r11: o feeds THREE join legs (both wedge sides + the closing
+      // edge) — un-materialized, each leg re-ran the whole basket →
+      // pair → support-agg → orient chain as a parallel branch of one
+      // job (the r10 multi-consumer lesson). Frequent-core-edge-sized.
+      .stageBoundary
     val w = o.select(col("u").as("x"), col("v").as("y"))
       .join(o.select(col("u").as("y"), col("v").as("z")), Seq("y"))
     val t = w.join(o.select(col("u").as("x"), col("v").as("z")), Seq("x", "z"))
@@ -670,28 +675,47 @@ object Graph {
     var parted = false
     var dist = seeds.distinct()
       .select(col("seed").as("node"), lit(0L).as("hops"))
-      .localCheckpoint(true)
+      .stageBoundary
     var frontier = dist.select(col("node"))
     var frontierRows = dist.count()
+    // running size of the accumulated relation — every round's frontier
+    // count is already measured, so the anti-join side's row count is
+    // known without an extra job
+    var distRows = frontierRows
+    val budget = broadcastNodeBudget(edges.sparkSession)
     for (h <- 1 to maxHops) {
-      if (!parted && frontierRows > broadcastNodeBudget(edges.sparkSession)) {
+      if (!parted && frontierRows > budget) {
         e = copartitionOnce(raw, "src")
         parted = true
       }
-      val next = e
+      val matched = e
         .join(gateBroadcast(frontier.select(col("node").as("src")), frontierRows), Seq("src"))
-        .select(col("dst").as("node")).distinct()
-        .join(dist, Seq("node"), "left_anti")
+        .select(col("dst").as("node"))
+      // r11 (guide §2.3 prune before the exchange): while the seen set
+      // fits the broadcast budget, anti-join it BELOW the distinct — in
+      // late rounds most matched endpoints are already discovered, and
+      // dropping them map-side shrinks the distinct's shuffle to the
+      // genuinely-new tail. Above the budget the anti-join would itself
+      // shuffle the (larger) pre-distinct relation, so the order flips
+      // back — both orders are exactly equal (the anti predicate is a
+      // per-row filter on `node`, so dedup-then-filter ≡ filter-then-
+      // dedup).
+      val next = (if (distRows <= budget)
+          matched.join(gateBroadcast(dist.select(col("node")), distRows),
+            Seq("node"), "left_anti").distinct()
+        else
+          matched.distinct().join(dist, Seq("node"), "left_anti"))
         .select(col("node"), lit(h.toLong).as("hops"))
-        .localCheckpoint(true)
+        .stageBoundary
       frontier = next.select(col("node"))
       frontierRows = next.count()
+      distRows += frontierRows
       // the accumulated relation re-checkpoints only while another
       // round will anti-join against it; after the LAST hop it has one
       // consumer (the caller's aggregate), and both union legs are
       // already materialized — a final checkpoint was a pure extra
       // barrier copy (r10)
-      dist = if (h < maxHops) dist.unionAll(next).localCheckpoint(true)
+      dist = if (h < maxHops) dist.unionAll(next).stageBoundary
              else dist.unionAll(next)
     }
     dist
@@ -757,11 +781,11 @@ object Graph {
     * the edges whose endpoints share no common neighbor, with endpoint
     * degrees attached. See the q274 face doc for the algorithm shape. */
   def localBridges(edges: DataFrame): DataFrame = {
-    val e = edges.select(col("a"), col("b")).localCheckpoint(true)
+    val e = edges.select(col("a"), col("b")).stageBoundary
     val sym = e.select(col("a").as("u"), col("b").as("v"))
       .unionAll(e.select(col("b").as("u"), col("a").as("v")))
     val deg = sym.groupBy(col("u").as("node")).agg(count(lit(1)).cast("long").as("d"))
-      .localCheckpoint(true) // node-sized; feeds both endpoint joins
+      .stageBoundary // node-sized; feeds both endpoint joins
     val nd = deg.count()
     // wedge closure keyed on the shared neighbor; the anti join keeps
     // exactly the edges q243's triangle join would drop
@@ -888,7 +912,7 @@ object Graph {
     val nodes = raw.select(col("src").as("part"))
       .unionAll(raw.select(col("dst").as("part")))
       .distinct()
-      .localCheckpoint(true) // node-sized; seeds init AND every round's blend
+      .stageBoundary // node-sized; seeds init AND every round's blend
     val nV = nodes.count()
     val e =
       if (nV <= broadcastNodeBudget(edges.sparkSession)) raw
@@ -971,9 +995,9 @@ object Graph {
     val e = edges.select(col("a"), col("b"))
     val sym = e.select(col("a").as("u"), col("b").as("v"))
       .unionAll(e.select(col("b").as("u"), col("a").as("v")))
-      .localCheckpoint(true) // core-sized; feeds deg AND the moment join
+      .stageBoundary // core-sized; feeds deg AND the moment join
     val deg = sym.groupBy(col("u").as("node")).agg(count(lit(1)).cast("long").as("d"))
-      .localCheckpoint(true) // node-sized; feeds both moment-join legs
+      .stageBoundary // node-sized; feeds both moment-join legs
     val nd = deg.count()
     val ed = sym
       .join(gateBroadcast(deg.select(col("node").as("u"), col("d").as("x")), nd), Seq("u"))
@@ -1027,7 +1051,7 @@ object Graph {
     * contract graph. Per round: one degree aggregate + two semi-joins,
     * only the shrinking edge relation moves. */
   def kcoreEdges(edges: DataFrame, k: Int, rounds: Int): DataFrame = {
-    var e = edges.select(col("a"), col("b")).localCheckpoint(true)
+    var e = edges.select(col("a"), col("b")).stageBoundary
     for (_ <- 1 to rounds) {
       val keep = e.select(col("a").as("v")).unionAll(e.select(col("b").as("v")))
         .groupBy(col("v")).agg(count(lit(1)).as("d"))
@@ -1035,7 +1059,7 @@ object Graph {
       e = e.join(keep.select(col("v").as("a")), Seq("a"), "left_semi")
         .join(keep.select(col("v").as("b")), Seq("b"), "left_semi")
         .select(col("a"), col("b"))
-        .localCheckpoint(true)
+        .stageBoundary
     }
     e
   }
@@ -1125,7 +1149,7 @@ object Graph {
     val rounds = scala.collection.mutable.ArrayBuffer(rank)
     for (_ <- 1 to 3) {
       rank = walkRound(e, deg, seeded, rank, n)
-        .localCheckpoint(true) // node-sized; referenced by TWO deltas
+        .stageBoundary // node-sized; referenced by TWO deltas
       rounds += rank
     }
     val deltas = (1 to 3).map { k =>
@@ -1193,7 +1217,7 @@ object Graph {
       val v = Tables.part(s, dir).select(col("p_partkey").as("node"))
         .join(rev, Seq("node"), "left")
         .select(col("node"), coalesce(col("cents"), lit(0L)).as("cents"))
-        .localCheckpoint(true) // node-sized; closure seed AND both rollup sides
+        .stageBoundary // node-sized; closure seed AND both rollup sides
       var r = v.select(col("node").as("c"), expr("node DIV 4").as("p"))
         .filter(col("c") =!= col("p"))
       for (_ <- 2 to 5) {
@@ -1202,7 +1226,7 @@ object Graph {
               .join(r.select(col("c").as("m"), col("p")), Seq("m"))
               .select(col("c"), col("p")))
           .distinct()
-          .localCheckpoint(true) // closure-sized; both sides of the next round
+          .stageBoundary // closure-sized; both sides of the next round
           // (kept on the LAST doubling too: an r10 A/B of dropping it
           // measured 1.67 → 2.28 s — the known-size LogicalRDD buys the
           // rollup join a better plan than the barrier costs)
@@ -1230,26 +1254,34 @@ object Graph {
     var parted = false
     var dist = seeds.distinct()
       .select(col("seed"), col("seed").as("node"), lit(0L).as("hops"))
-      .localCheckpoint(true)
+      .stageBoundary
     var frontier = dist.select(col("seed"), col("node"))
     var frontierRows = dist.count()
+    val budget = broadcastNodeBudget(edges.sparkSession)
     for (h <- 1 to maxHops) {
-      if (!parted && frontierRows > broadcastNodeBudget(edges.sparkSession)) {
+      if (!parted && frontierRows > budget) {
         e = copartitionOnce(raw, "src")
         parted = true
       }
+      // NOTE (r11 A/B): the bfsDistances prune-below-the-distinct device
+      // was tried here too and measured WORSE (5.14 → 5.63 s at sf0.1,
+      // corroborated) — the per-seed anti side is (seed, node)-keyed and
+      // ~|seeds|× larger, so the per-round broadcast build of the
+      // growing accumulated relation costs more than the distinct
+      // shuffle it saves. Kept in the min-over-set BFS only.
       val next = e
         .join(gateBroadcast(frontier.select(col("seed"), col("node").as("src")),
           frontierRows), Seq("src"))
         .select(col("seed"), col("dst").as("node")).distinct()
         .join(dist, Seq("seed", "node"), "left_anti")
         .select(col("seed"), col("node"), lit(h.toLong).as("hops"))
-        .localCheckpoint(true)
+        .stageBoundary
       frontier = next.select(col("seed"), col("node"))
       frontierRows = next.count()
+
       // same last-hop rule as [[bfsDistances]]: no barrier copy after
       // the final anti-join consumer is gone (r10)
-      dist = if (h < maxHops) dist.unionAll(next).localCheckpoint(true)
+      dist = if (h < maxHops) dist.unionAll(next).stageBoundary
              else dist.unionAll(next)
     }
     dist
@@ -1344,19 +1376,19 @@ object Graph {
       |SELECT src AS node FROM r3 WHERE src = dst
       |ORDER BY node""".stripMargin) { (s, dir) =>
     val keys = Tables.part(s, dir).select(col("p_partkey").as("k")).distinct()
-      .localCheckpoint(true) // key-sized; feeds both edge relations
+      .stageBoundary // key-sized; feeds both edge relations
     val fwd = keys.filter(col("k") >= 1)
       .select(col("k").as("src"), expr("k DIV 4").as("dst"))
     val back = keys.filter(col("k") >= 16 && col("k") % 97 === 0)
       .select(expr("k DIV 16").as("src"), col("k").as("dst"))
-    var r = fwd.unionByName(back).distinct().localCheckpoint(true)
+    var r = fwd.unionByName(back).distinct().stageBoundary
     for (_ <- 1 to 2) {
       r = r.unionByName(
           r.select(col("src"), col("dst").as("m"))
             .join(r.select(col("src").as("m"), col("dst")), Seq("m"))
             .select(col("src"), col("dst")))
         .distinct()
-        .localCheckpoint(true) // referenced twice next round (union + both join sides)
+        .stageBoundary // referenced twice next round (union + both join sides)
     }
     r.filter(col("src") === col("dst")).select(col("src").as("node"))
       .orderBy(col("node"))
@@ -1406,7 +1438,7 @@ object Graph {
     val budget = edges.sparkSession.conf
       .getOption("spark.graft.graph.closurePairBudget").map(_.toLong)
       .getOrElse(20000000L)
-    val e0 = edges.select(col("src"), col("dst")).distinct().localCheckpoint(true)
+    val e0 = edges.select(col("src"), col("dst")).distinct().stageBoundary
     val e = gateBroadcast(e0.select(col("src").as("m"), col("dst")), e0.count())
     var acc = e0
     var delta = e0
@@ -1425,15 +1457,15 @@ object Graph {
       // set plus its anti-join subset, never the over-budget union.
       val ext = delta.select(col("src"), col("dst").as("m"))
         .join(e, Seq("m"))
-        .select(col("src"), col("dst")).distinct().localCheckpoint(true)
-      delta = ext.join(acc, Seq("src", "dst"), "left_anti").localCheckpoint(true)
+        .select(col("src"), col("dst")).distinct().stageBoundary
+      delta = ext.join(acc, Seq("src", "dst"), "left_anti").stageBoundary
       nDelta = delta.count()
       require(nAcc + nDelta <= budget,
         s"transitive closure would exceed the $budget-pair state budget at round $round " +
           s"($nAcc pairs + $nDelta new) — pair-proportional state does not scale on " +
           "dense graphs; for cycle membership / SCC condensation use sccCyclic (O(V) label state)")
       // delta is disjoint from acc by the anti join — no distinct needed
-      acc = acc.unionByName(delta).localCheckpoint(true)
+      acc = acc.unionByName(delta).stageBoundary
       nAcc += nDelta
       round += 1
     }
@@ -1481,8 +1513,8 @@ object Graph {
     val eAll = edges.select(col("src"), col("dst")).distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
     val selfLoops = eAll.filter(col("src") === col("dst"))
-      .select(col("src").as("node")).distinct().localCheckpoint(true)
-    var sub = eAll.filter(col("src") =!= col("dst")).localCheckpoint(true)
+      .select(col("src").as("node")).distinct().stageBoundary
+    var sub = eAll.filter(col("src") =!= col("dst")).stageBoundary
     val emptyOut = sub.limit(0)
       .select(col("src").as("node"), col("dst").as("scc_id"))
     eAll.unpersist()
@@ -1496,12 +1528,12 @@ object Graph {
       while (shrunk && nE > 0) {
         val srcs = sub.select(col("src").as("v")).distinct()
         val dsts = sub.select(col("dst").as("v")).distinct()
-        val core = srcs.join(dsts, Seq("v")).localCheckpoint(true)
+        val core = srcs.join(dsts, Seq("v")).stageBoundary
         val nCore = core.count()
         val t = sub
           .join(gateBroadcast(core.select(col("v").as("src")), nCore), Seq("src"), "left_semi")
           .join(gateBroadcast(core.select(col("v").as("dst")), nCore), Seq("dst"), "left_semi")
-          .select(col("src"), col("dst")).localCheckpoint(true)
+          .select(col("src"), col("dst")).stageBoundary
         val n2 = t.count()
         shrunk = n2 != nE
         nE = n2
@@ -1513,13 +1545,13 @@ object Graph {
         require(outer <= maxOuter,
           s"SCC coloring did not converge within $maxOuter outer rounds")
         val nodes = sub.select(col("src").as("v"))
-          .union(sub.select(col("dst").as("v"))).distinct().localCheckpoint(true)
+          .union(sub.select(col("dst").as("v"))).distinct().stageBoundary
         val nNodes = nodes.count()
         val overBudget = nNodes > broadcastNodeBudget(sub.sparkSession)
         val eFwd = if (overBudget) copartitionOnce(sub, "src") else sub
         val eBwd = if (overBudget) copartitionOnce(sub, "dst") else sub
         // (2) forward max-color propagation, semi-naive
-        var colors = nodes.select(col("v"), col("v").as("c")).localCheckpoint(true)
+        var colors = nodes.select(col("v"), col("v").as("c")).stageBoundary
         var delta = colors
         var dn = nNodes
         var inner = 0
@@ -1533,7 +1565,7 @@ object Graph {
             .select(col("dst").as("v"), col("cand"))
           delta = cand.join(colors, Seq("v"))
             .filter(col("cand") > col("c"))
-            .select(col("v"), col("cand").as("c")).localCheckpoint(true)
+            .select(col("v"), col("cand").as("c")).stageBoundary
           dn = delta.count()
           // the recurrence updates colors by ANTI JOIN + UNION, not a
           // left-outer merge: outer/inner joins multiply Catalyst's
@@ -1548,10 +1580,10 @@ object Graph {
             colors = colors
               .join(delta.select(col("v")), Seq("v"), "left_anti")
               .unionByName(delta)
-              .localCheckpoint(true)
+              .stageBoundary
         }
         // (3) backward sweep from the roots, restricted to each root's color
-        var reached = colors.filter(col("c") === col("v")).localCheckpoint(true)
+        var reached = colors.filter(col("c") === col("v")).stageBoundary
         var bd = reached
         var bn = bd.count()
         inner = 0
@@ -1564,23 +1596,23 @@ object Graph {
             .join(colors.select(col("v"), col("c").as("vc")), Seq("v"))
             .filter(col("c") === col("vc"))
             .select(col("v"), col("c"))
-          bd = preds.join(reached, Seq("v"), "left_anti").localCheckpoint(true)
+          bd = preds.join(reached, Seq("v"), "left_anti").stageBoundary
           bn = bd.count()
-          if (bn > 0) reached = reached.unionByName(bd).localCheckpoint(true)
+          if (bn > 0) reached = reached.unionByName(bd).stageBoundary
         }
         // (4) emit nontrivial classes, peel everything reached
         val comps = reached.groupBy(col("c"))
           .agg(count(lit(1)).as("n"), min(col("v")).as("scc_id"))
         out += reached
           .join(comps.filter(col("n") > 1).select(col("c"), col("scc_id")), Seq("c"))
-          .select(col("v").as("node"), col("scc_id")).localCheckpoint(true)
+          .select(col("v").as("node"), col("scc_id")).stageBoundary
         val nReached = reached.count()
         sub = sub
           .join(gateBroadcast(reached.select(col("v").as("src")), nReached),
             Seq("src"), "left_anti")
           .join(gateBroadcast(reached.select(col("v").as("dst")), nReached),
             Seq("dst"), "left_anti")
-          .select(col("src"), col("dst")).localCheckpoint(true)
+          .select(col("src"), col("dst")).stageBoundary
         if (overBudget) { eFwd.unpersist(); eBwd.unpersist() }
       }
     }
@@ -1611,7 +1643,7 @@ object Graph {
     * 1024). */
   private def fixpointAuditEdges(s: SparkSession, dir: String): DataFrame = {
     val keys = Tables.part(s, dir).select(col("p_partkey").as("k")).distinct()
-      .localCheckpoint(true) // key-sized; feeds all three edge relations
+      .stageBoundary // key-sized; feeds all three edge relations
     val fwd = keys.filter(col("k") >= 1)
       .select(col("k").as("src"), expr("k DIV 4").as("dst"))
     val back3 = keys.filter(col("k") >= 16 && col("k") % 97 === 0)
@@ -1737,11 +1769,11 @@ object Graph {
       .select(col("part_a").as("a"), col("part_b").as("b"))
     val e = pairs.groupBy(col("a"), col("b")).agg(count(lit(1)).as("c"))
       .filter(col("c") >= 2).select(col("a"), col("b"))
-      .localCheckpoint(true) // core-sized; feeds sym, deg, and the anti join
+      .stageBoundary // core-sized; feeds sym, deg, and the anti join
     val sym = e.select(col("a").as("u"), col("b").as("v"))
       .unionAll(e.select(col("b").as("u"), col("a").as("v")))
     val deg = sym.groupBy(col("u").as("node")).agg(count(lit(1)).as("d"))
-      .localCheckpoint(true)
+      .stageBoundary
     val nd = deg.count()
     val wedge = sym.select(col("u").as("x"), col("v").as("a"))
       .join(sym.select(col("u").as("x"), col("v").as("b")), Seq("x"))
@@ -1832,7 +1864,7 @@ object Graph {
     val nodes = raw.select(col("src").as("part"))
       .unionAll(raw.select(col("dst").as("part")))
       .distinct()
-      .localCheckpoint(true) // node-sized; seeds both score vectors
+      .stageBoundary // node-sized; seeds both score vectors
     val nV = nodes.count()
     val (eSrc, eDst) =
       if (nV <= broadcastNodeBudget(s)) (raw, raw)
@@ -1856,7 +1888,7 @@ object Graph {
         .crossJoin(broadcast(aMax))
         .select(col("part"),
           expr(normSqlExpr("COALESCE(a_raw, 0L)", "amx")).as("a"))
-        .localCheckpoint(true)
+        .stageBoundary
       val hRaw = eDst
         .join(gateBroadcast(auth.select(col("part").as("dst"), col("a")), nV), Seq("dst"))
         .groupBy(col("src")).agg(sum(col("a")).as("h_raw"))
@@ -1865,7 +1897,7 @@ object Graph {
         .crossJoin(broadcast(hMax))
         .select(col("part"),
           expr(normSqlExpr("COALESCE(h_raw, 0L)", "hmx")).as("h"))
-        .localCheckpoint(true)
+        .stageBoundary
     }
     nodes.join(auth, Seq("part")).join(hub, Seq("part"))
   }
@@ -1942,7 +1974,7 @@ object Graph {
     val nSeeds = deg.filter(col("src") % seedMod === 0).count()
     val w0 = deg.filter(col("src") % seedMod === 0)
       .select(col("src").as("seed"), col("src").as("node"))
-      .localCheckpoint(true) // seed-sized; every step extends it
+      .stageBoundary // seed-sized; every step extends it
     var cur = w0
     val frames = scala.collection.mutable.ArrayBuffer(
       w0.withColumn("step", lit(0)))
@@ -1961,7 +1993,7 @@ object Graph {
         .join(gateBroadcast(withIdx, nSeeds),
           adjIdx("src") === col("cursrc") && adjIdx("rn") === col("pick"))
         .select(col("seed"), col("dst").as("node"))
-        .localCheckpoint(true)
+        .stageBoundary
       frames += cur.withColumn("step", lit(t))
     }
     frames.reduce(_ unionByName _)
@@ -2093,7 +2125,7 @@ object Graph {
       .filter(col("sb") =!= col("sa") &&
         col("sb").between(col("sa") - window, col("sa") + window))
       .groupBy(col("w"), col("c")).agg(count(lit(1)).as("n_ab"))
-      .localCheckpoint(true)
+      .stageBoundary
   }
 
   /** The q393 algebra over any (seed, step, node) walk corpus: window-w
@@ -2144,7 +2176,7 @@ object Graph {
     val nSeeds = deg.filter(col("src") % seedMod === 0).count()
     val w0 = deg.filter(col("src") % seedMod === 0)
       .select(col("src").as("seed"), col("src").as("node"))
-      .localCheckpoint(true)
+      .stageBoundary
     val s1 = adjIdx.join(
         gateBroadcast(w0.join(deg, w0("node") === deg("src")).drop("src")
           .withColumn("pick", expr(
@@ -2153,7 +2185,7 @@ object Graph {
           .select(col("seed"), col("node").as("cursrc"), col("pick")), nSeeds),
         adjIdx("src") === col("cursrc") && adjIdx("rn") === col("pick"))
       .select(col("seed"), col("cursrc").as("prev"), col("dst").as("node"))
-      .localCheckpoint(true)
+      .stageBoundary
     var cur = s1
     val frames = scala.collection.mutable.ArrayBuffer(
       w0.select(col("seed"), col("node"), lit(0).as("step")),
@@ -2163,7 +2195,7 @@ object Graph {
           gateBroadcast(cur.select(col("seed"), col("prev"), col("node").as("src")), nSeeds),
           Seq("src"))
         .select(col("seed"), col("prev"), col("src").as("node"), col("dst"))
-        .localCheckpoint(true) // read by the near-set probe and the pick
+        .stageBoundary // read by the near-set probe and the pick
       val candN = cand.count()
       // distance-1 test: reduce the EDGE relation to the probed
       // (prev, dst) pairs with a broadcast semi-join — the preserved
@@ -2187,7 +2219,7 @@ object Graph {
       cur = staged
         .filter(col("r") >= col("cw") - col("wgt") && col("r") < col("cw"))
         .select(col("seed"), col("node").as("prev"), col("dst").as("node"))
-        .localCheckpoint(true)
+        .stageBoundary
       frames += cur.select(col("seed"), col("node")).withColumn("step", lit(t))
     }
     frames.reduce(_ unionByName _)
@@ -2300,9 +2332,9 @@ object Graph {
     val fan = pc.groupBy(col("c")).agg(count(lit(1)).as("nf"))
     val kept = pc
       .join(fan.filter(col("nf") <= maxFan).select(col("c")), Seq("c"))
-      .localCheckpoint(true) // feeds the norms and both self-join sides
+      .stageBoundary // feeds the norms and both self-join sides
     val nrm = kept.groupBy(col("w")).agg(sum(col("n_ab") * col("n_ab")).as("n2"))
-      .localCheckpoint(true) // joined on both the a and b sides
+      .stageBoundary // joined on both the a and b sides
     val dots = kept.select(col("c"), col("w").as("a"), col("n_ab").as("na"))
       .join(kept.select(col("c"), col("w").as("b"), col("n_ab").as("nb")), Seq("c"))
       .filter(col("b") > col("a"))
@@ -2369,24 +2401,35 @@ object Graph {
   def walkCoverage(e: DataFrame, seeds: DataFrame, corpus: DataFrame,
                    maxStep: Int, nNodes: Long): DataFrame = {
     val s = seeds.sparkSession
-    var seen = seeds.withColumn("d", lit(0)).localCheckpoint(true)
+    var seen = seeds.withColumn("d", lit(0)).stageBoundary
     var frontier = seeds
     for (t <- 1 to maxStep) {
       // frontier-sized expansion, anti-joined against everything seen —
       // min-distance falls out structurally (a node joins `seen` the
-      // first round it appears, which IS its BFS distance)
-      val next = e
+      // first round it appears, which IS its BFS distance).
+      // NOTE (r11 A/B): the bfsDistances prune-below-the-distinct was
+      // tried here and measured worse (4.95 → 5.32 s at sf0.1) — the
+      // walk corpus's reach saturates by round 2, so the anti side is
+      // near-graph-sized while the distinct's output is tiny either
+      // way; reverted, the last-hop barrier skip below kept.
+      val grown = e
         .join(gateBroadcast(frontier.select(col("node").as("src")), nNodes), Seq("src"))
         .select(col("dst").as("node")).distinct()
         .join(seen, Seq("node"), "left_anti")
         .withColumn("d", lit(t))
-        .localCheckpoint(true) // feeds seen AND the next round's frontier
-      // seen IS re-checkpointed per round even though each level frame
-      // is already materialized: the next round's anti-join otherwise
-      // re-reads the whole union per task (measured ~1.5-2x slower
-      // without this at sf0.1, cold-JVM min-of-4 12.1 vs 7.8 s — the
-      // q370 "fewer jobs" inversion again)
-      seen = seen.unionByName(next).localCheckpoint(true)
+      // r11 (the r10 bfsDistances last-hop rule): on the FINAL round
+      // next has ONE consumer (the seen union feeding the aggregate)
+      // and seen is never anti-joined again — both barriers were pure
+      // extra materialization copies; skip them.
+      val next = if (t < maxStep) grown.stageBoundary // feeds seen AND next frontier
+                 else grown
+      // seen IS re-materialized per intermediate round even though each
+      // level frame is already materialized: the next round's anti-join
+      // otherwise re-reads the whole union per task (measured ~1.5-2x
+      // slower without this at sf0.1, cold-JVM min-of-4 12.1 vs 7.8 s —
+      // the q370 "fewer jobs" inversion again)
+      seen = if (t < maxStep) seen.unionByName(next).stageBoundary
+             else seen.unionByName(next)
       frontier = next.select(col("node"))
     }
     val vis = corpus.groupBy(col("node")).agg(min(col("step")).as("s"))
@@ -2463,7 +2506,7 @@ object Graph {
     * the hand-computed spec. Returns (community, n_members,
     * within_edges, degree_sum, q_micro), unordered. */
   private[graft] def modularityOf(e: DataFrame, labels: DataFrame): DataFrame = {
-    val lab = labels.localCheckpoint(true) // node-sized; joins edges twice + degree once
+    val lab = labels.stageBoundary // node-sized; joins edges twice + degree once
     val nL = lab.count()
     e.count() // materialize the caller's persist before the 2 consumers below
     val wi = e
@@ -2472,7 +2515,7 @@ object Graph {
       .filter(col("la") === col("lb"))
       .groupBy(col("la").as("community")).agg(count(lit(1)).as("within_edges"))
     val deg = e.groupBy(col("src")).agg(count(lit(1)).as("d"))
-      .localCheckpoint(true) // node-sized; feeds dc AND the edge total
+      .stageBoundary // node-sized; feeds dc AND the edge total
     val dc = deg
       .join(gateBroadcast(lab.select(col("node").as("src"), col("label")), nL), Seq("src"))
       .groupBy(col("label").as("community"))
@@ -2570,7 +2613,7 @@ object Graph {
     * betweenness_micro, n_contribs), unordered. */
   private[graft] def betweennessSampled(edges: DataFrame, seeds: DataFrame): DataFrame = {
     val b0 = seeds.select(col("seed"), col("seed").as("node"), lit(1L).as("sig"))
-      .localCheckpoint(true)
+      .stageBoundary
     // One edge expansion per level, SHARED by the forward σ aggregation
     // and the backward δ join (the naive form expanded edges×frontier
     // five times; the fused form three times, the two widest reused
@@ -2594,7 +2637,7 @@ object Graph {
       // one fused anti-join against the UNION of visited levels, not one
       // join stage per level (measured ~2× on the widest level at sf0.1)
       val seen = excl.map(_.select(col("seed"), col("node"))).reduce(_ unionAll _)
-      cand.join(seen, Seq("seed", "node"), "left_anti").localCheckpoint(true)
+      cand.join(seen, Seq("seed", "node"), "left_anti").stageBoundary
     }
     val ex1 = expandFrom(b0, b0.count())
     val b1 = levelOf(ex1, Seq(b0))
@@ -2621,7 +2664,7 @@ object Graph {
       // must materialize; d1 feeds ONLY the final aggregate — an eager
       // checkpoint there was one extra barrier job over pair-sized data
       // for nothing (r10: fold it into the final action)
-      if (checkpoint) d.localCheckpoint(true) else d
+      if (checkpoint) d.stageBoundary else d
     }
     val d2 = deltaDown(ex3, b3, None, checkpoint = true)
     val d1 = deltaDown(ex2, b2, Some(d2), checkpoint = false)
@@ -2678,7 +2721,7 @@ object Graph {
     var act = raw.select(col("src").as("v")).distinct()
       .withColumn("p", expr(
         "CAST(conv(substring(md5(concat('mis:', CAST(v AS STRING))), 1, 15), 16, 10) AS BIGINT)"))
-      .localCheckpoint(true)
+      .stageBoundary
     var nAct = act.count()
     val out = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     // LIVE edge relation (r10 optimization): after each round, restrict
@@ -2713,13 +2756,13 @@ object Graph {
         .filter(col("m").isNull || col("p") < col("m.np") ||
           (col("p") === col("m.np") && col("v") < col("m.nv")))
         .select(col("v"), col("p"))
-        .localCheckpoint(true) // round-sized; feeds output, retire, next act
+        .stageBoundary // round-sized; feeds output, retire, next act
       out += mis.select(col("v").as("node"), lit(round.toLong).as("round_joined"))
       val rm = mis.select(col("v"))
         .unionAll(live.join(gateBroadcast(mis.select(col("v").as("src")), nAct), Seq("src"))
           .select(col("dst").as("v")))
         .distinct()
-      act = act.join(rm, Seq("v"), "left_anti").localCheckpoint(true)
+      act = act.join(rm, Seq("v"), "left_anti").stageBoundary
       nAct = act.count()
       if (nAct > 0) {
         // both-endpoints-active restriction for the next round; the
@@ -2728,7 +2771,7 @@ object Graph {
         live = live
           .join(gateBroadcast(act.select(col("v").as("src")), nAct), Seq("src"), "left_semi")
           .join(gateBroadcast(act.select(col("v").as("dst")), nAct), Seq("dst"), "left_semi")
-          .localCheckpoint(true)
+          .stageBoundary
       }
       round += 1
     }
@@ -2806,7 +2849,7 @@ object Graph {
     // over-budget co-partition must be dst-keyed
     val (e, deg, n) = pinEdges(edges, key = "dst")
     var color = deg.select(col("src").as("v"), col("d").cast("long").as("c"))
-      .localCheckpoint(true)
+      .stageBoundary
     for (_ <- 1 to rounds) {
       color = e
         .join(gateBroadcast(color.select(col("v").as("dst"), col("c").as("nc")), n), Seq("dst"))
@@ -2815,7 +2858,7 @@ object Graph {
         .join(gateBroadcast(color.select(col("v").as("src"), col("c")), n), Seq("src"))
         .select(col("src").as("v"), expr(
           "CAST(conv(substring(md5(concat(CAST(c AS STRING), '|', s)), 1, 15), 16, 10) AS BIGINT)").as("c"))
-        .localCheckpoint(true)
+        .stageBoundary
     }
     color
   }

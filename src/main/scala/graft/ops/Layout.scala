@@ -319,7 +319,7 @@ object Layout {
         col("ndv") >= 2 && col("ndv") <= 10000 && col("top1_share_micro") <= 500000)
       .withColumn("buck_cand",
         col("ndv") * 10 >= col("n_rows") && col("top1_share_micro") <= 10000)
-      .localCheckpoint(true)
+      .stageBoundary
     // picks as struct-min aggregates: ALWAYS one row (null pick when no
     // candidate), so the final cross-joins can never wipe the output
     val partPick = flags.agg(min(when(col("part_cand"),
@@ -1110,7 +1110,7 @@ object Layout {
         Seq(col("l_orderkey").asc, col("l_linenumber").asc,
           col("l_partkey").asc, col("l_suppkey").asc), "rn1")
       .select(col("f"), col("st"), (col("rn1") - 1).as("p"))
-      .localCheckpoint(true) // positioned rows; both bitmap builds + exact
+      .stageBoundary // positioned rows; both bitmap builds + exact
     def bitmaps(c: String): DataFrame = pos
       .groupBy(col(c), expr("p DIV 32").as("w"))
       .agg(expr("bit_or(shiftleft(1L, CAST(p % 32 AS INT)))").as("bm"))
@@ -1412,19 +1412,36 @@ object Layout {
       |FROM ev JOIN sel ON sel.cut_k = ev.cut_k
       |GROUP BY 1, 2
       |ORDER BY layout, cut_k""".stripMargin) { (s, dir) =>
-    import org.apache.spark.sql.expressions.Window
     import s.implicits._
+    // r11: d feeds FOUR parallel branches of one job (two layout ranks,
+    // bounds, sel) — an eager boundary, or the branches race the lazy
+    // persist and recompute the scan per stage (the r10 lesson)
     val d = Tables.lineitem(s, dir)
       .select(col("l_orderkey").as("k"), col("l_linenumber").as("ln"),
         expr("unix_micros(CAST(l_shipdate AS TIMESTAMP)) div 86400000000L").as("ship_d"),
         expr("unix_micros(CAST(l_shipdate AS TIMESTAMP)) div 86400000000L + l_orderkey % 30")
           .as("rcpt_d"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val lay = d.select(lit("shipdate_clustered").as("layout"), col("rcpt_d"),
-        expr("(ROW_NUMBER() OVER (ORDER BY ship_d, rcpt_d, k, ln) - 1) DIV 1000").as("shard"))
-      .unionByName(d.select(lit("hash_scattered").as("layout"), col("rcpt_d"),
-        expr("(ROW_NUMBER() OVER (ORDER BY ((k % 3000000000L) * 2654435761L) % 4294967296L, rcpt_d, k, ln) - 1) DIV 1000")
-          .as("shard")))
+      .stageBoundary
+    // r11 (guide §2.2/§2.5; the q345 lesson): both layouts' shard ranks
+    // were unpartitioned ROW_NUMBER() windows — ONE task sorting the
+    // whole relation, twice (Spark's own WindowExec warning; 5–7 s of
+    // the query at sf0.1, and a serializer at 100 TB). The block
+    // two-pass device computes the bit-identical rank fully parallel:
+    // ship days are the natural bounded block key for the clustered
+    // layout; the 32-bit mixer value blocks adaptively for the
+    // scattered one. The oracle keeps the plain window form, proving
+    // equality.
+    val clustered = BlockRank.globalRowNumber(d, col("ship_d"), blkAsc = true,
+        Seq(col("ship_d").asc, col("rcpt_d").asc, col("k").asc, col("ln").asc), "rn")
+      .select(lit("shipdate_clustered").as("layout"), col("rcpt_d"),
+        expr("(rn - 1) DIV 1000").as("shard"))
+    val scattered = BlockRank.globalRowNumberAdaptive(
+        d.withColumn("hv", expr("((k % 3000000000L) * 2654435761L) % 4294967296L")),
+        col("hv"), asc = true,
+        Seq(col("hv").asc, col("rcpt_d").asc, col("k").asc, col("ln").asc), "rn")
+      .select(lit("hash_scattered").as("layout"), col("rcpt_d"),
+        expr("(rn - 1) DIV 1000").as("shard"))
+    val lay = clustered.unionByName(scattered)
     val sh = lay.groupBy(col("layout"), col("shard"))
       .agg(min(col("rcpt_d")).as("mn"), max(col("rcpt_d")).as("mx"),
         count(lit(1)).as("n"))
@@ -1509,10 +1526,14 @@ object Layout {
        |FROM st
        |ORDER BY col_name""".stripMargin) { (s, dir) =>
       import org.apache.spark.sql.expressions.Window
+      // r11: base feeds 6 unpivot projections — parallel branches of
+      // ONE job racing a lazy persist into per-branch recomputation
+      // (the r10 multi-consumer lesson); an eager boundary runs the
+      // scan once
       val base = Tables.lineitem(s, dir)
         .select((numCols ++ strCols).map(col) :+
           (col("l_orderkey") * 8 + col("l_linenumber")).as("ord"): _*)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        .stageBoundary
       val long = (numCols.map(c => base.select(lit(c).as("col_name"), col("ord"),
           col(c).cast("string").as("v"), col(c).cast("long").as("nv"))) ++
         strCols.map(c => base.select(lit(c).as("col_name"), col("ord"),
@@ -1738,7 +1759,7 @@ object Layout {
       // as a persist the consuming job's parallel stages raced the cache
       // and the plan re-embedded the scan per reference
       val kk = k.crossJoin(broadcast(n))
-        .localCheckpoint(true)
+        .stageBoundary
       def carve(layout: String, key: Column, inner: Seq[Column]): DataFrame =
         BlockRank.globalRowNumberAdaptive(kk, key, asc = true, inner, "rk")
           .withColumn("file_id", BlockRank.ntileFromRank("rk", "n_all", 64))
@@ -1888,16 +1909,20 @@ object Layout {
          |    AS BIGINT) AS runs_micro
          |FROM unioned u, nr
          |ORDER BY lead_col, payload_col""".stripMargin) { (s, dir) =>
+      // r11: base feeds 18 leg projections + the row count — all
+      // PARALLEL branches of the one eager job below, which raced the
+      // lazy persist and recomputed the scan per branch (the r10
+      // multi-consumer lesson); an eager boundary materializes it once
       val base = Tables.lineitem(s, dir).select(
         cols.map { case (n, (_, sp)) => expr(sp).as(n) }: _*)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        .stageBoundary
       val legs = for (l <- leads; (p, _) <- cols) yield
         base.select(lit(l).as("lead_col"), lit(p).as("payload_col"),
           col(l).cast("string").as("lv"), col(p).cast("string").as("pv"))
       val runs = legs.reduce(_ unionAll _).distinct()
         .groupBy(col("lead_col"), col("payload_col"))
         .agg(count(lit(1)).as("n_runs"))
-        .localCheckpoint(true) // 18 rows; feeds the per-lead totals too
+        .stageBoundary // 18 rows; feeds the per-lead totals too
       val tot = runs.groupBy(col("lead_col"))
         .agg(sum(col("n_runs")).as("n_runs"))
         .select(col("lead_col"), lit("TOTAL").as("payload_col"), col("n_runs"))

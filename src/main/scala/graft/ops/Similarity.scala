@@ -427,9 +427,9 @@ object Similarity {
         .agg(expr("transform(array_sort(collect_list(struct(pos, cv))), s -> s.cv)").as("vec"))
     var cents = pinned.filter(col("vec_id") < k)
       .select(col("vec_id").as("cid"), col("qv").as("vec"))
-      .localCheckpoint(true)
+      .stageBoundary
     for (_ <- 1 to iters)
-      cents = update(assignToCentroids(pinned, cents)).localCheckpoint(true)
+      cents = update(assignToCentroids(pinned, cents)).stageBoundary
     pinned.unpersist()
     cents
   }
@@ -877,9 +877,9 @@ object Similarity {
         .agg(expr("transform(array_sort(collect_list(struct(pos, cv))), s -> s.cv)").as("vec"))
     var books = sub.filter(col("vec_id") < k)
       .select(col("m"), col("vec_id").as("cid"), col("sv").as("vec"))
-      .localCheckpoint(true)
+      .stageBoundary
     for (_ <- 1 to iters)
-      books = update(pqAssign(sub, books)).localCheckpoint(true)
+      books = update(pqAssign(sub, books)).stageBoundary
     sub.unpersist()
     books
   }
@@ -2121,7 +2121,7 @@ object Similarity {
     var mind = v.crossJoin(broadcast(seed.select(col("qv").as("cv"))))
       .withColumn("mind", graft.functions.L2Distance.l2(col("qv"), col("cv")))
       .select(col("vec_id"), col("qv"), col("mind"))
-      .localCheckpoint(true)
+      .stageBoundary
     for (r <- 1 until k) {
       val far = mind.orderBy(col("mind").desc, col("vec_id")).limit(1).collect()(0)
       picks :+= ((r, far.getLong(0), far.getLong(2)))
@@ -2131,7 +2131,7 @@ object Similarity {
           .withColumn("mind", least(col("mind"),
             graft.functions.L2Distance.l2(col("qv"), col("cv"))))
           .select(col("vec_id"), col("qv"), col("mind"))
-          .localCheckpoint(true)
+          .stageBoundary
       }
     }
     v.unpersist()
@@ -2329,14 +2329,14 @@ object Similarity {
          |  (agg.max_d2 - agg.min_nz_d2) * 1000000 // agg.min_nz_d2 AS contrast_micro
          |FROM agg, med""".stripMargin) { (s, dir) =>
       val q = quantizeVectors(Tables.embeddings(s, dir))
-        .localCheckpoint(true) // vector-sized; three join sides
+        .stageBoundary // vector-sized; three join sides
       val pairs = strides.map { st =>
         q.select(col("vec_id").as("ia"), col("qv").as("aqv"))
           .join(q.select((col("vec_id") - st).as("ia"), col("vec_id").as("ib"),
             col("qv").as("bqv")), Seq("ia"))
           .select(col("ia"), col("ib"), expr(d2Spark).as("d2"))
       }.reduce(_ unionAll _)
-        .localCheckpoint(true) // pair-sized; median AND moment consumers
+        .stageBoundary // pair-sized; median AND moment consumers
       // pair-relation median via the block two-pass device (the stride
       // pair set grows with the vector count)
       val nP = pairs.agg(count(lit(1)).cast("long").as("n"))

@@ -1049,7 +1049,7 @@ object Temporal {
     val d0 = daily.agg(min(col("day_idx")).as("d0"))
     val d = daily.crossJoin(broadcast(d0))
       .select((col("day_idx") - col("d0")).as("x"), col("cnt"))
-      .localCheckpoint(true) // day-sized; cuts the corpus agg out of both median plans
+      .stageBoundary // day-sized; cuts the corpus agg out of both median plans
     val sl = d.as("a").join(d.as("b"), col("b.x") > col("a.x"))
       .select(((col("b.cnt").cast("double") - col("a.cnt").cast("double"))
         / (col("b.x") - col("a.x")).cast("double")).as("slope"))
@@ -1155,7 +1155,7 @@ object Temporal {
     val tot = daily.agg(count(lit(1)).as("n"), sum(col("y")).as("sy"))
     val dev = daily.crossJoin(broadcast(tot))
       .select(col("x"), (col("n") * col("y") - col("sy")).as("d"))
-      .localCheckpoint(true) // day-sized; both lag sides read one materialized frame
+      .stageBoundary // day-sized; both lag sides read one materialized frame
     val den = dev.agg(sum(col("d") * col("d")).as("den"))
     val lags = Seq(1L, 2L, 3L, 4L, 5L, 6L, 7L).toDF("lag")
     val num = broadcast(lags).crossJoin(dev.select(col("x").as("ax"), col("d").as("ad")))
@@ -1292,7 +1292,7 @@ object Temporal {
       .select(col("day_idx"), col("y"), col("t7"),
         (lit(7L) * col("y") - col("t7")).as("d7"),
         (col("day_idx") % 7).as("dow"))
-      .localCheckpoint(true) // day-sized; feeds the seasonal agg AND the join
+      .stageBoundary // day-sized; feeds the seasonal agg AND the join
     val seas = interior.groupBy(col("dow"))
       .agg(sum(col("d7")).as("snum"), count(lit(1)).as("sden"))
     interior.join(broadcast(seas), Seq("dow"))
@@ -1770,7 +1770,7 @@ object Temporal {
       .select(col("user_id"),
         expr("unix_micros(date_trunc('day', ts)) div 86400000000L").as("d"))
       .distinct()
-      .localCheckpoint(true) // (user, day)-sized; four consumers
+      .stageBoundary // (user, day)-sized; four consumers
     val fd = ud.groupBy(col("user_id")).agg(min(col("d")).as("first_d"))
     val st = ud
       .join(fd, Seq("user_id"))
@@ -1830,7 +1830,7 @@ object Temporal {
       .groupBy(col("event_type"),
         expr("unix_micros(date_trunc('hour', ts)) div 3600000000L").as("h"))
       .agg(count(lit(1)).as("c"))
-      .localCheckpoint(true) // hour-grid-sized; span AND moments
+      .stageBoundary // hour-grid-sized; span AND moments
     val span = hc.agg(min(col("h")).as("h0"), max(col("h")).as("h1"))
     // zero hours contribute 0 to both sums, so only the COUNT needs the
     // grid — n_hours from the corpus span, sums from observed hours
@@ -1894,7 +1894,7 @@ object Temporal {
         - expr("unix_micros(ts)")).as("raw_gap"))
       .filter(col("raw_gap").isNotNull)
       .select(greatest(lit(1L), col("raw_gap")).as("gap_us"))
-      .localCheckpoint(true) // gap-sized; exact ranks AND the histogram
+      .stageBoundary // gap-sized; exact ranks AND the histogram
     // gap-relation order statistics via the block two-pass device (the
     // gap relation is corpus-proportional; ties need no tiebreak — only
     // the VALUE at each rank is read)
@@ -1975,14 +1975,14 @@ object Temporal {
       .filter(col("c7") === 7 && col("span") === 6)
       .select(col("day_idx"), col("y"), col("t7"),
         (lit(7L) * col("y") - col("t7")).as("d7"), (col("day_idx") % 7).as("dow"))
-      .localCheckpoint(true)
+      .stageBoundary
     val seas = interior.groupBy(col("dow"))
       .agg(sum(col("d7")).as("snum"), count(lit(1)).as("sden"))
     val rem = interior.join(broadcast(seas), Seq("dow"))
       .select(col("day_idx"), col("y"),
         (col("y").cast("double") - col("t7").cast("double") / 7.0
           - col("snum").cast("double") / (lit(7.0) * col("sden").cast("double"))).as("r"))
-      .localCheckpoint(true) // day-sized; median, MAD, and the flag pass
+      .stageBoundary // day-sized; median, MAD, and the flag pass
     def medianOf(vals: DataFrame, c: String, out: String): DataFrame =
       vals.withColumn("rn", row_number().over(Window.orderBy(col(c))))
         .withColumn("n", count(lit(1)).over(
@@ -1992,7 +1992,7 @@ object Temporal {
     val m1 = medianOf(rem.select(col("r")), "r", "med")
     val ad = rem.crossJoin(broadcast(m1))
       .select(col("day_idx"), col("y"), col("r"), abs(col("r") - col("med")).as("a"))
-      .localCheckpoint(true)
+      .stageBoundary
     val m2 = medianOf(ad.select(col("a")), "a", "mad")
     ad.crossJoin(broadcast(m2))
       .select(col("day_idx"), col("y"), col("r").as("remainder"),
@@ -2035,7 +2035,7 @@ object Temporal {
         expr("unix_micros(date_trunc('day', ts)) div 86400000000L").as("d"))
       .agg(count(lit(1)).as("n"),
         sum(expr("CAST(FLOOR(value * 100) AS BIGINT)")).as("s"))
-      .localCheckpoint(true) // (type × day)-sized; three consumers
+      .stageBoundary // (type × day)-sized; three consumers
     val mx = daily.agg(max(col("d")).as("dl"))
     val cur = daily.crossJoin(broadcast(mx)).filter(col("d") === col("dl"))
       .select(col("event_type"), col("n").as("n1"), col("s").as("s1"))
@@ -2202,7 +2202,7 @@ object Temporal {
       .agg(sum(when(col("event_type") === "click", 1L).otherwise(0L)).as("x"),
         sum(when(col("event_type") === "purchase",
           expr("CAST(FLOOR(value * 100) AS BIGINT)")).otherwise(0L)).as("y"))
-      .localCheckpoint(true) // day-sized; both pair sides
+      .stageBoundary // day-sized; both pair sides
 
   // def, not val: `all` (declared above) forces the lazy query vals at
   // object init, before a later-declared val would be assigned
@@ -2295,7 +2295,7 @@ object Temporal {
     val dev = sc.crossJoin(broadcast(tot))
       .select(col("d"), (col("n") * col("x") - col("sx")).as("dx"),
         (col("n") * col("y") - col("sy")).as("dy"))
-      .localCheckpoint(true)
+      .stageBoundary
     val den = dev.agg(sum(col("dx") * col("dx")).as("denx"),
       sum(col("dy") * col("dy")).as("deny"))
     val lags = (-7L to 7L).toDF("lag")
@@ -2372,7 +2372,7 @@ object Temporal {
       .groupBy(col("d"))
       .agg(count(lit(1)).as("n"), cnt("click", "c1"), cnt("view", "c2"),
         cnt("purchase", "c3"), cnt("signup", "c4"), cnt("error", "c5"))
-      .localCheckpoint(true) // day-sized; totals + the per-day pass
+      .stageBoundary // day-sized; totals + the per-day pass
     val g = pd.agg(sum(col("n")).as("nn"), sum(col("c1")).as("g1"),
       sum(col("c2")).as("g2"), sum(col("c3")).as("g3"),
       sum(col("c4")).as("g4"), sum(col("c5")).as("g5"))
@@ -2501,7 +2501,7 @@ object Temporal {
       .groupBy(expr("unix_micros(date_trunc('hour', ts)) div 3600000000L").as("h"))
       .agg(count(lit(1)).as("n_total"),
         sum(when(col("event_type") === "error", 1L).otherwise(0L)).as("n_err"))
-      .localCheckpoint(true) // hour-axis-sized; bounds + fill read it
+      .stageBoundary // hour-axis-sized; bounds + fill read it
     val b = hb.agg(min(col("h")).as("lo"), max(col("h")).as("hi")).head()
     val axis = s.range(b.getLong(0), b.getLong(1) + 1).toDF("h")
     val f = axis.join(hb, Seq("h"), "left")
@@ -2558,12 +2558,12 @@ object Temporal {
     val d0 = xy.agg(min(col("d")).as("d0"))
     val sc = xy.crossJoin(broadcast(d0))
       .select((col("d") - col("d0")).as("t"), col("y").as("yv"))
-      .localCheckpoint(true) // day-sized; residual grid reads it 21×
+      .stageBoundary // day-sized; residual grid reads it 21×
     val grid = broadcast(s.range(1).select(
       explode(array((-10 to 10).map(i => lit(i * 50L)): _*)).as("b")))
     val r = sc.crossJoin(grid)
       .select(col("b"), col("t"), (col("yv") - col("b") * col("t")).as("res"))
-      .localCheckpoint(true) // (21 slopes × days)-sized; quantile + loss
+      .stageBoundary // (21 slopes × days)-sized; quantile + loss
     val cnt = r.groupBy(col("b")).agg(count(lit(1)).as("n"))
     val qr = r.join(cnt, "b")
       .withColumn("rn", row_number().over(
@@ -2658,7 +2658,7 @@ object Temporal {
       .select(col("user_id"),
         expr("unix_micros(date_trunc('day', ts)) div 86400000000L").as("d"))
       .distinct()
-      .localCheckpoint(true) // (user, day)-sized; four consumers below
+      .stageBoundary // (user, day)-sized; four consumers below
     val days = ud.select(col("d")).distinct()
     val dau = ud.groupBy(col("d")).agg(count(lit(1)).as("dau"))
     def trailing(win: Int, name: String): DataFrame =
@@ -2718,7 +2718,7 @@ object Temporal {
     val tot = cnt.groupBy(col("cur")).agg(sum(col("n")).as("t"))
     val p = cnt.join(tot, Seq("cur"))
       .select(col("cur"), col("nxt"), expr("(n * 1000000L) DIV t").as("p_micro"))
-      .localCheckpoint(true) // alphabet-squared-sized; read every round
+      .stageBoundary // alphabet-squared-sized; read every round
     var v = tot.select(col("cur").as("event_type"), lit(200000L).as("m"))
     for (_ <- 1 to 4) {
       v = p.join(broadcast(v), p("cur") === v("event_type"))
@@ -2777,11 +2777,11 @@ object Temporal {
         lead(col("event_type"), 1).over(byTs).as("nxt"))
       .filter(col("nxt").isNotNull)
     val cnt = tr.groupBy(col("cur"), col("nxt")).agg(count(lit(1)).as("n"))
-      .localCheckpoint(true) // alphabet-squared; feeds p, rounds, and h
+      .stageBoundary // alphabet-squared; feeds p, rounds, and h
     val tot = cnt.groupBy(col("cur")).agg(sum(col("n")).as("t"))
     val p = cnt.join(tot, Seq("cur"))
       .select(col("cur"), col("nxt"), expr("(n * 1000000L) DIV t").as("p_micro"))
-      .localCheckpoint(true)
+      .stageBoundary
     var v = tot.select(col("cur").as("event_type"), lit(200000L).as("m"))
     for (_ <- 1 to 4) {
       v = p.join(broadcast(v), p("cur") === v("event_type"))

@@ -1175,7 +1175,7 @@ object TextOps {
     // lineage per reference (39-scan plan); the checkpoint computes each
     // exactly once
     val hits = toks.join(broadcast(vocab.select(col("word"))), "word").distinct()
-      .localCheckpoint(true)
+      .stageBoundary
     val nw = hits.groupBy(col("word")).agg(count(lit(1)).as("n"))
     val nd = Tables.documents(s, dir).agg(count(lit(1)).as("n_docs"))
     val co = hits.select(col("doc_id"), col("word").as("w"))
@@ -1187,7 +1187,7 @@ object TextOps {
       .join(broadcast(nw.select(col("word").as("c"), col("n").as("nc"))), "c")
       .crossJoin(broadcast(nd))
       .select(col("w"), col("c"), expr("nwc * 1000L * n_docs DIV (na * nc)").as("l"))
-      .localCheckpoint(true) // vocab²-bounded; norm + both numerator sides
+      .stageBoundary // vocab²-bounded; norm + both numerator sides
     val nrm = lift.groupBy(col("w")).agg(sum(col("l") * col("l")).as("n2"))
     val num = lift.select(col("w").as("wa"), col("c"), col("l").as("la"))
       .join(lift.select(col("w").as("wb"), col("c"), col("l").as("lb")), "c")
@@ -2431,34 +2431,46 @@ object TextOps {
       |FROM clean cl JOIN r USING (source)
       |WHERE CAST(('0x' || substr(md5('mix:' || CAST(doc_id AS VARCHAR)), 1, 4)) AS INT) / 65536.0 < r.rate
       |ORDER BY doc_id""".stripMargin) { (s, dir) =>
-    val gated = curationGates(Tables.fanOut(Tables.documents(s, dir)))
+    val clean = cleanCorpusStage(s, dir).stageBoundary
+    remixSources(clean, expr("(CAST(substring(source, 4) AS INT) % 4) + 1"))
+      .select(col("doc_id"), col("lang"), col("source"),
+        size(col("toks")).cast("long").as("n_tokens"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** The shared gate → exact-dedup → decontaminate prefix of the corpus
+    * capstones (q123/q151): `ded` (gated, exact-dedup'd docs) is
+    * materialized at a stage boundary inside (it feeds the
+    * contamination gram chain AND the survivor join); the returned
+    * `clean` relation is NOT yet materialized — each capstone puts its
+    * own boundary behind it. Exposed `private[graft]` so PlanSpec pins
+    * the bloom probe on THIS exact pre-boundary plan (ADVICE r10: the
+    * probe assertion previously ran on a separately constructed
+    * decontaminate call, which could drift from what the queries run).
+    *
+    * ded/clean each feed ≥2 consumers — materialize, or the gate/dedup
+    * prefix runs once per consumer. Eager stage boundaries, not
+    * persists (r10): a persist keeps the full logical lineage under
+    * every reference (q123's plan reached 34 parquet scans / 1.1k
+    * lines; q151's 29.8k lines), and parallel-stage consumers race the
+    * lazy cache. The boundary truncates each stage to a LogicalRDD. */
+  private[graft] def cleanCorpusStage(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    val gated = curationGates(Tables.fanOut(Tables.documents(s, dir)))
     val w = Window.partitionBy(md5(col("text"))).orderBy(col("doc_id"))
-    // ded feeds the contamination gram chain AND the final join; clean
-    // feeds the mixture rates AND the remix filter — materialize both so
-    // the gate/dedup prefix runs once, not once per consumer. Eager
-    // localCheckpoints, not persists (r10): a persist keeps the full
-    // logical lineage under every reference and this plan reached 34
-    // parquet scans / 1.1k lines (q151's disease at smaller exponent);
-    // the checkpoint truncates each stage to a LogicalRDD
     val ded = gated.withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1).drop("rn")
-      .localCheckpoint(true)
+      .stageBoundary
     val evalDocs = Tables.documents(s, dir).filter(col("doc_id") % 50 === 0)
       .select(col("doc_id"), col("text"))
     // capstone direction: huge scored corpus, small eval reference — the
     // reference-gram Bloom persists across runs, keyed by eval content
     val bloomDir = s"${System.getProperty("java.io.tmpdir")}/graft_evalbloom_v1_" +
       evalSetFingerprint(evalDocs)
-    val clean = ded.join(
+    ded.join(
       decontaminate(ded.select(col("doc_id"), col("text")), evalDocs,
           bloomState = Some(bloomDir))
         .filter(!col("contaminated")).select(col("doc_id")), "doc_id")
-      .localCheckpoint(true)
-    remixSources(clean, expr("(CAST(substring(source, 4) AS INT) % 4) + 1"))
-      .select(col("doc_id"), col("lang"), col("source"),
-        size(col("toks")).cast("long").as("n_tokens"))
-      .orderBy(col("doc_id"))
   }
 
   /** Deterministic negative sampling — the contrastive-pair builder (one
@@ -3343,10 +3355,7 @@ object TextOps {
       |       - greatest(chunk_id * 128, start) AS BIGINT) AS n_tok
       |FROM x, LATERAL (SELECT unnest(range(c0, c1 + 1)) AS chunk_id)
       |ORDER BY doc_id, chunk_id""".stripMargin) { (s, dir) =>
-    import org.apache.spark.sql.expressions.Window
-    val gated = curationGates(Tables.fanOut(Tables.documents(s, dir)))
-    val w = Window.partitionBy(md5(col("text"))).orderBy(col("doc_id"))
-    // Stage boundaries are eager localCheckpoints, not persists (r10
+    // Stage boundaries are eager materializations, not persists (r10
     // optimization): each of ded/clean/mixed is referenced by ≥ 2
     // downstream consumers, and a persist keeps the full LOGICAL plan
     // under every reference — the nine-stage composition multiplied
@@ -3354,27 +3363,19 @@ object TextOps {
     // reached 29.8k lines / 1444 parquet scans, which Catalyst then
     // re-optimized per AQE stage (guide §7.3's huge-plan failure mode;
     // measured 10.1 s at sf0.1 with almost idle executors). The
-    // checkpoint truncates each stage to a LogicalRDD — the same
-    // materialization a production pipeline's stage write gives — and
-    // the plan collapses to the downstream operators only.
-    val ded = gated.withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1).drop("rn")
-      .localCheckpoint(true)
-    val evalDocs = Tables.documents(s, dir).filter(col("doc_id") % 50 === 0)
-      .select(col("doc_id"), col("text"))
-    val bloomDir = s"${System.getProperty("java.io.tmpdir")}/graft_evalbloom_v1_" +
-      evalSetFingerprint(evalDocs)
+    // boundary truncates each stage to a LogicalRDD. Locally that is a
+    // localCheckpoint — a stand-in for the reliable stage write
+    // (checkpoint/parquet) a production cluster would use at these
+    // points; `spark.graft.stageBoundary=reliable` selects that path
+    // (localCheckpoint blocks are unreplicated and die with their
+    // executor — see the stageBoundary device doc).
     // clean feeds the mixture rates AND the remix filter (two consumers
     // inside remixSources) — materialize, or the gate/dedup/decontamination
     // prefix runs twice (q123's discipline; measured 94 → ~60 s at the
     // 10× smoke when this materialization was missing)
-    val clean = ded.join(
-      decontaminate(ded.select(col("doc_id"), col("text")), evalDocs,
-          bloomState = Some(bloomDir))
-        .filter(!col("contaminated")).select(col("doc_id")), "doc_id")
-      .localCheckpoint(true)
+    val clean = cleanCorpusStage(s, dir).stageBoundary
     val mixed = remixSources(clean, expr("(CAST(substring(source, 4) AS INT) % 4) + 1"))
-      .localCheckpoint(true)
+      .stageBoundary
     // q141's cap operator composed verbatim: the cap key is len(text)
     // (fixture-column-independent, like the oracle's len(text))
     val kept = domainCap(
@@ -5326,7 +5327,7 @@ object TextOps {
         sum(size(array_distinct(col("toksArr")))).cast("long").as("dtoks"))
     val q = src.select(col("source"), col("toks"),
       expr("(dtoks * 1000000L) DIV toks").as("quality_micro"))
-      .localCheckpoint(true) // source-sized; feeds candidates AND the final join
+      .stageBoundary // source-sized; feeds candidates AND the final join
     val budget = q.agg(expr("(3 * SUM(toks)) DIV 2").as("b"))
     val eps = Seq(1, 2, 3, 4, 5, 6).toDF("e")
     val cand = q.crossJoin(broadcast(eps))
@@ -5403,7 +5404,7 @@ object TextOps {
           "CAST(conv(substring(md5(array_join(slice(w, i + 1, 5), ' ')), 1, 15), 16, 10) AS BIGINT))"))
         .as("g"))
       .distinct()
-      .localCheckpoint(true) // (source, shingle)-sized; read by every round
+      .stageBoundary // (source, shingle)-sized; read by every round
     def pickBest(cands: DataFrame): String =
       cands.groupBy(col("source")).agg(count(lit(1)).as("n"))
         .orderBy(col("n").desc, col("source")).limit(1)
@@ -5414,13 +5415,13 @@ object TextOps {
     for (round <- 1 to 3) {
       val best = pickBest(remaining)
       val newCov = remaining.filter(col("source") === best).select(col("g")).distinct()
-        .localCheckpoint(true)
+        .stageBoundary
       val marginal = newCov.count()
       picks += ((round, best, marginal))
       covered = if (covered == null) newCov else covered.unionAll(newCov)
       remaining = remaining.filter(col("source") =!= best)
         .join(newCov.withColumnRenamed("g", "gc"), col("g") === col("gc"), "left_anti")
-        .localCheckpoint(true)
+        .stageBoundary
     }
     picks.toSeq.toDF("pick", "source", "marginal")
       .withColumn("pick", col("pick").cast("long"))
@@ -5513,7 +5514,7 @@ object TextOps {
     val cs = Tables.fanOut(Tables.documents(s, dir))
       .groupBy(col("lang"), expr("n_chars DIV 100").as("len_bucket"), col("source"))
       .agg(count(lit(1)).as("n_cs"))
-      .localCheckpoint(true) // class×source-sized; three consumers
+      .stageBoundary // class×source-sized; three consumers
     val cls = cs.groupBy(col("lang"), col("len_bucket")).agg(sum(col("n_cs")).as("n_c"))
     val marg = cs.groupBy(col("source")).agg(sum(col("n_cs")).as("n_s"))
     val tot = marg.agg(sum(col("n_s")).as("n"))
@@ -5778,7 +5779,7 @@ object TextOps {
       .crossJoin(broadcast(stats))
       .groupBy(col("query_id"), col("doc_id"))
       .agg(sum(bm25Term).as("raw_a"), sum(tfidfTerm).as("raw_b"))
-      .localCheckpoint(true) // (query, doc)-sized; both rank legs read it
+      .stageBoundary // (query, doc)-sized; both rank legs read it
     // rank on the ROUNDED scores (the q348 discipline): the TF-IDF leg
     // has no length term, so equal matched (word, tf) multisets tie
     // exactly and a raw-float rank would break engine-dependently
@@ -6421,7 +6422,7 @@ object TextOps {
     val h = Tables.documents(s, dir)
       .groupBy(col("source"), expr("n_chars DIV 50").as("b"))
       .agg(count(lit(1)).as("n"))
-      .localCheckpoint(true) // (source × bucket)-sized; axis + totals + grid
+      .stageBoundary // (source × bucket)-sized; axis + totals + grid
     val axis = h.select(col("b")).distinct()
     val srcs = h.groupBy(col("source")).agg(sum(col("n")).as("ns"))
     val grid = srcs.crossJoin(broadcast(axis))
@@ -6497,7 +6498,7 @@ object TextOps {
     val nc = expr("CAST(n_chars AS BIGINT)")
     val cells = Tables.documents(s, dir).groupBy(col("source"), col("lang"))
       .agg(count(lit(1)).as("n"), sum(nc).as("s"), sum(nc * nc).as("q"))
-      .localCheckpoint(true) // cell-sized; marginals + totals read it
+      .stageBoundary // cell-sized; marginals + totals read it
     val ma = cells.groupBy(col("source")).agg(sum(col("n")).as("n"), sum(col("s")).as("s"))
     val mb = cells.groupBy(col("lang")).agg(sum(col("n")).as("n"), sum(col("s")).as("s"))
     val tot = cells.agg(sum(col("n")).as("n"), sum(col("s")).as("s"),

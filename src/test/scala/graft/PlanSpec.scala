@@ -367,20 +367,15 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("InMemoryTableScan") || p.contains("ExistingRDD"),
       s"shared prefixes must come from a materialization:\n$p")
     // decontamination rides the bloom-pruned gram join (q116's
-    // machinery). Since r10 that stage sits BEHIND the clean checkpoint
-    // (the final plan is deliberately truncated), so the probe is pinned
-    // on the stage's own plan, built exactly as q123 builds it
-    val docs = graft.sources.Tables.fanOut(
-      graft.sources.Tables.documents(spark, sfDir))
-    val ev = graft.sources.Tables.documents(spark, sfDir)
-      .filter(org.apache.spark.sql.functions.col("doc_id") % 50 === 0)
-      .select(org.apache.spark.sql.functions.col("doc_id"),
-        org.apache.spark.sql.functions.col("text"))
-    val dec = planOf(graft.ops.TextOps.decontaminate(
-      docs.select(org.apache.spark.sql.functions.col("doc_id"),
-        org.apache.spark.sql.functions.col("text")), ev))
+    // machinery). Since r10 that stage sits BEHIND the clean stage
+    // boundary (the final plan is deliberately truncated), so the probe
+    // is pinned on the SHARED clean-stage relation the capstones
+    // actually execute (r11, ADVICE r10: a separately constructed
+    // decontaminate call could silently drift from the query path —
+    // cleanCorpusStage IS the query path, pre-boundary)
+    val dec = planOf(graft.ops.TextOps.cleanCorpusStage(spark, sfDir))
     assert(dec.contains("might_contain"),
-      s"gram join must carry the bloom probe:\n$dec")
+      s"the capstones' clean stage must carry the bloom probe:\n$dec")
   }
 
   test("q116: the train gram stream is bloom-pruned BEFORE its distinct exchange") {
